@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** One named query of the engine: the Spark dataflow plus (optionally) the
+  * equivalent ANSI SQL the driver's DuckDB oracle runs on the same parquet
+  * tables (SURVEY.md §2, §7.1). Oracle = None → rows-only check.
+  */
+final case class QueryDef(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+/** Table loaders + cross-engine determinism helpers (SURVEY.md §1.2, §7.3).
+  *
+  * The fixture layout is one parquet file per table under the sf dir
+  * (TESTDATA.md). All loaders are plain `spark.read.parquet` — schema comes
+  * from the parquet footer, predicate pushdown / column pruning are left to
+  * Catalyst (SURVEY.md §4.2).
+  */
+object Tables {
+  def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, dir: String): DataFrame   = t(s, dir, "region")
+  def nation(s: SparkSession, dir: String): DataFrame   = t(s, dir, "nation")
+  def customer(s: SparkSession, dir: String): DataFrame = t(s, dir, "customer")
+  def supplier(s: SparkSession, dir: String): DataFrame = t(s, dir, "supplier")
+  def part(s: SparkSession, dir: String): DataFrame     = t(s, dir, "part")
+  def orders(s: SparkSession, dir: String): DataFrame   = t(s, dir, "orders")
+  def lineitem(s: SparkSession, dir: String): DataFrame = t(s, dir, "lineitem")
+  def documents(s: SparkSession, dir: String): DataFrame = t(s, dir, "documents")
+  def embeddings(s: SparkSession, dir: String): DataFrame = t(s, dir, "embeddings")
+
+  /** `events.ts` is parquet INT64 TIMESTAMP(NANOS, utc=false), which Spark 4
+    * rejects outright ([PARQUET_TYPE_ILLEGAL]). The legacy conf surfaces it
+    * as raw BIGINT nanos; `DIV 1000` truncates to micros — exactly what
+    * DuckDB 1.0 does when it reads the same file (verified: it exposes the
+    * column as micros TIMESTAMP, truncated not rounded). We emit
+    * TIMESTAMP_NTZ so written parquet matches DuckDB's no-timezone output.
+    */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, dir, "events").withColumn(
+      "ts", expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)"))
+  }
+
+  // --- determinism helpers (SURVEY.md §7.3) -------------------------------
+  // Raw sum(DOUBLE) is summation-order-dependent and can't hash-match across
+  // engines/partitionings. Per-row cast to DECIMAL(18,4) → exact decimal sum
+  // → DOUBLE is order-proof and identical in Spark and DuckDB.
+
+  val money: DecimalType = DecimalType(18, 4)
+
+  /** Exact cross-engine sum of a double column. */
+  def dsum(c: Column): Column = sum(c.cast(money)).cast(DoubleType)
+
+  /** Deterministic mean to 6 dp (exact decimal sum / count). */
+  def davg(c: Column): Column = round(dsum(c) / count(lit(1)), 6)
+
+  /** Mirror SQL fragments for DuckDB oracles. */
+  def sqlDsum(e: String): String = s"CAST(sum(CAST(($e) AS DECIMAL(18,4))) AS DOUBLE)"
+  def sqlDavg(e: String): String = s"round(${sqlDsum(e)} / count(*), 6)"
+}

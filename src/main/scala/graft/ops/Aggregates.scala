@@ -1,0 +1,256 @@
+package graft.ops
+
+import graft.{QueryDef, Tables => T}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Aggregations and window functions (SURVEY.md §2.4–2.5). Group-bys run as
+  * partial (map-side) + final HashAggregate — the partial/final split is the
+  * same structure as the reference's per-GPU partial Gram matrices merged on
+  * one node (dask-cuml LinearRegression MG path). Exact decimal sums per
+  * §7.3 so results hash-match DuckDB regardless of partitioning.
+  */
+object Aggregates {
+
+  val entries: Seq[QueryDef] = Seq(
+    // ------------------------------------------------------------ §2.4 aggs
+    QueryDef(
+      "agg_hash_groupby",
+      // TPC-H Q1 pricing summary — the flagship query (SparkEntry.entry).
+      (s, dir) => T.lineitem(s, dir)
+        .where(expr("l_shipdate <= TIMESTAMP_NTZ '1998-09-01 00:00:00'"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          T.dsum(col("l_quantity")).as("sum_qty"),
+          T.dsum(col("l_extendedprice")).as("sum_base_price"),
+          T.dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+          T.davg(col("l_quantity")).as("avg_qty"),
+          T.davg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some(s"""SELECT l_returnflag, l_linestatus,
+                 ${T.sqlDsum("l_quantity")} AS sum_qty,
+                 ${T.sqlDsum("l_extendedprice")} AS sum_base_price,
+                 ${T.sqlDsum("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+                 ${T.sqlDavg("l_quantity")} AS avg_qty,
+                 ${T.sqlDavg("l_discount")} AS avg_disc,
+                 count(*) AS count_order
+               FROM lineitem
+               WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+               GROUP BY l_returnflag, l_linestatus
+               ORDER BY l_returnflag, l_linestatus""")),
+
+    QueryDef(
+      "agg_distinct_count",
+      // count(DISTINCT) expands to a 2-phase aggregate; joined through
+      // customer so the distinct runs over a shuffled join output.
+      (s, dir) => {
+        val o = T.orders(s, dir); val c = T.customer(s, dir)
+        o.join(c, o("o_custkey") === c("c_custkey"))
+          .groupBy(c("c_mktsegment"))
+          .agg(countDistinct(o("o_custkey")).as("n_cust"), count(lit(1)).as("n_orders"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment, count(DISTINCT o_custkey) AS n_cust,
+                count(*) AS n_orders
+              FROM orders JOIN customer ON o_custkey = c_custkey
+              GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    QueryDef(
+      "agg_approx_hll",
+      // HyperLogLog++ sketch (built-in) — the 100 TB answer to exact
+      // distinct counts. Sketches are engine-specific → no SQL oracle.
+      (s, dir) => T.orders(s, dir)
+        .groupBy("o_orderstatus")
+        .agg(approx_count_distinct(col("o_orderkey")).as("approx_orders"),
+             approx_count_distinct(col("o_custkey")).as("approx_cust"))
+        .orderBy("o_orderstatus"),
+      None),
+
+    QueryDef(
+      "agg_grouping_sets",
+      (s, dir) => {
+        T.lineitem(s, dir).createOrReplaceTempView("graft_lineitem_gs")
+        s.sql(s"""SELECT l_returnflag, l_linestatus,
+                    ${T.sqlDsum("l_quantity")} AS sum_qty, count(*) AS n
+                  FROM graft_lineitem_gs
+                  GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+                  ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")
+      },
+      Some(s"""SELECT l_returnflag, l_linestatus,
+                 ${T.sqlDsum("l_quantity")} AS sum_qty, count(*) AS n
+               FROM lineitem
+               GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+               ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")),
+
+    QueryDef(
+      "agg_rollup",
+      (s, dir) => {
+        val c = T.customer(s, dir); val n = T.nation(s, dir); val r = T.region(s, dir)
+        c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .rollup(r("r_name"), n("n_name"))
+          .agg(count(lit(1)).as("n_cust"), T.dsum(c("c_acctbal")).as("sum_bal"))
+          .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+      },
+      Some(s"""SELECT r_name, n_name, count(*) AS n_cust,
+                 ${T.sqlDsum("c_acctbal")} AS sum_bal
+               FROM customer
+                 JOIN nation ON c_nationkey = n_nationkey
+                 JOIN region ON n_regionkey = r_regionkey
+               GROUP BY ROLLUP (r_name, n_name)
+               ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""")),
+
+    QueryDef(
+      "agg_cube",
+      (s, dir) => T.lineitem(s, dir)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), T.dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
+      Some(s"""SELECT l_returnflag, l_linestatus, count(*) AS n,
+                 ${T.sqlDsum("l_extendedprice")} AS sum_price
+               FROM lineitem
+               GROUP BY CUBE (l_returnflag, l_linestatus)
+               ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")),
+
+    QueryDef(
+      "agg_stats_moments",
+      // Second moments — the building blocks of the reference's OLS solvers.
+      // Rounded to 6 dp: per-group accumulation-order noise is ~1e-10.
+      (s, dir) => T.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
+          round(var_samp(col("l_quantity")), 6).as("var_qty"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 6).as("cov_qty_price"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+                round(stddev_samp(l_quantity), 6) AS sd_qty,
+                round(var_samp(l_quantity), 6) AS var_qty,
+                round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+                round(covar_samp(l_quantity, l_extendedprice), 6) AS cov_qty_price
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // --------------------------------------------------------- §2.5 windows
+    QueryDef(
+      "win_rank_dense",
+      // rank/dense_rank values are tie-stable, so the window ORDER BY needs
+      // no tiebreaker; the final output ORDER BY does (o_orderkey).
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice").desc)
+        T.orders(s, dir)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+            rank().over(w).as("rnk"), dense_rank().over(w).as("drnk"))
+          .where(col("rnk") <= 5)
+          .orderBy(col("o_custkey"), col("rnk"), col("o_orderkey"))
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice, rnk, drnk FROM (
+                SELECT o_custkey, o_orderkey, o_totalprice,
+                  rank()       OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS rnk,
+                  dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS drnk
+                FROM orders) t
+              WHERE rnk <= 5 ORDER BY o_custkey, rnk, o_orderkey""")),
+
+    QueryDef(
+      "win_topk_rownum",
+      // Top-3 per customer — the same k-selection pattern at the heart of
+      // the reference's kneighbors; unique tiebreak key makes row_number
+      // deterministic (§7.3 rule 3).
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        T.orders(s, dir)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+            row_number().over(w).as("rn"))
+          .where(col("rn") <= 3)
+          .orderBy("o_custkey", "rn")
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+                SELECT o_custkey, o_orderkey, o_totalprice,
+                  row_number() OVER (PARTITION BY o_custkey
+                                     ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+                FROM orders) t
+              WHERE rn <= 3 ORDER BY o_custkey, rn""")),
+
+    QueryDef(
+      "win_lag_lead",
+      // Inter-event gaps per user, on micros since epoch (BIGINT both
+      // engines — sidesteps any timestamp-encoding skew).
+      (s, dir) => {
+        val e = T.events(s, dir).select(
+          col("user_id"), col("event_id"), unix_micros(col("ts").cast("timestamp")).as("us"))
+        val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+        e.select(col("user_id"), col("event_id"), col("us"),
+            coalesce(col("us") - lag(col("us"), 1).over(w), lit(-1L)).as("delta_us"),
+            coalesce(lead(col("us"), 1).over(w) - col("us"), lit(-1L)).as("next_us"))
+          .orderBy("user_id", "us", "event_id")
+      },
+      Some("""SELECT user_id, event_id, us,
+                coalesce(us - lag(us, 1)  OVER w, -1) AS delta_us,
+                coalesce(lead(us, 1) OVER w - us, -1) AS next_us
+              FROM (SELECT user_id, event_id, epoch_us(ts) AS us FROM events) t
+              WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+              ORDER BY user_id, us, event_id""")),
+
+    QueryDef(
+      "win_frame_moving",
+      // 10-row moving average per user: frame order is unique (us, event_id)
+      // so both engines sum the same ≤10 doubles in the same order.
+      (s, dir) => {
+        val e = T.events(s, dir).select(
+          col("user_id"), col("event_id"), col("value"),
+          unix_micros(col("ts").cast("timestamp")).as("us"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("us"), col("event_id")).rowsBetween(-9, 0)
+        e.select(col("user_id"), col("event_id"),
+            round(avg(col("value")).over(w), 6).as("mov_avg"))
+          .orderBy("user_id", "event_id")
+      },
+      Some("""SELECT user_id, event_id,
+                round(avg(value) OVER (PARTITION BY user_id ORDER BY us, event_id
+                        ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 6) AS mov_avg
+              FROM (SELECT user_id, event_id, value, epoch_us(ts) AS us FROM events) t
+              ORDER BY user_id, event_id""")),
+
+    QueryDef(
+      "win_running_sum",
+      // Cumulative revenue per customer — running DECIMAL sum is exact, so
+      // every prefix matches DuckDB bit-for-bit.
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        T.orders(s, dir)
+          .select(col("o_custkey"), col("o_orderkey"),
+            sum(col("o_totalprice").cast(T.money)).over(w).cast("double").as("running_rev"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+                     OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                  AS running_rev
+              FROM orders ORDER BY o_custkey, o_orderkey""")),
+
+    QueryDef(
+      "win_ntile_cume",
+      // Deciles within order-status partitions; unique window order makes
+      // ntile deterministic, cume_dist is an exact rational either way.
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_orderstatus"))
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        T.orders(s, dir)
+          .select(col("o_orderstatus"), col("o_orderkey"),
+            ntile(10).over(w).as("decile"),
+            round(cume_dist().over(w), 6).as("cd"))
+          .orderBy("o_orderstatus", "o_orderkey")
+      },
+      Some("""SELECT o_orderstatus, o_orderkey,
+                ntile(10)  OVER w AS decile,
+                round(cume_dist() OVER w, 6) AS cd
+              FROM orders
+              WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+              ORDER BY o_orderstatus, o_orderkey"""))
+  )
+}

@@ -1,0 +1,259 @@
+package graft.ops
+
+import graft.{QueryDef, Tables => T}
+import org.apache.spark.sql.functions._
+
+/** Scans, projections, filters, joins, sorts, limits, set operations
+  * (SURVEY.md §2.1–2.3, §2.6–2.7). All declarative DataFrame plans: filters
+  * and projections reach the parquet scan via Catalyst pushdown; dimension
+  * joins are explicitly broadcast; big joins shuffle on their equi-keys.
+  */
+object Relational {
+
+  val entries: Seq[QueryDef] = Seq(
+    // ------------------------------------------------------------ §2.1 scans
+    QueryDef(
+      "scan_parquet",
+      (s, dir) => T.lineitem(s, dir).agg(count(lit(1)).as("n_rows")),
+      Some("SELECT count(*) AS n_rows FROM lineitem")),
+
+    QueryDef(
+      "scan_pruned_pushdown",
+      // 2-column projection + selective predicate: both must reach the scan
+      // (ReadSchema prunes to 3 cols, PushedFilters carries l_quantity < 5).
+      (s, dir) => T.lineitem(s, dir)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .where(col("l_quantity") < 5)
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+              WHERE l_quantity < 5 ORDER BY l_orderkey, l_linenumber""")),
+
+    // --------------------------------------------------- §2.2 project/filter
+    QueryDef(
+      "project_expr",
+      (s, dir) => T.lineitem(s, dir).select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice") * (lit(1) - col("l_discount")), 6).as("revenue"),
+        round(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")), 6).as("charge"),
+        col("l_quantity").cast("int").as("qty_int")
+      ).orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber,
+                round(l_extendedprice * (1 - l_discount), 6) AS revenue,
+                round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 6) AS charge,
+                CAST(l_quantity AS INT) AS qty_int
+              FROM lineitem ORDER BY l_orderkey, l_linenumber""")),
+
+    QueryDef(
+      "filter_pred",
+      (s, dir) => T.orders(s, dir)
+        .where(col("o_orderstatus").isin("F", "O")
+          && col("o_totalprice").between(10000, 20000)
+          && (col("o_orderpriority").like("1-%") || col("o_orderpriority").like("5-%")))
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+              WHERE o_orderstatus IN ('F','O')
+                AND o_totalprice BETWEEN 10000 AND 20000
+                AND (o_orderpriority LIKE '1-%' OR o_orderpriority LIKE '5-%')
+              ORDER BY o_orderkey""")),
+
+    QueryDef(
+      "filter_null_safe",
+      // The fixtures are NULL-free, so NULLs are manufactured with nullif and
+      // then exercised with IS NOT NULL / coalesce / null-safe equality.
+      (s, dir) => T.customer(s, dir)
+        .select(
+          col("c_custkey"),
+          coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("(none)")).as("seg"),
+          (nullif(col("c_mktsegment"), lit("FURNITURE")) <=> lit("MACHINERY")).as("is_mach"))
+        .where(nullif(col("c_mktsegment"), lit("AUTOMOBILE")).isNotNull)
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey,
+                coalesce(nullif(c_mktsegment, 'BUILDING'), '(none)') AS seg,
+                nullif(c_mktsegment, 'FURNITURE') IS NOT DISTINCT FROM 'MACHINERY' AS is_mach
+              FROM customer
+              WHERE nullif(c_mktsegment, 'AUTOMOBILE') IS NOT NULL
+              ORDER BY c_custkey""")),
+
+    // ------------------------------------------------------------ §2.3 joins
+    QueryDef(
+      "join_inner_hash",
+      // Fact ⋈ fact-sized equi-join: shuffles both sides on the key (at
+      // 100 TB: co-locate with bucketing on custkey to kill this shuffle).
+      (s, dir) => {
+        val o = T.orders(s, dir); val c = T.customer(s, dir)
+        o.join(c, o("o_custkey") === c("c_custkey"))
+          .select(o("o_orderkey"), c("c_name"), o("o_totalprice"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, c_name, o_totalprice
+              FROM orders JOIN customer ON o_custkey = c_custkey
+              ORDER BY o_orderkey""")),
+
+    QueryDef(
+      "join_broadcast_dim",
+      // Star-schema dims (nation 25, region 5 rows) are broadcast: no shuffle
+      // of the fact side, plan must show BroadcastHashJoin.
+      (s, dir) => {
+        val c = T.customer(s, dir); val n = T.nation(s, dir); val r = T.region(s, dir)
+        c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .groupBy(r("r_name"), n("n_name"))
+          .agg(count(lit(1)).as("n_cust"), T.dsum(c("c_acctbal")).as("sum_bal"))
+          .orderBy("r_name", "n_name")
+      },
+      Some(s"""SELECT r_name, n_name, count(*) AS n_cust,
+                 ${T.sqlDsum("c_acctbal")} AS sum_bal
+               FROM customer
+                 JOIN nation ON c_nationkey = n_nationkey
+                 JOIN region ON n_regionkey = r_regionkey
+               GROUP BY r_name, n_name ORDER BY r_name, n_name""")),
+
+    QueryDef(
+      "join_left_outer",
+      (s, dir) => {
+        val c = T.customer(s, dir); val o = T.orders(s, dir)
+        c.join(o, c("c_custkey") === o("o_custkey"), "left")
+          .groupBy(c("c_custkey"))
+          .agg(count(o("o_orderkey")).as("n_orders"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, count(o_orderkey) AS n_orders
+              FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+              GROUP BY c_custkey ORDER BY c_custkey""")),
+
+    QueryDef(
+      "join_semi",
+      (s, dir) => {
+        val c = T.customer(s, dir)
+        val big = T.orders(s, dir).where(col("o_totalprice") > 200000)
+        c.join(big, c("c_custkey") === big("o_custkey"), "left_semi")
+          .select("c_custkey", "c_name").orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+              WHERE EXISTS (SELECT 1 FROM orders
+                            WHERE o_custkey = c_custkey AND o_totalprice > 200000)
+              ORDER BY c_custkey""")),
+
+    QueryDef(
+      "join_anti",
+      (s, dir) => {
+        val c = T.customer(s, dir); val o = T.orders(s, dir)
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+          .select("c_custkey", "c_name").orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+              WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+              ORDER BY c_custkey""")),
+
+    QueryDef(
+      "join_multiway_star",
+      // TPC-H Q5-shaped 5-way star: Catalyst reorders, AQE converts the dim
+      // sides to broadcasts at runtime; revenue summed exactly via decimal.
+      (s, dir) => {
+        val r = T.region(s, dir); val n = T.nation(s, dir); val c = T.customer(s, dir)
+        val o = T.orders(s, dir); val l = T.lineitem(s, dir)
+        l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .groupBy(r("r_name"), n("n_name"))
+          .agg(
+            T.dsum(l("l_extendedprice") * (lit(1) - l("l_discount"))).as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy("r_name", "n_name")
+      },
+      Some(s"""SELECT r_name, n_name,
+                 ${T.sqlDsum("l_extendedprice * (1 - l_discount)")} AS revenue,
+                 count(*) AS n_items
+               FROM lineitem
+                 JOIN orders   ON l_orderkey = o_orderkey
+                 JOIN customer ON o_custkey = c_custkey
+                 JOIN nation   ON c_nationkey = n_nationkey
+                 JOIN region   ON n_regionkey = r_regionkey
+               GROUP BY r_name, n_name ORDER BY r_name, n_name""")),
+
+    // ----------------------------------------------------- §2.6 sorts/limits
+    QueryDef(
+      "sort_multi_key",
+      (s, dir) => T.customer(s, dir)
+        .select(
+          col("c_custkey"),
+          nullif(col("c_mktsegment"), lit("BUILDING")).as("seg"),
+          col("c_acctbal"))
+        .orderBy(col("seg").asc_nulls_first, col("c_acctbal").desc, col("c_custkey").asc),
+      Some("""SELECT c_custkey, nullif(c_mktsegment, 'BUILDING') AS seg, c_acctbal
+              FROM customer
+              ORDER BY seg ASC NULLS FIRST, c_acctbal DESC, c_custkey ASC""")),
+
+    QueryDef(
+      "topk_limit",
+      // Global top-k: Spark plans TakeOrderedAndProject — per-partition heap
+      // + driver merge, no full sort (exactly what you want at 100 TB).
+      (s, dir) => T.lineitem(s, dir)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+        .limit(100),
+      Some("""SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+              ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+              LIMIT 100""")),
+
+    // --------------------------------------------------------- §2.7 set ops
+    QueryDef(
+      "set_union_all",
+      (s, dir) => {
+        val e = T.events(s, dir)
+        e.where(col("event_type") === "click").select("event_id", "event_type")
+          .unionByName(
+            e.where(col("event_type") === "purchase").select("event_id", "event_type"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, event_type FROM events WHERE event_type = 'click'
+              UNION ALL
+              SELECT event_id, event_type FROM events WHERE event_type = 'purchase'
+              ORDER BY event_id""")),
+
+    QueryDef(
+      "set_union_distinct",
+      (s, dir) => {
+        val c = T.customer(s, dir); val o = T.orders(s, dir)
+        c.where(col("c_mktsegment") === "BUILDING").select("c_custkey")
+          .union(o.where(col("o_totalprice") > 150000)
+            .select(col("o_custkey").as("c_custkey")))
+          .distinct()
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+              UNION
+              SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 150000
+              ORDER BY c_custkey""")),
+
+    QueryDef(
+      "set_intersect",
+      (s, dir) => {
+        val c = T.customer(s, dir); val o = T.orders(s, dir)
+        c.where(col("c_mktsegment") === "BUILDING").select("c_custkey")
+          .intersect(o.where(col("o_totalprice") > 150000)
+            .select(col("o_custkey").as("c_custkey")))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+              INTERSECT
+              SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 150000
+              ORDER BY c_custkey""")),
+
+    QueryDef(
+      "set_except",
+      (s, dir) => {
+        val o = T.orders(s, dir)
+        o.select(col("o_custkey").as("c_custkey")).distinct()
+          .except(o.where(col("o_totalprice") > 150000)
+            .select(col("o_custkey").as("c_custkey")))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT DISTINCT o_custkey AS c_custkey FROM orders
+              EXCEPT
+              SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 150000
+              ORDER BY c_custkey"""))
+  )
+}
