@@ -42,9 +42,16 @@ object Tables {
     * TIMESTAMP_NTZ so written parquet matches DuckDB's no-timezone output.
     */
   def events(s: SparkSession, dir: String): DataFrame = {
+    // Conf must be set here (not only in Verify/Bench): the driver's own
+    // sessions carry no custom confs (SURVEY §7.1), so the loader is the one
+    // place guaranteed to run before the read.
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // timestampadd onto an NTZ epoch literal is session-timezone-independent,
+    // unlike timestamp_micros (LTZ) + cast which shifts by the local UTC
+    // offset in any session that doesn't pin spark.sql.session.timeZone.
     t(s, dir, "events").withColumn(
-      "ts", expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)"))
+      "ts",
+      expr("timestampadd(MICROSECOND, ts DIV 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"))
   }
 
   // --- determinism helpers (SURVEY.md §7.3) -------------------------------

@@ -69,14 +69,14 @@ object Aggregates {
 
     QueryDef(
       "agg_grouping_sets",
-      (s, dir) => {
-        T.lineitem(s, dir).createOrReplaceTempView("graft_lineitem_gs")
-        s.sql(s"""SELECT l_returnflag, l_linestatus,
-                    ${T.sqlDsum("l_quantity")} AS sum_qty, count(*) AS n
-                  FROM graft_lineitem_gs
-                  GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
-                  ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")
-      },
+      // Dataset.groupingSets (Spark 4.0+) — pure DataFrame API, no temp-view
+      // catalog side effects.
+      (s, dir) => T.lineitem(s, dir)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")), Seq(col("l_returnflag")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(T.dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
       Some(s"""SELECT l_returnflag, l_linestatus,
                  ${T.sqlDsum("l_quantity")} AS sum_qty, count(*) AS n
                FROM lineitem
@@ -85,14 +85,19 @@ object Aggregates {
 
     QueryDef(
       "agg_rollup",
-      (s, dir) => {
-        val c = T.customer(s, dir); val n = T.nation(s, dir); val r = T.region(s, dir)
-        c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
-          .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
-          .rollup(r("r_name"), n("n_name"))
-          .agg(count(lit(1)).as("n_cust"), T.dsum(c("c_acctbal")).as("sum_bal"))
-          .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
-      },
+      // groupingSets with rollup-shaped sets, not Dataset.rollup: in Spark
+      // 4.1 rollup/cube after a join trip DetectAmbiguousSelfJoin (their
+      // Expand re-resolves grouping attrs through dataset-id metadata);
+      // groupingSets takes plain Columns and has no such re-resolution.
+      (s, dir) => T.customer(s, dir)
+        .join(broadcast(T.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(T.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+        .select(col("r_name"), col("n_name"), col("c_acctbal"))
+        .groupingSets(
+          Seq(Seq(col("r_name"), col("n_name")), Seq(col("r_name")), Seq()),
+          col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_cust"), T.dsum(col("c_acctbal")).as("sum_bal"))
+        .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first),
       Some(s"""SELECT r_name, n_name, count(*) AS n_cust,
                  ${T.sqlDsum("c_acctbal")} AS sum_bal
                FROM customer

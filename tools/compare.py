@@ -1,0 +1,84 @@
+#!/usr/bin/env python3
+"""Local pre-verify: mimic the driver's DuckDB oracle compare.
+
+Usage: python3 tools/compare.py /root/testdata/sf0.01 /tmp/v2
+
+Binds each bare table name as a DuckDB view over <sfDir>/<t>.parquet,
+runs every oracle_sql.json entry, and compares against the Spark result
+parquet written by graft.Verify: columns sorted by name, then row-wise
+value compare (exact; floats compared to 9 dp to absorb parquet float
+round-trip noise only — real mismatches show up far above that).
+
+This is a builder-side diagnostic tool only (python/duckdb are
+driver-side deps, not part of the Scala library).
+"""
+import json, math, os, sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return round(v, 9)
+    if isinstance(v, list):
+        return tuple(norm(x) for x in v)
+    return v
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracles = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    n_pass = n_fail = 0
+    for name in sorted(oracles):
+        spark_dir = os.path.join(out_dir, name)
+        if not os.path.isdir(spark_dir):
+            print(f"FAIL {name}: no spark result dir")
+            n_fail += 1
+            continue
+        try:
+            oracle = con.execute(oracles[name]).fetch_arrow_table().to_pylist()
+            spark = con.execute(
+                f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')"
+            ).fetch_arrow_table().to_pylist()
+        except Exception as e:
+            print(f"FAIL {name}: exec error: {e}")
+            n_fail += 1
+            continue
+        if len(oracle) != len(spark):
+            print(f"FAIL {name}: rows spark={len(spark)} oracle={len(oracle)}")
+            n_fail += 1
+            continue
+        ok = True
+        ocols = sorted(oracle[0].keys()) if oracle else []
+        scols = sorted(spark[0].keys()) if spark else []
+        if ocols != scols:
+            print(f"FAIL {name}: cols spark={scols} oracle={ocols}")
+            n_fail += 1
+            continue
+        for i, (orow, srow) in enumerate(zip(oracle, spark)):
+            ovals = tuple(norm(orow[c]) for c in ocols)
+            svals = tuple(norm(srow[c]) for c in ocols)
+            if ovals != svals:
+                print(f"FAIL {name}: row {i} spark={svals} oracle={ovals}")
+                ok = False
+                break
+        if ok:
+            print(f"PASS {name} ({len(spark)} rows)")
+            n_pass += 1
+        else:
+            n_fail += 1
+    print(f"\n{n_pass} pass / {n_fail} fail / {len(oracles)} total")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
