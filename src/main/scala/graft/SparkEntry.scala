@@ -13,7 +13,8 @@ object SparkEntry {
   /** The complete operator catalog (SURVEY.md §2). */
   private lazy val all: Seq[QueryDef] =
     ops.Relational.entries ++
-    ops.Aggregates.entries
+    ops.Aggregates.entries ++
+    ops.Scalars.entries
 
   /** Flagship query (TPC-H Q1 pricing summary, SURVEY.md §2.4) on
     * /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -27,6 +27,8 @@ def norm(v):
         return round(v, 9)
     if isinstance(v, list):
         return tuple(norm(x) for x in v)
+    if isinstance(v, dict):
+        return tuple((k, norm(v[k])) for k in sorted(v))
     return v
 
 
