@@ -14,7 +14,8 @@ object SparkEntry {
   private lazy val all: Seq[QueryDef] =
     ops.Relational.entries ++
     ops.Aggregates.entries ++
-    ops.Scalars.entries
+    ops.Scalars.entries ++
+    ops.ML.entries
 
   /** Flagship query (TPC-H Q1 pricing summary, SURVEY.md §2.4) on
     * /root/testdata/sf0.001; driver smoke-checks rows>0. */

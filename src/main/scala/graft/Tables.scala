@@ -70,4 +70,21 @@ object Tables {
   /** Mirror SQL fragments for DuckDB oracles. */
   def sqlDsum(e: String): String = s"CAST(sum(CAST(($e) AS DECIMAL(18,4))) AS DOUBLE)"
   def sqlDavg(e: String): String = s"round(${sqlDsum(e)} / count(*), 6)"
+
+  /** High-precision exact sum for ML normal-equation cross-products, where
+    * values like discount*tax (~1e-3) would vanish at 4 dp. DECIMAL(30,12)
+    * leaves 18 integer digits — ample for sums of per-row products at any
+    * tested SF (and the 100 TB layout would shard these sums per partition
+    * key anyway).
+    */
+  val exact: DecimalType = DecimalType(30, 12)
+  def xsum(c: Column): Column = sum(c.cast(exact)).cast(DoubleType)
+  def sqlXsum(e: String): String = s"CAST(sum(CAST(($e) AS DECIMAL(30,12))) AS DOUBLE)"
+
+  /** Exact sum kept as DECIMAL (no double cast): for outputs compared
+    * directly, DuckDB's int128-decimal→double conversion is off by ulps on
+    * large magnitudes, so the decimal itself is the only safe wire type.
+    * Both engines widen sum(DECIMAL(30,12)) to DECIMAL(38,12). */
+  def xsumD(c: Column): Column = sum(c.cast(exact))
+  def sqlXsumD(e: String): String = s"sum(CAST(($e) AS DECIMAL(30,12)))"
 }

@@ -1,0 +1,360 @@
+package graft.ops
+
+import graft.{QueryDef, Tables => T}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's own ML algorithms re-expressed as Spark dataflows
+  * (SURVEY.md §2.11; dask-cuml LinearRegression/Ridge/NearestNeighbors/
+  * KMeans [R]).
+  *
+  * Structure mirrors the reference's MNMG execution model exactly:
+  * - fit = ONE distributed aggregation producing the tiny sufficient
+  *   statistics (Gram matrix / moment sums) — the analog of per-GPU partial
+  *   reductions merged on one node — followed by a driver-side closed-form
+  *   solve on a handful of doubles (the analog of cuML's client-held coef_).
+  * - predict = broadcast of those few doubles back into a per-row
+  *   expression (the analog of coef broadcast + GEMV).
+  * - kneighbors = broadcast(small query side) × all vectors + per-query
+  *   top-k via window row_number — Spark's native replacement for the
+  *   reference's IPC-gathered FAISS brute force + k-selection.
+  *
+  * Determinism (SURVEY §7.3): sufficient statistics are exact DECIMAL sums,
+  * so the driver-side solve sees bit-identical inputs in Spark and DuckDB;
+  * per-row distance math is order-independent; every double output is
+  * round(,6).
+  */
+object ML {
+
+  /** Exact first/second-moment sums for y = a + b*x on lineitem:
+    * x = l_quantity, y = l_extendedprice. Emitted as one row of DECIMAL
+    * sums; slope/intercept derive in closed form (normal equations — the
+    * same system cuML's `eig` solver factorizes [R]).
+    */
+  private def olsMoments(s: SparkSession, dir: String): DataFrame =
+    T.lineitem(s, dir).agg(
+      count(lit(1)).cast("double").as("n"),
+      T.xsum(col("l_quantity")).as("sx"),
+      T.xsum(col("l_extendedprice")).as("sy"),
+      T.xsum(col("l_quantity") * col("l_quantity")).as("sxx"),
+      T.xsum(col("l_quantity") * col("l_extendedprice")).as("sxy"))
+
+  private val sqlOlsMoments: String =
+    s"""SELECT CAST(count(*) AS DOUBLE) AS n,
+          ${T.sqlXsum("l_quantity")} AS sx,
+          ${T.sqlXsum("l_extendedprice")} AS sy,
+          ${T.sqlXsum("l_quantity * l_quantity")} AS sxx,
+          ${T.sqlXsum("l_quantity * l_extendedprice")} AS sxy
+        FROM lineitem"""
+
+  /** slope = (n·Sxy − Sx·Sy) / (n·Sxx − Sx²), intercept = (Sy − b·Sx)/n —
+    * computed from the exact sums so both engines do identical double ops. */
+  private val slopeExpr =
+    "(n * sxy - sx * sy) / (n * sxx - sx * sx)"
+  private val interceptExpr =
+    s"(sy - ($slopeExpr) * sx) / n"
+
+  val entries: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "ml_linreg_fit",
+      // dask-cuml LinearRegression.fit (eig path): distributed moment sums
+      // + closed-form solve. Output: 1 row (slope, intercept).
+      (s, dir) => olsMoments(s, dir).select(
+        round(expr(slopeExpr), 6).as("slope"),
+        round(expr(interceptExpr), 6).as("intercept")),
+      Some(s"""SELECT round($slopeExpr, 6) AS slope,
+                 round($interceptExpr, 6) AS intercept
+               FROM ($sqlOlsMoments) m""")),
+
+    QueryDef(
+      "ml_linreg_normal_eq",
+      // Multi-feature Gram matrix XᵀX and Xᵀy for X = (1, quantity,
+      // discount, tax), y = extendedprice — the distributed half of MG OLS.
+      // The k×k solve is a driver-side few-floats job, exactly like cuML
+      // holding coef_ on the client; the engine's work is this one row.
+      // Each FACTOR is cast to DECIMAL(18,6) before multiplying — a
+      // double×double product cast to decimal rounds differently per engine
+      // at deep scales (the 12th decimal sits at double's precision edge),
+      // while the raw column values are 0–2 dp data where the 6-dp cast is
+      // unambiguous. Decimal×decimal is then exact in both engines. All
+      // outputs normalized to DECIMAL(38,12) so the wire type matches.
+      (s, dir) => {
+        import org.apache.spark.sql.types.DecimalType
+        val d6 = DecimalType(19, 6)
+        val out = DecimalType(38, 12)
+        val l = T.lineitem(s, dir).select(
+          col("l_quantity").cast(d6).as("q"),
+          col("l_discount").cast(d6).as("d"),
+          col("l_tax").cast(d6).as("t"),
+          col("l_extendedprice").cast(d6).as("y"))
+        l.agg(
+          count(lit(1)).as("n"),
+          sum(col("q")).cast(out).as("s_q"),
+          sum(col("d")).cast(out).as("s_d"),
+          sum(col("t")).cast(out).as("s_t"),
+          sum(col("q") * col("q")).cast(out).as("s_qq"),
+          sum(col("q") * col("d")).cast(out).as("s_qd"),
+          sum(col("q") * col("t")).cast(out).as("s_qt"),
+          sum(col("d") * col("d")).cast(out).as("s_dd"),
+          sum(col("d") * col("t")).cast(out).as("s_dt"),
+          sum(col("t") * col("t")).cast(out).as("s_tt"),
+          sum(col("y")).cast(out).as("s_y"),
+          sum(col("q") * col("y")).cast(out).as("s_qy"),
+          sum(col("d") * col("y")).cast(out).as("s_dy"),
+          sum(col("t") * col("y")).cast(out).as("s_ty"))
+      },
+      Some("""WITH l AS (SELECT
+                 CAST(l_quantity AS DECIMAL(19,6)) AS q,
+                 CAST(l_discount AS DECIMAL(19,6)) AS d,
+                 CAST(l_tax AS DECIMAL(19,6)) AS t,
+                 CAST(l_extendedprice AS DECIMAL(19,6)) AS y
+               FROM lineitem)
+               SELECT count(*) AS n,
+                 CAST(sum(q) AS DECIMAL(38,12)) AS s_q,
+                 CAST(sum(d) AS DECIMAL(38,12)) AS s_d,
+                 CAST(sum(t) AS DECIMAL(38,12)) AS s_t,
+                 CAST(sum(q * q) AS DECIMAL(38,12)) AS s_qq,
+                 CAST(sum(q * d) AS DECIMAL(38,12)) AS s_qd,
+                 CAST(sum(q * t) AS DECIMAL(38,12)) AS s_qt,
+                 CAST(sum(d * d) AS DECIMAL(38,12)) AS s_dd,
+                 CAST(sum(d * t) AS DECIMAL(38,12)) AS s_dt,
+                 CAST(sum(t * t) AS DECIMAL(38,12)) AS s_tt,
+                 CAST(sum(y) AS DECIMAL(38,12)) AS s_y,
+                 CAST(sum(q * y) AS DECIMAL(38,12)) AS s_qy,
+                 CAST(sum(d * y) AS DECIMAL(38,12)) AS s_dy,
+                 CAST(sum(t * y) AS DECIMAL(38,12)) AS s_ty
+               FROM l""")),
+
+    QueryDef(
+      "ml_linreg_predict",
+      // predict = broadcast the 1-row coef frame into a per-row expression
+      // (cuML: coef broadcast + GEMV), then bounded residual diagnostics
+      // per (returnflag, linestatus) — exact decimal residual sums.
+      (s, dir) => {
+        val coef = olsMoments(s, dir).select(
+          expr(slopeExpr).as("b"), expr(interceptExpr).as("a"))
+        T.lineitem(s, dir).crossJoin(broadcast(coef))
+          .select(col("l_returnflag"), col("l_linestatus"),
+            (col("l_extendedprice") - (col("a") + col("b") * col("l_quantity"))).as("resid"))
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            count(lit(1)).as("n"),
+            round(T.xsum(col("resid")) / count(lit(1)), 6).as("avg_resid"),
+            round(sqrt(T.xsum(col("resid") * col("resid")) / count(lit(1))), 6).as("rmse"))
+          .orderBy("l_returnflag", "l_linestatus")
+      },
+      Some(s"""WITH m AS ($sqlOlsMoments),
+                 c AS (SELECT $slopeExpr AS b, $interceptExpr AS a FROM m),
+                 r AS (SELECT l_returnflag, l_linestatus,
+                         l_extendedprice - (a + b * l_quantity) AS resid
+                       FROM lineitem CROSS JOIN c)
+               SELECT l_returnflag, l_linestatus, count(*) AS n,
+                 round(${T.sqlXsum("resid")} / count(*), 6) AS avg_resid,
+                 round(sqrt(${T.sqlXsum("resid * resid")} / count(*)), 6) AS rmse
+               FROM r GROUP BY l_returnflag, l_linestatus
+               ORDER BY l_returnflag, l_linestatus""")),
+
+    QueryDef(
+      "ml_ridge_fit",
+      // dask-cuml Ridge.fit: centered normal equations with L2 penalty —
+      // slope = Sxy_c / (Sxx_c + α), α = 1000 (matches cuML's closed form
+      // for 1 feature; intercept unpenalized).
+      (s, dir) => olsMoments(s, dir).select(
+        round(expr("(sxy - sx * sy / n) / ((sxx - sx * sx / n) + 1000.0)"), 6).as("slope"),
+        round(expr("(sy - ((sxy - sx * sy / n) / ((sxx - sx * sx / n) + 1000.0)) * sx) / n"), 6).as("intercept")),
+      Some(s"""SELECT
+                 round((sxy - sx * sy / n) / ((sxx - sx * sx / n) + 1000.0), 6) AS slope,
+                 round((sy - ((sxy - sx * sy / n) / ((sxx - sx * sx / n) + 1000.0)) * sx) / n, 6) AS intercept
+               FROM ($sqlOlsMoments) m""")),
+
+    QueryDef(
+      "ml_knn",
+      // dask-cuml NearestNeighbors.kneighbors: brute-force L2 + k-select.
+      // Query side (vec_id < 20) is broadcast — the fact side streams once,
+      // no shuffle of the big table (the 100 TB shape; an IVF/LSH index is
+      // the declared scale-up path, SURVEY §4.2). k-selection = row_number
+      // over (dist, neighbor id) — deterministic tiebreak.
+      (s, dir) => {
+        val e = T.embeddings(s, dir)
+        val q = e.where(col("vec_id") < 20)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        val cand = e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+        val dist = sqrt(aggregate(
+          zip_with(col("q_emb"), col("n_emb"),
+            (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+          lit(0d), (acc, v) => acc + v))
+        val w = Window.partitionBy(col("q_id")).orderBy(col("d"), col("n_id"))
+        cand.crossJoin(broadcast(q))
+          .where(col("q_id") =!= col("n_id"))
+          .select(col("q_id"), col("n_id"), dist.as("d"))
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") <= 5)
+          .select(col("q_id"), col("rn"), col("n_id"), round(col("d"), 6).as("dist"))
+          .orderBy("q_id", "rn")
+      },
+      Some("""SELECT q_id, rn, n_id, dist FROM (
+                SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+                  round(list_distance(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 6) AS dist,
+                  row_number() OVER (PARTITION BY q.vec_id
+                    ORDER BY list_distance(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), e.vec_id) AS rn
+                FROM embeddings q CROSS JOIN embeddings e
+                WHERE q.vec_id < 20 AND q.vec_id <> e.vec_id) t
+              WHERE rn <= 5 ORDER BY q_id, rn""")),
+
+    QueryDef(
+      "ml_knn_cosine",
+      // Cosine metric variant: same broadcast × stream shape, similarity =
+      // dot / (|a|·|b|), top-5 most similar per query.
+      (s, dir) => {
+        val e = T.embeddings(s, dir)
+        val q = e.where(col("vec_id") < 20)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        val cand = e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+        def dot(a: String, b: String) = aggregate(
+          zip_with(col(a), col(b), (x, y) => x.cast("double") * y.cast("double")),
+          lit(0d), (acc, v) => acc + v)
+        val cos = dot("q_emb", "n_emb") /
+          (sqrt(dot("q_emb", "q_emb")) * sqrt(dot("n_emb", "n_emb")))
+        val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
+        cand.crossJoin(broadcast(q))
+          .where(col("q_id") =!= col("n_id"))
+          .select(col("q_id"), col("n_id"), cos.as("sim"))
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") <= 5)
+          .select(col("q_id"), col("rn"), col("n_id"), round(col("sim"), 6).as("sim"))
+          .orderBy("q_id", "rn")
+      },
+      Some("""SELECT q_id, rn, n_id, sim FROM (
+                SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+                  round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 6) AS sim,
+                  row_number() OVER (PARTITION BY q.vec_id
+                    ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) DESC, e.vec_id) AS rn
+                FROM embeddings q CROSS JOIN embeddings e
+                WHERE q.vec_id < 20 AND q.vec_id <> e.vec_id) t
+              WHERE rn <= 5 ORDER BY q_id, rn""")),
+
+    QueryDef(
+      "ml_kmeans_assign",
+      // Lloyd assignment step against fixed centroids (vec_id < 10):
+      // broadcast(centroids) × points, argmin via min-by-(dist, cid)
+      // row_number — cuml.dask KMeans labels_ analog. Output: cluster sizes
+      // + mean distance (bounded).
+      (s, dir) => {
+        val e = T.embeddings(s, dir)
+        val cent = e.where(col("vec_id") < 10)
+          .select(col("vec_id").as("cid"), col("embedding").as("c_emb"))
+        val dist = sqrt(aggregate(
+          zip_with(col("embedding"), col("c_emb"),
+            (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+          lit(0d), (acc, v) => acc + v))
+        val w = Window.partitionBy(col("vec_id")).orderBy(col("d"), col("cid"))
+        e.crossJoin(broadcast(cent))
+          .select(col("vec_id"), col("cid"), dist.as("d"))
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .groupBy("cid")
+          .agg(count(lit(1)).as("n_points"),
+            round(T.xsum(col("d")) / count(lit(1)), 6).as("avg_dist"))
+          .orderBy("cid")
+      },
+      Some(s"""WITH a AS (
+                 SELECT e.vec_id,
+                   arg_min(c.vec_id, list_distance(CAST(e.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))) AS cid,
+                   min(list_distance(CAST(e.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))) AS d
+                 FROM embeddings e CROSS JOIN embeddings c
+                 WHERE c.vec_id < 10
+                 GROUP BY e.vec_id)
+               SELECT cid, count(*) AS n_points,
+                 round(${T.sqlXsum("d")} / count(*), 6) AS avg_dist
+               FROM a GROUP BY cid ORDER BY cid""")),
+
+    QueryDef(
+      "ml_kmeans_update",
+      // Lloyd update step: per-cluster mean of the first 4 embedding dims.
+      // Mean of a few thousand floats in double accumulates ~1e-12 noise —
+      // round(,6) absorbs it (same discipline as agg_stats_moments).
+      (s, dir) => {
+        val e = T.embeddings(s, dir)
+        val cent = e.where(col("vec_id") < 10)
+          .select(col("vec_id").as("cid"), col("embedding").as("c_emb"))
+        val dist = sqrt(aggregate(
+          zip_with(col("embedding"), col("c_emb"),
+            (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+          lit(0d), (acc, v) => acc + v))
+        val w = Window.partitionBy(col("vec_id")).orderBy(col("d"), col("cid"))
+        e.crossJoin(broadcast(cent))
+          .select(col("vec_id"), col("embedding"), col("cid"), dist.as("d"))
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .groupBy("cid")
+          .agg(
+            count(lit(1)).as("n"),
+            round(avg(element_at(col("embedding"), 1).cast("double")), 6).as("m1"),
+            round(avg(element_at(col("embedding"), 2).cast("double")), 6).as("m2"),
+            round(avg(element_at(col("embedding"), 3).cast("double")), 6).as("m3"),
+            round(avg(element_at(col("embedding"), 4).cast("double")), 6).as("m4"))
+          .orderBy("cid")
+      },
+      Some("""WITH a AS (
+                SELECT e.vec_id, e.embedding,
+                  arg_min(c.vec_id, list_distance(CAST(e.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))) AS cid
+                FROM embeddings e CROSS JOIN embeddings c
+                WHERE c.vec_id < 10
+                GROUP BY e.vec_id, e.embedding)
+              SELECT cid, count(*) AS n,
+                round(avg(CAST(embedding[1] AS DOUBLE)), 6) AS m1,
+                round(avg(CAST(embedding[2] AS DOUBLE)), 6) AS m2,
+                round(avg(CAST(embedding[3] AS DOUBLE)), 6) AS m3,
+                round(avg(CAST(embedding[4] AS DOUBLE)), 6) AS m4
+              FROM a GROUP BY cid ORDER BY cid""")),
+
+    QueryDef(
+      "ml_kmeans_iterate",
+      // 3 full Lloyd iterations — the driver-side loop is the idiomatic
+      // Spark replacement for dask's dynamic task graph (small state, K×64
+      // doubles, lives on the driver like cuML's client-held centroids).
+      // cache() each assignment input; fixed iteration count for
+      // reproducibility. Iterative + engine-specific → no SQL oracle.
+      (s, dir) => {
+        val e = T.embeddings(s, dir)
+          .select(col("vec_id"), col("embedding")).cache()
+        var cent: DataFrame = e.where(col("vec_id") < 10)
+          .select(col("vec_id").as("cid"), col("embedding").as("c_emb"))
+        for (_ <- 1 to 3) {
+          val dist = sqrt(aggregate(
+            zip_with(col("embedding"), col("c_emb"),
+              (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+            lit(0d), (acc, v) => acc + v))
+          val w = Window.partitionBy(col("vec_id")).orderBy(col("d"), col("cid"))
+          val assigned = e.crossJoin(broadcast(cent))
+            .select(col("vec_id"), col("embedding"), col("cid"), dist.as("d"))
+            .withColumn("rn", row_number().over(w))
+            .where(col("rn") === 1)
+          // new centroids: per-cluster elementwise mean of all 64 dims,
+          // computed as array-of-avg via posexplode-free zip of aggregates
+          cent = assigned
+            .groupBy("cid")
+            .agg(array((1 to 64).map(i =>
+              avg(element_at(col("embedding"), i).cast("double")).cast("float")): _*).as("c_emb"))
+            .select(col("cid"), col("c_emb"))
+        }
+        val eFinal = e
+        val dist = sqrt(aggregate(
+          zip_with(col("embedding"), col("c_emb"),
+            (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+          lit(0d), (acc, v) => acc + v))
+        val w = Window.partitionBy(col("vec_id")).orderBy(col("d"), col("cid"))
+        eFinal.crossJoin(broadcast(cent))
+          .select(col("vec_id"), col("cid"), dist.as("d"))
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .groupBy("cid")
+          .agg(count(lit(1)).as("n_points"),
+            round(T.xsum(col("d")) / count(lit(1)), 6).as("avg_dist"))
+          .orderBy("cid")
+      },
+      None)
+  )
+}
