@@ -15,7 +15,8 @@ object SparkEntry {
     ops.Relational.entries ++
     ops.Aggregates.entries ++
     ops.Scalars.entries ++
-    ops.ML.entries
+    ops.ML.entries ++
+    ops.TextSim.entries
 
   /** Flagship query (TPC-H Q1 pricing summary, SURVEY.md §2.4) on
     * /root/testdata/sf0.001; driver smoke-checks rows>0. */
