@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.{QueryDef, Tables => T}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Scans, projections, filters, joins, sorts, limits, set operations
@@ -172,6 +173,75 @@ object Relational {
                  JOIN nation   ON c_nationkey = n_nationkey
                  JOIN region   ON n_regionkey = r_regionkey
                GROUP BY r_name, n_name ORDER BY r_name, n_name""")),
+
+    QueryDef(
+      "join_theta_range",
+      // Per-user event pairs within 5 minutes: equi on user_id + range on
+      // the micros timeline. Spark plans the equi key as the join key and
+      // the range as a post-join filter (SMJ/SHJ on user_id) — the
+      // distributed shape that holds at 100 TB because the quadratic blowup
+      // is confined to a single user's partition.
+      (s, dir) => {
+        val e = T.events(s, dir).select(
+          col("user_id"), col("event_id"),
+          unix_micros(col("ts").cast("timestamp")).as("us"))
+        val a = e.select(col("user_id"), col("event_id").as("id_a"), col("us").as("us_a"))
+        val b = e.select(col("user_id").as("user_b"), col("event_id").as("id_b"), col("us").as("us_b"))
+        a.join(b, col("user_id") === col("user_b")
+            && col("id_a") < col("id_b")
+            && col("us_b") >= col("us_a")
+            && col("us_b") - col("us_a") <= 300L * 1000000L)
+          .select(col("user_id"), col("id_a"), col("id_b"),
+            (col("us_b") - col("us_a")).as("delta_us"))
+          .orderBy("user_id", "id_a", "id_b")
+      },
+      Some("""SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
+                b.us - a.us AS delta_us
+              FROM (SELECT user_id, event_id, epoch_us(ts) AS us FROM events) a
+              JOIN (SELECT user_id, event_id, epoch_us(ts) AS us FROM events) b
+                ON a.user_id = b.user_id AND a.event_id < b.event_id
+               AND b.us >= a.us AND b.us - a.us <= 300000000
+              ORDER BY a.user_id, id_a, id_b""")),
+
+    QueryDef(
+      "join_asof",
+      // As-of join: for each 'error' event, the most recent prior-or-equal
+      // 'click' of the same user. Spark has no native ASOF — the idiomatic
+      // form is equi-join on user + range predicate + windowed argmax
+      // (row_number over (click.us DESC, click.id DESC)). DuckDB does have
+      // native ASOF JOIN, but its tie-breaking on equal timestamps is
+      // unspecified, so the oracle uses the same windowed form. At 100 TB
+      // the range join stays partition-local on user_id; a sort-merge
+      // within user partitions (mapPartitions over sorted buckets) is the
+      // declared scale-up if per-user click counts explode.
+      (s, dir) => {
+        val e = T.events(s, dir).select(
+          col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts").cast("timestamp")).as("us"))
+        val err = e.where(col("event_type") === "error")
+          .select(col("user_id"), col("event_id").as("err_id"), col("us").as("err_us"))
+        val clk = e.where(col("event_type") === "click")
+          .select(col("user_id").as("user_c"), col("event_id").as("click_id"), col("us").as("click_us"))
+        val w = Window.partitionBy(col("err_id"))
+          .orderBy(col("click_us").desc, col("click_id").desc)
+        err.join(clk, col("user_id") === col("user_c") && col("click_us") <= col("err_us"))
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .select(col("user_id"), col("err_id"), col("err_us"),
+            col("click_id"), (col("err_us") - col("click_us")).as("lag_us"))
+          .orderBy("user_id", "err_id")
+      },
+      Some("""SELECT user_id, err_id, err_us, click_id, lag_us FROM (
+                SELECT e.user_id, e.event_id AS err_id, e.us AS err_us,
+                  c.event_id AS click_id, e.us - c.us AS lag_us,
+                  row_number() OVER (PARTITION BY e.event_id
+                                     ORDER BY c.us DESC, c.event_id DESC) AS rn
+                FROM (SELECT * FROM (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events) x
+                      WHERE event_type = 'error') e
+                JOIN (SELECT * FROM (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events) y
+                      WHERE event_type = 'click') c
+                  ON e.user_id = c.user_id AND c.us <= e.us) t
+              WHERE rn = 1 ORDER BY user_id, err_id""")),
 
     // ----------------------------------------------------- §2.6 sorts/limits
     QueryDef(

@@ -1,0 +1,143 @@
+package graft.ops
+
+import graft.{QueryDef, Tables => T}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch equivalents of the streaming operator surface (SURVEY.md §2.9) —
+  * the t2-verifiable form of windows/sessions/dedup/late-data semantics.
+  * Structured Streaming mirrors (readStream + withWatermark +
+  * window/session_window/dropDuplicatesWithinWatermark) live in the test
+  * suite, where MemoryStream can drive state transitions; the aggregation
+  * logic here is literally the same expressions.
+  *
+  * All time arithmetic runs on `us` = micros-since-epoch BIGINT (exact in
+  * both engines, no timestamp-encoding skew).
+  */
+object Streaming {
+
+  /** events projected to the micros timeline. */
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    T.events(s, dir).select(
+      col("event_id"), col("user_id"), col("event_type"), col("value"),
+      unix_micros(col("ts").cast("timestamp")).as("us"))
+
+  private val sqlEv =
+    "SELECT event_id, user_id, event_type, value, epoch_us(ts) AS us FROM events"
+
+  private val HOUR_US = 3600L * 1000000L
+  private val Q15_US = 900L * 1000000L
+
+  val entries: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "stream_tumbling",
+      // 1-hour tumbling counts+sums by type. Streaming mirror: groupBy(
+      // window($"ts", "1 hour"), $"event_type") + withWatermark — identical
+      // keys; here the bucket is us DIV 1h (exact integer math).
+      (s, dir) => ev(s, dir)
+        .groupBy((col("us") - (col("us") % HOUR_US)).as("win_start_us"), col("event_type"))
+        .agg(count(lit(1)).as("n"), T.dsum(col("value")).as("sum_value"))
+        .orderBy("win_start_us", "event_type"),
+      Some(s"""SELECT us - (us % ${HOUR_US}) AS win_start_us, event_type,
+                 count(*) AS n, ${T.sqlDsum("value")} AS sum_value
+               FROM ($sqlEv) e
+               GROUP BY 1, 2 ORDER BY win_start_us, event_type""")),
+
+    QueryDef(
+      "stream_sliding",
+      // 1-hour window sliding every 15 min: each event lands in 4 windows.
+      // Spark's window(ts, "1 hour", "15 minutes") does exactly this
+      // expansion; expressed via explicit explode of the 4 offsets so the
+      // DuckDB oracle is the same arithmetic.
+      (s, dir) => ev(s, dir)
+        .select(col("event_type"), col("value"),
+          explode(sequence(lit(0), lit(3))).as("k"), col("us"))
+        .select(col("event_type"), col("value"),
+          (col("us") - (col("us") % Q15_US) - col("k") * Q15_US).as("win_start_us"))
+        .groupBy("win_start_us", "event_type")
+        .agg(count(lit(1)).as("n"), T.dsum(col("value")).as("sum_value"))
+        .orderBy("win_start_us", "event_type"),
+      Some(s"""SELECT us - (us % ${Q15_US}) - k * ${Q15_US} AS win_start_us,
+                 event_type, count(*) AS n, ${T.sqlDsum("value")} AS sum_value
+               FROM ($sqlEv) e CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k) ks
+               GROUP BY 1, 2 ORDER BY win_start_us, event_type""")),
+
+    QueryDef(
+      "stream_session",
+      // 30-min-gap sessionization — gaps-and-islands: a session starts
+      // where the gap to the previous event exceeds 30 min; session id is
+      // the running count of starts. Streaming mirror: session_window(ts,
+      // "30 minutes"). Two window passes over the SAME (user_id ordered by
+      // us, event_id) partitioning — one shuffle, Spark reuses the sort.
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+        val gapped = ev(s, dir).select(col("user_id"), col("event_id"), col("us"),
+          when(col("us") - lag(col("us"), 1).over(w) > 1800L * 1000000L || lag(col("us"), 1).over(w).isNull, 1)
+            .otherwise(0).as("is_start"))
+        gapped
+          .select(col("user_id"), col("us"),
+            sum(col("is_start")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("session_id"))
+          .groupBy("user_id", "session_id")
+          .agg(count(lit(1)).as("n_events"), min(col("us")).as("start_us"), max(col("us")).as("end_us"))
+          .orderBy("user_id", "session_id")
+      },
+      Some("""WITH g AS (
+                SELECT user_id, us,
+                  CASE WHEN us - lag(us, 1) OVER w > 1800000000
+                       OR lag(us, 1) OVER w IS NULL THEN 1 ELSE 0 END AS is_start
+                FROM (SELECT user_id, event_id, epoch_us(ts) AS us FROM events) e
+                WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+              s AS (
+                SELECT user_id, us,
+                  sum(is_start) OVER (PARTITION BY user_id ORDER BY us
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+                FROM g)
+              SELECT user_id, session_id, count(*) AS n_events,
+                min(us) AS start_us, max(us) AS end_us
+              FROM s GROUP BY user_id, session_id
+              ORDER BY user_id, session_id""")),
+
+    QueryDef(
+      "stream_dedup",
+      // Exactly-once by event_id. dropDuplicates is the batch form of the
+      // streaming dropDuplicatesWithinWatermark; verified via per-key
+      // row_number so the kept row is deterministic even if the fixture
+      // ever grows real duplicates.
+      (s, dir) => {
+        val w = Window.partitionBy(col("event_id")).orderBy(col("us"), col("user_id"))
+        ev(s, dir)
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_unique"), T.dsum(col("value")).as("sum_value"))
+          .orderBy("event_type")
+      },
+      Some(s"""WITH d AS (
+                 SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY us, user_id) AS rn
+                 FROM ($sqlEv) e)
+               SELECT event_type, count(*) AS n_unique, ${T.sqlDsum("value")} AS sum_value
+               FROM d WHERE rn = 1 GROUP BY event_type ORDER BY event_type""")),
+
+    QueryDef(
+      "stream_late_data",
+      // Late-arrival accounting: with watermark = max(ts) − 10 min, count
+      // per type how many events would be dropped. The 1-row global max is
+      // broadcast into a per-row predicate (same shape as ml_linreg_predict
+      // coef broadcast). Streaming mirror: withWatermark drop test.
+      (s, dir) => {
+        val e = ev(s, dir)
+        val wm = e.agg(max(col("us")).as("max_us"))
+        e.crossJoin(broadcast(wm))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_total"),
+            sum(when(col("us") < col("max_us") - 600L * 1000000L, 1).otherwise(0)).as("n_late"))
+          .orderBy("event_type")
+      },
+      Some(s"""SELECT event_type, count(*) AS n_total,
+                 sum(CASE WHEN us < max_us - 600000000 THEN 1 ELSE 0 END) AS n_late
+               FROM ($sqlEv) e CROSS JOIN (SELECT max(epoch_us(ts)) AS max_us FROM events) m
+               GROUP BY event_type ORDER BY event_type"""))
+  )
+}
