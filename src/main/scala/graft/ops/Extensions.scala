@@ -1,0 +1,108 @@
+package graft.ops
+
+import graft.{QueryDef, Tables => T}
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** User-extension surface (SURVEY.md §2.10): scalar UDF, typed Aggregator
+  * UDAF, and a generator (UDTF-style row expander).
+  *
+  * These exist to PROVE the extension points — the production guidance
+  * stays "functions, not UDFs" (SURVEY §4.2): a Scala UDF is a codegen
+  * black box (serialized closure, no predicate pushdown through it), so
+  * each query here also documents the built-in-expression equivalent that
+  * the hot path should use.
+  */
+object Extensions {
+
+  /** Geometric mean as a typed Aggregator: BUF = (sum of ln x, count).
+    * Merge is associative/commutative — the partial/final split Spark
+    * needs for map-side combine (same contract a TypedImperativeAggregate
+    * would implement for an exotic sketch).
+    */
+  private object GeoMean extends Aggregator[Double, (Double, Long), Double] {
+    def zero: (Double, Long) = (0.0, 0L)
+    def reduce(b: (Double, Long), x: Double): (Double, Long) =
+      (b._1 + math.log(x), b._2 + 1L)
+    def merge(a: (Double, Long), b: (Double, Long)): (Double, Long) =
+      (a._1 + b._1, a._2 + b._2)
+    def finish(b: (Double, Long)): Double =
+      if (b._2 == 0L) Double.NaN else math.exp(b._1 / b._2)
+    def bufferEncoder: Encoder[(Double, Long)] =
+      Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong)
+    def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  val entries: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "udf_scalar",
+      // Scala UDF: L2 norm of an embedding. The same value is computed
+      // with the codegen'd aggregate() expression alongside, and the query
+      // emits the (always 0.0) max abs difference as proof the UDF surface
+      // agrees with the native path it should be replaced by.
+      (s, dir) => {
+        val l2 = udf((v: Seq[Float]) => {
+          var acc = 0.0
+          var i = 0
+          while (i < v.length) { acc += v(i).toDouble * v(i).toDouble; i += 1 }
+          math.sqrt(acc)
+        })
+        val native = sqrt(aggregate(
+          zip_with(col("embedding"), col("embedding"),
+            (x, y) => x.cast("double") * y.cast("double")),
+          lit(0d), (acc, v) => acc + v))
+        T.embeddings(s, dir)
+          .where(col("vec_id") < 200)
+          .select(col("vec_id"),
+            round(l2(col("embedding")), 6).as("l2_norm"),
+            round(abs(l2(col("embedding")) - native), 6).as("udf_vs_native"))
+          .orderBy("vec_id")
+      },
+      Some("""SELECT vec_id,
+                round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                                   x -> x * x))), 6) AS l2_norm,
+                0.0 AS udf_vs_native
+              FROM embeddings WHERE vec_id < 200 ORDER BY vec_id""")),
+
+    QueryDef(
+      "udaf_typed",
+      // Typed Aggregator (geometric mean of o_totalprice per status),
+      // registered through functions.udaf — partial aggregation works
+      // map-side exactly like a built-in. Oracle: the exp(avg(ln x))
+      // identity.
+      (s, dir) => {
+        val geo = udaf(GeoMean, Encoders.scalaDouble)
+        T.orders(s, dir)
+          .groupBy("o_orderstatus")
+          .agg(round(geo(col("o_totalprice")), 6).as("geo_price"),
+            count(lit(1)).as("n"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus,
+                round(exp(avg(ln(o_totalprice))), 6) AS geo_price,
+                count(*) AS n
+              FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    QueryDef(
+      "udtf_generator",
+      // Generator surface: expand each doc into its character trigrams.
+      // Expressed with explode(sequence) + substring — stays inside
+      // whole-stage codegen, unlike a Dataset.flatMap closure; a custom
+      // Catalyst Generator would be the extension point for logic this
+      // can't express (documented, not required — SURVEY §4.2).
+      (s, dir) => T.documents(s, dir)
+        .where(col("doc_id") < 50)
+        .select(col("text"),
+          explode(sequence(lit(1), length(col("text")) - 2)).as("pos"))
+        .select(expr("substring(text, pos, 3)").as("trigram"))
+        .groupBy("trigram").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("trigram").asc)
+        .limit(100),
+      Some("""SELECT substr(text, CAST(pos AS INT), 3) AS trigram, count(*) AS n
+              FROM documents, (SELECT unnest(generate_series(1, 10000)) AS pos) p
+              WHERE doc_id < 50 AND pos <= length(text) - 2
+              GROUP BY 1 ORDER BY n DESC, trigram ASC LIMIT 100"""))
+  )
+}
