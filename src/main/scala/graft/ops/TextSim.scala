@@ -118,14 +118,23 @@ object TextSim {
       // Near-dup candidates via MinHash + banded LSH — the 100 TB dedup
       // shape: O(n) signature build, candidate pairs only within equal
       // band buckets (never the O(n²) pair space).
-      //   1. vocab: sorted distinct terms → dense term-id (window over a
-      //      bounded vocabulary).
-      //   2. signatures: 8 min-hashes per doc = ONE groupBy(doc).
-      //   3. bands: 4 bands × 2 hashes; docs sharing any band bucket are
-      //      candidates (self-join per band on the 2-hash key, unioned,
-      //      distinct).
+      //   1. shingle: 7-char sliding shingles (word-unigram sets are
+      //      degenerate on a 31-word vocabulary — every doc shares the
+      //      min-hash; shingles spanning word boundaries give a ~6k vocab
+      //      and real LSH selectivity: max bucket 40 vs 3847, candidate
+      //      pairs 4.7k vs 7.7M measured at sf0.1).
+      //   2. vocab: sorted distinct shingles → dense term-id (engine hash()
+      //      functions differ, so the family is affine arithmetic both
+      //      engines share: h_i(t) = (a_i·tid + b_i) mod p).
+      //   3. signatures: 8 min-hashes per doc = ONE groupBy(doc).
+      //   4. bands: 2 bands × 4 hashes; docs sharing any band bucket are
+      //      candidates (self-join per band, unioned, distinct).
       (s, dir) => {
-        val dt = docTerms(s, dir).distinct()
+        val dt = T.documents(s, dir)
+          .select(col("doc_id"), col("text"),
+            explode(sequence(lit(1), length(col("text")) - 6)).as("pos"))
+          .select(col("doc_id"), expr("substring(text, pos, 7)").as("term"))
+          .distinct()
         val vocabW = Window.orderBy(col("term"))
         val vocab = dt.select(col("term")).distinct()
           .select(col("term"), row_number().over(vocabW).as("tid"))
@@ -133,28 +142,33 @@ object TextSim {
         val hs = (0 until 8).map(i =>
           min((lit(A(i)) * col("tid") + lit(B(i))) % lit(P)).as(s"h$i"))
         val sig = hashed.groupBy("doc_id").agg(hs.head, hs.tail: _*)
-        val bands = (0 until 4).map { b =>
+        val bands = (0 until 2).map { b =>
           sig.select(col("doc_id"), lit(b).as("band"),
-            col(s"h${2 * b}").as("k1"), col(s"h${2 * b + 1}").as("k2"))
+            col(s"h${4 * b}").as("k1"), col(s"h${4 * b + 1}").as("k2"),
+            col(s"h${4 * b + 2}").as("k3"), col(s"h${4 * b + 3}").as("k4"))
         }.reduce(_ unionByName _)
-        val a = bands.select(col("band"), col("k1"), col("k2"), col("doc_id").as("doc_a"))
-        val bb = bands.select(col("band"), col("k1"), col("k2"), col("doc_id").as("doc_b"))
-        a.join(bb, Seq("band", "k1", "k2"))
+        val a = bands.select(col("band"), col("k1"), col("k2"), col("k3"), col("k4"),
+          col("doc_id").as("doc_a"))
+        val bb = bands.select(col("band"), col("k1"), col("k2"), col("k3"), col("k4"),
+          col("doc_id").as("doc_b"))
+        a.join(bb, Seq("band", "k1", "k2", "k3", "k4"))
           .where(col("doc_a") < col("doc_b"))
           .select("doc_a", "doc_b").distinct()
           .orderBy("doc_a", "doc_b")
       },
-      Some(s"""WITH dt AS (SELECT DISTINCT doc_id, term FROM ($sqlDocTerms) x WHERE term <> ''),
+      Some(s"""WITH dt AS (SELECT DISTINCT doc_id, substr(text, CAST(pos AS INT), 7) AS term
+                 FROM documents, (SELECT unnest(generate_series(1, 10000)) AS pos) p
+                 WHERE pos <= length(text) - 6),
                  vocab AS (SELECT term, row_number() OVER (ORDER BY term) AS tid
                            FROM (SELECT DISTINCT term FROM dt) v),
                  sig AS (SELECT doc_id,
                    ${(0 until 8).map(i => s"min((${A(i)} * tid + ${B(i)}) % $P) AS h$i").mkString(", ")}
                  FROM dt JOIN vocab USING (term) GROUP BY doc_id),
-                 bands AS (${(0 until 4).map(b =>
-                   s"SELECT doc_id, $b AS band, h${2 * b} AS k1, h${2 * b + 1} AS k2 FROM sig")
+                 bands AS (${(0 until 2).map(b =>
+                   s"SELECT doc_id, $b AS band, h${4 * b} AS k1, h${4 * b + 1} AS k2, h${4 * b + 2} AS k3, h${4 * b + 3} AS k4 FROM sig")
                    .mkString(" UNION ALL ")})
                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-               FROM bands a JOIN bands b USING (band, k1, k2)
+               FROM bands a JOIN bands b USING (band, k1, k2, k3, k4)
                WHERE a.doc_id < b.doc_id
                ORDER BY doc_a, doc_b""")),
 
@@ -166,14 +180,13 @@ object TextSim {
       // within buckets only; the all-pairs form here is the correctness
       // reference for that path.
       (s, dir) => {
-        val e = T.embeddings(s, dir)
-        val a = e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
-        val b = e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
-        def dot(x: String, y: String) = aggregate(
-          zip_with(col(x), col(y), (u, v) => u.cast("double") * v.cast("double")),
-          lit(0d), (acc, v) => acc + v)
-        val cos = dot("emb_a", "emb_b") /
-          (sqrt(dot("emb_a", "emb_a")) * sqrt(dot("emb_b", "emb_b")))
+        // norms once per ROW (not per pair): 3 dot products per pair drop
+        // to 1 codegen'd vec_dot + a multiply
+        val e = T.embeddings(s, dir).select(col("vec_id"), col("embedding"),
+          sqrt(graft.functions.Vec.dot(s, "embedding", "embedding")).as("nrm"))
+        val a = e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
+        val b = e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
+        val cos = graft.functions.Vec.dot(s, "emb_a", "emb_b") / (col("nrm_a") * col("nrm_b"))
         a.crossJoin(b).where(col("id_a") < col("id_b"))
           .select(col("id_a"), col("id_b"), cos.as("sim"))
           .where(col("sim") > 0.9)
@@ -195,14 +208,11 @@ object TextSim {
       // the k-select itself is scale-safe; the pair generation carries the
       // same oracle-form caveat as sim_threshold.
       (s, dir) => {
-        val e = T.embeddings(s, dir)
-        val a = e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
-        val b = e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
-        def dot(x: String, y: String) = aggregate(
-          zip_with(col(x), col(y), (u, v) => u.cast("double") * v.cast("double")),
-          lit(0d), (acc, v) => acc + v)
-        val cos = dot("emb_a", "emb_b") /
-          (sqrt(dot("emb_a", "emb_a")) * sqrt(dot("emb_b", "emb_b")))
+        val e = T.embeddings(s, dir).select(col("vec_id"), col("embedding"),
+          sqrt(graft.functions.Vec.dot(s, "embedding", "embedding")).as("nrm"))
+        val a = e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
+        val b = e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
+        val cos = graft.functions.Vec.dot(s, "emb_a", "emb_b") / (col("nrm_a") * col("nrm_b"))
         a.crossJoin(b).where(col("id_a") < col("id_b"))
           .select(col("id_a"), col("id_b"), round(cos, 6).as("sim"))
           .orderBy(col("sim").desc, col("id_a").asc, col("id_b").asc)
