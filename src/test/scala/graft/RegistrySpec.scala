@@ -1,0 +1,42 @@
+package graft
+
+/** The round-1 failure mode, pinned forever: every declared operator MUST
+  * be reachable through the driver contract, and every oracle key must
+  * have a query. Also smoke-executes the flagship.
+  */
+class RegistrySpec extends SparkSpec {
+
+  test("all seven catalogs are registered (66 operators)") {
+    assert(SparkEntry.queries.size == 66,
+      s"expected 66 registered queries, got ${SparkEntry.queries.size}")
+  }
+
+  test("every oracle key has a registered query") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracle entries without queries: $orphans")
+  }
+
+  test("only the two declared sketch/iterative ops lack oracles") {
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(noOracle == Set("agg_approx_hll", "ml_kmeans_iterate"), noOracle.toString)
+  }
+
+  test("flagship entry returns rows on sf0.001 (driver t1)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("column names match between every query and its oracle SQL") {
+    // The driver compare sorts columns BY NAME before hashing — a name
+    // mismatch fails even with identical values. Cheap static guard:
+    // every alias in the oracle must exist in the Spark schema.
+    val aliasRe = "(?i)\\bAS\\s+([a-z_][a-z0-9_]*)".r
+    for ((name, sql) <- SparkEntry.oracleSql) {
+      val sparkCols = SparkEntry.queries(name)(spark, sf).columns.toSet
+      val oracleAliases = aliasRe.findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
+      // aliases used in subqueries/CTEs are fine; require spark cols ⊆ oracle text
+      val missing = sparkCols.filterNot(c => sql.toLowerCase.contains(c.toLowerCase))
+      assert(missing.isEmpty,
+        s"$name: spark columns $missing never appear in oracle SQL")
+    }
+  }
+}

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Structured-Streaming mirrors of the §2.9 batch equivalents (SURVEY §5.2
+  * item 4): the same aggregation logic driven through readStream proves the
+  * watermark/state semantics the batch queries model.
+  */
+class StreamingMirrorSpec extends SparkSpec {
+
+  import scala.jdk.CollectionConverters._
+
+  private def rows: Seq[(Long, Long, String, Double)] = {
+    // (us, user_id, event_type, value) — 2 users, spanning 3 hours with a
+    // >30-min gap for user 1 between hour 0 and hour 2
+    val h = 3600L * 1000000L
+    Seq(
+      (0L, 1L, "click", 1.0), (10L * 60 * 1000000L, 1L, "click", 2.0),
+      (2 * h, 1L, "error", 3.0),
+      (0L, 2L, "click", 4.0), (h + 1L, 2L, "purchase", 5.0),
+      (2 * h + 5L, 2L, "click", 6.0))
+  }
+
+  test("tumbling-window mirror: streaming counts == batch counts") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, Long, String, Double)]
+    val streamed = mem.toDF()
+      .toDF("us", "user_id", "event_type", "value")
+      .withColumn("ts", timestamp_micros(col("us")))
+      .withWatermark("ts", "1 minute")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    mem.addData(rows: _*)  // before start: AvailableNow snapshots at launch
+    val query = streamed.writeStream
+      .format("memory").queryName("tumbling_mirror")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.processAllAvailable()
+    query.stop()
+    val got = spark.table("tumbling_mirror")
+      .select(col("window.start").cast("long").as("w"), col("event_type"), col("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val expected = rows.toDF("us", "user_id", "event_type", "value")
+      .withColumn("ts", timestamp_micros(col("us")))
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").cast("long"), col("event_type"), col("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == expected)
+  }
+
+  test("session-window mirror: session_window sessionization == gaps-and-islands") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, Long, String, Double)]
+    val streamed = mem.toDF()
+      .toDF("us", "user_id", "event_type", "value")
+      .withColumn("ts", timestamp_micros(col("us")))
+      .withWatermark("ts", "1 minute")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+    mem.addData(rows: _*)
+    val query = streamed.writeStream
+      .format("memory").queryName("session_mirror")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.processAllAvailable()
+    query.stop()
+    val got = spark.table("session_mirror")
+      .select("user_id", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    // gaps-and-islands locally: user 1 → sessions (2 events, 1 event);
+    // user 2 → three singleton sessions
+    assert(got(1L) == Seq(1L, 2L), got.toString)
+    assert(got(2L) == Seq(1L, 1L, 1L), got.toString)
+  }
+
+  test("dedup mirror: streaming dropDuplicates == batch distinct") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, String)]
+    val streamed = mem.toDF().toDF("event_id", "event_type")
+      .dropDuplicates("event_id")
+    mem.addData((1L, "a"), (2L, "b"), (1L, "a_dup"), (3L, "c"), (2L, "b_dup"))
+    val query = streamed.writeStream
+      .format("memory").queryName("dedup_mirror")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.processAllAvailable()
+    query.stop()
+    assert(spark.table("dedup_mirror").count() == 3)
+  }
+}
