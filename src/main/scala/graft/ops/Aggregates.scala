@@ -182,6 +182,10 @@ object Aggregates {
       "win_lag_lead",
       // Inter-event gaps per user, on micros since epoch (BIGINT both
       // engines — sidesteps any timestamp-encoding skew).
+      // ORACLE FORM: final global ORDER BY for hash-match only. PRODUCTION
+      // FORM ends at the window: output stays partitioned by user_id and
+      // sorted within partitions — the window''s own shuffle is the last
+      // one needed; the extra global sort is pure oracle overhead.
       (s, dir) => {
         val e = T.events(s, dir).select(
           col("user_id"), col("event_id"), unix_micros(col("ts").cast("timestamp")).as("us"))
@@ -202,6 +206,8 @@ object Aggregates {
       "win_frame_moving",
       // 10-row moving average per user: frame order is unique (us, event_id)
       // so both engines sum the same ≤10 doubles in the same order.
+      // ORACLE FORM: trailing global sort for hash-match; PRODUCTION FORM
+      // reuses the window''s (user_id; us, event_id) partitioning as-is.
       (s, dir) => {
         val e = T.events(s, dir).select(
           col("user_id"), col("event_id"), col("value"),
@@ -222,6 +228,8 @@ object Aggregates {
       "win_running_sum",
       // Cumulative revenue per customer — running DECIMAL sum is exact, so
       // every prefix matches DuckDB bit-for-bit.
+      // ORACLE FORM: trailing global sort for hash-match; PRODUCTION FORM
+      // reuses the window''s per-customer ordering (no second shuffle).
       (s, dir) => {
         val w = Window.partitionBy(col("o_custkey"))
           .orderBy(col("o_orderdate"), col("o_orderkey"))
@@ -242,6 +250,10 @@ object Aggregates {
       "win_ntile_cume",
       // Deciles within order-status partitions; unique window order makes
       // ntile deterministic, cume_dist is an exact rational either way.
+      // ORACLE FORM: trailing global sort for hash-match; PRODUCTION FORM
+      // reuses the window''s per-status ordering. NOTE at 100 TB: only 3
+      // status partitions -> skewed WindowExec; production would salt the
+      // partition key or pre-aggregate percentile boundaries instead.
       (s, dir) => {
         val w = Window.partitionBy(col("o_orderstatus"))
           .orderBy(col("o_totalprice"), col("o_orderkey"))

@@ -22,6 +22,10 @@ object Relational {
       "scan_pruned_pushdown",
       // 2-column projection + selective predicate: both must reach the scan
       // (ReadSchema prunes to 3 cols, PushedFilters carries l_quantity < 5).
+      // ORACLE FORM: the trailing total-order ORDER BY exists only for the
+      // hash-match contract (SURVEY 7.3.3). PRODUCTION FORM: emit unsorted
+      // scan output (sort, if needed, belongs to the sink write) — the
+      // range-shuffle over full output would dominate at 100 TB.
       (s, dir) => T.lineitem(s, dir)
         .select("l_orderkey", "l_linenumber", "l_quantity")
         .where(col("l_quantity") < 5)
@@ -32,6 +36,9 @@ object Relational {
     // --------------------------------------------------- §2.2 project/filter
     QueryDef(
       "project_expr",
+      // ORACLE FORM: total-order ORDER BY per the hash-match contract.
+      // PRODUCTION FORM: a projection never sorts — at 100 TB this is a
+      // pure map stage fused into the scan by whole-stage codegen.
       (s, dir) => T.lineitem(s, dir).select(
         col("l_orderkey"), col("l_linenumber"),
         round(col("l_extendedprice") * (lit(1) - col("l_discount")), 6).as("revenue"),
@@ -81,6 +88,9 @@ object Relational {
       "join_inner_hash",
       // Fact ⋈ fact-sized equi-join: shuffles both sides on the key (at
       // 100 TB: co-locate with bucketing on custkey to kill this shuffle).
+      // ORACLE FORM: the global ORDER BY of the full join output is for
+      // hash-match determinism only; PRODUCTION FORM stops at the join —
+      // an all-data range-shuffle sort after it would be the bottleneck.
       (s, dir) => {
         val o = T.orders(s, dir); val c = T.customer(s, dir)
         o.join(c, o("o_custkey") === c("c_custkey"))
@@ -246,6 +256,9 @@ object Relational {
     // ----------------------------------------------------- §2.6 sorts/limits
     QueryDef(
       "sort_multi_key",
+      // Sorting IS this operator's semantics (range-shuffle + per-partition
+      // external sort with spill is exactly what a 100 TB global sort does);
+      // nothing here is oracle-only overhead.
       (s, dir) => T.customer(s, dir)
         .select(
           col("c_custkey"),
@@ -271,6 +284,9 @@ object Relational {
     // --------------------------------------------------------- §2.7 set ops
     QueryDef(
       "set_union_all",
+      // ORACLE FORM: ORDER BY for the hash compare. PRODUCTION FORM: bag
+      // union is metadata-only (no shuffle, partitions concatenated) — a
+      // sort after it would turn a free operator into an all-data shuffle.
       (s, dir) => {
         val e = T.events(s, dir)
         e.where(col("event_type") === "click").select("event_id", "event_type")
