@@ -6,9 +6,9 @@ package graft
   */
 class RegistrySpec extends SparkSpec {
 
-  test("all seven catalogs are registered (66 operators)") {
-    assert(SparkEntry.queries.size == 66,
-      s"expected 66 registered queries, got ${SparkEntry.queries.size}")
+  test("all eight catalogs are registered (66 SURVEY keys + 5 pipeline extensions)") {
+    assert(SparkEntry.queries.size == 71,
+      s"expected 71 registered queries, got ${SparkEntry.queries.size}")
   }
 
   test("every oracle key has a registered query") {
@@ -16,9 +16,10 @@ class RegistrySpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracle entries without queries: $orphans")
   }
 
-  test("only the two declared sketch/iterative ops lack oracles") {
+  test("only the declared sketch/iterative/stub ops lack oracles") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(noOracle == Set("agg_approx_hll", "ml_kmeans_iterate"), noOracle.toString)
+    assert(noOracle == Set("agg_approx_hll", "ml_kmeans_iterate", "multimodal_decode"),
+      noOracle.toString)
   }
 
   test("flagship entry returns rows on sf0.001 (driver t1)") {
