@@ -72,6 +72,7 @@ object Pipeline {
           .select(col("doc_id"), col("lang"), col("text"),
             explode(sequence(lit(1), length(col("text")) - 2)).as("pos"))
           .select(col("doc_id"), col("lang"), expr("substring(text, pos, 3)").as("g"))
+          .persist() // feeds both the profile build and the scoring join
         val profW = Window.partitionBy(col("lang")).orderBy(col("cnt").desc, col("g").asc)
         val prof = tri.groupBy(col("lang").as("p_lang"), col("g"))
           .agg(count(lit(1)).as("cnt"))

@@ -130,18 +130,22 @@ object TextSim {
       //   4. bands: 2 bands × 4 hashes; docs sharing any band bucket are
       //      candidates (self-join per band, unioned, distinct).
       (s, dir) => {
+        // persist: dt feeds vocab AND the hash join, sig feeds both band
+        // branches — without a persist each consumer recomputes the 2M-row
+        // shingle explode (measured ~2.5s of the query's cost)
         val dt = T.documents(s, dir)
           .select(col("doc_id"), col("text"),
             explode(sequence(lit(1), length(col("text")) - 6)).as("pos"))
           .select(col("doc_id"), expr("substring(text, pos, 7)").as("term"))
           .distinct()
+          .persist()
         val vocabW = Window.orderBy(col("term"))
         val vocab = dt.select(col("term")).distinct()
           .select(col("term"), row_number().over(vocabW).as("tid"))
         val hashed = dt.join(vocab, "term")
         val hs = (0 until 8).map(i =>
           min((lit(A(i)) * col("tid") + lit(B(i))) % lit(P)).as(s"h$i"))
-        val sig = hashed.groupBy("doc_id").agg(hs.head, hs.tail: _*)
+        val sig = hashed.groupBy("doc_id").agg(hs.head, hs.tail: _*).persist()
         val bands = (0 until 2).map { b =>
           sig.select(col("doc_id"), lit(b).as("band"),
             col(s"h${4 * b}").as("k1"), col(s"h${4 * b + 1}").as("k2"),
