@@ -19,7 +19,8 @@ object SparkEntry {
     ops.TextSim.entries ++
     ops.Streaming.entries ++
     ops.Extensions.entries ++
-    ops.Pipeline.entries
+    ops.Pipeline.entries ++
+    ops.Skew.entries
 
   /** Flagship query (TPC-H Q1 pricing summary, SURVEY.md §2.4) on
     * /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -6,8 +6,8 @@ package graft
   */
 class RegistrySpec extends SparkSpec {
 
-  test("all eight catalogs are registered (66 SURVEY keys + 5 pipeline extensions)") {
-    assert(SparkEntry.queries.size == 71,
+  test("all nine catalogs are registered (66 SURVEY keys + 7 extensions)") {
+    assert(SparkEntry.queries.size == 73,
       s"expected 71 registered queries, got ${SparkEntry.queries.size}")
   }
 
