@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-run stdout goes straight through instead of via sbt's logger —
+// the driver parses Bench's one-line JSON from stdout, and the default
+// strategy prefixes every line with "[info] " (round-1 BENCH parse
+// failure). Bench also writes the line to a file as a second defense.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
