@@ -34,8 +34,30 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Self-contained oracles: prepend a CTE binding each referenced table
+    // to its parquet file, so the SQL runs whether or not the harness
+    // creates views for bare table names (SURVEY §7.4.2 — the binding
+    // behavior was unobservable in round 1). If the harness DOES bind
+    // views, the CTEs harmlessly shadow them with identical data; unused
+    // CTEs are free in DuckDB. Paths interpolate from the sfDir the
+    // harness itself passed, so they track its scale factor.
+    val tables = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    val absSf = new java.io.File(sfDir).getAbsolutePath
+    def selfContained(sql: String): String = {
+      val used = tables.filter(t => s"\\b$t\\b".r.findFirstIn(sql).isDefined)
+      if (used.isEmpty) sql
+      else {
+        val ctes = used.map(t =>
+          s"$t AS (SELECT * FROM read_parquet('$absSf/$t.parquet'))").mkString(", ")
+        val trimmed = sql.trim
+        if (trimmed.take(5).equalsIgnoreCase("WITH "))
+          s"WITH $ctes, ${trimmed.drop(5)}"
+        else s"WITH $ctes $trimmed"
+      }
+    }
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(selfContained(v))}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

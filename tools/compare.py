@@ -34,10 +34,14 @@ def norm(v):
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
-    for t in TABLES:
-        p = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.exists(p):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    # NO view binding: oracle_sql.json is self-contained since Verify
+    # prepends read_parquet CTEs (pass --bind-views to test the other
+    # driver scenario, where bare names resolve to views).
+    if "--bind-views" in sys.argv:
+        for t in TABLES:
+            p = os.path.join(sf_dir, f"{t}.parquet")
+            if os.path.exists(p):
+                con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracles = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     n_pass = n_fail = 0
     for name in sorted(oracles):
