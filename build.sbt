@@ -16,6 +16,11 @@ run / fork := true
 // strategy prefixes every line with "[info] " (round-1 BENCH parse
 // failure). Bench also writes the line to a file as a second defense.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ... and nothing may print AFTER it: the driver keeps only the last ~2 KB
+// of stdout, so sbt's "[success] Total time: ..." epilogue eats tail budget
+// the (long) bench JSON line needs. Suppress it.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

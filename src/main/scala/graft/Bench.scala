@@ -39,12 +39,20 @@ object Bench {
         }
       (name, (System.nanoTime() - t0) / 1e9, ok)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val oks = results.map { case (k, _, ok) => "\"" + k + "\":" + ok }.mkString("{", ",", "}")
+    // The driver records only the LAST ~2000 chars of stdout and parses the
+    // JSON line out of that window (round-2 failure mode: a 4 KB line with
+    // full-precision timings + a per-query ok map got truncated mid-line →
+    // "parsed": null). Keep this line compact — 2-decimal per-query timings
+    // (~22 chars/entry keeps 80+ queries under the window with margin),
+    // and name failed queries only when there are any.
+    def f2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f2(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val nFail = results.count(!_._3)
+    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+    val failedPart =
+      if (failed.isEmpty) "" else s""","failed":${failed.mkString("[", ",", "]")}"""
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ok":$oks,"n_failed":$nFail,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"n_failed":${failed.size}$failedPart,"sf":"$sfDir"}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
     try Files.writeString(Paths.get(outFile), line + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] file write failed: ${e.getMessage}") }

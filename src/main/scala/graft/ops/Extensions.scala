@@ -60,7 +60,7 @@ object Extensions {
       Some("""SELECT vec_id,
                 round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
                                                    x -> x * x))), 6) AS l2_norm,
-                0.0 AS udf_vs_native
+                CAST(0.0 AS DOUBLE) AS udf_vs_native
               FROM embeddings WHERE vec_id < 200 ORDER BY vec_id""")),
 
     QueryDef(

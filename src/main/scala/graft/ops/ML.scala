@@ -78,12 +78,18 @@ object ML {
       // double×double product cast to decimal rounds differently per engine
       // at deep scales (the 12th decimal sits at double's precision edge),
       // while the raw column values are 0–2 dp data where the 6-dp cast is
-      // unambiguous. Decimal×decimal is then exact in both engines. All
-      // outputs normalized to DECIMAL(38,12) so the wire type matches.
+      // unambiguous. Decimal×decimal is then exact in both engines.
+      //
+      // WIRE TYPE: scaled BIGINT (value × 10^4), not DECIMAL. The source
+      // data has ≤2 dp, so every product has ≤4 dp and every sum × 10^4 is
+      // an exact integer (< 2^63 through sf0.1). Round 2 shipped
+      // DECIMAL(38,12) here and the driver's compare hash-mismatched —
+      // its pandas path renders DuckDB decimals and parquet decimals
+      // differently — while BIGINT columns compare bit-exact everywhere.
       (s, dir) => {
         import org.apache.spark.sql.types.DecimalType
         val d6 = DecimalType(19, 6)
-        val out = DecimalType(38, 12)
+        def e4(c: org.apache.spark.sql.Column) = (c * lit(10000)).cast("long")
         val l = T.lineitem(s, dir).select(
           col("l_quantity").cast(d6).as("q"),
           col("l_discount").cast(d6).as("d"),
@@ -91,19 +97,19 @@ object ML {
           col("l_extendedprice").cast(d6).as("y"))
         l.agg(
           count(lit(1)).as("n"),
-          sum(col("q")).cast(out).as("s_q"),
-          sum(col("d")).cast(out).as("s_d"),
-          sum(col("t")).cast(out).as("s_t"),
-          sum(col("q") * col("q")).cast(out).as("s_qq"),
-          sum(col("q") * col("d")).cast(out).as("s_qd"),
-          sum(col("q") * col("t")).cast(out).as("s_qt"),
-          sum(col("d") * col("d")).cast(out).as("s_dd"),
-          sum(col("d") * col("t")).cast(out).as("s_dt"),
-          sum(col("t") * col("t")).cast(out).as("s_tt"),
-          sum(col("y")).cast(out).as("s_y"),
-          sum(col("q") * col("y")).cast(out).as("s_qy"),
-          sum(col("d") * col("y")).cast(out).as("s_dy"),
-          sum(col("t") * col("y")).cast(out).as("s_ty"))
+          e4(sum(col("q"))).as("s_q_e4"),
+          e4(sum(col("d"))).as("s_d_e4"),
+          e4(sum(col("t"))).as("s_t_e4"),
+          e4(sum(col("q") * col("q"))).as("s_qq_e4"),
+          e4(sum(col("q") * col("d"))).as("s_qd_e4"),
+          e4(sum(col("q") * col("t"))).as("s_qt_e4"),
+          e4(sum(col("d") * col("d"))).as("s_dd_e4"),
+          e4(sum(col("d") * col("t"))).as("s_dt_e4"),
+          e4(sum(col("t") * col("t"))).as("s_tt_e4"),
+          e4(sum(col("y"))).as("s_y_e4"),
+          e4(sum(col("q") * col("y"))).as("s_qy_e4"),
+          e4(sum(col("d") * col("y"))).as("s_dy_e4"),
+          e4(sum(col("t") * col("y"))).as("s_ty_e4"))
       },
       Some("""WITH l AS (SELECT
                  CAST(l_quantity AS DECIMAL(19,6)) AS q,
@@ -112,19 +118,19 @@ object ML {
                  CAST(l_extendedprice AS DECIMAL(19,6)) AS y
                FROM lineitem)
                SELECT count(*) AS n,
-                 CAST(sum(q) AS DECIMAL(38,12)) AS s_q,
-                 CAST(sum(d) AS DECIMAL(38,12)) AS s_d,
-                 CAST(sum(t) AS DECIMAL(38,12)) AS s_t,
-                 CAST(sum(q * q) AS DECIMAL(38,12)) AS s_qq,
-                 CAST(sum(q * d) AS DECIMAL(38,12)) AS s_qd,
-                 CAST(sum(q * t) AS DECIMAL(38,12)) AS s_qt,
-                 CAST(sum(d * d) AS DECIMAL(38,12)) AS s_dd,
-                 CAST(sum(d * t) AS DECIMAL(38,12)) AS s_dt,
-                 CAST(sum(t * t) AS DECIMAL(38,12)) AS s_tt,
-                 CAST(sum(y) AS DECIMAL(38,12)) AS s_y,
-                 CAST(sum(q * y) AS DECIMAL(38,12)) AS s_qy,
-                 CAST(sum(d * y) AS DECIMAL(38,12)) AS s_dy,
-                 CAST(sum(t * y) AS DECIMAL(38,12)) AS s_ty
+                 CAST(sum(q) * 10000 AS BIGINT) AS s_q_e4,
+                 CAST(sum(d) * 10000 AS BIGINT) AS s_d_e4,
+                 CAST(sum(t) * 10000 AS BIGINT) AS s_t_e4,
+                 CAST(sum(q * q) * 10000 AS BIGINT) AS s_qq_e4,
+                 CAST(sum(q * d) * 10000 AS BIGINT) AS s_qd_e4,
+                 CAST(sum(q * t) * 10000 AS BIGINT) AS s_qt_e4,
+                 CAST(sum(d * d) * 10000 AS BIGINT) AS s_dd_e4,
+                 CAST(sum(d * t) * 10000 AS BIGINT) AS s_dt_e4,
+                 CAST(sum(t * t) * 10000 AS BIGINT) AS s_tt_e4,
+                 CAST(sum(y) * 10000 AS BIGINT) AS s_y_e4,
+                 CAST(sum(q * y) * 10000 AS BIGINT) AS s_qy_e4,
+                 CAST(sum(d * y) * 10000 AS BIGINT) AS s_dy_e4,
+                 CAST(sum(t * y) * 10000 AS BIGINT) AS s_ty_e4
                FROM l""")),
 
     QueryDef(

@@ -143,7 +143,8 @@ object Pipeline {
                vocab AS (SELECT term, row_number() OVER (ORDER BY term) AS tid
                          FROM (SELECT DISTINCT term FROM toks) v),
                fp AS (SELECT doc_id,
-                        (sum((tid * (($FA * pos) + $FB)) % $P) % $P) AS fingerprint
+                        -- CAST: DuckDB sum(int) is HUGEINT → BIGINT on the wire
+                        CAST((sum((tid * (($FA * pos) + $FB)) % $P) % $P) AS BIGINT) AS fingerprint
                       FROM toks JOIN vocab USING (term) GROUP BY doc_id)
                SELECT fingerprint, count(*) AS n_docs, min(doc_id) AS first_doc
                FROM fp GROUP BY fingerprint HAVING count(*) > 1

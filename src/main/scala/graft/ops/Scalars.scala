@@ -161,9 +161,12 @@ object Scalars {
 
     QueryDef(
       "fn_struct_nested",
-      // Nested struct column written to parquet. Struct compare is
-      // higher-risk cross-engine (SURVEY §2.8) — keep the struct small and
-      // the leaves deterministic.
+      // Struct construction + nested field access. The struct lives INSIDE
+      // the plan (built, then fields re-extracted with dot paths — the
+      // operator under test); the WIRE carries only scalars. Round 2 wrote
+      // the struct itself to parquet and the driver's compare crashed
+      // sorting the resulting dict column ("unhashable type: 'dict'"), so
+      // nested types never go on the wire.
       (s, dir) => T.customer(s, dir)
         .where(col("c_custkey") < 500)
         .select(
@@ -172,10 +175,19 @@ object Scalars {
             col("c_name").as("name"),
             col("c_mktsegment").as("segment"),
             col("c_acctbal").cast(T.money).cast("double").as("bal")).as("info"))
+        .select(
+          col("c_custkey"),
+          col("info.name").as("info_name"),
+          col("info.segment").as("info_segment"),
+          col("info.bal").as("info_bal"))
         .orderBy("c_custkey"),
-      Some("""SELECT c_custkey,
-                struct_pack(name := c_name, segment := c_mktsegment,
-                            bal := CAST(CAST(c_acctbal AS DECIMAL(18,4)) AS DOUBLE)) AS info
-              FROM customer WHERE c_custkey < 500 ORDER BY c_custkey"""))
+      Some("""WITH s AS (
+                SELECT c_custkey,
+                  struct_pack(name := c_name, segment := c_mktsegment,
+                              bal := CAST(CAST(c_acctbal AS DECIMAL(18,4)) AS DOUBLE)) AS info
+                FROM customer WHERE c_custkey < 500)
+              SELECT c_custkey, info.name AS info_name,
+                     info.segment AS info_segment, info.bal AS info_bal
+              FROM s ORDER BY c_custkey"""))
   )
 }

@@ -91,8 +91,11 @@ object Streaming {
                 WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
               s AS (
                 SELECT user_id, us,
-                  sum(is_start) OVER (PARTITION BY user_id ORDER BY us
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+                  -- CAST: DuckDB sum(int) is HUGEINT; the driver's pandas
+                  -- compare renders HUGEINT as float vs Spark's BIGINT
+                  -- (round-2 hash mismatch). BIGINT on the wire, always.
+                  CAST(sum(is_start) OVER (PARTITION BY user_id ORDER BY us
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
                 FROM g)
               SELECT user_id, session_id, count(*) AS n_events,
                 min(us) AS start_us, max(us) AS end_us
@@ -136,7 +139,7 @@ object Streaming {
           .orderBy("event_type")
       },
       Some(s"""SELECT event_type, count(*) AS n_total,
-                 sum(CASE WHEN us < max_us - 600000000 THEN 1 ELSE 0 END) AS n_late
+                 CAST(sum(CASE WHEN us < max_us - 600000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_late
                FROM ($sqlEv) e CROSS JOIN (SELECT max(epoch_us(ts)) AS max_us FROM events) m
                GROUP BY event_type ORDER BY event_type"""))
   )
