@@ -20,7 +20,8 @@ object SparkEntry {
     ops.Streaming.entries ++
     ops.Extensions.entries ++
     ops.Pipeline.entries ++
-    ops.Skew.entries
+    ops.Skew.entries ++
+    ops.Dedup.entries
 
   /** Flagship query (TPC-H Q1 pricing summary, SURVEY.md §2.4) on
     * /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -214,6 +214,35 @@ object Pipeline {
               WHERE rn <= 5 ORDER BY q_id, rn""")),
 
     QueryDef(
+      "text_token_count",
+      // Token counting, both ways a data pipeline meters text: whitespace
+      // words and a BPE-ish lexer regex (letter runs | digit runs | single
+      // punctuation — the pre-tokenization split of GPT-style BPE
+      // vocabularies). Pure per-row map + one bounded groupBy(source);
+      // the regex class is shared verbatim by Java and RE2 regex engines.
+      (s, dir) => {
+        val ws = size(filter(split(col("text"), " "), t => t =!= ""))
+        val bpe = size(expr("regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0)"))
+        T.documents(s, dir)
+          .select(col("source"), ws.as("n_ws"), bpe.as("n_bpe"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_ws")).as("ws_tokens"),
+            sum(col("n_bpe")).as("bpe_tokens"),
+            T.davg(col("n_bpe").cast("double") / col("n_ws")).as("bpe_per_word"))
+          .orderBy("source")
+      },
+      Some(s"""WITH d AS (SELECT source,
+                  len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_ws,
+                  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS n_bpe
+                FROM documents)
+              SELECT source, count(*) AS n_docs,
+                CAST(sum(n_ws) AS BIGINT) AS ws_tokens,
+                CAST(sum(n_bpe) AS BIGINT) AS bpe_tokens,
+                ${T.sqlDavg("CAST(n_bpe AS DOUBLE) / n_ws")} AS bpe_per_word
+              FROM d GROUP BY source ORDER BY source""")),
+
+    QueryDef(
       "multimodal_decode",
       // Multimodal binary-column plumbing: the image/audio decode shape
       // with the Spark side REAL and the codec STUBBED (this container has

