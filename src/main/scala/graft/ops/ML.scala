@@ -135,32 +135,86 @@ object ML {
 
     QueryDef(
       "ml_linreg_predict",
-      // predict = broadcast the 1-row coef frame into a per-row expression
-      // (cuML: coef broadcast + GEMV), then bounded residual diagnostics
-      // per (returnflag, linestatus) — exact decimal residual sums.
+      // predict + residual diagnostics per (returnflag, linestatus) in ONE
+      // scan: aggregate exact per-group moments (n, Σx, Σy, Σx², Σxy, Σy²),
+      // derive the global coefficients from the group moments with a 6-row
+      // global window (no second pass over lineitem), and expand the
+      // residual sums algebraically:
+      //   Σr  = Σy − n·a − b·Σx
+      //   Σr² = Σy² − 2a·Σy − 2b·Σxy + n·a² + 2ab·Σx + b²·Σx²
+      // This is the sufficient-statistics form of "broadcast coef + score":
+      // at 100 TB one pass replaces two, and the per-group moments are the
+      // only shuffled state. Round 2 ran the naive two-pass version — 8.5 s
+      // cold at sf0.1 vs ~2 s for this plan.
+      //
+      // WIRE/ALGEBRA DISCIPLINE: moments cross the engine boundary as
+      // exactly-scaled BIGINT (value × 10^4 — source data has ≤2 dp, see
+      // ml_linreg_normal_eq), BIGINT→DOUBLE conversion is IEEE-identical in
+      // both engines, and both engines evaluate the SAME double expression
+      // tree, so round(,6) agrees.
       (s, dir) => {
-        val coef = olsMoments(s, dir).select(
-          expr(slopeExpr).as("b"), expr(interceptExpr).as("a"))
-        T.lineitem(s, dir).crossJoin(broadcast(coef))
-          .select(col("l_returnflag"), col("l_linestatus"),
-            (col("l_extendedprice") - (col("a") + col("b") * col("l_quantity"))).as("resid"))
-          .groupBy("l_returnflag", "l_linestatus")
-          .agg(
-            count(lit(1)).as("n"),
-            round(T.xsum(col("resid")) / count(lit(1)), 6).as("avg_resid"),
-            round(sqrt(T.xsum(col("resid") * col("resid")) / count(lit(1))), 6).as("rmse"))
+        import org.apache.spark.sql.types.DecimalType
+        val d6 = DecimalType(19, 6)
+        def e4(c: org.apache.spark.sql.Column) = (c * lit(10000)).cast("long")
+        val l = T.lineitem(s, dir).select(
+          col("l_returnflag"), col("l_linestatus"),
+          col("l_quantity").cast(d6).as("x"),
+          col("l_extendedprice").cast(d6).as("y"))
+        val g = l.groupBy("l_returnflag", "l_linestatus").agg(
+          count(lit(1)).as("n"),
+          e4(sum(col("x"))).as("sx"),
+          e4(sum(col("y"))).as("sy"),
+          e4(sum(col("x") * col("x"))).as("sxx"),
+          e4(sum(col("x") * col("y"))).as("sxy"),
+          e4(sum(col("y") * col("y"))).as("syy"))
+        val w = Window.partitionBy() // global window over the 6 group rows
+        val tot = g.select(
+          col("l_returnflag"), col("l_linestatus"), col("n"),
+          (col("sx") / 1e4).as("gsx"), (col("sy") / 1e4).as("gsy"),
+          (col("sxx") / 1e4).as("gsxx"), (col("sxy") / 1e4).as("gsxy"),
+          (col("syy") / 1e4).as("gsyy"),
+          sum(col("n")).over(w).cast("double").as("tn"),
+          (sum(col("sx")).over(w) / 1e4).as("tsx"),
+          (sum(col("sy")).over(w) / 1e4).as("tsy"),
+          (sum(col("sxx")).over(w) / 1e4).as("tsxx"),
+          (sum(col("sxy")).over(w) / 1e4).as("tsxy"))
+        tot
+          .withColumn("b", expr("(tn * tsxy - tsx * tsy) / (tn * tsxx - tsx * tsx)"))
+          .withColumn("a", expr("(tsy - b * tsx) / tn"))
+          .select(col("l_returnflag"), col("l_linestatus"), col("n"),
+            round(expr("(gsy - n * a - b * gsx) / n"), 6).as("avg_resid"),
+            round(expr(
+              "sqrt((gsyy - 2*a*gsy - 2*b*gsxy + n*a*a + 2*a*b*gsx + b*b*gsxx) / n)"), 6)
+              .as("rmse"))
           .orderBy("l_returnflag", "l_linestatus")
       },
-      Some(s"""WITH m AS ($sqlOlsMoments),
-                 c AS (SELECT $slopeExpr AS b, $interceptExpr AS a FROM m),
-                 r AS (SELECT l_returnflag, l_linestatus,
-                         l_extendedprice - (a + b * l_quantity) AS resid
-                       FROM lineitem CROSS JOIN c)
-               SELECT l_returnflag, l_linestatus, count(*) AS n,
-                 round(${T.sqlXsum("resid")} / count(*), 6) AS avg_resid,
-                 round(sqrt(${T.sqlXsum("resid * resid")} / count(*)), 6) AS rmse
-               FROM r GROUP BY l_returnflag, l_linestatus
-               ORDER BY l_returnflag, l_linestatus""")),
+      Some("""WITH l AS (SELECT l_returnflag, l_linestatus,
+                  CAST(l_quantity AS DECIMAL(19,6)) AS x,
+                  CAST(l_extendedprice AS DECIMAL(19,6)) AS y
+                FROM lineitem),
+                g AS (SELECT l_returnflag, l_linestatus, count(*) AS n,
+                  CAST(sum(x) * 10000 AS BIGINT) AS sx,
+                  CAST(sum(y) * 10000 AS BIGINT) AS sy,
+                  CAST(sum(x * x) * 10000 AS BIGINT) AS sxx,
+                  CAST(sum(x * y) * 10000 AS BIGINT) AS sxy,
+                  CAST(sum(y * y) * 10000 AS BIGINT) AS syy
+                FROM l GROUP BY 1, 2),
+                t AS (SELECT l_returnflag, l_linestatus, n,
+                  sx / 1e4 AS gsx, sy / 1e4 AS gsy, sxx / 1e4 AS gsxx,
+                  sxy / 1e4 AS gsxy, syy / 1e4 AS gsyy,
+                  CAST(sum(n) OVER () AS DOUBLE) AS tn,
+                  sum(sx) OVER () / 1e4 AS tsx, sum(sy) OVER () / 1e4 AS tsy,
+                  sum(sxx) OVER () / 1e4 AS tsxx, sum(sxy) OVER () / 1e4 AS tsxy
+                FROM g),
+                c AS (SELECT *,
+                  (tn * tsxy - tsx * tsy) / (tn * tsxx - tsx * tsx) AS b
+                FROM t),
+                c2 AS (SELECT *, (tsy - b * tsx) / tn AS a FROM c)
+              SELECT l_returnflag, l_linestatus, n,
+                round((gsy - n * a - b * gsx) / n, 6) AS avg_resid,
+                round(sqrt((gsyy - 2*a*gsy - 2*b*gsxy + n*a*a + 2*a*b*gsx + b*b*gsxx) / n), 6) AS rmse
+              FROM c2
+              ORDER BY l_returnflag, l_linestatus""")),
 
     QueryDef(
       "ml_ridge_fit",
@@ -186,7 +240,10 @@ object ML {
         val e = T.embeddings(s, dir)
         val q = e.where(col("vec_id") < 20)
           .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-        val cand = e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+        // repartition: the one-row-group fixture parquet would stream the
+        // broadcast join single-threaded otherwise
+        val cand = e.repartition(32, col("vec_id"))
+          .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
         val dist = graft.functions.Vec.l2(s, "q_emb", "n_emb")
         val w = Window.partitionBy(col("q_id")).orderBy(col("d"), col("n_id"))
         cand.crossJoin(broadcast(q))
@@ -215,7 +272,8 @@ object ML {
           sqrt(graft.functions.Vec.dot(s, "embedding", "embedding")).as("nrm"))
         val q = e.where(col("vec_id") < 20)
           .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
-        val cand = e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"), col("nrm").as("n_nrm"))
+        val cand = e.repartition(32, col("vec_id"))
+          .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"), col("nrm").as("n_nrm"))
         val cos = graft.functions.Vec.dot(s, "q_emb", "n_emb") / (col("q_nrm") * col("n_nrm"))
         val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
         cand.crossJoin(broadcast(q))
@@ -247,7 +305,7 @@ object ML {
           .select(col("vec_id").as("cid"), col("embedding").as("c_emb"))
         val dist = graft.functions.Vec.l2(s, "embedding", "c_emb")
         val w = Window.partitionBy(col("vec_id")).orderBy(col("d"), col("cid"))
-        e.crossJoin(broadcast(cent))
+        e.repartition(32, col("vec_id")).crossJoin(broadcast(cent))
           .select(col("vec_id"), col("cid"), dist.as("d"))
           .withColumn("rn", row_number().over(w))
           .where(col("rn") === 1)

@@ -167,7 +167,7 @@ object Pipeline {
         val dist = graft.functions.Vec.l2(s, "embedding", "c_emb")
         // assignment: nearest cell per vector
         val aw = Window.partitionBy(col("vec_id")).orderBy(col("d"), col("cid"))
-        val assigned = e.crossJoin(broadcast(cent))
+        val assigned = e.repartition(32, col("vec_id")).crossJoin(broadcast(cent))
           .select(col("vec_id"), col("embedding"), col("cid"), dist.as("d"))
           .withColumn("rn", row_number().over(aw)).where(col("rn") === 1)
           .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"), col("cid"))

@@ -188,10 +188,16 @@ object TextSim {
         // to 1 codegen'd vec_dot + a multiply
         val e = T.embeddings(s, dir).select(col("vec_id"), col("embedding"),
           sqrt(graft.functions.Vec.dot(s, "embedding", "embedding")).as("nrm"))
-        val a = e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
+        // the fixture parquet is ONE row group → one partition → the
+        // broadcast-nested-loop pair scan would run single-threaded;
+        // hash-repartitioning the streamed side fans the O(n²) work over
+        // all cores (deterministic: partitioning never changes the result
+        // set, and the sink re-sorts)
+        val a = e.repartition(32, col("vec_id"))
+          .select(col("vec_id").as("id_a"), col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
         val b = e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
         val cos = graft.functions.Vec.dot(s, "emb_a", "emb_b") / (col("nrm_a") * col("nrm_b"))
-        a.crossJoin(b).where(col("id_a") < col("id_b"))
+        a.crossJoin(broadcast(b)).where(col("id_a") < col("id_b"))
           .select(col("id_a"), col("id_b"), cos.as("sim"))
           .where(col("sim") > 0.9)
           .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
@@ -214,10 +220,14 @@ object TextSim {
       (s, dir) => {
         val e = T.embeddings(s, dir).select(col("vec_id"), col("embedding"),
           sqrt(graft.functions.Vec.dot(s, "embedding", "embedding")).as("nrm"))
-        val a = e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
+        // same single-partition hazard as sim_threshold: repartition the
+        // streamed side so the pair scan + per-partition top-50 heaps
+        // (TakeOrderedAndProject) use every core
+        val a = e.repartition(32, col("vec_id"))
+          .select(col("vec_id").as("id_a"), col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
         val b = e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
         val cos = graft.functions.Vec.dot(s, "emb_a", "emb_b") / (col("nrm_a") * col("nrm_b"))
-        a.crossJoin(b).where(col("id_a") < col("id_b"))
+        a.crossJoin(broadcast(b)).where(col("id_a") < col("id_b"))
           .select(col("id_a"), col("id_b"), round(cos, 6).as("sim"))
           .orderBy(col("sim").desc, col("id_a").asc, col("id_b").asc)
           .limit(50)
