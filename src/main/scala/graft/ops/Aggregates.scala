@@ -59,13 +59,28 @@ object Aggregates {
     QueryDef(
       "agg_approx_hll",
       // HyperLogLog++ sketch (built-in) — the 100 TB answer to exact
-      // distinct counts. Sketches are engine-specific → no SQL oracle.
+      // distinct counts. Sketch VALUES are engine-specific, so the wire
+      // carries the exact count plus an accuracy verdict on the sketch:
+      // the oracle pins the exact count and expects TRUE, which fails if
+      // Spark's estimate ever drifts past 10% (5σ at the configured
+      // rsd=0.02) — a real oracle check without bit-identical sketches.
       (s, dir) => T.orders(s, dir)
         .groupBy("o_orderstatus")
-        .agg(approx_count_distinct(col("o_orderkey")).as("approx_orders"),
-             approx_count_distinct(col("o_custkey")).as("approx_cust"))
+        .agg(countDistinct(col("o_orderkey")).as("exact_orders"),
+          countDistinct(col("o_custkey")).as("exact_cust"),
+          approx_count_distinct(col("o_orderkey"), 0.02).as("hll_o"),
+          approx_count_distinct(col("o_custkey"), 0.02).as("hll_c"))
+        .select(col("o_orderstatus"), col("exact_orders"), col("exact_cust"),
+          (abs(col("hll_o") - col("exact_orders")).cast("double") / col("exact_orders") < 0.10 &&
+           abs(col("hll_c") - col("exact_cust")).cast("double") / col("exact_cust") < 0.10)
+            .as("hll_within_10pct"))
         .orderBy("o_orderstatus"),
-      None),
+      Some("""SELECT o_orderstatus,
+                count(DISTINCT o_orderkey) AS exact_orders,
+                count(DISTINCT o_custkey) AS exact_cust,
+                TRUE AS hll_within_10pct
+              FROM orders GROUP BY o_orderstatus
+              ORDER BY o_orderstatus""")),
 
     QueryDef(
       "agg_grouping_sets",

@@ -368,7 +368,13 @@ object ML {
       // Spark replacement for dask's dynamic task graph (small state, K×64
       // doubles, lives on the driver like cuML's client-held centroids).
       // cache() each assignment input; fixed iteration count for
-      // reproducibility. Iterative + engine-specific → no SQL oracle.
+      // reproducibility.
+      //
+      // ORACLE: the same 3 unrolled iterations as DuckDB CTEs. The float
+      // cast on every centroid element is what makes this checkable —
+      // avg(double) is summation-order-dependent at the last ulp, but both
+      // engines' averages round to the SAME float, so centroids (and hence
+      // assignments and distances) agree bit-exactly.
       (s, dir) => {
         val e = T.embeddings(s, dir)
           .select(col("vec_id"), col("embedding")).cache()
@@ -401,6 +407,28 @@ object ML {
             round(T.xsum(col("d")) / count(lit(1)), 6).as("avg_dist"))
           .orderBy("cid")
       },
-      None)
+      Some {
+        // elementwise centroid mean, float-rounded like the Spark side
+        val meanList = (1 to 64).map(i =>
+          s"CAST(CAST(avg(emb[$i]) AS REAL) AS DOUBLE)").mkString("list_value(", ", ", ")")
+        def assign(prev: String) =
+          s"""SELECT e.vec_id, e.emb,
+                arg_min(c.cid, list_distance(e.emb, c.c)) AS cid
+              FROM e CROSS JOIN $prev c GROUP BY e.vec_id, e.emb"""
+        def update(prev: String) =
+          s"SELECT cid, $meanList AS c FROM $prev GROUP BY cid"
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+              c0 AS (SELECT vec_id AS cid, emb AS c FROM e WHERE vec_id < 10),
+              a1 AS (${assign("c0")}), c1 AS (${update("a1")}),
+              a2 AS (${assign("c1")}), c2 AS (${update("a2")}),
+              a3 AS (${assign("c2")}), c3 AS (${update("a3")}),
+              af AS (SELECT e.vec_id,
+                       arg_min(c.cid, list_distance(e.emb, c.c)) AS cid,
+                       min(list_distance(e.emb, c.c)) AS d
+                     FROM e CROSS JOIN c3 c GROUP BY e.vec_id)
+            SELECT cid, count(*) AS n_points,
+              round(${T.sqlXsum("d")} / count(*), 6) AS avg_dist
+            FROM af GROUP BY cid ORDER BY cid"""
+      })
   )
 }

@@ -16,10 +16,9 @@ class RegistrySpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracle entries without queries: $orphans")
   }
 
-  test("only the declared sketch/iterative/stub ops lack oracles") {
+  test("only the declared stub op lacks an oracle") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(noOracle == Set("agg_approx_hll", "ml_kmeans_iterate", "multimodal_decode"),
-      noOracle.toString)
+    assert(noOracle == Set("multimodal_decode"), noOracle.toString)
   }
 
   test("flagship entry returns rows on sf0.001 (driver t1)") {
