@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan regression guards (SURVEY §4.2): the scale story lives in
+  * the PLAN — pushdown reaching the parquet scan, dims broadcast, top-k as
+  * TakeOrderedAndProject, partial aggregation — so pin it. A refactor that
+  * silently turns a broadcast join into a sort-merge join or defeats
+  * pushdown breaks these before it costs hours on a cluster.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+
+  test("scan_pruned_pushdown: filter reaches the parquet scan, columns pruned") {
+    val p = plan("scan_pruned_pushdown")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(!p.contains("PushedFilters: []"), "no filters pushed:\n" + p)
+    // projection pruned to the selected columns — the wide lineitem schema
+    // must NOT be read in full (16 columns); ReadSchema should stay narrow
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema:")).getOrElse("")
+    assert(readSchema.split(",").length <= 6, s"scan reads too many columns: $readSchema")
+  }
+
+  test("join_broadcast_dim: dims are broadcast, never shuffled") {
+    val p = plan("join_broadcast_dim")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), "dim join degraded to SMJ:\n" + p)
+  }
+
+  test("topk_limit plans as TakeOrderedAndProject (no global sort)") {
+    val p = plan("topk_limit")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("sim_topk_pairs: global top-50 is heap-based, not a full sort") {
+    val p = plan("sim_topk_pairs")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("agg_hash_groupby: partial (map-side) aggregation precedes the shuffle") {
+    val p = plan("agg_hash_groupby")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "expected partial+final HashAggregate:\n" + p)
+  }
+
+  test("dedup_exact: shuffle carries the 40-byte digest, not document text") {
+    val p = plan("dedup_exact")
+    // the exchange's hashpartitioning key must be the hash/len pair
+    assert(p.contains("sha2"), p)
+  }
+
+  test("whole-stage codegen covers the hot path of filter_pred") {
+    // pre-execution the AQE wrapper hides codegen spans — run the query,
+    // then inspect the final adaptive plan
+    val df = SparkEntry.queries("filter_pred")(spark, sf)
+    df.queryExecution.toRdd.count()
+    val p = df.queryExecution.executedPlan.toString
+    // "*(n)" prefixes are the WholeStageCodegen span markers
+    assert(p.contains("*(1)"), p)
+    assert(p.linesIterator.exists(l => l.contains("*(") && l.contains("Filter")),
+      "Filter not inside a codegen span:\n" + p)
+  }
+}
