@@ -81,6 +81,66 @@ class StreamingMirrorSpec extends SparkSpec {
     assert(got(2L) == Seq(1L, 1L, 1L), got.toString)
   }
 
+  test("flatMapGroupsWithState: custom per-user state survives micro-batches") {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, Long)] // (user_id, us)
+    // running event count per user — the custom-state primitive behind
+    // sessionization/enrichment that windowed aggs can't express
+    val counted = mem.toDS()
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (Long, Long)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, events: Iterator[(Long, Long)], state: GroupState[Long]) =>
+          val total = state.getOption.getOrElse(0L) + events.size
+          state.update(total)
+          Iterator((uid, total))
+      }.toDF("user_id", "total")
+    val query = counted.writeStream
+      .format("memory").queryName("fmgws_mirror")
+      .outputMode("update")
+      .start()
+    mem.addData((1L, 0L), (1L, 1L), (2L, 2L))
+    query.processAllAvailable()      // batch 1: user1=2, user2=1
+    mem.addData((1L, 3L), (2L, 4L), (2L, 5L))
+    query.processAllAvailable()      // batch 2: state carries over
+    query.stop()
+    val last = spark.table("fmgws_mirror")
+      .groupBy("user_id").agg(max("total").as("t"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(last == Map(1L -> 3L, 2L -> 3L), last.toString)
+  }
+
+  test("watermark drops late data: closed windows never re-open in append mode") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, String)] // (us, event_type)
+    val h = 3600L * 1000000L
+    val streamed = mem.toDF().toDF("us", "event_type")
+      .withColumn("ts", timestamp_micros(col("us")))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").cast("long").as("w"), col("n"))
+    val query = streamed.writeStream
+      .format("memory").queryName("late_mirror")
+      .outputMode("append")
+      .start()
+    // batch 1: two in-window events + one 3h ahead (advances watermark past
+    // the first window's end, finalizing it)
+    mem.addData((0L, "a"), (5L * 60 * 1000000L, "b"), (3 * h, "c"))
+    query.processAllAvailable()
+    // batch 2: an event at t=10min — far behind the watermark → DROPPED
+    mem.addData((10L * 60 * 1000000L, "late"), (3 * h + 1L, "d"))
+    query.processAllAvailable()
+    query.stop()
+    val w0 = spark.table("late_mirror").where(col("w") === 0L).collect()
+    assert(w0.length == 1, s"window 0 rows: ${w0.length}")
+    assert(w0.head.getLong(1) == 2L,
+      s"late event leaked into a closed window: n=${w0.head.getLong(1)}")
+  }
+
   test("dedup mirror: streaming dropDuplicates == batch distinct") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
