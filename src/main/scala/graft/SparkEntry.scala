@@ -21,7 +21,8 @@ object SparkEntry {
     ops.Extensions.entries ++
     ops.Pipeline.entries ++
     ops.Skew.entries ++
-    ops.Dedup.entries
+    ops.Dedup.entries ++
+    ops.Sources.entries
 
   /** Flagship query (TPC-H Q1 pricing summary, SURVEY.md §2.4) on
     * /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,95 @@
+package graft.ops
+
+import graft.{QueryDef, Tables => T}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Source/sink surface beyond the fixture parquet reads: CSV and JSON
+  * round-trips and a partitioned-parquet sink with partition-pruned
+  * re-read. Each query WRITES with the Spark sink under test, reads the
+  * result back with the matching source, and aggregates; the oracle
+  * computes the same aggregate from the original parquet — so a fidelity
+  * bug in either direction of the format fails the compare.
+  *
+  * Scale notes: csv/json write/read are plain map-side format codecs (no
+  * shuffle, partition-parallel at any scale). The partitioned sink is the
+  * 100 TB layout tool — `partitionBy` turns a filter on the partition
+  * column into directory pruning at read time (asserted in PlanSpec via
+  * PartitionFilters).
+  */
+object Sources {
+
+  /** Per-(query, sf) scratch dir — unique so concurrently-benched queries
+    * never collide; deterministic so reruns overwrite rather than leak. */
+  private def scratch(name: String, dir: String): String =
+    s"/tmp/graft_io/${name}_${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+
+  val entries: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "source_csv_roundtrip",
+      // int/string columns only: CSV has no type system, so the explicit
+      // read schema is part of the operator's contract.
+      (s, dir) => {
+        val path = scratch("csv", dir)
+        T.documents(s, dir).select("doc_id", "lang", "source", "n_chars")
+          .write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+        s.read
+          .schema(StructType(Seq(
+            StructField("doc_id", LongType), StructField("lang", StringType),
+            StructField("source", StringType), StructField("n_chars", LongType))))
+          .option("header", "true").csv(path)
+          .groupBy("lang", "source")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+          .orderBy("lang", "source")
+      },
+      Some("""SELECT lang, source, count(*) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS total_chars
+              FROM documents GROUP BY lang, source ORDER BY lang, source""")),
+
+    QueryDef(
+      "source_json_roundtrip",
+      // JSON-lines write + schema-d read. Doubles survive via Jackson's
+      // shortest-round-trip rendering; asserted through the decimal-cast
+      // aggregate.
+      (s, dir) => {
+        val path = scratch("json", dir)
+        T.orders(s, dir)
+          .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+          .write.mode(SaveMode.Overwrite).json(path)
+        s.read
+          .schema(StructType(Seq(
+            StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+            StructField("o_orderstatus", StringType), StructField("o_totalprice", DoubleType))))
+          .json(path)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"), T.dsum(col("o_totalprice")).as("total_price"))
+          .orderBy("o_orderstatus")
+      },
+      Some(s"""SELECT o_orderstatus, count(*) AS n,
+                 ${T.sqlDsum("o_totalprice")} AS total_price
+               FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    QueryDef(
+      "sink_partitioned_parquet",
+      // partitionBy(o_orderstatus) write, then a filtered re-read: the
+      // filter binds to the partition column, so the scan prunes to ONE
+      // directory — the layout/pruning contract that matters at 100 TB.
+      (s, dir) => {
+        val path = scratch("part", dir)
+        T.orders(s, dir)
+          .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+          .write.mode(SaveMode.Overwrite).partitionBy("o_orderstatus").parquet(path)
+        s.read.parquet(path)
+          .where(col("o_orderstatus") === "F")
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"), T.dsum(col("o_totalprice")).as("total_price"))
+          .orderBy("o_orderstatus")
+      },
+      Some(s"""SELECT o_orderstatus, count(*) AS n,
+                 ${T.sqlDsum("o_totalprice")} AS total_price
+               FROM orders WHERE o_orderstatus = 'F'
+               GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+  )
+}

@@ -52,6 +52,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("sha2"), p)
   }
 
+  test("sink_partitioned_parquet: re-read prunes to one partition directory") {
+    val p = plan("sink_partitioned_parquet")
+    val pf = p.linesIterator.find(_.contains("PartitionFilters:")).getOrElse("")
+    assert(pf.contains("o_orderstatus"), s"no partition pruning:\n$p")
+  }
+
   test("whole-stage codegen covers the hot path of filter_pred") {
     // pre-execution the AQE wrapper hides codegen spans — run the query,
     // then inspect the final adaptive plan
