@@ -58,6 +58,17 @@ class PlanSpec extends SparkSpec {
     assert(pf.contains("o_orderstatus"), s"no partition pruning:\n$p")
   }
 
+  test("no query ever plans a CartesianProduct") {
+    // every pair scan must be a broadcast nested-loop (small side broadcast)
+    // or a bucketed equi-join — an unpartitioned cartesian is the one join
+    // shape with no 100 TB story at all
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
+      SparkEntry.queries(name)(spark, sf).queryExecution.sparkPlan
+        .toString.contains("CartesianProduct")
+    }
+    assert(offenders.isEmpty, s"cartesian plans: $offenders")
+  }
+
   test("whole-stage codegen covers the hot path of filter_pred") {
     // pre-execution the AQE wrapper hides codegen spans — run the query,
     // then inspect the final adaptive plan
