@@ -26,7 +26,10 @@ object Dedup {
 
   // Same deterministic affine hash family as dedup_minhash
   // (TextSim.scala): engine hash() builtins differ across Spark/DuckDB,
-  // affine arithmetic over dense term-ids does not.
+  // affine arithmetic over dense term-ids does not. The dense ids come
+  // from a global row_number over the sorted vocab — single-partition, the
+  // oracle form; at 100 TB use rdd.zipWithIndex (partition-offset ids) or
+  // xxhash64 directly (see TextSim.dedup_minhash note).
   private val P = 2147483647L
   private val A1 = 387143L
   private val B1 = 31337L

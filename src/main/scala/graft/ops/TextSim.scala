@@ -126,6 +126,11 @@ object TextSim {
       //   2. vocab: sorted distinct shingles → dense term-id (engine hash()
       //      functions differ, so the family is affine arithmetic both
       //      engines share: h_i(t) = (a_i·tid + b_i) mod p).
+      //      ORACLE FORM: the global row_number window is single-partition —
+      //      fine for a ≤millions-term vocab. PRODUCTION FORM at 100 TB:
+      //      rdd.zipWithIndex on the sorted distinct terms (partition-offset
+      //      ids, no single-point sort) or xxhash64 ids once the oracle
+      //      equality constraint is dropped.
       //   3. signatures: 8 min-hashes per doc = ONE groupBy(doc).
       //   4. bands: 2 bands × 4 hashes; docs sharing any band bucket are
       //      candidates (self-join per band, unioned, distinct).
