@@ -230,6 +230,54 @@ object ML {
                FROM ($sqlOlsMoments) m""")),
 
     QueryDef(
+      "ml_lasso_fit",
+      // dask-cuml Lasso.fit, 1 feature: the coordinate-descent fixed point
+      // has a closed form — soft-threshold the centered cross-moment:
+      //   b = sign(Sxy_c)·max(|Sxy_c|/n − λ, 0) / (Sxx_c/n),   λ = 1000
+      // Same single-aggregation sufficient-statistics shape as OLS/ridge;
+      // the L1 path needs no iteration with one feature.
+      (s, dir) => olsMoments(s, dir).select(
+        round(expr(
+          """sign(sxy - sx * sy / n) *
+             greatest(abs(sxy - sx * sy / n) / n - 1000.0, 0.0) /
+             ((sxx - sx * sx / n) / n)"""), 6).as("slope"),
+        round(expr(
+          """(sy - (sign(sxy - sx * sy / n) *
+               greatest(abs(sxy - sx * sy / n) / n - 1000.0, 0.0) /
+               ((sxx - sx * sx / n) / n)) * sx) / n"""), 6).as("intercept")),
+      Some(s"""SELECT
+                 round(sign(sxy - sx * sy / n) *
+                   greatest(abs(sxy - sx * sy / n) / n - 1000.0, 0.0) /
+                   ((sxx - sx * sx / n) / n), 6) AS slope,
+                 round((sy - (sign(sxy - sx * sy / n) *
+                   greatest(abs(sxy - sx * sy / n) / n - 1000.0, 0.0) /
+                   ((sxx - sx * sx / n) / n)) * sx) / n, 6) AS intercept
+               FROM ($sqlOlsMoments) m""")),
+
+    QueryDef(
+      "ml_elasticnet_fit",
+      // dask-cuml ElasticNet.fit, 1 feature: soft-threshold numerator (L1,
+      // λ1 = 500) over an L2-inflated denominator (λ2 = 500) —
+      //   b = sign(Sxy_c)·max(|Sxy_c|/n − λ1, 0) / (Sxx_c/n + λ2)
+      (s, dir) => olsMoments(s, dir).select(
+        round(expr(
+          """sign(sxy - sx * sy / n) *
+             greatest(abs(sxy - sx * sy / n) / n - 500.0, 0.0) /
+             ((sxx - sx * sx / n) / n + 500.0)"""), 6).as("slope"),
+        round(expr(
+          """(sy - (sign(sxy - sx * sy / n) *
+               greatest(abs(sxy - sx * sy / n) / n - 500.0, 0.0) /
+               ((sxx - sx * sx / n) / n + 500.0)) * sx) / n"""), 6).as("intercept")),
+      Some(s"""SELECT
+                 round(sign(sxy - sx * sy / n) *
+                   greatest(abs(sxy - sx * sy / n) / n - 500.0, 0.0) /
+                   ((sxx - sx * sx / n) / n + 500.0), 6) AS slope,
+                 round((sy - (sign(sxy - sx * sy / n) *
+                   greatest(abs(sxy - sx * sy / n) / n - 500.0, 0.0) /
+                   ((sxx - sx * sx / n) / n + 500.0)) * sx) / n, 6) AS intercept
+               FROM ($sqlOlsMoments) m""")),
+
+    QueryDef(
       "ml_knn",
       // dask-cuml NearestNeighbors.kneighbors: brute-force L2 + k-select.
       // Query side (vec_id < 20) is broadcast — the fact side streams once,

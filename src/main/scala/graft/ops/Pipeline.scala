@@ -243,6 +243,67 @@ object Pipeline {
               FROM d GROUP BY source ORDER BY source""")),
 
     QueryDef(
+      "multimodal_frame_sample",
+      // Frame sampling over an opaque binary column — the video/audio
+      // "every Nth frame" shape with the Spark plumbing REAL: payload bytes
+      // are chunked into 64-byte frames inside mapPartitions (map-only,
+      // partition-preserving, zero shuffle) and every 4th frame is sampled,
+      // byte-summed, and checksummed. The fixture corpus is pure ASCII
+      // (verified), so the DuckDB oracle reproduces the BYTE arithmetic
+      // from character arithmetic — the checksum proves the decode loop
+      // actually read the right bytes, not just the right lengths.
+      (s, dir) => {
+        val media = T.documents(s, dir)
+          .where(col("doc_id") < 100)
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        val outSchema = StructType(Seq(
+          StructField("doc_id", LongType),
+          StructField("n_frames", IntegerType),
+          StructField("n_sampled", IntegerType),
+          StructField("sampled_bytes", LongType),
+          StructField("checksum", LongType)))
+        media.mapPartitions { it =>
+          val F = 64; val STRIDE = 4
+          it.map { r =>
+            val id = r.getLong(0)
+            val bytes = r.getAs[Array[Byte]](1)
+            val n = bytes.length
+            val nF = (n + F - 1) / F
+            val nS = (nF + STRIDE - 1) / STRIDE
+            var sampled = 0L; var cs = 0L
+            var k = 0
+            while (k < nF) {
+              if (k % STRIDE == 0) {
+                val st = k * F; val en = math.min(st + F, n)
+                var i = st
+                while (i < en) { cs += bytes(i) & 0xff; i += 1 }
+                sampled += en - st
+              }
+              k += 1
+            }
+            Row(id, nF, nS, sampled, cs % 997L)
+          }
+        }(org.apache.spark.sql.Encoders.row(outSchema))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, text, length(text) AS len
+                FROM documents WHERE doc_id < 100),
+                pos AS (SELECT doc_id, i, unicode(substr(text, CAST(i AS INT), 1)) AS b
+                        FROM d, (SELECT unnest(generate_series(1, 100000)) AS i) s
+                        WHERE i <= len),
+                samp AS (SELECT doc_id, count(*) AS sampled_bytes,
+                           CAST(coalesce(sum(b), 0) % 997 AS BIGINT) AS checksum
+                         FROM pos WHERE (((i - 1) // 64) % 4) = 0
+                         GROUP BY doc_id)
+              SELECT d.doc_id,
+                CAST((len + 63) // 64 AS INT) AS n_frames,
+                CAST(((len + 63) // 64 + 3) // 4 AS INT) AS n_sampled,
+                coalesce(samp.sampled_bytes, 0) AS sampled_bytes,
+                coalesce(samp.checksum, 0) AS checksum
+              FROM d LEFT JOIN samp USING (doc_id)
+              ORDER BY doc_id""")),
+
+    QueryDef(
       "multimodal_decode",
       // Multimodal binary-column plumbing: the image/audio decode shape
       // with the Spark side REAL and the codec STUBBED (this container has
