@@ -51,9 +51,16 @@ object Verify {
         val ctes = used.map(t =>
           s"$t AS (SELECT * FROM read_parquet('$absSf/$t.parquet'))").mkString(", ")
         val trimmed = sql.trim
-        if (trimmed.take(5).equalsIgnoreCase("WITH "))
-          s"WITH $ctes, ${trimmed.drop(5)}"
-        else s"WITH $ctes $trimmed"
+        // WITH RECURSIVE must stay the clause head; table CTEs merge after
+        // it (RECURSIVE marks the whole clause, non-recursive CTEs are fine)
+        val recRe = "(?is)^WITH\\s+RECURSIVE\\s+".r
+        recRe.findFirstIn(trimmed) match {
+          case Some(m) => s"WITH RECURSIVE $ctes, ${trimmed.drop(m.length)}"
+          case None =>
+            if (trimmed.take(5).equalsIgnoreCase("WITH "))
+              s"WITH $ctes, ${trimmed.drop(5)}"
+            else s"WITH $ctes $trimmed"
+        }
       }
     }
     val json = SparkEntry.oracleSql

@@ -230,6 +230,82 @@ object ML {
                FROM ($sqlOlsMoments) m""")),
 
     QueryDef(
+      "ml_pca_power",
+      // dask-cuml PCA analog: distributed exact-decimal Gram matrix (the
+      // per-partition partial aggregation is the MNMG covariance step),
+      // then a DRIVER-side 20-step power iteration on the 64×64 sufficient
+      // statistic — cuML's client-held eig solve. The fixture embeddings
+      // are near-isotropic (λ1/λ2 ≈ 1.01), so 20 steps don't converge to
+      // the eigenvector; the OPERATOR's contract is the deterministic
+      // 20-step iterate itself, which is bit-identical cross-engine:
+      // decimal Gram sums are exact, and both the Scala loop and the
+      // oracle's list_reduce fold doubles in the same sequential order
+      // (verified equal to the last bit before this was written).
+      (s, dir) => {
+        import org.apache.spark.sql.types.DecimalType
+        val spark = s
+        import spark.implicits._
+        val d6 = DecimalType(18, 6)
+        val gramRows = T.embeddings(s, dir).select(col("embedding"))
+          .select(col("embedding"), explode(sequence(lit(1), lit(64))).as("i"))
+          .select(col("embedding"), col("i"), explode(sequence(lit(1), lit(64))).as("j"))
+          .select(col("i"), col("j"),
+            (element_at(col("embedding"), col("i")).cast("double") *
+             element_at(col("embedding"), col("j")).cast("double")).cast(d6).as("p"))
+          .groupBy("i", "j").agg(sum(col("p")).cast("double").as("g"))
+          .collect() // 4,096 doubles — the client-held sufficient statistic
+        val G = Array.ofDim[Double](64, 64)
+        gramRows.foreach(r => G(r.getAs[Int]("i") - 1)(r.getAs[Int]("j") - 1) = r.getAs[Double]("g"))
+        def matvec(x: Array[Double]): Array[Double] = Array.tabulate(64) { i =>
+          var acc = 0.0; var j = 0
+          while (j < 64) { acc += G(i)(j) * x(j); j += 1 }
+          acc
+        }
+        var v = Array.tabulate(64)(k => if (k == 0) 1.0 else 0.0)
+        for (_ <- 1 to 20) v = matvec(v)
+        var n2 = 0.0; v.foreach(x => n2 += x * x)
+        val u = v.map(_ / math.sqrt(n2))
+        val gu = matvec(u)
+        var lam = 0.0
+        for (i <- 0 until 64) lam += u(i) * gu(i)
+        Seq((lam, u(0), u(1), u(2))).toDF("eigenvalue", "c1", "c2", "c3")
+          .select(round(col("eigenvalue"), 4).as("eigenvalue"),
+            round(col("c1"), 6).as("c1"),
+            round(col("c2"), 6).as("c2"),
+            round(col("c3"), 6).as("c3"))
+      },
+      Some("""WITH RECURSIVE
+                e AS (SELECT CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+                gram AS (
+                  SELECT i, j, CAST(sum(CAST(emb[i] * emb[j] AS DECIMAL(18,6))) AS DOUBLE) AS g
+                  FROM e, (SELECT unnest(generate_series(1,64)) AS i) a,
+                          (SELECT unnest(generate_series(1,64)) AS j) b
+                  GROUP BY i, j),
+                gmat AS (
+                  SELECT list(gl ORDER BY i) AS G FROM (
+                    SELECT i, list(g ORDER BY j) AS gl FROM gram GROUP BY i) t),
+                it(k, v) AS (
+                  SELECT 0, list_transform(generate_series(1,64),
+                    x -> CAST(CASE WHEN x = 1 THEN 1.0 ELSE 0.0 END AS DOUBLE))
+                  UNION ALL
+                  SELECT k + 1,
+                    list_transform(generate_series(1,64),
+                      i -> list_reduce(list_transform(generate_series(1,64),
+                             j -> G[i][j] * v[j]), (a, b) -> a + b))
+                  FROM it, gmat WHERE k < 20),
+                fin AS (SELECT v FROM it WHERE k = 20),
+                nrm AS (SELECT v, sqrt(list_reduce(list_transform(v, x -> x*x), (a,b) -> a+b)) AS n
+                        FROM fin),
+                unit AS (SELECT list_transform(v, x -> x / n) AS u FROM nrm),
+                ray AS (SELECT u, list_reduce(list_transform(generate_series(1,64),
+                          i -> u[i] * list_reduce(list_transform(generate_series(1,64),
+                                 j -> G[i][j] * u[j]), (a,b) -> a+b)), (a,b) -> a+b) AS lam
+                        FROM unit, gmat)
+              SELECT round(lam, 4) AS eigenvalue, round(u[1], 6) AS c1,
+                     round(u[2], 6) AS c2, round(u[3], 6) AS c3
+              FROM ray""")),
+
+    QueryDef(
       "ml_lasso_fit",
       // dask-cuml Lasso.fit, 1 feature: the coordinate-descent fixed point
       // has a closed form — soft-threshold the centered cross-moment:

@@ -6,9 +6,9 @@ package graft
   */
 class RegistrySpec extends SparkSpec {
 
-  test("all eleven catalogs are registered (66 SURVEY keys + 17 extensions)") {
-    assert(SparkEntry.queries.size == 83,
-      s"expected 83 registered queries, got ${SparkEntry.queries.size}")
+  test("all eleven catalogs are registered (66 SURVEY keys + 18 extensions)") {
+    assert(SparkEntry.queries.size == 84,
+      s"expected 84 registered queries, got ${SparkEntry.queries.size}")
   }
 
   test("every oracle key has a registered query") {
