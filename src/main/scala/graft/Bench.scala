@@ -66,22 +66,30 @@ object Bench {
     // (~22 chars/entry keeps 80+ queries under the window with margin),
     // and name failed queries only when there are any.
     def f2(v: Double): String = {
-      val s = "%.2f".formatLocal(java.util.Locale.ROOT, v)
-      // strip trailing zeros ("0.30" → "0.3") — worth ~80 chars of window
+      // adaptive precision keeps the line short even on a slow machine:
+      // ≥10 s → whole seconds; otherwise 2 dp with trailing zeros stripped
+      val s =
+        if (v >= 10) "%.0f".formatLocal(java.util.Locale.ROOT, v)
+        else "%.2f".formatLocal(java.util.Locale.ROOT, v)
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".") else s
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f2(v) }.mkString("{", ",", "}")
     val sum = results.map(_._2).sum
+    // name at most 3 failed queries on stdout (full list in the file) so a
+    // pathological run can't push the line past the parser's tail window
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
     val failedPart =
-      if (failed.isEmpty) "" else s""","failed":${failed.mkString("[", ",", "]")}"""
+      if (failed.isEmpty) ""
+      else s""","failed":${failed.take(3).mkString("[", ",", "]")}"""
     // stdout line: compact (the driver parses it from a ~2 KB tail window —
     // 83 queries leave <60 chars of slack with "sum" included, so that
     // field lives only in the file copy, which has no size constraint)
     val line =
       s"""{"metric":"total","value":${f2(wall)},"unit":"sec","queries":$qs,"n_failed":${failed.size}$failedPart,"sf":"$sfDir"}"""
+    val failedPartFull =
+      if (failed.isEmpty) "" else s""","failed":${failed.mkString("[", ",", "]")}"""
     val rich =
-      s"""{"metric":"total","value":${f2(wall)},"unit":"sec","sum":${f2(sum)},"queries":$qs,"n_failed":${failed.size}$failedPart,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f2(wall)},"unit":"sec","sum":${f2(sum)},"queries":$qs,"n_failed":${failed.size}$failedPartFull,"sf":"$sfDir"}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
     try Files.writeString(Paths.get(outFile), rich + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] file write failed: ${e.getMessage}") }
