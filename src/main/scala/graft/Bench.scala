@@ -65,15 +65,15 @@ object Bench {
     // "parsed": null). Keep this line compact — 2-decimal per-query timings
     // (~22 chars/entry keeps 80+ queries under the window with margin),
     // and name failed queries only when there are any.
-    def f2(v: Double): String = {
+    def fmt(v: Double, dp: Int): String = {
       // adaptive precision keeps the line short even on a slow machine:
-      // ≥10 s → whole seconds; otherwise 2 dp with trailing zeros stripped
+      // ≥10 s → whole seconds; otherwise `dp` decimals, trailing zeros
+      // stripped
       val s =
         if (v >= 10) "%.0f".formatLocal(java.util.Locale.ROOT, v)
-        else "%.2f".formatLocal(java.util.Locale.ROOT, v)
+        else s"%.${dp}f".formatLocal(java.util.Locale.ROOT, v)
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".") else s
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f2(v) }.mkString("{", ",", "}")
     val sum = results.map(_._2).sum
     // name at most 3 failed queries on stdout (full list in the file) so a
     // pathological run can't push the line past the parser's tail window
@@ -81,15 +81,24 @@ object Bench {
     val failedPart =
       if (failed.isEmpty) ""
       else s""","failed":${failed.take(3).mkString("[", ",", "]")}"""
-    // stdout line: compact (the driver parses it from a ~2 KB tail window —
-    // 83 queries leave <60 chars of slack with "sum" included, so that
-    // field lives only in the file copy, which has no size constraint)
-    val line =
-      s"""{"metric":"total","value":${f2(wall)},"unit":"sec","queries":$qs,"n_failed":${failed.size}$failedPart,"sf":"$sfDir"}"""
+    // stdout line: compact — the driver parses it from a ~2 KB tail window
+    // (round-2 failure mode: a 4 KB line got truncated → "parsed": null).
+    // "sum" stays on the line (ADVICE r3: consumers must be able to tell
+    // pipelined wall from total work); per-query precision degrades 1 dp →
+    // 0 dp if the 85-query line would crowd the window.
+    def mkLine(dp: Int): String = {
+      val qs = results.map { case (k, v, _) => "\"" + k + "\":" + fmt(v, dp) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(wall, dp)},"unit":"sec","sum":${fmt(sum, dp)},"pipelined":true,"queries":$qs,"n_failed":${failed.size}$failedPart,"sf":"$sfDir"}"""
+    }
+    val line = { val l1 = mkLine(1); if (l1.length <= 1800) l1 else mkLine(0) }
     val failedPartFull =
       if (failed.isEmpty) "" else s""","failed":${failed.mkString("[", ",", "]")}"""
+    // file copy: no size constraint → full 2-dp precision
+    val qs2 = results.map { case (k, v, _) => "\"" + k + "\":" + fmt(v, 2) }
+      .mkString("{", ",", "}")
     val rich =
-      s"""{"metric":"total","value":${f2(wall)},"unit":"sec","sum":${f2(sum)},"queries":$qs,"n_failed":${failed.size}$failedPartFull,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(wall, 2)},"unit":"sec","sum":${fmt(sum, 2)},"pipelined":true,"queries":$qs2,"n_failed":${failed.size}$failedPartFull,"sf":"$sfDir"}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
     try Files.writeString(Paths.get(outFile), rich + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] file write failed: ${e.getMessage}") }

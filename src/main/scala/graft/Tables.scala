@@ -87,4 +87,28 @@ object Tables {
     * Both engines widen sum(DECIMAL(30,12)) to DECIMAL(38,12). */
   def xsumD(c: Column): Column = sum(c.cast(exact))
   def sqlXsumD(e: String): String = s"sum(CAST(($e) AS DECIMAL(30,12)))"
+
+  /** Dense 1-based ids over a distinct key column — value-identical to
+    * `row_number() OVER (ORDER BY key)` (the oracles' form) but with NO
+    * single-partition exchange: a distributed range-partitioned sort, then
+    * partition-offset ids from `zipWithIndex`. This is the 100 TB-safe
+    * vocab-id assignment (VERDICT r3 fix #1): the old global window funneled
+    * the whole vocabulary through one task; here every partition sorts its
+    * range in parallel and `zipWithIndex` adds one lightweight count job for
+    * the offsets. Ids depend only on the total key order (keys are
+    * distinct), so they are deterministic and engine-portable.
+    *
+    * NOTE: eager — `zipWithIndex` launches the sort job at call time, so
+    * query builders that use this run their vocab job during construction.
+    */
+  def denseIds(distinctKeys: DataFrame, keyCol: String, idCol: String): DataFrame = {
+    val s = distinctKeys.sparkSession
+    val sorted = distinctKeys.select(keyCol).sort(keyCol)
+    val keyField = sorted.schema.head
+    val rows = sorted.rdd.zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row(r.get(0), i + 1L)
+    }
+    s.createDataFrame(rows,
+      StructType(Seq(keyField, StructField(idCol, LongType, nullable = false))))
+  }
 }

@@ -126,10 +126,15 @@ case class VecL2Dist(left: Expression, right: Expression) extends VecBinary {
 object Vec {
   def register(s: SparkSession): Unit = {
     val reg = s.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction(
-      "graft_vec_dot", args => VecDot(args.head, args(1)), "built-in")
-    reg.createOrReplaceTempFunction(
-      "graft_vec_l2", args => VecL2Dist(args.head, args(1)), "built-in")
+    // idempotent: re-registering an existing name logs a WARN per call
+    // ("replaced a previously registered function"), which at one call per
+    // Column construction spammed every bench/test log (VERDICT r3 #6)
+    if (!reg.functionExists(FunctionIdentifier("graft_vec_dot"))) {
+      reg.createOrReplaceTempFunction(
+        "graft_vec_dot", args => VecDot(args.head, args(1)), "built-in")
+      reg.createOrReplaceTempFunction(
+        "graft_vec_l2", args => VecL2Dist(args.head, args(1)), "built-in")
+    }
   }
 
   def dot(s: SparkSession, a: String, b: String): Column = {

@@ -27,9 +27,9 @@ object Dedup {
   // Same deterministic affine hash family as dedup_minhash
   // (TextSim.scala): engine hash() builtins differ across Spark/DuckDB,
   // affine arithmetic over dense term-ids does not. The dense ids come
-  // from a global row_number over the sorted vocab — single-partition, the
-  // oracle form; at 100 TB use rdd.zipWithIndex (partition-offset ids) or
-  // xxhash64 directly (see TextSim.dedup_minhash note).
+  // from Tables.denseIds (distributed sort + zipWithIndex offsets) —
+  // value-identical to the oracle's row_number window, no single-partition
+  // exchange (VERDICT r3 fix #1).
   private val P = 2147483647L
   private val A1 = 387143L
   private val B1 = 31337L
@@ -48,8 +48,7 @@ object Dedup {
         val toks = T.documents(s, dir)
           .select(col("doc_id"), explode(filter(split(col("text"), " "), t => t =!= "")).as("term"))
         val w = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("w"))
-        val vocab = toks.select(col("term")).distinct()
-          .select(col("term"), row_number().over(Window.orderBy(col("term"))).as("tid"))
+        val vocab = T.denseIds(toks.select(col("term")).distinct(), "term", "tid")
         val h = w.join(vocab, "term")
           .select(col("doc_id"), col("w"),
             ((lit(A1) * col("tid") + lit(B1)) % lit(P)).as("hv"))
@@ -86,30 +85,37 @@ object Dedup {
     QueryDef(
       "dedup_ngram_jaccard",
       // Word-trigram Jaccard ≥ 0.5 via inverted index: pairs meet only
-      // through a shared gram (join on g), intersection = count of shared
-      // grams, union = |A| + |B| − ∩. Integer counts → exact double
-      // division, rounded on the wire.
+      // through a shared gram, intersection = count of shared grams,
+      // union = |A| + |B| − ∩. Integer counts → exact double division,
+      // rounded on the wire.
+      //
+      // Plan shape (r4): the per-doc distinct-gram ARRAY is built map-only
+      // with transform+array_distinct, so |grams(d)| is a per-row size()
+      // (no aggregation), and the inverted index groups gram → doc list
+      // with in-bucket pair explode — the gram subtree is evaluated once
+      // per path and nothing needs a persist (VERDICT r3 #4). Bucket size
+      // = df(g), bounded (fixture max 7); at 100 TB add prefix filtering
+      // (drop each doc's most frequent grams) to cap df.
       (s, dir) => {
-        val toks = T.documents(s, dir)
+        val grams = T.documents(s, dir)
           .select(col("doc_id"), filter(split(col("text"), " "), t => t =!= "").as("ts"))
-        val ng = toks
-          // guard: sequence(1, n) with n < 1 would COUNT DOWN (Spark picks
-          // step −1), yielding bogus indexes — docs under 3 tokens have no
-          // trigrams, same as the oracle's WHERE i <= len - 2
+          // sequence(1, n) with n < 1 would COUNT DOWN (Spark picks step
+          // −1) — docs under 3 tokens have no trigrams, as in the oracle
           .where(size(col("ts")) >= 3)
-          .select(col("doc_id"), explode(sequence(lit(1), size(col("ts")) - 2)).as("i"), col("ts"))
-          .select(col("doc_id"),
-            concat_ws(" ", element_at(col("ts"), col("i")),
-              element_at(col("ts"), col("i") + 1),
-              element_at(col("ts"), col("i") + 2)).as("g"))
-          .distinct()
-          .persist() // feeds sizes AND both sides of the index join
-        val sz = ng.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-        val shared = ng.select(col("doc_id").as("doc_a"), col("g"))
-          .join(ng.select(col("doc_id").as("doc_b"), col("g")), "g")
+          .select(col("doc_id"), array_distinct(expr(
+            """transform(sequence(1, size(ts) - 2),
+               i -> concat_ws(' ', element_at(ts, i), element_at(ts, i + 1), element_at(ts, i + 2)))"""))
+            .as("grams"))
+        val sz = grams.select(col("doc_id"), size(col("grams")).as("sz"))
+        val inter = grams
+          .select(col("doc_id"), explode(col("grams")).as("g"))
+          .groupBy("g").agg(collect_list(col("doc_id")).as("docs"))
+          .where(size(col("docs")) > 1)
+          .select(explode(col("docs")).as("doc_a"), col("docs"))
+          .select(col("doc_a"), explode(col("docs")).as("doc_b"))
           .where(col("doc_a") < col("doc_b"))
           .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-        shared
+        inter
           .join(sz.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
           .join(sz.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
           .select(col("doc_a"), col("doc_b"),
@@ -121,8 +127,9 @@ object Dedup {
       Some("""WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
                 FROM documents),
                 ng AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS g
-                       FROM toks, (SELECT unnest(generate_series(1, 10000)) AS i) s
-                       WHERE i <= len(ts) - 2),
+                       FROM (SELECT doc_id, ts,
+                               unnest(generate_series(1, len(ts) - 2)) AS i
+                             FROM toks) x),
                 sz AS (SELECT doc_id, count(*) AS sz FROM ng GROUP BY doc_id),
                 shared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
                            FROM ng a JOIN ng b ON a.g = b.g AND a.doc_id < b.doc_id

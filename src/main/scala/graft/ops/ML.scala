@@ -55,6 +55,19 @@ object ML {
   private val interceptExpr =
     s"(sy - ($slopeExpr) * sx) / n"
 
+  /** Scaled-BIGINT wire encoding (value × 10⁴ — exact for ≤2 dp source
+    * data, see ml_linreg_normal_eq). ADVICE r3 guard: per-group sum(y·y)×10⁴
+    * is ~6e18 at sf0.1, within Int64 but close; at a larger SF Spark's
+    * non-ANSI decimal→long cast would silently return NULL while DuckDB
+    * errors, so fail loudly just short of 2⁶³ instead.
+    */
+  private def e4(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val v = c * lit(10000)
+    when(abs(v) > lit(9.0e18),
+      raise_error(concat(lit("e4 wire overflow: "), v.cast("string"))))
+      .otherwise(v.cast("long"))
+  }
+
   val entries: Seq[QueryDef] = Seq(
 
     QueryDef(
@@ -89,7 +102,6 @@ object ML {
       (s, dir) => {
         import org.apache.spark.sql.types.DecimalType
         val d6 = DecimalType(19, 6)
-        def e4(c: org.apache.spark.sql.Column) = (c * lit(10000)).cast("long")
         val l = T.lineitem(s, dir).select(
           col("l_quantity").cast(d6).as("q"),
           col("l_discount").cast(d6).as("d"),
@@ -155,7 +167,6 @@ object ML {
       (s, dir) => {
         import org.apache.spark.sql.types.DecimalType
         val d6 = DecimalType(19, 6)
-        def e4(c: org.apache.spark.sql.Column) = (c * lit(10000)).cast("long")
         val l = T.lineitem(s, dir).select(
           col("l_returnflag"), col("l_linestatus"),
           col("l_quantity").cast(d6).as("x"),
@@ -242,20 +253,57 @@ object ML {
       // oracle's list_reduce fold doubles in the same sequential order
       // (verified equal to the last bit before this was written).
       (s, dir) => {
-        import org.apache.spark.sql.types.DecimalType
         val spark = s
         import spark.implicits._
-        val d6 = DecimalType(18, 6)
-        val gramRows = T.embeddings(s, dir).select(col("embedding"))
-          .select(col("embedding"), explode(sequence(lit(1), lit(64))).as("i"))
-          .select(col("embedding"), col("i"), explode(sequence(lit(1), lit(64))).as("j"))
-          .select(col("i"), col("j"),
-            (element_at(col("embedding"), col("i")).cast("double") *
-             element_at(col("embedding"), col("j")).cast("double")).cast(d6).as("p"))
-          .groupBy("i", "j").agg(sum(col("p")).cast("double").as("g"))
-          .collect() // 4,096 doubles — the client-held sufficient statistic
+        // Gram via PER-PARTITION ACCUMULATION (VERDICT r3 fix #2 — replaces
+        // the 64×64 explode, which amplified every input row into 4,096
+        // shuffle rows): each task folds its rows into one 64×64 buffer of
+        // ×10⁶-scaled longs, and the driver merges the per-partition
+        // buffers — a classic map-side sufficient statistic with zero row
+        // amplification. The arithmetic is bit-identical to the old plan
+        // AND the DuckDB oracle: per cell, each float is widened to double,
+        // multiplied in double, rounded HALF_UP at 6 dp (exactly Spark's
+        // double→DECIMAL(18,6) cast via BigDecimal.valueOf = the shortest
+        // decimal repr), and summed as an exact integer — long addition is
+        // associative, so partitioning/merge order cannot change the sum.
+        // addExact guards the (far-off) ×10⁶ overflow loudly.
+        val partials = T.embeddings(s, dir).select(col("embedding"))
+          .repartition(s.sparkContext.defaultParallelism)
+          .rdd.mapPartitions { it =>
+            val acc = new Array[Long](64 * 64)
+            it.foreach { r =>
+              val seq = r.getSeq[Float](0)
+              val v = new Array[Double](64)
+              var i = 0
+              while (i < 64) { v(i) = seq(i).toDouble; i += 1 }
+              i = 0
+              while (i < 64) {
+                var j = i
+                while (j < 64) {
+                  val p = java.math.BigDecimal.valueOf(v(i) * v(j))
+                    .setScale(6, java.math.RoundingMode.HALF_UP)
+                    .unscaledValue().longValueExact()
+                  acc(i * 64 + j) = Math.addExact(acc(i * 64 + j), p)
+                  if (j != i) acc(j * 64 + i) = acc(i * 64 + j)
+                  j += 1
+                }
+                i += 1
+              }
+              ()
+            }
+            Iterator.single(acc)
+          }
+        val totals = partials.reduce { (a, b) =>
+          val m = new Array[Long](64 * 64)
+          var k = 0
+          while (k < 64 * 64) { m(k) = Math.addExact(a(k), b(k)); k += 1 }
+          m
+        }
         val G = Array.ofDim[Double](64, 64)
-        gramRows.foreach(r => G(r.getAs[Int]("i") - 1)(r.getAs[Int]("j") - 1) = r.getAs[Double]("g"))
+        for (i <- 0 until 64; j <- 0 until 64)
+          // DECIMAL(·,6) → double, correctly rounded — same as the old
+          // sum(p).cast("double") and the oracle's CAST(sum(...) AS DOUBLE)
+          G(i)(j) = java.math.BigDecimal.valueOf(totals(i * 64 + j), 6).doubleValue()
         def matvec(x: Array[Double]): Array[Double] = Array.tabulate(64) { i =>
           var acc = 0.0; var j = 0
           while (j < 64) { acc += G(i)(j) * x(j); j += 1 }
@@ -366,7 +414,7 @@ object ML {
           .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
         // repartition: the one-row-group fixture parquet would stream the
         // broadcast join single-threaded otherwise
-        val cand = e.repartition(32, col("vec_id"))
+        val cand = e.repartition(s.sparkContext.defaultParallelism, col("vec_id"))
           .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
         val dist = graft.functions.Vec.l2(s, "q_emb", "n_emb")
         val w = Window.partitionBy(col("q_id")).orderBy(col("d"), col("n_id"))
@@ -396,7 +444,7 @@ object ML {
           sqrt(graft.functions.Vec.dot(s, "embedding", "embedding")).as("nrm"))
         val q = e.where(col("vec_id") < 20)
           .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
-        val cand = e.repartition(32, col("vec_id"))
+        val cand = e.repartition(s.sparkContext.defaultParallelism, col("vec_id"))
           .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"), col("nrm").as("n_nrm"))
         val cos = graft.functions.Vec.dot(s, "q_emb", "n_emb") / (col("q_nrm") * col("n_nrm"))
         val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
@@ -429,7 +477,8 @@ object ML {
           .select(col("vec_id").as("cid"), col("embedding").as("c_emb"))
         val dist = graft.functions.Vec.l2(s, "embedding", "c_emb")
         val w = Window.partitionBy(col("vec_id")).orderBy(col("d"), col("cid"))
-        e.repartition(32, col("vec_id")).crossJoin(broadcast(cent))
+        e.repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+          .crossJoin(broadcast(cent))
           .select(col("vec_id"), col("cid"), dist.as("d"))
           .withColumn("rn", row_number().over(w))
           .where(col("rn") === 1)
@@ -438,13 +487,17 @@ object ML {
             round(T.xsum(col("d")) / count(lit(1)), 6).as("avg_dist"))
           .orderBy("cid")
       },
+      // ADVICE r3: arg_min has unspecified tie-breaking in DuckDB; the
+      // row_number (d, cid) form mirrors Spark's deterministic tiebreak.
       Some(s"""WITH a AS (
-                 SELECT e.vec_id,
-                   arg_min(c.vec_id, list_distance(CAST(e.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))) AS cid,
-                   min(list_distance(CAST(e.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))) AS d
-                 FROM embeddings e CROSS JOIN embeddings c
-                 WHERE c.vec_id < 10
-                 GROUP BY e.vec_id)
+                 SELECT vec_id, cid, d FROM (
+                   SELECT e.vec_id, c.vec_id AS cid,
+                     list_distance(CAST(e.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS d,
+                     row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), c.vec_id) AS rn
+                   FROM embeddings e CROSS JOIN embeddings c
+                   WHERE c.vec_id < 10) t
+                 WHERE rn = 1)
                SELECT cid, count(*) AS n_points,
                  round(${T.sqlXsum("d")} / count(*), 6) AS avg_dist
                FROM a GROUP BY cid ORDER BY cid""")),
@@ -460,7 +513,8 @@ object ML {
           .select(col("vec_id").as("cid"), col("embedding").as("c_emb"))
         val dist = graft.functions.Vec.l2(s, "embedding", "c_emb")
         val w = Window.partitionBy(col("vec_id")).orderBy(col("d"), col("cid"))
-        e.crossJoin(broadcast(cent))
+        e.repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+          .crossJoin(broadcast(cent))
           .select(col("vec_id"), col("embedding"), col("cid"), dist.as("d"))
           .withColumn("rn", row_number().over(w))
           .where(col("rn") === 1)
@@ -473,12 +527,15 @@ object ML {
             round(avg(element_at(col("embedding"), 4).cast("double")), 6).as("m4"))
           .orderBy("cid")
       },
+      // row_number tie-break form — see ml_kmeans_assign oracle note
       Some("""WITH a AS (
-                SELECT e.vec_id, e.embedding,
-                  arg_min(c.vec_id, list_distance(CAST(e.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))) AS cid
-                FROM embeddings e CROSS JOIN embeddings c
-                WHERE c.vec_id < 10
-                GROUP BY e.vec_id, e.embedding)
+                SELECT vec_id, embedding, cid FROM (
+                  SELECT e.vec_id, e.embedding, c.vec_id AS cid,
+                    row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), c.vec_id) AS rn
+                  FROM embeddings e CROSS JOIN embeddings c
+                  WHERE c.vec_id < 10) t
+                WHERE rn = 1)
               SELECT cid, count(*) AS n,
                 round(avg(CAST(embedding[1] AS DOUBLE)), 6) AS m1,
                 round(avg(CAST(embedding[2] AS DOUBLE)), 6) AS m2,
@@ -489,10 +546,15 @@ object ML {
     QueryDef(
       "ml_kmeans_iterate",
       // 3 full Lloyd iterations — the driver-side loop is the idiomatic
-      // Spark replacement for dask's dynamic task graph (small state, K×64
-      // doubles, lives on the driver like cuML's client-held centroids).
-      // cache() each assignment input; fixed iteration count for
-      // reproducibility.
+      // Spark replacement for dask's dynamic task graph. The centroids are
+      // DRIVER-HELD state (K×64 floats, cuML's client-held cluster_centers_):
+      // after each update step they are collect()ed and re-literalized, so
+      // iteration i+1's broadcast is built from 10 local rows instead of a
+      // plan that re-executes iterations 1..i (the r3 nested-plan shape —
+      // each broadcast build recomputed every earlier Lloyd pass, the bulk
+      // of its 31 s bench cost), and no cache() is needed at all
+      // (VERDICT r3 #3/#4: repartition the one-row-group fixture; nothing
+      // persisted may outlive the query).
       //
       // ORACLE: the same 3 unrolled iterations as DuckDB CTEs. The float
       // cast on every centroid element is what makes this checkable —
@@ -501,7 +563,8 @@ object ML {
       // assignments and distances) agree bit-exactly.
       (s, dir) => {
         val e = T.embeddings(s, dir)
-          .select(col("vec_id"), col("embedding")).cache()
+          .select(col("vec_id"), col("embedding"))
+          .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
         var cent: DataFrame = e.where(col("vec_id") < 10)
           .select(col("vec_id").as("cid"), col("embedding").as("c_emb"))
         for (_ <- 1 to 3) {
@@ -513,16 +576,16 @@ object ML {
             .where(col("rn") === 1)
           // new centroids: per-cluster elementwise mean of all 64 dims,
           // computed as array-of-avg via posexplode-free zip of aggregates
-          cent = assigned
+          val next = assigned
             .groupBy("cid")
             .agg(array((1 to 64).map(i =>
               avg(element_at(col("embedding"), i).cast("double")).cast("float")): _*).as("c_emb"))
-            .select(col("cid"), col("c_emb"))
+          val centRows = next.collect() // K×64 floats — the client-held state
+          cent = s.createDataFrame(java.util.Arrays.asList(centRows: _*), next.schema)
         }
-        val eFinal = e
         val dist = graft.functions.Vec.l2(s, "embedding", "c_emb")
         val w = Window.partitionBy(col("vec_id")).orderBy(col("d"), col("cid"))
-        eFinal.crossJoin(broadcast(cent))
+        e.crossJoin(broadcast(cent))
           .select(col("vec_id"), col("cid"), dist.as("d"))
           .withColumn("rn", row_number().over(w))
           .where(col("rn") === 1)
@@ -532,13 +595,17 @@ object ML {
           .orderBy("cid")
       },
       Some {
-        // elementwise centroid mean, float-rounded like the Spark side
+        // elementwise centroid mean, float-rounded like the Spark side;
+        // assignment via row_number (d, cid) — deterministic tie-break
+        // mirroring Spark's window (ADVICE r3: arg_min ties are unspecified)
         val meanList = (1 to 64).map(i =>
           s"CAST(CAST(avg(emb[$i]) AS REAL) AS DOUBLE)").mkString("list_value(", ", ", ")")
         def assign(prev: String) =
-          s"""SELECT e.vec_id, e.emb,
-                arg_min(c.cid, list_distance(e.emb, c.c)) AS cid
-              FROM e CROSS JOIN $prev c GROUP BY e.vec_id, e.emb"""
+          s"""SELECT vec_id, emb, cid FROM (
+                SELECT e.vec_id, e.emb, c.cid,
+                  row_number() OVER (PARTITION BY e.vec_id
+                    ORDER BY list_distance(e.emb, c.c), c.cid) AS rn
+                FROM e CROSS JOIN $prev c) t WHERE rn = 1"""
         def update(prev: String) =
           s"SELECT cid, $meanList AS c FROM $prev GROUP BY cid"
         s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
@@ -546,10 +613,11 @@ object ML {
               a1 AS (${assign("c0")}), c1 AS (${update("a1")}),
               a2 AS (${assign("c1")}), c2 AS (${update("a2")}),
               a3 AS (${assign("c2")}), c3 AS (${update("a3")}),
-              af AS (SELECT e.vec_id,
-                       arg_min(c.cid, list_distance(e.emb, c.c)) AS cid,
-                       min(list_distance(e.emb, c.c)) AS d
-                     FROM e CROSS JOIN c3 c GROUP BY e.vec_id)
+              af AS (SELECT vec_id, cid, d FROM (
+                       SELECT e.vec_id, c.cid, list_distance(e.emb, c.c) AS d,
+                         row_number() OVER (PARTITION BY e.vec_id
+                           ORDER BY list_distance(e.emb, c.c), c.cid) AS rn
+                       FROM e CROSS JOIN c3 c) t WHERE rn = 1)
             SELECT cid, count(*) AS n_points,
               round(${T.sqlXsum("d")} / count(*), 6) AS avg_dist
             FROM af GROUP BY cid ORDER BY cid"""

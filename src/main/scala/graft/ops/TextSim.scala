@@ -123,51 +123,51 @@ object TextSim {
       //      min-hash; shingles spanning word boundaries give a ~6k vocab
       //      and real LSH selectivity: max bucket 40 vs 3847, candidate
       //      pairs 4.7k vs 7.7M measured at sf0.1).
-      //   2. vocab: sorted distinct shingles → dense term-id (engine hash()
-      //      functions differ, so the family is affine arithmetic both
-      //      engines share: h_i(t) = (a_i·tid + b_i) mod p).
-      //      ORACLE FORM: the global row_number window is single-partition —
-      //      fine for a ≤millions-term vocab. PRODUCTION FORM at 100 TB:
-      //      rdd.zipWithIndex on the sorted distinct terms (partition-offset
-      //      ids, no single-point sort) or xxhash64 ids once the oracle
-      //      equality constraint is dropped.
+      //   2. vocab: sorted distinct shingles → dense term-id via
+      //      Tables.denseIds (distributed sort + zipWithIndex offsets —
+      //      value-identical to the oracle's row_number window with no
+      //      single-partition exchange; the hash family stays affine
+      //      arithmetic both engines share: h_i(t) = (a_i·tid + b_i) mod p).
       //   3. signatures: 8 min-hashes per doc = ONE groupBy(doc).
-      //   4. bands: 2 bands × 4 hashes; docs sharing any band bucket are
-      //      candidates (self-join per band, unioned, distinct).
+      //   4. bands: 2 bands × 4 hashes per doc, generated in one pass
+      //      (explode of 2 structs — no self-join); candidate pairs come
+      //      from a per-bucket collect_list + in-bucket pair explode, so
+      //      the signature subtree is evaluated once and the pair space is
+      //      LSH-bounded (max bucket 40 docs at sf0.1). No persist: the
+      //      shingle set is scanned twice (vocab build + hash join), both
+      //      map-side — in a managed pipeline the vocab is its own job.
       (s, dir) => {
-        // persist: dt feeds vocab AND the hash join, sig feeds both band
-        // branches — without a persist each consumer recomputes the 2M-row
-        // shingle explode (measured ~2.5s of the query's cost)
         val dt = T.documents(s, dir)
           .select(col("doc_id"), col("text"),
             explode(sequence(lit(1), length(col("text")) - 6)).as("pos"))
           .select(col("doc_id"), expr("substring(text, pos, 7)").as("term"))
           .distinct()
-          .persist()
-        val vocabW = Window.orderBy(col("term"))
-        val vocab = dt.select(col("term")).distinct()
-          .select(col("term"), row_number().over(vocabW).as("tid"))
+        val vocab = T.denseIds(dt.select(col("term")).distinct(), "term", "tid")
         val hashed = dt.join(vocab, "term")
         val hs = (0 until 8).map(i =>
           min((lit(A(i)) * col("tid") + lit(B(i))) % lit(P)).as(s"h$i"))
-        val sig = hashed.groupBy("doc_id").agg(hs.head, hs.tail: _*).persist()
-        val bands = (0 until 2).map { b =>
-          sig.select(col("doc_id"), lit(b).as("band"),
+        val sig = hashed.groupBy("doc_id").agg(hs.head, hs.tail: _*)
+        val bandStructs = (0 until 2).map(b =>
+          struct(lit(b).as("band"),
             col(s"h${4 * b}").as("k1"), col(s"h${4 * b + 1}").as("k2"),
-            col(s"h${4 * b + 2}").as("k3"), col(s"h${4 * b + 3}").as("k4"))
-        }.reduce(_ unionByName _)
-        val a = bands.select(col("band"), col("k1"), col("k2"), col("k3"), col("k4"),
-          col("doc_id").as("doc_a"))
-        val bb = bands.select(col("band"), col("k1"), col("k2"), col("k3"), col("k4"),
-          col("doc_id").as("doc_b"))
-        a.join(bb, Seq("band", "k1", "k2", "k3", "k4"))
+            col(s"h${4 * b + 2}").as("k3"), col(s"h${4 * b + 3}").as("k4")))
+        val bands = sig
+          .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+          .select(col("doc_id"), col("bk.band"), col("bk.k1"), col("bk.k2"),
+            col("bk.k3"), col("bk.k4"))
+        bands.groupBy("band", "k1", "k2", "k3", "k4")
+          .agg(collect_list(col("doc_id")).as("docs"))
+          .where(size(col("docs")) > 1)
+          .select(explode(col("docs")).as("doc_a"), col("docs"))
+          .select(col("doc_a"), explode(col("docs")).as("doc_b"))
           .where(col("doc_a") < col("doc_b"))
           .select("doc_a", "doc_b").distinct()
           .orderBy("doc_a", "doc_b")
       },
       Some(s"""WITH dt AS (SELECT DISTINCT doc_id, substr(text, CAST(pos AS INT), 7) AS term
-                 FROM documents, (SELECT unnest(generate_series(1, 10000)) AS pos) p
-                 WHERE pos <= length(text) - 6),
+                 FROM (SELECT doc_id, text,
+                         unnest(generate_series(1, length(text) - 6)) AS pos
+                       FROM documents) x),
                  vocab AS (SELECT term, row_number() OVER (ORDER BY term) AS tid
                            FROM (SELECT DISTINCT term FROM dt) v),
                  sig AS (SELECT doc_id,
@@ -198,7 +198,7 @@ object TextSim {
         // hash-repartitioning the streamed side fans the O(n²) work over
         // all cores (deterministic: partitioning never changes the result
         // set, and the sink re-sorts)
-        val a = e.repartition(32, col("vec_id"))
+        val a = e.repartition(s.sparkContext.defaultParallelism, col("vec_id"))
           .select(col("vec_id").as("id_a"), col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
         val b = e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
         val cos = graft.functions.Vec.dot(s, "emb_a", "emb_b") / (col("nrm_a") * col("nrm_b"))
@@ -228,7 +228,7 @@ object TextSim {
         // same single-partition hazard as sim_threshold: repartition the
         // streamed side so the pair scan + per-partition top-50 heaps
         // (TakeOrderedAndProject) use every core
-        val a = e.repartition(32, col("vec_id"))
+        val a = e.repartition(s.sparkContext.defaultParallelism, col("vec_id"))
           .select(col("vec_id").as("id_a"), col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
         val b = e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
         val cos = graft.functions.Vec.dot(s, "emb_a", "emb_b") / (col("nrm_a") * col("nrm_b"))
@@ -243,6 +243,46 @@ object TextSim {
               FROM embeddings a CROSS JOIN embeddings b
               WHERE a.vec_id < b.vec_id
               ORDER BY sim DESC, id_a ASC, id_b ASC LIMIT 50""")),
+
+    QueryDef(
+      "sim_threshold_lsh",
+      // PRODUCTION form of sim_threshold (VERDICT r3 #5): bounded-candidate
+      // sign-LSH. Pairs meet only inside an 8-bit hyperplane-sign bucket
+      // (dims 1–8 sign bits — the same bucketing as dedup_embed_cosine);
+      // exact cosine is computed within buckets only, then the same >0.9
+      // threshold and wire shape as the brute-force row. sim_threshold stays
+      // registered as the recall reference: any pair it finds that this
+      // query misses crossed a hyperplane (recall loss is measurable by
+      // diffing the two outputs). At 100 TB the bucket id is the shuffle
+      // key and candidate cost is Σ_b n_b² ≪ n².
+      (s, dir) => {
+        val bucket = (1 to 8).map(i =>
+          when(element_at(col("embedding"), i) >= 0f, lit(1 << (i - 1))).otherwise(lit(0)))
+          .reduce(_ + _)
+        val e = T.embeddings(s, dir).select(col("vec_id"), col("embedding"),
+          bucket.as("bkt"),
+          sqrt(graft.functions.Vec.dot(s, "embedding", "embedding")).as("nrm"))
+        val a = e.repartition(s.sparkContext.defaultParallelism, col("bkt"))
+          .select(col("vec_id").as("id_a"), col("embedding").as("emb_a"),
+            col("bkt"), col("nrm").as("nrm_a"))
+        val b = e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"),
+          col("bkt"), col("nrm").as("nrm_b"))
+        val cos = graft.functions.Vec.dot(s, "emb_a", "emb_b") / (col("nrm_a") * col("nrm_b"))
+        a.join(b, "bkt").where(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"), cos.as("sim"))
+          .where(col("sim") > 0.9)
+          .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+                  CAST(list_sum(list_transform(generate_series(1, 8),
+                    i -> CASE WHEN embedding[i] >= 0 THEN 1 << (i - 1) ELSE 0 END)) AS INT) AS bkt
+                FROM embeddings)
+              SELECT id_a, id_b, round(sim, 6) AS sim FROM (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                  list_cosine_similarity(a.emb, b.emb) AS sim
+                FROM e a JOIN e b ON a.bkt = b.bkt AND a.vec_id < b.vec_id) t
+              WHERE sim > 0.9 ORDER BY id_a, id_b""")),
 
     QueryDef(
       "multimodal_join",

@@ -6,9 +6,9 @@ package graft
   */
 class RegistrySpec extends SparkSpec {
 
-  test("all eleven catalogs are registered (66 SURVEY keys + 18 extensions)") {
-    assert(SparkEntry.queries.size == 84,
-      s"expected 84 registered queries, got ${SparkEntry.queries.size}")
+  test("all eleven catalogs are registered (66 SURVEY keys + 19 extensions)") {
+    assert(SparkEntry.queries.size == 85,
+      s"expected 85 registered queries, got ${SparkEntry.queries.size}")
   }
 
   test("every oracle key has a registered query") {
@@ -16,9 +16,11 @@ class RegistrySpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracle entries without queries: $orphans")
   }
 
-  test("only the declared stub op lacks an oracle") {
+  test("every registered query is oracle-checked (no rows-only entries left)") {
+    // r4: multimodal_decode gained a deterministic toy codec + SQL oracle,
+    // closing the suite's last no_oracle row
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(noOracle == Set("multimodal_decode"), noOracle.toString)
+    assert(noOracle.isEmpty, noOracle.toString)
   }
 
   test("flagship entry returns rows on sf0.001 (driver t1)") {
