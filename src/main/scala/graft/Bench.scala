@@ -26,7 +26,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val threads = sys.env.getOrElse("SPARK_GRAFT_BENCH_THREADS", "6").toInt
+    // 10 workers: measured sf0.1 wall 28 s @ 6 → 22 s @ 10, flat at 14 —
+    // the tail is one-shot per-query codegen compile (single-core), so the
+    // pool needs enough width to overlap ~85 compiles with execution
+    val threads = sys.env.getOrElse("SPARK_GRAFT_BENCH_THREADS", "10").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
