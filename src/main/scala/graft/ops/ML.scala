@@ -726,6 +726,87 @@ object ML {
       }),
 
     QueryDef(
+      "ml_knn_classify",
+      // dask-cuml KNeighborsClassifier: predict = majority label of the 5
+      // nearest neighbors, labels joined from documents.lang (doc_id =
+      // vec_id). Same broadcast(query) × streamed-candidates shape as
+      // ml_knn; the vote is a bounded per-query groupBy with a
+      // deterministic (votes desc, label asc) tie-break window.
+      (s, dir) => {
+        val e = T.embeddings(s, dir)
+        val labels = T.documents(s, dir).select(col("doc_id"), col("lang"))
+        val q = e.where(col("vec_id") < 20)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        val cand = e.repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+          .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+        val dist = graft.functions.Vec.l2(s, "q_emb", "n_emb")
+        val w = Window.partitionBy(col("q_id")).orderBy(col("d"), col("n_id"))
+        val nn = cand.crossJoin(broadcast(q))
+          .where(col("q_id") =!= col("n_id"))
+          .select(col("q_id"), col("n_id"), dist.as("d"))
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") <= 5)
+        val voted = nn.join(labels, nn("n_id") === labels("doc_id"))
+          .groupBy("q_id", "lang").agg(count(lit(1)).as("votes"))
+        val pick = Window.partitionBy(col("q_id"))
+          .orderBy(col("votes").desc, col("lang").asc)
+        voted.withColumn("vr", row_number().over(pick)).where(col("vr") === 1)
+          .select(col("q_id"), col("lang").as("pred_lang"), col("votes"))
+          .orderBy("q_id")
+      },
+      Some("""WITH nn AS (SELECT q_id, n_id FROM (
+                  SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+                    row_number() OVER (PARTITION BY q.vec_id
+                      ORDER BY list_distance(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), e.vec_id) AS rn
+                  FROM embeddings q CROSS JOIN embeddings e
+                  WHERE q.vec_id < 20 AND q.vec_id <> e.vec_id) t
+                WHERE rn <= 5),
+                voted AS (SELECT q_id, lang, count(*) AS votes
+                          FROM nn JOIN documents ON n_id = doc_id
+                          GROUP BY q_id, lang)
+              SELECT q_id, lang AS pred_lang, votes FROM (
+                SELECT q_id, lang, votes,
+                  row_number() OVER (PARTITION BY q_id ORDER BY votes DESC, lang ASC) AS vr
+                FROM voted) v
+              WHERE vr = 1 ORDER BY q_id""")),
+
+    QueryDef(
+      "ml_knn_regress",
+      // dask-cuml KNeighborsRegressor: predict = mean target (n_chars) of
+      // the 5 nearest neighbors. Integer targets → exact long sum → one
+      // double division per query; deterministic without decimal plumbing.
+      (s, dir) => {
+        val e = T.embeddings(s, dir)
+        val target = T.documents(s, dir).select(col("doc_id"), col("n_chars"))
+        val q = e.where(col("vec_id") < 20)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        val cand = e.repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+          .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+        val dist = graft.functions.Vec.l2(s, "q_emb", "n_emb")
+        val w = Window.partitionBy(col("q_id")).orderBy(col("d"), col("n_id"))
+        cand.crossJoin(broadcast(q))
+          .where(col("q_id") =!= col("n_id"))
+          .select(col("q_id"), col("n_id"), dist.as("d"))
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") <= 5)
+          .join(target, col("n_id") === col("doc_id"))
+          .groupBy("q_id")
+          .agg(round(sum(col("n_chars")).cast("double") / count(lit(1)), 6).as("pred_chars"))
+          .orderBy("q_id")
+      },
+      Some("""WITH nn AS (SELECT q_id, n_id FROM (
+                  SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+                    row_number() OVER (PARTITION BY q.vec_id
+                      ORDER BY list_distance(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), e.vec_id) AS rn
+                  FROM embeddings q CROSS JOIN embeddings e
+                  WHERE q.vec_id < 20 AND q.vec_id <> e.vec_id) t
+                WHERE rn <= 5)
+              SELECT q_id,
+                round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS pred_chars
+              FROM nn JOIN documents ON n_id = doc_id
+              GROUP BY q_id ORDER BY q_id""")),
+
+    QueryDef(
       "ml_standard_scaler",
       // cuML-preprocessing parity (StandardScaler fit + transform): exact
       // decimal moments give per-feature (μ, σ), then the z-scored columns

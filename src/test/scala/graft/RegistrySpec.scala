@@ -6,9 +6,9 @@ package graft
   */
 class RegistrySpec extends SparkSpec {
 
-  test("all eleven catalogs are registered (66 SURVEY keys + 24 extensions)") {
-    assert(SparkEntry.queries.size == 90,
-      s"expected 90 registered queries, got ${SparkEntry.queries.size}")
+  test("all eleven catalogs are registered (66 SURVEY keys + 26 extensions)") {
+    assert(SparkEntry.queries.size == 92,
+      s"expected 92 registered queries, got ${SparkEntry.queries.size}")
   }
 
   test("every oracle key has a registered query") {
