@@ -68,6 +68,9 @@ object ML {
       .otherwise(v.cast("long"))
   }
 
+  /** Test hook for the overflow guard (MicroSpec). */
+  private[graft] def e4ForTest(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = e4(c)
+
   // ---- PCA internals (shared by ml_pca_power / ml_pca_deflate) -----------
 
   /** Distributed 64×64 Gram via PER-PARTITION ACCUMULATION (VERDICT r3 fix

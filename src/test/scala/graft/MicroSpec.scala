@@ -178,4 +178,33 @@ class MicroSpec extends SparkSpec {
     assert(res.nonEmpty)
     assert(res.forall(_.getLong(4) >= 0), "as-of lag must be non-negative")
   }
+
+  test("denseIds == row_number() OVER (ORDER BY key), id for id") {
+    // the r4 scale-safe vocab assignment must be VALUE-identical to the
+    // global window the oracles still use — any divergence silently breaks
+    // every affine-hash operator
+    import org.apache.spark.sql.expressions.Window
+    val terms = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("term"))
+      .where(col("term") =!= "").distinct()
+    val viaZip = Tables.denseIds(terms, "term", "tid")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val viaWindow = terms
+      .select(col("term"), row_number().over(Window.orderBy(col("term"))).as("tid"))
+      .collect().map(r => r.getString(0) -> r.getInt(1).toLong).toMap
+    assert(viaZip == viaWindow)
+    assert(viaZip.values.min == 1L && viaZip.values.max == viaZip.size.toLong)
+  }
+
+  test("e4 wire guard raises on overflow instead of silently NULLing") {
+    // ADVICE r3: a sum whose ×10⁴ scaling exceeds ~2⁶³ must fail loudly
+    import spark.implicits._
+    val big = Seq(java.math.BigDecimal.valueOf(1e15))
+      .toDF("v").select(col("v").cast(org.apache.spark.sql.types.DecimalType(30, 4)).as("v"))
+    val guarded = big.select(ops.ML.e4ForTest(sum(col("v"))).as("s"))
+    val ex = intercept[Exception] { guarded.collect() }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else t.toString +: chain(t.getCause)
+    assert(chain(ex).exists(_.contains("e4 wire overflow")), chain(ex).mkString(" | "))
+  }
 }
