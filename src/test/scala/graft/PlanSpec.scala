@@ -40,6 +40,23 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("sim_topk_pairs_lsh: bounded candidates (equi-join on bucket) + heap top-k") {
+    val p = plan("sim_topk_pairs_lsh")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "LSH twin must not pair-scan the full table:\n" + p)
+  }
+
+  test("win_ntile_cume: no window partitioned by the 3-value status alone (VERDICT r4 #7)") {
+    val p = plan("win_ntile_cume")
+    // the big-table window must include the salt bucket in its partition
+    // spec; windows over the tiny counts table keep plain status keys
+    val winLines = p.linesIterator.filter(_.contains("row_number()")).toSeq
+    assert(winLines.nonEmpty, p)
+    assert(winLines.forall(_.contains("bkt")),
+      s"row_number window not salted:\n${winLines.mkString("\n")}")
+  }
+
   test("agg_hash_groupby: partial (map-side) aggregation precedes the shuffle") {
     val p = plan("agg_hash_groupby")
     assert("HashAggregate".r.findAllIn(p).size >= 2,

@@ -6,9 +6,20 @@ package graft
   */
 class RegistrySpec extends SparkSpec {
 
-  test("all eleven catalogs are registered (66 SURVEY keys + 26 extensions)") {
-    assert(SparkEntry.queries.size == 92,
-      s"expected 92 registered queries, got ${SparkEntry.queries.size}")
+  test("all eleven catalogs are registered (66 SURVEY keys + 31 extensions)") {
+    assert(SparkEntry.queries.size == 97,
+      s"expected 97 registered queries, got ${SparkEntry.queries.size}")
+  }
+
+  test("no oracle uses a constant generate_series bound (VERDICT r4 #2)") {
+    // A constant series cap silently truncates the oracle on data larger
+    // than the fixture (the udtf_generator 10000-bound bug). Small
+    // structural constants (64-dim loops, 8 LSH bits) are legitimate;
+    // anything ≥ 3 digits must derive from the data instead.
+    val bad = "generate_series\\(\\s*1\\s*,\\s*\\d{3,}".r
+    for ((name, sql) <- SparkEntry.oracleSql)
+      assert(bad.findFirstIn(sql).isEmpty,
+        s"$name oracle has a constant generate_series bound")
   }
 
   test("every oracle key has a registered query") {
