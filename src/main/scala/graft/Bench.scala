@@ -102,8 +102,13 @@ object Bench {
     // file copy: no size constraint → full 2-dp precision
     val qs2 = results.map { case (k, v, _) => "\"" + k + "\":" + fmt(v, 2) }
       .mkString("{", ",", "}")
+    // "threads" records the pool width (VERDICT r4 #10): with threads=1 the
+    // per-query timings are uncontended sequential truth and sum ≈ value;
+    // with threads>1 they are pipelined and contention-inflated — consumers
+    // comparing rounds across machines need this to tell the two apart.
+    // bench_seq.json (committed) holds a threads=1 run of the same commit.
     val rich =
-      s"""{"metric":"total","value":${fmt(wall, 2)},"unit":"sec","sum":${fmt(sum, 2)},"pipelined":true,"queries":$qs2,"n_failed":${failed.size}$failedPartFull,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(wall, 2)},"unit":"sec","sum":${fmt(sum, 2)},"pipelined":${threads > 1},"threads":$threads,"queries":$qs2,"n_failed":${failed.size}$failedPartFull,"sf":"$sfDir"}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
     try Files.writeString(Paths.get(outFile), rich + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] file write failed: ${e.getMessage}") }

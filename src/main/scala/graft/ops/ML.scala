@@ -139,11 +139,14 @@ object ML {
   private def gram4(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val d6 = DecimalType(19, 6)
+    // repartition past the 3-task parquet scan: 14 exact-decimal sums over
+    // 600k rows want all cores, and the guard's conditional cast is hot
     val l = T.lineitem(s, dir).select(
       col("l_quantity").cast(d6).as("q"),
       col("l_discount").cast(d6).as("d"),
       col("l_tax").cast(d6).as("t"),
       col("l_extendedprice").cast(d6).as("y"))
+      .repartition(s.sparkContext.defaultParallelism)
     l.agg(
       count(lit(1)).as("n"),
       e4(sum(col("q"))).as("s_q_e4"),
@@ -234,16 +237,28 @@ object ML {
     * decimal gradient/Hessian aggregation per step (see ml_logreg_fit).
     * Returns the unrounded coefficients for predict-side reuse. */
   private def irlsBeta(s: SparkSession, dir: String): (Double, Double) = {
+    val spark = s
+    import spark.implicits._
+    // repartition: the sf0.1 lineitem parquet plans only 3 scan tasks and
+    // this loop re-scans it 3× into decimal-heavy sums — fan out once
     val d = T.lineitem(s, dir).select(
       col("l_quantity").cast("double").as("x"),
       when(col("l_returnflag") === "R", 1.0).otherwise(0.0).as("y"))
+      .repartition(s.sparkContext.defaultParallelism)
     var a = 0.0
     var b = 0.0
     for (_ <- 1 to 3) {
-      val mu = (lit(1.0) / (lit(1.0) + exp(-(lit(a) + lit(b) * col("x")))))
+      // (a, b) enter as a broadcast one-row TABLE, not literals: literals
+      // change the generated code text every step, so Janino recompiled
+      // the identical plan 3× (~1.5 s/step of the old 5.4 s fit); as
+      // column refs the generated source is step-invariant and the
+      // codegen cache hits. Same IEEE expression tree per row either way.
+      val ab = Seq((a, b)).toDF("ca", "cb")
+      val mu = (lit(1.0) / (lit(1.0) + exp(-(col("ca") + col("cb") * col("x")))))
         .cast("float")
       val w = mu * (lit(1.0) - mu)
-      val r = d.select(col("x"), col("y"), mu.as("mu"), w.as("w"))
+      val r = d.crossJoin(broadcast(ab))
+        .select(col("x"), col("y"), mu.as("mu"), w.as("w"))
         .agg(
           T.xsum(col("y") - col("mu")).as("g0"),
           T.xsum((col("y") - col("mu")) * col("x")).as("g1"),
@@ -1053,13 +1068,18 @@ object ML {
       // ml_logreg_fit trick); float→double widening is exact, so bucket
       // and sums agree bit-for-bit.
       (s, dir) => {
+        val spark = s
+        import spark.implicits._
         val (a, b) = irlsBeta(s, dir)
         val d = T.lineitem(s, dir).select(
           col("l_quantity").cast("double").as("x"),
           when(col("l_returnflag") === "R", 1).otherwise(0).as("y"))
-        val mu = (lit(1.0) / (lit(1.0) + exp(-(lit(a) + lit(b) * col("x")))))
+          .repartition(s.sparkContext.defaultParallelism)
+        val ab = Seq((a, b)).toDF("ca", "cb") // broadcast params, as in irlsBeta
+        val mu = (lit(1.0) / (lit(1.0) + exp(-(col("ca") + col("cb") * col("x")))))
           .cast("float")
-        d.select(col("y"), mu.cast("double").as("mu"))
+        d.crossJoin(broadcast(ab))
+          .select(col("y"), mu.cast("double").as("mu"))
           .select(col("y"), col("mu"),
             least(floor(col("mu") * 10).cast("int"), lit(9)).as("decile"))
           .groupBy("decile")

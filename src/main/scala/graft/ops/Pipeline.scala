@@ -73,10 +73,17 @@ object Pipeline {
         // confusion matrix is bounded (≤ n_langs² rows — an evaluation
         // artifact like cuML's client-held coef_), so it is materialized on
         // the driver and tri is unpersisted before returning.
+        // Plan hygiene (r5, as dedup_minhash): repartition fans the trigram
+        // work past the fixture's 1-task scan; the trigrams are built in
+        // one map-side transform and explode_outer'd (explode's inferred
+        // non-empty filter would re-evaluate the transform inside the scan
+        // stage) — was 4.2 s sequential at sf0.1 with the persist build
+        // single-threaded, ~1.5 s with it fanned out.
         val tri = docs
-          .select(col("doc_id"), col("lang"), col("text"),
-            explode(sequence(lit(1), length(col("text")) - 2)).as("pos"))
-          .select(col("doc_id"), col("lang"), expr("substring(text, pos, 3)").as("g"))
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+          .select(col("doc_id"), col("lang"),
+            explode_outer(expr(
+              "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")).as("g"))
           .persist()
         val prof = tri.groupBy(col("lang").as("p_lang"), col("g"))
           .agg(count(lit(1)).as("cnt"))

@@ -97,6 +97,40 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("denseIds is lazy: construction + explain launch zero jobs (VERDICT r4 #8)") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    import org.apache.spark.sql.functions._
+    val group = s"denseids-lazy-${System.nanoTime()}"
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    val listener = new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit =
+        if (j.properties != null &&
+            group == j.properties.getProperty("spark.jobGroup.id")) seen.add(j.jobId)
+    }
+    // terms df built BEFORE the watched window (spark.read may list files)
+    val terms = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("term"))
+      .where(col("term") =!= "").distinct()
+    spark.sparkContext.addSparkListener(listener)
+    spark.sparkContext.setJobGroup(group, "denseIds laziness probe")
+    try {
+      val ids = Tables.denseIds(terms, "term", "tid")
+      ids.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      // barrier: the listener bus is FIFO, so once the barrier job is seen,
+      // any job started by the construction/explain above would be too
+      // (raw RDD action = exactly ONE job; a DataFrame count would be two
+      // under AQE and break the arithmetic)
+      spark.sparkContext.parallelize(Seq(1)).count()
+      var waited = 0
+      while (seen.isEmpty && waited < 100) { Thread.sleep(100); waited += 1 }
+      assert(seen.size == 1,
+        s"denseIds construction/explain launched ${seen.size - 1} job(s)")
+    } finally {
+      spark.sparkContext.clearJobGroup()
+      spark.sparkContext.removeSparkListener(listener)
+    }
+  }
+
   test("no persisted blocks outlive a query (VERDICT r3 #3/#4)") {
     // queries that use caches internally must release them before
     // returning; snapshot-diff guards against leaks without racing other
