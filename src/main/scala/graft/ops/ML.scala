@@ -993,6 +993,9 @@ object ML {
         val l = T.lineitem(s, dir).select(
           col("l_returnflag"), col("l_quantity").cast("double").as("q"),
           col("l_extendedprice").cast("double").as("p"))
+          // fan both the fit pass and the z pass past the 3-task scan; the
+          // exchange is shared by the two branches (ReuseExchange)
+          .repartition(s.sparkContext.defaultParallelism)
         val fit = l.agg(
           count(lit(1)).cast("double").as("n"),
           T.xsum(col("q")).as("sq"), T.xsum(col("q") * col("q")).as("sqq"),
@@ -1213,14 +1216,14 @@ object ML {
           val cent = chosen.toSeq.map { case (_, id, emb, _) => (id, emb) }
             .toDF("cid", "c_emb")
           val d = graft.functions.Vec.l2(s, "embedding", "c_emb")
+          // the embedding rides the group key (as in the oracle's GROUP BY
+          // e.vec_id, e.emb) so the chosen vector comes back in the same
+          // single job — one pass per step, not a pass plus a point fetch
           val far = e.crossJoin(broadcast(cent))
-            .select(col("vec_id"), d.as("d"))
-            .groupBy("vec_id").agg(min(col("d")).as("d"))
+            .select(col("vec_id"), col("embedding"), d.as("d"))
+            .groupBy("vec_id", "embedding").agg(min(col("d")).as("d"))
             .orderBy(col("d").desc, col("vec_id").asc).limit(1).collect()(0)
-          val id = far.getLong(0)
-          val emb = e.where(col("vec_id") === id)
-            .select(col("embedding")).collect()(0).getSeq[Float](0)
-          chosen += ((step, id, emb, far.getDouble(1)))
+          chosen += ((step, far.getLong(0), far.getSeq[Float](1), far.getDouble(2)))
         }
         chosen.toSeq.map { case (st, id, _, d) => (st, id, d) }
           .toDF("step", "cid", "sep")
