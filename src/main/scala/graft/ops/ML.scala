@@ -231,6 +231,27 @@ object ML {
     "b0" -> "s_y_e4 / 1e4", "b1" -> "s_qy_e4 / 1e4",
     "b2" -> "s_dy_e4 / 1e4", "b3" -> "s_ty_e4 / 1e4")
 
+  /** One row holding the solved coefficients x0..x3 (plus elimination
+    * intermediates) — shared by ml_linreg_multi and its predict twin. */
+  private def gaussSolved(s: SparkSession, dir: String): DataFrame = {
+    val base = gram4(s, dir).selectExpr(
+      gaussBase.map { case (nm, ex) => s"$ex AS $nm" }: _*)
+    gaussSteps.foldLeft(base) { case (df, (nm, ex)) =>
+      df.selectExpr("*", s"$ex AS $nm")
+    }
+  }
+
+  /** The matching oracle CTE chain ending in `c{n}` with x0..x3. */
+  private lazy val sqlGaussChain: String = {
+    val ctes = gaussSteps.zipWithIndex.map { case ((nm, ex), i) =>
+      s"c${i + 1} AS (SELECT *, $ex AS $nm FROM c$i)"
+    }
+    s"""m AS ($sqlGram4),
+        c0 AS (SELECT ${gaussBase.map { case (nm, ex) => s"$ex AS $nm" }.mkString(", ")} FROM m),
+        ${ctes.mkString(",\n        ")}"""
+  }
+  private lazy val sqlGaussFinal: String = s"c${gaussSteps.size}"
+
   // ---- logistic-regression internals (ml_logreg_fit / ml_logreg_predict)
 
   /** 3 Newton/IRLS steps with DRIVER-HELD (intercept, slope) — one exact
@@ -364,29 +385,59 @@ object ML {
       // IEEE double sequence (see gaussSteps). Cluster work stays ONE
       // aggregation; the solve is O(k³) on 14 scalars — cuML's client-held
       // coef_ shape without even a collect.
+      (s, dir) => gaussSolved(s, dir).select(
+        round(col("x0"), 6).as("intercept"),
+        round(col("x1"), 6).as("b_quantity"),
+        round(col("x2"), 6).as("b_discount"),
+        round(col("x3"), 6).as("b_tax")),
+      Some(s"""WITH $sqlGaussChain
+               SELECT round(x0, 6) AS intercept, round(x1, 6) AS b_quantity,
+                      round(x2, 6) AS b_discount, round(x3, 6) AS b_tax
+               FROM $sqlGaussFinal""")),
+
+    QueryDef(
+      "ml_linreg_multi_predict",
+      // Predict for the multi-feature fit (fit+predict estimator contract,
+      // as ml_linreg_predict does for 1 feature): score every lineitem row
+      // with the in-plan solved coefficients — the solved one-row frame is
+      // broadcast back into a per-row residual expression (cuML's
+      // coef_-broadcast GEMV shape) — and emit per-returnflag residual
+      // diagnostics. One sufficient-statistic pass + one scoring pass.
+      // Determinism: x0..x3 are hash-equal cross-engine (ml_linreg_multi's
+      // row), the residual expression text is shared verbatim, and the
+      // residual sums go through the exact-decimal xsum wire.
       (s, dir) => {
-        val base = gram4(s, dir).selectExpr(
-          gaussBase.map { case (nm, ex) => s"$ex AS $nm" }: _*)
-        val solved = gaussSteps.foldLeft(base) { case (df, (nm, ex)) =>
-          df.selectExpr("*", s"$ex AS $nm")
-        }
-        solved.select(
-          round(col("x0"), 6).as("intercept"),
-          round(col("x1"), 6).as("b_quantity"),
-          round(col("x2"), 6).as("b_discount"),
-          round(col("x3"), 6).as("b_tax"))
+        val coefs = gaussSolved(s, dir).selectExpr("x0", "x1", "x2", "x3")
+        val l = T.lineitem(s, dir).select(
+          col("l_returnflag"),
+          col("l_quantity").cast("double").as("q"),
+          col("l_discount").cast("double").as("d"),
+          col("l_tax").cast("double").as("t"),
+          col("l_extendedprice").cast("double").as("y"))
+          .repartition(s.sparkContext.defaultParallelism)
+        l.crossJoin(broadcast(coefs))
+          .select(col("l_returnflag"),
+            expr("y - (x0 + x1 * q + x2 * d + x3 * t)").as("r"))
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            round(T.xsum(col("r")) / count(lit(1)), 6).as("avg_resid"),
+            round(sqrt(T.xsum(col("r") * col("r")) / count(lit(1))), 6).as("rmse"))
+          .orderBy("l_returnflag")
       },
-      Some {
-        val ctes = gaussSteps.zipWithIndex.map { case ((nm, ex), i) =>
-          s"c${i + 1} AS (SELECT *, $ex AS $nm FROM c$i)"
-        }
-        s"""WITH m AS ($sqlGram4),
-              c0 AS (SELECT ${gaussBase.map { case (nm, ex) => s"$ex AS $nm" }.mkString(", ")} FROM m),
-              ${ctes.mkString(",\n              ")}
-            SELECT round(x0, 6) AS intercept, round(x1, 6) AS b_quantity,
-                   round(x2, 6) AS b_discount, round(x3, 6) AS b_tax
-            FROM c${gaussSteps.size}"""
-      }),
+      Some(s"""WITH $sqlGaussChain,
+                 l AS (SELECT l_returnflag,
+                     CAST(l_quantity AS DOUBLE) AS q,
+                     CAST(l_discount AS DOUBLE) AS d,
+                     CAST(l_tax AS DOUBLE) AS t,
+                     CAST(l_extendedprice AS DOUBLE) AS y
+                   FROM lineitem),
+                 scored AS (SELECT l_returnflag,
+                     y - (x0 + x1 * q + x2 * d + x3 * t) AS r
+                   FROM l, $sqlGaussFinal)
+               SELECT l_returnflag, count(*) AS n,
+                 round(${T.sqlXsum("r")} / count(*), 6) AS avg_resid,
+                 round(sqrt(${T.sqlXsum("r * r")} / count(*)), 6) AS rmse
+               FROM scored GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
     QueryDef(
       "ml_linreg_predict",
@@ -623,6 +674,87 @@ object ML {
                      round(u2[2], 6) AS c2, round(u2[3], 6) AS c3,
                      round(o, 6) AS ortho
               FROM ray2, orth""")),
+
+    QueryDef(
+      "ml_pca_variance",
+      // The explained_variance_ratio_ surface of the PCA estimator: λ₁ and
+      // λ₂ (power iterate + Hotelling deflation, as ml_pca_power/deflate)
+      // over the total variance trace(G) — the number every PCA user reads
+      // first. Pure driver arithmetic on the one distributed Gram
+      // sufficient statistic; the trace is an ascending fold mirroring the
+      // oracle's list_reduce, and λ₁/λ₂ enter unrounded (bit-identity
+      // pinned by the power/deflate rows).
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        val g = gram64(s, dir)
+        val (lam1, u1) = powerEig64(g)
+        val g2 = Array.tabulate(64, 64)((i, j) => g(i)(j) - lam1 * u1(i) * u1(j))
+        val (lam2, _) = powerEig64(g2)
+        var tr = g(0)(0)
+        for (i <- 1 until 64) tr += g(i)(i)
+        Seq((tr, lam1 / tr, lam2 / tr, (lam1 + lam2) / tr))
+          .toDF("total_var", "ratio_1", "ratio_2", "ratio_top2")
+          .select(round(col("total_var"), 4).as("total_var"),
+            round(col("ratio_1"), 6).as("ratio_1"),
+            round(col("ratio_2"), 6).as("ratio_2"),
+            round(col("ratio_top2"), 6).as("ratio_top2"))
+      },
+      Some("""WITH RECURSIVE
+                e AS (SELECT CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+                gram AS (
+                  SELECT i, j, CAST(sum(CAST(emb[i] * emb[j] AS DECIMAL(18,6))) AS DOUBLE) AS g
+                  FROM e, (SELECT unnest(generate_series(1,64)) AS i) a,
+                          (SELECT unnest(generate_series(1,64)) AS j) b
+                  GROUP BY i, j),
+                gmat AS (
+                  SELECT list(gl ORDER BY i) AS G FROM (
+                    SELECT i, list(g ORDER BY j) AS gl FROM gram GROUP BY i) t),
+                it(k, v) AS (
+                  SELECT 0, list_transform(generate_series(1,64),
+                    x -> CAST(CASE WHEN x = 1 THEN 1.0 ELSE 0.0 END AS DOUBLE))
+                  UNION ALL
+                  SELECT k + 1,
+                    list_transform(generate_series(1,64),
+                      i -> list_reduce(list_transform(generate_series(1,64),
+                             j -> G[i][j] * v[j]), (a, b) -> a + b))
+                  FROM it, gmat WHERE k < 20),
+                fin AS (SELECT v FROM it WHERE k = 20),
+                nrm AS (SELECT v, sqrt(list_reduce(list_transform(v, x -> x*x), (a,b) -> a+b)) AS n
+                        FROM fin),
+                unit AS (SELECT list_transform(v, x -> x / n) AS u FROM nrm),
+                ray AS (SELECT u, list_reduce(list_transform(generate_series(1,64),
+                          i -> u[i] * list_reduce(list_transform(generate_series(1,64),
+                                 j -> G[i][j] * u[j]), (a,b) -> a+b)), (a,b) -> a+b) AS lam
+                        FROM unit, gmat),
+                g2 AS (SELECT list_transform(generate_series(1,64), i ->
+                         list_transform(generate_series(1,64), j ->
+                           G[i][j] - lam * u[i] * u[j])) AS G2
+                       FROM gmat, ray),
+                it2(k, v) AS (
+                  SELECT 0, list_transform(generate_series(1,64),
+                    x -> CAST(CASE WHEN x = 1 THEN 1.0 ELSE 0.0 END AS DOUBLE))
+                  UNION ALL
+                  SELECT k + 1,
+                    list_transform(generate_series(1,64),
+                      i -> list_reduce(list_transform(generate_series(1,64),
+                             j -> G2[i][j] * v[j]), (a, b) -> a + b))
+                  FROM it2, g2 WHERE k < 20),
+                fin2 AS (SELECT v FROM it2 WHERE k = 20),
+                nrm2 AS (SELECT v, sqrt(list_reduce(list_transform(v, x -> x*x), (a,b) -> a+b)) AS n
+                         FROM fin2),
+                unit2 AS (SELECT list_transform(v, x -> x / n) AS u2 FROM nrm2),
+                ray2 AS (SELECT u2, list_reduce(list_transform(generate_series(1,64),
+                           i -> u2[i] * list_reduce(list_transform(generate_series(1,64),
+                                  j -> G2[i][j] * u2[j]), (a,b) -> a+b)), (a,b) -> a+b) AS lam2
+                         FROM unit2, g2),
+                tr AS (SELECT list_reduce(list_transform(generate_series(1,64),
+                         i -> G[i][i]), (a,b) -> a+b) AS total FROM gmat)
+              SELECT round(total, 4) AS total_var,
+                round(lam / total, 6) AS ratio_1,
+                round(lam2 / total, 6) AS ratio_2,
+                round((lam + lam2) / total, 6) AS ratio_top2
+              FROM ray, ray2, tr""")),
 
     QueryDef(
       "ml_lasso_fit",
