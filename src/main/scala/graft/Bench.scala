@@ -88,13 +88,22 @@ object Bench {
     // (round-2 failure mode: a 4 KB line got truncated → "parsed": null).
     // "sum" stays on the line (ADVICE r3: consumers must be able to tell
     // pipelined wall from total work); per-query precision degrades 1 dp →
-    // 0 dp if the 85-query line would crowd the window.
+    // 0 dp, and at 99 queries even the 0-dp full map overflows the window
+    // (measured 2,030 B), so the map is BUDGETED: most expensive queries
+    // first until ~1,550 B, the rest summarized by "queries_omitted". The
+    // file copy always carries the complete map.
     def mkLine(dp: Int): String = {
-      val qs = results.map { case (k, v, _) => "\"" + k + "\":" + fmt(v, dp) }
-        .mkString("{", ",", "}")
+      val ents = results.sortBy(-_._2)
+        .map { case (k, v, _) => "\"" + k + "\":" + fmt(v, dp) }
+      val budget = 1550
+      val kept = scala.collection.mutable.ArrayBuffer[String]()
+      var used = 0
+      for (e <- ents if used + e.length + 1 <= budget) { kept += e; used += e.length + 1 }
+      val omPart =
+        if (kept.size < ents.size) s""","queries_omitted":${ents.size - kept.size}""" else ""
       // "pipelined":true lives only in the file copy — every stdout byte
-      // competes with the parser's tail window at 90 queries
-      s"""{"metric":"total","value":${fmt(wall, dp)},"unit":"sec","sum":${fmt(sum, dp)},"queries":$qs,"n_failed":${failed.size}$failedPart,"sf":"$sfDir"}"""
+      // competes with the parser's tail window
+      s"""{"metric":"total","value":${fmt(wall, dp)},"unit":"sec","sum":${fmt(sum, dp)},"queries":{${kept.mkString(",")}}$omPart,"n_failed":${failed.size}$failedPart,"sf":"$sfDir"}"""
     }
     val line = { val l1 = mkLine(1); if (l1.length <= 1800) l1 else mkLine(0) }
     val failedPartFull =
