@@ -89,6 +89,65 @@ object Aggregates {
               ORDER BY o_orderstatus""")),
 
     QueryDef(
+      "agg_approx_quantile",
+      // The quantile companion to agg_approx_hll: distributed EXACT
+      // p50/p90/p99 of o_totalprice per status via the two-phase
+      // bucket-histogram shape (phase 1: map-combinable counts per
+      // (status, ⌊price/1000⌋); phase 2: rank only the rows of each
+      // target bucket — the window never sees more than one bucket), plus
+      // an accuracy verdict on Spark's approx_percentile sketch. Oracle =
+      // the plain rank-window definition (value at rank ⌈p·n⌉ under
+      // (price, orderkey) order), so the green row proves the distributed
+      // decomposition — same proof style as win_ntile_cume.
+      (s, dir) => {
+        val ps = Seq(0.5, 0.9, 0.99)
+        val o = T.orders(s, dir)
+          .select(col("o_orderstatus"), col("o_totalprice"), col("o_orderkey"))
+          .withColumn("bkt", floor(col("o_totalprice") / 1000).cast("long"))
+        val cnt = o.groupBy("o_orderstatus", "bkt").agg(count(lit(1)).as("c"))
+        val wOff = Window.partitionBy("o_orderstatus").orderBy("bkt")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wTot = Window.partitionBy("o_orderstatus")
+        val off = cnt.select(col("o_orderstatus"), col("bkt"), col("c"),
+          coalesce(sum(col("c")).over(wOff), lit(0L)).as("off"),
+          sum(col("c")).over(wTot).as("n"))
+        val spark = s
+        import spark.implicits._
+        val targets = off.crossJoin(broadcast(ps.toDF("p")))
+          .withColumn("r", greatest(lit(1L), ceil(col("p") * col("n")).cast("long")))
+          .where(col("off") < col("r") && col("r") <= col("off") + col("c"))
+          .select(col("o_orderstatus"), col("bkt"), col("p"), col("r"), col("off"))
+        val wIn = Window.partitionBy("o_orderstatus", "p")
+          .orderBy("o_totalprice", "o_orderkey")
+        val exact = o.join(broadcast(targets), Seq("o_orderstatus", "bkt"))
+          .withColumn("rn", col("off") + row_number().over(wIn))
+          .where(col("rn") === col("r"))
+          .select(col("o_orderstatus"), col("p"), col("o_totalprice").as("exact_q"))
+        val approx = T.orders(s, dir).groupBy("o_orderstatus")
+          .agg(percentile_approx(col("o_totalprice"),
+            array(ps.map(lit): _*), lit(10000)).as("aq"))
+          .select(col("o_orderstatus"), posexplode(col("aq")).as(Seq("i", "approx_q")))
+          .select(col("o_orderstatus"),
+            element_at(array(ps.map(lit): _*), col("i") + 1).as("p"), col("approx_q"))
+        exact.join(approx, Seq("o_orderstatus", "p"))
+          .select(col("o_orderstatus"), col("p"), col("exact_q"),
+            (abs(col("approx_q") - col("exact_q")) / col("exact_q") < 0.05)
+              .as("sketch_within_5pct"))
+          .orderBy("o_orderstatus", "p")
+      },
+      Some("""WITH r AS (SELECT o_orderstatus, o_totalprice,
+                  row_number() OVER (PARTITION BY o_orderstatus
+                    ORDER BY o_totalprice, o_orderkey) AS rn,
+                  count(*) OVER (PARTITION BY o_orderstatus) AS n
+                FROM orders),
+                ps AS (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS p)
+              SELECT o_orderstatus, p, o_totalprice AS exact_q,
+                TRUE AS sketch_within_5pct
+              FROM r, ps
+              WHERE rn = greatest(1, CAST(ceil(p * n) AS BIGINT))
+              ORDER BY o_orderstatus, p""")),
+
+    QueryDef(
       "agg_grouping_sets",
       // Dataset.groupingSets (Spark 4.0+) — pure DataFrame API, no temp-view
       // catalog side effects.

@@ -235,6 +235,28 @@ object Pipeline {
               WHERE rn <= 5 ORDER BY q_id, rn""")),
 
     QueryDef(
+      "ml_train_test_split",
+      // dask-ml/cuml train_test_split analog, the shape a 100 TB training
+      // pipeline actually uses: a DETERMINISTIC hash split (no RNG to
+      // disagree over, reproducible across reruns and engines, stable
+      // under repartitioning — the properties random_state promises and a
+      // distributed sample() doesn't keep): doc → train iff
+      // (a·doc_id + b) mod p mod 100 < 80. Emits the per-split per-lang
+      // profile (count + mean length) — the stratification check run
+      // right after every split. Pure map + bounded agg, one pass.
+      (s, dir) => T.documents(s, dir)
+        .select(col("lang"), col("n_chars"),
+          when((lit(FA) * col("doc_id") + lit(FB)) % lit(P) % 100 < 80, lit("train"))
+            .otherwise(lit("test")).as("split"))
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n"), T.davg(col("n_chars")).as("avg_chars"))
+        .orderBy("split", "lang"),
+      Some(s"""SELECT CASE WHEN ($FA * doc_id + $FB) % $P % 100 < 80
+                 THEN 'train' ELSE 'test' END AS split,
+                 lang, count(*) AS n, ${T.sqlDavg("n_chars")} AS avg_chars
+               FROM documents GROUP BY 1, 2 ORDER BY split, lang""")),
+
+    QueryDef(
       "text_token_count",
       // Token counting, both ways a data pipeline meters text: whitespace
       // words and a BPE-ish lexer regex (letter runs | digit runs | single
