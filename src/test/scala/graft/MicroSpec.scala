@@ -289,6 +289,24 @@ class MicroSpec extends SparkSpec {
       s"max-min separation must be non-increasing: ${seps.mkString(", ")}")
   }
 
+  test("denseIds stays correct at range-sampling scale (100k keys)") {
+    // The 31-term fixture vocab is below RangePartitioner's sample size,
+    // so the small identity test can't catch boundary divergence between
+    // the count pass and the zip pass (the hazard that killed the
+    // re-planned-branch design, r5). 100k distinct keys force real
+    // boundary sampling; ids must still be a permutation of 1..n in key
+    // order.
+    import spark.implicits._
+    val keys = spark.range(100000)
+      .selectExpr("concat('k', lpad(cast(id as string), 7, '0')) AS k")
+    val ids = Tables.denseIds(keys, "k", "tid").collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(ids.length == 100000)
+    val sorted = ids.sortBy(_._1)
+    assert(sorted.zipWithIndex.forall { case ((_, tid), i) => tid == i + 1L },
+      "ids are not 1..n in key order")
+  }
+
   test("e4 wire guard raises on overflow instead of silently NULLing") {
     // ADVICE r3: a sum whose ×10⁴ scaling exceeds ~2⁶³ must fail loudly
     import spark.implicits._
