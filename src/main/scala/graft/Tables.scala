@@ -151,7 +151,15 @@ object Tables {
     val s = distinctKeys.sparkSession
     val sorted = distinctKeys.select(keyCol).sort(keyCol)
     val keyField = sorted.schema.head
-    s.createDataFrame(new LazyZipIdsRDD(s.sparkContext, () => sorted.rdd),
+    val rdd = new LazyZipIdsRDD(s.sparkContext, () => sorted.rdd)
+    // Deferral is only safe under AQE, where the parent's partitions are
+    // resolved on the action thread (submitMapStage computes them before
+    // posting to the scheduler). With AQE off, a downstream shuffle would
+    // first touch getPartitions on the DAGScheduler event loop — and the
+    // nested offset-count job would deadlock it. Fall back to the eager
+    // (r4) behavior there: force the partitions now, on this thread.
+    if (!s.conf.get("spark.sql.adaptive.enabled", "true").toBoolean) rdd.partitions
+    s.createDataFrame(rdd,
       StructType(Seq(keyField, StructField(idCol, LongType, nullable = false))))
   }
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.{QueryDef, Tables => T}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -11,6 +12,31 @@ import org.apache.spark.sql.functions._
   * §7.3 so results hash-match DuckDB regardless of partitioning.
   */
 object Aggregates {
+
+  /** The shared rank-decomposition scaffold of win_ntile_cume and
+    * agg_approx_quantile: orders rows tagged with a price-range bucket
+    * (bkt = ⌊o_totalprice/1000⌋), plus the per-(status, bkt) counts `c`,
+    * cumulative offsets `off` (rows in strictly lower buckets of the same
+    * status), and per-status totals `n`. Correctness hinges on one
+    * invariant kept in one place: the bucket key is MONOTONE in the
+    * window order key (price, orderkey), so
+    * global rank = off + rank-within-bucket. The offset windows run over
+    * the tiny counts table, never the data.
+    */
+  private def priceRankBuckets(
+      s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val o = T.orders(s, dir)
+      .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("bkt", floor(col("o_totalprice") / 1000).cast("long"))
+    val cnt = o.groupBy("o_orderstatus", "bkt").agg(count(lit(1)).as("c"))
+    val wOff = Window.partitionBy("o_orderstatus").orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wTot = Window.partitionBy("o_orderstatus")
+    val off = cnt.select(col("o_orderstatus"), col("bkt"), col("c"),
+      coalesce(sum(col("c")).over(wOff), lit(0L)).as("off"),
+      sum(col("c")).over(wTot).as("n"))
+    (o, off)
+  }
 
   val entries: Seq[QueryDef] = Seq(
     // ------------------------------------------------------------ §2.4 aggs
@@ -101,16 +127,7 @@ object Aggregates {
       // decomposition — same proof style as win_ntile_cume.
       (s, dir) => {
         val ps = Seq(0.5, 0.9, 0.99)
-        val o = T.orders(s, dir)
-          .select(col("o_orderstatus"), col("o_totalprice"), col("o_orderkey"))
-          .withColumn("bkt", floor(col("o_totalprice") / 1000).cast("long"))
-        val cnt = o.groupBy("o_orderstatus", "bkt").agg(count(lit(1)).as("c"))
-        val wOff = Window.partitionBy("o_orderstatus").orderBy("bkt")
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val wTot = Window.partitionBy("o_orderstatus")
-        val off = cnt.select(col("o_orderstatus"), col("bkt"), col("c"),
-          coalesce(sum(col("c")).over(wOff), lit(0L)).as("off"),
-          sum(col("c")).over(wTot).as("n"))
+        val (o, off) = priceRankBuckets(s, dir)
         val spark = s
         import spark.implicits._
         val targets = off.crossJoin(broadcast(ps.toDF("p")))
@@ -342,19 +359,10 @@ object Aggregates {
       // oracle below is the equivalence proof. At 100 TB bkt comes from
       // sampled quantiles instead of a fixed width; the shape is the same.
       (s, dir) => {
-        val o = T.orders(s, dir)
-          .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"))
-          .withColumn("bkt", floor(col("o_totalprice") / 1000).cast("long"))
-        val cnt = o.groupBy("o_orderstatus", "bkt").agg(count(lit(1)).as("c"))
-        val wOff = Window.partitionBy("o_orderstatus").orderBy("bkt")
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val wTot = Window.partitionBy("o_orderstatus")
-        val off = cnt.select(col("o_orderstatus"), col("bkt"),
-          coalesce(sum(col("c")).over(wOff), lit(0L)).as("off"),
-          sum(col("c")).over(wTot).as("n"))
+        val (o, off) = priceRankBuckets(s, dir)
         val wIn = Window.partitionBy("o_orderstatus", "bkt")
           .orderBy("o_totalprice", "o_orderkey")
-        o.join(broadcast(off), Seq("o_orderstatus", "bkt"))
+        o.join(broadcast(off.drop("c")), Seq("o_orderstatus", "bkt"))
           .withColumn("rn", col("off") + row_number().over(wIn))
           .selectExpr("o_orderstatus", "o_orderkey", "rn", "n",
             "n DIV 10 AS q", "n % 10 AS r")

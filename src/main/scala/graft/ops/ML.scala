@@ -324,6 +324,64 @@ object ML {
          b3 AS (${beta("m3, b2", "b2.a", "b2.b")})"""
   }
 
+  /** The oracle-side twin of gram64 + powerEig64, shared by ALL four PCA
+    * oracles (power / deflate / variance / transform) so the 20-step
+    * iterate and its fold order are written exactly once — the same
+    * shared-text discipline as sqlGaussChain/sqlIrlsChain. Chain:
+    * e(vec_id, emb) → gram → gmat(G) → it/fin/nrm/unit(u) → ray(lam). */
+  private val sqlPcaPowerCtes: String =
+    """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       gram AS (
+         SELECT i, j, CAST(sum(CAST(emb[i] * emb[j] AS DECIMAL(18,6))) AS DOUBLE) AS g
+         FROM e, (SELECT unnest(generate_series(1,64)) AS i) a,
+                 (SELECT unnest(generate_series(1,64)) AS j) b
+         GROUP BY i, j),
+       gmat AS (
+         SELECT list(gl ORDER BY i) AS G FROM (
+           SELECT i, list(g ORDER BY j) AS gl FROM gram GROUP BY i) t),
+       it(k, v) AS (
+         SELECT 0, list_transform(generate_series(1,64),
+           x -> CAST(CASE WHEN x = 1 THEN 1.0 ELSE 0.0 END AS DOUBLE))
+         UNION ALL
+         SELECT k + 1,
+           list_transform(generate_series(1,64),
+             i -> list_reduce(list_transform(generate_series(1,64),
+                    j -> G[i][j] * v[j]), (a, b) -> a + b))
+         FROM it, gmat WHERE k < 20),
+       fin AS (SELECT v FROM it WHERE k = 20),
+       nrm AS (SELECT v, sqrt(list_reduce(list_transform(v, x -> x*x), (a,b) -> a+b)) AS n
+               FROM fin),
+       unit AS (SELECT list_transform(v, x -> x / n) AS u FROM nrm),
+       ray AS (SELECT u, list_reduce(list_transform(generate_series(1,64),
+                 i -> u[i] * list_reduce(list_transform(generate_series(1,64),
+                        j -> G[i][j] * u[j]), (a,b) -> a+b)), (a,b) -> a+b) AS lam
+               FROM unit, gmat)"""
+
+  /** Hotelling deflation continuation: G2 from (G, lam, u), second power
+    * iterate → unit2(u2) → ray2(lam2). Appended after sqlPcaPowerCtes. */
+  private val sqlPcaDeflateCtes: String =
+    """g2 AS (SELECT list_transform(generate_series(1,64), i ->
+                list_transform(generate_series(1,64), j ->
+                  G[i][j] - lam * u[i] * u[j])) AS G2
+              FROM gmat, ray),
+       it2(k, v) AS (
+         SELECT 0, list_transform(generate_series(1,64),
+           x -> CAST(CASE WHEN x = 1 THEN 1.0 ELSE 0.0 END AS DOUBLE))
+         UNION ALL
+         SELECT k + 1,
+           list_transform(generate_series(1,64),
+             i -> list_reduce(list_transform(generate_series(1,64),
+                    j -> G2[i][j] * v[j]), (a, b) -> a + b))
+         FROM it2, g2 WHERE k < 20),
+       fin2 AS (SELECT v FROM it2 WHERE k = 20),
+       nrm2 AS (SELECT v, sqrt(list_reduce(list_transform(v, x -> x*x), (a,b) -> a+b)) AS n
+                FROM fin2),
+       unit2 AS (SELECT list_transform(v, x -> x / n) AS u2 FROM nrm2),
+       ray2 AS (SELECT u2, list_reduce(list_transform(generate_series(1,64),
+                  i -> u2[i] * list_reduce(list_transform(generate_series(1,64),
+                         j -> G2[i][j] * u2[j]), (a,b) -> a+b)), (a,b) -> a+b) AS lam2
+                FROM unit2, g2)"""
+
   /** Deterministic 20-step power iterate from e₁, then Rayleigh quotient.
     * Returns the UNROUNDED (eigenvalue, unit vector) — every fold is
     * sequential ascending, matching the oracle's list_reduce left fold
@@ -559,33 +617,8 @@ object ML {
             round(col("c2"), 6).as("c2"),
             round(col("c3"), 6).as("c3"))
       },
-      Some("""WITH RECURSIVE
-                e AS (SELECT CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-                gram AS (
-                  SELECT i, j, CAST(sum(CAST(emb[i] * emb[j] AS DECIMAL(18,6))) AS DOUBLE) AS g
-                  FROM e, (SELECT unnest(generate_series(1,64)) AS i) a,
-                          (SELECT unnest(generate_series(1,64)) AS j) b
-                  GROUP BY i, j),
-                gmat AS (
-                  SELECT list(gl ORDER BY i) AS G FROM (
-                    SELECT i, list(g ORDER BY j) AS gl FROM gram GROUP BY i) t),
-                it(k, v) AS (
-                  SELECT 0, list_transform(generate_series(1,64),
-                    x -> CAST(CASE WHEN x = 1 THEN 1.0 ELSE 0.0 END AS DOUBLE))
-                  UNION ALL
-                  SELECT k + 1,
-                    list_transform(generate_series(1,64),
-                      i -> list_reduce(list_transform(generate_series(1,64),
-                             j -> G[i][j] * v[j]), (a, b) -> a + b))
-                  FROM it, gmat WHERE k < 20),
-                fin AS (SELECT v FROM it WHERE k = 20),
-                nrm AS (SELECT v, sqrt(list_reduce(list_transform(v, x -> x*x), (a,b) -> a+b)) AS n
-                        FROM fin),
-                unit AS (SELECT list_transform(v, x -> x / n) AS u FROM nrm),
-                ray AS (SELECT u, list_reduce(list_transform(generate_series(1,64),
-                          i -> u[i] * list_reduce(list_transform(generate_series(1,64),
-                                 j -> G[i][j] * u[j]), (a,b) -> a+b)), (a,b) -> a+b) AS lam
-                        FROM unit, gmat)
+      Some(s"""WITH RECURSIVE
+                $sqlPcaPowerCtes
               SELECT round(lam, 4) AS eigenvalue, round(u[1], 6) AS c1,
                      round(u[2], 6) AS c2, round(u[3], 6) AS c3
               FROM ray""")),
@@ -619,54 +652,9 @@ object ML {
             round(col("c3"), 6).as("c3"),
             round(col("ortho"), 6).as("ortho"))
       },
-      Some("""WITH RECURSIVE
-                e AS (SELECT CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-                gram AS (
-                  SELECT i, j, CAST(sum(CAST(emb[i] * emb[j] AS DECIMAL(18,6))) AS DOUBLE) AS g
-                  FROM e, (SELECT unnest(generate_series(1,64)) AS i) a,
-                          (SELECT unnest(generate_series(1,64)) AS j) b
-                  GROUP BY i, j),
-                gmat AS (
-                  SELECT list(gl ORDER BY i) AS G FROM (
-                    SELECT i, list(g ORDER BY j) AS gl FROM gram GROUP BY i) t),
-                it(k, v) AS (
-                  SELECT 0, list_transform(generate_series(1,64),
-                    x -> CAST(CASE WHEN x = 1 THEN 1.0 ELSE 0.0 END AS DOUBLE))
-                  UNION ALL
-                  SELECT k + 1,
-                    list_transform(generate_series(1,64),
-                      i -> list_reduce(list_transform(generate_series(1,64),
-                             j -> G[i][j] * v[j]), (a, b) -> a + b))
-                  FROM it, gmat WHERE k < 20),
-                fin AS (SELECT v FROM it WHERE k = 20),
-                nrm AS (SELECT v, sqrt(list_reduce(list_transform(v, x -> x*x), (a,b) -> a+b)) AS n
-                        FROM fin),
-                unit AS (SELECT list_transform(v, x -> x / n) AS u FROM nrm),
-                ray AS (SELECT u, list_reduce(list_transform(generate_series(1,64),
-                          i -> u[i] * list_reduce(list_transform(generate_series(1,64),
-                                 j -> G[i][j] * u[j]), (a,b) -> a+b)), (a,b) -> a+b) AS lam
-                        FROM unit, gmat),
-                g2 AS (SELECT list_transform(generate_series(1,64), i ->
-                         list_transform(generate_series(1,64), j ->
-                           G[i][j] - lam * u[i] * u[j])) AS G2
-                       FROM gmat, ray),
-                it2(k, v) AS (
-                  SELECT 0, list_transform(generate_series(1,64),
-                    x -> CAST(CASE WHEN x = 1 THEN 1.0 ELSE 0.0 END AS DOUBLE))
-                  UNION ALL
-                  SELECT k + 1,
-                    list_transform(generate_series(1,64),
-                      i -> list_reduce(list_transform(generate_series(1,64),
-                             j -> G2[i][j] * v[j]), (a, b) -> a + b))
-                  FROM it2, g2 WHERE k < 20),
-                fin2 AS (SELECT v FROM it2 WHERE k = 20),
-                nrm2 AS (SELECT v, sqrt(list_reduce(list_transform(v, x -> x*x), (a,b) -> a+b)) AS n
-                         FROM fin2),
-                unit2 AS (SELECT list_transform(v, x -> x / n) AS u2 FROM nrm2),
-                ray2 AS (SELECT u2, list_reduce(list_transform(generate_series(1,64),
-                           i -> u2[i] * list_reduce(list_transform(generate_series(1,64),
-                                  j -> G2[i][j] * u2[j]), (a,b) -> a+b)), (a,b) -> a+b) AS lam2
-                         FROM unit2, g2),
+      Some(s"""WITH RECURSIVE
+                $sqlPcaPowerCtes,
+                $sqlPcaDeflateCtes,
                 orth AS (SELECT list_reduce(list_transform(generate_series(1,64),
                            i -> u[i] * u2[i]), (a,b) -> a+b) AS o
                          FROM unit, unit2)
@@ -700,54 +688,9 @@ object ML {
             round(col("ratio_2"), 6).as("ratio_2"),
             round(col("ratio_top2"), 6).as("ratio_top2"))
       },
-      Some("""WITH RECURSIVE
-                e AS (SELECT CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-                gram AS (
-                  SELECT i, j, CAST(sum(CAST(emb[i] * emb[j] AS DECIMAL(18,6))) AS DOUBLE) AS g
-                  FROM e, (SELECT unnest(generate_series(1,64)) AS i) a,
-                          (SELECT unnest(generate_series(1,64)) AS j) b
-                  GROUP BY i, j),
-                gmat AS (
-                  SELECT list(gl ORDER BY i) AS G FROM (
-                    SELECT i, list(g ORDER BY j) AS gl FROM gram GROUP BY i) t),
-                it(k, v) AS (
-                  SELECT 0, list_transform(generate_series(1,64),
-                    x -> CAST(CASE WHEN x = 1 THEN 1.0 ELSE 0.0 END AS DOUBLE))
-                  UNION ALL
-                  SELECT k + 1,
-                    list_transform(generate_series(1,64),
-                      i -> list_reduce(list_transform(generate_series(1,64),
-                             j -> G[i][j] * v[j]), (a, b) -> a + b))
-                  FROM it, gmat WHERE k < 20),
-                fin AS (SELECT v FROM it WHERE k = 20),
-                nrm AS (SELECT v, sqrt(list_reduce(list_transform(v, x -> x*x), (a,b) -> a+b)) AS n
-                        FROM fin),
-                unit AS (SELECT list_transform(v, x -> x / n) AS u FROM nrm),
-                ray AS (SELECT u, list_reduce(list_transform(generate_series(1,64),
-                          i -> u[i] * list_reduce(list_transform(generate_series(1,64),
-                                 j -> G[i][j] * u[j]), (a,b) -> a+b)), (a,b) -> a+b) AS lam
-                        FROM unit, gmat),
-                g2 AS (SELECT list_transform(generate_series(1,64), i ->
-                         list_transform(generate_series(1,64), j ->
-                           G[i][j] - lam * u[i] * u[j])) AS G2
-                       FROM gmat, ray),
-                it2(k, v) AS (
-                  SELECT 0, list_transform(generate_series(1,64),
-                    x -> CAST(CASE WHEN x = 1 THEN 1.0 ELSE 0.0 END AS DOUBLE))
-                  UNION ALL
-                  SELECT k + 1,
-                    list_transform(generate_series(1,64),
-                      i -> list_reduce(list_transform(generate_series(1,64),
-                             j -> G2[i][j] * v[j]), (a, b) -> a + b))
-                  FROM it2, g2 WHERE k < 20),
-                fin2 AS (SELECT v FROM it2 WHERE k = 20),
-                nrm2 AS (SELECT v, sqrt(list_reduce(list_transform(v, x -> x*x), (a,b) -> a+b)) AS n
-                         FROM fin2),
-                unit2 AS (SELECT list_transform(v, x -> x / n) AS u2 FROM nrm2),
-                ray2 AS (SELECT u2, list_reduce(list_transform(generate_series(1,64),
-                           i -> u2[i] * list_reduce(list_transform(generate_series(1,64),
-                                  j -> G2[i][j] * u2[j]), (a,b) -> a+b)), (a,b) -> a+b) AS lam2
-                         FROM unit2, g2),
+      Some(s"""WITH RECURSIVE
+                $sqlPcaPowerCtes,
+                $sqlPcaDeflateCtes,
                 tr AS (SELECT list_reduce(list_transform(generate_series(1,64),
                          i -> G[i][i]), (a,b) -> a+b) AS total FROM gmat)
               SELECT round(total, 4) AS total_var,
@@ -1266,49 +1209,8 @@ object ML {
           .orderBy("lang")
       },
       Some(s"""WITH RECURSIVE
-                e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-                gram AS (
-                  SELECT i, j, CAST(sum(CAST(emb[i] * emb[j] AS DECIMAL(18,6))) AS DOUBLE) AS g
-                  FROM e, (SELECT unnest(generate_series(1,64)) AS i) a,
-                          (SELECT unnest(generate_series(1,64)) AS j) b
-                  GROUP BY i, j),
-                gmat AS (
-                  SELECT list(gl ORDER BY i) AS G FROM (
-                    SELECT i, list(g ORDER BY j) AS gl FROM gram GROUP BY i) t),
-                it(k, v) AS (
-                  SELECT 0, list_transform(generate_series(1,64),
-                    x -> CAST(CASE WHEN x = 1 THEN 1.0 ELSE 0.0 END AS DOUBLE))
-                  UNION ALL
-                  SELECT k + 1,
-                    list_transform(generate_series(1,64),
-                      i -> list_reduce(list_transform(generate_series(1,64),
-                             j -> G[i][j] * v[j]), (a, b) -> a + b))
-                  FROM it, gmat WHERE k < 20),
-                fin AS (SELECT v FROM it WHERE k = 20),
-                nrm AS (SELECT v, sqrt(list_reduce(list_transform(v, x -> x*x), (a,b) -> a+b)) AS n
-                        FROM fin),
-                unit AS (SELECT list_transform(v, x -> x / n) AS u FROM nrm),
-                ray AS (SELECT u, list_reduce(list_transform(generate_series(1,64),
-                          i -> u[i] * list_reduce(list_transform(generate_series(1,64),
-                                 j -> G[i][j] * u[j]), (a,b) -> a+b)), (a,b) -> a+b) AS lam
-                        FROM unit, gmat),
-                g2 AS (SELECT list_transform(generate_series(1,64), i ->
-                         list_transform(generate_series(1,64), j ->
-                           G[i][j] - lam * u[i] * u[j])) AS G2
-                       FROM gmat, ray),
-                it2(k, v) AS (
-                  SELECT 0, list_transform(generate_series(1,64),
-                    x -> CAST(CASE WHEN x = 1 THEN 1.0 ELSE 0.0 END AS DOUBLE))
-                  UNION ALL
-                  SELECT k + 1,
-                    list_transform(generate_series(1,64),
-                      i -> list_reduce(list_transform(generate_series(1,64),
-                             j -> G2[i][j] * v[j]), (a, b) -> a + b))
-                  FROM it2, g2 WHERE k < 20),
-                fin2 AS (SELECT v FROM it2 WHERE k = 20),
-                nrm2 AS (SELECT v, sqrt(list_reduce(list_transform(v, x -> x*x), (a,b) -> a+b)) AS n
-                         FROM fin2),
-                unit2 AS (SELECT list_transform(v, x -> x / n) AS u2 FROM nrm2),
+                $sqlPcaPowerCtes,
+                $sqlPcaDeflateCtes,
                 sc AS (SELECT d.lang,
                     list_reduce(list_transform(generate_series(1,64), i -> e.emb[i] * u[i]),
                       (x, y) -> x + y) AS s1,

@@ -79,8 +79,12 @@ object Pipeline {
         // non-empty filter would re-evaluate the transform inside the scan
         // stage) — was 4.2 s sequential at sf0.1 with the persist build
         // single-threaded, ~1.5 s with it fanned out.
+        // length >= 3 on BOTH sides: Spark's sequence(1, n < 1) counts
+        // DOWN (bogus grams) while DuckDB's generate_series is empty — the
+        // same sub-n-gram guard as udtf_generator/dedup_ngram_jaccard
         val tri = docs
           .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+          .where(length(col("text")) >= 3)
           .select(col("doc_id"), col("lang"),
             explode_outer(expr(
               "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")).as("g"))
@@ -109,7 +113,7 @@ object Pipeline {
                 SELECT doc_id, lang, substr(text, CAST(pos AS INT), 3) AS g
                 FROM (SELECT doc_id, lang, text,
                         unnest(generate_series(1, length(text) - 2)) AS pos
-                      FROM documents) x),
+                      FROM documents WHERE length(text) >= 3) x),
               prof AS (
                 SELECT p_lang, g FROM (
                   SELECT lang AS p_lang, g, count(*) AS cnt,
