@@ -54,6 +54,31 @@ object Tables {
       expr("timestampadd(MICROSECOND, ts DIV 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"))
   }
 
+  /** Fixture-aware fan-out (VERDICT r5 #6 — replaces the blanket
+    * `repartition(defaultParallelism)` after scans). The test parquet is ONE
+    * row group, so scans plan 1–3 tasks and CPU-heavy map work would run
+    * nearly single-threaded (measured r5) — but an UNCONDITIONAL repartition
+    * is a gratuitous full-table shuffle at real scale, where the scan
+    * already yields thousands of tasks. The rule: repartition ONLY when the
+    * scan itself cannot feed `defaultParallelism` tasks, estimated from
+    * driver-side plan statistics (sizeInBytes / maxPartitionBytes — no job
+    * runs; `df.rdd.getNumPartitions` would materialize shuffle stages under
+    * AQE). At 100 TB the estimate is ~800k tasks ≫ cores, so this is a
+    * no-op and the scan's own partitioning flows through. With keys the
+    * fan-out hash-partitions on them, so a downstream join/groupBy on the
+    * same keys reuses the exchange.
+    */
+  def fanOut(df: DataFrame, keys: Column*): DataFrame = {
+    val s = df.sparkSession
+    val par = s.sparkContext.defaultParallelism
+    val maxPart = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      s.conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
+    val estTasks = df.queryExecution.optimizedPlan.stats.sizeInBytes / maxPart + 1
+    if (estTasks >= par) df
+    else if (keys.isEmpty) df.repartition(par)
+    else df.repartition(par, keys: _*)
+  }
+
   // --- determinism helpers (SURVEY.md §7.3) -------------------------------
   // Raw sum(DOUBLE) is summation-order-dependent and can't hash-match across
   // engines/partitionings. Per-row cast to DECIMAL(18,4) → exact decimal sum

@@ -18,8 +18,9 @@ import org.apache.spark.sql.functions._
   *   through shared n-grams, cost Σ_g df(g)², never n². At 100 TB add
   *   prefix filtering (drop the most frequent grams per doc) to cap df;
   *   the fixture's max df is 7 so the raw index is already bounded.
-  * - dedup_embed_cosine: sign-LSH bucketing — candidates share an 8-bit
-  *   hyperplane-sign bucket, exact cosine only within buckets. The
+  * - dedup_embed_cosine: banded sign-LSH ([[Lsh]]) — candidates share one
+  *   of NB × 2^RB (band, bkey) buckets, exact cosine only within buckets,
+  *   bucket count parameterized by corpus size (Lsh.bitsFor). The
   *   all-pairs reference for recall lives in sim_threshold.
   */
 object Dedup {
@@ -161,41 +162,27 @@ object Dedup {
 
     QueryDef(
       "dedup_embed_cosine",
-      // Embedding near-dup, sign-LSH bucketed: bucket = 8 hyperplane sign
-      // bits (dims 1–8), exact cosine only within a bucket, keep each
-      // vector's best in-bucket neighbor. Candidates measured at ~500
-      // pairs vs 2M all-pairs on the fixture; at 100 TB the bucket id is
-      // the shuffle/partition key.
+      // Embedding near-dup via the SHARED banded sign-LSH (Lsh.candidates —
+      // r6 rebase, VERDICT r5 #1): candidates meet inside one of
+      // Lsh.NB × 2^Lsh.RB (band, bkey) buckets, exact cosine only within a
+      // bucket, keep each vector's best candidate neighbor across all
+      // bands. OR-amplification both widens recall (a neighbor pair missed
+      // by one band's hyperplanes gets NB−1 more chances) and keeps the
+      // cost bound parameterized: Σ_band Σ_b n_b² ≈ NB·n²/2^RB, with RB
+      // grown by Lsh.bitsFor(n) instead of the r5 fixed 256-bucket space.
+      // At 100 TB (band, bkey) is the shuffle/partition key end-to-end.
       (s, dir) => {
-        val bucket = (1 to 8).map(i =>
-          when(element_at(col("embedding"), i) >= 0f, lit(1 << (i - 1))).otherwise(lit(0)))
-          .reduce(_ + _)
-        val e = T.embeddings(s, dir).select(
-          col("vec_id"), col("embedding"), bucket.as("bkt"),
-          sqrt(graft.functions.Vec.dot(s, "embedding", "embedding")).as("nrm"))
-        val a = e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"),
-          col("bkt"), col("nrm").as("nrm_a"))
-        val b = e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"),
-          col("bkt"), col("nrm").as("nrm_b"))
-        val cos = graft.functions.Vec.dot(s, "emb_a", "emb_b") / (col("nrm_a") * col("nrm_b"))
-        val pick = Window.partitionBy(col("id_a")).orderBy(col("cos").desc, col("id_b").asc)
-        a.join(b, "bkt").where(col("id_a") =!= col("id_b"))
-          .select(col("id_a"), col("id_b"), cos.as("cos"))
+        val pick = Window.partitionBy(col("id_a")).orderBy(col("sim").desc, col("id_b").asc)
+        Lsh.candidates(s, dir, ordered = false)
           .withColumn("rn", row_number().over(pick)).where(col("rn") === 1)
-          .select(col("id_a"), col("id_b").as("nn_id"), round(col("cos"), 6).as("cos"))
+          .select(col("id_a"), col("id_b").as("nn_id"), round(col("sim"), 6).as("cos"))
           .orderBy("id_a")
       },
-      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
-                  CAST(list_sum(list_transform(generate_series(1, 8),
-                    i -> CASE WHEN embedding[i] >= 0 THEN 1 << (i - 1) ELSE 0 END)) AS INT) AS bkt
-                FROM embeddings),
-                pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                    list_cosine_similarity(a.emb, b.emb) AS cos
-                  FROM e a JOIN e b ON a.bkt = b.bkt AND a.vec_id <> b.vec_id)
-              SELECT id_a, id_b AS nn_id, round(cos, 6) AS cos FROM (
-                SELECT id_a, id_b, cos,
-                  row_number() OVER (PARTITION BY id_a ORDER BY cos DESC, id_b ASC) AS rn
-                FROM pairs) t
+      Some(s"""WITH ${Lsh.sqlCandidates(ordered = false)}
+              SELECT id_a, id_b AS nn_id, round(sim, 6) AS cos FROM (
+                SELECT id_a, id_b, sim,
+                  row_number() OVER (PARTITION BY id_a ORDER BY sim DESC, id_b ASC) AS rn
+                FROM cand) t
               WHERE rn = 1 ORDER BY id_a"""))
   )
 }
