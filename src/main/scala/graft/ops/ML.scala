@@ -252,6 +252,110 @@ object ML {
   }
   private lazy val sqlGaussFinal: String = s"c${gaussSteps.size}"
 
+  // ---- multi-feature ridge / coordinate descent (r6, VERDICT r5 #3/#4) ---
+
+  /** Apply named (name, expression-text) steps as a sequential selectExpr
+    * cascade — the Spark half of the shared-text discipline (each step may
+    * reference every earlier name, exactly like the oracle's CTE chain). */
+  private def stepChain(base: DataFrame, steps: Seq[(String, String)]): DataFrame =
+    steps.foldLeft(base) { case (df, (nm, ex)) => df.selectExpr("*", s"$ex AS $nm") }
+
+  /** The matching DuckDB CTE chain from a CTE `m` (the gram4 moment row):
+    * returns (cteText, finalCteName). Prefix `p` keeps names unique. */
+  private def sqlChainFrom(steps: Seq[(String, String)], p: String): (String, String) = {
+    val ctes = steps.zipWithIndex.map { case ((nm, ex), i) =>
+      val src = if (i == 0) "m" else s"$p$i"
+      s"$p${i + 1} AS (SELECT *, $ex AS $nm FROM $src)"
+    }
+    (ctes.mkString(",\n                "), s"$p${steps.size}")
+  }
+
+  /** Centered moments from the gram4 BIGINT wire, as shared expression
+    * text: m* = Σ of each column, c_ab = Σab − Σa·Σb/n (absolute centered
+    * cross-products, not normalized). BIGINT→DOUBLE and /1e4 are
+    * IEEE-identical cross-engine (see gaussBase). */
+  private val centeredBase: Seq[(String, String)] = Seq(
+    "nn" -> "CAST(n AS DOUBLE)",
+    "mq" -> "s_q_e4 / 1e4", "md" -> "s_d_e4 / 1e4",
+    "mt" -> "s_t_e4 / 1e4", "my" -> "s_y_e4 / 1e4",
+    "cqq" -> "s_qq_e4 / 1e4 - mq * mq / nn",
+    "cqd" -> "s_qd_e4 / 1e4 - mq * md / nn",
+    "cqt" -> "s_qt_e4 / 1e4 - mq * mt / nn",
+    "cdd" -> "s_dd_e4 / 1e4 - md * md / nn",
+    "cdt" -> "s_dt_e4 / 1e4 - md * mt / nn",
+    "ctt" -> "s_tt_e4 / 1e4 - mt * mt / nn",
+    "cqy" -> "s_qy_e4 / 1e4 - mq * my / nn",
+    "cdy" -> "s_dy_e4 / 1e4 - md * my / nn",
+    "cty" -> "s_ty_e4 / 1e4 - mt * my / nn")
+
+  /** Unrolled 3×3 Gaussian elimination over named scalar steps (same
+    * no-pivot discipline as gaussSteps — the centered Gram + αI is positive
+    * definite). `p` prefixes every generated name; solutions are
+    * `{p}x0..{p}x2`. */
+  private def symGauss3(a0: Array[Array[String]], b0: Array[String], p: String): Seq[(String, String)] = {
+    val a = a0.map(_.clone)
+    val b = b0.clone
+    val steps = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    for (k <- 0 until 2; i <- k + 1 until 3) {
+      val f = s"${p}f$i$k"
+      steps += f -> s"${a(i)(k)} / ${a(k)(k)}"
+      for (j <- k + 1 until 3) {
+        val nm = s"${p}a$i${j}_$k"
+        steps += nm -> s"${a(i)(j)} - $f * ${a(k)(j)}"
+        a(i)(j) = nm
+      }
+      val nb = s"${p}b${i}_$k"
+      steps += nb -> s"${b(i)} - $f * ${b(k)}"
+      b(i) = nb
+    }
+    steps += s"${p}x2" -> s"${b(2)} / ${a(2)(2)}"
+    steps += s"${p}x1" -> s"(${b(1)} - ${a(1)(2)} * ${p}x2) / ${a(1)(1)}"
+    steps += s"${p}x0" -> s"(${b(0)} - ${a(0)(1)} * ${p}x1 - ${a(0)(2)} * ${p}x2) / ${a(0)(0)}"
+    steps.toSeq
+  }
+
+  /** Multi-feature ridge (VERDICT r5 #3 — the reference Ridge's `eig`
+    * contract with 3 features): centered normal equations with α = 1000 on
+    * the penalized diagonal (intercept unpenalized — the multi-feature
+    * generalization of ml_ridge_fit's closed form), solved by the unrolled
+    * 3×3 elimination. One symbolic unrolling feeds both engines. */
+  private lazy val ridgeSteps: Seq[(String, String)] =
+    centeredBase ++
+    Seq("k11" -> "cqq + 1000.0", "k22" -> "cdd + 1000.0", "k33" -> "ctt + 1000.0") ++
+    symGauss3(
+      Array(Array("k11", "cqd", "cqt"), Array("cqd", "k22", "cdt"), Array("cqt", "cdt", "k33")),
+      Array("cqy", "cdy", "cty"), "rg") ++
+    Seq("rgb0" -> "(my - rgx0 * mq - rgx1 * md - rgx2 * mt) / nn")
+
+  /** Multi-feature coordinate descent (VERDICT r5 #4 — the reference's `cd`
+    * solver): `sweeps` unrolled cyclic sweeps over the 3 centered-feature
+    * coordinates. Per update the residual cross-moment is soft-thresholded:
+    *   b_j ← S((c_jy − Σ_{k≠j} c_jk·b_k)/n, λ1) / (c_jj/n + λ2)
+    * — the exact multi-feature generalization of ml_lasso_fit /
+    * ml_elasticnet_fit's 1-feature fixed point (λ2 = 0 → lasso). Final
+    * coefficient names: {p}b{sweeps}_0..2 and intercept {p}bint. */
+  private def cdSteps(p: String, lam1: String, lam2: String, sweeps: Int): Seq[(String, String)] = {
+    val c = Array(Array("cqq", "cqd", "cqt"), Array("cqd", "cdd", "cdt"), Array("cqt", "cdt", "ctt"))
+    val cy = Array("cqy", "cdy", "cty")
+    val b = Array("0.0", "0.0", "0.0")
+    val steps = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    for (sw <- 1 to sweeps; j <- 0 until 3) {
+      val g = s"${p}g${sw}_$j"
+      val minus = (0 until 3).filter(_ != j).map(k => s" - ${c(j)(k)} * ${b(k)}").mkString
+      steps += g -> s"(${cy(j)}$minus) / nn"
+      val nm = s"${p}b${sw}_$j"
+      steps += nm -> s"sign($g) * greatest(abs($g) - $lam1, 0.0) / (${c(j)(j)} / nn + $lam2)"
+      b(j) = nm
+    }
+    steps += s"${p}bint" -> s"(my - ${b(0)} * mq - ${b(1)} * md - ${b(2)} * mt) / nn"
+    steps.toSeq
+  }
+
+  private lazy val lassoMultiSteps: Seq[(String, String)] =
+    centeredBase ++ cdSteps("ls", "1000.0", "0.0", 3)
+  private lazy val enetMultiSteps: Seq[(String, String)] =
+    centeredBase ++ cdSteps("en", "500.0", "500.0", 3)
+
   // ---- logistic-regression internals (ml_logreg_fit / ml_logreg_predict)
 
   /** 3 Newton/IRLS steps with DRIVER-HELD (intercept, slope) — one exact
@@ -1279,6 +1383,153 @@ object ML {
             SELECT step, vec_id AS cid, round(d, 6) AS sep
             FROM (${(1 to 10).map(j => s"SELECT step, vec_id, d FROM s$j").mkString(" UNION ALL ")}) u
             ORDER BY step"""
-      })
+      }),
+
+    QueryDef(
+      "ml_ridge_multi",
+      // VERDICT r5 #3 — multi-feature Ridge.fit (the reference Ridge's
+      // `eig` contract, 3 features + unpenalized intercept): the SAME
+      // distributed gram4 sufficient-statistic row as ml_linreg_multi, then
+      // the centered 3×3 system (C + αI)·b = c_y solved by the unrolled
+      // symbolic elimination — cluster work stays ONE aggregation, the
+      // solve is a scalar expression cascade whose text feeds both engines
+      // verbatim (the gaussSteps discipline). α = 1000 matches
+      // ml_ridge_fit's 1-feature closed form, which this generalizes.
+      (s, dir) => stepChain(gram4(s, dir), ridgeSteps).select(
+        round(col("rgb0"), 6).as("intercept"),
+        round(col("rgx0"), 6).as("b_quantity"),
+        round(col("rgx1"), 6).as("b_discount"),
+        round(col("rgx2"), 6).as("b_tax")),
+      Some {
+        val (ctes, fin) = sqlChainFrom(ridgeSteps, "r")
+        s"""WITH m AS ($sqlGram4),
+                $ctes
+              SELECT round(rgb0, 6) AS intercept, round(rgx0, 6) AS b_quantity,
+                     round(rgx1, 6) AS b_discount, round(rgx2, 6) AS b_tax
+              FROM $fin"""
+      }),
+
+    QueryDef(
+      "ml_lasso_multi",
+      // VERDICT r5 #4 — multi-feature Lasso.fit via 3 unrolled coordinate-
+      // descent sweeps over the centered gram4 statistics (the reference's
+      // `cd` solver): every update soft-thresholds a residual cross-moment
+      // (see cdSteps) — pure scalar arithmetic on the one moment row, no
+      // extra cluster pass, shared text in both engines. λ = 1000 as
+      // ml_lasso_fit (which is the 1-feature fixed point of this loop).
+      (s, dir) => stepChain(gram4(s, dir), lassoMultiSteps).select(
+        round(col("lsbint"), 6).as("intercept"),
+        round(col("lsb3_0"), 6).as("b_quantity"),
+        round(col("lsb3_1"), 6).as("b_discount"),
+        round(col("lsb3_2"), 6).as("b_tax")),
+      Some {
+        val (ctes, fin) = sqlChainFrom(lassoMultiSteps, "l")
+        s"""WITH m AS ($sqlGram4),
+                $ctes
+              SELECT round(lsbint, 6) AS intercept, round(lsb3_0, 6) AS b_quantity,
+                     round(lsb3_1, 6) AS b_discount, round(lsb3_2, 6) AS b_tax
+              FROM $fin"""
+      }),
+
+    QueryDef(
+      "ml_elasticnet_multi",
+      // Multi-feature ElasticNet.fit: the same 3-sweep CD unrolling with
+      // the L2 term in the update denominator (λ1 = λ2 = 500, matching
+      // ml_elasticnet_fit's 1-feature closed form). Completes the
+      // reference's solver matrix: eig (ridge/OLS) and cd (lasso/enet),
+      // both 1- and multi-feature.
+      (s, dir) => stepChain(gram4(s, dir), enetMultiSteps).select(
+        round(col("enbint"), 6).as("intercept"),
+        round(col("enb3_0"), 6).as("b_quantity"),
+        round(col("enb3_1"), 6).as("b_discount"),
+        round(col("enb3_2"), 6).as("b_tax")),
+      Some {
+        val (ctes, fin) = sqlChainFrom(enetMultiSteps, "w")
+        s"""WITH m AS ($sqlGram4),
+                $ctes
+              SELECT round(enbint, 6) AS intercept, round(enb3_0, 6) AS b_quantity,
+                     round(enb3_1, 6) AS b_discount, round(enb3_2, 6) AS b_tax
+              FROM $fin"""
+      }),
+
+    QueryDef(
+      "ml_linreg_holdout",
+      // VERDICT r5 #5 — the fit(train) → score(test) composition the
+      // reference estimator API implies: the deterministic affine-hash
+      // split of ml_train_test_split (keyed on (orderkey, linenumber) so it
+      // is reproducible and repartition-stable), OLS fit on the TRAIN
+      // moments only, both splits scored against the train coefficients.
+      // ONE pass: per-split exact e4 moments, the train row's coefficients
+      // pulled across the 2-row aggregate by a bounded global window (the
+      // ml_linreg_predict shape), residual sums expanded algebraically —
+      // no second scan of lineitem, which is the 100 TB point of
+      // sufficient-statistic fitting. Train-side RMSE vs test-side RMSE on
+      // one wire is the generalization-gap readout.
+      (s, dir) => {
+        import org.apache.spark.sql.types.DecimalType
+        val d6 = DecimalType(19, 6)
+        val l = T.lineitem(s, dir).select(
+          when((lit(48271L) * (col("l_orderkey") * 8 + col("l_linenumber")) + lit(16807L))
+            % lit(2147483647L) % 100 < 80, lit("train"))
+            .otherwise(lit("test")).as("split"),
+          col("l_quantity").cast(d6).as("x"),
+          col("l_extendedprice").cast(d6).as("y"))
+        val g = l.groupBy("split").agg(
+          count(lit(1)).as("n"),
+          e4(sum(col("x"))).as("sx"), e4(sum(col("y"))).as("sy"),
+          e4(sum(col("x") * col("x"))).as("sxx"),
+          e4(sum(col("x") * col("y"))).as("sxy"),
+          e4(sum(col("y") * col("y"))).as("syy"))
+        val w = Window.partitionBy() // global window over the 2 split rows
+        def tr(c: String) = sum(when(col("split") === "train", col(c))).over(w)
+        val t = g.select(col("split"), col("n"),
+          (col("sx") / 1e4).as("gsx"), (col("sy") / 1e4).as("gsy"),
+          (col("sxx") / 1e4).as("gsxx"), (col("sxy") / 1e4).as("gsxy"),
+          (col("syy") / 1e4).as("gsyy"),
+          tr("n").cast("double").as("tn"),
+          (tr("sx") / 1e4).as("tsx"), (tr("sy") / 1e4).as("tsy"),
+          (tr("sxx") / 1e4).as("tsxx"), (tr("sxy") / 1e4).as("tsxy"))
+        t.withColumn("b", expr("(tn * tsxy - tsx * tsy) / (tn * tsxx - tsx * tsx)"))
+          .withColumn("a", expr("(tsy - b * tsx) / tn"))
+          .select(col("split"), col("n"),
+            round(col("b"), 6).as("slope"), round(col("a"), 6).as("intercept"),
+            round(expr("(gsy - n * a - b * gsx) / n"), 6).as("avg_resid"),
+            round(expr(
+              "sqrt((gsyy - 2*a*gsy - 2*b*gsxy + n*a*a + 2*a*b*gsx + b*b*gsxx) / n)"), 6)
+              .as("rmse"))
+          .orderBy("split")
+      },
+      Some("""WITH l AS (SELECT
+                  CASE WHEN (48271 * (l_orderkey * 8 + l_linenumber) + 16807)
+                         % 2147483647 % 100 < 80
+                       THEN 'train' ELSE 'test' END AS split,
+                  CAST(l_quantity AS DECIMAL(19,6)) AS x,
+                  CAST(l_extendedprice AS DECIMAL(19,6)) AS y
+                FROM lineitem),
+                g AS (SELECT split, count(*) AS n,
+                  CAST(sum(x) * 10000 AS BIGINT) AS sx,
+                  CAST(sum(y) * 10000 AS BIGINT) AS sy,
+                  CAST(sum(x * x) * 10000 AS BIGINT) AS sxx,
+                  CAST(sum(x * y) * 10000 AS BIGINT) AS sxy,
+                  CAST(sum(y * y) * 10000 AS BIGINT) AS syy
+                FROM l GROUP BY 1),
+                t AS (SELECT split, n,
+                  sx / 1e4 AS gsx, sy / 1e4 AS gsy, sxx / 1e4 AS gsxx,
+                  sxy / 1e4 AS gsxy, syy / 1e4 AS gsyy,
+                  CAST(sum(CASE WHEN split = 'train' THEN n END) OVER () AS DOUBLE) AS tn,
+                  sum(CASE WHEN split = 'train' THEN sx END) OVER () / 1e4 AS tsx,
+                  sum(CASE WHEN split = 'train' THEN sy END) OVER () / 1e4 AS tsy,
+                  sum(CASE WHEN split = 'train' THEN sxx END) OVER () / 1e4 AS tsxx,
+                  sum(CASE WHEN split = 'train' THEN sxy END) OVER () / 1e4 AS tsxy
+                FROM g),
+                c AS (SELECT *,
+                  (tn * tsxy - tsx * tsy) / (tn * tsxx - tsx * tsx) AS b
+                FROM t),
+                c2 AS (SELECT *, (tsy - b * tsx) / tn AS a FROM c)
+              SELECT split, n, round(b, 6) AS slope, round(a, 6) AS intercept,
+                round((gsy - n * a - b * gsx) / n, 6) AS avg_resid,
+                round(sqrt((gsyy - 2*a*gsy - 2*b*gsxy + n*a*a + 2*a*b*gsx + b*b*gsxx) / n), 6) AS rmse
+              FROM c2
+              ORDER BY split"""))
   )
 }

@@ -307,6 +307,158 @@ class MicroSpec extends SparkSpec {
       "ids are not 1..n in key order")
   }
 
+  test("Lsh.bitsFor grows the bucket space with corpus size (VERDICT r5 #1)") {
+    assert(ops.Lsh.bitsFor(1000) == 8, "fixture scale clamps to the 8-bit floor")
+    assert(ops.Lsh.bitsFor(1L << 20, 4096) == 8)  // 1M / 4k-target = 256 buckets
+    assert(ops.Lsh.bitsFor(1L << 30, 4096) == 18) // 1G / 4k-target = 262k buckets
+    assert(ops.Lsh.bitsFor(Long.MaxValue) == 21, "clamped to the 64-dim budget")
+    // the bound the comments state: per-band candidate cost at the target
+    // is n·targetBucket, not n²/256
+    val n = 1L << 30
+    val buckets = 1L << ops.Lsh.bitsFor(n, 4096)
+    assert(n / buckets <= 4096)
+  }
+
+  /** All-pairs cosine over the local fixture copy — the independent recall
+    * reference for the LSH tests below (VERDICT r5 #2). */
+  private lazy val localAllPairs: Seq[((Long, Long), Double)] = {
+    def cosine(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val ids = localEmb.keys.toSeq.sorted
+    for (i <- ids; j <- ids if i < j) yield ((i, j), cosine(localEmb(i), localEmb(j)))
+  }
+
+  test("sim_threshold_lsh: every brute-force pair above 0.9 is recalled (VERDICT r5 #2)") {
+    // containment on the REGISTERED semantics: recall(lsh vs brute force)
+    // at the 0.9 threshold must be 1.0 on this fixture — the design point
+    // assertion below makes the guarantee non-vacuous when (as here) the
+    // synthetic fixture has no >0.9 pair at all
+    val exact = localAllPairs.filter(_._2 > 0.9).map(_._1).toSet
+    val lsh = ops.Lsh.candidates(spark, sf, ordered = true)
+      .where(col("sim") > 0.9).select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.subsetOf(lsh),
+      s"brute-force >0.9 pairs missed by the banded LSH: ${exact -- lsh}")
+    // the honest sub-knee measurement, recorded (VERDICT r5 #2): the
+    // fixture's TOP pairs sit near cosine ~0.45 — far below the
+    // amplification knee (1−(1−s^RB)^NB ≥ 0.9 needs cosine ≳ 0.96) — so
+    // their recall is structurally low; that is the documented trade-off,
+    // not a defect, and the design-point recall is pinned below.
+    val top = localAllPairs.sortBy(-_._2).take(50)
+    val got = ops.Lsh.candidates(spark, sf, ordered = true)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = top.count(p => got.contains(p._1)).toDouble / top.size
+    info(f"fixture top-50 (max sim ${top.head._2}%.3f): sub-knee recall = $recall%.3f")
+  }
+
+  test("banded sign-LSH recalls ≥ 85% of planted near-duplicates (design point, VERDICT r5 #2)") {
+    // The guarantee the production twins rely on: pairs ABOVE the
+    // amplification knee are recalled w.p. 1−(1−s^RB)^NB. Plant 50
+    // deterministic near-duplicate twins (~0.99 cosine — additive ±15% rms
+    // noise, which DOES flip low-magnitude sign bits) and measure the
+    // candidate-generation recall of the banding itself.
+    import org.apache.spark.sql.types._
+    def sgn(id: Long, d: Int): Double = if ((id * 31 + d * 7 + 3) % 2 == 0) 1.0 else -1.0
+    val base = localEmb.toSeq.sortBy(_._1).take(50)
+    val planted = base.map { case (id, v) =>
+      val rms = math.sqrt(v.map(x => x * x).sum / v.length)
+      (id, v, v.zipWithIndex.map { case (x, d) => x + 0.15 * rms * sgn(id, d) })
+    }
+    def cosine(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val minCos = planted.map(p => cosine(p._2, p._3)).min
+    assert(minCos > 0.95, f"planted twins not at the design point: min cosine $minCos%.4f")
+    val rows = planted.flatMap { case (id, v, t) =>
+      Seq(Row(id, v.map(_.toFloat).toSeq), Row(id + 10000L, t.map(_.toFloat).toSeq))
+    }
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType), StructField("embedding", ArrayType(FloatType))))
+    val df = spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    val banded = ops.Lsh.withBands(df, "embedding")
+    val a = banded.select(col("vec_id").as("ia"), col("band"), col("bkey"))
+    val b = banded.select(col("vec_id").as("ib"), col("band"), col("bkey"))
+    val got = a.join(b, Seq("band", "bkey"))
+      .where(col("ia") + 10000L === col("ib"))
+      .select("ia").distinct().collect().map(_.getLong(0)).toSet
+    val recall = got.size.toDouble / planted.size
+    info(f"planted near-dup recall = $recall%.3f (min pair cosine $minCos%.4f)")
+    assert(recall >= 0.85, f"design-point recall $recall%.3f below the 0.85 floor")
+  }
+
+  test("ml_ridge_multi: alpha -> 0 limit of the 3x3 solve equals the OLS multi solve") {
+    // independent local check: solve the centered normal equations with
+    // alpha = 0 from local moments and compare to ml_linreg_multi's
+    // registered coefficients (which solve the uncentered 4x4 system —
+    // algebraically identical at alpha = 0)
+    val rows = Tables.lineitem(spark, sf).select(
+      col("l_quantity").cast("double"), col("l_discount").cast("double"),
+      col("l_tax").cast("double"), col("l_extendedprice").cast("double"))
+      .collect().map(r => Array(r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    val n = rows.length.toDouble
+    val k = 3
+    val s = Array.fill(k)(0.0); val sy = Array.fill(k)(0.0)
+    val ss = Array.fill(k, k)(0.0); var ty = 0.0
+    for (r <- rows) {
+      ty += r(3)
+      for (i <- 0 until k) {
+        s(i) += r(i); sy(i) += r(i) * r(3)
+        for (j <- 0 until k) ss(i)(j) += r(i) * r(j)
+      }
+    }
+    val c = Array.tabulate(k, k)((i, j) => ss(i)(j) - s(i) * s(j) / n)
+    val cy = Array.tabulate(k)(i => sy(i) - s(i) * ty / n)
+    // 3x3 Gauss, alpha = 0
+    for (p <- 0 until k - 1; i <- p + 1 until k) {
+      val f = c(i)(p) / c(p)(p)
+      for (j <- p until k) c(i)(j) -= f * c(p)(j)
+      cy(i) -= f * cy(p)
+    }
+    val b = Array.fill(k)(0.0)
+    for (i <- k - 1 to 0 by -1) {
+      var acc = cy(i)
+      for (j <- i + 1 until k) acc -= c(i)(j) * b(j)
+      b(i) = acc / c(i)(i)
+    }
+    val multi = q("ml_linreg_multi").collect().head
+    for (i <- 0 until k)
+      assert(math.abs(multi.getDouble(i + 1) - b(i)) < 1e-3,
+        s"coef $i: query ${multi.getDouble(i + 1)} vs local ${b(i)}")
+    // and the registered ridge (alpha = 1000) must SHRINK the solution
+    val ridge = q("ml_ridge_multi").collect().head
+    val norm0 = b.map(x => x * x).sum
+    val normR = (1 to 3).map(ridge.getDouble).map(x => x * x).sum
+    assert(normR <= norm0 + 1e-9, s"ridge norm $normR vs OLS $norm0")
+  }
+
+  test("ml_lasso_multi: CD fixed point shrinks toward zero and respects the soft threshold") {
+    val lasso = q("ml_lasso_multi").collect().head
+    val ols = q("ml_linreg_multi").collect().head
+    // L1 at lambda = 1000 must not EXPAND any coefficient's magnitude much
+    // beyond OLS (CD soft-thresholds every update)
+    val l1Lasso = (1 to 3).map(i => math.abs(lasso.getDouble(i))).sum
+    val l1Ols = (1 to 3).map(i => math.abs(ols.getDouble(i))).sum
+    assert(l1Lasso <= l1Ols * 1.05 + 1e-6, s"lasso L1 $l1Lasso vs OLS L1 $l1Ols")
+  }
+
+  test("ml_linreg_holdout: split sizes ~80/20 and test RMSE is finite and positive") {
+    val rows = q("ml_linreg_holdout").collect()
+    assert(rows.length == 2)
+    val byName = rows.map(r => r.getString(0) -> r).toMap
+    val nTrain = byName("train").getLong(1).toDouble
+    val nTest = byName("test").getLong(1).toDouble
+    val frac = nTrain / (nTrain + nTest)
+    assert(frac > 0.75 && frac < 0.85, s"train fraction $frac")
+    // both splits scored with the SAME (train-fit) coefficients
+    assert(byName("train").getDouble(2) == byName("test").getDouble(2), "slope differs across rows")
+    assert(byName("test").getDouble(5) > 0 && !byName("test").getDouble(5).isNaN)
+  }
+
   test("e4 wire guard raises on overflow instead of silently NULLing") {
     // ADVICE r3: a sum whose ×10⁴ scaling exceeds ~2⁶³ must fail loudly
     import spark.implicits._

@@ -47,6 +47,17 @@ class PlanSpec extends SparkSpec {
       "LSH twin must not pair-scan the full table:\n" + p)
   }
 
+  test("sign-LSH family: candidates join on the banded bucket key (VERDICT r5 #1)") {
+    // all three consumers of Lsh.candidates must keep (band, bkey) as the
+    // equi-join key — never a pair scan outside the buckets
+    for (q <- Seq("dedup_embed_cosine", "sim_threshold_lsh", "sim_topk_pairs_lsh")) {
+      val p = plan(q)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"$q pair-scans outside the LSH buckets:\n$p")
+      assert(p.contains("bkey"), s"$q: bucket key missing from the plan:\n$p")
+    }
+  }
+
   test("win_ntile_cume: no window partitioned by the 3-value status alone (VERDICT r4 #7)") {
     val p = plan("win_ntile_cume")
     // the big-table window must include the salt bucket in its partition
