@@ -37,6 +37,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Log.quietBoundedWindowWarn()
     // Warm the session (codegen compiler, shuffle machinery, parquet
     // footer cache) so the first timed query doesn't absorb ~5 s of JVM
     // init that belongs to no operator.

@@ -13,6 +13,20 @@ final case class QueryDef(
     fn: (SparkSession, String) => DataFrame,
     oracle: Option[String])
 
+/** Log hygiene shared by the Bench/Verify mains. */
+object Log {
+  /** VERDICT r5 #8: the engine's only unpartitioned windows are bounded
+    * fit-state pulls over POST-AGGREGATION rows (≤6 group rows —
+    * ml_linreg_predict / ml_linreg_holdout / win_ntile_cume's counts side),
+    * where a single partition is the point, not a hazard. WindowExec still
+    * warns per instantiation and floods the bench tail (hundreds of lines),
+    * burying real signals — silence that one logger; every other WARN stays
+    * visible. */
+  def quietBoundedWindowWarn(): Unit =
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window", org.apache.logging.log4j.Level.ERROR)
+}
+
 /** Table loaders + cross-engine determinism helpers (SURVEY.md §1.2, §7.3).
   *
   * The fixture layout is one parquet file per table under the sf dir

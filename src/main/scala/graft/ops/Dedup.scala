@@ -15,9 +15,10 @@ import org.apache.spark.sql.functions._
   *   map-side-combined bit accumulators), then an O(n) equality-group on
   *   the fingerprint. No pair space is ever materialized.
   * - dedup_ngram_jaccard: inverted-index join — candidate pairs only
-  *   through shared n-grams, cost Σ_g df(g)², never n². At 100 TB add
-  *   prefix filtering (drop the most frequent grams per doc) to cap df;
-  *   the fixture's max df is 7 so the raw index is already bounded.
+  *   through shared n-grams, with a df ≤ DF_CAP guard on the posting lists
+  *   (r6) that hard-bounds Σ_g df(g)² ≤ |postings|·DF_CAP even on
+  *   adversarial corpora; prefix filtering can slot in front unchanged on
+  *   a power-law vocabulary (measured trade-off in the query comment).
   * - dedup_embed_cosine: banded sign-LSH ([[Lsh]]) — candidates share one
   *   of NB × 2^RB (band, bkey) buckets, exact cosine only within buckets,
   *   bucket count parameterized by corpus size (Lsh.bitsFor). The
@@ -35,6 +36,54 @@ object Dedup {
   private val A1 = 387143L
   private val B1 = 31337L
   private val NBITS = 24
+
+  /** Posting-list df cap for dedup_ngram_jaccard (VERDICT r5 #9): grams
+    * appearing in more than DF_CAP documents are dropped from the INVERTED
+    * INDEX (never from the per-doc gram counts, so the Jaccard denominator
+    * is exact). This puts a hard Σ_g df(g)² ≤ |postings|·DF_CAP bound on
+    * the candidate space even on adversarial corpora where one stop-gram
+    * appears everywhere. Trade-off: a pair sharing ONLY capped grams loses
+    * those from its intersection count, so its Jaccard is underestimated —
+    * for near-duplicates at the 0.5 threshold this is negligible (a capped
+    * gram is by definition a corpus-wide stop phrase carrying no dedup
+    * signal). On the fixtures the cap drops NOTHING: measured max df is 7
+    * (sf0.01) and 25 (sf0.1), both < 64; MicroSpec pins the capped ==
+    * uncapped equality. */
+  private[graft] val DF_CAP = 64
+
+  /** dedup_ngram_jaccard body with the cap as a parameter (MicroSpec runs
+    * the uncapped twin to prove fixture equality). */
+  private[graft] def ngramJaccard(s: SparkSession, dir: String, dfCap: Int): DataFrame = {
+    val grams = T.documents(s, dir)
+      .transform(T.fanOut(_, col("doc_id")))
+      .select(col("doc_id"), filter(split(col("text"), " "), t => t =!= "").as("ts"))
+      // sequence(1, n) with n < 1 would COUNT DOWN (Spark picks step
+      // −1) — docs under 3 tokens have no trigrams, as in the oracle
+      .where(size(col("ts")) >= 3)
+      .select(col("doc_id"), array_distinct(expr(
+        """transform(sequence(1, size(ts) - 2),
+           i -> concat_ws(' ', element_at(ts, i), element_at(ts, i + 1), element_at(ts, i + 2)))"""))
+        .as("grams"))
+      .select(col("doc_id"), col("grams"), size(col("grams")).as("sz"))
+    grams
+      .select(col("doc_id"), col("sz"), explode_outer(col("grams")).as("g"))
+      .groupBy("g").agg(collect_list(struct(col("doc_id"), col("sz"))).as("docs"))
+      // df cap (see DF_CAP): the bucket IS the posting list, so the cap is
+      // one extra predicate on the already-aggregated size — zero extra
+      // passes, and the pair explode below inherits the hard bound
+      .where(size(col("docs")) > 1 && size(col("docs")) <= dfCap)
+      .select(explode(col("docs")).as("a"), col("docs"))
+      .select(col("a"), explode(col("docs")).as("b"))
+      .where(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
+      .agg(count(lit(1)).as("inter"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter"))).as("jac"))
+      .where(col("jac") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
 
   val entries: Seq[QueryDef] = Seq(
 
@@ -113,43 +162,19 @@ object Dedup {
       //   scan stage with the ENTIRE gram expression tree (3× evaluation,
       //   single task, 5.4 s of the old 6.9 s!); explode_outer is exempt,
       //   and is value-identical here because every kept doc has ≥ 1 gram.
-      (s, dir) => {
-        val grams = T.documents(s, dir)
-          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-          .select(col("doc_id"), filter(split(col("text"), " "), t => t =!= "").as("ts"))
-          // sequence(1, n) with n < 1 would COUNT DOWN (Spark picks step
-          // −1) — docs under 3 tokens have no trigrams, as in the oracle
-          .where(size(col("ts")) >= 3)
-          .select(col("doc_id"), array_distinct(expr(
-            """transform(sequence(1, size(ts) - 2),
-               i -> concat_ws(' ', element_at(ts, i), element_at(ts, i + 1), element_at(ts, i + 2)))"""))
-            .as("grams"))
-          .select(col("doc_id"), col("grams"), size(col("grams")).as("sz"))
-        grams
-          .select(col("doc_id"), col("sz"), explode_outer(col("grams")).as("g"))
-          .groupBy("g").agg(collect_list(struct(col("doc_id"), col("sz"))).as("docs"))
-          .where(size(col("docs")) > 1)
-          .select(explode(col("docs")).as("a"), col("docs"))
-          .select(col("a"), explode(col("docs")).as("b"))
-          .where(col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-            col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
-          .agg(count(lit(1)).as("inter"))
-          .select(col("doc_a"), col("doc_b"),
-            (col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter"))).as("jac"))
-          .where(col("jac") >= 0.5)
-          .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jaccard"))
-          .orderBy("doc_a", "doc_b")
-      },
-      Some("""WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+      (s, dir) => ngramJaccard(s, dir, DF_CAP),
+      Some(s"""WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
                 FROM documents),
                 ng AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS g
                        FROM (SELECT doc_id, ts,
                                unnest(generate_series(1, len(ts) - 2)) AS i
                              FROM toks) x),
                 sz AS (SELECT doc_id, count(*) AS sz FROM ng GROUP BY doc_id),
+                -- df cap twin (see DF_CAP): index only grams in <= $DF_CAP docs
+                ngf AS (SELECT doc_id, g FROM ng
+                        WHERE g IN (SELECT g FROM ng GROUP BY g HAVING count(*) <= $DF_CAP)),
                 shared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-                           FROM ng a JOIN ng b ON a.g = b.g AND a.doc_id < b.doc_id
+                           FROM ngf a JOIN ngf b ON a.g = b.g AND a.doc_id < b.doc_id
                            GROUP BY 1, 2),
                 j AS (SELECT doc_a, doc_b,
                         CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jac

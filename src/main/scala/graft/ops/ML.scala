@@ -88,7 +88,7 @@ object ML {
     */
   private def gram64(s: SparkSession, dir: String): Array[Array[Double]] = {
     val partials = T.embeddings(s, dir).select(col("embedding"))
-      .repartition(s.sparkContext.defaultParallelism)
+      .transform(T.fanOut(_))
       .rdd.mapPartitions { it =>
         val acc = new Array[Long](64 * 64)
         it.foreach { r =>
@@ -146,7 +146,7 @@ object ML {
       col("l_discount").cast(d6).as("d"),
       col("l_tax").cast(d6).as("t"),
       col("l_extendedprice").cast(d6).as("y"))
-      .repartition(s.sparkContext.defaultParallelism)
+      .transform(T.fanOut(_))
     l.agg(
       count(lit(1)).as("n"),
       e4(sum(col("q"))).as("s_q_e4"),
@@ -369,7 +369,7 @@ object ML {
     val d = T.lineitem(s, dir).select(
       col("l_quantity").cast("double").as("x"),
       when(col("l_returnflag") === "R", 1.0).otherwise(0.0).as("y"))
-      .repartition(s.sparkContext.defaultParallelism)
+      .transform(T.fanOut(_))
     var a = 0.0
     var b = 0.0
     for (_ <- 1 to 3) {
@@ -576,7 +576,7 @@ object ML {
           col("l_discount").cast("double").as("d"),
           col("l_tax").cast("double").as("t"),
           col("l_extendedprice").cast("double").as("y"))
-          .repartition(s.sparkContext.defaultParallelism)
+          .transform(T.fanOut(_))
         l.crossJoin(broadcast(coefs))
           .select(col("l_returnflag"),
             expr("y - (x0 + x1 * q + x2 * d + x3 * t)").as("r"))
@@ -864,7 +864,7 @@ object ML {
           .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
         // repartition: the one-row-group fixture parquet would stream the
         // broadcast join single-threaded otherwise
-        val cand = e.repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+        val cand = e.transform(T.fanOut(_, col("vec_id")))
           .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
         val dist = graft.functions.Vec.l2(s, "q_emb", "n_emb")
         val w = Window.partitionBy(col("q_id")).orderBy(col("d"), col("n_id"))
@@ -894,7 +894,7 @@ object ML {
           sqrt(graft.functions.Vec.dot(s, "embedding", "embedding")).as("nrm"))
         val q = e.where(col("vec_id") < 20)
           .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
-        val cand = e.repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+        val cand = e.transform(T.fanOut(_, col("vec_id")))
           .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"), col("nrm").as("n_nrm"))
         val cos = graft.functions.Vec.dot(s, "q_emb", "n_emb") / (col("q_nrm") * col("n_nrm"))
         val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
@@ -927,7 +927,7 @@ object ML {
           .select(col("vec_id").as("cid"), col("embedding").as("c_emb"))
         val dist = graft.functions.Vec.l2(s, "embedding", "c_emb")
         val w = Window.partitionBy(col("vec_id")).orderBy(col("d"), col("cid"))
-        e.repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+        e.transform(T.fanOut(_, col("vec_id")))
           .crossJoin(broadcast(cent))
           .select(col("vec_id"), col("cid"), dist.as("d"))
           .withColumn("rn", row_number().over(w))
@@ -963,7 +963,7 @@ object ML {
           .select(col("vec_id").as("cid"), col("embedding").as("c_emb"))
         val dist = graft.functions.Vec.l2(s, "embedding", "c_emb")
         val w = Window.partitionBy(col("vec_id")).orderBy(col("d"), col("cid"))
-        e.repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+        e.transform(T.fanOut(_, col("vec_id")))
           .crossJoin(broadcast(cent))
           .select(col("vec_id"), col("embedding"), col("cid"), dist.as("d"))
           .withColumn("rn", row_number().over(w))
@@ -1014,7 +1014,7 @@ object ML {
       (s, dir) => {
         val e = T.embeddings(s, dir)
           .select(col("vec_id"), col("embedding"))
-          .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+          .transform(T.fanOut(_, col("vec_id")))
         var cent: DataFrame = e.where(col("vec_id") < 10)
           .select(col("vec_id").as("cid"), col("embedding").as("c_emb"))
         for (_ <- 1 to 3) {
@@ -1090,7 +1090,7 @@ object ML {
         val labels = T.documents(s, dir).select(col("doc_id"), col("lang"))
         val q = e.where(col("vec_id") < 20)
           .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-        val cand = e.repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+        val cand = e.transform(T.fanOut(_, col("vec_id")))
           .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
         val dist = graft.functions.Vec.l2(s, "q_emb", "n_emb")
         val w = Window.partitionBy(col("q_id")).orderBy(col("d"), col("n_id"))
@@ -1133,7 +1133,7 @@ object ML {
         val target = T.documents(s, dir).select(col("doc_id"), col("n_chars"))
         val q = e.where(col("vec_id") < 20)
           .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-        val cand = e.repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+        val cand = e.transform(T.fanOut(_, col("vec_id")))
           .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
         val dist = graft.functions.Vec.l2(s, "q_emb", "n_emb")
         val w = Window.partitionBy(col("q_id")).orderBy(col("d"), col("n_id"))
@@ -1174,7 +1174,7 @@ object ML {
           col("l_extendedprice").cast("double").as("p"))
           // fan both the fit pass and the z pass past the 3-task scan; the
           // exchange is shared by the two branches (ReuseExchange)
-          .repartition(s.sparkContext.defaultParallelism)
+          .transform(T.fanOut(_))
         val fit = l.agg(
           count(lit(1)).cast("double").as("n"),
           T.xsum(col("q")).as("sq"), T.xsum(col("q") * col("q")).as("sqq"),
@@ -1256,7 +1256,7 @@ object ML {
         val d = T.lineitem(s, dir).select(
           col("l_quantity").cast("double").as("x"),
           when(col("l_returnflag") === "R", 1).otherwise(0).as("y"))
-          .repartition(s.sparkContext.defaultParallelism)
+          .transform(T.fanOut(_))
         val ab = Seq((a, b)).toDF("ca", "cb") // broadcast params, as in irlsBeta
         val mu = (lit(1.0) / (lit(1.0) + exp(-(col("ca") + col("cb") * col("x")))))
           .cast("float")
@@ -1345,7 +1345,7 @@ object ML {
         import spark.implicits._
         val e = T.embeddings(s, dir)
           .select(col("vec_id"), col("embedding"))
-          .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+          .transform(T.fanOut(_, col("vec_id")))
         val h = (lit(387143L) * col("vec_id") + lit(31337L)) % lit(2147483647L)
         val first = e.orderBy(h, col("vec_id")).limit(1).collect()(0)
         val chosen = scala.collection.mutable.ArrayBuffer[(Int, Long, Seq[Float], Double)](

@@ -83,7 +83,7 @@ object Pipeline {
         // DOWN (bogus grams) while DuckDB's generate_series is empty — the
         // same sub-n-gram guard as udtf_generator/dedup_ngram_jaccard
         val tri = docs
-          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+          .transform(T.fanOut(_, col("doc_id")))
           .where(length(col("text")) >= 3)
           .select(col("doc_id"), col("lang"),
             explode_outer(expr(
@@ -187,7 +187,7 @@ object Pipeline {
         val dist = graft.functions.Vec.l2(s, "embedding", "c_emb")
         // assignment: nearest cell per vector
         val aw = Window.partitionBy(col("vec_id")).orderBy(col("d"), col("cid"))
-        val assigned = e.repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+        val assigned = e.transform(T.fanOut(_, col("vec_id")))
           .crossJoin(broadcast(cent))
           .select(col("vec_id"), col("embedding"), col("cid"), dist.as("d"))
           .withColumn("rn", row_number().over(aw)).where(col("rn") === 1)

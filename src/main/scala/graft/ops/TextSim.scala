@@ -155,7 +155,7 @@ object TextSim {
           ascii(substring(col("term"), k + 1, 1)).cast("long") * lit(POW31(k)))
           .reduce(_ + _)
         val dt = T.documents(s, dir)
-          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+          .transform(T.fanOut(_, col("doc_id")))
           .where(length(col("text")) >= 7) // sequence(1, n<1) counts DOWN
           .select(col("doc_id"),
             explode_outer(expr(
@@ -216,7 +216,7 @@ object TextSim {
         // hash-repartitioning the streamed side fans the O(n²) work over
         // all cores (deterministic: partitioning never changes the result
         // set, and the sink re-sorts)
-        val a = e.repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+        val a = e.transform(T.fanOut(_, col("vec_id")))
           .select(col("vec_id").as("id_a"), col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
         // BROADCAST-SIDE BOUND (VERDICT r4 "What's wrong" #3): broadcast(b)
         // ships the ENTIRE embeddings table — ~0.5 MB at fixture scale,
@@ -256,7 +256,7 @@ object TextSim {
         // bound too: broadcast(b) = the whole table, viable only at
         // recall-reference scale — the production path is
         // sim_topk_pairs_lsh (bucketed candidates, no full broadcast).
-        val a = e.repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+        val a = e.transform(T.fanOut(_, col("vec_id")))
           .select(col("vec_id").as("id_a"), col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
         val b = e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
         val cos = graft.functions.Vec.dot(s, "emb_a", "emb_b") / (col("nrm_a") * col("nrm_b"))

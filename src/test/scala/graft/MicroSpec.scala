@@ -459,6 +459,15 @@ class MicroSpec extends SparkSpec {
     assert(byName("test").getDouble(5) > 0 && !byName("test").getDouble(5).isNaN)
   }
 
+  test("dedup_ngram_jaccard: df cap drops nothing on the fixture (VERDICT r5 #9)") {
+    // measured max gram df is 7 (sf0.01) / 25 (sf0.1), both < DF_CAP = 64,
+    // so the capped index must produce the identical pair set; the cap
+    // only has teeth on adversarial stop-gram corpora
+    def rows(cap: Int) = ops.Dedup.ngramJaccard(spark, sf, cap).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rows(ops.Dedup.DF_CAP) == rows(Int.MaxValue))
+  }
+
   test("e4 wire guard raises on overflow instead of silently NULLing") {
     // ADVICE r3: a sum whose ×10⁴ scaling exceeds ~2⁶³ must fail loudly
     import spark.implicits._
