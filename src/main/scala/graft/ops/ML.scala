@@ -1473,19 +1473,31 @@ object ML {
             % lit(2147483647L) % 100 < 80, lit("train"))
             .otherwise(lit("test")).as("split"),
           col("l_quantity").cast(d6).as("x"),
-          col("l_extendedprice").cast(d6).as("y"))
+          col("l_extendedprice").cast(d6).as("y"),
+          // syy is the one moment the e4 wire can NOT carry: sum(y²)·10⁴ =
+          // 1.78e19 > 2⁶³ already at sf0.1 (the e4 guard caught it — r6).
+          // Exact integer route instead: y in CENTS (2-dp data → ×100 is
+          // integral), y² in cents² per row (≤1.21e14, fits long), summed
+          // as DECIMAL(38,0) — exact at any SF.
+          ((col("l_extendedprice").cast(DecimalType(18, 2)) * lit(100)).cast("long"))
+            .as("yc"))
         val g = l.groupBy("split").agg(
           count(lit(1)).as("n"),
           e4(sum(col("x"))).as("sx"), e4(sum(col("y"))).as("sy"),
           e4(sum(col("x") * col("x"))).as("sxx"),
           e4(sum(col("x") * col("y"))).as("sxy"),
-          e4(sum(col("y") * col("y"))).as("syy"))
+          sum((col("yc") * col("yc")).cast(DecimalType(38, 0))).as("syyc"))
         val w = Window.partitionBy() // global window over the 2 split rows
         def tr(c: String) = sum(when(col("split") === "train", col(c))).over(w)
         val t = g.select(col("split"), col("n"),
           (col("sx") / 1e4).as("gsx"), (col("sy") / 1e4).as("gsy"),
           (col("sxx") / 1e4).as("gsxx"), (col("sxy") / 1e4).as("gsxy"),
-          (col("syy") / 1e4).as("gsyy"),
+          // hi/lo split of the exact cents² sum into two BIGINTs (integer
+          // div/mod — no decimal→double cast whose rounding could differ),
+          // recombined with the SAME double ops in both engines; /1e4
+          // converts cents² to the dollars² the residual algebra expects
+          ((expr("syyc div 100000000").cast("double") * 1e8
+            + (col("syyc") % lit(100000000L)).cast("double")) / 1e4).as("gsyy"),
           tr("n").cast("double").as("tn"),
           (tr("sx") / 1e4).as("tsx"), (tr("sy") / 1e4).as("tsy"),
           (tr("sxx") / 1e4).as("tsxx"), (tr("sxy") / 1e4).as("tsxy"))
@@ -1493,7 +1505,10 @@ object ML {
           .withColumn("a", expr("(tsy - b * tsx) / tn"))
           .select(col("split"), col("n"),
             round(col("b"), 6).as("slope"), round(col("a"), 6).as("intercept"),
-            round(expr("(gsy - n * a - b * gsx) / n"), 6).as("avg_resid"),
+            // + 0 canonicalizes -0.0 → 0.0: the train residual is
+            // algebraically zero and the float-noise SIGN differs across
+            // engines (measured r6: Spark 0.0, DuckDB -0.0)
+            (round(expr("(gsy - n * a - b * gsx) / n"), 6) + lit(0.0)).as("avg_resid"),
             round(expr(
               "sqrt((gsyy - 2*a*gsy - 2*b*gsxy + n*a*a + 2*a*b*gsx + b*b*gsxx) / n)"), 6)
               .as("rmse"))
@@ -1504,18 +1519,24 @@ object ML {
                          % 2147483647 % 100 < 80
                        THEN 'train' ELSE 'test' END AS split,
                   CAST(l_quantity AS DECIMAL(19,6)) AS x,
-                  CAST(l_extendedprice AS DECIMAL(19,6)) AS y
+                  CAST(l_extendedprice AS DECIMAL(19,6)) AS y,
+                  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS yc
                 FROM lineitem),
                 g AS (SELECT split, count(*) AS n,
                   CAST(sum(x) * 10000 AS BIGINT) AS sx,
                   CAST(sum(y) * 10000 AS BIGINT) AS sy,
                   CAST(sum(x * x) * 10000 AS BIGINT) AS sxx,
                   CAST(sum(x * y) * 10000 AS BIGINT) AS sxy,
-                  CAST(sum(y * y) * 10000 AS BIGINT) AS syy
+                  sum(CAST(yc * yc AS DECIMAL(38,0))) AS syyc
                 FROM l GROUP BY 1),
                 t AS (SELECT split, n,
                   sx / 1e4 AS gsx, sy / 1e4 AS gsy, sxx / 1e4 AS gsxx,
-                  sxy / 1e4 AS gsxy, syy / 1e4 AS gsyy,
+                  sxy / 1e4 AS gsxy,
+                  -- HUGEINT, not DECIMAL: DuckDB's // on DECIMAL is true
+                  -- division, on HUGEINT it is the integral division that
+                  -- mirrors Spark's `div` (measured r6)
+                  (CAST(CAST(syyc AS HUGEINT) // 100000000 AS DOUBLE) * 1e8
+                   + CAST(CAST(syyc AS HUGEINT) % 100000000 AS DOUBLE)) / 1e4 AS gsyy,
                   CAST(sum(CASE WHEN split = 'train' THEN n END) OVER () AS DOUBLE) AS tn,
                   sum(CASE WHEN split = 'train' THEN sx END) OVER () / 1e4 AS tsx,
                   sum(CASE WHEN split = 'train' THEN sy END) OVER () / 1e4 AS tsy,
@@ -1527,7 +1548,7 @@ object ML {
                 FROM t),
                 c2 AS (SELECT *, (tsy - b * tsx) / tn AS a FROM c)
               SELECT split, n, round(b, 6) AS slope, round(a, 6) AS intercept,
-                round((gsy - n * a - b * gsx) / n, 6) AS avg_resid,
+                round((gsy - n * a - b * gsx) / n, 6) + 0 AS avg_resid,
                 round(sqrt((gsyy - 2*a*gsy - 2*b*gsxy + n*a*a + 2*a*b*gsx + b*b*gsxx) / n), 6) AS rmse
               FROM c2
               ORDER BY split"""))
