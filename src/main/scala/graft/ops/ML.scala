@@ -138,30 +138,44 @@ object ML {
     * and the full solve. */
   private def gram4(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val d6 = DecimalType(19, 6)
-    // repartition past the 3-task parquet scan: 14 exact-decimal sums over
-    // 600k rows want all cores, and the guard's conditional cast is hot
+    // r6: the 13 moment sums run in LONG space, not DECIMAL — the e4 wire
+    // is an exact integer (value × 10⁴) either way, and the long path is
+    // ~3× cheaper per pass (measured 2.7 s → 1.0 s cold at sf0.1; decimal
+    // sums accumulate through Decimal128 objects outside the primitive
+    // codegen path). The per-row decimal CASTS stay: they canonicalize the
+    // double's 2-dp payload exactly as the old DECIMAL(19,6) cast did
+    // (quantity is integral, discount/tax/price 2-dp — checked against the
+    // fixtures), so every product ×10⁴ is an exact long.
+    // EXACTNESS GUARD: all addends are positive and s_qy dominates every
+    // other column per row (q ≥ 1 ⇒ q·y·10⁴ ≥ y·10⁴, q²·10⁴, and d,t ≤ 0.1
+    // keep their products far smaller), so ONE exact DECIMAL(38,0) sum of
+    // the dominant moment bounds all 13: if it fits in the e4 BIGINT, every
+    // long sum was overflow-free (positive addends make partial sums
+    // monotone). e4's raise_error fires loudly past 2⁶³·10⁻⁴, as before.
     val l = T.lineitem(s, dir).select(
-      col("l_quantity").cast(d6).as("q"),
-      col("l_discount").cast(d6).as("d"),
-      col("l_tax").cast(d6).as("t"),
-      col("l_extendedprice").cast(d6).as("y"))
+      col("l_quantity").cast(DecimalType(18, 0)).cast("long").as("q"),
+      (col("l_discount").cast(DecimalType(18, 2)) * 100).cast("long").as("d2"),
+      (col("l_tax").cast(DecimalType(18, 2)) * 100).cast("long").as("t2"),
+      (col("l_extendedprice").cast(DecimalType(18, 2)) * 100).cast("long").as("y2"))
       .transform(T.fanOut(_))
+    val qyDec = sum((col("q") * col("y2") * 100).cast(DecimalType(38, 0)))
     l.agg(
       count(lit(1)).as("n"),
-      e4(sum(col("q"))).as("s_q_e4"),
-      e4(sum(col("d"))).as("s_d_e4"),
-      e4(sum(col("t"))).as("s_t_e4"),
-      e4(sum(col("q") * col("q"))).as("s_qq_e4"),
-      e4(sum(col("q") * col("d"))).as("s_qd_e4"),
-      e4(sum(col("q") * col("t"))).as("s_qt_e4"),
-      e4(sum(col("d") * col("d"))).as("s_dd_e4"),
-      e4(sum(col("d") * col("t"))).as("s_dt_e4"),
-      e4(sum(col("t") * col("t"))).as("s_tt_e4"),
-      e4(sum(col("y"))).as("s_y_e4"),
-      e4(sum(col("q") * col("y"))).as("s_qy_e4"),
-      e4(sum(col("d") * col("y"))).as("s_dy_e4"),
-      e4(sum(col("t") * col("y"))).as("s_ty_e4"))
+      sum(col("q") * 10000).as("s_q_e4"),
+      sum(col("d2") * 100).as("s_d_e4"),
+      sum(col("t2") * 100).as("s_t_e4"),
+      sum(col("q") * col("q") * 10000).as("s_qq_e4"),
+      sum(col("q") * col("d2") * 100).as("s_qd_e4"),
+      sum(col("q") * col("t2") * 100).as("s_qt_e4"),
+      sum(col("d2") * col("d2")).as("s_dd_e4"),
+      sum(col("d2") * col("t2")).as("s_dt_e4"),
+      sum(col("t2") * col("t2")).as("s_tt_e4"),
+      sum(col("y2") * 100).as("s_y_e4"),
+      when(abs(qyDec) > lit(9.0e18),
+        raise_error(concat(lit("e4 wire overflow: "), qyDec.cast("string"))))
+        .otherwise(qyDec.cast("long")).as("s_qy_e4"),
+      sum(col("d2") * col("y2")).as("s_dy_e4"),
+      sum(col("t2") * col("y2")).as("s_ty_e4"))
   }
 
   private val sqlGram4: String =

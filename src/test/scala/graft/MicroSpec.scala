@@ -459,6 +459,24 @@ class MicroSpec extends SparkSpec {
     assert(byName("test").getDouble(5) > 0 && !byName("test").getDouble(5).isNaN)
   }
 
+  test("holdout hi/lo moment split is exact past the 2^63 e4 ceiling (r6)") {
+    // ml_linreg_holdout's sum(y²) moment crosses engines as an exact
+    // DECIMAL(38,0) cents² sum split into two BIGINTs by 10⁸ (the e4
+    // ×10⁴-BIGINT wire overflows at sf0.1: 1.78e19 > 2⁶³). Pin the split
+    // on a value ABOVE the ceiling: div/mod must recombine to the exact
+    // integer, and the double recombination must equal the directly
+    // computed double of the same integer.
+    val v = BigDecimal("17799555593794042189") // the measured sf0.1 train sum
+    val df = spark.sql(
+      "SELECT CAST('17799555593794042189' AS DECIMAL(38,0)) AS syyc")
+    val r = df.selectExpr(
+      "syyc div 100000000 AS hi", "CAST(syyc % 100000000 AS BIGINT) AS lo",
+      "CAST(syyc div 100000000 AS DOUBLE) * 1e8 + CAST(syyc % 100000000 AS DOUBLE) AS d")
+      .collect().head
+    assert(BigDecimal(r.getLong(0)) * BigDecimal(100000000L) + r.getLong(1) == v)
+    assert(r.getDouble(2) == v.toDouble)
+  }
+
   test("dedup_ngram_jaccard: df cap drops nothing on the fixture (VERDICT r5 #9)") {
     // measured max gram df is 7 (sf0.01) / 25 (sf0.1), both < DF_CAP = 64,
     // so the capped index must produce the identical pair set; the cap

@@ -86,6 +86,21 @@ class PlanSpec extends SparkSpec {
     assert(pf.contains("o_orderstatus"), s"no partition pruning:\n$p")
   }
 
+  test("text_langid: profile and scoring share ONE documents scan (ReuseExchange, r6)") {
+    // the r5 form persisted the exploded trigram stream so the two
+    // consumers would not rescan; the r6 form relies on ReuseExchange
+    // deduping the scan+repartition exchange instead — if a refactor
+    // breaks the reuse (e.g. diverging fanOut keys), the corpus is read
+    // and exploded per consumer, which at 100 TB doubles the scan cost.
+    // Under AQE the reuse happens at stage materialization, so the plan
+    // must be EXECUTED before the final plan shows the ReusedExchange.
+    val qe = SparkEntry.queries("text_langid")(spark, sf).queryExecution
+    qe.toRdd.count()
+    val p = qe.executedPlan.toString
+    assert(p.contains("ReusedExchange"),
+      "trigram exchange not reused between profile and scoring:\n" + p)
+  }
+
   test("no query ever plans a CartesianProduct") {
     // every pair scan must be a broadcast nested-loop (small side broadcast)
     // or a bucketed equi-join — an unpartitioned cartesian is the one join
