@@ -20,11 +20,13 @@ object Log {
     * ml_linreg_predict / ml_linreg_holdout / win_ntile_cume's counts side),
     * where a single partition is the point, not a hazard. WindowExec still
     * warns per instantiation and floods the bench tail (hundreds of lines),
-    * burying real signals — silence that one logger; every other WARN stays
-    * visible. */
+    * burying real signals — silence exactly the emitting class's logger
+    * (r6 review: the whole ...execution.window package would also have
+    * swallowed unrelated window WARNs); every other WARN stays visible. */
   def quietBoundedWindowWarn(): Unit =
     org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.sql.execution.window", org.apache.logging.log4j.Level.ERROR)
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
 }
 
 /** Table loaders + cross-engine determinism helpers (SURVEY.md §1.2, §7.3).
@@ -127,30 +129,41 @@ object Tables {
   def xsumD(c: Column): Column = sum(c.cast(exact))
   def sqlXsumD(e: String): String = s"sum(CAST(($e) AS DECIMAL(30,12)))"
 
-  /** 31^k, k = 0..6 — base-31 polynomial weights of the STATELESS term id
-    * (max id ≈ 1.2e11, so a ~4e5 affine multiplier keeps products ≪ 2⁶³).
-    * Engine hash() builtins differ across Spark/DuckDB; integer polynomial
-    * arithmetic doesn't — and unlike a denseIds vocab it needs no global
-    * distinct + sort + join: hashing is embarrassingly parallel, the
-    * honest 100 TB design (r6, generalizing the dedup_minhash shingle id).
-    * Prefix collisions (terms sharing 7 leading chars) are deterministic
-    * and mirrored exactly by the SQL twin — acceptable wherever the id
-    * feeds a hash anyway. */
-  val POW31: IndexedSeq[Long] =
-    (0 until 7).scanLeft(1L)((p, _) => p * 31L).toIndexedSeq.take(7)
+  /** Prime modulus of every deterministic hash family in the repo
+    * (2³¹ − 1). */
+  val HASH_P: Long = 2147483647L
 
-  /** Σ ascii(c_k)·31^k over the first 7 chars of `term` (Spark side —
-    * ascii of an out-of-range substring is 0). */
-  def polyTid(term: Column): Column =
-    (0 until 7).map(k =>
-      ascii(substring(term, k + 1, 1)).cast("long") * lit(POW31(k))).reduce(_ + _)
+  /** STATELESS term id: base-31 rolling hash over ALL characters, reduced
+    * mod [[HASH_P]] at every step — f = fold(c: (f·31 + codepoint(c)) mod
+    * P). Engine hash() builtins differ across Spark/DuckDB; integer
+    * polynomial arithmetic doesn't — and unlike a denseIds vocab it needs
+    * no global distinct + sort + join: hashing is embarrassingly parallel,
+    * the honest 100 TB design (r6, generalizing the dedup_minhash shingle
+    * id). The per-step mod keeps the accumulator < 31·P + 0x10FFFF ≈
+    * 6.7e10 at ANY term length and ANY code point (an unreduced 7-char
+    * polynomial over astral-plane chars reached ~1e15, whose ~4e5 affine
+    * multiple overflows BIGINT: DuckDB raises, Spark wraps — the r6 review
+    * catch), and full-length hashing removes the systematic collisions of
+    * a fixed-prefix id ('performance' vs 'performing' shared their first 7
+    * chars). Remaining collisions are the generic ~1/P kind, deterministic
+    * and mirrored exactly by the SQL twin.
+    *
+    * `term` is a column NAME (the expression embeds it twice); callers
+    * must guarantee non-empty strings — Spark's sequence(1, 0) counts
+    * DOWN, the usual sub-length trap. */
+  def polyTid(term: String): Column =
+    expr(s"aggregate(sequence(1, length($term)), 0L, " +
+      s"(acc, i) -> (acc * 31 + ascii(substring($term, i, 1))) % $HASH_P)")
 
-  /** SQL twin of [[polyTid]]. DuckDB's unicode('') is −1 (not Spark's 0),
-    * so short terms are guarded explicitly. */
+  /** DuckDB twin of [[polyTid]]: list_reduce takes the FIRST element as
+    * the initial accumulator, so a 0 is prepended to mirror Spark's
+    * explicit 0L seed; unicode() == Spark's ascii() (full code point) on
+    * the non-empty single chars this enumerates. */
   def sqlPolyTid(term: String): String =
-    (0 until 7).map(k =>
-      s"(CASE WHEN length($term) > $k THEN CAST(unicode(substr($term, ${k + 1}, 1)) AS BIGINT) ELSE 0 END) * ${POW31(k)}")
-      .mkString(" + ")
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(generate_series(1, length($term)), " +
+      s"i -> CAST(unicode(substr($term, CAST(i AS INT), 1)) AS BIGINT))), " +
+      s"(acc, x) -> (acc * 31 + x) % $HASH_P)"
 
   /** Lazily zip a sorted row RDD with global 1-based positions: partition
     * offsets are counted in a job that runs at FIRST EXECUTION (inside

@@ -28,20 +28,16 @@ object Dedup {
 
   // Same deterministic affine hash family as dedup_minhash
   // (TextSim.scala): engine hash() builtins differ across Spark/DuckDB,
-  // affine arithmetic over STATELESS polynomial term ids does not. r6: the
-  // term id is the base-31 polynomial over the first 7 chars (the
-  // dedup_minhash shingle-id discipline) instead of a Tables.denseIds
-  // vocab — no global distinct + sort + join; hashing is embarrassingly
-  // parallel, which is also the honest 100 TB design (no vocab job at
-  // all). Prefix collisions (terms sharing 7 leading chars) merge weight
-  // mass deterministically in BOTH engines — acceptable for a hash-based
-  // fingerprint, mirrored exactly by the oracle.
-  private val P = 2147483647L
+  // affine arithmetic over STATELESS term ids does not. r6: the term id is
+  // the full-length base-31 rolling hash (Tables.polyTid — mod P each
+  // step, so any code point and any term length stay < 2⁶³) instead of a
+  // Tables.denseIds vocab — no global distinct + sort + join; hashing is
+  // embarrassingly parallel, the honest 100 TB design. tid < P keeps
+  // A1·tid ≈ 8e14 ≪ 2⁶³.
+  private val P = T.HASH_P
   private val A1 = 387143L
   private val B1 = 31337L
   private val NBITS = 24
-  private def polyTid(term: org.apache.spark.sql.Column) = T.polyTid(term)
-  private def sqlPolyTid(term: String) = T.sqlPolyTid(term)
 
   /** Posting-list df cap for dedup_ngram_jaccard (VERDICT r5 #9): grams
     * appearing in more than DF_CAP documents are dropped from the INVERTED
@@ -113,7 +109,7 @@ object Dedup {
           .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
           .where(col("term") =!= "")
           .select(col("doc_id"),
-            ((lit(A1) * polyTid(col("term")) + lit(B1)) % lit(P)).as("hv"))
+            ((lit(A1) * T.polyTid("term") + lit(B1)) % lit(P)).as("hv"))
         // 24 per-bit accumulators in ONE groupBy — map-side combine keeps
         // the shuffle at 24 longs per doc, no explode over bit positions.
         val accs = (0 until NBITS).map(i =>
@@ -129,7 +125,7 @@ object Dedup {
       },
       Some(s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
                  FROM documents),
-                 h AS (SELECT doc_id, ($A1 * (${sqlPolyTid("term")}) + $B1) % $P AS hv
+                 h AS (SELECT doc_id, ($A1 * (${T.sqlPolyTid("term")}) + $B1) % $P AS hv
                        FROM toks WHERE term <> ''),
                  acc AS (SELECT doc_id,
                    ${(0 until NBITS).map(i => s"sum(((hv >> $i) & 1) * 2 - 1) AS b$i").mkString(", ")}

@@ -146,20 +146,27 @@ object ML {
     // double's 2-dp payload exactly as the old DECIMAL(19,6) cast did
     // (quantity is integral, discount/tax/price 2-dp — checked against the
     // fixtures), so every product ×10⁴ is an exact long.
-    // EXACTNESS GUARD: all addends are positive and s_qy dominates every
-    // other column per row (q ≥ 1 ⇒ q·y·10⁴ ≥ y·10⁴, q²·10⁴, and d,t ≤ 0.1
-    // keep their products far smaller), so ONE exact DECIMAL(38,0) sum of
-    // the dominant moment bounds all 13: if it fits in the e4 BIGINT, every
-    // long sum was overflow-free (positive addends make partial sums
-    // monotone). e4's raise_error fires loudly past 2⁶³·10⁻⁴, as before.
+    // EXACTNESS GUARD (r6 review hardening — the first cut guarded only
+    // the s_qy moment and argued the other 12 were row-wise dominated,
+    // which held on THIS data (y ≥ q per row) but is not a schema
+    // guarantee): the guard now sums the per-row GREATEST |term| across
+    // all 13 moments in double — Σ_rows max_col |term| bounds every
+    // column's |sum| with no data assumption at all — and raises loudly
+    // when that bound nears 2⁶³ (8.9e18 leaves a 3% margin ≫ the double
+    // sum's rounding error). Positive-addend monotonicity then rules out
+    // silent intermediate wraps in every long sum.
     val l = T.lineitem(s, dir).select(
       col("l_quantity").cast(DecimalType(18, 0)).cast("long").as("q"),
       (col("l_discount").cast(DecimalType(18, 2)) * 100).cast("long").as("d2"),
       (col("l_tax").cast(DecimalType(18, 2)) * 100).cast("long").as("t2"),
       (col("l_extendedprice").cast(DecimalType(18, 2)) * 100).cast("long").as("y2"))
       .transform(T.fanOut(_))
-    val qyDec = sum((col("q") * col("y2") * 100).cast(DecimalType(38, 0)))
-    l.agg(
+    val (aq, ad, at, ay) = (abs(col("q")).cast("double"), abs(col("d2")).cast("double"),
+      abs(col("t2")).cast("double"), abs(col("y2")).cast("double"))
+    val rowMax = greatest(
+      aq * 1e4, ad * 100, at * 100, aq * aq * 1e4, aq * ad * 100, aq * at * 100,
+      ad * ad, ad * at, at * at, ay * 100, aq * ay * 100, ad * ay, at * ay)
+    val guarded = l.agg(
       count(lit(1)).as("n"),
       sum(col("q") * 10000).as("s_q_e4"),
       sum(col("d2") * 100).as("s_d_e4"),
@@ -171,11 +178,18 @@ object ML {
       sum(col("d2") * col("t2")).as("s_dt_e4"),
       sum(col("t2") * col("t2")).as("s_tt_e4"),
       sum(col("y2") * 100).as("s_y_e4"),
-      when(abs(qyDec) > lit(9.0e18),
-        raise_error(concat(lit("e4 wire overflow: "), qyDec.cast("string"))))
-        .otherwise(qyDec.cast("long")).as("s_qy_e4"),
+      sum(col("q") * col("y2") * 100).as("s_qy_e4"),
       sum(col("d2") * col("y2")).as("s_dy_e4"),
-      sum(col("t2") * col("y2")).as("s_ty_e4"))
+      sum(col("t2") * col("y2")).as("s_ty_e4"),
+      sum(rowMax).as("gbound"))
+    guarded.select(
+      when(col("gbound") > lit(8.9e18),
+        raise_error(concat(lit("e4 wire overflow risk: bound "), col("gbound").cast("string"))))
+        .otherwise(col("n")).as("n"),
+      col("s_q_e4"), col("s_d_e4"), col("s_t_e4"),
+      col("s_qq_e4"), col("s_qd_e4"), col("s_qt_e4"),
+      col("s_dd_e4"), col("s_dt_e4"), col("s_tt_e4"),
+      col("s_y_e4"), col("s_qy_e4"), col("s_dy_e4"), col("s_ty_e4"))
   }
 
   private val sqlGram4: String =

@@ -17,7 +17,7 @@ object Pipeline {
   // Affine mixing constants for the fingerprint (same deterministic-hash
   // discipline as dedup_minhash: engine hash() functions differ, arithmetic
   // doesn't).
-  private val P = 2147483647L
+  private val P = T.HASH_P
   private val FA = 48271L
   private val FB = 16807L
 
@@ -69,14 +69,17 @@ object Pipeline {
       (s, dir) => {
         val docs = T.documents(s, dir)
         // tri feeds both the profile build and the scoring join. r6: NO
-        // persist — both consumers live in ONE DAG, so ReuseExchange dedups
-        // the scan+repartition exchange (pinned by PlanSpec) and only the
-        // cheap map-side explode runs twice; the r5 persist forced a full
-        // materialization of the exploded trigram stream into the block
-        // store plus a driver collect/createDataFrame detour (measured
-        // cold: 3.6 s → ~2.3 s). At 100 TB caching an exploded trigram
-        // stream is exactly what an engine must not do — the profile is
-        // the only state worth keeping and it is ≤ 20·n_langs rows.
+        // persist — on the fixture both consumers live in ONE DAG and
+        // ReuseExchange dedups the fanOut repartition exchange (pinned by
+        // PlanSpec), so only the cheap map-side explode runs twice; the r5
+        // persist forced a full materialization of the exploded trigram
+        // stream into the block store plus a driver collect/createDataFrame
+        // detour (measured cold: 3.6 s → ~2.3 s). At REAL scale fanOut
+        // no-ops (no exchange to reuse) and each branch scans the corpus —
+        // deliberately so: two streaming passes over source parquet is the
+        // correct 100 TB trade, vs caching an exploded trigram stream
+        // (several × corpus size) which an engine must never do. The
+        // profile is the only state worth keeping: ≤ 20·n_langs rows.
         // Plan hygiene (r5, as dedup_minhash): repartition fans the trigram
         // work past the fixture's 1-task scan; the trigrams are built in
         // one map-side transform and explode_outer'd (explode's inferred
@@ -134,23 +137,22 @@ object Pipeline {
     QueryDef(
       "text_fingerprint",
       // Document fingerprinting: position-weighted affine hash over the
-      // token stream — f(d) = Σ_i (th_i · w_i) mod P with th = polyTid mod P
-      // and w_i = (FA·i + FB) mod P, folded mod P. Map + one groupBy(doc) —
-      // the O(n) dedup/citation-tracking primitive. r6: the term id is the
-      // STATELESS base-31 polynomial (Tables.polyTid) instead of a denseIds
-      // vocab — drops the global distinct + range-sort + join; the whole
-      // query is one embarrassingly-parallel map pass + one map-side-
-      // combined groupBy, the honest 100 TB shape. Both factors are
-      // reduced mod P BEFORE the product, so each term stays < 2⁶² at ANY
-      // document length (the unreduced id × position weight would overflow
-      // past ~90k tokens).
+      // token stream — f(d) = Σ_i (tid_i · w_i) mod P with tid = the
+      // full-length rolling-hash term id (Tables.polyTid, < P by
+      // construction) and w_i = (FA·i + FB) mod P. Map + one groupBy(doc) —
+      // the O(n) dedup/citation-tracking primitive. r6: the stateless id
+      // replaces the denseIds vocab (global distinct + range-sort + join);
+      // the whole query is one embarrassingly-parallel map pass + one
+      // map-side-combined groupBy, the honest 100 TB shape. Both product
+      // factors are < P, so each term stays < 2⁶² at ANY document length
+      // and ANY code point.
       (s, dir) => {
         T.documents(s, dir)
           .transform(T.fanOut(_, col("doc_id"))) // 1-row-group fixture scan
           .select(col("doc_id"), posexplode(filter(split(col("text"), " "), t => t =!= "")))
           .toDF("doc_id", "pos", "term")
           .groupBy("doc_id")
-          .agg((sum(((T.polyTid(col("term")) % lit(P))
+          .agg((sum((T.polyTid("term")
             * (((lit(FA) * col("pos")) + lit(FB)) % lit(P))) % lit(P)) % lit(P))
             .as("fingerprint"))
           .groupBy("fingerprint")
@@ -166,7 +168,7 @@ object Pipeline {
                    FROM documents) x),
                fp AS (SELECT doc_id,
                         -- CAST: DuckDB sum(int) is HUGEINT → BIGINT on the wire
-                        CAST((sum((((${T.sqlPolyTid("term")}) % $P) * (($FA * pos + $FB) % $P)) % $P) % $P) AS BIGINT) AS fingerprint
+                        CAST((sum(((${T.sqlPolyTid("term")}) * (($FA * pos + $FB) % $P)) % $P) % $P) AS BIGINT) AS fingerprint
                       FROM toks GROUP BY doc_id)
                SELECT fingerprint, count(*) AS n_docs, min(doc_id) AS first_doc
                FROM fp GROUP BY fingerprint HAVING count(*) > 1

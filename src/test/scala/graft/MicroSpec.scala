@@ -459,6 +459,27 @@ class MicroSpec extends SparkSpec {
     assert(byName("test").getDouble(5) > 0 && !byName("test").getDouble(5).isNaN)
   }
 
+  test("polyTid: Spark rolling hash == local fold, incl. non-ASCII (r6 review)") {
+    // the cross-engine term-id contract: the in-plan aggregate() fold must
+    // equal the plain Scala fold at any code point (the pre-review 7-char
+    // prefix polynomial overflowed BIGINT on astral chars — DuckDB raised,
+    // Spark wrapped — and collided 'performance' with 'performing')
+    val P = Tables.HASH_P
+    def local(t: String): Long =
+      t.codePoints().toArray.foldLeft(0L)((a, c) => (a * 31 + c) % P)
+    val terms = Seq("a", "performance", "performing", "the", "日本語テスト",
+      "emoji😀tail", "internationalization")
+    import spark.implicits._
+    val got = terms.toDF("term").select(Tables.polyTid("term").as("tid"))
+      .collect().map(_.getLong(0)).toSeq
+    // Spark substring/length/ascii and DuckDB substr/length/unicode all
+    // count CODE POINTS (probed r6: length('emoji😀tail') = 10 and
+    // substr(...,6,1) = U+1F600 in both engines), so the code-point fold
+    // is the reference
+    assert(got == terms.map(local), s"got $got expected ${terms.map(local)}")
+    assert(local("performance") != local("performing"))
+  }
+
   test("holdout hi/lo moment split is exact past the 2^63 e4 ceiling (r6)") {
     // ml_linreg_holdout's sum(y²) moment crosses engines as an exact
     // DECIMAL(38,0) cents² sum split into two BIGINTs by 10⁸ (the e4
