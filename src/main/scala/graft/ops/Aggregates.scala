@@ -115,6 +115,55 @@ object Aggregates {
               ORDER BY o_orderstatus""")),
 
     QueryDef(
+      "agg_count_min_sketch",
+      // Count-Min sketch frequency estimation (Spark's built-in
+      // count_min_sketch aggregate) — the frequency companion to
+      // agg_approx_hll's cardinality sketch, and the 100 TB answer to
+      // "how often does each key occur" when the key space is too large
+      // to group exactly: the sketch is a fixed-size 2D counter array,
+      // map-side mergeable, one pass. Sketch BYTES are engine-specific,
+      // so (as with HLL) the wire carries the exact per-key counts plus
+      // accuracy verdicts evaluated against the CMS contract: estimates
+      // never undercount, and overcount ≤ ε·N with confidence δ (ε=0.001,
+      // δ=0.99, fixed seed → the estimates are DETERMINISTIC, so the
+      // verdicts cannot flap). The driver holds one sketch (KB-sized
+      // bounded state, like kmeans' centroids); the probe keys here are
+      // the 5 known priorities — a production probe set would be any
+      // bounded key sample.
+      (s, dir) => {
+        val skBytes = T.orders(s, dir)
+          .agg(count_min_sketch(col("o_orderpriority"), lit(0.001), lit(0.99), lit(42))
+            .as("cms"))
+          .collect()(0).getAs[Array[Byte]](0)
+        val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+          new java.io.ByteArrayInputStream(skBytes))
+        val exact = T.orders(s, dir)
+          .groupBy("o_orderpriority").agg(count(lit(1)).as("exact_n"))
+          .collect() // bounded: 5 priority values
+        val total = exact.map(_.getLong(1)).sum
+        val rows = exact.map { r =>
+          val key = r.getString(0); val n = r.getLong(1)
+          val est = cms.estimateCount(key)
+          org.apache.spark.sql.Row(key, n, est >= n, est <= n + Math.ceil(0.001 * total).toLong)
+        }
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("o_orderpriority",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("exact_n",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("cms_no_undercount",
+            org.apache.spark.sql.types.BooleanType),
+          org.apache.spark.sql.types.StructField("cms_within_eps",
+            org.apache.spark.sql.types.BooleanType)))
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS exact_n,
+                TRUE AS cms_no_undercount, TRUE AS cms_within_eps
+              FROM orders GROUP BY o_orderpriority
+              ORDER BY o_orderpriority""")),
+
+    QueryDef(
       "agg_approx_quantile",
       // The quantile companion to agg_approx_hll: distributed EXACT
       // p50/p90/p99 of o_totalprice per status via the two-phase

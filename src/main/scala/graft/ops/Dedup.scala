@@ -191,6 +191,69 @@ object Dedup {
               ORDER BY doc_a, doc_b""")),
 
     QueryDef(
+      "dedup_cluster",
+      // The final step of every dedup pipeline (r6): near-dup candidate
+      // PAIRS (dedup_minhash's banded LSH output, shared body —
+      // TextSim.minhashPairs) collapsed into duplicate CLUSTERS by
+      // connected components, cluster id = min doc_id of the component —
+      // "keep the lowest id, drop the rest". Min-label propagation to the
+      // FIXPOINT: lbl(v) ← min(lbl(v), min over neighbors lbl(u)) until no
+      // label changes, which provably equals the component minimum — the
+      // oracle states the same thing declaratively as a recursive CTE
+      // (min over transitive reachability), so the two engines meet at the
+      // mathematically unique answer, independent of iteration order.
+      //
+      // Scale shape: each round is one equi-join + one map-side-combined
+      // min-groupBy, shuffling narrow (id, lbl) rows on the edge key; the
+      // pair graph is the LSH-bounded candidate set, never the corpus.
+      // Rounds = dup-cluster diameter — near-dup clusters are band-bucket
+      // cliques or short chains (fixture: converges in ≤ 3 rounds; the
+      // driver holds ONE count per round, no label data). Lineage grows
+      // one join per round (re-planned from the scan each round); at real
+      // scale a production run would checkpoint labels between rounds —
+      // the dataflow is identical, persistence is orthogonal. A 24-round
+      // cap turns a pathological chain into a loud error, not a hang.
+      (s, dir) => {
+        val pairs = TextSim.minhashPairs(s, dir)
+        val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
+          .toDF("src", "dst")
+        // seed: lbl(v) = min(v, min neighbor) — one propagation round free
+        var labels = edges.groupBy(col("src").as("v"))
+          .agg(min(col("dst")).as("nb"))
+          .select(col("v"), least(col("v"), col("nb")).as("lbl"))
+        var changed = 1L
+        var rounds = 0
+        while (changed > 0) {
+          if (rounds >= 24) throw new IllegalStateException(
+            "dedup_cluster: component diameter exceeds the 24-round cap")
+          val prop = edges
+            .join(labels.select(col("v").as("dst"), col("lbl").as("nlbl")), "dst")
+            .groupBy("src").agg(min(col("nlbl")).as("mnl"))
+          val next = labels
+            .join(prop.select(col("src").as("v"), col("mnl")), Seq("v"), "left")
+            .select(col("v"), least(col("lbl"), coalesce(col("mnl"), col("lbl"))).as("lbl"))
+          changed = next.join(labels.select(col("v"), col("lbl").as("prev")), "v")
+            .where(col("lbl") =!= col("prev")).count()
+          labels = next
+          rounds += 1
+        }
+        labels.select(col("v").as("doc_id"), col("lbl").as("cluster_id"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE ${TextSim.sqlMinhashCtes},
+                 edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                           UNION ALL
+                           SELECT doc_b, doc_a FROM pairs),
+                 reach(v, r) AS (
+                   SELECT src, src FROM (SELECT DISTINCT src FROM edges) n
+                   UNION
+                   SELECT e.src, reach.r
+                   FROM edges e JOIN reach ON e.dst = reach.v)
+               SELECT v AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+               FROM reach GROUP BY v
+               ORDER BY doc_id""")),
+
+    QueryDef(
       "dedup_embed_cosine",
       // Embedding near-dup via the SHARED banded sign-LSH (Lsh.candidates —
       // r6 rebase, VERDICT r5 #1): candidates meet inside one of

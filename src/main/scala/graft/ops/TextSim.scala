@@ -51,6 +51,60 @@ object TextSim {
     * single reduction every A_i·tid ≤ 1.9e15 at any code point. */
   private val POW31: IndexedSeq[Long] = (0 until 7).scanLeft(1L)((p, _) => p * 31L).toIndexedSeq.take(7)
 
+  /** MinHash banded candidate pairs (doc_a < doc_b, distinct, unordered) —
+    * the body of dedup_minhash, shared with dedup_cluster (Dedup.scala),
+    * which runs connected components over exactly this pair set. */
+  private[ops] def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val tid = (0 until 7).map(k =>
+      ascii(substring(col("term"), k + 1, 1)).cast("long") * lit(POW31(k)))
+      .reduce(_ + _) % lit(P)
+    val dt = T.documents(s, dir)
+      .transform(T.fanOut(_, col("doc_id")))
+      .where(length(col("text")) >= 7) // sequence(1, n<1) counts DOWN
+      .select(col("doc_id"),
+        explode_outer(expr(
+          "transform(sequence(1, length(text) - 6), i -> substring(text, i, 7))")).as("term"))
+      .select(col("doc_id"), tid.as("tid"))
+    val hs = (0 until 8).map(i =>
+      min((lit(A(i)) * col("tid") + lit(B(i))) % lit(P)).as(s"h$i"))
+    val sig = dt.groupBy("doc_id").agg(hs.head, hs.tail: _*)
+    val bandStructs = (0 until 2).map(b =>
+      struct(lit(b).as("band"),
+        col(s"h${4 * b}").as("k1"), col(s"h${4 * b + 1}").as("k2"),
+        col(s"h${4 * b + 2}").as("k3"), col(s"h${4 * b + 3}").as("k4")))
+    val bands = sig
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.k1"), col("bk.k2"),
+        col("bk.k3"), col("bk.k4"))
+    bands.groupBy("band", "k1", "k2", "k3", "k4")
+      .agg(collect_list(col("doc_id")).as("docs"))
+      .where(size(col("docs")) > 1)
+      .select(explode(col("docs")).as("doc_a"), col("docs"))
+      .select(col("doc_a"), explode(col("docs")).as("doc_b"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  /** The oracle twin of [[minhashPairs]] as a CTE prefix ending in
+    * `pairs(doc_a, doc_b)`. */
+  private[ops] lazy val sqlMinhashCtes: String =
+    s"""dt AS (SELECT doc_id,
+           (${(0 until 7).map(k =>
+             s"CAST(unicode(substr(text, CAST(pos AS INT) + $k, 1)) AS BIGINT) * ${POW31(k)}")
+             .mkString(" + ")}) % $P AS tid
+         FROM (SELECT doc_id, text,
+                 unnest(generate_series(1, length(text) - 6)) AS pos
+               FROM documents WHERE length(text) >= 7) x),
+         sig AS (SELECT doc_id,
+           ${(0 until 8).map(i => s"min((${A(i)} * tid + ${B(i)}) % $P) AS h$i").mkString(", ")}
+         FROM dt GROUP BY doc_id),
+         bands AS (${(0 until 2).map(b =>
+           s"SELECT doc_id, $b AS band, h${4 * b} AS k1, h${4 * b + 1} AS k2, h${4 * b + 2} AS k3, h${4 * b + 3} AS k4 FROM sig")
+           .mkString(" UNION ALL ")}),
+         pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM bands a JOIN bands b USING (band, k1, k2, k3, k4)
+           WHERE a.doc_id < b.doc_id)"""
+
   val entries: Seq[QueryDef] = Seq(
 
     QueryDef(
@@ -158,53 +212,9 @@ object TextSim {
       // explode_outer skips InferFiltersFromGenerate, whose inferred
       // predicate would re-evaluate the whole shingle transform inside the
       // single-task scan stage (docs here always have ≥ 1 shingle).
-      (s, dir) => {
-        val tid = (0 until 7).map(k =>
-          ascii(substring(col("term"), k + 1, 1)).cast("long") * lit(POW31(k)))
-          .reduce(_ + _) % lit(P)
-        val dt = T.documents(s, dir)
-          .transform(T.fanOut(_, col("doc_id")))
-          .where(length(col("text")) >= 7) // sequence(1, n<1) counts DOWN
-          .select(col("doc_id"),
-            explode_outer(expr(
-              "transform(sequence(1, length(text) - 6), i -> substring(text, i, 7))")).as("term"))
-          .select(col("doc_id"), tid.as("tid"))
-        val hs = (0 until 8).map(i =>
-          min((lit(A(i)) * col("tid") + lit(B(i))) % lit(P)).as(s"h$i"))
-        val sig = dt.groupBy("doc_id").agg(hs.head, hs.tail: _*)
-        val bandStructs = (0 until 2).map(b =>
-          struct(lit(b).as("band"),
-            col(s"h${4 * b}").as("k1"), col(s"h${4 * b + 1}").as("k2"),
-            col(s"h${4 * b + 2}").as("k3"), col(s"h${4 * b + 3}").as("k4")))
-        val bands = sig
-          .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
-          .select(col("doc_id"), col("bk.band"), col("bk.k1"), col("bk.k2"),
-            col("bk.k3"), col("bk.k4"))
-        bands.groupBy("band", "k1", "k2", "k3", "k4")
-          .agg(collect_list(col("doc_id")).as("docs"))
-          .where(size(col("docs")) > 1)
-          .select(explode(col("docs")).as("doc_a"), col("docs"))
-          .select(col("doc_a"), explode(col("docs")).as("doc_b"))
-          .where(col("doc_a") < col("doc_b"))
-          .select("doc_a", "doc_b").distinct()
-          .orderBy("doc_a", "doc_b")
-      },
-      Some(s"""WITH dt AS (SELECT doc_id,
-                   (${(0 until 7).map(k =>
-                     s"CAST(unicode(substr(text, CAST(pos AS INT) + $k, 1)) AS BIGINT) * ${POW31(k)}")
-                     .mkString(" + ")}) % $P AS tid
-                 FROM (SELECT doc_id, text,
-                         unnest(generate_series(1, length(text) - 6)) AS pos
-                       FROM documents WHERE length(text) >= 7) x),
-                 sig AS (SELECT doc_id,
-                   ${(0 until 8).map(i => s"min((${A(i)} * tid + ${B(i)}) % $P) AS h$i").mkString(", ")}
-                 FROM dt GROUP BY doc_id),
-                 bands AS (${(0 until 2).map(b =>
-                   s"SELECT doc_id, $b AS band, h${4 * b} AS k1, h${4 * b + 1} AS k2, h${4 * b + 2} AS k3, h${4 * b + 3} AS k4 FROM sig")
-                   .mkString(" UNION ALL ")})
-               SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-               FROM bands a JOIN bands b USING (band, k1, k2, k3, k4)
-               WHERE a.doc_id < b.doc_id
+      (s, dir) => minhashPairs(s, dir).orderBy("doc_a", "doc_b"),
+      Some(s"""WITH $sqlMinhashCtes
+               SELECT doc_a, doc_b FROM pairs
                ORDER BY doc_a, doc_b""")),
 
     QueryDef(
