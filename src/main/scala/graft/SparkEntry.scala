@@ -22,7 +22,9 @@ object SparkEntry {
     ops.Pipeline.entries ++
     ops.Skew.entries ++
     ops.Dedup.entries ++
-    ops.Sources.entries
+    ops.Sources.entries ++
+    ops.Reshape.entries ++
+    ops.Cluster.entries
 
   /** Flagship query (TPC-H Q1 pricing summary, SURVEY.md §2.4) on
     * /root/testdata/sf0.001; driver smoke-checks rows>0. */

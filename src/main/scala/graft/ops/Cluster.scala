@@ -1,0 +1,219 @@
+package graft.ops
+
+import graft.{QueryDef, Tables => T}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Density clustering + neighborhood-graph construction (r6, second half) —
+  * the two cuML surfaces still missing next to k-means/kNN/PCA: DBSCAN
+  * (`cuml.DBSCAN.fit → labels_`) and `NearestNeighbors.kneighbors_graph`.
+  *
+  * Scale design:
+  * - ml_dbscan: the classic spatial-grid eps-join. Cells of side eps ⇒ any
+  *   eps-pair lives in adjacent cells, so candidate pairs come from a
+  *   (cell)-equi-join (each point probes its 3×3 neighborhood), never from
+  *   an all-pairs product; the cell id is the shuffle key end-to-end. Core
+  *   flags come from one map-side-combined degree count; components over
+  *   CORE-core edges use min-label propagation to the fixpoint (the
+  *   dedup_cluster discipline) — rounds = core-graph diameter, which eps ≪
+  *   percolation keeps small (measured ≤ 5 on the fixtures); border points
+  *   attach to their min-label core neighbor in ONE extra join (they never
+  *   propagate — textbook DBSCAN).
+  * - ml_knn_graph: the IVF probe shape of ml_knn_ivf widened from 20 query
+  *   vectors to ALL vectors — the candidate set per vector stays
+  *   nprobe/K of the corpus, and at 100 TB the probe join is
+  *   partition-pruned on the cell id (repartition both sides by cid).
+  */
+object Cluster {
+
+  /** DBSCAN over the 2-d feature plane (embedding dims 1–2 — the projection
+    * a real pipeline takes from PCA transform; density clustering in the
+    * raw 64-d space is meaningless under distance concentration, which is
+    * also cuML's own guidance to reduce first). */
+  private[graft] val EPS = 0.006
+  private[graft] val MIN_PTS = 4
+  /** Propagation-round cap: the fixtures converge in ≤ 5 rounds; a deeper
+    * core graph means eps crossed the percolation knee — fail loudly. */
+  private val MAX_ROUNDS = 16
+
+  /** (vec_id, x, y) plane; float→double cast is exact, so both engines see
+    * identical coordinates. */
+  private def plane(s: SparkSession, dir: String): DataFrame =
+    T.embeddings(s, dir)
+      .transform(T.fanOut(_, col("vec_id")))
+      .select(col("vec_id").as("id"),
+        element_at(col("embedding"), 1).cast("double").as("x"),
+        element_at(col("embedding"), 2).cast("double").as("y"))
+
+  /** Undirected eps-neighbor pairs (a < b), via the eps-cell grid join.
+    * Each point lands in cell (⌊x/eps⌋, ⌊y/eps⌋) once as HOME and probes
+    * the 3×3 neighborhood as PROBE; a pair (a<b) meets exactly once — at
+    * b's home cell — so no distinct is needed. The exact predicate
+    * (dx²+dy² ≤ eps², identical IEEE text in both engines) decides
+    * membership; the grid only bounds the candidate space. */
+  private[graft] def epsPairs(s: SparkSession, dir: String): DataFrame = {
+    val p = plane(s, dir)
+    val home = p.select(col("id"), col("x"), col("y"),
+      floor(col("x") / EPS).as("cx"), floor(col("y") / EPS).as("cy"))
+    val probe = home
+      .select(col("id").as("id_a"), col("x").as("xa"), col("y").as("ya"),
+        explode(expr("flatten(transform(sequence(-1, 1), dx -> transform(sequence(-1, 1), dy -> struct(cx + dx AS cx, cy + dy AS cy))))")).as("c"))
+      .select(col("id_a"), col("xa"), col("ya"), col("c.cx").as("cx"), col("c.cy").as("cy"))
+    probe.join(home, Seq("cx", "cy"))
+      .where(col("id_a") < col("id"))
+      .where((col("xa") - col("x")) * (col("xa") - col("x")) +
+             (col("ya") - col("y")) * (col("ya") - col("y")) <= lit(EPS * EPS))
+      .select(col("id_a").as("a"), col("id").as("b"))
+  }
+
+  /** The oracle states the same eps-graph brute-force (the fixture pair
+    * space is ≤ 2000² — DuckDB chews it; the GRID is Spark-side pruning
+    * only, so the oracle needn't mirror it). */
+  private def sqlEpsCtes: String =
+    s"""pts AS (SELECT vec_id AS id, CAST(embedding[1] AS DOUBLE) AS x,
+                  CAST(embedding[2] AS DOUBLE) AS y FROM embeddings),
+       ep AS (SELECT p.id AS a, q.id AS b FROM pts p JOIN pts q
+                ON p.id < q.id
+               AND (p.x - q.x) * (p.x - q.x) + (p.y - q.y) * (p.y - q.y) <= ${EPS * EPS}),
+       nbr AS (SELECT a AS u, b AS v FROM ep UNION ALL SELECT b, a FROM ep),
+       deg AS (SELECT u, count(*) AS c FROM nbr GROUP BY u),
+       core AS (SELECT p.id FROM pts p LEFT JOIN deg ON deg.u = p.id
+                WHERE coalesce(deg.c, 0) + 1 >= $MIN_PTS)"""
+
+  val entries: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "ml_dbscan",
+      // cuML DBSCAN.fit → labels_: eps=0.006, min_pts=4 over the 2-d
+      // plane. Emits every point with its role (core/border/noise) and
+      // cluster label (= component-min core id; noise = −1) — border
+      // points take the MIN label among their core neighbors, a
+      // deterministic refinement of DBSCAN's "any core neighbor" freedom
+      // so both engines meet at one answer.
+      (s, dir) => {
+        val pairs = epsPairs(s, dir)
+        val nbrs = pairs.union(pairs.select(col("b"), col("a"))).toDF("u", "v")
+        val deg = nbrs.groupBy("u").agg(count(lit(1)).as("c"))
+        val p = plane(s, dir)
+        val core = p.join(deg, p("id") === deg("u"), "left")
+          .where(coalesce(col("c"), lit(0L)) + 1 >= MIN_PTS)
+          .select(col("id"))
+        // components over CORE-core edges: min-label propagation to the
+        // fixpoint (dedup_cluster discipline; driver holds one count/round)
+        val coreEdges = nbrs
+          .join(core.select(col("id").as("u")), "u")
+          .join(core.select(col("id").as("v")), "v")
+          .select(col("u").as("cu"), col("v").as("cv"))
+        var labels = core.select(col("id").as("cu"))
+          .join(coreEdges, Seq("cu"), "left")
+          .groupBy("cu").agg(min(col("cv")).as("nb"))
+          .select(col("cu").as("v"), least(col("cu"), coalesce(col("nb"), col("cu"))).as("lbl"))
+        var changed = 1L
+        var rounds = 0
+        while (changed > 0) {
+          if (rounds >= MAX_ROUNDS) throw new IllegalStateException(
+            "ml_dbscan: core-graph diameter exceeds the round cap — eps past the percolation knee")
+          val prop = coreEdges
+            .join(labels.select(col("v").as("cv"), col("lbl").as("nlbl")), "cv")
+            .groupBy("cu").agg(min(col("nlbl")).as("mnl"))
+          val next = labels
+            .join(prop.select(col("cu").as("v"), col("mnl")), Seq("v"), "left")
+            .select(col("v"), least(col("lbl"), coalesce(col("mnl"), col("lbl"))).as("lbl"))
+          changed = next.join(labels.select(col("v"), col("lbl").as("prev")), "v")
+            .where(col("lbl") =!= col("prev")).count()
+          labels = next
+          rounds += 1
+        }
+        // border: non-core with ≥1 core neighbor → min core-neighbor label
+        val borderLbl = nbrs
+          .join(labels.select(col("v"), col("lbl")), nbrs("v") === labels("v"))
+          .join(core.select(col("id").as("u")), Seq("u"), "left_anti")
+          .groupBy(col("u")).agg(min(col("lbl")).as("blbl"))
+        p.join(labels.select(col("v"), col("lbl")), p("id") === labels("v"), "left")
+          .join(borderLbl, p("id") === borderLbl("u"), "left")
+          .select(p("id").as("vec_id"),
+            when(col("lbl").isNotNull, lit("core"))
+              .when(col("blbl").isNotNull, lit("border"))
+              .otherwise(lit("noise")).as("role"),
+            coalesce(col("lbl"), col("blbl"), lit(-1L)).as("cluster"))
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH RECURSIVE $sqlEpsCtes,
+                 ce AS (SELECT u, v FROM nbr
+                        WHERE u IN (SELECT id FROM core) AND v IN (SELECT id FROM core)),
+                 reach(s, r) AS (
+                   SELECT id, id FROM core
+                   UNION
+                   SELECT ce.u, reach.r FROM ce JOIN reach ON ce.v = reach.s),
+                 lbl AS (SELECT s AS id, min(r) AS lbl FROM reach GROUP BY s),
+                 bl AS (SELECT n.u AS id, min(l.lbl) AS blbl FROM nbr n
+                        JOIN lbl l ON n.v = l.id
+                        WHERE n.u NOT IN (SELECT id FROM core) GROUP BY n.u)
+               SELECT p.id AS vec_id,
+                 CASE WHEN l.lbl IS NOT NULL THEN 'core'
+                      WHEN b.blbl IS NOT NULL THEN 'border'
+                      ELSE 'noise' END AS role,
+                 coalesce(l.lbl, b.blbl, -1) AS cluster
+               FROM pts p LEFT JOIN lbl l ON l.id = p.id
+                          LEFT JOIN bl b ON b.id = p.id
+               ORDER BY p.id""")),
+
+    QueryDef(
+      "ml_knn_graph",
+      // NearestNeighbors.kneighbors_graph: the k=3 directed neighbor graph
+      // over ALL vectors, built on the IVF probe shape (assign once, probe
+      // nprobe=3 of K=10 cells) — candidates per vector ≈ 3/10 of the
+      // corpus here and shrink as K grows with n; the approximation itself
+      // is oracle-checked because both engines run the same deterministic
+      // IVF arithmetic. Output: (vec_id, rn, n_id, dist) edges.
+      (s, dir) => {
+        val e = T.embeddings(s, dir)
+        val cent = e.where(col("vec_id") < 10)
+          .select(col("vec_id").as("cid"), col("embedding").as("c_emb"))
+        val aw = Window.partitionBy(col("vec_id")).orderBy(col("d"), col("cid"))
+        val assigned = e.transform(T.fanOut(_, col("vec_id")))
+          .crossJoin(broadcast(cent))
+          .select(col("vec_id"), col("embedding"), col("cid"),
+            graft.functions.Vec.l2(s, "embedding", "c_emb").as("d"))
+          .withColumn("rn", row_number().over(aw))
+        // one crossJoin feeds both roles: rn = 1 is the home cell
+        // (membership), rn ≤ 3 are the probe targets
+        val homes = assigned.where(col("rn") === 1)
+          .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"), col("cid"))
+        val probes = assigned.where(col("rn") <= 3)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("cid"))
+        val kw = Window.partitionBy(col("q_id")).orderBy(col("d"), col("n_id"))
+        probes.join(homes, "cid")
+          .where(col("q_id") =!= col("n_id"))
+          .select(col("q_id"), col("n_id"),
+            graft.functions.Vec.l2(s, "q_emb", "n_emb").as("d"))
+          .withColumn("rn", row_number().over(kw)).where(col("rn") <= 3)
+          .select(col("q_id").as("vec_id"), col("rn"), col("n_id"),
+            round(col("d"), 6).as("dist"))
+          .orderBy("vec_id", "rn")
+      },
+      Some("""WITH cent AS (SELECT vec_id AS cid, embedding AS c_emb
+                            FROM embeddings WHERE vec_id < 10),
+               ranked AS (
+                 SELECT e.vec_id, e.embedding, c.cid,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]),
+                                            CAST(c.c_emb AS DOUBLE[])), c.cid) AS rn
+                 FROM embeddings e CROSS JOIN cent c),
+               homes AS (SELECT vec_id AS n_id, embedding AS n_emb, cid
+                         FROM ranked WHERE rn = 1),
+               probes AS (SELECT vec_id AS q_id, embedding AS q_emb, cid
+                          FROM ranked WHERE rn <= 3)
+              SELECT vec_id, rn, n_id, dist FROM (
+                SELECT p.q_id AS vec_id, h.n_id,
+                  round(list_distance(CAST(p.q_emb AS DOUBLE[]),
+                                      CAST(h.n_emb AS DOUBLE[])), 6) AS dist,
+                  row_number() OVER (PARTITION BY p.q_id
+                    ORDER BY list_distance(CAST(p.q_emb AS DOUBLE[]),
+                                           CAST(h.n_emb AS DOUBLE[])), h.n_id) AS rn
+                FROM probes p JOIN homes h ON p.cid = h.cid
+                WHERE p.q_id <> h.n_id) t
+              WHERE rn <= 3 ORDER BY vec_id, rn"""))
+  )
+}

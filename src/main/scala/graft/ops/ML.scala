@@ -86,11 +86,20 @@ object ML {
     * merge order cannot change the sum. addExact guards the (far-off) ×10⁶
     * overflow loudly. Final cell = DECIMAL(·,6)→double, correctly rounded.
     */
-  private def gram64(s: SparkSession, dir: String): Array[Array[Double]] = {
+  private def gram64(s: SparkSession, dir: String): Array[Array[Double]] =
+    gramStats64(s, dir)._1
+
+  /** gram64 plus the column-sum vector and row count from the SAME pass
+    * (r6 second half, for the centered-covariance PCA): the accumulator
+    * gains 64 sum cells + 1 count cell — the sums use the identical
+    * ×10⁶-scaled exact-long discipline as the products, and the gram cells
+    * are bit-for-bit what gram64 always produced. */
+  private def gramStats64(s: SparkSession, dir: String): (Array[Array[Double]], Array[Double], Long) = {
+    val N = 64 * 64
     val partials = T.embeddings(s, dir).select(col("embedding"))
       .transform(T.fanOut(_))
       .rdd.mapPartitions { it =>
-        val acc = new Array[Long](64 * 64)
+        val acc = new Array[Long](N + 64 + 1)
         it.foreach { r =>
           val seq = r.getSeq[Float](0)
           val v = new Array[Double](64)
@@ -107,20 +116,27 @@ object ML {
               if (j != i) acc(j * 64 + i) = acc(i * 64 + j)
               j += 1
             }
+            val m = java.math.BigDecimal.valueOf(v(i))
+              .setScale(6, java.math.RoundingMode.HALF_UP)
+              .unscaledValue().longValueExact()
+            acc(N + i) = Math.addExact(acc(N + i), m)
             i += 1
           }
-          ()
+          acc(N + 64) += 1
         }
         Iterator.single(acc)
       }
     val totals = partials.reduce { (a, b) =>
-      val m = new Array[Long](64 * 64)
+      val m = new Array[Long](N + 64 + 1)
       var k = 0
-      while (k < 64 * 64) { m(k) = Math.addExact(a(k), b(k)); k += 1 }
+      while (k < N + 64 + 1) { m(k) = Math.addExact(a(k), b(k)); k += 1 }
       m
     }
-    Array.tabulate(64, 64)((i, j) =>
+    val g = Array.tabulate(64, 64)((i, j) =>
       java.math.BigDecimal.valueOf(totals(i * 64 + j), 6).doubleValue())
+    val sums = Array.tabulate(64)(i =>
+      java.math.BigDecimal.valueOf(totals(N + i), 6).doubleValue())
+    (g, sums, totals(N + 64))
   }
 
   private def matvec64(g: Array[Array[Double]], x: Array[Double]): Array[Double] =
@@ -514,6 +530,40 @@ object ML {
                          j -> G2[i][j] * u2[j]), (a,b) -> a+b)), (a,b) -> a+b) AS lam2
                 FROM unit2, g2)"""
 
+  /** Centered-covariance continuation (ml_pca_covariance): column sums →
+    * scatter matrix C = G − S·Sᵀ/n, then the same 20-step power chain as
+    * sqlPcaPowerCtes, renamed (itc/finc/nrmc/unitc/rayc). Appended after
+    * sqlPcaPowerCtes (reuses its `e` and `gmat`). */
+  private val sqlPcaCovCtes: String =
+    """msum AS (
+         SELECT i, CAST(sum(CAST(emb[i] AS DECIMAL(18,6))) AS DOUBLE) AS s
+         FROM e, (SELECT unnest(generate_series(1,64)) AS i) a
+         GROUP BY i),
+       mvec AS (SELECT list(s ORDER BY i) AS S FROM msum),
+       cnt AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM e),
+       cmat AS (
+         SELECT list_transform(generate_series(1,64), i ->
+           list_transform(generate_series(1,64), j ->
+             G[i][j] - S[i] * S[j] / n)) AS C
+         FROM gmat, mvec, cnt),
+       itc(k, v) AS (
+         SELECT 0, list_transform(generate_series(1,64),
+           x -> CAST(CASE WHEN x = 1 THEN 1.0 ELSE 0.0 END AS DOUBLE))
+         UNION ALL
+         SELECT k + 1,
+           list_transform(generate_series(1,64),
+             i -> list_reduce(list_transform(generate_series(1,64),
+                    j -> C[i][j] * v[j]), (a, b) -> a + b))
+         FROM itc, cmat WHERE k < 20),
+       finc AS (SELECT v FROM itc WHERE k = 20),
+       nrmc AS (SELECT v, sqrt(list_reduce(list_transform(v, x -> x*x), (a,b) -> a+b)) AS nn
+                FROM finc),
+       unitc AS (SELECT list_transform(v, x -> x / nn) AS u FROM nrmc),
+       rayc AS (SELECT u, list_reduce(list_transform(generate_series(1,64),
+                  i -> u[i] * list_reduce(list_transform(generate_series(1,64),
+                         j -> C[i][j] * u[j]), (a,b) -> a+b)), (a,b) -> a+b) AS lam
+                FROM unitc, cmat)"""
+
   /** Deterministic 20-step power iterate from e₁, then Rayleigh quotient.
     * Returns the UNROUNDED (eigenvalue, unit vector) — every fold is
     * sequential ascending, matching the oracle's list_reduce left fold
@@ -830,6 +880,46 @@ object ML {
                 round(lam2 / total, 6) AS ratio_2,
                 round((lam + lam2) / total, 6) AS ratio_top2
               FROM ray, ray2, tr""")),
+
+    QueryDef(
+      "ml_pca_covariance",
+      // The CENTERED-covariance PCA fit (r6 second half): cuML's PCA
+      // subtracts the mean before the eig solve — its uncentered sibling
+      // is TruncatedSVD, which is what ml_pca_power's raw Gram computes.
+      // This row completes the pair: the one Gram pass now also carries
+      // the exact column-sum vector and count (gramStats64 — still a
+      // single sufficient-statistic job), the driver forms the scatter
+      // matrix C = G − S·Sᵀ/n (a rank-1 downdate, the same outer-product
+      // arithmetic as Hotelling deflation) and runs the shared 20-step
+      // power iterate on C. Output: top sample variance λ/(n−1), the
+      // first three loadings, and the first three mean components the
+      // transform would subtract.
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        val (g, sums, n) = gramStats64(s, dir)
+        val nD = n.toDouble
+        val c = Array.tabulate(64, 64)((i, j) => g(i)(j) - sums(i) * sums(j) / nD)
+        val (lam, u) = powerEig64(c)
+        Seq((lam / (nD - 1.0), u(0), u(1), u(2),
+            sums(0) / nD, sums(1) / nD, sums(2) / nD))
+          .toDF("var_1", "c1", "c2", "c3", "m1", "m2", "m3")
+          .select(round(col("var_1"), 6).as("var_1"),
+            round(col("c1"), 6).as("c1"),
+            round(col("c2"), 6).as("c2"),
+            round(col("c3"), 6).as("c3"),
+            round(col("m1"), 6).as("m1"),
+            round(col("m2"), 6).as("m2"),
+            round(col("m3"), 6).as("m3"))
+      },
+      Some(s"""WITH RECURSIVE
+                $sqlPcaPowerCtes,
+                $sqlPcaCovCtes
+              SELECT round(lam / (n - 1), 6) AS var_1,
+                round(u[1], 6) AS c1, round(u[2], 6) AS c2, round(u[3], 6) AS c3,
+                round(S[1] / n, 6) AS m1, round(S[2] / n, 6) AS m2,
+                round(S[3] / n, 6) AS m3
+              FROM rayc, mvec, cnt""")),
 
     QueryDef(
       "ml_lasso_fit",

@@ -518,4 +518,82 @@ class MicroSpec extends SparkSpec {
       if (t == null) Nil else t.toString +: chain(t.getCause)
     assert(chain(ex).exists(_.contains("e4 wire overflow")), chain(ex).mkString(" | "))
   }
+
+  // ---- ml_dbscan (r6 second half) ----------------------------------------
+
+  /** Independent local DBSCAN on dims 1–2 of the fixture, same arithmetic. */
+  private lazy val localDbscan: Map[Long, (String, Long)] = {
+    val eps2 = ops.Cluster.EPS * ops.Cluster.EPS
+    val pts = localEmb.toSeq.map { case (id, v) => (id, v(0), v(1)) }.sortBy(_._1)
+    val nbr = collection.mutable.Map[Long, List[Long]]().withDefaultValue(Nil)
+    for (i <- pts.indices; j <- i + 1 until pts.size) {
+      val (ia, xa, ya) = pts(i); val (ib, xb, yb) = pts(j)
+      if ((xa - xb) * (xa - xb) + (ya - yb) * (ya - yb) <= eps2) {
+        nbr(ia) = ib :: nbr(ia); nbr(ib) = ia :: nbr(ib)
+      }
+    }
+    val core = pts.map(_._1).filter(id => nbr(id).size + 1 >= ops.Cluster.MIN_PTS).toSet
+    // min-label fixpoint over core-core edges (the unique component min)
+    val lbl = collection.mutable.Map[Long, Long](core.toSeq.map(c => c -> c): _*)
+    var changed = true
+    while (changed) {
+      changed = false
+      for (c <- core; n <- nbr(c) if core(n) && lbl(n) < lbl(c)) {
+        lbl(c) = lbl(n); changed = true
+      }
+    }
+    pts.map { case (id, _, _) =>
+      if (core(id)) id -> ("core", lbl(id))
+      else {
+        val coreNb = nbr(id).filter(core)
+        if (coreNb.nonEmpty) id -> ("border", coreNb.map(lbl).min)
+        else id -> ("noise", -1L)
+      }
+    }.toMap
+  }
+
+  test("ml_dbscan: grid candidate join finds exactly the brute-force eps-pairs") {
+    // the 3×3 cell probe is Spark-side pruning the oracle doesn't mirror —
+    // pin its completeness independently (any eps-pair spans ≤ 1 cell index
+    // per axis because the cell side IS eps)
+    val got = ops.Cluster.epsPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val eps2 = ops.Cluster.EPS * ops.Cluster.EPS
+    val want = (for {
+      (ia, va) <- localEmb.toSeq; (ib, vb) <- localEmb.toSeq
+      if ia < ib
+      dx = va(0) - vb(0); dy = va(1) - vb(1)
+      if dx * dx + dy * dy <= eps2
+    } yield (ia, ib)).toSet
+    assert(got == want, s"grid pairs ${got.size} vs brute ${want.size}")
+  }
+
+  test("ml_dbscan: roles and cluster labels match an independent local DBSCAN") {
+    val got = q("ml_dbscan").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(got == localDbscan,
+      s"diff: ${(got.toSet diff localDbscan.toSet).take(5)} / ${(localDbscan.toSet diff got.toSet).take(5)}")
+  }
+
+  test("ml_knn_graph: every edge distance matches the true L2, 3 edges per vector") {
+    def l2(a: Array[Double], b: Array[Double]): Double =
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    val rows = q("ml_knn_graph").collect()
+    assert(rows.length == 3 * localEmb.size)
+    rows.foreach { r =>
+      val (q0, n0, d) = (r.getLong(0), r.getLong(2), r.getDouble(3))
+      assert(math.abs(d - l2(localEmb(q0), localEmb(n0))) < 1e-5,
+        s"edge ($q0,$n0) dist $d")
+    }
+  }
+
+  test("ml_pca_covariance: emitted means match the local column means") {
+    val r = q("ml_pca_covariance").collect().head
+    val n = localEmb.size.toDouble
+    for ((idx, gotCol) <- Seq(0 -> 4, 1 -> 5, 2 -> 6)) {
+      val want = localEmb.values.map(_(idx)).sum / n
+      assert(math.abs(r.getDouble(gotCol) - want) < 1e-5,
+        s"mean[$idx]: got ${r.getDouble(gotCol)} want $want")
+    }
+  }
 }
