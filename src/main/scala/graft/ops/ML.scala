@@ -1328,6 +1328,42 @@ object ML {
                FROM l, fit GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
     QueryDef(
+      "ml_minmax_scaler",
+      // The other half of the cuML preprocessing pair (MinMaxScaler fit +
+      // transform, r6 second half): per-feature (min, max) — exact
+      // doubles, no summation-order hazard — broadcast back into the
+      // per-row (x − min)/(max − min) expression, per-group scaled means
+      // through the exact-decimal wire. Same fit-row-broadcast shape as
+      // ml_standard_scaler: ONE scan feeds fit and transform, fused by
+      // ReuseExchange.
+      (s, dir) => {
+        val l = T.lineitem(s, dir).select(
+          col("l_returnflag"), col("l_quantity").cast("double").as("q"),
+          col("l_extendedprice").cast("double").as("p"))
+          .transform(T.fanOut(_))
+        val fit = l.agg(
+          min(col("q")).as("min_q"), max(col("q")).as("max_q"),
+          min(col("p")).as("min_p"), max(col("p")).as("max_p"))
+        l.crossJoin(broadcast(fit))
+          .select(col("l_returnflag"),
+            ((col("q") - col("min_q")) / (col("max_q") - col("min_q"))).as("uq"),
+            ((col("p") - col("min_p")) / (col("max_p") - col("min_p"))).as("up"))
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            round(T.xsum(col("uq")) / count(lit(1)), 6).as("avg_uq"),
+            round(T.xsum(col("up")) / count(lit(1)), 6).as("avg_up"))
+          .orderBy("l_returnflag")
+      },
+      Some(s"""WITH l AS (SELECT l_returnflag, CAST(l_quantity AS DOUBLE) AS q,
+                   CAST(l_extendedprice AS DOUBLE) AS p FROM lineitem),
+                 fit AS (SELECT min(q) AS min_q, max(q) AS max_q,
+                   min(p) AS min_p, max(p) AS max_p FROM l)
+               SELECT l_returnflag, count(*) AS n,
+                 round(${T.sqlXsum("(q - min_q) / (max_q - min_q)")} / count(*), 6) AS avg_uq,
+                 round(${T.sqlXsum("(p - min_p) / (max_p - min_p)")} / count(*), 6) AS avg_up
+               FROM l, fit GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    QueryDef(
       "ml_logreg_fit",
       // dask-cuml LogisticRegression.fit analog, 1 feature + intercept:
       // 3 Newton/IRLS steps, each ONE distributed aggregation of exact

@@ -214,6 +214,46 @@ object Relational {
               ORDER BY a.user_id, id_a, id_b""")),
 
     QueryDef(
+      "join_interval_bucket",
+      // The range join with NO equi key (r6 second half): every
+      // error–purchase pair within ±5 min across ALL users. join_theta_range
+      // leans on user_id to confine the quadratic; with no equi key Spark
+      // would plan a BroadcastNestedLoopJoin — a full O(n·m) scan at any
+      // scale. The fix is the standard interval-bucket trick (the 1-d
+      // sibling of ml_dbscan's grid): bucket the timeline into
+      // window-width cells, have the probe side emit its cell ± 1, and
+      // equi-join ON THE CELL — any |Δ| ≤ W pair differs by ≤ 1 cell, so
+      // candidates are complete, each pair meets exactly once (at the home
+      // side's cell), and the exact |Δ| ≤ W predicate decides membership.
+      // The cell id is a shuffle key with ~uniform occupancy — the plan
+      // scales like an ordinary equi-join at 100 TB.
+      (s, dir) => {
+        val W = 300L * 1000000L
+        val e = T.events(s, dir).select(
+          col("event_id"), col("event_type"),
+          unix_micros(col("ts").cast("timestamp")).as("us"))
+        val err = e.where(col("event_type") === "error")
+          .select(col("event_id").as("err_id"), col("us").as("us_e"),
+            explode(array(expr(s"us DIV $W") - 1, expr(s"us DIV $W"),
+              expr(s"us DIV $W") + 1)).as("cell"))
+        val pur = e.where(col("event_type") === "purchase")
+          .select(col("event_id").as("pur_id"), col("us").as("us_p"),
+            expr(s"us DIV $W").as("cell"))
+        err.join(pur, "cell")
+          .where(abs(col("us_p") - col("us_e")) <= W)
+          .select(col("err_id"), col("pur_id"), (col("us_p") - col("us_e")).as("delta_us"))
+          .orderBy("err_id", "pur_id")
+      },
+      Some("""SELECT e.event_id AS err_id, p.event_id AS pur_id,
+                p.us - e.us AS delta_us
+              FROM (SELECT event_id, epoch_us(ts) AS us FROM events
+                    WHERE event_type = 'error') e
+              JOIN (SELECT event_id, epoch_us(ts) AS us FROM events
+                    WHERE event_type = 'purchase') p
+                ON abs(p.us - e.us) <= 300000000
+              ORDER BY err_id, pur_id""")),
+
+    QueryDef(
       "join_asof",
       // As-of join: for each 'error' event, the most recent prior-or-equal
       // 'click' of the same user. Spark has no native ASOF — the idiomatic

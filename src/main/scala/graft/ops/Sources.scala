@@ -25,6 +25,27 @@ object Sources {
   private def scratch(name: String, dir: String): String =
     s"/tmp/graft_io/${name}_${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
 
+  /** The bucketed-layout join of sink_bucketed_join, pre-aggregation —
+    * exposed so PlanSpec can assert the join subtree plans ZERO shuffle
+    * exchanges (the whole point of the layout). Writes both bucketed
+    * tables (8 buckets on the join key, sorted within buckets), reads
+    * them back through the catalog, joins on the bucket key. */
+  private[graft] def bucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    val suf = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val to = s"graft_bkt_orders_$suf"
+    val tc = s"graft_bkt_cust_$suf"
+    val base = scratch("bucket", dir)
+    s.sql(s"DROP TABLE IF EXISTS $to")
+    s.sql(s"DROP TABLE IF EXISTS $tc")
+    T.orders(s, dir).select("o_orderkey", "o_custkey", "o_totalprice")
+      .write.mode(SaveMode.Overwrite).option("path", s"$base/orders")
+      .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable(to)
+    T.customer(s, dir).select("c_custkey", "c_mktsegment")
+      .write.mode(SaveMode.Overwrite).option("path", s"$base/customer")
+      .bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable(tc)
+    s.table(to).join(s.table(tc), col("o_custkey") === col("c_custkey"))
+  }
+
   val entries: Seq[QueryDef] = Seq(
 
     QueryDef(
@@ -111,6 +132,26 @@ object Sources {
       Some(s"""SELECT o_orderstatus, count(*) AS n,
                  ${T.sqlDsum("o_totalprice")} AS total_price
                FROM orders WHERE o_orderstatus = 'F'
-               GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+               GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    QueryDef(
+      "sink_bucketed_join",
+      // Bucketed layout = the shuffle you pay ONCE at write time instead
+      // of on every join (r6 second half — the co-located-join tool the
+      // builder prompt names next to broadcast). Both sides are written
+      // bucketBy(8) on the join key with in-bucket sort; reading them back
+      // through the catalog, Spark matches the bucket specs and plans the
+      // join with NO exchange on either side (asserted in PlanSpec) — at
+      // 100 TB this is the difference between an nightly-amortized layout
+      // cost and a per-query all-data shuffle. The oracle sees only the
+      // numbers: bucketing must be result-invisible.
+      (s, dir) => bucketedJoin(s, dir)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"), T.dsum(col("o_totalprice")).as("total_price"))
+        .orderBy("c_mktsegment"),
+      Some(s"""SELECT c_mktsegment, count(*) AS n_orders,
+                 ${T.sqlDsum("o_totalprice")} AS total_price
+               FROM orders JOIN customer ON o_custkey = c_custkey
+               GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
   )
 }

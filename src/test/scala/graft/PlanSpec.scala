@@ -112,6 +112,24 @@ class PlanSpec extends SparkSpec {
     assert(offenders.isEmpty, s"cartesian plans: $offenders")
   }
 
+  test("sink_bucketed_join: the bucketed layout join plans zero shuffles (r6)") {
+    // the whole point of bucketBy on the join key: both catalog reads
+    // carry the bucket spec, so the join needs NO Exchange on either side
+    // (the write paid the partitioning once). Sorts may remain; shuffles
+    // may not.
+    // the fixture's customer side is broadcast-sized, which would hide the
+    // bucket story (broadcast also has zero exchanges) — disable broadcast
+    // so the plan must stand on the bucket spec alone
+    val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = ops.Sources.bucketedJoin(spark, sf).queryExecution.sparkPlan.toString
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"expected a bucket-colocated join:\n$p")
+      assert(!p.contains("Exchange"), s"bucketed join still shuffles:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+  }
+
   test("vocab id assignment has no single-partition exchange (VERDICT r3 #1)") {
     // dense term-ids come from a distributed sort + zipWithIndex
     // (Tables.denseIds), not a global row_number window — the plan must
