@@ -95,6 +95,21 @@ object Tables {
     else df.repartition(par, keys: _*)
   }
 
+  /** Lineage truncation for ITERATIVE dataflows (r6: ml_dbscan /
+    * dedup_cluster). A fixpoint loop whose round references the previous
+    * round's frame more than once (labels feed both the propagation join
+    * and the merge join) doubles the LOGICAL PLAN TREE every round —
+    * analysis/optimization cost goes 2^R and the driver OOMs walking the
+    * tree long before the data is a problem. Wrapping the round's RDD in
+    * a fresh LogicalRDD makes the next plan start flat: under AQE, `.rdd`
+    * materializes the round's shuffle stages eagerly, and every later
+    * reference (the convergence count, the next round, the final result)
+    * reuses those shuffle files instead of recomputing — the exact
+    * semantics checkpointing gives a 100 TB run, without cache blocks
+    * that could outlive the query (no persist() involved). */
+  def freeze(df: DataFrame): DataFrame =
+    df.sparkSession.createDataFrame(df.rdd, df.schema)
+
   // --- determinism helpers (SURVEY.md §7.3) -------------------------------
   // Raw sum(DOUBLE) is summation-order-dependent and can't hash-match across
   // engines/partitionings. Per-row cast to DECIMAL(18,4) → exact decimal sum

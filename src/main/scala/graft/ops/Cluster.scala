@@ -93,7 +93,15 @@ object Cluster {
       // so both engines meet at one answer.
       (s, dir) => {
         val pairs = epsPairs(s, dir)
-        val nbrs = pairs.union(pairs.select(col("b"), col("a"))).toDF("u", "v")
+        // T.freeze = lineage truncation: a round references `labels` twice
+        // (propagation join + merge join), so without truncation the plan
+        // TREE doubles every round — 2^R analysis cost, driver OOM on plan
+        // walks (measured: 56 s at sf0.1, heap death in explainString).
+        // Freezing nbrs once and labels per round keeps every plan flat;
+        // shuffle files of the frozen rounds are reused by the convergence
+        // count, the next round, and the final result — checkpoint
+        // semantics with no cache blocks left behind.
+        val nbrs = T.freeze(pairs.union(pairs.select(col("b"), col("a"))).toDF("u", "v"))
         val deg = nbrs.groupBy("u").agg(count(lit(1)).as("c"))
         val p = plane(s, dir)
         val core = p.join(deg, p("id") === deg("u"), "left")
@@ -101,14 +109,14 @@ object Cluster {
           .select(col("id"))
         // components over CORE-core edges: min-label propagation to the
         // fixpoint (dedup_cluster discipline; driver holds one count/round)
-        val coreEdges = nbrs
+        val coreEdges = T.freeze(nbrs
           .join(core.select(col("id").as("u")), "u")
           .join(core.select(col("id").as("v")), "v")
-          .select(col("u").as("cu"), col("v").as("cv"))
-        var labels = core.select(col("id").as("cu"))
+          .select(col("u").as("cu"), col("v").as("cv")))
+        var labels = T.freeze(core.select(col("id").as("cu"))
           .join(coreEdges, Seq("cu"), "left")
           .groupBy("cu").agg(min(col("cv")).as("nb"))
-          .select(col("cu").as("v"), least(col("cu"), coalesce(col("nb"), col("cu"))).as("lbl"))
+          .select(col("cu").as("v"), least(col("cu"), coalesce(col("nb"), col("cu"))).as("lbl")))
         var changed = 1L
         var rounds = 0
         while (changed > 0) {
@@ -117,9 +125,9 @@ object Cluster {
           val prop = coreEdges
             .join(labels.select(col("v").as("cv"), col("lbl").as("nlbl")), "cv")
             .groupBy("cu").agg(min(col("nlbl")).as("mnl"))
-          val next = labels
+          val next = T.freeze(labels
             .join(prop.select(col("cu").as("v"), col("mnl")), Seq("v"), "left")
-            .select(col("v"), least(col("lbl"), coalesce(col("mnl"), col("lbl"))).as("lbl"))
+            .select(col("v"), least(col("lbl"), coalesce(col("mnl"), col("lbl"))).as("lbl")))
           changed = next.join(labels.select(col("v"), col("lbl").as("prev")), "v")
             .where(col("lbl") =!= col("prev")).count()
           labels = next

@@ -215,12 +215,18 @@ object Dedup {
       // cap turns a pathological chain into a loud error, not a hang.
       (s, dir) => {
         val pairs = TextSim.minhashPairs(s, dir)
-        val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
-          .toDF("src", "dst")
+        // T.freeze = lineage truncation (see ml_dbscan): the round
+        // references `labels` twice, so without truncation the plan tree
+        // doubles per round (2^R analysis cost) and every convergence
+        // count re-runs the whole minhash candidate pipeline. Freezing
+        // the edge set once and labels per round keeps plans flat and
+        // reuses the materialized shuffle files across rounds.
+        val edges = T.freeze(pairs.union(pairs.select(col("doc_b"), col("doc_a")))
+          .toDF("src", "dst"))
         // seed: lbl(v) = min(v, min neighbor) — one propagation round free
-        var labels = edges.groupBy(col("src").as("v"))
+        var labels = T.freeze(edges.groupBy(col("src").as("v"))
           .agg(min(col("dst")).as("nb"))
-          .select(col("v"), least(col("v"), col("nb")).as("lbl"))
+          .select(col("v"), least(col("v"), col("nb")).as("lbl")))
         var changed = 1L
         var rounds = 0
         while (changed > 0) {
@@ -229,9 +235,9 @@ object Dedup {
           val prop = edges
             .join(labels.select(col("v").as("dst"), col("lbl").as("nlbl")), "dst")
             .groupBy("src").agg(min(col("nlbl")).as("mnl"))
-          val next = labels
+          val next = T.freeze(labels
             .join(prop.select(col("src").as("v"), col("mnl")), Seq("v"), "left")
-            .select(col("v"), least(col("lbl"), coalesce(col("mnl"), col("lbl"))).as("lbl"))
+            .select(col("v"), least(col("lbl"), coalesce(col("mnl"), col("lbl"))).as("lbl")))
           changed = next.join(labels.select(col("v"), col("lbl").as("prev")), "v")
             .where(col("lbl") =!= col("prev")).count()
           labels = next
