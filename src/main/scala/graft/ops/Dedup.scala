@@ -87,6 +87,51 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Min-label connected components over an undirected pair list
+    * (doc_a, doc_b) → (v, lbl = component min), shared by dedup_cluster
+    * and dedup_pipeline. T.freeze per round keeps the plan flat (see
+    * dedup_cluster's comment); only vertices that appear in a pair get a
+    * row. */
+  private[ops] def minLabelComponents(pairs: DataFrame): DataFrame = {
+    val edges = T.freeze(pairs.union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst"))
+    // seed: lbl(v) = min(v, min neighbor) — one propagation round free
+    var labels = T.freeze(edges.groupBy(col("src").as("v"))
+      .agg(min(col("dst")).as("nb"))
+      .select(col("v"), least(col("v"), col("nb")).as("lbl")))
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0) {
+      if (rounds >= 24) throw new IllegalStateException(
+        "minLabelComponents: component diameter exceeds the 24-round cap")
+      val prop = edges
+        .join(labels.select(col("v").as("dst"), col("lbl").as("nlbl")), "dst")
+        .groupBy("src").agg(min(col("nlbl")).as("mnl"))
+      val next = T.freeze(labels
+        .join(prop.select(col("src").as("v"), col("mnl")), Seq("v"), "left")
+        .select(col("v"), least(col("lbl"), coalesce(col("mnl"), col("lbl"))).as("lbl")))
+      changed = next.join(labels.select(col("v"), col("lbl").as("prev")), "v")
+        .where(col("lbl") =!= col("prev")).count()
+      labels = next
+      rounds += 1
+    }
+    labels
+  }
+
+  /** Oracle twin of [[minLabelComponents]]: assumes a `pairs(doc_a,
+    * doc_b)` CTE is in scope, ends in `lbl(v, lbl)` — the same unique
+    * fixpoint stated declaratively (min over transitive reachability). */
+  private[ops] val sqlComponentCtes: String =
+    """edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                 UNION ALL
+                 SELECT doc_b, doc_a FROM pairs),
+       reach(v, r) AS (
+         SELECT src, src FROM (SELECT DISTINCT src FROM edges) n
+         UNION
+         SELECT e.src, reach.r
+         FROM edges e JOIN reach ON e.dst = reach.v),
+       lbl AS (SELECT v, CAST(min(r) AS BIGINT) AS lbl FROM reach GROUP BY v)"""
+
   val entries: Seq[QueryDef] = Seq(
 
     QueryDef(
@@ -213,51 +258,75 @@ object Dedup {
       // scale a production run would checkpoint labels between rounds —
       // the dataflow is identical, persistence is orthogonal. A 24-round
       // cap turns a pathological chain into a loud error, not a hang.
+      // T.freeze = lineage truncation (see ml_dbscan): the loop round
+      // references `labels` twice, so without truncation the plan tree
+      // doubles per round (2^R analysis cost) and every convergence
+      // count re-runs the whole minhash candidate pipeline. The loop
+      // lives in [[minLabelComponents]] (shared with dedup_pipeline).
+      (s, dir) =>
+        minLabelComponents(TextSim.minhashPairs(s, dir))
+          .select(col("v").as("doc_id"), col("lbl").as("cluster_id"))
+          .orderBy("doc_id"),
+      Some(s"""WITH RECURSIVE ${TextSim.sqlMinhashCtes},
+                 $sqlComponentCtes
+               SELECT v AS doc_id, lbl AS cluster_id
+               FROM lbl
+               ORDER BY doc_id""")),
+
+    QueryDef(
+      "dedup_pipeline",
+      // The END-TO-END curation verdict every dedup pipeline terminates
+      // in (r6 second half): normalize → exact-dedup on the NORMALIZED
+      // text → near-dedup clusters over the minhash candidate pairs →
+      // one per-doc decision. Precedence: a non-min member of a
+      // normalized-exact group is 'exact_dup' (canonical = group min);
+      // otherwise a non-min member of a near-dup component is 'near_dup'
+      // (canonical = component min); otherwise 'kept'. Each stage is a
+      // shape already proven by its standalone row (text_normalize,
+      // dedup_exact, dedup_minhash + dedup_cluster); the composition
+      // point is that the verdicts join map-side onto the doc spine —
+      // no new shuffle class appears at 100 TB.
       (s, dir) => {
-        val pairs = TextSim.minhashPairs(s, dir)
-        // T.freeze = lineage truncation (see ml_dbscan): the round
-        // references `labels` twice, so without truncation the plan tree
-        // doubles per round (2^R analysis cost) and every convergence
-        // count re-runs the whole minhash candidate pipeline. Freezing
-        // the edge set once and labels per round keeps plans flat and
-        // reuses the materialized shuffle files across rounds.
-        val edges = T.freeze(pairs.union(pairs.select(col("doc_b"), col("doc_a")))
-          .toDF("src", "dst"))
-        // seed: lbl(v) = min(v, min neighbor) — one propagation round free
-        var labels = T.freeze(edges.groupBy(col("src").as("v"))
-          .agg(min(col("dst")).as("nb"))
-          .select(col("v"), least(col("v"), col("nb")).as("lbl")))
-        var changed = 1L
-        var rounds = 0
-        while (changed > 0) {
-          if (rounds >= 24) throw new IllegalStateException(
-            "dedup_cluster: component diameter exceeds the 24-round cap")
-          val prop = edges
-            .join(labels.select(col("v").as("dst"), col("lbl").as("nlbl")), "dst")
-            .groupBy("src").agg(min(col("nlbl")).as("mnl"))
-          val next = T.freeze(labels
-            .join(prop.select(col("src").as("v"), col("mnl")), Seq("v"), "left")
-            .select(col("v"), least(col("lbl"), coalesce(col("mnl"), col("lbl"))).as("lbl")))
-          changed = next.join(labels.select(col("v"), col("lbl").as("prev")), "v")
-            .where(col("lbl") =!= col("prev")).count()
-          labels = next
-          rounds += 1
-        }
-        labels.select(col("v").as("doc_id"), col("lbl").as("cluster_id"))
+        val norm = T.documents(s, dir)
+          .select(col("doc_id"),
+            trim(regexp_replace(
+              regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""),
+              " +", " ")).as("nt"))
+        val gmin = norm
+          .withColumn("gmin", min(col("doc_id")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("nt"))))
+          .select(col("doc_id"), col("gmin"))
+        val lbl = minLabelComponents(TextSim.minhashPairs(s, dir))
+          .select(col("v").as("doc_id"), col("lbl"))
+        gmin.join(lbl, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            when(col("gmin") < col("doc_id"), lit("exact_dup"))
+              .when(col("lbl") < col("doc_id"), lit("near_dup"))
+              .otherwise(lit("kept")).as("status"),
+            when(col("gmin") < col("doc_id"), col("gmin"))
+              .when(col("lbl") < col("doc_id"), col("lbl"))
+              .otherwise(col("doc_id")).as("canonical_id"))
           .orderBy("doc_id")
       },
       Some(s"""WITH RECURSIVE ${TextSim.sqlMinhashCtes},
-                 edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-                           UNION ALL
-                           SELECT doc_b, doc_a FROM pairs),
-                 reach(v, r) AS (
-                   SELECT src, src FROM (SELECT DISTINCT src FROM edges) n
-                   UNION
-                   SELECT e.src, reach.r
-                   FROM edges e JOIN reach ON e.dst = reach.v)
-               SELECT v AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
-               FROM reach GROUP BY v
-               ORDER BY doc_id""")),
+                 $sqlComponentCtes,
+                 norm AS (SELECT doc_id,
+                     trim(regexp_replace(
+                       regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                       ' +', ' ', 'g')) AS nt
+                   FROM documents),
+                 grp AS (SELECT doc_id,
+                     min(doc_id) OVER (PARTITION BY nt) AS gmin
+                   FROM norm)
+               SELECT g.doc_id,
+                 CASE WHEN g.gmin < g.doc_id THEN 'exact_dup'
+                      WHEN l.lbl IS NOT NULL AND l.lbl < g.doc_id THEN 'near_dup'
+                      ELSE 'kept' END AS status,
+                 CASE WHEN g.gmin < g.doc_id THEN g.gmin
+                      WHEN l.lbl IS NOT NULL AND l.lbl < g.doc_id THEN l.lbl
+                      ELSE g.doc_id END AS canonical_id
+               FROM grp g LEFT JOIN lbl l ON l.v = g.doc_id
+               ORDER BY g.doc_id""")),
 
     QueryDef(
       "dedup_embed_cosine",
