@@ -144,6 +144,38 @@ object Tables {
   def xsumD(c: Column): Column = sum(c.cast(exact))
   def sqlXsumD(e: String): String = s"sum(CAST(($e) AS DECIMAL(30,12)))"
 
+  /** BIT-IDENTICAL exact-sum wire for doubles at 12 dp (r6 second half,
+    * found by ml_logreg_multi): DuckDB's DECIMAL→DOUBLE cast is NOT
+    * correctly rounded (it scales the int128 by 10⁻ˢ instead of dividing
+    * — measured 1-ulp errors on 12-dp fractions), which [[xsum]]'s
+    * consumers tolerate under their final round(…,6) but a Newton solve
+    * amplifies ~1e8× through an ill-conditioned Hessian. The fix: scale
+    * each addend to an INTEGER decimal at 12 dp (one double multiply +
+    * one double→decimal cast, both rounding identically cross-engine),
+    * sum exactly as integers, and cross to double via the holdout hi/lo
+    * split — the SAME IEEE op sequence in both engines, so the result
+    * bits cannot differ. Addends below 10⁻¹² truncate identically on
+    * both sides. */
+  def sumE12(c: Column): Column =
+    sum((c * lit(1.0e12)).cast(DecimalType(38, 0)))
+
+  /** selectExpr fragment converting a [[sumE12]] column to DOUBLE (Spark
+    * spelling: `div` on DECIMAL(38,0) is integral division). */
+  def bitsE12(name: String): String =
+    s"(CAST($name div 100000000 AS DOUBLE) * 1e8 + CAST($name % 100000000 AS DOUBLE)) / 1e12"
+
+  /** DuckDB twin of [[sumE12]]. */
+  def sqlSumE12(e: String): String =
+    s"sum(CAST(($e) * 1000000000000.0 AS DECIMAL(38,0)))"
+
+  /** DuckDB twin of [[bitsE12]] — `//` on DECIMAL is TRUE division in
+    * DuckDB (the r6 holdout gotcha), so route through HUGEINT; both
+    * engines truncate integer division toward zero and give `%` the
+    * dividend's sign, so hi/lo agree for negative sums too. */
+  def sqlBitsE12(name: String): String =
+    s"(CAST(CAST($name AS HUGEINT) // 100000000 AS DOUBLE) * 1e8 + " +
+      s"CAST(CAST($name AS HUGEINT) % 100000000 AS DOUBLE)) / 1e12"
+
   /** Prime modulus of every deterministic hash family in the repo
     * (2³¹ − 1). */
   val HASH_P: Long = 2147483647L

@@ -443,6 +443,104 @@ object ML {
     (a, b)
   }
 
+  /** Multi-feature IRLS (r6 second half — completes the solver matrix's
+    * last cell: logreg at 3 features + intercept). Per step: ONE pass of
+    * 14 exact-decimal weighted sums (gradient 4 + Hessian 10 over the
+    * REAL-collapsed sigmoid), then the 4×4 Newton solve runs through the
+    * SAME gaussSteps text as ml_linreg_multi — as a selectExpr cascade
+    * here, as a CTE chain in the oracle — so the step's δ is bit-identical
+    * cross-engine; β accumulates on the driver (cuML's client-held coef_),
+    * re-entering each step as a broadcast one-row table (codegen-stable,
+    * as irlsBeta). */
+  private def irlsMultiBeta(s: SparkSession, dir: String): Array[Double] = {
+    val spark = s
+    import spark.implicits._
+    val d = T.lineitem(s, dir).select(
+      col("l_quantity").cast("double").as("q"),
+      col("l_discount").cast("double").as("dd"),
+      col("l_tax").cast("double").as("tt"),
+      when(col("l_returnflag") === "R", 1.0).otherwise(0.0).as("y"))
+      .transform(T.fanOut(_))
+    var e = Array(0.0, 0.0, 0.0, 0.0)
+    for (_ <- 1 to 3) {
+      val bt = Seq((e(0), e(1), e(2), e(3))).toDF("e0", "e1", "e2", "e3")
+      val mu = (lit(1.0) / (lit(1.0) + exp(-(col("e0") + col("e1") * col("q")
+        + col("e2") * col("dd") + col("e3") * col("tt"))))).cast("float")
+      val rw = d.crossJoin(broadcast(bt))
+        .select(col("q"), col("dd"), col("tt"), col("y"), mu.as("mu"))
+        .select(col("q"), col("dd"), col("tt"),
+          (col("y") - col("mu")).as("r"),
+          (col("mu") * (lit(1.0) - col("mu"))).as("w"))
+      // named straight into the gaussBase slots: H → a.., gradient → b..
+      // T.sumE12 + bitsE12 wire (NOT xsum): DuckDB's decimal→double cast
+      // is off by ulps, and this solve amplifies input ulps ~1e8× through
+      // the ill-conditioned Hessian — the split wire is bit-identical.
+      val slots = Seq(
+        "a00" -> col("w"), "a01" -> col("w") * col("q"),
+        "a02" -> col("w") * col("dd"), "a03" -> col("w") * col("tt"),
+        "a11" -> col("w") * col("q") * col("q"), "a12" -> col("w") * col("q") * col("dd"),
+        "a13" -> col("w") * col("q") * col("tt"), "a22" -> col("w") * col("dd") * col("dd"),
+        "a23" -> col("w") * col("dd") * col("tt"), "a33" -> col("w") * col("tt") * col("tt"),
+        "b0" -> col("r"), "b1" -> col("r") * col("q"),
+        "b2" -> col("r") * col("dd"), "b3" -> col("r") * col("tt"))
+      val aggs = slots.map { case (nm, c) => T.sumE12(c).as(s"s_$nm") }
+      val sums = rw.agg(aggs.head, aggs.tail: _*)
+        .selectExpr(slots.map { case (nm, _) => s"${T.bitsE12(s"s_$nm")} AS $nm" }: _*)
+      val x = stepChain(sums, gaussSteps).selectExpr("x0", "x1", "x2", "x3").collect()(0)
+      e = Array(e(0) + x.getDouble(0), e(1) + x.getDouble(1),
+        e(2) + x.getDouble(2), e(3) + x.getDouble(3))
+    }
+    e
+  }
+
+  /** Oracle twin of [[irlsMultiBeta]]: 3 unrolled (sigmoid → 14 sums →
+    * gauss chain → β update) blocks, ending in `bet3(e0..e3)`. */
+  private lazy val sqlIrlsMultiChain: String = {
+    // same slot expressions as irlsMultiBeta, on the same sumE12/bitsE12
+    // split wire (w, r spelled out: the oracle's i$k rows carry mu, not w/r)
+    val slots = Seq(
+      "a00" -> "mu * (1.0 - mu)", "a01" -> "mu * (1.0 - mu) * q",
+      "a02" -> "mu * (1.0 - mu) * dd", "a03" -> "mu * (1.0 - mu) * tt",
+      "a11" -> "mu * (1.0 - mu) * q * q", "a12" -> "mu * (1.0 - mu) * q * dd",
+      "a13" -> "mu * (1.0 - mu) * q * tt", "a22" -> "mu * (1.0 - mu) * dd * dd",
+      "a23" -> "mu * (1.0 - mu) * dd * tt", "a33" -> "mu * (1.0 - mu) * tt * tt",
+      "b0" -> "y - mu", "b1" -> "(y - mu) * q",
+      "b2" -> "(y - mu) * dd", "b3" -> "(y - mu) * tt")
+    def mStep(src: String) =
+      s"""SELECT ${slots.map { case (nm, e) => s"${T.sqlSumE12(e)} AS s_$nm" }.mkString(",\n            ")}
+          FROM $src"""
+    def gaussCtes(k: Int): (String, String) = {
+      val base = s"s${k}_0 AS (SELECT ${slots.map { case (nm, _) =>
+        s"${T.sqlBitsE12(s"s_$nm")} AS $nm" }.mkString(", ")} FROM ms$k)"
+      val ctes = gaussSteps.zipWithIndex.map { case ((nm, ex), i) =>
+        s"s${k}_${i + 1} AS (SELECT *, $ex AS $nm FROM s${k}_$i)"
+      }
+      ((base +: ctes).mkString(",\n         "), s"s${k}_${gaussSteps.size}")
+    }
+    val blocks = (1 to 3).map { k =>
+      val (chain, fin) = gaussCtes(k)
+      s"""i$k AS (SELECT q, dd, tt, y,
+             -- REAL collapse absorbs cross-engine exp() ulp, immediate
+             -- DOUBLE re-widen (the ml_logreg_predict pattern) keeps the
+             -- downstream sums in double: bare REAL would drag DuckDB's
+             -- whole addend chain into FLOAT arithmetic (Spark promotes
+             -- float to double instead — measured: a00 off by 1024)
+             CAST(CAST(1.0 / (1.0 + exp(-(e0 + e1 * q + e2 * dd + e3 * tt))) AS REAL) AS DOUBLE) AS mu
+           FROM d, bet${k - 1}),
+         ms$k AS (${mStep(s"i$k")}),
+         $chain,
+         bet$k AS (SELECT e0 + x0 AS e0, e1 + x1 AS e1, e2 + x2 AS e2, e3 + x3 AS e3
+                   FROM bet${k - 1}, $fin)"""
+    }
+    s"""d AS (SELECT CAST(l_quantity AS DOUBLE) AS q,
+           CAST(l_discount AS DOUBLE) AS dd,
+           CAST(l_tax AS DOUBLE) AS tt,
+           CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y
+         FROM lineitem),
+         bet0 AS (SELECT 0.0 AS e0, 0.0 AS e1, 0.0 AS e2, 0.0 AS e3),
+         ${blocks.mkString(",\n         ")}"""
+  }
+
   /** The matching DuckDB CTE chain through `b3(a, b)` — shared by the fit
     * oracle and the predict oracle so both verify against the same
     * unrolled 3-step IRLS. */
@@ -1435,6 +1533,29 @@ object ML {
                  round(${T.sqlXsum("mu")} / count(*), 6) AS avg_pred,
                  round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS actual_rate
                FROM bk GROUP BY decile ORDER BY decile""")),
+
+    QueryDef(
+      "ml_logreg_multi",
+      // LogisticRegression.fit with the FULL design (quantity, discount,
+      // tax + intercept) — the last empty cell of the solver matrix
+      // (eig/cd/irls × 1-feature/multi-feature). 3 Newton/IRLS steps; per
+      // step one 14-sum aggregation pass and the shared-text 4×4 solve
+      // (see irlsMultiBeta). P(returnflag = R | x).
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        val e = irlsMultiBeta(s, dir)
+        Seq((e(0), e(1), e(2), e(3)))
+          .toDF("intercept", "b_quantity", "b_discount", "b_tax")
+          .select(round(col("intercept"), 6).as("intercept"),
+            round(col("b_quantity"), 6).as("b_quantity"),
+            round(col("b_discount"), 6).as("b_discount"),
+            round(col("b_tax"), 6).as("b_tax"))
+      },
+      Some(s"""WITH $sqlIrlsMultiChain
+               SELECT round(e0, 6) AS intercept, round(e1, 6) AS b_quantity,
+                      round(e2, 6) AS b_discount, round(e3, 6) AS b_tax
+               FROM bet3""")),
 
     QueryDef(
       "ml_pca_transform",

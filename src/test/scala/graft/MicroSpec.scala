@@ -587,6 +587,21 @@ class MicroSpec extends SparkSpec {
     }
   }
 
+  test("sumE12/bitsE12 wire: exact for 12-dp addends, same bits as plain double math") {
+    // the bit-identical wire behind ml_logreg_multi (r6): integer-scaled
+    // exact sum + hi/lo split. 0.25 scales to exactly 250000000000 (the
+    // FLOAT-promotion bug made DuckDB produce 249999998976 — pinned in
+    // the oracle, this is the Spark half), and the split conversion of a
+    // known sum must equal the correctly-rounded double.
+    import spark.implicits._
+    val df = Seq(0.25, 0.25, 1929.095e-3, -52.255).toDF("v")
+    val s = df.agg(Tables.sumE12(col("v")).as("s"))
+    val got = s.selectExpr(s"${Tables.bitsE12("s")} AS d").collect().head.getDouble(0)
+    val want = (BigDecimal("0.25") + BigDecimal("0.25") +
+      BigDecimal("1.929095") - BigDecimal("52.255")).toDouble
+    assert(got == want, s"got $got want $want")
+  }
+
   test("ml_pca_covariance: emitted means match the local column means") {
     val r = q("ml_pca_covariance").collect().head
     val n = localEmb.size.toDouble
