@@ -426,6 +426,35 @@ object Aggregates {
                 round(cume_dist() OVER w, 6) AS cd
               FROM orders
               WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
-              ORDER BY o_orderstatus, o_orderkey"""))
+              ORDER BY o_orderstatus, o_orderkey""")),
+
+    QueryDef(
+      "agg_entropy",
+      // Shannon entropy of each source's language mix (r6 second half) —
+      // the diversity metric a corpus-curation dashboard reads next to
+      // the count tables. p = exact count ratio; ln() may differ by an
+      // ulp cross-engine, so each p·ln(p) term goes through the 12-dp
+      // exact-decimal wire (quantization absorbs the ulp, decimal
+      // addition is order-proof) before the bounded per-source sum.
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val counts = T.documents(s, dir)
+          .groupBy("source", "lang").agg(count(lit(1)).as("c"))
+        val p = (col("c").cast("double") /
+          sum(col("c")).over(Window.partitionBy(col("source"))).cast("double"))
+        counts.select(col("source"), col("c"), p.as("p"))
+          .groupBy("source")
+          .agg(sum(col("c")).as("n_docs"),
+            round(-T.xsum(col("p") * log(col("p"))), 6).as("entropy"))
+          .orderBy("source")
+      },
+      Some(s"""WITH counts AS (SELECT source, lang, count(*) AS c
+                 FROM documents GROUP BY source, lang),
+                 ps AS (SELECT source, c,
+                     CAST(c AS DOUBLE) / CAST(sum(c) OVER (PARTITION BY source) AS DOUBLE) AS p
+                   FROM counts)
+               SELECT source, CAST(sum(c) AS BIGINT) AS n_docs,
+                 round(-(${T.sqlXsum("p * ln(p)")}), 6) AS entropy
+               FROM ps GROUP BY source ORDER BY source"""))
   )
 }

@@ -556,16 +556,21 @@ object ML {
       s"""SELECT $prevA + (h11 * g0 - h01 * g1) / (h00 * h11 - h01 * h01) AS a,
             $prevB + (h00 * g1 - h01 * g0) / (h00 * h11 - h01 * h01) AS b
           FROM $m"""
+    // REAL collapse → immediate DOUBLE re-widen (r6 second half): a bare
+    // REAL mu dragged DuckDB's weight sums into FLOAT arithmetic while
+    // Spark promoted to double (the ml_logreg_multi find). The 1-feature
+    // chain survived the mismatch under round(…,6) for four rounds;
+    // widened now so both engines sum identical doubles.
     s"""d AS (SELECT CAST(l_quantity AS DOUBLE) AS x,
            CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y
          FROM lineitem),
-         i1 AS (SELECT x, y, CAST(1.0 / (1.0 + exp(-(0.0 + 0.0 * x))) AS REAL) AS mu FROM d),
+         i1 AS (SELECT x, y, CAST(CAST(1.0 / (1.0 + exp(-(0.0 + 0.0 * x))) AS REAL) AS DOUBLE) AS mu FROM d),
          m1 AS (${mStep("i1")}),
          b1 AS (${beta("m1", "0.0", "0.0")}),
-         i2 AS (SELECT x, y, CAST(1.0 / (1.0 + exp(-(a + b * x))) AS REAL) AS mu FROM d, b1),
+         i2 AS (SELECT x, y, CAST(CAST(1.0 / (1.0 + exp(-(a + b * x))) AS REAL) AS DOUBLE) AS mu FROM d, b1),
          m2 AS (${mStep("i2")}),
          b2 AS (${beta("m2, b1", "b1.a", "b1.b")}),
-         i3 AS (SELECT x, y, CAST(1.0 / (1.0 + exp(-(a + b * x))) AS REAL) AS mu FROM d, b2),
+         i3 AS (SELECT x, y, CAST(CAST(1.0 / (1.0 + exp(-(a + b * x))) AS REAL) AS DOUBLE) AS mu FROM d, b2),
          m3 AS (${mStep("i3")}),
          b3 AS (${beta("m3, b2", "b2.a", "b2.b")})"""
   }
@@ -661,6 +666,52 @@ object ML {
                   i -> u[i] * list_reduce(list_transform(generate_series(1,64),
                          j -> C[i][j] * u[j]), (a,b) -> a+b)), (a,b) -> a+b) AS lam
                 FROM unitc, cmat)"""
+
+  /** Leave-one-out kNN language prediction over ALL labeled vectors
+    * (r6 second half — shared by ml_confusion_matrix /
+    * ml_accuracy_score): the ml_knn_classify vote with queries widened
+    * from 20 to every vector that has a documents row. Returns
+    * (q_id, pred_lang). */
+  private def knnPredLang(s: SparkSession, dir: String): DataFrame = {
+    val e = T.embeddings(s, dir)
+    val labels = T.documents(s, dir).select(col("doc_id"), col("lang"))
+    val q = e.join(labels, e("vec_id") === labels("doc_id"), "left_semi")
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val cand = e.transform(T.fanOut(_, col("vec_id")))
+      .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+    val dist = graft.functions.Vec.l2(s, "q_emb", "n_emb")
+    val w = Window.partitionBy(col("q_id")).orderBy(col("d"), col("n_id"))
+    val nn = cand.crossJoin(broadcast(q))
+      .where(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"), dist.as("d"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 5)
+    val voted = nn.join(labels, nn("n_id") === labels("doc_id"))
+      .groupBy("q_id", "lang").agg(count(lit(1)).as("votes"))
+    val pick = Window.partitionBy(col("q_id"))
+      .orderBy(col("votes").desc, col("lang").asc)
+    voted.withColumn("vr", row_number().over(pick)).where(col("vr") === 1)
+      .select(col("q_id"), col("lang").as("pred_lang"))
+  }
+
+  /** Oracle twin of [[knnPredLang]], ending in `pred(q_id, pred_lang)`. */
+  private val sqlKnnPredCtes: String =
+    """nn AS (SELECT q_id, n_id FROM (
+         SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY list_distance(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), e.vec_id) AS rn
+         FROM embeddings q CROSS JOIN embeddings e
+         WHERE q.vec_id <> e.vec_id
+           AND q.vec_id IN (SELECT doc_id FROM documents)) t
+       WHERE rn <= 5),
+       voted AS (SELECT q_id, lang, count(*) AS votes
+                 FROM nn JOIN documents ON n_id = doc_id
+                 GROUP BY q_id, lang),
+       pred AS (SELECT q_id, lang AS pred_lang FROM (
+           SELECT q_id, lang, votes,
+             row_number() OVER (PARTITION BY q_id ORDER BY votes DESC, lang ASC) AS vr
+           FROM voted) v
+         WHERE vr = 1)"""
 
   /** Deterministic 20-step power iterate from e₁, then Rayleigh quotient.
     * Returns the UNROUNDED (eigenvalue, unit vector) — every fold is
@@ -1338,6 +1389,86 @@ object ML {
                   row_number() OVER (PARTITION BY q_id ORDER BY votes DESC, lang ASC) AS vr
                 FROM voted) v
               WHERE vr = 1 ORDER BY q_id""")),
+
+    QueryDef(
+      "ml_confusion_matrix",
+      // cuml.metrics confusion_matrix over the kNN language classifier,
+      // widened to ALL vectors with a documents row (true label = the
+      // doc's own lang; its own embedding is excluded from the vote, so
+      // this is leave-one-out evaluation, not memorization). Same
+      // broadcast × streamed-candidates kNN shape; the matrix itself is
+      // one bounded groupBy (≤ n_langs² rows).
+      (s, dir) => {
+        val pred = knnPredLang(s, dir)
+        val truth = T.documents(s, dir).select(col("doc_id"), col("lang").as("true_lang"))
+        pred.join(truth, pred("q_id") === truth("doc_id"))
+          .groupBy("true_lang", "pred_lang")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("true_lang", "pred_lang")
+      },
+      Some(s"""WITH $sqlKnnPredCtes
+               SELECT d.lang AS true_lang, p.pred_lang, count(*) AS n
+               FROM pred p JOIN documents d ON p.q_id = d.doc_id
+               GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    QueryDef(
+      "ml_accuracy_score",
+      // cuml.metrics accuracy_score for the same leave-one-out kNN
+      // classifier — the single-number evaluation surface next to the
+      // full confusion matrix.
+      (s, dir) => {
+        val pred = knnPredLang(s, dir)
+        val truth = T.documents(s, dir).select(col("doc_id"), col("lang").as("true_lang"))
+        pred.join(truth, pred("q_id") === truth("doc_id"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("pred_lang") === col("true_lang"), 1L).otherwise(0L)).as("n_correct"))
+          .select(col("n"), col("n_correct"),
+            round(col("n_correct").cast("double") / col("n"), 6).as("accuracy"))
+      },
+      Some(s"""WITH $sqlKnnPredCtes
+               SELECT count(*) AS n,
+                 CAST(sum(CASE WHEN p.pred_lang = d.lang THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+                 round(CAST(sum(CASE WHEN p.pred_lang = d.lang THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS accuracy
+               FROM pred p JOIN documents d ON p.q_id = d.doc_id""")),
+
+    QueryDef(
+      "ml_r2_score",
+      // cuml.metrics r2_score of the multi-feature OLS fit: one scoring
+      // pass with the in-plan solved coefficients (the
+      // ml_linreg_multi_predict shape), R² = 1 − SS_res/SS_tot with both
+      // sums on the exact-decimal wire and the ratio text shared
+      // verbatim.
+      (s, dir) => {
+        val coefs = gaussSolved(s, dir).selectExpr("x0", "x1", "x2", "x3")
+        val l = T.lineitem(s, dir).select(
+          col("l_quantity").cast("double").as("q"),
+          col("l_discount").cast("double").as("d"),
+          col("l_tax").cast("double").as("t"),
+          col("l_extendedprice").cast("double").as("y"))
+          .transform(T.fanOut(_))
+        l.crossJoin(broadcast(coefs))
+          .select(expr("y - (x0 + x1 * q + x2 * d + x3 * t)").as("r"), col("y"))
+          .agg(count(lit(1)).cast("double").as("n"),
+            T.xsum(col("r") * col("r")).as("ssr"),
+            T.xsum(col("y")).as("sy"),
+            T.xsum(col("y") * col("y")).as("syy"))
+          .selectExpr("CAST(n AS BIGINT) AS n",
+            "round(1.0 - ssr / (syy - sy * sy / n), 6) AS r2")
+      },
+      Some(s"""WITH $sqlGaussChain,
+                 l AS (SELECT CAST(l_quantity AS DOUBLE) AS q,
+                         CAST(l_discount AS DOUBLE) AS d,
+                         CAST(l_tax AS DOUBLE) AS t,
+                         CAST(l_extendedprice AS DOUBLE) AS y
+                       FROM lineitem),
+                 sc AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                     ${T.sqlXsum("(y - (x0 + x1 * q + x2 * d + x3 * t)) * (y - (x0 + x1 * q + x2 * d + x3 * t))")} AS ssr,
+                     ${T.sqlXsum("y")} AS sy,
+                     ${T.sqlXsum("y * y")} AS syy
+                   FROM l, $sqlGaussFinal)
+               SELECT CAST(n AS BIGINT) AS n,
+                 round(1.0 - ssr / (syy - sy * sy / n), 6) AS r2
+               FROM sc""")),
 
     QueryDef(
       "ml_knn_regress",

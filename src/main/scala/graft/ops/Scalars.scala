@@ -188,6 +188,34 @@ object Scalars {
                 FROM customer WHERE c_custkey < 500)
               SELECT c_custkey, info.name AS info_name,
                      info.segment AS info_segment, info.bal AS info_bal
-              FROM s ORDER BY c_custkey"""))
+              FROM s ORDER BY c_custkey""")),
+
+    QueryDef(
+      "fn_ffill",
+      // dask/cudf ffill surface (r6 second half): forward-fill the last
+      // purchase value over each user's event timeline — value is only
+      // meaningful on purchase rows (manufactured NULLs elsewhere, the
+      // fixture has none), so the window carries it forward with
+      // last(…, ignoreNulls). Deterministic order (ts, event_id);
+      // per-user bounded running window — the standard gaps-and-carry
+      // shape at any scale. Values pass through untouched (no
+      // arithmetic), so the compare is exact.
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        T.events(s, dir)
+          .select(col("user_id"), col("event_id"), col("ts"),
+            when(col("event_type") === "purchase", col("value")).as("pv"))
+          .select(col("user_id"), col("event_id"),
+            last(col("pv"), ignoreNulls = true).over(w).as("last_purchase"))
+          .orderBy("user_id", "event_id")
+      },
+      Some("""SELECT user_id, event_id,
+                last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase
+              FROM events ORDER BY user_id, event_id"""))
   )
 }
