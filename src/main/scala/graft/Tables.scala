@@ -176,6 +176,19 @@ object Tables {
     s"(CAST(CAST($name AS HUGEINT) // 100000000 AS DOUBLE) * 1e8 + " +
       s"CAST(CAST($name AS HUGEINT) % 100000000 AS DOUBLE)) / 1e12"
 
+  /** Text canonicalization shared by text_normalize and dedup_pipeline
+    * (r6 review: the chain was stated in four places — one drift away
+    * from the pipeline's exact-dedup disagreeing with the standalone
+    * query): lowercase → strip outside [a-z0-9 ] → collapse space runs →
+    * trim. ASCII fixture ⇒ Java and RE2 regex semantics coincide on
+    * these classes. */
+  def normText(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", ""), " +", " "))
+
+  /** DuckDB twin of [[normText]] (needs the explicit 'g' flag). */
+  def sqlNormText(e: String): String =
+    s"trim(regexp_replace(regexp_replace(lower($e), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
+
   /** Prime modulus of every deterministic hash family in the repo
     * (2³¹ − 1). */
   val HASH_P: Long = 2147483647L

@@ -107,32 +107,17 @@ object Cluster {
         val core = p.join(deg, p("id") === deg("u"), "left")
           .where(coalesce(col("c"), lit(0L)) + 1 >= MIN_PTS)
           .select(col("id"))
-        // components over CORE-core edges: min-label propagation to the
-        // fixpoint (dedup_cluster discipline; driver holds one count/round)
-        val coreEdges = T.freeze(nbrs
-          .join(core.select(col("id").as("u")), "u")
-          .join(core.select(col("id").as("v")), "v")
-          .select(col("u").as("cu"), col("v").as("cv")))
-        var labels = T.freeze(core.select(col("id").as("cu"))
-          .join(coreEdges, Seq("cu"), "left")
-          .groupBy("cu").agg(min(col("cv")).as("nb"))
-          .select(col("cu").as("v"), least(col("cu"), coalesce(col("nb"), col("cu"))).as("lbl")))
-        var changed = 1L
-        var rounds = 0
-        while (changed > 0) {
-          if (rounds >= MAX_ROUNDS) throw new IllegalStateException(
-            "ml_dbscan: core-graph diameter exceeds the round cap — eps past the percolation knee")
-          val prop = coreEdges
-            .join(labels.select(col("v").as("cv"), col("lbl").as("nlbl")), "cv")
-            .groupBy("cu").agg(min(col("nlbl")).as("mnl"))
-          val next = T.freeze(labels
-            .join(prop.select(col("cu").as("v"), col("mnl")), Seq("v"), "left")
-            .select(col("v"), least(col("lbl"), coalesce(col("mnl"), col("lbl"))).as("lbl")))
-          changed = next.join(labels.select(col("v"), col("lbl").as("prev")), "v")
-            .where(col("lbl") =!= col("prev")).count()
-          labels = next
-          rounds += 1
-        }
+        // components over CORE-core PAIRS via the shared min-label loop
+        // (Dedup.minLabelComponents — r6 review deduplicated the two
+        // copies); vertices = all cores, so an isolated core labels
+        // itself. The cap fails loudly if eps crossed the percolation
+        // knee (component diameter explodes there).
+        val corePairs = pairs
+          .join(core.select(col("id").as("a")), "a")
+          .join(core.select(col("id").as("b")), "b")
+          .select(col("a").as("doc_a"), col("b").as("doc_b"))
+        val labels = Dedup.minLabelComponents(
+          corePairs, Some(core.select(col("id"))), MAX_ROUNDS)
         // border: non-core with ≥1 core neighbor → min core-neighbor label
         val borderLbl = nbrs
           .join(labels.select(col("v"), col("lbl")), nbrs("v") === labels("v"))

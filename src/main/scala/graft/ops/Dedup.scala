@@ -88,22 +88,32 @@ object Dedup {
   }
 
   /** Min-label connected components over an undirected pair list
-    * (doc_a, doc_b) → (v, lbl = component min), shared by dedup_cluster
-    * and dedup_pipeline. T.freeze per round keeps the plan flat (see
-    * dedup_cluster's comment); only vertices that appear in a pair get a
-    * row. */
-  private[ops] def minLabelComponents(pairs: DataFrame): DataFrame = {
+    * (doc_a, doc_b) → (v, lbl = component min), shared by dedup_cluster,
+    * dedup_pipeline, and ml_dbscan (r6 review: the loop previously lived
+    * twice). T.freeze per round keeps the plan flat (see dedup_cluster's
+    * comment). `vertices` optionally adds isolated vertices (a 1-column
+    * frame; each gets lbl = itself) — without it only vertices appearing
+    * in a pair get a row. `cap` bounds the rounds (= component diameter)
+    * and fails loudly past it. */
+  private[ops] def minLabelComponents(
+      pairs: DataFrame,
+      vertices: Option[DataFrame] = None,
+      cap: Int = 24): DataFrame = {
     val edges = T.freeze(pairs.union(pairs.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst"))
     // seed: lbl(v) = min(v, min neighbor) — one propagation round free
-    var labels = T.freeze(edges.groupBy(col("src").as("v"))
+    val seedBase = vertices match {
+      case Some(vs) => vs.toDF("src").join(edges, Seq("src"), "left")
+      case None => edges
+    }
+    var labels = T.freeze(seedBase.groupBy(col("src").as("v"))
       .agg(min(col("dst")).as("nb"))
-      .select(col("v"), least(col("v"), col("nb")).as("lbl")))
+      .select(col("v"), least(col("v"), coalesce(col("nb"), col("v"))).as("lbl")))
     var changed = 1L
     var rounds = 0
     while (changed > 0) {
-      if (rounds >= 24) throw new IllegalStateException(
-        "minLabelComponents: component diameter exceeds the 24-round cap")
+      if (rounds >= cap) throw new IllegalStateException(
+        s"minLabelComponents: component diameter exceeds the $cap-round cap")
       val prop = edges
         .join(labels.select(col("v").as("dst"), col("lbl").as("nlbl")), "dst")
         .groupBy("src").agg(min(col("nlbl")).as("mnl"))
@@ -288,10 +298,7 @@ object Dedup {
       // no new shuffle class appears at 100 TB.
       (s, dir) => {
         val norm = T.documents(s, dir)
-          .select(col("doc_id"),
-            trim(regexp_replace(
-              regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""),
-              " +", " ")).as("nt"))
+          .select(col("doc_id"), T.normText(col("text")).as("nt"))
         val gmin = norm
           .withColumn("gmin", min(col("doc_id")).over(
             org.apache.spark.sql.expressions.Window.partitionBy(col("nt"))))
@@ -310,10 +317,7 @@ object Dedup {
       },
       Some(s"""WITH RECURSIVE ${TextSim.sqlMinhashCtes},
                  $sqlComponentCtes,
-                 norm AS (SELECT doc_id,
-                     trim(regexp_replace(
-                       regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
-                       ' +', ' ', 'g')) AS nt
+                 norm AS (SELECT doc_id, ${T.sqlNormText("text")} AS nt
                    FROM documents),
                  grp AS (SELECT doc_id,
                      min(doc_id) OVER (PARTITION BY nt) AS gmin

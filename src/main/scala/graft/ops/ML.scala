@@ -671,7 +671,17 @@ object ML {
     * (r6 second half — shared by ml_confusion_matrix /
     * ml_accuracy_score): the ml_knn_classify vote with queries widened
     * from 20 to every vector that has a documents row. Returns
-    * (q_id, pred_lang). */
+    * (q_id, pred_lang).
+    *
+    * SCALE NOTE (r6 review): this broadcasts the full labeled set and
+    * pays n² distances — exact leave-one-out is inherently all-pairs.
+    * At real scale an evaluation never scores the whole corpus: you
+    * bound the query side to a fixed evaluation sample (accuracy on a
+    * 10k sample estimates corpus accuracy with ±1% CI), or swap the
+    * candidate side to the IVF probe join (ml_knn_graph's shape) for an
+    * approximate-classifier evaluation. The exact form is kept here
+    * because the fixture IS sample-sized and the metric should judge
+    * the exact classifier the other rows ship. */
   private def knnPredLang(s: SparkSession, dir: String): DataFrame = {
     val e = T.embeddings(s, dir)
     val labels = T.documents(s, dir).select(col("doc_id"), col("lang"))

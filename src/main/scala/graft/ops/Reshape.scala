@@ -30,7 +30,11 @@ object Reshape {
   // Affine sampling hash — distinct constants from the minhash/split
   // families so strata don't correlate with other hash-derived ops.
   private val P = T.HASH_P
-  private val SA = 48271L
+  // r6 review: 48271 collided with Pipeline.FA on the SAME doc_id key,
+  // making the sampling bucket a constant shift of the train/test-split
+  // hash (it only looked independent because every rate is a multiple of
+  // 100). 69621 (Fishman–Moore) is used by no other family in the repo.
+  private val SA = 69621L
   private val SB = 11213L
 
   /** Per-language sampling rates in per-mille (corpus rebalancing: keep
@@ -53,6 +57,14 @@ object Reshape {
         .agg(T.dsum(col("l_quantity")).as("qty"), count(lit(1)).as("n"))
         .withColumnRenamed("F_qty", "f_qty").withColumnRenamed("F_n", "f_n")
         .withColumnRenamed("O_qty", "o_qty").withColumnRenamed("O_n", "o_n")
+        // r6 review: Spark's pivot leaves count cells of EMPTY (group,
+        // value) combos NULL while the oracle's count(CASE…) yields 0 —
+        // the fixtures populate all six combos, but real TPC-H data has
+        // empty ones (linestatus 'O' implies returnflag 'N'). The sum
+        // cells stay NULL on both sides (sum over nothing is NULL).
+        .select(col("l_returnflag"), col("f_qty"),
+          coalesce(col("f_n"), lit(0L)).as("f_n"),
+          col("o_qty"), coalesce(col("o_n"), lit(0L)).as("o_n"))
         .orderBy("l_returnflag"),
       Some(s"""SELECT l_returnflag,
                  ${T.sqlDsum("CASE WHEN l_linestatus = 'F' THEN l_quantity END")} AS f_qty,
@@ -155,21 +167,14 @@ object Reshape {
       // Output carries the normalized text itself plus a changed flag, so
       // the compare pins the exact transform, not a summary of it.
       (s, dir) => T.documents(s, dir)
-        .select(col("doc_id"),
-          trim(regexp_replace(
-            regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""),
-            " +", " ")).as("norm_text"),
-          col("text"))
+        .select(col("doc_id"), T.normText(col("text")).as("norm_text"), col("text"))
         .select(col("doc_id"), col("norm_text"),
           length(col("norm_text")).as("n_norm"),
           when(col("norm_text") === col("text"), 0).otherwise(1).as("changed"))
         .orderBy("doc_id"),
-      Some("""SELECT doc_id, norm_text, length(norm_text) AS n_norm,
+      Some(s"""SELECT doc_id, norm_text, length(norm_text) AS n_norm,
                 CASE WHEN norm_text = text THEN 0 ELSE 1 END AS changed
-              FROM (SELECT doc_id, text,
-                      trim(regexp_replace(
-                        regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
-                        ' +', ' ', 'g')) AS norm_text
+              FROM (SELECT doc_id, text, ${T.sqlNormText("text")} AS norm_text
                     FROM documents) t
               ORDER BY doc_id"""))
   )
