@@ -1481,6 +1481,99 @@ object ML {
                FROM sc""")),
 
     QueryDef(
+      "ml_silhouette",
+      // cuml.metrics silhouette (SIMPLIFIED form — centroid-based, the
+      // standard scalable variant: a = distance to own centroid, b =
+      // distance to the nearest OTHER centroid, s = (b−a)/max(a,b);
+      // full silhouette is all-pairs by definition and lives in the
+      // same n² bucket as the recall references). One points×K
+      // broadcast crossJoin, top-2 centroid distances per point by
+      // window, per-cluster mean s through the exact wire.
+      (s, dir) => {
+        val e = T.embeddings(s, dir).transform(T.fanOut(_, col("vec_id")))
+        val cent = e.where(col("vec_id") < 10)
+          .select(col("vec_id").as("cid"), col("embedding").as("c_emb"))
+        val w = Window.partitionBy(col("vec_id")).orderBy(col("d"), col("cid"))
+        val ranked = e.crossJoin(broadcast(cent))
+          .select(col("vec_id"), col("cid"),
+            graft.functions.Vec.l2(s, "embedding", "c_emb").as("d"))
+          .withColumn("rn", row_number().over(w)).where(col("rn") <= 2)
+        val own = ranked.where(col("rn") === 1)
+          .select(col("vec_id"), col("cid"), col("d").as("a"))
+        val nxt = ranked.where(col("rn") === 2)
+          .select(col("vec_id").as("v2"), col("d").as("b"))
+        own.join(nxt, own("vec_id") === nxt("v2"))
+          .select(col("cid"),
+            ((col("b") - col("a")) / greatest(col("a"), col("b"))).as("sil"))
+          .groupBy("cid")
+          .agg(count(lit(1)).as("n"),
+            round(T.xsum(col("sil")) / count(lit(1)), 6).as("mean_sil"))
+          .orderBy("cid")
+      },
+      Some(s"""WITH cent AS (SELECT vec_id AS cid, embedding AS c_emb
+                             FROM embeddings WHERE vec_id < 10),
+                 ranked AS (SELECT vec_id, cid, d, rn FROM (
+                     SELECT e.vec_id, c.cid,
+                       list_distance(CAST(e.embedding AS DOUBLE[]),
+                                     CAST(c.c_emb AS DOUBLE[])) AS d,
+                       row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]),
+                                                CAST(c.c_emb AS DOUBLE[])), c.cid) AS rn
+                     FROM embeddings e CROSS JOIN cent c) t
+                   WHERE rn <= 2),
+                 pairs2 AS (SELECT o.cid, (n.d - o.d) / greatest(o.d, n.d) AS sil
+                            FROM (SELECT vec_id, cid, d FROM ranked WHERE rn = 1) o
+                            JOIN (SELECT vec_id, d FROM ranked WHERE rn = 2) n
+                              ON o.vec_id = n.vec_id)
+               SELECT cid, count(*) AS n,
+                 round(${T.sqlXsum("sil")} / count(*), 6) AS mean_sil
+               FROM pairs2 GROUP BY cid ORDER BY cid""")),
+
+    QueryDef(
+      "ml_logreg_multi_predict",
+      // Predict for the multi-feature logistic fit (fit→predict
+      // estimator contract, as ml_logreg_predict does for 1 feature):
+      // score P(returnflag = R | quantity, discount, tax) with the
+      // driver-held IRLS-multi coefficients and emit the
+      // probability-decile calibration table. Stateless-query contract:
+      // the fit re-runs here (3 passes) before the one scoring pass.
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        val e = irlsMultiBeta(s, dir)
+        val bt = Seq((e(0), e(1), e(2), e(3))).toDF("e0", "e1", "e2", "e3")
+        val d = T.lineitem(s, dir).select(
+          col("l_quantity").cast("double").as("q"),
+          col("l_discount").cast("double").as("dd"),
+          col("l_tax").cast("double").as("tt"),
+          when(col("l_returnflag") === "R", 1.0).otherwise(0.0).as("y"))
+          .transform(T.fanOut(_))
+        val mu = (lit(1.0) / (lit(1.0) + exp(-(col("e0") + col("e1") * col("q")
+          + col("e2") * col("dd") + col("e3") * col("tt")))))
+          .cast("float").cast("double")
+        d.crossJoin(broadcast(bt))
+          .select(col("y"), mu.as("mu"))
+          .select(col("y"), col("mu"),
+            least(floor(col("mu") * 10).cast("int"), lit(9)).as("decile"))
+          .groupBy("decile")
+          .agg(count(lit(1)).as("n"),
+            round(T.xsum(col("mu")) / count(lit(1)), 6).as("avg_pred"),
+            round(sum(col("y").cast("long")).cast("double") / count(lit(1)), 6).as("actual_rate"))
+          .orderBy("decile")
+      },
+      Some(s"""WITH $sqlIrlsMultiChain,
+                 scored AS (SELECT y,
+                     CAST(CAST(1.0 / (1.0 + exp(-(e0 + e1 * q + e2 * dd + e3 * tt))) AS REAL) AS DOUBLE) AS mu
+                   FROM d, bet3),
+                 bk AS (SELECT y, mu,
+                     least(CAST(floor(mu * 10) AS INT), 9) AS decile
+                   FROM scored)
+               SELECT decile, count(*) AS n,
+                 round(${T.sqlXsum("mu")} / count(*), 6) AS avg_pred,
+                 round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS actual_rate
+               FROM bk GROUP BY decile ORDER BY decile""")),
+
+    QueryDef(
       "ml_knn_regress",
       // dask-cuml KNeighborsRegressor: predict = mean target (n_chars) of
       // the 5 nearest neighbors. Integer targets → exact long sum → one
