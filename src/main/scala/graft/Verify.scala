@@ -70,7 +70,11 @@ object Verify {
         }
       }
     }
-    val json = SparkEntry.oracleSql.filter(o => keep(o._1))
+    // ALWAYS the full oracle map, filter or not (ADVICE r6): a filtered
+    // re-verify into a reused outDir would otherwise truncate
+    // oracle_sql.json next to stale full-run parquet, silently masking
+    // every unfiltered query from a compare keyed off the JSON.
+    val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(selfContained(v))}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -388,7 +388,13 @@ object ML {
       val minus = (0 until 3).filter(_ != j).map(k => s" - ${c(j)(k)} * ${b(k)}").mkString
       steps += g -> s"(${cy(j)}$minus) / nn"
       val nm = s"${p}b${sw}_$j"
-      steps += nm -> s"sign($g) * greatest(abs($g) - $lam1, 0.0) / (${c(j)(j)} / nn + $lam2)"
+      // `+ 0` canonicalizes -0.0 → 0.0 (the ml_linreg_holdout discipline):
+      // soft-thresholding a NEGATIVE gradient to zero yields sign(g)·0 =
+      // -0.0, and the engines serialize the sign bit differently (Spark's
+      // round() goes through BigDecimal, which has no -0.0; DuckDB's
+      // preserves it) — r6's only two red rows. Lasso's whole point is
+      // exact zeros, so the zero must be canonical in the SHARED step text.
+      steps += nm -> s"sign($g) * greatest(abs($g) - $lam1, 0.0) / (${c(j)(j)} / nn + $lam2) + 0"
       b(j) = nm
     }
     steps += s"${p}bint" -> s"(my - ${b(0)} * mq - ${b(1)} * md - ${b(2)} * mt) / nn"
@@ -399,6 +405,55 @@ object ML {
     centeredBase ++ cdSteps("ls", "1000.0", "0.0", 3)
   private lazy val enetMultiSteps: Seq[(String, String)] =
     centeredBase ++ cdSteps("en", "500.0", "500.0", 3)
+
+  /** Shared predict pass for the regularized multi-feature solvers
+    * (VERDICT r6 #3 — completes the fit→predict estimator contract for
+    * ridge/lasso, the reference `Ridge.predict` [R] shape): solve the
+    * coefficient chain in-plan over the gram4 row, broadcast the solved
+    * one-row frame back into a per-row residual expression (the
+    * ml_linreg_multi_predict template), emit per-returnflag residual
+    * diagnostics. One sufficient-statistic pass + one scoring pass; the
+    * chain text and the residual text feed both engines verbatim. */
+  private def regMultiPredict(s: SparkSession, dir: String,
+      steps: Seq[(String, String)], b0: String, b1: String, b2: String, b3: String): DataFrame = {
+    val coefs = stepChain(gram4(s, dir), steps)
+      .selectExpr(s"$b0 AS c0", s"$b1 AS c1", s"$b2 AS c2", s"$b3 AS c3")
+    val l = T.lineitem(s, dir).select(
+      col("l_returnflag"),
+      col("l_quantity").cast("double").as("q"),
+      col("l_discount").cast("double").as("d"),
+      col("l_tax").cast("double").as("t"),
+      col("l_extendedprice").cast("double").as("y"))
+      .transform(T.fanOut(_))
+    l.crossJoin(broadcast(coefs))
+      .select(col("l_returnflag"),
+        expr("y - (c0 + c1 * q + c2 * d + c3 * t)").as("r"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        round(T.xsum(col("r")) / count(lit(1)), 6).as("avg_resid"),
+        round(sqrt(T.xsum(col("r") * col("r")) / count(lit(1))), 6).as("rmse"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Oracle twin of [[regMultiPredict]]. */
+  private def sqlRegMultiPredict(steps: Seq[(String, String)], p: String,
+      b0: String, b1: String, b2: String, b3: String): String = {
+    val (ctes, fin) = sqlChainFrom(steps, p)
+    s"""WITH m AS ($sqlGram4),
+            $ctes,
+            co AS (SELECT $b0 AS c0, $b1 AS c1, $b2 AS c2, $b3 AS c3 FROM $fin),
+            l AS (SELECT l_returnflag, CAST(l_quantity AS DOUBLE) AS q,
+                    CAST(l_discount AS DOUBLE) AS d, CAST(l_tax AS DOUBLE) AS t,
+                    CAST(l_extendedprice AS DOUBLE) AS y
+                  FROM lineitem),
+            scored AS (SELECT l_returnflag,
+                y - (c0 + c1 * q + c2 * d + c3 * t) AS r
+              FROM l, co)
+          SELECT l_returnflag, count(*) AS n,
+            round(${T.sqlXsum("r")} / count(*), 6) AS avg_resid,
+            round(sqrt(${T.sqlXsum("r * r")} / count(*)), 6) AS rmse
+          FROM scored GROUP BY l_returnflag ORDER BY l_returnflag"""
+  }
 
   // ---- logistic-regression internals (ml_logreg_fit / ml_logreg_predict)
 
@@ -1960,6 +2015,22 @@ object ML {
                      round(enb3_1, 6) AS b_discount, round(enb3_2, 6) AS b_tax
               FROM $fin"""
       }),
+
+    QueryDef(
+      "ml_ridge_multi_predict",
+      // Ridge.predict for the multi-feature fit (VERDICT r6 #3): the
+      // ml_ridge_multi chain solved in-plan, then one broadcast scoring
+      // pass — per-returnflag residual diagnostics of the α=1000 model.
+      (s, dir) => regMultiPredict(s, dir, ridgeSteps, "rgb0", "rgx0", "rgx1", "rgx2"),
+      Some(sqlRegMultiPredict(ridgeSteps, "r", "rgb0", "rgx0", "rgx1", "rgx2"))),
+
+    QueryDef(
+      "ml_lasso_multi_predict",
+      // Lasso.predict for the multi-feature CD fit: same scoring pass with
+      // the soft-thresholded coefficients (exact zeros drop features from
+      // the score — the sparsity contract made visible in the residuals).
+      (s, dir) => regMultiPredict(s, dir, lassoMultiSteps, "lsbint", "lsb3_0", "lsb3_1", "lsb3_2"),
+      Some(sqlRegMultiPredict(lassoMultiSteps, "l", "lsbint", "lsb3_0", "lsb3_1", "lsb3_2"))),
 
     QueryDef(
       "ml_linreg_holdout",

@@ -43,7 +43,6 @@ object TextSim {
     * SHINGLE id (max id 127·Σ31^k ≈ 1.2e11, so A·id ≈ 1.1e17 ≪ 2⁶³).
     * Deliberately NOT Tables.polyTid (the variable-length TERM id): a
     * shingle is exactly 7 chars, so the fixed-width polynomial already
-    * covers the whole string with zero prefix truncation, its id stays
     * covers the whole string with zero prefix truncation. The id is
     * reduced mod P once before the affine family (r6 review): an astral
     * code point inflates the raw polynomial to ~1.0e15, whose ~9e5 affine

@@ -446,6 +446,23 @@ class MicroSpec extends SparkSpec {
     assert(l1Lasso <= l1Ols * 1.05 + 1e-6, s"lasso L1 $l1Lasso vs OLS L1 $l1Ols")
   }
 
+  test("cdSteps: thresholded-to-zero coefficients carry a POSITIVE zero sign bit (r6 red rows)") {
+    // The r6 driver failure: soft-thresholding a negative gradient emits
+    // sign(g)·0 = -0.0, and the engines serialize the sign bit differently.
+    // cdSteps now appends `+ 0` in the SHARED step text; this pins the
+    // Spark side byte-exactly — every zeroed coefficient must be +0.0
+    // (raw bits 0), never -0.0 (raw bits 0x8000000000000000).
+    for (name <- Seq("ml_lasso_multi", "ml_elasticnet_multi")) {
+      val r = q(name).collect().head
+      val zeroed = (1 to 3).map(r.getDouble).filter(_ == 0.0)
+      assert(zeroed.nonEmpty, s"$name: fixture should threshold ≥1 coefficient to zero")
+      zeroed.foreach { v =>
+        assert(java.lang.Double.doubleToRawLongBits(v) == 0L,
+          s"$name: zeroed coefficient is -0.0 (raw bits ${java.lang.Double.doubleToRawLongBits(v).toHexString})")
+      }
+    }
+  }
+
   test("ml_linreg_holdout: split sizes ~80/20 and test RMSE is finite and positive") {
     val rows = q("ml_linreg_holdout").collect()
     assert(rows.length == 2)

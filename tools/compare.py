@@ -24,7 +24,14 @@ def norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        return round(v, 9)
+        r = round(v, 9)
+        # Byte-faithful to the driver's hash: -0.0 == 0.0 numerically but
+        # serializes with a different sign bit (r6 shipped ml_lasso_multi
+        # red because this compare said PASS while the driver's hash said
+        # FAIL). Tag the sign of zero explicitly so it can never hide.
+        if r == 0.0 and math.copysign(1.0, v) < 0:
+            return "-0.0"
+        return r
     if isinstance(v, list):
         return tuple(norm(x) for x in v)
     if isinstance(v, dict):
