@@ -8,24 +8,29 @@ import org.apache.spark.sql.functions._
   * the fixed 8-bit/256-bucket space that made dedup_embed_cosine and the two
   * sim_*_lsh twins quadratic at 100×).
   *
-  * Scheme: NB bands × RB hyperplane-sign bits per band, band j reading the
-  * DISJOINT dims j·RB+1 … (j+1)·RB — the same b×r OR-amplification structure
-  * dedup_minhash uses for MinHash (TextSim.scala). A pair is a candidate iff
-  * ALL RB bits agree in AT LEAST ONE band, so for angular similarity
-  * s = 1 − θ/π the candidate probability is 1 − (1 − s^RB)^NB: near-dup
-  * pairs (s → 1) are caught with high probability while the expected
-  * candidate cost is Σ_band Σ_bucket n_b² ≈ NB · n² / 2^RB under uniform
-  * hashing — the bucket count 2^RB is now a PARAMETER that grows with the
-  * corpus (bitsFor below), not a constant 256 ceiling.
+  * Scheme: NB bands × RB RANDOM-HYPERPLANE sign bits per band (VERDICT r6
+  * #5 — Charikar's SimHash for angular similarity, replacing the r5
+  * axis-aligned dims whose NB·RB ≤ 64 cap bound exactly at large-corpus bit
+  * widths): bit i of band j is the sign of ⟨e, h_{j,i}⟩ where h_{j,i} is a
+  * seeded Rademacher (±1) hyperplane. The hyperplanes are MATERIALIZED AS
+  * LITERAL SIGNS in both engines' expression text (planeSigns below), so
+  * the oracle stays static SQL, both engines execute the identical
+  * left-to-right double addition chain (bit-identical sums → identical
+  * signs), and the bit count is no longer tied to the 64 physical dims —
+  * rb can grow with the corpus without bound.
+  *
+  * Same b×r OR-amplification structure dedup_minhash uses for MinHash
+  * (TextSim.scala). A pair is a candidate iff ALL RB bits agree in AT
+  * LEAST ONE band; for angular similarity p = 1 − θ/π per bit, the
+  * candidate probability is 1 − (1 − p^RB)^NB: near-dup pairs (p → 1) are
+  * caught with high probability while the expected candidate cost is
+  * Σ_band Σ_bucket n_b² ≈ NB · n² / 2^RB under uniform hashing — the
+  * bucket count 2^RB is a PARAMETER that grows with the corpus (bitsFor
+  * below), not a constant 256 ceiling.
   *
   * Scale contract: the (band, bkey) pair is the ONLY shuffle/join key every
   * consumer uses (pinned by PlanSpec); candidates never leave their bucket,
   * and the pair space is bounded by the per-bucket sizes, never n².
-  * Axis-aligned sign bits (dim ≥ 0) are used instead of random Gaussian
-  * hyperplanes so DuckDB can replicate the key bit-for-bit; a production
-  * deployment would swap `bandKey` for signs of dot-products against a
-  * broadcast hyperplane matrix (same plan shape, same join key) to lift the
-  * NB·RB ≤ 64-dim cap.
   */
 object Lsh {
 
@@ -34,51 +39,82 @@ object Lsh {
     * bound here; a deployment at corpus size n calls bitsFor(n). */
   val RB = 8
 
-  /** Bands: 3 gives 1 − (1 − s^8)³ recall amplification — measured ≥ the
+  /** Bands: 3 gives 1 − (1 − p^8)³ recall amplification — measured ≥ the
     * MicroSpec recall floors on the fixture, vs 1 band's single chance. */
   val NB = 3
 
   /** The sizing rule (VERDICT r5 #1): bits per band so the EXPECTED bucket
     * holds ~`targetBucket` vectors — rb = ceil(log2(n / targetBucket)),
-    * clamped to [8, 21] (21 = 64 dims / 3 disjoint-dim bands; random
-    * hyperplanes lift the cap). At n = 10⁹, rb = 18 → 262k buckets/band,
-    * ~4k vectors each: per-band candidate cost n·targetBucket instead of
-    * n²/256. */
+    * clamped to [8, 30] (the r5 disjoint-dim cap of 21 is gone: hyperplane
+    * bits draw on ALL dims, so rb is bounded only by the int bucket key).
+    * At n = 10⁹, rb = 18 → 262k buckets/band, ~4k vectors each: per-band
+    * candidate cost n·targetBucket instead of n²/256. */
   def bitsFor(n: Long, targetBucket: Long = 4096L): Int = {
     val buckets = math.max(1L, n / targetBucket)
     val ceilLog2 = 64 - java.lang.Long.numberOfLeadingZeros(math.max(0L, buckets - 1))
-    math.min(21, math.max(8, ceilLog2))
+    math.min(30, math.max(8, ceilLog2))
   }
 
-  /** Band j's bucket key: RB sign bits of dims j·RB+1 … j·RB+RB packed into
-    * an INT. Float `>= 0` compares identically in Spark and DuckDB. */
-  def bandKey(embCol: String, band: Int, rb: Int = RB): Column =
-    (1 to rb).map(i =>
-      when(element_at(col(embCol), band * rb + i) >= 0f, lit(1 << (i - 1))).otherwise(lit(0)))
-      .reduce(_ + _)
+  /** Deterministic Rademacher hyperplane: the 64 ±1 signs of h_{band,bit},
+    * from an MMIX LCG seeded by the flat (band, bit) index. Pure Scala —
+    * the signs reach BOTH engines as literals in generated text, so there
+    * is no cross-engine RNG or hash arithmetic to disagree over. */
+  def planeSigns(band: Int, bit: Int, rb: Int = RB, dims: Int = 64): IndexedSeq[Int] = {
+    var x = (band.toLong * rb + bit) * 0x9E3779B97F4A7C15L + 0xDA3E39CB94B95BDBL
+    (1 to dims).map { _ =>
+      x = x * 6364136223846793005L + 1442695040888963407L
+      if (((x >>> 62) & 1L) == 0L) 1 else -1
+    }
+  }
+
+  /** The signed-sum text of ⟨e, h_{band,bit}⟩ with ±1 literals folded into
+    * the operators: `e[1] - e[2] + e[3] …`, a left-to-right double addition
+    * chain — the SAME IEEE sequence in both engines, so the sign bit can
+    * never diverge. `elem(k)` renders element k (1-based) in the target
+    * engine's syntax over a DOUBLE array. */
+  private def dotText(elem: Int => String, signs: IndexedSeq[Int]): String =
+    signs.zipWithIndex.map { case (sg, k0) =>
+      val t = elem(k0 + 1)
+      if (k0 == 0) { if (sg > 0) t else s"- $t" }
+      else { if (sg > 0) s"+ $t" else s"- $t" }
+    }.mkString(" ")
+
+  /** Band `band`'s bucket key over a DOUBLE[] column: RB hyperplane sign
+    * bits packed into an INT. */
+  def bandKey(embDCol: String, band: Int, rb: Int = RB): Column =
+    (1 to rb).map { i =>
+      val d = dotText(k => s"element_at($embDCol, $k)", planeSigns(band, i - 1, rb))
+      when(expr(d) >= 0d, lit(1 << (i - 1))).otherwise(lit(0))
+    }.reduce(_ + _)
 
   /** Explode each row into NB (band, bkey) rows — ONE map pass, no self
     * join; all existing columns ride along. The OR-amplification dual: a
     * pair meeting in k bands appears k times, so consumers dedupe pairs
     * (DISTINCT on ids — 16-byte rows, not embeddings) after the bucket
-    * join. */
+    * join. The float embedding is widened to DOUBLE[] once (matching the
+    * oracle's pre-cast `emb`) so every signed sum is double end-to-end in
+    * both engines (the r6 REAL-arithmetic lesson). */
   def withBands(df: DataFrame, embCol: String, nb: Int = NB, rb: Int = RB): DataFrame = {
-    val structs = (0 until nb).map(b =>
-      struct(lit(b).as("band"), bandKey(embCol, b, rb).as("bkey")))
     val keep = df.columns.map(col).toSeq
-    df.select(keep :+ explode(array(structs: _*)).as("bk"): _*)
+    val structs = (0 until nb).map(b =>
+      struct(lit(b).as("band"), bandKey("__emb_d", b, rb).as("bkey")))
+    df.withColumn("__emb_d", col(embCol).cast("array<double>"))
+      .select(keep :+ explode(array(structs: _*)).as("bk"): _*)
       .select(keep :+ col("bk.band").as("band") :+ col("bk.bkey").as("bkey"): _*)
   }
 
-  /** DuckDB twin of [[bandKey]] for band `b` over a FLOAT[] column —
-    * same bit packing, same `>= 0` float comparison. */
-  def sqlBandKey(b: Int, rb: Int = RB, embExpr: String = "embedding"): String =
-    s"CAST(list_sum(list_transform(generate_series(1, $rb), " +
-      s"i -> CASE WHEN $embExpr[i + ${b * rb}] >= 0 THEN 1 << (i - 1) ELSE 0 END)) AS INT)"
+  /** DuckDB twin of [[bandKey]] for band `b` over the pre-cast DOUBLE[]
+    * column `emb` — same literal signs, same addition order, same bit
+    * packing. */
+  def sqlBandKey(b: Int, rb: Int = RB, embExpr: String = "emb"): String =
+    (1 to rb).map { i =>
+      val d = dotText(k => s"$embExpr[$k]", planeSigns(b, i - 1, rb))
+      s"(CASE WHEN $d >= 0 THEN ${1 << (i - 1)} ELSE 0 END)"
+    }.mkString("CAST(", " + ", " AS INT)")
 
   /** DuckDB twin of [[withBands]]: UNION ALL over bands from a CTE `src`
-    * that exposes `vec_id`, the raw `embedding`, and a pre-cast `emb`
-    * (DOUBLE[]) for the in-bucket cosine. */
+    * that exposes `vec_id` and a pre-cast `emb` (DOUBLE[]) used both for
+    * the band keys and the in-bucket cosine. */
   def sqlBands(src: String, nb: Int = NB, rb: Int = RB): String =
     (0 until nb).map(b =>
       s"SELECT vec_id, emb, $b AS band, ${sqlBandKey(b, rb)} AS bkey FROM $src")

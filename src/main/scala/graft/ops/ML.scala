@@ -722,26 +722,34 @@ object ML {
                          j -> C[i][j] * u[j]), (a,b) -> a+b)), (a,b) -> a+b) AS lam
                 FROM unitc, cmat)"""
 
-  /** Leave-one-out kNN language prediction over ALL labeled vectors
-    * (r6 second half — shared by ml_confusion_matrix /
-    * ml_accuracy_score): the ml_knn_classify vote with queries widened
-    * from 20 to every vector that has a documents row. Returns
-    * (q_id, pred_lang).
+  /** Evaluation-sample size for the cuml.metrics rows: accuracy on a
+    * fixed EVAL_N-query sample estimates corpus accuracy (binomial CI
+    * ~1/√EVAL_N) at cost n·EVAL_N instead of the r6 all-pairs n². */
+  private val EVAL_N = 200
+
+  /** Leave-one-out kNN language prediction over a BOUNDED deterministic
+    * evaluation sample (VERDICT r6 #4 — shared by ml_confusion_matrix /
+    * ml_accuracy_score): the EVAL_N labeled vectors with the smallest
+    * affine hash of their id (a pseudo-random but engine-reproducible
+    * pick, the ml_train_test_split discipline with its own multiplier —
+    * 84589, distinct from every other registered hash family, r6's
+    * collision lesson). Returns (q_id, pred_lang).
     *
-    * SCALE NOTE (r6 review): this broadcasts the full labeled set and
-    * pays n² distances — exact leave-one-out is inherently all-pairs.
-    * At real scale an evaluation never scores the whole corpus: you
-    * bound the query side to a fixed evaluation sample (accuracy on a
-    * 10k sample estimates corpus accuracy with ±1% CI), or swap the
-    * candidate side to the IVF probe join (ml_knn_graph's shape) for an
-    * approximate-classifier evaluation. The exact form is kept here
-    * because the fixture IS sample-sized and the metric should judge
-    * the exact classifier the other rows ship. */
+    * SCALE CONTRACT: the sample is selected by per-partition top-k
+    * (TakeOrderedAndProject — no global sort), so the broadcast query
+    * side is ≤ EVAL_N rows AT ANY CORPUS SIZE and the distance cost is
+    * n·EVAL_N, linear in the corpus — the r6 verdict's fix for the one
+    * registered n² evaluation. The candidate side streams; swapping it
+    * to the IVF probe join (ml_knn_graph's shape) remains the
+    * approximate-classifier option when even one linear pass is too
+    * much. */
   private def knnPredLang(s: SparkSession, dir: String): DataFrame = {
     val e = T.embeddings(s, dir)
     val labels = T.documents(s, dir).select(col("doc_id"), col("lang"))
     val q = e.join(labels, e("vec_id") === labels("doc_id"), "left_semi")
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .orderBy((lit(84589L) * col("q_id") + lit(12345L)) % lit(2147483647L), col("q_id"))
+      .limit(EVAL_N)
     val cand = e.transform(T.fanOut(_, col("vec_id")))
       .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
     val dist = graft.functions.Vec.l2(s, "q_emb", "n_emb")
@@ -761,13 +769,15 @@ object ML {
 
   /** Oracle twin of [[knnPredLang]], ending in `pred(q_id, pred_lang)`. */
   private val sqlKnnPredCtes: String =
-    """nn AS (SELECT q_id, n_id FROM (
-         SELECT q.vec_id AS q_id, e.vec_id AS n_id,
-           row_number() OVER (PARTITION BY q.vec_id
-             ORDER BY list_distance(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), e.vec_id) AS rn
-         FROM embeddings q CROSS JOIN embeddings e
-         WHERE q.vec_id <> e.vec_id
-           AND q.vec_id IN (SELECT doc_id FROM documents)) t
+    s"""qs AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+         WHERE vec_id IN (SELECT doc_id FROM documents)
+         ORDER BY (84589 * vec_id + 12345) % 2147483647, vec_id LIMIT $EVAL_N),
+       nn AS (SELECT q_id, n_id FROM (
+         SELECT q.q_id, e.vec_id AS n_id,
+           row_number() OVER (PARTITION BY q.q_id
+             ORDER BY list_distance(CAST(q.q_emb AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), e.vec_id) AS rn
+         FROM qs q CROSS JOIN embeddings e
+         WHERE q.q_id <> e.vec_id) t
        WHERE rn <= 5),
        voted AS (SELECT q_id, lang, count(*) AS votes
                  FROM nn JOIN documents ON n_id = doc_id
@@ -1458,11 +1468,12 @@ object ML {
     QueryDef(
       "ml_confusion_matrix",
       // cuml.metrics confusion_matrix over the kNN language classifier,
-      // widened to ALL vectors with a documents row (true label = the
-      // doc's own lang; its own embedding is excluded from the vote, so
-      // this is leave-one-out evaluation, not memorization). Same
-      // broadcast × streamed-candidates kNN shape; the matrix itself is
-      // one bounded groupBy (≤ n_langs² rows).
+      // on the bounded EVAL_N evaluation sample (true label = the doc's
+      // own lang; its own embedding is excluded from the vote, so this
+      // is leave-one-out evaluation, not memorization). Broadcast(≤200
+      // queries) × streamed-candidates kNN shape — n·EVAL_N distances,
+      // not n² (VERDICT r6 #4); the matrix itself is one bounded
+      // groupBy (≤ n_langs² rows).
       (s, dir) => {
         val pred = knnPredLang(s, dir)
         val truth = T.documents(s, dir).select(col("doc_id"), col("lang").as("true_lang"))
@@ -1479,8 +1490,9 @@ object ML {
     QueryDef(
       "ml_accuracy_score",
       // cuml.metrics accuracy_score for the same leave-one-out kNN
-      // classifier — the single-number evaluation surface next to the
-      // full confusion matrix.
+      // classifier on the same bounded evaluation sample — the
+      // single-number evaluation surface next to the full confusion
+      // matrix.
       (s, dir) => {
         val pred = knnPredLang(s, dir)
         val truth = T.documents(s, dir).select(col("doc_id"), col("lang").as("true_lang"))
@@ -1583,6 +1595,78 @@ object ML {
                SELECT cid, count(*) AS n,
                  round(${T.sqlXsum("sil")} / count(*), 6) AS mean_sil
                FROM pairs2 GROUP BY cid ORDER BY cid""")),
+
+    QueryDef(
+      "ml_silhouette_full",
+      // cuml.metrics silhouette, FULL definition (VERDICT r6 #6 —
+      // completes the metrics parity claim next to the simplified
+      // centroid variant): a(i) = mean distance to the OTHER points of
+      // i's cluster, b(i) = min over other clusters of the mean distance
+      // to that cluster's points, s = (b−a)/max(a,b). All-pairs by
+      // definition, so it runs on a DETERMINISTIC ≤1000-vector sample
+      // (smallest affine hash, per-partition top-k — the knnPredLang
+      // discipline with its own multiplier 28657): the pair cost is
+      // capped at SIL_N² = 10⁶ distances AT ANY CORPUS SIZE, never a
+      // registered n². Cluster labels = nearest vec_id<10 centroid (the
+      // ml_silhouette assignment); per-(i, cluster) means go through the
+      // exact xsum wire so the min over clusters picks identical doubles
+      // in both engines.
+      (s, dir) => {
+        val SIL_N = 1000
+        val e = T.embeddings(s, dir).transform(T.fanOut(_, col("vec_id")))
+        val samp = e.select(col("vec_id"), col("embedding"))
+          .orderBy((lit(28657L) * col("vec_id") + lit(9949L)) % lit(2147483647L), col("vec_id"))
+          .limit(SIL_N)
+        val cent = T.embeddings(s, dir).where(col("vec_id") < 10)
+          .select(col("vec_id").as("cid"), col("embedding").as("c_emb"))
+        val wA = Window.partitionBy(col("vec_id")).orderBy(col("dc"), col("cid"))
+        val assigned = samp.crossJoin(broadcast(cent))
+          .select(col("vec_id"), col("embedding"), col("cid"),
+            graft.functions.Vec.l2(s, "embedding", "c_emb").as("dc"))
+          .withColumn("rn", row_number().over(wA)).where(col("rn") === 1)
+          .select(col("vec_id"), col("embedding"), col("cid"))
+        val right = assigned.select(col("vec_id").as("j_id"),
+          col("embedding").as("j_emb"), col("cid").as("j_cid"))
+        val md = assigned.crossJoin(broadcast(right))
+          .where(col("vec_id") =!= col("j_id"))
+          .select(col("vec_id"), col("cid"), col("j_cid"),
+            graft.functions.Vec.l2(s, "embedding", "j_emb").as("d"))
+          .groupBy("vec_id", "cid", "j_cid")
+          .agg((T.xsum(col("d")) / count(lit(1))).as("md"))
+        val aT = md.where(col("j_cid") === col("cid"))
+          .select(col("vec_id"), col("cid"), col("md").as("a"))
+        val bT = md.where(col("j_cid") =!= col("cid"))
+          .groupBy("vec_id").agg(min(col("md")).as("b"))
+        aT.join(bT, "vec_id")
+          .select(col("cid"),
+            ((col("b") - col("a")) / greatest(col("a"), col("b"))).as("sil"))
+          .groupBy("cid")
+          .agg(count(lit(1)).as("n"),
+            round(T.xsum(col("sil")) / count(lit(1)), 6).as("mean_sil"))
+          .orderBy("cid")
+      },
+      Some(s"""WITH samp AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                   FROM embeddings
+                   ORDER BY (28657 * vec_id + 9949) % 2147483647, vec_id LIMIT 1000),
+                 cent AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS c_emb
+                          FROM embeddings WHERE vec_id < 10),
+                 assigned AS (SELECT vec_id, emb, cid FROM (
+                     SELECT s.vec_id, s.emb, c.cid,
+                       row_number() OVER (PARTITION BY s.vec_id
+                         ORDER BY list_distance(s.emb, c.c_emb), c.cid) AS rn
+                     FROM samp s CROSS JOIN cent c) t
+                   WHERE rn = 1),
+                 md AS (SELECT i.vec_id, i.cid, j.cid AS j_cid,
+                     ${T.sqlXsum("list_distance(i.emb, j.emb)")} / count(*) AS md
+                   FROM assigned i JOIN assigned j ON i.vec_id <> j.vec_id
+                   GROUP BY i.vec_id, i.cid, j.cid),
+                 aT AS (SELECT vec_id, cid, md AS a FROM md WHERE j_cid = cid),
+                 bT AS (SELECT vec_id, min(md) AS b FROM md WHERE j_cid <> cid GROUP BY vec_id),
+                 sil AS (SELECT aT.cid, (b - a) / greatest(a, b) AS sil
+                         FROM aT JOIN bT ON aT.vec_id = bT.vec_id)
+               SELECT cid, count(*) AS n,
+                 round(${T.sqlXsum("sil")} / count(*), 6) AS mean_sil
+               FROM sil GROUP BY cid ORDER BY cid""")),
 
     QueryDef(
       "ml_logreg_multi_predict",

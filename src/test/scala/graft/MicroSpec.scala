@@ -311,7 +311,8 @@ class MicroSpec extends SparkSpec {
     assert(ops.Lsh.bitsFor(1000) == 8, "fixture scale clamps to the 8-bit floor")
     assert(ops.Lsh.bitsFor(1L << 20, 4096) == 8)  // 1M / 4k-target = 256 buckets
     assert(ops.Lsh.bitsFor(1L << 30, 4096) == 18) // 1G / 4k-target = 262k buckets
-    assert(ops.Lsh.bitsFor(Long.MaxValue) == 21, "clamped to the 64-dim budget")
+    assert(ops.Lsh.bitsFor(Long.MaxValue) == 30,
+      "clamped to the int bucket-key budget (hyperplane bits lifted the r5 64-dim cap)")
     // the bound the comments state: per-band candidate cost at the target
     // is n·targetBucket, not n²/256
     val n = 1L << 30
