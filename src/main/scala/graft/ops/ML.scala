@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.{QueryDef, Tables => T}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -152,30 +152,49 @@ object ML {
     * extendedprice: exact-decimal moment row (see ml_linreg_normal_eq for
     * the wire-type rationale). Shared by the sufficient-statistics query
     * and the full solve. */
+  /** Plan-size bytes past which the e4 BIGINT wire is presumed unsafe and
+    * gram4 routes to the exact-decimal fallback (VERDICT r6 #8). The e4
+    * ceiling is ~sf150 ≈ 9·10⁸ lineitem rows ≈ 90 GB of parquet; 50 GB
+    * leaves a 2× margin. Driver-side plan statistics only — no job runs
+    * (the Tables.fanOut discipline). */
+  private val E4_SAFE_BYTES = BigInt(50L * 1000 * 1000 * 1000)
+
   private def gram4(s: SparkSession, dir: String): DataFrame = {
+    val raw = T.lineitem(s, dir)
+    val big = raw.queryExecution.optimizedPlan.stats.sizeInBytes > E4_SAFE_BYTES
+    if (big) gram4Decimal(raw) else gram4Long(raw)
+  }
+
+  /** The fast path: 13 moment sums in LONG space (r6 — ~3× cheaper than
+    * decimal sums, measured 2.7 s → 1.0 s cold at sf0.1; decimal sums
+    * accumulate through Decimal128 objects outside the primitive codegen
+    * path). The e4 wire is an exact integer (value × 10⁴). The per-row
+    * decimal CASTS canonicalize the double's 2-dp payload (quantity
+    * integral, discount/tax/price 2-dp — checked against the fixtures), so
+    * every product ×10⁴ is an exact long.
+    * TWO loud guards, both failing the query rather than shifting results:
+    * - PRECISION (r6 ADVICE): the integral/2-dp assumption is DATA, not
+    *   schema — on finer-precision input the casts would round silently
+    *   and only an oracle compare would notice (production has no oracle).
+    *   Per-row cast-back mismatch flags are summed; any nonzero count
+    *   raises.
+    * - OVERFLOW (r6 review): Σ_rows max_col |term| in double bounds every
+    *   column's |sum| with no data assumption; raises near 2⁶³ (8.9e18
+    *   leaves a 3% margin ≫ the double sum's rounding error).
+    *   Positive-addend monotonicity then rules out silent intermediate
+    *   wraps in every long sum. */
+  private[graft] def gram4Long(raw: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    // r6: the 13 moment sums run in LONG space, not DECIMAL — the e4 wire
-    // is an exact integer (value × 10⁴) either way, and the long path is
-    // ~3× cheaper per pass (measured 2.7 s → 1.0 s cold at sf0.1; decimal
-    // sums accumulate through Decimal128 objects outside the primitive
-    // codegen path). The per-row decimal CASTS stay: they canonicalize the
-    // double's 2-dp payload exactly as the old DECIMAL(19,6) cast did
-    // (quantity is integral, discount/tax/price 2-dp — checked against the
-    // fixtures), so every product ×10⁴ is an exact long.
-    // EXACTNESS GUARD (r6 review hardening — the first cut guarded only
-    // the s_qy moment and argued the other 12 were row-wise dominated,
-    // which held on THIS data (y ≥ q per row) but is not a schema
-    // guarantee): the guard now sums the per-row GREATEST |term| across
-    // all 13 moments in double — Σ_rows max_col |term| bounds every
-    // column's |sum| with no data assumption at all — and raises loudly
-    // when that bound nears 2⁶³ (8.9e18 leaves a 3% margin ≫ the double
-    // sum's rounding error). Positive-addend monotonicity then rules out
-    // silent intermediate wraps in every long sum.
-    val l = T.lineitem(s, dir).select(
+    def mis(c: Column, scale: Int): Column =
+      when(c.cast(DecimalType(18, scale)).cast("double") =!= c.cast("double"), 1L)
+        .otherwise(0L)
+    val l = raw.select(
       col("l_quantity").cast(DecimalType(18, 0)).cast("long").as("q"),
       (col("l_discount").cast(DecimalType(18, 2)) * 100).cast("long").as("d2"),
       (col("l_tax").cast(DecimalType(18, 2)) * 100).cast("long").as("t2"),
-      (col("l_extendedprice").cast(DecimalType(18, 2)) * 100).cast("long").as("y2"))
+      (col("l_extendedprice").cast(DecimalType(18, 2)) * 100).cast("long").as("y2"),
+      (mis(col("l_quantity"), 0) + mis(col("l_discount"), 2)
+        + mis(col("l_tax"), 2) + mis(col("l_extendedprice"), 2)).as("pmis"))
       .transform(T.fanOut(_))
     val (aq, ad, at, ay) = (abs(col("q")).cast("double"), abs(col("d2")).cast("double"),
       abs(col("t2")).cast("double"), abs(col("y2")).cast("double"))
@@ -197,15 +216,61 @@ object ML {
       sum(col("q") * col("y2") * 100).as("s_qy_e4"),
       sum(col("d2") * col("y2")).as("s_dy_e4"),
       sum(col("t2") * col("y2")).as("s_ty_e4"),
-      sum(rowMax).as("gbound"))
+      sum(rowMax).as("gbound"),
+      sum(col("pmis")).as("pbad"))
     guarded.select(
-      when(col("gbound") > lit(8.9e18),
-        raise_error(concat(lit("e4 wire overflow risk: bound "), col("gbound").cast("string"))))
-        .otherwise(col("n")).as("n"),
+      when(col("pbad") > 0,
+        raise_error(concat(lit("gram4 precision: "), col("pbad").cast("string"),
+          lit(" rows finer than the integral/2-dp wire assumption"))))
+        .otherwise(
+          when(col("gbound") > lit(8.9e18),
+            raise_error(concat(lit("e4 wire overflow risk: bound "), col("gbound").cast("string"))))
+            .otherwise(col("n"))).as("n"),
       col("s_q_e4"), col("s_d_e4"), col("s_t_e4"),
       col("s_qq_e4"), col("s_qd_e4"), col("s_qt_e4"),
       col("s_dd_e4"), col("s_dt_e4"), col("s_tt_e4"),
       col("s_y_e4"), col("s_qy_e4"), col("s_dy_e4"), col("s_ty_e4"))
+  }
+
+  /** The exact-decimal fallback past the e4 ceiling (VERDICT r6 #8 — the
+    * sharded variant made real): the SAME 13 moments summed exactly in
+    * DECIMAL(38) space, emitted ×10⁴ as DECIMAL(38,0) under the same
+    * column names, so every consumer's shared step text (`s_q_e4 / 1e4`
+    * etc) works unchanged — decimal/1e4 widens to double exactly like the
+    * BIGINT wire, but the sums are exact to ~10³⁸ instead of 2⁶³
+    * (≈ sf10¹⁹ for the dominant moment — effectively unbounded). Costs
+    * ~3× the long path per pass (the r6 measurement), which is why it is
+    * reached only via the E4_SAFE_BYTES plan-stats dispatch; on data WITH
+    * an oracle the long path always runs, so the registered wire stays
+    * bit-identical BIGINT. Assumes ≤6-dp input (DECIMAL(18,6) per-factor
+    * casts — the documented contract of the r2–r5 decimal path this
+    * revives). */
+  private[graft] def gram4Decimal(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val d6 = DecimalType(18, 6)
+    val l = raw.select(
+      col("l_quantity").cast(d6).as("q"),
+      col("l_discount").cast(d6).as("d"),
+      col("l_tax").cast(d6).as("t"),
+      col("l_extendedprice").cast(d6).as("y"))
+      .transform(T.fanOut(_))
+    def e4d(c: Column): Column =
+      (c.cast(DecimalType(38, 6)) * 10000).cast(DecimalType(38, 0))
+    l.agg(
+      count(lit(1)).as("n"),
+      e4d(sum(col("q"))).as("s_q_e4"),
+      e4d(sum(col("d"))).as("s_d_e4"),
+      e4d(sum(col("t"))).as("s_t_e4"),
+      e4d(sum(col("q") * col("q"))).as("s_qq_e4"),
+      e4d(sum(col("q") * col("d"))).as("s_qd_e4"),
+      e4d(sum(col("q") * col("t"))).as("s_qt_e4"),
+      e4d(sum(col("d") * col("d"))).as("s_dd_e4"),
+      e4d(sum(col("d") * col("t"))).as("s_dt_e4"),
+      e4d(sum(col("t") * col("t"))).as("s_tt_e4"),
+      e4d(sum(col("y"))).as("s_y_e4"),
+      e4d(sum(col("q") * col("y"))).as("s_qy_e4"),
+      e4d(sum(col("d") * col("y"))).as("s_dy_e4"),
+      e4d(sum(col("t") * col("y"))).as("s_ty_e4"))
   }
 
   private val sqlGram4: String =

@@ -320,6 +320,58 @@ class MicroSpec extends SparkSpec {
     assert(n / buckets <= 4096)
   }
 
+  /** Write a minimal 4-column lineitem.parquet into a temp dir and return
+    * the dir — the gram4 guard tests point queries at synthetic data. */
+  private def lineitemDir(rows: Seq[(Double, Double, Double, Double)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_gram4").toString
+    rows.toDF("l_quantity", "l_discount", "l_tax", "l_extendedprice")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    dir
+  }
+
+  test("gram4: the e4 overflow guard fires LOUDLY past the ceiling (VERDICT r6 #8)") {
+    // 100 rows of q=3000, y=3e9: the dominant per-row term q·y₂·100 = 9e16,
+    // so the double bound Σ rowMax = 9e18 > the 8.9e18 guard while every
+    // long sum stays below 2⁶³ ≈ 9.22e18 — the guard must fail the query
+    // before any wrap can happen, never return shifted numbers.
+    val dir = lineitemDir(Seq.fill(100)((3000.0, 0.04, 0.02, 3.0e9)))
+    val e = intercept[Exception] {
+      SparkEntry.queries("ml_linreg_normal_eq")(spark, dir).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("e4 wire overflow risk")),
+      s"expected the loud e4 guard, got: ${msgs(e).mkString(" | ")}")
+  }
+
+  test("gram4: the precision guard fires on data finer than the 2-dp wire assumption (ADVICE r6)") {
+    // l_discount = 0.005 has 3 dp — the DECIMAL(18,2) cast would silently
+    // round it and shift every moment; the guard must raise instead.
+    val dir = lineitemDir(Seq.fill(10)((5.0, 0.005, 0.02, 100.0)))
+    val e = intercept[Exception] {
+      SparkEntry.queries("ml_linreg_normal_eq")(spark, dir).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("gram4 precision")),
+      s"expected the loud precision guard, got: ${msgs(e).mkString(" | ")}")
+  }
+
+  test("gram4Decimal fallback equals the long-path moments on the fixture (VERDICT r6 #8)") {
+    // The past-the-ceiling path must be VALUE-identical where both paths
+    // are exact, so the plan-stats dispatch can never shift a result.
+    val raw = Tables.lineitem(spark, sf)
+    val longRow = ops.ML.gram4Long(raw).collect().head
+    val dec = ops.ML.gram4Decimal(raw)
+    val decRow = dec
+      .selectExpr(dec.columns.head +: dec.columns.tail.map(c => s"CAST($c AS LONG) AS $c"): _*)
+      .collect().head
+    for (i <- 0 until 14)
+      assert(longRow.getLong(i) == decRow.getLong(i),
+        s"moment $i: long ${longRow.getLong(i)} vs decimal ${decRow.getLong(i)}")
+  }
+
   /** All-pairs cosine over the local fixture copy — the independent recall
     * reference for the LSH tests below (VERDICT r5 #2). */
   private lazy val localAllPairs: Seq[((Long, Long), Double)] = {
