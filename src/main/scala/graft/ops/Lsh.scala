@@ -12,8 +12,9 @@ import org.apache.spark.sql.functions._
   * #5 — Charikar's SimHash for angular similarity, replacing the r5
   * axis-aligned dims whose NB·RB ≤ 64 cap bound exactly at large-corpus bit
   * widths): bit i of band j is the sign of ⟨e, h_{j,i}⟩ where h_{j,i} is a
-  * seeded Rademacher (±1) hyperplane. The hyperplanes are MATERIALIZED AS
-  * LITERAL SIGNS in both engines' expression text (planeSigns below), so
+  * seeded SPARSE Rademacher hyperplane (TERMS of 64 dims non-zero — see
+  * planeTerms). The hyperplanes are MATERIALIZED AS LITERAL (dim, sign)
+  * terms in both engines' expression text (planeTerms below), so
   * the oracle stays static SQL, both engines execute the identical
   * left-to-right double addition chain (bit-identical sums → identical
   * signs), and the bit count is no longer tied to the 64 physical dims —
@@ -55,26 +56,45 @@ object Lsh {
     math.min(30, math.max(8, ceilLog2))
   }
 
-  /** Deterministic Rademacher hyperplane: the 64 ±1 signs of h_{band,bit},
-    * from an MMIX LCG seeded by the flat (band, bit) index. Pure Scala —
-    * the signs reach BOTH engines as literals in generated text, so there
-    * is no cross-engine RNG or hash arithmetic to disagree over. */
-  def planeSigns(band: Int, bit: Int, rb: Int = RB, dims: Int = 64): IndexedSeq[Int] = {
+  /** Non-zero terms per hyperplane: SPARSE random projections (Achlioptas
+    * 2003; Li/Hastie/Church 2006 "very sparse random projections" with
+    * s = √d → density 1/√64 = 8 of 64 dims). The r7 first cut used DENSE
+    * ±1 hyperplanes: 24 bits × 64 terms = 1,536-term projection text that
+    * blew Janino's method limit — Spark logged "Expr codegen error and
+    * falling back to interpreter mode" and every LSH consumer paid ~3-4 s
+    * of interpreted evaluation. 8 terms/bit keeps the sign-LSH guarantee
+    * (the sparse dot is an unbiased inner-product estimator; the recall
+    * floor is re-pinned in MicroSpec) and the 192-term total codegens. */
+  val TERMS = 8
+
+  /** Deterministic sparse Rademacher hyperplane for (band, bit): TERMS
+    * distinct dims drawn by a partial Fisher-Yates over an MMIX LCG seeded
+    * by the flat index, each with a ±1 sign from the same stream. Pure
+    * Scala — the (dim, sign) pairs reach BOTH engines as literals in
+    * generated text, so there is no cross-engine RNG or hash arithmetic to
+    * disagree over. Returns 1-based dims, ascending (a fixed evaluation
+    * order makes the addition chain engine-identical). */
+  def planeTerms(band: Int, bit: Int, rb: Int = RB, dims: Int = 64): IndexedSeq[(Int, Int)] = {
     var x = (band.toLong * rb + bit) * 0x9E3779B97F4A7C15L + 0xDA3E39CB94B95BDBL
-    (1 to dims).map { _ =>
-      x = x * 6364136223846793005L + 1442695040888963407L
-      if (((x >>> 62) & 1L) == 0L) 1 else -1
+    def next(): Long = { x = x * 6364136223846793005L + 1442695040888963407L; x }
+    val idx = Array.tabulate(dims)(identity)
+    val picked = (0 until TERMS).map { i =>
+      val j = i + (((next() >>> 33) % (dims - i)).toInt)
+      val t = idx(i); idx(i) = idx(j); idx(j) = t
+      val sg = if (((next() >>> 62) & 1L) == 0L) 1 else -1
+      (idx(i) + 1, sg)
     }
+    picked.sortBy(_._1)
   }
 
   /** The signed-sum text of ⟨e, h_{band,bit}⟩ with ±1 literals folded into
-    * the operators: `e[1] - e[2] + e[3] …`, a left-to-right double addition
-    * chain — the SAME IEEE sequence in both engines, so the sign bit can
-    * never diverge. `elem(k)` renders element k (1-based) in the target
-    * engine's syntax over a DOUBLE array. */
-  private def dotText(elem: Int => String, signs: IndexedSeq[Int]): String =
-    signs.zipWithIndex.map { case (sg, k0) =>
-      val t = elem(k0 + 1)
+    * the operators: `e[k1] - e[k2] + e[k3] …`, a left-to-right double
+    * addition chain — the SAME IEEE sequence in both engines, so the sign
+    * bit can never diverge. `elem(k)` renders element k (1-based) in the
+    * target engine's syntax over a DOUBLE array. */
+  private def dotText(elem: Int => String, terms: IndexedSeq[(Int, Int)]): String =
+    terms.zipWithIndex.map { case ((dim, sg), k0) =>
+      val t = elem(dim)
       if (k0 == 0) { if (sg > 0) t else s"- $t" }
       else { if (sg > 0) s"+ $t" else s"- $t" }
     }.mkString(" ")
@@ -83,7 +103,7 @@ object Lsh {
     * bits packed into an INT. */
   def bandKey(embDCol: String, band: Int, rb: Int = RB): Column =
     (1 to rb).map { i =>
-      val d = dotText(k => s"element_at($embDCol, $k)", planeSigns(band, i - 1, rb))
+      val d = dotText(k => s"element_at($embDCol, $k)", planeTerms(band, i - 1, rb))
       when(expr(d) >= 0d, lit(1 << (i - 1))).otherwise(lit(0))
     }.reduce(_ + _)
 
@@ -108,7 +128,7 @@ object Lsh {
     * packing. */
   def sqlBandKey(b: Int, rb: Int = RB, embExpr: String = "emb"): String =
     (1 to rb).map { i =>
-      val d = dotText(k => s"$embExpr[$k]", planeSigns(b, i - 1, rb))
+      val d = dotText(k => s"$embExpr[$k]", planeTerms(b, i - 1, rb))
       s"(CASE WHEN $d >= 0 THEN ${1 << (i - 1)} ELSE 0 END)"
     }.mkString("CAST(", " + ", " AS INT)")
 
