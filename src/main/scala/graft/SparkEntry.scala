@@ -24,7 +24,8 @@ object SparkEntry {
     ops.Dedup.entries ++
     ops.Sources.entries ++
     ops.Reshape.entries ++
-    ops.Cluster.entries
+    ops.Cluster.entries ++
+    ops.Supervised.entries
 
   /** Flagship query (TPC-H Q1 pricing summary, SURVEY.md §2.4) on
     * /root/testdata/sf0.001; driver smoke-checks rows>0. */

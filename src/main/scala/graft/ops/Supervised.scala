@@ -1,0 +1,345 @@
+package graft.ops
+
+import graft.{QueryDef, Tables => T}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Supervised estimators from the dask-cuml surface that the r6 solver
+  * matrix did not yet cover (r7): MultinomialNB (`cuml.dask.naive_bayes`
+  * [R] — the reference's only text classifier), a gini decision stump and
+  * the bagged-forest calibration row (`cuml.dask.ensemble` trains
+  * embarrassingly-parallel per-partition sub-forests and merges — the
+  * same shape as the per-shard stump fit here), all as first-class
+  * oracle-checked queries.
+  *
+  * Scale design:
+  * - NB fit/predict: token-count aggregates (shuffle key = term), class
+  *   state is a 5-row broadcast; predict is one equi-join on (term, class)
+  *   over the token table — inverted-index shape, never n².
+  * - tree/forest: candidate-split evaluation is ONE aggregation pass over
+  *   a ×|grid| map-side row amplification that partial-aggregation
+  *   collapses to |grid| groups per partition before any shuffle; the
+  *   fitted stumps are driver-held literals (the cuML client-held-model
+  *   pattern), so scoring is a pure map pass.
+  *
+  * Cross-engine determinism: every ln() is collapsed to REAL before
+  * summation (the ml_logreg sigmoid discipline — absorbs last-ulp libm
+  * differences), class scores stay in exact DECIMAL until the argmax so
+  * no decimal→double cast can reorder candidates, and the tree/forest
+  * path is integer/rational arithmetic end-to-end.
+  */
+object Supervised {
+
+  // ---- shared NB internals ----------------------------------------------
+
+  /** Non-empty whitespace tokens with the document's label. */
+  private def toks(s: SparkSession, dir: String): DataFrame =
+    T.documents(s, dir).transform(T.fanOut(_, col("doc_id")))
+      .select(col("doc_id"), col("lang"),
+        explode(filter(split(col("text"), " "), t => t =!= "")).as("term"))
+
+  private val sqlToks =
+    """tk AS (SELECT doc_id, lang, term FROM (
+         SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+         FROM documents) t WHERE term <> '')"""
+
+  /** Laplace-smoothed log-likelihood, REAL-collapsed then re-widened —
+    * the shared expression text both engines evaluate on identical double
+    * inputs (counts are exact; the division is one IEEE op). */
+  private val lnLik =
+    "CAST(CAST(ln((cnt + 1.0) / (tot + v)) AS FLOAT) AS DOUBLE)"
+  private val sqlLnLik =
+    "CAST(CAST(ln((cnt + 1.0) / (tot + v)) AS REAL) AS DOUBLE)"
+
+  // ---- shared tree/forest internals -------------------------------------
+
+  /** Candidate split grid over the three lineitem features (the values
+    * are exact decimal literals — both engines parse them to the same
+    * doubles). Fixed and data-independent: at any scale the split search
+    * is ONE pass of |grid| map-side-combined conditional counts. */
+  private val grid: Seq[(String, String)] =
+    (5 to 45 by 5).map(v => ("quantity", s"$v.0")) ++
+      (1 to 9).map(v => ("discount", s"0.0$v")) ++
+      (1 to 7).map(v => ("tax", s"0.0$v"))
+
+  /** Weighted gini impurity of a candidate split from its four counts
+    * (n, pos, nl, posl) — pure rational arithmetic, identical cross-engine;
+    * an empty side contributes zero impurity. */
+  private val giniExpr =
+    """(CASE WHEN nl = 0 THEN 0.0 ELSE
+         nl * (1.0 - pow(CAST(posl AS DOUBLE) / nl, 2)
+                   - pow(CAST(nl - posl AS DOUBLE) / nl, 2)) END
+      + CASE WHEN n - nl = 0 THEN 0.0 ELSE
+         (n - nl) * (1.0 - pow(CAST(pos - posl AS DOUBLE) / (n - nl), 2)
+                         - pow(CAST((n - nl) - (pos - posl) AS DOUBLE) / (n - nl), 2)) END
+      ) / n"""
+
+  /** Feature/label projection shared by the tree and forest rows: the
+    * binary target is returnflag = 'R' (the ml_logreg fixture). */
+  private def feats(s: SparkSession, dir: String): DataFrame =
+    T.lineitem(s, dir).select(
+      col("l_orderkey"), col("l_linenumber"),
+      col("l_quantity").cast("double").as("q"),
+      col("l_discount").cast("double").as("d"),
+      col("l_tax").cast("double").as("t"),
+      when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"))
+      .transform(T.fanOut(_))
+
+  private val sqlFeats =
+    """l AS (SELECT l_orderkey, l_linenumber,
+         CAST(l_quantity AS DOUBLE) AS q, CAST(l_discount AS DOUBLE) AS d,
+         CAST(l_tax AS DOUBLE) AS t,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+       FROM lineitem)"""
+
+  /** Candidate-split counts: one aggregation over the ×|grid| amplified
+    * rows (map-side combine collapses each partition to |grid| groups
+    * before the shuffle). `extra` prepends grouping columns (the forest's
+    * shard id). */
+  private def splitCounts(rows: DataFrame, cands: DataFrame, extra: Seq[String]): DataFrame =
+    rows.crossJoin(broadcast(cands))
+      .withColumn("x", expr(
+        "CASE feature WHEN 'quantity' THEN q WHEN 'discount' THEN d ELSE t END"))
+      .groupBy((extra ++ Seq("feature", "thr")).map(col): _*)
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"),
+        sum(when(col("x") <= col("thr"), 1L).otherwise(0L)).as("nl"),
+        sum(when(col("x") <= col("thr"), col("y")).otherwise(0L)).as("posl"))
+
+  /** The oracle's candidate grid as a VALUES CTE (same literal text; thr
+    * cast to DOUBLE — a bare VALUES decimal literal is DECIMAL(3,2) in
+    * DuckDB, which would leak into the output schema). */
+  private val sqlGrid: String =
+    grid.map { case (f, v) => s"('$f', $v)" }.mkString(
+      "cand AS (SELECT feature, CAST(thr AS DOUBLE) AS thr FROM (VALUES ",
+      ", ", ") v(feature, thr))")
+
+  private def sqlSplitCounts(src: String, extra: String): String =
+    s"""SELECT ${extra}feature, thr, count(*) AS n,
+          CAST(sum(y) AS BIGINT) AS pos,
+          CAST(sum(CASE WHEN (CASE feature WHEN 'quantity' THEN q
+                    WHEN 'discount' THEN d ELSE t END) <= thr
+                  THEN 1 ELSE 0 END) AS BIGINT) AS nl,
+          CAST(sum(CASE WHEN (CASE feature WHEN 'quantity' THEN q
+                    WHEN 'discount' THEN d ELSE t END) <= thr
+                  THEN y ELSE 0 END) AS BIGINT) AS posl
+        FROM $src CROSS JOIN cand
+        GROUP BY ${extra}feature, thr"""
+
+  /** Affine shard hash for the forest (fresh multiplier 104729 — distinct
+    * from the 387143/48271/69621 families so shards can't alias another
+    * query's split on the same table). k ≤ 8·maxOrderkey+7 keeps
+    * k·104729 ≪ 2⁶³ at any tested SF. */
+  private val shardExpr =
+    s"CAST(((l_orderkey * 8 + l_linenumber) * 104729 + 7919) % ${T.HASH_P} % 8 AS INT)"
+
+  val entries: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "ml_nb_fit",
+      // cuml.dask.naive_bayes MultinomialNB.fit [R]: per-class document
+      // priors and token totals with the add-one-smoothing vocabulary
+      // size — the sufficient statistics of the fitted model (class_count_,
+      // class_log_prior_, feature totals). Two bounded aggregates + a
+      // broadcast total; the per-(class, term) count table stays
+      // distributed (it IS the model at 100 TB; predict joins it).
+      (s, dir) => {
+        val tk = toks(s, dir)
+        val nAll = T.documents(s, dir).agg(count(lit(1)).as("n_all"))
+        val pri = T.documents(s, dir).groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"))
+        val ctot = tk.groupBy("lang").agg(
+          count(lit(1)).as("n_tokens"),
+          countDistinct(col("term")).as("n_terms"))
+        pri.join(ctot, "lang").crossJoin(broadcast(nAll))
+          .select(col("lang"), col("n_docs"), col("n_tokens"), col("n_terms"),
+            round(expr("CAST(CAST(ln(CAST(n_docs AS DOUBLE) / n_all) AS FLOAT) AS DOUBLE)"), 6)
+              .as("log_prior"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH $sqlToks,
+                 na AS (SELECT count(*) AS n_all FROM documents),
+                 pri AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+                 ctot AS (SELECT lang, count(*) AS n_tokens,
+                            count(DISTINCT term) AS n_terms
+                          FROM tk GROUP BY lang)
+               SELECT pri.lang, pri.n_docs, ctot.n_tokens, ctot.n_terms,
+                 round(CAST(CAST(ln(CAST(pri.n_docs AS DOUBLE) / na.n_all) AS REAL) AS DOUBLE), 6) AS log_prior
+               FROM pri JOIN ctot ON pri.lang = ctot.lang CROSS JOIN na
+               ORDER BY pri.lang""")),
+
+    QueryDef(
+      "ml_nb_predict",
+      // MultinomialNB.predict [R]: argmax over classes of log prior +
+      // Σ_term count·ln((cnt+1)/(tot+V)), emitted as the actual×predicted
+      // confusion matrix. Determinism: each ln is REAL-collapsed (libm
+      // last-ulp differences vanish at float precision), every addend is
+      // cast to DECIMAL(30,12) and summed EXACTLY, and the argmax compares
+      // those decimals directly — no decimal→double cast anywhere in the
+      // ranking, so the winner is bit-identical cross-engine. Scale: the
+      // scoring join is (doc, term, m) ⨯ 5 broadcast classes, equi-joined
+      // on (term, class) against the count table — shuffle key = term.
+      (s, dir) => {
+        val tk = toks(s, dir)
+        val dt = tk.groupBy("doc_id", "lang", "term").agg(count(lit(1)).as("m"))
+        val cnt0 = tk.groupBy(col("lang").as("c_lang"), col("term"))
+          .agg(count(lit(1)).as("cnt"))
+        val classes = tk.groupBy(col("lang").as("c_lang")).agg(count(lit(1)).as("tot"))
+          .crossJoin(tk.agg(countDistinct(col("term")).as("v")))
+        val nAll = T.documents(s, dir).agg(count(lit(1)).as("n_all"))
+        val pri = T.documents(s, dir).groupBy(col("lang").as("c_lang"))
+          .agg(count(lit(1)).as("n_docs"))
+          .crossJoin(broadcast(nAll))
+          .select(col("c_lang"),
+            expr("CAST(CAST(CAST(ln(CAST(n_docs AS DOUBLE) / n_all) AS FLOAT) AS DOUBLE) AS DECIMAL(30,12))")
+              .as("lpri"))
+        val scored = dt.crossJoin(broadcast(classes))
+          .join(cnt0,
+            dt("term") === cnt0("term") && classes("c_lang") === cnt0("c_lang"),
+            "left")
+          .select(dt("doc_id"), dt("lang"), classes("c_lang"),
+            (col("m").cast("double") *
+              expr(lnLik.replace("cnt", "coalesce(cnt, 0)"))).as("addend"))
+          .groupBy("doc_id", "lang", "c_lang")
+          .agg(T.xsumD(col("addend")).as("sc"))
+          .join(broadcast(pri), "c_lang")
+          .select(col("doc_id"), col("lang"), col("c_lang"),
+            (col("sc") + col("lpri")).as("total"))
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(col("total").desc, col("c_lang").asc)
+        scored.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+          .groupBy(col("lang").as("actual"), col("c_lang").as("pred"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("actual", "pred")
+      },
+      Some(s"""WITH $sqlToks,
+                 dt AS (SELECT doc_id, lang, term, count(*) AS m
+                        FROM tk GROUP BY doc_id, lang, term),
+                 cnt0 AS (SELECT lang AS c_lang, term, count(*) AS cnt
+                          FROM tk GROUP BY lang, term),
+                 cls AS (SELECT c_lang, tot, v FROM
+                           (SELECT lang AS c_lang, count(*) AS tot FROM tk GROUP BY lang) a
+                           CROSS JOIN (SELECT count(DISTINCT term) AS v FROM tk) b),
+                 pri AS (SELECT d.lang AS c_lang,
+                     CAST(CAST(CAST(ln(CAST(count(*) AS DOUBLE) / max(na.n_all)) AS REAL) AS DOUBLE) AS DECIMAL(30,12)) AS lpri
+                   FROM documents d CROSS JOIN (SELECT count(*) AS n_all FROM documents) na
+                   GROUP BY d.lang),
+                 sc AS (SELECT dt.doc_id, dt.lang, cls.c_lang,
+                     sum(CAST(CAST(dt.m AS DOUBLE) *
+                       ${sqlLnLik.replace("cnt", "coalesce(cnt0.cnt, 0)")}
+                       AS DECIMAL(30,12))) AS sc
+                   FROM dt CROSS JOIN cls
+                   LEFT JOIN cnt0 ON cnt0.c_lang = cls.c_lang AND cnt0.term = dt.term
+                   GROUP BY dt.doc_id, dt.lang, cls.c_lang),
+                 tot AS (SELECT sc.doc_id, sc.lang, sc.c_lang, sc.sc + pri.lpri AS total
+                         FROM sc JOIN pri ON pri.c_lang = sc.c_lang),
+                 pred AS (SELECT doc_id, lang, c_lang FROM (
+                     SELECT doc_id, lang, c_lang,
+                       row_number() OVER (PARTITION BY doc_id
+                         ORDER BY total DESC, c_lang ASC) AS rn
+                     FROM tot) t WHERE rn = 1)
+               SELECT lang AS actual, c_lang AS pred, count(*) AS n
+               FROM pred GROUP BY lang, c_lang ORDER BY actual, pred""")),
+
+    QueryDef(
+      "ml_tree_gini",
+      // DecisionTree split search (the per-node step of cuml.dask.ensemble
+      // RandomForest [R]): exhaustive candidate grid over (feature,
+      // threshold), weighted gini impurity from one pass of conditional
+      // counts, best split per feature. The ×25 amplification happens
+      // map-side and partial aggregation collapses it to 25 groups per
+      // partition — the shuffle carries 25 rows regardless of corpus size.
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        val cands = grid.toDF("feature", "thrs")
+          .select(col("feature"), col("thrs").cast("double").as("thr"))
+        val best = Window.partitionBy(col("feature"))
+          .orderBy(col("gini").asc, col("thr").asc)
+        splitCounts(feats(s, dir), cands, Seq.empty)
+          .withColumn("gini", expr(giniExpr))
+          .withColumn("rn", row_number().over(best)).where(col("rn") === 1)
+          .select(col("feature"), col("thr").as("threshold"),
+            round(col("gini"), 6).as("gini"),
+            col("nl").as("n_left"), col("posl").as("pos_left"),
+            (col("n") - col("nl")).as("n_right"),
+            (col("pos") - col("posl")).as("pos_right"))
+          .orderBy("gini", "feature")
+      },
+      Some(s"""WITH $sqlFeats, $sqlGrid,
+                 sc AS (${sqlSplitCounts("l", "")}),
+                 g AS (SELECT *, $giniExpr AS gini FROM sc),
+                 b AS (SELECT * FROM (
+                     SELECT *, row_number() OVER (PARTITION BY feature
+                       ORDER BY gini ASC, thr ASC) AS rn FROM g) t
+                   WHERE rn = 1)
+               SELECT feature, thr AS threshold, round(gini, 6) AS gini,
+                 nl AS n_left, posl AS pos_left,
+                 n - nl AS n_right, pos - posl AS pos_right
+               FROM b ORDER BY gini, feature""")),
+
+    QueryDef(
+      "ml_rf_predict",
+      // cuml.dask.ensemble RandomForestClassifier [R], the MNMG shape:
+      // the reference trains independent sub-forests on each partition's
+      // data and predicts by merged vote. Here: 8 affine-hash shards each
+      // fit a gini stump (one aggregation, 8×25 groups), the 8 stumps
+      // become DRIVER-HELD literals (client-held model state), each votes
+      // R when its leaf's positive rate beats the 1/3 base rate — integer
+      // arithmetic end-to-end — and scoring is a PURE MAP pass over
+      // lineitem (no join, no shuffle beyond the 9-group vote histogram).
+      // Output: votes → (n, actual R rate) calibration.
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        val cands = grid.toDF("feature", "thrs")
+          .select(col("feature"), col("thrs").cast("double").as("thr"))
+        val stumps: Array[(String, String, Int, Int)] =
+          T.fitCache("rfStumps", dir) {
+            val sharded = feats(s, dir).withColumn("shard", expr(shardExpr))
+            val best = Window.partitionBy(col("shard"))
+              .orderBy(col("gini").asc, col("feature").asc, col("thr").asc)
+            splitCounts(sharded, cands, Seq("shard"))
+              .withColumn("gini", expr(giniExpr))
+              .withColumn("rn", row_number().over(best)).where(col("rn") === 1)
+              .select(col("feature"), col("thr"),
+                (col("posl") * 3 > col("nl")).cast("int").as("vl"),
+                ((col("pos") - col("posl")) * 3 > (col("n") - col("nl"))).cast("int").as("vr"))
+              .collect()
+              .map(r => (r.getString(0),
+                // exact decimal literal text: thresholds are grid values
+                java.lang.Double.toString(r.getDouble(1)),
+                r.getInt(2), r.getInt(3)))
+          }
+        val votes = stumps.map { case (f, thr, vl, vr) =>
+          val x = f match { case "quantity" => "q"; case "discount" => "d"; case _ => "t" }
+          s"(CASE WHEN $x <= $thr THEN $vl ELSE $vr END)"
+        }.mkString(" + ")
+        feats(s, dir)
+          .select(col("y"), expr(votes).as("votes"))
+          .groupBy("votes")
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("y")).cast("double") / count(lit(1)), 6).as("actual_rate"))
+          .orderBy("votes")
+      },
+      Some(s"""WITH $sqlFeats, $sqlGrid,
+                 sh AS (SELECT *, $shardExpr AS shard FROM l),
+                 sc AS (${sqlSplitCounts("sh", "shard, ")}),
+                 g AS (SELECT *, $giniExpr AS gini FROM sc),
+                 st AS (SELECT shard, feature, thr,
+                     CASE WHEN posl * 3 > nl THEN 1 ELSE 0 END AS vl,
+                     CASE WHEN (pos - posl) * 3 > (n - nl) THEN 1 ELSE 0 END AS vr
+                   FROM (SELECT *, row_number() OVER (PARTITION BY shard
+                       ORDER BY gini ASC, feature ASC, thr ASC) AS rn FROM g) t
+                   WHERE rn = 1),
+                 scored AS (SELECT l.y,
+                     (SELECT CAST(sum(CASE WHEN (CASE st.feature
+                           WHEN 'quantity' THEN l.q WHEN 'discount' THEN l.d
+                           ELSE l.t END) <= st.thr THEN st.vl ELSE st.vr END) AS INT)
+                      FROM st) AS votes
+                   FROM l)
+               SELECT votes, count(*) AS n,
+                 round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS actual_rate
+               FROM scored GROUP BY votes ORDER BY votes"""))
+  )
+}

@@ -6,9 +6,9 @@ package graft
   */
 class RegistrySpec extends SparkSpec {
 
-  test("all thirteen catalogs are registered (66 SURVEY keys + 64 extensions)") {
-    assert(SparkEntry.queries.size == 130,
-      s"expected 130 registered queries, got ${SparkEntry.queries.size}")
+  test("all fourteen catalogs are registered (66 SURVEY keys + 73 extensions)") {
+    assert(SparkEntry.queries.size == 139,
+      s"expected 139 registered queries, got ${SparkEntry.queries.size}")
   }
 
   test("no oracle uses a constant generate_series bound (VERDICT r4 #2)") {
