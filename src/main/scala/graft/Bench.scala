@@ -35,6 +35,14 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // FAIR across per-query pools (r7): under FIFO, an iterative query's
+      // many SMALL jobs (IRLS steps, label-propagation rounds, k-means++
+      // picks) queue behind whatever 32-task scan another worker just
+      // submitted, so loop queries' wall time is mostly queueing. Each
+      // worker below tags its jobs with its own pool; FAIR shares the
+      // cores across active pools (pools need no XML — unknown names get
+      // default weight), so a 1-task driver-loop step starts immediately.
+      .config("spark.scheduler.mode", "FAIR")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Log.quietBoundedWindowWarn()
@@ -50,6 +58,7 @@ object Bench {
     val futures = names.map { case (name, fn) =>
       pool.submit(new java.util.concurrent.Callable[(String, Double, Boolean)] {
         def call(): (String, Double, Boolean) = {
+          spark.sparkContext.setLocalProperty("spark.scheduler.pool", name)
           val t0 = System.nanoTime()
           val ok =
             try { fn(spark, sfDir).queryExecution.toRdd.count(); true }

@@ -123,13 +123,22 @@ object Tables {
     * nothing distributed, no cache blocks). Test fixtures use unique temp
     * dirs, so a dir can never be re-populated with different data inside
     * one JVM. Races recompute harmlessly (putIfAbsent keeps the first). */
-  private val fitMemo =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), AnyRef]()
+  private val fitMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), java.util.concurrent.CompletableFuture[AnyRef]]()
   def fitCache[A <: AnyRef](tag: String, dir: String)(compute: => A): A = {
     val k = (tag, dir)
-    val hit = fitMemo.get(k)
-    if (hit != null) hit.asInstanceOf[A]
-    else { val v = compute; fitMemo.putIfAbsent(k, v); v }
+    val mine = new java.util.concurrent.CompletableFuture[AnyRef]()
+    val prev = fitMemo.putIfAbsent(k, mine)
+    if (prev != null) prev.join().asInstanceOf[A]
+    else
+      try { val v = compute; mine.complete(v); v }
+      catch { case e: Throwable =>
+        // failed computes don't poison the cache: unregister so a later
+        // caller retries, and wake any waiters with the error
+        fitMemo.remove(k, mine)
+        mine.completeExceptionally(e)
+        throw e
+      }
   }
   private[graft] def fitCacheClear(): Unit = fitMemo.clear()
 
