@@ -46,6 +46,7 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Log.quietBoundedWindowWarn()
+    Log.quietFairPoolWarn()
     // Warm the session (codegen compiler, shuffle machinery, parquet
     // footer cache) so the first timed query doesn't absorb ~5 s of JVM
     // init that belongs to no operator.

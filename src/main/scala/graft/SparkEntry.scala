@@ -25,7 +25,9 @@ object SparkEntry {
     ops.Sources.entries ++
     ops.Reshape.entries ++
     ops.Cluster.entries ++
-    ops.Supervised.entries
+    ops.Supervised.entries ++
+    ops.Metrics.entries ++
+    ops.Preprocess.entries
 
   /** Flagship query (TPC-H Q1 pricing summary, SURVEY.md §2.4) on
     * /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -27,6 +27,15 @@ object Log {
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.execution.window.WindowExec",
       org.apache.logging.log4j.Level.ERROR)
+
+  /** Bench runs FAIR with one ad-hoc pool per query (r7); pools created on
+    * first use are exactly the design, but FairSchedulableBuilder WARNs
+    * once per pool — ~140 identical lines per bench run. Same targeted
+    * silencing discipline as above. */
+  def quietFairPoolWarn(): Unit =
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.scheduler.FairSchedulableBuilder",
+      org.apache.logging.log4j.Level.ERROR)
 }
 
 /** Table loaders + cross-engine determinism helpers (SURVEY.md §1.2, §7.3).

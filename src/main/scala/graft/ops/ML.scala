@@ -362,7 +362,7 @@ object ML {
 
   /** One row holding the solved coefficients x0..x3 (plus elimination
     * intermediates) — shared by ml_linreg_multi and its predict twin. */
-  private def gaussSolved(s: SparkSession, dir: String): DataFrame = {
+  private[ops] def gaussSolved(s: SparkSession, dir: String): DataFrame = {
     val base = gram4Row(s, dir).selectExpr(
       gaussBase.map { case (nm, ex) => s"$ex AS $nm" }: _*)
     gaussSteps.foldLeft(base) { case (df, (nm, ex)) =>
@@ -371,7 +371,7 @@ object ML {
   }
 
   /** The matching oracle CTE chain ending in `c{n}` with x0..x3. */
-  private lazy val sqlGaussChain: String = {
+  private[ops] lazy val sqlGaussChain: String = {
     val ctes = gaussSteps.zipWithIndex.map { case ((nm, ex), i) =>
       s"c${i + 1} AS (SELECT *, $ex AS $nm FROM c$i)"
     }
@@ -379,7 +379,7 @@ object ML {
         c0 AS (SELECT ${gaussBase.map { case (nm, ex) => s"$ex AS $nm" }.mkString(", ")} FROM m),
         ${ctes.mkString(",\n        ")}"""
   }
-  private lazy val sqlGaussFinal: String = s"c${gaussSteps.size}"
+  private[ops] lazy val sqlGaussFinal: String = s"c${gaussSteps.size}"
 
   // ---- multi-feature ridge / coordinate descent (r6, VERDICT r5 #3/#4) ---
 
@@ -816,7 +816,7 @@ object ML {
   /** Evaluation-sample size for the cuml.metrics rows: accuracy on a
     * fixed EVAL_N-query sample estimates corpus accuracy (binomial CI
     * ~1/√EVAL_N) at cost n·EVAL_N instead of the r6 all-pairs n². */
-  private val EVAL_N = 200
+  private[ops] val EVAL_N = 200
 
   /** Leave-one-out kNN language prediction over a BOUNDED deterministic
     * evaluation sample (VERDICT r6 #4 — shared by ml_confusion_matrix /
@@ -834,7 +834,7 @@ object ML {
     * to the IVF probe join (ml_knn_graph's shape) remains the
     * approximate-classifier option when even one linear pass is too
     * much. */
-  private def knnPredLang(s: SparkSession, dir: String): DataFrame = {
+  private[ops] def knnPredLang(s: SparkSession, dir: String): DataFrame = {
     val e = T.embeddings(s, dir)
     val labels = T.documents(s, dir).select(col("doc_id"), col("lang"))
     val q = e.join(labels, e("vec_id") === labels("doc_id"), "left_semi")
@@ -859,7 +859,7 @@ object ML {
   }
 
   /** Oracle twin of [[knnPredLang]], ending in `pred(q_id, pred_lang)`. */
-  private val sqlKnnPredCtes: String =
+  private[ops] val sqlKnnPredCtes: String =
     s"""qs AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
          WHERE vec_id IN (SELECT doc_id FROM documents)
          ORDER BY (84589 * vec_id + 12345) % 2147483647, vec_id LIMIT $EVAL_N),

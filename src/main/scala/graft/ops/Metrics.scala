@@ -1,0 +1,253 @@
+package graft.ops
+
+import graft.{QueryDef, Tables => T}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** cuml.metrics completion (r7): the scoring surface around the estimators
+  * the r6/r7 rounds fitted — per-class precision/recall/F1 for the bounded
+  * kNN classifier, adjusted Rand / normalized mutual information for the
+  * k-means labeling against the fixture's ground-truth labels, and
+  * MSE/RMSE/MAE for the multi-feature OLS fit. Everything reuses the
+  * session-shared fit helpers (knnPredLang, gaussSolved) so the metric
+  * rows add scoring passes, not repeated fits.
+  *
+  * Scale design:
+  * - f1: the prediction set is the bounded EVAL_N sample (n·EVAL_N
+  *   distances — ML.knnPredLang's contract); the per-class pivot is a
+  *   ≤|langs| broadcast against ≤EVAL_N rows.
+  * - ARI/NMI: one points×K broadcast assignment pass (the ml_kmeans_assign
+  *   shape); every sum after the (K×|labels|)-row contingency table is
+  *   bounded. Pair counts stay in BIGINT (exact); only the final ratios
+  *   are doubles.
+  * - mse/mae: one scoring pass over lineitem on the exact-decimal wire.
+  *
+  * Cross-engine determinism: counts are integers end-to-end; each ln() is
+  * REAL-collapsed then summed through the DECIMAL(30,12) wire (the
+  * agg_entropy discipline); final ratios are single IEEE expressions with
+  * shared text, rounded at 6.
+  */
+object Metrics {
+
+  // ---- shared k-means-vs-truth contingency --------------------------------
+
+  /** Lloyd assignment against the fixed vec_id<10 centroids carrying the
+    * ground-truth label, reduced to the (cid, label) contingency counts.
+    * Broadcast(10 centroids) × points — one pass, bounded output. */
+  private def contingency(s: SparkSession, dir: String): DataFrame = {
+    val e = T.embeddings(s, dir)
+    val cent = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("cid"), col("embedding").as("c_emb"))
+    val dist = graft.functions.Vec.l2(s, "embedding", "c_emb")
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("d"), col("cid"))
+    e.transform(T.fanOut(_, col("vec_id")))
+      .crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("label"), col("cid"), dist.as("d"))
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .groupBy("cid", "label").agg(count(lit(1)).as("nij"))
+  }
+
+  /** Oracle twin ending in `ct(cid, label, nij)` — the row_number
+    * (d, cid) argmin form mirrors Spark's deterministic tiebreak (the
+    * ml_kmeans_assign oracle note). */
+  private val sqlContingency =
+    """a AS (SELECT vec_id, label, cid FROM (
+         SELECT e.vec_id, e.label, c.vec_id AS cid,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), c.vec_id) AS rn
+         FROM embeddings e CROSS JOIN embeddings c
+         WHERE c.vec_id < 10) t
+       WHERE rn = 1),
+       ct AS (SELECT cid, label, count(*) AS nij FROM a GROUP BY cid, label)"""
+
+  /** REAL-collapsed ln for entropy/MI terms (libm last-ulp differences
+    * vanish at float precision; the sum runs on the exact decimal wire). */
+  private def lnR(arg: String, spark: Boolean): String =
+    if (spark) s"CAST(CAST(ln($arg) AS FLOAT) AS DOUBLE)"
+    else s"CAST(CAST(ln($arg) AS REAL) AS DOUBLE)"
+
+  val entries: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "ml_f1_score",
+      // cuml.metrics precision/recall/F1 per class for the leave-one-out
+      // kNN language classifier on the bounded EVAL_N sample (the
+      // ml_confusion_matrix classifier, scored per class instead of
+      // matrix-wide). tp/fp/fn are integer counts from one ≤EVAL_N × 5
+      // broadcast pivot; the ratios are single IEEE divisions with
+      // zero-denominator guards, shared text both engines.
+      (s, dir) => {
+        val pred = ML.knnPredLang(s, dir)
+        val truth = T.documents(s, dir)
+          .select(col("doc_id"), col("lang").as("true_lang"))
+        val pairs = pred.join(truth, pred("q_id") === truth("doc_id"))
+          .select(col("true_lang"), col("pred_lang"))
+        val classes = T.documents(s, dir).select(col("lang").as("cls")).distinct()
+        pairs.crossJoin(broadcast(classes))
+          .groupBy("cls")
+          .agg(
+            sum(when(col("true_lang") === col("cls") && col("pred_lang") === col("cls"), 1L).otherwise(0L)).as("tp"),
+            sum(when(col("pred_lang") === col("cls") && col("true_lang") =!= col("cls"), 1L).otherwise(0L)).as("fp"),
+            sum(when(col("true_lang") === col("cls") && col("pred_lang") =!= col("cls"), 1L).otherwise(0L)).as("fn"))
+          .selectExpr("cls AS lang", "tp", "fp", "fn",
+            "CASE WHEN tp + fp = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE) / (tp + fp) END AS pr",
+            "CASE WHEN tp + fn = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE) / (tp + fn) END AS rc")
+          .selectExpr("lang", "tp", "fp", "fn",
+            "round(pr, 6) AS prec", "round(rc, 6) AS rec",
+            "round(CASE WHEN pr + rc = 0 THEN 0.0 ELSE 2 * pr * rc / (pr + rc) END, 6) AS f1")
+          .orderBy("lang")
+      },
+      Some(s"""WITH $sqlKnnPredCtesRef,
+                 pairs AS (SELECT d.lang AS true_lang, p.pred_lang
+                           FROM pred p JOIN documents d ON p.q_id = d.doc_id),
+                 cls AS (SELECT DISTINCT lang AS cls FROM documents),
+                 cnt AS (SELECT cls,
+                     CAST(sum(CASE WHEN true_lang = cls AND pred_lang = cls THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                     CAST(sum(CASE WHEN pred_lang = cls AND true_lang <> cls THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                     CAST(sum(CASE WHEN true_lang = cls AND pred_lang <> cls THEN 1 ELSE 0 END) AS BIGINT) AS fn
+                   FROM pairs CROSS JOIN cls GROUP BY cls),
+                 pr AS (SELECT cls AS lang, tp, fp, fn,
+                     CASE WHEN tp + fp = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE) / (tp + fp) END AS pr,
+                     CASE WHEN tp + fn = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE) / (tp + fn) END AS rc
+                   FROM cnt)
+               SELECT lang, tp, fp, fn, round(pr, 6) AS prec, round(rc, 6) AS rec,
+                 round(CASE WHEN pr + rc = 0 THEN 0.0 ELSE 2 * pr * rc / (pr + rc) END, 6) AS f1
+               FROM pr ORDER BY lang""")),
+
+    QueryDef(
+      "ml_adjusted_rand",
+      // cuml.metrics adjusted_rand_score between the k-means assignment
+      // (fixed vec_id<10 centroids) and the fixture's ground-truth label.
+      // All pair counts C(n,2) stay in BIGINT (n(n−1) is even, the /2.0
+      // halving and the expected-index term are the only double ops) —
+      // exact at any corpus size below 2⁶³ pairs.
+      (s, dir) => {
+        val ct = contingency(s, dir)
+        val ra = ct.groupBy("cid").agg(sum(col("nij")).as("ai"))
+          .agg(sum(col("ai") * (col("ai") - 1)).as("sa2"))
+        val cb = ct.groupBy("label").agg(sum(col("nij")).as("bj"))
+          .agg(sum(col("bj") * (col("bj") - 1)).as("sb2"))
+        val sij = ct.agg(
+          sum(col("nij") * (col("nij") - 1)).as("sij2"),
+          sum(col("nij")).as("n"))
+        // `x / 2.0` is the decimal-literal trap (SURVEY §7.3 rule 7):
+        // Spark parses 2.0 as DECIMAL(2,1) and the whole ratio goes
+        // decimal while DuckDB stays double — cast the numerators instead.
+        sij.crossJoin(broadcast(ra)).crossJoin(broadcast(cb))
+          .selectExpr("n",
+            "CAST(sij2 AS DOUBLE) / 2 AS sij", "CAST(sa2 AS DOUBLE) / 2 AS sa",
+            "CAST(sb2 AS DOUBLE) / 2 AS sb",
+            "CAST(n * (n - 1) AS DOUBLE) / 2 AS cn2")
+          .selectExpr("CAST(n AS BIGINT) AS n",
+            "round((sij - sa * sb / cn2) / ((sa + sb) / 2 - sa * sb / cn2), 6) AS ari")
+      },
+      Some(s"""WITH $sqlContingency,
+                 ra AS (SELECT CAST(sum(ai * (ai - 1)) AS BIGINT) AS sa2 FROM
+                          (SELECT CAST(sum(nij) AS BIGINT) AS ai FROM ct GROUP BY cid) r),
+                 cb AS (SELECT CAST(sum(bj * (bj - 1)) AS BIGINT) AS sb2 FROM
+                          (SELECT CAST(sum(nij) AS BIGINT) AS bj FROM ct GROUP BY label) c),
+                 s0 AS (SELECT CAST(sum(nij * (nij - 1)) AS BIGINT) AS sij2,
+                               CAST(sum(nij) AS BIGINT) AS n FROM ct),
+                 t AS (SELECT n, CAST(sij2 AS DOUBLE) / 2 AS sij,
+                              CAST(sa2 AS DOUBLE) / 2 AS sa,
+                              CAST(sb2 AS DOUBLE) / 2 AS sb,
+                              CAST(n * (n - 1) AS DOUBLE) / 2 AS cn2
+                       FROM s0 CROSS JOIN ra CROSS JOIN cb)
+               SELECT CAST(n AS BIGINT) AS n,
+                 round((sij - sa * sb / cn2) / ((sa + sb) / 2 - sa * sb / cn2), 6) AS ari
+               FROM t""")),
+
+    QueryDef(
+      "ml_mutual_info",
+      // cuml.metrics mutual_info_score + the normalized variant (NMI,
+      // sqrt normalization) for the same k-means-vs-truth contingency.
+      // Every ln argument is a ratio of exact BIGINT counts (identical
+      // doubles cross-engine), each ln REAL-collapsed, each weighted term
+      // summed on the DECIMAL(30,12) wire — the agg_entropy discipline.
+      (s, dir) => {
+        val ct = T.freeze(contingency(s, dir))
+        val ra = ct.groupBy("cid").agg(sum(col("nij")).as("ai"))
+        val cb = ct.groupBy("label").agg(sum(col("nij")).as("bj"))
+        val tot = ct.agg(sum(col("nij")).as("n"))
+        val mi = ct.join(broadcast(ra), "cid").join(broadcast(cb), "label")
+          .crossJoin(broadcast(tot))
+          .select((col("nij").cast("double") / col("n") *
+            expr(lnR("CAST(n * nij AS DOUBLE) / (ai * bj)", spark = true))).as("term"))
+          .agg(T.xsum(col("term")).as("mi"))
+        val hp = ra.crossJoin(broadcast(tot))
+          .select((col("ai").cast("double") / col("n") * lit(-1.0) *
+            expr(lnR("CAST(ai AS DOUBLE) / n", spark = true))).as("term"))
+          .agg(T.xsum(col("term")).as("h_pred"))
+        val ht = cb.crossJoin(broadcast(tot))
+          .select((col("bj").cast("double") / col("n") * lit(-1.0) *
+            expr(lnR("CAST(bj AS DOUBLE) / n", spark = true))).as("term"))
+          .agg(T.xsum(col("term")).as("h_true"))
+        mi.crossJoin(hp).crossJoin(ht)
+          .selectExpr("round(mi, 6) AS mi",
+            "round(h_true, 6) AS h_true", "round(h_pred, 6) AS h_pred",
+            "round(mi / sqrt(h_true * h_pred), 6) AS nmi")
+      },
+      Some(s"""WITH $sqlContingency,
+                 ra AS (SELECT cid, CAST(sum(nij) AS BIGINT) AS ai FROM ct GROUP BY cid),
+                 cb AS (SELECT label, CAST(sum(nij) AS BIGINT) AS bj FROM ct GROUP BY label),
+                 tot AS (SELECT CAST(sum(nij) AS BIGINT) AS n FROM ct),
+                 mi AS (SELECT ${T.sqlXsum(
+                     s"CAST(nij AS DOUBLE) / n * ${lnR("CAST(n * nij AS DOUBLE) / (ai * bj)", spark = false)}")} AS mi
+                        FROM ct JOIN ra USING (cid) JOIN cb USING (label) CROSS JOIN tot),
+                 hp AS (SELECT ${T.sqlXsum(
+                     s"CAST(ai AS DOUBLE) / n * (-1.0) * ${lnR("CAST(ai AS DOUBLE) / n", spark = false)}")} AS h_pred
+                        FROM ra CROSS JOIN tot),
+                 ht AS (SELECT ${T.sqlXsum(
+                     s"CAST(bj AS DOUBLE) / n * (-1.0) * ${lnR("CAST(bj AS DOUBLE) / n", spark = false)}")} AS h_true
+                        FROM cb CROSS JOIN tot)
+               SELECT round(mi, 6) AS mi, round(h_true, 6) AS h_true,
+                 round(h_pred, 6) AS h_pred,
+                 round(mi / sqrt(h_true * h_pred), 6) AS nmi
+               FROM mi CROSS JOIN hp CROSS JOIN ht""")),
+
+    QueryDef(
+      "ml_mse_mae",
+      // cuml.metrics mean_squared_error / mean_absolute_error of the
+      // multi-feature OLS fit — the regression twins of ml_r2_score, on
+      // the same one scoring pass with the in-plan solved coefficients
+      // and the exact-decimal sum wire.
+      (s, dir) => {
+        val coefs = ML.gaussSolved(s, dir).selectExpr("x0", "x1", "x2", "x3")
+        val l = T.lineitem(s, dir).select(
+          col("l_quantity").cast("double").as("q"),
+          col("l_discount").cast("double").as("d"),
+          col("l_tax").cast("double").as("t"),
+          col("l_extendedprice").cast("double").as("y"))
+          .transform(T.fanOut(_))
+        l.crossJoin(broadcast(coefs))
+          .select(expr("y - (x0 + x1 * q + x2 * d + x3 * t)").as("r"))
+          .agg(count(lit(1)).cast("double").as("n"),
+            T.xsum(col("r") * col("r")).as("ssr"),
+            T.xsum(abs(col("r"))).as("sar"))
+          .selectExpr("CAST(n AS BIGINT) AS n",
+            "round(ssr / n, 6) AS mse",
+            "round(sqrt(ssr / n), 6) AS rmse",
+            "round(sar / n, 6) AS mae")
+      },
+      Some(s"""WITH ${ML.sqlGaussChain},
+                 l AS (SELECT CAST(l_quantity AS DOUBLE) AS q,
+                         CAST(l_discount AS DOUBLE) AS d,
+                         CAST(l_tax AS DOUBLE) AS t,
+                         CAST(l_extendedprice AS DOUBLE) AS y
+                       FROM lineitem),
+                 sc AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                     ${T.sqlXsum("(y - (x0 + x1 * q + x2 * d + x3 * t)) * (y - (x0 + x1 * q + x2 * d + x3 * t))")} AS ssr,
+                     ${T.sqlXsum("abs(y - (x0 + x1 * q + x2 * d + x3 * t))")} AS sar
+                   FROM l, ${ML.sqlGaussFinal})
+               SELECT CAST(n AS BIGINT) AS n,
+                 round(ssr / n, 6) AS mse,
+                 round(sqrt(ssr / n), 6) AS rmse,
+                 round(sar / n, 6) AS mae
+               FROM sc"""))
+  )
+
+  /** knnPredLang's oracle CTE chain (ML.sqlKnnPredCtes), referenced via a
+    * private alias so the interpolation above stays readable. */
+  private def sqlKnnPredCtesRef: String = ML.sqlKnnPredCtes
+}

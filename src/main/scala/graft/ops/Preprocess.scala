@@ -1,0 +1,200 @@
+package graft.ops
+
+import graft.{QueryDef, Tables => T}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** cuml.preprocessing completion (r7) — the transformer quartet next to
+  * ml_standard_scaler / ml_minmax_scaler: Normalizer (L2 row scaling),
+  * SimpleImputer (mean strategy), RobustScaler (median/IQR), and
+  * KBinsDiscretizer (uniform bins). Every fit is a bounded aggregate
+  * broadcast back into a per-row transform expression (the cuML
+  * client-held-model shape); every output is a bounded audit table.
+  *
+  * Scale design:
+  * - normalizer: pure map pass (no fit state at all).
+  * - imputer/kbins: one 1-row fit aggregate + one scoring pass.
+  * - robust_scaler: the two-phase EXACT quantile shape of
+  *   agg_approx_quantile (map-combinable bucket histogram; the rank
+  *   window only ever sees the rows of the target buckets), then one
+  *   scoring pass — no global sort anywhere.
+  *
+  * Cross-engine determinism: fit scalars are single IEEE expressions on
+  * exact inputs (min/max/integer counts, or the decimal-wire sum); all
+  * averaged outputs go through the DECIMAL(30,12) wire and round at 6.
+  */
+object Preprocess {
+
+  /** L2 norm of the float[64] embedding as a sequential left fold —
+    * identical op order to the oracle's list_reduce. */
+  private val sparkNorm =
+    "sqrt(aggregate(embedding, CAST(0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+  private val sqlNorm =
+    "sqrt(list_reduce(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x), (a, b) -> a + b))"
+
+  val entries: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "ml_normalizer",
+      // cuml.preprocessing.Normalizer(norm='l2'): scale each embedding row
+      // to unit L2 norm — a stateless map pass (the one transformer with
+      // no fit step). Audit: per ground-truth label, the distribution of
+      // the normalized first component plus the unit-norm invariant
+      // (max |‖z‖−1| rounds to 0 at 6 dp — the transform's proof).
+      (s, dir) => {
+        val e = T.embeddings(s, dir).transform(T.fanOut(_, col("vec_id")))
+          .select(col("vec_id"), col("label"),
+            expr(sparkNorm).as("nrm"),
+            element_at(col("embedding"), 1).cast("double").as("x1"))
+          .select(col("vec_id"), col("label"),
+            (col("x1") / col("nrm")).as("z1"))
+        e.groupBy("label")
+          .agg(count(lit(1)).as("n"),
+            round(T.xsum(col("z1")) / count(lit(1)), 6).as("avg_z1"),
+            round(min(col("z1")), 6).as("min_z1"),
+            round(max(col("z1")), 6).as("max_z1"))
+          .orderBy("label")
+      },
+      Some(s"""WITH e AS (SELECT vec_id, label,
+                   $sqlNorm AS nrm,
+                   CAST(embedding[1] AS DOUBLE) AS x1
+                 FROM embeddings),
+                 z AS (SELECT vec_id, label, x1 / nrm AS z1 FROM e)
+               SELECT label, count(*) AS n,
+                 round(${T.sqlXsum("z1")} / count(*), 6) AS avg_z1,
+                 round(min(z1), 6) AS min_z1,
+                 round(max(z1), 6) AS max_z1
+               FROM z GROUP BY label ORDER BY label""")),
+
+    QueryDef(
+      "ml_simple_imputer",
+      // cuml.preprocessing SimpleImputer(strategy='mean'): the masked
+      // feature is `value` on purchase events only (the fn_ffill fixture
+      // column — NULL on every other event type); fit = one global mean
+      // over the non-null rows (exact-decimal sum / count), transform =
+      // coalesce to the broadcast fill value. Audit per event_type:
+      // missingness and the imputed column's mean.
+      (s, dir) => {
+        val ev = T.events(s, dir).select(col("event_type"),
+          when(col("event_type") === "purchase", col("value")).as("v"))
+        val fit = ev.agg(T.xsum(col("v")).as("sv"), count(col("v")).as("cv"))
+          .selectExpr("sv / cv AS mu")
+        ev.crossJoin(broadcast(fit))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_missing"),
+            round(max(col("mu")), 6).as("fill_value"),
+            round(T.xsum(coalesce(col("v"), col("mu"))) / count(lit(1)), 6).as("avg_imputed"))
+          .orderBy("event_type")
+      },
+      Some(s"""WITH ev AS (SELECT event_type,
+                   CASE WHEN event_type = 'purchase' THEN value END AS v
+                 FROM events),
+                 fit AS (SELECT ${T.sqlXsum("v")} / count(v) AS mu FROM ev)
+               SELECT event_type, count(*) AS n,
+                 CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing,
+                 round(max(mu), 6) AS fill_value,
+                 round(${T.sqlXsum("coalesce(v, mu)")} / count(*), 6) AS avg_imputed
+               FROM ev CROSS JOIN fit
+               GROUP BY event_type ORDER BY event_type""")),
+
+    QueryDef(
+      "ml_robust_scaler",
+      // cuml.preprocessing RobustScaler: center = exact global median of
+      // o_totalprice, scale = IQR (p75 − p25), computed by the two-phase
+      // bucket-histogram rank (agg_approx_quantile's decomposition, here
+      // global): phase 1 = map-combinable counts per ⌊price/1000⌋ bucket;
+      // phase 2 ranks ONLY the rows of the three target buckets. The
+      // transform pass emits per-status z = (x − median)/IQR diagnostics.
+      // 0.25/0.5/0.75 are exact binary fractions, so ceil(p·n) is the
+      // same integer in both engines.
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        val o = T.orders(s, dir)
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+          .withColumn("bkt", floor(col("o_totalprice") / 1000).cast("long"))
+        val cnt = o.groupBy("bkt").agg(count(lit(1)).as("c"))
+        val wOff = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+        val wTot = Window.partitionBy()
+        val off = cnt.select(col("bkt"), col("c"),
+          coalesce(sum(col("c")).over(wOff), lit(0L)).as("off"),
+          sum(col("c")).over(wTot).as("n"))
+        val targets = off.crossJoin(broadcast(Seq(0.25, 0.5, 0.75).toDF("p")))
+          .withColumn("r", greatest(lit(1L), ceil(col("p") * col("n")).cast("long")))
+          .where(col("off") < col("r") && col("r") <= col("off") + col("c"))
+          .select(col("bkt"), col("p"), col("r"), col("off"))
+        val wIn = Window.partitionBy("p").orderBy("o_totalprice", "o_orderkey")
+        val qs = o.join(broadcast(targets), Seq("bkt"))
+          .withColumn("rn", col("off") + row_number().over(wIn))
+          .where(col("rn") === col("r"))
+          .groupBy()
+          .agg(max(when(col("p") === 0.25, col("o_totalprice"))).as("q1"),
+            max(when(col("p") === 0.5, col("o_totalprice"))).as("med"),
+            max(when(col("p") === 0.75, col("o_totalprice"))).as("q3"))
+          .withColumn("iqr", col("q3") - col("q1"))
+        T.orders(s, dir).crossJoin(broadcast(qs))
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            round(max(col("med")), 6).as("median"),
+            round(max(col("iqr")), 6).as("iqr"),
+            round(T.xsum((col("o_totalprice") - col("med")) / col("iqr")) / count(lit(1)), 6).as("mean_z"),
+            round(min((col("o_totalprice") - col("med")) / col("iqr")), 6).as("min_z"),
+            round(max((col("o_totalprice") - col("med")) / col("iqr")), 6).as("max_z"))
+          .orderBy("o_orderstatus")
+      },
+      // Oracle = the plain rank-window definition (the decomposition
+      // proof, as in agg_approx_quantile).
+      Some(s"""WITH r AS (SELECT o_totalprice,
+                   row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rn,
+                   count(*) OVER () AS n
+                 FROM orders),
+                 q AS (SELECT
+                     max(CASE WHEN rn = greatest(1, CAST(ceil(CAST(0.25 AS DOUBLE) * n) AS BIGINT)) THEN o_totalprice END) AS q1,
+                     max(CASE WHEN rn = greatest(1, CAST(ceil(CAST(0.5 AS DOUBLE) * n) AS BIGINT)) THEN o_totalprice END) AS med,
+                     max(CASE WHEN rn = greatest(1, CAST(ceil(CAST(0.75 AS DOUBLE) * n) AS BIGINT)) THEN o_totalprice END) AS q3
+                   FROM r),
+                 fit AS (SELECT q1, med, q3, q3 - q1 AS iqr FROM q)
+               SELECT o_orderstatus, count(*) AS n,
+                 round(max(med), 6) AS median,
+                 round(max(iqr), 6) AS iqr,
+                 round(${T.sqlXsum("(o_totalprice - med) / iqr")} / count(*), 6) AS mean_z,
+                 round(min((o_totalprice - med) / iqr), 6) AS min_z,
+                 round(max((o_totalprice - med) / iqr), 6) AS max_z
+               FROM orders CROSS JOIN fit
+               GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    QueryDef(
+      "ml_kbins",
+      // cuml.preprocessing KBinsDiscretizer(n_bins=5, strategy='uniform',
+      // encode='ordinal'): fit = exact global (min, max) of o_totalprice,
+      // transform = ⌊(x−min)/width⌋ capped into the last bin. min/max are
+      // exact data values, the width division is one IEEE op on identical
+      // doubles, so bin boundaries agree bit-for-bit cross-engine.
+      (s, dir) => {
+        val fit = T.orders(s, dir)
+          .agg(min(col("o_totalprice")).as("mn"), max(col("o_totalprice")).as("mx"))
+          .selectExpr("mn", "(mx - mn) / 5 AS w")
+        T.orders(s, dir).crossJoin(broadcast(fit))
+          .selectExpr("o_totalprice",
+            "LEAST(CAST(floor((o_totalprice - mn) / w) AS INT), 4) AS bin", "mn", "w")
+          .groupBy("bin")
+          .agg(count(lit(1)).as("n"),
+            round(max(col("mn")) + col("bin") * max(col("w")), 6).as("lo"),
+            round(max(col("mn")) + (col("bin") + 1) * max(col("w")), 6).as("hi"),
+            round(T.xsum(col("o_totalprice")) / count(lit(1)), 6).as("avg_price"))
+          .orderBy("bin")
+      },
+      Some(s"""WITH fit AS (SELECT mn, (mx - mn) / 5 AS w FROM
+                   (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM orders) f),
+                 b AS (SELECT o_totalprice,
+                     LEAST(CAST(floor((o_totalprice - mn) / w) AS INT), 4) AS bin, mn, w
+                   FROM orders CROSS JOIN fit)
+               SELECT bin, count(*) AS n,
+                 round(max(mn) + bin * max(w), 6) AS lo,
+                 round(max(mn) + (bin + 1) * max(w), 6) AS hi,
+                 round(${T.sqlXsum("o_totalprice")} / count(*), 6) AS avg_price
+               FROM b GROUP BY bin ORDER BY bin"""))
+  )
+}
