@@ -27,7 +27,8 @@ object SparkEntry {
     ops.Cluster.entries ++
     ops.Supervised.entries ++
     ops.Metrics.entries ++
-    ops.Preprocess.entries
+    ops.Preprocess.entries ++
+    ops.Forecast.entries
 
   /** Flagship query (TPC-H Q1 pricing summary, SURVEY.md §2.4) on
     * /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -52,10 +52,10 @@ object Cluster {
     * b's home cell — so no distinct is needed. The exact predicate
     * (dx²+dy² ≤ eps², identical IEEE text in both engines) decides
     * membership; the grid only bounds the candidate space. */
-  private[graft] def epsPairs(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def epsPairs(s: SparkSession, dir: String, eps: Double = EPS): DataFrame = {
     val p = plane(s, dir)
     val home = p.select(col("id"), col("x"), col("y"),
-      floor(col("x") / EPS).as("cx"), floor(col("y") / EPS).as("cy"))
+      floor(col("x") / eps).as("cx"), floor(col("y") / eps).as("cy"))
     val probe = home
       .select(col("id").as("id_a"), col("x").as("xa"), col("y").as("ya"),
         explode(expr("flatten(transform(sequence(-1, 1), dx -> transform(sequence(-1, 1), dy -> struct(cx + dx AS cx, cy + dy AS cy))))")).as("c"))
@@ -63,7 +63,7 @@ object Cluster {
     probe.join(home, Seq("cx", "cy"))
       .where(col("id_a") < col("id"))
       .where((col("xa") - col("x")) * (col("xa") - col("x")) +
-             (col("ya") - col("y")) * (col("ya") - col("y")) <= lit(EPS * EPS))
+             (col("ya") - col("y")) * (col("ya") - col("y")) <= lit(eps * eps))
       .select(col("id_a").as("a"), col("id").as("b"))
   }
 
@@ -207,6 +207,49 @@ object Cluster {
                                            CAST(h.n_emb AS DOUBLE[])), h.n_id) AS rn
                 FROM probes p JOIN homes h ON p.cid = h.cid
                 WHERE p.q_id <> h.n_id) t
-              WHERE rn <= 3 ORDER BY vec_id, rn"""))
+              WHERE rn <= 3 ORDER BY vec_id, rn""")),
+
+    QueryDef(
+      "ml_agglo_single",
+      // cuML AgglomerativeClustering(linkage='single') cut at distance
+      // threshold 0.004 (r7): flat single-linkage clusters ARE the
+      // connected components of the eps-threshold graph — the dendrogram
+      // section a distributed engine can serve without materializing the
+      // O(n²) merge tree. Same spatial-grid candidate join as ml_dbscan
+      // (cell = shuffle key, 3×3 probe, exact predicate decides) at the
+      // tighter cut, components by the shared min-label loop. Output:
+      // every cluster of ≥2 members (a singleton is its own cluster and
+      // is not emitted — the pair graph never sees it).
+      (s, dir) => {
+        val pairs = epsPairs(s, dir, eps = 0.004)
+          .select(col("a").as("doc_a"), col("b").as("doc_b"))
+        Dedup.minLabelComponents(pairs, None, MAX_ROUNDS)
+          .groupBy(col("lbl").as("cluster"))
+          .agg(count(lit(1)).as("n"), min(col("v")).as("min_id"), max(col("v")).as("max_id"))
+          .orderBy("cluster")
+      },
+      // the threshold² literal interpolates the SAME Scala double product
+      // the Spark side compares against (0.004² is not 1.6e-5 in IEEE —
+      // the shortest-repr rendering round-trips, and e-notation parses as
+      // DOUBLE in DuckDB)
+      Some(s"""WITH RECURSIVE
+                pts AS (SELECT vec_id AS id, CAST(embedding[1] AS DOUBLE) AS x,
+                          CAST(embedding[2] AS DOUBLE) AS y FROM embeddings),
+                pairs AS (SELECT p.id AS doc_a, q.id AS doc_b FROM pts p JOIN pts q
+                            ON p.id < q.id
+                           AND (p.x - q.x) * (p.x - q.x) + (p.y - q.y) * (p.y - q.y)
+                               <= ${0.004 * 0.004}),
+                edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                          UNION ALL
+                          SELECT doc_b, doc_a FROM pairs),
+                reach(v, r) AS (
+                  SELECT src, src FROM (SELECT DISTINCT src FROM edges) n
+                  UNION
+                  SELECT e.src, reach.r
+                  FROM edges e JOIN reach ON e.dst = reach.v),
+                lbl AS (SELECT v, CAST(min(r) AS BIGINT) AS lbl FROM reach GROUP BY v)
+              SELECT lbl AS cluster, count(*) AS n,
+                min(v) AS min_id, max(v) AS max_id
+              FROM lbl GROUP BY lbl ORDER BY cluster"""))
   )
 }

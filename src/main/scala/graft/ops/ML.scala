@@ -2440,6 +2440,179 @@ object ML {
                 round((gsy - n * a - b * gsx) / n, 6) + 0 AS avg_resid,
                 round(sqrt((gsyy - 2*a*gsy - 2*b*gsxy + n*a*a + 2*a*b*gsx + b*b*gsxx) / n), 6) AS rmse
               FROM c2
-              ORDER BY split"""))
+              ORDER BY split""")),
+
+    QueryDef(
+      "ml_sgd_linreg",
+      // cuML MBSGDRegressor's first-order solver family (r7): FULL-BATCH
+      // gradient descent on the 1-feature OLS objective, 3 unrolled steps
+      // from (0, 0) at lr = 5e-4 — the deterministic batch form of the
+      // reference's SGD estimators (per-sample order would be
+      // engine-divergent; the full batch IS the distributed shape anyway:
+      // each step is one moment aggregation, here all three steps run on
+      // ONE moment row). Emits (step, intercept, slope, mse) so the
+      // objective's descent is visible. The gradient/loss algebra runs on
+      // exact-wire means; mse rounds at 2 (its ~1e9 magnitude puts 6-dp
+      // rounding inside double ulp — the one output where round(,6)
+      // CANNOT absorb a last-ulp difference).
+      (s, dir) => {
+        val m = T.lineitem(s, dir).agg(
+          count(lit(1)).cast("double").as("n"),
+          T.xsum(col("l_quantity")).as("sx"),
+          T.xsum(col("l_extendedprice")).as("sy"),
+          T.xsum(col("l_quantity") * col("l_quantity")).as("sxx"),
+          T.xsum(col("l_quantity") * col("l_extendedprice")).as("sxy"),
+          T.xsum(col("l_extendedprice") * col("l_extendedprice")).as("syy"))
+        stepChain(m, sgdSteps).selectExpr(
+          """stack(3,
+               1, round(a1, 6), round(b1, 6), round(l1, 2),
+               2, round(a2, 6), round(b2, 6), round(l2, 2),
+               3, round(a3, 6), round(b3, 6), round(l3, 2)
+             ) AS (step, intercept, slope, mse)""")
+          .orderBy("step")
+      },
+      Some {
+        val (ctes, fin) = sqlChainFrom(sgdSteps, "sg")
+        s"""WITH m AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                ${T.sqlXsum("l_quantity")} AS sx,
+                ${T.sqlXsum("l_extendedprice")} AS sy,
+                ${T.sqlXsum("l_quantity * l_quantity")} AS sxx,
+                ${T.sqlXsum("l_quantity * l_extendedprice")} AS sxy,
+                ${T.sqlXsum("l_extendedprice * l_extendedprice")} AS syy
+              FROM lineitem),
+              $ctes
+            SELECT 1 AS step, round(a1, 6) AS intercept, round(b1, 6) AS slope, round(l1, 2) AS mse FROM $fin
+            UNION ALL
+            SELECT 2, round(a2, 6), round(b2, 6), round(l2, 2) FROM $fin
+            UNION ALL
+            SELECT 3, round(a3, 6), round(b3, 6), round(l3, 2) FROM $fin
+            ORDER BY step"""
+      }),
+
+    QueryDef(
+      "ml_ridge_cv",
+      // RidgeCV / GridSearchCV over alpha (r7): the model-selection
+      // workflow the reference's estimator API implies. ONE lineitem pass
+      // collects per-split (train/valid, the ml_linreg_holdout affine-hash
+      // 80/20) exact moments as conditional sums; each alpha in the grid
+      // solves centered 1-feature ridge on the TRAIN moments and scores
+      // BOTH splits by the algebraic residual expansion — 3 alphas cost
+      // zero extra cluster work beyond the one sufficient-statistic row
+      // (the 100 TB point of moment-based model selection). `picked` marks
+      // the valid-RMSE argmin.
+      (s, dir) => {
+        import org.apache.spark.sql.types.DecimalType
+        val spark = s
+        import spark.implicits._
+        val d6 = DecimalType(19, 6)
+        val l = T.lineitem(s, dir).select(
+          ((lit(48271L) * (col("l_orderkey") * 8 + col("l_linenumber")) + lit(16807L))
+            % lit(2147483647L) % 100 < 80).as("tr"),
+          col("l_quantity").cast(d6).as("x"),
+          col("l_extendedprice").cast(d6).as("y"),
+          ((col("l_extendedprice").cast(DecimalType(18, 2)) * lit(100)).cast("long"))
+            .as("yc"))
+        def cond(tr: Boolean, c: org.apache.spark.sql.Column) =
+          sum(when(col("tr") === tr, c))
+        val m = l.agg(
+          cond(true, lit(1L)).cast("double").as("tn"),
+          e4(cond(true, col("x"))).as("tsx4"), e4(cond(true, col("y"))).as("tsy4"),
+          e4(cond(true, col("x") * col("x"))).as("tsxx4"),
+          e4(cond(true, col("x") * col("y"))).as("tsxy4"),
+          cond(true, (col("yc") * col("yc")).cast(DecimalType(38, 0))).as("tsyyc"),
+          cond(false, lit(1L)).cast("double").as("vn"),
+          e4(cond(false, col("x"))).as("vsx4"), e4(cond(false, col("y"))).as("vsy4"),
+          e4(cond(false, col("x") * col("x"))).as("vsxx4"),
+          e4(cond(false, col("x") * col("y"))).as("vsxy4"),
+          cond(false, (col("yc") * col("yc")).cast(DecimalType(38, 0))).as("vsyyc"))
+          // hi/lo BIGINT split of the exact cents² sums (the
+          // ml_linreg_holdout syy route — no decimal→double cast whose
+          // rounding could differ), recombined with identical double ops
+          .selectExpr("tn", "vn",
+            "tsx4 / 1e4 AS tsx", "tsy4 / 1e4 AS tsy",
+            "tsxx4 / 1e4 AS tsxx", "tsxy4 / 1e4 AS tsxy",
+            "(CAST(tsyyc div 100000000 AS DOUBLE) * 1e8 + CAST(tsyyc % 100000000 AS DOUBLE)) / 1e4 AS tsyy",
+            "vsx4 / 1e4 AS vsx", "vsy4 / 1e4 AS vsy",
+            "vsxx4 / 1e4 AS vsxx", "vsxy4 / 1e4 AS vsxy",
+            "(CAST(vsyyc div 100000000 AS DOUBLE) * 1e8 + CAST(vsyyc % 100000000 AS DOUBLE)) / 1e4 AS vsyy")
+        val alphas = Seq(1.0, 100.0, 10000.0).toDF("alpha")
+        val scored = stepChain(m.crossJoin(broadcast(alphas)), ridgeCvSteps)
+        scored.select(col("alpha"),
+          round(col("cvb"), 6).as("slope"), round(col("cva"), 6).as("intercept"),
+          round(col("cvrt"), 6).as("rmse_train"), round(col("cvrv"), 6).as("rmse_valid"),
+          (col("cvrv") === min(col("cvrv")).over(Window.partitionBy())).as("picked"))
+          .orderBy("alpha")
+      },
+      Some {
+        val (ctes, fin) = sqlChainFrom(ridgeCvSteps, "cv")
+        s"""WITH l AS (SELECT
+                (48271 * (l_orderkey * 8 + l_linenumber) + 16807)
+                  % 2147483647 % 100 < 80 AS tr,
+                CAST(l_quantity AS DECIMAL(19,6)) AS x,
+                CAST(l_extendedprice AS DECIMAL(19,6)) AS y,
+                CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS yc
+              FROM lineitem),
+              g AS (SELECT
+                CAST(count(CASE WHEN tr THEN 1 END) AS DOUBLE) AS tn,
+                CAST(sum(CASE WHEN tr THEN x END) * 10000 AS BIGINT) AS tsx4,
+                CAST(sum(CASE WHEN tr THEN y END) * 10000 AS BIGINT) AS tsy4,
+                CAST(sum(CASE WHEN tr THEN x * x END) * 10000 AS BIGINT) AS tsxx4,
+                CAST(sum(CASE WHEN tr THEN x * y END) * 10000 AS BIGINT) AS tsxy4,
+                sum(CASE WHEN tr THEN CAST(yc * yc AS DECIMAL(38,0)) END) AS tsyyc,
+                CAST(count(CASE WHEN NOT tr THEN 1 END) AS DOUBLE) AS vn,
+                CAST(sum(CASE WHEN NOT tr THEN x END) * 10000 AS BIGINT) AS vsx4,
+                CAST(sum(CASE WHEN NOT tr THEN y END) * 10000 AS BIGINT) AS vsy4,
+                CAST(sum(CASE WHEN NOT tr THEN x * x END) * 10000 AS BIGINT) AS vsxx4,
+                CAST(sum(CASE WHEN NOT tr THEN x * y END) * 10000 AS BIGINT) AS vsxy4,
+                sum(CASE WHEN NOT tr THEN CAST(yc * yc AS DECIMAL(38,0)) END) AS vsyyc
+              FROM l),
+              m AS (SELECT tn, vn,
+                tsx4 / 1e4 AS tsx, tsy4 / 1e4 AS tsy,
+                tsxx4 / 1e4 AS tsxx, tsxy4 / 1e4 AS tsxy,
+                (CAST(CAST(tsyyc AS HUGEINT) // 100000000 AS DOUBLE) * 1e8
+                 + CAST(CAST(tsyyc AS HUGEINT) % 100000000 AS DOUBLE)) / 1e4 AS tsyy,
+                vsx4 / 1e4 AS vsx, vsy4 / 1e4 AS vsy,
+                vsxx4 / 1e4 AS vsxx, vsxy4 / 1e4 AS vsxy,
+                (CAST(CAST(vsyyc AS HUGEINT) // 100000000 AS DOUBLE) * 1e8
+                 + CAST(CAST(vsyyc AS HUGEINT) % 100000000 AS DOUBLE)) / 1e4 AS vsyy
+              FROM g) ,
+              ma AS (SELECT * FROM m CROSS JOIN (VALUES (1e0), (1e2), (1e4)) av(alpha)),
+              ${ctes.replace("FROM m)", "FROM ma)")}
+            SELECT alpha, round(cvb, 6) AS slope, round(cva, 6) AS intercept,
+              round(cvrt, 6) AS rmse_train, round(cvrv, 6) AS rmse_valid,
+              cvrv = min(cvrv) OVER () AS picked
+            FROM $fin ORDER BY alpha"""
+      })
   )
+
+  /** 3 unrolled full-batch GD steps for ml_sgd_linreg — shared
+    * (name, text) cascade; a0/b0 = 0, lr = 5e-4 (spectral radius of the
+    * 1-feature Hessian ≈ E[x²] ≈ 850 on the fixture keeps 2·lr·λ < 1). */
+  private lazy val sgdSteps: Seq[(String, String)] = {
+    val base = Seq(
+      "mx" -> "sx / n", "my" -> "sy / n", "mxx" -> "sxx / n",
+      "mxy" -> "sxy / n", "myy" -> "syy / n",
+      "a0" -> "0e0", "b0" -> "0e0")
+    val steps = scala.collection.mutable.ArrayBuffer[(String, String)](base: _*)
+    for (k <- 1 to 3) {
+      val (ap, bp) = (s"a${k - 1}", s"b${k - 1}")
+      steps += s"ga$k" -> s"2 * ($ap + $bp * mx - my)"
+      steps += s"gb$k" -> s"2 * ($ap * mx + $bp * mxx - mxy)"
+      steps += s"a$k" -> s"$ap - 5e-4 * ga$k"
+      steps += s"b$k" -> s"$bp - 5e-4 * gb$k"
+      steps += s"l$k" ->
+        s"myy - 2 * a$k * my - 2 * b$k * mxy + a$k * a$k + 2 * a$k * b$k * mx + b$k * b$k * mxx"
+    }
+    steps.toSeq
+  }
+
+  /** Per-alpha centered ridge solve + train/valid RMSE by residual
+    * expansion — ml_ridge_cv's shared cascade (prefix cv). */
+  private lazy val ridgeCvSteps: Seq[(String, String)] = Seq(
+    "cvcxx" -> "tsxx - tsx * tsx / tn",
+    "cvcxy" -> "tsxy - tsx * tsy / tn",
+    "cvb" -> "cvcxy / (cvcxx + alpha)",
+    "cva" -> "(tsy - cvb * tsx) / tn",
+    "cvrt" -> "sqrt((tsyy - 2*cva*tsy - 2*cvb*tsxy + tn*cva*cva + 2*cva*cvb*tsx + cvb*cvb*tsxx) / tn)",
+    "cvrv" -> "sqrt((vsyy - 2*cva*vsy - 2*cvb*vsxy + vn*cva*cva + 2*cva*cvb*vsx + cvb*cvb*vsxx) / vn)")
 }
