@@ -250,6 +250,41 @@ object Cluster {
                 lbl AS (SELECT v, CAST(min(r) AS BIGINT) AS lbl FROM reach GROUP BY v)
               SELECT lbl AS cluster, count(*) AS n,
                 min(v) AS min_id, max(v) AS max_id
-              FROM lbl GROUP BY lbl ORDER BY cluster"""))
+              FROM lbl GROUP BY lbl ORDER BY cluster""")),
+
+    QueryDef(
+      "ml_kernel_density",
+      // cuML neighbors.KernelDensity (gaussian, h = 0.01) on the 2-d
+      // plane, scored at the 20 bounded query points (vec_id < 20):
+      // density(q) = Σ_i exp(−d²(q,i)/2h²) / (n·2πh²). Broadcast(queries)
+      // × streamed points — n·20 kernel evaluations, linear in the corpus
+      // (the knnPredLang scale contract). Determinism: each exp() is
+      // REAL-collapsed (the sigmoid discipline — absorbs libm last-ulp
+      // differences), the kernel sum runs on the exact-decimal wire, and
+      // pi() is the same closest-to-π double in both engines.
+      (s, dir) => {
+        val p = plane(s, dir).transform(T.fanOut(_, col("id")))
+        val q = plane(s, dir).where(col("id") < 20)
+          .select(col("id").as("q_id"), col("x").as("qx"), col("y").as("qy"))
+        val n = plane(s, dir).agg(count(lit(1)).as("nn"))
+        val kterm = expr(
+          "CAST(CAST(exp(-((qx - x) * (qx - x) + (qy - y) * (qy - y)) / 2e-4) AS FLOAT) AS DOUBLE)")
+        p.crossJoin(broadcast(q))
+          .select(col("q_id"), kterm.as("k"))
+          .groupBy("q_id")
+          .agg(T.xsum(col("k")).as("ks"))
+          .crossJoin(broadcast(n))
+          .selectExpr("q_id", "round(ks / (nn * 2 * pi() * 1e-4), 6) AS density")
+          .orderBy("q_id")
+      },
+      Some(s"""WITH pts AS (SELECT vec_id AS id, CAST(embedding[1] AS DOUBLE) AS x,
+                   CAST(embedding[2] AS DOUBLE) AS y FROM embeddings),
+                 q AS (SELECT id AS q_id, x AS qx, y AS qy FROM pts WHERE id < 20),
+                 n AS (SELECT count(*) AS nn FROM pts),
+                 k AS (SELECT q_id,
+                     ${T.sqlXsum("CAST(CAST(exp(-((qx - x) * (qx - x) + (qy - y) * (qy - y)) / 2e-4) AS REAL) AS DOUBLE)")} AS ks
+                   FROM pts CROSS JOIN q GROUP BY q_id)
+               SELECT q_id, round(ks / (nn * 2 * pi() * 1e-4), 6) AS density
+               FROM k CROSS JOIN n ORDER BY q_id"""))
   )
 }

@@ -2582,8 +2582,107 @@ object ML {
               round(cvrt, 6) AS rmse_train, round(cvrv, 6) AS rmse_valid,
               cvrv = min(cvrv) OVER () AS picked
             FROM $fin ORDER BY alpha"""
-      })
+      }),
+
+    QueryDef(
+      "ml_svm_hinge",
+      // Linear SVM (cuML SVC's linear case, by the distributed solver a
+      // cluster actually runs — full-batch subgradient descent on the
+      // hinge objective λ/2·b² + (1/n)Σ max(0, 1 − y·(a + b·x))): 3 steps,
+      // each ONE conditional-sum aggregation over the margin-violating
+      // rows with (a, b) DRIVER-HELD between steps (the irlsBeta shape,
+      // fitCached), then one scoring pass emits the fitted line, the final
+      // hinge loss, and the support count (margin < 1). x = quantity/50,
+      // y = ±1 on returnflag R. Determinism: the margin indicator compares
+      // doubles both engines computed identically; every sum runs on the
+      // exact-decimal wire; the driver's update arithmetic is written in
+      // the same structure as the oracle's CTE text, so each step's (a, b)
+      // is bit-identical cross-engine.
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        val (a, b) = svmAB(s, dir)
+        val d = svmRows(s, dir)
+        val ab = Seq((a, b)).toDF("ca", "cb")
+        val m = col("cy") * (col("ca") + col("cb") * col("cx"))
+        d.crossJoin(broadcast(ab))
+          .select(col("cx"), col("cy"), m.as("m"))
+          .agg(count(lit(1)).cast("double").as("n"),
+            T.xsum(greatest(lit(0d), lit(1d) - col("m"))).as("hs"),
+            sum(when(col("m") < 1, 1L).otherwise(0L)).as("nsv"))
+          .crossJoin(broadcast(Seq((a, b)).toDF("fa", "fb")))
+          .selectExpr("round(fa, 6) AS intercept", "round(fb, 6) AS slope",
+            "round(hs / n, 6) AS hinge_loss", "nsv AS n_sv")
+      },
+      Some(s"""WITH $sqlSvmChain,
+                 fin AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                     ${T.sqlXsum("greatest(0e0, 1e0 - y * (b3.a + b3.b * x))")} AS hs,
+                     CAST(sum(CASE WHEN y * (b3.a + b3.b * x) < 1 THEN 1 ELSE 0 END) AS BIGINT) AS nsv,
+                     max(b3.a) AS fa, max(b3.b) AS fb
+                   FROM d, b3)
+               SELECT round(fa, 6) AS intercept, round(fb, 6) AS slope,
+                 round(hs / n, 6) AS hinge_loss, nsv AS n_sv
+               FROM fin"""))
   )
+
+  /** SVM feature frame: x = quantity/50 (unit-ish scale keeps the fixed
+    * step size stable), y = ±1 on returnflag R. */
+  private def svmRows(s: SparkSession, dir: String): DataFrame =
+    T.lineitem(s, dir).select(
+      (col("l_quantity").cast("double") / 50).as("cx"),
+      when(col("l_returnflag") === "R", 1.0).otherwise(-1.0).as("cy"))
+      .transform(T.fanOut(_))
+
+  /** 3 driver-held subgradient steps (lr = 0.1, λ = 0.01), fitCached. The
+    * update text mirrors sqlSvmChain exactly:
+    *   a ← a + lr·(g0/n), b ← b + lr·(g1/n − λ·b),
+    * with g0 = Σ_{margin<1} y, g1 = Σ_{margin<1} y·x on the exact wire. */
+  private def svmAB(s: SparkSession, dir: String): (Double, Double) =
+    T.fitCache("svmAB", dir) {
+      val spark = s
+      import spark.implicits._
+      val d = svmRows(s, dir)
+      var a = 0.0
+      var b = 0.0
+      for (_ <- 1 to 3) {
+        val ab = Seq((a, b)).toDF("ca", "cb") // codegen-stable, as irlsBeta
+        val m = col("cy") * (col("ca") + col("cb") * col("cx"))
+        val r = d.crossJoin(broadcast(ab))
+          .select(col("cx"), col("cy"), m.as("m"))
+          .agg(
+            count(lit(1)).cast("double").as("n"),
+            T.xsum(when(col("m") < 1, col("cy"))).as("g0"),
+            T.xsum(when(col("m") < 1, col("cy") * col("cx"))).as("g1"))
+          .collect()(0)
+        val n = r.getDouble(0); val g0 = r.getDouble(1); val g1 = r.getDouble(2)
+        a = a + 0.1 * (g0 / n)
+        b = b + 0.1 * (g1 / n - 0.01 * b)
+      }
+      (a, b)
+    }
+
+  /** Oracle twin of [[svmAB]] — 3 unrolled blocks ending in b3(a, b),
+    * with a `d` rows CTE in scope (the sqlIrlsChain structure). */
+  private lazy val sqlSvmChain: String = {
+    def mStep(src: String, a: String, b: String) =
+      s"""SELECT CAST(count(*) AS DOUBLE) AS n,
+            ${T.sqlXsum(s"CASE WHEN y * ($a + $b * x) < 1 THEN y END")} AS g0,
+            ${T.sqlXsum(s"CASE WHEN y * ($a + $b * x) < 1 THEN y * x END")} AS g1
+          FROM $src"""
+    def beta(m: String, prevA: String, prevB: String) =
+      s"""SELECT $prevA + 1e-1 * (g0 / n) AS a,
+            $prevB + 1e-1 * (g1 / n - 1e-2 * $prevB) AS b
+          FROM $m"""
+    s"""d AS (SELECT CAST(l_quantity AS DOUBLE) / 50 AS x,
+           CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE -1.0 END AS y
+         FROM lineitem),
+         m1 AS (${mStep("d", "0e0", "0e0")}),
+         b1 AS (${beta("m1", "0e0", "0e0")}),
+         m2 AS (${mStep("d, b1", "b1.a", "b1.b")}),
+         b2 AS (${beta("m2, b1", "b1.a", "b1.b")}),
+         m3 AS (${mStep("d, b2", "b2.a", "b2.b")}),
+         b3 AS (${beta("m3, b2", "b2.a", "b2.b")})"""
+  }
 
   /** 3 unrolled full-batch GD steps for ml_sgd_linreg — shared
     * (name, text) cascade; a0/b0 = 0, lr = 5e-4 (spectral radius of the

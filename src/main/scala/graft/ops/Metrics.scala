@@ -244,7 +244,40 @@ object Metrics {
                  round(ssr / n, 6) AS mse,
                  round(sqrt(ssr / n), 6) AS rmse,
                  round(sar / n, 6) AS mae
-               FROM sc"""))
+               FROM sc""")),
+
+    QueryDef(
+      "ml_pairwise_distances",
+      // cuml.metrics.pairwise_distances on the bounded vec_id < 15 sample:
+      // every unordered pair's L2 distance and cosine similarity — the
+      // full small-matrix form next to the top-k shapes (ml_knn /
+      // ml_knn_cosine). 15×15 stays a broadcast nested loop; at scale the
+      // bounded sample IS the contract (a full n² matrix is not a
+      // registered-query shape, per the sim_threshold recall-reference
+      // precedent).
+      (s, dir) => {
+        val e = T.embeddings(s, dir).where(col("vec_id") < 15)
+          .select(col("vec_id"), col("embedding"),
+            sqrt(graft.functions.Vec.dot(s, "embedding", "embedding")).as("nrm"))
+        val a = e.select(col("vec_id").as("id_a"), col("embedding").as("q_emb"),
+          col("nrm").as("a_nrm"))
+        val b = e.select(col("vec_id").as("id_b"), col("embedding").as("n_emb"),
+          col("nrm").as("b_nrm"))
+        a.crossJoin(broadcast(b)).where(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"),
+            round(graft.functions.Vec.l2(s, "q_emb", "n_emb"), 6).as("dist_l2"),
+            round(graft.functions.Vec.dot(s, "q_emb", "n_emb")
+              / (col("a_nrm") * col("b_nrm")), 6).as("cos_sim"))
+          .orderBy("id_a", "id_b")
+      },
+      Some("""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                round(list_distance(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6) AS dist_l2,
+                round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                             CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+              FROM embeddings a CROSS JOIN embeddings b
+              WHERE a.vec_id < 15 AND b.vec_id < 15 AND a.vec_id < b.vec_id
+              ORDER BY id_a, id_b"""))
   )
 
   /** knnPredLang's oracle CTE chain (ML.sqlKnnPredCtes), referenced via a
