@@ -2467,6 +2467,91 @@ object ML {
               ORDER BY split""")),
 
     QueryDef(
+      "ml_kfold_cv",
+      // K-fold cross-validation (r7) — the cross_val_score workflow over
+      // the 1-feature OLS: 5 leave-one-fold-out fits and their validation
+      // RMSEs from ONE lineitem pass. Per-fold exact moments on the
+      // ml_linreg_holdout wire; each fold's TRAIN moments are total − fold
+      // via a bounded 5-row global window (sufficient statistics
+      // subtract), so K folds cost one aggregation regardless of K — the
+      // 100 TB point of moment-based CV. Validation RMSE by the algebraic
+      // residual expansion on the fold's OWN moments (no second scan).
+      // Fold assignment: a dedicated affine-hash family on (orderkey,
+      // linenumber) — reproducible and repartition-stable, multiplier
+      // distinct from every other registered family on this key.
+      (s, dir) => {
+        import org.apache.spark.sql.types.DecimalType
+        val d6 = DecimalType(19, 6)
+        val l = T.lineitem(s, dir).select(
+          ((lit(650087L) * (col("l_orderkey") * 8 + col("l_linenumber")) + lit(28657L))
+            % lit(2147483647L) % 5).as("fold"),
+          col("l_quantity").cast(d6).as("x"),
+          col("l_extendedprice").cast(d6).as("y"),
+          // cents² exact-integer route for sum(y²) — see ml_linreg_holdout
+          ((col("l_extendedprice").cast(DecimalType(18, 2)) * lit(100)).cast("long"))
+            .as("yc"))
+        val g = l.groupBy("fold").agg(
+          count(lit(1)).as("n"),
+          e4(sum(col("x"))).as("sx"), e4(sum(col("y"))).as("sy"),
+          e4(sum(col("x") * col("x"))).as("sxx"),
+          e4(sum(col("x") * col("y"))).as("sxy"),
+          sum((col("yc") * col("yc")).cast(DecimalType(38, 0))).as("syyc"))
+        val w = Window.partitionBy() // global window over the 5 fold rows
+        def tot(c: String) = sum(col(c)).over(w)
+        val t = g.select(col("fold"), col("n"),
+          (col("sx") / 1e4).as("gsx"), (col("sy") / 1e4).as("gsy"),
+          (col("sxx") / 1e4).as("gsxx"), (col("sxy") / 1e4).as("gsxy"),
+          ((expr("syyc div 100000000").cast("double") * 1e8
+            + (col("syyc") % lit(100000000L)).cast("double")) / 1e4).as("gsyy"),
+          (tot("n") - col("n")).cast("double").as("tn"),
+          ((tot("sx") - col("sx")) / 1e4).as("tsx"),
+          ((tot("sy") - col("sy")) / 1e4).as("tsy"),
+          ((tot("sxx") - col("sxx")) / 1e4).as("tsxx"),
+          ((tot("sxy") - col("sxy")) / 1e4).as("tsxy"))
+        t.withColumn("b", expr("(tn * tsxy - tsx * tsy) / (tn * tsxx - tsx * tsx)"))
+          .withColumn("a", expr("(tsy - b * tsx) / tn"))
+          .select(col("fold"), col("n"),
+            round(col("b"), 6).as("slope"), round(col("a"), 6).as("intercept"),
+            round(expr(
+              "sqrt((gsyy - 2*a*gsy - 2*b*gsxy + n*a*a + 2*a*b*gsx + b*b*gsxx) / n)"), 6)
+              .as("rmse_valid"))
+          .orderBy("fold")
+      },
+      Some("""WITH l AS (SELECT
+                  (650087 * (l_orderkey * 8 + l_linenumber) + 28657)
+                    % 2147483647 % 5 AS fold,
+                  CAST(l_quantity AS DECIMAL(19,6)) AS x,
+                  CAST(l_extendedprice AS DECIMAL(19,6)) AS y,
+                  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS yc
+                FROM lineitem),
+                g AS (SELECT fold, count(*) AS n,
+                  CAST(sum(x) * 10000 AS BIGINT) AS sx,
+                  CAST(sum(y) * 10000 AS BIGINT) AS sy,
+                  CAST(sum(x * x) * 10000 AS BIGINT) AS sxx,
+                  CAST(sum(x * y) * 10000 AS BIGINT) AS sxy,
+                  sum(CAST(yc * yc AS DECIMAL(38,0))) AS syyc
+                FROM l GROUP BY 1),
+                t AS (SELECT fold, n,
+                  sx / 1e4 AS gsx, sy / 1e4 AS gsy, sxx / 1e4 AS gsxx,
+                  sxy / 1e4 AS gsxy,
+                  (CAST(CAST(syyc AS HUGEINT) // 100000000 AS DOUBLE) * 1e8
+                   + CAST(CAST(syyc AS HUGEINT) % 100000000 AS DOUBLE)) / 1e4 AS gsyy,
+                  CAST(sum(n) OVER () - n AS DOUBLE) AS tn,
+                  (sum(sx) OVER () - sx) / 1e4 AS tsx,
+                  (sum(sy) OVER () - sy) / 1e4 AS tsy,
+                  (sum(sxx) OVER () - sxx) / 1e4 AS tsxx,
+                  (sum(sxy) OVER () - sxy) / 1e4 AS tsxy
+                FROM g),
+                c AS (SELECT *,
+                  (tn * tsxy - tsx * tsy) / (tn * tsxx - tsx * tsx) AS b
+                FROM t),
+                c2 AS (SELECT *, (tsy - b * tsx) / tn AS a FROM c)
+              SELECT fold, n, round(b, 6) AS slope, round(a, 6) AS intercept,
+                round(sqrt((gsyy - 2*a*gsy - 2*b*gsxy + n*a*a + 2*a*b*gsx + b*b*gsxx) / n), 6) AS rmse_valid
+              FROM c2
+              ORDER BY fold""")),
+
+    QueryDef(
       "ml_sgd_linreg",
       // cuML MBSGDRegressor's first-order solver family (r7): FULL-BATCH
       // gradient descent on the 1-feature OLS objective, 3 unrolled steps

@@ -247,6 +247,53 @@ object Metrics {
                FROM sc""")),
 
     QueryDef(
+      "ml_explained_variance",
+      // cuml.metrics explained_variance_score of the multi-feature OLS —
+      // 1 − Var(resid)/Var(y), the mean-insensitive sibling of r2_score
+      // (they differ exactly when the residual mean is nonzero; OLS with
+      // an intercept drives that gap to float noise, so emitting both
+      // variances makes the identity checkable). Same ONE scoring pass as
+      // ml_mse_mae; variances from sufficient sums, single shared-text
+      // IEEE expressions.
+      (s, dir) => {
+        val coefs = ML.gaussSolved(s, dir).selectExpr("x0", "x1", "x2", "x3")
+        val l = T.lineitem(s, dir).select(
+          col("l_quantity").cast("double").as("q"),
+          col("l_discount").cast("double").as("d"),
+          col("l_tax").cast("double").as("t"),
+          col("l_extendedprice").cast("double").as("y"))
+          .transform(T.fanOut(_))
+        l.crossJoin(broadcast(coefs))
+          .select(col("y"), expr("y - (x0 + x1 * q + x2 * d + x3 * t)").as("r"))
+          .agg(count(lit(1)).cast("double").as("n"),
+            T.xsum(col("r")).as("sr"),
+            T.xsum(col("r") * col("r")).as("ssr"),
+            T.xsum(col("y")).as("sy"),
+            T.xsum(col("y") * col("y")).as("syy"))
+          .selectExpr("CAST(n AS BIGINT) AS n",
+            "round(ssr / n - (sr / n) * (sr / n), 2) AS var_resid",
+            "round(syy / n - (sy / n) * (sy / n), 2) AS var_y",
+            "round(1.0 - (ssr / n - (sr / n) * (sr / n)) / (syy / n - (sy / n) * (sy / n)), 6) AS explained_variance")
+      },
+      Some(s"""WITH ${ML.sqlGaussChain},
+                 l AS (SELECT CAST(l_quantity AS DOUBLE) AS q,
+                         CAST(l_discount AS DOUBLE) AS d,
+                         CAST(l_tax AS DOUBLE) AS t,
+                         CAST(l_extendedprice AS DOUBLE) AS y
+                       FROM lineitem),
+                 sc AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                     ${T.sqlXsum("y - (x0 + x1 * q + x2 * d + x3 * t)")} AS sr,
+                     ${T.sqlXsum("(y - (x0 + x1 * q + x2 * d + x3 * t)) * (y - (x0 + x1 * q + x2 * d + x3 * t))")} AS ssr,
+                     ${T.sqlXsum("y")} AS sy,
+                     ${T.sqlXsum("y * y")} AS syy
+                   FROM l, ${ML.sqlGaussFinal})
+               SELECT CAST(n AS BIGINT) AS n,
+                 round(ssr / n - (sr / n) * (sr / n), 2) AS var_resid,
+                 round(syy / n - (sy / n) * (sy / n), 2) AS var_y,
+                 round(1.0 - (ssr / n - (sr / n) * (sr / n)) / (syy / n - (sy / n) * (sy / n)), 6) AS explained_variance
+               FROM sc""")),
+
+    QueryDef(
       "ml_pairwise_distances",
       // cuml.metrics.pairwise_distances on the bounded vec_id < 15 sample:
       // every unordered pair's L2 distance and cosine similarity — the

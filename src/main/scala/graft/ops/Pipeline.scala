@@ -422,6 +422,63 @@ object Pipeline {
                 CAST(CASE WHEN d.len = 0 THEN -1
                           ELSE unicode(substr(d.text, 1, 1)) END AS INT) AS first_byte
               FROM d LEFT JOIN agg a USING (doc_id)
-              ORDER BY d.doc_id"""))
+              ORDER BY d.doc_id""")),
+
+    QueryDef(
+      "text_count_vectorize",
+      // cuml.dask.feature_extraction.text CountVectorizer [R] (r7): the
+      // fitted vocabulary — top-20 terms by document frequency with dense
+      // vocab ids, document frequency, and total term frequency. One
+      // token pass, shuffle key = term (map-side combined), then the rank
+      // window runs over a 20-row TakeOrdered result — the vocabulary is
+      // the SMALL side by construction (min_df in the real API bounds it),
+      // so the id assignment is bounded work at any corpus size.
+      // Deterministic: rank by (df desc, term asc) — no hash order leaks.
+      (s, dir) => {
+        val tf = T.documents(s, dir).transform(T.fanOut(_, col("doc_id")))
+          .select(col("doc_id"),
+            explode(filter(split(col("text"), " "), t => t =!= "")).as("term"))
+          .groupBy("term")
+          .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("tf"))
+        val top = tf.orderBy(col("df").desc, col("term").asc).limit(20)
+        top.withColumn("vocab_id",
+            row_number().over(Window.orderBy(col("df").desc, col("term").asc)) - 1)
+          .select(col("vocab_id"), col("term"), col("df"), col("tf"))
+          .orderBy("vocab_id")
+      },
+      Some("""WITH tk AS (SELECT doc_id,
+                  unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS term
+                FROM documents),
+                tf AS (SELECT term, count(DISTINCT doc_id) AS df, count(*) AS tf
+                       FROM tk GROUP BY term),
+                top AS (SELECT * FROM tf ORDER BY df DESC, term ASC LIMIT 20)
+              SELECT CAST(row_number() OVER (ORDER BY df DESC, term ASC) - 1 AS INT) AS vocab_id,
+                term, df, tf
+              FROM top ORDER BY vocab_id""")),
+
+    QueryDef(
+      "text_hashing_tf",
+      // cuml.dask.feature_extraction.text HashingVectorizer [R] (r7): the
+      // stateless sibling of CountVectorizer — term → feature bucket by
+      // the shared polynomial hash mod 64, NO vocabulary job at all (the
+      // property that makes it the 100 TB default: zero fit state, pure
+      // map + one bounded 64-group aggregate). Emits each non-empty
+      // bucket's distinct-term load and total count — the collision
+      // profile a fixed-width feature space trades for statelessness.
+      (s, dir) => {
+        T.documents(s, dir).transform(T.fanOut(_, col("doc_id")))
+          .select(col("doc_id"),
+            explode(filter(split(col("text"), " "), t => t =!= "")).as("term"))
+          .select(col("doc_id"), (T.polyTid("term") % 64).as("bucket"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+          .orderBy("bucket")
+      },
+      Some(s"""WITH tk AS (SELECT doc_id,
+                  unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS term
+                FROM documents),
+                h AS (SELECT doc_id, ${T.sqlPolyTid("term")} % 64 AS bucket FROM tk)
+              SELECT bucket, count(*) AS tf, count(DISTINCT doc_id) AS df
+              FROM h GROUP BY bucket ORDER BY bucket"""))
   )
 }

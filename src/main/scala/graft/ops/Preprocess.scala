@@ -195,6 +195,115 @@ object Preprocess {
                  round(max(mn) + bin * max(w), 6) AS lo,
                  round(max(mn) + (bin + 1) * max(w), 6) AS hi,
                  round(${T.sqlXsum("o_totalprice")} / count(*), 6) AS avg_price
-               FROM b GROUP BY bin ORDER BY bin"""))
+               FROM b GROUP BY bin ORDER BY bin""")),
+
+    QueryDef(
+      "ml_target_encode",
+      // cuml.dask.preprocessing TargetEncoder [R] (r7): leave-one-out mean
+      // target encoding of a category — enc_i = (S_g − y_i)/(n_g − 1), the
+      // out-of-fold form that blocks target leakage (encoding a row with
+      // its own label). Fit = one bounded groupBy (5 priority classes);
+      // transform = broadcast fit row per category + one IEEE
+      // subtract/divide per row. The audit emits the LOO mean next to the
+      // raw category mean — their gap is the leakage the LOO form removes
+      // (exactly n_g/(n_g−1) shrinkage of each row's own contribution).
+      // n_g = 1 → NULL via nullif (no fallback value is leak-free).
+      (s, dir) => {
+        val fit = T.orders(s, dir).groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("ng"), T.xsum(col("o_totalprice")).as("sg"))
+        T.orders(s, dir).join(broadcast(fit), Seq("o_orderpriority"))
+          .withColumn("enc",
+            (col("sg") - col("o_totalprice")) / nullif(col("ng") - 1, lit(0)).cast("double"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            round(T.xsum(col("enc")) / count(lit(1)), 6).as("avg_enc"),
+            round(min(col("enc")), 6).as("min_enc"),
+            round(max(col("enc")), 6).as("max_enc"),
+            round(max(col("sg")) / max(col("ng")).cast("double"), 6).as("raw_mean"))
+          .orderBy("o_orderpriority")
+      },
+      Some(s"""WITH fit AS (SELECT o_orderpriority, count(*) AS ng,
+                   ${T.sqlXsum("o_totalprice")} AS sg
+                 FROM orders GROUP BY o_orderpriority),
+                 e AS (SELECT o.o_orderpriority,
+                     (sg - o_totalprice) / CAST(nullif(ng - 1, 0) AS DOUBLE) AS enc,
+                     sg, ng
+                   FROM orders o JOIN fit USING (o_orderpriority))
+               SELECT o_orderpriority, count(*) AS n,
+                 round(${T.sqlXsum("enc")} / count(*), 6) AS avg_enc,
+                 round(min(enc), 6) AS min_enc,
+                 round(max(enc), 6) AS max_enc,
+                 round(max(sg) / CAST(max(ng) AS DOUBLE), 6) AS raw_mean
+               FROM e GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    QueryDef(
+      "ml_quantile_transform",
+      // cuml.preprocessing QuantileTransformer(output_distribution=
+      // 'uniform'), the exact-ECDF form a distributed engine serves:
+      // F(x) = count(v ≤ x)/n from the value histogram. l_quantity has a
+      // bounded integer domain, so the fit is a ~50-row aggregate, the
+      // cumulative window runs over AGGREGATED rows (the ml_roc_auc
+      // discipline — never a per-row global sort), and the transform is a
+      // broadcast join. All ratios are exact-BIGINT divisions → identical
+      // doubles cross-engine. (sklearn's n_quantiles interpolation is a
+      // subsample of this exact curve; on an integer domain the exact
+      // ECDF is strictly more faithful.)
+      (s, dir) => {
+        val hist = T.lineitem(s, dir).groupBy("l_quantity")
+          .agg(count(lit(1)).as("c"))
+        val wCum = Window.orderBy("l_quantity")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wTot = Window.partitionBy()
+        val ecdf = hist.select(col("l_quantity"),
+          (sum(col("c")).over(wCum).cast("double") /
+            sum(col("c")).over(wTot).cast("double")).as("f"))
+        T.lineitem(s, dir).join(broadcast(ecdf), Seq("l_quantity"))
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            round(T.xsum(col("f")) / count(lit(1)), 6).as("avg_f"),
+            round(min(col("f")), 6).as("min_f"),
+            round(max(col("f")), 6).as("max_f"))
+          .orderBy("l_returnflag")
+      },
+      Some(s"""WITH hist AS (SELECT l_quantity, count(*) AS c
+                 FROM lineitem GROUP BY l_quantity),
+                 ecdf AS (SELECT l_quantity,
+                     CAST(sum(c) OVER (ORDER BY l_quantity
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                     / CAST(sum(c) OVER () AS DOUBLE) AS f
+                   FROM hist)
+               SELECT l_returnflag, count(*) AS n,
+                 round(${T.sqlXsum("f")} / count(*), 6) AS avg_f,
+                 round(min(f), 6) AS min_f,
+                 round(max(f), 6) AS max_f
+               FROM lineitem JOIN ecdf USING (l_quantity)
+               GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    QueryDef(
+      "ml_maxabs_scaler",
+      // cuml.preprocessing MaxAbsScaler — completes the scaler quartet
+      // (standard/minmax/robust/maxabs): scale = exact max(|x|), transform
+      // x/scale preserves zero and sign (no centering — the sparse-data
+      // scaler). Fit is one exact max; the division is one IEEE op on
+      // identical doubles.
+      (s, dir) => {
+        val fit = T.orders(s, dir).agg(max(abs(col("o_totalprice"))).as("sc"))
+        T.orders(s, dir).crossJoin(broadcast(fit))
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            round(max(col("sc")), 6).as("scale"),
+            round(T.xsum(col("o_totalprice") / col("sc")) / count(lit(1)), 6).as("avg_s"),
+            round(min(col("o_totalprice") / col("sc")), 6).as("min_s"),
+            round(max(col("o_totalprice") / col("sc")), 6).as("max_s"))
+          .orderBy("o_orderstatus")
+      },
+      Some(s"""WITH fit AS (SELECT max(abs(o_totalprice)) AS sc FROM orders)
+               SELECT o_orderstatus, count(*) AS n,
+                 round(max(sc), 6) AS scale,
+                 round(${T.sqlXsum("o_totalprice / sc")} / count(*), 6) AS avg_s,
+                 round(min(o_totalprice / sc), 6) AS min_s,
+                 round(max(o_totalprice / sc), 6) AS max_s
+               FROM orders CROSS JOIN fit
+               GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
   )
 }
