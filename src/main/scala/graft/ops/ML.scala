@@ -2078,6 +2078,65 @@ object ML {
                FROM num, tot""")),
 
     QueryDef(
+      "ml_avg_precision",
+      // cuml.metrics average_precision_score [R] for the same 1-feature
+      // logistic scores: the step-interpolation definition
+      // AP = Σ_g (pos_g/NP) · precision_g over distinct thresholds in
+      // DESCENDING score order (precision_g from the cumulative ≥-score
+      // counts — ties grouped by construction, sklearn's form). Same
+      // bounded DISTINCT-score histogram as ml_roc_auc: the cumulative
+      // window runs over ≤~50 aggregated rows, never the corpus.
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        val (a, b) = irlsBeta(s, dir)
+        val d = T.lineitem(s, dir).select(
+          col("l_quantity").cast("double").as("x"),
+          when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"))
+          .transform(T.fanOut(_))
+        val ab = Seq((a, b)).toDF("ca", "cb")
+        val mu = (lit(1.0) / (lit(1.0) + exp(-(col("ca") + col("cb") * col("x")))))
+          .cast("float")
+        val g = d.crossJoin(broadcast(ab))
+          .select(col("y"), mu.as("mu"))
+          .groupBy("mu")
+          .agg(sum(col("y")).as("pos"), (count(lit(1)) - sum(col("y"))).as("neg"))
+        val w = Window.orderBy(col("mu").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val c = g.select(col("mu"), col("pos"),
+          sum(col("pos")).over(w).as("cumpos"),
+          (sum(col("pos")).over(w) + sum(col("neg")).over(w)).as("cumall"))
+        val tot = g.agg(sum(col("pos")).as("n_pos"), sum(col("neg")).as("n_neg"))
+        c.crossJoin(broadcast(tot))
+          .select((col("pos").cast("double") / col("n_pos") *
+            (col("cumpos").cast("double") / col("cumall").cast("double"))).as("term"),
+            col("n_pos"), col("n_neg"))
+          .groupBy("n_pos", "n_neg")
+          .agg(round(T.xsum(col("term")), 6).as("avg_precision"))
+          .select(col("avg_precision"), col("n_pos"), col("n_neg"))
+      },
+      Some(s"""WITH $sqlIrlsChain,
+                 scored AS (SELECT y,
+                     CAST(CAST(1.0 / (1.0 + exp(-(a + b * x))) AS REAL) AS DOUBLE) AS mu
+                   FROM d, b3),
+                 g AS (SELECT mu, CAST(sum(y) AS BIGINT) AS pos,
+                         CAST(count(*) - sum(y) AS BIGINT) AS neg
+                       FROM scored GROUP BY mu),
+                 c AS (SELECT mu, pos,
+                         sum(pos) OVER (ORDER BY mu DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumpos,
+                         sum(pos + neg) OVER (ORDER BY mu DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumall
+                       FROM g),
+                 tot AS (SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+                           CAST(sum(neg) AS BIGINT) AS n_neg FROM g)
+               SELECT round(${T.sqlXsum(
+                   "CAST(pos AS DOUBLE) / n_pos * (CAST(cumpos AS DOUBLE) / CAST(cumall AS DOUBLE))")}, 6) AS avg_precision,
+                 n_pos, n_neg
+               FROM c CROSS JOIN tot
+               GROUP BY n_pos, n_neg""")),
+
+    QueryDef(
       "ml_log_loss",
       // cuml.metrics log_loss [R] of the same scores: −mean(y·ln p +
       // (1−y)·ln(1−p)) with the standard ε-clamp (p ∈ [1e-7, 1−1e-7] —

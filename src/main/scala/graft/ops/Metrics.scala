@@ -207,6 +207,56 @@ object Metrics {
                FROM mi CROSS JOIN hp CROSS JOIN ht""")),
 
     QueryDef(
+      "ml_v_measure",
+      // cuml.metrics homogeneity/completeness/v_measure_score for the same
+      // k-means-vs-truth contingency, via the entropy identities
+      // (homogeneity = MI/H(true), completeness = MI/H(pred), v = their
+      // harmonic mean = 2·MI/(H(true)+H(pred)) — the form sklearn
+      // computes). Identical plan to ml_mutual_info up to the final
+      // bounded expressions, so the clustering-metric family shares one
+      // contingency pass and one entropy wire.
+      (s, dir) => {
+        val ct = T.freeze(contingency(s, dir))
+        val ra = ct.groupBy("cid").agg(sum(col("nij")).as("ai"))
+        val cb = ct.groupBy("label").agg(sum(col("nij")).as("bj"))
+        val tot = ct.agg(sum(col("nij")).as("n"))
+        val mi = ct.join(broadcast(ra), "cid").join(broadcast(cb), "label")
+          .crossJoin(broadcast(tot))
+          .select((col("nij").cast("double") / col("n") *
+            expr(lnR("CAST(n * nij AS DOUBLE) / (ai * bj)", spark = true))).as("term"))
+          .agg(T.xsum(col("term")).as("mi"))
+        val hp = ra.crossJoin(broadcast(tot))
+          .select((col("ai").cast("double") / col("n") * lit(-1.0) *
+            expr(lnR("CAST(ai AS DOUBLE) / n", spark = true))).as("term"))
+          .agg(T.xsum(col("term")).as("h_pred"))
+        val ht = cb.crossJoin(broadcast(tot))
+          .select((col("bj").cast("double") / col("n") * lit(-1.0) *
+            expr(lnR("CAST(bj AS DOUBLE) / n", spark = true))).as("term"))
+          .agg(T.xsum(col("term")).as("h_true"))
+        mi.crossJoin(hp).crossJoin(ht)
+          .selectExpr("round(mi / h_true, 6) AS homogeneity",
+            "round(mi / h_pred, 6) AS completeness",
+            "round(2.0 * mi / (h_true + h_pred), 6) AS v_measure")
+      },
+      Some(s"""WITH $sqlContingency,
+                 ra AS (SELECT cid, CAST(sum(nij) AS BIGINT) AS ai FROM ct GROUP BY cid),
+                 cb AS (SELECT label, CAST(sum(nij) AS BIGINT) AS bj FROM ct GROUP BY label),
+                 tot AS (SELECT CAST(sum(nij) AS BIGINT) AS n FROM ct),
+                 mi AS (SELECT ${T.sqlXsum(
+                     s"CAST(nij AS DOUBLE) / n * ${lnR("CAST(n * nij AS DOUBLE) / (ai * bj)", spark = false)}")} AS mi
+                        FROM ct JOIN ra USING (cid) JOIN cb USING (label) CROSS JOIN tot),
+                 hp AS (SELECT ${T.sqlXsum(
+                     s"CAST(ai AS DOUBLE) / n * (-1.0) * ${lnR("CAST(ai AS DOUBLE) / n", spark = false)}")} AS h_pred
+                        FROM ra CROSS JOIN tot),
+                 ht AS (SELECT ${T.sqlXsum(
+                     s"CAST(bj AS DOUBLE) / n * (-1.0) * ${lnR("CAST(bj AS DOUBLE) / n", spark = false)}")} AS h_true
+                        FROM cb CROSS JOIN tot)
+               SELECT round(mi / h_true, 6) AS homogeneity,
+                 round(mi / h_pred, 6) AS completeness,
+                 round(2.0 * mi / (h_true + h_pred), 6) AS v_measure
+               FROM mi CROSS JOIN hp CROSS JOIN ht""")),
+
+    QueryDef(
       "ml_mse_mae",
       // cuml.metrics mean_squared_error / mean_absolute_error of the
       // multi-feature OLS fit — the regression twins of ml_r2_score, on

@@ -681,4 +681,45 @@ class MicroSpec extends SparkSpec {
         s"mean[$idx]: got ${r.getDouble(gotCol)} want $want")
     }
   }
+
+  test("ml_target_encode: mean of LOO encodings equals the raw category mean (r7)") {
+    // algebra: mean_i (S−y_i)/(n−1) = (nS−S)/(n(n−1)) = S/n — the LOO
+    // transform is unbiased per category; float noise only
+    for (r <- q("ml_target_encode").collect()) {
+      assert(math.abs(r.getDouble(2) - r.getDouble(5)) < 1e-4,
+        s"${r.getString(0)}: avg_enc ${r.getDouble(2)} != raw_mean ${r.getDouble(5)}")
+    }
+  }
+
+  test("ml_kfold_cv: folds partition lineitem and every validation RMSE is finite (r7)") {
+    val rows = q("ml_kfold_cv").collect()
+    assert(rows.length == 5)
+    val total = Tables.lineitem(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum == total,
+      s"fold sizes ${rows.map(_.getLong(1)).toSeq} don't sum to $total")
+    assert(rows.forall(r => r.getDouble(4) > 0 && !r.getDouble(4).isNaN))
+  }
+
+  test("ml_v_measure: harmonic-mean identity against ml_mutual_info's entropies (r7)") {
+    val mi = q("ml_mutual_info").collect().head
+    val vm = q("ml_v_measure").collect().head
+    val (m, hTrue, hPred) = (mi.getDouble(0), mi.getDouble(1), mi.getDouble(2))
+    assert(math.abs(vm.getDouble(0) - m / hTrue) < 1e-5)   // homogeneity
+    assert(math.abs(vm.getDouble(1) - m / hPred) < 1e-5)   // completeness
+    assert(math.abs(vm.getDouble(2) - 2 * m / (hTrue + hPred)) < 1e-5)
+  }
+
+  test("ml_quantile_transform: ECDF output is a valid distribution map (r7)") {
+    // max quantity maps to exactly 1.0; every transformed value in (0, 1]
+    val rows = q("ml_quantile_transform").collect()
+    assert(rows.forall(r => r.getDouble(3) > 0 && r.getDouble(4) <= 1.0))
+    assert(rows.exists(_.getDouble(4) == 1.0))
+  }
+
+  test("ml_avg_precision: AP and AUC agree on ordering quality bounds (r7)") {
+    val ap = q("ml_avg_precision").collect().head
+    val prevalence = ap.getLong(1).toDouble / (ap.getLong(1) + ap.getLong(2))
+    // a score with AUC > 0.5 must have AP above prevalence-at-random floor × 0.9
+    assert(ap.getDouble(0) > prevalence * 0.9 && ap.getDouble(0) <= 1.0)
+  }
 }
