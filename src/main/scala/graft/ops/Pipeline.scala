@@ -479,6 +479,141 @@ object Pipeline {
                 FROM documents),
                 h AS (SELECT doc_id, ${T.sqlPolyTid("term")} % 64 AS bucket FROM tk)
               SELECT bucket, count(*) AS tf, count(DISTINCT doc_id) AS df
-              FROM h GROUP BY bucket ORDER BY bucket"""))
+              FROM h GROUP BY bucket ORDER BY bucket""")),
+
+    QueryDef(
+      "multimodal_resize",
+      // The image-RESIZE shape over an opaque binary column (completes the
+      // builder-prompt's decode/feature-extract/resize/frame-sample
+      // quartet): the payload is box-filtered 4:1 — each 4-byte block
+      // averaged to one output "pixel" (integer floor mean; the trailing
+      // partial block averages over its real length). mapPartitions,
+      // map-only, partition-preserving, fixed output schema — swap the
+      // block loop for the real resampler in production; the plumbing
+      // (opaque bytes in, fixed-width summary out, zero shuffle) is what
+      // scales. ASCII fixture ⇒ the oracle reproduces byte arithmetic
+      // from character codes; all-integer, fully hash-checked.
+      (s, dir) => {
+        val media = T.documents(s, dir)
+          .where(col("doc_id") < 100)
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        val outSchema = StructType(Seq(
+          StructField("doc_id", LongType),
+          StructField("n_bytes", IntegerType),
+          StructField("n_out", IntegerType),
+          StructField("first_px", LongType),
+          StructField("checksum", LongType)))
+        media.mapPartitions { it =>
+          it.map { r =>
+            val id = r.getLong(0)
+            val bytes = r.getAs[Array[Byte]](1)
+            val nOut = (bytes.length + 3) / 4
+            var ck = 0L; var first = -1L
+            var blk = 0
+            while (blk < nOut) {
+              val from = blk * 4
+              val to = math.min(from + 4, bytes.length)
+              var sum = 0L
+              var i = from
+              while (i < to) { sum += bytes(i) & 0xff; i += 1 }
+              val px = sum / (to - from) // integer floor mean
+              if (blk == 0) first = px
+              ck = (ck + px * (blk + 1L)) % 997L
+              blk += 1
+            }
+            Row(id, bytes.length, nOut, first, ck)
+          }
+        }(org.apache.spark.sql.Encoders.row(outSchema))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, text, length(text) AS len
+                FROM documents WHERE doc_id < 100),
+                b AS (SELECT doc_id,
+                        CAST((i - 1) // 4 AS BIGINT) AS blk,
+                        unicode(substr(text, CAST(i AS INT), 1)) AS byte
+                      FROM (SELECT doc_id, text,
+                              unnest(generate_series(1, length(text))) AS i
+                            FROM d) x),
+                px AS (SELECT doc_id, blk,
+                         CAST(CAST(sum(byte) AS HUGEINT) // count(*) AS BIGINT) AS px
+                       FROM b GROUP BY doc_id, blk),
+                agg AS (SELECT doc_id,
+                          CAST(count(*) AS INT) AS n_out,
+                          CAST(max(CASE WHEN blk = 0 THEN px END) AS BIGINT) AS first_px,
+                          CAST(sum(CAST(px * (blk + 1) AS HUGEINT)) % 997 AS BIGINT) AS checksum
+                        FROM px GROUP BY doc_id)
+              SELECT d.doc_id, CAST(d.len AS INT) AS n_bytes,
+                coalesce(a.n_out, 0) AS n_out,
+                coalesce(a.first_px, -1) AS first_px,
+                coalesce(a.checksum, 0) AS checksum
+              FROM d LEFT JOIN agg a USING (doc_id)
+              ORDER BY d.doc_id""")),
+
+    QueryDef(
+      "multimodal_feature_extract",
+      // The FEATURE-EXTRACTION shape over an opaque binary column: a
+      // fixed-width feature vector per payload (here a 16-bin byte
+      // histogram — the stand-in for an embedding model's output), reduced
+      // to its audit features: integer mean byte (×100), dominant bin
+      // (argmax, ties to the LOWEST bin — deterministic), and the
+      // dominant bin's count. Same real plumbing contract as the decode/
+      // resize rows: bytes in, fixed schema out, map-only, no shuffle.
+      (s, dir) => {
+        val media = T.documents(s, dir)
+          .where(col("doc_id") < 100)
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        val outSchema = StructType(Seq(
+          StructField("doc_id", LongType),
+          StructField("n_bytes", IntegerType),
+          StructField("mean_byte_x100", LongType),
+          StructField("dominant_bin", IntegerType),
+          StructField("dominant_count", LongType)))
+        media.mapPartitions { it =>
+          it.map { r =>
+            val id = r.getLong(0)
+            val bytes = r.getAs[Array[Byte]](1)
+            val hist = new Array[Long](16)
+            var sum = 0L
+            var i = 0
+            while (i < bytes.length) {
+              val b = bytes(i) & 0xff
+              hist(b >> 4) += 1
+              sum += b
+              i += 1
+            }
+            var best = 0
+            var j = 1
+            while (j < 16) { if (hist(j) > hist(best)) best = j; j += 1 }
+            val mean = if (bytes.isEmpty) -1L else sum * 100L / bytes.length
+            Row(id, bytes.length, mean,
+              if (bytes.isEmpty) -1 else best,
+              if (bytes.isEmpty) 0L else hist(best))
+          }
+        }(org.apache.spark.sql.Encoders.row(outSchema))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, text, length(text) AS len
+                FROM documents WHERE doc_id < 100),
+                b AS (SELECT doc_id,
+                        unicode(substr(text, CAST(i AS INT), 1)) AS byte
+                      FROM (SELECT doc_id, text,
+                              unnest(generate_series(1, length(text))) AS i
+                            FROM d) x),
+                hist AS (SELECT doc_id, byte // 16 AS bin, count(*) AS c
+                         FROM b GROUP BY doc_id, bin),
+                dom AS (SELECT doc_id, bin, c FROM (
+                          SELECT doc_id, bin, c,
+                            row_number() OVER (PARTITION BY doc_id
+                              ORDER BY c DESC, bin ASC) AS rn
+                          FROM hist) t WHERE rn = 1),
+                s AS (SELECT doc_id,
+                        CAST(CAST(sum(byte) AS HUGEINT) * 100 // count(*) AS BIGINT) AS mean_byte_x100
+                      FROM b GROUP BY doc_id)
+              SELECT d.doc_id, CAST(d.len AS INT) AS n_bytes,
+                coalesce(s.mean_byte_x100, -1) AS mean_byte_x100,
+                CAST(coalesce(dom.bin, -1) AS INT) AS dominant_bin,
+                coalesce(dom.c, 0) AS dominant_count
+              FROM d LEFT JOIN s USING (doc_id) LEFT JOIN dom USING (doc_id)
+              ORDER BY d.doc_id"""))
   )
 }
