@@ -1581,6 +1581,46 @@ object ML {
               WHERE vr = 1 ORDER BY q_id""")),
 
     QueryDef(
+      "ml_knn_predict_proba",
+      // KNeighborsClassifier.predict_proba [R] (r7): the full per-class
+      // vote distribution behind ml_knn_classify's argmax — proba =
+      // votes/k for every (query, language) the 5-NN voted for. Same
+      // broadcast(query) × streamed-candidates shape; the output is the
+      // ≤20×|langs| probability table (k = 5 exactly divides each vote,
+      // so votes/5.0 is an exact binary fraction — identical doubles).
+      (s, dir) => {
+        val e = T.embeddings(s, dir)
+        val labels = T.documents(s, dir).select(col("doc_id"), col("lang"))
+        val q = e.where(col("vec_id") < 20)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        val cand = e.transform(T.fanOut(_, col("vec_id")))
+          .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+        val dist = graft.functions.Vec.l2(s, "q_emb", "n_emb")
+        val w = Window.partitionBy(col("q_id")).orderBy(col("d"), col("n_id"))
+        val nn = cand.crossJoin(broadcast(q))
+          .where(col("q_id") =!= col("n_id"))
+          .select(col("q_id"), col("n_id"), dist.as("d"))
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") <= 5)
+        nn.join(labels, nn("n_id") === labels("doc_id"))
+          .groupBy("q_id", "lang").agg(count(lit(1)).as("votes"))
+          .select(col("q_id"), col("lang"), col("votes"),
+            (col("votes") / lit(5.0)).as("proba"))
+          .orderBy("q_id", "lang")
+      },
+      Some("""WITH nn AS (SELECT q_id, n_id FROM (
+                  SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+                    row_number() OVER (PARTITION BY q.vec_id
+                      ORDER BY list_distance(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), e.vec_id) AS rn
+                  FROM embeddings q CROSS JOIN embeddings e
+                  WHERE q.vec_id < 20 AND q.vec_id <> e.vec_id) t
+                WHERE rn <= 5)
+              SELECT q_id, lang, count(*) AS votes,
+                count(*) / 5.0 AS proba
+              FROM nn JOIN documents ON n_id = doc_id
+              GROUP BY q_id, lang ORDER BY q_id, lang""")),
+
+    QueryDef(
       "ml_confusion_matrix",
       // cuml.metrics confusion_matrix over the kNN language classifier,
       // on the bounded EVAL_N evaluation sample (true label = the doc's
@@ -2137,6 +2177,61 @@ object ML {
                GROUP BY n_pos, n_neg""")),
 
     QueryDef(
+      "ml_precision_recall_curve",
+      // cuml.metrics precision_recall_curve [R] (r7): the full bounded
+      // curve behind ml_avg_precision — one (threshold, precision,
+      // recall) row per distinct score, descending. Every point is a
+      // ratio of exact cumulative counts over the ≤~50-row histogram;
+      // the curve is a bounded output at any corpus size because the
+      // score domain is (the ml_roc_auc discipline).
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        val (a, b) = irlsBeta(s, dir)
+        val d = T.lineitem(s, dir).select(
+          col("l_quantity").cast("double").as("x"),
+          when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"))
+          .transform(T.fanOut(_))
+        val ab = Seq((a, b)).toDF("ca", "cb")
+        val mu = (lit(1.0) / (lit(1.0) + exp(-(col("ca") + col("cb") * col("x")))))
+          .cast("float")
+        val g = d.crossJoin(broadcast(ab))
+          .select(col("y"), mu.as("mu"))
+          .groupBy("mu")
+          .agg(sum(col("y")).as("pos"), (count(lit(1)) - sum(col("y"))).as("neg"))
+        val w = Window.orderBy(col("mu").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val tot = g.agg(sum(col("pos")).as("n_pos"))
+        g.select(col("mu"),
+            sum(col("pos")).over(w).as("cumpos"),
+            (sum(col("pos")).over(w) + sum(col("neg")).over(w)).as("cumall"))
+          .crossJoin(broadcast(tot))
+          .select(round(col("mu").cast("double"), 6).as("threshold"),
+            round(col("cumpos").cast("double") / col("cumall").cast("double"), 6).as("precision"),
+            round(col("cumpos").cast("double") / col("n_pos").cast("double"), 6).as("recall"))
+          .orderBy(col("threshold").desc)
+      },
+      Some(s"""WITH $sqlIrlsChain,
+                 scored AS (SELECT y,
+                     CAST(CAST(1.0 / (1.0 + exp(-(a + b * x))) AS REAL) AS DOUBLE) AS mu
+                   FROM d, b3),
+                 g AS (SELECT mu, CAST(sum(y) AS BIGINT) AS pos,
+                         CAST(count(*) - sum(y) AS BIGINT) AS neg
+                       FROM scored GROUP BY mu),
+                 c AS (SELECT mu,
+                         sum(pos) OVER (ORDER BY mu DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumpos,
+                         sum(pos + neg) OVER (ORDER BY mu DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumall
+                       FROM g),
+                 tot AS (SELECT CAST(sum(pos) AS BIGINT) AS n_pos FROM g)
+               SELECT round(CAST(mu AS DOUBLE), 6) AS threshold,
+                 round(CAST(cumpos AS DOUBLE) / CAST(cumall AS DOUBLE), 6) AS precision,
+                 round(CAST(cumpos AS DOUBLE) / CAST(n_pos AS DOUBLE), 6) AS recall
+               FROM c CROSS JOIN tot
+               ORDER BY threshold DESC""")),
+
+    QueryDef(
       "ml_log_loss",
       // cuml.metrics log_loss [R] of the same scores: −mean(y·ln p +
       // (1−y)·ln(1−p)) with the standard ε-clamp (p ∈ [1e-7, 1−1e-7] —
@@ -2214,6 +2309,94 @@ object ML {
                     UNION ALL
                     SELECT 2, sqrt(lam2), lam2 / total FROM ray2, tr) u
               ORDER BY component""")),
+
+    QueryDef(
+      "ml_incremental_pca",
+      // cuml.dask IncrementalPCA's partial_fit → merge contract [R] (r7),
+      // made a first-class registered row: 4 affine-hash shards each emit
+      // their RAW sufficient statistics over the first two embedding dims
+      // (n, Σx1, Σx2, Σx1², Σx1x2, Σx2²), and the merged row is their
+      // plain SUM — the mergeability that makes the MNMG estimator work —
+      // with the top eigenvalue of the merged centered covariance in 2×2
+      // closed form. Partials stay exact DECIMAL until the merge (order-
+      // free), so shard count never changes the merged fit: exactly the
+      // partial_fit algebra, visible and oracle-checked.
+      (s, dir) => {
+        val x1 = element_at(col("embedding"), 1).cast("double")
+        val x2 = element_at(col("embedding"), 2).cast("double")
+        val sh = T.embeddings(s, dir).transform(T.fanOut(_, col("vec_id")))
+          .groupBy(((lit(233449L) * col("vec_id") + lit(54323L))
+            % lit(2147483647L) % 4).as("shard"))
+          .agg(count(lit(1)).as("n"),
+            T.xsumD(x1).as("s1d"), T.xsumD(x2).as("s2d"),
+            T.xsumD(x1 * x1).as("s11d"), T.xsumD(x1 * x2).as("s12d"),
+            T.xsumD(x2 * x2).as("s22d"))
+        val shardRows = sh.select(col("shard").cast("int").as("shard"), col("n"),
+          round(col("s1d").cast("double"), 6).as("s1"),
+          round(col("s2d").cast("double"), 6).as("s2"),
+          round(col("s11d").cast("double"), 6).as("s11"),
+          round(col("s12d").cast("double"), 6).as("s12"),
+          round(col("s22d").cast("double"), 6).as("s22"),
+          lit(null).cast("double").as("top_eig"))
+        val eigSteps = Seq(
+          "nn" -> "CAST(n AS DOUBLE)",
+          "m1" -> "CAST(s1d AS DOUBLE) / nn", "m2" -> "CAST(s2d AS DOUBLE) / nn",
+          "c11" -> "CAST(s11d AS DOUBLE) / nn - m1 * m1",
+          "c12" -> "CAST(s12d AS DOUBLE) / nn - m1 * m2",
+          "c22" -> "CAST(s22d AS DOUBLE) / nn - m2 * m2",
+          "eig" -> "(c11 + c22) / 2 + sqrt(((c11 - c22) / 2) * ((c11 - c22) / 2) + c12 * c12)")
+        val merged0 = sh.agg(sum(col("n")).as("n"),
+          sum(col("s1d")).as("s1d"), sum(col("s2d")).as("s2d"),
+          sum(col("s11d")).as("s11d"), sum(col("s12d")).as("s12d"),
+          sum(col("s22d")).as("s22d"))
+        val mergedRow = stepChain(merged0, eigSteps)
+          .select(lit(-1).as("shard"), col("n"),
+            round(col("s1d").cast("double"), 6).as("s1"),
+            round(col("s2d").cast("double"), 6).as("s2"),
+            round(col("s11d").cast("double"), 6).as("s11"),
+            round(col("s12d").cast("double"), 6).as("s12"),
+            round(col("s22d").cast("double"), 6).as("s22"),
+            round(col("eig"), 6).as("top_eig"))
+        shardRows.unionByName(mergedRow).orderBy("shard")
+      },
+      Some(s"""WITH e AS (SELECT
+                  (233449 * vec_id + 54323) % 2147483647 % 4 AS shard,
+                  CAST(embedding[1] AS DOUBLE) AS x1,
+                  CAST(embedding[2] AS DOUBLE) AS x2
+                FROM embeddings),
+                sh AS (SELECT shard, count(*) AS n,
+                  ${T.sqlXsumD("x1")} AS s1d, ${T.sqlXsumD("x2")} AS s2d,
+                  ${T.sqlXsumD("x1 * x1")} AS s11d, ${T.sqlXsumD("x1 * x2")} AS s12d,
+                  ${T.sqlXsumD("x2 * x2")} AS s22d
+                FROM e GROUP BY shard),
+                m0 AS (SELECT CAST(sum(n) AS BIGINT) AS n,
+                  sum(s1d) AS s1d, sum(s2d) AS s2d, sum(s11d) AS s11d,
+                  sum(s12d) AS s12d, sum(s22d) AS s22d FROM sh),
+                m1 AS (SELECT *, CAST(n AS DOUBLE) AS nn FROM m0),
+                m2 AS (SELECT *, CAST(s1d AS DOUBLE) / nn AS m1v,
+                  CAST(s2d AS DOUBLE) / nn AS m2v FROM m1),
+                m3 AS (SELECT *,
+                  CAST(s11d AS DOUBLE) / nn - m1v * m1v AS c11,
+                  CAST(s12d AS DOUBLE) / nn - m1v * m2v AS c12,
+                  CAST(s22d AS DOUBLE) / nn - m2v * m2v AS c22 FROM m2),
+                m4 AS (SELECT *,
+                  (c11 + c22) / 2 + sqrt(((c11 - c22) / 2) * ((c11 - c22) / 2) + c12 * c12) AS eig
+                FROM m3)
+              SELECT CAST(shard AS INT) AS shard, n,
+                round(CAST(s1d AS DOUBLE), 6) AS s1,
+                round(CAST(s2d AS DOUBLE), 6) AS s2,
+                round(CAST(s11d AS DOUBLE), 6) AS s11,
+                round(CAST(s12d AS DOUBLE), 6) AS s12,
+                round(CAST(s22d AS DOUBLE), 6) AS s22,
+                CAST(NULL AS DOUBLE) AS top_eig
+              FROM sh
+              UNION ALL
+              SELECT -1, n,
+                round(CAST(s1d AS DOUBLE), 6), round(CAST(s2d AS DOUBLE), 6),
+                round(CAST(s11d AS DOUBLE), 6), round(CAST(s12d AS DOUBLE), 6),
+                round(CAST(s22d AS DOUBLE), 6), round(eig, 6)
+              FROM m4
+              ORDER BY shard""")),
 
     QueryDef(
       "ml_logreg_multi",
