@@ -722,4 +722,34 @@ class MicroSpec extends SparkSpec {
     // a score with AUC > 0.5 must have AP above prevalence-at-random floor × 0.9
     assert(ap.getDouble(0) > prevalence * 0.9 && ap.getDouble(0) <= 1.0)
   }
+
+  test("ml_incremental_pca: shard partials sum exactly to the merged row (r7)") {
+    val rows = q("ml_incremental_pca").collect()
+    val (shards, merged) = rows.partition(_.getInt(0) >= 0)
+    assert(shards.length == 4 && merged.length == 1)
+    val m = merged.head
+    assert(shards.map(_.getLong(1)).sum == m.getLong(1)) // n merges exactly
+    for (c <- 2 to 6) { // s1, s2, s11, s12, s22 — rounded shard values re-sum
+      assert(math.abs(shards.map(_.getDouble(c)).sum - m.getDouble(c)) < 1e-4,
+        s"col $c: ${shards.map(_.getDouble(c)).sum} vs ${m.getDouble(c)}")
+    }
+    assert(m.getDouble(7) > 0) // top eigenvalue of a covariance is positive
+  }
+
+  test("ml_precision_recall_curve: recall is monotone and reaches 1.0 (r7)") {
+    val rows = q("ml_precision_recall_curve").collect() // threshold DESC
+    val recalls = rows.map(_.getDouble(2)).toSeq
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b })
+    assert(recalls.last == 1.0)
+    assert(rows.forall(r => r.getDouble(1) > 0 && r.getDouble(1) <= 1.0))
+  }
+
+  test("ml_knn_predict_proba: per-query probabilities sum to 1 (r7)") {
+    val byQ = q("ml_knn_predict_proba").collect().groupBy(_.getLong(0))
+    assert(byQ.size == 20)
+    for ((qid, rows) <- byQ) {
+      val s = rows.map(_.getDouble(3)).sum
+      assert(math.abs(s - 1.0) < 1e-12, s"q $qid proba sum $s")
+    }
+  }
 }
