@@ -27,6 +27,23 @@ import org.apache.spark.sql.functions._
   */
 object Forecast {
 
+  /** Cramer's-rule determinant texts for the AR(2) normal equations
+    *   [ nd  s1  s2 ] [c ]   [ sy ]
+    *   [ s1  s11 s12] [p1] = [ s1y]
+    *   [ s2  s12 s22] [p2]   [ s2y]
+    * — shared verbatim by the Spark selectExpr and the DuckDB CTE, so the
+    * double arithmetic is the identical op sequence in both engines.
+    * (Declared before `entries`: the oracle strings interpolate them at
+    * object init.) */
+  private val arDet =
+    "nd * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) + s2 * (s1 * s12 - s11 * s2)"
+  private val arDetC =
+    "sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y) + s2 * (s1y * s12 - s11 * s2y)"
+  private val arDetP1 =
+    "nd * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2) + s2 * (s1 * s2y - s1y * s2)"
+  private val arDetP2 =
+    "nd * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2) + sy * (s1 * s12 - s11 * s2)"
+
   val entries: Seq[QueryDef] = Seq(
 
     QueryDef(
@@ -67,6 +84,73 @@ object Forecast {
               SELECT day, y,
                 round(pow(0.5, t + 1) * CAST(cu - u1 AS DOUBLE)
                       + pow(0.5, t - 1) * CAST(y1 AS DOUBLE), 6) AS level
-              FROM c ORDER BY day"""))
+              FROM c ORDER BY day""")),
+
+    QueryDef(
+      "ml_ar2",
+      // cuML's ARIMA surface, by the estimator a cluster actually solves
+      // in closed form: an AR(2) fit on the daily event series via
+      // conditional least squares — regress y_t on (1, y_{t−1}, y_{t−2})
+      // over t ≥ 3 and solve the 3×3 normal equations by Cramer's rule.
+      // Determinism: the lagged frame is integer counts, so EVERY moment
+      // (Σy, Σy², cross-products) is an exact BIGINT sum; the determinant
+      // algebra runs on those exactly-represented integers as doubles
+      // with shared expression text — the same IEEE op sequence in both
+      // engines. Scale: the heavy step is the daily count aggregation
+      // (map-side combined); lag/solve run on the ≤|days| aggregated rows
+      // (the ml_holtwinters bounded-series discipline — a 100 TB
+      // deployment shards the series per key).
+      (s, dir) => {
+        val daily = T.events(s, dir)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("y"))
+        val wIdx = Window.orderBy("day")
+        val lagged = daily
+          .withColumn("y1", lag(col("y"), 1).over(wIdx))
+          .withColumn("y2", lag(col("y"), 2).over(wIdx))
+          .where(col("y1").isNotNull && col("y2").isNotNull)
+        lagged.agg(
+          count(lit(1)).as("n"),
+          sum(col("y")).as("sy"), sum(col("y1")).as("s1"), sum(col("y2")).as("s2"),
+          sum(col("y1") * col("y1")).as("s11"), sum(col("y2") * col("y2")).as("s22"),
+          sum(col("y1") * col("y2")).as("s12"),
+          sum(col("y1") * col("y")).as("s1y"), sum(col("y2") * col("y")).as("s2y"))
+          .selectExpr("n", "CAST(n AS DOUBLE) AS nd",
+            "CAST(sy AS DOUBLE) AS sy", "CAST(s1 AS DOUBLE) AS s1",
+            "CAST(s2 AS DOUBLE) AS s2", "CAST(s11 AS DOUBLE) AS s11",
+            "CAST(s22 AS DOUBLE) AS s22", "CAST(s12 AS DOUBLE) AS s12",
+            "CAST(s1y AS DOUBLE) AS s1y", "CAST(s2y AS DOUBLE) AS s2y")
+          .selectExpr("n AS n_obs",
+            s"round(($arDetC) / ($arDet), 6) AS intercept",
+            s"round(($arDetP1) / ($arDet), 6) AS phi1",
+            s"round(($arDetP2) / ($arDet), 6) AS phi2")
+      },
+      Some(s"""WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS y
+                              FROM events GROUP BY 1),
+                 lg AS (SELECT y,
+                     lag(y, 1) OVER (ORDER BY day) AS y1,
+                     lag(y, 2) OVER (ORDER BY day) AS y2
+                   FROM daily),
+                 f AS (SELECT * FROM lg WHERE y1 IS NOT NULL AND y2 IS NOT NULL),
+                 m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(y) AS BIGINT) AS sy, CAST(sum(y1) AS BIGINT) AS s1,
+                     CAST(sum(y2) AS BIGINT) AS s2,
+                     CAST(sum(y1 * y1) AS BIGINT) AS s11,
+                     CAST(sum(y2 * y2) AS BIGINT) AS s22,
+                     CAST(sum(y1 * y2) AS BIGINT) AS s12,
+                     CAST(sum(y1 * y) AS BIGINT) AS s1y,
+                     CAST(sum(y2 * y) AS BIGINT) AS s2y
+                   FROM f),
+                 d AS (SELECT n, CAST(n AS DOUBLE) AS nd,
+                     CAST(sy AS DOUBLE) AS sy, CAST(s1 AS DOUBLE) AS s1,
+                     CAST(s2 AS DOUBLE) AS s2, CAST(s11 AS DOUBLE) AS s11,
+                     CAST(s22 AS DOUBLE) AS s22, CAST(s12 AS DOUBLE) AS s12,
+                     CAST(s1y AS DOUBLE) AS s1y, CAST(s2y AS DOUBLE) AS s2y
+                   FROM m)
+               SELECT n AS n_obs,
+                 round(($arDetC) / ($arDet), 6) AS intercept,
+                 round(($arDetP1) / ($arDet), 6) AS phi1,
+                 round(($arDetP2) / ($arDet), 6) AS phi2
+               FROM d"""))
   )
 }

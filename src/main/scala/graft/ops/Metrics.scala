@@ -374,7 +374,111 @@ object Metrics {
                                              CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
               FROM embeddings a CROSS JOIN embeddings b
               WHERE a.vec_id < 15 AND b.vec_id < 15 AND a.vec_id < b.vec_id
-              ORDER BY id_a, id_b"""))
+              ORDER BY id_a, id_b""")),
+
+    QueryDef(
+      "ml_kl_divergence",
+      // cuml.metrics.kl_divergence between two empirical distributions
+      // from ONE conditional-count pass: P = the returnflag distribution
+      // of high-discount lineitems (l_discount >= 0.05), Q = the overall
+      // returnflag distribution. Both directions emitted (KL is
+      // asymmetric; the pair makes that visible). Determinism: class
+      // probabilities are ratios of exact BIGINT counts (identical
+      // doubles), each ln REAL-collapsed, the 3 weighted terms summed on
+      // the exact decimal wire. Scale: one map-side-combined count
+      // aggregation; everything after runs on |classes| rows.
+      (s, dir) => {
+        val c = T.lineitem(s, dir).groupBy("l_returnflag")
+          .agg(sum(when(col("l_discount") >= 0.05, 1L).otherwise(0L)).as("np"),
+            count(lit(1)).as("nq"))
+        val tot = c.agg(sum(col("np")).as("tp"), sum(col("nq")).as("tq"))
+        c.crossJoin(broadcast(tot))
+          .select(
+            col("tp"), col("tq"),
+            ((col("np").cast("double") / col("tp")) *
+              expr(lnR("(CAST(np AS DOUBLE) / tp) / (CAST(nq AS DOUBLE) / tq)", spark = true))).as("t_pq"),
+            ((col("nq").cast("double") / col("tq")) *
+              expr(lnR("(CAST(nq AS DOUBLE) / tq) / (CAST(np AS DOUBLE) / tp)", spark = true))).as("t_qp"))
+          .groupBy("tp", "tq")
+          .agg(T.xsum(col("t_pq")).as("kl_pq"), T.xsum(col("t_qp")).as("kl_qp"))
+          .selectExpr("tp AS n_p", "tq AS n_q",
+            "round(kl_pq, 6) AS kl_pq", "round(kl_qp, 6) AS kl_qp")
+      },
+      Some(s"""WITH c AS (SELECT l_returnflag,
+                     CAST(sum(CASE WHEN l_discount >= 0.05e0 THEN 1 ELSE 0 END) AS BIGINT) AS np,
+                     CAST(count(*) AS BIGINT) AS nq
+                   FROM lineitem GROUP BY l_returnflag),
+                 tot AS (SELECT CAST(sum(np) AS BIGINT) AS tp,
+                                CAST(sum(nq) AS BIGINT) AS tq FROM c),
+                 t AS (SELECT tp, tq,
+                     (CAST(np AS DOUBLE) / tp) *
+                       ${lnR("(CAST(np AS DOUBLE) / tp) / (CAST(nq AS DOUBLE) / tq)", spark = false)} AS t_pq,
+                     (CAST(nq AS DOUBLE) / tq) *
+                       ${lnR("(CAST(nq AS DOUBLE) / tq) / (CAST(np AS DOUBLE) / tp)", spark = false)} AS t_qp
+                   FROM c CROSS JOIN tot)
+               SELECT tp AS n_p, tq AS n_q,
+                 round(${T.sqlXsum("t_pq")}, 6) AS kl_pq,
+                 round(${T.sqlXsum("t_qp")}, 6) AS kl_qp
+               FROM t GROUP BY tp, tq""")),
+
+    QueryDef(
+      "ml_spearman_corr",
+      // Spearman rank correlation (the rank twin of the Pearson moment
+      // rows — cuML exposes it on cudf/cuml stats): tie-averaged ranks
+      // for (l_quantity, l_discount), then Pearson on the ranks. The
+      // tie-average for value v is C_v + (c_v+1)/2 (C_v = rows below v),
+      // computed on the ≤|distinct| aggregated value table — windows run
+      // over ≤50 post-aggregation rows (the agg_approx_quantile offset
+      // discipline), never over the corpus. Ranks are exact .5 multiples
+      // (decimal-cast safe); the Pearson moments run on the exact decimal
+      // wire; the final ratio is one shared-text IEEE expression. Scale:
+      // two map-combined count aggs + two broadcast joins + one moment
+      // pass; continuous features would bucket or use denseIds first.
+      (s, dir) => {
+        def ranks(column: String): DataFrame = {
+          val w = Window.orderBy(col("v"))
+          T.lineitem(s, dir).groupBy(col(column).as("v"))
+            .agg(count(lit(1)).as("c"))
+            .withColumn("cum", coalesce(
+              sum(col("c")).over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+            .select(col("v"), (col("cum").cast("double") +
+              (col("c").cast("double") + 1) / 2).as("r"))
+        }
+        val rx = ranks("l_quantity").withColumnRenamed("r", "rx")
+        val ry = ranks("l_discount").withColumnRenamed("r", "ry")
+        T.lineitem(s, dir).select(col("l_quantity").as("xv"), col("l_discount").as("yv"))
+          .transform(T.fanOut(_))
+          .join(broadcast(rx), col("xv") === rx("v")).drop("v")
+          .join(broadcast(ry), col("yv") === ry("v")).drop("v")
+          .agg(count(lit(1)).cast("double").as("n"),
+            T.xsum(col("rx")).as("sx"), T.xsum(col("ry")).as("sy"),
+            T.xsum(col("rx") * col("rx")).as("sxx"),
+            T.xsum(col("ry") * col("ry")).as("syy"),
+            T.xsum(col("rx") * col("ry")).as("sxy"))
+          .selectExpr("CAST(n AS BIGINT) AS n",
+            "round((n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS spearman_rho")
+      },
+      Some(s"""WITH rx AS (SELECT v, CAST(cum AS DOUBLE) + (CAST(c AS DOUBLE) + 1) / 2 AS rx FROM (
+                     SELECT l_quantity AS v, count(*) AS c,
+                       coalesce(sum(count(*)) OVER (ORDER BY l_quantity
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+                     FROM lineitem GROUP BY l_quantity) t),
+                 ry AS (SELECT v, CAST(cum AS DOUBLE) + (CAST(c AS DOUBLE) + 1) / 2 AS ry FROM (
+                     SELECT l_discount AS v, count(*) AS c,
+                       coalesce(sum(count(*)) OVER (ORDER BY l_discount
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+                     FROM lineitem GROUP BY l_discount) t),
+                 j AS (SELECT rx.rx, ry.ry FROM lineitem l
+                       JOIN rx ON l.l_quantity = rx.v
+                       JOIN ry ON l.l_discount = ry.v),
+                 m AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                     ${T.sqlXsum("rx")} AS sx, ${T.sqlXsum("ry")} AS sy,
+                     ${T.sqlXsum("rx * rx")} AS sxx, ${T.sqlXsum("ry * ry")} AS syy,
+                     ${T.sqlXsum("rx * ry")} AS sxy
+                   FROM j)
+               SELECT CAST(n AS BIGINT) AS n,
+                 round((n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS spearman_rho
+               FROM m"""))
   )
 
   /** knnPredLang's oracle CTE chain (ML.sqlKnnPredCtes), referenced via a

@@ -7,8 +7,8 @@ package graft
 class RegistrySpec extends SparkSpec {
 
   test("all seventeen catalogs are registered (66 SURVEY keys + 102 extensions)") {
-    assert(SparkEntry.queries.size == 168,
-      s"expected 168 registered queries, got ${SparkEntry.queries.size}")
+    assert(SparkEntry.queries.size == 171,
+      s"expected 171 registered queries, got ${SparkEntry.queries.size}")
   }
 
   test("no oracle uses a constant generate_series bound (VERDICT r4 #2)") {
