@@ -2973,8 +2973,108 @@ object ML {
                    FROM d, b3)
                SELECT round(fa, 6) AS intercept, round(fb, 6) AS slope,
                  round(hs / n, 6) AS hinge_loss, nsv AS n_sv
+               FROM fin""")),
+
+    QueryDef(
+      "ml_svr_epsilon",
+      // Linear SVR (cuML SVR's linear case) by the same distributed
+      // solver shape as ml_svm_hinge: full-batch subgradient descent on
+      // the ε-insensitive objective λ/2·b² + (1/n)Σ max(0, |y−(a+b·x)|−ε),
+      // ε = 0.1. Each step is ONE conditional-sum aggregation over the
+      // tube-violating rows — g0 = Σ sign(r), g1 = Σ sign(r)·x for
+      // residual r = y − (a+b·x), |r| > ε — with (a, b) DRIVER-HELD
+      // between steps (fitCached); the scoring pass emits the fitted
+      // line, the final ε-loss, and the out-of-tube count. x = quantity
+      // /50, y = extendedprice/50000 (both unit-ish; the fixed 0.1 step
+      // converges). Determinism: sign() compares doubles both engines
+      // computed from the same text; every sum runs on the exact-decimal
+      // wire; the driver update mirrors the oracle CTE structure, so
+      // each step's (a, b) is bit-identical cross-engine.
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        val (a, b) = svrAB(s, dir)
+        val d = svrRows(s, dir)
+        val ab = Seq((a, b)).toDF("ca", "cb")
+        val r = col("cy") - (col("ca") + col("cb") * col("cx"))
+        d.crossJoin(broadcast(ab))
+          .select(col("cx"), r.as("r"))
+          .agg(count(lit(1)).cast("double").as("n"),
+            T.xsum(greatest(lit(0d), abs(col("r")) - lit(0.1))).as("es"),
+            sum(when(abs(col("r")) > 0.1, 1L).otherwise(0L)).as("nout"))
+          .crossJoin(broadcast(Seq((a, b)).toDF("fa", "fb")))
+          .selectExpr("round(fa, 6) AS intercept", "round(fb, 6) AS slope",
+            "round(es / n, 6) AS eps_loss", "nout AS n_outside")
+      },
+      Some(s"""WITH $sqlSvrChain,
+                 fin AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                     ${T.sqlXsum("greatest(0e0, abs(y - (b3.a + b3.b * x)) - 1e-1)")} AS es,
+                     CAST(sum(CASE WHEN abs(y - (b3.a + b3.b * x)) > 1e-1 THEN 1 ELSE 0 END) AS BIGINT) AS nout,
+                     max(b3.a) AS fa, max(b3.b) AS fb
+                   FROM d, b3)
+               SELECT round(fa, 6) AS intercept, round(fb, 6) AS slope,
+                 round(es / n, 6) AS eps_loss, nout AS n_outside
                FROM fin"""))
   )
+
+  /** SVR feature frame: x = quantity/50, y = extendedprice/50000 — both
+    * O(1) scale so the shared fixed step size is stable. */
+  private def svrRows(s: SparkSession, dir: String): DataFrame =
+    T.lineitem(s, dir).select(
+      (col("l_quantity").cast("double") / 50).as("cx"),
+      (col("l_extendedprice").cast("double") / 50000).as("cy"))
+      .transform(T.fanOut(_))
+
+  /** 3 driver-held ε-insensitive subgradient steps (lr = 0.1, λ = 0.01,
+    * ε = 0.1), fitCached. Update text mirrors sqlSvrChain exactly:
+    *   a ← a + lr·(g0/n), b ← b + lr·(g1/n − λ·b),
+    * g0 = Σ_{|r|>ε} sign(r), g1 = Σ_{|r|>ε} sign(r)·x on the exact wire. */
+  private def svrAB(s: SparkSession, dir: String): (Double, Double) =
+    T.fitCache("svrAB", dir) {
+      val spark = s
+      import spark.implicits._
+      val d = svrRows(s, dir)
+      var a = 0.0
+      var b = 0.0
+      for (_ <- 1 to 3) {
+        val ab = Seq((a, b)).toDF("ca", "cb")
+        val r = col("cy") - (col("ca") + col("cb") * col("cx"))
+        val row = d.crossJoin(broadcast(ab))
+          .select(col("cx"), r.as("r"))
+          .agg(
+            count(lit(1)).cast("double").as("n"),
+            T.xsum(when(abs(col("r")) > 0.1, signum(col("r")))).as("g0"),
+            T.xsum(when(abs(col("r")) > 0.1, signum(col("r")) * col("cx"))).as("g1"))
+          .collect()(0)
+        val n = row.getDouble(0); val g0 = row.getDouble(1); val g1 = row.getDouble(2)
+        a = a + 0.1 * (g0 / n)
+        b = b + 0.1 * (g1 / n - 0.01 * b)
+      }
+      (a, b)
+    }
+
+  /** Oracle twin of [[svrAB]] — 3 unrolled blocks ending in b3(a, b),
+    * the sqlSvmChain structure with the ε-tube conditionals. */
+  private lazy val sqlSvrChain: String = {
+    def mStep(src: String, a: String, b: String) =
+      s"""SELECT CAST(count(*) AS DOUBLE) AS n,
+            ${T.sqlXsum(s"CASE WHEN abs(y - ($a + $b * x)) > 1e-1 THEN sign(y - ($a + $b * x)) END")} AS g0,
+            ${T.sqlXsum(s"CASE WHEN abs(y - ($a + $b * x)) > 1e-1 THEN sign(y - ($a + $b * x)) * x END")} AS g1
+          FROM $src"""
+    def beta(m: String, prevA: String, prevB: String) =
+      s"""SELECT $prevA + 1e-1 * (g0 / n) AS a,
+            $prevB + 1e-1 * (g1 / n - 1e-2 * $prevB) AS b
+          FROM $m"""
+    s"""d AS (SELECT CAST(l_quantity AS DOUBLE) / 50 AS x,
+           CAST(l_extendedprice AS DOUBLE) / 50000 AS y
+         FROM lineitem),
+         m1 AS (${mStep("d", "0e0", "0e0")}),
+         b1 AS (${beta("m1", "0e0", "0e0")}),
+         m2 AS (${mStep("d, b1", "b1.a", "b1.b")}),
+         b2 AS (${beta("m2, b1", "b1.a", "b1.b")}),
+         m3 AS (${mStep("d, b2", "b2.a", "b2.b")}),
+         b3 AS (${beta("m3, b2", "b2.a", "b2.b")})"""
+  }
 
   /** SVM feature frame: x = quantity/50 (unit-ish scale keeps the fixed
     * step size stable), y = ±1 on returnflag R. */

@@ -67,6 +67,59 @@ object Metrics {
     if (spark) s"CAST(CAST(ln($arg) AS FLOAT) AS DOUBLE)"
     else s"CAST(CAST(ln($arg) AS REAL) AS DOUBLE)"
 
+  // ---- sparse-random-projection internals ---------------------------------
+
+  /** Deterministic ±1/√k entry of the k=4 projection matrix for flat index
+    * (i·4+j): the 48271 LCG hash mod 1000 as the sign coin (mod 2 would
+    * collapse to parity of j — 48271·(4i+j)+16807 is odd iff j is even). */
+  private val projSign =
+    "(CASE WHEN ((48271 * ((i * 4) + j) + 16807) % 2147483647) % 1000 < 500 THEN 5e-1 ELSE -5e-1 END)"
+
+  /** Projected squared distance — 4 shared-text double ops over the pivoted
+    * decimal coordinates (fixed order: z0..z3; each cast is exact). */
+  private val projD2 = (0 to 3).map(j =>
+    s"CAST(az$j - bz$j AS DOUBLE) * CAST(az$j - bz$j AS DOUBLE)").mkString(" + ")
+
+  private val trustText =
+    "1e0 - 2e0 * CAST(pen AS DOUBLE) / (CAST(n AS DOUBLE) * 3e0 * (2e0 * CAST(n AS DOUBLE) - 1e1))"
+
+  /** The bounded sample's projected coordinates: one posexplode pass, each
+    * z_j an order-free exact DECIMAL(30,12) sum of identically-computed
+    * double addends, pivoted to 4 columns. */
+  private def projZ(s: SparkSession, dir: String): DataFrame = {
+    val e = T.embeddings(s, dir).where(col("vec_id") < 15)
+    val spark = s
+    import spark.implicits._
+    e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
+      .crossJoin(broadcast(Seq(0, 1, 2, 3).toDF("j")))
+      .select(col("vec_id"), col("j"),
+        expr(s"CAST(x AS DOUBLE) * $projSign").as("addend"))
+      .groupBy("vec_id", "j").agg(T.xsumD(col("addend")).as("zd"))
+      .groupBy("vec_id").agg(
+        max(when(col("j") === 0, col("zd"))).as("z0"),
+        max(when(col("j") === 1, col("zd"))).as("z1"),
+        max(when(col("j") === 2, col("zd"))).as("z2"),
+        max(when(col("j") === 3, col("zd"))).as("z3"))
+  }
+
+  /** Oracle twin of [[projZ]] — s (the sample), pj, z CTEs. */
+  private val sqlProjCtes: String =
+    s"""s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+           FROM embeddings WHERE vec_id < 15),
+         exz AS (SELECT vec_id, generate_subscripts(emb, 1) - 1 AS i, unnest(emb) AS x
+                 FROM s),
+         pj AS (SELECT vec_id, j,
+             ${T.sqlXsumD(s"CAST(x AS DOUBLE) * $projSign")} AS zd
+           FROM exz CROSS JOIN (VALUES (0), (1), (2), (3)) jj(j)
+           GROUP BY vec_id, j),
+         z AS (SELECT vec_id,
+             max(CASE WHEN j = 0 THEN zd END) AS z0,
+             max(CASE WHEN j = 1 THEN zd END) AS z1,
+             max(CASE WHEN j = 2 THEN zd END) AS z2,
+             max(CASE WHEN j = 3 THEN zd END) AS z3
+           FROM pj GROUP BY vec_id)"""
+
+
   val entries: Seq[QueryDef] = Seq(
 
     QueryDef(
@@ -479,6 +532,119 @@ object Metrics {
                SELECT CAST(n AS BIGINT) AS n,
                  round((n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS spearman_rho
                FROM m"""))
+  ,
+
+    QueryDef(
+      "ml_random_projection",
+      // cuml.random_projection SparseRandomProjection [R]: project the
+      // 64-dim embeddings to k=4 dims with the deterministic ±1/√k sign
+      // matrix s(i,j) = hash(i·4+j) (Achlioptas's database-friendly
+      // construction — the matrix is a FORMULA, zero state to ship), then
+      // emit every bounded-sample pair's original vs projected distance
+      // and their JL distortion ratio. Determinism: each projected
+      // coordinate is an order-free exact DECIMAL sum of identically-
+      // computed double addends; the projected distance is 4 shared-text
+      // double ops; the original distance is the proven
+      // ml_pairwise_distances kernel path. Scale: projection is one
+      // map-side pass (|rows|·64·4 multiply-adds, shuffle key = vec_id,
+      // output k columns per row); only the distortion REPORT is bounded
+      // to the vec_id<15 sample — the transform itself is the 100 TB
+      // shape.
+      (s, dir) => {
+        val z = projZ(s, dir)
+        val e = T.embeddings(s, dir).where(col("vec_id") < 15)
+          .select(col("vec_id"), col("embedding"))
+        val za = z.join(e, "vec_id").select(
+          col("vec_id").as("id_a"), col("embedding").as("a_emb"),
+          col("z0").as("az0"), col("z1").as("az1"),
+          col("z2").as("az2"), col("z3").as("az3"))
+        val zb = z.join(e, "vec_id").select(
+          col("vec_id").as("id_b"), col("embedding").as("b_emb"),
+          col("z0").as("bz0"), col("z1").as("bz1"),
+          col("z2").as("bz2"), col("z3").as("bz3"))
+        za.crossJoin(broadcast(zb)).where(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"),
+            graft.functions.Vec.l2(s, "a_emb", "b_emb").as("dor"),
+            expr(s"sqrt($projD2)").as("dpr"))
+          .selectExpr("id_a", "id_b",
+            "round(dor, 6) AS dist_orig", "round(dpr, 6) AS dist_proj",
+            "round(dpr / dor, 6) AS distortion")
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""WITH $sqlProjCtes
+               SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 round(list_distance(sa.emb, sb.emb), 6) AS dist_orig,
+                 round(sqrt(${projD2.replaceAll("([ab])z([0-3])", "$1.z$2")}), 6) AS dist_proj,
+                 round(sqrt(${projD2.replaceAll("([ab])z([0-3])", "$1.z$2")})
+                   / list_distance(sa.emb, sb.emb), 6) AS distortion
+               FROM z a JOIN s sa ON sa.vec_id = a.vec_id,
+                    z b JOIN s sb ON sb.vec_id = b.vec_id
+               WHERE a.vec_id < b.vec_id
+               ORDER BY id_a, id_b""")),
+
+    QueryDef(
+      "ml_trustworthiness",
+      // cuml.metrics.trustworthiness(X, X_proj) for the k=4 sparse random
+      // projection above, k_neighbors=3 on the bounded vec_id<15 sample:
+      // T = 1 − 2/(n·k·(2n−3k−1)) · Σ_i Σ_{j ∈ kNN_proj(i) \\ kNN_orig(i)}
+      // (rank_orig(i,j) − k). Both rank tables order by EXACT decimal
+      // squared distances (order-free sums of identical double addends),
+      // ties broken by id, so every rank — and therefore the integer
+      // penalty — is bit-identical cross-engine; the final score is one
+      // shared-text double expression. Scale: trustworthiness is a
+      // diagnostic on a sample by definition (it is O(n²) in ANY engine —
+      // cuML's own implementation materializes the full pairwise matrix);
+      // the bounded sample IS the contract, per the sim_threshold
+      // recall-reference precedent.
+      (s, dir) => {
+        val e = T.embeddings(s, dir).where(col("vec_id") < 15)
+        val ex = e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
+        val exa = ex.select(col("vec_id").as("ia"), col("i"), col("x").as("ax"))
+        val exb = ex.select(col("vec_id").as("ib"), col("i"), col("x").as("bx"))
+        val d2o = exa.join(exb, "i").where(col("ia") =!= col("ib"))
+          .select(col("ia"), col("ib"),
+            expr("(CAST(ax AS DOUBLE) - CAST(bx AS DOUBLE)) * (CAST(ax AS DOUBLE) - CAST(bx AS DOUBLE))").as("sq"))
+          .groupBy("ia", "ib").agg(T.xsumD(col("sq")).as("d2"))
+        val z = projZ(s, dir)
+        val za = z.select(col("vec_id").as("ia"), col("z0").as("az0"),
+          col("z1").as("az1"), col("z2").as("az2"), col("z3").as("az3"))
+        val zb = z.select(col("vec_id").as("ib"), col("z0").as("bz0"),
+          col("z1").as("bz1"), col("z2").as("bz2"), col("z3").as("bz3"))
+        val d2p = za.crossJoin(broadcast(zb)).where(col("ia") =!= col("ib"))
+          .select(col("ia"), col("ib"), expr(projD2).as("d2"))
+        val ro = d2o.withColumn("r", row_number().over(
+          Window.partitionBy(col("ia")).orderBy(col("d2").asc, col("ib").asc)))
+        val rp = d2p.withColumn("r", row_number().over(
+          Window.partitionBy(col("ia")).orderBy(col("d2").asc, col("ib").asc)))
+        ro.select(col("ia"), col("ib"), col("r").as("r_o"))
+          .join(rp.select(col("ia"), col("ib"), col("r").as("r_p")), Seq("ia", "ib"))
+          .agg(countDistinct(col("ia")).as("n"),
+            sum(when(col("r_p") <= 3 && col("r_o") > 3, col("r_o") - 3)
+              .otherwise(0L)).as("pen"))
+          .selectExpr("n", "3 AS k", "pen AS penalty",
+            s"round($trustText, 6) AS trustworthiness")
+      },
+      Some(s"""WITH $sqlProjCtes,
+                 ex AS (SELECT vec_id, generate_subscripts(emb, 1) - 1 AS i, unnest(emb) AS x
+                        FROM s),
+                 d2o AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+                     ${T.sqlXsumD("(CAST(a.x AS DOUBLE) - CAST(b.x AS DOUBLE)) * (CAST(a.x AS DOUBLE) - CAST(b.x AS DOUBLE))")} AS d2
+                   FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id <> b.vec_id
+                   GROUP BY a.vec_id, b.vec_id),
+                 d2p AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+                     ${projD2.replaceAll("([ab])z([0-3])", "$1.z$2")} AS d2
+                   FROM z a, z b WHERE a.vec_id <> b.vec_id),
+                 ro AS (SELECT ia, ib, row_number() OVER (
+                     PARTITION BY ia ORDER BY d2 ASC, ib ASC) AS r_o FROM d2o),
+                 rp AS (SELECT ia, ib, row_number() OVER (
+                     PARTITION BY ia ORDER BY d2 ASC, ib ASC) AS r_p FROM d2p),
+                 pen AS (SELECT count(DISTINCT ro.ia) AS n,
+                     CAST(sum(CASE WHEN rp.r_p <= 3 AND ro.r_o > 3
+                       THEN ro.r_o - 3 ELSE 0 END) AS BIGINT) AS pen
+                   FROM ro JOIN rp ON rp.ia = ro.ia AND rp.ib = ro.ib)
+               SELECT n, 3 AS k, pen AS penalty,
+                 round($trustText, 6) AS trustworthiness
+               FROM pen"""))
   )
 
   /** knnPredLang's oracle CTE chain (ML.sqlKnnPredCtes), referenced via a

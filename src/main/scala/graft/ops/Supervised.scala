@@ -340,6 +340,158 @@ object Supervised {
                    FROM l)
                SELECT votes, count(*) AS n,
                  round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS actual_rate
-               FROM scored GROUP BY votes ORDER BY votes"""))
+               FROM scored GROUP BY votes ORDER BY votes""")),
+
+    QueryDef(
+      "ml_nb_gaussian",
+      // GaussianNB (cuml.naive_bayes.GaussianNB [R]) fit + probe score on
+      // the continuous lineitem features (quantity, discount) per
+      // returnflag class: class-conditional mean and MLE variance from ONE
+      // map-side-combined moment pass on the exact-decimal wire, plus the
+      // joint log-density of a fixed probe point (q=25, d=0.05) — the
+      // score GaussianNB.predict ranks. Determinism: means/variances are
+      // ratios of exact decimal moments (identical doubles), each ln is
+      // REAL-collapsed, and the density text is shared verbatim, so every
+      // double op runs in the same sequence cross-engine. Scale: one
+      // aggregation, 3 groups; the probe scoring runs on the 3-row model.
+      (s, dir) => {
+        val m = T.lineitem(s, dir)
+          .select(col("l_returnflag").as("cls"),
+            col("l_quantity").as("q"), col("l_discount").as("d"))
+          .transform(T.fanOut(_))
+          .groupBy("cls")
+          .agg(count(lit(1)).cast("double").as("n"),
+            T.xsum(col("q")).as("sq"), T.xsum(col("q") * col("q")).as("sqq"),
+            T.xsum(col("d")).as("sd"), T.xsum(col("d") * col("d")).as("sdd"))
+        val tot = m.agg(sum(col("n")).as("n_all"))
+        m.crossJoin(broadcast(tot))
+          .selectExpr("cls", "n", "n_all",
+            "sq / n AS mq", "sqq / n - (sq / n) * (sq / n) AS vq",
+            "sd / n AS md", "sdd / n - (sd / n) * (sd / n) AS vd")
+          .selectExpr("cls", "CAST(n AS BIGINT) AS n",
+            "round(mq, 6) AS mean_q", "round(vq, 6) AS var_q",
+            "round(md, 6) AS mean_d", "round(vd, 6) AS var_d",
+            s"""round(${rc("n / n_all", real = false)}
+                 + (-5e-1 * ${rc("6.283185307179586e0 * vq", real = false)} - (25e0 - mq) * (25e0 - mq) / (2e0 * vq))
+                 + (-5e-1 * ${rc("6.283185307179586e0 * vd", real = false)} - (5e-2 - md) * (5e-2 - md) / (2e0 * vd)), 6) AS logp_probe""")
+          .orderBy("cls")
+      },
+      Some(s"""WITH g AS (SELECT l_returnflag AS cls,
+                     CAST(count(*) AS DOUBLE) AS n,
+                     ${T.sqlXsum("l_quantity")} AS sq,
+                     ${T.sqlXsum("l_quantity * l_quantity")} AS sqq,
+                     ${T.sqlXsum("l_discount")} AS sd,
+                     ${T.sqlXsum("l_discount * l_discount")} AS sdd
+                   FROM lineitem GROUP BY l_returnflag),
+                 m AS (SELECT cls, n, sum(n) OVER () AS n_all,
+                     sq / n AS mq, sqq / n - (sq / n) * (sq / n) AS vq,
+                     sd / n AS md, sdd / n - (sd / n) * (sd / n) AS vd
+                   FROM g)
+               SELECT cls, CAST(n AS BIGINT) AS n,
+                 round(mq, 6) AS mean_q, round(vq, 6) AS var_q,
+                 round(md, 6) AS mean_d, round(vd, 6) AS var_d,
+                 round(${rc("n / n_all", real = true)}
+                   + (-5e-1 * ${rc("6.283185307179586e0 * vq", real = true)} - (25e0 - mq) * (25e0 - mq) / (2e0 * vq))
+                   + (-5e-1 * ${rc("6.283185307179586e0 * vd", real = true)} - (5e-2 - md) * (5e-2 - md) / (2e0 * vd)), 6) AS logp_probe
+               FROM m ORDER BY cls""")),
+
+    QueryDef(
+      "ml_nb_bernoulli",
+      // BernoulliNB (cuml.naive_bayes.BernoulliNB [R]): term PRESENCE
+      // features with the absent-term mass folded into a per-class
+      // constant — score(d, c) = ln prior + K_c + Σ_{t∈d} [ln p_tc −
+      // ln(1−p_tc)], K_c = Σ_{t∈V} ln(1−p_tc), p_tc Laplace-smoothed
+      // (df+1)/(n_c+2). K_c splits into the seen-term sum plus
+      // (V−V_c)·ln(1−1/(n_c+2)) for the zero-df tail, so NO dense
+      // vocab×class frame ever materializes — the 100 TB shape: the
+      // (term, class) df table stays distributed, scoring is one equi-join
+      // on term. Determinism: every ln REAL-collapsed, every sum exact
+      // DECIMAL(30,12), argmax compares decimals (the ml_nb_predict
+      // discipline). Output: actual×predicted confusion matrix.
+      (s, dir) => {
+        val dt = toks(s, dir).select("doc_id", "lang", "term").distinct()
+        val df0 = dt.groupBy(col("lang").as("c_lang"), col("term"))
+          .agg(count(lit(1)).as("df"))
+        val ncls = T.documents(s, dir).groupBy(col("lang").as("c_lang"))
+          .agg(count(lit(1)).as("nc"))
+        val voc = dt.select("term").distinct().agg(count(lit(1)).as("v"))
+        val kc = df0.join(broadcast(ncls), "c_lang")
+          .groupBy("c_lang")
+          .agg(T.xsumD(expr(rc("1e0 - (df + 1e0) / (nc + 2e0)", real = false))).as("kp"),
+            count(lit(1)).as("vc"))
+          .join(broadcast(ncls), "c_lang").crossJoin(broadcast(voc))
+          .select(col("c_lang"), (col("kp") +
+            expr(s"CAST(CAST(v - vc AS DOUBLE) * ${rc("1e0 - 1e0 / (nc + 2e0)", real = false)} AS DECIMAL(30,12))"))
+            .as("kc"))
+        val nAll = T.documents(s, dir).agg(count(lit(1)).as("n_all"))
+        val pri2 = T.documents(s, dir).groupBy(col("lang").as("c_lang"))
+          .agg(count(lit(1)).as("n_docs"))
+          .crossJoin(broadcast(nAll))
+          .select(col("c_lang"),
+            expr(s"CAST(${rc("CAST(n_docs AS DOUBLE) / n_all", real = false)} AS DECIMAL(30,12))").as("lpri"))
+        val corr = dt.crossJoin(broadcast(ncls))
+          .join(df0,
+            dt("term") === df0("term") && ncls("c_lang") === df0("c_lang"),
+            "left")
+          .select(dt("doc_id"), dt("lang"), ncls("c_lang"),
+            expr(s"""${rc("(coalesce(df, 0) + 1e0) / (nc + 2e0)", real = false)}
+                     - ${rc("1e0 - (coalesce(df, 0) + 1e0) / (nc + 2e0)", real = false)}""").as("addend"))
+          .groupBy("doc_id", "lang", "c_lang")
+          .agg(T.xsumD(col("addend")).as("corr"))
+        val scored = corr.join(broadcast(kc), "c_lang")
+          .join(broadcast(pri2), "c_lang")
+          .select(col("doc_id"), col("lang"), col("c_lang"),
+            (col("corr") + col("kc") + col("lpri")).as("total"))
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(col("total").desc, col("c_lang").asc)
+        scored.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+          .groupBy(col("lang").as("actual"), col("c_lang").as("pred"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("actual", "pred")
+      },
+      Some(s"""WITH $sqlToks,
+                 dt AS (SELECT DISTINCT doc_id, lang, term FROM tk),
+                 df0 AS (SELECT lang AS c_lang, term, count(*) AS df
+                         FROM dt GROUP BY lang, term),
+                 ncls AS (SELECT lang AS c_lang, count(*) AS nc
+                          FROM documents GROUP BY lang),
+                 voc AS (SELECT count(DISTINCT term) AS v FROM tk),
+                 kc AS (SELECT kp.c_lang,
+                     kp.kp + CAST(CAST(voc.v - kp.vc AS DOUBLE) *
+                       ${rc("1e0 - 1e0 / (nc2.nc + 2e0)", real = true)} AS DECIMAL(30,12)) AS kc
+                   FROM (SELECT df0.c_lang,
+                       ${T.sqlXsumD(rc("1e0 - (df + 1e0) / (nc + 2e0)", real = true))} AS kp,
+                       count(*) AS vc
+                     FROM df0 JOIN ncls ON ncls.c_lang = df0.c_lang
+                     GROUP BY df0.c_lang) kp
+                   JOIN ncls nc2 ON nc2.c_lang = kp.c_lang CROSS JOIN voc),
+                 pri AS (SELECT d.lang AS c_lang,
+                     CAST(${rc("CAST(count(*) AS DOUBLE) / max(na.n_all)", real = true)} AS DECIMAL(30,12)) AS lpri
+                   FROM documents d CROSS JOIN (SELECT count(*) AS n_all FROM documents) na
+                   GROUP BY d.lang),
+                 corr AS (SELECT dt.doc_id, dt.lang, ncls.c_lang,
+                     ${T.sqlXsumD(s"""${rc("(coalesce(df0.df, 0) + 1e0) / (ncls.nc + 2e0)", real = true)}
+                       - ${rc("1e0 - (coalesce(df0.df, 0) + 1e0) / (ncls.nc + 2e0)", real = true)}""")} AS corr
+                   FROM dt CROSS JOIN ncls
+                   LEFT JOIN df0 ON df0.c_lang = ncls.c_lang AND df0.term = dt.term
+                   GROUP BY dt.doc_id, dt.lang, ncls.c_lang),
+                 tot AS (SELECT corr.doc_id, corr.lang, corr.c_lang,
+                     corr.corr + kc.kc + pri.lpri AS total
+                   FROM corr JOIN kc ON kc.c_lang = corr.c_lang
+                   JOIN pri ON pri.c_lang = corr.c_lang),
+                 pred AS (SELECT doc_id, lang, c_lang FROM (
+                     SELECT doc_id, lang, c_lang,
+                       row_number() OVER (PARTITION BY doc_id
+                         ORDER BY total DESC, c_lang ASC) AS rn
+                     FROM tot) t WHERE rn = 1)
+               SELECT lang AS actual, c_lang AS pred, count(*) AS n
+               FROM pred GROUP BY lang, c_lang ORDER BY actual, pred"""))
   )
+
+  /** REAL-collapsed ln — the shared float-precision collapse text (lnLik's
+    * generalization): `rc(x)` ≡ CAST(CAST(ln(x) AS FLOAT/REAL) AS DOUBLE). */
+  private def rc(inner: String, real: Boolean): String = {
+    val t = if (real) "REAL" else "FLOAT"
+    s"CAST(CAST(ln($inner) AS $t) AS DOUBLE)"
+  }
 }

@@ -6,9 +6,9 @@ package graft
   */
 class RegistrySpec extends SparkSpec {
 
-  test("all seventeen catalogs are registered (66 SURVEY keys + 102 extensions)") {
-    assert(SparkEntry.queries.size == 171,
-      s"expected 171 registered queries, got ${SparkEntry.queries.size}")
+  test("all seventeen catalogs are registered (66 SURVEY keys + 110 extensions)") {
+    assert(SparkEntry.queries.size == 176,
+      s"expected 176 registered queries, got ${SparkEntry.queries.size}")
   }
 
   test("no oracle uses a constant generate_series bound (VERDICT r4 #2)") {
