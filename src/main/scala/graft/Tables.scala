@@ -71,12 +71,26 @@ object Tables {
     // sessions carry no custom confs (SURVEY §7.1), so the loader is the one
     // place guaranteed to run before the read.
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // timestampadd onto an NTZ epoch literal is session-timezone-independent,
-    // unlike timestamp_micros (LTZ) + cast which shifts by the local UTC
-    // offset in any session that doesn't pin spark.sql.session.timeZone.
-    t(s, dir, "events").withColumn(
-      "ts",
-      expr("timestampadd(MICROSECOND, ts DIV 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"))
+    val df = t(s, dir, "events")
+    df.schema("ts").dataType match {
+      // Legacy fixture layout: INT64 TIMESTAMP(NANOS) surfaced as raw BIGINT
+      // nanos by the conf above. timestampadd onto an NTZ epoch literal is
+      // session-timezone-independent, unlike timestamp_micros (LTZ) + cast
+      // which shifts by the local UTC offset in any session that doesn't pin
+      // spark.sql.session.timeZone. DIV 1000 truncates to micros — exactly
+      // what DuckDB does reading the same file.
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn(
+          "ts",
+          expr("timestampadd(MICROSECOND, ts DIV 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"))
+      // Current fixture layout (driver regenerated the parquet mid-r7):
+      // native TIMESTAMP(MICROS, utc=false) → Spark reads TIMESTAMP_NTZ,
+      // DuckDB reads TIMESTAMP — already the agreed wire type, no rewrite.
+      case org.apache.spark.sql.types.TimestampNTZType => df
+      // Any other surfacing (e.g. LTZ under a foreign conf): normalize to
+      // NTZ so written parquet keeps matching DuckDB's no-timezone output.
+      case _ => df.withColumn("ts", col("ts").cast("timestamp_ntz"))
+    }
   }
 
   /** Fixture-aware fan-out (VERDICT r5 #6 — replaces the blanket
