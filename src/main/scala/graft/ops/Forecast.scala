@@ -44,6 +44,12 @@ object Forecast {
   private val arDetP2 =
     "nd * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2) + sy * (s1 * s12 - s11 * s2)"
 
+  /** AR(1)-on-differences slope for ml_arima_diff / the DF regression slope
+    * for ml_adf_test — the same 2×2 normal-equation closed form, shared
+    * verbatim by both engines (declared before `entries`, as arDet). */
+  private val ar1Phi = "(nd * sld - sl * sd) / (nd * sll - sl * sl)"
+  private val adfGam = "(nd * sxy - sx * sy) / (nd * sxx - sx * sx)"
+
   val entries: Seq[QueryDef] = Seq(
 
     QueryDef(
@@ -151,6 +157,138 @@ object Forecast {
                  round(($arDetC) / ($arDet), 6) AS intercept,
                  round(($arDetP1) / ($arDet), 6) AS phi1,
                  round(($arDetP2) / ($arDet), 6) AS phi2
-               FROM d"""))
+               FROM d""")),
+
+    QueryDef(
+      "ml_arima_diff",
+      // The cuML ARIMA surface one step past ml_ar2: ARIMA(1,1,0) on the
+      // daily event series — first-difference d_t = y_t − y_{t−1}, then a
+      // conditional-least-squares AR(1)-with-intercept fit on d, then the
+      // one-step-ahead forecast ŷ_{T+1} = y_T + c + φ·d_T (undoing the
+      // difference). Every moment (Σd, Σd², cross-products) and both last
+      // values are exact BIGINTs; the closed-form solve and the forecast
+      // run on shared double expression text, so the IEEE op sequence is
+      // identical cross-engine. Scale: heavy step = the daily count
+      // aggregation (map-side combined); diff/lag/solve run on the
+      // ≤|days| aggregated rows (the ml_ar2 bounded-series discipline).
+      (s, dir) => {
+        val daily = T.events(s, dir)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("y"))
+        val wIdx = Window.orderBy("day")
+        val lg = daily
+          .withColumn("t", row_number().over(wIdx))
+          .withColumn("d", col("y") - lag(col("y"), 1).over(wIdx))
+          .withColumn("dl", lag(col("d"), 1).over(wIdx))
+        val m = lg.where(col("dl").isNotNull).agg(
+          count(lit(1)).as("n"),
+          sum(col("d")).as("sd"), sum(col("dl")).as("sl"),
+          sum(col("dl") * col("dl")).as("sll"),
+          sum(col("dl") * col("d")).as("sld"))
+        val last = lg.where(col("d").isNotNull).agg(
+          max_by(col("y"), col("t")).as("y_last"),
+          max_by(col("d"), col("t")).as("d_last"))
+        m.crossJoin(last)
+          .selectExpr("n", "CAST(n AS DOUBLE) AS nd",
+            "CAST(sd AS DOUBLE) AS sd", "CAST(sl AS DOUBLE) AS sl",
+            "CAST(sll AS DOUBLE) AS sll", "CAST(sld AS DOUBLE) AS sld",
+            "y_last", "d_last")
+          .selectExpr("*", s"$ar1Phi AS phi")
+          .selectExpr("*", "(sd - phi * sl) / nd AS c")
+          .selectExpr("n AS n_obs",
+            "round(c, 6) AS intercept",
+            "round(phi, 6) AS phi",
+            "round(CAST(y_last AS DOUBLE) + c + phi * CAST(d_last AS DOUBLE), 6) AS forecast")
+      },
+      Some(s"""WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS y
+                              FROM events GROUP BY 1),
+                 lg0 AS (SELECT day, y,
+                     row_number() OVER (ORDER BY day) AS t,
+                     y - lag(y, 1) OVER (ORDER BY day) AS d
+                   FROM daily),
+                 lg AS (SELECT *, lag(d, 1) OVER (ORDER BY day) AS dl FROM lg0),
+                 m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(d) AS BIGINT) AS sd, CAST(sum(dl) AS BIGINT) AS sl,
+                     CAST(sum(dl * dl) AS BIGINT) AS sll,
+                     CAST(sum(dl * d) AS BIGINT) AS sld
+                   FROM lg WHERE dl IS NOT NULL),
+                 lst AS (SELECT max_by(y, t) AS y_last, max_by(d, t) AS d_last
+                         FROM lg WHERE d IS NOT NULL),
+                 dd AS (SELECT n, CAST(n AS DOUBLE) AS nd,
+                     CAST(sd AS DOUBLE) AS sd, CAST(sl AS DOUBLE) AS sl,
+                     CAST(sll AS DOUBLE) AS sll, CAST(sld AS DOUBLE) AS sld,
+                     y_last, d_last
+                   FROM m CROSS JOIN lst),
+                 p AS (SELECT *, $ar1Phi AS phi FROM dd),
+                 cc AS (SELECT *, (sd - phi * sl) / nd AS c FROM p)
+               SELECT n AS n_obs,
+                 round(c, 6) AS intercept,
+                 round(phi, 6) AS phi,
+                 round(CAST(y_last AS DOUBLE) + c + phi * CAST(d_last AS DOUBLE), 6) AS forecast
+               FROM cc""")),
+
+    QueryDef(
+      "ml_adf_test",
+      // cuML tsa stationarity surface: the (augmented, lag-0) Dickey-Fuller
+      // regression Δy_t = α + γ·y_{t−1} + ε on the daily event series — the
+      // unit-root test statistic t(γ) = γ̂/se(γ̂), compared against the 5%
+      // constant-only critical value (−2.86). Every regression moment
+      // (including Σ(Δy)² for the residual SS) is an exact BIGINT sum; γ̂,
+      // α̂, SSR = syy − α·sy − γ·sxy (the normal-equation identity applied
+      // as shared text, so both engines cancel identically), s², and the
+      // t-stat are single shared-text IEEE expressions. Scale: identical
+      // bounded-series shape as ml_ar2/ml_arima_diff.
+      (s, dir) => {
+        val daily = T.events(s, dir)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("y"))
+        val wIdx = Window.orderBy("day")
+        val lg = daily
+          .withColumn("x", lag(col("y"), 1).over(wIdx))
+          .withColumn("dy", col("y") - lag(col("y"), 1).over(wIdx))
+          .where(col("x").isNotNull)
+        lg.agg(
+          count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("dy")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("x") * col("dy")).as("sxy"),
+          sum(col("dy") * col("dy")).as("syy"))
+          .selectExpr("n", "CAST(n AS DOUBLE) AS nd",
+            "CAST(sx AS DOUBLE) AS sx", "CAST(sy AS DOUBLE) AS sy",
+            "CAST(sxx AS DOUBLE) AS sxx", "CAST(sxy AS DOUBLE) AS sxy",
+            "CAST(syy AS DOUBLE) AS syy")
+          .selectExpr("*", s"$adfGam AS gam")
+          .selectExpr("*", "(sy - gam * sx) / nd AS alpha")
+          .selectExpr("*", "syy - alpha * sy - gam * sxy AS ssr")
+          .selectExpr("n AS n_obs",
+            "round(gam, 6) AS gamma",
+            "round(gam / sqrt((ssr / (nd - 2.0)) * nd / (nd * sxx - sx * sx)), 6) AS t_stat",
+            "CAST(gam / sqrt((ssr / (nd - 2.0)) * nd / (nd * sxx - sx * sx)) < -2.86 AS BOOLEAN) AS stationary_5pct")
+      },
+      Some(s"""WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS y
+                              FROM events GROUP BY 1),
+                 lg AS (SELECT day, y,
+                     lag(y, 1) OVER (ORDER BY day) AS x,
+                     y - lag(y, 1) OVER (ORDER BY day) AS dy
+                   FROM daily),
+                 m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(x) AS BIGINT) AS sx, CAST(sum(dy) AS BIGINT) AS sy,
+                     CAST(sum(x * x) AS BIGINT) AS sxx,
+                     CAST(sum(x * dy) AS BIGINT) AS sxy,
+                     CAST(sum(dy * dy) AS BIGINT) AS syy
+                   FROM lg WHERE x IS NOT NULL),
+                 dd AS (SELECT n, CAST(n AS DOUBLE) AS nd,
+                     CAST(sx AS DOUBLE) AS sx, CAST(sy AS DOUBLE) AS sy,
+                     CAST(sxx AS DOUBLE) AS sxx, CAST(sxy AS DOUBLE) AS sxy,
+                     CAST(syy AS DOUBLE) AS syy
+                   FROM m),
+                 g AS (SELECT *, $adfGam AS gam FROM dd),
+                 a AS (SELECT *, (sy - gam * sx) / nd AS alpha FROM g),
+                 r AS (SELECT *, syy - alpha * sy - gam * sxy AS ssr FROM a)
+               SELECT n AS n_obs,
+                 round(gam, 6) AS gamma,
+                 round(gam / sqrt((ssr / (nd - 2.0)) * nd / (nd * sxx - sx * sx)), 6) AS t_stat,
+                 CAST(gam / sqrt((ssr / (nd - 2.0)) * nd / (nd * sxx - sx * sx)) < -2.86 AS BOOLEAN) AS stationary_5pct
+               FROM r"""))
   )
 }
