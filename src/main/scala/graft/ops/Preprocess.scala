@@ -304,6 +304,131 @@ object Preprocess {
                  round(min(o_totalprice / sc), 6) AS min_s,
                  round(max(o_totalprice / sc), 6) AS max_s
                FROM orders CROSS JOIN fit
-               GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+               GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    QueryDef(
+      "ml_polynomial_features",
+      // cuml.preprocessing PolynomialFeatures(degree=2): expand (q, d, t)
+      // to the full degree-2 basis — 3 linear + 6 quadratic terms (squares
+      // + pairwise interactions). A stateless map pass like ml_normalizer;
+      // the registered output is a deterministic bounded page
+      // (l_orderkey < 300, keyed order) rather than the whole 100 TB
+      // transform — the transform itself is embarrassingly parallel and
+      // the filter reaches the scan. Each term is one IEEE multiply of
+      // doubles exact at 2 dp, shared text cross-engine.
+      (s, dir) => {
+        T.lineitem(s, dir).where(col("l_orderkey") < 300)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity").cast("double").as("q"),
+            col("l_discount").cast("double").as("d"),
+            col("l_tax").cast("double").as("t"))
+          .selectExpr("l_orderkey", "l_linenumber", "q", "d", "t",
+            "round(q * q, 6) AS q2", "round(q * d, 6) AS qd",
+            "round(q * t, 6) AS qt", "round(d * d, 6) AS d2",
+            "round(d * t, 6) AS dt", "round(t * t, 6) AS t2")
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("""WITH b AS (SELECT l_orderkey, l_linenumber,
+                   CAST(l_quantity AS DOUBLE) AS q,
+                   CAST(l_discount AS DOUBLE) AS d,
+                   CAST(l_tax AS DOUBLE) AS t
+                 FROM lineitem WHERE l_orderkey < 300)
+              SELECT l_orderkey, l_linenumber, q, d, t,
+                round(q * q, 6) AS q2, round(q * d, 6) AS qd,
+                round(q * t, 6) AS qt, round(d * d, 6) AS d2,
+                round(d * t, 6) AS dt, round(t * t, 6) AS t2
+              FROM b ORDER BY l_orderkey, l_linenumber""")),
+
+    QueryDef(
+      "ml_scaler_merge",
+      // The dask-cuml MNMG partial_fit→merge contract for StandardScaler
+      // (the cuml.dask preprocessing shape, like ml_incremental_pca for
+      // PCA): shard lineitem into 4 "workers" by l_orderkey % 4 — in dask
+      // the shards ARE the collection's partitions, so a deterministic
+      // key-range split is the honest model (an affine hash % 4 would
+      // degenerate anyway: any multiplier ≡ 0 mod 4 collapses to one
+      // shard) — reduce each shard to its (n, Σx, Σx²) sufficient moments
+      // in ONE map-side-combined pass, then fold the shards through
+      // Chan's pairwise merge (m ← m₁ + δ·n₂/n, M2 ← M2₁ + M2₂ +
+      // δ²·n₁n₂/n) in fixed shard order. The merged mean/variance are
+      // emitted NEXT TO the direct single-pass global values — the
+      // merge-exactness audit a distributed partial_fit must pass.
+      // Determinism: shard sums ride the bit-identical sumE12 wire; the
+      // per-shard stats and the whole merge chain are shared-text IEEE
+      // expressions on those bit-same doubles. Scale: the only heavy step
+      // is the 4-group aggregation; the merge runs on a pivoted 1-row
+      // frame (shards would be real partitions at 100 TB, the fold a
+      // driver-side reduce over per-partition rows).
+      (s, dir) => {
+        val l = T.lineitem(s, dir).select(
+          expr("l_orderkey % 4").as("shard"),
+          col("l_extendedprice").cast("double").as("x"))
+          .transform(T.fanOut(_))
+        val sh = l.groupBy("shard").agg(
+          count(lit(1)).as("cnt"),
+          T.sumE12(col("x")).as("sxr"),
+          T.sumE12(col("x") * col("x")).as("sxxr"))
+          .selectExpr("shard", "CAST(cnt AS DOUBLE) AS cn",
+            s"${T.bitsE12("sxr")} AS sx", s"${T.bitsE12("sxxr")} AS sxx")
+        val pivotAggs = (0 to 3).flatMap(k => Seq(
+          max(when(col("shard") === k, col("cn"))).as(s"n$k"),
+          max(when(col("shard") === k, col("sx"))).as(s"s$k"),
+          max(when(col("shard") === k, col("sxx"))).as(s"ss$k")))
+        val piv = sh.agg(pivotAggs.head, pivotAggs.tail: _*)
+        mergeSteps.foldLeft(
+          piv.selectExpr(("*" +: (0 to 3).flatMap(k => Seq(
+            s"s$k / n$k AS m$k", s"ss$k - s$k * s$k / n$k AS q$k"))): _*)) {
+          case (df, (nm, ex)) => df.selectExpr("*", s"$ex AS $nm")
+        }
+          .selectExpr(
+            ((0 to 3).map(k => s"CAST(n$k AS BIGINT) AS n_shard$k") ++ Seq(
+              "CAST(nc AS BIGINT) AS n_merged",
+              "round(mc, 6) AS mean_merged",
+              "round(qc / nc, 6) AS var_merged",
+              "round((s0 + s1 + s2 + s3) / nc, 6) AS mean_direct",
+              "round(((ss0 + ss1 + ss2 + ss3) - (s0 + s1 + s2 + s3) * (s0 + s1 + s2 + s3) / nc) / nc, 6) AS var_direct")): _*)
+      },
+      Some(s"""WITH l AS (SELECT l_orderkey % 4 AS shard,
+                   CAST(l_extendedprice AS DOUBLE) AS x
+                 FROM lineitem),
+                 sh AS (SELECT shard, CAST(count(*) AS DOUBLE) AS cn,
+                     ${T.sqlSumE12("x")} AS sxr, ${T.sqlSumE12("x * x")} AS sxxr
+                   FROM l GROUP BY shard),
+                 shd AS (SELECT shard, cn, ${T.sqlBitsE12("sxr")} AS sx,
+                     ${T.sqlBitsE12("sxxr")} AS sxx FROM sh),
+                 piv AS (SELECT
+                     ${(0 to 3).map(k =>
+                       s"max(CASE WHEN shard = $k THEN cn END) AS n$k, " +
+                       s"max(CASE WHEN shard = $k THEN sx END) AS s$k, " +
+                       s"max(CASE WHEN shard = $k THEN sxx END) AS ss$k").mkString(",\n                     ")}
+                   FROM shd),
+                 st AS (SELECT *,
+                     ${(0 to 3).map(k =>
+                       s"s$k / n$k AS m$k, ss$k - s$k * s$k / n$k AS q$k").mkString(",\n                     ")}
+                   FROM piv),
+                 ${mergeSteps.zipWithIndex.map { case ((nm, ex), i) =>
+                   s"g${i + 1} AS (SELECT *, $ex AS $nm FROM g$i)"
+                 }.mkString(",\n                 ").replace("FROM g0", "FROM st")}
+               SELECT ${(0 to 3).map(k => s"CAST(n$k AS BIGINT) AS n_shard$k").mkString(", ")},
+                 CAST(nc AS BIGINT) AS n_merged,
+                 round(mc, 6) AS mean_merged,
+                 round(qc / nc, 6) AS var_merged,
+                 round((s0 + s1 + s2 + s3) / nc, 6) AS mean_direct,
+                 round(((ss0 + ss1 + ss2 + ss3) - (s0 + s1 + s2 + s3) * (s0 + s1 + s2 + s3) / nc) / nc, 6) AS var_direct
+               FROM g${mergeSteps.size}"""))
   )
+
+  /** Chan's pairwise merge of (n, mean, M2), folded shard 0→3 in fixed
+    * order — shared verbatim by the Spark selectExpr chain and the oracle
+    * CTE chain (each step one new column, referencing prior steps). */
+  private lazy val mergeSteps: Seq[(String, String)] = Seq(
+    "na" -> "n0 + n1", "da" -> "m1 - m0",
+    "ma" -> "m0 + da * n1 / na",
+    "qa" -> "q0 + q1 + da * da * n0 * n1 / na",
+    "nb" -> "na + n2", "db" -> "m2 - ma",
+    "mb" -> "ma + db * n2 / nb",
+    "qb" -> "qa + q2 + db * db * na * n2 / nb",
+    "nc" -> "nb + n3", "dc" -> "m3 - mb",
+    "mc" -> "mb + dc * n3 / nc",
+    "qc" -> "qb + q3 + dc * dc * nb * n3 / nc")
 }
