@@ -644,7 +644,52 @@ object Metrics {
                    FROM ro JOIN rp ON rp.ia = ro.ia AND rp.ib = ro.ib)
                SELECT n, 3 AS k, pen AS penalty,
                  round($trustText, 6) AS trustworthiness
-               FROM pen"""))
+               FROM pen""")),
+
+    QueryDef(
+      "ml_pairwise_kernels",
+      // cuml.metrics.pairwise_kernels on the bounded vec_id < 15 sample —
+      // the kernel quartet next to ml_pairwise_distances: linear (x·y),
+      // polynomial ((x·y + 1)², gamma=1 coef0=1 degree=2), RBF
+      // (exp(−‖x−y‖²), gamma=1 — distances here are ~1.2–1.6 so the
+      // values spread over [0.07, 0.25]), sigmoid (tanh(x·y + 1),
+      // spelled (e²ᶻ−1)/(e²ᶻ+1): this DuckDB build has no tanh builtin,
+      // and the shared exp-based text keeps the op sequence identical).
+      // Determinism: dot/distance agree cross-engine to ulps (the
+      // ml_pairwise_distances precedent); the transcendental kernels
+      // (exp, tanh) are REAL-collapsed before the 6-dp round so both
+      // engines serialize the identical value (the lnR discipline).
+      // Scale: bounded-sample broadcast nested loop — the full n² kernel
+      // matrix is not a registered-query shape; production pairs come
+      // from the LSH candidates.
+      (s, dir) => {
+        val e = T.embeddings(s, dir).where(col("vec_id") < 15)
+        val a = e.select(col("vec_id").as("id_a"), col("embedding").as("q_emb"))
+        val b = e.select(col("vec_id").as("id_b"), col("embedding").as("n_emb"))
+        val dot = graft.functions.Vec.dot(s, "q_emb", "n_emb")
+        val d = graft.functions.Vec.l2(s, "q_emb", "n_emb")
+        a.crossJoin(broadcast(b)).where(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"), dot.as("xy"), d.as("dd"))
+          .selectExpr("id_a", "id_b",
+            "round(xy, 6) AS k_linear",
+            "round((xy + 1.0) * (xy + 1.0), 6) AS k_poly",
+            "round(CAST(CAST(exp(-(dd * dd)) AS FLOAT) AS DOUBLE), 6) AS k_rbf",
+            "round(CAST(CAST((exp(2.0 * (xy + 1.0)) - 1.0) / (exp(2.0 * (xy + 1.0)) + 1.0) AS FLOAT) AS DOUBLE), 6) AS k_sigmoid")
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   list_inner_product(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])) AS xy,
+                   list_distance(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])) AS dd
+                 FROM embeddings a CROSS JOIN embeddings b
+                 WHERE a.vec_id < 15 AND b.vec_id < 15 AND a.vec_id < b.vec_id)
+              SELECT id_a, id_b,
+                round(xy, 6) AS k_linear,
+                round((xy + 1.0) * (xy + 1.0), 6) AS k_poly,
+                round(CAST(CAST(exp(-(dd * dd)) AS REAL) AS DOUBLE), 6) AS k_rbf,
+                round(CAST(CAST((exp(2.0 * (xy + 1.0)) - 1.0) / (exp(2.0 * (xy + 1.0)) + 1.0) AS REAL) AS DOUBLE), 6) AS k_sigmoid
+              FROM p ORDER BY id_a, id_b"""))
   )
 
   /** knnPredLang's oracle CTE chain (ML.sqlKnnPredCtes), referenced via a
