@@ -2841,6 +2841,145 @@ object ML {
       }),
 
     QueryDef(
+      "ml_mbsgd",
+      // cuML MBSGDRegressor proper (the minibatch refinement of
+      // ml_sgd_linreg): standardize (x, y) with the global mean/std, then
+      // 3 GD steps at lr = 0.1 where step k's gradient comes ONLY from
+      // minibatch k−1 (batch = l_orderkey % 3 — in dask the batches ARE
+      // partition subsets, the ml_scaler_merge sharding argument). ONE
+      // pass collects per-batch sufficient moments as conditional sums on
+      // the bit-identical sumE12 wire; standardized batch moments, the
+      // per-batch gradients, and the de-standardized (coef, intercept)
+      // all unfold as shared expression text over that single pivoted
+      // row — 3 minibatch steps, zero extra cluster passes (the 100 TB
+      // point of moment-form minibatching). Emits per-step standardized
+      // and raw coefficients so the batch-to-batch drift is visible.
+      (s, dir) => {
+        val l = T.lineitem(s, dir).select(
+          (col("l_orderkey") % 3).as("b"),
+          col("l_quantity").cast("double").as("x"),
+          col("l_extendedprice").cast("double").as("y"))
+        def cnt(b: Int) = sum(when(col("b") === b, 1L)).cast("double")
+        def ce12(b: Int, c: org.apache.spark.sql.Column) =
+          T.sumE12(when(col("b") === b, c))
+        val aggs =
+          (0 to 2).flatMap(b => Seq(
+            cnt(b).as(s"n$b"),
+            ce12(b, col("x")).as(s"sx${b}r"), ce12(b, col("y")).as(s"sy${b}r"),
+            ce12(b, col("x") * col("x")).as(s"sxx${b}r"),
+            ce12(b, col("x") * col("y")).as(s"sxy${b}r"))) :+
+          T.sumE12(col("y") * col("y")).as("syyr")
+        val m = l.agg(aggs.head, aggs.tail: _*)
+          .selectExpr(((0 to 2).flatMap(b => Seq(s"n$b",
+            s"${T.bitsE12(s"sx${b}r")} AS sx$b", s"${T.bitsE12(s"sy${b}r")} AS sy$b",
+            s"${T.bitsE12(s"sxx${b}r")} AS sxx$b",
+            s"${T.bitsE12(s"sxy${b}r")} AS sxy$b")) :+
+            s"${T.bitsE12("syyr")} AS syy"): _*)
+        stepChain(m, mbsgdSteps).selectExpr(
+          """stack(3,
+               1, 0, round(w1, 6), round(c1, 6), round(cr1, 6), round(ir1, 6),
+               2, 1, round(w2, 6), round(c2, 6), round(cr2, 6), round(ir2, 6),
+               3, 2, round(w3, 6), round(c3, 6), round(cr3, 6), round(ir3, 6)
+             ) AS (step, batch, coef_std, intercept_std, coef, intercept)""")
+          .orderBy("step")
+      },
+      Some {
+        val (ctes, fin) = sqlChainFrom(mbsgdSteps, "mg")
+        val shard = (0 to 2).map(b =>
+          s"""CAST(sum(CASE WHEN b = $b THEN 1 END) AS DOUBLE) AS n$b,
+              ${T.sqlSumE12(s"CASE WHEN b = $b THEN x END")} AS sx${b}r,
+              ${T.sqlSumE12(s"CASE WHEN b = $b THEN y END")} AS sy${b}r,
+              ${T.sqlSumE12(s"CASE WHEN b = $b THEN x * x END")} AS sxx${b}r,
+              ${T.sqlSumE12(s"CASE WHEN b = $b THEN x * y END")} AS sxy${b}r""").mkString(",\n              ")
+        val bits = (0 to 2).map(b =>
+          s"""n$b, ${T.sqlBitsE12(s"sx${b}r")} AS sx$b, ${T.sqlBitsE12(s"sy${b}r")} AS sy$b,
+              ${T.sqlBitsE12(s"sxx${b}r")} AS sxx$b, ${T.sqlBitsE12(s"sxy${b}r")} AS sxy$b""").mkString(",\n              ")
+        s"""WITH l AS (SELECT l_orderkey % 3 AS b,
+                CAST(l_quantity AS DOUBLE) AS x,
+                CAST(l_extendedprice AS DOUBLE) AS y
+              FROM lineitem),
+              mr AS (SELECT
+              $shard,
+              ${T.sqlSumE12("y * y")} AS syyr
+              FROM l),
+              m AS (SELECT
+              $bits,
+              ${T.sqlBitsE12("syyr")} AS syy
+              FROM mr),
+              $ctes
+            SELECT 1 AS step, 0 AS batch, round(w1, 6) AS coef_std, round(c1, 6) AS intercept_std,
+                   round(cr1, 6) AS coef, round(ir1, 6) AS intercept FROM $fin
+            UNION ALL
+            SELECT 2, 1, round(w2, 6), round(c2, 6), round(cr2, 6), round(ir2, 6) FROM $fin
+            UNION ALL
+            SELECT 3, 2, round(w3, 6), round(c3, 6), round(cr3, 6), round(ir3, 6) FROM $fin
+            ORDER BY step"""
+      }),
+
+    QueryDef(
+      "ml_softmax_multi",
+      // Multiclass (multinomial) logistic regression — cuML's softmax GLM,
+      // the K=3 generalization of ml_logreg_fit: classes (A, N, R) of
+      // l_returnflag with A as the pivot class, per-class logits
+      // z_k = a_k + b_k·q, 3 full-batch GD steps at lr = 5e-3 on the
+      // mean cross-entropy gradient. Per step: ONE pass whose softmax
+      // probabilities ride the REAL-collapsed exp (the irlsBeta
+      // discipline) and whose 4 gradient sums ride the bit-identical
+      // sumE12 wire; the driver accumulates (a_N, b_N, a_R, b_R) with
+      // the same left-associated update text the oracle's CTE chain
+      // evaluates, so the coefficients are bit-same cross-engine. The
+      // registered output scores the final model: coefficients plus the
+      // argmax-class prediction counts and training accuracy (argmax on
+      // logits — monotone, no exp needed at scoring).
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        val p = softmaxBeta(s, dir)
+        val bt = Seq((p(0), p(1), p(2), p(3))).toDF("can", "cbn", "car", "cbr")
+        T.lineitem(s, dir)
+          .select(col("l_returnflag").as("rf"), col("l_quantity").cast("double").as("q"))
+          .transform(T.fanOut(_))
+          .crossJoin(broadcast(bt))
+          .selectExpr("rf", "can + cbn * q AS zn", "car + cbr * q AS zr",
+            "can", "cbn", "car", "cbr")
+          .selectExpr("rf", "can", "cbn", "car", "cbr",
+            "CASE WHEN zn > 0 AND zn >= zr THEN 'N' WHEN zr > 0 AND zr > zn THEN 'R' ELSE 'A' END AS pred")
+          .groupBy("can", "cbn", "car", "cbr")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("pred") === "A", 1L).otherwise(0L)).as("pred_a"),
+            sum(when(col("pred") === "N", 1L).otherwise(0L)).as("pred_n"),
+            sum(when(col("pred") === "R", 1L).otherwise(0L)).as("pred_r"),
+            sum(when(col("pred") === col("rf"), 1L).otherwise(0L)).as("hits"))
+          .selectExpr("n",
+            "round(can, 6) AS a_n", "round(cbn, 6) AS b_n",
+            "round(car, 6) AS a_r", "round(cbr, 6) AS b_r",
+            "pred_a", "pred_n", "pred_r",
+            "round(CAST(hits AS DOUBLE) / n, 6) AS accuracy")
+      },
+      Some {
+        s"""WITH d AS (SELECT CAST(l_quantity AS DOUBLE) AS q,
+                CASE WHEN l_returnflag = 'N' THEN 1e0 ELSE 0e0 END AS yn,
+                CASE WHEN l_returnflag = 'R' THEN 1e0 ELSE 0e0 END AS yr,
+                l_returnflag AS rf
+              FROM lineitem),
+              $sqlSoftmaxChain,
+              sc AS (SELECT rf,
+                  CASE WHEN can + cbn * q > 0 AND can + cbn * q >= car + cbr * q THEN 'N'
+                       WHEN car + cbr * q > 0 AND car + cbr * q > can + cbn * q THEN 'R'
+                       ELSE 'A' END AS pred,
+                  can, cbn, car, cbr
+                FROM d CROSS JOIN bet3)
+            SELECT CAST(count(*) AS BIGINT) AS n,
+              round(max(can), 6) AS a_n, round(max(cbn), 6) AS b_n,
+              round(max(car), 6) AS a_r, round(max(cbr), 6) AS b_r,
+              CAST(sum(CASE WHEN pred = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS pred_a,
+              CAST(sum(CASE WHEN pred = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS pred_n,
+              CAST(sum(CASE WHEN pred = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS pred_r,
+              round(CAST(sum(CASE WHEN pred = rf THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS accuracy
+            FROM sc"""
+      }),
+
+    QueryDef(
       "ml_ridge_cv",
       // RidgeCV / GridSearchCV over alpha (r7): the model-selection
       // workflow the reference's estimator API implies. ONE lineitem pass
@@ -3154,6 +3293,112 @@ object ML {
         s"myy - 2 * a$k * my - 2 * b$k * mxy + a$k * a$k + 2 * a$k * b$k * mx + b$k * b$k * mxx"
     }
     steps.toSeq
+  }
+
+  /** ml_mbsgd's shared cascade: global standardization scalars from the
+    * summed batch moments, then 3 GD steps at lr = 0.1 where step k reads
+    * ONLY batch k−1's standardized moments (derived algebraically from the
+    * raw conditional sums — no second data pass), then the de-standardized
+    * coefficients. All on the bit-same bitsE12 doubles. */
+  private lazy val mbsgdSteps: Seq[(String, String)] = {
+    val base = Seq(
+      "n" -> "n0 + n1 + n2",
+      "mx" -> "(sx0 + sx1 + sx2) / n", "my" -> "(sy0 + sy1 + sy2) / n",
+      "vx" -> "(sxx0 + sxx1 + sxx2) / n - mx * mx",
+      "vy" -> "syy / n - my * my",
+      "sdx" -> "sqrt(vx)", "sdy" -> "sqrt(vy)",
+      "c0" -> "0e0", "w0" -> "0e0")
+    val steps = scala.collection.mutable.ArrayBuffer[(String, String)](base: _*)
+    for (k <- 1 to 3) {
+      val b = k - 1
+      steps += s"szb$k" -> s"(sx$b - n$b * mx) / sdx"
+      steps += s"sub$k" -> s"(sy$b - n$b * my) / sdy"
+      steps += s"szzb$k" -> s"(sxx$b - 2 * mx * sx$b + n$b * mx * mx) / vx"
+      steps += s"szub$k" -> s"(sxy$b - mx * sy$b - my * sx$b + n$b * mx * my) / (sdx * sdy)"
+      steps += s"gc$k" -> s"2 * (n$b * c${k - 1} + w${k - 1} * szb$k - sub$k) / n$b"
+      steps += s"gw$k" -> s"2 * (c${k - 1} * szb$k + w${k - 1} * szzb$k - szub$k) / n$b"
+      steps += s"c$k" -> s"c${k - 1} - 1e-1 * gc$k"
+      steps += s"w$k" -> s"w${k - 1} - 1e-1 * gw$k"
+      steps += s"cr$k" -> s"w$k * sdy / sdx"
+      steps += s"ir$k" -> s"my + c$k * sdy - cr$k * mx"
+    }
+    steps.toSeq
+  }
+
+  /** 3 softmax GD steps with DRIVER-HELD (a_N, b_N, a_R, b_R) — one
+    * REAL-collapsed softmax pass + 4 sumE12 gradient sums per step (see
+    * ml_softmax_multi). The driver update `p − 5e-3 * g / cnt` is spelled
+    * with the oracle's exact left-associated op order. */
+  private def softmaxBeta(s: SparkSession, dir: String): Array[Double] =
+    T.fitCache("softmaxBeta", dir) { softmaxBetaCompute(s, dir) }
+
+  private def softmaxBetaCompute(s: SparkSession, dir: String): Array[Double] = {
+    val spark = s
+    import spark.implicits._
+    val d = T.lineitem(s, dir).select(
+      col("l_quantity").cast("double").as("q"),
+      when(col("l_returnflag") === "N", 1.0).otherwise(0.0).as("yn"),
+      when(col("l_returnflag") === "R", 1.0).otherwise(0.0).as("yr"))
+      .transform(T.fanOut(_))
+    var p = Array(0.0, 0.0, 0.0, 0.0) // a_N, b_N, a_R, b_R
+    for (_ <- 1 to 3) {
+      val bt = Seq((p(0), p(1), p(2), p(3))).toDF("can", "cbn", "car", "cbr")
+      val rw = d.crossJoin(broadcast(bt))
+        .selectExpr("q", "yn", "yr",
+          "CAST(CAST(exp(can + cbn * q) AS FLOAT) AS DOUBLE) AS en",
+          "CAST(CAST(exp(car + cbr * q) AS FLOAT) AS DOUBLE) AS er")
+        .selectExpr("q", "yn", "yr",
+          "en / (1e0 + en + er) AS pn", "er / (1e0 + en + er) AS pr")
+      val r = rw.agg(
+        count(lit(1)).cast("double").as("cnt"),
+        T.sumE12(col("pn") - col("yn")).as("ganr"),
+        T.sumE12((col("pn") - col("yn")) * col("q")).as("gbnr"),
+        T.sumE12(col("pr") - col("yr")).as("garr"),
+        T.sumE12((col("pr") - col("yr")) * col("q")).as("gbrr"))
+        .selectExpr("cnt",
+          s"${T.bitsE12("ganr")} AS gan", s"${T.bitsE12("gbnr")} AS gbn",
+          s"${T.bitsE12("garr")} AS gar", s"${T.bitsE12("gbrr")} AS gbr")
+        .collect()(0)
+      val cnt = r.getDouble(0)
+      p = Array(
+        p(0) - 5e-3 * r.getDouble(1) / cnt,
+        p(1) - 5e-3 * r.getDouble(2) / cnt,
+        p(2) - 5e-3 * r.getDouble(3) / cnt,
+        p(3) - 5e-3 * r.getDouble(4) / cnt)
+    }
+    p
+  }
+
+  /** Oracle twin of [[softmaxBeta]]: bet0 (zeros) then 3 unrolled
+    * (softmax pass → 4 gradient sums → update) blocks, ending in
+    * `bet3(can, cbn, car, cbr)`; expects a CTE `d(q, yn, yr, ...)`. */
+  private lazy val sqlSoftmaxChain: String = {
+    val blocks = (1 to 3).map { k =>
+      s"""i$k AS (SELECT q, yn, yr,
+              CAST(CAST(exp(can + cbn * q) AS REAL) AS DOUBLE) AS en,
+              CAST(CAST(exp(car + cbr * q) AS REAL) AS DOUBLE) AS er
+            FROM d CROSS JOIN bet${k - 1}),
+          p$k AS (SELECT q, yn, yr,
+              en / (1e0 + en + er) AS pn, er / (1e0 + en + er) AS pr
+            FROM i$k),
+          m$k AS (SELECT CAST(count(*) AS DOUBLE) AS cnt,
+              ${T.sqlSumE12("pn - yn")} AS ganr,
+              ${T.sqlSumE12("(pn - yn) * q")} AS gbnr,
+              ${T.sqlSumE12("pr - yr")} AS garr,
+              ${T.sqlSumE12("(pr - yr) * q")} AS gbrr
+            FROM p$k),
+          g$k AS (SELECT cnt,
+              ${T.sqlBitsE12("ganr")} AS gan, ${T.sqlBitsE12("gbnr")} AS gbn,
+              ${T.sqlBitsE12("garr")} AS gar, ${T.sqlBitsE12("gbrr")} AS gbr
+            FROM m$k),
+          bet$k AS (SELECT can - 5e-3 * gan / cnt AS can,
+              cbn - 5e-3 * gbn / cnt AS cbn,
+              car - 5e-3 * gar / cnt AS car,
+              cbr - 5e-3 * gbr / cnt AS cbr
+            FROM bet${k - 1} CROSS JOIN g$k)"""
+    }
+    ("bet0 AS (SELECT 0e0 AS can, 0e0 AS cbn, 0e0 AS car, 0e0 AS cbr)" +: blocks)
+      .mkString(",\n          ")
   }
 
   /** Per-alpha centered ridge solve + train/valid RMSE by residual
