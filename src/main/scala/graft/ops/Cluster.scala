@@ -285,6 +285,139 @@ object Cluster {
                      ${T.sqlXsum("CAST(CAST(exp(-((qx - x) * (qx - x) + (qy - y) * (qy - y)) / 2e-4) AS REAL) AS DOUBLE)")} AS ks
                    FROM pts CROSS JOIN q GROUP BY q_id)
                SELECT q_id, round(ks / (nn * 2 * pi() * 1e-4), 6) AS density
-               FROM k CROSS JOIN n ORDER BY q_id"""))
+               FROM k CROSS JOIN n ORDER BY q_id""")),
+
+    QueryDef(
+      "ml_radius_neighbors",
+      // cuML NearestNeighbors.radius_neighbors (r7, closing the kneighbors/
+      // radius pair): all neighbors within r = 0.01 of the 40 bounded query
+      // points, per-query count / min / mean distance (a zero-neighbor
+      // query stays in the output with n = 0 — the API's empty-result
+      // contract). Scale shape: the SAME spatial-grid equi-join as
+      // ml_dbscan — queries explode their 3×3 cell neighborhood, the
+      // corpus is keyed by home cell, candidates per query are bounded by
+      // local density, never n². The exact predicate decides membership;
+      // sqrt is correctly-rounded IEEE so distances agree cross-engine,
+      // and the mean runs on the exact-decimal wire.
+      (s, dir) => {
+        val r = 0.01
+        val p = plane(s, dir).transform(T.fanOut(_, col("id")))
+        val home = p.select(col("id").as("n_id"), col("x"), col("y"),
+          floor(col("x") / r).as("cx"), floor(col("y") / r).as("cy"))
+        val qb = plane(s, dir).where(col("id") < 40)
+        val probe = qb.select(col("id").as("q_id"),
+            col("x").as("qx"), col("y").as("qy"),
+            floor(col("x") / r).as("qcx"), floor(col("y") / r).as("qcy"))
+          .select(col("q_id"), col("qx"), col("qy"),
+            explode(expr("flatten(transform(sequence(-1, 1), dx -> " +
+              "transform(sequence(-1, 1), dy -> " +
+              "struct(qcx + dx AS cx, qcy + dy AS cy))))")).as("c"))
+          .select(col("q_id"), col("qx"), col("qy"),
+            col("c.cx").as("cx"), col("c.cy").as("cy"))
+        val nb = probe.join(home, Seq("cx", "cy"))
+          .where(col("q_id") =!= col("n_id"))
+          .where((col("qx") - col("x")) * (col("qx") - col("x")) +
+                 (col("qy") - col("y")) * (col("qy") - col("y")) <= lit(r * r))
+          .select(col("q_id"),
+            sqrt((col("qx") - col("x")) * (col("qx") - col("x")) +
+                 (col("qy") - col("y")) * (col("qy") - col("y"))).as("d"))
+        val agg = nb.groupBy("q_id").agg(
+          count(lit(1)).as("nn"),
+          round(min(col("d")), 6).as("min_dist"),
+          round(T.xsum(col("d")) / count(lit(1)), 6).as("mean_dist"))
+        qb.select(col("id").as("vec_id"))
+          .join(agg, col("vec_id") === col("q_id"), "left")
+          .select(col("vec_id"), coalesce(col("nn"), lit(0L)).as("n_neighbors"),
+            col("min_dist"), col("mean_dist"))
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH pts AS (SELECT vec_id AS id, CAST(embedding[1] AS DOUBLE) AS x,
+                   CAST(embedding[2] AS DOUBLE) AS y FROM embeddings),
+                 q AS (SELECT id AS q_id, x AS qx, y AS qy FROM pts WHERE id < 40),
+                 nb AS (SELECT q_id,
+                     sqrt((qx - x) * (qx - x) + (qy - y) * (qy - y)) AS d
+                   FROM q JOIN pts p ON p.id <> q_id
+                    AND (qx - x) * (qx - x) + (qy - y) * (qy - y) <= ${0.01 * 0.01}),
+                 ag AS (SELECT q_id, count(*) AS nn,
+                     round(min(d), 6) AS min_dist,
+                     round(${T.sqlXsum("d")} / count(*), 6) AS mean_dist
+                   FROM nb GROUP BY q_id)
+               SELECT q_id AS vec_id, coalesce(nn, 0) AS n_neighbors,
+                 min_dist, mean_dist
+               FROM q LEFT JOIN ag USING (q_id) ORDER BY vec_id""")),
+
+    QueryDef(
+      "ml_umap_graph",
+      // cuml.manifold UMAP's GRAPH phase (the fuzzy simplicial set — the
+      // part of UMAP that is a dataflow; the SGD layout phase is inherently
+      // sequential and belongs on the client): k = 3 directed kNN over the
+      // bounded 30-vector sample in the full 64-d space, per-point
+      // connectivity calibration ρ_i = nearest distance and σ_i = mean
+      // positive gap (the smooth-kNN bisection's fixed-point target,
+      // simplified to its closed companion — honestly labeled), membership
+      // w_{j|i} = exp(−(d − ρ_i)/σ_i), then the probabilistic-t-conorm
+      // symmetrization w = w_ab + w_ba − w_ab·w_ba that UMAP applies. At
+      // scale the kNN edges come from the IVF probe shape (ml_knn_graph);
+      // the per-point calibration and symmetrization are the same two
+      // bounded window passes + one groupBy regardless of corpus size.
+      // Determinism: distances are the shared codegen'd/list_distance
+      // loop, σ sums ride the exact-decimal wire, exp is REAL-collapsed.
+      (s, dir) => {
+        val e = T.embeddings(s, dir).where(col("vec_id") < 30)
+          .select(col("vec_id").as("id"), col("embedding").as("emb"))
+        val b = e.select(col("id").as("jid"), col("emb").as("jemb"))
+        val kw = Window.partitionBy(col("id")).orderBy(col("d"), col("jid"))
+        val rw = Window.partitionBy(col("id"))
+        val knn = e.crossJoin(broadcast(b))
+          .where(col("id") =!= col("jid"))
+          .select(col("id"), col("jid"),
+            graft.functions.Vec.l2(s, "emb", "jemb").as("d"))
+          .withColumn("rn", row_number().over(kw)).where(col("rn") <= 3)
+        val w = knn
+          .withColumn("rho", min(col("d")).over(rw))
+          .withColumn("sig", greatest(
+            sum((col("d") - col("rho")).cast(T.exact)).over(rw)
+              .cast("double") / lit(3.0), lit(1e-9)))
+          .select(col("id"), col("jid"),
+            expr("CAST(CAST(exp(-(d - rho) / sig) AS FLOAT) AS DOUBLE)").as("w"))
+        w.select(least(col("id"), col("jid")).as("a"),
+            greatest(col("id"), col("jid")).as("b"),
+            when(col("id") < col("jid"), col("w")).as("wab"),
+            when(col("id") > col("jid"), col("w")).as("wba"))
+          .groupBy("a", "b").agg(
+            coalesce(max(col("wab")), lit(0.0)).as("uab"),
+            coalesce(max(col("wba")), lit(0.0)).as("uba"))
+          .selectExpr("a", "b", "round(uab, 6) AS w_ab", "round(uba, 6) AS w_ba",
+            "round(uab + uba - uab * uba, 6) AS w_sym")
+          .orderBy("a", "b")
+      },
+      Some(s"""WITH sm AS (SELECT vec_id AS id, embedding AS emb
+                   FROM embeddings WHERE vec_id < 30),
+                 knn AS (SELECT id, jid, d FROM (
+                     SELECT a.id, b.id AS jid,
+                       list_distance(CAST(a.emb AS DOUBLE[]), CAST(b.emb AS DOUBLE[])) AS d,
+                       row_number() OVER (PARTITION BY a.id
+                         ORDER BY list_distance(CAST(a.emb AS DOUBLE[]),
+                                                CAST(b.emb AS DOUBLE[])), b.id) AS rn
+                     FROM sm a JOIN sm b ON a.id <> b.id) t
+                   WHERE rn <= 3),
+                 r1 AS (SELECT id, jid, d, min(d) OVER (PARTITION BY id) AS rho FROM knn),
+                 r2 AS (SELECT id, jid, d, rho,
+                     greatest(CAST(sum(CAST((d - rho) AS DECIMAL(30,12)))
+                       OVER (PARTITION BY id) AS DOUBLE) / 3.0, 1e-9) AS sig
+                   FROM r1),
+                 w AS (SELECT id, jid,
+                     CAST(CAST(exp(-(d - rho) / sig) AS REAL) AS DOUBLE) AS w
+                   FROM r2),
+                 und AS (SELECT least(id, jid) AS a, greatest(id, jid) AS b,
+                     CASE WHEN id < jid THEN w END AS wab,
+                     CASE WHEN id > jid THEN w END AS wba
+                   FROM w),
+                 g AS (SELECT a, b, coalesce(max(wab), 0e0) AS uab,
+                     coalesce(max(wba), 0e0) AS uba
+                   FROM und GROUP BY a, b)
+               SELECT a, b, round(uab, 6) AS w_ab, round(uba, 6) AS w_ba,
+                 round(uab + uba - uab * uba, 6) AS w_sym
+               FROM g ORDER BY a, b"""))
   )
 }

@@ -289,6 +289,63 @@ object Forecast {
                  round(gam, 6) AS gamma,
                  round(gam / sqrt((ssr / (nd - 2.0)) * nd / (nd * sxx - sx * sx)), 6) AS t_stat,
                  CAST(gam / sqrt((ssr / (nd - 2.0)) * nd / (nd * sxx - sx * sx)) < -2.86 AS BOOLEAN) AS stationary_5pct
-               FROM r"""))
+               FROM r""")),
+
+    QueryDef(
+      "ml_seasonal_decompose",
+      // Classical additive seasonal decomposition of the daily event
+      // series (the tsa.seasonal_decompose companion to the ARIMA/ADF
+      // rows): trend = 7-day centered moving average (defined only where
+      // the window is full — the endpoints are NULL, the statsmodels
+      // contract), seasonal = per-day-of-week mean of the detrended
+      // series, resid = y − trend − seasonal. Day-of-week is computed as
+      // epoch-days mod 7 (locale-free, identical cross-engine). Every
+      // window runs over the ≤|days| AGGREGATED rows (the bounded-series
+      // discipline); the trend mean is a ratio of exact BIGINTs, the
+      // seasonal means ride the exact-decimal wire.
+      (s, dir) => {
+        val daily = T.events(s, dir)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("y"))
+        val wIdx = Window.orderBy("day")
+        val wMA = Window.orderBy("t").rowsBetween(-3, 3)
+        val ws = Window.partitionBy("dow")
+        daily
+          .withColumn("t", row_number().over(wIdx))
+          .withColumn("dow",
+            expr("CAST(datediff(day, DATE '1970-01-01') % 7 AS INT)"))
+          .withColumn("c7", count(lit(1)).over(wMA))
+          .withColumn("s7", sum(col("y")).over(wMA))
+          .withColumn("trend",
+            when(col("c7") === 7, expr("CAST(s7 AS DOUBLE) / 7")))
+          .withColumn("det", col("y") - col("trend"))
+          .withColumn("seasonal",
+            sum(col("det").cast(T.exact)).over(ws).cast("double") /
+              count(col("det")).over(ws))
+          .select(col("day"), col("y"), col("dow"),
+            round(col("trend"), 6).as("trend"),
+            round(col("seasonal"), 6).as("seasonal"),
+            round(col("y") - col("trend") - col("seasonal"), 6).as("resid"))
+          .orderBy("day")
+      },
+      Some("""WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS y
+                             FROM events GROUP BY 1),
+                idx AS (SELECT day, y, row_number() OVER (ORDER BY day) AS t,
+                    CAST((day - DATE '1970-01-01') % 7 AS INT) AS dow
+                  FROM daily),
+                ma AS (SELECT *, count(*) OVER w7 AS c7, sum(y) OVER w7 AS s7
+                  FROM idx
+                  WINDOW w7 AS (ORDER BY t ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+                tr AS (SELECT *, CASE WHEN c7 = 7 THEN CAST(s7 AS DOUBLE) / 7 END AS trend
+                  FROM ma),
+                dt AS (SELECT *, y - trend AS det FROM tr),
+                se AS (SELECT *,
+                    CAST(sum(CAST(det AS DECIMAL(30,12))) OVER (PARTITION BY dow) AS DOUBLE)
+                      / count(det) OVER (PARTITION BY dow) AS seasonal
+                  FROM dt)
+              SELECT day, y, dow, round(trend, 6) AS trend,
+                round(seasonal, 6) AS seasonal,
+                round(y - trend - seasonal, 6) AS resid
+              FROM se ORDER BY day"""))
   )
 }

@@ -3153,6 +3153,48 @@ object ML {
                    FROM d, b3)
                SELECT round(fa, 6) AS intercept, round(fb, 6) AS slope,
                  round(es / n, 6) AS eps_loss, nout AS n_outside
+               FROM fin""")),
+
+    QueryDef(
+      "ml_svm_predict",
+      // SVC.predict for the hinge fit (r7, completing the SVM fit→predict
+      // contract like the regularized-regression twins): ONE scoring pass
+      // with the driver-held (a, b) — decision value f = a + b·x, class =
+      // sign(f) — emitting the confusion counts (tp/fp/fn/tn vs the ±1
+      // label), accuracy, and the positive-class rates on each side of the
+      // boundary. The decision comparison is f >= 0 on doubles both
+      // engines computed from the same text; counts are exact integers.
+      // fitCached: within one session the three SVM queries pay the
+      // subgradient passes once.
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        val (a, b) = svmAB(s, dir)
+        val d = svmRows(s, dir)
+        val ab = Seq((a, b)).toDF("ca", "cb")
+        d.crossJoin(broadcast(ab))
+          .select(col("cy"), (col("ca") + col("cb") * col("cx")).as("f"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("f") >= 0 && col("cy") > 0, 1L).otherwise(0L)).as("tp"),
+            sum(when(col("f") >= 0 && col("cy") < 0, 1L).otherwise(0L)).as("fp"),
+            sum(when(col("f") < 0 && col("cy") > 0, 1L).otherwise(0L)).as("fn"),
+            sum(when(col("f") < 0 && col("cy") < 0, 1L).otherwise(0L)).as("tn"))
+          .selectExpr("n", "tp", "fp", "fn", "tn",
+            "round(CAST(tp + tn AS DOUBLE) / n, 6) AS accuracy",
+            "round(CASE WHEN tp + fp = 0 THEN 0e0 ELSE CAST(tp AS DOUBLE) / (tp + fp) END, 6) AS precision_pos",
+            "round(CASE WHEN tp + fn = 0 THEN 0e0 ELSE CAST(tp AS DOUBLE) / (tp + fn) END, 6) AS recall_pos")
+      },
+      Some(s"""WITH $sqlSvmChain,
+                 fin AS (SELECT count(*) AS n,
+                     CAST(sum(CASE WHEN b3.a + b3.b * x >= 0 AND y > 0 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                     CAST(sum(CASE WHEN b3.a + b3.b * x >= 0 AND y < 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                     CAST(sum(CASE WHEN b3.a + b3.b * x < 0 AND y > 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+                     CAST(sum(CASE WHEN b3.a + b3.b * x < 0 AND y < 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+                   FROM d, b3)
+               SELECT n, tp, fp, fn, tn,
+                 round(CAST(tp + tn AS DOUBLE) / n, 6) AS accuracy,
+                 round(CASE WHEN tp + fp = 0 THEN 0e0 ELSE CAST(tp AS DOUBLE) / (tp + fp) END, 6) AS precision_pos,
+                 round(CASE WHEN tp + fn = 0 THEN 0e0 ELSE CAST(tp AS DOUBLE) / (tp + fn) END, 6) AS recall_pos
                FROM fin"""))
   )
 

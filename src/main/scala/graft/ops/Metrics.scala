@@ -689,7 +689,56 @@ object Metrics {
                 round((xy + 1.0) * (xy + 1.0), 6) AS k_poly,
                 round(CAST(CAST(exp(-(dd * dd)) AS REAL) AS DOUBLE), 6) AS k_rbf,
                 round(CAST(CAST((exp(2.0 * (xy + 1.0)) - 1.0) / (exp(2.0 * (xy + 1.0)) + 1.0) AS REAL) AS DOUBLE), 6) AS k_sigmoid
-              FROM p ORDER BY id_a, id_b"""))
+              FROM p ORDER BY id_a, id_b""")),
+
+    QueryDef(
+      "ml_msle",
+      // cuml.metrics mean_squared_log_error of the multi-feature OLS —
+      // completing the regression-metric family next to ml_mse_mae /
+      // ml_r2_score on the SAME one scoring pass with the in-plan solved
+      // coefficients. Predictions are clamped at 0 before log1p (the
+      // sklearn non-negativity contract, met by construction here since
+      // extendedprice predictions are positive — the clamp makes the
+      // operator total). Each ln is REAL-collapsed, the squared log-error
+      // terms (one IEEE subtract + multiply of identical doubles) sum on
+      // the exact-decimal wire.
+      (s, dir) => {
+        val coefs = ML.gaussSolved(s, dir).selectExpr("x0", "x1", "x2", "x3")
+        val l = T.lineitem(s, dir).select(
+          col("l_quantity").cast("double").as("q"),
+          col("l_discount").cast("double").as("d"),
+          col("l_tax").cast("double").as("t"),
+          col("l_extendedprice").cast("double").as("y"))
+          .transform(T.fanOut(_))
+        l.crossJoin(broadcast(coefs))
+          .select(
+            expr(s"${lnR("1e0 + y", spark = true)} - ${lnR(
+                "1e0 + greatest(0e0, x0 + x1 * q + x2 * d + x3 * t)", spark = true)}")
+              .as("le"))
+          .agg(count(lit(1)).cast("double").as("n"),
+            T.xsum(col("le") * col("le")).as("sle"))
+          .selectExpr("CAST(n AS BIGINT) AS n",
+            "round(sle / n, 6) AS msle",
+            "round(sqrt(sle / n), 6) AS rmsle")
+      },
+      Some(s"""WITH ${ML.sqlGaussChain},
+                 l AS (SELECT CAST(l_quantity AS DOUBLE) AS q,
+                         CAST(l_discount AS DOUBLE) AS d,
+                         CAST(l_tax AS DOUBLE) AS t,
+                         CAST(l_extendedprice AS DOUBLE) AS y
+                       FROM lineitem),
+                 sc AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                     ${T.sqlXsum(
+                       s"""(${lnR("1e0 + y", spark = false)} - ${lnR(
+                         "1e0 + greatest(0e0, x0 + x1 * q + x2 * d + x3 * t)",
+                         spark = false)}) * (${lnR("1e0 + y", spark = false)} - ${lnR(
+                         "1e0 + greatest(0e0, x0 + x1 * q + x2 * d + x3 * t)",
+                         spark = false)})""")} AS sle
+                   FROM l, ${ML.sqlGaussFinal})
+               SELECT CAST(n AS BIGINT) AS n,
+                 round(sle / n, 6) AS msle,
+                 round(sqrt(sle / n), 6) AS rmsle
+               FROM sc"""))
   )
 
   /** knnPredLang's oracle CTE chain (ML.sqlKnnPredCtes), referenced via a

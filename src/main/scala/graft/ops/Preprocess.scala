@@ -307,6 +307,42 @@ object Preprocess {
                GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
     QueryDef(
+      "ml_binarizer",
+      // cuml.preprocessing Binarizer (r7): threshold indicators for two
+      // features (discount > 0.05, quantity > 25) — a stateless map pass
+      // (zero fit state, the 100 TB default) audited per returnflag: the
+      // indicator rates and their co-occurrence. Pure integer arithmetic
+      // after two double comparisons both engines evaluate identically.
+      (s, dir) => {
+        T.lineitem(s, dir)
+          .select(col("l_returnflag").as("rf"),
+            (col("l_discount") > 0.05).cast("long").as("bd"),
+            (col("l_quantity") > 25).cast("long").as("bq"))
+          .groupBy("rf")
+          .agg(count(lit(1)).as("n"),
+            sum(col("bd")).as("n_disc"),
+            sum(col("bq")).as("n_qty"),
+            sum(col("bd") * col("bq")).as("n_both"))
+          .selectExpr("rf", "n", "n_disc", "n_qty", "n_both",
+            "round(CAST(n_disc AS DOUBLE) / n, 6) AS rate_disc",
+            "round(CAST(n_qty AS DOUBLE) / n, 6) AS rate_qty")
+          .orderBy("rf")
+      },
+      Some("""WITH b AS (SELECT l_returnflag AS rf,
+                   CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END AS bd,
+                   CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END AS bq
+                 FROM lineitem),
+                 g AS (SELECT rf, count(*) AS n,
+                     CAST(sum(bd) AS BIGINT) AS n_disc,
+                     CAST(sum(bq) AS BIGINT) AS n_qty,
+                     CAST(sum(bd * bq) AS BIGINT) AS n_both
+                   FROM b GROUP BY rf)
+               SELECT rf, n, n_disc, n_qty, n_both,
+                 round(CAST(n_disc AS DOUBLE) / n, 6) AS rate_disc,
+                 round(CAST(n_qty AS DOUBLE) / n, 6) AS rate_qty
+               FROM g ORDER BY rf""")),
+
+    QueryDef(
       "ml_polynomial_features",
       // cuml.preprocessing PolynomialFeatures(degree=2): expand (q, d, t)
       // to the full degree-2 basis — 3 linear + 6 quadratic terms (squares

@@ -93,6 +93,33 @@ object Supervised {
          CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
        FROM lineitem)"""
 
+  /** Regression sibling of [[feats]]: continuous target yr = extendedprice
+    * (the ml_rf_regress frame). */
+  private def featsR(s: SparkSession, dir: String): DataFrame =
+    T.lineitem(s, dir).select(
+      col("l_orderkey"), col("l_linenumber"),
+      col("l_quantity").cast("double").as("q"),
+      col("l_discount").cast("double").as("d"),
+      col("l_tax").cast("double").as("t"),
+      col("l_extendedprice").cast("double").as("yr"))
+      .transform(T.fanOut(_))
+
+  private val sqlFeatsR =
+    """lr AS (SELECT l_orderkey, l_linenumber,
+         CAST(l_quantity AS DOUBLE) AS q, CAST(l_discount AS DOUBLE) AS d,
+         CAST(l_tax AS DOUBLE) AS t,
+         CAST(l_extendedprice AS DOUBLE) AS yr
+       FROM lineitem)"""
+
+  /** Variance-reduction split score (maximizing Σ_l²/n_l + Σ_r²/n_r ≡
+    * minimizing SSE; the Σy² term is split-independent and cancels) —
+    * shared verbatim so argmax ordering is identical cross-engine; an
+    * empty side is excluded with a -1 sentinel (every real split scores
+    * > 0 on a positive target). */
+  private val scoreTextR =
+    """CASE WHEN nl = 0 OR n - nl = 0 THEN -1e0
+       ELSE syl * syl / nl + (sy - syl) * (sy - syl) / (n - nl) END"""
+
   /** Candidate-split counts: one aggregation over the ×|grid| amplified
     * rows (map-side combine collapses each partition to |grid| groups
     * before the shuffle). `extra` prepends grouping columns (the forest's
@@ -485,7 +512,106 @@ object Supervised {
                          ORDER BY total DESC, c_lang ASC) AS rn
                      FROM tot) t WHERE rn = 1)
                SELECT lang AS actual, c_lang AS pred, count(*) AS n
-               FROM pred GROUP BY lang, c_lang ORDER BY actual, pred"""))
+               FROM pred GROUP BY lang, c_lang ORDER BY actual, pred""")),
+
+    QueryDef(
+      "ml_rf_regress",
+      // cuml.dask.ensemble RandomForestRegressor [R] in the same MNMG
+      // merged-vote shape as ml_rf_predict, with the regression split
+      // criterion: 8 affine-hash shards each fit a variance-reduction
+      // stump on yr = extendedprice (argmax of Σ_l²/n_l + Σ_r²/n_r — the
+      // SSE-minimizing split, from ONE pass of conditional counts + sumE12
+      // sums per shard), the 8 (feature, thr, mean_l, mean_r) stumps
+      // become driver-held literals, and the forest predicts the MEAN of
+      // the 8 leaf means. Scoring is a pure map pass; the output groups by
+      // the integer BRANCH PATTERN (bit i = shard i's branch) — the
+      // prediction is a function of the pattern, so the calibration key is
+      // exact integer arithmetic, immune to float grouping hazards. Leaf
+      // means ride the bit-identical sumE12 wire; the 8-way mean sums
+      // DECIMAL(30,12) leaf terms (order-free) before one double divide.
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        val stumps: Array[(Int, String, String, String, String)] =
+          T.fitCache("rfRegStumps", dir) {
+            val cands = grid.toDF("feature", "thrs")
+              .select(col("feature"), col("thrs").cast("double").as("thr"))
+            val sharded = featsR(s, dir).withColumn("shard", expr(shardExpr))
+            val best = Window.partitionBy(col("shard"))
+              .orderBy(col("score").desc, col("feature").asc, col("thr").asc)
+            sharded.crossJoin(broadcast(cands))
+              .withColumn("x", expr(
+                "CASE feature WHEN 'quantity' THEN q WHEN 'discount' THEN d ELSE t END"))
+              .groupBy("shard", "feature", "thr")
+              .agg(count(lit(1)).as("n"),
+                sum(when(col("x") <= col("thr"), 1L).otherwise(0L)).as("nl"),
+                T.sumE12(col("yr")).as("syr"),
+                T.sumE12(when(col("x") <= col("thr"), col("yr"))).as("sylr"))
+              .selectExpr("shard", "feature", "thr", "n", "nl",
+                s"${T.bitsE12("syr")} AS sy", s"${T.bitsE12("sylr")} AS syl")
+              .withColumn("score", expr(scoreTextR))
+              .withColumn("rn", row_number().over(best)).where(col("rn") === 1)
+              .selectExpr("shard", "feature", "thr",
+                "syl / nl AS ml", "(sy - syl) / (n - nl) AS mr")
+              .collect()
+              .map(r => (r.getInt(0), r.getString(1),
+                java.lang.Double.toString(r.getDouble(2)),
+                java.lang.Double.toString(r.getDouble(3)),
+                java.lang.Double.toString(r.getDouble(4))))
+              .sortBy(_._1)
+          }
+        def xOf(f: String) =
+          f match { case "quantity" => "q"; case "discount" => "d"; case _ => "t" }
+        val pattern = stumps.map { case (sh, f, thr, _, _) =>
+          s"(CASE WHEN ${xOf(f)} <= $thr THEN ${1 << sh} ELSE 0 END)"
+        }.mkString(" + ")
+        val pred = stumps.map { case (_, f, thr, ml, mr) =>
+          s"CAST((CASE WHEN ${xOf(f)} <= $thr THEN $ml ELSE $mr END) AS DECIMAL(30,12))"
+        }.mkString(" + ")
+        featsR(s, dir)
+          .select(col("yr"),
+            expr(s"CAST($pattern AS BIGINT)").as("pattern"),
+            expr(s"CAST(($pred) AS DOUBLE) / 8").as("p"))
+          .groupBy("pattern")
+          .agg(count(lit(1)).as("n"), max(col("p")).as("pm"),
+            T.xsum(col("yr")).as("sy2"))
+          .selectExpr("pattern", "n", "round(pm, 6) AS pred",
+            "round(sy2 / n, 6) AS actual_mean")
+          .orderBy("pattern")
+      },
+      Some(s"""WITH $sqlFeatsR, $sqlGrid,
+                 sh AS (SELECT *, $shardExpr AS shard FROM lr),
+                 sc AS (SELECT shard, feature, thr, count(*) AS n,
+                     CAST(sum(CASE WHEN (CASE feature WHEN 'quantity' THEN q
+                           WHEN 'discount' THEN d ELSE t END) <= thr
+                         THEN 1 ELSE 0 END) AS BIGINT) AS nl,
+                     ${T.sqlSumE12("yr")} AS syr,
+                     ${T.sqlSumE12("CASE WHEN (CASE feature WHEN 'quantity' THEN q WHEN 'discount' THEN d ELSE t END) <= thr THEN yr END")} AS sylr
+                   FROM sh CROSS JOIN cand GROUP BY shard, feature, thr),
+                 sb AS (SELECT shard, feature, thr, n, nl,
+                     ${T.sqlBitsE12("syr")} AS sy, ${T.sqlBitsE12("sylr")} AS syl
+                   FROM sc),
+                 g AS (SELECT *, $scoreTextR AS score FROM sb),
+                 st AS (SELECT shard, feature, thr,
+                     syl / nl AS ml, (sy - syl) / (n - nl) AS mr
+                   FROM (SELECT *, row_number() OVER (PARTITION BY shard
+                       ORDER BY score DESC, feature ASC, thr ASC) AS rn FROM g) t
+                   WHERE rn = 1),
+                 scored AS (SELECT lr.yr,
+                     (SELECT CAST(sum(CASE WHEN (CASE st.feature
+                           WHEN 'quantity' THEN lr.q WHEN 'discount' THEN lr.d
+                           ELSE lr.t END) <= st.thr
+                         THEN CAST(pow(2, st.shard) AS BIGINT) ELSE 0 END) AS BIGINT)
+                      FROM st) AS pattern,
+                     (SELECT CAST(sum(CAST(CASE WHEN (CASE st.feature
+                           WHEN 'quantity' THEN lr.q WHEN 'discount' THEN lr.d
+                           ELSE lr.t END) <= st.thr
+                         THEN st.ml ELSE st.mr END AS DECIMAL(30,12))) AS DOUBLE)
+                      FROM st) / 8 AS p
+                   FROM lr)
+               SELECT pattern, count(*) AS n, round(max(p), 6) AS pred,
+                 round(${T.sqlXsum("yr")} / count(*), 6) AS actual_mean
+               FROM scored GROUP BY pattern ORDER BY pattern"""))
   )
 
   /** REAL-collapsed ln — the shared float-precision collapse text (lnLik's
