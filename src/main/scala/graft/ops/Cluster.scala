@@ -418,6 +418,172 @@ object Cluster {
                    FROM und GROUP BY a, b)
                SELECT a, b, round(uab, 6) AS w_ab, round(uba, 6) AS w_ba,
                  round(uab + uba - uab * uba, 6) AS w_sym
-               FROM g ORDER BY a, b"""))
+               FROM g ORDER BY a, b""")),
+
+    QueryDef(
+      "ml_make_blobs",
+      // cuml.dask.datasets.make_blobs [R] — the dataset-generation module
+      // as a registered row: n = 1000 samples, K = 4 literal centers,
+      // cluster_std = 0.5, generated STATELESSLY per id (cluster = i mod 4;
+      // two affine-hash LCG rounds → uniforms; Box-Muller → gaussian
+      // offsets) — embarrassingly parallel at any n, zero driver state,
+      // exactly how a distributed generator must work (the dask make_blobs
+      // contract: each partition generates its id range independently).
+      // The audit output is the per-cluster moment check (n, mean≈center,
+      // std≈0.5). Determinism: integer hash arithmetic is exact BIGINT;
+      // ln/cos/sin are REAL-collapsed; moment sums ride the exact wire.
+      // The constant series bound IS the semantics here (n_samples is the
+      // generator's parameter, not a data-derived cap).
+      (s, dir) => {
+        s.range(0, 1000).toDF("i")
+          .selectExpr("i % 4 AS c",
+            "CAST(((i * 48271 + 11) * 69621 + 7) % 2147483647 AS DOUBLE) AS h1",
+            "CAST(((i * 16807 + 3) * 48271 + 19) % 2147483647 AS DOUBLE) AS h2")
+          .selectExpr("c", "(h1 + 1e0) / 2147483648e0 AS u1",
+            "(h2 + 1e0) / 2147483648e0 AS u2")
+          .selectExpr("c",
+            "sqrt(-2e0 * CAST(CAST(ln(u1) AS FLOAT) AS DOUBLE)) * CAST(CAST(cos(6.283185307179586e0 * u2) AS FLOAT) AS DOUBLE) AS z1",
+            "sqrt(-2e0 * CAST(CAST(ln(u1) AS FLOAT) AS DOUBLE)) * CAST(CAST(sin(6.283185307179586e0 * u2) AS FLOAT) AS DOUBLE) AS z2")
+          .selectExpr("c",
+            "(CASE WHEN c = 1 OR c = 3 THEN 4e0 ELSE 0e0 END) + 5e-1 * z1 AS x",
+            "(CASE WHEN c = 2 OR c = 3 THEN 4e0 ELSE 0e0 END) + 5e-1 * z2 AS y")
+          .groupBy(col("c").as("cluster"))
+          .agg(count(lit(1)).as("n"),
+            T.xsum(col("x")).as("sx"), T.xsum(col("x") * col("x")).as("sxx"),
+            T.xsum(col("y")).as("sy"), T.xsum(col("y") * col("y")).as("syy"))
+          .selectExpr("cluster", "n",
+            "round(sx / n, 6) AS mean_x",
+            "round(sqrt(sxx / n - (sx / n) * (sx / n)), 6) AS std_x",
+            "round(sy / n, 6) AS mean_y",
+            "round(sqrt(syy / n - (sy / n) * (sy / n)), 6) AS std_y")
+          .orderBy("cluster")
+      },
+      Some(s"""WITH ids AS (SELECT i FROM generate_series(0, 999) t(i)),
+                 h AS (SELECT i % 4 AS c,
+                     CAST(((i * 48271 + 11) * 69621 + 7) % 2147483647 AS DOUBLE) AS h1,
+                     CAST(((i * 16807 + 3) * 48271 + 19) % 2147483647 AS DOUBLE) AS h2
+                   FROM ids),
+                 u AS (SELECT c, (h1 + 1e0) / 2147483648e0 AS u1,
+                     (h2 + 1e0) / 2147483648e0 AS u2 FROM h),
+                 z AS (SELECT c,
+                     sqrt(-2e0 * CAST(CAST(ln(u1) AS REAL) AS DOUBLE)) * CAST(CAST(cos(6.283185307179586e0 * u2) AS REAL) AS DOUBLE) AS z1,
+                     sqrt(-2e0 * CAST(CAST(ln(u1) AS REAL) AS DOUBLE)) * CAST(CAST(sin(6.283185307179586e0 * u2) AS REAL) AS DOUBLE) AS z2
+                   FROM u),
+                 p AS (SELECT c,
+                     (CASE WHEN c = 1 OR c = 3 THEN 4e0 ELSE 0e0 END) + 5e-1 * z1 AS x,
+                     (CASE WHEN c = 2 OR c = 3 THEN 4e0 ELSE 0e0 END) + 5e-1 * z2 AS y
+                   FROM z),
+                 g AS (SELECT c AS cluster, count(*) AS n,
+                     ${T.sqlXsum("x")} AS sx, ${T.sqlXsum("x * x")} AS sxx,
+                     ${T.sqlXsum("y")} AS sy, ${T.sqlXsum("y * y")} AS syy
+                   FROM p GROUP BY c)
+               SELECT cluster, n,
+                 round(sx / n, 6) AS mean_x,
+                 round(sqrt(sxx / n - (sx / n) * (sx / n)), 6) AS std_x,
+                 round(sy / n, 6) AS mean_y,
+                 round(sqrt(syy / n - (sy / n) * (sy / n)), 6) AS std_y
+               FROM g ORDER BY cluster""")),
+
+    QueryDef(
+      "ml_tsne_affinity",
+      // cuml.manifold TSNE's AFFINITY phase (the P-matrix — like
+      // ml_umap_graph, the dataflow part of the manifold pair; the layout
+      // gradient loop is client-side): perplexity-calibrated conditional
+      // Gaussians over the bounded 30-vector sample in the full 64-d
+      // space. Per point, β_i (precision) comes from 3 UNROLLED bisection
+      // steps on the monotone entropy H(β) = ln S + β·(Σ d²e^{−βd²})/S
+      // against H* = ln(perplexity = 5), bracketed at [0, 8/mean d²] —
+      // fixed iteration count, so the whole calibration is 4 window
+      // passes over the pair table regardless of corpus size (at scale
+      // the pair table comes from the kNN candidates, and the same
+      // chain applies per candidate set). Final P symmetrized to
+      // (p_{j|i} + p_{i|j})/2n, the t-SNE joint distribution.
+      // Determinism: every exp/ln REAL-collapsed, window sums on the
+      // exact-decimal wire, the bisection compare is on doubles both
+      // engines derived identically; H* is a literal (closest double to
+      // ln 5), not an engine-evaluated ln.
+      (s, dir) => {
+        val hStar = "1.6094379124341003e0"
+        val e = T.embeddings(s, dir).where(col("vec_id") < 30)
+          .select(col("vec_id").as("id"), col("embedding").as("emb"))
+        val b = e.select(col("id").as("jid"), col("emb").as("jemb"))
+        val wi = Window.partitionBy(col("id"))
+        def xs(c: org.apache.spark.sql.Column) =
+          sum(c.cast(T.exact)).over(wi).cast("double")
+        val base = e.crossJoin(broadcast(b)).where(col("id") =!= col("jid"))
+          .select(col("id"), col("jid"),
+            graft.functions.Vec.l2(s, "emb", "jemb").as("dd"))
+          .withColumn("d2", col("dd") * col("dd"))
+          .withColumn("cnt", count(lit(1)).over(wi))
+          .withColumn("sd2", xs(col("d2")))
+          .withColumn("lo0", expr("0e0"))
+          .withColumn("hi0", expr("8e0 / (sd2 / cnt)"))
+        val stepped = (1 to 3).foldLeft(base) { (df, k) =>
+          df.withColumn(s"bm$k", expr(s"(lo${k - 1} + hi${k - 1}) / 2e0"))
+            .withColumn(s"e$k",
+              expr(s"CAST(CAST(exp(-bm$k * d2) AS FLOAT) AS DOUBLE)"))
+            .withColumn(s"s$k", xs(col(s"e$k")))
+            .withColumn(s"t$k", xs(col("d2") * col(s"e$k")))
+            .withColumn(s"h$k",
+              expr(s"CAST(CAST(ln(s$k) AS FLOAT) AS DOUBLE) + bm$k * t$k / s$k"))
+            .withColumn(s"lo$k",
+              expr(s"CASE WHEN h$k > $hStar THEN bm$k ELSE lo${k - 1} END"))
+            .withColumn(s"hi$k",
+              expr(s"CASE WHEN h$k > $hStar THEN hi${k - 1} ELSE bm$k END"))
+        }
+        val fin = stepped
+          .withColumn("bf", expr("(lo3 + hi3) / 2e0"))
+          .withColumn("ef", expr("CAST(CAST(exp(-bf * d2) AS FLOAT) AS DOUBLE)"))
+          .withColumn("sf", xs(col("ef")))
+          .select(col("id"), col("jid"), (col("ef") / col("sf")).as("p"))
+        fin.select(least(col("id"), col("jid")).as("a"),
+            greatest(col("id"), col("jid")).as("b"),
+            when(col("id") < col("jid"), col("p")).as("pab"),
+            when(col("id") > col("jid"), col("p")).as("pba"))
+          .groupBy("a", "b")
+          .agg(max(col("pab")).as("uab"), max(col("pba")).as("uba"))
+          .selectExpr("a", "b", "round((uab + uba) / 60e0, 8) AS p_sym")
+          .orderBy("a", "b")
+      },
+      Some {
+        val hStar = "1.6094379124341003e0"
+        def xsq(inner: String) =
+          s"CAST(sum(CAST(($inner) AS DECIMAL(30,12))) OVER (PARTITION BY id) AS DOUBLE)"
+        val steps = (1 to 3).map { k =>
+          s"""c$k AS (SELECT *, (lo${k - 1} + hi${k - 1}) / 2e0 AS bm$k FROM u${k - 1}),
+              w$k AS (SELECT *,
+                  CAST(CAST(exp(-bm$k * d2) AS REAL) AS DOUBLE) AS e$k FROM c$k),
+              a$k AS (SELECT *, ${xsq(s"e$k")} AS s$k,
+                  ${xsq(s"d2 * e$k")} AS t$k FROM w$k),
+              u$k AS (SELECT *,
+                  CASE WHEN CAST(CAST(ln(s$k) AS REAL) AS DOUBLE) + bm$k * t$k / s$k > $hStar
+                    THEN bm$k ELSE lo${k - 1} END AS lo$k,
+                  CASE WHEN CAST(CAST(ln(s$k) AS REAL) AS DOUBLE) + bm$k * t$k / s$k > $hStar
+                    THEN hi${k - 1} ELSE bm$k END AS hi$k
+                FROM a$k)"""
+        }.mkString(",\n              ")
+        s"""WITH sm AS (SELECT vec_id AS id, embedding AS emb
+                 FROM embeddings WHERE vec_id < 30),
+              pr AS (SELECT a.id, b.id AS jid,
+                  list_distance(CAST(a.emb AS DOUBLE[]), CAST(b.emb AS DOUBLE[])) AS dd
+                FROM sm a JOIN sm b ON a.id <> b.id),
+              d2t AS (SELECT id, jid, dd * dd AS d2 FROM pr),
+              u0 AS (SELECT *, count(*) OVER (PARTITION BY id) AS cnt,
+                  0e0 AS lo0,
+                  8e0 / (${xsq("d2")} / count(*) OVER (PARTITION BY id)) AS hi0
+                FROM d2t),
+              $steps,
+              ff AS (SELECT *, (lo3 + hi3) / 2e0 AS bf FROM u3),
+              fe AS (SELECT *, CAST(CAST(exp(-bf * d2) AS REAL) AS DOUBLE) AS ef FROM ff),
+              fs AS (SELECT id, jid, ef / ${xsq("ef")} AS p FROM fe),
+              und AS (SELECT least(id, jid) AS a, greatest(id, jid) AS b,
+                  CASE WHEN id < jid THEN p END AS pab,
+                  CASE WHEN id > jid THEN p END AS pba
+                FROM fs),
+              g AS (SELECT a, b, max(pab) AS uab, max(pba) AS uba
+                FROM und GROUP BY a, b)
+            SELECT a, b, round((uab + uba) / 60e0, 8) AS p_sym
+            FROM g ORDER BY a, b"""
+      })
   )
 }
