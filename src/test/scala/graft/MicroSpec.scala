@@ -752,4 +752,88 @@ class MicroSpec extends SparkSpec {
       assert(math.abs(s - 1.0) < 1e-12, s"q $qid proba sum $s")
     }
   }
+
+  test("ml_make_blobs: generated moments recover the declared centers and std (r7)") {
+    // Pins the generator's mixing quality: a degenerate uniform stream
+    // (e.g. an unmixed single-round LCG on small ids) would skew the
+    // Box-Muller output far outside these bands.
+    val centers = Map(0L -> (0.0, 0.0), 1L -> (4.0, 0.0), 2L -> (0.0, 4.0), 3L -> (4.0, 4.0))
+    val rows = q("ml_make_blobs").collect()
+    assert(rows.length == 4 && rows.map(_.getLong(1)).sum == 1000)
+    for (r <- rows) {
+      val (cx, cy) = centers(r.getLong(0))
+      assert(math.abs(r.getDouble(2) - cx) < 0.15, s"mean_x ${r.getDouble(2)} vs $cx")
+      assert(math.abs(r.getDouble(4) - cy) < 0.15, s"mean_y ${r.getDouble(4)} vs $cy")
+      assert(r.getDouble(3) > 0.4 && r.getDouble(3) < 0.6, s"std_x ${r.getDouble(3)}")
+      assert(r.getDouble(5) > 0.4 && r.getDouble(5) < 0.6, s"std_y ${r.getDouble(5)}")
+    }
+  }
+
+  test("ml_tsne_affinity: the symmetrized joint P is a distribution (r7)") {
+    // Σ_ordered P_ij = 1 ⟺ Σ over unordered rows of p_sym = 0.5 (each row
+    // carries both directions once); every affinity strictly positive.
+    val ps = q("ml_tsne_affinity").collect().map(_.getDouble(2))
+    assert(ps.forall(_ > 0))
+    assert(math.abs(ps.sum - 0.5) < 1e-4, s"sum ${ps.sum}")
+  }
+
+  test("ml_umap_graph: t-conorm symmetrization dominates both directions (r7)") {
+    for (r <- q("ml_umap_graph").collect()) {
+      val (ab, ba, sym) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(sym >= math.max(ab, ba) - 1e-9 && sym <= 1.0 + 1e-9, s"$ab $ba $sym")
+      assert(math.abs(sym - (ab + ba - ab * ba)) < 2e-6)
+    }
+  }
+
+  test("ml_rf_regress: patterns partition lineitem, predictions stay in the target hull (r7)") {
+    val rows = q("ml_rf_regress").collect()
+    val total = Tables.lineitem(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum == total)
+    val (lo, hi) = {
+      val mm = Tables.lineitem(spark, sf)
+        .agg(min(col("l_extendedprice").cast("double")),
+          max(col("l_extendedprice").cast("double"))).collect()(0)
+      (mm.getDouble(0), mm.getDouble(1))
+    }
+    // a mean of leaf means can't leave the hull of leaf means, which
+    // themselves are means of observed targets
+    assert(rows.forall(r => r.getDouble(2) >= lo && r.getDouble(2) <= hi))
+  }
+
+  test("ml_radius_neighbors: per-query stats are internally consistent (r7)") {
+    val rows = q("ml_radius_neighbors").collect()
+    assert(rows.length == 40)
+    for (r <- rows; if r.getLong(1) > 0) {
+      assert(r.getDouble(2) <= r.getDouble(3) + 1e-9,
+        s"min ${r.getDouble(2)} > mean ${r.getDouble(3)}")
+      assert(r.getDouble(3) <= 0.01 + 1e-9)
+    }
+  }
+
+  test("ml_svm_predict: confusion counts partition the training set (r7)") {
+    val r = q("ml_svm_predict").collect()(0)
+    val (n, tp, fp, fn, tn) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(tp + fp + fn + tn == n)
+    assert(math.abs(r.getDouble(5) - (tp + tn).toDouble / n) < 1e-6)
+  }
+
+  test("ml_msle: rmsle is the square root of msle and both are finite (r7)") {
+    val r = q("ml_msle").collect()(0)
+    assert(r.getDouble(1) >= 0)
+    assert(math.abs(math.sqrt(r.getDouble(1)) - r.getDouble(2)) < 1e-5)
+  }
+
+  test("ml_seasonal_decompose: MA trend is NULL exactly at the 3-row endpoints (r7)") {
+    val rows = q("ml_seasonal_decompose").collect()
+    val n = rows.length
+    assert(n > 7, s"fixture series too short: $n")
+    for ((r, i) <- rows.zipWithIndex) {
+      val edge = i < 3 || i >= n - 3
+      assert(r.isNullAt(3) == edge, s"row $i trend null=${r.isNullAt(3)}")
+      assert(r.isNullAt(5) == edge, s"row $i resid null=${r.isNullAt(5)}")
+      assert(!r.isNullAt(4), s"row $i seasonal null")
+    }
+    assert(rows.map(_.getInt(2)).distinct.length <= 7)
+  }
 }
