@@ -824,6 +824,14 @@ class MicroSpec extends SparkSpec {
     assert(math.abs(math.sqrt(r.getDouble(1)) - r.getDouble(2)) < 1e-5)
   }
 
+  test("ml_pca_inverse: the Pythagorean residual stays inside [0, mean_norm2] (r7)") {
+    for (r <- q("ml_pca_inverse").collect()) {
+      val (norm2, resid2, ratio) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(resid2 >= -1e-9 && resid2 <= norm2 + 1e-9, s"$resid2 vs $norm2")
+      assert(ratio > 0 && ratio <= 1.0 + 1e-9)
+    }
+  }
+
   test("ml_seasonal_decompose: MA trend is NULL exactly at the 3-row endpoints (r7)") {
     val rows = q("ml_seasonal_decompose").collect()
     val n = rows.length
