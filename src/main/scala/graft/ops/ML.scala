@@ -3252,8 +3252,121 @@ object ML {
                  round(CAST(tp + tn AS DOUBLE) / n, 6) AS accuracy,
                  round(CASE WHEN tp + fp = 0 THEN 0e0 ELSE CAST(tp AS DOUBLE) / (tp + fp) END, 6) AS precision_pos,
                  round(CASE WHEN tp + fn = 0 THEN 0e0 ELSE CAST(tp AS DOUBLE) / (tp + fn) END, 6) AS recall_pos
-               FROM fin"""))
+               FROM fin""")),
+
+    QueryDef(
+      "ml_mbsgd_classifier",
+      // cuml.dask MBSGDClassifier [R] — the minibatch-hinge sibling of
+      // ml_mbsgd (which covers the regressor): 3 subgradient steps where
+      // step k's gradient reads ONLY minibatch k−1 (batch = l_orderkey
+      // mod 3, the dask partition-subset model). Unlike the regressor the
+      // hinge indicator depends on the CURRENT (a, b), so batch moments
+      // can't be precollected — each step is one conditional-sum pass
+      // over its batch (a third of the data; at scale the batch predicate
+      // prunes on the partition key). (a, b) driver-held between steps
+      // (fitCached); the update text mirrors the oracle CTE chain, so
+      // every step's coefficients are bit-identical cross-engine. Output:
+      // the per-step coefficient trail + the final model's training
+      // accuracy from one full scoring pass.
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        val trail = mbsgdClsTrail(s, dir) // Seq of (a, b) after steps 1..3
+        val (fa, fb) = trail.last
+        val d = svmRows2(s, dir)
+        val ab = Seq((fa, fb)).toDF("ca", "cb")
+        val acc = d.crossJoin(broadcast(ab))
+          .select(col("cy"), (col("ca") + col("cb") * col("cx")).as("f"))
+          .agg(count(lit(1)).as("n"),
+            sum(when((col("f") >= 0 && col("cy") > 0) ||
+                     (col("f") < 0 && col("cy") < 0), 1L).otherwise(0L)).as("hits"))
+          .selectExpr("n", "round(CAST(hits AS DOUBLE) / n, 6) AS accuracy")
+        val tdf = trail.zipWithIndex
+          .map { case ((a, b), i) => (i + 1, i, a, b) }
+          .toDF("step", "batch", "ta", "tb")
+        tdf.crossJoin(broadcast(acc))
+          .selectExpr("step", "batch",
+            "round(ta, 6) AS intercept", "round(tb, 6) AS slope",
+            "n", "accuracy")
+          .orderBy("step")
+      },
+      Some(s"""WITH $sqlMbsgdClsChain,
+                 acc AS (SELECT count(*) AS n,
+                     round(CAST(sum(CASE WHEN (c3.a + c3.b * x >= 0 AND y > 0)
+                         OR (c3.a + c3.b * x < 0 AND y < 0) THEN 1 ELSE 0 END) AS DOUBLE)
+                       / count(*), 6) AS accuracy
+                   FROM db, c3)
+               SELECT 1 AS step, 0 AS batch, round(c1.a, 6) AS intercept,
+                 round(c1.b, 6) AS slope, n, accuracy FROM c1 CROSS JOIN acc
+               UNION ALL
+               SELECT 2, 1, round(c2.a, 6), round(c2.b, 6), n, accuracy
+               FROM c2 CROSS JOIN acc
+               UNION ALL
+               SELECT 3, 2, round(c3.a, 6), round(c3.b, 6), n, accuracy
+               FROM c3 CROSS JOIN acc
+               ORDER BY step"""))
   )
+
+  /** svmRows with the minibatch id (l_orderkey mod 3) retained. */
+  private def svmRows2(s: SparkSession, dir: String): DataFrame =
+    T.lineitem(s, dir).select(
+      (col("l_orderkey") % 3).as("cb3"),
+      (col("l_quantity").cast("double") / 50).as("cx"),
+      when(col("l_returnflag") === "R", 1.0).otherwise(-1.0).as("cy"))
+      .transform(T.fanOut(_))
+
+  /** Driver-held minibatch-hinge trail: (a, b) after each of 3 steps,
+    * step k reading only batch k−1 (lr = 0.1, λ = 0.01) — the svmAB loop
+    * with the batch filter. fitCached. */
+  private def mbsgdClsTrail(s: SparkSession, dir: String): Seq[(Double, Double)] =
+    T.fitCache("mbsgdClsTrail", dir) {
+      val spark = s
+      import spark.implicits._
+      val d = svmRows2(s, dir)
+      var a = 0.0
+      var b = 0.0
+      val out = scala.collection.mutable.ArrayBuffer[(Double, Double)]()
+      for (k <- 1 to 3) {
+        val ab = Seq((a, b)).toDF("ca", "cb")
+        val m = col("cy") * (col("ca") + col("cb") * col("cx"))
+        val r = d.where(col("cb3") === (k - 1)).crossJoin(broadcast(ab))
+          .select(col("cx"), col("cy"), m.as("m"))
+          .agg(
+            count(lit(1)).cast("double").as("n"),
+            T.xsum(when(col("m") < 1, col("cy"))).as("g0"),
+            T.xsum(when(col("m") < 1, col("cy") * col("cx"))).as("g1"))
+          .collect()(0)
+        val n = r.getDouble(0); val g0 = r.getDouble(1); val g1 = r.getDouble(2)
+        a = a + 0.1 * (g0 / n)
+        b = b + 0.1 * (g1 / n - 0.01 * b)
+        out += ((a, b))
+      }
+      out.toSeq
+    }
+
+  /** Oracle twin of [[mbsgdClsTrail]] — 3 unrolled (batch-filtered pass →
+    * update) blocks ending in c3(a, b), with the batched rows CTE `db`. */
+  private lazy val sqlMbsgdClsChain: String = {
+    def mStep(k: Int, src: String, a: String, b: String) =
+      s"""SELECT CAST(count(*) AS DOUBLE) AS n,
+            ${T.sqlXsum(s"CASE WHEN y * ($a + $b * x) < 1 THEN y END")} AS g0,
+            ${T.sqlXsum(s"CASE WHEN y * ($a + $b * x) < 1 THEN y * x END")} AS g1
+          FROM $src WHERE b3 = ${k - 1}"""
+    def beta(m: String, prevA: String, prevB: String) =
+      s"""SELECT $prevA + 1e-1 * (g0 / n) AS a,
+            $prevB + 1e-1 * (g1 / n - 1e-2 * $prevB) AS b
+          FROM $m"""
+    s"""db AS (SELECT l_orderkey % 3 AS b3,
+           CAST(l_quantity AS DOUBLE) / 50 AS x,
+           CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE -1.0 END AS y
+         FROM lineitem),
+         n1 AS (${mStep(1, "db", "0e0", "0e0")}),
+         c1 AS (${beta("n1", "0e0", "0e0")}),
+         n2 AS (${mStep(2, "db, c1", "c1.a", "c1.b")}),
+         c2 AS (${beta("n2, c1", "c1.a", "c1.b")}),
+         n3 AS (${mStep(3, "db, c2", "c2.a", "c2.b")}),
+         c3 AS (${beta("n3, c2", "c2.a", "c2.b")})"""
+  }
 
   /** SVR feature frame: x = quantity/50, y = extendedprice/50000 — both
     * O(1) scale so the shared fixed step size is stable. */

@@ -824,6 +824,15 @@ class MicroSpec extends SparkSpec {
     assert(math.abs(math.sqrt(r.getDouble(1)) - r.getDouble(2)) < 1e-5)
   }
 
+  test("ml_mbsgd_classifier: three minibatch steps, each on its own batch (r7)") {
+    val rows = q("ml_mbsgd_classifier").orderBy(col("step")).collect()
+    assert(rows.length == 3)
+    for (r <- rows) assert(r.getInt(1) == r.getInt(0) - 1)
+    val acc = rows.head.getDouble(5)
+    assert(acc > 0 && acc <= 1.0)
+    assert(rows.forall(_.getDouble(5) == acc)) // accuracy is the FINAL model's
+  }
+
   test("ml_pca_inverse: the Pythagorean residual stays inside [0, mean_norm2] (r7)") {
     for (r <- q("ml_pca_inverse").collect()) {
       val (norm2, resid2, ratio) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
