@@ -485,6 +485,169 @@ object Cluster {
                FROM g ORDER BY cluster""")),
 
     QueryDef(
+      "ml_make_regression",
+      // cuml.dask.datasets.make_regression [R] — make_blobs' regression
+      // sibling, closing the generate→fit loop: 3 gaussian features and a
+      // noise term per id (two Box-Muller pairs from independent two-round
+      // LCG streams), y = 2 + 3·f1 − 1.5·f2 + 0.5·f3 + 0.1·ε. The audit
+      // output recovers the declared coefficients: per-feature simple-
+      // regression slopes cov(f_i, y)/var(f_i) from ONE exact-wire moment
+      // pass (features independent by construction ⇒ slopes ≈ w_i), plus
+      // the feature means ≈ 0. Stateless per-id generation — each
+      // partition generates its id range independently at any n.
+      (s, dir) => {
+        s.range(0, 1000).toDF("i")
+          .selectExpr(
+            "CAST(((i * 48271 + 11) * 69621 + 7) % 2147483647 AS DOUBLE) AS h1",
+            "CAST(((i * 16807 + 3) * 48271 + 19) % 2147483647 AS DOUBLE) AS h2",
+            "CAST(((i * 24001 + 5) * 48271 + 13) % 2147483647 AS DOUBLE) AS h3",
+            "CAST(((i * 65537 + 9) * 69621 + 3) % 2147483647 AS DOUBLE) AS h4")
+          .selectExpr(
+            "(h1 + 1e0) / 2147483648e0 AS u1", "(h2 + 1e0) / 2147483648e0 AS u2",
+            "(h3 + 1e0) / 2147483648e0 AS u3", "(h4 + 1e0) / 2147483648e0 AS u4")
+          .selectExpr(
+            "sqrt(-2e0 * CAST(CAST(ln(u1) AS FLOAT) AS DOUBLE)) * CAST(CAST(cos(6.283185307179586e0 * u2) AS FLOAT) AS DOUBLE) AS f1",
+            "sqrt(-2e0 * CAST(CAST(ln(u1) AS FLOAT) AS DOUBLE)) * CAST(CAST(sin(6.283185307179586e0 * u2) AS FLOAT) AS DOUBLE) AS f2",
+            "sqrt(-2e0 * CAST(CAST(ln(u3) AS FLOAT) AS DOUBLE)) * CAST(CAST(cos(6.283185307179586e0 * u4) AS FLOAT) AS DOUBLE) AS f3",
+            "sqrt(-2e0 * CAST(CAST(ln(u3) AS FLOAT) AS DOUBLE)) * CAST(CAST(sin(6.283185307179586e0 * u4) AS FLOAT) AS DOUBLE) AS e")
+          .selectExpr("f1", "f2", "f3",
+            "2e0 + 3e0 * f1 - 15e-1 * f2 + 5e-1 * f3 + 1e-1 * e AS y")
+          .agg(count(lit(1)).as("n"),
+            T.xsum(col("f1")).as("s1"), T.xsum(col("f1") * col("f1")).as("s11"),
+            T.xsum(col("f2")).as("s2"), T.xsum(col("f2") * col("f2")).as("s22"),
+            T.xsum(col("f3")).as("s3"), T.xsum(col("f3") * col("f3")).as("s33"),
+            T.xsum(col("y")).as("sy"),
+            T.xsum(col("f1") * col("y")).as("s1y"),
+            T.xsum(col("f2") * col("y")).as("s2y"),
+            T.xsum(col("f3") * col("y")).as("s3y"))
+          .selectExpr("n",
+            "round(s1 / n, 6) AS mean_f1",
+            "round(sy / n, 6) AS mean_y",
+            "round((n * s1y - s1 * sy) / (n * s11 - s1 * s1), 6) AS slope_f1",
+            "round((n * s2y - s2 * sy) / (n * s22 - s2 * s2), 6) AS slope_f2",
+            "round((n * s3y - s3 * sy) / (n * s33 - s3 * s3), 6) AS slope_f3")
+      },
+      Some(s"""WITH ids AS (SELECT i FROM generate_series(0, 999) t(i)),
+                 h AS (SELECT
+                     CAST(((i * 48271 + 11) * 69621 + 7) % 2147483647 AS DOUBLE) AS h1,
+                     CAST(((i * 16807 + 3) * 48271 + 19) % 2147483647 AS DOUBLE) AS h2,
+                     CAST(((i * 24001 + 5) * 48271 + 13) % 2147483647 AS DOUBLE) AS h3,
+                     CAST(((i * 65537 + 9) * 69621 + 3) % 2147483647 AS DOUBLE) AS h4
+                   FROM ids),
+                 u AS (SELECT (h1 + 1e0) / 2147483648e0 AS u1,
+                     (h2 + 1e0) / 2147483648e0 AS u2,
+                     (h3 + 1e0) / 2147483648e0 AS u3,
+                     (h4 + 1e0) / 2147483648e0 AS u4 FROM h),
+                 f AS (SELECT
+                     sqrt(-2e0 * CAST(CAST(ln(u1) AS REAL) AS DOUBLE)) * CAST(CAST(cos(6.283185307179586e0 * u2) AS REAL) AS DOUBLE) AS f1,
+                     sqrt(-2e0 * CAST(CAST(ln(u1) AS REAL) AS DOUBLE)) * CAST(CAST(sin(6.283185307179586e0 * u2) AS REAL) AS DOUBLE) AS f2,
+                     sqrt(-2e0 * CAST(CAST(ln(u3) AS REAL) AS DOUBLE)) * CAST(CAST(cos(6.283185307179586e0 * u4) AS REAL) AS DOUBLE) AS f3,
+                     sqrt(-2e0 * CAST(CAST(ln(u3) AS REAL) AS DOUBLE)) * CAST(CAST(sin(6.283185307179586e0 * u4) AS REAL) AS DOUBLE) AS e
+                   FROM u),
+                 d AS (SELECT f1, f2, f3,
+                     2e0 + 3e0 * f1 - 15e-1 * f2 + 5e-1 * f3 + 1e-1 * e AS y
+                   FROM f),
+                 m AS (SELECT count(*) AS n,
+                     ${T.sqlXsum("f1")} AS s1, ${T.sqlXsum("f1 * f1")} AS s11,
+                     ${T.sqlXsum("f2")} AS s2, ${T.sqlXsum("f2 * f2")} AS s22,
+                     ${T.sqlXsum("f3")} AS s3, ${T.sqlXsum("f3 * f3")} AS s33,
+                     ${T.sqlXsum("y")} AS sy,
+                     ${T.sqlXsum("f1 * y")} AS s1y,
+                     ${T.sqlXsum("f2 * y")} AS s2y,
+                     ${T.sqlXsum("f3 * y")} AS s3y
+                   FROM d)
+               SELECT n,
+                 round(s1 / n, 6) AS mean_f1,
+                 round(sy / n, 6) AS mean_y,
+                 round((n * s1y - s1 * sy) / (n * s11 - s1 * s1), 6) AS slope_f1,
+                 round((n * s2y - s2 * sy) / (n * s22 - s2 * s2), 6) AS slope_f2,
+                 round((n * s3y - s3 * sy) / (n * s33 - s3 * s3), 6) AS slope_f3
+               FROM m""")),
+
+    QueryDef(
+      "ml_hdbscan_reach",
+      // cuML HDBSCAN's DENSITY layer (r7): the mutual-reachability
+      // single-linkage cut — the building block HDBSCAN's condensed tree
+      // is built over. Core distance = distance to the min_samples-th
+      // (k = 4) nearest neighbor within the eps = 0.01 horizon (the 3×3
+      // grid join sees EVERY pair within eps, so in-horizon core
+      // distances are exact; a point without k in-horizon neighbors has
+      // core > eps ≥ cut and is noise at this λ — exactly HDBSCAN's
+      // behavior, bounded-horizon makes it scale-safe); mutual
+      // reachability d_mr(a,b) = max(d, core_a, core_b); clusters =
+      // connected components of d_mr ≤ λ = 0.01 (= the horizon: every
+      // qualifying edge has d ≤ horizon, so the grid sees them all) via
+      // the shared min-label
+      // loop. Deterministic: the k-th neighbor rank ties break on id,
+      // all comparisons on doubles both engines derived from the same
+      // text.
+      (s, dir) => {
+        val horizon = 0.01
+        val cut = 0.01
+        val p = plane(s, dir).transform(T.fanOut(_, col("id")))
+        val home = p.select(col("id").as("n_id"), col("x"), col("y"),
+          floor(col("x") / horizon).as("cx"), floor(col("y") / horizon).as("cy"))
+        val probe = p.select(col("id").as("q_id"),
+            col("x").as("qx"), col("y").as("qy"),
+            floor(col("x") / horizon).as("qcx"), floor(col("y") / horizon).as("qcy"))
+          .select(col("q_id"), col("qx"), col("qy"),
+            explode(expr("flatten(transform(sequence(-1, 1), dx -> " +
+              "transform(sequence(-1, 1), dy -> " +
+              "struct(qcx + dx AS cx, qcy + dy AS cy))))")).as("c"))
+          .select(col("q_id"), col("qx"), col("qy"),
+            col("c.cx").as("cx"), col("c.cy").as("cy"))
+        val dpairs = probe.join(home, Seq("cx", "cy"))
+          .where(col("q_id") < col("n_id"))
+          .where((col("qx") - col("x")) * (col("qx") - col("x")) +
+                 (col("qy") - col("y")) * (col("qy") - col("y")) <= lit(horizon * horizon))
+          .select(col("q_id").as("a"), col("n_id").as("b"),
+            sqrt((col("qx") - col("x")) * (col("qx") - col("x")) +
+                 (col("qy") - col("y")) * (col("qy") - col("y"))).as("d"))
+        val ep = T.freeze(dpairs)
+        val dn = ep.select(col("a").as("u"), col("b").as("v"), col("d"))
+          .union(ep.select(col("b").as("u"), col("a").as("v"), col("d")))
+        val rw = Window.partitionBy(col("u")).orderBy(col("d"), col("v"))
+        val core = dn.withColumn("rn", row_number().over(rw))
+          .where(col("rn") === 4)
+          .select(col("u").as("cid"), col("d").as("cd"))
+        val me = ep
+          .join(core.select(col("cid").as("a"), col("cd").as("ca")), "a")
+          .join(core.select(col("cid").as("b"), col("cd").as("cb")), "b")
+          .where(greatest(col("d"), col("ca"), col("cb")) <= cut)
+          .select(col("a").as("doc_a"), col("b").as("doc_b"))
+        Dedup.minLabelComponents(me, None, MAX_ROUNDS)
+          .groupBy(col("lbl").as("cluster"))
+          .agg(count(lit(1)).as("n"), min(col("v")).as("min_id"), max(col("v")).as("max_id"))
+          .orderBy("cluster")
+      },
+      Some(s"""WITH RECURSIVE
+                 pts AS (SELECT vec_id AS id, CAST(embedding[1] AS DOUBLE) AS x,
+                           CAST(embedding[2] AS DOUBLE) AS y FROM embeddings),
+                 ep AS (SELECT p.id AS a, q.id AS b,
+                     sqrt((p.x - q.x) * (p.x - q.x) + (p.y - q.y) * (p.y - q.y)) AS d
+                   FROM pts p JOIN pts q ON p.id < q.id
+                    AND (p.x - q.x) * (p.x - q.x) + (p.y - q.y) * (p.y - q.y)
+                        <= ${0.01 * 0.01}),
+                 dn AS (SELECT a AS u, b AS v, d FROM ep
+                        UNION ALL SELECT b, a, d FROM ep),
+                 rk AS (SELECT u, v, d, row_number() OVER (PARTITION BY u
+                     ORDER BY d, v) AS rn FROM dn),
+                 core AS (SELECT u AS cid, d AS cd FROM rk WHERE rn = 4),
+                 me AS (SELECT ep.a AS src, ep.b AS dst FROM ep
+                   JOIN core ca ON ca.cid = ep.a
+                   JOIN core cb ON cb.cid = ep.b
+                   WHERE greatest(ep.d, ca.cd, cb.cd) <= 0.01),
+                 edges AS (SELECT src, dst FROM me UNION ALL SELECT dst, src FROM me),
+                 reach(v, r) AS (
+                   SELECT src, src FROM (SELECT DISTINCT src FROM edges) nn
+                   UNION
+                   SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.v),
+                 lbl AS (SELECT v, CAST(min(r) AS BIGINT) AS lbl FROM reach GROUP BY v)
+               SELECT lbl AS cluster, count(*) AS n,
+                 min(v) AS min_id, max(v) AS max_id
+               FROM lbl GROUP BY lbl ORDER BY cluster""")),
+
+    QueryDef(
       "ml_tsne_affinity",
       // cuml.manifold TSNE's AFFINITY phase (the P-matrix — like
       // ml_umap_graph, the dataflow part of the manifold pair; the layout

@@ -738,7 +738,75 @@ object Metrics {
                SELECT CAST(n AS BIGINT) AS n,
                  round(sle / n, 6) AS msle,
                  round(sqrt(sle / n), 6) AS rmsle
-               FROM sc"""))
+               FROM sc""")),
+
+    QueryDef(
+      "ml_shap_linear",
+      // cuml.explainer [R] for the linear model — exact SHAP values, no
+      // sampling: for an additive model the Shapley value of feature i on
+      // row x is φ_i = w_i·(x_i − E[x_i]) and the base value is the mean
+      // prediction, so ONE scoring pass with the in-plan solved OLS
+      // coefficients (and the feature means, free from the same gram row)
+      // yields the full attribution. Output: per-returnflag global feature
+      // importance (mean |φ| per feature — the SHAP summary-plot
+      // aggregate), the shared base value, and the additivity audit
+      // max|pred − (base + Σφ)| (abs() keeps it sign-safe; it rounds to 0).
+      (s, dir) => {
+        val cf = ML.gaussSolved(s, dir).selectExpr("x0", "x1", "x2", "x3",
+          "a01 / a00 AS mq", "a02 / a00 AS md", "a03 / a00 AS mt")
+        val l = T.lineitem(s, dir).select(
+          col("l_returnflag").as("rf"),
+          col("l_quantity").cast("double").as("q"),
+          col("l_discount").cast("double").as("d"),
+          col("l_tax").cast("double").as("t"))
+          .transform(T.fanOut(_))
+        l.crossJoin(broadcast(cf))
+          .selectExpr("rf",
+            "x1 * (q - mq) AS pq", "x2 * (d - md) AS pd", "x3 * (t - mt) AS pt",
+            "x0 + x1 * mq + x2 * md + x3 * mt AS base",
+            "(x0 + x1 * q + x2 * d + x3 * t) - ((x0 + x1 * mq + x2 * md + x3 * mt) + x1 * (q - mq) + x2 * (d - md) + x3 * (t - mt)) AS gap")
+          .groupBy("rf")
+          .agg(count(lit(1)).as("n"),
+            T.xsum(abs(col("pq"))).as("sq"),
+            T.xsum(abs(col("pd"))).as("sd"),
+            T.xsum(abs(col("pt"))).as("st"),
+            max(col("base")).as("bv"),
+            max(abs(col("gap"))).as("mg"))
+          .selectExpr("rf", "n",
+            "round(sq / n, 6) AS mean_abs_shap_q",
+            "round(sd / n, 6) AS mean_abs_shap_d",
+            "round(st / n, 6) AS mean_abs_shap_t",
+            "round(bv, 6) AS base_value",
+            "round(mg, 6) AS max_additivity_gap")
+          .orderBy("rf")
+      },
+      Some(s"""WITH ${ML.sqlGaussChain},
+                 cf AS (SELECT x0, x1, x2, x3,
+                     a01 / a00 AS mq, a02 / a00 AS md, a03 / a00 AS mt
+                   FROM ${ML.sqlGaussFinal}),
+                 l AS (SELECT l_returnflag AS rf,
+                         CAST(l_quantity AS DOUBLE) AS q,
+                         CAST(l_discount AS DOUBLE) AS d,
+                         CAST(l_tax AS DOUBLE) AS t
+                       FROM lineitem),
+                 sc AS (SELECT rf,
+                     x1 * (q - mq) AS pq, x2 * (d - md) AS pd, x3 * (t - mt) AS pt,
+                     x0 + x1 * mq + x2 * md + x3 * mt AS base,
+                     (x0 + x1 * q + x2 * d + x3 * t) - ((x0 + x1 * mq + x2 * md + x3 * mt) + x1 * (q - mq) + x2 * (d - md) + x3 * (t - mt)) AS gap
+                   FROM l CROSS JOIN cf),
+                 g AS (SELECT rf, count(*) AS n,
+                     ${T.sqlXsum("abs(pq)")} AS sq,
+                     ${T.sqlXsum("abs(pd)")} AS sd,
+                     ${T.sqlXsum("abs(pt)")} AS st,
+                     max(base) AS bv, max(abs(gap)) AS mg
+                   FROM sc GROUP BY rf)
+               SELECT rf, n,
+                 round(sq / n, 6) AS mean_abs_shap_q,
+                 round(sd / n, 6) AS mean_abs_shap_d,
+                 round(st / n, 6) AS mean_abs_shap_t,
+                 round(bv, 6) AS base_value,
+                 round(mg, 6) AS max_additivity_gap
+               FROM g ORDER BY rf"""))
   )
 
   /** knnPredLang's oracle CTE chain (ML.sqlKnnPredCtes), referenced via a

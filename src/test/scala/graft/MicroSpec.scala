@@ -824,6 +824,30 @@ class MicroSpec extends SparkSpec {
     assert(math.abs(math.sqrt(r.getDouble(1)) - r.getDouble(2)) < 1e-5)
   }
 
+  test("ml_shap_linear: additivity gap rounds to zero, base value shared (r7)") {
+    val rows = q("ml_shap_linear").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getDouble(6) == 0.0), "additivity violated")
+    assert(rows.map(_.getDouble(5)).distinct.length == 1, "base value differs by group")
+  }
+
+  test("ml_make_regression: recovered slopes match the declared coefficients (r7)") {
+    val r = q("ml_make_regression").collect()(0)
+    assert(r.getLong(0) == 1000)
+    assert(math.abs(r.getDouble(1)) < 0.15, s"mean_f1 ${r.getDouble(1)}")
+    assert(math.abs(r.getDouble(3) - 3.0) < 0.3, s"slope_f1 ${r.getDouble(3)}")
+    assert(math.abs(r.getDouble(4) + 1.5) < 0.3, s"slope_f2 ${r.getDouble(4)}")
+    assert(math.abs(r.getDouble(5) - 0.5) < 0.3, s"slope_f3 ${r.getDouble(5)}")
+  }
+
+  test("ml_hdbscan_reach: cluster label is the component-min member id (r7)") {
+    for (r <- q("ml_hdbscan_reach").collect()) {
+      assert(r.getLong(1) >= 2, "singleton cluster emitted")
+      assert(r.getLong(0) == r.getLong(2), "label != min member")
+      assert(r.getLong(2) <= r.getLong(3))
+    }
+  }
+
   test("ml_mbsgd_classifier: three minibatch steps, each on its own batch (r7)") {
     val rows = q("ml_mbsgd_classifier").orderBy(col("step")).collect()
     assert(rows.length == 3)
