@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.{QueryDef, Tables => T}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -346,6 +347,156 @@ object Forecast {
               SELECT day, y, dow, round(trend, 6) AS trend,
                 round(seasonal, 6) AS seasonal,
                 round(y - trend - seasonal, 6) AS resid
-              FROM se ORDER BY day"""))
+              FROM se ORDER BY day""")),
+
+    QueryDef(
+      "ml_auto_arima",
+      // cuML tsa auto_arima [R] — order selection by AIC over the
+      // candidate set {AR(1), AR(2), ARIMA(1,1,0)} on the daily event
+      // series. ONE lag-window pass over the ≤|days| aggregated rows
+      // collects every conditional BIGINT moment (the three models use
+      // different effective samples — y₁ defined vs y₂ defined — so the
+      // sums are conditional, the ml_mbsgd sharding discipline); each
+      // candidate solves its closed-form conditional-LS fit, SSR comes
+      // from the normal-equation identity applied as shared text, and
+      // AIC = n·ln(SSR/n) + 2k (ln REAL-collapsed). The selected flag is
+      // aic = least(all three) — both engines compare identical doubles.
+      // The AR(2) solve reuses the arDet Cramer texts verbatim by naming
+      // its moment columns exactly as ml_ar2 does.
+      (s, dir) => {
+        val daily = T.events(s, dir)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("y"))
+        val wIdx = Window.orderBy("day")
+        val lg = daily
+          .withColumn("y1", lag(col("y"), 1).over(wIdx))
+          .withColumn("y2", lag(col("y"), 2).over(wIdx))
+        def cs(cond: String, e: String) = s"sum(CASE WHEN $cond THEN $e END)"
+        val m = lg.selectExpr("y", "y1", "y2", "y - y1 AS dy", "y1 - y2 AS dyl")
+          .selectExpr(
+            // AR(1) sample: y1 defined
+            s"${cs("y1 IS NOT NULL", "1")} AS n1r",
+            s"${cs("y1 IS NOT NULL", "y1")} AS a_sx", s"${cs("y1 IS NOT NULL", "y")} AS a_sy",
+            s"${cs("y1 IS NOT NULL", "y1 * y1")} AS a_sxx",
+            s"${cs("y1 IS NOT NULL", "y1 * y")} AS a_sxy",
+            s"${cs("y1 IS NOT NULL", "y * y")} AS a_syy",
+            // AR(2) sample: y2 defined — names match the arDet texts
+            s"${cs("y2 IS NOT NULL", "1")} AS n2r",
+            s"${cs("y2 IS NOT NULL", "y1")} AS s1r", s"${cs("y2 IS NOT NULL", "y2")} AS s2r",
+            s"${cs("y2 IS NOT NULL", "y1 * y1")} AS s11r",
+            s"${cs("y2 IS NOT NULL", "y1 * y2")} AS s12r",
+            s"${cs("y2 IS NOT NULL", "y2 * y2")} AS s22r",
+            s"${cs("y2 IS NOT NULL", "y")} AS syr",
+            s"${cs("y2 IS NOT NULL", "y1 * y")} AS s1yr",
+            s"${cs("y2 IS NOT NULL", "y2 * y")} AS s2yr",
+            s"${cs("y2 IS NOT NULL", "y * y")} AS syy2r",
+            // differenced AR(1) sample: y2 defined (dy and dyl both exist)
+            s"${cs("y2 IS NOT NULL", "dyl")} AS d_slr", s"${cs("y2 IS NOT NULL", "dy")} AS d_sdr",
+            s"${cs("y2 IS NOT NULL", "dyl * dyl")} AS d_sllr",
+            s"${cs("y2 IS NOT NULL", "dyl * dy")} AS d_sldr",
+            s"${cs("y2 IS NOT NULL", "dy * dy")} AS d_sddr")
+        stepChainF(m, autoArimaSteps).selectExpr(
+          """stack(3,
+               'ar1',       CAST(n1 AS BIGINT), 2, round(ssr1, 6), round(aic1, 6), aic1 = best,
+               'ar2',       CAST(nd AS BIGINT), 3, round(ssr2, 6), round(aic2, 6), aic2 = best,
+               'arima_110', CAST(ndd AS BIGINT), 2, round(ssrd, 6), round(aicd, 6), aicd = best
+             ) AS (model, n_obs, params, ssr, aic, selected)""")
+          .orderBy("model")
+      },
+      Some {
+        val (ctes, fin) = sqlChainFromF(autoArimaSteps, "aa")
+        def cs(cond: String, e: String) = s"sum(CASE WHEN $cond THEN $e END)"
+        s"""WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS y
+                           FROM events GROUP BY 1),
+              lg AS (SELECT y, lag(y, 1) OVER (ORDER BY day) AS y1,
+                  lag(y, 2) OVER (ORDER BY day) AS y2
+                FROM daily),
+              lx AS (SELECT y, y1, y2, y - y1 AS dy, y1 - y2 AS dyl FROM lg),
+              m AS (SELECT
+                  ${cs("y1 IS NOT NULL", "1")} AS n1r,
+                  ${cs("y1 IS NOT NULL", "y1")} AS a_sx, ${cs("y1 IS NOT NULL", "y")} AS a_sy,
+                  ${cs("y1 IS NOT NULL", "y1 * y1")} AS a_sxx,
+                  ${cs("y1 IS NOT NULL", "y1 * y")} AS a_sxy,
+                  ${cs("y1 IS NOT NULL", "y * y")} AS a_syy,
+                  ${cs("y2 IS NOT NULL", "1")} AS n2r,
+                  ${cs("y2 IS NOT NULL", "y1")} AS s1r, ${cs("y2 IS NOT NULL", "y2")} AS s2r,
+                  ${cs("y2 IS NOT NULL", "y1 * y1")} AS s11r,
+                  ${cs("y2 IS NOT NULL", "y1 * y2")} AS s12r,
+                  ${cs("y2 IS NOT NULL", "y2 * y2")} AS s22r,
+                  ${cs("y2 IS NOT NULL", "y")} AS syr,
+                  ${cs("y2 IS NOT NULL", "y1 * y")} AS s1yr,
+                  ${cs("y2 IS NOT NULL", "y2 * y")} AS s2yr,
+                  ${cs("y2 IS NOT NULL", "y * y")} AS syy2r,
+                  ${cs("y2 IS NOT NULL", "dyl")} AS d_slr, ${cs("y2 IS NOT NULL", "dy")} AS d_sdr,
+                  ${cs("y2 IS NOT NULL", "dyl * dyl")} AS d_sllr,
+                  ${cs("y2 IS NOT NULL", "dyl * dy")} AS d_sldr,
+                  ${cs("y2 IS NOT NULL", "dy * dy")} AS d_sddr
+                FROM lx),
+              $ctes
+            SELECT 'ar1' AS model, CAST(n1 AS BIGINT) AS n_obs, 2 AS params,
+              round(ssr1, 6) AS ssr, round(aic1, 6) AS aic, aic1 = best AS selected
+            FROM $fin
+            UNION ALL
+            SELECT 'ar2', CAST(nd AS BIGINT), 3, round(ssr2, 6), round(aic2, 6), aic2 = best
+            FROM $fin
+            UNION ALL
+            SELECT 'arima_110', CAST(ndd AS BIGINT), 2, round(ssrd, 6), round(aicd, 6), aicd = best
+            FROM $fin
+            ORDER BY model"""
+      })
   )
+
+  /** Shared scalar cascade for ml_auto_arima: widen the conditional BIGINT
+    * moments to doubles, solve each candidate's closed form, apply the
+    * normal-equation SSR identity, and score AIC = n·ln(SSR/n) + 2k with
+    * REAL-collapsed ln. The AR(2) block names its doubles exactly as the
+    * [[arDet]] Cramer texts expect. */
+  private lazy val autoArimaSteps: Seq[(String, String)] = Seq(
+    // widen (BIGINT→DOUBLE is exact and identical cross-engine)
+    "n1" -> "CAST(n1r AS DOUBLE)",
+    "asx" -> "CAST(a_sx AS DOUBLE)", "asy" -> "CAST(a_sy AS DOUBLE)",
+    "asxx" -> "CAST(a_sxx AS DOUBLE)", "asxy" -> "CAST(a_sxy AS DOUBLE)",
+    "asyy" -> "CAST(a_syy AS DOUBLE)",
+    "nd" -> "CAST(n2r AS DOUBLE)",
+    "s1" -> "CAST(s1r AS DOUBLE)", "s2" -> "CAST(s2r AS DOUBLE)",
+    "s11" -> "CAST(s11r AS DOUBLE)", "s12" -> "CAST(s12r AS DOUBLE)",
+    "s22" -> "CAST(s22r AS DOUBLE)", "sy" -> "CAST(syr AS DOUBLE)",
+    "s1y" -> "CAST(s1yr AS DOUBLE)", "s2y" -> "CAST(s2yr AS DOUBLE)",
+    "syy2" -> "CAST(syy2r AS DOUBLE)",
+    "ndd" -> "CAST(n2r AS DOUBLE)",
+    "dsl" -> "CAST(d_slr AS DOUBLE)", "dsd" -> "CAST(d_sdr AS DOUBLE)",
+    "dsll" -> "CAST(d_sllr AS DOUBLE)", "dsld" -> "CAST(d_sldr AS DOUBLE)",
+    "dsdd" -> "CAST(d_sddr AS DOUBLE)",
+    // AR(1) on levels
+    "b1" -> "(n1 * asxy - asx * asy) / (n1 * asxx - asx * asx)",
+    "c1" -> "(asy - b1 * asx) / n1",
+    "ssr1" -> "asyy - c1 * asy - b1 * asxy",
+    // AR(2) via the shared Cramer determinant texts
+    "det" -> arDet, "detc" -> arDetC, "detp1" -> arDetP1, "detp2" -> arDetP2,
+    "c2" -> "detc / det", "p1" -> "detp1 / det", "p2" -> "detp2 / det",
+    "ssr2" -> "syy2 - c2 * sy - p1 * s1y - p2 * s2y",
+    // AR(1) on first differences (ARIMA(1,1,0))
+    "phid" -> "(ndd * dsld - dsl * dsd) / (ndd * dsll - dsl * dsl)",
+    "cd0" -> "(dsd - phid * dsl) / ndd",
+    "ssrd" -> "dsdd - cd0 * dsd - phid * dsld",
+    // AIC = n ln(SSR/n) + 2k, ln REAL-collapsed
+    "aic1" -> "n1 * CAST(CAST(ln(ssr1 / n1) AS FLOAT) AS DOUBLE) + 4e0",
+    "aic2" -> "nd * CAST(CAST(ln(ssr2 / nd) AS FLOAT) AS DOUBLE) + 6e0",
+    "aicd" -> "ndd * CAST(CAST(ln(ssrd / ndd) AS FLOAT) AS DOUBLE) + 4e0",
+    "best" -> "least(aic1, aic2, aicd)")
+
+  /** Left-fold a (name, expr) cascade over a one-row frame — each step a
+    * new column referencing the prior ones (the ML.stepChain shape,
+    * local to Forecast). */
+  private def stepChainF(df: DataFrame, steps: Seq[(String, String)]): DataFrame =
+    steps.foldLeft(df) { case (d, (nm, ex)) => d.selectExpr("*", s"$ex AS $nm") }
+
+  /** Oracle twin of [[stepChainF]]: CTE per step, FLOAT→REAL swapped. */
+  private def sqlChainFromF(steps: Seq[(String, String)], pfx: String): (String, String) = {
+    val ctes = steps.zipWithIndex.map { case ((nm, ex), i) =>
+      val src = if (i == 0) "m" else s"$pfx${i - 1}"
+      s"$pfx$i AS (SELECT *, ${ex.replace("AS FLOAT", "AS REAL")} AS $nm FROM $src)"
+    }
+    (ctes.mkString(",\n              "), s"$pfx${steps.size - 1}")
+  }
 }

@@ -824,6 +824,15 @@ class MicroSpec extends SparkSpec {
     assert(math.abs(math.sqrt(r.getDouble(1)) - r.getDouble(2)) < 1e-5)
   }
 
+  test("ml_auto_arima: exactly one candidate selected, at the minimum AIC (r7)") {
+    val rows = q("ml_auto_arima").collect()
+    assert(rows.length == 3)
+    assert(rows.forall(_.getDouble(3) > 0), "non-positive SSR")
+    val sel = rows.filter(_.getBoolean(5))
+    assert(sel.length == 1, s"selected ${sel.length}")
+    assert(sel.head.getDouble(4) == rows.map(_.getDouble(4)).min)
+  }
+
   test("ml_shap_linear: additivity gap rounds to zero, base value shared (r7)") {
     val rows = q("ml_shap_linear").collect()
     assert(rows.nonEmpty)

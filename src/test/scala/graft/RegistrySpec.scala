@@ -6,9 +6,9 @@ package graft
   */
 class RegistrySpec extends SparkSpec {
 
-  test("all seventeen catalogs are registered (66 SURVEY keys + 131 extensions)") {
-    assert(SparkEntry.queries.size == 197,
-      s"expected 197 registered queries, got ${SparkEntry.queries.size}")
+  test("all seventeen catalogs are registered (66 SURVEY keys + 132 extensions)") {
+    assert(SparkEntry.queries.size == 198,
+      s"expected 198 registered queries, got ${SparkEntry.queries.size}")
   }
 
   test("no oracle uses a constant generate_series bound (VERDICT r4 #2)") {
