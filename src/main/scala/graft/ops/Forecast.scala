@@ -51,6 +51,14 @@ object Forecast {
   private val ar1Phi = "(nd * sld - sl * sd) / (nd * sll - sl * sl)"
   private val adfGam = "(nd * sxy - sx * sy) / (nd * sxx - sx * sx)"
 
+  /** KPSS long-run variance (Bartlett window, L = 4: w_l = 1 − l/5) and
+    * the η statistic, from the decimal-wire sums — shared verbatim by both
+    * engines (declared before `entries`, as arDet). γ_l = Σe_t·e_{t−l}/n;
+    * the /nd is folded into each term here so the text stays one line. */
+  private val kpssLrv =
+    "g0s / nd + 2.0 * (0.8 * g1s / nd + 0.6 * g2s / nd + 0.4 * g3s / nd + 0.2 * g4s / nd)"
+  private val kpssStat = "ss / (nd * nd) / lrv"
+
   val entries: Seq[QueryDef] = Seq(
 
     QueryDef(
@@ -290,6 +298,90 @@ object Forecast {
                  round(gam, 6) AS gamma,
                  round(gam / sqrt((ssr / (nd - 2.0)) * nd / (nd * sxx - sx * sx)), 6) AS t_stat,
                  CAST(gam / sqrt((ssr / (nd - 2.0)) * nd / (nd * sxx - sx * sx)) < -2.86 AS BOOLEAN) AS stationary_5pct
+               FROM r""")),
+
+    QueryDef(
+      "ml_kpss_test",
+      // The KPSS level-stationarity test (cuML tsa.stationarity's other
+      // half, next to ml_adf_test — ADF's null is a unit root, KPSS's null
+      // is stationarity, so the pair is how the reference surface decides
+      // differencing order). η = (1/n²)·Σ S_t² / σ²_lr over the daily
+      // event series, with S_t the cumulative demeaned partial sum and
+      // σ²_lr the Bartlett-window long-run variance at L = 4 lags
+      // (w_l = 1 − l/5).
+      //
+      // Determinism: the demeaned series is kept INTEGER as long as
+      // possible — e'_t = n·y_t − Σy is an exact BIGINT, and the partial
+      // sum S'_t is an exact BIGINT window cumsum (order-free), so both
+      // engines divide the IDENTICAL integer by n before any IEEE work;
+      // every squared/lagged product then sums on the exact decimal wire
+      // and the final ratios are shared-text expressions. Scale: the only
+      // corpus-sized step is the map-side-combined daily count; windows
+      // run over the bounded day series (the ml_adf_test shape).
+      (s, dir) => {
+        val daily = T.events(s, dir)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("y"))
+        val tot = daily.agg(count(lit(1)).as("n"), sum(col("y")).as("sy"))
+        val w = Window.orderBy("day")
+        val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val e = daily.crossJoin(broadcast(tot))
+          .withColumn("ep", col("n") * col("y") - col("sy"))
+          .withColumn("sp", sum(col("ep")).over(cum))
+          .selectExpr("n", "CAST(ep AS DOUBLE) / n AS ed",
+            "CAST(sp AS DOUBLE) / n AS sd", "day")
+          .withColumn("e1", lag(col("ed"), 1).over(w))
+          .withColumn("e2", lag(col("ed"), 2).over(w))
+          .withColumn("e3", lag(col("ed"), 3).over(w))
+          .withColumn("e4", lag(col("ed"), 4).over(w))
+        e.agg(
+          max(col("n")).as("n"),
+          T.xsum(col("sd") * col("sd")).as("ss"),
+          T.xsum(col("ed") * col("ed")).as("g0s"),
+          T.xsum(col("ed") * col("e1")).as("g1s"),
+          T.xsum(col("ed") * col("e2")).as("g2s"),
+          T.xsum(col("ed") * col("e3")).as("g3s"),
+          T.xsum(col("ed") * col("e4")).as("g4s"))
+          .selectExpr("n", "CAST(n AS DOUBLE) AS nd",
+            "ss", "g0s", "g1s", "g2s", "g3s", "g4s")
+          .selectExpr("*", s"$kpssLrv AS lrv")
+          .selectExpr("*", s"$kpssStat AS stat")
+          .selectExpr("n AS n_obs",
+            "round(lrv, 6) AS lrv",
+            "round(stat, 6) AS kpss_stat",
+            "CAST(stat < 0.463 AS BOOLEAN) AS stationary_5pct")
+      },
+      Some(s"""WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS y
+                              FROM events GROUP BY 1),
+                 tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                                CAST(sum(y) AS BIGINT) AS sy FROM daily),
+                 ec AS (SELECT day, n, n * y - sy AS ep,
+                          sum(n * y - sy) OVER (ORDER BY day
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sp
+                        FROM daily CROSS JOIN tot),
+                 ed AS (SELECT day, n, CAST(ep AS DOUBLE) / n AS ed,
+                          CAST(sp AS DOUBLE) / n AS sd
+                        FROM ec),
+                 lg AS (SELECT *,
+                          lag(ed, 1) OVER (ORDER BY day) AS e1,
+                          lag(ed, 2) OVER (ORDER BY day) AS e2,
+                          lag(ed, 3) OVER (ORDER BY day) AS e3,
+                          lag(ed, 4) OVER (ORDER BY day) AS e4
+                        FROM ed),
+                 m AS (SELECT max(n) AS n, CAST(max(n) AS DOUBLE) AS nd,
+                         ${T.sqlXsum("sd * sd")} AS ss,
+                         ${T.sqlXsum("ed * ed")} AS g0s,
+                         ${T.sqlXsum("ed * e1")} AS g1s,
+                         ${T.sqlXsum("ed * e2")} AS g2s,
+                         ${T.sqlXsum("ed * e3")} AS g3s,
+                         ${T.sqlXsum("ed * e4")} AS g4s
+                       FROM lg),
+                 v AS (SELECT *, $kpssLrv AS lrv FROM m),
+                 r AS (SELECT *, $kpssStat AS stat FROM v)
+               SELECT n AS n_obs,
+                 round(lrv, 6) AS lrv,
+                 round(stat, 6) AS kpss_stat,
+                 CAST(stat < 0.463 AS BOOLEAN) AS stationary_5pct
                FROM r""")),
 
     QueryDef(

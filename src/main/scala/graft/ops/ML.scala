@@ -1536,6 +1536,43 @@ object ML {
       }),
 
     QueryDef(
+      "ml_kmeans_score",
+      // cuml.dask.cluster.KMeans.score [R]: the opposite of inertia —
+      // score(X) = −Σ‖x − c_nearest(x)‖² for the fitted model, as ONE
+      // global row (the estimator-method companion to ml_kmeans_assign's
+      // per-cluster breakdown, against the same fixed vec_id < 10
+      // centroids = the model). One broadcast(K centroids) × points pass,
+      // map-side-combined; d² sums on the exact decimal wire.
+      (s, dir) => {
+        val e = T.embeddings(s, dir)
+        val cent = e.where(col("vec_id") < 10)
+          .select(col("vec_id").as("cid"), col("embedding").as("c_emb"))
+        val dist = graft.functions.Vec.l2(s, "embedding", "c_emb")
+        val w = Window.partitionBy(col("vec_id")).orderBy(col("d"), col("cid"))
+        e.transform(T.fanOut(_, col("vec_id")))
+          .crossJoin(broadcast(cent))
+          .select(col("vec_id"), col("cid"), dist.as("d"))
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .agg(count(lit(1)).as("n_points"),
+            round(T.xsum(col("d") * col("d")), 6).as("inertia"),
+            round(-T.xsum(col("d") * col("d")), 6).as("score"))
+      },
+      Some(s"""WITH a AS (
+                 SELECT vec_id, cid, d FROM (
+                   SELECT e.vec_id, c.vec_id AS cid,
+                     list_distance(CAST(e.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS d,
+                     row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), c.vec_id) AS rn
+                   FROM embeddings e CROSS JOIN embeddings c
+                   WHERE c.vec_id < 10) t
+                 WHERE rn = 1)
+               SELECT count(*) AS n_points,
+                 round(${T.sqlXsum("d * d")}, 6) AS inertia,
+                 round(-${T.sqlXsum("d * d")}, 6) AS score
+               FROM a""")),
+
+    QueryDef(
       "ml_knn_classify",
       // dask-cuml KNeighborsClassifier: predict = majority label of the 5
       // nearest neighbors, labels joined from documents.lang (doc_id =
@@ -2116,6 +2153,63 @@ object ML {
                            CAST(sum(neg) AS BIGINT) AS n_neg FROM g)
                SELECT round(num / CAST(n_pos * n_neg AS DOUBLE), 6) AS auc, n_pos, n_neg
                FROM num, tot""")),
+
+    QueryDef(
+      "ml_roc_curve",
+      // cuml.metrics.roc_curve [R] for the same 1-feature logistic scores:
+      // the actual (fpr, tpr) operating points behind ml_roc_auc's scalar,
+      // one row per DISTINCT threshold in descending-score order (sklearn's
+      // thresholds contract; the leading (0,0) virtual point is implied by
+      // the first row and not emitted). Same bounded DISTINCT-score
+      // histogram as ml_roc_auc — μ is a function of quantity (≤ ~50
+      // distinct values), so the cumulative ≥-threshold window runs over
+      // aggregated rows, never the corpus. Counts are exact BIGINTs;
+      // fpr/tpr are single-division doubles rounded at 6.
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        val (a, b) = irlsBeta(s, dir)
+        val d = T.lineitem(s, dir).select(
+          col("l_quantity").cast("double").as("x"),
+          when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"))
+          .transform(T.fanOut(_))
+        val ab = Seq((a, b)).toDF("ca", "cb")
+        val mu = (lit(1.0) / (lit(1.0) + exp(-(col("ca") + col("cb") * col("x")))))
+          .cast("float")
+        val g = d.crossJoin(broadcast(ab))
+          .select(col("y"), mu.as("mu"))
+          .groupBy("mu")
+          .agg(sum(col("y")).as("pos"), (count(lit(1)) - sum(col("y"))).as("neg"))
+        val w = Window.orderBy(col("mu").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val tot = g.agg(sum(col("pos")).as("n_pos"), sum(col("neg")).as("n_neg"))
+        g.withColumn("cumpos", sum(col("pos")).over(w))
+          .withColumn("cumneg", sum(col("neg")).over(w))
+          .crossJoin(broadcast(tot))
+          .select(round(col("mu").cast("double"), 6).as("thr"),
+            round(col("cumneg").cast("double") / col("n_neg").cast("double"), 6).as("fpr"),
+            round(col("cumpos").cast("double") / col("n_pos").cast("double"), 6).as("tpr"))
+          .orderBy(col("thr").desc)
+      },
+      Some(s"""WITH $sqlIrlsChain,
+                 scored AS (SELECT y,
+                     CAST(CAST(1.0 / (1.0 + exp(-(a + b * x))) AS REAL) AS DOUBLE) AS mu
+                   FROM d, b3),
+                 g AS (SELECT mu, CAST(sum(y) AS BIGINT) AS pos,
+                         CAST(count(*) - sum(y) AS BIGINT) AS neg
+                       FROM scored GROUP BY mu),
+                 c AS (SELECT *,
+                         sum(pos) OVER (ORDER BY mu DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumpos,
+                         sum(neg) OVER (ORDER BY mu DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumneg
+                       FROM g),
+                 tot AS (SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+                           CAST(sum(neg) AS BIGINT) AS n_neg FROM g)
+               SELECT round(mu, 6) AS thr,
+                 round(CAST(cumneg AS DOUBLE) / CAST(n_neg AS DOUBLE), 6) AS fpr,
+                 round(CAST(cumpos AS DOUBLE) / CAST(n_pos AS DOUBLE), 6) AS tpr
+               FROM c CROSS JOIN tot ORDER BY thr DESC""")),
 
     QueryDef(
       "ml_avg_precision",

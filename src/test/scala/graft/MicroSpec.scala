@@ -874,6 +874,38 @@ class MicroSpec extends SparkSpec {
     }
   }
 
+  test("ml_roc_curve: fpr/tpr are monotone non-decreasing and end at (1,1) (r7)") {
+    val rows = q("ml_roc_curve").orderBy(col("thr").desc).collect()
+    assert(rows.length > 5)
+    val pts = rows.map(r => (r.getDouble(1), r.getDouble(2)))
+    for (Array((f0, t0), (f1, t1)) <- pts.sliding(2)) {
+      assert(f1 >= f0, s"fpr decreased: $f0 -> $f1")
+      assert(t1 >= t0, s"tpr decreased: $t0 -> $t1")
+    }
+    assert(pts.last == ((1.0, 1.0)), s"curve ends at ${pts.last}")
+  }
+
+  test("ml_kmeans_score: score is exactly -inertia and covers every point (r7)") {
+    val r = q("ml_kmeans_score").collect()(0)
+    assert(r.getDouble(2) == -r.getDouble(1))
+    // same model as ml_kmeans_assign: the global inertia-bearing pass must
+    // count the whole corpus (every vector has a nearest centroid)
+    val total = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(r.getLong(0) == total, s"${r.getLong(0)} != $total")
+  }
+
+  test("ml_kpss_test: statistic positive, agrees with the ADF verdict direction (r7)") {
+    val r = q("ml_kpss_test").collect()(0)
+    assert(r.getDouble(1) > 0, "long-run variance must be positive")
+    assert(r.getDouble(2) > 0, "KPSS statistic must be positive")
+    // the daily-count fixture series is mean-reverting: ADF rejects the
+    // unit root AND KPSS fails to reject stationarity — the two tests the
+    // reference surface pairs must agree on this fixture
+    val adf = q("ml_adf_test").collect()(0)
+    assert(adf.getBoolean(3) == r.getBoolean(3),
+      s"ADF says stationary=${adf.getBoolean(3)}, KPSS says ${r.getBoolean(3)}")
+  }
+
   test("ml_seasonal_decompose: MA trend is NULL exactly at the 3-row endpoints (r7)") {
     val rows = q("ml_seasonal_decompose").collect()
     val n = rows.length
