@@ -43,8 +43,12 @@ abstract class VecBinary extends BinaryExpression with Serializable {
   protected def isFloat: Boolean =
     left.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
-  /** Java source for the loop body given xs/ys primitive arrays in scope. */
-  protected def loopBody(xs: String, ys: String, acc: String): String
+  /** Java source for the loop body given xs/ys primitive arrays in scope.
+    * `i` is a freshName'd loop-variable identifier: a literal `i` collides
+    * (janino "Redefinition of local variable") when the same projection
+    * also contains Spark's higher-order-function codegen, which declares
+    * its own `i` in the enclosing scope. */
+  protected def loopBody(xs: String, ys: String, acc: String, i: String): String
 
   /** Final transform applied to the accumulator (identity by default). */
   protected def finishJava(acc: String): String = acc
@@ -70,11 +74,12 @@ abstract class VecBinary extends BinaryExpression with Serializable {
       val xs = ctx.freshName("xs")
       val ys = ctx.freshName("ys")
       val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
       s"""
          |$jt[] $xs = $a.$arr;
          |$jt[] $ys = $b.$arr;
          |double $acc = 0.0;
-         |${loopBody(xs, ys, acc)}
+         |${loopBody(xs, ys, acc, i)}
          |${ev.value} = ${finishJava(acc)};
        """.stripMargin
     })
@@ -84,9 +89,9 @@ abstract class VecBinary extends BinaryExpression with Serializable {
 /** Σ xᵢ·yᵢ (widened to double per element). */
 case class VecDot(left: Expression, right: Expression) extends VecBinary {
   override def prettyName: String = "vec_dot"
-  protected def loopBody(xs: String, ys: String, acc: String): String =
-    s"""for (int i = 0; i < $xs.length; i++) {
-       |  $acc += (double) $xs[i] * (double) $ys[i];
+  protected def loopBody(xs: String, ys: String, acc: String, i: String): String =
+    s"""for (int $i = 0; $i < $xs.length; $i++) {
+       |  $acc += (double) $xs[$i] * (double) $ys[$i];
        |}""".stripMargin
   protected def evalLoop(xs: Array[Double], ys: Array[Double]): Double = {
     var acc = 0.0; var i = 0
@@ -101,16 +106,34 @@ case class VecDot(left: Expression, right: Expression) extends VecBinary {
 /** √Σ (xᵢ−yᵢ)² — Euclidean (L2) distance. */
 case class VecL2Dist(left: Expression, right: Expression) extends VecBinary {
   override def prettyName: String = "vec_l2_dist"
-  protected def loopBody(xs: String, ys: String, acc: String): String =
-    s"""for (int i = 0; i < $xs.length; i++) {
-       |  double d = (double) $xs[i] - (double) $ys[i];
-       |  $acc += d * d;
+  protected def loopBody(xs: String, ys: String, acc: String, i: String): String =
+    s"""for (int $i = 0; $i < $xs.length; $i++) {
+       |  double d$i = (double) $xs[$i] - (double) $ys[$i];
+       |  $acc += d$i * d$i;
        |}""".stripMargin
   override protected def finishJava(acc: String): String = s"Math.sqrt($acc)"
   protected def evalLoop(xs: Array[Double], ys: Array[Double]): Double = {
     var acc = 0.0; var i = 0
     while (i < xs.length) { val d = xs(i) - ys(i); acc += d * d; i += 1 }
     math.sqrt(acc)
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Σ |xᵢ−yᵢ| — Manhattan (L1) distance (the NearestNeighbors metric
+  * variant the reference exposes next to euclidean/cosine). */
+case class VecL1Dist(left: Expression, right: Expression) extends VecBinary {
+  override def prettyName: String = "vec_l1_dist"
+  protected def loopBody(xs: String, ys: String, acc: String, i: String): String =
+    s"""for (int $i = 0; $i < $xs.length; $i++) {
+       |  $acc += Math.abs((double) $xs[$i] - (double) $ys[$i]);
+       |}""".stripMargin
+  protected def evalLoop(xs: Array[Double], ys: Array[Double]): Double = {
+    var acc = 0.0; var i = 0
+    while (i < xs.length) { acc += math.abs(xs(i) - ys(i)); i += 1 }
+    acc
   }
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
@@ -134,6 +157,8 @@ object Vec {
         "graft_vec_dot", args => VecDot(args.head, args(1)), "built-in")
       reg.createOrReplaceTempFunction(
         "graft_vec_l2", args => VecL2Dist(args.head, args(1)), "built-in")
+      reg.createOrReplaceTempFunction(
+        "graft_vec_l1", args => VecL1Dist(args.head, args(1)), "built-in")
     }
   }
 
@@ -142,5 +167,8 @@ object Vec {
   }
   def l2(s: SparkSession, a: String, b: String): Column = {
     register(s); expr(s"graft_vec_l2($a, $b)")
+  }
+  def l1(s: SparkSession, a: String, b: String): Column = {
+    register(s); expr(s"graft_vec_l1($a, $b)")
   }
 }

@@ -1373,6 +1373,48 @@ object ML {
               WHERE rn <= 5 ORDER BY q_id, rn""")),
 
     QueryDef(
+      "ml_knn_manhattan",
+      // NearestNeighbors metric='manhattan' [R] — the third metric of the
+      // reference's kneighbors family (euclidean/cosine above). Same
+      // broadcast(query) × streamed-candidates shape; the distance is the
+      // codegen'd VecL1Dist loop (functions/VecExpressions.scala), NOT an
+      // interpreted zip_with. Cross-engine: the L1 sum is collapsed to
+      // FLOAT before ranking and output — Spark's sequential loop and
+      // DuckDB's exploded-join sum can differ in the last double ulp, and
+      // the float collapse makes the ranking keys bit-identical (the
+      // k_rbf/lnR discipline applied to a distance).
+      (s, dir) => {
+        val e = T.embeddings(s, dir)
+        val q = e.where(col("vec_id") < 20)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        val cand = e.transform(T.fanOut(_, col("vec_id")))
+          .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+        val dist = graft.functions.Vec.l1(s, "q_emb", "n_emb").cast("float")
+        val w = Window.partitionBy(col("q_id")).orderBy(col("d"), col("n_id"))
+        cand.crossJoin(broadcast(q))
+          .where(col("q_id") =!= col("n_id"))
+          .select(col("q_id"), col("n_id"), dist.as("d"))
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") <= 5)
+          .select(col("q_id"), col("rn"), col("n_id"),
+            round(col("d").cast("double"), 6).as("dist"))
+          .orderBy("q_id", "rn")
+      },
+      Some("""WITH ex AS (SELECT vec_id,
+                   generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS i,
+                   unnest(CAST(embedding AS DOUBLE[])) AS x
+                 FROM embeddings),
+                 d AS (SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+                     CAST(CAST(sum(abs(q.x - e.x)) AS REAL) AS DOUBLE) AS d
+                   FROM ex q JOIN ex e ON q.i = e.i
+                   WHERE q.vec_id < 20 AND q.vec_id <> e.vec_id
+                   GROUP BY q.vec_id, e.vec_id)
+               SELECT q_id, rn, n_id, round(d, 6) AS dist FROM (
+                 SELECT q_id, n_id, d, row_number() OVER (PARTITION BY q_id
+                   ORDER BY d, n_id) AS rn FROM d) t
+               WHERE rn <= 5 ORDER BY q_id, rn""")),
+
+    QueryDef(
       "ml_kmeans_assign",
       // Lloyd assignment step against fixed centroids (vec_id < 10):
       // broadcast(centroids) × points, argmin via min-by-(dist, cid)
@@ -1533,6 +1575,102 @@ object ML {
               round(${T.sqlXsum("d")} / count(*), 6) AS avg_dist,
               round(${T.sqlXsum("d * d")}, 6) AS inertia
             FROM af GROUP BY cid ORDER BY cid"""
+      }),
+
+    QueryDef(
+      "ml_kernel_ridge",
+      // cuml.kernel_ridge.KernelRidge [R] (RBF kernel, gamma=1, alpha=0.1)
+      // in the Nyström/landmark shape that scales: the kernel system is
+      // built on m=3 LANDMARK vectors (vec_id < 3, the model side — m is a
+      // design constant, never corpus-sized), dual coefficients α =
+      // (K + λI)⁻¹y solved by the same unrolled shared-text elimination as
+      // the ridge/CD family (symGauss3), and prediction is ONE broadcast
+      // pass: ŷ(x) = Σ_j α_j·k(x, x_j) over the m landmarks. Cross-engine:
+      // every kernel entry is REAL-collapsed exp(−d²) (the k_rbf
+      // discipline) BEFORE entering the elimination, so both engines run
+      // the identical IEEE op sequence on identical inputs; targets are
+      // exact INTEGER labels widened once.
+      (s, dir) => {
+        val e = T.embeddings(s, dir)
+        val krbf = "CAST(CAST(exp(-(kd * kd)) AS FLOAT) AS DOUBLE)"
+        val la = e.where(col("vec_id") < 3)
+          .select(col("vec_id").as("id_a"), col("embedding").as("q_emb"))
+        val lb = e.where(col("vec_id") < 3)
+          .select(col("vec_id").as("id_b"), col("embedding").as("n_emb"))
+        val kp = la.crossJoin(broadcast(lb)).where(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"),
+            graft.functions.Vec.l2(s, "q_emb", "n_emb").as("kd"))
+          .selectExpr("id_a", "id_b", s"$krbf AS k")
+        val kv = kp.agg(
+          max(when(col("id_a") === 0 && col("id_b") === 1, col("k"))).as("k01"),
+          max(when(col("id_a") === 0 && col("id_b") === 2, col("k"))).as("k02"),
+          max(when(col("id_a") === 1 && col("id_b") === 2, col("k"))).as("k12"))
+        val yv = e.where(col("vec_id") < 3).agg(
+          max(when(col("vec_id") === 0, col("label"))).cast("double").as("y0"),
+          max(when(col("vec_id") === 1, col("label"))).cast("double").as("y1"),
+          max(when(col("vec_id") === 2, col("label"))).cast("double").as("y2"))
+        val steps = symGauss3(
+          Array(Array("1.1", "k01", "k02"),
+                Array("k01", "1.1", "k12"),
+                Array("k02", "k12", "1.1")),
+          Array("y0", "y1", "y2"), "kr")
+        val solved = stepChain(kv.crossJoin(yv), steps)
+          .select(col("krx0"), col("krx1"), col("krx2"))
+        val qv = e.where(col("vec_id") >= 3 && col("vec_id") < 13)
+          .select(col("vec_id"), col("label"), col("embedding").as("q_emb"))
+        val lm = e.where(col("vec_id") < 3)
+          .select(col("vec_id").as("lid"), col("embedding").as("n_emb"))
+        qv.crossJoin(broadcast(lm))
+          .select(col("vec_id"), col("label"), col("lid"),
+            graft.functions.Vec.l2(s, "q_emb", "n_emb").as("kd"))
+          .selectExpr("vec_id", "label", "lid", s"$krbf AS k")
+          .groupBy("vec_id", "label")
+          .agg(max(when(col("lid") === 0, col("k"))).as("kq0"),
+            max(when(col("lid") === 1, col("k"))).as("kq1"),
+            max(when(col("lid") === 2, col("k"))).as("kq2"))
+          .crossJoin(broadcast(solved))
+          .selectExpr("vec_id", "CAST(label AS DOUBLE) AS y_true",
+            "round(kq0 * krx0 + kq1 * krx1 + kq2 * krx2, 6) AS y_pred")
+          .orderBy("vec_id")
+      },
+      Some {
+        val (chain, fin) = sqlChainFrom(symGauss3(
+          Array(Array("1.1", "k01", "k02"),
+                Array("k01", "1.1", "k12"),
+                Array("k02", "k12", "1.1")),
+          Array("y0", "y1", "y2"), "kr"), "krc")
+        val krbf = "CAST(CAST(exp(-(kd * kd)) AS REAL) AS DOUBLE)"
+        s"""WITH kp AS (SELECT ia, ib, $krbf AS k FROM (
+                 SELECT a.vec_id AS ia, b.vec_id AS ib,
+                   list_distance(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])) AS kd
+                 FROM embeddings a CROSS JOIN embeddings b
+                 WHERE a.vec_id < 3 AND b.vec_id < 3 AND a.vec_id < b.vec_id) t),
+               kv AS (SELECT
+                   max(CASE WHEN ia = 0 AND ib = 1 THEN k END) AS k01,
+                   max(CASE WHEN ia = 0 AND ib = 2 THEN k END) AS k02,
+                   max(CASE WHEN ia = 1 AND ib = 2 THEN k END) AS k12 FROM kp),
+               yv AS (SELECT
+                   CAST(max(CASE WHEN vec_id = 0 THEN label END) AS DOUBLE) AS y0,
+                   CAST(max(CASE WHEN vec_id = 1 THEN label END) AS DOUBLE) AS y1,
+                   CAST(max(CASE WHEN vec_id = 2 THEN label END) AS DOUBLE) AS y2
+                 FROM embeddings WHERE vec_id < 3),
+               m AS (SELECT * FROM kv CROSS JOIN yv),
+               $chain,
+               kq AS (SELECT vec_id, CAST(label AS DOUBLE) AS y_true,
+                   max(CASE WHEN lid = 0 THEN k END) AS kq0,
+                   max(CASE WHEN lid = 1 THEN k END) AS kq1,
+                   max(CASE WHEN lid = 2 THEN k END) AS kq2
+                 FROM (SELECT vec_id, label, lid, $krbf AS k
+                   FROM (SELECT q.vec_id, q.label, l.vec_id AS lid,
+                       list_distance(CAST(q.embedding AS DOUBLE[]),
+                                     CAST(l.embedding AS DOUBLE[])) AS kd
+                     FROM embeddings q CROSS JOIN embeddings l
+                     WHERE q.vec_id >= 3 AND q.vec_id < 13 AND l.vec_id < 3) i
+                   ) t GROUP BY vec_id, label)
+             SELECT vec_id, y_true,
+               round(kq0 * krx0 + kq1 * krx1 + kq2 * krx2, 6) AS y_pred
+             FROM kq CROSS JOIN $fin ORDER BY vec_id"""
       }),
 
     QueryDef(

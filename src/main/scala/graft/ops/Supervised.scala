@@ -52,6 +52,14 @@ object Supervised {
   private val sqlLnLik =
     "CAST(CAST(ln((cnt + 1.0) / (tot + v)) AS REAL) AS DOUBLE)"
 
+  /** ComplementNB's smoothed complement log-likelihood: counts from all
+    * OTHER classes (cc = tt − cnt, totc = ta − tot), same REAL-collapse
+    * discipline as lnLik. */
+  private val lnComp =
+    "CAST(CAST(ln((tt - cnt + 1.0) / (ta - tot + v)) AS FLOAT) AS DOUBLE)"
+  private val sqlLnComp =
+    "CAST(CAST(ln((tt - cnt + 1.0) / (ta - tot + v)) AS REAL) AS DOUBLE)"
+
   // ---- shared tree/forest internals -------------------------------------
 
   /** Candidate split grid over the three lineitem features (the values
@@ -265,6 +273,74 @@ object Supervised {
                        row_number() OVER (PARTITION BY doc_id
                          ORDER BY total DESC, c_lang ASC) AS rn
                      FROM tot) t WHERE rn = 1)
+               SELECT lang AS actual, c_lang AS pred, count(*) AS n
+               FROM pred GROUP BY lang, c_lang ORDER BY actual, pred""")),
+
+    QueryDef(
+      "ml_nb_complement",
+      // cuml.naive_bayes ComplementNB [R] — the imbalance-robust sibling
+      // of MultinomialNB: class weights are fitted on the COMPLEMENT
+      // counts (every class's statistics come from all the OTHER classes'
+      // tokens), and predict is argmin_c Σ_term m·ln((cc+1)/(totc+V))
+      // (sklearn's norm=False form negates the logged weights, so the
+      // argmax of the joint likelihood is the argmin of the complement
+      // form; CNB uses no class prior). Complement counts derive from the
+      // SAME (class, term) count table as MultinomialNB plus one per-term
+      // total — cc = total(term) − cnt(c, term), so the fit adds one
+      // term-keyed aggregate, not a second corpus pass. Determinism: all
+      // counts exact BIGINTs, each ln REAL-collapsed, addends summed in
+      // DECIMAL(30,12), and the argmin compares those decimals directly
+      // (the ml_nb_predict discipline). Scale: scoring is the same
+      // (term, class)-keyed inverted-index equi-join — never n².
+      (s, dir) => {
+        val tk = toks(s, dir)
+        val dt = tk.groupBy("doc_id", "lang", "term").agg(count(lit(1)).as("m"))
+        val cnt0 = tk.groupBy(col("lang").as("c_lang"), col("term"))
+          .agg(count(lit(1)).as("cnt"))
+        val ttot = tk.groupBy("term").agg(count(lit(1)).as("tt"))
+        val classes = tk.groupBy(col("lang").as("c_lang")).agg(count(lit(1)).as("tot"))
+          .crossJoin(tk.agg(countDistinct(col("term")).as("v"),
+            count(lit(1)).as("ta")))
+        val scored = dt.join(ttot, "term")
+          .crossJoin(broadcast(classes))
+          .join(cnt0,
+            dt("term") === cnt0("term") && classes("c_lang") === cnt0("c_lang"),
+            "left")
+          .select(dt("doc_id"), dt("lang"), classes("c_lang"),
+            (col("m").cast("double") *
+              expr(lnComp.replace("cnt", "coalesce(cnt, 0)"))).as("addend"))
+          .groupBy("doc_id", "lang", "c_lang")
+          .agg(T.xsumD(col("addend")).as("total"))
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(col("total").asc, col("c_lang").asc)
+        scored.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+          .groupBy(col("lang").as("actual"), col("c_lang").as("pred"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("actual", "pred")
+      },
+      Some(s"""WITH $sqlToks,
+                 dt AS (SELECT doc_id, lang, term, count(*) AS m
+                        FROM tk GROUP BY doc_id, lang, term),
+                 cnt0 AS (SELECT lang AS c_lang, term, count(*) AS cnt
+                          FROM tk GROUP BY lang, term),
+                 ttot AS (SELECT term, count(*) AS tt FROM tk GROUP BY term),
+                 cls AS (SELECT c_lang, tot, v, ta FROM
+                           (SELECT lang AS c_lang, count(*) AS tot FROM tk GROUP BY lang) a
+                           CROSS JOIN (SELECT count(DISTINCT term) AS v,
+                                              count(*) AS ta FROM tk) b),
+                 sc AS (SELECT dt.doc_id, dt.lang, cls.c_lang,
+                     sum(CAST(CAST(dt.m AS DOUBLE) *
+                       ${sqlLnComp.replace("cnt", "coalesce(cnt0.cnt, 0)")}
+                       AS DECIMAL(30,12))) AS total
+                   FROM dt JOIN ttot ON ttot.term = dt.term
+                   CROSS JOIN cls
+                   LEFT JOIN cnt0 ON cnt0.c_lang = cls.c_lang AND cnt0.term = dt.term
+                   GROUP BY dt.doc_id, dt.lang, cls.c_lang),
+                 pred AS (SELECT doc_id, lang, c_lang FROM (
+                     SELECT doc_id, lang, c_lang,
+                       row_number() OVER (PARTITION BY doc_id
+                         ORDER BY total ASC, c_lang ASC) AS rn
+                     FROM sc) t WHERE rn = 1)
                SELECT lang AS actual, c_lang AS pred, count(*) AS n
                FROM pred GROUP BY lang, c_lang ORDER BY actual, pred""")),
 

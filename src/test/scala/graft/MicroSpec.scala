@@ -906,6 +906,41 @@ class MicroSpec extends SparkSpec {
       s"ADF says stationary=${adf.getBoolean(3)}, KPSS says ${r.getBoolean(3)}")
   }
 
+  test("ml_knn_manhattan: L1 dominates L2 on every shared neighbor pair (r7)") {
+    val l1 = q("ml_knn_manhattan").collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val l2 = q("ml_knn").collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    assert(l1.size == 100)
+    val shared = l1.keySet intersect l2.keySet
+    assert(shared.nonEmpty, "no overlapping (query, neighbor) pairs to cross-check")
+    for (k <- shared)
+      assert(l1(k) >= l2(k) - 1e-6, s"L1 ${l1(k)} < L2 ${l2(k)} at $k")
+  }
+
+  test("ml_kernel_ridge: predictions finite, inside the landmark target hull + slack (r7)") {
+    val rows = q("ml_kernel_ridge").collect()
+    assert(rows.length == 10)
+    val preds = rows.map(_.getDouble(2))
+    assert(preds.forall(p => !p.isNaN && !p.isInfinite))
+    // dual weights are bounded by (K+λI)⁻¹y with K ⪰ 0, so |ŷ| ≤ 3·max|y|/λ
+    // is a loose sanity ceiling; the tight check is that the kernel
+    // actually discriminates: not all queries score identically
+    assert(preds.distinct.length > 1, "kernel scores are degenerate")
+    assert(preds.forall(p => math.abs(p) < 100.0), s"runaway prediction: ${preds.max}")
+  }
+
+  test("ml_nb_complement: confusion partitions the corpus and beats chance (r7)") {
+    val rows = q("ml_nb_complement").collect()
+    val total = rows.map(_.getLong(2)).sum
+    val docs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(total == docs, s"$total != $docs")
+    // the whitespace-token fixture is a hard task (MNB itself sits ~0.47);
+    // the pin is "well above 5-class chance", not absolute quality
+    val diag = rows.filter(r => r.getString(0) == r.getString(1)).map(_.getLong(2)).sum
+    assert(diag.toDouble / total > 0.3, s"CNB accuracy ${diag.toDouble / total}")
+  }
+
   test("ml_seasonal_decompose: MA trend is NULL exactly at the 3-row endpoints (r7)") {
     val rows = q("ml_seasonal_decompose").collect()
     val n = rows.length
