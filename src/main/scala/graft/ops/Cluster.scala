@@ -565,6 +565,88 @@ object Cluster {
                FROM m""")),
 
     QueryDef(
+      "ml_make_classification",
+      // cuml.dask.datasets.make_classification [R] — completes the
+      // generator trio (blobs/regression/classification): n = 1000, two
+      // balanced classes (y = i mod 2), two INFORMATIVE gaussians centered
+      // at ±2 per class, one REDUNDANT feature f3 = 2·f1 − f2 (sklearn's
+      // redundant = linear combination of informative contract), one pure
+      // NOISE feature. Stateless per-id generation — the same two-round
+      // LCG → Box-Muller streams as make_blobs, each partition generates
+      // its id range independently. The audit output is per-class: moment
+      // recovery of the centers, the redundant-identity mean, a noise mean
+      // ≈ 0, and the halfspace separation rate sign(f1+f2) vs label (the
+      // class_sep check — ≈ Φ(2√2) ≈ 0.998 by construction).
+      (s, dir) => {
+        s.range(0, 1000).toDF("i")
+          .selectExpr("i % 2 AS y",
+            "CAST(((i * 48271 + 11) * 69621 + 7) % 2147483647 AS DOUBLE) AS h1",
+            "CAST(((i * 16807 + 3) * 48271 + 19) % 2147483647 AS DOUBLE) AS h2",
+            "CAST(((i * 24001 + 5) * 48271 + 13) % 2147483647 AS DOUBLE) AS h3",
+            "CAST(((i * 65537 + 9) * 69621 + 3) % 2147483647 AS DOUBLE) AS h4")
+          .selectExpr("y",
+            "(h1 + 1e0) / 2147483648e0 AS u1", "(h2 + 1e0) / 2147483648e0 AS u2",
+            "(h3 + 1e0) / 2147483648e0 AS u3", "(h4 + 1e0) / 2147483648e0 AS u4")
+          .selectExpr("y",
+            "sqrt(-2e0 * CAST(CAST(ln(u1) AS FLOAT) AS DOUBLE)) * CAST(CAST(cos(6.283185307179586e0 * u2) AS FLOAT) AS DOUBLE) AS z1",
+            "sqrt(-2e0 * CAST(CAST(ln(u1) AS FLOAT) AS DOUBLE)) * CAST(CAST(sin(6.283185307179586e0 * u2) AS FLOAT) AS DOUBLE) AS z2",
+            "sqrt(-2e0 * CAST(CAST(ln(u3) AS FLOAT) AS DOUBLE)) * CAST(CAST(cos(6.283185307179586e0 * u4) AS FLOAT) AS DOUBLE) AS z3")
+          .selectExpr("y",
+            "(CASE WHEN y = 1 THEN 2e0 ELSE -2e0 END) + z1 AS f1",
+            "(CASE WHEN y = 1 THEN 2e0 ELSE -2e0 END) + z2 AS f2",
+            "z3 AS noise")
+          .selectExpr("y", "f1", "f2", "2e0 * f1 - f2 AS f3", "noise")
+          .groupBy(col("y").as("label"))
+          .agg(count(lit(1)).as("n"),
+            T.xsum(col("f1")).as("s1"), T.xsum(col("f2")).as("s2"),
+            T.xsum(col("f3")).as("s3"), T.xsum(col("noise")).as("sn"),
+            sum(when((col("f1") + col("f2") > 0) === (col("y") === 1), 1L)
+              .otherwise(0L)).as("sep"))
+          .selectExpr("label", "n",
+            "round(s1 / n, 6) AS mean_f1",
+            "round(s2 / n, 6) AS mean_f2",
+            "round(s3 / n, 6) AS mean_redundant",
+            "round(sn / n, 6) AS mean_noise",
+            "round(CAST(sep AS DOUBLE) / n, 6) AS sep_acc")
+          .orderBy("label")
+      },
+      Some(s"""WITH ids AS (SELECT i FROM generate_series(0, 999) t(i)),
+                 h AS (SELECT i % 2 AS y,
+                     CAST(((i * 48271 + 11) * 69621 + 7) % 2147483647 AS DOUBLE) AS h1,
+                     CAST(((i * 16807 + 3) * 48271 + 19) % 2147483647 AS DOUBLE) AS h2,
+                     CAST(((i * 24001 + 5) * 48271 + 13) % 2147483647 AS DOUBLE) AS h3,
+                     CAST(((i * 65537 + 9) * 69621 + 3) % 2147483647 AS DOUBLE) AS h4
+                   FROM ids),
+                 u AS (SELECT y, (h1 + 1e0) / 2147483648e0 AS u1,
+                     (h2 + 1e0) / 2147483648e0 AS u2,
+                     (h3 + 1e0) / 2147483648e0 AS u3,
+                     (h4 + 1e0) / 2147483648e0 AS u4 FROM h),
+                 z AS (SELECT y,
+                     sqrt(-2e0 * CAST(CAST(ln(u1) AS REAL) AS DOUBLE)) * CAST(CAST(cos(6.283185307179586e0 * u2) AS REAL) AS DOUBLE) AS z1,
+                     sqrt(-2e0 * CAST(CAST(ln(u1) AS REAL) AS DOUBLE)) * CAST(CAST(sin(6.283185307179586e0 * u2) AS REAL) AS DOUBLE) AS z2,
+                     sqrt(-2e0 * CAST(CAST(ln(u3) AS REAL) AS DOUBLE)) * CAST(CAST(cos(6.283185307179586e0 * u4) AS REAL) AS DOUBLE) AS z3
+                   FROM u),
+                 f AS (SELECT y,
+                     (CASE WHEN y = 1 THEN 2e0 ELSE -2e0 END) + z1 AS f1,
+                     (CASE WHEN y = 1 THEN 2e0 ELSE -2e0 END) + z2 AS f2,
+                     z3 AS noise
+                   FROM z),
+                 d AS (SELECT y, f1, f2, 2e0 * f1 - f2 AS f3, noise FROM f),
+                 g AS (SELECT y AS label, count(*) AS n,
+                     ${T.sqlXsum("f1")} AS s1, ${T.sqlXsum("f2")} AS s2,
+                     ${T.sqlXsum("f3")} AS s3, ${T.sqlXsum("noise")} AS sn,
+                     CAST(sum(CASE WHEN (f1 + f2 > 0) = (y = 1)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS sep
+                   FROM d GROUP BY y)
+               SELECT label, n,
+                 round(s1 / n, 6) AS mean_f1,
+                 round(s2 / n, 6) AS mean_f2,
+                 round(s3 / n, 6) AS mean_redundant,
+                 round(sn / n, 6) AS mean_noise,
+                 round(CAST(sep AS DOUBLE) / n, 6) AS sep_acc
+               FROM g ORDER BY label""")),
+
+    QueryDef(
       "ml_hdbscan_reach",
       // cuML HDBSCAN's DENSITY layer (r7): the mutual-reachability
       // single-linkage cut — the building block HDBSCAN's condensed tree

@@ -21,7 +21,110 @@ object Pipeline {
   private val FA = 48271L
   private val FB = 16807L
 
+  /** Porter stemmer steps 1a–1c as a named expression cascade — EXACT,
+    * including the measure m and the context-dependent y vowel/consonant
+    * rule, via a positional vowel/consonant ENCODING column: the token is
+    * mapped to {a=vowel, b=consonant}^len (y at start = consonant, y after
+    * vowel = consonant, y after consonant = vowel — Porter's cons()), so
+    * every condition (contains-vowel, m = count of 'ab' adjacencies, the
+    * *o cvc shape 'bab', double-consonant endings) reads off aligned
+    * substrings. Step 1a's rewrites are pure truncations, which keeps the
+    * encoding aligned without re-encoding; after 1b the only length changes
+    * are the tracked undouble/+e, re-aligned in `enc2`. Steps 2–5 (the
+    * derivational suffix tables) are the same CASE/measure shape, omitted
+    * — step 1 is the inflectional layer the reference stemmer's tests
+    * exercise most.
+    *
+    * The ONLY engine divergence is regexp_replace's global flag (Spark is
+    * global by default, DuckDB needs 'g'); every other step is shared
+    * verbatim text, so the CASE/substr arithmetic is identical. */
+  private[graft] def porterSteps(spark: Boolean): Seq[(String, String)] = {
+    def rr(e: String, p: String, r: String) =
+      if (spark) s"regexp_replace($e, '$p', '$r')"
+      else s"regexp_replace($e, '$p', '$r', 'g')"
+    Seq(
+      "ln0" -> "length(tok)",
+      "e1" -> rr("tok", "[aeiou]", "a"),
+      "e2" -> rr("e1", "^y", "Y"),
+      "e3" -> rr("e2", "ay", "aY"),
+      "e4" -> rr("e3", "y", "a"),
+      "e5" -> rr("e4", "Y", "b"),
+      "enc" -> rr("e5", "[^ab]", "b"),
+      "t1" -> """CASE WHEN tok LIKE '%sses' THEN substr(tok, 1, ln0 - 2)
+                  WHEN tok LIKE '%ies' THEN substr(tok, 1, ln0 - 2)
+                  WHEN tok LIKE '%ss' THEN tok
+                  WHEN tok LIKE '%s' AND ln0 > 1 THEN substr(tok, 1, ln0 - 1)
+                  ELSE tok END""",
+      "l1" -> "length(t1)",
+      "enc1" -> "substr(enc, 1, l1)",
+      "d2" -> """CASE WHEN t1 LIKE '%eed' THEN 0
+                  WHEN t1 LIKE '%ed' AND substr(enc1, 1, l1 - 2) LIKE '%a%' THEN 2
+                  WHEN t1 LIKE '%ing' AND substr(enc1, 1, l1 - 3) LIKE '%a%' THEN 3
+                  ELSE 0 END""",
+      "eedcut" -> """CASE WHEN t1 LIKE '%eed' AND
+                  (l1 - 3 - length(replace(substr(enc1, 1, l1 - 3), 'ab', 'x'))) > 0
+                  THEN 1 ELSE 0 END""",
+      "ls" -> "l1 - d2 - eedcut",
+      "st" -> "substr(t1, 1, ls)",
+      "encs" -> "substr(enc1, 1, ls)",
+      "ms" -> "ls - length(replace(encs, 'ab', 'x'))",
+      "t2" -> """CASE WHEN d2 = 0 THEN st
+                  WHEN st LIKE '%at' OR st LIKE '%bl' OR st LIKE '%iz' THEN st || 'e'
+                  WHEN ls >= 2 AND substr(st, ls, 1) = substr(st, ls - 1, 1)
+                       AND substr(encs, ls, 1) = 'b'
+                       AND substr(st, ls, 1) NOT IN ('l', 's', 'z')
+                  THEN substr(st, 1, ls - 1)
+                  WHEN ms = 1 AND encs LIKE '%bab'
+                       AND substr(st, ls, 1) NOT IN ('w', 'x', 'y')
+                  THEN st || 'e'
+                  ELSE st END""",
+      "lt2" -> "length(t2)",
+      "enc2" -> """CASE WHEN lt2 = ls - 1 THEN substr(encs, 1, ls - 1)
+                    WHEN lt2 = ls + 1 THEN encs || 'a'
+                    ELSE encs END""",
+      "stem" -> """CASE WHEN t2 LIKE '%y' AND substr(enc2, 1, lt2 - 1) LIKE '%a%'
+                    THEN substr(t2, 1, lt2 - 1) || 'i' ELSE t2 END""")
+  }
+
   val entries: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "text_porter_stem",
+      // cuml.preprocessing.text.stem PorterStemmer [R] over the corpus
+      // vocabulary: the 40 most frequent all-alpha tokens with their
+      // Porter step-1 stems (see porterSteps — the measure/encoding
+      // machinery is exact, not a regex approximation). Scale: the
+      // stemmer is a pure per-row expression chain (at 100 TB it maps
+      // over the token stream); here it is applied AFTER the top-k so the
+      // registered query's cascade runs on 40 rows — the heavy step is
+      // the map-side-combined vocabulary count, and top-40 plans as
+      // TakeOrderedAndProject, no global sort, no window.
+      (s, dir) => {
+        val top = T.documents(s, dir).transform(T.fanOut(_, col("doc_id")))
+          .select(explode(split(col("text"), " ")).as("t"))
+          .select(lower(col("t")).as("tok"))
+          .where(col("tok").rlike("^[a-z]+$"))
+          .groupBy("tok").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("tok")).limit(40)
+        porterSteps(spark = true)
+          .foldLeft(top.toDF()) { case (df, (nm, ex)) =>
+            df.selectExpr("*", s"$ex AS $nm") }
+          .select(col("tok"), col("stem"), col("n"))
+          .orderBy(col("n").desc, col("tok"))
+      },
+      Some {
+        val ctes = porterSteps(spark = false).zipWithIndex.map {
+          case ((nm, ex), i) => s"c${i + 1} AS (SELECT *, $ex AS $nm FROM c$i)"
+        }
+        s"""WITH tk AS (SELECT lower(t) AS tok FROM (
+                 SELECT unnest(string_split(text, ' ')) AS t FROM documents) u
+               WHERE regexp_matches(lower(t), '^[a-z]+$$')),
+             c0 AS (SELECT tok, count(*) AS n FROM tk GROUP BY tok
+                    ORDER BY n DESC, tok LIMIT 40),
+             ${ctes.mkString(",\n             ")}
+           SELECT tok, stem, n FROM c${porterSteps(spark = false).size}
+           ORDER BY n DESC, tok"""
+      }),
 
     QueryDef(
       "text_quality",

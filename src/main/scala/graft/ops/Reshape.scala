@@ -226,6 +226,33 @@ object Reshape {
         s"""SELECT source, $cols,
                 CAST(sum(CASE WHEN lang NOT IN ('de','en','es','fr','zh') THEN 1 ELSE 0 END) AS BIGINT) AS n_other
               FROM documents GROUP BY source ORDER BY source"""
-      })
+      }),
+
+    QueryDef(
+      "ml_label_binarize",
+      // cuml.dask.preprocessing LabelBinarizer [R] — the LABEL-side
+      // binarizer next to ml_onehot's feature-side sums: the actual 0/1
+      // indicator matrix in long form (doc, class, ind) for the bounded
+      // doc_id < 20 sample, over the same explicit category list. Long
+      // form IS the distributed encoding (a wide dynamic-schema pivot
+      // would bake |classes| into the plan); inverse_transform is the
+      // per-doc argmax, pinned in MicroSpec. Pure map over a pruned scan —
+      // the class list is literal, no distinct-values job.
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        val classes = Seq("de", "en", "es", "fr", "zh").toDF("class")
+        T.documents(s, dir).where(col("doc_id") < 20)
+          .select(col("doc_id"), col("lang"))
+          .crossJoin(broadcast(classes))
+          .select(col("doc_id"), col("lang"), col("class"),
+            when(col("lang") === col("class"), 1L).otherwise(0L).as("ind"))
+          .orderBy("doc_id", "class")
+      },
+      Some("""SELECT doc_id, lang, class, CAST(CASE WHEN lang = class
+                THEN 1 ELSE 0 END AS BIGINT) AS ind
+              FROM documents CROSS JOIN (
+                SELECT unnest(['de','en','es','fr','zh']) AS class) c
+              WHERE doc_id < 20 ORDER BY doc_id, class"""))
   )
 }

@@ -941,6 +941,55 @@ class MicroSpec extends SparkSpec {
     assert(diag.toDouble / total > 0.3, s"CNB accuracy ${diag.toDouble / total}")
   }
 
+  test("text_porter_stem: cascade reproduces the canonical Porter step-1 examples (r7)") {
+    import spark.implicits._
+    // the exact example set from Porter's 1980 paper for steps 1a/1b/1c,
+    // plus the y/measure edge cases the encoding must get right
+    val cases = Seq(
+      "caresses" -> "caress", "ponies" -> "poni", "ties" -> "ti",
+      "caress" -> "caress", "cats" -> "cat",
+      "feed" -> "feed", "agreed" -> "agree",
+      "plastered" -> "plaster", "bled" -> "bled",
+      "motoring" -> "motor", "sing" -> "sing",
+      "conflated" -> "conflate", "troubled" -> "trouble", "sized" -> "size",
+      "hopping" -> "hop", "tanned" -> "tan", "falling" -> "fall",
+      "hissing" -> "hiss", "fizzed" -> "fizz",
+      "failing" -> "fail", "filing" -> "file",
+      "happy" -> "happi", "sky" -> "sky")
+    val df = cases.map(_._1).toDF("tok")
+    val out = ops.Pipeline.porterSteps(spark = true)
+      .foldLeft(df) { case (d, (nm, ex)) => d.selectExpr("*", s"$ex AS $nm") }
+      .select("tok", "stem").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    for ((w, want) <- cases)
+      assert(out(w) == want, s"stem($w) = ${out(w)}, want $want")
+  }
+
+  test("ml_make_classification: centers recovered, redundant identity, separable (r7)") {
+    val rows = q("ml_make_classification").orderBy(col("label")).collect()
+    assert(rows.length == 2)
+    for (r <- rows) {
+      val c = if (r.getLong(0) == 1) 2.0 else -2.0
+      assert(math.abs(r.getDouble(2) - c) < 0.15, s"mean_f1 ${r.getDouble(2)}")
+      assert(math.abs(r.getDouble(3) - c) < 0.15, s"mean_f2 ${r.getDouble(3)}")
+      // f3 = 2 f1 - f2 exactly, so the means obey the same identity
+      assert(math.abs(r.getDouble(4) - (2 * r.getDouble(2) - r.getDouble(3))) < 2e-6)
+      assert(math.abs(r.getDouble(5)) < 0.15, s"noise mean ${r.getDouble(5)}")
+      assert(r.getDouble(6) > 0.95, s"separation ${r.getDouble(6)}")
+    }
+  }
+
+  test("ml_label_binarize: one hot per doc, inverse_transform recovers the label (r7)") {
+    val rows = q("ml_label_binarize").collect()
+    assert(rows.length == 100)
+    val byDoc = rows.groupBy(_.getLong(0))
+    for ((_, rs) <- byDoc) {
+      assert(rs.map(_.getLong(3)).sum == 1, "row is not one-hot")
+      val hot = rs.find(_.getLong(3) == 1L).get
+      assert(hot.getString(2) == hot.getString(1), "argmax class != label")
+    }
+  }
+
   test("ml_seasonal_decompose: MA trend is NULL exactly at the 3-row endpoints (r7)") {
     val rows = q("ml_seasonal_decompose").collect()
     val n = rows.length
