@@ -140,6 +140,27 @@ case class VecL1Dist(left: Expression, right: Expression) extends VecBinary {
     copy(left = newLeft, right = newRight)
 }
 
+/** max |xᵢ−yᵢ| — Chebyshev (L∞) distance, completing the pairwise-metric
+  * family (euclidean / cosine / manhattan / chebyshev). */
+case class VecLInfDist(left: Expression, right: Expression) extends VecBinary {
+  override def prettyName: String = "vec_linf_dist"
+  protected def loopBody(xs: String, ys: String, acc: String, i: String): String =
+    s"""for (int $i = 0; $i < $xs.length; $i++) {
+       |  double d$i = Math.abs((double) $xs[$i] - (double) $ys[$i]);
+       |  if (d$i > $acc) $acc = d$i;
+       |}""".stripMargin
+  protected def evalLoop(xs: Array[Double], ys: Array[Double]): Double = {
+    var acc = 0.0; var i = 0
+    while (i < xs.length) {
+      val d = math.abs(xs(i) - ys(i)); if (d > acc) acc = d; i += 1
+    }
+    acc
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Registration + Column helpers. The expressions are registered as SQL
   * functions in the session's FunctionRegistry (idempotent), then reached
   * through `expr("vec_dot(a, b)")` — no private Spark APIs involved, and
@@ -159,6 +180,8 @@ object Vec {
         "graft_vec_l2", args => VecL2Dist(args.head, args(1)), "built-in")
       reg.createOrReplaceTempFunction(
         "graft_vec_l1", args => VecL1Dist(args.head, args(1)), "built-in")
+      reg.createOrReplaceTempFunction(
+        "graft_vec_linf", args => VecLInfDist(args.head, args(1)), "built-in")
     }
   }
 
@@ -170,5 +193,8 @@ object Vec {
   }
   def l1(s: SparkSession, a: String, b: String): Column = {
     register(s); expr(s"graft_vec_l1($a, $b)")
+  }
+  def linf(s: SparkSession, a: String, b: String): Column = {
+    register(s); expr(s"graft_vec_linf($a, $b)")
   }
 }

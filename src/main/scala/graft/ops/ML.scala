@@ -454,6 +454,63 @@ object ML {
     steps.toSeq
   }
 
+  /** LARS (least-angle regression, Efron et al. 2004 — the reference ships
+    * it as cuml.experimental.linear_model.Lars [R]) over the 3 standardized
+    * lineitem features, as ONE shared-text scalar cascade on the centered
+    * moment row: correlations from the Gram wire, the first two equiangular
+    * steps in closed form (p = 3 ⇒ the 2-active equiangular quantities
+    * reduce to A₂ = √((1+g)/2), a_j = A₂(s₁ρ_{j1,j}+s₂ρ_{j2,j})/(1+g)),
+    * join γ's by the min-positive rule with the standard ±-branch guards.
+    * Feature selection (argmax/argmin over 3 candidates) is a deterministic
+    * CASE chain with q<d<t tie-break — no driver decision, the whole path
+    * is one row of scalar text both engines evaluate identically. */
+  private lazy val larsSteps: Seq[(String, String)] = Seq(
+    "vq" -> "sqrt(cqq)", "vd" -> "sqrt(cdd)", "vt" -> "sqrt(ctt)",
+    "cqn" -> "cqy / vq", "cdn" -> "cdy / vd", "ctn" -> "cty / vt",
+    "rqd" -> "cqd / (vq * vd)", "rqt" -> "cqt / (vq * vt)", "rdt" -> "cdt / (vd * vt)",
+    "awq" -> "abs(cqn)", "awd" -> "abs(cdn)", "awt" -> "abs(ctn)",
+    "j1" -> "CASE WHEN awq >= awd AND awq >= awt THEN 'q' WHEN awd >= awt THEN 'd' ELSE 't' END",
+    "cc1" -> "CASE j1 WHEN 'q' THEN cqn WHEN 'd' THEN cdn ELSE ctn END",
+    "sg1" -> "CASE WHEN cc1 >= 0 THEN 1.0 ELSE -1.0 END",
+    "bc1" -> "abs(cc1)",
+    "a1q" -> "sg1 * (CASE j1 WHEN 'q' THEN 1.0 WHEN 'd' THEN rqd ELSE rqt END)",
+    "a1d" -> "sg1 * (CASE j1 WHEN 'q' THEN rqd WHEN 'd' THEN 1.0 ELSE rdt END)",
+    "a1t" -> "sg1 * (CASE j1 WHEN 'q' THEN rqt WHEN 'd' THEN rdt ELSE 1.0 END)",
+    "gjq" -> ("CASE WHEN j1 = 'q' THEN 1e30 ELSE least(" +
+      "CASE WHEN 1.0 - a1q > 1e-12 AND (bc1 - cqn) / (1.0 - a1q) > 0 THEN (bc1 - cqn) / (1.0 - a1q) ELSE 1e30 END, " +
+      "CASE WHEN 1.0 + a1q > 1e-12 AND (bc1 + cqn) / (1.0 + a1q) > 0 THEN (bc1 + cqn) / (1.0 + a1q) ELSE 1e30 END) END"),
+    "gjd" -> ("CASE WHEN j1 = 'd' THEN 1e30 ELSE least(" +
+      "CASE WHEN 1.0 - a1d > 1e-12 AND (bc1 - cdn) / (1.0 - a1d) > 0 THEN (bc1 - cdn) / (1.0 - a1d) ELSE 1e30 END, " +
+      "CASE WHEN 1.0 + a1d > 1e-12 AND (bc1 + cdn) / (1.0 + a1d) > 0 THEN (bc1 + cdn) / (1.0 + a1d) ELSE 1e30 END) END"),
+    "gjt" -> ("CASE WHEN j1 = 't' THEN 1e30 ELSE least(" +
+      "CASE WHEN 1.0 - a1t > 1e-12 AND (bc1 - ctn) / (1.0 - a1t) > 0 THEN (bc1 - ctn) / (1.0 - a1t) ELSE 1e30 END, " +
+      "CASE WHEN 1.0 + a1t > 1e-12 AND (bc1 + ctn) / (1.0 + a1t) > 0 THEN (bc1 + ctn) / (1.0 + a1t) ELSE 1e30 END) END"),
+    "gam1" -> "least(gjq, gjd, gjt)",
+    "j2" -> "CASE WHEN gjq <= gjd AND gjq <= gjt THEN 'q' WHEN gjd <= gjt THEN 'd' ELSE 't' END",
+    "cc2" -> "CASE j2 WHEN 'q' THEN cqn - gam1 * a1q WHEN 'd' THEN cdn - gam1 * a1d ELSE ctn - gam1 * a1t END",
+    "sg2" -> "CASE WHEN cc2 >= 0 THEN 1.0 ELSE -1.0 END",
+    "bc2" -> "bc1 - gam1",
+    "r12" -> ("CASE WHEN (j1 = 'q' AND j2 = 'd') OR (j1 = 'd' AND j2 = 'q') THEN rqd " +
+      "WHEN (j1 = 'q' AND j2 = 't') OR (j1 = 't' AND j2 = 'q') THEN rqt ELSE rdt END"),
+    "gg" -> "sg1 * sg2 * r12",
+    "aa2" -> "sqrt((1.0 + gg) / 2.0)",
+    "j3" -> "CASE WHEN j1 <> 'q' AND j2 <> 'q' THEN 'q' WHEN j1 <> 'd' AND j2 <> 'd' THEN 'd' ELSE 't' END",
+    "r31" -> ("CASE WHEN (j3 = 'q' AND j1 = 'd') OR (j3 = 'd' AND j1 = 'q') THEN rqd " +
+      "WHEN (j3 = 'q' AND j1 = 't') OR (j3 = 't' AND j1 = 'q') THEN rqt ELSE rdt END"),
+    "r32" -> ("CASE WHEN (j3 = 'q' AND j2 = 'd') OR (j3 = 'd' AND j2 = 'q') THEN rqd " +
+      "WHEN (j3 = 'q' AND j2 = 't') OR (j3 = 't' AND j2 = 'q') THEN rqt ELSE rdt END"),
+    "c3u" -> "CASE j3 WHEN 'q' THEN cqn - gam1 * a1q WHEN 'd' THEN cdn - gam1 * a1d ELSE ctn - gam1 * a1t END",
+    "a2j3" -> "aa2 / (1.0 + gg) * (sg1 * r31 + sg2 * r32)",
+    "g2raw" -> ("least(" +
+      "CASE WHEN aa2 - a2j3 > 1e-12 AND (bc2 - c3u) / (aa2 - a2j3) > 0 THEN (bc2 - c3u) / (aa2 - a2j3) ELSE 1e30 END, " +
+      "CASE WHEN aa2 + a2j3 > 1e-12 AND (bc2 + c3u) / (aa2 + a2j3) > 0 THEN (bc2 + c3u) / (aa2 + a2j3) ELSE 1e30 END)"),
+    "gols" -> "bc2 / aa2",
+    "gam2" -> "least(g2raw, gols)",
+    "c3e" -> "abs(c3u - gam2 * a2j3)",
+    "fn1" -> "CASE j1 WHEN 'q' THEN 'quantity' WHEN 'd' THEN 'discount' ELSE 'tax' END",
+    "fn2" -> "CASE j2 WHEN 'q' THEN 'quantity' WHEN 'd' THEN 'discount' ELSE 'tax' END",
+    "fn3" -> "CASE j3 WHEN 'q' THEN 'quantity' WHEN 'd' THEN 'discount' ELSE 'tax' END")
+
   /** Multi-feature ridge (VERDICT r5 #3 — the reference Ridge's `eig`
     * contract with 3 features): centered normal equations with α = 1000 on
     * the penalized diagonal (intercept unpenalized — the multi-feature
@@ -1671,6 +1728,42 @@ object ML {
              SELECT vec_id, y_true,
                round(kq0 * krx0 + kq1 * krx1 + kq2 * krx2, 6) AS y_pred
              FROM kq CROSS JOIN $fin ORDER BY vec_id"""
+      }),
+
+    QueryDef(
+      "ml_lars_path",
+      // cuml.experimental.linear_model.Lars [R]: the least-angle regression
+      // path over the 3 standardized lineitem features — see larsSteps for
+      // the closed-form cascade. Output = the three JOIN EVENTS of the
+      // path: (step, feature, |corr| at entry, γ moved during the step);
+      // step 2's γ is capped at the 2-active OLS endpoint C₂/A₂ (the LARS
+      // termination rule), and the step-3 row's γ is NULL — once all
+      // features are active the remaining segment is ordinary least
+      // squares on the full set, which is ml_linreg_multi's solve. Scale:
+      // ONE moment pass (the memoized gram4 wire); everything after is a
+      // single-row scalar cascade.
+      (s, dir) => {
+        val solved = stepChain(gram4Row(s, dir), centeredBase ++ larsSteps)
+        val r1 = solved.selectExpr("1 AS step", "fn1 AS feature",
+          "round(bc1, 6) AS c_entry", "round(gam1, 6) AS gamma")
+        val r2 = solved.selectExpr("2 AS step", "fn2 AS feature",
+          "round(bc2, 6) AS c_entry", "round(gam2, 6) AS gamma")
+        val r3 = solved.selectExpr("3 AS step", "fn3 AS feature",
+          "round(c3e, 6) AS c_entry", "CAST(NULL AS DOUBLE) AS gamma")
+        r1.union(r2).union(r3).orderBy("step")
+      },
+      Some {
+        val (chain, fin) = sqlChainFrom(centeredBase ++ larsSteps, "lrc")
+        s"""WITH m AS ($sqlGram4),
+               $chain
+             SELECT * FROM (
+               SELECT 1 AS step, fn1 AS feature, round(bc1, 6) AS c_entry,
+                 round(gam1, 6) AS gamma FROM $fin
+               UNION ALL
+               SELECT 2, fn2, round(bc2, 6), round(gam2, 6) FROM $fin
+               UNION ALL
+               SELECT 3, fn3, round(c3e, 6), CAST(NULL AS DOUBLE) FROM $fin
+             ) t ORDER BY step"""
       }),
 
     QueryDef(

@@ -430,6 +430,40 @@ object Metrics {
               ORDER BY id_a, id_b""")),
 
     QueryDef(
+      "ml_pairwise_manhattan",
+      // cuml.metrics.pairwise_distances metric='cityblock'/'chebyshev' [R]
+      // — the remaining two metrics of the pairwise family, on the same
+      // bounded vec_id < 15 sample as ml_pairwise_distances. Both run the
+      // codegen'd vector loops (VecL1Dist / VecLInfDist). Cross-engine:
+      // the L1 SUM is FLOAT-collapsed (summation order differs between
+      // Spark's sequential loop and DuckDB's exploded-join aggregate);
+      // the L∞ MAX needs no collapse — max over identical per-element
+      // doubles is order-free and bit-identical.
+      (s, dir) => {
+        val e = T.embeddings(s, dir).where(col("vec_id") < 15)
+        val a = e.select(col("vec_id").as("id_a"), col("embedding").as("q_emb"))
+        val b = e.select(col("vec_id").as("id_b"), col("embedding").as("n_emb"))
+        a.crossJoin(broadcast(b)).where(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"),
+            graft.functions.Vec.l1(s, "q_emb", "n_emb").cast("float").as("d1"),
+            graft.functions.Vec.linf(s, "q_emb", "n_emb").as("di"))
+          .select(col("id_a"), col("id_b"),
+            round(col("d1").cast("double"), 6).as("dist_l1"),
+            round(col("di"), 6).as("dist_linf"))
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH ex AS (SELECT vec_id,
+                   generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS i,
+                   unnest(CAST(embedding AS DOUBLE[])) AS x
+                 FROM embeddings WHERE vec_id < 15)
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                round(CAST(CAST(sum(abs(a.x - b.x)) AS REAL) AS DOUBLE), 6) AS dist_l1,
+                round(max(abs(a.x - b.x)), 6) AS dist_linf
+              FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id
+              GROUP BY a.vec_id, b.vec_id
+              ORDER BY id_a, id_b""")),
+
+    QueryDef(
       "ml_kl_divergence",
       // cuml.metrics.kl_divergence between two empirical distributions
       // from ONE conditional-count pass: P = the returnflag distribution

@@ -990,6 +990,35 @@ class MicroSpec extends SparkSpec {
     }
   }
 
+  test("ml_pairwise_manhattan: norm inequalities against the L2 matrix (r7)") {
+    val m = q("ml_pairwise_manhattan").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getDouble(3))).toMap
+    val l2 = q("ml_pairwise_distances").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(m.size == 105 && l2.size == 105)
+    for ((k, (d1, di)) <- m) {
+      assert(di <= d1 + 1e-6, s"linf > l1 at $k")
+      assert(di <= l2(k) + 1e-6, s"linf > l2 at $k")
+      assert(d1 >= l2(k) - 1e-6, s"l1 < l2 at $k")
+      assert(d1 <= 64.0 * di + 1e-6, s"l1 > 64*linf at $k")
+    }
+  }
+
+  test("ml_lars_path: correlations decrease along the path, step identity holds (r7)") {
+    val rows = q("ml_lars_path").orderBy(col("step")).collect()
+    assert(rows.length == 3)
+    assert(rows.map(_.getString(1)).distinct.length == 3, "a feature joined twice")
+    val (c1, g1) = (rows(0).getDouble(2), rows(0).getDouble(3))
+    val (c2, g2) = (rows(1).getDouble(2), rows(1).getDouble(3))
+    val c3 = rows(2).getDouble(2)
+    assert(g1 > 0 && g2 > 0)
+    // |c| at the second join is exactly the first |c| minus the distance
+    // moved (A = 1 for a single active predictor)
+    assert(math.abs(c2 - (c1 - g1)) < 2e-6, s"$c2 != $c1 - $g1")
+    assert(c1 > c2 && c2 > c3 && c3 >= 0, s"not decreasing: $c1, $c2, $c3")
+    assert(rows(2).isNullAt(3), "step-3 gamma must be NULL (OLS tail)")
+  }
+
   test("ml_seasonal_decompose: MA trend is NULL exactly at the 3-row endpoints (r7)") {
     val rows = q("ml_seasonal_decompose").collect()
     val n = rows.length
