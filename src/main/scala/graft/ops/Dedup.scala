@@ -89,43 +89,64 @@ object Dedup {
 
   /** Min-label connected components over an undirected pair list
     * (doc_a, doc_b) → (v, lbl = component min), shared by dedup_cluster,
-    * dedup_pipeline, and ml_dbscan (r6 review: the loop previously lived
-    * twice). T.freeze per round keeps the plan flat (see dedup_cluster's
-    * comment). `vertices` optionally adds isolated vertices (a 1-column
-    * frame; each gets lbl = itself) — without it only vertices appearing
-    * in a pair get a row. `cap` bounds the rounds (= component diameter)
-    * and fails loudly past it. */
+    * dedup_pipeline, ml_dbscan, and ml_hdbscan_reach (r6 review: the loop
+    * previously lived twice).
+    *
+    * Algorithm (r7): HASH-TO-MIN (Rastogi et al., "Finding Connected
+    * Components in MapReduce", ICDE 2013) — each vertex carries a cluster
+    * set C(v) (as (v, u) rows); per round every set broadcasts its min to
+    * all members and ships its members to the min. Converges in
+    * O(log diameter) rounds to the unique component-min labeling. The r6
+    * implementation propagated min labels one EDGE-HOP per round
+    * (rounds = diameter), which ml_hdbscan_reach's thin chain-shaped
+    * λ-graph blew past at sf0.1 (27+ rounds measured; pointer-jumping on
+    * the label table does NOT fix this — the min still travels hop by hop
+    * through the GRAPH, only the pointer forest compresses). Hash-to-min
+    * measured 5 rounds on the same graph. At 100 TB the log-round bound is
+    * the difference between a fixed handful of shuffles and an unbounded
+    * chain of them.
+    *
+    * T.freeze per round keeps the plan flat (see dedup_cluster's comment).
+    * `vertices` optionally adds isolated vertices (each gets lbl = itself)
+    * and restricts the OUTPUT to that set — without it every pair endpoint
+    * gets a row. `cap` bounds the rounds and fails loudly past it; with
+    * log-round convergence, 16 covers diameter 2¹⁶ with slack. */
   private[ops] def minLabelComponents(
       pairs: DataFrame,
       vertices: Option[DataFrame] = None,
       cap: Int = 24): DataFrame = {
     val edges = T.freeze(pairs.union(pairs.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst"))
-    // seed: lbl(v) = min(v, min neighbor) — one propagation round free
-    val seedBase = vertices match {
-      case Some(vs) => vs.toDF("src").join(edges, Seq("src"), "left")
-      case None => edges
+    val verts = vertices match {
+      case Some(vs) => vs.toDF("v")
+      case None => edges.select(col("src").as("v")).distinct()
     }
-    var labels = T.freeze(seedBase.groupBy(col("src").as("v"))
-      .agg(min(col("dst")).as("nb"))
-      .select(col("v"), least(col("v"), coalesce(col("nb"), col("v"))).as("lbl")))
+    // C₀(v) = {v} ∪ N(v)
+    var c = T.freeze(verts.select(col("v"), col("v").as("u"))
+      .union(edges.select(col("src").as("v"), col("dst").as("u")))
+      .distinct())
+    var labels = T.freeze(c.groupBy("v").agg(min(col("u")).as("lbl")))
     var changed = 1L
     var rounds = 0
     while (changed > 0) {
       if (rounds >= cap) throw new IllegalStateException(
-        s"minLabelComponents: component diameter exceeds the $cap-round cap")
-      val prop = edges
-        .join(labels.select(col("v").as("dst"), col("lbl").as("nlbl")), "dst")
-        .groupBy("src").agg(min(col("nlbl")).as("mnl"))
-      val next = T.freeze(labels
-        .join(prop.select(col("src").as("v"), col("mnl")), Seq("v"), "left")
-        .select(col("v"), least(col("lbl"), coalesce(col("mnl"), col("lbl"))).as("lbl")))
+        s"minLabelComponents: rounds exceed the $cap-round cap")
+      val withM = c.join(labels.select(col("v"), col("lbl").as("mv")), "v")
+      // every u ∈ C(v) learns m(v); m(v) absorbs C(v)
+      c = T.freeze(withM.select(col("u").as("v"), col("mv").as("u"))
+        .union(withM.select(col("mv").as("v"), col("u")))
+        .distinct())
+      val next = T.freeze(c.groupBy("v").agg(min(col("u")).as("lbl")))
       changed = next.join(labels.select(col("v"), col("lbl").as("prev")), "v")
         .where(col("lbl") =!= col("prev")).count()
       labels = next
       rounds += 1
     }
-    labels
+    vertices match {
+      case Some(_) => verts.join(labels, Seq("v"), "left")
+        .select(col("v"), coalesce(col("lbl"), col("v")).as("lbl"))
+      case None => labels
+    }
   }
 
   /** Oracle twin of [[minLabelComponents]]: assumes a `pairs(doc_a,
