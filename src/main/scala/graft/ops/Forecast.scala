@@ -59,6 +59,14 @@ object Forecast {
     "g0s / nd + 2.0 * (0.8 * g1s / nd + 0.6 * g2s / nd + 0.4 * g3s / nd + 0.2 * g4s / nd)"
   private val kpssStat = "ss / (nd * nd) / lrv"
 
+  /** MA(1) method-of-moments texts for ml_arima_ma: r₁ = Pearson lag-1
+    * autocorrelation over the (d, dl) pairs; θ̂ = the invertible root of
+    * ρ₁ = θ/(1+θ²), NULL when |r₁| > 0.5 (no real root). Shared verbatim. */
+  private val maR1 =
+    "(nd * sld - sd * sl) / sqrt((nd * sdd - sd * sd) * (nd * sll - sl * sl))"
+  private val maTheta =
+    "CASE WHEN abs(r1) <= 0.5 AND abs(r1) > 1e-12 THEN (1.0 - sqrt(1.0 - 4.0 * r1 * r1)) / (2.0 * r1) WHEN abs(r1) <= 1e-12 THEN 0.0 ELSE CAST(NULL AS DOUBLE) END"
+
   val entries: Seq[QueryDef] = Seq(
 
     QueryDef(
@@ -383,6 +391,74 @@ object Forecast {
                  round(stat, 6) AS kpss_stat,
                  CAST(stat < 0.463 AS BOOLEAN) AS stationary_5pct
                FROM r""")),
+
+    QueryDef(
+      "ml_arima_ma",
+      // ARIMA(0,1,1) — the MA side of the cuML ARIMA order grid (the
+      // existing rows cover AR(1)/AR(2)/ARIMA(1,1,0)): fitted by the
+      // CLOSED-FORM method-of-moments MA(1) estimator on the differenced
+      // daily series. ρ₁ = θ/(1+θ²) for an MA(1), so θ̂ is the invertible
+      // root (1 − √(1−4r₁²))/(2r₁) of the lag-1 sample autocorrelation
+      // r₁ (Pearson form over the lag pairs — every moment an exact
+      // BIGINT), and σ²_ε = var(Δy)/(1+θ̂²). |r₁| > 0.5 has no real MA(1)
+      // root — emitted as invertible = false with NULL θ (the loud
+      // contract, not a silent clamp). No iterative CSS pass: the moment
+      // estimator is one lag-window pass + a scalar cascade, the
+      // bounded-series shape of the whole tsa family.
+      (s, dir) => {
+        val daily = T.events(s, dir)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("y"))
+        val wIdx = Window.orderBy("day")
+        val lg = daily
+          .withColumn("d", col("y") - lag(col("y"), 1).over(wIdx))
+          .withColumn("dl", lag(col("d"), 1).over(wIdx))
+          .where(col("dl").isNotNull)
+        lg.agg(
+          count(lit(1)).as("n"),
+          sum(col("d")).as("sd"), sum(col("dl")).as("sl"),
+          sum(col("d") * col("d")).as("sdd"),
+          sum(col("dl") * col("dl")).as("sll"),
+          sum(col("dl") * col("d")).as("sld"))
+          .selectExpr("n", "CAST(n AS DOUBLE) AS nd",
+            "CAST(sd AS DOUBLE) AS sd", "CAST(sl AS DOUBLE) AS sl",
+            "CAST(sdd AS DOUBLE) AS sdd", "CAST(sll AS DOUBLE) AS sll",
+            "CAST(sld AS DOUBLE) AS sld")
+          .selectExpr("*", s"$maR1 AS r1")
+          .selectExpr("*", s"$maTheta AS theta")
+          .selectExpr("n AS n_obs",
+            "round(sd / nd, 6) AS mu_diff",
+            "round(r1, 6) AS r1",
+            "round(theta, 6) AS theta",
+            "round((sdd / nd - (sd / nd) * (sd / nd)) / (1.0 + theta * theta), 6) AS sigma2_eps",
+            "CAST(abs(r1) <= 0.5 AS BOOLEAN) AS invertible")
+      },
+      Some(s"""WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS y
+                              FROM events GROUP BY 1),
+                 lg0 AS (SELECT day, y,
+                     y - lag(y, 1) OVER (ORDER BY day) AS d
+                   FROM daily),
+                 lg AS (SELECT *, lag(d, 1) OVER (ORDER BY day) AS dl FROM lg0),
+                 m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(d) AS BIGINT) AS sd, CAST(sum(dl) AS BIGINT) AS sl,
+                     CAST(sum(d * d) AS BIGINT) AS sdd,
+                     CAST(sum(dl * dl) AS BIGINT) AS sll,
+                     CAST(sum(dl * d) AS BIGINT) AS sld
+                   FROM lg WHERE dl IS NOT NULL),
+                 dd AS (SELECT n, CAST(n AS DOUBLE) AS nd,
+                     CAST(sd AS DOUBLE) AS sd, CAST(sl AS DOUBLE) AS sl,
+                     CAST(sdd AS DOUBLE) AS sdd, CAST(sll AS DOUBLE) AS sll,
+                     CAST(sld AS DOUBLE) AS sld
+                   FROM m),
+                 r AS (SELECT *, $maR1 AS r1 FROM dd),
+                 t AS (SELECT *, $maTheta AS theta FROM r)
+               SELECT n AS n_obs,
+                 round(sd / nd, 6) AS mu_diff,
+                 round(r1, 6) AS r1,
+                 round(theta, 6) AS theta,
+                 round((sdd / nd - (sd / nd) * (sd / nd)) / (1.0 + theta * theta), 6) AS sigma2_eps,
+                 CAST(abs(r1) <= 0.5 AS BOOLEAN) AS invertible
+               FROM t""")),
 
     QueryDef(
       "ml_seasonal_decompose",

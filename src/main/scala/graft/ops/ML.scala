@@ -1804,6 +1804,31 @@ object ML {
                FROM a""")),
 
     QueryDef(
+      "ml_kmeans_transform",
+      // cuml.dask.cluster.KMeans.transform [R]: the full sample×centroid
+      // distance matrix (not just the argmin) — what the estimator's
+      // transform() emits for downstream pipelines. Bounded sample
+      // (vec_id in [10, 30)) × the K = 10 model centroids, broadcast
+      // nested loop, 200 rows; at scale the transform is the same map
+      // pass over the full table with the K×64 model broadcast.
+      (s, dir) => {
+        val e = T.embeddings(s, dir)
+        val cent = e.where(col("vec_id") < 10)
+          .select(col("vec_id").as("cid"), col("embedding").as("c_emb"))
+        val dist = graft.functions.Vec.l2(s, "embedding", "c_emb")
+        e.where(col("vec_id") >= 10 && col("vec_id") < 30)
+          .crossJoin(broadcast(cent))
+          .select(col("vec_id"), col("cid"), round(dist, 6).as("dist"))
+          .orderBy("vec_id", "cid")
+      },
+      Some("""SELECT e.vec_id, c.vec_id AS cid,
+                round(list_distance(CAST(e.embedding AS DOUBLE[]),
+                                    CAST(c.embedding AS DOUBLE[])), 6) AS dist
+              FROM embeddings e CROSS JOIN embeddings c
+              WHERE e.vec_id >= 10 AND e.vec_id < 30 AND c.vec_id < 10
+              ORDER BY e.vec_id, cid""")),
+
+    QueryDef(
       "ml_knn_classify",
       // dask-cuml KNeighborsClassifier: predict = majority label of the 5
       // nearest neighbors, labels joined from documents.lang (doc_id =

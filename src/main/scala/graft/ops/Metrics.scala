@@ -120,7 +120,95 @@ object Metrics {
            FROM pj GROUP BY vec_id)"""
 
 
+  /** Gaussian projection entry for flat index (i·4+j), scaled 1/√k = 0.5:
+    * two independent two-round LCG streams → Box-Muller (the make_blobs
+    * generator discipline); ln/cos REAL-collapsed so both engines emit the
+    * identical double entry. */
+  private def gaussEntry(spark: Boolean): String = {
+    val f = if (spark) "FLOAT" else "REAL"
+    val flat = "((CAST(i AS BIGINT) * 4) + j)"
+    val u1 = s"(CAST((($flat * 48271 + 11) * 69621 + 7) % 2147483647 AS DOUBLE) + 1e0) / 2147483648e0"
+    val u2 = s"(CAST((($flat * 16807 + 3) * 48271 + 19) % 2147483647 AS DOUBLE) + 1e0) / 2147483648e0"
+    s"5e-1 * sqrt(-2e0 * CAST(CAST(ln($u1) AS $f) AS DOUBLE)) * CAST(CAST(cos(6.283185307179586e0 * $u2) AS $f) AS DOUBLE)"
+  }
+
+  /** Gaussian twin of [[projZ]]. */
+  private def projZGauss(s: SparkSession, dir: String): DataFrame = {
+    val e = T.embeddings(s, dir).where(col("vec_id") < 15)
+    val spark = s
+    import spark.implicits._
+    e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
+      .crossJoin(broadcast(Seq(0, 1, 2, 3).toDF("j")))
+      .select(col("vec_id"), col("j"),
+        expr(s"CAST(x AS DOUBLE) * ${gaussEntry(spark = true)}").as("addend"))
+      .groupBy("vec_id", "j").agg(T.xsumD(col("addend")).as("zd"))
+      .groupBy("vec_id").agg(
+        max(when(col("j") === 0, col("zd"))).as("z0"),
+        max(when(col("j") === 1, col("zd"))).as("z1"),
+        max(when(col("j") === 2, col("zd"))).as("z2"),
+        max(when(col("j") === 3, col("zd"))).as("z3"))
+  }
+
+  /** Oracle twin of [[projZGauss]] — same CTE names as sqlProjCtes. */
+  private lazy val sqlProjCtesGauss: String =
+    s"""s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+           FROM embeddings WHERE vec_id < 15),
+         exz AS (SELECT vec_id, generate_subscripts(emb, 1) - 1 AS i, unnest(emb) AS x
+                 FROM s),
+         pj AS (SELECT vec_id, j,
+             ${T.sqlXsumD(s"CAST(x AS DOUBLE) * ${gaussEntry(spark = false)}")} AS zd
+           FROM exz CROSS JOIN (VALUES (0), (1), (2), (3)) jj(j)
+           GROUP BY vec_id, j),
+         z AS (SELECT vec_id,
+             max(CASE WHEN j = 0 THEN zd END) AS z0,
+             max(CASE WHEN j = 1 THEN zd END) AS z1,
+             max(CASE WHEN j = 2 THEN zd END) AS z2,
+             max(CASE WHEN j = 3 THEN zd END) AS z3
+           FROM pj GROUP BY vec_id)"""
+
   val entries: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "ml_random_projection_gauss",
+      // cuml.random_projection GaussianRandomProjection [R] — the dense
+      // gaussian sibling of ml_random_projection's sparse Achlioptas
+      // matrix: entries g(i,j) = N(0, 1)/√k from the stateless LCG →
+      // Box-Muller hash of the flat index (the matrix is a FORMULA — zero
+      // state to ship, each executor materializes the entries it needs),
+      // same bounded-sample JL distortion report. Same scale shape:
+      // projection is one map-side pass, the report is the vec_id < 15
+      // sample.
+      (s, dir) => {
+        val z = projZGauss(s, dir)
+        val e = T.embeddings(s, dir).where(col("vec_id") < 15)
+          .select(col("vec_id"), col("embedding"))
+        val za = z.join(e, "vec_id").select(
+          col("vec_id").as("id_a"), col("embedding").as("a_emb"),
+          col("z0").as("az0"), col("z1").as("az1"),
+          col("z2").as("az2"), col("z3").as("az3"))
+        val zb = z.join(e, "vec_id").select(
+          col("vec_id").as("id_b"), col("embedding").as("b_emb"),
+          col("z0").as("bz0"), col("z1").as("bz1"),
+          col("z2").as("bz2"), col("z3").as("bz3"))
+        za.crossJoin(broadcast(zb)).where(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"),
+            graft.functions.Vec.l2(s, "a_emb", "b_emb").as("dor"),
+            expr(s"sqrt($projD2)").as("dpr"))
+          .selectExpr("id_a", "id_b",
+            "round(dor, 6) AS dist_orig", "round(dpr, 6) AS dist_proj",
+            "round(dpr / dor, 6) AS distortion")
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""WITH $sqlProjCtesGauss
+               SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 round(list_distance(sa.emb, sb.emb), 6) AS dist_orig,
+                 round(sqrt(${projD2.replaceAll("([ab])z([0-3])", "$1.z$2")}), 6) AS dist_proj,
+                 round(sqrt(${projD2.replaceAll("([ab])z([0-3])", "$1.z$2")})
+                   / list_distance(sa.emb, sb.emb), 6) AS distortion
+               FROM z a JOIN s sa ON sa.vec_id = a.vec_id,
+                    z b JOIN s sb ON sb.vec_id = b.vec_id
+               WHERE a.vec_id < b.vec_id
+               ORDER BY id_a, id_b""")),
 
     QueryDef(
       "ml_f1_score",

@@ -1019,6 +1019,41 @@ class MicroSpec extends SparkSpec {
     assert(rows(2).isNullAt(3), "step-3 gamma must be NULL (OLS tail)")
   }
 
+  test("ml_kmeans_transform: vec 10's row of the distance matrix matches local math (r7)") {
+    val rows = q("ml_kmeans_transform").collect()
+    assert(rows.length == 200)
+    val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .where(col("vec_id") < 30).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    for (r <- rows if r.getLong(0) == 10L) {
+      val d = math.sqrt(embs(10L).zip(embs(r.getLong(1)))
+        .map { case (a, b) => (a - b) * (a - b) }.sum)
+      assert(math.abs(r.getDouble(2) - d) < 1e-5, s"cid ${r.getLong(1)}: ${r.getDouble(2)} vs $d")
+    }
+  }
+
+  test("ml_arima_ma: moment estimator round-trips rho1 = theta/(1+theta^2) (r7)") {
+    val r = q("ml_arima_ma").collect()(0)
+    val (r1, inv) = (r.getDouble(2), r.getBoolean(5))
+    assert(math.abs(r1) <= 1.0)
+    assert(inv == (math.abs(r1) <= 0.5))
+    if (inv) {
+      val th = r.getDouble(3)
+      assert(math.abs(th) <= 1.0, s"non-invertible theta $th")
+      assert(math.abs(th / (1 + th * th) - r1) < 1e-5, s"round-trip ${th / (1 + th * th)} vs $r1")
+      assert(r.getDouble(4) > 0, "innovation variance must be positive")
+    }
+  }
+
+  test("ml_random_projection_gauss: JL distortion concentrates like the sparse twin (r7)") {
+    val g = q("ml_random_projection_gauss").collect()
+    assert(g.length == 105)
+    val ds = g.map(_.getDouble(4))
+    assert(ds.forall(d => d > 0 && !d.isInfinite))
+    val mean = ds.sum / ds.length
+    assert(mean > 0.5 && mean < 2.0, s"gaussian k=4 distortion mean $mean")
+  }
+
   test("ml_seasonal_decompose: MA trend is NULL exactly at the 3-row endpoints (r7)") {
     val rows = q("ml_seasonal_decompose").collect()
     val n = rows.length
