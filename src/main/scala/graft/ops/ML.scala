@@ -3482,6 +3482,50 @@ object ML {
       }),
 
     QueryDef(
+      "ml_svc_rbf",
+      // cuML SVC(kernel='rbf') [R] in the landmark (Nyström) shape — the
+      // kernelized classifier next to ml_svm_hinge's linear case: lift
+      // every vector to m = 3 REAL-collapsed RBF landmark features
+      // (svcRows), run the same 3-step driver-held hinge subgradient loop
+      // on (a, w1..w3) (svcParams, fitCached), score in one pass. At
+      // scale the landmark count is the model size, the lift is a map
+      // pass with a broadcast model — the kernel trick without the n²
+      // kernel matrix. Output: the fitted dual-free weights, hinge loss,
+      // support count, training accuracy.
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        val (a, w1, w2, w3) = svcParams(s, dir)
+        val d = svcRows(s, dir)
+        val ab = Seq((a, w1, w2, w3)).toDF("ca", "c1", "c2", "c3")
+        val m = col("y") * (col("ca") + col("c1") * col("f1") +
+          col("c2") * col("f2") + col("c3") * col("f3"))
+        d.crossJoin(broadcast(ab))
+          .select(col("y"), m.as("m"))
+          .agg(count(lit(1)).cast("double").as("n"),
+            T.xsum(greatest(lit(0d), lit(1d) - col("m"))).as("hs"),
+            sum(when(col("m") < 1, 1L).otherwise(0L)).as("nsv"),
+            sum(when(col("m") > 0, 1L).otherwise(0L)).as("ncorr"))
+          .crossJoin(broadcast(Seq((a, w1, w2, w3)).toDF("fa", "f1w", "f2w", "f3w")))
+          .selectExpr("round(fa, 6) AS intercept",
+            "round(f1w, 6) AS w1", "round(f2w, 6) AS w2", "round(f3w, 6) AS w3",
+            "round(hs / n, 6) AS hinge_loss", "nsv AS n_sv",
+            "round(ncorr / n, 6) AS accuracy")
+      },
+      Some(s"""WITH $sqlSvcChain,
+                 fin AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                     ${T.sqlXsum("greatest(0e0, 1e0 - y * (b3.a + b3.w1 * f1 + b3.w2 * f2 + b3.w3 * f3))")} AS hs,
+                     CAST(sum(CASE WHEN y * (b3.a + b3.w1 * f1 + b3.w2 * f2 + b3.w3 * f3) < 1 THEN 1 ELSE 0 END) AS BIGINT) AS nsv,
+                     CAST(sum(CASE WHEN y * (b3.a + b3.w1 * f1 + b3.w2 * f2 + b3.w3 * f3) > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS ncorr,
+                     max(b3.a) AS fa, max(b3.w1) AS f1w, max(b3.w2) AS f2w, max(b3.w3) AS f3w
+                   FROM d, b3)
+               SELECT round(fa, 6) AS intercept,
+                 round(f1w, 6) AS w1, round(f2w, 6) AS w2, round(f3w, 6) AS w3,
+                 round(hs / n, 6) AS hinge_loss, nsv AS n_sv,
+                 round(ncorr / n, 6) AS accuracy
+               FROM fin""")),
+
+    QueryDef(
       "ml_svm_hinge",
       // Linear SVM (cuML SVC's linear case, by the distributed solver a
       // cluster actually runs — full-batch subgradient descent on the
@@ -3834,6 +3878,125 @@ object ML {
          b2 AS (${beta("m2, b1", "b1.a", "b1.b")}),
          m3 AS (${mStep("d, b2", "b2.a", "b2.b")}),
          b3 AS (${beta("m3, b2", "b2.a", "b2.b")})"""
+  }
+
+  /** SVC(kernel='rbf') feature frame in the LANDMARK (Nyström) shape the
+    * reference's kernel machines scale by: f_j(x) = exp(−‖x − l_j‖²) for
+    * the m = 3 model landmarks (vec_id < 3 — the ml_kernel_ridge basis),
+    * label y = ±1 on the landmark-0-vs-1 Voronoi side (balanced by construction, and genuinely separable in the landmark feature space: y = sign(f1 − f2) up to the kernel's monotone map — so the fit's accuracy measures real convergence, not a degenerate prior). Kernel features are
+    * REAL-collapsed (the k_rbf discipline) so both engines train on
+    * bit-identical inputs; the landmark rows ride three broadcast
+    * single-row joins. */
+  private def svcRows(s: SparkSession, dir: String): DataFrame = {
+    val e = T.embeddings(s, dir).transform(T.fanOut(_, col("vec_id")))
+    def lm(id: Int, nm: String) = broadcast(
+      T.embeddings(s, dir).where(col("vec_id") === id)
+        .select(col("embedding").as(nm)))
+    val raw = e
+      .crossJoin(lm(0, "le0")).crossJoin(lm(1, "le1")).crossJoin(lm(2, "le2"))
+      .select(col("label"),
+        graft.functions.Vec.l2(s, "embedding", "le0").as("d1"),
+        graft.functions.Vec.l2(s, "embedding", "le1").as("d2"),
+        graft.functions.Vec.l2(s, "embedding", "le2").as("d3"))
+      .selectExpr(
+        "CASE WHEN d1 < d2 THEN 1.0 ELSE -1.0 END AS y",
+        "CAST(CAST(exp(-(d1 * d1)) AS FLOAT) AS DOUBLE) AS f1",
+        "CAST(CAST(exp(-(d2 * d2)) AS FLOAT) AS DOUBLE) AS f2",
+        "CAST(CAST(exp(-(d3 * d3)) AS FLOAT) AS DOUBLE) AS f3")
+    // STANDARDIZED features (the preprocessing cuML users run before a
+    // kernel-feature SVM, and what makes the fixed-step subgradient
+    // converge: raw exp(-d^2) features concentrate in high dimension, so
+    // unscaled they are flat and the bias swamps the weights -- measured
+    // acc 0.51 raw vs 0.98 standardized at the same 3 steps). Moments
+    // ride the exact decimal wire; (f - mu)/sd is shared text.
+    val mom = raw.agg(
+      count(lit(1)).cast("double").as("n"),
+      T.xsum(col("f1")).as("s1"), T.xsum(col("f1") * col("f1")).as("q1"),
+      T.xsum(col("f2")).as("s2"), T.xsum(col("f2") * col("f2")).as("q2"),
+      T.xsum(col("f3")).as("s3"), T.xsum(col("f3") * col("f3")).as("q3"))
+    raw.crossJoin(broadcast(mom)).selectExpr("y",
+      "(f1 - s1 / n) / sqrt(q1 / n - (s1 / n) * (s1 / n)) AS f1",
+      "(f2 - s2 / n) / sqrt(q2 / n - (s2 / n) * (s2 / n)) AS f2",
+      "(f3 - s3 / n) / sqrt(q3 / n - (s3 / n) * (s3 / n)) AS f3")
+  }
+
+  /** 3 driver-held subgradient steps on the landmark-feature hinge
+    * objective (lr = 2.0, λ = 0.01) — the svmAB loop lifted to 4
+    * parameters; fitCached, update text mirrors sqlSvcChain exactly. */
+  private def svcParams(s: SparkSession, dir: String): (Double, Double, Double, Double) =
+    T.fitCache("svcRbf", dir) {
+      val spark = s
+      import spark.implicits._
+      val d = svcRows(s, dir)
+      var (a, w1, w2, w3) = (0.0, 0.0, 0.0, 0.0)
+      for (_ <- 1 to 3) {
+        val ab = Seq((a, w1, w2, w3)).toDF("ca", "c1", "c2", "c3")
+        val m = col("y") * (col("ca") + col("c1") * col("f1") +
+          col("c2") * col("f2") + col("c3") * col("f3"))
+        val r = d.crossJoin(broadcast(ab))
+          .select(col("y"), col("f1"), col("f2"), col("f3"), m.as("m"))
+          .agg(
+            count(lit(1)).cast("double").as("n"),
+            T.xsum(when(col("m") < 1, col("y"))).as("g0"),
+            T.xsum(when(col("m") < 1, col("y") * col("f1"))).as("g1"),
+            T.xsum(when(col("m") < 1, col("y") * col("f2"))).as("g2"),
+            T.xsum(when(col("m") < 1, col("y") * col("f3"))).as("g3"))
+          .collect()(0)
+        val n = r.getDouble(0)
+        a = a + 2.0 * (r.getDouble(1) / n)
+        w1 = w1 + 2.0 * (r.getDouble(2) / n - 0.01 * w1)
+        w2 = w2 + 2.0 * (r.getDouble(3) / n - 0.01 * w2)
+        w3 = w3 + 2.0 * (r.getDouble(4) / n - 0.01 * w3)
+      }
+      (a, w1, w2, w3)
+    }
+
+  /** Oracle twin of [[svcParams]] — 3 unrolled blocks ending in b3(a, w1,
+    * w2, w3), with a `d(y, f1, f2, f3)` CTE in scope. */
+  private lazy val sqlSvcChain: String = {
+    def mg(src: String, a: String, w1: String, w2: String, w3: String) = {
+      val marg = s"y * ($a + $w1 * f1 + $w2 * f2 + $w3 * f3)"
+      s"""SELECT CAST(count(*) AS DOUBLE) AS n,
+            ${T.sqlXsum(s"CASE WHEN $marg < 1 THEN y END")} AS g0,
+            ${T.sqlXsum(s"CASE WHEN $marg < 1 THEN y * f1 END")} AS g1,
+            ${T.sqlXsum(s"CASE WHEN $marg < 1 THEN y * f2 END")} AS g2,
+            ${T.sqlXsum(s"CASE WHEN $marg < 1 THEN y * f3 END")} AS g3
+          FROM $src"""
+    }
+    def beta(m: String, a: String, w1: String, w2: String, w3: String) =
+      s"""SELECT $a + 2e0 * (g0 / n) AS a,
+            $w1 + 2e0 * (g1 / n - 1e-2 * $w1) AS w1,
+            $w2 + 2e0 * (g2 / n - 1e-2 * $w2) AS w2,
+            $w3 + 2e0 * (g3 / n - 1e-2 * $w3) AS w3
+          FROM $m"""
+    val f = (j: Int) =>
+      s"CAST(CAST(exp(-(list_distance(CAST(e.embedding AS DOUBLE[]), l$j.e$j) * " +
+        s"list_distance(CAST(e.embedding AS DOUBLE[]), l$j.e$j))) AS REAL) AS DOUBLE)"
+    s"""d0 AS (SELECT CASE WHEN
+             list_distance(CAST(e.embedding AS DOUBLE[]), l0.e0)
+             < list_distance(CAST(e.embedding AS DOUBLE[]), l1.e1)
+           THEN 1.0 ELSE -1.0 END AS y,
+           ${f(0)} AS f1, ${f(1)} AS f2, ${f(2)} AS f3
+         FROM embeddings e
+         CROSS JOIN (SELECT CAST(embedding AS DOUBLE[]) AS e0 FROM embeddings WHERE vec_id = 0) l0
+         CROSS JOIN (SELECT CAST(embedding AS DOUBLE[]) AS e1 FROM embeddings WHERE vec_id = 1) l1
+         CROSS JOIN (SELECT CAST(embedding AS DOUBLE[]) AS e2 FROM embeddings WHERE vec_id = 2) l2),
+         m0 AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+             ${T.sqlXsum("f1")} AS s1, ${T.sqlXsum("f1 * f1")} AS q1,
+             ${T.sqlXsum("f2")} AS s2, ${T.sqlXsum("f2 * f2")} AS q2,
+             ${T.sqlXsum("f3")} AS s3, ${T.sqlXsum("f3 * f3")} AS q3
+           FROM d0),
+         d AS (SELECT y,
+             (f1 - s1 / n) / sqrt(q1 / n - (s1 / n) * (s1 / n)) AS f1,
+             (f2 - s2 / n) / sqrt(q2 / n - (s2 / n) * (s2 / n)) AS f2,
+             (f3 - s3 / n) / sqrt(q3 / n - (s3 / n) * (s3 / n)) AS f3
+           FROM d0, m0),
+         m1 AS (${mg("d", "0e0", "0e0", "0e0", "0e0")}),
+         b1 AS (${beta("m1", "0e0", "0e0", "0e0", "0e0")}),
+         m2 AS (${mg("d, b1", "b1.a", "b1.w1", "b1.w2", "b1.w3")}),
+         b2 AS (${beta("m2, b1", "b1.a", "b1.w1", "b1.w2", "b1.w3")}),
+         m3 AS (${mg("d, b2", "b2.a", "b2.w1", "b2.w2", "b2.w3")}),
+         b3 AS (${beta("m3, b2", "b2.a", "b2.w1", "b2.w2", "b2.w3")})"""
   }
 
   /** 3 unrolled full-batch GD steps for ml_sgd_linreg — shared

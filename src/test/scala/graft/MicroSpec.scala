@@ -1054,6 +1054,17 @@ class MicroSpec extends SparkSpec {
     assert(mean > 0.5 && mean < 2.0, s"gaussian k=4 distortion mean $mean")
   }
 
+  test("ml_svc_rbf: learns the landmark Voronoi separator, not the prior (r7)") {
+    val r = q("ml_svc_rbf").collect()(0)
+    val (w1, w2, w3) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    // y = [closer to landmark 0 than 1] => the separator is +f1 -f2 with
+    // f3 irrelevant; the solver must find that sign structure
+    assert(w1 > 0 && w2 < 0, s"wrong separator signs: $w1, $w2")
+    assert(math.abs(w3) < 0.5 * math.min(w1, -w2), s"w3 $w3 not negligible")
+    assert(r.getDouble(6) > 0.9, s"accuracy ${r.getDouble(6)}")
+    assert(r.getLong(5) > 0 && r.getLong(5) < 500, s"degenerate support count ${r.getLong(5)}")
+  }
+
   test("ml_seasonal_decompose: MA trend is NULL exactly at the 3-row endpoints (r7)") {
     val rows = q("ml_seasonal_decompose").collect()
     val n = rows.length

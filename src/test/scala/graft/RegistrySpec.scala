@@ -7,8 +7,8 @@ package graft
 class RegistrySpec extends SparkSpec {
 
   test("all seventeen catalogs are registered (66 SURVEY keys + 132 extensions)") {
-    assert(SparkEntry.queries.size == 212,
-      s"expected 212 registered queries, got ${SparkEntry.queries.size}")
+    assert(SparkEntry.queries.size == 213,
+      s"expected 213 registered queries, got ${SparkEntry.queries.size}")
   }
 
   test("no oracle uses a constant generate_series bound (VERDICT r4 #2)") {
