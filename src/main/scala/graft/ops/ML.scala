@@ -3649,6 +3649,61 @@ object ML {
                FROM fin""")),
 
     QueryDef(
+      "ml_platt_scaling",
+      // SVC(probability=True) — Platt scaling: calibrate the linear SVC's
+      // decision values f = a + b·x into probabilities p = σ(A + B·f) by
+      // 2 full-batch GD steps on the logistic loss (target t = (y+1)/2,
+      // start (0,0), lr = 1). The sigmoid is REAL-collapsed (the k_rbf /
+      // lnR discipline) so both engines train on bit-identical per-row
+      // probabilities; gradient sums ride the exact-decimal wire; (A, B)
+      // are driver-held between steps (fitCached) with update text
+      // mirroring the oracle CTE chain. Output: the calibration line plus
+      // the audit — mean calibrated probability on each true class and
+      // the final log loss (ln REAL-collapsed). Scale: 2 extra bounded
+      // aggregation passes over the svmAB rows — the calibration never
+      // materializes anything but two scalars.
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        val (a, b) = svmAB(s, dir)
+        val (pa, pb) = plattAB(s, dir)
+        val d = svmRows(s, dir)
+        val cf = Seq((a, b, pa, pb)).toDF("ca", "cb", "fa", "fb")
+        d.crossJoin(broadcast(cf))
+          .selectExpr("cy",
+            "CAST(CAST(1e0 / (1e0 + exp(-(fa + fb * (ca + cb * cx)))) AS FLOAT) AS DOUBLE) AS p")
+          .selectExpr("cy", "p", "(cy + 1e0) / 2 AS t")
+          .agg(
+            count(lit(1)).cast("double").as("n"),
+            sum(when(col("cy") > 0, 1L).otherwise(0L)).cast("double").as("np"),
+            T.xsum(when(col("cy") > 0, col("p"))).as("spp"),
+            T.xsum(when(col("cy") < 0, col("p"))).as("spn"),
+            T.xsum(expr("-(t * CAST(CAST(ln(p) AS FLOAT) AS DOUBLE) + (1e0 - t) * CAST(CAST(ln(1e0 - p) AS FLOAT) AS DOUBLE))")).as("sll"))
+          .crossJoin(broadcast(Seq((pa, pb)).toDF("opa", "opb")))
+          .selectExpr("round(opa, 6) AS a_platt", "round(opb, 6) AS b_platt",
+            "CAST(n AS BIGINT) AS n",
+            "round(spp / np, 6) AS mean_p_pos",
+            "round(spn / (n - np), 6) AS mean_p_neg",
+            "round(sll / n, 6) AS log_loss")
+      },
+      Some(s"""WITH $sqlPlattChain,
+                 sc AS (SELECT y, (y + 1e0) / 2 AS t,
+                     CAST(CAST(1e0 / (1e0 + exp(-(c2.pa + c2.pb * (b3.a + b3.b * x)))) AS REAL) AS DOUBLE) AS p
+                   FROM d, b3, c2),
+                 fin AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                     CAST(sum(CASE WHEN y > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS np,
+                     ${T.sqlXsum("CASE WHEN y > 0 THEN p END")} AS spp,
+                     ${T.sqlXsum("CASE WHEN y < 0 THEN p END")} AS spn,
+                     ${T.sqlXsum("-(t * CAST(CAST(ln(p) AS REAL) AS DOUBLE) + (1e0 - t) * CAST(CAST(ln(1e0 - p) AS REAL) AS DOUBLE))")} AS sll
+                   FROM sc)
+               SELECT round(c2.pa, 6) AS a_platt, round(c2.pb, 6) AS b_platt,
+                 CAST(n AS BIGINT) AS n,
+                 round(spp / np, 6) AS mean_p_pos,
+                 round(spn / (n - np), 6) AS mean_p_neg,
+                 round(sll / n, 6) AS log_loss
+               FROM fin, c2""")),
+
+    QueryDef(
       "ml_mbsgd_classifier",
       // cuml.dask MBSGDClassifier [R] — the minibatch-hinge sibling of
       // ml_mbsgd (which covers the regressor): 3 subgradient steps where
@@ -3878,6 +3933,57 @@ object ML {
          b2 AS (${beta("m2, b1", "b1.a", "b1.b")}),
          m3 AS (${mStep("d, b2", "b2.a", "b2.b")}),
          b3 AS (${beta("m3, b2", "b2.a", "b2.b")})"""
+  }
+
+  /** 2 driver-held GD steps of Platt scaling on the svmAB decision values
+    * (lr = 1, start (0,0)): A ← A + (Σ(t − p))/n, B ← B + (Σ(t − p)·f)/n
+    * with t = (y+1)/2, f = a + b·x, p = σ(A + B·f) REAL-collapsed per
+    * row. fitCached; update text mirrors [[sqlPlattChain]]. */
+  private def plattAB(s: SparkSession, dir: String): (Double, Double) =
+    T.fitCache("plattAB", dir) {
+      val spark = s
+      import spark.implicits._
+      val (a, b) = svmAB(s, dir)
+      val d = svmRows(s, dir)
+      var pa = 0.0
+      var pb = 0.0
+      for (_ <- 1 to 2) {
+        val cf = Seq((a, b, pa, pb)).toDF("ca", "cb", "fa", "fb")
+        val r = d.crossJoin(broadcast(cf))
+          .selectExpr("(cy + 1e0) / 2 AS t", "ca + cb * cx AS f",
+            "CAST(CAST(1e0 / (1e0 + exp(-(fa + fb * (ca + cb * cx)))) AS FLOAT) AS DOUBLE) AS p")
+          .agg(
+            count(lit(1)).cast("double").as("n"),
+            T.xsum(col("t") - col("p")).as("g0"),
+            T.xsum((col("t") - col("p")) * col("f")).as("g1"))
+          .collect()(0)
+        val n = r.getDouble(0)
+        pa = pa + 1.0 * (r.getDouble(1) / n)
+        pb = pb + 1.0 * (r.getDouble(2) / n)
+      }
+      (pa, pb)
+    }
+
+  /** Oracle twin of [[plattAB]] — extends [[sqlSvmChain]] (so the decision
+    * line b3(a, b) is bit-identical to the Spark session's svmAB) with 2
+    * unrolled calibration blocks ending in c2(pa, pb). */
+  private lazy val sqlPlattChain: String = {
+    def p(aTxt: String, bTxt: String) =
+      s"CAST(CAST(1e0 / (1e0 + exp(-($aTxt + $bTxt * (b3.a + b3.b * x)))) AS REAL) AS DOUBLE)"
+    def mStep(src: String, aTxt: String, bTxt: String) =
+      s"""SELECT CAST(count(*) AS DOUBLE) AS n,
+            ${T.sqlXsum(s"(y + 1e0) / 2 - ${p(aTxt, bTxt)}")} AS g0,
+            ${T.sqlXsum(s"((y + 1e0) / 2 - ${p(aTxt, bTxt)}) * (b3.a + b3.b * x)")} AS g1
+          FROM $src"""
+    def beta(m: String, prevA: String, prevB: String) =
+      s"""SELECT $prevA + 1e0 * (g0 / n) AS pa,
+            $prevB + 1e0 * (g1 / n) AS pb
+          FROM $m"""
+    s"""$sqlSvmChain,
+       p1 AS (${mStep("d, b3", "0e0", "0e0")}),
+       c1 AS (${beta("p1", "0e0", "0e0")}),
+       p2 AS (${mStep("d, b3, c1", "c1.pa", "c1.pb")}),
+       c2 AS (${beta("p2, c1", "c1.pa", "c1.pb")})"""
   }
 
   /** SVC(kernel='rbf') feature frame in the LANDMARK (Nyström) shape the

@@ -928,7 +928,59 @@ object Metrics {
                  round(st / n, 6) AS mean_abs_shap_t,
                  round(bv, 6) AS base_value,
                  round(mg, 6) AS max_additivity_gap
-               FROM g ORDER BY rf"""))
+               FROM g ORDER BY rf""")),
+
+    QueryDef(
+      "ml_median_abs_error",
+      // median_absolute_error (the sklearn-parity robust metric completing
+      // the regression family next to ml_mse_mae / ml_msle) of the
+      // multi-feature OLS fit, plus the p90 absolute error and max_error.
+      // The quantiles are EXACT interpolated percentiles — Spark
+      // `percentile` ↔ DuckDB `quantile_cont`, both the (n−1)·p linear
+      // interpolation; their interpolation arithmetic can differ in the
+      // last ulp, absorbed by round(…, 6) on O(100)-magnitude residuals.
+      // max_error is order-free and exact. SCALE NOTE: exact percentile
+      // merges per-partition value→count maps at the driver — correct but
+      // memory-bound in the distinct-value count; the 100 TB path is
+      // approx_percentile (t-digest, bounded sketch, same plan shape).
+      // The exact form is the oracle-checkable reference.
+      (s, dir) => {
+        val coefs = ML.gaussSolved(s, dir).selectExpr("x0", "x1", "x2", "x3")
+        val l = T.lineitem(s, dir).select(
+          col("l_quantity").cast("double").as("q"),
+          col("l_discount").cast("double").as("d"),
+          col("l_tax").cast("double").as("t"),
+          col("l_extendedprice").cast("double").as("y"))
+          .transform(T.fanOut(_))
+        l.crossJoin(broadcast(coefs))
+          .select(expr("abs(y - (x0 + x1 * q + x2 * d + x3 * t))").as("ar"))
+          .agg(count(lit(1)).as("n"),
+            expr("percentile(ar, 5e-1)").as("med"),
+            expr("percentile(ar, 9e-1)").as("p90"),
+            max(col("ar")).as("mx"))
+          .selectExpr("n",
+            "round(med, 6) AS median_abs_error",
+            "round(p90, 6) AS p90_abs_error",
+            "round(mx, 6) AS max_error")
+      },
+      Some(s"""WITH ${ML.sqlGaussChain},
+                 l AS (SELECT CAST(l_quantity AS DOUBLE) AS q,
+                         CAST(l_discount AS DOUBLE) AS d,
+                         CAST(l_tax AS DOUBLE) AS t,
+                         CAST(l_extendedprice AS DOUBLE) AS y
+                       FROM lineitem),
+                 r AS (SELECT abs(y - (x0 + x1 * q + x2 * d + x3 * t)) AS ar
+                       FROM l, ${ML.sqlGaussFinal}),
+                 sc AS (SELECT count(*) AS n,
+                     quantile_cont(ar, 5e-1) AS med,
+                     quantile_cont(ar, 9e-1) AS p90,
+                     max(ar) AS mx
+                   FROM r)
+               SELECT CAST(n AS BIGINT) AS n,
+                 round(med, 6) AS median_abs_error,
+                 round(p90, 6) AS p90_abs_error,
+                 round(mx, 6) AS max_error
+               FROM sc"""))
   )
 
   /** knnPredLang's oracle CTE chain (ML.sqlKnnPredCtes), referenced via a
