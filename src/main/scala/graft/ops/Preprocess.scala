@@ -451,7 +451,191 @@ object Preprocess {
                  round(qc / nc, 6) AS var_merged,
                  round((s0 + s1 + s2 + s3) / nc, 6) AS mean_direct,
                  round(((ss0 + ss1 + ss2 + ss3) - (s0 + s1 + s2 + s3) * (s0 + s1 + s2 + s3) / nc) / nc, 6) AS var_direct
-               FROM g${mergeSteps.size}"""))
+               FROM g${mergeSteps.size}""")),
+
+    QueryDef(
+      "ml_power_transform",
+      // PowerTransformer(method='box-cox') on l_extendedprice (strictly
+      // positive): y(λ) = (x^λ − 1)/λ (ln x at λ = 0), λ chosen from the
+      // candidate grid {−1, −0.5, 0, 0.5, 1} by maximum profile
+      // log-likelihood LL(λ) = (λ−1)·Σln x − n/2·ln(Var[y(λ)]). The grid
+      // is the distributed fit shape: lineitem × 5 broadcast λ rows → ONE
+      // grouped aggregation computes every candidate's sufficient sums
+      // (×5 row amplification, map-side combined — no per-λ passes).
+      // Determinism: pow/ln are REAL-collapsed per row (the k_rbf
+      // discipline), sums ride the exact-decimal wire, LL/mean/std are
+      // shared-text IEEE on those; ln(Var) is collapsed again so the
+      // engines' ulp-level Var difference cannot reach the round.
+      // Output: one row per candidate λ with its LL, the argmax flag
+      // (each engine compares its own LL column — consistent even under
+      // ulp drift), and the transformed column's mean/std.
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        val lams = Seq(-1.0, -0.5, 0.0, 0.5, 1.0).toDF("lam")
+        val l = T.lineitem(s, dir)
+          .select(col("l_extendedprice").cast("double").as("x"))
+          .transform(T.fanOut(_))
+        val y = "CASE WHEN lam = 0e0 THEN CAST(CAST(ln(x) AS FLOAT) AS DOUBLE) " +
+          "ELSE (CAST(CAST(pow(x, lam) AS FLOAT) AS DOUBLE) - 1e0) / lam END"
+        l.crossJoin(broadcast(lams))
+          .selectExpr("lam", s"$y AS y",
+            "CAST(CAST(ln(x) AS FLOAT) AS DOUBLE) AS lx")
+          .groupBy("lam")
+          .agg(count(lit(1)).cast("double").as("nd"),
+            T.xsum(col("y")).as("sy"),
+            T.xsum(col("y") * col("y")).as("syy"),
+            T.xsum(col("lx")).as("sl"))
+          .selectExpr("lam", "nd", "sy / nd AS mu",
+            "syy / nd - (sy / nd) * (sy / nd) AS vr", "sl")
+          .selectExpr("lam", "nd", "mu", "vr",
+            "(lam - 1e0) * sl - nd / 2 * CAST(CAST(ln(vr) AS FLOAT) AS DOUBLE) AS ll")
+          .withColumn("best", max(col("ll")).over(Window.partitionBy()))
+          .selectExpr("lam AS lambda", "CAST(nd AS BIGINT) AS n",
+            "round(ll, 4) AS log_likelihood",
+            "CASE WHEN ll = best THEN 1 ELSE 0 END AS is_best",
+            "round(mu, 6) AS mean_t", "round(sqrt(vr), 6) AS std_t")
+          .orderBy("lambda")
+      },
+      Some(s"""WITH lams(lam) AS (VALUES (-1e0), (-5e-1), (0e0), (5e-1), (1e0)),
+                 l AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem),
+                 r AS (SELECT lam,
+                     CASE WHEN lam = 0e0 THEN CAST(CAST(ln(x) AS REAL) AS DOUBLE) ELSE (CAST(CAST(pow(x, lam) AS REAL) AS DOUBLE) - 1e0) / lam END AS y,
+                     CAST(CAST(ln(x) AS REAL) AS DOUBLE) AS lx
+                   FROM l CROSS JOIN lams),
+                 m AS (SELECT lam, CAST(count(*) AS DOUBLE) AS nd,
+                     ${T.sqlXsum("y")} AS sy, ${T.sqlXsum("y * y")} AS syy,
+                     ${T.sqlXsum("lx")} AS sl
+                   FROM r GROUP BY lam),
+                 v AS (SELECT lam, nd, sy / nd AS mu,
+                     syy / nd - (sy / nd) * (sy / nd) AS vr, sl FROM m),
+                 f AS (SELECT lam, nd, mu, vr,
+                     (lam - 1e0) * sl - nd / 2 * CAST(CAST(ln(vr) AS REAL) AS DOUBLE) AS ll
+                   FROM v),
+                 w AS (SELECT *, max(ll) OVER () AS best FROM f)
+               SELECT lam AS lambda, CAST(nd AS BIGINT) AS n,
+                 round(ll, 4) AS log_likelihood,
+                 CASE WHEN ll = best THEN 1 ELSE 0 END AS is_best,
+                 round(mu, 6) AS mean_t, round(sqrt(vr), 6) AS std_t
+               FROM w ORDER BY lambda""")),
+
+    QueryDef(
+      "ml_missing_indicator",
+      // MissingIndicator over a two-feature frame with constructed
+      // missingness (the ml_simple_imputer fixture discipline): f_value =
+      // events.value on purchase events only, f_propk = the props JSON
+      // 'k' field on click events only. Fit+transform summary in ONE
+      // aggregation pass: per feature the row count, missing count, and
+      // missing rate — the indicator matrix's column sums (the
+      // transformer's features_ are exactly the rows with n_missing > 0).
+      // Counts are exact integers; the rate is one shared-text division.
+      (s, dir) => {
+        val ev = T.events(s, dir).selectExpr(
+          "CASE WHEN event_type = 'purchase' THEN value END AS f_value",
+          "CASE WHEN event_type = 'click' THEN CAST(get_json_object(props, '$.k') AS DOUBLE) END AS f_propk")
+        ev.agg(count(lit(1)).as("n"),
+            sum(when(col("f_value").isNull, 1L).otherwise(0L)).as("m1"),
+            sum(when(col("f_propk").isNull, 1L).otherwise(0L)).as("m2"))
+          .selectExpr("stack(2, 'f_value', n, m1, 'f_propk', n, m2) AS (feature, n, n_missing)")
+          .selectExpr("feature", "n", "n_missing",
+            "round(CAST(n_missing AS DOUBLE) / n, 6) AS missing_rate")
+          .orderBy("feature")
+      },
+      Some(s"""WITH ev AS (SELECT
+                   CASE WHEN event_type = 'purchase' THEN value END AS f_value,
+                   CASE WHEN event_type = 'click' THEN CAST(json_extract(props, '$$.k') AS DOUBLE) END AS f_propk
+                 FROM events),
+                 m AS (SELECT count(*) AS n,
+                     CAST(sum(CASE WHEN f_value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS m1,
+                     CAST(sum(CASE WHEN f_propk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS m2
+                   FROM ev)
+               SELECT feature, n, n_missing,
+                 round(CAST(n_missing AS DOUBLE) / n, 6) AS missing_rate
+               FROM (SELECT 'f_value' AS feature, n, m1 AS n_missing FROM m
+                     UNION ALL
+                     SELECT 'f_propk' AS feature, n, m2 AS n_missing FROM m) u
+               ORDER BY feature""")),
+
+    QueryDef(
+      "ml_kernel_centerer",
+      // KernelCenterer: center the RBF kernel matrix in feature space —
+      // k_c(i,j) = k(i,j) − rowmean_i − rowmean_j + grandmean (the kernel
+      // matrix is symmetric, so column means ARE row means) — over the
+      // bounded vec_id < 10 sample, diagonal included (centering needs
+      // the FULL matrix, unlike ml_pairwise_kernels' upper triangle).
+      // Kernel entries are REAL-collapsed; means ride the exact-decimal
+      // wire; k_c is one shared-text expression. The audit: each centered
+      // row sums to 0 — the window sum is order-dependent float noise at
+      // ~1e−15, so round(…, 6) + 0 canonicalizes the sign of zero (the
+      // cdSteps −0.0 lesson). Output: the 55 upper-triangle entries with
+      // raw and centered values plus the row-sum audit.
+      (s, dir) => {
+        val e = T.embeddings(s, dir).where(col("vec_id") < 10)
+        val a = e.select(col("vec_id").as("id_a"), col("embedding").as("q_emb"))
+        val b = e.select(col("vec_id").as("id_b"), col("embedding").as("n_emb"))
+        val d = graft.functions.Vec.l2(s, "q_emb", "n_emb")
+        val km = a.crossJoin(broadcast(b))
+          .select(col("id_a"), col("id_b"), d.as("dd"))
+          .selectExpr("id_a", "id_b",
+            "CAST(CAST(exp(-(dd * dd)) AS FLOAT) AS DOUBLE) AS k")
+        val rm = km.groupBy("id_a").agg((T.xsum(col("k")) / count(lit(1))).as("rm"))
+        val rma = rm.select(col("id_a"), col("rm").as("rma"))
+        val rmb = rm.select(col("id_a").as("id_b"), col("rm").as("rmb"))
+        val gm = km.agg((T.xsum(col("k")) / count(lit(1))).as("gm"))
+        km.join(broadcast(rma), "id_a").join(broadcast(rmb), "id_b")
+          .crossJoin(broadcast(gm))
+          .selectExpr("id_a", "id_b", "k", "k - rma - rmb + gm AS kc")
+          .withColumn("rs", sum(col("kc")).over(Window.partitionBy("id_a")))
+          .where(col("id_a") <= col("id_b"))
+          .selectExpr("id_a", "id_b", "round(k, 6) AS k_rbf",
+            "round(kc, 6) AS k_centered", "round(rs, 6) + 0 AS row_sum")
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                 FROM embeddings WHERE vec_id < 10),
+                 km AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     CAST(CAST(exp(-(list_distance(a.emb, b.emb) * list_distance(a.emb, b.emb))) AS REAL) AS DOUBLE) AS k
+                   FROM e a CROSS JOIN e b),
+                 rm AS (SELECT id_a AS id, ${T.sqlXsum("k")} / count(*) AS rm
+                        FROM km GROUP BY id_a),
+                 gm AS (SELECT ${T.sqlXsum("k")} / count(*) AS gm FROM km),
+                 c AS (SELECT id_a, id_b, k, k - r1.rm - r2.rm + gm AS kc
+                   FROM km JOIN rm r1 ON km.id_a = r1.id
+                           JOIN rm r2 ON km.id_b = r2.id
+                           CROSS JOIN gm),
+                 w AS (SELECT *, sum(kc) OVER (PARTITION BY id_a) AS rs FROM c)
+               SELECT id_a, id_b, round(k, 6) AS k_rbf,
+                 round(kc, 6) AS k_centered, round(rs, 6) + 0 AS row_sum
+               FROM w WHERE id_a <= id_b ORDER BY id_a, id_b""")),
+
+    QueryDef(
+      "ml_ordinal_encode",
+      // OrdinalEncoder over the two document categoricals (lang, source):
+      // fit = the sorted unique category list per feature, codes 0..k−1
+      // by lexicographic order (the sklearn/cuml contract); emitted as
+      // the fitted categories_ mapping plus each category's support.
+      // Scale: one map-side-combined count per (feature, category) —
+      // cardinality-bounded output; the dense_rank window runs on the
+      // ≤|categories| aggregated rows, never the raw table.
+      (s, dir) => {
+        val d = T.documents(s, dir)
+        val cats = d.selectExpr("'lang' AS feature", "lang AS category")
+          .unionAll(d.selectExpr("'source' AS feature", "source AS category"))
+          .groupBy("feature", "category").agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy("feature").orderBy("category")
+        cats.withColumn("code", (dense_rank().over(w) - 1).cast("long"))
+          .select(col("feature"), col("category"), col("code"), col("n"))
+          .orderBy("feature", "code")
+      },
+      Some("""WITH c AS (SELECT 'lang' AS feature, lang AS category, count(*) AS n
+                         FROM documents GROUP BY lang
+                         UNION ALL
+                         SELECT 'source' AS feature, source AS category, count(*) AS n
+                         FROM documents GROUP BY source)
+              SELECT feature, category,
+                dense_rank() OVER (PARTITION BY feature ORDER BY category) - 1 AS code,
+                n
+              FROM c ORDER BY feature, code"""))
   )
 
   /** Chan's pairwise merge of (n, mean, M2), folded shard 0→3 in fixed
