@@ -611,7 +611,214 @@ object Forecast {
             SELECT 'arima_110', CAST(ndd AS BIGINT), 2, round(ssrd, 6), round(aicd, 6), aicd = best
             FROM $fin
             ORDER BY model"""
-      })
+      }),
+
+    QueryDef(
+      "ml_arima_forecast",
+      // The h-step forecast path of the ARIMA surface (the forecast(nsteps)
+      // contract ml_arima_diff's single step opens): the fitted ARIMA(1,1,0)
+      // rolled out 7 steps with 95% intervals. Closed forms on the fitted
+      // (c, φ): d̂_{T+h} = φʰ·d_T + c·(1−φʰ)/(1−φ), ŷ_{T+h} = y_T + Σd̂;
+      // se²_h = σ²·Σ_{q=1..h} ψ_q² with ψ_q = (1−φ^q)/(1−φ) (the integrated
+      // AR(1) ψ-weights) and σ² the CLS residual variance from the same
+      // moment pass. Determinism: per-h pow() terms are REAL-collapsed, the
+      // two cumulative sums run ORDER BY h (identical addends + identical
+      // order = identical doubles); everything else is shared-text IEEE on
+      // exact BIGINT moments. Scale: the rollout is 7 rows crossed with a
+      // 1-row fit — free at any corpus size; the heavy step stays the daily
+      // count aggregation.
+      (s, dir) => {
+        val daily = T.events(s, dir)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("y"))
+        val wIdx = Window.orderBy("day")
+        val lg = daily
+          .withColumn("t", row_number().over(wIdx))
+          .withColumn("d", col("y") - lag(col("y"), 1).over(wIdx))
+          .withColumn("dl", lag(col("d"), 1).over(wIdx))
+        val m = lg.where(col("dl").isNotNull).agg(
+          count(lit(1)).as("n"),
+          sum(col("d")).as("sd"), sum(col("dl")).as("sl"),
+          sum(col("dl") * col("dl")).as("sll"),
+          sum(col("dl") * col("d")).as("sld"),
+          sum(col("d") * col("d")).as("sdd"))
+        val last = lg.where(col("d").isNotNull).agg(
+          max_by(col("y"), col("t")).as("y_last"),
+          max_by(col("d"), col("t")).as("d_last"))
+        val fit = m.crossJoin(last)
+          .selectExpr("CAST(n AS DOUBLE) AS nd",
+            "CAST(sd AS DOUBLE) AS sd", "CAST(sl AS DOUBLE) AS sl",
+            "CAST(sll AS DOUBLE) AS sll", "CAST(sld AS DOUBLE) AS sld",
+            "CAST(sdd AS DOUBLE) AS sdd",
+            "CAST(y_last AS DOUBLE) AS yl", "CAST(d_last AS DOUBLE) AS dlast")
+          .selectExpr("*", s"$ar1Phi AS phi")
+          .selectExpr("*", "(sd - phi * sl) / nd AS c")
+          .selectExpr("yl", "dlast", "phi", "c",
+            "(sdd - 2 * c * sd - 2 * phi * sld + 2 * c * phi * sl + nd * c * c + phi * phi * sll) / nd AS s2")
+        val hs = s.range(1, 8).toDF("h")
+        val wH = Window.orderBy("h").rowsBetween(Window.unboundedPreceding, 0)
+        hs.crossJoin(broadcast(fit))
+          .selectExpr("h", "yl", "s2",
+            "CAST(CAST(pow(phi, h) * dlast + c * (1e0 - pow(phi, h)) / (1e0 - phi) AS FLOAT) AS DOUBLE) AS dh",
+            "CAST(CAST((1e0 - pow(phi, h)) / (1e0 - phi) AS FLOAT) AS DOUBLE) AS psi")
+          .withColumn("cd", sum(col("dh")).over(wH))
+          .withColumn("cp", sum(col("psi") * col("psi")).over(wH))
+          .selectExpr("h", "yl + cd AS yh", "sqrt(s2 * cp) AS se")
+          .selectExpr("h", "round(yh, 6) AS forecast", "round(se, 6) AS se",
+            "round(yh - 196e-2 * se, 6) AS lo95",
+            "round(yh + 196e-2 * se, 6) AS hi95")
+          .orderBy("h")
+      },
+      Some(s"""WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS y
+                              FROM events GROUP BY 1),
+                 lg0 AS (SELECT day, y,
+                     row_number() OVER (ORDER BY day) AS t,
+                     y - lag(y, 1) OVER (ORDER BY day) AS d
+                   FROM daily),
+                 lg AS (SELECT *, lag(d, 1) OVER (ORDER BY day) AS dl FROM lg0),
+                 m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(d) AS BIGINT) AS sd, CAST(sum(dl) AS BIGINT) AS sl,
+                     CAST(sum(dl * dl) AS BIGINT) AS sll,
+                     CAST(sum(dl * d) AS BIGINT) AS sld,
+                     CAST(sum(d * d) AS BIGINT) AS sdd
+                   FROM lg WHERE dl IS NOT NULL),
+                 lst AS (SELECT max_by(y, t) AS y_last, max_by(d, t) AS d_last
+                         FROM lg WHERE d IS NOT NULL),
+                 dd AS (SELECT CAST(n AS DOUBLE) AS nd,
+                     CAST(sd AS DOUBLE) AS sd, CAST(sl AS DOUBLE) AS sl,
+                     CAST(sll AS DOUBLE) AS sll, CAST(sld AS DOUBLE) AS sld,
+                     CAST(sdd AS DOUBLE) AS sdd,
+                     CAST(y_last AS DOUBLE) AS yl, CAST(d_last AS DOUBLE) AS dlast
+                   FROM m CROSS JOIN lst),
+                 p AS (SELECT *, $ar1Phi AS phi FROM dd),
+                 cc AS (SELECT *, (sd - phi * sl) / nd AS c FROM p),
+                 fit AS (SELECT yl, dlast, phi, c,
+                     (sdd - 2 * c * sd - 2 * phi * sld + 2 * c * phi * sl + nd * c * c + phi * phi * sll) / nd AS s2
+                   FROM cc),
+                 hs AS (SELECT h FROM generate_series(1, 7) t(h)),
+                 r AS (SELECT h, yl, s2,
+                     CAST(CAST(pow(phi, h) * dlast + c * (1e0 - pow(phi, h)) / (1e0 - phi) AS REAL) AS DOUBLE) AS dh,
+                     CAST(CAST((1e0 - pow(phi, h)) / (1e0 - phi) AS REAL) AS DOUBLE) AS psi
+                   FROM hs CROSS JOIN fit),
+                 w AS (SELECT h, yl, s2,
+                     sum(dh) OVER (ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cd,
+                     sum(psi * psi) OVER (ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp
+                   FROM r),
+                 f2 AS (SELECT h, yl + cd AS yh, sqrt(s2 * cp) AS se FROM w)
+               SELECT h, round(yh, 6) AS forecast, round(se, 6) AS se,
+                 round(yh - 196e-2 * se, 6) AS lo95,
+                 round(yh + 196e-2 * se, 6) AS hi95
+               FROM f2 ORDER BY h""")),
+
+    QueryDef(
+      "ml_make_arima",
+      // The time-series dataset generator (make_arima, next to
+      // ml_make_blobs / ml_make_regression): an ARIMA(0,1,1)-with-drift
+      // series generated STATELESSLY — ε_t from a QUADRATIC congruential
+      // hash → Box-Muller per index (each partition generates its index
+      // range independently, the distributed-generator contract). The
+      // make_blobs two-round AFFINE hash is deliberately not reused: its
+      // consecutive outputs differ by a constant mod P (a lattice), which
+      // is invisible to make_blobs' per-cluster moments but serially
+      // correlates a TIME series' noise (measured acf1 = −0.11 on the
+      // affine stream vs the required MA(1) 0.44). The r²-mod-P squaring
+      // step breaks the lattice (r·r ≈ 4.6e18 stays under BIGINT), then
+      // the differences d_t = μ + ε_t + θ·ε_{t−1} (μ = 0.5, θ = 0.6) via
+      // one lag window, y = the integrated cumulative sum (its endpoint
+      // Σd is emitted — order-free on the exact wire). The audit output
+      // recovers the declared parameters from the generated series: mean
+      // of d ≈ μ, lag-1 autocorrelation r₁ ≈ θ/(1+θ²) = 0.441 (the MA(1)
+      // signature), lag-2 r₂ ≈ 0, and the method-of-moments θ̂ from r₁
+      // ([[maR1]]/[[maTheta]] texts shared with ml_arima_ma). Gaussians
+      // are REAL-collapsed; moments ride the exact decimal wire. The
+      // constant series length IS the semantics (the generator's
+      // parameter, not a data-derived cap).
+      (s, dir) => {
+        val eps = s.range(0, 501).toDF("t")
+          .selectExpr("t",
+            "(t * 48271 + 11) % 2147483647 AS r1",
+            "(t * 16807 + 26) % 2147483647 AS q1")
+          .selectExpr("t",
+            "((r1 * r1 + 19) % 2147483647 * 69621 + r1) % 2147483647 AS r3",
+            "((q1 * q1 + 14) % 2147483647 * 48271 + q1) % 2147483647 AS q3")
+          .selectExpr("t",
+            "(CAST(r3 AS DOUBLE) + 1e0) / 2147483648e0 AS u1",
+            "(CAST(q3 AS DOUBLE) + 1e0) / 2147483648e0 AS u2")
+          .selectExpr("t",
+            "sqrt(-2e0 * CAST(CAST(ln(u1) AS FLOAT) AS DOUBLE)) * CAST(CAST(cos(6.283185307179586e0 * u2) AS FLOAT) AS DOUBLE) AS e")
+        val wIdx = Window.orderBy("t")
+        val d = eps
+          .withColumn("el", lag(col("e"), 1).over(wIdx))
+          .where(col("el").isNotNull)
+          .selectExpr("t", "5e-1 + e + 6e-1 * el AS d")
+          .withColumn("dl", lag(col("d"), 1).over(wIdx))
+          .withColumn("dl2", lag(col("d"), 2).over(wIdx))
+        d.agg(
+          count(lit(1)).cast("double").as("ntot"),
+          T.xsum(col("d")).as("sdall"),
+          count(when(col("dl").isNotNull, 1)).cast("double").as("nd"),
+          T.xsum(when(col("dl").isNotNull, col("d"))).as("sd"),
+          T.xsum(when(col("dl").isNotNull, col("dl"))).as("sl"),
+          T.xsum(when(col("dl").isNotNull, col("d") * col("d"))).as("sdd"),
+          T.xsum(when(col("dl").isNotNull, col("dl") * col("dl"))).as("sll"),
+          T.xsum(when(col("dl").isNotNull, col("dl") * col("d"))).as("sld"),
+          count(when(col("dl2").isNotNull, 1)).cast("double").as("n2"),
+          T.xsum(when(col("dl2").isNotNull, col("d"))).as("t_sd"),
+          T.xsum(when(col("dl2").isNotNull, col("dl2"))).as("t_sl"),
+          T.xsum(when(col("dl2").isNotNull, col("d") * col("d"))).as("t_sdd"),
+          T.xsum(when(col("dl2").isNotNull, col("dl2") * col("dl2"))).as("t_sll"),
+          T.xsum(when(col("dl2").isNotNull, col("dl2") * col("d"))).as("t_sld"))
+          .selectExpr("*", s"$maR1 AS r1",
+            "(n2 * t_sld - t_sd * t_sl) / sqrt((n2 * t_sdd - t_sd * t_sd) * (n2 * t_sll - t_sl * t_sl)) AS r2")
+          .selectExpr("CAST(ntot AS BIGINT) AS n",
+            "round(sdall / ntot, 6) AS mean_d",
+            "round(r1, 6) AS acf1", "round(r2, 6) AS acf2",
+            s"round($maTheta, 6) AS theta_hat",
+            "round(sdall, 6) AS y_endpoint")
+      },
+      Some(s"""WITH ids AS (SELECT t FROM generate_series(0, 500) g(t)),
+                 s1 AS (SELECT t, (t * 48271 + 11) % 2147483647 AS r1,
+                     (t * 16807 + 26) % 2147483647 AS q1 FROM ids),
+                 s2 AS (SELECT t,
+                     ((r1 * r1 + 19) % 2147483647 * 69621 + r1) % 2147483647 AS r3,
+                     ((q1 * q1 + 14) % 2147483647 * 48271 + q1) % 2147483647 AS q3
+                   FROM s1),
+                 s3 AS (SELECT t,
+                     (CAST(r3 AS DOUBLE) + 1e0) / 2147483648e0 AS u1,
+                     (CAST(q3 AS DOUBLE) + 1e0) / 2147483648e0 AS u2
+                   FROM s2),
+                 eps AS (SELECT t,
+                     sqrt(-2e0 * CAST(CAST(ln(u1) AS REAL) AS DOUBLE)) * CAST(CAST(cos(6.283185307179586e0 * u2) AS REAL) AS DOUBLE) AS e
+                   FROM s3),
+                 dd0 AS (SELECT t, e, lag(e, 1) OVER (ORDER BY t) AS el FROM eps),
+                 dd1 AS (SELECT t, 5e-1 + e + 6e-1 * el AS d FROM dd0
+                         WHERE el IS NOT NULL),
+                 dd AS (SELECT t, d, lag(d, 1) OVER (ORDER BY t) AS dl,
+                     lag(d, 2) OVER (ORDER BY t) AS dl2 FROM dd1),
+                 m AS (SELECT CAST(count(*) AS DOUBLE) AS ntot,
+                     ${T.sqlXsum("d")} AS sdall,
+                     CAST(count(CASE WHEN dl IS NOT NULL THEN 1 END) AS DOUBLE) AS nd,
+                     ${T.sqlXsum("CASE WHEN dl IS NOT NULL THEN d END")} AS sd,
+                     ${T.sqlXsum("CASE WHEN dl IS NOT NULL THEN dl END")} AS sl,
+                     ${T.sqlXsum("CASE WHEN dl IS NOT NULL THEN d * d END")} AS sdd,
+                     ${T.sqlXsum("CASE WHEN dl IS NOT NULL THEN dl * dl END")} AS sll,
+                     ${T.sqlXsum("CASE WHEN dl IS NOT NULL THEN dl * d END")} AS sld,
+                     CAST(count(CASE WHEN dl2 IS NOT NULL THEN 1 END) AS DOUBLE) AS n2,
+                     ${T.sqlXsum("CASE WHEN dl2 IS NOT NULL THEN d END")} AS t_sd,
+                     ${T.sqlXsum("CASE WHEN dl2 IS NOT NULL THEN dl2 END")} AS t_sl,
+                     ${T.sqlXsum("CASE WHEN dl2 IS NOT NULL THEN d * d END")} AS t_sdd,
+                     ${T.sqlXsum("CASE WHEN dl2 IS NOT NULL THEN dl2 * dl2 END")} AS t_sll,
+                     ${T.sqlXsum("CASE WHEN dl2 IS NOT NULL THEN dl2 * d END")} AS t_sld
+                   FROM dd),
+                 rr AS (SELECT *, $maR1 AS r1,
+                     (n2 * t_sld - t_sd * t_sl) / sqrt((n2 * t_sdd - t_sd * t_sd) * (n2 * t_sll - t_sl * t_sl)) AS r2
+                   FROM m)
+               SELECT CAST(ntot AS BIGINT) AS n,
+                 round(sdall / ntot, 6) AS mean_d,
+                 round(r1, 6) AS acf1, round(r2, 6) AS acf2,
+                 round($maTheta, 6) AS theta_hat,
+                 round(sdall, 6) AS y_endpoint
+               FROM rr"""))
   )
 
   /** Shared scalar cascade for ml_auto_arima: widen the conditional BIGINT
