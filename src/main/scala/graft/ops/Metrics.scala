@@ -980,7 +980,83 @@ object Metrics {
                  round(med, 6) AS median_abs_error,
                  round(p90, 6) AS p90_abs_error,
                  round(mx, 6) AS max_error
-               FROM sc"""))
+               FROM sc""")),
+
+    QueryDef(
+      "ml_permutation_importance",
+      // The permutation-importance explainer next to ml_shap_linear (the
+      // model-agnostic attribution: how much does MSE rise when feature j
+      // is decoupled from the target?). The permutation is DETERMINISTIC
+      // and distributed: within each l_orderkey % 8 shard, feature j takes
+      // the NEXT row's value (lead over the (orderkey, linenumber) order —
+      // a shard-local cyclic-ish shift; the shard-tail rows where lead is
+      // undefined are excluded from baseline and permuted scores alike, so
+      // the comparison runs on identical rows). A partition-local shift is
+      // exactly how a cluster permutes without a global shuffle — at scale
+      // the shards ARE the partitions. ONE window pass + ONE aggregation
+      // computes the baseline and all three permuted MSEs of the solved
+      // OLS model; importance = (SSR_perm − SSR_base)/n, shared text.
+      (s, dir) => {
+        val coefs = ML.gaussSolved(s, dir).selectExpr("x0", "x1", "x2", "x3")
+        // (orderkey, linenumber) is NOT unique in the fixture (45832
+        // distinct of 60000 rows) — ordering must extend to the value
+        // columns so any remaining tie is a FULL duplicate row and the
+        // engines' lead() assignments cannot diverge.
+        val w = Window.partitionBy(expr("l_orderkey % 8"))
+          .orderBy("l_orderkey", "l_linenumber", "y", "q", "d", "t")
+        val l = T.lineitem(s, dir).select(
+          col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("double").as("q"),
+          col("l_discount").cast("double").as("d"),
+          col("l_tax").cast("double").as("t"),
+          col("l_extendedprice").cast("double").as("y"))
+          .transform(T.fanOut(_))
+          .withColumn("qp", lead(col("q"), 1).over(w))
+          .withColumn("dp", lead(col("d"), 1).over(w))
+          .withColumn("tp", lead(col("t"), 1).over(w))
+          .where(col("qp").isNotNull)
+        l.crossJoin(broadcast(coefs))
+          .agg(count(lit(1)).cast("double").as("nd"),
+            T.xsum(expr("(y - (x0 + x1 * q + x2 * d + x3 * t)) * (y - (x0 + x1 * q + x2 * d + x3 * t))")).as("sb"),
+            T.xsum(expr("(y - (x0 + x1 * qp + x2 * d + x3 * t)) * (y - (x0 + x1 * qp + x2 * d + x3 * t))")).as("pq"),
+            T.xsum(expr("(y - (x0 + x1 * q + x2 * dp + x3 * t)) * (y - (x0 + x1 * q + x2 * dp + x3 * t))")).as("pd"),
+            T.xsum(expr("(y - (x0 + x1 * q + x2 * d + x3 * tp)) * (y - (x0 + x1 * q + x2 * d + x3 * tp))")).as("pt"))
+          .selectExpr("nd",
+            "stack(3, 'quantity', pq, 'discount', pd, 'tax', pt) AS (feature, sp)",
+            "sb")
+          .selectExpr("feature", "CAST(nd AS BIGINT) AS n",
+            "round(sb / nd, 4) AS mse_base",
+            "round(sp / nd, 4) AS mse_permuted",
+            "round((sp - sb) / nd, 4) AS importance")
+          .orderBy("feature")
+      },
+      Some(s"""WITH ${ML.sqlGaussChain},
+                 pl0 AS (SELECT l_orderkey, l_linenumber,
+                     CAST(l_quantity AS DOUBLE) AS q,
+                     CAST(l_discount AS DOUBLE) AS d,
+                     CAST(l_tax AS DOUBLE) AS t,
+                     CAST(l_extendedprice AS DOUBLE) AS y
+                   FROM lineitem),
+                 plw AS (SELECT *,
+                     lead(q, 1) OVER (PARTITION BY l_orderkey % 8 ORDER BY l_orderkey, l_linenumber, y, q, d, t) AS qp,
+                     lead(d, 1) OVER (PARTITION BY l_orderkey % 8 ORDER BY l_orderkey, l_linenumber, y, q, d, t) AS dp,
+                     lead(t, 1) OVER (PARTITION BY l_orderkey % 8 ORDER BY l_orderkey, l_linenumber, y, q, d, t) AS tp
+                   FROM pl0),
+                 plf AS (SELECT * FROM plw WHERE qp IS NOT NULL),
+                 pm AS (SELECT CAST(count(*) AS DOUBLE) AS nd,
+                     ${T.sqlXsum("(y - (x0 + x1 * q + x2 * d + x3 * t)) * (y - (x0 + x1 * q + x2 * d + x3 * t))")} AS sb,
+                     ${T.sqlXsum("(y - (x0 + x1 * qp + x2 * d + x3 * t)) * (y - (x0 + x1 * qp + x2 * d + x3 * t))")} AS pq,
+                     ${T.sqlXsum("(y - (x0 + x1 * q + x2 * dp + x3 * t)) * (y - (x0 + x1 * q + x2 * dp + x3 * t))")} AS pd,
+                     ${T.sqlXsum("(y - (x0 + x1 * q + x2 * d + x3 * tp)) * (y - (x0 + x1 * q + x2 * d + x3 * tp))")} AS pt
+                   FROM plf, ${ML.sqlGaussFinal})
+               SELECT feature, CAST(nd AS BIGINT) AS n,
+                 round(sb / nd, 4) AS mse_base,
+                 round(sp / nd, 4) AS mse_permuted,
+                 round((sp - sb) / nd, 4) AS importance
+               FROM (SELECT nd, 'quantity' AS feature, pq AS sp, sb FROM pm
+                     UNION ALL SELECT nd, 'discount', pd, sb FROM pm
+                     UNION ALL SELECT nd, 'tax', pt, sb FROM pm) u
+               ORDER BY feature"""))
   )
 
   /** knnPredLang's oracle CTE chain (ML.sqlKnnPredCtes), referenced via a

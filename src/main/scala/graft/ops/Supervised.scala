@@ -687,7 +687,219 @@ object Supervised {
                    FROM lr)
                SELECT pattern, count(*) AS n, round(max(p), 6) AS pred,
                  round(${T.sqlXsum("yr")} / count(*), 6) AS actual_mean
-               FROM scored GROUP BY pattern ORDER BY pattern"""))
+               FROM scored GROUP BY pattern ORDER BY pattern""")),
+
+    QueryDef(
+      "ml_nb_categorical",
+      // CategoricalNB (the naive_bayes family's categorical member, next
+      // to multinomial/bernoulli/gaussian/complement): fit on two document
+      // categoricals — source and the n_chars DIV 100 length bucket —
+      // emitting the fitted model itself: per (feature, category, class)
+      // the count and Laplace-smoothed log-probability ln((cnt+1)/(n_c+K_f))
+      // over the COMPLETE category×class grid (a zero-count cell still
+      // gets its smoothed mass — the left-join + coalesce makes absent
+      // combinations explicit), plus the class-prior rows. All counting,
+      // cardinality-bounded outputs; ln is REAL-collapsed.
+      (s, dir) => {
+        val d = T.documents(s, dir).transform(T.fanOut(_))
+        val cls = d.groupBy(col("lang").as("cls")).agg(count(lit(1)).as("nc"))
+        val nt = d.agg(count(lit(1)).as("nt"))
+        def featTab(catExpr: String, name: String): DataFrame = {
+          val wc = d.selectExpr(s"$catExpr AS category", "lang AS cls")
+          val cnts = wc.groupBy("category", "cls").agg(count(lit(1)).as("cnt"))
+          val cats = wc.select("category").distinct()
+          val kf = cats.agg(count(lit(1)).as("kf"))
+          cats.crossJoin(broadcast(cls))
+            .join(cnts, Seq("category", "cls"), "left")
+            .na.fill(0L, Seq("cnt"))
+            .crossJoin(broadcast(kf))
+            .selectExpr(s"'$name' AS feature", "category", "cls", "cnt",
+              "CAST(CAST(ln((cnt + 1e0) / (nc + kf)) AS FLOAT) AS DOUBLE) AS lp")
+        }
+        val priors = cls.crossJoin(broadcast(nt))
+          .selectExpr("'_prior' AS feature", "'' AS category", "cls",
+            "nc AS cnt",
+            "CAST(CAST(ln(CAST(nc AS DOUBLE) / nt) AS FLOAT) AS DOUBLE) AS lp")
+        featTab("source", "source")
+          .unionAll(featTab("CAST(n_chars DIV 100 AS STRING)", "len_bucket"))
+          .unionAll(priors)
+          .selectExpr("feature", "category", "cls", "cnt",
+            "round(lp, 6) AS log_prob")
+          .orderBy("feature", "category", "cls")
+      },
+      Some("""WITH cls AS (SELECT lang AS cls, count(*) AS nc
+                           FROM documents GROUP BY lang),
+                tot AS (SELECT count(*) AS nt FROM documents),
+                w1 AS (SELECT source AS category, lang AS cls FROM documents),
+                c1 AS (SELECT category, cls, count(*) AS cnt
+                       FROM w1 GROUP BY category, cls),
+                u1 AS (SELECT DISTINCT category FROM w1),
+                k1 AS (SELECT count(*) AS kf FROM u1),
+                f1 AS (SELECT 'source' AS feature, u1.category, cls.cls,
+                    coalesce(c1.cnt, 0) AS cnt, cls.nc, k1.kf
+                  FROM u1 CROSS JOIN cls
+                  LEFT JOIN c1 ON c1.category = u1.category AND c1.cls = cls.cls
+                  CROSS JOIN k1),
+                w2 AS (SELECT CAST(n_chars // 100 AS VARCHAR) AS category,
+                    lang AS cls FROM documents),
+                c2 AS (SELECT category, cls, count(*) AS cnt
+                       FROM w2 GROUP BY category, cls),
+                u2 AS (SELECT DISTINCT category FROM w2),
+                k2 AS (SELECT count(*) AS kf FROM u2),
+                f2 AS (SELECT 'len_bucket' AS feature, u2.category, cls.cls,
+                    coalesce(c2.cnt, 0) AS cnt, cls.nc, k2.kf
+                  FROM u2 CROSS JOIN cls
+                  LEFT JOIN c2 ON c2.category = u2.category AND c2.cls = cls.cls
+                  CROSS JOIN k2),
+                ft AS (SELECT feature, category, cls, cnt,
+                    CAST(CAST(ln((cnt + 1e0) / (nc + kf)) AS REAL) AS DOUBLE) AS lp
+                  FROM (SELECT * FROM f1 UNION ALL SELECT * FROM f2) u
+                  UNION ALL
+                  SELECT '_prior', '', cls, nc,
+                    CAST(CAST(ln(CAST(nc AS DOUBLE) / nt) AS REAL) AS DOUBLE)
+                  FROM cls CROSS JOIN tot)
+              SELECT feature, category, cls, cnt, round(lp, 6) AS log_prob
+              FROM ft ORDER BY feature, category, cls""")),
+
+    QueryDef(
+      "ml_fil_predict",
+      // The forest-inference path (FIL's contract: the model arrives
+      // PRETRAINED and serialized; the engine's whole job is the scoring
+      // pass): a fixed literal 4-tree depth-2 regression forest over
+      // (quantity, discount, tax) — thresholds and leaf values are
+      // literals of the query text, the serialized-model stand-in — scored
+      // over lineitem as a PURE MAP (no fit pass, no join, no shuffle
+      // until the audit aggregation). Output: per returnflag the forest
+      // prediction vs actual mean and the RMSE. Leaf means are integer
+      // literals so the per-row prediction is exact; sums ride the exact
+      // decimal wire.
+      (s, dir) => {
+        val pred = "(" +
+          "(CASE WHEN q <= 25 THEN CASE WHEN d <= 5e-2 THEN 20000 ELSE 18000 END ELSE CASE WHEN d <= 5e-2 THEN 55000 ELSE 50000 END END) + " +
+          "(CASE WHEN q <= 10 THEN 9000 ELSE CASE WHEN q <= 40 THEN 38000 ELSE 68000 END END) + " +
+          "(CASE WHEN t <= 4e-2 THEN CASE WHEN q <= 30 THEN 25000 ELSE 60000 END ELSE CASE WHEN q <= 30 THEN 26000 ELSE 62000 END END) + " +
+          "(CASE WHEN d <= 2e-2 THEN 40000 ELSE CASE WHEN t <= 6e-2 THEN 36000 ELSE 35000 END END)" +
+          ") / 4e0"
+        T.lineitem(s, dir).select(
+          col("l_returnflag").as("rf"),
+          col("l_quantity").cast("double").as("q"),
+          col("l_discount").cast("double").as("d"),
+          col("l_tax").cast("double").as("t"),
+          col("l_extendedprice").cast("double").as("y"))
+          .transform(T.fanOut(_))
+          .selectExpr("rf", "y", s"$pred AS p")
+          .groupBy("rf")
+          .agg(count(lit(1)).as("n"),
+            T.xsum(col("p")).as("sp"), T.xsum(col("y")).as("sy"),
+            T.xsum((col("p") - col("y")) * (col("p") - col("y"))).as("se"))
+          .selectExpr("rf", "n",
+            "round(sp / n, 6) AS mean_pred",
+            "round(sy / n, 6) AS mean_actual",
+            "round(sqrt(se / n), 6) AS rmse")
+          .orderBy("rf")
+      },
+      Some(s"""WITH l AS (SELECT l_returnflag AS rf,
+                   CAST(l_quantity AS DOUBLE) AS q,
+                   CAST(l_discount AS DOUBLE) AS d,
+                   CAST(l_tax AS DOUBLE) AS t,
+                   CAST(l_extendedprice AS DOUBLE) AS y
+                 FROM lineitem),
+                 sc AS (SELECT rf, y, (
+                     (CASE WHEN q <= 25 THEN CASE WHEN d <= 5e-2 THEN 20000 ELSE 18000 END ELSE CASE WHEN d <= 5e-2 THEN 55000 ELSE 50000 END END) +
+                     (CASE WHEN q <= 10 THEN 9000 ELSE CASE WHEN q <= 40 THEN 38000 ELSE 68000 END END) +
+                     (CASE WHEN t <= 4e-2 THEN CASE WHEN q <= 30 THEN 25000 ELSE 60000 END ELSE CASE WHEN q <= 30 THEN 26000 ELSE 62000 END END) +
+                     (CASE WHEN d <= 2e-2 THEN 40000 ELSE CASE WHEN t <= 6e-2 THEN 36000 ELSE 35000 END END)
+                   ) / 4e0 AS p FROM l)
+               SELECT rf, count(*) AS n,
+                 round(${T.sqlXsum("p")} / count(*), 6) AS mean_pred,
+                 round(${T.sqlXsum("y")} / count(*), 6) AS mean_actual,
+                 round(sqrt(${T.sqlXsum("(p - y) * (p - y)")} / count(*)), 6) AS rmse
+               FROM sc GROUP BY rf ORDER BY rf""")),
+
+    QueryDef(
+      "ml_ovr_classifier",
+      // OneVsRestClassifier (the multiclass meta-estimator wrapping binary
+      // base estimators — the strategy alternative to ml_softmax_multi's
+      // multinomial GLM): 3 one-vs-rest least-squares classifiers on
+      // (1, quantity, discount), all three solved from ONE moment pass —
+      // the shared-Gram trick: X'X is class-independent, only the three
+      // X'y_k right-hand sides differ, so the pass collects 6 shared + 9
+      // class sums and each binary fit is a closed-form 3×3 Cramer solve
+      // (the arDet structure) on the same determinant. Scoring is one map
+      // pass: class = argmax of the three linear scores (ties broken
+      // A > N > R by the fixed comparison text). Output: the confusion
+      // matrix counts. Moments ride the exact decimal wire; every solve
+      // and score is shared-text IEEE.
+      (s, dir) => {
+        val l = T.lineitem(s, dir).select(
+          col("l_returnflag").as("rf"),
+          col("l_quantity").cast("double").as("q"),
+          col("l_discount").cast("double").as("d"))
+          .transform(T.fanOut(_))
+        val m = l.agg(
+          count(lit(1)).cast("double").as("nd"),
+          T.xsum(col("q")).as("s1"), T.xsum(col("d")).as("s2"),
+          T.xsum(col("q") * col("q")).as("s11"),
+          T.xsum(col("d") * col("d")).as("s22"),
+          T.xsum(col("q") * col("d")).as("s12"),
+          sum(when(col("rf") === "A", 1L).otherwise(0L)).cast("double").as("sya"),
+          T.xsum(when(col("rf") === "A", col("q"))).as("s1ya"),
+          T.xsum(when(col("rf") === "A", col("d"))).as("s2ya"),
+          sum(when(col("rf") === "N", 1L).otherwise(0L)).cast("double").as("syn"),
+          T.xsum(when(col("rf") === "N", col("q"))).as("s1yn"),
+          T.xsum(when(col("rf") === "N", col("d"))).as("s2yn"),
+          sum(when(col("rf") === "R", 1L).otherwise(0L)).cast("double").as("syr"),
+          T.xsum(when(col("rf") === "R", col("q"))).as("s1yr"),
+          T.xsum(when(col("rf") === "R", col("d"))).as("s2yr"))
+          .selectExpr("*", s"$det3 AS det")
+        val solved = Seq("a", "n", "r").foldLeft(m) { (df, k) =>
+          val (b0, b1, b2) = cram3(s"sy$k", s"s1y$k", s"s2y$k")
+          df.selectExpr("*", s"$b0 AS b0$k", s"$b1 AS b1$k", s"$b2 AS b2$k")
+        }.selectExpr("b0a", "b1a", "b2a", "b0n", "b1n", "b2n", "b0r", "b1r", "b2r")
+        l.crossJoin(broadcast(solved))
+          .selectExpr("rf",
+            "b0a + b1a * q + b2a * d AS sa",
+            "b0n + b1n * q + b2n * d AS sn",
+            "b0r + b1r * q + b2r * d AS sr")
+          .selectExpr("rf",
+            "CASE WHEN sa >= sn AND sa >= sr THEN 'A' WHEN sn >= sr THEN 'N' ELSE 'R' END AS pred")
+          .groupBy("rf", "pred").agg(count(lit(1)).as("n"))
+          .orderBy("rf", "pred")
+      },
+      Some(s"""WITH l AS (SELECT l_returnflag AS rf,
+                   CAST(l_quantity AS DOUBLE) AS q,
+                   CAST(l_discount AS DOUBLE) AS d
+                 FROM lineitem),
+                 m AS (SELECT CAST(count(*) AS DOUBLE) AS nd,
+                     ${T.sqlXsum("q")} AS s1, ${T.sqlXsum("d")} AS s2,
+                     ${T.sqlXsum("q * q")} AS s11, ${T.sqlXsum("d * d")} AS s22,
+                     ${T.sqlXsum("q * d")} AS s12,
+                     CAST(sum(CASE WHEN rf = 'A' THEN 1 ELSE 0 END) AS DOUBLE) AS sya,
+                     ${T.sqlXsum("CASE WHEN rf = 'A' THEN q END")} AS s1ya,
+                     ${T.sqlXsum("CASE WHEN rf = 'A' THEN d END")} AS s2ya,
+                     CAST(sum(CASE WHEN rf = 'N' THEN 1 ELSE 0 END) AS DOUBLE) AS syn,
+                     ${T.sqlXsum("CASE WHEN rf = 'N' THEN q END")} AS s1yn,
+                     ${T.sqlXsum("CASE WHEN rf = 'N' THEN d END")} AS s2yn,
+                     CAST(sum(CASE WHEN rf = 'R' THEN 1 ELSE 0 END) AS DOUBLE) AS syr,
+                     ${T.sqlXsum("CASE WHEN rf = 'R' THEN q END")} AS s1yr,
+                     ${T.sqlXsum("CASE WHEN rf = 'R' THEN d END")} AS s2yr
+                   FROM l),
+                 md AS (SELECT *, $det3 AS det FROM m),
+                 ${Seq("a", "n", "r").zipWithIndex.map { case (k, i) =>
+                   val (b0, b1, b2) = cram3(s"sy$k", s"s1y$k", s"s2y$k")
+                   val src = if (i == 0) "md" else s"sv${i - 1}"
+                   s"sv$i AS (SELECT *, $b0 AS b0$k, $b1 AS b1$k, $b2 AS b2$k FROM $src)"
+                 }.mkString(",\n                 ")},
+                 sc AS (SELECT rf,
+                     b0a + b1a * q + b2a * d AS sa,
+                     b0n + b1n * q + b2n * d AS sn,
+                     b0r + b1r * q + b2r * d AS sr
+                   FROM l CROSS JOIN sv2),
+                 pr AS (SELECT rf,
+                     CASE WHEN sa >= sn AND sa >= sr THEN 'A' WHEN sn >= sr THEN 'N' ELSE 'R' END AS pred
+                   FROM sc)
+               SELECT rf, pred, count(*) AS n
+               FROM pr GROUP BY rf, pred ORDER BY rf, pred"""))
   )
 
   /** REAL-collapsed ln — the shared float-precision collapse text (lnLik's
@@ -696,4 +908,21 @@ object Supervised {
     val t = if (real) "REAL" else "FLOAT"
     s"CAST(CAST(ln($inner) AS $t) AS DOUBLE)"
   }
+
+  /** 3×3 normal-equation determinant for features (1, q, d) — the arDet
+    * Cramer structure (Forecast.scala) with ml_ovr_classifier's moment
+    * names. Shared verbatim by both engines. LAZY because `entries`
+    * interpolates it during object init and this declaration sits below
+    * the Seq — a plain val would interpolate as "null" (caught by the
+    * driver compare: every DuckDB coefficient came back NULL). */
+  private lazy val det3 =
+    "nd * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) + s2 * (s1 * s12 - s11 * s2)"
+
+  /** Cramer numerators (÷ det) for one class's right-hand side
+    * (sy, s1y, s2y) — the arDetC/P1/P2 texts parameterized on the class
+    * suffix so all three one-vs-rest fits share [[det3]]. */
+  private def cram3(sy: String, s1y: String, s2y: String): (String, String, String) = (
+    s"($sy * (s11 * s22 - s12 * s12) - s1 * ($s1y * s22 - s12 * $s2y) + s2 * ($s1y * s12 - s11 * $s2y)) / det",
+    s"(nd * ($s1y * s22 - s12 * $s2y) - $sy * (s1 * s22 - s12 * s2) + s2 * (s1 * $s2y - $s1y * s2)) / det",
+    s"(nd * (s11 * $s2y - $s1y * s12) - s1 * (s1 * $s2y - $s1y * s2) + $sy * (s1 * s12 - s11 * s2)) / det")
 }
