@@ -1056,7 +1056,118 @@ object Metrics {
                FROM (SELECT nd, 'quantity' AS feature, pq AS sp, sb FROM pm
                      UNION ALL SELECT nd, 'discount', pd, sb FROM pm
                      UNION ALL SELECT nd, 'tax', pt, sb FROM pm) u
-               ORDER BY feature"""))
+               ORDER BY feature""")),
+
+    QueryDef(
+      "ml_pairwise_minkowski",
+      // The remaining pairwise_distances metric= values, completing the
+      // family next to euclidean/cosine (ml_pairwise_distances) and
+      // cityblock/chebyshev (ml_pairwise_manhattan): minkowski p=3,
+      // canberra, sqeuclidean, and sign-pattern hamming (continuous
+      // vectors make element-equality hamming degenerate — every pair
+      // differs everywhere — so the meaningful variant compares the SIGN
+      // pattern, labeled as such). Same bounded vec_id < 15 sample.
+      // Determinism: each per-element term is identical IEEE both engines;
+      // the SUMS are FLOAT-collapsed (Spark's sequential fold vs DuckDB's
+      // exploded-join aggregate sum in different orders — the
+      // ml_pairwise_manhattan discipline); the hamming count is an exact
+      // integer.
+      (s, dir) => {
+        val e = T.embeddings(s, dir).where(col("vec_id") < 15)
+        val a = e.select(col("vec_id").as("id_a"), col("embedding").as("q_emb"))
+        val b = e.select(col("vec_id").as("id_b"), col("embedding").as("n_emb"))
+        val zw = "zip_with(q_emb, n_emb, (x, y) -> CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
+        a.crossJoin(broadcast(b)).where(col("id_a") < col("id_b"))
+          .selectExpr("id_a", "id_b",
+            s"CAST(CAST(aggregate(transform($zw, v -> abs(v * v * v)), 0D, (acc, el) -> acc + el) AS FLOAT) AS DOUBLE) AS s3",
+            "CAST(CAST(aggregate(zip_with(q_emb, n_emb, (x, y) -> CASE WHEN abs(CAST(x AS DOUBLE)) + abs(CAST(y AS DOUBLE)) = 0D THEN 0D ELSE abs(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) / (abs(CAST(x AS DOUBLE)) + abs(CAST(y AS DOUBLE))) END), 0D, (acc, el) -> acc + el) AS FLOAT) AS DOUBLE) AS cb",
+            s"CAST(CAST(aggregate(transform($zw, v -> v * v), 0D, (acc, el) -> acc + el) AS FLOAT) AS DOUBLE) AS sq",
+            "aggregate(zip_with(q_emb, n_emb, (x, y) -> CASE WHEN sign(CAST(x AS DOUBLE)) <> sign(CAST(y AS DOUBLE)) THEN 1 ELSE 0 END), 0, (acc, el) -> acc + el) AS hc")
+          .selectExpr("id_a", "id_b",
+            "round(cbrt(s3), 6) AS dist_minkowski3",
+            "round(cb, 6) AS dist_canberra",
+            "round(sq, 6) AS dist_sqeuclidean",
+            "round(CAST(hc AS DOUBLE) / 64, 6) AS dist_hamming_sign")
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH ex AS (SELECT vec_id,
+                   generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS i,
+                   unnest(CAST(embedding AS DOUBLE[])) AS x
+                 FROM embeddings WHERE vec_id < 15),
+                 g AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     CAST(CAST(sum(abs((a.x - b.x) * (a.x - b.x) * (a.x - b.x))) AS REAL) AS DOUBLE) AS s3,
+                     CAST(CAST(sum(CASE WHEN abs(a.x) + abs(b.x) = 0 THEN 0 ELSE abs(a.x - b.x) / (abs(a.x) + abs(b.x)) END) AS REAL) AS DOUBLE) AS cb,
+                     CAST(CAST(sum((a.x - b.x) * (a.x - b.x)) AS REAL) AS DOUBLE) AS sq,
+                     CAST(sum(CASE WHEN sign(a.x) <> sign(b.x) THEN 1 ELSE 0 END) AS BIGINT) AS hc
+                   FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id
+                   GROUP BY a.vec_id, b.vec_id)
+               SELECT id_a, id_b,
+                 round(cbrt(s3), 6) AS dist_minkowski3,
+                 round(cb, 6) AS dist_canberra,
+                 round(sq, 6) AS dist_sqeuclidean,
+                 round(CAST(hc AS DOUBLE) / 64, 6) AS dist_hamming_sign
+               FROM g ORDER BY id_a, id_b""")),
+
+    QueryDef(
+      "ml_sparse_pairwise",
+      // sparse_pairwise_distances — cosine similarity between documents in
+      // their SPARSE tf-idf representation, computed the way sparse
+      // vectors must be at scale: no dense materialization, the dot
+      // product is an INVERTED-INDEX equi-join on term (only co-occurring
+      // terms contribute; a pair sharing no term never exists — the
+      // sparsity contract). Weights w = tf·ln(N/df) are REAL-collapsed per
+      // (doc, term); norms and dots ride the exact decimal wire; cosine is
+      // one shared-text division. Bounded doc_id < 30 sample for the
+      // oracle-checkable matrix; the join shape itself is df-bounded at
+      // any corpus size (the dedup_ngram_jaccard posting discipline).
+      // Output: the top-20 most similar pairs by the ROUNDED cosine (ties
+      // broken by ids).
+      (s, dir) => {
+        val dt = TextSim.docTerms(s, dir)
+        val nTot = T.documents(s, dir).agg(count(lit(1)).as("n_total"))
+        val df_ = dt.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+        val tf = dt.where(col("doc_id") < 30)
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val w = tf.join(df_, "term").crossJoin(broadcast(nTot))
+          .selectExpr("doc_id", "term",
+            "CAST(CAST(tf * ln(CAST(n_total AS DOUBLE) / df) AS FLOAT) AS DOUBLE) AS w")
+        val nrm = w.groupBy("doc_id")
+          .agg(sqrt(T.xsum(col("w") * col("w"))).as("nrm"))
+        val wa = w.select(col("doc_id").as("id_a"), col("term"), col("w").as("wa"))
+        val wb = w.select(col("doc_id").as("id_b"), col("term"), col("w").as("wb"))
+        wa.join(wb, "term").where(col("id_a") < col("id_b"))
+          .groupBy("id_a", "id_b")
+          .agg(T.xsum(col("wa") * col("wb")).as("dot"),
+            count(lit(1)).as("n_shared"))
+          .join(broadcast(nrm.select(col("doc_id").as("id_a"), col("nrm").as("na"))), "id_a")
+          .join(broadcast(nrm.select(col("doc_id").as("id_b"), col("nrm").as("nb"))), "id_b")
+          .selectExpr("id_a", "id_b", "n_shared",
+            "round(dot / (na * nb), 6) AS cos_sim")
+          .orderBy(col("cos_sim").desc, col("id_a"), col("id_b"))
+          .limit(20)
+      },
+      Some(s"""WITH dt0 AS (${TextSim.sqlDocTerms}),
+                 dt AS (SELECT doc_id, term FROM dt0 WHERE term <> ''),
+                 ntot AS (SELECT count(*) AS n_total FROM documents),
+                 dfx AS (SELECT term, count(DISTINCT doc_id) AS df
+                         FROM dt GROUP BY term),
+                 tf AS (SELECT doc_id, term, count(*) AS tf
+                        FROM dt WHERE doc_id < 30 GROUP BY doc_id, term),
+                 w AS (SELECT doc_id, term,
+                     CAST(CAST(tf * ln(CAST(n_total AS DOUBLE) / df) AS REAL) AS DOUBLE) AS w
+                   FROM tf JOIN dfx USING (term) CROSS JOIN ntot),
+                 nrm AS (SELECT doc_id, sqrt(${T.sqlXsum("w * w")}) AS nrm
+                         FROM w GROUP BY doc_id),
+                 dots AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     ${T.sqlXsum("a.w * b.w")} AS dot,
+                     count(*) AS n_shared
+                   FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+                   GROUP BY a.doc_id, b.doc_id)
+               SELECT id_a, id_b, n_shared,
+                 round(dot / (na.nrm * nb.nrm), 6) AS cos_sim
+               FROM dots JOIN nrm na ON na.doc_id = id_a
+                         JOIN nrm nb ON nb.doc_id = id_b
+               ORDER BY cos_sim DESC, id_a, id_b LIMIT 20"""))
   )
 
   /** knnPredLang's oracle CTE chain (ML.sqlKnnPredCtes), referenced via a

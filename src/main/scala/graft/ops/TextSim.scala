@@ -24,12 +24,12 @@ object TextSim {
 
   /** (doc_id, term) pairs, empty terms dropped. The tokenizer of every op
     * here — whitespace split keeps Spark and DuckDB in exact agreement. */
-  private def docTerms(s: SparkSession, dir: String): DataFrame =
+  private[ops] def docTerms(s: SparkSession, dir: String): DataFrame =
     T.documents(s, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .where(col("term") =!= "")
 
-  private val sqlDocTerms =
+  private[ops] val sqlDocTerms =
     """SELECT doc_id, unnest(string_split(text, ' ')) AS term
        FROM documents"""
 
