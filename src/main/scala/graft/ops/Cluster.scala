@@ -730,6 +730,94 @@ object Cluster {
                FROM lbl GROUP BY lbl ORDER BY cluster""")),
 
     QueryDef(
+      "ml_hdbscan_mst",
+      // HDBSCAN's MST layer — one Borůvka round over the mutual-
+      // reachability graph (exactly the step the MNMG single-linkage
+      // build distributes: every node picks its lightest incident edge in
+      // parallel, the picks are deduplicated, and the resulting forest
+      // seeds the next round). Same density layer as ml_hdbscan_reach
+      // (core distance = 4th neighbor within the eps = 0.01 horizon;
+      // d_mr = max(d, core_a, core_b); the bounded horizon is what makes
+      // the pair generation scale-safe — the grid join sees every
+      // in-horizon pair). Output: the chosen edge set's 30 lightest edges
+      // (by rounded weight, then ids) plus the total pick count. Picks
+      // tie-break on (w, v) — deterministic cross-engine; weights are
+      // shared-text doubles.
+      (s, dir) => {
+        val horizon = 0.01
+        val p = plane(s, dir).transform(T.fanOut(_, col("id")))
+        val home = p.select(col("id").as("n_id"), col("x"), col("y"),
+          floor(col("x") / horizon).as("cx"), floor(col("y") / horizon).as("cy"))
+        val probe = p.select(col("id").as("q_id"),
+            col("x").as("qx"), col("y").as("qy"),
+            floor(col("x") / horizon).as("qcx"), floor(col("y") / horizon).as("qcy"))
+          .select(col("q_id"), col("qx"), col("qy"),
+            explode(expr("flatten(transform(sequence(-1, 1), dx -> " +
+              "transform(sequence(-1, 1), dy -> " +
+              "struct(qcx + dx AS cx, qcy + dy AS cy))))")).as("c"))
+          .select(col("q_id"), col("qx"), col("qy"),
+            col("c.cx").as("cx"), col("c.cy").as("cy"))
+        val dpairs = probe.join(home, Seq("cx", "cy"))
+          .where(col("q_id") < col("n_id"))
+          .where((col("qx") - col("x")) * (col("qx") - col("x")) +
+                 (col("qy") - col("y")) * (col("qy") - col("y")) <= lit(horizon * horizon))
+          .select(col("q_id").as("a"), col("n_id").as("b"),
+            sqrt((col("qx") - col("x")) * (col("qx") - col("x")) +
+                 (col("qy") - col("y")) * (col("qy") - col("y"))).as("d"))
+        val ep = T.freeze(dpairs)
+        val dn = ep.select(col("a").as("u"), col("b").as("v"), col("d"))
+          .union(ep.select(col("b").as("u"), col("a").as("v"), col("d")))
+        val rw = Window.partitionBy(col("u")).orderBy(col("d"), col("v"))
+        val core = dn.withColumn("rn", row_number().over(rw))
+          .where(col("rn") === 4)
+          .select(col("u").as("cid"), col("d").as("cd"))
+        val mr = ep
+          .join(core.select(col("cid").as("a"), col("cd").as("ca")), "a")
+          .join(core.select(col("cid").as("b"), col("cd").as("cb")), "b")
+          .select(col("a"), col("b"),
+            greatest(col("d"), col("ca"), col("cb")).as("w"))
+        val sym = mr.select(col("a").as("u"), col("b").as("v"), col("w"))
+          .union(mr.select(col("b").as("u"), col("a").as("v"), col("w")))
+        val pick = Window.partitionBy(col("u")).orderBy(col("w"), col("v"))
+        val chosen = sym.withColumn("rn", row_number().over(pick))
+          .where(col("rn") === 1)
+          .select(least(col("u"), col("v")).as("node_a"),
+            greatest(col("u"), col("v")).as("node_b"), col("w"))
+          .distinct()
+        chosen
+          .withColumn("n_picks", count(lit(1)).over(Window.partitionBy()))
+          .selectExpr("node_a", "node_b", "round(w, 6) AS weight", "n_picks")
+          .orderBy(col("weight"), col("node_a"), col("node_b"))
+          .limit(30)
+      },
+      Some(s"""WITH pts AS (SELECT vec_id AS id, CAST(embedding[1] AS DOUBLE) AS x,
+                   CAST(embedding[2] AS DOUBLE) AS y FROM embeddings),
+                 ep AS (SELECT p.id AS a, q.id AS b,
+                     sqrt((p.x - q.x) * (p.x - q.x) + (p.y - q.y) * (p.y - q.y)) AS d
+                   FROM pts p JOIN pts q ON p.id < q.id
+                    AND (p.x - q.x) * (p.x - q.x) + (p.y - q.y) * (p.y - q.y)
+                        <= ${0.01 * 0.01}),
+                 dn AS (SELECT a AS u, b AS v, d FROM ep
+                        UNION ALL SELECT b, a, d FROM ep),
+                 rk AS (SELECT u, v, d, row_number() OVER (PARTITION BY u
+                     ORDER BY d, v) AS rn FROM dn),
+                 core AS (SELECT u AS cid, d AS cd FROM rk WHERE rn = 4),
+                 mr AS (SELECT ep.a, ep.b, greatest(ep.d, ca.cd, cb.cd) AS w
+                   FROM ep JOIN core ca ON ca.cid = ep.a
+                           JOIN core cb ON cb.cid = ep.b),
+                 sym AS (SELECT a AS u, b AS v, w FROM mr
+                         UNION ALL SELECT b, a, w FROM mr),
+                 pk AS (SELECT u, v, w FROM (SELECT *, row_number() OVER (
+                     PARTITION BY u ORDER BY w, v) AS rn FROM sym) t
+                   WHERE rn = 1),
+                 ch AS (SELECT DISTINCT least(u, v) AS node_a,
+                     greatest(u, v) AS node_b, w FROM pk),
+                 cn AS (SELECT count(*) AS n_picks FROM ch)
+               SELECT node_a, node_b, round(w, 6) AS weight, n_picks
+               FROM ch CROSS JOIN cn
+               ORDER BY weight, node_a, node_b LIMIT 30""")),
+
+    QueryDef(
       "ml_tsne_affinity",
       // cuml.manifold TSNE's AFFINITY phase (the P-matrix — like
       // ml_umap_graph, the dataflow part of the manifold pair; the layout

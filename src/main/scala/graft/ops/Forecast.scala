@@ -818,7 +818,86 @@ object Forecast {
                  round(r1, 6) AS acf1, round(r2, 6) AS acf2,
                  round($maTheta, 6) AS theta_hat,
                  round(sdall, 6) AS y_endpoint
-               FROM rr"""))
+               FROM rr""")),
+
+    QueryDef(
+      "ml_holtwinters_forecast",
+      // The h-step forecast path of the Holt-Winters surface
+      // (ml_holtwinters emits the smoothed level; the forecast() contract
+      // needs trend + seasonality rolled forward): additive decomposition
+      // form — global linear trend (OLS of y on the day index t, exact
+      // BIGINT moments) plus the per-day-of-week seasonal index (mean
+      // detrended y per epoch-days-mod-7, the ml_seasonal_decompose
+      // dow discipline), extrapolated 7 days past the last observed day:
+      // ŷ(T+h) = a + b·(t_max+h) + s_dow(T+h). Everything after the daily
+      // count aggregation runs on ≤|days| rows; the 7 forecast rows come
+      // from a broadcast of the 1-row fit and the 7-row seasonal table.
+      // Determinism: a, b from exact integer moments via shared text;
+      // seasonal means on the exact decimal wire; the forecast expression
+      // is one shared-text IEEE chain.
+      (s, dir) => {
+        val daily = T.events(s, dir)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("y"))
+        val wIdx = Window.orderBy("day")
+        val idx = daily
+          .withColumn("t", row_number().over(wIdx))
+          .withColumn("dow",
+            expr("CAST(datediff(day, DATE '1970-01-01') % 7 AS INT)"))
+        val m = idx.agg(
+          count(lit(1)).as("n"), sum(col("t")).as("st"), sum(col("y")).as("sy"),
+          sum(col("t") * col("t")).as("stt"), sum(col("t") * col("y")).as("sty"),
+          max(col("day")).as("last_day"), max(col("t")).as("tmax"))
+          .selectExpr("CAST(n AS DOUBLE) AS nd", "CAST(st AS DOUBLE) AS st",
+            "CAST(sy AS DOUBLE) AS sy", "CAST(stt AS DOUBLE) AS stt",
+            "CAST(sty AS DOUBLE) AS sty", "last_day", "tmax")
+          .selectExpr("*", "(nd * sty - st * sy) / (nd * stt - st * st) AS b")
+          .selectExpr("*", "(sy - b * st) / nd AS a")
+        val season = idx.crossJoin(broadcast(m.selectExpr("a", "b")))
+          .selectExpr("dow", "y - (a + b * t) AS det")
+          .groupBy("dow").agg((T.xsum(col("det")) / count(lit(1))).as("sdow"))
+        s.range(1, 8).toDF("h")
+          .crossJoin(broadcast(m.selectExpr("a", "b", "last_day", "tmax")))
+          .selectExpr("h", "a", "b", "tmax",
+            "date_add(last_day, CAST(h AS INT)) AS day",
+            "CAST(datediff(date_add(last_day, CAST(h AS INT)), DATE '1970-01-01') % 7 AS INT) AS dow")
+          .join(broadcast(season), "dow")
+          .selectExpr("h", "day", "dow",
+            "round(a + b * (tmax + h), 6) AS trend_part",
+            "round(sdow, 6) AS seasonal_part",
+            "round(a + b * (tmax + h) + sdow, 6) AS forecast")
+          .orderBy("h")
+      },
+      Some(s"""WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS y
+                              FROM events GROUP BY 1),
+                 idx AS (SELECT day, y, row_number() OVER (ORDER BY day) AS t,
+                     CAST((day - DATE '1970-01-01') % 7 AS INT) AS dow
+                   FROM daily),
+                 m0 AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(t) AS BIGINT) AS st, CAST(sum(y) AS BIGINT) AS sy,
+                     CAST(sum(t * t) AS BIGINT) AS stt,
+                     CAST(sum(t * y) AS BIGINT) AS sty,
+                     max(day) AS last_day, CAST(max(t) AS BIGINT) AS tmax
+                   FROM idx),
+                 m1 AS (SELECT CAST(n AS DOUBLE) AS nd, CAST(st AS DOUBLE) AS st,
+                     CAST(sy AS DOUBLE) AS sy, CAST(stt AS DOUBLE) AS stt,
+                     CAST(sty AS DOUBLE) AS sty, last_day, tmax
+                   FROM m0),
+                 m2 AS (SELECT *, (nd * sty - st * sy) / (nd * stt - st * st) AS b FROM m1),
+                 m AS (SELECT *, (sy - b * st) / nd AS a FROM m2),
+                 season AS (SELECT dow, ${T.sqlXsum("y - (a + b * t)")} / count(*) AS sdow
+                   FROM idx CROSS JOIN m GROUP BY dow),
+                 hs AS (SELECT h FROM generate_series(1, 7) g(h)),
+                 f AS (SELECT h, a, b, tmax,
+                     last_day + CAST(h AS INT) AS day,
+                     CAST((last_day + CAST(h AS INT) - DATE '1970-01-01') % 7 AS INT) AS dow
+                   FROM hs CROSS JOIN m)
+               SELECT h, day, dow,
+                 round(a + b * (tmax + h), 6) AS trend_part,
+                 round(sdow, 6) AS seasonal_part,
+                 round(a + b * (tmax + h) + sdow, 6) AS forecast
+               FROM f JOIN season USING (dow)
+               ORDER BY h"""))
   )
 
   /** Shared scalar cascade for ml_auto_arima: widen the conditional BIGINT
