@@ -1804,6 +1804,55 @@ object ML {
                FROM a""")),
 
     QueryDef(
+      "ml_kmeans_elbow",
+      // The k-selection sweep (the elbow diagnostic every KMeans user
+      // runs): inertia for k ∈ {2, 4, 6, 8, 10} — computed from ONE
+      // points × 10-centroid broadcast pass, not one pass per k. The
+      // trick: with the fixed vec_id < K centroid convention, min over
+      // the first k centroids is a PREFIX MIN over cid, so a single
+      // running-min window per point yields every k's nearest-centroid
+      // distance simultaneously (min is order-free and exact — no float
+      // hazard in the window). Output: per k the inertia and the ratio
+      // to the previous k (the elbow signal; NULL on the first row).
+      (s, dir) => {
+        val e = T.embeddings(s, dir)
+        val cent = e.where(col("vec_id") < 10)
+          .select(col("vec_id").as("cid"), col("embedding").as("c_emb"))
+        val dist = graft.functions.Vec.l2(s, "embedding", "c_emb")
+        val wp = Window.partitionBy(col("vec_id")).orderBy(col("cid"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val wk = Window.orderBy("k")
+        e.transform(T.fanOut(_, col("vec_id")))
+          .crossJoin(broadcast(cent))
+          .select(col("vec_id"), col("cid"), (dist * dist).as("d2"))
+          .withColumn("pm", min(col("d2")).over(wp))
+          .where(col("cid") % 2 === 1)
+          .select((col("cid") + 1).as("k"), col("pm"))
+          .groupBy("k")
+          .agg(count(lit(1)).as("n_points"), T.xsum(col("pm")).as("inertia"))
+          .withColumn("prev", lag(col("inertia"), 1).over(wk))
+          .selectExpr("k", "n_points", "round(inertia, 6) AS inertia",
+            "round(inertia / prev, 6) AS ratio_vs_prev")
+          .orderBy("k")
+      },
+      Some(s"""WITH dd AS (SELECT e.vec_id, c.vec_id AS cid,
+                   list_distance(CAST(e.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+                     * list_distance(CAST(e.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS d2
+                 FROM embeddings e CROSS JOIN embeddings c
+                 WHERE c.vec_id < 10),
+                 pm AS (SELECT vec_id, cid,
+                     min(d2) OVER (PARTITION BY vec_id ORDER BY cid
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pm
+                   FROM dd),
+                 kk AS (SELECT cid + 1 AS k, pm FROM pm WHERE cid % 2 = 1),
+                 g AS (SELECT k, count(*) AS n_points,
+                     ${T.sqlXsum("pm")} AS inertia FROM kk GROUP BY k),
+                 w AS (SELECT *, lag(inertia, 1) OVER (ORDER BY k) AS prev FROM g)
+               SELECT k, n_points, round(inertia, 6) AS inertia,
+                 round(inertia / prev, 6) AS ratio_vs_prev
+               FROM w ORDER BY k""")),
+
+    QueryDef(
       "ml_kmeans_transform",
       // cuml.dask.cluster.KMeans.transform [R]: the full sample×centroid
       // distance matrix (not just the argmin) — what the estimator's

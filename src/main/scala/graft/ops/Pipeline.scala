@@ -397,6 +397,44 @@ object Pipeline {
               FROM d GROUP BY source ORDER BY source""")),
 
     QueryDef(
+      "text_bigram_freq",
+      // Bigram frequency table — the n-gram LM building block under
+      // text_langid's trigram profiles, as its own corpus-analysis row:
+      // tokens exploded WITH their raw split position, adjacency = a
+      // doc-local equi-join on (doc_id, pos+1) — the collocated-join
+      // shape (shuffle key doc_id, positions join within the group;
+      // at scale the token table is the inverted index both engines
+      // already build for tf-idf). Empty tokens (split artifacts) are
+      // excluded from both sides but POSITIONS stay raw, so adjacency is
+      // identical cross-engine by construction. Output: the 30 most
+      // frequent bigrams (count desc, bigram asc — fully deterministic).
+      (s, dir) => {
+        val toks = T.documents(s, dir).transform(T.fanOut(_, col("doc_id")))
+          .select(col("doc_id"), posexplode(split(col("text"), " ")))
+          .where(col("col") =!= "")
+          .select(col("doc_id"), col("pos"), col("col").as("term"))
+        val a = toks.select(col("doc_id"), col("pos"), col("term").as("t1"))
+        val b = toks.select(col("doc_id"), (col("pos") - 1).as("pos"),
+          col("term").as("t2"))
+        a.join(b, Seq("doc_id", "pos"))
+          .select(concat(col("t1"), lit(" "), col("t2")).as("bigram"))
+          .groupBy("bigram").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("bigram").asc)
+          .limit(30)
+      },
+      Some("""WITH tk AS (SELECT doc_id,
+                  generate_subscripts(string_split(text, ' '), 1) AS pos,
+                  unnest(string_split(text, ' ')) AS term
+                FROM documents),
+                tf AS (SELECT doc_id, pos, term FROM tk WHERE term <> ''),
+                bg AS (SELECT a.term || ' ' || b.term AS bigram
+                  FROM tf a JOIN tf b
+                    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1)
+              SELECT bigram, count(*) AS n
+              FROM bg GROUP BY bigram
+              ORDER BY n DESC, bigram ASC LIMIT 30""")),
+
+    QueryDef(
       "multimodal_frame_sample",
       // Frame sampling over an opaque binary column — the video/audio
       // "every Nth frame" shape with the Spark plumbing REAL: payload bytes
