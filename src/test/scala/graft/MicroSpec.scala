@@ -1077,4 +1077,184 @@ class MicroSpec extends SparkSpec {
     }
     assert(rows.map(_.getInt(2)).distinct.length <= 7)
   }
+
+  // ---- r7 closing-session operator pins ----------------------------------
+
+  test("ml_platt_scaling: calibration orders the classes and log loss is sane (r7)") {
+    val r = q("ml_platt_scaling").collect()(0)
+    val (pPos, pNeg, ll) = (r.getAs[Double]("mean_p_pos"),
+      r.getAs[Double]("mean_p_neg"), r.getAs[Double]("log_loss"))
+    assert(pPos > 0 && pPos < 1 && pNeg > 0 && pNeg < 1)
+    assert(pPos >= pNeg, s"calibrated p must rank the positive class: $pPos < $pNeg")
+    assert(ll > 0 && ll < 1, s"binary log loss $ll outside (0, 1)")
+  }
+
+  test("ml_median_abs_error: quantile ordering median <= p90 <= max (r7)") {
+    val r = q("ml_median_abs_error").collect()(0)
+    val (med, p90, mx) = (r.getAs[Double]("median_abs_error"),
+      r.getAs[Double]("p90_abs_error"), r.getAs[Double]("max_error"))
+    assert(med > 0 && med <= p90 && p90 <= mx, s"$med / $p90 / $mx")
+  }
+
+  test("ml_power_transform: one argmax and the lambda=0 branch is ln (r7)") {
+    val rows = q("ml_power_transform").collect()
+    assert(rows.length == 5)
+    assert(rows.map(_.getAs[Int]("is_best")).sum == 1, "exactly one chosen lambda")
+    assert(rows.forall(_.getAs[Double]("std_t") > 0))
+    // the ln-branch mean must match a local recompute (float-collapsed)
+    val lx = Tables.lineitem(spark, sf).select(col("l_extendedprice").cast("double"))
+      .collect().map(r => math.log(r.getDouble(0)).toFloat.toDouble)
+    val local = lx.sum / lx.length
+    val got = rows.find(_.getAs[Double]("lambda") == 0.0).get.getAs[Double]("mean_t")
+    assert(math.abs(got - local) < 1e-3, s"ln-mean $got vs local $local")
+  }
+
+  test("ml_missing_indicator: rates reproduce the constructed masks (r7)") {
+    val rows = q("ml_missing_indicator").collect()
+    val ev = Tables.events(spark, sf).groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = ev.values.sum
+    for (r <- rows) {
+      val present = r.getAs[String]("feature") match {
+        case "f_value" => ev("purchase"); case _ => ev("click")
+      }
+      assert(r.getAs[Long]("n_missing") == n - present,
+        s"${r.getAs[String]("feature")}: ${r.getAs[Long]("n_missing")} vs ${n - present}")
+    }
+  }
+
+  test("ml_kernel_centerer: centered rows sum to zero, diagonal kernel is 1 (r7)") {
+    val rows = q("ml_kernel_centerer").collect()
+    assert(rows.length == 55)
+    assert(rows.forall(_.getAs[Double]("row_sum") == 0.0), "centering audit")
+    for (r <- rows if r.getAs[Long]("id_a") == r.getAs[Long]("id_b"))
+      assert(r.getAs[Double]("k_rbf") == 1.0, "exp(-0) diagonal")
+  }
+
+  test("ml_ordinal_encode: codes are dense 0..k-1 in category sort order (r7)") {
+    val rows = q("ml_ordinal_encode").collect()
+    for ((feat, rs) <- rows.groupBy(_.getAs[String]("feature"))) {
+      val sorted = rs.sortBy(_.getAs[String]("category"))
+      assert(sorted.map(_.getAs[Long]("code")).toSeq == sorted.indices.map(_.toLong),
+        s"feature $feat codes not dense-ordinal")
+    }
+  }
+
+  test("ml_arima_forecast: widening intervals that bracket the forecast (r7)") {
+    val rows = q("ml_arima_forecast").orderBy("h").collect()
+    assert(rows.length == 7)
+    val ses = rows.map(_.getAs[Double]("se"))
+    assert(ses.zip(ses.tail).forall { case (a, b) => b >= a },
+      s"forecast se must widen with horizon: ${ses.toSeq}")
+    for (r <- rows)
+      assert(r.getAs[Double]("lo95") < r.getAs[Double]("forecast") &&
+        r.getAs[Double]("forecast") < r.getAs[Double]("hi95"))
+  }
+
+  test("ml_make_arima: the generated series carries the MA(1) signature (r7)") {
+    // acf1 ~= theta/(1+theta^2) = 0.441 for theta = 0.6; the affine-hash
+    // lattice regression produced acf1 = -0.11 — this pin would catch it.
+    val r = q("ml_make_arima").collect()(0)
+    val (acf1, acf2, md) = (r.getAs[Double]("acf1"),
+      r.getAs[Double]("acf2"), r.getAs[Double]("mean_d"))
+    assert(acf1 > 0.3 && acf1 < 0.55, s"acf1 $acf1 outside the MA(1) band")
+    assert(math.abs(acf2) < 0.15, s"acf2 $acf2 not near zero")
+    assert(md > 0.35 && md < 0.65, s"drift recovery $md vs 0.5")
+  }
+
+  test("ml_nb_categorical: smoothed probabilities normalize per (feature, class) (r7)") {
+    val rows = q("ml_nb_categorical").collect()
+      .filter(_.getAs[String]("feature") != "_prior")
+    for (((f, c), rs) <- rows.groupBy(r =>
+        (r.getAs[String]("feature"), r.getAs[String]("cls")))) {
+      val mass = rs.map(r => math.exp(r.getAs[Double]("log_prob"))).sum
+      assert(math.abs(mass - 1.0) < 1e-3, s"($f, $c) prob mass $mass")
+    }
+  }
+
+  test("ml_fil_predict: pure-map inference covers every row (r7)") {
+    val rows = q("ml_fil_predict").collect()
+    assert(rows.map(_.getAs[Long]("n")).sum ==
+      Tables.lineitem(spark, sf).count())
+    assert(rows.forall(_.getAs[Double]("rmse") > 0))
+  }
+
+  test("ml_ovr_classifier: confusion covers all rows and beats the 1/3 baseline (r7)") {
+    val rows = q("ml_ovr_classifier").collect()
+    val total = rows.map(_.getAs[Long]("n")).sum
+    assert(total == Tables.lineitem(spark, sf).count())
+    val correct = rows.filter(r => r.getAs[String]("rf") == r.getAs[String]("pred"))
+      .map(_.getAs[Long]("n")).sum
+    assert(correct.toDouble / total > 1.0 / 3,
+      s"OvR accuracy ${correct.toDouble / total} not above the uniform baseline")
+  }
+
+  test("ml_permutation_importance: shared baseline, bounded noise floor (r7)") {
+    val rows = q("ml_permutation_importance").collect()
+    assert(rows.length == 3)
+    assert(rows.map(_.getAs[Double]("mse_base")).distinct.length == 1,
+      "all features score against one baseline")
+    val base = rows(0).getAs[Double]("mse_base")
+    // permuting can only help by sampling noise — bound the negative side
+    assert(rows.forall(_.getAs[Double]("importance") > -1e-3 * base))
+    assert(rows.map(_.getAs[Double]("importance")).max > 0,
+      "at least one feature must matter")
+  }
+
+  test("ml_pairwise_minkowski: p-norm ordering and bounded metrics (r7)") {
+    for (r <- q("ml_pairwise_minkowski").collect()) {
+      val mink = r.getAs[Double]("dist_minkowski3")
+      val l2 = math.sqrt(r.getAs[Double]("dist_sqeuclidean"))
+      assert(mink <= l2 + 1e-6, s"||.||_3 $mink > ||.||_2 $l2")
+      val h = r.getAs[Double]("dist_hamming_sign")
+      assert(h >= 0 && h <= 1)
+      val cb = r.getAs[Double]("dist_canberra")
+      assert(cb >= 0 && cb <= 64)
+    }
+  }
+
+  test("ml_sparse_pairwise: cosine in [0,1], descending, co-occurrence required (r7)") {
+    val rows = q("ml_sparse_pairwise").collect()
+    val cs = rows.map(_.getAs[Double]("cos_sim"))
+    assert(cs.forall(c => c >= 0 && c <= 1.0 + 1e-9))
+    assert(cs.zip(cs.tail).forall { case (a, b) => a >= b }, "top-k order")
+    assert(rows.forall(_.getAs[Long]("n_shared") >= 1))
+  }
+
+  test("ml_holtwinters_forecast: additive decomposition of consecutive days (r7)") {
+    val rows = q("ml_holtwinters_forecast").orderBy("h").collect()
+    assert(rows.length == 7)
+    val days = rows.map(_.getAs[java.sql.Date]("day").toLocalDate)
+    assert(days.zip(days.tail).forall { case (a, b) => b == a.plusDays(1) },
+      "forecast days must be consecutive")
+    for (r <- rows)
+      assert(math.abs(r.getAs[Double]("forecast") -
+        (r.getAs[Double]("trend_part") + r.getAs[Double]("seasonal_part"))) < 2e-6)
+  }
+
+  test("ml_hdbscan_mst: ordered lightest picks with canonical endpoints (r7)") {
+    val rows = q("ml_hdbscan_mst").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getAs[Long]("node_a") < r.getAs[Long]("node_b")))
+    val ws = rows.map(_.getAs[Double]("weight"))
+    assert(ws.zip(ws.tail).forall { case (a, b) => a <= b }, "weight order")
+    assert(rows.forall(_.getAs[Long]("n_picks") >= rows.length))
+  }
+
+  test("ml_kmeans_elbow: inertia is monotone nonincreasing in k (r7)") {
+    val rows = q("ml_kmeans_elbow").orderBy("k").collect()
+    assert(rows.map(_.getAs[Long]("k")).toSeq == Seq(2L, 4L, 6L, 8L, 10L))
+    val in = rows.map(_.getAs[Double]("inertia"))
+    assert(in.zip(in.tail).forall { case (a, b) => b <= a },
+      s"prefix-min inertia must not increase: ${in.toSeq}")
+    assert(rows.map(_.getAs[Long]("n_points")).distinct.length == 1)
+  }
+
+  test("text_bigram_freq: frequency-ordered true bigrams (r7)") {
+    val rows = q("text_bigram_freq").collect()
+    assert(rows.length == 30)
+    val ns = rows.map(_.getAs[Long]("n"))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
+    assert(rows.forall(_.getAs[String]("bigram").count(_ == ' ') == 1))
+  }
 }
