@@ -616,6 +616,72 @@ object ML {
   private def irlsBeta(s: SparkSession, dir: String): (Double, Double) =
     T.fitCache("irlsBeta", dir) { irlsBetaCompute(s, dir) }
 
+  /** L2-penalized IRLS (LogisticRegression(penalty='l2') — the ridge
+    * Newton step (H + λ·diag(0,1))δ = g − λ·(0, b): the SLOPE is
+    * penalized, the intercept is not (the sklearn/cuml convention).
+    * λ = 10⁶ — sized against the Σw·x² ≈ 1e7 Hessian scale so the
+    * shrinkage is visible (λ = 100 measured shrinkage 0.99996 — noise).
+    * Same driver-held 3-step loop as [[irlsBetaCompute]]; update text
+    * mirrors [[sqlIrlsL2Chain]]. */
+  private def irlsBetaL2(s: SparkSession, dir: String): (Double, Double) =
+    T.fitCache("irlsBetaL2", dir) {
+      val spark = s
+      import spark.implicits._
+      val d = T.lineitem(s, dir).select(
+        col("l_quantity").cast("double").as("x"),
+        when(col("l_returnflag") === "R", 1.0).otherwise(0.0).as("y"))
+        .transform(T.fanOut(_))
+      var a = 0.0
+      var b = 0.0
+      for (_ <- 1 to 3) {
+        val ab = Seq((a, b)).toDF("ca", "cb")
+        val mu = (lit(1.0) / (lit(1.0) + exp(-(col("ca") + col("cb") * col("x")))))
+          .cast("float").cast("double")
+        val w = mu * (lit(1.0) - mu)
+        val r = d.crossJoin(broadcast(ab))
+          .select(col("x"), col("y"), mu.as("mu"), w.as("w"))
+          .agg(
+            T.xsum(col("y") - col("mu")).as("g0"),
+            T.xsum((col("y") - col("mu")) * col("x")).as("g1"),
+            T.xsum(col("w")).as("h00"),
+            T.xsum(col("w") * col("x")).as("h01"),
+            T.xsum(col("w") * col("x") * col("x")).as("h11"))
+          .collect()(0)
+        val g0 = r.getDouble(0); val g1 = r.getDouble(1)
+        val h00 = r.getDouble(2); val h01 = r.getDouble(3); val h11 = r.getDouble(4)
+        val den = h00 * (h11 + 1e6) - h01 * h01
+        a = a + ((h11 + 1e6) * g0 - h01 * (g1 - 1e6 * b)) / den
+        b = b + (h00 * (g1 - 1e6 * b) - h01 * g0) / den
+      }
+      (a, b)
+    }
+
+  /** Oracle twin of [[irlsBetaL2]] — the sqlIrlsChain structure with the
+    * penalized Newton step; CTEs prefixed p* so both chains can share the
+    * `d` rows CTE in one oracle. */
+  private lazy val sqlIrlsL2Chain: String = {
+    def mStep(src: String) =
+      s"""SELECT ${T.sqlXsum("y - mu")} AS g0,
+            ${T.sqlXsum("(y - mu) * x")} AS g1,
+            ${T.sqlXsum("mu * (1.0 - mu)")} AS h00,
+            ${T.sqlXsum("mu * (1.0 - mu) * x")} AS h01,
+            ${T.sqlXsum("mu * (1.0 - mu) * x * x")} AS h11
+          FROM $src"""
+    def beta(m: String, prevA: String, prevB: String) =
+      s"""SELECT $prevA + ((h11 + 1e6) * g0 - h01 * (g1 - 1e6 * $prevB)) / (h00 * (h11 + 1e6) - h01 * h01) AS a,
+            $prevB + (h00 * (g1 - 1e6 * $prevB) - h01 * g0) / (h00 * (h11 + 1e6) - h01 * h01) AS b
+          FROM $m"""
+    s"""pi1 AS (SELECT x, y, CAST(CAST(1.0 / (1.0 + exp(-(0.0 + 0.0 * x))) AS REAL) AS DOUBLE) AS mu FROM d),
+       pm1 AS (${mStep("pi1")}),
+       pb1 AS (${beta("pm1", "0.0", "0.0")}),
+       pi2 AS (SELECT x, y, CAST(CAST(1.0 / (1.0 + exp(-(a + b * x))) AS REAL) AS DOUBLE) AS mu FROM d, pb1),
+       pm2 AS (${mStep("pi2")}),
+       pb2 AS (${beta("pm2, pb1", "pb1.a", "pb1.b")}),
+       pi3 AS (SELECT x, y, CAST(CAST(1.0 / (1.0 + exp(-(a + b * x))) AS REAL) AS DOUBLE) AS mu FROM d, pb2),
+       pm3 AS (${mStep("pi3")}),
+       pb3 AS (${beta("pm3, pb2", "pb2.a", "pb2.b")})"""
+  }
+
   private def irlsBetaCompute(s: SparkSession, dir: String): (Double, Double) = {
     val spark = s
     import spark.implicits._
@@ -2356,6 +2422,33 @@ object ML {
       },
       Some(s"""WITH $sqlIrlsChain
                SELECT round(a, 6) AS intercept, round(b, 6) AS slope FROM b3""")),
+
+    QueryDef(
+      "ml_logreg_l2",
+      // LogisticRegression(penalty='l2') — the regularized twin of
+      // ml_logreg_fit: 3 ridge-Newton steps (H + λ·diag(0,1))δ =
+      // g − λ·(0, b) with λ = 10⁶, slope penalized, intercept not (the
+      // sklearn/cuml convention). Emitted NEXT TO the unpenalized fit
+      // (both fitCached — the session pays each 3-pass fit once) so the
+      // shrinkage is visible and pinnable: |slope_l2| < |slope_mle|.
+      // Same REAL-collapsed sigmoid + exact-wire sums discipline; both
+      // chains share one rows CTE in the oracle.
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        val (a0, b0) = irlsBeta(s, dir)
+        val (a2, b2) = irlsBetaL2(s, dir)
+        Seq((a2, b2, a0, b0)).toDF("ai", "bi", "am", "bm")
+          .selectExpr("round(ai, 6) AS intercept_l2", "round(bi, 6) AS slope_l2",
+            "round(am, 6) AS intercept_mle", "round(bm, 6) AS slope_mle",
+            "round(bi / bm, 6) AS shrinkage")
+      },
+      Some(s"""WITH $sqlIrlsChain,
+                 $sqlIrlsL2Chain
+               SELECT round(pb3.a, 6) AS intercept_l2, round(pb3.b, 6) AS slope_l2,
+                 round(b3.a, 6) AS intercept_mle, round(b3.b, 6) AS slope_mle,
+                 round(pb3.b / b3.b, 6) AS shrinkage
+               FROM b3, pb3""")),
 
     QueryDef(
       "ml_logreg_predict",

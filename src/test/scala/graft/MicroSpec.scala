@@ -1250,6 +1250,15 @@ class MicroSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_points")).distinct.length == 1)
   }
 
+  test("ml_logreg_l2: the penalty shrinks the slope toward zero (r7)") {
+    val r = q("ml_logreg_l2").collect()(0)
+    val (bl2, bmle) = (r.getAs[Double]("slope_l2"), r.getAs[Double]("slope_mle"))
+    assert(math.abs(bl2) < math.abs(bmle), s"no shrinkage: $bl2 vs $bmle")
+    assert(bl2 * bmle >= 0, "penalty must not flip the slope sign")
+    val sh = r.getAs[Double]("shrinkage")
+    assert(sh > 0 && sh < 1, s"shrinkage $sh outside (0, 1)")
+  }
+
   test("text_bigram_freq: frequency-ordered true bigrams (r7)") {
     val rows = q("text_bigram_freq").collect()
     assert(rows.length == 30)
