@@ -2958,6 +2958,59 @@ object ML {
               FROM sc GROUP BY lang ORDER BY lang""")),
 
     QueryDef(
+      "ml_pca_whiten",
+      // PCA(whiten=True) — the remaining estimator parameter: components
+      // rescaled to unit mean-square, w_k = s_k / √(λ_k/n). With the raw
+      // Gram the identity is EXACT in algebra: Σ s_k² = uᵀG u = λ_k, so
+      // the global mean square of each whitened component is 1 — emitted
+      // per language so the audit is the n-weighted average of the msq
+      // columns (MicroSpec-pinned ≈ 1). λ enters as the driver-held
+      // literal (bit-identical cross-engine, pinned by pca_power/deflate);
+      // n stays IN-PLAN (one count aggregate, no driver literal), so the
+      // whitening factor is the same shared-text expression both engines
+      // evaluate.
+      (s, dir) => {
+        val g = gram64(s, dir)
+        val (lam1, u1) = powerEig64(g)
+        val g2 = Array.tabulate(64, 64)((i, j) => g(i)(j) - lam1 * u1(i) * u1(j))
+        val (lam2, u2) = powerEig64(g2)
+        def score(u: Array[Double]) = (1 to 64).map(i =>
+          element_at(col("embedding"), i).cast("double") * lit(u(i - 1))).reduce(_ + _)
+        val cnt = T.embeddings(s, dir).agg(count(lit(1)).as("nn"))
+        T.embeddings(s, dir)
+          .join(T.documents(s, dir).select(col("doc_id"), col("lang")),
+            col("vec_id") === col("doc_id"))
+          .crossJoin(broadcast(cnt))
+          .select(col("lang"),
+            (score(u1) / sqrt(lit(lam1) / col("nn"))).as("w1"),
+            (score(u2) / sqrt(lit(lam2) / col("nn"))).as("w2"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n"),
+            round(T.xsum(col("w1")) / count(lit(1)), 6).as("mean_w1"),
+            round(T.xsum(col("w2")) / count(lit(1)), 6).as("mean_w2"),
+            round(T.xsum(col("w1") * col("w1")) / count(lit(1)), 6).as("msq_w1"),
+            round(T.xsum(col("w2") * col("w2")) / count(lit(1)), 6).as("msq_w2"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH RECURSIVE
+                $sqlPcaPowerCtes,
+                $sqlPcaDeflateCtes,
+                cnt AS (SELECT count(*) AS nn FROM e),
+                sc AS (SELECT d.lang,
+                    list_reduce(list_transform(generate_series(1,64), i -> e.emb[i] * unit.u[i]),
+                      (x, y) -> x + y) / sqrt(ray.lam / nn) AS w1,
+                    list_reduce(list_transform(generate_series(1,64), i -> e.emb[i] * unit2.u2[i]),
+                      (x, y) -> x + y) / sqrt(ray2.lam2 / nn) AS w2
+                  FROM e JOIN documents d ON e.vec_id = d.doc_id,
+                       unit, unit2, ray, ray2, cnt)
+              SELECT lang, count(*) AS n,
+                round(${T.sqlXsum("w1")} / count(*), 6) AS mean_w1,
+                round(${T.sqlXsum("w2")} / count(*), 6) AS mean_w2,
+                round(${T.sqlXsum("w1 * w1")} / count(*), 6) AS msq_w1,
+                round(${T.sqlXsum("w2 * w2")} / count(*), 6) AS msq_w2
+              FROM sc GROUP BY lang ORDER BY lang""")),
+
+    QueryDef(
       "ml_pca_inverse",
       // PCA.inverse_transform (r7 — completing the reference estimator's
       // fit → transform → inverse_transform triple): reconstruction from

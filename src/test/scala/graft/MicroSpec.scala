@@ -1250,6 +1250,15 @@ class MicroSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_points")).distinct.length == 1)
   }
 
+  test("ml_pca_whiten: whitened components have unit global mean square (r7)") {
+    val rows = q("ml_pca_whiten").collect()
+    val tot = rows.map(_.getAs[Long]("n")).sum.toDouble
+    val m1 = rows.map(r => r.getAs[Long]("n") * r.getAs[Double]("msq_w1")).sum / tot
+    val m2 = rows.map(r => r.getAs[Long]("n") * r.getAs[Double]("msq_w2")).sum / tot
+    assert(math.abs(m1 - 1.0) < 1e-3, s"msq(w1) $m1 != 1 — u'Gu = lambda identity broken")
+    assert(math.abs(m2 - 1.0) < 1e-2, s"msq(w2) $m2 != 1 (deflated-gram tolerance)")
+  }
+
   test("ml_logreg_l2: the penalty shrinks the slope toward zero (r7)") {
     val r = q("ml_logreg_l2").collect()(0)
     val (bl2, bmle) = (r.getAs[Double]("slope_l2"), r.getAs[Double]("slope_mle"))
