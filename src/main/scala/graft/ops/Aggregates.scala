@@ -429,6 +429,60 @@ object Aggregates {
               ORDER BY o_orderstatus, o_orderkey""")),
 
     QueryDef(
+      "win_value_fns",
+      // The value-positional window functions completing the §2.8 family
+      // (rank/row_number/lag/lead/frames are covered; this row exercises
+      // first_value, last_value and nth_value over the FULL partition
+      // frame — last_value needs the explicit UNBOUNDED FOLLOWING frame,
+      // the classic default-frame trap — plus percent_rank). Per order
+      // status, the 5 cheapest orders with the partition's min/max/3rd
+      // price alongside. Ordering (price, orderkey) is unique within a
+      // status, so every emitted value is deterministic; percent_rank is
+      // rank arithmetic on exact inputs.
+      (s, dir) => {
+        val full = Window.partitionBy("o_orderstatus")
+          .orderBy("price", "o_orderkey")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        val ord = Window.partitionBy("o_orderstatus")
+          .orderBy("price", "o_orderkey")
+        T.orders(s, dir).transform(T.fanOut(_, col("o_orderstatus")))
+          .select(col("o_orderstatus"), col("o_orderkey"),
+            col("o_totalprice").cast("double").as("price"))
+          .withColumn("rn", row_number().over(ord))
+          .withColumn("pr", percent_rank().over(ord))
+          .withColumn("fv", first(col("price")).over(full))
+          .withColumn("lv", last(col("price")).over(full))
+          .withColumn("nv", nth_value(col("price"), 3).over(full))
+          .where(col("rn") <= 5)
+          .selectExpr("o_orderstatus", "rn", "o_orderkey",
+            "round(price, 2) AS price",
+            "round(pr, 6) AS pct_rank",
+            "round(fv, 2) AS min_price",
+            "round(lv, 2) AS max_price",
+            "round(nv, 2) AS third_price")
+          .orderBy("o_orderstatus", "rn")
+      },
+      Some("""SELECT o_orderstatus, rn, o_orderkey,
+                round(price, 2) AS price,
+                round(pr, 6) AS pct_rank,
+                round(fv, 2) AS min_price,
+                round(lv, 2) AS max_price,
+                round(nv, 2) AS third_price
+              FROM (SELECT o_orderstatus, o_orderkey,
+                  CAST(o_totalprice AS DOUBLE) AS price,
+                  row_number() OVER w AS rn,
+                  percent_rank() OVER w AS pr,
+                  first_value(CAST(o_totalprice AS DOUBLE)) OVER wf AS fv,
+                  last_value(CAST(o_totalprice AS DOUBLE)) OVER wf AS lv,
+                  nth_value(CAST(o_totalprice AS DOUBLE), 3) OVER wf AS nv
+                FROM orders
+                WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey),
+                  wf AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)) t
+              WHERE rn <= 5
+              ORDER BY o_orderstatus, rn""")),
+
+    QueryDef(
       "agg_entropy",
       // Shannon entropy of each source's language mix (r6 second half) —
       // the diversity metric a corpus-curation dashboard reads next to
