@@ -483,6 +483,30 @@ object Aggregates {
               ORDER BY o_orderstatus, rn""")),
 
     QueryDef(
+      "agg_collect_sorted",
+      // collect_list/array_agg — the array-building aggregate surface,
+      // with the wire-determinism trap handled head-on: collection order
+      // is partition-arbitrary, so the collected list is sort_array'd
+      // DESC and sliced to the top 5 before anything reaches the wire
+      // (equal values are interchangeable under a value sort, so ties
+      // cannot diverge). Elements round to 2 via a higher-order
+      // transform. SCALE NOTE: slice(sort(collect)) still collects the
+      // whole group — the bounded-k production shape is the win_topk
+      // window; this row exercises the array-aggregate API itself on
+      // cardinality-bounded groups.
+      (s, dir) => T.customer(s, dir)
+        .select(col("c_mktsegment"), col("c_acctbal").cast("double").as("bal"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          expr("transform(slice(sort_array(collect_list(bal), false), 1, 5), v -> round(v, 2))")
+            .as("top5_bal"))
+        .orderBy("c_mktsegment"),
+      Some("""SELECT c_mktsegment, count(*) AS n,
+                list_transform((list_sort(array_agg(CAST(c_acctbal AS DOUBLE)), 'DESC'))[1:5],
+                  v -> round(v, 2)) AS top5_bal
+              FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    QueryDef(
       "agg_entropy",
       // Shannon entropy of each source's language mix (r6 second half) —
       // the diversity metric a corpus-curation dashboard reads next to

@@ -152,6 +152,33 @@ object Sources {
       Some(s"""SELECT c_mktsegment, count(*) AS n_orders,
                  ${T.sqlDsum("o_totalprice")} AS total_price
                FROM orders JOIN customer ON o_custkey = c_custkey
-               GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+               GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    QueryDef(
+      "source_text_roundtrip",
+      // The line-oriented text source (the remaining built-in format next
+      // to csv/json/orc — and the shape raw-log ingestion actually takes:
+      // opaque lines in, parse in the engine). Write = one tab-joined
+      // string column via the text sink; read = spark.read.text + an
+      // in-engine split/cast parse. The fixture fields are tab-free by
+      // construction (doc_id/lang are alnum, text itself is not written),
+      // so the delimiter is safe. Map-side codec both directions, no
+      // shuffle until the audit aggregate; a parse fault in either
+      // direction fails the oracle compare against the original parquet.
+      (s, dir) => {
+        val path = scratch("text", dir)
+        T.documents(s, dir)
+          .selectExpr("concat_ws('\\t', CAST(doc_id AS STRING), lang, CAST(n_chars AS STRING)) AS value")
+          .write.mode(SaveMode.Overwrite).text(path)
+        s.read.text(path)
+          .selectExpr("split(value, '\\t') AS f")
+          .selectExpr("f[1] AS lang", "CAST(f[2] AS BIGINT) AS n_chars")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+          .orderBy("lang")
+      },
+      Some("""SELECT lang, count(*) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS total_chars
+              FROM documents GROUP BY lang ORDER BY lang"""))
   )
 }
