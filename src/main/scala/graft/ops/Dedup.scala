@@ -388,6 +388,59 @@ object Dedup {
                 SELECT id_a, id_b, sim,
                   row_number() OVER (PARTITION BY id_a ORDER BY sim DESC, id_b ASC) AS rn
                 FROM cand) t
-              WHERE rn = 1 ORDER BY id_a"""))
+              WHERE rn = 1 ORDER BY id_a""")),
+
+    QueryDef(
+      "dedup_paragraph",
+      // CCNet's paragraph-level exact dedup — the sub-document sibling of
+      // dedup_exact: normalize (the shared Tables.normText chain, so the
+      // verdict agrees with the document-level dedup family), chunk the
+      // token stream into NON-OVERLAPPING 8-token passages (the fixture
+      // has no sentence boundaries — '. ' never occurs — so the passage
+      // window IS the paragraph unit; a real corpus would split on
+      // newlines first, same plan shape), and group BY THE ROLLING HASH
+      // (Tables.polyTid), not the raw string — at 100 TB the shuffle key
+      // must be 8 bytes, not a paragraph; collisions are the generic ~1/P
+      // kind and the oracle mirrors the identical hash, so the compare is
+      // exact even under one. Only COMPLETE windows count (the trailing
+      // sub-8 fragment is noise, not a paragraph). Output: the
+      // duplication-multiplicity histogram over passages appearing in
+      // MORE THAN ONE document (n_docs → how many passage groups) — the
+      // summary a curation run logs before deciding the removal pass.
+      // Passage building is a pure map (transform over a stepped
+      // sequence); then two map-side-combinable aggregations — no joins,
+      // no windows, no state wider than the corpus token stream.
+      (s, dir) => {
+        T.documents(s, dir)
+          .transform(T.fanOut(_, col("doc_id")))
+          .select(col("doc_id"), T.normText(col("text")).as("nt"))
+          .selectExpr("doc_id", "filter(split(nt, ' '), t -> t <> '') AS toks")
+          .where(size(col("toks")) >= 8)
+          .selectExpr("doc_id",
+            "explode(transform(sequence(1, size(toks) - 7, 8), i -> array_join(slice(toks, i, 8), ' '))) AS para")
+          .select(col("doc_id"), T.polyTid("para").as("pid"))
+          .groupBy("pid")
+          .agg(countDistinct(col("doc_id")).as("n_docs"))
+          .where(col("n_docs") > 1)
+          .groupBy("n_docs")
+          .agg(count(lit(1)).as("n_passages"))
+          .orderBy("n_docs")
+      },
+      Some(s"""WITH tk AS (SELECT doc_id,
+                   list_filter(string_split(${T.sqlNormText("text")}, ' '),
+                     t -> t <> '') AS toks
+                 FROM documents),
+                 para0 AS (SELECT doc_id,
+                     array_to_string(toks[i:i + 7], ' ') AS para
+                   FROM (SELECT doc_id, toks,
+                           unnest(generate_series(1, len(toks) - 7, 8)) AS i
+                         FROM tk WHERE len(toks) >= 8) x),
+                 sen AS (SELECT doc_id, ${T.sqlPolyTid("para")} AS pid
+                         FROM para0),
+                 grp AS (SELECT pid, count(DISTINCT doc_id) AS n_docs
+                         FROM sen GROUP BY pid)
+               SELECT n_docs, count(*) AS n_passages
+               FROM grp WHERE n_docs > 1
+               GROUP BY n_docs ORDER BY n_docs"""))
   )
 }

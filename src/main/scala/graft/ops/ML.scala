@@ -656,6 +656,148 @@ object ML {
       (a, b)
     }
 
+  /** L1-penalized IRLS (LogisticRegression(penalty='l1') — the lasso
+    * sibling of [[irlsBetaL2]], the cuML QN/OWL-QN surface): PROXIMAL
+    * Newton — each step takes the unpenalized Newton update, then
+    * soft-thresholds the SLOPE by λ/h11 (the diagonal-curvature scaling;
+    * intercept unpenalized, the sklearn/cuml convention). λ = 100 sized
+    * against BOTH fixture scales (h11 ≈ 1.1e6 at sf0.001 / 1.1e7 at
+    * sf0.01; MLE slope −7e-4 / −2.4e-4) so the shrinkage is visible
+    * (≈0.87 / ≈0.96) without zeroing at either — the exact-zero branch
+    * is pinned separately in MicroSpec. `+ 0` canonicalizes the sign of a
+    * thresholded-to-zero slope (the cdSteps −0.0 lesson: L1 is the one
+    * family DESIGNED to produce exact zeros). Update text mirrors
+    * [[sqlIrlsL1Chain]]. */
+  private[graft] def irlsBetaL1(s: SparkSession, dir: String,
+      lam: Double = 100.0): (Double, Double) =
+    T.fitCache(s"irlsBetaL1-$lam", dir) {
+      val spark = s
+      import spark.implicits._
+      val d = T.lineitem(s, dir).select(
+        col("l_quantity").cast("double").as("x"),
+        when(col("l_returnflag") === "R", 1.0).otherwise(0.0).as("y"))
+        .transform(T.fanOut(_))
+      var a = 0.0
+      var b = 0.0
+      for (_ <- 1 to 3) {
+        val ab = Seq((a, b)).toDF("ca", "cb")
+        val mu = (lit(1.0) / (lit(1.0) + exp(-(col("ca") + col("cb") * col("x")))))
+          .cast("float").cast("double")
+        val w = mu * (lit(1.0) - mu)
+        val r = d.crossJoin(broadcast(ab))
+          .select(col("x"), col("y"), mu.as("mu"), w.as("w"))
+          .agg(
+            T.xsum(col("y") - col("mu")).as("g0"),
+            T.xsum((col("y") - col("mu")) * col("x")).as("g1"),
+            T.xsum(col("w")).as("h00"),
+            T.xsum(col("w") * col("x")).as("h01"),
+            T.xsum(col("w") * col("x") * col("x")).as("h11"))
+          .collect()(0)
+        val g0 = r.getDouble(0); val g1 = r.getDouble(1)
+        val h00 = r.getDouble(2); val h01 = r.getDouble(3); val h11 = r.getDouble(4)
+        val den = h00 * h11 - h01 * h01
+        a = a + (h11 * g0 - h01 * g1) / den
+        val braw = b + (h00 * g1 - h01 * g0) / den
+        b = math.signum(braw) * math.max(math.abs(braw) - lam / h11, 0.0) + 0.0
+      }
+      (a, b)
+    }
+
+  /** Elastic-net IRLS (LogisticRegression(penalty='elasticnet') —
+    * completing the cuML penalty contract {none, l1, l2, elasticnet}):
+    * the ridge-Newton step of [[irlsBetaL2]] (λ2 on the slope's Hessian
+    * diagonal and gradient) followed by [[irlsBetaL1]]'s proximal
+    * soft-threshold scaled by the PENALIZED curvature λ1/(h11+λ2) —
+    * the standard prox-of-the-smooth-part composition. λ2 = 10⁶ /
+    * λ1 = 100: the λ sizes already validated for the pure penalties. */
+  private def irlsBetaEN(s: SparkSession, dir: String): (Double, Double) =
+    T.fitCache("irlsBetaEN", dir) {
+      val spark = s
+      import spark.implicits._
+      val d = T.lineitem(s, dir).select(
+        col("l_quantity").cast("double").as("x"),
+        when(col("l_returnflag") === "R", 1.0).otherwise(0.0).as("y"))
+        .transform(T.fanOut(_))
+      var a = 0.0
+      var b = 0.0
+      for (_ <- 1 to 3) {
+        val ab = Seq((a, b)).toDF("ca", "cb")
+        val mu = (lit(1.0) / (lit(1.0) + exp(-(col("ca") + col("cb") * col("x")))))
+          .cast("float").cast("double")
+        val w = mu * (lit(1.0) - mu)
+        val r = d.crossJoin(broadcast(ab))
+          .select(col("x"), col("y"), mu.as("mu"), w.as("w"))
+          .agg(
+            T.xsum(col("y") - col("mu")).as("g0"),
+            T.xsum((col("y") - col("mu")) * col("x")).as("g1"),
+            T.xsum(col("w")).as("h00"),
+            T.xsum(col("w") * col("x")).as("h01"),
+            T.xsum(col("w") * col("x") * col("x")).as("h11"))
+          .collect()(0)
+        val g0 = r.getDouble(0); val g1 = r.getDouble(1)
+        val h00 = r.getDouble(2); val h01 = r.getDouble(3); val h11 = r.getDouble(4)
+        val den = h00 * (h11 + 1e6) - h01 * h01
+        a = a + ((h11 + 1e6) * g0 - h01 * (g1 - 1e6 * b)) / den
+        val braw = b + (h00 * (g1 - 1e6 * b) - h01 * g0) / den
+        b = math.signum(braw) * math.max(math.abs(braw) - 100.0 / (h11 + 1e6), 0.0) + 0.0
+      }
+      (a, b)
+    }
+
+  /** Oracle twin of [[irlsBetaEN]]; CTEs prefixed en*. */
+  private lazy val sqlIrlsENChain: String = {
+    def mStep(src: String) =
+      s"""SELECT ${T.sqlXsum("y - mu")} AS g0,
+            ${T.sqlXsum("(y - mu) * x")} AS g1,
+            ${T.sqlXsum("mu * (1.0 - mu)")} AS h00,
+            ${T.sqlXsum("mu * (1.0 - mu) * x")} AS h01,
+            ${T.sqlXsum("mu * (1.0 - mu) * x * x")} AS h11
+          FROM $src"""
+    def beta(m: String, prevA: String, prevB: String) = {
+      val braw = s"$prevB + (h00 * (g1 - 1e6 * $prevB) - h01 * g0) / (h00 * (h11 + 1e6) - h01 * h01)"
+      s"""SELECT $prevA + ((h11 + 1e6) * g0 - h01 * (g1 - 1e6 * $prevB)) / (h00 * (h11 + 1e6) - h01 * h01) AS a,
+            sign($braw) * greatest(abs($braw) - 100.0 / (h11 + 1e6), 0.0) + 0 AS b
+          FROM $m"""
+    }
+    s"""ei1 AS (SELECT x, y, CAST(CAST(1.0 / (1.0 + exp(-(0.0 + 0.0 * x))) AS REAL) AS DOUBLE) AS mu FROM d),
+       em1 AS (${mStep("ei1")}),
+       eb1 AS (${beta("em1", "0.0", "0.0")}),
+       ei2 AS (SELECT x, y, CAST(CAST(1.0 / (1.0 + exp(-(a + b * x))) AS REAL) AS DOUBLE) AS mu FROM d, eb1),
+       em2 AS (${mStep("ei2")}),
+       eb2 AS (${beta("em2, eb1", "eb1.a", "eb1.b")}),
+       ei3 AS (SELECT x, y, CAST(CAST(1.0 / (1.0 + exp(-(a + b * x))) AS REAL) AS DOUBLE) AS mu FROM d, eb2),
+       em3 AS (${mStep("ei3")}),
+       eb3 AS (${beta("em3, eb2", "eb2.a", "eb2.b")})"""
+  }
+
+  /** Oracle twin of [[irlsBetaL1]] — sqlIrlsChain's structure with the
+    * proximal soft-threshold beta step; CTEs prefixed q* so all three
+    * logreg chains can share one `d` rows CTE. */
+  private lazy val sqlIrlsL1Chain: String = {
+    def mStep(src: String) =
+      s"""SELECT ${T.sqlXsum("y - mu")} AS g0,
+            ${T.sqlXsum("(y - mu) * x")} AS g1,
+            ${T.sqlXsum("mu * (1.0 - mu)")} AS h00,
+            ${T.sqlXsum("mu * (1.0 - mu) * x")} AS h01,
+            ${T.sqlXsum("mu * (1.0 - mu) * x * x")} AS h11
+          FROM $src"""
+    def beta(m: String, prevA: String, prevB: String) = {
+      val braw = s"$prevB + (h00 * g1 - h01 * g0) / (h00 * h11 - h01 * h01)"
+      s"""SELECT $prevA + (h11 * g0 - h01 * g1) / (h00 * h11 - h01 * h01) AS a,
+            sign($braw) * greatest(abs($braw) - 100.0 / h11, 0.0) + 0 AS b
+          FROM $m"""
+    }
+    s"""qi1 AS (SELECT x, y, CAST(CAST(1.0 / (1.0 + exp(-(0.0 + 0.0 * x))) AS REAL) AS DOUBLE) AS mu FROM d),
+       qm1 AS (${mStep("qi1")}),
+       qb1 AS (${beta("qm1", "0.0", "0.0")}),
+       qi2 AS (SELECT x, y, CAST(CAST(1.0 / (1.0 + exp(-(a + b * x))) AS REAL) AS DOUBLE) AS mu FROM d, qb1),
+       qm2 AS (${mStep("qi2")}),
+       qb2 AS (${beta("qm2, qb1", "qb1.a", "qb1.b")}),
+       qi3 AS (SELECT x, y, CAST(CAST(1.0 / (1.0 + exp(-(a + b * x))) AS REAL) AS DOUBLE) AS mu FROM d, qb2),
+       qm3 AS (${mStep("qi3")}),
+       qb3 AS (${beta("qm3, qb2", "qb2.a", "qb2.b")})"""
+  }
+
   /** Oracle twin of [[irlsBetaL2]] — the sqlIrlsChain structure with the
     * penalized Newton step; CTEs prefixed p* so both chains can share the
     * `d` rows CTE in one oracle. */
@@ -2449,6 +2591,66 @@ object ML {
                  round(b3.a, 6) AS intercept_mle, round(b3.b, 6) AS slope_mle,
                  round(pb3.b / b3.b, 6) AS shrinkage
                FROM b3, pb3""")),
+
+    QueryDef(
+      "ml_logreg_l1",
+      // LogisticRegression(penalty='l1') — the lasso twin of
+      // ml_logreg_l2 via PROXIMAL Newton (see irlsBetaL1: unpenalized
+      // Newton update, then soft-threshold the slope by λ/h11; intercept
+      // unpenalized). Emitted next to the MLE fit so the L1 shrinkage is
+      // visible and pinnable; λ = 100 shrinks the slope at BOTH fixture
+      // scales WITHOUT zeroing (the exact-zero branch — L1's signature — is
+      // pinned in MicroSpec at a larger λ). `+ 0` canonicalization on the
+      // soft-threshold output on BOTH engines: the one family designed to
+      // produce exact zeros is the one that must never emit −0.0 (the
+      // cdSteps r6 lesson). Same driver-held 3-pass loop, REAL-collapsed
+      // sigmoid, exact decimal sums.
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        val (a0, b0) = irlsBeta(s, dir)
+        val (a1, b1) = irlsBetaL1(s, dir)
+        Seq((a1, b1, a0, b0)).toDF("ai", "bi", "am", "bm")
+          .selectExpr("round(ai, 6) AS intercept_l1", "round(bi, 6) + 0 AS slope_l1",
+            "round(am, 6) AS intercept_mle", "round(bm, 6) AS slope_mle",
+            "round(bi / bm, 6) AS shrinkage")
+      },
+      Some(s"""WITH $sqlIrlsChain,
+                 $sqlIrlsL1Chain
+               SELECT round(qb3.a, 6) AS intercept_l1, round(qb3.b, 6) + 0 AS slope_l1,
+                 round(b3.a, 6) AS intercept_mle, round(b3.b, 6) AS slope_mle,
+                 round(qb3.b / b3.b, 6) AS shrinkage
+               FROM b3, qb3""")),
+
+    QueryDef(
+      "ml_logreg_elasticnet",
+      // LogisticRegression(penalty='elasticnet') — completes the cuML
+      // penalty contract {none, l1, l2, elasticnet} (see irlsBetaEN:
+      // ridge-Newton smooth part, then the proximal soft-threshold scaled
+      // by the PENALIZED curvature). Emitted next to BOTH pure penalties
+      // so the composition is visible: |slope_en| ≤ |slope_l2| (the extra
+      // L1 threshold can only shrink further) and sign preserved. Same
+      // `+ 0` sign-of-zero canonicalization, same driver-held 3-pass
+      // loop on the REAL-collapsed sigmoid and exact decimal sums.
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        val (a2, b2) = irlsBetaL2(s, dir)
+        val (ae, be) = irlsBetaEN(s, dir)
+        Seq((ae, be, a2, b2)).toDF("ae", "be", "a2", "b2")
+          .selectExpr("round(ae, 6) AS intercept_en", "round(be, 6) + 0 AS slope_en",
+            "round(a2, 6) AS intercept_l2", "round(b2, 6) AS slope_l2",
+            "round(be / b2, 6) AS l1_extra_shrinkage")
+      },
+      Some(s"""WITH d AS (SELECT CAST(l_quantity AS DOUBLE) AS x,
+                   CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y
+                 FROM lineitem),
+                 $sqlIrlsL2Chain,
+                 $sqlIrlsENChain
+               SELECT round(eb3.a, 6) AS intercept_en, round(eb3.b, 6) + 0 AS slope_en,
+                 round(pb3.a, 6) AS intercept_l2, round(pb3.b, 6) AS slope_l2,
+                 round(eb3.b / pb3.b, 6) AS l1_extra_shrinkage
+               FROM pb3, eb3""")),
 
     QueryDef(
       "ml_logreg_predict",

@@ -1167,7 +1167,85 @@ object Metrics {
                  round(dot / (na.nrm * nb.nrm), 6) AS cos_sim
                FROM dots JOIN nrm na ON na.doc_id = id_a
                          JOIN nrm nb ON nb.doc_id = id_b
-               ORDER BY cos_sim DESC, id_a, id_b LIMIT 20"""))
+               ORDER BY cos_sim DESC, id_a, id_b LIMIT 20""")),
+
+    QueryDef(
+      "ml_pairwise_correlation",
+      // pairwise_distances metric='correlation' — the remaining member of
+      // the distance-metric family: d = 1 − Pearson corr between the two
+      // CENTERED vectors (each centered by its OWN mean — the metric's
+      // definition, distinct from cosine which centers nothing). The
+      // per-vector mean and variance are computed in ONE map pass over the
+      // sample (no recompute inside the pair loop); the pair pass adds
+      // only the centered dot. Same bounded vec_id < 15 sample and the
+      // same FLOAT-collapsed-sum discipline as ml_pairwise_minkowski
+      // (Spark's sequential array fold vs DuckDB's exploded-join sum run
+      // in different orders; the REAL collapse absorbs exactly that).
+      // `+ 0` on the rounded output: d → 0 for near-identical vectors and
+      // round can surface a −0.0 (the cdSteps lesson).
+      (s, dir) => {
+        val e = T.embeddings(s, dir).where(col("vec_id") < 15)
+          .selectExpr("vec_id", "embedding",
+            "CAST(CAST(aggregate(embedding, 0D, (acc, el) -> acc + CAST(el AS DOUBLE)) AS FLOAT) AS DOUBLE) / 64 AS m")
+          .selectExpr("vec_id", "embedding", "m",
+            "CAST(CAST(aggregate(embedding, 0D, (acc, el) -> acc + (CAST(el AS DOUBLE) - m) * (CAST(el AS DOUBLE) - m)) AS FLOAT) AS DOUBLE) AS s2")
+        val a = e.select(col("vec_id").as("id_a"), col("embedding").as("ea"),
+          col("m").as("ma"), col("s2").as("sa"))
+        val b = e.select(col("vec_id").as("id_b"), col("embedding").as("eb"),
+          col("m").as("mb"), col("s2").as("sb"))
+        a.crossJoin(broadcast(b)).where(col("id_a") < col("id_b"))
+          .selectExpr("id_a", "id_b", "sa", "sb",
+            "CAST(CAST(aggregate(zip_with(ea, eb, (x, y) -> (CAST(x AS DOUBLE) - ma) * (CAST(y AS DOUBLE) - mb)), 0D, (acc, el) -> acc + el) AS FLOAT) AS DOUBLE) AS dot")
+          .selectExpr("id_a", "id_b",
+            "round(1.0 - dot / sqrt(sa * sb), 6) + 0 AS dist_correlation")
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH ex AS (SELECT vec_id,
+                   generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS i,
+                   unnest(CAST(embedding AS DOUBLE[])) AS x
+                 FROM embeddings WHERE vec_id < 15),
+                 mv AS (SELECT vec_id, CAST(CAST(sum(x) AS REAL) AS DOUBLE) / 64 AS m
+                        FROM ex GROUP BY vec_id),
+                 sv AS (SELECT e.vec_id, m,
+                     CAST(CAST(sum((x - m) * (x - m)) AS REAL) AS DOUBLE) AS s2
+                   FROM ex e JOIN mv USING (vec_id) GROUP BY e.vec_id, m),
+                 g AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     CAST(CAST(sum((a.x - sa.m) * (b.x - sb.m)) AS REAL) AS DOUBLE) AS dot,
+                     any_value(sa.s2) AS sa2, any_value(sb.s2) AS sb2
+                   FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id
+                     JOIN sv sa ON sa.vec_id = a.vec_id
+                     JOIN sv sb ON sb.vec_id = b.vec_id
+                   GROUP BY a.vec_id, b.vec_id)
+               SELECT id_a, id_b,
+                 round(1.0 - dot / sqrt(sa2 * sb2), 6) + 0 AS dist_correlation
+               FROM g ORDER BY id_a, id_b""")),
+
+    QueryDef(
+      "ml_jl_min_dim",
+      // johnson_lindenstrauss_min_dim [R] — the closed-form companion of
+      // the random-projection transformers: the minimum projected
+      // dimensionality that preserves pairwise distances within ±eps for
+      // n points, k ≥ 4·ln(n) / (eps²/2 − eps³/3). n is the embeddings
+      // corpus count IN-PLAN (one count aggregate); the eps grid is a
+      // 4-row literal explode. At any corpus size this is one
+      // map-side-combined count — the cheapest query in the engine, and
+      // the one a pipeline runs FIRST to size its projection stage.
+      // Determinism: ln REAL-collapsed (the lnR discipline); everything
+      // after is exact rational double arithmetic; floor matches the
+      // reference's int truncation of a positive value.
+      (s, dir) => {
+        T.embeddings(s, dir).agg(count(lit(1)).as("n"))
+          .select(col("n"), explode(array(
+            lit(0.1), lit(0.2), lit(0.3), lit(0.5))).as("eps"))
+          .selectExpr("eps", "n",
+            "CAST(floor(4.0 * CAST(CAST(ln(CAST(n AS DOUBLE)) AS FLOAT) AS DOUBLE) / (eps * eps / 2 - eps * eps * eps / 3)) AS BIGINT) AS min_dim")
+          .orderBy("eps")
+      },
+      Some("""WITH n AS (SELECT count(*) AS n FROM embeddings),
+                 e AS (SELECT CAST(unnest([0.1, 0.2, 0.3, 0.5]) AS DOUBLE) AS eps)
+               SELECT eps, n,
+                 CAST(floor(4.0 * CAST(CAST(ln(CAST(n AS DOUBLE)) AS REAL) AS DOUBLE) / (eps * eps / 2 - eps * eps * eps / 3)) AS BIGINT) AS min_dim
+               FROM n CROSS JOIN e ORDER BY eps"""))
   )
 
   /** knnPredLang's oracle CTE chain (ML.sqlKnnPredCtes), referenced via a

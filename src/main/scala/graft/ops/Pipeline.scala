@@ -368,6 +368,75 @@ object Pipeline {
                FROM documents GROUP BY 1, 2 ORDER BY split, lang""")),
 
     QueryDef(
+      "ml_learning_curve",
+      // sklearn/dask-ml learning_curve in the moment form a 100 TB
+      // pipeline can afford: nested 25/50/75/100% training subsets via a
+      // deterministic affine hash on (l_orderkey, l_linenumber)
+      // (multipliers 69621/30269 — disjoint from BOTH existing hash
+      // families, the r7 sample_stratified collision lesson), per-bucket
+      // exact-decimal OLS moments from ONE pass, cumulated over the 4-row
+      // bounded frame (decimal addition is order-free), then the 1-feature
+      // closed-form fit + the SSE moment identity per fraction — 4 fits,
+      // zero extra data passes. The curve a training run consults before
+      // paying for more data. Model: extendedprice ~ quantity (the
+      // ml_linreg_fit feature pair, so the 100% row cross-checks it).
+      (s, dir) => {
+        val w = Window.orderBy(col("g"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        T.lineitem(s, dir)
+          .select(((lit(69621L) * col("l_orderkey") + lit(30269L) * col("l_linenumber")) % lit(P) % 4).as("g"),
+            col("l_quantity").cast("double").as("x"),
+            col("l_extendedprice").cast("double").as("y"))
+          .groupBy("g")
+          .agg(count(lit(1)).as("ng"), T.xsumD(col("x")).as("sxg"),
+            T.xsumD(col("y")).as("syg"), T.xsumD(col("x") * col("x")).as("sxxg"),
+            T.xsumD(col("x") * col("y")).as("sxyg"), T.xsumD(col("y") * col("y")).as("syyg"))
+          // 4-row frame: the window is bounded by the bucket count, not data
+          .select(col("g"), sum(col("ng")).over(w).as("n"),
+            sum(col("sxg")).over(w).cast("double").as("sx"),
+            sum(col("syg")).over(w).cast("double").as("sy"),
+            sum(col("sxxg")).over(w).cast("double").as("sxx"),
+            sum(col("sxyg")).over(w).cast("double").as("sxy"),
+            sum(col("syyg")).over(w).cast("double").as("syy"))
+          .selectExpr("CAST((g + 1) * 25 AS INT) AS frac", "n",
+            "CAST(n AS DOUBLE) AS nd", "sx", "sy", "sxx", "sxy", "syy")
+          .selectExpr("frac", "n", "nd", "sx", "sy", "sxx", "sxy", "syy",
+            "(nd * sxy - sx * sy) / (nd * sxx - sx * sx) AS slope")
+          .selectExpr("frac", "n", "nd", "sx", "sy", "sxx", "sxy", "syy", "slope",
+            "(sy - slope * sx) / nd AS icept")
+          .selectExpr("frac", "n",
+            "round(slope, 6) AS slope", "round(icept, 6) AS intercept",
+            "round(sqrt((syy + nd * icept * icept + slope * slope * sxx - 2 * icept * sy - 2 * slope * sxy + 2 * icept * slope * sx) / nd), 6) AS rmse_train")
+          .orderBy("frac")
+      },
+      Some(s"""WITH b AS (SELECT
+                   (69621 * l_orderkey + 30269 * l_linenumber) % $P % 4 AS g,
+                   CAST(l_quantity AS DOUBLE) AS x,
+                   CAST(l_extendedprice AS DOUBLE) AS y
+                 FROM lineitem),
+                 m AS (SELECT g, count(*) AS ng, ${T.sqlXsumD("x")} AS sxg,
+                     ${T.sqlXsumD("y")} AS syg, ${T.sqlXsumD("x * x")} AS sxxg,
+                     ${T.sqlXsumD("x * y")} AS sxyg, ${T.sqlXsumD("y * y")} AS syyg
+                   FROM b GROUP BY g),
+                 c AS (SELECT g,
+                     CAST(sum(ng) OVER w AS BIGINT) AS n,
+                     CAST(sum(sxg) OVER w AS DOUBLE) AS sx,
+                     CAST(sum(syg) OVER w AS DOUBLE) AS sy,
+                     CAST(sum(sxxg) OVER w AS DOUBLE) AS sxx,
+                     CAST(sum(sxyg) OVER w AS DOUBLE) AS sxy,
+                     CAST(sum(syyg) OVER w AS DOUBLE) AS syy
+                   FROM m WINDOW w AS (ORDER BY g ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+                 f0 AS (SELECT CAST((g + 1) * 25 AS INT) AS frac, n,
+                     CAST(n AS DOUBLE) AS nd, sx, sy, sxx, sxy, syy FROM c),
+                 f1 AS (SELECT *,
+                     (nd * sxy - sx * sy) / (nd * sxx - sx * sx) AS slope FROM f0),
+                 f2 AS (SELECT *, (sy - slope * sx) / nd AS icept FROM f1)
+               SELECT frac, n, round(slope, 6) AS slope,
+                 round(icept, 6) AS intercept,
+                 round(sqrt((syy + nd * icept * icept + slope * slope * sxx - 2 * icept * sy - 2 * slope * sxy + 2 * icept * slope * sx) / nd), 6) AS rmse_train
+               FROM f2 ORDER BY frac""")),
+
+    QueryDef(
       "text_token_count",
       // Token counting, both ways a data pipeline meters text: whitespace
       // words and a BPE-ish lexer regex (letter runs | digit runs | single
@@ -756,5 +825,113 @@ object Pipeline {
                 coalesce(dom.c, 0) AS dominant_count
               FROM d LEFT JOIN s USING (doc_id) LEFT JOIN dom USING (doc_id)
               ORDER BY d.doc_id"""))
+  ,
+
+    QueryDef(
+      "text_repetition",
+      // The Gopher/MassiveText repetition filter: fraction of word-trigram
+      // occurrences that are repeats of an earlier trigram in the SAME
+      // document — the signal that catches boilerplate, keyword stuffing,
+      // and decoding loops, which length/stopword heuristics (text_quality)
+      // miss. Trigrams are built as a PURE MAP over the token array
+      // (transform over sequence — no self-join, no window; the
+      // text_langid idiom), then two doc-local map-side-combinable
+      // aggregations: per-(doc, gram) counts, then per-doc
+      // dup_ratio = (total − distinct)/total. Per-source rollup + a
+      // flagged count at the 0.1 threshold the curation pass would drop.
+      // Docs under 3 tokens carry no trigram and are excluded on BOTH
+      // engines (the sequence(1, n<1)-counts-down guard, as text_langid).
+      // Scale: every stage groups on (doc_id, …) or source — no global
+      // state, no shuffle wider than the corpus token stream.
+      (s, dir) => {
+        T.documents(s, dir)
+          .transform(T.fanOut(_, col("doc_id")))
+          .selectExpr("doc_id", "source",
+            "filter(split(text, ' '), t -> t <> '') AS toks")
+          .where(size(col("toks")) >= 3)
+          .selectExpr("doc_id", "source",
+            "explode(transform(sequence(1, size(toks) - 2), i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ', element_at(toks, i + 2)))) AS gram")
+          .groupBy("doc_id", "source", "gram")
+          .agg(count(lit(1)).as("cnt"))
+          .groupBy("doc_id", "source")
+          .agg(sum(col("cnt")).as("total"), count(lit(1)).as("dist"))
+          .select(col("source"),
+            ((col("total") - col("dist")).cast("double") / col("total")).as("dup_ratio"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            round(T.xsum(col("dup_ratio")) / count(lit(1)), 6).as("avg_dup_ratio"),
+            sum(when(col("dup_ratio") > 0.1, 1L).otherwise(0L)).as("n_flagged"))
+          .orderBy("source")
+      },
+      Some(s"""WITH tk AS (SELECT doc_id, source,
+                   list_filter(string_split(text, ' '), t -> t <> '') AS toks
+                 FROM documents),
+                 g AS (SELECT doc_id, source,
+                     toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS gram
+                   FROM (SELECT doc_id, source, toks,
+                           unnest(generate_series(1, len(toks) - 2)) AS i
+                         FROM tk WHERE len(toks) >= 3) x),
+                 pc AS (SELECT doc_id, source, gram, count(*) AS cnt
+                        FROM g GROUP BY doc_id, source, gram),
+                 pd AS (SELECT doc_id, source,
+                     CAST(sum(cnt) - count(*) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE) AS dup_ratio
+                   FROM pc GROUP BY doc_id, source)
+               SELECT source, count(*) AS n_docs,
+                 round(${T.sqlXsum("dup_ratio")} / count(*), 6) AS avg_dup_ratio,
+                 CAST(sum(CASE WHEN dup_ratio > 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+               FROM pd GROUP BY source ORDER BY source""")),
+
+    QueryDef(
+      "text_unigram_lm",
+      // The CCNet perplexity-proxy quality score: train a unigram LM on
+      // the corpus itself (term → count, one map-side-combined aggregate),
+      // then score every document by its mean negative log-likelihood
+      // under that LM — high NLL = rare-token-heavy = the gibberish /
+      // OCR-noise bucket a curation pipeline routes to quarantine. The
+      // vocabulary join is a PLAIN shuffled equi-join on term, NOT a
+      // broadcast: Heaps' law puts the vocab of a 100 TB corpus far past
+      // broadcast size, and the per-term logp is computed ONCE in the
+      // (bounded-cardinality) vocab aggregate, never per token. In-domain
+      // by construction (every token is in the vocab), so no OOV smoothing
+      // term is needed — the scoring is exact.
+      // Determinism: logp REAL-collapsed per TERM (the lnR discipline);
+      // per-doc sums ride the exact decimal wire; the doc NLL is one
+      // deterministic division.
+      (s, dir) => {
+        val tok = T.documents(s, dir)
+          .transform(T.fanOut(_, col("doc_id")))
+          .selectExpr("doc_id", "source",
+            "explode(filter(split(text, ' '), t -> t <> '')) AS t")
+          .select(col("doc_id"), col("source"), lower(col("t")).as("term"))
+        val ntot = tok.agg(count(lit(1)).as("n_tok_total"))
+        val vocab = tok.groupBy("term").agg(count(lit(1)).as("cnt"))
+          .crossJoin(broadcast(ntot))
+          .selectExpr("term",
+            "CAST(CAST(ln(CAST(cnt AS DOUBLE) / n_tok_total) AS FLOAT) AS DOUBLE) AS logp")
+        tok.join(vocab, "term")
+          .groupBy("doc_id", "source")
+          .agg((T.xsum(-col("logp")) / count(lit(1))).as("nll"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            round(T.xsum(col("nll")) / count(lit(1)), 6).as("avg_nll"),
+            round(max(col("nll")), 6).as("max_nll"))
+          .orderBy("source")
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, source, lower(t) AS term FROM (
+                   SELECT doc_id, source,
+                     unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS t
+                   FROM documents) x),
+                 ntot AS (SELECT count(*) AS n_tok_total FROM tok),
+                 vocab AS (SELECT term,
+                     CAST(CAST(ln(CAST(count(*) AS DOUBLE) / any_value(n_tok_total)) AS REAL) AS DOUBLE) AS logp
+                   FROM tok CROSS JOIN ntot GROUP BY term),
+                 pd AS (SELECT doc_id, source,
+                     ${T.sqlXsum("-logp")} / count(*) AS nll
+                   FROM tok JOIN vocab USING (term)
+                   GROUP BY doc_id, source)
+               SELECT source, count(*) AS n_docs,
+                 round(${T.sqlXsum("nll")} / count(*), 6) AS avg_nll,
+                 round(max(nll), 6) AS max_nll
+               FROM pd GROUP BY source ORDER BY source"""))
   )
 }

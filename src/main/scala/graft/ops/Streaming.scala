@@ -175,6 +175,58 @@ object Streaming {
                  ${T.sqlDsum("value")} AS attributed_value
                FROM c JOIN p USING (user_id)
                WHERE p_us > c_us AND p_us <= c_us + 1800000000
-               GROUP BY user_id ORDER BY user_id"""))
+               GROUP BY user_id ORDER BY user_id""")),
+
+    QueryDef(
+      "stream_funnel",
+      // The ordered conversion funnel view → click → purchase, each step
+      // within 1 h of the previous — the streaming-analytics staple next
+      // to sessionization and attribution. Earliest-completion semantics:
+      // a user's funnel anchors at their FIRST view; the click must be the
+      // first click after that view (within the horizon), the purchase
+      // the first after that click. Each stage is one per-user conditional
+      // MIN aggregate (≤1 row per user) equi-joined to the previous
+      // stage — three shuffles on the same user_id key (co-partitioned;
+      // Spark reuses the exchange), per-user state never exceeds one
+      // timestamp per stage, which is exactly what a
+      // mapGroupsWithState funnel keeps. Output: stage × users-reaching +
+      // the step conversion rate — bounded 3 rows.
+      (s, dir) => {
+        val e = ev(s, dir)
+        val v = e.where(col("event_type") === "view")
+          .groupBy("user_id").agg(min(col("us")).as("tv"))
+        val c = e.where(col("event_type") === "click")
+          .join(v, "user_id")
+          .where(col("us") > col("tv") && col("us") <= col("tv") + HOUR_US)
+          .groupBy("user_id").agg(min(col("us")).as("tc"))
+        val p = e.where(col("event_type") === "purchase")
+          .join(c, "user_id")
+          .where(col("us") > col("tc") && col("us") <= col("tc") + HOUR_US)
+          .groupBy("user_id").agg(min(col("us")).as("tp"))
+        val counts = v.agg(count(lit(1)).as("n")).select(lit(1).as("step"), lit("view").as("stage"), col("n"))
+          .unionAll(c.agg(count(lit(1)).as("n")).select(lit(2).as("step"), lit("click").as("stage"), col("n")))
+          .unionAll(p.agg(count(lit(1)).as("n")).select(lit(3).as("step"), lit("purchase").as("stage"), col("n")))
+        val w = Window.orderBy(col("step")) // 3-row frame: bounded by design
+        counts.select(col("step"), col("stage"), col("n"),
+          round(col("n").cast("double") / lag(col("n"), 1).over(w), 6).as("conv_rate"))
+          .orderBy("step")
+      },
+      Some(s"""WITH e AS ($sqlEv),
+                 v AS (SELECT user_id, min(us) AS tv FROM e
+                       WHERE event_type = 'view' GROUP BY user_id),
+                 c AS (SELECT e.user_id, min(us) AS tc
+                       FROM e JOIN v USING (user_id)
+                       WHERE event_type = 'click' AND us > tv AND us <= tv + 3600000000
+                       GROUP BY e.user_id),
+                 p AS (SELECT e.user_id, min(us) AS tp
+                       FROM e JOIN c USING (user_id)
+                       WHERE event_type = 'purchase' AND us > tc AND us <= tc + 3600000000
+                       GROUP BY e.user_id),
+                 s AS (SELECT 1 AS step, 'view' AS stage, count(*) AS n FROM v
+                       UNION ALL SELECT 2, 'click', count(*) FROM c
+                       UNION ALL SELECT 3, 'purchase', count(*) FROM p)
+               SELECT step, stage, n,
+                 round(CAST(n AS DOUBLE) / lag(n, 1) OVER (ORDER BY step), 6) AS conv_rate
+               FROM s ORDER BY step"""))
   )
 }

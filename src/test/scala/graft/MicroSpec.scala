@@ -1275,4 +1275,130 @@ class MicroSpec extends SparkSpec {
     assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
     assert(rows.forall(_.getAs[String]("bigram").count(_ == ' ') == 1))
   }
+
+  test("ml_pairwise_correlation: matches a local Pearson computation (r7)") {
+    val rows = q("ml_pairwise_correlation").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { r =>
+      val d = r.getAs[Double]("dist_correlation"); d >= 0.0 && d <= 2.0
+    }, "correlation distance must lie in [0, 2]")
+    def corr(a: Array[Double], b: Array[Double]): Double = {
+      val (ma, mb) = (a.sum / a.length, b.sum / b.length)
+      val dot = a.zip(b).map { case (x, y) => (x - ma) * (y - mb) }.sum
+      val sa = a.map(x => (x - ma) * (x - ma)).sum
+      val sb = b.map(x => (x - mb) * (x - mb)).sum
+      dot / math.sqrt(sa * sb)
+    }
+    val got = rows.find(r =>
+      r.getAs[Long]("id_a") == 0L && r.getAs[Long]("id_b") == 1L).get
+      .getAs[Double]("dist_correlation")
+    val want = 1.0 - corr(localEmb(0L), localEmb(1L))
+    // FLOAT-collapsed engine sums vs exact local doubles: ~1e-5 agreement
+    assert(math.abs(got - want) < 1e-4, s"pair (0,1): engine $got local $want")
+  }
+
+  test("ml_jl_min_dim: closed form, monotone decreasing in eps (r7)") {
+    val rows = q("ml_jl_min_dim").orderBy(col("eps")).collect()
+    assert(rows.length == 4)
+    val dims = rows.map(_.getAs[Long]("min_dim"))
+    assert(dims.zip(dims.tail).forall { case (a, b) => a > b },
+      s"min_dim must strictly decrease in eps: ${dims.toSeq}")
+    val n = rows(0).getAs[Long]("n").toDouble
+    rows.foreach { r =>
+      val eps = r.getAs[Double]("eps")
+      val want = math.floor(
+        4.0 * math.log(n) / (eps * eps / 2 - eps * eps * eps / 3)).toLong
+      assert(r.getAs[Long]("min_dim") == want, s"eps=$eps formula mismatch")
+    }
+  }
+
+  test("text_repetition: ratios bounded, flagged subset, full doc coverage (r7)") {
+    val rows = q("text_repetition").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val avg = r.getAs[Double]("avg_dup_ratio")
+      assert(avg >= 0.0 && avg < 1.0, s"avg_dup_ratio $avg outside [0, 1)")
+      assert(r.getAs[Long]("n_flagged") <= r.getAs[Long]("n_docs"))
+    }
+    // every fixture doc has >= 3 tokens, so the per-source doc counts
+    // must add back up to the corpus
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(total == Tables.documents(spark, sf).count(), s"doc coverage $total")
+  }
+
+  test("text_unigram_lm: NLL positive with max dominating the mean (r7)") {
+    val rows = q("text_unigram_lm").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (avg, mx) = (r.getAs[Double]("avg_nll"), r.getAs[Double]("max_nll"))
+      assert(avg > 0.0, s"mean NLL $avg must be positive (probs < 1)")
+      assert(mx >= avg, s"max $mx < mean $avg within a source")
+    }
+  }
+
+  test("dedup_paragraph: multiplicity histogram over cross-doc passages (r7)") {
+    val rows = q("dedup_paragraph").orderBy(col("n_docs")).collect()
+    assert(rows.nonEmpty, "fixture has cross-doc duplicate passages")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_docs") >= 2, "histogram admits only dup groups")
+      assert(r.getAs[Long]("n_passages") > 0)
+    }
+  }
+
+  test("ml_logreg_l1: proximal shrinkage, and a large lambda zeroes to +0.0 (r7)") {
+    val r = q("ml_logreg_l1").collect()(0)
+    val (bl1, bmle) = (r.getAs[Double]("slope_l1"), r.getAs[Double]("slope_mle"))
+    assert(math.abs(bl1) < math.abs(bmle), s"no shrinkage: $bl1 vs $bmle")
+    assert(bl1 * bmle > 0, "lambda=1000 must shrink without zeroing or flipping")
+    val sh = r.getAs[Double]("shrinkage")
+    assert(sh > 0 && sh < 1, s"shrinkage $sh outside (0, 1)")
+    // The exact-zero branch — L1's signature — with the sign bit
+    // canonicalized POSITIVE (the cdSteps −0.0 wire hazard): a lambda far
+    // above the |gradient| scale must drive the slope to exactly +0.0.
+    val (_, bz) = ops.ML.irlsBetaL1(spark, sf, lam = 1e9)
+    assert(bz == 0.0, s"slope $bz must threshold to exactly zero")
+    assert(1.0 / bz == Double.PositiveInfinity,
+      "thresholded zero must serialize as +0.0, not -0.0")
+  }
+
+  test("ml_logreg_elasticnet: L1 on top of L2 can only shrink further (r7)") {
+    val r = q("ml_logreg_elasticnet").collect()(0)
+    val (ben, bl2) = (r.getAs[Double]("slope_en"), r.getAs[Double]("slope_l2"))
+    assert(math.abs(ben) <= math.abs(bl2), s"EN $ben exceeds L2 $bl2")
+    assert(ben * bl2 >= 0, "the extra threshold must not flip the sign")
+    val sh = r.getAs[Double]("l1_extra_shrinkage")
+    assert(sh >= 0 && sh <= 1, s"extra shrinkage $sh outside [0, 1]")
+  }
+
+  test("stream_funnel: monotone stage counts with rates in [0, 1] (r7)") {
+    val rows = q("stream_funnel").orderBy(col("step")).collect()
+    assert(rows.length == 3)
+    assert(rows.map(_.getAs[String]("stage")).toSeq ==
+      Seq("view", "click", "purchase"))
+    val ns = rows.map(_.getAs[Long]("n"))
+    assert(ns.zip(ns.tail).forall { case (a, b) => b <= a },
+      s"funnel counts must be nonincreasing: ${ns.toSeq}")
+    assert(rows(0).isNullAt(rows(0).fieldIndex("conv_rate")))
+    rows.drop(1).foreach { r =>
+      val c = r.getAs[Double]("conv_rate")
+      assert(c >= 0 && c <= 1, s"conversion rate $c outside [0, 1]")
+    }
+  }
+
+  test("ml_learning_curve: nested subsets, 100% row matches ml_linreg_fit (r7)") {
+    val rows = q("ml_learning_curve").orderBy(col("frac")).collect()
+    assert(rows.map(_.getAs[Int]("frac")).toSeq == Seq(25, 50, 75, 100))
+    val ns = rows.map(_.getAs[Long]("n"))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a < b }, "subsets must nest")
+    assert(ns.last == Tables.lineitem(spark, sf).count(),
+      "the 100% subset must cover every row")
+    rows.foreach(r => assert(r.getAs[Double]("rmse_train") > 0))
+    // the 100% fit IS the full OLS — cross-check against ml_linreg_fit
+    val full = q("ml_linreg_fit").collect()(0)
+    val last = rows.last
+    assert(math.abs(last.getAs[Double]("slope") - full.getAs[Double]("slope")) < 1e-5,
+      "100% slope must equal the ml_linreg_fit slope")
+    assert(math.abs(last.getAs[Double]("intercept") - full.getAs[Double]("intercept")) < 1e-5,
+      "100% intercept must equal the ml_linreg_fit intercept")
+  }
 }
