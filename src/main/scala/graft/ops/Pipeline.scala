@@ -346,6 +346,61 @@ object Pipeline {
               WHERE rn <= 5 ORDER BY q_id, rn""")),
 
     QueryDef(
+      "ml_knn_sq8",
+      // The SQ8 scalar-quantizer half of cuML's ivfsq ANN method [R]:
+      // per-DIMENSION 8-bit uniform quantization (codebook = 64 (min, max)
+      // pairs from one bounded aggregate — 1 byte/dim instead of 4, the
+      // 4× memory/bandwidth win that makes billion-vector indexes fit),
+      // then kNN on the RECONSTRUCTED values x̂ = mn + code·(mx−mn)/255.
+      // Registered as the quantizer's accuracy surface: brute-force over
+      // the quantized corpus for 10 queries, so the approximation itself
+      // is oracle-checked (recall vs the exact ml_knn pinned in
+      // MicroSpec); composing with ml_knn_ivf's probe join gives the full
+      // ivfsq. Dims are kept EXPLODED through the distance pass — the
+      // per-dim equi-join both engines share verbatim — and d² rides the
+      // exact decimal wire (order-free), so ranking is deterministic.
+      // The mx > mn guard keeps a constant dimension at its exact value.
+      (s, dir) => {
+        val ex = T.embeddings(s, dir)
+          .transform(T.fanOut(_, col("vec_id")))
+          .select(col("vec_id"), posexplode(col("embedding")))
+          .selectExpr("vec_id", "pos + 1 AS i", "CAST(col AS DOUBLE) AS x")
+        val st = ex.groupBy("i").agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+        val xq = ex.join(broadcast(st), "i")
+          .selectExpr("vec_id", "i",
+            "CASE WHEN mx > mn THEN mn + floor((x - mn) / (mx - mn) * 255) * (mx - mn) / 255 ELSE x END AS xr")
+        val qv = xq.where(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("i"), col("xr").as("qx"))
+        val nv = xq.select(col("vec_id").as("n_id"), col("i"), col("xr").as("nx"))
+        val d = qv.join(nv, "i").where(col("n_id") =!= col("q_id"))
+          .groupBy("q_id", "n_id")
+          .agg(T.xsum((col("qx") - col("nx")) * (col("qx") - col("nx"))).as("d2"))
+        val w = Window.partitionBy(col("q_id")).orderBy(col("d2"), col("n_id"))
+        d.withColumn("rn", row_number().over(w)).where(col("rn") <= 5)
+          .select(col("q_id"), col("rn"), col("n_id"),
+            round(sqrt(col("d2")), 6).as("dist"))
+          .orderBy("q_id", "rn")
+      },
+      Some(s"""WITH ex AS (SELECT vec_id,
+                   generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS i,
+                   unnest(CAST(embedding AS DOUBLE[])) AS x
+                 FROM embeddings),
+                 st AS (SELECT i, min(x) AS mn, max(x) AS mx FROM ex GROUP BY i),
+                 xq AS (SELECT vec_id, i,
+                     CASE WHEN mx > mn THEN mn + floor((x - mn) / (mx - mn) * 255) * (mx - mn) / 255 ELSE x END AS xr
+                   FROM ex JOIN st USING (i)),
+                 qv AS (SELECT vec_id AS q_id, i, xr AS qx FROM xq WHERE vec_id < 10),
+                 d AS (SELECT q_id, n.vec_id AS n_id,
+                     ${T.sqlXsum("(qx - n.xr) * (qx - n.xr)")} AS d2
+                   FROM qv JOIN xq n USING (i) WHERE n.vec_id <> q_id
+                   GROUP BY q_id, n.vec_id)
+               SELECT q_id, rn, n_id, round(sqrt(d2), 6) AS dist FROM (
+                 SELECT q_id, n_id, d2,
+                   row_number() OVER (PARTITION BY q_id ORDER BY d2, n_id) AS rn
+                 FROM d) t
+               WHERE rn <= 5 ORDER BY q_id, rn""")),
+
+    QueryDef(
       "ml_train_test_split",
       // dask-ml/cuml train_test_split analog, the shape a 100 TB training
       // pipeline actually uses: a DETERMINISTIC hash split (no RNG to

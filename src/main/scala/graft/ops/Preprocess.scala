@@ -635,7 +635,96 @@ object Preprocess {
               SELECT feature, category,
                 dense_rank() OVER (PARTITION BY feature ORDER BY category) - 1 AS code,
                 n
-              FROM c ORDER BY feature, code"""))
+              FROM c ORDER BY feature, code""")),
+
+    QueryDef(
+      "ml_pipeline_compose",
+      // The sklearn/cuml Pipeline composition contract [R] — the estimator
+      // chain a user actually ships: SimpleImputer(mean) →
+      // StandardScaler → LinearRegression, fit end-to-end as ONE
+      // dataflow. The distributed shape: each stage's fit is one bounded
+      // aggregation whose one-row result broadcasts into the next stage's
+      // expressions — 3 sequential passes for 3 stages (a Pipeline.fit
+      // can't do better: stage k's parameters define stage k+1's inputs),
+      // every pass map-side combined, parameters never larger than a few
+      // doubles (the cuML client-held-model shape). Missingness is a
+      // deterministic constructed mask (hash % 10 = 0 → NULL, ~10% — the
+      // fixture has no native NULLs; multipliers 40692/3791, a fourth
+      // disjoint hash family). Output: every fitted parameter of every
+      // stage + the train RMSE via the SSE moment identity — the full
+      // pipeline state a Pipeline.get_params() exposes.
+      (s, dir) => {
+        val l = T.lineitem(s, dir).selectExpr(
+          "CASE WHEN (40692 * l_orderkey + 3791 * l_linenumber) % " + s"${T.HASH_P} % 10 = 0 THEN NULL ELSE CAST(l_quantity AS DOUBLE) END AS x",
+          "CAST(l_extendedprice AS DOUBLE) AS y")
+          .transform(T.fanOut(_))
+        // stage 1: imputer fit (mean over observed) + missing rate
+        val imp = l.agg(count(lit(1)).as("n"), count(col("x")).as("n_obs"),
+          (T.xsum(col("x")) / count(col("x"))).as("mu_imp"))
+        // stage 2: scaler fit over the imputed column
+        val sc = l.crossJoin(broadcast(imp))
+          .selectExpr("coalesce(x, mu_imp) AS x1", "y", "n", "n_obs", "mu_imp")
+          .agg(first(col("n")).as("n"), first(col("n_obs")).as("n_obs"),
+            first(col("mu_imp")).as("mu_imp"),
+            (T.xsum(col("x1")) / first(col("n"))).as("m1"),
+            sqrt(T.xsum(col("x1") * col("x1")) / first(col("n"))
+              - (T.xsum(col("x1")) / first(col("n"))) * (T.xsum(col("x1")) / first(col("n")))).as("s1"))
+        // stage 3: regressor fit on the standardized column
+        l.crossJoin(broadcast(sc))
+          .selectExpr("(coalesce(x, mu_imp) - m1) / s1 AS z", "y",
+            "n", "n_obs", "mu_imp", "m1", "s1")
+          .agg(first(col("n")).as("n"), first(col("n_obs")).as("n_obs"),
+            first(col("mu_imp")).as("mu_imp"), first(col("m1")).as("m1"),
+            first(col("s1")).as("s1"),
+            T.xsum(col("z")).as("sz"), T.xsum(col("y")).as("sy"),
+            T.xsum(col("z") * col("z")).as("szz"),
+            T.xsum(col("z") * col("y")).as("szy"),
+            T.xsum(col("y") * col("y")).as("syy"))
+          .selectExpr("CAST(n AS DOUBLE) AS nd", "n", "n_obs", "mu_imp", "m1", "s1",
+            "sz", "sy", "szz", "szy", "syy")
+          .selectExpr("*",
+            "(nd * szy - sz * sy) / (nd * szz - sz * sz) AS slope")
+          .selectExpr("*", "(sy - slope * sz) / nd AS icept")
+          .selectExpr(
+            "round(1.0 - CAST(n_obs AS DOUBLE) / nd, 6) AS missing_rate",
+            "round(mu_imp, 6) AS impute_mean",
+            "round(m1, 6) AS scale_mean", "round(s1, 6) AS scale_std",
+            "round(slope, 6) AS slope", "round(icept, 6) AS intercept",
+            "round(sqrt((syy + nd * icept * icept + slope * slope * szz - 2 * icept * sy - 2 * slope * szy + 2 * icept * slope * sz) / nd), 6) AS rmse_train")
+      },
+      Some(s"""WITH l AS (SELECT
+                   CASE WHEN (40692 * l_orderkey + 3791 * l_linenumber) % ${T.HASH_P} % 10 = 0
+                        THEN NULL ELSE CAST(l_quantity AS DOUBLE) END AS x,
+                   CAST(l_extendedprice AS DOUBLE) AS y
+                 FROM lineitem),
+                 imp AS (SELECT count(*) AS n, count(x) AS n_obs,
+                     ${T.sqlXsum("x")} / count(x) AS mu_imp
+                   FROM l),
+                 sc AS (SELECT any_value(n) AS n, any_value(n_obs) AS n_obs,
+                     any_value(mu_imp) AS mu_imp,
+                     ${T.sqlXsum("coalesce(x, mu_imp)")} / any_value(n) AS m1,
+                     sqrt(${T.sqlXsum("coalesce(x, mu_imp) * coalesce(x, mu_imp)")} / any_value(n)
+                       - (${T.sqlXsum("coalesce(x, mu_imp)")} / any_value(n)) * (${T.sqlXsum("coalesce(x, mu_imp)")} / any_value(n))) AS s1
+                   FROM l CROSS JOIN imp),
+                 r0 AS (SELECT any_value(n) AS n, any_value(n_obs) AS n_obs,
+                     any_value(mu_imp) AS mu_imp, any_value(m1) AS m1,
+                     any_value(s1) AS s1,
+                     ${T.sqlXsum("(coalesce(x, mu_imp) - m1) / s1")} AS sz,
+                     ${T.sqlXsum("y")} AS sy,
+                     ${T.sqlXsum("((coalesce(x, mu_imp) - m1) / s1) * ((coalesce(x, mu_imp) - m1) / s1)")} AS szz,
+                     ${T.sqlXsum("((coalesce(x, mu_imp) - m1) / s1) * y")} AS szy,
+                     ${T.sqlXsum("y * y")} AS syy
+                   FROM l CROSS JOIN sc),
+                 r1 AS (SELECT *, CAST(n AS DOUBLE) AS nd FROM r0),
+                 r2 AS (SELECT *,
+                     (nd * szy - sz * sy) / (nd * szz - sz * sz) AS slope FROM r1),
+                 r3 AS (SELECT *, (sy - slope * sz) / nd AS icept FROM r2)
+               SELECT round(1.0 - CAST(n_obs AS DOUBLE) / nd, 6) AS missing_rate,
+                 round(mu_imp, 6) AS impute_mean,
+                 round(m1, 6) AS scale_mean, round(s1, 6) AS scale_std,
+                 round(slope, 6) AS slope, round(icept, 6) AS intercept,
+                 round(sqrt((syy + nd * icept * icept + slope * slope * szz - 2 * icept * sy - 2 * slope * szy + 2 * icept * slope * sz) / nd), 6) AS rmse_train
+               FROM r3"""))
   )
 
   /** Chan's pairwise merge of (n, mean, M2), folded shard 0→3 in fixed

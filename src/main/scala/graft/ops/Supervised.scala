@@ -899,8 +899,127 @@ object Supervised {
                      CASE WHEN sa >= sn AND sa >= sr THEN 'A' WHEN sn >= sr THEN 'N' ELSE 'R' END AS pred
                    FROM sc)
                SELECT rf, pred, count(*) AS n
+               FROM pr GROUP BY rf, pred ORDER BY rf, pred""")),
+
+    QueryDef(
+      "ml_ovo_classifier",
+      // OneVsOneClassifier [R] — cuml.multiclass's OTHER meta-strategy,
+      // next to ml_ovr_classifier: one binary least-squares classifier per
+      // class PAIR (AN, AR, NR), majority vote. The distributed trick that
+      // makes OvO affordable at scale: each pairwise fit needs moments
+      // over only its two classes, and moments are ADDITIVE over disjoint
+      // classes — so ONE conditional pass collecting per-class moments
+      // (3 classes × 7 sums) yields all three pairwise normal equations by
+      // summing class blocks; no per-pair data passes (naive OvO re-scans
+      // the data K(K−1)/2 times — the trap). Each pair is a closed-form
+      // 3×3 Cramer solve on its own subset determinant; scoring is one map
+      // pass: binary vote at the LS 0.5 threshold, majority with the fixed
+      // A > N > R tie order. Output: the confusion matrix. Moments ride
+      // the exact decimal wire; solves and scores are shared-text IEEE.
+      (s, dir) => {
+        val l = T.lineitem(s, dir).select(
+          col("l_returnflag").as("rf"),
+          col("l_quantity").cast("double").as("q"),
+          col("l_discount").cast("double").as("d"))
+          .transform(T.fanOut(_))
+        val aggCols = Seq("a", "n", "r").flatMap { k =>
+          val kc = k.toUpperCase
+          Seq(
+            sum(when(col("rf") === kc, 1L).otherwise(0L)).cast("double").as(s"n$k"),
+            T.xsum(when(col("rf") === kc, col("q"))).as(s"s1$k"),
+            T.xsum(when(col("rf") === kc, col("d"))).as(s"s2$k"),
+            T.xsum(when(col("rf") === kc, col("q") * col("q"))).as(s"s11$k"),
+            T.xsum(when(col("rf") === kc, col("d") * col("d"))).as(s"s22$k"),
+            T.xsum(when(col("rf") === kc, col("q") * col("d"))).as(s"s12$k"))
+        }
+        val m = l.agg(aggCols.head, aggCols.tail: _*)
+        val withPairs = ovoPairs.foldLeft(m) { case (df, (i, j)) =>
+          df.selectExpr("*" +: ovoPairCols(i, j): _*)
+            .selectExpr("*", s"${det3S(s"$i$j")} AS det$i$j")
+            .selectExpr("*",
+              s"${cram3S(s"$i$j")._1} AS b0$i$j",
+              s"${cram3S(s"$i$j")._2} AS b1$i$j",
+              s"${cram3S(s"$i$j")._3} AS b2$i$j")
+        }
+        val solved = withPairs.selectExpr(
+          ovoPairs.flatMap { case (i, j) =>
+            Seq(s"b0$i$j", s"b1$i$j", s"b2$i$j") }: _*)
+        l.crossJoin(broadcast(solved))
+          .selectExpr("rf",
+            "CASE WHEN b0an + b1an * q + b2an * d >= 0.5 THEN 1 ELSE 0 END AS wa_an",
+            "CASE WHEN b0ar + b1ar * q + b2ar * d >= 0.5 THEN 1 ELSE 0 END AS wa_ar",
+            "CASE WHEN b0nr + b1nr * q + b2nr * d >= 0.5 THEN 1 ELSE 0 END AS wn_nr")
+          .selectExpr("rf",
+            "wa_an + wa_ar AS va",
+            "(1 - wa_an) + wn_nr AS vn",
+            "(1 - wa_ar) + (1 - wn_nr) AS vr")
+          .selectExpr("rf",
+            "CASE WHEN va >= vn AND va >= vr THEN 'A' WHEN vn >= vr THEN 'N' ELSE 'R' END AS pred")
+          .groupBy("rf", "pred").agg(count(lit(1)).as("n"))
+          .orderBy("rf", "pred")
+      },
+      Some(s"""WITH l AS (SELECT l_returnflag AS rf,
+                   CAST(l_quantity AS DOUBLE) AS q,
+                   CAST(l_discount AS DOUBLE) AS d
+                 FROM lineitem),
+                 m AS (SELECT ${Seq("a", "n", "r").map { k =>
+                   val kc = k.toUpperCase
+                   s"""CAST(sum(CASE WHEN rf = '$kc' THEN 1 ELSE 0 END) AS DOUBLE) AS n$k,
+                     ${T.sqlXsum(s"CASE WHEN rf = '$kc' THEN q END")} AS s1$k,
+                     ${T.sqlXsum(s"CASE WHEN rf = '$kc' THEN d END")} AS s2$k,
+                     ${T.sqlXsum(s"CASE WHEN rf = '$kc' THEN q * q END")} AS s11$k,
+                     ${T.sqlXsum(s"CASE WHEN rf = '$kc' THEN d * d END")} AS s22$k,
+                     ${T.sqlXsum(s"CASE WHEN rf = '$kc' THEN q * d END")} AS s12$k"""
+                 }.mkString(",\n                     ")}
+                   FROM l),
+                 ${ovoPairs.zipWithIndex.map { case ((i, j), ix) =>
+                   val src = if (ix == 0) "m" else s"pv${ix - 1}"
+                   val cols = ovoPairCols(i, j).mkString(",\n                     ")
+                   s"""pc$ix AS (SELECT *, $cols FROM $src),
+                 pd$ix AS (SELECT *, ${det3S(s"$i$j")} AS det$i$j FROM pc$ix),
+                 pv$ix AS (SELECT *, ${cram3S(s"$i$j")._1} AS b0$i$j,
+                     ${cram3S(s"$i$j")._2} AS b1$i$j,
+                     ${cram3S(s"$i$j")._3} AS b2$i$j FROM pd$ix)"""
+                 }.mkString(",\n                 ")},
+                 w AS (SELECT rf,
+                     CASE WHEN b0an + b1an * q + b2an * d >= 0.5 THEN 1 ELSE 0 END AS wa_an,
+                     CASE WHEN b0ar + b1ar * q + b2ar * d >= 0.5 THEN 1 ELSE 0 END AS wa_ar,
+                     CASE WHEN b0nr + b1nr * q + b2nr * d >= 0.5 THEN 1 ELSE 0 END AS wn_nr
+                   FROM l CROSS JOIN pv2),
+                 v AS (SELECT rf,
+                     wa_an + wa_ar AS va,
+                     (1 - wa_an) + wn_nr AS vn,
+                     (1 - wa_ar) + (1 - wn_nr) AS vr
+                   FROM w),
+                 pr AS (SELECT rf,
+                     CASE WHEN va >= vn AND va >= vr THEN 'A' WHEN vn >= vr THEN 'N' ELSE 'R' END AS pred
+                   FROM v)
+               SELECT rf, pred, count(*) AS n
                FROM pr GROUP BY rf, pred ORDER BY rf, pred"""))
   )
+
+  /** The three OvO class pairs, lowercase suffixes. */
+  private lazy val ovoPairs = Seq(("a", "n"), ("a", "r"), ("n", "r"))
+
+  /** Pairwise-subset normal-equation inputs by MOMENT ADDITIVITY: the
+    * {i, j}-subset moments are the sums of the two class blocks, and the
+    * right-hand side (y = 1 ⇔ class i) is class i's block alone. Shared
+    * verbatim by both engines. */
+  private def ovoPairCols(i: String, j: String): Seq[String] = Seq(
+    s"n$i + n$j AS nd$i$j", s"s1$i + s1$j AS s1$i$j", s"s2$i + s2$j AS s2$i$j",
+    s"s11$i + s11$j AS s11$i$j", s"s22$i + s22$j AS s22$i$j",
+    s"s12$i + s12$j AS s12$i$j",
+    s"n$i AS sy$i$j", s"s1$i AS s1y$i$j", s"s2$i AS s2y$i$j")
+
+  /** [[det3]] generalized to a pair-suffixed name set. */
+  private def det3S(s: String) =
+    s"nd$s * (s11$s * s22$s - s12$s * s12$s) - s1$s * (s1$s * s22$s - s12$s * s2$s) + s2$s * (s1$s * s12$s - s11$s * s2$s)"
+
+  /** [[cram3]] generalized to a pair-suffixed name set. */
+  private def cram3S(s: String): (String, String, String) = (
+    s"(sy$s * (s11$s * s22$s - s12$s * s12$s) - s1$s * (s1y$s * s22$s - s12$s * s2y$s) + s2$s * (s1y$s * s12$s - s11$s * s2y$s)) / det$s",
+    s"(nd$s * (s1y$s * s22$s - s12$s * s2y$s) - sy$s * (s1$s * s22$s - s12$s * s2$s) + s2$s * (s1$s * s2y$s - s1y$s * s2$s)) / det$s",
+    s"(nd$s * (s11$s * s2y$s - s1y$s * s12$s) - s1$s * (s1$s * s2y$s - s1y$s * s2$s) + sy$s * (s1$s * s12$s - s11$s * s2$s)) / det$s")
 
   /** REAL-collapsed ln — the shared float-precision collapse text (lnLik's
     * generalization): `rc(x)` ≡ CAST(CAST(ln(x) AS FLOAT/REAL) AS DOUBLE). */

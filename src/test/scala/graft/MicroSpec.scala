@@ -1401,4 +1401,41 @@ class MicroSpec extends SparkSpec {
     assert(math.abs(last.getAs[Double]("intercept") - full.getAs[Double]("intercept")) < 1e-5,
       "100% intercept must equal the ml_linreg_fit intercept")
   }
+
+  test("ml_ovo_classifier: confusion covers all rows and beats the 1/3 baseline (r7)") {
+    val rows = q("ml_ovo_classifier").collect()
+    val total = rows.map(_.getAs[Long]("n")).sum
+    assert(total == Tables.lineitem(spark, sf).count(), "every row is scored")
+    val correct = rows.filter(r =>
+      r.getAs[String]("rf") == r.getAs[String]("pred")).map(_.getAs[Long]("n")).sum
+    assert(correct.toDouble / total > 1.0 / 3,
+      s"pairwise-vote accuracy ${correct.toDouble / total} at or below chance")
+  }
+
+  test("ml_knn_sq8: 8-bit quantization keeps recall@5 against exact kNN (r7)") {
+    val exact = q("ml_knn").where(col("q_id") < 10).collect()
+      .groupBy(_.getAs[Long]("q_id"))
+      .map { case (k, rs) => k -> rs.map(_.getAs[Long]("n_id")).toSet }
+    val sq = q("ml_knn_sq8").collect()
+      .groupBy(_.getAs[Long]("q_id"))
+      .map { case (k, rs) => k -> rs.map(_.getAs[Long]("n_id")).toSet }
+    assert(sq.keySet == exact.keySet, "same query set as exact kNN")
+    val recall = sq.map { case (k, ids) => (ids & exact(k)).size.toDouble / 5 }
+      .sum / sq.size
+    assert(recall >= 0.8, s"SQ8 recall@5 $recall below the 0.8 floor")
+  }
+
+  test("ml_pipeline_compose: stage params consistent through the chain (r7)") {
+    val r = q("ml_pipeline_compose").collect()(0)
+    val rate = r.getAs[Double]("missing_rate")
+    assert(rate > 0.05 && rate < 0.15, s"mask rate $rate far from 10%")
+    assert(r.getAs[Double]("scale_std") > 0)
+    assert(r.getAs[Double]("rmse_train") > 0)
+    // mean(z) = 0 by the scaler's construction, so the intercept of the
+    // standardized fit must equal the plain mean of y
+    val meanY = Tables.lineitem(spark, sf)
+      .agg(avg(col("l_extendedprice").cast("double"))).collect()(0).getDouble(0)
+    assert(math.abs(r.getAs[Double]("intercept") - meanY) < 1.0,
+      s"intercept ${r.getAs[Double]("intercept")} vs mean(y) $meanY")
+  }
 }
