@@ -917,6 +917,135 @@ object Cluster {
                 FROM und GROUP BY a, b)
             SELECT a, b, round((uab + uba) / 60e0, 8) AS p_sym
             FROM g ORDER BY a, b"""
-      })
+      }),
+
+    QueryDef(
+      "ml_gmm_em",
+      // GaussianMixture(n_components=2) on l_quantity — 2 EM steps + one
+      // scoring pass, the distributed-EM shape: the E-step is a pure map
+      // (responsibilities from the CURRENT driver-held parameters, entering
+      // as a broadcast one-row table), the M-step is ONE weighted moment
+      // aggregation (Σr, Σr·x, Σr·x², Σx, Σx² give BOTH components'
+      // updates — the complement trick: component 2's sums are the
+      // totals minus component 1's), parameters collect as 5 doubles (the
+      // cuML client-held-model pattern, as irlsBeta). Fixed literal init
+      // (μ = 10/40, σ² = 100, π = 0.5 — deterministic, no k-means++ RNG).
+      // Determinism: each Gaussian density is REAL-collapsed per row (exp
+      // is the one non-pinned libm op — the IRLS sigmoid discipline);
+      // responsibilities and updates are then exact-decimal-summed shared
+      // text. Output: both components + mixture mean log-likelihood.
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        val (p1, m1, v1, m2, v2) = gmmEm(s, dir)
+        val pars = Seq((p1, m1, v1, m2, v2)).toDF("p1", "m1", "v1", "m2", "v2")
+        val d = T.lineitem(s, dir)
+          .select(col("l_quantity").cast("double").as("x"))
+          .transform(T.fanOut(_))
+        d.crossJoin(broadcast(pars))
+          .selectExpr("*", s"${gmmPhi("m1", "v1", spark = true)} AS f1",
+            s"${gmmPhi("m2", "v2", spark = true)} AS f2")
+          .agg(count(lit(1)).cast("double").as("nd"),
+            T.xsum(expr(s"${gmmLnMix(spark = true)}")).as("sll"),
+            first(col("p1")).as("p1"), first(col("m1")).as("m1"),
+            first(col("v1")).as("v1"), first(col("m2")).as("m2"),
+            first(col("v2")).as("v2"))
+          .selectExpr("round(p1, 6) AS pi1", "round(m1, 6) AS mu1",
+            "round(sqrt(v1), 6) AS sd1", "round(m2, 6) AS mu2",
+            "round(sqrt(v2), 6) AS sd2",
+            "round(sll / nd, 6) AS mean_loglik")
+      },
+      Some(s"""WITH d AS (SELECT CAST(l_quantity AS DOUBLE) AS x FROM lineitem),
+                 $sqlGmmChain,
+                 sc AS (SELECT x, ${gmmPhi("m1", "v1", spark = false)} AS f1,
+                     ${gmmPhi("m2", "v2", spark = false)} AS f2,
+                     p1, m1, v1, m2, v2
+                   FROM d, g2),
+                 fin AS (SELECT CAST(count(*) AS DOUBLE) AS nd,
+                     ${T.sqlXsum(gmmLnMix(spark = false))} AS sll,
+                     any_value(p1) AS p1, any_value(m1) AS m1,
+                     any_value(v1) AS v1, any_value(m2) AS m2,
+                     any_value(v2) AS v2
+                   FROM sc)
+               SELECT round(p1, 6) AS pi1, round(m1, 6) AS mu1,
+                 round(sqrt(v1), 6) AS sd1, round(m2, 6) AS mu2,
+                 round(sqrt(v2), 6) AS sd2,
+                 round(sll / nd, 6) AS mean_loglik
+               FROM fin"""))
   )
+
+  /** Shared-text Gaussian density φ(x; m, v), REAL-collapsed as a whole
+    * (exp is the non-IEEE-pinned op; the collapse absorbs last-ulp engine
+    * differences exactly as the IRLS sigmoid). References columns x, and
+    * the named mean/variance. */
+  private def gmmPhi(m: String, v: String, spark: Boolean): String = {
+    val t = if (spark) "FLOAT" else "REAL"
+    s"CAST(CAST(exp(-(x - $m) * (x - $m) / (2e0 * $v)) / sqrt(2e0 * 3.141592653589793e0 * $v) AS $t) AS DOUBLE)"
+  }
+
+  /** Shared-text mixture log-likelihood term ln(π1·f1 + (1−π1)·f2),
+    * REAL-collapsed (the lnR discipline). */
+  private def gmmLnMix(spark: Boolean): String = {
+    val t = if (spark) "FLOAT" else "REAL"
+    s"CAST(CAST(ln(p1 * f1 + (1e0 - p1) * f2) AS $t) AS DOUBLE)"
+  }
+
+  /** Driver-held 2-step EM loop (see ml_gmm_em). Mirrors [[sqlGmmChain]]
+    * step for step; each pass is one weighted-moment aggregation on the
+    * exact decimal wire. */
+  private def gmmEm(s: SparkSession, dir: String): (Double, Double, Double, Double, Double) =
+    T.fitCache("gmmEm", dir) {
+      val spark = s
+      import spark.implicits._
+      val d = T.lineitem(s, dir)
+        .select(col("l_quantity").cast("double").as("x"))
+        .transform(T.fanOut(_))
+      var (p1, m1, v1, m2, v2) = (0.5, 10.0, 100.0, 40.0, 100.0)
+      for (_ <- 1 to 2) {
+        val pars = Seq((p1, m1, v1, m2, v2)).toDF("p1", "m1", "v1", "m2", "v2")
+        val r = d.crossJoin(broadcast(pars))
+          .selectExpr("*", s"${gmmPhi("m1", "v1", spark = true)} AS f1",
+            s"${gmmPhi("m2", "v2", spark = true)} AS f2")
+          .selectExpr("x", "p1 * f1 / (p1 * f1 + (1e0 - p1) * f2) AS r")
+          .agg(count(lit(1)).cast("double").as("nd"),
+            T.xsum(col("r")).as("sr"),
+            T.xsum(col("r") * col("x")).as("srx"),
+            T.xsum(col("r") * col("x") * col("x")).as("srxx"),
+            T.xsum(col("x")).as("sx"),
+            T.xsum(col("x") * col("x")).as("sxx"))
+          .collect()(0)
+        val nd = r.getDouble(0); val sr = r.getDouble(1)
+        val srx = r.getDouble(2); val srxx = r.getDouble(3)
+        val sx = r.getDouble(4); val sxx = r.getDouble(5)
+        p1 = sr / nd
+        m1 = srx / sr
+        v1 = srxx / sr - m1 * m1
+        m2 = (sx - srx) / (nd - sr)
+        v2 = (sxx - srxx) / (nd - sr) - m2 * m2
+      }
+      (p1, m1, v1, m2, v2)
+    }
+
+  /** Oracle twin of [[gmmEm]]: the same 2 E/M steps as a CTE chain from
+    * the literal init, sharing the φ and update texts verbatim. */
+  private lazy val sqlGmmChain: String = {
+    def step(src: String, out: String) =
+      s"""${out}e AS (SELECT x,
+            p1 * ${gmmPhi("m1", "v1", spark = false)} /
+              (p1 * ${gmmPhi("m1", "v1", spark = false)} + (1e0 - p1) * ${gmmPhi("m2", "v2", spark = false)}) AS r
+          FROM d, $src),
+          ${out}m AS (SELECT CAST(count(*) AS DOUBLE) AS nd,
+              ${T.sqlXsum("r")} AS sr, ${T.sqlXsum("r * x")} AS srx,
+              ${T.sqlXsum("r * x * x")} AS srxx,
+              ${T.sqlXsum("x")} AS sx, ${T.sqlXsum("x * x")} AS sxx
+            FROM ${out}e),
+          $out AS (SELECT sr / nd AS p1, srx / sr AS m1,
+              srxx / sr - (srx / sr) * (srx / sr) AS v1,
+              (sx - srx) / (nd - sr) AS m2,
+              (sxx - srxx) / (nd - sr) - ((sx - srx) / (nd - sr)) * ((sx - srx) / (nd - sr)) AS v2
+            FROM ${out}m)"""
+    s"""g0 AS (SELECT 5e-1 AS p1, 1e1 AS m1, 1e2 AS v1, 4e1 AS m2, 1e2 AS v2),
+       ${step("g0", "g1")},
+       ${step("g1", "g2")}"""
+  }
 }

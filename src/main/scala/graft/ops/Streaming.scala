@@ -227,6 +227,43 @@ object Streaming {
                        UNION ALL SELECT 3, 'purchase', count(*) FROM p)
                SELECT step, stage, n,
                  round(CAST(n AS DOUBLE) / lag(n, 1) OVER (ORDER BY step), 6) AS conv_rate
-               FROM s ORDER BY step"""))
+               FROM s ORDER BY step""")),
+
+    QueryDef(
+      "stream_error_burst",
+      // Complex-event pattern detection — the alerting staple: flag a
+      // BURST when a user logs 3 error events within 24 hours (the
+      // fixture's error cadence is ~13/user/month, so the day window is
+      // this corpus's anomaly threshold; a second-scale feed would
+      // shrink the constant, same plan) — the
+      // MATCH_RECOGNIZE / CEP shape, done the scalable way: a per-user
+      // ordered window with lag(us, 2) — state per user = the last two
+      // error timestamps, exactly what a flatMapGroupsWithState detector
+      // keeps; no self-joins, no pattern automaton materialization).
+      // Each row whose 2-back error is within the window marks a burst END;
+      // output: per-user burst count + first/last burst end — the
+      // alert-routing table. Window partitions on user_id (unbounded
+      // cardinality key — scale-safe).
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+        ev(s, dir).where(col("event_type") === "error")
+          .select(col("user_id"), col("event_id"), col("us"),
+            lag(col("us"), 2).over(w).as("us2"))
+          .where(col("us") - col("us2") <= 86400L * 1000000L)
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_bursts"),
+            min(col("us")).as("first_burst_end_us"),
+            max(col("us")).as("last_burst_end_us"))
+          .orderBy("user_id")
+      },
+      Some(s"""WITH e AS ($sqlEv),
+                 er AS (SELECT user_id, event_id, us,
+                     lag(us, 2) OVER (PARTITION BY user_id ORDER BY us, event_id) AS us2
+                   FROM e WHERE event_type = 'error'),
+                 burst AS (SELECT user_id, us FROM er WHERE us - us2 <= 86400000000)
+               SELECT user_id, count(*) AS n_bursts,
+                 min(us) AS first_burst_end_us,
+                 max(us) AS last_burst_end_us
+               FROM burst GROUP BY user_id ORDER BY user_id"""))
   )
 }

@@ -1438,4 +1438,23 @@ class MicroSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("intercept") - meanY) < 1.0,
       s"intercept ${r.getAs[Double]("intercept")} vs mean(y) $meanY")
   }
+
+  test("stream_error_burst: every flagged user has an ordered burst interval (r7)") {
+    val rows = q("stream_error_burst").collect()
+    assert(rows.nonEmpty, "fixture has 3-in-24h error bursts")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_bursts") >= 1)
+      assert(r.getAs[Long]("first_burst_end_us") <= r.getAs[Long]("last_burst_end_us"))
+    }
+  }
+
+  test("ml_gmm_em: a proper two-component mixture after 2 EM steps (r7)") {
+    val r = q("ml_gmm_em").collect()(0)
+    val pi1 = r.getAs[Double]("pi1")
+    assert(pi1 > 0 && pi1 < 1, s"pi1 $pi1 degenerate")
+    assert(r.getAs[Double]("sd1") > 0 && r.getAs[Double]("sd2") > 0)
+    assert(r.getAs[Double]("mu1") < r.getAs[Double]("mu2"),
+      "component order (low, high) must survive the EM steps")
+    assert(r.getAs[Double]("mean_loglik") < 0, "densities < 1 => negative loglik")
+  }
 }
