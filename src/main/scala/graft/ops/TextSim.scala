@@ -353,6 +353,48 @@ object TextSim {
                  round(avg(CAST(embedding[1] AS DOUBLE)), 6) AS m1,
                  round(avg(CAST(embedding[2] AS DOUBLE)), 6) AS m2
                FROM documents JOIN embeddings ON doc_id = vec_id
-               GROUP BY lang ORDER BY lang"""))
+               GROUP BY lang ORDER BY lang""")),
+
+    QueryDef(
+      "dedup_contamination",
+      // Benchmark DECONTAMINATION — the curation pass every LLM training
+      // run must ship: find training documents that near-duplicate an
+      // evaluation/benchmark document, so eval answers don't leak into the
+      // training set. Eval set = doc_id < 50 (the fixture's stand-in for a
+      // benchmark suite); candidates come from the SAME banded-minhash
+      // machinery as dedup_minhash (shared minhashPairs — one signature
+      // pass, per-bucket joins, never n²), filtered to eval×train pairs.
+      // SCALE NOTE: in production the benchmark side is tiny (thousands of
+      // docs), so its band signatures broadcast and the whole check is a
+      // broadcast join against the training corpus's signature stream —
+      // the plan here is the general shuffled form of that. Output: the
+      // per-source contamination report (training docs, flagged count,
+      // rate) a run gates on.
+      (s, dir) => {
+        val cont = minhashPairs(s, dir)
+          .where(col("doc_a") < 50 && col("doc_b") >= 50)
+          .select(col("doc_b").as("doc_id")).distinct()
+          .withColumn("flag", lit(1L))
+        T.documents(s, dir).where(col("doc_id") >= 50)
+          .select(col("doc_id"), col("source"))
+          .join(cont, Seq("doc_id"), "left")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_train"),
+            sum(coalesce(col("flag"), lit(0L))).as("n_contaminated"))
+          .selectExpr("source", "n_train", "n_contaminated",
+            "round(CAST(n_contaminated AS DOUBLE) / n_train, 6) AS contamination_rate")
+          .orderBy("source")
+      },
+      Some(s"""WITH $sqlMinhashCtes,
+                 cont AS (SELECT DISTINCT doc_b AS doc_id FROM pairs
+                          WHERE doc_a < 50 AND doc_b >= 50),
+                 tr AS (SELECT doc_id, source FROM documents WHERE doc_id >= 50),
+                 fl AS (SELECT tr.source,
+                     CASE WHEN cont.doc_id IS NOT NULL THEN 1 ELSE 0 END AS flag
+                   FROM tr LEFT JOIN cont USING (doc_id))
+               SELECT source, count(*) AS n_train,
+                 CAST(sum(flag) AS BIGINT) AS n_contaminated,
+                 round(CAST(sum(flag) AS DOUBLE) / count(*), 6) AS contamination_rate
+               FROM fl GROUP BY source ORDER BY source"""))
   )
 }

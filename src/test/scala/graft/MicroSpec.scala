@@ -1457,4 +1457,16 @@ class MicroSpec extends SparkSpec {
       "component order (low, high) must survive the EM steps")
     assert(r.getAs[Double]("mean_loglik") < 0, "densities < 1 => negative loglik")
   }
+
+  test("dedup_contamination: covers exactly the training split, rates bounded (r7)") {
+    val rows = q("dedup_contamination").collect()
+    val nTrain = rows.map(_.getAs[Long]("n_train")).sum
+    val expected = Tables.documents(spark, sf).where(col("doc_id") >= 50).count()
+    assert(nTrain == expected, s"training coverage $nTrain != $expected")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_contaminated") <= r.getAs[Long]("n_train"))
+      val rate = r.getAs[Double]("contamination_rate")
+      assert(rate >= 0.0 && rate <= 1.0)
+    }
+  }
 }

@@ -198,4 +198,43 @@ class StreamingMirrorSpec extends SparkSpec {
     query.stop()
     assert(spark.table("dedup_mirror").count() == 3)
   }
+
+  test("error-burst mirror: flatMapGroupsWithState keeps two timestamps per user (r7)") {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val win = 86400L * 1000000L
+    val mem = MemoryStream[(Long, Long)] // (user_id, us) — error events only
+    // the stream twin of stream_error_burst: state = the last two error
+    // timestamps; emit a burst END when the 2-back error is in-window
+    val bursts = mem.toDS()
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long), (Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, events: Iterator[(Long, Long)], state: GroupState[(Long, Long)]) =>
+          var (t2, t1) = state.getOption.getOrElse((Long.MinValue / 4, Long.MinValue / 4))
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+          events.toSeq.sortBy(_._2).foreach { case (_, us) =>
+            if (us - t2 <= win) out += ((uid, us))
+            t2 = t1; t1 = us
+          }
+          state.update((t2, t1))
+          out.iterator
+      }.toDF("user_id", "burst_end_us")
+    val query = bursts.writeStream
+      .format("memory").queryName("burst_mirror")
+      .outputMode("append")
+      .start()
+    val h = 3600L * 1000000L
+    // user 1: three errors inside one day (burst at the 3rd), then a far
+    // one (no burst); user 2: three errors spread over 3 days (no burst)
+    mem.addData((1L, 0L), (1L, h), (2L, 0L))
+    query.processAllAvailable()
+    mem.addData((1L, 2 * h), (1L, 100 * h), (2L, 30 * h), (2L, 60 * h))
+    query.processAllAvailable() // state carries the first batch's tail
+    query.stop()
+    val got = spark.table("burst_mirror").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2 * h)), got.toString)
+  }
 }
