@@ -987,6 +987,68 @@ object Pipeline {
                SELECT source, count(*) AS n_docs,
                  round(${T.sqlXsum("nll")} / count(*), 6) AS avg_nll,
                  round(max(nll), 6) AS max_nll
-               FROM pd GROUP BY source ORDER BY source"""))
+               FROM pd GROUP BY source ORDER BY source""")),
+
+    QueryDef(
+      "text_zipf",
+      // Zipf's-law diagnostic — the corpus-statistics check next to
+      // text_langid/text_quality: OLS of ln(freq) on ln(rank) over the
+      // TOP-100 vocabulary terms; a natural corpus fits slope ≈ −1, and a
+      // synthetic/templated corpus (like this fixture) shows up precisely
+      // by deviating — the curation signal. One map-side-combined vocab
+      // count, top-100 via TakeOrderedAndProject (never a global sort or
+      // an unbounded window — the rank is assigned AFTER the top-k, over
+      // 100 rows), then the closed-form fit on the bounded frame. ln is
+      // REAL-collapsed (lnR); the fit arithmetic is the shared learning-
+      // curve moment text.
+      (s, dir) => {
+        val top = T.documents(s, dir).transform(T.fanOut(_, col("doc_id")))
+          .selectExpr("explode(filter(split(text, ' '), t -> t <> '')) AS t")
+          .select(lower(col("t")).as("term"))
+          .groupBy("term").agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("term")).limit(100)
+        val rw = Window.orderBy(col("cnt").desc, col("term"))
+        top.withColumn("rank", row_number().over(rw))
+          .selectExpr(
+            "CAST(CAST(ln(CAST(rank AS DOUBLE)) AS FLOAT) AS DOUBLE) AS lx",
+            "CAST(CAST(ln(CAST(cnt AS DOUBLE)) AS FLOAT) AS DOUBLE) AS ly")
+          .agg(count(lit(1)).cast("double").as("nd"),
+            T.xsum(col("lx")).as("sx"), T.xsum(col("ly")).as("sy"),
+            T.xsum(col("lx") * col("lx")).as("sxx"),
+            T.xsum(col("lx") * col("ly")).as("sxy"),
+            T.xsum(col("ly") * col("ly")).as("syy"))
+          .selectExpr("*",
+            "(nd * sxy - sx * sy) / (nd * sxx - sx * sx) AS slope")
+          .selectExpr("*", "(sy - slope * sx) / nd AS icept",
+            "((nd * sxy - sx * sy) * (nd * sxy - sx * sy)) / ((nd * sxx - sx * sx) * (nd * syy - sy * sy)) AS r2")
+          .selectExpr("CAST(nd AS BIGINT) AS n_terms",
+            "round(slope, 6) AS zipf_slope",
+            "round(icept, 6) AS intercept", "round(r2, 6) AS r2")
+      },
+      Some(s"""WITH tk AS (SELECT lower(t) AS term FROM (
+                   SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS t
+                   FROM documents) x),
+                 top AS (SELECT term, count(*) AS cnt FROM tk GROUP BY term
+                         ORDER BY cnt DESC, term LIMIT 100),
+                 rkd AS (SELECT cnt,
+                     row_number() OVER (ORDER BY cnt DESC, term) AS rank
+                   FROM top),
+                 lg AS (SELECT
+                     CAST(CAST(ln(CAST(rank AS DOUBLE)) AS REAL) AS DOUBLE) AS lx,
+                     CAST(CAST(ln(CAST(cnt AS DOUBLE)) AS REAL) AS DOUBLE) AS ly
+                   FROM rkd),
+                 m AS (SELECT CAST(count(*) AS DOUBLE) AS nd,
+                     ${T.sqlXsum("lx")} AS sx, ${T.sqlXsum("ly")} AS sy,
+                     ${T.sqlXsum("lx * lx")} AS sxx, ${T.sqlXsum("lx * ly")} AS sxy,
+                     ${T.sqlXsum("ly * ly")} AS syy
+                   FROM lg),
+                 s1 AS (SELECT *, (nd * sxy - sx * sy) / (nd * sxx - sx * sx) AS slope FROM m),
+                 s2 AS (SELECT *, (sy - slope * sx) / nd AS icept,
+                     ((nd * sxy - sx * sy) * (nd * sxy - sx * sy)) / ((nd * sxx - sx * sx) * (nd * syy - sy * sy)) AS r2
+                   FROM s1)
+               SELECT CAST(nd AS BIGINT) AS n_terms,
+                 round(slope, 6) AS zipf_slope,
+                 round(icept, 6) AS intercept, round(r2, 6) AS r2
+               FROM s2"""))
   )
 }

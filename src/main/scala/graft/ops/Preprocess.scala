@@ -724,7 +724,73 @@ object Preprocess {
                  round(m1, 6) AS scale_mean, round(s1, 6) AS scale_std,
                  round(slope, 6) AS slope, round(icept, 6) AS intercept,
                  round(sqrt((syy + nd * icept * icept + slope * slope * szz - 2 * icept * sy - 2 * slope * szy + 2 * icept * slope * sz) / nd), 6) AS rmse_train
-               FROM r3"""))
+               FROM r3""")),
+
+    QueryDef(
+      "ml_select_kbest",
+      // SelectKBest(f_regression, k=2) — univariate feature selection, the
+      // screening pass a wide-feature pipeline runs before paying for a
+      // full fit: per-feature F = r²(n−2)/(1−r²) from the SAME single
+      // moment pass (11 sums: y's moments shared across features, one
+      // (Σx, Σx², Σxy) block per feature — adding features adds 3 sums,
+      // never a pass). The 3-row score frame unpivots in-plan; rank is a
+      // window over it (bounded by the FEATURE count, not data). Output:
+      // feature, F, rank, and the k=2 selection flag. r² and F are
+      // shared-text doubles off the exact decimal wire.
+      (s, dir) => {
+        val rw = Window.orderBy(col("f_stat").desc, col("feature"))
+        T.lineitem(s, dir).select(
+          col("l_quantity").cast("double").as("x1"),
+          col("l_discount").cast("double").as("x2"),
+          col("l_tax").cast("double").as("x3"),
+          col("l_extendedprice").cast("double").as("y"))
+          .transform(T.fanOut(_))
+          .agg(count(lit(1)).cast("double").as("nd"),
+            T.xsum(col("y")).as("sy"), T.xsum(col("y") * col("y")).as("syy"),
+            T.xsum(col("x1")).as("s1"), T.xsum(col("x1") * col("x1")).as("s11"),
+            T.xsum(col("x1") * col("y")).as("s1y"),
+            T.xsum(col("x2")).as("s2"), T.xsum(col("x2") * col("x2")).as("s22"),
+            T.xsum(col("x2") * col("y")).as("s2y"),
+            T.xsum(col("x3")).as("s3"), T.xsum(col("x3") * col("x3")).as("s33"),
+            T.xsum(col("x3") * col("y")).as("s3y"))
+          .selectExpr("nd", "sy", "syy",
+            "stack(3, 'quantity', s1, s11, s1y, 'discount', s2, s22, s2y, 'tax', s3, s33, s3y) AS (feature, sx, sxx, sxy)")
+          .selectExpr("feature", "nd",
+            "((nd * sxy - sx * sy) * (nd * sxy - sx * sy)) / ((nd * sxx - sx * sx) * (nd * syy - sy * sy)) AS r2")
+          .selectExpr("feature", "r2 * (nd - 2) / (1e0 - r2) AS f_stat")
+          .select(col("feature"), round(col("f_stat"), 4).as("f_stat"),
+            row_number().over(rw).as("rank"))
+          .selectExpr("feature", "f_stat", "rank",
+            "CASE WHEN rank <= 2 THEN 1 ELSE 0 END AS selected")
+          .orderBy("rank")
+      },
+      Some(s"""WITH l AS (SELECT CAST(l_quantity AS DOUBLE) AS x1,
+                   CAST(l_discount AS DOUBLE) AS x2,
+                   CAST(l_tax AS DOUBLE) AS x3,
+                   CAST(l_extendedprice AS DOUBLE) AS y
+                 FROM lineitem),
+                 m AS (SELECT CAST(count(*) AS DOUBLE) AS nd,
+                     ${T.sqlXsum("y")} AS sy, ${T.sqlXsum("y * y")} AS syy,
+                     ${T.sqlXsum("x1")} AS s1, ${T.sqlXsum("x1 * x1")} AS s11,
+                     ${T.sqlXsum("x1 * y")} AS s1y,
+                     ${T.sqlXsum("x2")} AS s2, ${T.sqlXsum("x2 * x2")} AS s22,
+                     ${T.sqlXsum("x2 * y")} AS s2y,
+                     ${T.sqlXsum("x3")} AS s3, ${T.sqlXsum("x3 * x3")} AS s33,
+                     ${T.sqlXsum("x3 * y")} AS s3y
+                   FROM l),
+                 u AS (SELECT nd, sy, syy, 'quantity' AS feature, s1 AS sx, s11 AS sxx, s1y AS sxy FROM m
+                       UNION ALL SELECT nd, sy, syy, 'discount', s2, s22, s2y FROM m
+                       UNION ALL SELECT nd, sy, syy, 'tax', s3, s33, s3y FROM m),
+                 r AS (SELECT feature, nd,
+                     ((nd * sxy - sx * sy) * (nd * sxy - sx * sy)) / ((nd * sxx - sx * sx) * (nd * syy - sy * sy)) AS r2
+                   FROM u),
+                 f AS (SELECT feature, r2 * (nd - 2) / (1e0 - r2) AS f_stat FROM r),
+                 rk AS (SELECT feature, round(f_stat, 4) AS f_stat,
+                     row_number() OVER (ORDER BY f_stat DESC, feature) AS rank
+                   FROM f)
+               SELECT feature, f_stat, rank,
+                 CASE WHEN rank <= 2 THEN 1 ELSE 0 END AS selected
+               FROM rk ORDER BY rank"""))
   )
 
   /** Chan's pairwise merge of (n, mean, M2), folded shard 0→3 in fixed

@@ -293,6 +293,49 @@ object Relational {
                   ON e.user_id = c.user_id AND c.us <= e.us) t
               WHERE rn = 1 ORDER BY user_id, err_id""")),
 
+    QueryDef(
+      "join_asof_nearest",
+      // merge_asof(direction='nearest') — the remaining as-of direction
+      // next to join_asof's backward: each error matches the click of the
+      // same user CLOSEST in time, either side. Same partition-local
+      // equi-join shape (user_id is the shuffle key; per-user pair cost);
+      // the pick is row_number over (|Δt|, click_us, click_id) — ties at
+      // equal distance break toward the PRIOR click then the smaller id
+      // (deterministic where pandas/cudf leave it unspecified). lag_us is
+      // SIGNED: negative = the match is a later click (forward). Same
+      // 100 TB scale-up note as join_asof (sorted per-user buckets).
+      (s, dir) => {
+        val e = T.events(s, dir).select(
+          col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts").cast("timestamp")).as("us"))
+        val err = e.where(col("event_type") === "error")
+          .select(col("user_id"), col("event_id").as("err_id"), col("us").as("err_us"))
+        val clk = e.where(col("event_type") === "click")
+          .select(col("user_id").as("user_c"), col("event_id").as("click_id"), col("us").as("click_us"))
+        val w = Window.partitionBy(col("err_id"))
+          .orderBy(abs(col("click_us") - col("err_us")), col("click_us"), col("click_id"))
+        err.join(clk, col("user_id") === col("user_c"))
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .select(col("user_id"), col("err_id"), col("err_us"), col("click_id"),
+            (col("err_us") - col("click_us")).as("lag_us"),
+            when(col("click_us") <= col("err_us"), lit("backward"))
+              .otherwise(lit("forward")).as("direction"))
+          .orderBy("user_id", "err_id")
+      },
+      Some("""SELECT user_id, err_id, err_us, click_id, lag_us, direction FROM (
+                SELECT e.user_id, e.event_id AS err_id, e.us AS err_us,
+                  c.event_id AS click_id, e.us - c.us AS lag_us,
+                  CASE WHEN c.us <= e.us THEN 'backward' ELSE 'forward' END AS direction,
+                  row_number() OVER (PARTITION BY e.event_id
+                                     ORDER BY abs(c.us - e.us), c.us, c.event_id) AS rn
+                FROM (SELECT * FROM (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events) x
+                      WHERE event_type = 'error') e
+                JOIN (SELECT * FROM (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events) y
+                      WHERE event_type = 'click') c
+                  ON e.user_id = c.user_id) t
+              WHERE rn = 1 ORDER BY user_id, err_id""")),
+
     // ----------------------------------------------------- §2.6 sorts/limits
     QueryDef(
       "sort_multi_key",

@@ -1469,4 +1469,41 @@ class MicroSpec extends SparkSpec {
       assert(rate >= 0.0 && rate <= 1.0)
     }
   }
+
+  test("join_asof_nearest: dominates the backward as-of on shared keys (r7)") {
+    val near = q("join_asof_nearest").collect()
+      .map(r => r.getAs[Long]("err_id") -> r).toMap
+    val back = q("join_asof").collect()
+      .map(r => r.getAs[Long]("err_id") -> r.getAs[Long]("lag_us")).toMap
+    assert(near.size >= back.size,
+      "nearest matches every error backward does (and the click-before-first ones)")
+    back.foreach { case (id, lagB) =>
+      val lagN = near(id).getAs[Long]("lag_us")
+      assert(math.abs(lagN) <= math.abs(lagB),
+        s"err $id: nearest |$lagN| worse than backward |$lagB|")
+    }
+    near.values.foreach { r =>
+      val d = r.getAs[String]("direction")
+      val lag = r.getAs[Long]("lag_us")
+      assert(if (d == "backward") lag >= 0 else lag < 0,
+        s"direction $d inconsistent with signed lag $lag")
+    }
+  }
+
+  test("ml_select_kbest: k=2 selection over descending F scores (r7)") {
+    val rows = q("ml_select_kbest").orderBy(col("rank")).collect()
+    assert(rows.length == 3)
+    assert(rows.map(_.getAs[Int]("rank")).toSeq == Seq(1, 2, 3))
+    val fs = rows.map(_.getAs[Double]("f_stat"))
+    assert(fs.forall(_ >= 0) && fs.zip(fs.tail).forall { case (a, b) => a >= b })
+    assert(rows.map(_.getAs[Int]("selected")).sum == 2)
+  }
+
+  test("text_zipf: negative log-log slope with bounded fit quality (r7)") {
+    val r = q("text_zipf").collect()(0)
+    assert(r.getAs[Long]("n_terms") > 10)
+    assert(r.getAs[Double]("zipf_slope") < 0, "frequency must fall with rank")
+    val r2 = r.getAs[Double]("r2")
+    assert(r2 >= 0 && r2 <= 1)
+  }
 }
