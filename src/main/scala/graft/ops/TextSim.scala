@@ -395,6 +395,62 @@ object TextSim {
                SELECT source, count(*) AS n_train,
                  CAST(sum(flag) AS BIGINT) AS n_contaminated,
                  round(CAST(sum(flag) AS DOUBLE) / count(*), 6) AS contamination_rate
-               FROM fl GROUP BY source ORDER BY source"""))
+               FROM fl GROUP BY source ORDER BY source""")),
+
+    QueryDef(
+      "text_lsa_power",
+      // Latent Semantic Analysis — TruncatedSVD(k=1) on the SPARSE tf-idf
+      // matrix, the classic topic extraction (cuml TruncatedSVD over
+      // feature_extraction.text [R]), done the way a sparse matrix must be
+      // at scale: the singular vector lives as a TABLE (term, v) — Heaps'
+      // law makes the vocabulary unbroadcastable at 100 TB — and each
+      // power-iteration step A'(A·v) is two sparse-matrix products
+      // expressed as equi-join + groupBy (u over docs, v' over terms); no
+      // dense vector, no driver-held state, no gram matrix. A is built
+      // once and FROZEN (Tables.freeze) so the 3 iterations' 6 references
+      // reuse its shuffle files instead of replaying the tf-idf join.
+      // All-ones init; A ≥ 0 keeps the iterate nonnegative (Perron), so
+      // the sign is stable and deterministic. Sums ride the exact decimal
+      // wire over REAL-collapsed tf-idf weights. Output: the top-10 topic
+      // loadings.
+      (s, dir) => {
+        val dt = docTerms(s, dir)
+        val ntot = T.documents(s, dir).agg(count(lit(1)).as("n_total"))
+        val dfx = dt.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+        val tf = dt.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val a = T.freeze(tf.join(dfx, "term").crossJoin(broadcast(ntot))
+          .selectExpr("doc_id", "term",
+            "CAST(CAST(tf * ln(CAST(n_total AS DOUBLE) / df) AS FLOAT) AS DOUBLE) AS w"))
+        var v = a.select(col("term")).distinct().withColumn("v", lit(1.0))
+        for (_ <- 1 to 3) {
+          val u = a.join(v, "term")
+            .groupBy("doc_id").agg(T.xsum(col("w") * col("v")).as("u"))
+          val vp = a.join(u, "doc_id")
+            .groupBy("term").agg(T.xsum(col("w") * col("u")).as("vp"))
+          val nrm = vp.agg(sqrt(T.xsum(col("vp") * col("vp"))).as("nrm"))
+          v = vp.crossJoin(broadcast(nrm)).selectExpr("term", "vp / nrm AS v")
+        }
+        v.orderBy(col("v").desc, col("term")).limit(10)
+          .select(col("term"), round(col("v"), 6).as("loading"))
+      },
+      Some(s"""WITH dt0 AS ($sqlDocTerms),
+                 dt AS (SELECT doc_id, term FROM dt0 WHERE term <> ''),
+                 ntot AS (SELECT count(*) AS n_total FROM documents),
+                 dfx AS (SELECT term, count(DISTINCT doc_id) AS df FROM dt GROUP BY term),
+                 tf AS (SELECT doc_id, term, count(*) AS tf FROM dt GROUP BY doc_id, term),
+                 a AS (SELECT doc_id, term,
+                     CAST(CAST(tf * ln(CAST(n_total AS DOUBLE) / df) AS REAL) AS DOUBLE) AS w
+                   FROM tf JOIN dfx USING (term) CROSS JOIN ntot),
+                 v0 AS (SELECT DISTINCT term, 1e0 AS v FROM a),
+                 ${(1 to 3).map { k =>
+                   s"""u$k AS (SELECT doc_id, ${T.sqlXsum("w * v")} AS u
+                        FROM a JOIN v${k - 1} USING (term) GROUP BY doc_id),
+                 vp$k AS (SELECT term, ${T.sqlXsum("w * u")} AS vp
+                        FROM a JOIN u$k USING (doc_id) GROUP BY term),
+                 n$k AS (SELECT sqrt(${T.sqlXsum("vp * vp")}) AS nrm FROM vp$k),
+                 v$k AS (SELECT term, vp / nrm AS v FROM vp$k, n$k)"""
+                 }.mkString(",\n                 ")}
+               SELECT term, round(v, 6) AS loading
+               FROM v3 ORDER BY v DESC, term LIMIT 10"""))
   )
 }

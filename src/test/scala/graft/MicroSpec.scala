@@ -1499,6 +1499,17 @@ class MicroSpec extends SparkSpec {
     assert(rows.map(_.getAs[Int]("selected")).sum == 2)
   }
 
+  test("text_lsa_power: nonnegative unit-bounded descending topic loadings (r7)") {
+    val rows = q("text_lsa_power").collect()
+    assert(rows.length == 10)
+    val ls = rows.map(_.getAs[Double]("loading"))
+    assert(ls.forall(_ >= 0), "A >= 0 keeps the Perron iterate nonnegative")
+    assert(ls.zip(ls.tail).forall { case (a, b) => a >= b }, "descending")
+    assert(ls.map(x => x * x).sum <= 1.0 + 1e-6,
+      "top-10 energy of a unit vector cannot exceed 1")
+    assert(ls.head > 0.1, "the dominant topic direction must carry real mass")
+  }
+
   test("text_zipf: negative log-log slope with bounded fit quality (r7)") {
     val r = q("text_zipf").collect()(0)
     assert(r.getAs[Long]("n_terms") > 10)
