@@ -264,6 +264,90 @@ object Streaming {
                SELECT user_id, count(*) AS n_bursts,
                  min(us) AS first_burst_end_us,
                  max(us) AS last_burst_end_us
-               FROM burst GROUP BY user_id ORDER BY user_id"""))
+               FROM burst GROUP BY user_id ORDER BY user_id""")),
+
+    QueryDef(
+      "stream_retention",
+      // Cohort retention — the product-analytics matrix: cohort = each
+      // user's first-activity day; cell (cohort_day, offset) = how many
+      // of that cohort were active `offset` days later. Three bounded
+      // aggregations: per-user first day (one groupBy), per-(user, day)
+      // activity (map-side-combined distinct), then the cohort×offset
+      // count — the join is user-keyed (co-partitioned with the first
+      // aggregate's shuffle). Day = epoch-days integer division (exact
+      // both engines). Output bounded by days² regardless of corpus
+      // size; offsets limited to the first week for a stable report.
+      (s, dir) => {
+        val e = ev(s, dir).selectExpr("user_id", "us div 86400000000 AS day")
+        val first = e.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+        val active = e.distinct()
+        val cohortSize = first.groupBy("cohort_day")
+          .agg(count(lit(1)).as("n_cohort"))
+        active.join(first, "user_id")
+          .select(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"), col("user_id"))
+          .where(col("day_offset") <= 7)
+          .groupBy("cohort_day", "day_offset")
+          .agg(countDistinct(col("user_id")).as("n_active"))
+          .join(broadcast(cohortSize), "cohort_day")
+          .selectExpr("cohort_day", "day_offset", "n_active", "n_cohort",
+            "round(CAST(n_active AS DOUBLE) / n_cohort, 6) AS retention")
+          .orderBy("cohort_day", "day_offset")
+      },
+      Some(s"""WITH e AS (SELECT DISTINCT user_id,
+                   CAST(us // 86400000000 AS BIGINT) AS day
+                 FROM ($sqlEv) x),
+                 fd AS (SELECT user_id, min(day) AS cohort_day
+                           FROM e GROUP BY user_id),
+                 cs AS (SELECT cohort_day, count(*) AS n_cohort
+                        FROM fd GROUP BY cohort_day),
+                 act AS (SELECT cohort_day, day - cohort_day AS day_offset, e.user_id
+                         FROM e JOIN fd USING (user_id)
+                         WHERE day - cohort_day <= 7)
+               SELECT cohort_day, day_offset,
+                 count(DISTINCT user_id) AS n_active, n_cohort,
+                 round(CAST(count(DISTINCT user_id) AS DOUBLE) / n_cohort, 6) AS retention
+               FROM act JOIN cs USING (cohort_day)
+               GROUP BY cohort_day, day_offset, n_cohort
+               ORDER BY cohort_day, day_offset""")),
+
+    QueryDef(
+      "stream_rolling_dau",
+      // Daily active users + the 7-day rolling distinct-user count — the
+      // growth dashboard's two headline series. DAU is one
+      // map-side-combined distinct per day; the ROLLING distinct is NOT a
+      // window sum of DAU (users repeat across days — the classic
+      // mistake): it re-counts distinct users over each trailing 7-day
+      // set, expressed as the (user, day) activity set exploded to the ≤7
+      // windows each activity day serves — bounded ×7 amplification of an
+      // already day-deduplicated set, then one distinct count per window
+      // day. Both series exact at any scale; output bounded by the day
+      // span.
+      (s, dir) => {
+        val act = ev(s, dir).selectExpr("user_id", "us div 86400000000 AS day").distinct()
+        val dau = act.groupBy("day").agg(countDistinct(col("user_id")).as("dau"))
+        val span = act.agg(max(col("day")).as("max_day"))
+        val rolling = act.crossJoin(broadcast(span))
+          .select(col("user_id"), col("day"),
+            explode(expr("sequence(day, least(day + 6, max_day))")).as("win_day"))
+          .groupBy("win_day")
+          .agg(countDistinct(col("user_id")).as("rolling7_au"))
+        dau.join(rolling, col("day") === col("win_day"))
+          .select(col("day"), col("dau"), col("rolling7_au"))
+          .orderBy("day")
+      },
+      Some(s"""WITH act AS (SELECT DISTINCT user_id,
+                   CAST(us // 86400000000 AS BIGINT) AS day
+                 FROM ($sqlEv) x),
+                 dau AS (SELECT day, count(DISTINCT user_id) AS dau
+                         FROM act GROUP BY day),
+                 span AS (SELECT max(day) AS max_day FROM act),
+                 ex AS (SELECT user_id,
+                     unnest(generate_series(day, least(day + 6, max_day))) AS win_day
+                   FROM act CROSS JOIN span),
+                 roll AS (SELECT win_day, count(DISTINCT user_id) AS rolling7_au
+                          FROM ex GROUP BY win_day)
+               SELECT day, dau, rolling7_au
+               FROM dau JOIN roll ON day = win_day
+               ORDER BY day"""))
   )
 }

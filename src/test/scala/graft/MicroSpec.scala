@@ -1499,6 +1499,29 @@ class MicroSpec extends SparkSpec {
     assert(rows.map(_.getAs[Int]("selected")).sum == 2)
   }
 
+  test("stream_retention: full cohort at offset 0, bounded retention after (r7)") {
+    val rows = q("stream_retention").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_active") <= r.getAs[Long]("n_cohort"))
+      val ret = r.getAs[Double]("retention")
+      assert(ret > 0 && ret <= 1.0)
+      if (r.getAs[Long]("day_offset") == 0L)
+        assert(ret == 1.0, "every cohort member is active on their first day")
+    }
+  }
+
+  test("stream_rolling_dau: the trailing-7 distinct count dominates DAU (r7)") {
+    val rows = q("stream_rolling_dau").collect()
+    assert(rows.nonEmpty)
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("rolling7_au") >= r.getAs[Long]("dau"),
+        "a trailing window can only add users")
+      assert(r.getAs[Long]("rolling7_au") <= users)
+    }
+  }
+
   test("text_lsa_power: nonnegative unit-bounded descending topic loadings (r7)") {
     val rows = q("text_lsa_power").collect()
     assert(rows.length == 10)
