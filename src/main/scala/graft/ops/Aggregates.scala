@@ -533,6 +533,52 @@ object Aggregates {
                    FROM counts)
                SELECT source, CAST(sum(c) AS BIGINT) AS n_docs,
                  round(-(${T.sqlXsum("p * ln(p)")}), 6) AS entropy
-               FROM ps GROUP BY source ORDER BY source"""))
+               FROM ps GROUP BY source ORDER BY source""")),
+
+    QueryDef(
+      "agg_describe",
+      // DataFrame.describe() — the cudf/pandas profiling staple [R]: per
+      // numeric column count / mean / SAMPLE std / min / p25 / p50 / p75
+      // / max, in long format. One unpivot (stack — a pure map) + one
+      // groupBy(feature): moments ride the exact decimal wire; quantiles
+      // are EXACT interpolated percentiles (Spark `percentile` ↔ DuckDB
+      // `quantile_cont`, the ml_median_abs_error-proven pairing). SCALE
+      // NOTE (as there): exact percentile holds all group values — the
+      // production swap is approx_percentile (t-digest), same plan shape;
+      // the moment columns are already scale-free.
+      (s, dir) => {
+        T.lineitem(s, dir)
+          .selectExpr(
+            "stack(3, 'quantity', CAST(l_quantity AS DOUBLE), 'extendedprice', CAST(l_extendedprice AS DOUBLE), 'discount', CAST(l_discount AS DOUBLE)) AS (feature, v)")
+          .groupBy("feature")
+          .agg(count(lit(1)).as("n"),
+            T.xsum(col("v")).as("sv"), T.xsum(col("v") * col("v")).as("svv"),
+            min(col("v")).as("min_v"), max(col("v")).as("max_v"),
+            expr("percentile(v, 0.25)").as("q25"),
+            expr("percentile(v, 0.5)").as("q50"),
+            expr("percentile(v, 0.75)").as("q75"))
+          .selectExpr("feature", "n",
+            "round(sv / n, 6) AS mean",
+            "round(sqrt((svv - sv * sv / n) / (n - 1)), 6) AS std",
+            "min_v AS min", "round(q25, 6) AS p25", "round(q50, 6) AS p50",
+            "round(q75, 6) AS p75", "max_v AS max")
+          .orderBy("feature")
+      },
+      Some(s"""WITH u AS (SELECT 'quantity' AS feature, CAST(l_quantity AS DOUBLE) AS v FROM lineitem
+                   UNION ALL SELECT 'extendedprice', CAST(l_extendedprice AS DOUBLE) FROM lineitem
+                   UNION ALL SELECT 'discount', CAST(l_discount AS DOUBLE) FROM lineitem),
+                 m AS (SELECT feature, count(*) AS n,
+                     ${T.sqlXsum("v")} AS sv, ${T.sqlXsum("v * v")} AS svv,
+                     min(v) AS min_v, max(v) AS max_v,
+                     quantile_cont(v, 0.25) AS q25,
+                     quantile_cont(v, 0.5) AS q50,
+                     quantile_cont(v, 0.75) AS q75
+                   FROM u GROUP BY feature)
+               SELECT feature, n,
+                 round(sv / n, 6) AS mean,
+                 round(sqrt((svv - sv * sv / n) / (n - 1)), 6) AS std,
+                 min_v AS min, round(q25, 6) AS p25, round(q50, 6) AS p50,
+                 round(q75, 6) AS p75, max_v AS max
+               FROM m ORDER BY feature"""))
   )
 }

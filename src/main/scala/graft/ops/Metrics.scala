@@ -1245,7 +1245,79 @@ object Metrics {
                  e AS (SELECT CAST(unnest([0.1, 0.2, 0.3, 0.5]) AS DOUBLE) AS eps)
                SELECT eps, n,
                  CAST(floor(4.0 * CAST(CAST(ln(CAST(n AS DOUBLE)) AS REAL) AS DOUBLE) / (eps * eps / 2 - eps * eps * eps / 3)) AS BIGINT) AS min_dim
-               FROM n CROSS JOIN e ORDER BY eps"""))
+               FROM n CROSS JOIN e ORDER BY eps""")),
+
+    QueryDef(
+      "ml_corr_matrix",
+      // DataFrame.corr() — the cudf/pandas correlation matrix [R] over
+      // (quantity, extendedprice, discount, tax): ALL 6 pairwise Pearson
+      // coefficients from ONE moment pass (4 sums + 4 squares + 6 cross
+      // products + count = 15 aggregates; adding a feature adds k+2 sums,
+      // never a pass), unpivoted in-plan to the long (f1, f2, corr) form.
+      // The closed form is the shared learning-curve/select-kbest moment
+      // text; everything rides the exact decimal wire.
+      (s, dir) => {
+        val names = Seq("q" -> "quantity", "p" -> "extendedprice",
+          "d" -> "discount", "t" -> "tax")
+        val pairs = for {
+          i <- names.indices; j <- names.indices if i < j
+        } yield (names(i), names(j))
+        val stackArgs = pairs.map { case ((a, an), (b, bn)) =>
+          s"'$an', '$bn', s$a, s$b, s$a$a, s$b$b, s$a$b"
+        }.mkString(", ")
+        T.lineitem(s, dir).select(
+          col("l_quantity").cast("double").as("q"),
+          col("l_extendedprice").cast("double").as("p"),
+          col("l_discount").cast("double").as("d"),
+          col("l_tax").cast("double").as("t"))
+          .transform(T.fanOut(_))
+          .agg(count(lit(1)).cast("double").as("nd"),
+            T.xsum(col("q")).as("sq"), T.xsum(col("p")).as("sp"),
+            T.xsum(col("d")).as("sd"), T.xsum(col("t")).as("st"),
+            T.xsum(col("q") * col("q")).as("sqq"),
+            T.xsum(col("p") * col("p")).as("spp"),
+            T.xsum(col("d") * col("d")).as("sdd"),
+            T.xsum(col("t") * col("t")).as("stt"),
+            T.xsum(col("q") * col("p")).as("sqp"),
+            T.xsum(col("q") * col("d")).as("sqd"),
+            T.xsum(col("q") * col("t")).as("sqt"),
+            T.xsum(col("p") * col("d")).as("spd"),
+            T.xsum(col("p") * col("t")).as("spt"),
+            T.xsum(col("d") * col("t")).as("sdt"))
+          .selectExpr("nd",
+            s"stack(${pairs.size}, $stackArgs) AS (f1, f2, sx, sy, sxx, syy, sxy)")
+          .selectExpr("f1", "f2",
+            "round((nd * sxy - sx * sy) / sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy)), 6) + 0 AS corr")
+          .orderBy("f1", "f2")
+      },
+      Some {
+        val names = Seq("q" -> "quantity", "p" -> "extendedprice",
+          "d" -> "discount", "t" -> "tax")
+        val pairs = for {
+          i <- names.indices; j <- names.indices if i < j
+        } yield (names(i), names(j))
+        val arms = pairs.map { case ((a, an), (b, bn)) =>
+          s"SELECT nd, '$an' AS f1, '$bn' AS f2, s$a AS sx, s$b AS sy, s$a$a AS sxx, s$b$b AS syy, s$a$b AS sxy FROM m"
+        }.mkString("\n                       UNION ALL ")
+        s"""WITH l AS (SELECT CAST(l_quantity AS DOUBLE) AS q,
+                   CAST(l_extendedprice AS DOUBLE) AS p,
+                   CAST(l_discount AS DOUBLE) AS d,
+                   CAST(l_tax AS DOUBLE) AS t
+                 FROM lineitem),
+                 m AS (SELECT CAST(count(*) AS DOUBLE) AS nd,
+                     ${T.sqlXsum("q")} AS sq, ${T.sqlXsum("p")} AS sp,
+                     ${T.sqlXsum("d")} AS sd, ${T.sqlXsum("t")} AS st,
+                     ${T.sqlXsum("q * q")} AS sqq, ${T.sqlXsum("p * p")} AS spp,
+                     ${T.sqlXsum("d * d")} AS sdd, ${T.sqlXsum("t * t")} AS stt,
+                     ${T.sqlXsum("q * p")} AS sqp, ${T.sqlXsum("q * d")} AS sqd,
+                     ${T.sqlXsum("q * t")} AS sqt, ${T.sqlXsum("p * d")} AS spd,
+                     ${T.sqlXsum("p * t")} AS spt, ${T.sqlXsum("d * t")} AS sdt
+                   FROM l),
+                 u AS ($arms)
+               SELECT f1, f2,
+                 round((nd * sxy - sx * sy) / sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy)), 6) + 0 AS corr
+               FROM u ORDER BY f1, f2"""
+      })
   )
 
   /** knnPredLang's oracle CTE chain (ML.sqlKnnPredCtes), referenced via a

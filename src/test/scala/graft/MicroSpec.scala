@@ -1499,6 +1499,38 @@ class MicroSpec extends SparkSpec {
     assert(rows.map(_.getAs[Int]("selected")).sum == 2)
   }
 
+  test("agg_describe: ordered quantiles inside the min/max envelope (r7)") {
+    val rows = q("agg_describe").collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      val (mn, mx) = (r.getAs[Double]("min"), r.getAs[Double]("max"))
+      val qs = Seq(r.getAs[Double]("p25"), r.getAs[Double]("p50"), r.getAs[Double]("p75"))
+      assert(qs.zip(qs.tail).forall { case (a, b) => a <= b }, "quantiles ordered")
+      assert(mn <= qs.head && qs.last <= mx, "quantiles inside [min, max]")
+      assert(r.getAs[Double]("std") > 0)
+      val mean = r.getAs[Double]("mean")
+      assert(mean >= mn && mean <= mx)
+    }
+  }
+
+  test("ml_corr_matrix: symmetric-bounded coefficients, known sign structure (r7)") {
+    val rows = q("ml_corr_matrix").collect()
+    assert(rows.length == 6, "4 features -> 6 upper-triangle pairs")
+    rows.foreach { r =>
+      val c = r.getAs[Double]("corr")
+      assert(c >= -1.0 && c <= 1.0, s"corr $c outside [-1, 1]")
+    }
+    // the fixture columns are independently generated: every coefficient
+    // should be near zero — a large value would mean a moment-wiring bug
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("corr")) < 0.2,
+        s"${r.getAs[String]("f1")}~${r.getAs[String]("f2")} corr " +
+          s"${r.getAs[Double]("corr")} too large for independent columns")
+    }
+    val pairs = rows.map(r => (r.getAs[String]("f1"), r.getAs[String]("f2"))).toSet
+    assert(pairs.size == 6, "all pairs distinct")
+  }
+
   test("stream_retention: full cohort at offset 0, bounded retention after (r7)") {
     val rows = q("stream_retention").collect()
     assert(rows.nonEmpty)
