@@ -371,6 +371,38 @@ object Aggregates {
               ORDER BY user_id, event_id""")),
 
     QueryDef(
+      "win_range_frame",
+      // The RANGE-frame window — the time-based sibling of
+      // win_frame_moving's ROWS frame: per user, count and exact decimal
+      // sum of activity in the TRAILING HOUR (RANGE BETWEEN 3600e6
+      // PRECEDING AND CURRENT ROW over the micros timeline). RANGE
+      // includes ALL peers at equal us, so the frame is deterministic
+      // even under timestamp ties (where a ROWS frame would depend on
+      // tie order) — that is the feature, and why the single-column
+      // ORDER BY is required. Partitioned by user_id (unbounded key —
+      // scale-safe); the decimal sum is order-free.
+      // ORACLE FORM: trailing global sort for hash-match; PRODUCTION
+      // FORM reuses the window's per-user ordering.
+      (s, dir) => {
+        val e = T.events(s, dir).select(
+          col("user_id"), col("event_id"), col("value"),
+          unix_micros(col("ts").cast("timestamp")).as("us"))
+        val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+          .rangeBetween(-3600L * 1000000L, 0)
+        e.select(col("user_id"), col("event_id"),
+            count(lit(1)).over(w).as("n_trailing_1h"),
+            sum(col("value").cast(T.money)).over(w).cast("double").as("sum_trailing_1h"))
+          .orderBy("user_id", "event_id")
+      },
+      Some("""SELECT user_id, event_id,
+                count(*) OVER w AS n_trailing_1h,
+                CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sum_trailing_1h
+              FROM (SELECT user_id, event_id, value, epoch_us(ts) AS us FROM events) t
+              WINDOW w AS (PARTITION BY user_id ORDER BY us
+                           RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+              ORDER BY user_id, event_id""")),
+
+    QueryDef(
       "win_running_sum",
       // Cumulative revenue per customer — running DECIMAL sum is exact, so
       // every prefix matches DuckDB bit-for-bit.

@@ -216,6 +216,39 @@ object Scalars {
                 last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
                   OVER (PARTITION BY user_id ORDER BY ts, event_id
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase
-              FROM events ORDER BY user_id, event_id"""))
+              FROM events ORDER BY user_id, event_id""")),
+
+    QueryDef(
+      "fn_bitwise",
+      // Bitwise scalar + aggregate surface — masks, shifts, popcount, and
+      // the bit_and/bit_or/bit_xor aggregates (the id-packing / bitmap /
+      // flag-word toolbox): per-row ops are exact integer arithmetic
+      // identical in both engines; the only textual divergence is XOR's
+      // spelling (Spark `^` vs DuckDB `xor()` — DuckDB's `^` is POWER, a
+      // classic cross-engine trap worth pinning). Grouped by id mod 8 —
+      // map-side-combinable, bounded 8-row output.
+      (s, dir) => T.events(s, dir)
+        .selectExpr("event_id % 8 AS g",
+          "event_id & 1023 AS masked",
+          "shiftleft(event_id, 3) AS shl",
+          "shiftright(event_id, 2) AS shr",
+          "event_id ^ 21845 AS xored",
+          "bit_count(event_id) AS pc")
+        .groupBy("g")
+        .agg(count(lit(1)).as("n"),
+          expr("bit_and(masked)").as("mask_and"),
+          expr("bit_or(masked)").as("mask_or"),
+          expr("bit_xor(xored)").as("xor_agg"),
+          sum(col("pc")).cast("long").as("popcount_sum"),
+          max(col("shl")).as("max_shl"), min(col("shr")).as("min_shr"))
+        .orderBy("g"),
+      Some("""SELECT event_id % 8 AS g, count(*) AS n,
+                bit_and(event_id & 1023) AS mask_and,
+                bit_or(event_id & 1023) AS mask_or,
+                bit_xor(xor(event_id, 21845)) AS xor_agg,
+                CAST(sum(bit_count(event_id)) AS BIGINT) AS popcount_sum,
+                max(event_id << 3) AS max_shl,
+                min(event_id >> 2) AS min_shr
+              FROM events GROUP BY g ORDER BY g"""))
   )
 }

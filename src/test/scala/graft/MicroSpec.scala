@@ -1499,6 +1499,28 @@ class MicroSpec extends SparkSpec {
     assert(rows.map(_.getAs[Int]("selected")).sum == 2)
   }
 
+  test("win_range_frame: trailing-hour frame always contains the current row (r7)") {
+    val rows = q("win_range_frame").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_trailing_1h") >= 1, "RANGE frame includes self")
+    }
+    val total = Tables.events(spark, sf).count()
+    assert(rows.length == total, "one output row per event")
+  }
+
+  test("fn_bitwise: exact integer identities across the group lanes (r7)") {
+    val rows = q("fn_bitwise").orderBy(col("g")).collect()
+    assert(rows.length == 8)
+    rows.foreach { r =>
+      val (and_, or_) = (r.getAs[Long]("mask_and"), r.getAs[Long]("mask_or"))
+      assert((and_ & or_) == and_, "AND must be a sub-mask of OR")
+      assert(or_ <= 1023, "masked inputs bound the OR")
+      assert(r.getAs[Long]("popcount_sum") >= r.getAs[Long]("n"),
+        "every nonzero id contributes at least one bit")
+    }
+  }
+
   test("agg_describe: ordered quantiles inside the min/max envelope (r7)") {
     val rows = q("agg_describe").collect()
     assert(rows.length == 3)
