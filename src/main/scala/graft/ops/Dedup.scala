@@ -366,6 +366,69 @@ object Dedup {
                ORDER BY g.doc_id""")),
 
     QueryDef(
+      "dedup_apply",
+      // The REMOVAL pass that dedup_pipeline's verdicts feed — curation's
+      // terminal step: keep only 'kept' docs (exact-dup and near-dup
+      // non-canonicals dropped), WRITE the curated corpus as
+      // lang-partitioned parquet (the layout the training reader wants —
+      // partition pruning by language for free), re-read it, and emit the
+      // per-language audit (kept vs original counts, kept chars, drop
+      // rate) a run logs before shipping the dataset. The write+re-read
+      // is the operator — the audit numbers come from the RE-READ files,
+      // so the roundtrip itself is oracle-checked (the DuckDB twin
+      // computes the same audit from the verdict logic directly). Same
+      // verdict internals as dedup_pipeline (shared gmin window +
+      // hash-to-min labels); the join onto the doc spine is map-side.
+      (s, dir) => {
+        val path = s"/tmp/graft_io/dedup_apply_${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+        val norm = T.documents(s, dir)
+          .select(col("doc_id"), T.normText(col("text")).as("nt"))
+        val gmin = norm
+          .withColumn("gmin", min(col("doc_id")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("nt"))))
+          .select(col("doc_id"), col("gmin"))
+        val lbl = minhashLabels(s, dir)
+          .select(col("v").as("doc_id"), col("lbl"))
+        val kept = gmin.join(lbl, Seq("doc_id"), "left")
+          .where(!(col("gmin") < col("doc_id")) &&
+            (col("lbl").isNull || !(col("lbl") < col("doc_id"))))
+          .select("doc_id")
+        T.documents(s, dir).join(kept, "doc_id")
+          .select("doc_id", "text", "lang", "source", "n_chars")
+          .write.mode("overwrite").partitionBy("lang").parquet(path)
+        val orig = T.documents(s, dir).groupBy("lang")
+          .agg(count(lit(1)).as("n_orig"))
+        s.read.parquet(path)
+          .groupBy("lang").agg(count(lit(1)).as("n_kept"),
+            sum(col("n_chars")).as("kept_chars"))
+          .join(orig, "lang")
+          .selectExpr("lang", "n_kept", "n_orig", "kept_chars",
+            "round(1.0 - CAST(n_kept AS DOUBLE) / n_orig, 6) + 0 AS drop_rate")
+          .orderBy("lang")
+      },
+      Some(s"""WITH RECURSIVE ${TextSim.sqlMinhashCtes},
+                 $sqlComponentCtes,
+                 norm AS (SELECT doc_id, ${T.sqlNormText("text")} AS nt
+                   FROM documents),
+                 grp AS (SELECT doc_id,
+                     min(doc_id) OVER (PARTITION BY nt) AS gmin
+                   FROM norm),
+                 kept AS (SELECT g.doc_id
+                   FROM grp g LEFT JOIN lbl l ON l.v = g.doc_id
+                   WHERE NOT (g.gmin < g.doc_id)
+                     AND (l.lbl IS NULL OR NOT (l.lbl < g.doc_id))),
+                 ko AS (SELECT lang, count(*) AS n_kept,
+                     CAST(sum(n_chars) AS BIGINT) AS kept_chars
+                   FROM documents JOIN kept USING (doc_id)
+                   GROUP BY lang),
+                 og AS (SELECT lang, count(*) AS n_orig
+                        FROM documents GROUP BY lang)
+               SELECT lang, n_kept, n_orig, kept_chars,
+                 round(1.0 - CAST(n_kept AS DOUBLE) / n_orig, 6) + 0 AS drop_rate
+               FROM ko JOIN og USING (lang)
+               ORDER BY lang""")),
+
+    QueryDef(
       "dedup_embed_cosine",
       // Embedding near-dup via the SHARED banded sign-LSH (Lsh.candidates —
       // r6 rebase, VERDICT r5 #1): candidates meet inside one of

@@ -1499,6 +1499,20 @@ class MicroSpec extends SparkSpec {
     assert(rows.map(_.getAs[Int]("selected")).sum == 2)
   }
 
+  test("dedup_apply: the written corpus agrees with the pipeline verdicts (r7)") {
+    val audit = q("dedup_apply").collect()
+    val keptFromAudit = audit.map(_.getAs[Long]("n_kept")).sum
+    val keptFromVerdicts = q("dedup_pipeline")
+      .where(col("status") === "kept").count()
+    assert(keptFromAudit == keptFromVerdicts,
+      s"roundtrip kept $keptFromAudit != verdict kept $keptFromVerdicts")
+    audit.foreach { r =>
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_orig"))
+      val d = r.getAs[Double]("drop_rate")
+      assert(d >= 0 && d < 1)
+    }
+  }
+
   test("win_range_frame: trailing-hour frame always contains the current row (r7)") {
     val rows = q("win_range_frame").collect()
     assert(rows.nonEmpty)
