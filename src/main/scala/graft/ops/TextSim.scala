@@ -425,8 +425,13 @@ object TextSim {
         for (_ <- 1 to 3) {
           val u = a.join(v, "term")
             .groupBy("doc_id").agg(T.xsum(col("w") * col("v")).as("u"))
-          val vp = a.join(u, "doc_id")
-            .groupBy("term").agg(T.xsum(col("w") * col("u")).as("vp"))
+          // freeze: vp is referenced twice (norm + division) and feeds the
+          // next iteration — without the checkpoint the logical plan
+          // doubles per iteration (measured 64 exchanges at k=3); frozen,
+          // each iteration adds a flat 4-exchange round (the dedup_cluster
+          // loop discipline)
+          val vp = T.freeze(a.join(u, "doc_id")
+            .groupBy("term").agg(T.xsum(col("w") * col("u")).as("vp")))
           val nrm = vp.agg(sqrt(T.xsum(col("vp") * col("vp"))).as("nrm"))
           v = vp.crossJoin(broadcast(nrm)).selectExpr("term", "vp / nrm AS v")
         }
