@@ -219,6 +219,42 @@ object Scalars {
               FROM events ORDER BY user_id, event_id""")),
 
     QueryDef(
+      "fn_date_arith",
+      // Date ARITHMETIC next to fn_date_extract's field extraction:
+      // add_months / last_day / datediff / month bucketing — the calendar
+      // ops a reporting layer leans on. All computed on the DATE lattice
+      // (casts pin the type: Spark date_trunc returns TIMESTAMP, DuckDB
+      // returns DATE — the cast makes both a DATE; day arithmetic is
+      // exact integer calendar math in both engines, no timezone
+      // dependence for date-typed values). Bounded: one row per order
+      // month with calendar-derived columns + counts.
+      (s, dir) => T.orders(s, dir)
+        .selectExpr("CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start",
+          "CAST(o_orderdate AS DATE) AS d")
+        .selectExpr("month_start", "d",
+          "datediff(d, month_start) AS day_in_month")
+        .groupBy("month_start")
+        .agg(count(lit(1)).as("n_orders"),
+          max(col("day_in_month")).as("max_day_in_month"))
+        .selectExpr("month_start", "n_orders", "max_day_in_month",
+          "last_day(month_start) AS month_end",
+          "add_months(month_start, 1) AS next_month_start",
+          "datediff(last_day(month_start), month_start) + 1 AS days_in_month")
+        .orderBy("month_start"),
+      Some("""WITH o AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+                   CAST(o_orderdate AS DATE) AS d
+                 FROM orders),
+                 g AS (SELECT month_start, count(*) AS n_orders,
+                     max(date_diff('day', month_start, d)) AS max_day_in_month
+                   FROM o GROUP BY month_start)
+               SELECT month_start, n_orders,
+                 CAST(max_day_in_month AS INT) AS max_day_in_month,
+                 last_day(month_start) AS month_end,
+                 CAST(month_start + INTERVAL 1 MONTH AS DATE) AS next_month_start,
+                 CAST(date_diff('day', month_start, last_day(month_start)) + 1 AS INT) AS days_in_month
+               FROM g ORDER BY month_start""")),
+
+    QueryDef(
       "fn_bitwise",
       // Bitwise scalar + aggregate surface — masks, shifts, popcount, and
       // the bit_and/bit_or/bit_xor aggregates (the id-packing / bitmap /

@@ -1523,6 +1523,20 @@ class MicroSpec extends SparkSpec {
     assert(rows.length == total, "one output row per event")
   }
 
+  test("fn_date_arith: calendar identities per month bucket (r7)") {
+    val rows = q("fn_date_arith").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val dim = r.getAs[Int]("days_in_month")
+      assert(dim >= 28 && dim <= 31, s"days_in_month $dim")
+      assert(r.getAs[Int]("max_day_in_month") < dim)
+      assert(!r.getAs[java.sql.Date]("month_end")
+        .before(r.getAs[java.sql.Date]("month_start")))
+      assert(r.getAs[java.sql.Date]("next_month_start")
+        .after(r.getAs[java.sql.Date]("month_end")))
+    }
+  }
+
   test("fn_bitwise: exact integer identities across the group lanes (r7)") {
     val rows = q("fn_bitwise").orderBy(col("g")).collect()
     assert(rows.length == 8)
