@@ -902,6 +902,129 @@ object Supervised {
                FROM pr GROUP BY rf, pred ORDER BY rf, pred""")),
 
     QueryDef(
+      "ml_gbm_round",
+      // One gradient-boosting round — the additive-stump primitive under
+      // GradientBoosting/XGBoost (whose serialized forests ml_fil_predict
+      // already scores; this is the TRAINING step): stage 1 fits the best
+      // depth-1 stump on quantity over a candidate split grid, stage 2
+      // fits a stump on discount over the stage-1 RESIDUALS. Each stage
+      // is ONE conditional moment pass (total + per-candidate left-side
+      // sums; the right side is the complement — the ml_ovo additivity
+      // trick), the split choice is an argmin over the CANDIDATE-bounded
+      // frame, and stage-1's solved one-row frame broadcasts into
+      // stage-2's residual expression. Two passes for the whole round —
+      // the distributed-histogram shape every scalable GBM uses (the
+      // grid IS the histogram bin set). Train MSE is emitted per stage;
+      // boosting guarantees it non-increasing (MicroSpec pin). Squared
+      // losses at the price scale make the e12 wire the right precision;
+      // all picks rank on shared-text doubles.
+      (s, dir) => {
+        val l = T.lineitem(s, dir).select(
+          col("l_quantity").cast("double").as("x1"),
+          col("l_discount").cast("double").as("x2"),
+          col("l_extendedprice").cast("double").as("y"))
+          .transform(T.fanOut(_))
+        def stumpPick(moments: DataFrame, cands: Seq[Double]): DataFrame = {
+          val stackArgs = cands.map(c =>
+            s"CAST($c AS DOUBLE), nl_${cs(c)}, sl_${cs(c)}, ssl_${cs(c)}").mkString(", ")
+          val w = Window.orderBy(col("sse"), col("c"))
+          moments
+            .selectExpr("nd", "sy", "syy",
+              s"stack(${cands.size}, $stackArgs) AS (c, nl, sl, ssl)")
+            .selectExpr("nd", "sy", "syy", "c", "nl", "sl", "ssl",
+              "nd - nl AS nr", "sy - sl AS sr", "syy - ssl AS ssr")
+            .selectExpr("nd", "c", "nl", "sl", "nr", "sr",
+              "(ssl - sl * sl / nl) + (ssr - sr * sr / nr) AS sse")
+            .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+            .selectExpr("c AS split", "sl / nl AS lmean", "sr / nr AS rmean",
+              "sse / nd AS mse")
+        }
+        def momentAggs(x: String, tgt: String, cands: Seq[Double]) =
+          Seq(count(lit(1)).cast("double").as("nd"),
+            T.xsum(col(tgt)).as("sy"),
+            T.xsum(col(tgt) * col(tgt)).as("syy")) ++
+          cands.flatMap(c => Seq(
+            sum(when(col(x) <= c, 1L).otherwise(0L)).cast("double").as(s"nl_${cs(c)}"),
+            T.xsum(when(col(x) <= c, col(tgt))).as(s"sl_${cs(c)}"),
+            T.xsum(when(col(x) <= c, col(tgt) * col(tgt))).as(s"ssl_${cs(c)}")))
+        val c1 = Seq(10.0, 25.0, 40.0)
+        val a1 = momentAggs("x1", "y", c1)
+        val st1 = stumpPick(l.agg(a1.head, a1.tail: _*), c1)
+          .selectExpr("split AS s1", "lmean AS m1l", "rmean AS m1r", "mse AS mse1")
+        val c2 = Seq(0.02, 0.05, 0.08)
+        val r = l.crossJoin(broadcast(st1))
+          .selectExpr("x2", "y - (CASE WHEN x1 <= s1 THEN m1l ELSE m1r END) AS rres",
+            "s1", "m1l", "m1r", "mse1")
+        val a2 = momentAggs("x2", "rres", c2) ++ Seq(
+          first(col("s1")).as("s1"), first(col("m1l")).as("m1l"),
+          first(col("m1r")).as("m1r"), first(col("mse1")).as("mse1"))
+        // ONE m2 aggregation feeds both output branches; the identical
+        // exchange subtrees dedup via ReuseExchange (the text_langid shape)
+        val m2 = r.agg(a2.head, a2.tail: _*)
+        val st2 = stumpPick(m2, c2)
+        m2.selectExpr("1 AS stage", "'quantity' AS feature",
+            "s1 AS split", "m1l AS left_fit", "m1r AS right_fit",
+            "round(mse1, 4) AS mse_after")
+          .unionAll(st2.selectExpr("2 AS stage", "'discount' AS feature",
+            "split", "lmean AS left_fit", "rmean AS right_fit",
+            "round(mse, 4) AS mse_after"))
+          .selectExpr("stage", "feature", "split",
+            "round(left_fit, 6) AS left_fit", "round(right_fit, 6) AS right_fit",
+            "mse_after")
+          .orderBy("stage")
+      },
+      Some {
+        def arm(cands: Seq[Double], src: String) = cands.map(c =>
+          s"SELECT nd, CAST($c AS DOUBLE) AS c, nl_${cs(c)} AS nl, sl_${cs(c)} AS sl, ssl_${cs(c)} AS ssl, sy, syy FROM $src")
+          .mkString("\n                       UNION ALL ")
+        def momentSql(x: String, tgt: String, cands: Seq[Double], extra: String, from: String) =
+          s"""SELECT CAST(count(*) AS DOUBLE) AS nd,
+              ${T.sqlXsum(tgt)} AS sy, ${T.sqlXsum(s"$tgt * $tgt")} AS syy,
+              ${cands.map(c =>
+                s"""CAST(sum(CASE WHEN $x <= $c THEN 1 ELSE 0 END) AS DOUBLE) AS nl_${cs(c)},
+              ${T.sqlXsum(s"CASE WHEN $x <= $c THEN $tgt END")} AS sl_${cs(c)},
+              ${T.sqlXsum(s"CASE WHEN $x <= $c THEN $tgt * $tgt END")} AS ssl_${cs(c)}""").mkString(",\n              ")}$extra
+            FROM $from"""
+        def pickSql(u: String) =
+          s"""SELECT c AS split, sl / nl AS lmean, (sy - sl) / (nd - nl) AS rmean,
+              ((ssl - sl * sl / nl) + ((syy - ssl) - (sy - sl) * (sy - sl) / (nd - nl))) / nd AS mse,
+              row_number() OVER (ORDER BY (ssl - sl * sl / nl) + ((syy - ssl) - (sy - sl) * (sy - sl) / (nd - nl)), c) AS rn
+            FROM $u"""
+        val c1 = Seq(10.0, 25.0, 40.0)
+        val c2 = Seq(0.02, 0.05, 0.08)
+        s"""WITH l AS (SELECT CAST(l_quantity AS DOUBLE) AS x1,
+                   CAST(l_discount AS DOUBLE) AS x2,
+                   CAST(l_extendedprice AS DOUBLE) AS y
+                 FROM lineitem),
+                 m1 AS (${momentSql("x1", "y", c1, "", "l")}),
+                 u1 AS (${arm(c1, "m1")}),
+                 p1 AS (${pickSql("u1")}),
+                 st1 AS (SELECT split AS s1, lmean AS m1l, rmean AS m1r, mse AS mse1
+                         FROM p1 WHERE rn = 1),
+                 r AS (SELECT x2,
+                     y - (CASE WHEN x1 <= s1 THEN m1l ELSE m1r END) AS rres,
+                     s1, m1l, m1r, mse1
+                   FROM l CROSS JOIN st1),
+                 m2 AS (${momentSql("x2", "rres", c2,
+                   """,
+              any_value(s1) AS s1, any_value(m1l) AS m1l,
+              any_value(m1r) AS m1r, any_value(mse1) AS mse1""", "r")}),
+                 u2 AS (${arm(c2, "m2")}),
+                 p2 AS (${pickSql("u2")})
+               SELECT stage, feature, split,
+                 round(left_fit, 6) AS left_fit, round(right_fit, 6) AS right_fit,
+                 mse_after
+               FROM (
+                 SELECT 1 AS stage, 'quantity' AS feature, s1 AS split,
+                   m1l AS left_fit, m1r AS right_fit, round(mse1, 4) AS mse_after
+                 FROM m2
+                 UNION ALL
+                 SELECT 2, 'discount', split, lmean, rmean, round(mse, 4)
+                 FROM p2 WHERE rn = 1) z
+               ORDER BY stage"""
+      }),
+
+    QueryDef(
       "ml_ovo_classifier",
       // OneVsOneClassifier [R] — cuml.multiclass's OTHER meta-strategy,
       // next to ml_ovr_classifier: one binary least-squares classifier per
@@ -997,6 +1120,11 @@ object Supervised {
                SELECT rf, pred, count(*) AS n
                FROM pr GROUP BY rf, pred ORDER BY rf, pred"""))
   )
+
+  /** Column-name-safe suffix for a split-candidate value (10.0 → 10_0,
+    * 0.02 → 0_02) — shared by the Spark aggregate aliases and the oracle
+    * CTE text so the per-candidate sums line up by construction. */
+  private def cs(c: Double): String = c.toString.replace('.', '_')
 
   /** The three OvO class pairs, lowercase suffixes. */
   private lazy val ovoPairs = Seq(("a", "n"), ("a", "r"), ("n", "r"))

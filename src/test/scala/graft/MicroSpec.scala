@@ -1499,6 +1499,19 @@ class MicroSpec extends SparkSpec {
     assert(rows.map(_.getAs[Int]("selected")).sum == 2)
   }
 
+  test("ml_gbm_round: boosting stages monotonically reduce train MSE (r7)") {
+    val rows = q("ml_gbm_round").orderBy(col("stage")).collect()
+    assert(rows.length == 2)
+    val (m1, m2) = (rows(0).getAs[Double]("mse_after"), rows(1).getAs[Double]("mse_after"))
+    assert(m2 <= m1, s"stage 2 MSE $m2 above stage 1 $m1 — boosting must not regress")
+    val varY = Tables.lineitem(spark, sf)
+      .agg(var_pop(col("l_extendedprice").cast("double"))).collect()(0).getDouble(0)
+    assert(m1 <= varY, s"a fitted stump cannot exceed the variance baseline $varY")
+    // stage-2 leaf means fit residuals that sum to zero: opposite signs
+    val (l2, r2) = (rows(1).getAs[Double]("left_fit"), rows(1).getAs[Double]("right_fit"))
+    assert(l2 * r2 <= 0, s"residual leaf means $l2 / $r2 must straddle zero")
+  }
+
   test("dedup_apply: the written corpus agrees with the pipeline verdicts (r7)") {
     val audit = q("dedup_apply").collect()
     val keptFromAudit = audit.map(_.getAs[Long]("n_kept")).sum
