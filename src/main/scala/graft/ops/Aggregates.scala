@@ -371,6 +371,45 @@ object Aggregates {
               ORDER BY user_id, event_id""")),
 
     QueryDef(
+      "agg_histogram",
+      // Fixed-width histogram of extendedprice — the profiling primitive
+      // next to agg_describe's quantiles: global (min, max) in one
+      // bounded aggregate, broadcast into a width_bucket map, one
+      // map-side-combined count per bin. Two passes because the bounds
+      // define the bins (a single-pass variant would need a pre-agreed
+      // domain). The bin index is the EXPLICIT shared floor expression,
+      // not width_bucket: the builtin's edge arithmetic is
+      // engine-internal and a boundary value could land in adjacent bins
+      // across engines, while the shared text is bit-identical; the top
+      // edge folds into the last bin (the classic off-by-one). Output:
+      // 10 bins with edges and counts.
+      (s, dir) => {
+        val l = T.lineitem(s, dir)
+          .select(col("l_extendedprice").cast("double").as("v"))
+          .transform(T.fanOut(_))
+        val bounds = l.agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+        l.crossJoin(broadcast(bounds))
+          .selectExpr("lo", "hi",
+            "least(CAST(floor((v - lo) / (hi - lo) * 10) AS INT) + 1, 10) AS bin")
+          .groupBy("bin")
+          .agg(count(lit(1)).as("n"),
+            first(col("lo")).as("lo"), first(col("hi")).as("hi"))
+          .selectExpr("bin", "n",
+            "round(lo + (bin - 1) * (hi - lo) / 10, 6) AS bin_lo",
+            "round(lo + bin * (hi - lo) / 10, 6) AS bin_hi")
+          .orderBy("bin")
+      },
+      Some("""WITH l AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem),
+                 b AS (SELECT min(v) AS lo, max(v) AS hi FROM l),
+                 binned AS (SELECT lo, hi,
+                     least(CAST(floor((v - lo) / (hi - lo) * 10) AS INT) + 1, 10) AS bin
+                   FROM l CROSS JOIN b)
+               SELECT bin, count(*) AS n,
+                 round(lo + (bin - 1) * (hi - lo) / 10, 6) AS bin_lo,
+                 round(lo + bin * (hi - lo) / 10, 6) AS bin_hi
+               FROM binned GROUP BY bin, lo, hi ORDER BY bin""")),
+
+    QueryDef(
       "win_range_frame",
       // The RANGE-frame window — the time-based sibling of
       // win_frame_moving's ROWS frame: per user, count and exact decimal

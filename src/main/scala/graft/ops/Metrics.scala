@@ -1248,6 +1248,114 @@ object Metrics {
                FROM n CROSS JOIN e ORDER BY eps""")),
 
     QueryDef(
+      "ml_ab_ttest",
+      // Welch's two-sample t-test — the A/B-experimentation primitive
+      // (scipy.stats.ttest_ind(equal_var=False) as a dataflow): does
+      // extendedprice differ between returnflag cohorts R and A? ONE
+      // conditional moment pass (per-cohort n, Σy, Σy² — the ml_ovo
+      // conditional-sum discipline), then the closed Welch t and the
+      // Satterthwaite degrees of freedom on shared-text doubles. The
+      // p-value needs the t CDF (no shared special function on either
+      // SQL engine) — the test statistic and df ARE the deterministic
+      // engine output; the caller applies their table. |t| < 2 on this
+      // fixture: the columns are independent by construction, which is
+      // exactly what an A/A test should report (MicroSpec pins it).
+      (s, dir) => {
+        T.lineitem(s, dir)
+          .where(col("l_returnflag").isin("R", "A"))
+          .select(col("l_returnflag").as("g"),
+            col("l_extendedprice").cast("double").as("y"))
+          .transform(T.fanOut(_))
+          .agg(
+            sum(when(col("g") === "R", 1L).otherwise(0L)).cast("double").as("na"),
+            T.xsum(when(col("g") === "R", col("y"))).as("sa"),
+            T.xsum(when(col("g") === "R", col("y") * col("y"))).as("ssa"),
+            sum(when(col("g") === "A", 1L).otherwise(0L)).cast("double").as("nb"),
+            T.xsum(when(col("g") === "A", col("y"))).as("sb"),
+            T.xsum(when(col("g") === "A", col("y") * col("y"))).as("ssb"))
+          .selectExpr("na", "nb", "sa / na AS ma", "sb / nb AS mb",
+            "(ssa - sa * sa / na) / (na - 1) AS va",
+            "(ssb - sb * sb / nb) / (nb - 1) AS vb")
+          .selectExpr("na", "nb", "ma", "mb", "va", "vb",
+            "va / na + vb / nb AS sesq")
+          .selectExpr(
+            "CAST(na AS BIGINT) AS n_a", "CAST(nb AS BIGINT) AS n_b",
+            "round(ma, 6) AS mean_a", "round(mb, 6) AS mean_b",
+            "round(ma - mb, 6) AS diff",
+            "round(sqrt(sesq), 6) AS se",
+            "round((ma - mb) / sqrt(sesq), 6) AS t_stat",
+            "round(sesq * sesq / ((va / na) * (va / na) / (na - 1) + (vb / nb) * (vb / nb) / (nb - 1)), 2) AS df_welch")
+      },
+      Some(s"""WITH l AS (SELECT l_returnflag AS g,
+                   CAST(l_extendedprice AS DOUBLE) AS y
+                 FROM lineitem WHERE l_returnflag IN ('R', 'A')),
+                 m AS (SELECT
+                     CAST(sum(CASE WHEN g = 'R' THEN 1 ELSE 0 END) AS DOUBLE) AS na,
+                     ${T.sqlXsum("CASE WHEN g = 'R' THEN y END")} AS sa,
+                     ${T.sqlXsum("CASE WHEN g = 'R' THEN y * y END")} AS ssa,
+                     CAST(sum(CASE WHEN g = 'A' THEN 1 ELSE 0 END) AS DOUBLE) AS nb,
+                     ${T.sqlXsum("CASE WHEN g = 'A' THEN y END")} AS sb,
+                     ${T.sqlXsum("CASE WHEN g = 'A' THEN y * y END")} AS ssb
+                   FROM l),
+                 v AS (SELECT na, nb, sa / na AS ma, sb / nb AS mb,
+                     (ssa - sa * sa / na) / (na - 1) AS va,
+                     (ssb - sb * sb / nb) / (nb - 1) AS vb
+                   FROM m),
+                 e AS (SELECT na, nb, ma, mb, va, vb,
+                     va / na + vb / nb AS sesq FROM v)
+               SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+                 round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+                 round(ma - mb, 6) AS diff,
+                 round(sqrt(sesq), 6) AS se,
+                 round((ma - mb) / sqrt(sesq), 6) AS t_stat,
+                 round(sesq * sesq / ((va / na) * (va / na) / (na - 1) + (vb / nb) * (vb / nb) / (nb - 1)), 2) AS df_welch
+               FROM e""")),
+
+    QueryDef(
+      "ml_chi2_test",
+      // Chi-square independence test over the (returnflag × linestatus)
+      // contingency table — the categorical sibling of ml_ab_ttest and
+      // the statistic behind sklearn's chi2 feature screening: one
+      // map-side-combined contingency count (the cells are
+      // cardinality-bounded), marginals as window sums OVER THE CELL
+      // TABLE (never the data), χ² = Σ(o−e)²/e on the exact decimal
+      // wire, dof = (r−1)(c−1) from in-plan distinct counts.
+      (s, dir) => {
+        val ct = T.lineitem(s, dir)
+          .groupBy(col("l_returnflag").as("rf"), col("l_linestatus").as("ls"))
+          .agg(count(lit(1)).as("o"))
+        val wr = Window.partitionBy(col("rf"))
+        val wc = Window.partitionBy(col("ls"))
+        val wg = Window.partitionBy()
+        ct.select(col("rf"), col("ls"), col("o"),
+            sum(col("o")).over(wr).as("rt"),
+            sum(col("o")).over(wc).as("st"),
+            sum(col("o")).over(wg).as("n"))
+          .selectExpr("rf", "ls", "o", "n",
+            "CAST(rt AS DOUBLE) * st / n AS e")
+          .agg(T.xsum(expr("(o - e) * (o - e) / e")).as("chi2"),
+            countDistinct(col("rf")).as("r"),
+            countDistinct(col("ls")).as("c"),
+            first(col("n")).as("n"))
+          .selectExpr("round(chi2, 6) AS chi2",
+            "CAST((r - 1) * (c - 1) AS INT) AS dof", "n")
+      },
+      Some("""WITH ct AS (SELECT l_returnflag AS rf, l_linestatus AS ls,
+                   count(*) AS o
+                 FROM lineitem GROUP BY rf, ls),
+                 mg AS (SELECT rf, ls, o,
+                     sum(o) OVER (PARTITION BY rf) AS rt,
+                     sum(o) OVER (PARTITION BY ls) AS st,
+                     sum(o) OVER () AS n
+                   FROM ct),
+                 ex AS (SELECT rf, ls, o, n,
+                     CAST(rt AS DOUBLE) * st / n AS e FROM mg)
+               SELECT round(CAST(sum(CAST(((o - e) * (o - e) / e) AS DECIMAL(30,12))) AS DOUBLE), 6) AS chi2,
+                 CAST((count(DISTINCT rf) - 1) * (count(DISTINCT ls) - 1) AS INT) AS dof,
+                 CAST(any_value(n) AS BIGINT) AS n
+               FROM ex""")),
+
+    QueryDef(
       "ml_corr_matrix",
       // DataFrame.corr() — the cudf/pandas correlation matrix [R] over
       // (quantity, extendedprice, discount, tax): ALL 6 pairwise Pearson

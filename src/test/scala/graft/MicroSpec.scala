@@ -1499,6 +1499,36 @@ class MicroSpec extends SparkSpec {
     assert(rows.map(_.getAs[Int]("selected")).sum == 2)
   }
 
+  test("agg_histogram: bins partition the value range and cover every row (r7)") {
+    val rows = q("agg_histogram").orderBy(col("bin")).collect()
+    assert(rows.length == 10)
+    assert(rows.map(_.getAs[Long]("n")).sum ==
+      Tables.lineitem(spark, sf).count(), "bin counts cover every row")
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Double]("bin_hi") == b.getAs[Double]("bin_lo"),
+        "adjacent bins share an edge")
+    }
+  }
+
+  test("ml_ab_ttest: an A/A comparison on independent columns stays null (r7)") {
+    val r = q("ml_ab_ttest").collect()(0)
+    assert(r.getAs[Double]("se") > 0)
+    assert(math.abs(r.getAs[Double]("t_stat")) < 4,
+      "independent cohorts must not produce a confident difference")
+    val df = r.getAs[Double]("df_welch")
+    val n = r.getAs[Long]("n_a") + r.getAs[Long]("n_b")
+    assert(df > 0 && df < n, s"Welch df $df outside (0, n)")
+    assert(math.abs(r.getAs[Double]("diff") -
+      (r.getAs[Double]("mean_a") - r.getAs[Double]("mean_b"))) < 1e-4)
+  }
+
+  test("ml_chi2_test: nonnegative statistic with the right dof (r7)") {
+    val r = q("ml_chi2_test").collect()(0)
+    assert(r.getAs[Double]("chi2") >= 0)
+    assert(r.getAs[Int]("dof") == 2, "3 returnflags x 2 linestatuses -> dof 2")
+    assert(r.getAs[Long]("n") == Tables.lineitem(spark, sf).count())
+  }
+
   test("ml_gbm_round: boosting stages monotonically reduce train MSE (r7)") {
     val rows = q("ml_gbm_round").orderBy(col("stage")).collect()
     assert(rows.length == 2)
