@@ -1312,6 +1312,120 @@ object Metrics {
                FROM e""")),
 
     QueryDef(
+      "ml_ks_test",
+      // Two-sample Kolmogorov–Smirnov — the distribution-shift detector a
+      // production pipeline runs between training and serving cohorts:
+      // D = max |ECDF_R − ECDF_A| over quantity for the returnflag R/A
+      // cohorts. The ECDFs live on the VALUE-DISTINCT table (quantity has
+      // a bounded support; a continuous column bins through
+      // agg_histogram's edges first — same plan after that): per-value
+      // cohort counts from one conditional pass, cumulative fractions by
+      // a window over the bounded support, D = one max. All-integer
+      // counts make the ECDF steps exact rationals → deterministic
+      // doubles.
+      (s, dir) => {
+        val wc = Window.orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wg = Window.partitionBy()
+        T.lineitem(s, dir)
+          .where(col("l_returnflag").isin("R", "A"))
+          .select(col("l_quantity").cast("double").as("v"),
+            col("l_returnflag").as("g"))
+          .groupBy("v")
+          .agg(sum(when(col("g") === "R", 1L).otherwise(0L)).as("ca"),
+            sum(when(col("g") === "A", 1L).otherwise(0L)).as("cb"))
+          .select(col("v"),
+            sum(col("ca")).over(wc).as("cuma"),
+            sum(col("cb")).over(wc).as("cumb"),
+            sum(col("ca")).over(wg).as("na"),
+            sum(col("cb")).over(wg).as("nb"))
+          .selectExpr("na", "nb",
+            "abs(CAST(cuma AS DOUBLE) / na - CAST(cumb AS DOUBLE) / nb) AS gap")
+          .agg(first(col("na")).as("na"), first(col("nb")).as("nb"),
+            max(col("gap")).as("d"))
+          .selectExpr("na AS n_a", "nb AS n_b", "round(d, 6) AS ks_d")
+      },
+      Some("""WITH cnt AS (SELECT CAST(l_quantity AS DOUBLE) AS v,
+                   CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+                   CAST(sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+                 FROM lineitem WHERE l_returnflag IN ('R', 'A')
+                 GROUP BY v),
+                 cum AS (SELECT v,
+                     sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
+                     sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb,
+                     sum(ca) OVER () AS na,
+                     sum(cb) OVER () AS nb
+                   FROM cnt),
+                 gaps AS (SELECT na, nb,
+                     abs(CAST(cuma AS DOUBLE) / na - CAST(cumb AS DOUBLE) / nb) AS gap
+                   FROM cum)
+               SELECT CAST(any_value(na) AS BIGINT) AS n_a,
+                 CAST(any_value(nb) AS BIGINT) AS n_b,
+                 round(max(gap), 6) AS ks_d
+               FROM gaps""")),
+
+    QueryDef(
+      "ml_psi",
+      // Population Stability Index — THE deployed-model drift monitor:
+      // PSI = Σ_bins (p_ref − p_cur)·ln(p_ref/p_cur) between the
+      // linestatus O (current) and F (reference) cohorts over 10 shared
+      // extendedprice bins. Bins come from the GLOBAL bounds (one bounded
+      // aggregate, broadcast) with agg_histogram's explicit shared floor
+      // text; per-bin cohort counts are one conditional pass; fractions
+      // are Laplace-smoothed ((c+0.5)/(n+5)) so an empty bin cannot blow
+      // up the log — the smoothing is part of the shared text, not an
+      // engine-side fixup. ln is REAL-collapsed (lnR); the sum rides the
+      // exact wire. PSI < 0.1 = stable (pinned on the identically-
+      // distributed fixture cohorts).
+      (s, dir) => {
+        val l = T.lineitem(s, dir)
+          .where(col("l_linestatus").isin("O", "F"))
+          .select(col("l_extendedprice").cast("double").as("v"),
+            col("l_linestatus").as("g"))
+          .transform(T.fanOut(_))
+        val bounds = l.agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+        l.crossJoin(broadcast(bounds))
+          .selectExpr("g",
+            "least(CAST(floor((v - lo) / (hi - lo) * 10) AS INT) + 1, 10) AS bin")
+          .groupBy("bin")
+          .agg(sum(when(col("g") === "F", 1L).otherwise(0L)).as("cr"),
+            sum(when(col("g") === "O", 1L).otherwise(0L)).as("cc"))
+          .select(col("bin"), col("cr"), col("cc"),
+            sum(col("cr")).over(Window.partitionBy()).as("nr"),
+            sum(col("cc")).over(Window.partitionBy()).as("nc"))
+          .selectExpr("bin",
+            "(CAST(cr AS DOUBLE) + 0.5) / (nr + 5) AS pr",
+            "(CAST(cc AS DOUBLE) + 0.5) / (nc + 5) AS pc")
+          .selectExpr(
+            "(pr - pc) * CAST(CAST(ln(pr / pc) AS FLOAT) AS DOUBLE) AS term")
+          .agg(T.xsum(col("term")).as("psi"))
+          .selectExpr("round(psi, 6) AS psi")
+      },
+      Some(s"""WITH l AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v,
+                   l_linestatus AS g
+                 FROM lineitem WHERE l_linestatus IN ('O', 'F')),
+                 b AS (SELECT min(v) AS lo, max(v) AS hi FROM l),
+                 binned AS (SELECT g,
+                     least(CAST(floor((v - lo) / (hi - lo) * 10) AS INT) + 1, 10) AS bin
+                   FROM l CROSS JOIN b),
+                 cnt AS (SELECT bin,
+                     CAST(sum(CASE WHEN g = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS cr,
+                     CAST(sum(CASE WHEN g = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS cc
+                   FROM binned GROUP BY bin),
+                 tot AS (SELECT bin, cr, cc,
+                     sum(cr) OVER () AS nr, sum(cc) OVER () AS nc
+                   FROM cnt),
+                 p AS (SELECT bin,
+                     (CAST(cr AS DOUBLE) + 0.5) / (nr + 5) AS pr,
+                     (CAST(cc AS DOUBLE) + 0.5) / (nc + 5) AS pc
+                   FROM tot),
+                 terms AS (SELECT
+                     (pr - pc) * CAST(CAST(ln(pr / pc) AS REAL) AS DOUBLE) AS term
+                   FROM p)
+               SELECT round(${T.sqlXsum("term")}, 6) AS psi
+               FROM terms""")),
+
+    QueryDef(
       "ml_chi2_test",
       // Chi-square independence test over the (returnflag × linestatus)
       // contingency table — the categorical sibling of ml_ab_ttest and

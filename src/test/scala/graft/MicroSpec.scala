@@ -1522,6 +1522,20 @@ class MicroSpec extends SparkSpec {
       (r.getAs[Double]("mean_a") - r.getAs[Double]("mean_b"))) < 1e-4)
   }
 
+  test("ml_ks_test: small D on identically-distributed cohorts (r7)") {
+    val r = q("ml_ks_test").collect()(0)
+    val d = r.getAs[Double]("ks_d")
+    assert(d >= 0 && d <= 1, s"KS D $d outside [0, 1]")
+    assert(d < 0.1, "independent same-distribution cohorts must not drift")
+    assert(r.getAs[Long]("n_a") > 0 && r.getAs[Long]("n_b") > 0)
+  }
+
+  test("ml_psi: stable index on identically-distributed cohorts (r7)") {
+    val psi = q("ml_psi").collect()(0).getAs[Double]("psi")
+    assert(psi >= 0, s"PSI $psi must be nonnegative (it is an f-divergence)")
+    assert(psi < 0.1, s"PSI $psi flags drift on a drift-free fixture")
+  }
+
   test("ml_chi2_test: nonnegative statistic with the right dof (r7)") {
     val r = q("ml_chi2_test").collect()(0)
     assert(r.getAs[Double]("chi2") >= 0)
