@@ -1365,6 +1365,158 @@ object Metrics {
                FROM gaps""")),
 
     QueryDef(
+      "ml_mannwhitney_u",
+      // Mann–Whitney U — the nonparametric sibling of ml_ab_ttest (and
+      // the rank identity under AUC: U/(n_a·n_b) is exactly the
+      // probability a random R draw exceeds a random A draw): midranks
+      // from cumulative counts over the BOUNDED value-support table (the
+      // ml_ks_test scaffold — ranks never touch an unbounded sort),
+      // U = Σranks_R − n_R(n_R+1)/2, z via the TIE-CORRECTED normal
+      // variance (quantity's 50-value support is all ties — the
+      // correction is the point, not a refinement). Integer counts →
+      // exact-rational midranks → deterministic doubles.
+      (s, dir) => {
+        val wc = Window.orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wg = Window.partitionBy()
+        T.lineitem(s, dir)
+          .where(col("l_returnflag").isin("R", "A"))
+          .select(col("l_quantity").cast("double").as("v"),
+            col("l_returnflag").as("g"))
+          .groupBy("v")
+          .agg(sum(when(col("g") === "R", 1L).otherwise(0L)).as("ca"),
+            sum(when(col("g") === "A", 1L).otherwise(0L)).as("cb"))
+          .select(col("v"), col("ca"), col("cb"),
+            (col("ca") + col("cb")).as("t"),
+            sum(col("ca") + col("cb")).over(wc).as("cum"),
+            sum(col("ca")).over(wg).as("na"),
+            sum(col("cb")).over(wg).as("nb"))
+          .selectExpr("ca", "t", "na", "nb",
+            "CAST(cum - t AS DOUBLE) + (CAST(t AS DOUBLE) + 1) / 2 AS midrank",
+            "CAST(t AS DOUBLE) * t * t - t AS tie3")
+          .agg(T.xsum(col("ca") * col("midrank")).as("ra"),
+            T.xsum(col("tie3")).as("ties"),
+            first(col("na")).as("na"), first(col("nb")).as("nb"))
+          .selectExpr("CAST(na AS BIGINT) AS n_a", "CAST(nb AS BIGINT) AS n_b",
+            "ra - CAST(na AS DOUBLE) * (na + 1) / 2 AS u", "ties",
+            "CAST(na AS DOUBLE) AS nad", "CAST(nb AS DOUBLE) AS nbd",
+            "CAST(na + nb AS DOUBLE) AS n")
+          .selectExpr("n_a", "n_b", "round(u, 2) AS u_stat",
+            "round(u / (nad * nbd), 6) AS auc_equiv",
+            "round((u - nad * nbd / 2) / sqrt(nad * nbd / 12 * ((n + 1) - ties / (n * (n - 1)))), 6) AS z_score")
+      },
+      Some(s"""WITH cnt AS (SELECT CAST(l_quantity AS DOUBLE) AS v,
+                   CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+                   CAST(sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+                 FROM lineitem WHERE l_returnflag IN ('R', 'A')
+                 GROUP BY v),
+                 rk AS (SELECT v, ca, cb, ca + cb AS t,
+                     sum(ca + cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                     sum(ca) OVER () AS na, sum(cb) OVER () AS nb
+                   FROM cnt),
+                 mr AS (SELECT ca, t, na, nb,
+                     CAST(cum - t AS DOUBLE) + (CAST(t AS DOUBLE) + 1) / 2 AS midrank,
+                     CAST(t AS DOUBLE) * t * t - t AS tie3
+                   FROM rk),
+                 ag AS (SELECT ${T.sqlXsum("ca * midrank")} AS ra,
+                     ${T.sqlXsum("tie3")} AS ties,
+                     any_value(na) AS na, any_value(nb) AS nb
+                   FROM mr),
+                 uu AS (SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+                     ra - CAST(na AS DOUBLE) * (na + 1) / 2 AS u, ties,
+                     CAST(na AS DOUBLE) AS nad, CAST(nb AS DOUBLE) AS nbd,
+                     CAST(na + nb AS DOUBLE) AS n
+                   FROM ag)
+               SELECT n_a, n_b, round(u, 2) AS u_stat,
+                 round(u / (nad * nbd), 6) AS auc_equiv,
+                 round((u - nad * nbd / 2) / sqrt(nad * nbd / 12 * ((n + 1) - ties / (n * (n - 1)))), 6) AS z_score
+               FROM uu""")),
+
+    QueryDef(
+      "ml_bootstrap_ci",
+      // The POISSON bootstrap (the streaming/MapReduce bootstrap of
+      // Chamandy et al. — resampling without materializing resamples):
+      // replicate b's weight for a row is a deterministic-hash draw from
+      // Poisson(1) (CASE over the hash's uniform bucket against the
+      // Poisson CDF: 0 w.p. .368, 1 w.p. .368, 2 w.p. .184, 3 w.p. .061,
+      // else 4), so all B=8 weighted replicate means come from ONE pass
+      // of 8 weighted sum pairs — no data duplication, no shuffle per
+      // replicate, the exact shape that makes bootstrap CIs affordable
+      // at 100 TB. CI = mean ± 2·sd of the replicate means (normal
+      // interval). The hash family is a fifth disjoint (multiplier,
+      // increment) pair per replicate — replicates must be independent
+      // draws, not shifts of one stream.
+      (s, dir) => {
+        val B = 8
+        def wexpr(b: Int): String = {
+          val m = 104729L + 2 * b; val a = 7919L * (b + 1)
+          s"""CASE WHEN ($m * (l_orderkey * 8 + l_linenumber) + $a) % ${T.HASH_P} % 1000 < 368 THEN 0
+                  WHEN ($m * (l_orderkey * 8 + l_linenumber) + $a) % ${T.HASH_P} % 1000 < 736 THEN 1
+                  WHEN ($m * (l_orderkey * 8 + l_linenumber) + $a) % ${T.HASH_P} % 1000 < 920 THEN 2
+                  WHEN ($m * (l_orderkey * 8 + l_linenumber) + $a) % ${T.HASH_P} % 1000 < 981 THEN 3
+                  ELSE 4 END"""
+        }
+        val l = T.lineitem(s, dir)
+          .selectExpr(Seq("CAST(l_extendedprice AS DOUBLE) AS y") ++
+            (0 until B).map(b => s"${wexpr(b)} AS w$b"): _*)
+          .transform(T.fanOut(_))
+        val aggs = (0 until B).flatMap(b => Seq(
+          sum(col(s"w$b")).as(s"n$b"),
+          T.xsum(col(s"w$b") * col("y")).as(s"s$b")))
+        val reps = l.agg(aggs.head, aggs.tail: _*)
+          .selectExpr(s"stack($B, ${(0 until B).map(b => s"$b, n$b, s$b").mkString(", ")}) AS (b, nw, sw)")
+          .selectExpr("b", "sw / nw AS rep_mean")
+        // the replicate mean enters the deviation pass via an EXACT
+        // decimal aggregate + broadcast, not a window avg: an 8-double
+        // window average sums in engine-internal order (ulp hazard)
+        val mstats = reps.agg(T.xsum(col("rep_mean")).as("sm"),
+          count(lit(1)).cast("double").as("bn"))
+        reps.crossJoin(broadcast(mstats))
+          .selectExpr("rep_mean", "bn", "sm / bn AS mm")
+          .agg(first(col("mm")).as("mm"), first(col("bn")).as("bn"),
+            T.xsum((col("rep_mean") - col("mm")) * (col("rep_mean") - col("mm"))).as("ssd"))
+          .selectExpr("mm AS boot_mean", "sqrt(ssd / (bn - 1)) AS boot_se")
+          .selectExpr("round(boot_mean, 6) AS boot_mean",
+            "round(boot_se, 6) AS boot_se",
+            "round(boot_mean - 2 * boot_se, 6) AS ci_lo",
+            "round(boot_mean + 2 * boot_se, 6) AS ci_hi")
+      },
+      Some {
+        val B = 8
+        def wexpr(b: Int): String = {
+          val m = 104729L + 2 * b; val a = 7919L * (b + 1)
+          s"""CASE WHEN ($m * (l_orderkey * 8 + l_linenumber) + $a) % ${T.HASH_P} % 1000 < 368 THEN 0
+                  WHEN ($m * (l_orderkey * 8 + l_linenumber) + $a) % ${T.HASH_P} % 1000 < 736 THEN 1
+                  WHEN ($m * (l_orderkey * 8 + l_linenumber) + $a) % ${T.HASH_P} % 1000 < 920 THEN 2
+                  WHEN ($m * (l_orderkey * 8 + l_linenumber) + $a) % ${T.HASH_P} % 1000 < 981 THEN 3
+                  ELSE 4 END"""
+        }
+        s"""WITH l AS (SELECT CAST(l_extendedprice AS DOUBLE) AS y,
+                   ${(0 until B).map(b => s"${wexpr(b)} AS w$b").mkString(",\n                   ")}
+                 FROM lineitem),
+                 m AS (SELECT ${(0 until B).map(b =>
+                   s"CAST(sum(w$b) AS BIGINT) AS n$b, ${T.sqlXsum(s"w$b * y")} AS s$b").mkString(", ")}
+                   FROM l),
+                 reps AS (${(0 until B).map(b =>
+                   s"SELECT $b AS b, s$b / n$b AS rep_mean FROM m").mkString(" UNION ALL ")}),
+                 ms AS (SELECT ${T.sqlXsum("rep_mean")} AS sm,
+                     CAST(count(*) AS DOUBLE) AS bn
+                   FROM reps),
+                 dv AS (SELECT rep_mean, bn, sm / bn AS mm
+                        FROM reps CROSS JOIN ms),
+                 ag AS (SELECT any_value(mm) AS mm, any_value(bn) AS bn,
+                     ${T.sqlXsum("(rep_mean - mm) * (rep_mean - mm)")} AS ssd
+                   FROM dv),
+                 fin AS (SELECT mm AS boot_mean, sqrt(ssd / (bn - 1)) AS boot_se
+                         FROM ag)
+               SELECT round(boot_mean, 6) AS boot_mean,
+                 round(boot_se, 6) AS boot_se,
+                 round(boot_mean - 2 * boot_se, 6) AS ci_lo,
+                 round(boot_mean + 2 * boot_se, 6) AS ci_hi
+               FROM fin"""
+      }),
+
+    QueryDef(
       "ml_psi",
       // Population Stability Index — THE deployed-model drift monitor:
       // PSI = Σ_bins (p_ref − p_cur)·ln(p_ref/p_cur) between the

@@ -1530,6 +1530,33 @@ class MicroSpec extends SparkSpec {
     assert(r.getAs[Long]("n_a") > 0 && r.getAs[Long]("n_b") > 0)
   }
 
+  test("ml_mannwhitney_u: null result on identical distributions (r7)") {
+    val r = q("ml_mannwhitney_u").collect()(0)
+    val auc = r.getAs[Double]("auc_equiv")
+    assert(auc >= 0 && auc <= 1)
+    assert(math.abs(auc - 0.5) < 0.05,
+      s"rank AUC $auc should be ~0.5 for identical cohorts")
+    assert(math.abs(r.getAs[Double]("z_score")) < 4)
+  }
+
+  test("ml_bootstrap_ci: the Poisson-bootstrap interval brackets the mean (r7)") {
+    val r = q("ml_bootstrap_ci").collect()(0)
+    val (lo, m, hi) = (r.getAs[Double]("ci_lo"),
+      r.getAs[Double]("boot_mean"), r.getAs[Double]("ci_hi"))
+    assert(lo < m && m < hi)
+    assert(r.getAs[Double]("boot_se") > 0)
+    val stats = Tables.lineitem(spark, sf)
+      .agg(avg(col("l_extendedprice").cast("double")),
+        stddev_pop(col("l_extendedprice").cast("double")),
+        count(lit(1))).collect()(0)
+    val (trueMean, sd, n) = (stats.getDouble(0), stats.getDouble(1), stats.getLong(2))
+    val seTheory = sd / math.sqrt(n.toDouble)
+    assert(math.abs(m - trueMean) < 6 * seTheory,
+      s"bootstrap mean $m far from sample mean $trueMean")
+    assert(r.getAs[Double]("boot_se") < 10 * seTheory,
+      "replicate spread must be on the sampling-error scale")
+  }
+
   test("ml_psi: stable index on identically-distributed cohorts (r7)") {
     val psi = q("ml_psi").collect()(0).getAs[Double]("psi")
     assert(psi >= 0, s"PSI $psi must be nonnegative (it is an f-divergence)")
