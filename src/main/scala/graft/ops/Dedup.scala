@@ -429,6 +429,72 @@ object Dedup {
                ORDER BY lang""")),
 
     QueryDef(
+      "graph_degree_dist",
+      // Degree distribution of the near-duplicate graph — the first
+      // diagnostic a dedup run inspects (a heavy-tailed degree histogram
+      // means a template/boilerplate cluster is about to blow up the
+      // component pass): one symmetric explode of the candidate pair set,
+      // one degree count per vertex, one histogram count per degree.
+      // Shares minhashPairs' signature pass; everything downstream is
+      // map-side-combinable on bounded keys.
+      (s, dir) => {
+        val pairs = TextSim.minhashPairs(s, dir)
+        pairs.select(col("doc_a").as("v"))
+          .unionAll(pairs.select(col("doc_b").as("v")))
+          .groupBy("v").agg(count(lit(1)).as("degree"))
+          .groupBy("degree").agg(count(lit(1)).as("n_vertices"))
+          .orderBy("degree")
+      },
+      Some(s"""WITH ${TextSim.sqlMinhashCtes},
+                 deg AS (SELECT v, count(*) AS degree FROM (
+                     SELECT doc_a AS v FROM pairs
+                     UNION ALL SELECT doc_b FROM pairs) u
+                   GROUP BY v)
+               SELECT degree, count(*) AS n_vertices
+               FROM deg GROUP BY degree ORDER BY degree""")),
+
+    QueryDef(
+      "graph_triangles",
+      // Triangle counting on the near-duplicate graph — the clustering-
+      // coefficient primitive (a triangle-dense dedup graph means the
+      // minhash threshold is admitting transitive near-dup families; a
+      // triangle-free one means isolated pair noise). The standard
+      // distributed enumeration: edges canonical (a < b), wedges from the
+      // self-join on the shared LOW endpoint, closed by a second join on
+      // the (high1, high2) edge — each triangle (a<b<c) is counted
+      // exactly once as wedge (a: b,c) + edge (b,c). At scale the join
+      // keys are vertex ids (shuffle-friendly) and the degree-ordered
+      // canonical form bounds wedge fan-out by the max LOW-degree — the
+      // standard skew discipline for this op.
+      (s, dir) => {
+        val e = T.freeze(TextSim.minhashPairs(s, dir)) // (doc_a < doc_b)
+        val w1 = e.select(col("doc_a").as("a"), col("doc_b").as("b"))
+        val w2 = e.select(col("doc_a").as("a"), col("doc_b").as("c"))
+        val wedges = w1.join(w2, "a").where(col("b") < col("c"))
+        val closing = e.select(col("doc_a").as("b"), col("doc_b").as("c"))
+        val tri = wedges.join(closing, Seq("b", "c"))
+          .agg(count(lit(1)).as("n_triangles"))
+        val stats = e.agg(count(lit(1)).as("n_edges"))
+        val verts = w1.select(col("a").as("v"))
+          .unionAll(e.select(col("doc_b").as("v")))
+          .agg(countDistinct(col("v")).as("n_vertices"))
+        tri.crossJoin(stats).crossJoin(verts)
+          .selectExpr("n_triangles", "n_edges", "n_vertices")
+      },
+      Some(s"""WITH ${TextSim.sqlMinhashCtes},
+                 wedges AS (SELECT w1.doc_a AS a, w1.doc_b AS b, w2.doc_b AS c
+                   FROM pairs w1 JOIN pairs w2 ON w1.doc_a = w2.doc_a
+                   WHERE w1.doc_b < w2.doc_b),
+                 tri AS (SELECT count(*) AS n_triangles
+                   FROM wedges JOIN pairs p ON p.doc_a = wedges.b AND p.doc_b = wedges.c),
+                 st AS (SELECT count(*) AS n_edges FROM pairs),
+                 vt AS (SELECT count(DISTINCT v) AS n_vertices FROM (
+                     SELECT doc_a AS v FROM pairs
+                     UNION ALL SELECT doc_b FROM pairs) u)
+               SELECT n_triangles, n_edges, n_vertices
+               FROM tri CROSS JOIN st CROSS JOIN vt""")),
+
+    QueryDef(
       "dedup_embed_cosine",
       // Embedding near-dup via the SHARED banded sign-LSH (Lsh.candidates —
       // r6 rebase, VERDICT r5 #1): candidates meet inside one of

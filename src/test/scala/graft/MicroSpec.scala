@@ -1530,6 +1530,17 @@ class MicroSpec extends SparkSpec {
     assert(r.getAs[Long]("n_a") > 0 && r.getAs[Long]("n_b") > 0)
   }
 
+  test("graph ops: handshake lemma ties the degree histogram to the edge count (r7)") {
+    val deg = q("graph_degree_dist").collect()
+    val tri = q("graph_triangles").collect()(0)
+    val degreeSum = deg.map(r =>
+      r.getAs[Long]("degree") * r.getAs[Long]("n_vertices")).sum
+    assert(degreeSum == 2 * tri.getAs[Long]("n_edges"),
+      s"handshake: sum(degrees) $degreeSum != 2x edges ${tri.getAs[Long]("n_edges")}")
+    assert(deg.map(_.getAs[Long]("n_vertices")).sum == tri.getAs[Long]("n_vertices"))
+    assert(tri.getAs[Long]("n_triangles") >= 0)
+  }
+
   test("ml_mannwhitney_u: null result on identical distributions (r7)") {
     val r = q("ml_mannwhitney_u").collect()(0)
     val auc = r.getAs[Double]("auc_equiv")
