@@ -495,6 +495,64 @@ object Dedup {
                FROM tri CROSS JOIN st CROSS JOIN vt""")),
 
     QueryDef(
+      "graph_pagerank",
+      // PageRank (3 damped iterations, d = 0.85) on the near-duplicate
+      // graph — the canonical-document selector a dedup family can use
+      // instead of min-id: the highest-rank member of a near-dup cluster
+      // is its most-connected (most template-central) representative.
+      // The distributed shape: rank lives as a (v, pr) TABLE; one
+      // iteration = join ranks to the symmetric edge list, per-target sum
+      // of pr/outdeg contributions, damping blend — two shuffles per
+      // round on vertex keys; the iterate is FROZEN per round (the LSA
+      // discipline) so the plan stays flat. No dangling mass: every
+      // vertex in the pair graph has degree ≥ 1 by construction. Sums
+      // ride the exact wire; 1/n and the damping blend are shared-text
+      // rationals. Output: top-10 (v, pr).
+      (s, dir) => {
+        val pairs = TextSim.minhashPairs(s, dir)
+        val edges = T.freeze(pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+          .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
+        val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+        val nv = deg.agg(count(lit(1)).as("n"))
+        var pr = T.freeze(deg.crossJoin(broadcast(nv))
+          .selectExpr("src AS v", "1e0 / n AS pr", "outdeg", "n"))
+        for (_ <- 1 to 3) {
+          val contrib = edges.join(pr.selectExpr("v AS src", "pr", "outdeg"), "src")
+            .groupBy(col("dst").as("v"))
+            .agg(T.xsum(expr("pr / outdeg")).as("inflow"))
+          pr = T.freeze(pr.select(col("v"), col("outdeg"), col("n"))
+            .join(contrib, "v")
+            .selectExpr("v", "(1e0 - 0.85) / n + 0.85 * inflow AS pr",
+              "outdeg", "n"))
+        }
+        pr.orderBy(col("pr").desc, col("v")).limit(10)
+          .selectExpr("v", "round(pr, 8) AS pagerank")
+      },
+      Some {
+        def round(k: Int): String = {
+          val prev = if (k == 1) "p0" else s"p${k - 1}"
+          s"""c$k AS (SELECT e.dst AS v, ${T.sqlXsum("p.pr / p.outdeg")} AS inflow
+                FROM edges e JOIN $prev p ON p.v = e.src
+                GROUP BY e.dst),
+              p$k AS (SELECT p.v, (1e0 - 0.85) / p.n + 0.85 * c$k.inflow AS pr,
+                  p.outdeg, p.n
+                FROM $prev p JOIN c$k ON c$k.v = p.v)"""
+        }
+        s"""WITH ${TextSim.sqlMinhashCtes},
+                 edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                           UNION ALL SELECT doc_b, doc_a FROM pairs),
+                 deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+                 nv AS (SELECT count(*) AS n FROM deg),
+                 p0 AS (SELECT src AS v, 1e0 / n AS pr, outdeg, n
+                        FROM deg CROSS JOIN nv),
+                 ${round(1)},
+                 ${round(2)},
+                 ${round(3)}
+               SELECT v, round(pr, 8) AS pagerank
+               FROM p3 ORDER BY pr DESC, v LIMIT 10"""
+      }),
+
+    QueryDef(
       "dedup_embed_cosine",
       // Embedding near-dup via the SHARED banded sign-LSH (Lsh.candidates —
       // r6 rebase, VERDICT r5 #1): candidates meet inside one of

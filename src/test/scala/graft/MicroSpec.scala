@@ -1541,6 +1541,20 @@ class MicroSpec extends SparkSpec {
     assert(tri.getAs[Long]("n_triangles") >= 0)
   }
 
+  test("graph_pagerank: damped ranks bounded below by the teleport floor (r7)") {
+    val rows = q("graph_pagerank").collect()
+    assert(rows.length == 10)
+    val tri = q("graph_triangles").collect()(0)
+    val floor = (1.0 - 0.85) / tri.getAs[Long]("n_vertices")
+    rows.foreach { r =>
+      val pr = r.getAs[Double]("pagerank")
+      assert(pr >= floor - 1e-9, s"rank $pr below the teleport floor $floor")
+      assert(pr < 1.0)
+    }
+    val prs = rows.map(_.getAs[Double]("pagerank"))
+    assert(prs.zip(prs.tail).forall { case (a, b) => a >= b }, "descending")
+  }
+
   test("ml_mannwhitney_u: null result on identical distributions (r7)") {
     val r = q("ml_mannwhitney_u").collect()(0)
     val auc = r.getAs[Double]("auc_equiv")
