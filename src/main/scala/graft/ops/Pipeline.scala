@@ -86,6 +86,50 @@ object Pipeline {
                     THEN substr(t2, 1, lt2 - 1) || 'i' ELSE t2 END""")
   }
 
+
+  /** The SQ8 quantize-then-rank chain of ml_knn_sq8 (q_id, rn, n_id, d2),
+    * top-5 per query — shared with ml_recall_at_k, which measures this
+    * approximation against the exact kNN inside a registered query. */
+  private[ops] def sq8Knn(s: SparkSession, dir: String): DataFrame = {
+    val ex = T.embeddings(s, dir)
+      .transform(T.fanOut(_, col("vec_id")))
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .selectExpr("vec_id", "pos + 1 AS i", "CAST(col AS DOUBLE) AS x")
+    val st = ex.groupBy("i").agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    val xq = ex.join(broadcast(st), "i")
+      .selectExpr("vec_id", "i",
+        "CASE WHEN mx > mn THEN mn + floor((x - mn) / (mx - mn) * 255) * (mx - mn) / 255 ELSE x END AS xr")
+    val qv = xq.where(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("i"), col("xr").as("qx"))
+    val nv = xq.select(col("vec_id").as("n_id"), col("i"), col("xr").as("nx"))
+    val d = qv.join(nv, "i").where(col("n_id") =!= col("q_id"))
+      .groupBy("q_id", "n_id")
+      .agg(T.xsum((col("qx") - col("nx")) * (col("qx") - col("nx"))).as("d2"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("d2"), col("n_id"))
+    d.withColumn("rn", row_number().over(w)).where(col("rn") <= 5)
+  }
+
+  /** Oracle CTE prefix of [[sq8Knn]], ending in sq5(q_id, rn, n_id, d2). */
+  private[ops] val sqlSq8Ctes: String =
+    """ex AS (SELECT vec_id,
+           generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS i,
+           unnest(CAST(embedding AS DOUBLE[])) AS x
+         FROM embeddings),
+         st AS (SELECT i, min(x) AS mn, max(x) AS mx FROM ex GROUP BY i),
+         xq AS (SELECT vec_id, i,
+             CASE WHEN mx > mn THEN mn + floor((x - mn) / (mx - mn) * 255) * (mx - mn) / 255 ELSE x END AS xr
+           FROM ex JOIN st USING (i)),
+         qv AS (SELECT vec_id AS q_id, i, xr AS qx FROM xq WHERE vec_id < 10),
+         dd AS (SELECT q_id, n.vec_id AS n_id,
+             CAST(sum(CAST(((qx - n.xr) * (qx - n.xr)) AS DECIMAL(30,12))) AS DOUBLE) AS d2
+           FROM qv JOIN xq n USING (i) WHERE n.vec_id <> q_id
+           GROUP BY q_id, n.vec_id),
+         sq5 AS (SELECT q_id, rn, n_id, d2 FROM (
+             SELECT q_id, n_id, d2,
+               row_number() OVER (PARTITION BY q_id ORDER BY d2, n_id) AS rn
+             FROM dd) t
+           WHERE rn <= 5)"""
+
   val entries: Seq[QueryDef] = Seq(
 
     QueryDef(
@@ -360,45 +404,114 @@ object Pipeline {
       // per-dim equi-join both engines share verbatim — and d² rides the
       // exact decimal wire (order-free), so ranking is deterministic.
       // The mx > mn guard keeps a constant dimension at its exact value.
+      (s, dir) => sq8Knn(s, dir)
+        .select(col("q_id"), col("rn"), col("n_id"),
+          round(sqrt(col("d2")), 6).as("dist"))
+        .orderBy("q_id", "rn"),
+      Some(s"""WITH $sqlSq8Ctes
+               SELECT q_id, rn, n_id, round(sqrt(d2), 6) AS dist
+               FROM sq5 ORDER BY q_id, rn""")),
+
+    QueryDef(
+      "ml_recall_at_k",
+      // Recall@5 of the SQ8 quantized index against the EXACT kNN — the
+      // ANN-quality measurement AS A REGISTERED QUERY (the number an
+      // index-tuning run tracks per deploy, not just a test assertion):
+      // both rankings computed in one dataflow — the exact side is the
+      // codegen'd VecL2Dist broadcast×stream pass, the approximate side
+      // the shared sq8Knn chain — joined on (q_id, n_id) membership; each
+      // query's recall is the matched fraction of its top-5. Oracle
+      // recomputes both chains (list_distance ↔ VecL2Dist is the
+      // ml_knn-proven pairing). The overall mean is MicroSpec-pinned
+      // against the ml_knn_sq8 test's floor.
       (s, dir) => {
-        val ex = T.embeddings(s, dir)
-          .transform(T.fanOut(_, col("vec_id")))
-          .select(col("vec_id"), posexplode(col("embedding")))
-          .selectExpr("vec_id", "pos + 1 AS i", "CAST(col AS DOUBLE) AS x")
-        val st = ex.groupBy("i").agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
-        val xq = ex.join(broadcast(st), "i")
-          .selectExpr("vec_id", "i",
-            "CASE WHEN mx > mn THEN mn + floor((x - mn) / (mx - mn) * 255) * (mx - mn) / 255 ELSE x END AS xr")
-        val qv = xq.where(col("vec_id") < 10)
-          .select(col("vec_id").as("q_id"), col("i"), col("xr").as("qx"))
-        val nv = xq.select(col("vec_id").as("n_id"), col("i"), col("xr").as("nx"))
-        val d = qv.join(nv, "i").where(col("n_id") =!= col("q_id"))
-          .groupBy("q_id", "n_id")
-          .agg(T.xsum((col("qx") - col("nx")) * (col("qx") - col("nx"))).as("d2"))
-        val w = Window.partitionBy(col("q_id")).orderBy(col("d2"), col("n_id"))
-        d.withColumn("rn", row_number().over(w)).where(col("rn") <= 5)
-          .select(col("q_id"), col("rn"), col("n_id"),
-            round(sqrt(col("d2")), 6).as("dist"))
-          .orderBy("q_id", "rn")
+        val e = T.embeddings(s, dir)
+        val q = e.where(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        val cand = e.transform(T.fanOut(_, col("vec_id")))
+          .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+        val w = Window.partitionBy(col("q_id")).orderBy(col("d"), col("n_id"))
+        val exact = cand.crossJoin(broadcast(q))
+          .where(col("q_id") =!= col("n_id"))
+          .select(col("q_id"), col("n_id"),
+            graft.functions.Vec.l2(s, "q_emb", "n_emb").as("d"))
+          .withColumn("rn", row_number().over(w)).where(col("rn") <= 5)
+          .select(col("q_id"), col("n_id")).withColumn("hit", lit(1L))
+        sq8Knn(s, dir).select(col("q_id"), col("n_id"))
+          .join(exact, Seq("q_id", "n_id"), "left")
+          .groupBy("q_id")
+          .agg((sum(coalesce(col("hit"), lit(0L))).cast("double") / 5).as("recall"))
+          .selectExpr("q_id", "round(recall, 2) AS recall_at_5")
+          .orderBy("q_id")
       },
-      Some(s"""WITH ex AS (SELECT vec_id,
-                   generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS i,
-                   unnest(CAST(embedding AS DOUBLE[])) AS x
-                 FROM embeddings),
-                 st AS (SELECT i, min(x) AS mn, max(x) AS mx FROM ex GROUP BY i),
-                 xq AS (SELECT vec_id, i,
-                     CASE WHEN mx > mn THEN mn + floor((x - mn) / (mx - mn) * 255) * (mx - mn) / 255 ELSE x END AS xr
-                   FROM ex JOIN st USING (i)),
-                 qv AS (SELECT vec_id AS q_id, i, xr AS qx FROM xq WHERE vec_id < 10),
-                 d AS (SELECT q_id, n.vec_id AS n_id,
-                     ${T.sqlXsum("(qx - n.xr) * (qx - n.xr)")} AS d2
-                   FROM qv JOIN xq n USING (i) WHERE n.vec_id <> q_id
-                   GROUP BY q_id, n.vec_id)
-               SELECT q_id, rn, n_id, round(sqrt(d2), 6) AS dist FROM (
-                 SELECT q_id, n_id, d2,
-                   row_number() OVER (PARTITION BY q_id ORDER BY d2, n_id) AS rn
-                 FROM d) t
-               WHERE rn <= 5 ORDER BY q_id, rn""")),
+      Some(s"""WITH $sqlSq8Ctes,
+                 exact AS (SELECT q_id, n_id FROM (
+                     SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+                       row_number() OVER (PARTITION BY q.vec_id
+                         ORDER BY list_distance(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), e.vec_id) AS rn
+                     FROM embeddings q CROSS JOIN embeddings e
+                     WHERE q.vec_id < 10 AND q.vec_id <> e.vec_id) t
+                   WHERE rn <= 5),
+                 j AS (SELECT s.q_id,
+                     CASE WHEN e.n_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+                   FROM sq5 s LEFT JOIN exact e
+                     ON e.q_id = s.q_id AND e.n_id = s.n_id)
+               SELECT q_id,
+                 round(CAST(sum(hit) AS DOUBLE) / 5, 2) AS recall_at_5
+               FROM j GROUP BY q_id ORDER BY q_id""")),
+
+    QueryDef(
+      "ml_ndcg",
+      // NDCG@10 for label-relevance retrieval — the ranking-quality
+      // metric of the embedding search stack: rank all candidates by
+      // cosine (the ml_knn_cosine pairing: codegen'd VecDot ↔ DuckDB
+      // list_cosine_similarity), relevance = same-label indicator,
+      // DCG = Σ rel/log2(pos+1) over the top-10, IDCG = the all-relevant
+      // ideal over the same 10 positions (every label class holds ≥ 10
+      // vectors, so the truncated ideal is exact). Logs are
+      // lnR-collapsed; sums ride the exact wire. Output per query:
+      // same-label hits in the top-10 + NDCG.
+      (s, dir) => {
+        val e = T.embeddings(s, dir).select(col("vec_id"), col("label"),
+          col("embedding"),
+          sqrt(graft.functions.Vec.dot(s, "embedding", "embedding")).as("nrm"))
+        val q = e.where(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("label").as("q_lbl"),
+            col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+        val cand = e.transform(T.fanOut(_, col("vec_id")))
+          .select(col("vec_id").as("n_id"), col("label").as("n_lbl"),
+            col("embedding").as("n_emb"), col("nrm").as("n_nrm"))
+        val cos = graft.functions.Vec.dot(s, "q_emb", "n_emb") / (col("q_nrm") * col("n_nrm"))
+        val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
+        cand.crossJoin(broadcast(q))
+          .where(col("q_id") =!= col("n_id"))
+          .select(col("q_id"), col("q_lbl"), col("n_lbl"), col("n_id"), cos.as("sim"))
+          .withColumn("rn", row_number().over(w)).where(col("rn") <= 10)
+          .selectExpr("q_id",
+            "CASE WHEN n_lbl = q_lbl THEN 1 ELSE 0 END AS rel",
+            "1e0 / (CAST(CAST(ln(CAST(rn + 1 AS DOUBLE)) AS FLOAT) AS DOUBLE) / CAST(CAST(ln(2e0) AS FLOAT) AS DOUBLE)) AS gain")
+          .groupBy("q_id")
+          .agg(sum(col("rel")).cast("long").as("n_rel_top10"),
+            T.xsum(col("rel") * col("gain")).as("dcg"),
+            T.xsum(col("gain")).as("idcg"))
+          .selectExpr("q_id", "n_rel_top10", "round(dcg / idcg, 6) AS ndcg_at_10")
+          .orderBy("q_id")
+      },
+      Some("""WITH ranked AS (SELECT q_id, rel, rn FROM (
+                   SELECT q.vec_id AS q_id,
+                     CASE WHEN e.label = q.label THEN 1 ELSE 0 END AS rel,
+                     row_number() OVER (PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) DESC, e.vec_id) AS rn
+                   FROM embeddings q CROSS JOIN embeddings e
+                   WHERE q.vec_id < 10 AND q.vec_id <> e.vec_id) t
+                 WHERE rn <= 10),
+                 g AS (SELECT q_id, rel,
+                     1e0 / (CAST(CAST(ln(CAST(rn + 1 AS DOUBLE)) AS REAL) AS DOUBLE) / CAST(CAST(ln(2e0) AS REAL) AS DOUBLE)) AS gain
+                   FROM ranked)
+               SELECT q_id, CAST(sum(rel) AS BIGINT) AS n_rel_top10,
+                 round(CAST(sum(CAST((rel * gain) AS DECIMAL(30,12))) AS DOUBLE) /
+                       CAST(sum(CAST(gain AS DECIMAL(30,12))) AS DOUBLE), 6) AS ndcg_at_10
+               FROM g GROUP BY q_id ORDER BY q_id""")),
 
     QueryDef(
       "ml_train_test_split",

@@ -1541,6 +1541,27 @@ class MicroSpec extends SparkSpec {
     assert(tri.getAs[Long]("n_triangles") >= 0)
   }
 
+  test("ml_recall_at_k: per-query SQ8 recall stays above the index floor (r7)") {
+    val rows = q("ml_recall_at_k").collect()
+    assert(rows.length == 10)
+    val rs = rows.map(_.getAs[Double]("recall_at_5"))
+    assert(rs.forall(r => r >= 0 && r <= 1))
+    assert(rs.sum / rs.length >= 0.8, s"mean recall ${rs.sum / rs.length} below 0.8")
+  }
+
+  test("ml_ndcg: bounded ranking quality with consistent hit counts (r7)") {
+    val rows = q("ml_ndcg").collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val n = r.getAs[Double]("ndcg_at_10")
+      assert(n >= 0 && n <= 1, s"NDCG $n outside [0, 1]")
+      val hits = r.getAs[Long]("n_rel_top10")
+      assert(hits >= 0 && hits <= 10)
+      if (hits == 0) assert(n == 0.0, "no relevant hits means zero NDCG")
+    }
+    assert(rows.exists(_.getAs[Double]("ndcg_at_10") > 0))
+  }
+
   test("graph_pagerank: damped ranks bounded below by the teleport floor (r7)") {
     val rows = q("graph_pagerank").collect()
     assert(rows.length == 10)
