@@ -461,6 +461,103 @@ object Pipeline {
                FROM j GROUP BY q_id ORDER BY q_id""")),
 
     QueryDef(
+      "text_fuzzy_terms",
+      // Vocabulary typo/variant detection — edit-distance pairing over
+      // the TOP-100 terms (the monitored slice; at corpus scale the
+      // candidate generation is an LSH over character n-grams, this
+      // bounded top-k is what a quality dashboard actually renders):
+      // both engines implement classic unit-cost Levenshtein, so the
+      // integer distances agree exactly; pairs at distance ≤ 2 with both
+      // terms' frequencies — the "merge these tokens?" review queue.
+      // Plan: one vocab count + TakeOrdered top-100 + a 100×100 bounded
+      // self-join (never the raw vocabulary squared).
+      (s, dir) => {
+        val top = T.documents(s, dir).transform(T.fanOut(_, col("doc_id")))
+          .selectExpr("explode(filter(split(text, ' '), t -> t <> '')) AS t")
+          .select(lower(col("t")).as("term"))
+          .groupBy("term").agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("term")).limit(100)
+        val a = top.select(col("term").as("term_a"), col("cnt").as("cnt_a"))
+        val b = top.select(col("term").as("term_b"), col("cnt").as("cnt_b"))
+        a.crossJoin(broadcast(b))
+          .where(col("term_a") < col("term_b"))
+          .select(col("term_a"), col("term_b"), col("cnt_a"), col("cnt_b"),
+            levenshtein(col("term_a"), col("term_b")).as("edit_dist"))
+          .where(col("edit_dist") <= 2)
+          .orderBy("edit_dist", "term_a", "term_b")
+      },
+      Some("""WITH tk AS (SELECT lower(t) AS term FROM (
+                   SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS t
+                   FROM documents) x),
+                 top AS (SELECT term, count(*) AS cnt FROM tk GROUP BY term
+                         ORDER BY cnt DESC, term LIMIT 100),
+                 p AS (SELECT a.term AS term_a, b.term AS term_b,
+                     a.cnt AS cnt_a, b.cnt AS cnt_b,
+                     CAST(levenshtein(a.term, b.term) AS INT) AS edit_dist
+                   FROM top a CROSS JOIN top b
+                   WHERE a.term < b.term)
+               SELECT term_a, term_b, cnt_a, cnt_b, edit_dist
+               FROM p WHERE edit_dist <= 2
+               ORDER BY edit_dist, term_a, term_b""")),
+
+    QueryDef(
+      "ml_mrr",
+      // Mean Reciprocal Rank — the third retrieval-evaluation headline
+      // next to recall@k and NDCG: the position of the FIRST same-label
+      // hit per query, scored 1/rank (0 if no hit in the top-20 probe
+      // depth). Same cosine ranking pass as ml_ndcg; the metric reduces
+      // to one min-over-relevant aggregate — at any scale this is the
+      // cheapest of the three to monitor per deploy. The overall MRR is
+      // emitted as its own row (q_id = -1) so the summary a dashboard
+      // reads is part of the oracle-checked result, not a client-side
+      // afterthought.
+      (s, dir) => {
+        val e = T.embeddings(s, dir).select(col("vec_id"), col("label"),
+          col("embedding"),
+          sqrt(graft.functions.Vec.dot(s, "embedding", "embedding")).as("nrm"))
+        val q = e.where(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("label").as("q_lbl"),
+            col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+        val cand = e.transform(T.fanOut(_, col("vec_id")))
+          .select(col("vec_id").as("n_id"), col("label").as("n_lbl"),
+            col("embedding").as("n_emb"), col("nrm").as("n_nrm"))
+        val cos = graft.functions.Vec.dot(s, "q_emb", "n_emb") / (col("q_nrm") * col("n_nrm"))
+        val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
+        val perQ = cand.crossJoin(broadcast(q))
+          .where(col("q_id") =!= col("n_id"))
+          .select(col("q_id"), col("q_lbl"), col("n_lbl"), col("n_id"), cos.as("sim"))
+          .withColumn("rn", row_number().over(w)).where(col("rn") <= 20)
+          .groupBy("q_id")
+          .agg(min(when(col("n_lbl") === col("q_lbl"), col("rn"))).as("first_hit"))
+          .selectExpr("q_id", "first_hit",
+            "CASE WHEN first_hit IS NULL THEN 0e0 ELSE 1e0 / first_hit END AS rr")
+        perQ.selectExpr("q_id", "first_hit", "round(rr, 6) AS rr")
+          .unionAll(perQ.agg(T.xsum(col("rr")).as("s"), count(lit(1)).as("n"))
+            .selectExpr("CAST(-1 AS BIGINT) AS q_id", "CAST(NULL AS INT) AS first_hit",
+              "round(s / n, 6) AS rr"))
+          .orderBy("q_id")
+      },
+      Some(s"""WITH ranked AS (SELECT q_id, q_lbl, n_lbl, rn FROM (
+                   SELECT q.vec_id AS q_id, q.label AS q_lbl, e.label AS n_lbl,
+                     row_number() OVER (PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) DESC, e.vec_id) AS rn
+                   FROM embeddings q CROSS JOIN embeddings e
+                   WHERE q.vec_id < 10 AND q.vec_id <> e.vec_id) t
+                 WHERE rn <= 20),
+                 perq AS (SELECT q_id,
+                     CAST(min(CASE WHEN n_lbl = q_lbl THEN rn END) AS INT) AS first_hit
+                   FROM ranked GROUP BY q_id),
+                 rrs AS (SELECT q_id, first_hit,
+                     CASE WHEN first_hit IS NULL THEN 0e0 ELSE 1e0 / first_hit END AS rr
+                   FROM perq)
+               SELECT q_id, first_hit, round(rr, 6) AS rr FROM rrs
+               UNION ALL
+               SELECT CAST(-1 AS BIGINT), CAST(NULL AS INT),
+                 round(${T.sqlXsum("rr")} / count(*), 6)
+               FROM rrs
+               ORDER BY q_id""")),
+
+    QueryDef(
       "ml_ndcg",
       // NDCG@10 for label-relevance retrieval — the ranking-quality
       // metric of the embedding search stack: rank all candidates by

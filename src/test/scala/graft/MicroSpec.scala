@@ -1562,6 +1562,32 @@ class MicroSpec extends SparkSpec {
     assert(rows.exists(_.getAs[Double]("ndcg_at_10") > 0))
   }
 
+  test("ml_mrr: reciprocal ranks consistent with first-hit positions (r7)") {
+    val rows = q("ml_mrr").collect()
+    val (summary, perQ) = rows.partition(_.getAs[Long]("q_id") == -1L)
+    assert(summary.length == 1 && perQ.length == 10)
+    perQ.foreach { r =>
+      if (!r.isNullAt(r.fieldIndex("first_hit"))) {
+        val fh = r.getAs[Int]("first_hit")
+        assert(fh >= 1 && fh <= 20)
+        assert(math.abs(r.getAs[Double]("rr") - 1.0 / fh) < 1e-5)
+      } else assert(r.getAs[Double]("rr") == 0.0)
+    }
+    val mean = perQ.map(_.getAs[Double]("rr")).sum / perQ.length
+    assert(math.abs(summary(0).getAs[Double]("rr") - mean) < 1e-5,
+      "the q_id = -1 row must be the mean of the per-query rows")
+  }
+
+  test("text_fuzzy_terms: symmetric-canonical close pairs only (r7)") {
+    val rows = q("text_fuzzy_terms").collect()
+    assert(rows.nonEmpty, "the small vocabulary has edit-close terms")
+    rows.foreach { r =>
+      assert(r.getAs[String]("term_a") < r.getAs[String]("term_b"), "canonical order")
+      val d = r.getAs[Int]("edit_dist")
+      assert(d >= 1 && d <= 2)
+    }
+  }
+
   test("graph_pagerank: damped ranks bounded below by the teleport floor (r7)") {
     val rows = q("graph_pagerank").collect()
     assert(rows.length == 10)
