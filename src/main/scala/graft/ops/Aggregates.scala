@@ -410,6 +410,42 @@ object Aggregates {
                FROM binned GROUP BY bin, lo, hi ORDER BY bin""")),
 
     QueryDef(
+      "agg_benford",
+      // Benford's-law first-digit audit — the numeric-integrity check a
+      // finance/data-quality pass runs over money columns: observed
+      // first-digit shares of extendedprice vs the Benford expectation
+      // log10(1 + 1/d), plus the per-digit deviation. The digit comes
+      // from the CANONICAL DECIMAL STRING (2-dp money cast, first char)
+      // — NOT floor(v/10^floor(log10 v)), whose collapsed log at an
+      // exact power of ten can round below the integer and shift the
+      // digit cross-engine. One map + one bounded 9-row aggregate; the
+      // expectation is a shared lnR-collapsed expression.
+      (s, dir) => {
+        val wg = Window.partitionBy()
+        T.lineitem(s, dir)
+          .selectExpr("CAST(substr(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS STRING), 1, 1) AS INT) AS d")
+          .groupBy("d").agg(count(lit(1)).as("n"))
+          .select(col("d"), col("n"), sum(col("n")).over(wg).as("tot"))
+          .selectExpr("d", "n",
+            "round(CAST(n AS DOUBLE) / tot, 6) AS observed",
+            "round(CAST(CAST(ln(1e0 + 1e0 / d) AS FLOAT) AS DOUBLE) / CAST(CAST(ln(10e0) AS FLOAT) AS DOUBLE), 6) AS benford")
+          .selectExpr("d", "n", "observed", "benford",
+            "round(observed - benford, 6) + 0 AS deviation")
+          .orderBy("d")
+      },
+      Some("""WITH dg AS (SELECT CAST(substr(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR), 1, 1) AS INT) AS d
+                 FROM lineitem),
+                 c AS (SELECT d, count(*) AS n FROM dg GROUP BY d),
+                 t AS (SELECT d, n, sum(n) OVER () AS tot FROM c),
+                 ob AS (SELECT d, n,
+                     round(CAST(n AS DOUBLE) / tot, 6) AS observed,
+                     round(CAST(CAST(ln(1e0 + 1e0 / d) AS REAL) AS DOUBLE) / CAST(CAST(ln(10e0) AS REAL) AS DOUBLE), 6) AS benford
+                   FROM t)
+               SELECT d, n, observed, benford,
+                 round(observed - benford, 6) + 0 AS deviation
+               FROM ob ORDER BY d""")),
+
+    QueryDef(
       "win_range_frame",
       // The RANGE-frame window — the time-based sibling of
       // win_frame_moving's ROWS frame: per user, count and exact decimal

@@ -267,6 +267,44 @@ object Streaming {
                FROM burst GROUP BY user_id ORDER BY user_id""")),
 
     QueryDef(
+      "stream_gap_audit",
+      // Ingestion-outage detection — the data-quality audit a streaming
+      // pipeline runs over its own output: which hour buckets between the
+      // stream's first and last event carry ZERO events? The expected
+      // timeline is generated in-plan (sequence over the bounded hour
+      // span — never a per-event window), left-joined to the tumbling
+      // counts; emitted as gap runs would be a window over the bounded
+      // gap set, so the simple per-hour form stays exact at any volume.
+      // Output: missing hours + the coverage summary row (hour = -1).
+      (s, dir) => {
+        val counts = ev(s, dir)
+          .selectExpr(s"us div $HOUR_US AS hour")
+          .groupBy("hour").agg(count(lit(1)).as("n"))
+        val span = counts.agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+        val expected = span.selectExpr("explode(sequence(h0, h1)) AS hour")
+        val gaps = expected.join(counts, Seq("hour"), "left")
+          .where(col("n").isNull)
+          .select(col("hour"), lit(0L).as("n_events"))
+        val summary = expected.join(counts, Seq("hour"), "left")
+          .agg(count(lit(1)).as("n_hours"),
+            sum(when(col("n").isNull, 1L).otherwise(0L)).as("n_gaps"))
+          .selectExpr("CAST(-1 AS BIGINT) AS hour", "n_hours - n_gaps AS n_events")
+        gaps.unionAll(summary).orderBy("hour")
+      },
+      Some(s"""WITH counts AS (SELECT us // $HOUR_US AS hour, count(*) AS n
+                 FROM ($sqlEv) e GROUP BY hour),
+                 span AS (SELECT min(hour) AS h0, max(hour) AS h1 FROM counts),
+                 expected AS (SELECT unnest(generate_series(h0, h1)) AS hour FROM span),
+                 j AS (SELECT e.hour, c.n FROM expected e
+                       LEFT JOIN counts c USING (hour))
+               SELECT hour, CAST(0 AS BIGINT) AS n_events FROM j WHERE n IS NULL
+               UNION ALL
+               SELECT CAST(-1 AS BIGINT),
+                 count(*) - CAST(sum(CASE WHEN n IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               FROM j
+               ORDER BY hour""")),
+
+    QueryDef(
       "stream_retention",
       // Cohort retention — the product-analytics matrix: cohort = each
       // user's first-activity day; cell (cohort_day, offset) = how many

@@ -1562,6 +1562,30 @@ class MicroSpec extends SparkSpec {
     assert(rows.exists(_.getAs[Double]("ndcg_at_10") > 0))
   }
 
+  test("stream_gap_audit: gaps plus covered hours tile the event span (r7)") {
+    val rows = q("stream_gap_audit").collect()
+    val (summary, gaps) = rows.partition(_.getAs[Long]("hour") == -1L)
+    assert(summary.length == 1)
+    gaps.foreach(r => assert(r.getAs[Long]("n_events") == 0L))
+    val hours = Tables.events(spark, sf)
+      .selectExpr("unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000 AS h")
+      .agg(max(col("h")) - min(col("h")) + 1).collect()(0).getLong(0)
+    assert(summary(0).getAs[Long]("n_events") + gaps.length == hours,
+      s"covered ${summary(0).getAs[Long]("n_events")} + gaps ${gaps.length} != span $hours")
+  }
+
+  test("agg_benford: digit shares normalize on both sides (r7)") {
+    val rows = q("agg_benford").collect()
+    assert(rows.length == 9)
+    assert(rows.map(_.getAs[Int]("d")).sorted.toSeq == (1 to 9))
+    val obs = rows.map(_.getAs[Double]("observed")).sum
+    val ben = rows.map(_.getAs[Double]("benford")).sum
+    assert(math.abs(obs - 1.0) < 1e-4, s"observed shares sum to $obs")
+    assert(math.abs(ben - 1.0) < 1e-4, s"Benford shares sum to $ben")
+    assert(rows.map(_.getAs[Long]("n")).sum ==
+      Tables.lineitem(spark, sf).count())
+  }
+
   test("ml_mrr: reciprocal ranks consistent with first-hit positions (r7)") {
     val rows = q("ml_mrr").collect()
     val (summary, perQ) = rows.partition(_.getAs[Long]("q_id") == -1L)
