@@ -646,46 +646,92 @@ object Aggregates {
       "agg_describe",
       // DataFrame.describe() — the cudf/pandas profiling staple [R]: per
       // numeric column count / mean / SAMPLE std / min / p25 / p50 / p75
-      // / max, in long format. One unpivot (stack — a pure map) + one
-      // groupBy(feature): moments ride the exact decimal wire; quantiles
-      // are EXACT interpolated percentiles (Spark `percentile` ↔ DuckDB
-      // `quantile_cont`, the ml_median_abs_error-proven pairing). SCALE
-      // NOTE (as there): exact percentile holds all group values — the
-      // production swap is approx_percentile (t-digest), same plan shape;
-      // the moment columns are already scale-free.
+      // / max, in long format. The quantiles are EXACT interpolated
+      // percentiles computed from CUMULATIVE COUNTS OVER THE VALUE
+      // SUPPORT, not from a percentile() aggregate: the builtin collects
+      // every raw value into an interpreted per-group hash buffer
+      // (measured 16–22 s at sf0.1), while 2-dp data has a bounded
+      // distinct support, so groupBy(feature, v) counts stay codegen'd
+      // and the (n−1)p interpolation reads the two bracketing support
+      // rows from one window pass (positions [cumb, cum) per value; the
+      // upper bracket coalesces to the lower when the rank is integral).
+      // Moments ride the exact decimal wire off the SAME weighted support
+      // (Σcnt·v). SCALE NOTE: valid while support ≪ rows (any fixed-dp
+      // column); a truly continuous column swaps in approx_percentile.
       (s, dir) => {
-        T.lineitem(s, dir)
+        def pick(q: String, off: String): String =
+          s"max(CASE WHEN cumb <= floor((n - 1) * $q) + $off AND floor((n - 1) * $q) + $off < cum THEN v END)"
+        def interp(q: String, tag: String): Seq[String] = Seq(
+          s"${pick(q, "0")} AS lo_$tag",
+          s"coalesce(${pick(q, "1")}, ${pick(q, "0")}) AS hi_$tag",
+          s"max((n - 1) * $q - floor((n - 1) * $q)) AS fr_$tag")
+        val w = Window.partitionBy(col("feature")).orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        // n joins in from a tiny 3-row aggregate instead of a second
+        // (unordered) window: same partitioning + different frame would
+        // plan TWO Window sorts over the ~0.6M-row support
+        // freeze: the support feeds BOTH the totals and the window branch,
+        // and ReuseExchange does not dedup across them under AQE — frozen,
+        // the scan+stack+count pass runs once (the LSA discipline)
+        val cnt = T.freeze(T.lineitem(s, dir)
           .selectExpr(
             "stack(3, 'quantity', CAST(l_quantity AS DOUBLE), 'extendedprice', CAST(l_extendedprice AS DOUBLE), 'discount', CAST(l_discount AS DOUBLE)) AS (feature, v)")
+          .groupBy("feature", "v").agg(count(lit(1)).as("cnt")))
+        val tot = cnt.groupBy("feature").agg(sum(col("cnt")).as("n"))
+        cnt.join(broadcast(tot), "feature")
+          .select(col("feature"), col("v"), col("cnt"), col("n"),
+            sum(col("cnt")).over(w).as("cum"),
+            (sum(col("cnt")).over(w) - col("cnt")).as("cumb"))
           .groupBy("feature")
-          .agg(count(lit(1)).as("n"),
-            T.xsum(col("v")).as("sv"), T.xsum(col("v") * col("v")).as("svv"),
-            min(col("v")).as("min_v"), max(col("v")).as("max_v"),
-            expr("percentile(v, 0.25)").as("q25"),
-            expr("percentile(v, 0.5)").as("q50"),
-            expr("percentile(v, 0.75)").as("q75"))
+          .agg(first(col("n")).as("n"),
+            Seq(T.xsum(col("cnt") * col("v")).as("sv"),
+              T.xsum(col("cnt") * col("v") * col("v")).as("svv"),
+              min(col("v")).as("min_v"), max(col("v")).as("max_v")) ++
+            Seq("0.25" -> "q25", "0.5" -> "q50", "0.75" -> "q75")
+              .flatMap { case (q, t) => interp(q, t) }
+              .map(expr): _*)
           .selectExpr("feature", "n",
             "round(sv / n, 6) AS mean",
             "round(sqrt((svv - sv * sv / n) / (n - 1)), 6) AS std",
-            "min_v AS min", "round(q25, 6) AS p25", "round(q50, 6) AS p50",
-            "round(q75, 6) AS p75", "max_v AS max")
+            "min_v AS min",
+            "round(lo_q25 + fr_q25 * (hi_q25 - lo_q25), 6) AS p25",
+            "round(lo_q50 + fr_q50 * (hi_q50 - lo_q50), 6) AS p50",
+            "round(lo_q75 + fr_q75 * (hi_q75 - lo_q75), 6) AS p75",
+            "max_v AS max")
           .orderBy("feature")
       },
-      Some(s"""WITH u AS (SELECT 'quantity' AS feature, CAST(l_quantity AS DOUBLE) AS v FROM lineitem
+      Some {
+        def pick(q: String, off: String): String =
+          s"max(CASE WHEN cumb <= floor((n - 1) * $q) + $off AND floor((n - 1) * $q) + $off < cum THEN v END)"
+        def interp(q: String, tag: String): String =
+          s"""${pick(q, "0")} AS lo_$tag,
+                     coalesce(${pick(q, "1")}, ${pick(q, "0")}) AS hi_$tag,
+                     max((n - 1) * $q - floor((n - 1) * $q)) AS fr_$tag"""
+        s"""WITH u AS (SELECT 'quantity' AS feature, CAST(l_quantity AS DOUBLE) AS v FROM lineitem
                    UNION ALL SELECT 'extendedprice', CAST(l_extendedprice AS DOUBLE) FROM lineitem
                    UNION ALL SELECT 'discount', CAST(l_discount AS DOUBLE) FROM lineitem),
-                 m AS (SELECT feature, count(*) AS n,
-                     ${T.sqlXsum("v")} AS sv, ${T.sqlXsum("v * v")} AS svv,
+                 c AS (SELECT feature, v, count(*) AS cnt FROM u GROUP BY feature, v),
+                 tt AS (SELECT feature, sum(cnt) AS n FROM c GROUP BY feature),
+                 cw AS (SELECT c.feature, v, cnt, n,
+                     sum(cnt) OVER (PARTITION BY c.feature ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                     sum(cnt) OVER (PARTITION BY c.feature ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt AS cumb
+                   FROM c JOIN tt USING (feature)),
+                 m AS (SELECT feature, any_value(n) AS n,
+                     ${T.sqlXsum("cnt * v")} AS sv,
+                     ${T.sqlXsum("cnt * v * v")} AS svv,
                      min(v) AS min_v, max(v) AS max_v,
-                     quantile_cont(v, 0.25) AS q25,
-                     quantile_cont(v, 0.5) AS q50,
-                     quantile_cont(v, 0.75) AS q75
-                   FROM u GROUP BY feature)
-               SELECT feature, n,
+                     ${Seq("0.25" -> "q25", "0.5" -> "q50", "0.75" -> "q75")
+                       .map { case (q, t) => interp(q, t) }.mkString(",\n                     ")}
+                   FROM cw GROUP BY feature)
+               SELECT feature, CAST(n AS BIGINT) AS n,
                  round(sv / n, 6) AS mean,
                  round(sqrt((svv - sv * sv / n) / (n - 1)), 6) AS std,
-                 min_v AS min, round(q25, 6) AS p25, round(q50, 6) AS p50,
-                 round(q75, 6) AS p75, max_v AS max
-               FROM m ORDER BY feature"""))
+                 min_v AS min,
+                 round(lo_q25 + fr_q25 * (hi_q25 - lo_q25), 6) AS p25,
+                 round(lo_q50 + fr_q50 * (hi_q50 - lo_q50), 6) AS p50,
+                 round(lo_q75 + fr_q75 * (hi_q75 - lo_q75), 6) AS p75,
+                 max_v AS max
+               FROM m ORDER BY feature"""
+      })
   )
 }
