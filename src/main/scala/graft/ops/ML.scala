@@ -2700,6 +2700,96 @@ object ML {
                FROM bk GROUP BY decile ORDER BY decile""")),
 
     QueryDef(
+      "ml_brier_score",
+      // brier_score_loss — the probabilistic-accuracy companion of
+      // ml_log_loss over the same logistic fit: mean (μ − y)², plus its
+      // standard decomposition baseline (the climatological Brier of
+      // always predicting the base rate, whose skill-score ratio tells a
+      // monitor whether the model beats the prior). One scoring pass on
+      // the driver-held IRLS coefficients; μ REAL-collapsed, sums exact.
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        val (a, b) = irlsBeta(s, dir)
+        val d = T.lineitem(s, dir).select(
+          col("l_quantity").cast("double").as("x"),
+          when(col("l_returnflag") === "R", 1.0).otherwise(0.0).as("y"))
+          .transform(T.fanOut(_))
+        val ab = Seq((a, b)).toDF("ca", "cb")
+        val mu = (lit(1.0) / (lit(1.0) + exp(-(col("ca") + col("cb") * col("x")))))
+          .cast("float").cast("double")
+        d.crossJoin(broadcast(ab))
+          .select(col("y"), mu.as("mu"))
+          .agg(count(lit(1)).cast("double").as("nd"),
+            T.xsum((col("mu") - col("y")) * (col("mu") - col("y"))).as("sq"),
+            T.xsum(col("y")).as("sy"))
+          .selectExpr("nd", "sq / nd AS brier", "sy / nd AS base")
+          .selectExpr("round(brier, 6) AS brier",
+            "round(base * (1e0 - base), 6) AS brier_baseline",
+            "round(1e0 - brier / (base * (1e0 - base)), 6) AS skill_score")
+      },
+      Some(s"""WITH $sqlIrlsChain,
+                 scored AS (SELECT y,
+                     CAST(CAST(1.0 / (1.0 + exp(-(a + b * x))) AS REAL) AS DOUBLE) AS mu
+                   FROM d, b3),
+                 m AS (SELECT CAST(count(*) AS DOUBLE) AS nd,
+                     ${T.sqlXsum("(mu - y) * (mu - y)")} AS sq,
+                     ${T.sqlXsum("y")} AS sy
+                   FROM scored),
+                 r AS (SELECT nd, sq / nd AS brier, sy / nd AS base FROM m)
+               SELECT round(brier, 6) AS brier,
+                 round(base * (1e0 - base), 6) AS brier_baseline,
+                 round(1e0 - brier / (base * (1e0 - base)), 6) AS skill_score
+               FROM r""")),
+
+    QueryDef(
+      "ml_cohen_kappa",
+      // Cohen's kappa between the engine's TWO multiclass meta-strategies
+      // (ml_ovr_classifier vs ml_ovo_classifier predictions on the same
+      // rows) — chance-corrected inter-model agreement, the metric a
+      // shadow-deploy comparison reports: po = observed agreement, pe =
+      // Σ_k p_ovr(k)·p_ovo(k) from the marginals, κ = (po − pe)/(1 − pe).
+      // Both classifiers solve from their one-pass moments and broadcast
+      // into ONE shared scoring pass; the agreement contingency is a
+      // bounded 3×3 aggregate and the marginal products ride shared-text
+      // doubles.
+      (s, dir) => {
+        val preds = Supervised.ovrOvoPreds(s, dir)
+        val ct = preds.groupBy("p_ovr", "p_ovo").agg(count(lit(1)).as("n"))
+        val wg = Window.partitionBy()
+        val wr = Window.partitionBy(col("p_ovr"))
+        val wc = Window.partitionBy(col("p_ovo"))
+        ct.select(col("p_ovr"), col("p_ovo"), col("n"),
+            sum(col("n")).over(wg).as("tot"),
+            sum(col("n")).over(wr).as("nr"),
+            sum(col("n")).over(wc).as("nc"))
+          .selectExpr(
+            "CASE WHEN p_ovr = p_ovo THEN CAST(n AS DOUBLE) ELSE 0e0 END / tot AS po_term",
+            "CASE WHEN p_ovr = p_ovo THEN (CAST(nr AS DOUBLE) / tot) * (CAST(nc AS DOUBLE) / tot) ELSE 0e0 END AS pe_term")
+          .agg(T.xsum(col("po_term")).as("po"), T.xsum(col("pe_term")).as("pe"))
+          .selectExpr("round(po, 6) AS p_observed", "round(pe, 6) AS p_expected",
+            "round((po - pe) / (1e0 - pe), 6) AS kappa")
+      },
+      Some(s"""WITH ${Supervised.sqlOvrOvoPreds},
+                 ct AS (SELECT p_ovr, p_ovo, count(*) AS n
+                        FROM preds GROUP BY p_ovr, p_ovo),
+                 mg AS (SELECT p_ovr, p_ovo, n,
+                     sum(n) OVER () AS tot,
+                     sum(n) OVER (PARTITION BY p_ovr) AS nr,
+                     sum(n) OVER (PARTITION BY p_ovo) AS nc
+                   FROM ct),
+                 terms AS (SELECT
+                     CASE WHEN p_ovr = p_ovo THEN CAST(n AS DOUBLE) ELSE 0e0 END / tot AS po_term,
+                     CASE WHEN p_ovr = p_ovo THEN (CAST(nr AS DOUBLE) / tot) * (CAST(nc AS DOUBLE) / tot) ELSE 0e0 END AS pe_term
+                   FROM mg),
+                 ag AS (SELECT ${T.sqlXsum("po_term")} AS po,
+                     ${T.sqlXsum("pe_term")} AS pe
+                   FROM terms)
+               SELECT round(po, 6) AS p_observed, round(pe, 6) AS p_expected,
+                 round((po - pe) / (1e0 - pe), 6) AS kappa
+               FROM ag""")),
+
+    QueryDef(
       "ml_roc_auc",
       // cuml.metrics roc_auc_score [R] for the 1-feature logistic scores:
       // AUC by the Mann-Whitney rank identity with tie handling, computed

@@ -1126,6 +1126,143 @@ object Supervised {
     * CTE text so the per-candidate sums line up by construction. */
   private def cs(c: Double): String = c.toString.replace('.', '_')
 
+  /** Per-row predictions of BOTH multiclass meta-strategies (OvR argmax
+    * and OvO majority vote) in ONE scoring pass — the shared input of
+    * ml_cohen_kappa's inter-model agreement. Recomputes both solved
+    * coefficient frames (each one conditional moment pass, as their
+    * standalone queries) and broadcasts them into a single map. */
+  private[ops] def ovrOvoPreds(s: SparkSession, dir: String): DataFrame = {
+    val l = T.lineitem(s, dir).select(
+      col("l_returnflag").as("rf"),
+      col("l_quantity").cast("double").as("q"),
+      col("l_discount").cast("double").as("d"))
+      .transform(T.fanOut(_))
+    // OvR: shared-Gram one-vs-rest LS (the ml_ovr_classifier chain)
+    val mOvr = l.agg(
+      count(lit(1)).cast("double").as("nd"),
+      T.xsum(col("q")).as("s1"), T.xsum(col("d")).as("s2"),
+      T.xsum(col("q") * col("q")).as("s11"),
+      T.xsum(col("d") * col("d")).as("s22"),
+      T.xsum(col("q") * col("d")).as("s12"),
+      sum(when(col("rf") === "A", 1L).otherwise(0L)).cast("double").as("sya"),
+      T.xsum(when(col("rf") === "A", col("q"))).as("s1ya"),
+      T.xsum(when(col("rf") === "A", col("d"))).as("s2ya"),
+      sum(when(col("rf") === "N", 1L).otherwise(0L)).cast("double").as("syn"),
+      T.xsum(when(col("rf") === "N", col("q"))).as("s1yn"),
+      T.xsum(when(col("rf") === "N", col("d"))).as("s2yn"),
+      sum(when(col("rf") === "R", 1L).otherwise(0L)).cast("double").as("syr"),
+      T.xsum(when(col("rf") === "R", col("q"))).as("s1yr"),
+      T.xsum(when(col("rf") === "R", col("d"))).as("s2yr"))
+      .selectExpr("*", s"$det3 AS det")
+    val ovrSolved = Seq("a", "n", "r").foldLeft(mOvr) { (df, k) =>
+      val (b0, b1, b2) = cram3(s"sy$k", s"s1y$k", s"s2y$k")
+      df.selectExpr("*", s"$b0 AS b0$k", s"$b1 AS b1$k", s"$b2 AS b2$k")
+    }.selectExpr("b0a", "b1a", "b2a", "b0n", "b1n", "b2n", "b0r", "b1r", "b2r")
+    // OvO: pairwise LS by moment additivity (the ml_ovo_classifier chain)
+    val aggCols = Seq("a", "n", "r").flatMap { k =>
+      val kc = k.toUpperCase
+      Seq(
+        sum(when(col("rf") === kc, 1L).otherwise(0L)).cast("double").as(s"n$k"),
+        T.xsum(when(col("rf") === kc, col("q"))).as(s"s1$k"),
+        T.xsum(when(col("rf") === kc, col("d"))).as(s"s2$k"),
+        T.xsum(when(col("rf") === kc, col("q") * col("q"))).as(s"s11$k"),
+        T.xsum(when(col("rf") === kc, col("d") * col("d"))).as(s"s22$k"),
+        T.xsum(when(col("rf") === kc, col("q") * col("d"))).as(s"s12$k"))
+    }
+    val ovoSolved = ovoPairs.foldLeft(l.agg(aggCols.head, aggCols.tail: _*)) {
+      case (df, (i, j)) =>
+        df.selectExpr("*" +: ovoPairCols(i, j): _*)
+          .selectExpr("*", s"${det3S(s"$i$j")} AS det$i$j")
+          .selectExpr("*",
+            s"${cram3S(s"$i$j")._1} AS c0$i$j",
+            s"${cram3S(s"$i$j")._2} AS c1$i$j",
+            s"${cram3S(s"$i$j")._3} AS c2$i$j")
+    }.selectExpr(ovoPairs.flatMap { case (i, j) =>
+      Seq(s"c0$i$j", s"c1$i$j", s"c2$i$j") }: _*)
+    l.crossJoin(broadcast(ovrSolved)).crossJoin(broadcast(ovoSolved))
+      .selectExpr("rf",
+        "b0a + b1a * q + b2a * d AS sa",
+        "b0n + b1n * q + b2n * d AS sn",
+        "b0r + b1r * q + b2r * d AS sr",
+        "CASE WHEN c0an + c1an * q + c2an * d >= 0.5 THEN 1 ELSE 0 END AS wa_an",
+        "CASE WHEN c0ar + c1ar * q + c2ar * d >= 0.5 THEN 1 ELSE 0 END AS wa_ar",
+        "CASE WHEN c0nr + c1nr * q + c2nr * d >= 0.5 THEN 1 ELSE 0 END AS wn_nr")
+      .selectExpr("rf",
+        "CASE WHEN sa >= sn AND sa >= sr THEN 'A' WHEN sn >= sr THEN 'N' ELSE 'R' END AS p_ovr",
+        "wa_an + wa_ar AS va", "(1 - wa_an) + wn_nr AS vn",
+        "(1 - wa_ar) + (1 - wn_nr) AS vr")
+      .selectExpr("rf", "p_ovr",
+        "CASE WHEN va >= vn AND va >= vr THEN 'A' WHEN vn >= vr THEN 'N' ELSE 'R' END AS p_ovo")
+  }
+
+  /** Oracle twin of [[ovrOvoPreds]] — CTE prefix ending in
+    * preds(rf, p_ovr, p_ovo). */
+  private[ops] lazy val sqlOvrOvoPreds: String = {
+    val ovrM = s"""SELECT CAST(count(*) AS DOUBLE) AS nd,
+          ${T.sqlXsum("q")} AS s1, ${T.sqlXsum("d")} AS s2,
+          ${T.sqlXsum("q * q")} AS s11, ${T.sqlXsum("d * d")} AS s22,
+          ${T.sqlXsum("q * d")} AS s12,
+          CAST(sum(CASE WHEN rf = 'A' THEN 1 ELSE 0 END) AS DOUBLE) AS sya,
+          ${T.sqlXsum("CASE WHEN rf = 'A' THEN q END")} AS s1ya,
+          ${T.sqlXsum("CASE WHEN rf = 'A' THEN d END")} AS s2ya,
+          CAST(sum(CASE WHEN rf = 'N' THEN 1 ELSE 0 END) AS DOUBLE) AS syn,
+          ${T.sqlXsum("CASE WHEN rf = 'N' THEN q END")} AS s1yn,
+          ${T.sqlXsum("CASE WHEN rf = 'N' THEN d END")} AS s2yn,
+          CAST(sum(CASE WHEN rf = 'R' THEN 1 ELSE 0 END) AS DOUBLE) AS syr,
+          ${T.sqlXsum("CASE WHEN rf = 'R' THEN q END")} AS s1yr,
+          ${T.sqlXsum("CASE WHEN rf = 'R' THEN d END")} AS s2yr
+        FROM kl"""
+    val ovrChain = Seq("a", "n", "r").zipWithIndex.map { case (k, i) =>
+      val (b0, b1, b2) = cram3(s"sy$k", s"s1y$k", s"s2y$k")
+      val src = if (i == 0) "kmd" else s"ksv${i - 1}"
+      s"ksv$i AS (SELECT *, $b0 AS b0$k, $b1 AS b1$k, $b2 AS b2$k FROM $src)"
+    }.mkString(",\n         ")
+    val ovoM = s"""SELECT ${Seq("a", "n", "r").map { k =>
+      val kc = k.toUpperCase
+      s"""CAST(sum(CASE WHEN rf = '$kc' THEN 1 ELSE 0 END) AS DOUBLE) AS n$k,
+          ${T.sqlXsum(s"CASE WHEN rf = '$kc' THEN q END")} AS s1$k,
+          ${T.sqlXsum(s"CASE WHEN rf = '$kc' THEN d END")} AS s2$k,
+          ${T.sqlXsum(s"CASE WHEN rf = '$kc' THEN q * q END")} AS s11$k,
+          ${T.sqlXsum(s"CASE WHEN rf = '$kc' THEN d * d END")} AS s22$k,
+          ${T.sqlXsum(s"CASE WHEN rf = '$kc' THEN q * d END")} AS s12$k"""
+    }.mkString(",\n          ")}
+        FROM kl"""
+    val ovoChain = ovoPairs.zipWithIndex.map { case ((i, j), ix) =>
+      val src = if (ix == 0) "kom" else s"kpv${ix - 1}"
+      val cols = ovoPairCols(i, j).mkString(",\n             ")
+      s"""kpc$ix AS (SELECT *, $cols FROM $src),
+         kpd$ix AS (SELECT *, ${det3S(s"$i$j")} AS det$i$j FROM kpc$ix),
+         kpv$ix AS (SELECT *, ${cram3S(s"$i$j")._1} AS c0$i$j,
+             ${cram3S(s"$i$j")._2} AS c1$i$j,
+             ${cram3S(s"$i$j")._3} AS c2$i$j FROM kpd$ix)"""
+    }.mkString(",\n         ")
+    s"""kl AS (SELECT l_returnflag AS rf,
+           CAST(l_quantity AS DOUBLE) AS q,
+           CAST(l_discount AS DOUBLE) AS d
+         FROM lineitem),
+         km AS ($ovrM),
+         kmd AS (SELECT *, $det3 AS det FROM km),
+         $ovrChain,
+         kom AS ($ovoM),
+         $ovoChain,
+         ksc AS (SELECT rf,
+             b0a + b1a * q + b2a * d AS sa,
+             b0n + b1n * q + b2n * d AS sn,
+             b0r + b1r * q + b2r * d AS sr,
+             CASE WHEN c0an + c1an * q + c2an * d >= 0.5 THEN 1 ELSE 0 END AS wa_an,
+             CASE WHEN c0ar + c1ar * q + c2ar * d >= 0.5 THEN 1 ELSE 0 END AS wa_ar,
+             CASE WHEN c0nr + c1nr * q + c2nr * d >= 0.5 THEN 1 ELSE 0 END AS wn_nr
+           FROM kl CROSS JOIN ksv2 CROSS JOIN kpv2),
+         kvt AS (SELECT rf,
+             CASE WHEN sa >= sn AND sa >= sr THEN 'A' WHEN sn >= sr THEN 'N' ELSE 'R' END AS p_ovr,
+             wa_an + wa_ar AS va, (1 - wa_an) + wn_nr AS vn,
+             (1 - wa_ar) + (1 - wn_nr) AS vr
+           FROM ksc),
+         preds AS (SELECT rf, p_ovr,
+             CASE WHEN va >= vn AND va >= vr THEN 'A' WHEN vn >= vr THEN 'N' ELSE 'R' END AS p_ovo
+           FROM kvt)"""
+  }
+
   /** The three OvO class pairs, lowercase suffixes. */
   private lazy val ovoPairs = Seq(("a", "n"), ("a", "r"), ("n", "r"))
 

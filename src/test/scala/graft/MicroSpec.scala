@@ -1562,6 +1562,28 @@ class MicroSpec extends SparkSpec {
     assert(rows.exists(_.getAs[Double]("ndcg_at_10") > 0))
   }
 
+  test("ml_brier_score: bounded loss with the decomposition identity (r7)") {
+    val r = q("ml_brier_score").collect()(0)
+    val (b, base) = (r.getAs[Double]("brier"), r.getAs[Double]("brier_baseline"))
+    assert(b >= 0 && b <= 1)
+    assert(base > 0 && base <= 0.25, "p(1-p) peaks at 1/4")
+    assert(b <= base + 1e-6, "a fitted model cannot lose to the prior on train")
+    val sk = r.getAs[Double]("skill_score")
+    assert(math.abs(sk - (1.0 - b / base)) < 1e-4)
+  }
+
+  test("ml_cohen_kappa: chance-corrected agreement identity (r7)") {
+    val r = q("ml_cohen_kappa").collect()(0)
+    val (po, pe, k) = (r.getAs[Double]("p_observed"),
+      r.getAs[Double]("p_expected"), r.getAs[Double]("kappa"))
+    assert(po >= 0 && po <= 1 && pe > 0 && pe < 1)
+    assert(math.abs(k - (po - pe) / (1 - pe)) < 1e-4, "kappa identity")
+    assert(k >= -1 && k <= 1)
+    // the weak-signal fixture drives both meta-strategies to the same
+    // majority-ish predictions — near-total agreement is the honest value
+    assert(po >= pe, "two fits of the same data agree at least at chance")
+  }
+
   test("stream_gap_audit: gaps plus covered hours tile the event span (r7)") {
     val rows = q("stream_gap_audit").collect()
     val (summary, gaps) = rows.partition(_.getAs[Long]("hour") == -1L)
