@@ -446,6 +446,80 @@ object Aggregates {
                FROM ob ORDER BY d""")),
 
     QueryDef(
+      "agg_lorenz_gini",
+      // Revenue-concentration analytics — the Lorenz curve and Gini
+      // coefficient over per-customer revenue, computed the way
+      // inequality is measured at scale: per-customer totals (bounded
+      // entity aggregation), then a BINNED Lorenz curve over 20 shared
+      // global-bounds revenue bins (the agg_histogram floor text — a
+      // partitionless rank window over hundreds of millions of customers
+      // is the trap this avoids; binning trades exactness for a fixed
+      // 20-point curve, the standard reporting form). Cumulative
+      // population/revenue shares by a window over the 20-row bin table;
+      // Gini by the trapezoid rule over the binned curve. Exact decimal
+      // revenue sums; every share is a deterministic ratio.
+      (s, dir) => {
+        val rev = T.orders(s, dir).groupBy("o_custkey")
+          .agg(T.dsum(col("o_totalprice")).as("rev"))
+        val bounds = rev.agg(min(col("rev")).as("lo"), max(col("rev")).as("hi"))
+        val binned = rev.crossJoin(broadcast(bounds))
+          .selectExpr("rev",
+            "least(CAST(floor((rev - lo) / (hi - lo) * 20) AS INT) + 1, 20) AS bin")
+          .groupBy("bin")
+          .agg(count(lit(1)).as("n"), T.dsum(col("rev")).as("brev"))
+        val wc = Window.orderBy(col("bin"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wg = Window.partitionBy()
+        binned
+          .select(col("bin"), col("n"), col("brev"),
+            sum(col("n")).over(wc).as("cumn"),
+            sum(col("brev").cast(T.money)).over(wc).cast("double").as("cumr"),
+            sum(col("n")).over(wg).as("tn"),
+            sum(col("brev").cast(T.money)).over(wg).cast("double").as("tr"))
+          .selectExpr("bin", "n",
+            "CAST(cumn AS DOUBLE) / tn AS pop_share",
+            "cumr / tr AS rev_share",
+            "(CAST(cumn AS DOUBLE) / tn - CAST(coalesce(cumn - n, 0) AS DOUBLE) / tn) * (cumr / tr + (cumr - brev) / tr) AS trap")
+          .select(col("bin"), col("n"),
+            round(col("pop_share"), 6).as("pop_share"),
+            round(col("rev_share"), 6).as("rev_share"),
+            sum(col("trap").cast(T.exact)).over(Window.partitionBy())
+              .cast("double").as("_s"))
+          .selectExpr("bin", "n", "pop_share", "rev_share",
+            "round(1e0 - _s, 6) AS gini")
+          .orderBy("bin")
+      },
+      Some("""WITH rev AS (SELECT o_custkey,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS rev
+                 FROM orders GROUP BY o_custkey),
+                 b AS (SELECT min(rev) AS lo, max(rev) AS hi FROM rev),
+                 binned AS (SELECT bin, count(*) AS n,
+                     CAST(sum(CAST(rev AS DECIMAL(18,4))) AS DOUBLE) AS brev
+                   FROM (SELECT rev,
+                           least(CAST(floor((rev - lo) / (hi - lo) * 20) AS INT) + 1, 20) AS bin
+                         FROM rev CROSS JOIN b) x
+                   GROUP BY bin),
+                 cw AS (SELECT bin, n, brev,
+                     sum(n) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumn,
+                     CAST(sum(CAST(brev AS DECIMAL(18,4))) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cumr,
+                     sum(n) OVER () AS tn,
+                     CAST(sum(CAST(brev AS DECIMAL(18,4))) OVER () AS DOUBLE) AS tr
+                   FROM binned),
+                 tshare AS (SELECT bin, n,
+                     CAST(cumn AS DOUBLE) / tn AS pop_share,
+                     cumr / tr AS rev_share,
+                     (CAST(cumn AS DOUBLE) / tn - CAST(coalesce(cumn - n, 0) AS DOUBLE) / tn) * (cumr / tr + (cumr - brev) / tr) AS trap
+                   FROM cw),
+                 g AS (SELECT bin, n,
+                     round(pop_share, 6) AS pop_share,
+                     round(rev_share, 6) AS rev_share,
+                     CAST(sum(CAST(trap AS DECIMAL(30,12))) OVER () AS DOUBLE) AS _s
+                   FROM tshare)
+               SELECT bin, n, pop_share, rev_share,
+                 round(1e0 - _s, 6) AS gini
+               FROM g ORDER BY bin""")),
+
+    QueryDef(
       "win_range_frame",
       // The RANGE-frame window — the time-based sibling of
       // win_frame_moving's ROWS frame: per user, count and exact decimal

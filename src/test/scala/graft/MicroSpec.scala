@@ -1562,6 +1562,22 @@ class MicroSpec extends SparkSpec {
     assert(rows.exists(_.getAs[Double]("ndcg_at_10") > 0))
   }
 
+  test("agg_lorenz_gini: the curve stays under the diagonal, Gini bounded (r7)") {
+    val rows = q("agg_lorenz_gini").orderBy(col("bin")).collect()
+    assert(rows.nonEmpty)
+    val gini = rows(0).getAs[Double]("gini")
+    assert(gini >= 0 && gini < 1, s"Gini $gini outside [0, 1)")
+    var (prevP, prevR) = (0.0, 0.0)
+    rows.foreach { r =>
+      val (p, rv) = (r.getAs[Double]("pop_share"), r.getAs[Double]("rev_share"))
+      assert(p >= prevP && rv >= prevR, "both shares monotone")
+      assert(rv <= p + 1e-6, "the Lorenz curve cannot exceed the diagonal")
+      prevP = p; prevR = rv
+    }
+    assert(math.abs(prevP - 1.0) < 1e-6 && math.abs(prevR - 1.0) < 1e-6,
+      "the curve ends at (1, 1)")
+  }
+
   test("ml_brier_score: bounded loss with the decomposition identity (r7)") {
     val r = q("ml_brier_score").collect()(0)
     val (b, base) = (r.getAs[Double]("brier"), r.getAs[Double]("brier_baseline"))
