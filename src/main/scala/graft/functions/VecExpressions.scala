@@ -59,11 +59,11 @@ abstract class VecBinary extends BinaryExpression with Serializable {
   override def nullSafeEval(a: Any, b: Any): Any = {
     val (xs, ys) =
       if (isFloat)
-        (a.asInstanceOf[ArrayData].toFloatArray.map(_.toDouble),
-         b.asInstanceOf[ArrayData].toFloatArray.map(_.toDouble))
+        (a.asInstanceOf[ArrayData].toFloatArray().map(_.toDouble),
+         b.asInstanceOf[ArrayData].toFloatArray().map(_.toDouble))
       else
-        (a.asInstanceOf[ArrayData].toDoubleArray,
-         b.asInstanceOf[ArrayData].toDoubleArray)
+        (a.asInstanceOf[ArrayData].toDoubleArray(),
+         b.asInstanceOf[ArrayData].toDoubleArray())
     evalLoop(xs, ys)
   }
 
