@@ -2700,6 +2700,119 @@ object ML {
                FROM bk GROUP BY decile ORDER BY decile""")),
 
     QueryDef(
+      "ml_ece",
+      // Expected Calibration Error — the modern calibration headline:
+      // ECE = Σ_b (n_b/n)·|avg_pred_b − actual_rate_b| + the max-gap MCE.
+      // Buckets are QUANTITY bins (least(floor(x/5), 9)): μ is strictly
+      // monotone in x, so feature bins ARE probability-ordered groups —
+      // the fixed-width μ-decile of ml_logreg_predict collapses to ONE
+      // bucket on this weak-signal fit (measured; and with an intercept,
+      // Σμ = Σy over the whole sample makes single-bucket ECE exactly 0
+      // — the score equation, not calibration). One scoring pass + one
+      // bounded aggregate; gaps are deterministic ratios on the exact
+      // wire.
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        val (a, b) = irlsBeta(s, dir)
+        val d = T.lineitem(s, dir).select(
+          col("l_quantity").cast("double").as("x"),
+          when(col("l_returnflag") === "R", 1).otherwise(0).as("y"))
+          .transform(T.fanOut(_))
+        val ab = Seq((a, b)).toDF("ca", "cb")
+        val mu = (lit(1.0) / (lit(1.0) + exp(-(col("ca") + col("cb") * col("x")))))
+          .cast("float")
+        val wg = Window.partitionBy()
+        d.crossJoin(broadcast(ab))
+          .select(col("y"), col("x"), mu.cast("double").as("mu"))
+          .select(col("y"), col("mu"),
+            least(floor(col("x") / 5).cast("int"), lit(9)).as("decile"))
+          .groupBy("decile")
+          .agg(count(lit(1)).as("nb"),
+            (T.xsum(col("mu")) / count(lit(1))).as("avg_pred"),
+            (sum(col("y")).cast("double") / count(lit(1))).as("actual"))
+          .select(col("nb"), col("avg_pred"), col("actual"),
+            sum(col("nb")).over(wg).as("n"))
+          .selectExpr(
+            "CAST(nb AS DOUBLE) / n * abs(avg_pred - actual) AS term",
+            "abs(avg_pred - actual) AS gap")
+          .agg(T.xsum(col("term")).as("ece"), max(col("gap")).as("mce"))
+          .selectExpr("round(ece, 6) AS ece", "round(mce, 6) AS mce")
+      },
+      Some(s"""WITH $sqlIrlsChain,
+                 scored AS (SELECT CAST(y AS INT) AS y, x,
+                     CAST(CAST(1.0 / (1.0 + exp(-(a + b * x))) AS REAL) AS DOUBLE) AS mu
+                   FROM d, b3),
+                 bk AS (SELECT y, mu,
+                     least(CAST(floor(x / 5) AS INT), 9) AS decile
+                   FROM scored),
+                 dec AS (SELECT decile, count(*) AS nb,
+                     ${T.sqlXsum("mu")} / count(*) AS avg_pred,
+                     CAST(sum(y) AS DOUBLE) / count(*) AS actual
+                   FROM bk GROUP BY decile),
+                 tm AS (SELECT nb, avg_pred, actual,
+                     sum(nb) OVER () AS n FROM dec),
+                 terms AS (SELECT
+                     CAST(nb AS DOUBLE) / n * abs(avg_pred - actual) AS term,
+                     abs(avg_pred - actual) AS gap
+                   FROM tm)
+               SELECT round(${T.sqlXsum("term")}, 6) AS ece,
+                 round(max(gap), 6) AS mce
+               FROM terms""")),
+
+    QueryDef(
+      "ml_hosmer_lemeshow",
+      // The Hosmer–Lemeshow goodness-of-fit statistic for the logistic
+      // fit — the classical calibration TEST next to ml_ece's summary
+      // gap: over the same fixed-width deciles,
+      // HL = Σ_b (O_b − E_b)² / (E_b·(1 − E_b/n_b)) with O the observed
+      // positives and E the expected (Σμ) — asymptotically χ²(B−2).
+      // Groups are the same monotone QUANTITY bins as ml_ece (see its
+      // comment: the μ-decile collapses to one bucket on this fit).
+      // Expected counts ride the exact wire; terms are shared-text
+      // ratios; E ∈ (0, n_b) always since μ is strictly inside (0,1).
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        val (a, b) = irlsBeta(s, dir)
+        val d = T.lineitem(s, dir).select(
+          col("l_quantity").cast("double").as("x"),
+          when(col("l_returnflag") === "R", 1).otherwise(0).as("y"))
+          .transform(T.fanOut(_))
+        val ab = Seq((a, b)).toDF("ca", "cb")
+        val mu = (lit(1.0) / (lit(1.0) + exp(-(col("ca") + col("cb") * col("x")))))
+          .cast("float")
+        d.crossJoin(broadcast(ab))
+          .select(col("y"), col("x"), mu.cast("double").as("mu"))
+          .select(col("y"), col("mu"),
+            least(floor(col("x") / 5).cast("int"), lit(9)).as("decile"))
+          .groupBy("decile")
+          .agg(count(lit(1)).cast("double").as("nb"),
+            sum(col("y")).cast("double").as("o"),
+            T.xsum(col("mu")).as("e"))
+          .selectExpr("(o - e) * (o - e) / (e * (1e0 - e / nb)) AS term")
+          .agg(T.xsum(col("term")).as("hl"), count(lit(1)).as("nbk"))
+          .selectExpr("round(hl, 6) AS hl_stat",
+            "CAST(nbk - 2 AS INT) AS dof")
+      },
+      Some(s"""WITH $sqlIrlsChain,
+                 scored AS (SELECT CAST(y AS INT) AS y, x,
+                     CAST(CAST(1.0 / (1.0 + exp(-(a + b * x))) AS REAL) AS DOUBLE) AS mu
+                   FROM d, b3),
+                 bk AS (SELECT y, mu,
+                     least(CAST(floor(x / 5) AS INT), 9) AS decile
+                   FROM scored),
+                 dec AS (SELECT decile, CAST(count(*) AS DOUBLE) AS nb,
+                     CAST(sum(y) AS DOUBLE) AS o,
+                     ${T.sqlXsum("mu")} AS e
+                   FROM bk GROUP BY decile),
+                 terms AS (SELECT (o - e) * (o - e) / (e * (1e0 - e / nb)) AS term
+                   FROM dec)
+               SELECT round(${T.sqlXsum("term")}, 6) AS hl_stat,
+                 CAST(count(*) - 2 AS INT) AS dof
+               FROM terms""")),
+
+    QueryDef(
       "ml_brier_score",
       // brier_score_loss — the probabilistic-accuracy companion of
       // ml_log_loss over the same logistic fit: mean (μ − y)², plus its

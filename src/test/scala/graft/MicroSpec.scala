@@ -1578,6 +1578,22 @@ class MicroSpec extends SparkSpec {
       "the curve ends at (1, 1)")
   }
 
+  test("ml_ece: the mean calibration gap is bounded by the max gap (r7)") {
+    val r = q("ml_ece").collect()(0)
+    val (ece, mce) = (r.getAs[Double]("ece"), r.getAs[Double]("mce"))
+    assert(ece >= 0 && mce >= ece && mce <= 1,
+      s"ECE $ece / MCE $mce violate 0 <= ECE <= MCE <= 1")
+    assert(ece < 0.05, "a logistic fit scored on train must be near-calibrated")
+  }
+
+  test("ml_hosmer_lemeshow: small GOF statistic on the training fit (r7)") {
+    val r = q("ml_hosmer_lemeshow").collect()(0)
+    assert(r.getAs[Int]("dof") == 8, "10 feature bins -> dof 8")
+    val hl = r.getAs[Double]("hl_stat")
+    assert(hl >= 0)
+    assert(hl < 40, s"HL $hl implausibly large for an in-sample fit")
+  }
+
   test("ml_brier_score: bounded loss with the decomposition identity (r7)") {
     val r = q("ml_brier_score").collect()(0)
     val (b, base) = (r.getAs[Double]("brier"), r.getAs[Double]("brier_baseline"))
