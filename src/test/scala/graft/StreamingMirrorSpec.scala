@@ -237,4 +237,52 @@ class StreamingMirrorSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == Set((1L, 2 * h)), got.toString)
   }
+
+  test("funnel mirror: one timestamp per stage survives micro-batches (r7)") {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val h = 3600L * 1000000L
+    val mem = MemoryStream[(Long, String, Long)] // (user_id, event_type, us)
+    // the stream twin of stream_funnel's earliest-completion semantics:
+    // state = (tv, tc, tp); emit once when the purchase stage completes
+    val funnels = mem.toDS()
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long), (Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, events: Iterator[(Long, String, Long)],
+         state: GroupState[(Long, Long, Long)]) =>
+          val M = Long.MaxValue / 4
+          var (tv, tc, tp) = state.getOption.getOrElse((M, M, M))
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+          events.toSeq.sortBy(_._3).foreach { case (_, et, us) =>
+            et match {
+              case "view" if us < tv => tv = us
+              case "click" if tv != M && us > tv && us <= tv + h && us < tc =>
+                tc = us
+              case "purchase" if tc != M && us > tc && us <= tc + h && tp == M =>
+                tp = us; out += ((uid, us))
+              case _ => ()
+            }
+          }
+          state.update((tv, tc, tp))
+          out.iterator
+      }.toDF("user_id", "purchase_us")
+    val query = funnels.writeStream
+      .format("memory").queryName("funnel_mirror")
+      .outputMode("append")
+      .start()
+    // user 1 completes across batches (state carries tv, tc); user 2's
+    // click misses the 1h window — never completes
+    mem.addData((1L, "view", 0L), (2L, "view", 0L))
+    query.processAllAvailable()
+    mem.addData((1L, "click", h / 2), (2L, "click", 2 * h))
+    query.processAllAvailable()
+    mem.addData((1L, "purchase", h), (2L, "purchase", 2 * h + 1))
+    query.processAllAvailable()
+    query.stop()
+    val got = spark.table("funnel_mirror").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, h)), got.toString)
+  }
 }
