@@ -495,6 +495,31 @@ object Dedup {
                FROM tri CROSS JOIN st CROSS JOIN vt""")),
 
     QueryDef(
+      "graph_component_sizes",
+      // Component-size distribution of the near-duplicate graph — the
+      // third dedup-graph diagnostic next to the degree histogram and
+      // triangle count, and the number that directly predicts the
+      // removal pass's yield: per-label member counts over the shared
+      // hash-to-min component labeling, rolled into a size histogram
+      // with the duplicate-row total each size class contributes
+      // (members − 1 per component are droppable). Two bounded
+      // aggregations over the label table.
+      (s, dir) => {
+        minhashLabels(s, dir)
+          .groupBy("lbl").agg(count(lit(1)).as("sz"))
+          .groupBy("sz").agg(count(lit(1)).as("n_components"))
+          .selectExpr("sz AS component_size", "n_components",
+            "(sz - 1) * n_components AS droppable_docs")
+          .orderBy("component_size")
+      },
+      Some(s"""WITH RECURSIVE ${TextSim.sqlMinhashCtes},
+                 $sqlComponentCtes,
+                 cs AS (SELECT lbl, count(*) AS sz FROM lbl GROUP BY lbl)
+               SELECT sz AS component_size, count(*) AS n_components,
+                 CAST((sz - 1) * count(*) AS BIGINT) AS droppable_docs
+               FROM cs GROUP BY sz ORDER BY component_size""")),
+
+    QueryDef(
       "graph_pagerank",
       // PageRank (3 damped iterations, d = 0.85) on the near-duplicate
       // graph — the canonical-document selector a dedup family can use

@@ -790,7 +790,54 @@ object Preprocess {
                    FROM f)
                SELECT feature, f_stat, rank,
                  CASE WHEN rank <= 2 THEN 1 ELSE 0 END AS selected
-               FROM rk ORDER BY rank"""))
+               FROM rk ORDER BY rank""")),
+
+    QueryDef(
+      "ml_vector_scaler",
+      // Feature-wise StandardScaler over the EMBEDDING column — the
+      // vector sibling of ml_standard_scaler, the normalization an
+      // embedding pipeline applies before indexing/clustering: per-DIM
+      // mean and sample std from one posexplode + groupBy(dim) pass
+      // (64 bounded keys, map-side combined — the explode never shuffles
+      // more than (vec_id, i, x) triples and at 100 TB the dim key keeps
+      // every partial tiny). Output: the 64-row fitted scaler state plus
+      // a z-range audit (the min/max standardized value per dim, off the
+      // same pass via the moment identities). Exact decimal sums; std
+      // and z bounds are shared-text doubles.
+      (s, dir) => {
+        T.embeddings(s, dir)
+          .transform(T.fanOut(_, col("vec_id")))
+          .select(posexplode(col("embedding")))
+          .selectExpr("CAST(pos + 1 AS BIGINT) AS dim", "CAST(col AS DOUBLE) AS x")
+          .groupBy("dim")
+          .agg(count(lit(1)).as("n"),
+            T.xsum(col("x")).as("sx"),
+            T.xsum(col("x") * col("x")).as("sxx"),
+            min(col("x")).as("mn"), max(col("x")).as("mx"))
+          .selectExpr("dim", "n", "sx / n AS mean",
+            "sqrt((sxx - sx * sx / n) / (n - 1)) AS std", "mn", "mx")
+          .selectExpr("dim", "n", "round(mean, 6) AS mean",
+            "round(std, 6) AS std",
+            "round((mn - mean) / std, 6) AS z_min",
+            "round((mx - mean) / std, 6) AS z_max")
+          .orderBy("dim")
+      },
+      Some(s"""WITH ex AS (SELECT
+                   generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS dim,
+                   unnest(CAST(embedding AS DOUBLE[])) AS x
+                 FROM embeddings),
+                 m AS (SELECT dim, count(*) AS n,
+                     ${T.sqlXsum("x")} AS sx, ${T.sqlXsum("x * x")} AS sxx,
+                     min(x) AS mn, max(x) AS mx
+                   FROM ex GROUP BY dim),
+                 f AS (SELECT dim, n, sx / n AS mean,
+                     sqrt((sxx - sx * sx / n) / (n - 1)) AS std, mn, mx
+                   FROM m)
+               SELECT CAST(dim AS BIGINT) AS dim, n, round(mean, 6) AS mean,
+                 round(std, 6) AS std,
+                 round((mn - mean) / std, 6) AS z_min,
+                 round((mx - mean) / std, 6) AS z_max
+               FROM f ORDER BY dim"""))
   )
 
   /** Chan's pairwise merge of (n, mean, M2), folded shard 0→3 in fixed

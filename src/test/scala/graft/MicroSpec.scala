@@ -1562,6 +1562,29 @@ class MicroSpec extends SparkSpec {
     assert(rows.exists(_.getAs[Double]("ndcg_at_10") > 0))
   }
 
+  test("ml_vector_scaler: 64 fitted dims with a sane standardized envelope (r7)") {
+    val rows = q("ml_vector_scaler").collect()
+    assert(rows.length == 64)
+    val nVec = Tables.embeddings(spark, sf).count()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n") == nVec, "every vector contributes every dim")
+      assert(r.getAs[Double]("std") > 0)
+      assert(r.getAs[Double]("z_min") < 0 && r.getAs[Double]("z_max") > 0,
+        "standardized extremes straddle the mean")
+    }
+  }
+
+  test("graph_component_sizes: member totals reconcile with the label table (r7)") {
+    val rows = q("graph_component_sizes").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("component_size") >= 2,
+        "pair-graph components have at least two members")
+      assert(r.getAs[Long]("droppable_docs") ==
+        (r.getAs[Long]("component_size") - 1) * r.getAs[Long]("n_components"))
+    }
+  }
+
   test("agg_lorenz_gini: the curve stays under the diagonal, Gini bounded (r7)") {
     val rows = q("agg_lorenz_gini").orderBy(col("bin")).collect()
     assert(rows.nonEmpty)
