@@ -971,8 +971,72 @@ object Cluster {
                  round(sqrt(v1), 6) AS sd1, round(m2, 6) AS mu2,
                  round(sqrt(v2), 6) AS sd2,
                  round(sll / nd, 6) AS mean_loglik
-               FROM fin"""))
+               FROM fin""")),
+
+    gmmBicEntry
   )
+
+  /** Model selection for [[gmmEm]] — see ml_gmm_bic. */
+  private def gmmBicEntry: QueryDef =
+    QueryDef(
+      "ml_gmm_bic",
+      // Mixture model selection — the BIC/AIC comparison a GMM user runs
+      // to justify K=2 over a single Gaussian: both log-likelihoods from
+      // ONE scoring pass (the single-Gaussian MLE has the closed form
+      // −n/2·(ln(2πσ̂²)+1), σ̂² off the same moments; the mixture ll is
+      // the ml_gmm_em scoring expression on the fitCached parameters),
+      // then BIC = k·ln n − 2·ll with k = 2 vs 5 parameters. Output: both
+      // criteria + the preferred-model flag. lnR-collapsed logs, exact
+      // wire sums.
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        val (p1, m1, v1, m2, v2) = gmmEm(s, dir)
+        val pars = Seq((p1, m1, v1, m2, v2)).toDF("p1", "m1", "v1", "m2", "v2")
+        val d = T.lineitem(s, dir)
+          .select(col("l_quantity").cast("double").as("x"))
+          .transform(T.fanOut(_))
+        d.crossJoin(broadcast(pars))
+          .selectExpr("*", s"${gmmPhi("m1", "v1", spark = true)} AS f1",
+            s"${gmmPhi("m2", "v2", spark = true)} AS f2")
+          .agg(count(lit(1)).cast("double").as("nd"),
+            T.xsum(expr(s"${gmmLnMix(spark = true)}")).as("llmix"),
+            T.xsum(col("x")).as("sx"),
+            T.xsum(col("x") * col("x")).as("sxx"))
+          .selectExpr("nd", "llmix",
+            "sxx / nd - (sx / nd) * (sx / nd) AS vhat")
+          .selectExpr("nd", "llmix",
+            "-nd / 2e0 * (CAST(CAST(ln(2e0 * 3.141592653589793e0 * vhat) AS FLOAT) AS DOUBLE) + 1e0) AS llsingle")
+          .selectExpr("nd", "llmix", "llsingle",
+            "5e0 * CAST(CAST(ln(nd) AS FLOAT) AS DOUBLE) - 2e0 * llmix AS bic_gmm",
+            "2e0 * CAST(CAST(ln(nd) AS FLOAT) AS DOUBLE) - 2e0 * llsingle AS bic_single")
+          .selectExpr(
+            "round(llmix, 4) AS ll_gmm", "round(llsingle, 4) AS ll_single",
+            "round(bic_gmm, 4) AS bic_gmm", "round(bic_single, 4) AS bic_single",
+            "CASE WHEN bic_gmm < bic_single THEN 'gmm' ELSE 'single' END AS preferred")
+      },
+      Some(s"""WITH d AS (SELECT CAST(l_quantity AS DOUBLE) AS x FROM lineitem),
+                 $sqlGmmChain,
+                 sc AS (SELECT x, ${gmmPhi("m1", "v1", spark = false)} AS f1,
+                     ${gmmPhi("m2", "v2", spark = false)} AS f2, p1
+                   FROM d, g2),
+                 ag AS (SELECT CAST(count(*) AS DOUBLE) AS nd,
+                     ${T.sqlXsum(gmmLnMix(spark = false))} AS llmix,
+                     ${T.sqlXsum("x")} AS sx, ${T.sqlXsum("x * x")} AS sxx
+                   FROM sc),
+                 v AS (SELECT nd, llmix,
+                     sxx / nd - (sx / nd) * (sx / nd) AS vhat FROM ag),
+                 ls AS (SELECT nd, llmix,
+                     -nd / 2e0 * (CAST(CAST(ln(2e0 * 3.141592653589793e0 * vhat) AS REAL) AS DOUBLE) + 1e0) AS llsingle
+                   FROM v),
+                 bc AS (SELECT nd, llmix, llsingle,
+                     5e0 * CAST(CAST(ln(nd) AS REAL) AS DOUBLE) - 2e0 * llmix AS bic_gmm,
+                     2e0 * CAST(CAST(ln(nd) AS REAL) AS DOUBLE) - 2e0 * llsingle AS bic_single
+                   FROM ls)
+               SELECT round(llmix, 4) AS ll_gmm, round(llsingle, 4) AS ll_single,
+                 round(bic_gmm, 4) AS bic_gmm, round(bic_single, 4) AS bic_single,
+                 CASE WHEN bic_gmm < bic_single THEN 'gmm' ELSE 'single' END AS preferred
+               FROM bc"""))
 
   /** Shared-text Gaussian density φ(x; m, v), REAL-collapsed as a whole
     * (exp is the non-IEEE-pinned op; the collapse absorbs last-ulp engine

@@ -1562,6 +1562,16 @@ class MicroSpec extends SparkSpec {
     assert(rows.exists(_.getAs[Double]("ndcg_at_10") > 0))
   }
 
+  test("ml_gmm_bic: likelihoods and criteria ordered consistently (r7)") {
+    val r = q("ml_gmm_bic").collect()(0)
+    val (llG, llS) = (r.getAs[Double]("ll_gmm"), r.getAs[Double]("ll_single"))
+    assert(llG > llS,
+      "on the uniform fixture the 2-component fit must beat one Gaussian")
+    val (bg, bs) = (r.getAs[Double]("bic_gmm"), r.getAs[Double]("bic_single"))
+    val pref = r.getAs[String]("preferred")
+    assert((bg < bs) == (pref == "gmm"), "preferred flag matches the BICs")
+  }
+
   test("ml_vector_scaler: 64 fitted dims with a sane standardized envelope (r7)") {
     val rows = q("ml_vector_scaler").collect()
     assert(rows.length == 64)

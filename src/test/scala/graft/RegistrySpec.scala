@@ -7,8 +7,8 @@ package graft
 class RegistrySpec extends SparkSpec {
 
   test("all seventeen catalogs are registered (66 SURVEY keys + 170 extensions)") {
-    assert(SparkEntry.queries.size == 287,
-      s"expected 287 registered queries, got ${SparkEntry.queries.size}")
+    assert(SparkEntry.queries.size == 288,
+      s"expected 288 registered queries, got ${SparkEntry.queries.size}")
   }
 
   test("no oracle uses a constant generate_series bound (VERDICT r4 #2)") {
