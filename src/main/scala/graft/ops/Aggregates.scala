@@ -390,7 +390,7 @@ object Aggregates {
         val bounds = l.agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
         l.crossJoin(broadcast(bounds))
           .selectExpr("lo", "hi",
-            "least(CAST(floor((v - lo) / (hi - lo) * 10) AS INT) + 1, 10) AS bin")
+            "CASE WHEN hi > lo THEN least(CAST(floor((v - lo) / (hi - lo) * 10) AS INT) + 1, 10) ELSE 1 END AS bin")
           .groupBy("bin")
           .agg(count(lit(1)).as("n"),
             first(col("lo")).as("lo"), first(col("hi")).as("hi"))
@@ -402,7 +402,7 @@ object Aggregates {
       Some("""WITH l AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem),
                  b AS (SELECT min(v) AS lo, max(v) AS hi FROM l),
                  binned AS (SELECT lo, hi,
-                     least(CAST(floor((v - lo) / (hi - lo) * 10) AS INT) + 1, 10) AS bin
+                     CASE WHEN hi > lo THEN least(CAST(floor((v - lo) / (hi - lo) * 10) AS INT) + 1, 10) ELSE 1 END AS bin
                    FROM l CROSS JOIN b)
                SELECT bin, count(*) AS n,
                  round(lo + (bin - 1) * (hi - lo) / 10, 6) AS bin_lo,
@@ -464,7 +464,7 @@ object Aggregates {
         val bounds = rev.agg(min(col("rev")).as("lo"), max(col("rev")).as("hi"))
         val binned = rev.crossJoin(broadcast(bounds))
           .selectExpr("rev",
-            "least(CAST(floor((rev - lo) / (hi - lo) * 20) AS INT) + 1, 20) AS bin")
+            "CASE WHEN hi > lo THEN least(CAST(floor((rev - lo) / (hi - lo) * 20) AS INT) + 1, 20) ELSE 1 END AS bin")
           .groupBy("bin")
           .agg(count(lit(1)).as("n"), T.dsum(col("rev")).as("brev"))
         val wc = Window.orderBy(col("bin"))
@@ -496,7 +496,7 @@ object Aggregates {
                  binned AS (SELECT bin, count(*) AS n,
                      CAST(sum(CAST(rev AS DECIMAL(18,4))) AS DOUBLE) AS brev
                    FROM (SELECT rev,
-                           least(CAST(floor((rev - lo) / (hi - lo) * 20) AS INT) + 1, 20) AS bin
+                           CASE WHEN hi > lo THEN least(CAST(floor((rev - lo) / (hi - lo) * 20) AS INT) + 1, 20) ELSE 1 END AS bin
                          FROM rev CROSS JOIN b) x
                    GROUP BY bin),
                  cw AS (SELECT bin, n, brev,
@@ -670,21 +670,25 @@ object Aggregates {
       // is partition-arbitrary, so the collected list is sort_array'd
       // DESC and sliced to the top 5 before anything reaches the wire
       // (equal values are interchangeable under a value sort, so ties
-      // cannot diverge). Elements round to 2 via a higher-order
-      // transform. SCALE NOTE: slice(sort(collect)) still collects the
-      // whole group — the bounded-k production shape is the win_topk
-      // window; this row exercises the array-aggregate API itself on
-      // cardinality-bounded groups.
+      // cannot diverge). Elements go to the wire as a comma-joined
+      // string of fixed-scale DECIMAL(12,2) renderings (both engines
+      // pad decimals to scale identically), because an ARRAY column is
+      // unhashable to the scorer's comparator. SCALE NOTE:
+      // slice(sort(collect)) still collects the whole group — the
+      // bounded-k production shape is the win_topk window; this row
+      // exercises the array-aggregate API itself on cardinality-bounded
+      // groups.
       (s, dir) => T.customer(s, dir)
         .select(col("c_mktsegment"), col("c_acctbal").cast("double").as("bal"))
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("n"),
-          expr("transform(slice(sort_array(collect_list(bal), false), 1, 5), v -> round(v, 2))")
+          expr("""concat_ws(',', transform(slice(sort_array(collect_list(bal), false), 1, 5),
+                    v -> CAST(CAST(round(v, 2) AS DECIMAL(12,2)) AS STRING)))""")
             .as("top5_bal"))
         .orderBy("c_mktsegment"),
       Some("""SELECT c_mktsegment, count(*) AS n,
-                list_transform((list_sort(array_agg(CAST(c_acctbal AS DOUBLE)), 'DESC'))[1:5],
-                  v -> round(v, 2)) AS top5_bal
+                array_to_string(list_transform((list_sort(array_agg(CAST(c_acctbal AS DOUBLE)), 'DESC'))[1:5],
+                  v -> CAST(CAST(round(v, 2) AS DECIMAL(12,2)) AS VARCHAR)), ',') AS top5_bal
               FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
 
     QueryDef(

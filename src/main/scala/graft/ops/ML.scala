@@ -2864,43 +2864,45 @@ object ML {
       // Σ_k p_ovr(k)·p_ovo(k) from the marginals, κ = (po − pe)/(1 − pe).
       // Both classifiers solve from their one-pass moments and broadcast
       // into ONE shared scoring pass; the agreement contingency is a
-      // bounded 3×3 aggregate and the marginal products ride shared-text
-      // doubles.
+      // bounded 3×3 aggregate. pe is computed from the TWO marginal
+      // distributions joined on class — not from diagonal contingency
+      // cells, which silently drop a class's marginal product whenever
+      // both models predict class k but never on the same row (the (k,k)
+      // cell is then absent from the groupBy output). A class missing
+      // from ONE side's marginal contributes 0 to pe, so the inner join
+      // on k is exact.
       (s, dir) => {
         val preds = Supervised.ovrOvoPreds(s, dir)
         val ct = preds.groupBy("p_ovr", "p_ovo").agg(count(lit(1)).as("n"))
-        val wg = Window.partitionBy()
-        val wr = Window.partitionBy(col("p_ovr"))
-        val wc = Window.partitionBy(col("p_ovo"))
-        ct.select(col("p_ovr"), col("p_ovo"), col("n"),
-            sum(col("n")).over(wg).as("tot"),
-            sum(col("n")).over(wr).as("nr"),
-            sum(col("n")).over(wc).as("nc"))
+        val tot = ct.agg(sum(col("n")).cast("double").as("tot"))
+        val rm = ct.groupBy(col("p_ovr").as("k")).agg(sum(col("n")).as("nr"))
+        val cm = ct.groupBy(col("p_ovo").as("k")).agg(sum(col("n")).as("nc"))
+        val pe = rm.join(cm, "k").crossJoin(broadcast(tot))
+          .agg(T.xsum((col("nr").cast("double") / col("tot")) *
+            (col("nc").cast("double") / col("tot"))).as("pe"))
+        val po = ct.crossJoin(broadcast(tot))
           .selectExpr(
-            "CASE WHEN p_ovr = p_ovo THEN CAST(n AS DOUBLE) ELSE 0e0 END / tot AS po_term",
-            "CASE WHEN p_ovr = p_ovo THEN (CAST(nr AS DOUBLE) / tot) * (CAST(nc AS DOUBLE) / tot) ELSE 0e0 END AS pe_term")
-          .agg(T.xsum(col("po_term")).as("po"), T.xsum(col("pe_term")).as("pe"))
+            "CASE WHEN p_ovr = p_ovo THEN CAST(n AS DOUBLE) ELSE 0e0 END / tot AS po_term")
+          .agg(T.xsum(col("po_term")).as("po"))
+        po.crossJoin(broadcast(pe))
           .selectExpr("round(po, 6) AS p_observed", "round(pe, 6) AS p_expected",
             "round((po - pe) / (1e0 - pe), 6) AS kappa")
       },
       Some(s"""WITH ${Supervised.sqlOvrOvoPreds},
                  ct AS (SELECT p_ovr, p_ovo, count(*) AS n
                         FROM preds GROUP BY p_ovr, p_ovo),
-                 mg AS (SELECT p_ovr, p_ovo, n,
-                     sum(n) OVER () AS tot,
-                     sum(n) OVER (PARTITION BY p_ovr) AS nr,
-                     sum(n) OVER (PARTITION BY p_ovo) AS nc
-                   FROM ct),
-                 terms AS (SELECT
-                     CASE WHEN p_ovr = p_ovo THEN CAST(n AS DOUBLE) ELSE 0e0 END / tot AS po_term,
-                     CASE WHEN p_ovr = p_ovo THEN (CAST(nr AS DOUBLE) / tot) * (CAST(nc AS DOUBLE) / tot) ELSE 0e0 END AS pe_term
-                   FROM mg),
-                 ag AS (SELECT ${T.sqlXsum("po_term")} AS po,
-                     ${T.sqlXsum("pe_term")} AS pe
-                   FROM terms)
+                 tot AS (SELECT CAST(sum(n) AS DOUBLE) AS tot FROM ct),
+                 rm AS (SELECT p_ovr AS k, sum(n) AS nr FROM ct GROUP BY p_ovr),
+                 cm AS (SELECT p_ovo AS k, sum(n) AS nc FROM ct GROUP BY p_ovo),
+                 pe AS (SELECT ${T.sqlXsum(
+                     "(CAST(nr AS DOUBLE) / tot) * (CAST(nc AS DOUBLE) / tot)")} AS pe
+                   FROM rm JOIN cm USING (k), tot),
+                 po AS (SELECT ${T.sqlXsum(
+                     "CASE WHEN p_ovr = p_ovo THEN CAST(n AS DOUBLE) ELSE 0e0 END / tot")} AS po
+                   FROM ct, tot)
                SELECT round(po, 6) AS p_observed, round(pe, 6) AS p_expected,
                  round((po - pe) / (1e0 - pe), 6) AS kappa
-               FROM ag""")),
+               FROM po, pe""")),
 
     QueryDef(
       "ml_roc_auc",

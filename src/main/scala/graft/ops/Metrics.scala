@@ -1538,7 +1538,7 @@ object Metrics {
         val bounds = l.agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
         l.crossJoin(broadcast(bounds))
           .selectExpr("g",
-            "least(CAST(floor((v - lo) / (hi - lo) * 10) AS INT) + 1, 10) AS bin")
+            "CASE WHEN hi > lo THEN least(CAST(floor((v - lo) / (hi - lo) * 10) AS INT) + 1, 10) ELSE 1 END AS bin")
           .groupBy("bin")
           .agg(sum(when(col("g") === "F", 1L).otherwise(0L)).as("cr"),
             sum(when(col("g") === "O", 1L).otherwise(0L)).as("cc"))
@@ -1558,7 +1558,7 @@ object Metrics {
                  FROM lineitem WHERE l_linestatus IN ('O', 'F')),
                  b AS (SELECT min(v) AS lo, max(v) AS hi FROM l),
                  binned AS (SELECT g,
-                     least(CAST(floor((v - lo) / (hi - lo) * 10) AS INT) + 1, 10) AS bin
+                     CASE WHEN hi > lo THEN least(CAST(floor((v - lo) / (hi - lo) * 10) AS INT) + 1, 10) ELSE 1 END AS bin
                    FROM l CROSS JOIN b),
                  cnt AS (SELECT bin,
                      CAST(sum(CASE WHEN g = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS cr,

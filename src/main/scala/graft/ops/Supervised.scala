@@ -933,6 +933,11 @@ object Supervised {
               s"stack(${cands.size}, $stackArgs) AS (c, nl, sl, ssl)")
             .selectExpr("nd", "sy", "syy", "c", "nl", "sl", "ssl",
               "nd - nl AS nr", "sy - sl AS sr", "syy - ssl AS ssr")
+            // a candidate that empties one side has no defined stump: its
+            // SSE would divide by zero (NaN/NULL rank differs per engine),
+            // so such candidates are excluded BEFORE the argmin — the
+            // shared-text guard both engines apply identically
+            .where("nl > 0 AND nr > 0")
             .selectExpr("nd", "c", "nl", "sl", "nr", "sr",
               "(ssl - sl * sl / nl) + (ssr - sr * sr / nr) AS sse")
             .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
@@ -989,7 +994,8 @@ object Supervised {
           s"""SELECT c AS split, sl / nl AS lmean, (sy - sl) / (nd - nl) AS rmean,
               ((ssl - sl * sl / nl) + ((syy - ssl) - (sy - sl) * (sy - sl) / (nd - nl))) / nd AS mse,
               row_number() OVER (ORDER BY (ssl - sl * sl / nl) + ((syy - ssl) - (sy - sl) * (sy - sl) / (nd - nl)), c) AS rn
-            FROM $u"""
+            FROM $u
+            WHERE nl > 0 AND nd - nl > 0"""
         val c1 = Seq(10.0, 25.0, 40.0)
         val c2 = Seq(0.02, 0.05, 0.08)
         s"""WITH l AS (SELECT CAST(l_quantity AS DOUBLE) AS x1,
