@@ -725,91 +725,116 @@ object Aggregates {
       // DataFrame.describe() — the cudf/pandas profiling staple [R]: per
       // numeric column count / mean / SAMPLE std / min / p25 / p50 / p75
       // / max, in long format. The quantiles are EXACT interpolated
-      // percentiles computed from CUMULATIVE COUNTS OVER THE VALUE
-      // SUPPORT, not from a percentile() aggregate: the builtin collects
-      // every raw value into an interpreted per-group hash buffer
-      // (measured 16–22 s at sf0.1), while 2-dp data has a bounded
-      // distinct support, so groupBy(feature, v) counts stay codegen'd
-      // and the (n−1)p interpolation reads the two bracketing support
-      // rows from one window pass (positions [cumb, cum) per value; the
-      // upper bracket coalesces to the lower when the rank is integral).
-      // Moments ride the exact decimal wire off the SAME weighted support
-      // (Σcnt·v). SCALE NOTE: valid while support ≪ rows (any fixed-dp
-      // column); a truly continuous column swaps in approx_percentile.
+      // (n−1)p percentiles computed by the TWO-PHASE BUCKET-HISTOGRAM
+      // RANK (ml_robust_scaler's decomposition, generalized to a
+      // per-feature bucket key and both interpolation brackets): phase 1
+      // is ONE map-combinable pass producing per-(feature, bucket)
+      // counts AND decimal moment partials (the bucket key is a fixed
+      // monotone-in-v expression per feature, so global rank = bucket
+      // offset + rank-within-bucket); phase 2 ranks ONLY the rows of the
+      // ≤6 target buckets per feature — never a (feature)-partitioned
+      // window over the raw support, whose single ~n-row sort partition
+      // is the scale trap the r7 version conceded on near-continuous
+      // columns. Moments roll up from the phase-1 decimal partials
+      // (decimal addition is associative, so the two-level sum equals
+      // the oracle's flat per-row sum bit-for-bit). SCALE NOTE: phase-2
+      // window partitions are single-bucket row sets (~n/B rows); a
+      // still-finer split recurses the same decomposition.
       (s, dir) => {
-        def pick(q: String, off: String): String =
-          s"max(CASE WHEN cumb <= floor((n - 1) * $q) + $off AND floor((n - 1) * $q) + $off < cum THEN v END)"
-        def interp(q: String, tag: String): Seq[String] = Seq(
-          s"${pick(q, "0")} AS lo_$tag",
-          s"coalesce(${pick(q, "1")}, ${pick(q, "0")}) AS hi_$tag",
-          s"max((n - 1) * $q - floor((n - 1) * $q)) AS fr_$tag")
-        val w = Window.partitionBy(col("feature")).orderBy(col("v"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        // n joins in from a tiny 3-row aggregate instead of a second
-        // (unordered) window: same partitioning + different frame would
-        // plan TWO Window sorts over the ~0.6M-row support
-        // freeze: the support feeds BOTH the totals and the window branch,
-        // and ReuseExchange does not dedup across them under AQE — frozen,
-        // the scan+stack+count pass runs once (the LSA discipline)
-        val cnt = T.freeze(T.lineitem(s, dir)
+        val spark = s
+        import spark.implicits._
+        val bktExpr = "CAST(CASE feature WHEN 'quantity' THEN floor(v) " +
+          "WHEN 'extendedprice' THEN floor(v / 1000) " +
+          "ELSE floor(v * 100) END AS BIGINT)"
+        def u = T.lineitem(s, dir)
           .selectExpr(
             "stack(3, 'quantity', CAST(l_quantity AS DOUBLE), 'extendedprice', CAST(l_extendedprice AS DOUBLE), 'discount', CAST(l_discount AS DOUBLE)) AS (feature, v)")
-          .groupBy("feature", "v").agg(count(lit(1)).as("cnt")))
-        val tot = cnt.groupBy("feature").agg(sum(col("cnt")).as("n"))
-        cnt.join(broadcast(tot), "feature")
-          .select(col("feature"), col("v"), col("cnt"), col("n"),
-            sum(col("cnt")).over(w).as("cum"),
-            (sum(col("cnt")).over(w) - col("cnt")).as("cumb"))
+          .selectExpr("feature", "v", s"$bktExpr AS bkt")
+        // phase 1: one pass → bounded (feature, bucket) histogram with
+        // moment partials; frozen because it feeds totals, offsets AND
+        // the target-bucket selection (ReuseExchange won't dedup under AQE)
+        val bk = T.freeze(u.groupBy("feature", "bkt")
+          .agg(count(lit(1)).as("c"),
+            T.xsumD(col("v")).as("svd"), T.xsumD(col("v") * col("v")).as("svvd"),
+            min(col("v")).as("mn"), max(col("v")).as("mx")))
+        val tot = bk.groupBy("feature")
+          .agg(sum(col("c")).as("n"),
+            sum(col("svd")).cast("double").as("sv"),
+            sum(col("svvd")).cast("double").as("svv"),
+            min(col("mn")).as("min_v"), max(col("mx")).as("max_v"))
+        val wOff = Window.partitionBy("feature").orderBy("bkt")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val off = bk
+          .select(col("feature"), col("bkt"), col("c"),
+            coalesce(sum(col("c")).over(wOff), lit(0L)).as("off"))
+          .join(tot.select("feature", "n"), "feature")
+        // target ranks: lo bracket = ⌊(n−1)q⌋+1 (1-indexed), hi = the next
+        // rank (clamped; unused when the position is integral, fr = 0)
+        val targets = off.crossJoin(broadcast(Seq(0.25, 0.5, 0.75).toDF("q")))
+          .withColumn("klo", floor((col("n") - 1) * col("q")).cast("long"))
+          .selectExpr("feature", "bkt", "c", "off", "q",
+            "stack(2, 'lo', klo + 1, 'hi', least(klo + 2, n)) AS (br, r)")
+          .where(col("off") < col("r") && col("r") <= col("off") + col("c"))
+          .select("feature", "bkt", "off", "q", "br", "r")
+        // phase 2: rank only inside target buckets (ties in v are
+        // interchangeable — the emitted value at rank r is unique)
+        val wIn = Window.partitionBy("feature", "q", "br").orderBy("v")
+        val qv = u.join(broadcast(targets), Seq("feature", "bkt"))
+          .withColumn("rn", col("off") + row_number().over(wIn))
+          .where(col("rn") === col("r"))
           .groupBy("feature")
-          .agg(first(col("n")).as("n"),
-            Seq(T.xsum(col("cnt") * col("v")).as("sv"),
-              T.xsum(col("cnt") * col("v") * col("v")).as("svv"),
-              min(col("v")).as("min_v"), max(col("v")).as("max_v")) ++
-            Seq("0.25" -> "q25", "0.5" -> "q50", "0.75" -> "q75")
-              .flatMap { case (q, t) => interp(q, t) }
-              .map(expr): _*)
+          .agg(max(when(col("q") === 0.25 && col("br") === "lo", col("v"))).as("lo_q25"),
+            Seq(0.25 -> "q25", 0.5 -> "q50", 0.75 -> "q75").flatMap { case (q, t) =>
+              Seq(max(when(col("q") === q && col("br") === "lo", col("v"))).as(s"lo_$t"),
+                max(when(col("q") === q && col("br") === "hi", col("v"))).as(s"hi_$t"))
+            }.tail: _*)
+        def interp(q: String, t: String): String =
+          s"round(lo_$t + ((n - 1) * $q - floor((n - 1) * $q)) * (hi_$t - lo_$t), 6)"
+        tot.join(qv, "feature")
           .selectExpr("feature", "n",
             "round(sv / n, 6) AS mean",
             "round(sqrt((svv - sv * sv / n) / (n - 1)), 6) AS std",
             "min_v AS min",
-            "round(lo_q25 + fr_q25 * (hi_q25 - lo_q25), 6) AS p25",
-            "round(lo_q50 + fr_q50 * (hi_q50 - lo_q50), 6) AS p50",
-            "round(lo_q75 + fr_q75 * (hi_q75 - lo_q75), 6) AS p75",
+            s"${interp("0.25", "q25")} AS p25",
+            s"${interp("0.5", "q50")} AS p50",
+            s"${interp("0.75", "q75")} AS p75",
             "max_v AS max")
           .orderBy("feature")
       },
+      // Oracle = the plain per-feature rank-window definition (the
+      // decomposition proof, as in ml_robust_scaler): row_number over the
+      // raw long form picks both brackets, moments are flat per-row
+      // decimal sums, interpolation text shared with the Spark side.
       Some {
-        def pick(q: String, off: String): String =
-          s"max(CASE WHEN cumb <= floor((n - 1) * $q) + $off AND floor((n - 1) * $q) + $off < cum THEN v END)"
-        def interp(q: String, tag: String): String =
-          s"""${pick(q, "0")} AS lo_$tag,
-                     coalesce(${pick(q, "1")}, ${pick(q, "0")}) AS hi_$tag,
-                     max((n - 1) * $q - floor((n - 1) * $q)) AS fr_$tag"""
+        def bracket(q: String, t: String): String =
+          s"""max(CASE WHEN rn = CAST(floor((n - 1) * $q) AS BIGINT) + 1 THEN v END) AS lo_$t,
+                     max(CASE WHEN rn = least(CAST(floor((n - 1) * $q) AS BIGINT) + 2, n) THEN v END) AS hi_$t"""
+        def interp(q: String, t: String): String =
+          s"round(lo_$t + ((n - 1) * $q - floor((n - 1) * $q)) * (hi_$t - lo_$t), 6)"
         s"""WITH u AS (SELECT 'quantity' AS feature, CAST(l_quantity AS DOUBLE) AS v FROM lineitem
                    UNION ALL SELECT 'extendedprice', CAST(l_extendedprice AS DOUBLE) FROM lineitem
                    UNION ALL SELECT 'discount', CAST(l_discount AS DOUBLE) FROM lineitem),
-                 c AS (SELECT feature, v, count(*) AS cnt FROM u GROUP BY feature, v),
-                 tt AS (SELECT feature, sum(cnt) AS n FROM c GROUP BY feature),
-                 cw AS (SELECT c.feature, v, cnt, n,
-                     sum(cnt) OVER (PARTITION BY c.feature ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
-                     sum(cnt) OVER (PARTITION BY c.feature ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt AS cumb
-                   FROM c JOIN tt USING (feature)),
-                 m AS (SELECT feature, any_value(n) AS n,
-                     ${T.sqlXsum("cnt * v")} AS sv,
-                     ${T.sqlXsum("cnt * v * v")} AS svv,
-                     min(v) AS min_v, max(v) AS max_v,
+                 r AS (SELECT feature, v,
+                     row_number() OVER (PARTITION BY feature ORDER BY v) AS rn,
+                     count(*) OVER (PARTITION BY feature) AS n
+                   FROM u),
+                 q AS (SELECT feature,
                      ${Seq("0.25" -> "q25", "0.5" -> "q50", "0.75" -> "q75")
-                       .map { case (q, t) => interp(q, t) }.mkString(",\n                     ")}
-                   FROM cw GROUP BY feature)
-               SELECT feature, CAST(n AS BIGINT) AS n,
-                 round(sv / n, 6) AS mean,
-                 round(sqrt((svv - sv * sv / n) / (n - 1)), 6) AS std,
+                       .map { case (p, t) => bracket(p, t) }.mkString(",\n                     ")}
+                   FROM r GROUP BY feature),
+                 m AS (SELECT feature, count(*) AS n,
+                     ${T.sqlXsum("v")} AS sv, ${T.sqlXsum("v * v")} AS svv,
+                     min(v) AS min_v, max(v) AS max_v
+                   FROM u GROUP BY feature)
+               SELECT feature, CAST(m.n AS BIGINT) AS n,
+                 round(sv / m.n, 6) AS mean,
+                 round(sqrt((svv - sv * sv / m.n) / (m.n - 1)), 6) AS std,
                  min_v AS min,
-                 round(lo_q25 + fr_q25 * (hi_q25 - lo_q25), 6) AS p25,
-                 round(lo_q50 + fr_q50 * (hi_q50 - lo_q50), 6) AS p50,
-                 round(lo_q75 + fr_q75 * (hi_q75 - lo_q75), 6) AS p75,
+                 ${interp("0.25", "q25")} AS p25,
+                 ${interp("0.5", "q50")} AS p50,
+                 ${interp("0.75", "q75")} AS p75,
                  max_v AS max
-               FROM m ORDER BY feature"""
+               FROM m JOIN q USING (feature) ORDER BY feature"""
       })
   )
 }
