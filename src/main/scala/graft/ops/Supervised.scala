@@ -382,13 +382,84 @@ object Supervised {
                FROM b ORDER BY gini, feature""")),
 
     QueryDef(
+      "ml_tree_depth2",
+      // Depth-2 DecisionTree fit (r8 — VERDICT r7 #3: the distributed-
+      // histogram recursion cuML RandomForest [R] runs per level): level 1
+      // picks the global best gini split from ONE conditional-count pass;
+      // the 1-row winner BROADCASTS back (no driver round trip) to tag
+      // every row with its child node, and level 2 re-runs the same grid
+      // search per node in ONE more pass — per-level cost is one
+      // map-side-combined aggregation whose shuffle carries
+      // |nodes|×|grid| rows regardless of corpus size, exactly the
+      // recursion a deeper tree repeats. Output: the fitted tree as
+      // (node, split, gini, leaf counts) rows; depth-3+ iterates the same
+      // broadcast-tag-and-search step.
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        val cands = grid.toDF("feature", "thrs")
+          .select(col("feature"), col("thrs").cast("double").as("thr"))
+        val w1 = Window.orderBy(col("gini").asc, col("feature").asc, col("thr").asc)
+        val b1 = splitCounts(feats(s, dir), cands, Seq.empty)
+          .withColumn("gini", expr(giniExpr))
+          .withColumn("rn", row_number().over(w1)).where(col("rn") === 1)
+          .selectExpr("feature AS f1", "thr AS t1", "gini AS gini1",
+            "n AS n1", "pos AS pos1", "nl AS nl1", "posl AS posl1")
+        val l2 = feats(s, dir).crossJoin(broadcast(b1))
+          .withColumn("node", expr(
+            "CASE WHEN (CASE f1 WHEN 'quantity' THEN q WHEN 'discount' THEN d ELSE t END) <= t1 THEN 'L' ELSE 'R' END"))
+        val w2 = Window.partitionBy(col("node"))
+          .orderBy(col("gini").asc, col("feature").asc, col("thr").asc)
+        val b2 = splitCounts(l2, cands, Seq("node"))
+          .withColumn("gini", expr(giniExpr))
+          .withColumn("rn", row_number().over(w2)).where(col("rn") === 1)
+        b1.selectExpr("'root' AS node", "f1 AS feature", "t1 AS threshold",
+            "round(gini1, 6) AS gini", "nl1 AS n_left", "posl1 AS pos_left",
+            "n1 - nl1 AS n_right", "pos1 - posl1 AS pos_right")
+          .unionAll(b2.selectExpr("node", "feature", "thr AS threshold",
+            "round(gini, 6) AS gini", "nl AS n_left", "posl AS pos_left",
+            "n - nl AS n_right", "pos - posl AS pos_right"))
+          .orderBy("node")
+      },
+      Some(s"""WITH $sqlFeats, $sqlGrid,
+                 sc1 AS (${sqlSplitCounts("l", "")}),
+                 g1 AS (SELECT *, $giniExpr AS gini FROM sc1),
+                 b1 AS (SELECT feature AS f1, thr AS t1, gini AS gini1,
+                     n AS n1, pos AS pos1, nl AS nl1, posl AS posl1
+                   FROM (SELECT *, row_number() OVER (ORDER BY gini ASC,
+                       feature ASC, thr ASC) AS rn FROM g1) t WHERE rn = 1),
+                 l2 AS (SELECT l.*, CASE WHEN (CASE f1 WHEN 'quantity' THEN q
+                       WHEN 'discount' THEN d ELSE t END) <= t1
+                     THEN 'L' ELSE 'R' END AS node
+                   FROM l CROSS JOIN b1),
+                 sc2 AS (${sqlSplitCounts("l2", "node, ")}),
+                 g2 AS (SELECT *, $giniExpr AS gini FROM sc2),
+                 b2 AS (SELECT * FROM (SELECT *, row_number() OVER (
+                       PARTITION BY node ORDER BY gini ASC, feature ASC,
+                       thr ASC) AS rn FROM g2) t WHERE rn = 1)
+               SELECT * FROM (
+                 SELECT 'root' AS node, f1 AS feature, t1 AS threshold,
+                   round(gini1, 6) AS gini, nl1 AS n_left, posl1 AS pos_left,
+                   n1 - nl1 AS n_right, pos1 - posl1 AS pos_right FROM b1
+                 UNION ALL
+                 SELECT node, feature, thr AS threshold, round(gini, 6) AS gini,
+                   nl AS n_left, posl AS pos_left,
+                   n - nl AS n_right, pos - posl AS pos_right FROM b2) u
+               ORDER BY node""")),
+
+    QueryDef(
       "ml_rf_predict",
       // cuml.dask.ensemble RandomForestClassifier [R], the MNMG shape:
       // the reference trains independent sub-forests on each partition's
-      // data and predicts by merged vote. Here: 8 affine-hash shards each
-      // fit a gini stump (one aggregation, 8×25 groups), the 8 stumps
-      // become DRIVER-HELD literals (client-held model state), each votes
-      // R when its leaf's positive rate beats the 1/3 base rate — integer
+      // data and predicts by merged vote. Here (r8, rebased from depth-1
+      // stumps per VERDICT r7 #3): 8 affine-hash shards each fit a
+      // DEPTH-2 gini tree by the ml_tree_depth2 recursion — level 1 is
+      // one aggregation (8×|grid| shuffle rows), the 8 winners broadcast
+      // back to tag nodes, level 2 is one more aggregation (16×|grid|) —
+      // so the whole forest fit is TWO passes at any corpus size. The 8
+      // fitted trees become DRIVER-HELD literals (client-held model
+      // state); each tree routes a row to one of its 4 leaves and votes R
+      // when that leaf's positive rate beats the 1/3 base rate — integer
       // arithmetic end-to-end — and scoring is a PURE MAP pass over
       // lineitem (no join, no shuffle beyond the 9-group vote histogram).
       // Output: votes → (n, actual R rate) calibration.
@@ -397,26 +468,51 @@ object Supervised {
         import spark.implicits._
         val cands = grid.toDF("feature", "thrs")
           .select(col("feature"), col("thrs").cast("double").as("thr"))
-        val stumps: Array[(String, String, Int, Int)] =
-          T.fitCache("rfStumps", dir) {
+        val trees: Array[(String, String, String, String, Int, Int, String, String, Int, Int)] =
+          T.fitCache("rfTrees2", dir) {
             val sharded = feats(s, dir).withColumn("shard", expr(shardExpr))
-            val best = Window.partitionBy(col("shard"))
+            val w1 = Window.partitionBy(col("shard"))
               .orderBy(col("gini").asc, col("feature").asc, col("thr").asc)
-            splitCounts(sharded, cands, Seq("shard"))
+            val b1 = splitCounts(sharded, cands, Seq("shard"))
               .withColumn("gini", expr(giniExpr))
-              .withColumn("rn", row_number().over(best)).where(col("rn") === 1)
-              .select(col("feature"), col("thr"),
+              .withColumn("rn", row_number().over(w1)).where(col("rn") === 1)
+              .select(col("shard"), col("feature").as("f1"), col("thr").as("t1"))
+            val l2 = sharded.join(broadcast(b1), "shard")
+              .withColumn("node", expr(
+                "CASE WHEN (CASE f1 WHEN 'quantity' THEN q WHEN 'discount' THEN d ELSE t END) <= t1 THEN 'L' ELSE 'R' END"))
+            val w2 = Window.partitionBy(col("shard"), col("node"))
+              .orderBy(col("gini").asc, col("feature").asc, col("thr").asc)
+            val b2 = splitCounts(l2, cands, Seq("shard", "node"))
+              .withColumn("gini", expr(giniExpr))
+              .withColumn("rn", row_number().over(w2)).where(col("rn") === 1)
+              .select(col("shard"), col("node"),
+                col("feature").as("f2"), col("thr").as("t2"),
                 (col("posl") * 3 > col("nl")).cast("int").as("vl"),
                 ((col("pos") - col("posl")) * 3 > (col("n") - col("nl"))).cast("int").as("vr"))
+            def nmax(node: String, c: String) =
+              max(when(col("node") === node, col(c)))
+            b1.join(
+                b2.groupBy("shard").agg(
+                  nmax("L", "f2").as("f2l"), nmax("L", "t2").as("t2l"),
+                  nmax("L", "vl").as("vll"), nmax("L", "vr").as("vlr"),
+                  nmax("R", "f2").as("f2r"), nmax("R", "t2").as("t2r"),
+                  nmax("R", "vl").as("vrl"), nmax("R", "vr").as("vrr")),
+                "shard")
               .collect()
-              .map(r => (r.getString(0),
-                // exact decimal literal text: thresholds are grid values
-                java.lang.Double.toString(r.getDouble(1)),
-                r.getInt(2), r.getInt(3)))
+              .map(r => (r.getString(1),
+                // exact round-trip literals: thresholds are grid values
+                java.lang.Double.toString(r.getDouble(2)),
+                r.getString(3), java.lang.Double.toString(r.getDouble(4)),
+                r.getInt(5), r.getInt(6),
+                r.getString(7), java.lang.Double.toString(r.getDouble(8)),
+                r.getInt(9), r.getInt(10)))
           }
-        val votes = stumps.map { case (f, thr, vl, vr) =>
-          val x = f match { case "quantity" => "q"; case "discount" => "d"; case _ => "t" }
-          s"(CASE WHEN $x <= $thr THEN $vl ELSE $vr END)"
+        def xOf(f: String) =
+          f match { case "quantity" => "q"; case "discount" => "d"; case _ => "t" }
+        val votes = trees.map { case (f1, t1, f2l, t2l, vll, vlr, f2r, t2r, vrl, vrr) =>
+          s"""(CASE WHEN ${xOf(f1)} <= $t1
+               THEN (CASE WHEN ${xOf(f2l)} <= $t2l THEN $vll ELSE $vlr END)
+               ELSE (CASE WHEN ${xOf(f2r)} <= $t2r THEN $vrl ELSE $vrr END) END)"""
         }.mkString(" + ")
         feats(s, dir)
           .select(col("y"), expr(votes).as("votes"))
@@ -427,19 +523,47 @@ object Supervised {
       },
       Some(s"""WITH $sqlFeats, $sqlGrid,
                  sh AS (SELECT *, $shardExpr AS shard FROM l),
-                 sc AS (${sqlSplitCounts("sh", "shard, ")}),
-                 g AS (SELECT *, $giniExpr AS gini FROM sc),
-                 st AS (SELECT shard, feature, thr,
+                 sc1 AS (${sqlSplitCounts("sh", "shard, ")}),
+                 g1 AS (SELECT *, $giniExpr AS gini FROM sc1),
+                 b1 AS (SELECT shard, feature AS f1, thr AS t1
+                   FROM (SELECT *, row_number() OVER (PARTITION BY shard
+                       ORDER BY gini ASC, feature ASC, thr ASC) AS rn FROM g1) t
+                   WHERE rn = 1),
+                 l2 AS (SELECT sh.*, CASE WHEN (CASE f1 WHEN 'quantity' THEN q
+                       WHEN 'discount' THEN d ELSE t END) <= t1
+                     THEN 'L' ELSE 'R' END AS node
+                   FROM sh JOIN b1 USING (shard)),
+                 sc2 AS (${sqlSplitCounts("l2", "shard, node, ")}),
+                 g2 AS (SELECT *, $giniExpr AS gini FROM sc2),
+                 b2 AS (SELECT shard, node, feature AS f2, thr AS t2,
                      CASE WHEN posl * 3 > nl THEN 1 ELSE 0 END AS vl,
                      CASE WHEN (pos - posl) * 3 > (n - nl) THEN 1 ELSE 0 END AS vr
-                   FROM (SELECT *, row_number() OVER (PARTITION BY shard
-                       ORDER BY gini ASC, feature ASC, thr ASC) AS rn FROM g) t
+                   FROM (SELECT *, row_number() OVER (PARTITION BY shard, node
+                       ORDER BY gini ASC, feature ASC, thr ASC) AS rn FROM g2) t
                    WHERE rn = 1),
+                 tr AS (SELECT b1.shard, f1, t1,
+                     max(CASE WHEN node = 'L' THEN f2 END) AS f2l,
+                     max(CASE WHEN node = 'L' THEN t2 END) AS t2l,
+                     max(CASE WHEN node = 'L' THEN vl END) AS vll,
+                     max(CASE WHEN node = 'L' THEN vr END) AS vlr,
+                     max(CASE WHEN node = 'R' THEN f2 END) AS f2r,
+                     max(CASE WHEN node = 'R' THEN t2 END) AS t2r,
+                     max(CASE WHEN node = 'R' THEN vl END) AS vrl,
+                     max(CASE WHEN node = 'R' THEN vr END) AS vrr
+                   FROM b1 JOIN b2 USING (shard)
+                   GROUP BY b1.shard, f1, t1),
                  scored AS (SELECT l.y,
-                     (SELECT CAST(sum(CASE WHEN (CASE st.feature
+                     (SELECT CAST(sum(CASE WHEN (CASE tr.f1
                            WHEN 'quantity' THEN l.q WHEN 'discount' THEN l.d
-                           ELSE l.t END) <= st.thr THEN st.vl ELSE st.vr END) AS INT)
-                      FROM st) AS votes
+                           ELSE l.t END) <= tr.t1
+                         THEN (CASE WHEN (CASE tr.f2l
+                             WHEN 'quantity' THEN l.q WHEN 'discount' THEN l.d
+                             ELSE l.t END) <= tr.t2l THEN tr.vll ELSE tr.vlr END)
+                         ELSE (CASE WHEN (CASE tr.f2r
+                             WHEN 'quantity' THEN l.q WHEN 'discount' THEN l.d
+                             ELSE l.t END) <= tr.t2r THEN tr.vrl ELSE tr.vrr END)
+                         END) AS INT)
+                      FROM tr) AS votes
                    FROM l)
                SELECT votes, count(*) AS n,
                  round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS actual_rate
@@ -594,98 +718,165 @@ object Supervised {
       "ml_rf_regress",
       // cuml.dask.ensemble RandomForestRegressor [R] in the same MNMG
       // merged-vote shape as ml_rf_predict, with the regression split
-      // criterion: 8 affine-hash shards each fit a variance-reduction
-      // stump on yr = extendedprice (argmax of Σ_l²/n_l + Σ_r²/n_r — the
-      // SSE-minimizing split, from ONE pass of conditional counts + sumE12
-      // sums per shard), the 8 (feature, thr, mean_l, mean_r) stumps
-      // become driver-held literals, and the forest predicts the MEAN of
-      // the 8 leaf means. Scoring is a pure map pass; the output groups by
-      // the integer BRANCH PATTERN (bit i = shard i's branch) — the
-      // prediction is a function of the pattern, so the calibration key is
-      // exact integer arithmetic, immune to float grouping hazards. Leaf
-      // means ride the bit-identical sumE12 wire; the 8-way mean sums
-      // DECIMAL(30,12) leaf terms (order-free) before one double divide.
+      // criterion, rebased (r8, VERDICT r7 #3) on DEPTH-2 trees: level 1
+      // fits the per-shard variance-reduction split (argmax of
+      // Σ_l²/n_l + Σ_r²/n_r from ONE pass of conditional counts + sumE12
+      // sums per shard), the 8 winners broadcast back to tag child nodes,
+      // and level 2 re-runs the search per (shard, node) in ONE more
+      // pass — 4 leaf means per tree. The 8 fitted trees are driver-held
+      // literals; the forest predicts the MEAN of the 8 depth-2 leaf
+      // means. Scoring is a pure map pass; the output groups by the
+      // integer ROOT-BRANCH PATTERN (bit i = shard i's level-1 branch) —
+      // exact integer arithmetic, immune to float grouping hazards — and
+      // emits the per-pattern MEAN prediction (leaf choice varies within
+      // a root pattern) on the exact-decimal wire next to the actual
+      // target mean. Leaf means ride the bit-identical sumE12 wire; each
+      // row's 8-way mean sums DECIMAL(30,12) leaf terms (order-free)
+      // before one double divide.
       (s, dir) => {
         val spark = s
         import spark.implicits._
-        val stumps: Array[(Int, String, String, String, String)] =
-          T.fitCache("rfRegStumps", dir) {
+        val trees: Array[(Int, String, String, String, String, String, String, String, String, String, String)] =
+          T.fitCache("rfRegTrees2", dir) {
             val cands = grid.toDF("feature", "thrs")
               .select(col("feature"), col("thrs").cast("double").as("thr"))
             val sharded = featsR(s, dir).withColumn("shard", expr(shardExpr))
-            val best = Window.partitionBy(col("shard"))
+            def regCounts(rows: DataFrame, extra: Seq[String]): DataFrame =
+              rows.crossJoin(broadcast(cands))
+                .withColumn("x", expr(
+                  "CASE feature WHEN 'quantity' THEN q WHEN 'discount' THEN d ELSE t END"))
+                .groupBy((extra ++ Seq("feature", "thr")).map(col): _*)
+                .agg(count(lit(1)).as("n"),
+                  sum(when(col("x") <= col("thr"), 1L).otherwise(0L)).as("nl"),
+                  T.sumE12(col("yr")).as("syr"),
+                  T.sumE12(when(col("x") <= col("thr"), col("yr"))).as("sylr"))
+                .selectExpr(extra ++ Seq("feature", "thr", "n", "nl",
+                  s"${T.bitsE12("syr")} AS sy", s"${T.bitsE12("sylr")} AS syl"): _*)
+                .withColumn("score", expr(scoreTextR))
+            val w1 = Window.partitionBy(col("shard"))
               .orderBy(col("score").desc, col("feature").asc, col("thr").asc)
-            sharded.crossJoin(broadcast(cands))
-              .withColumn("x", expr(
-                "CASE feature WHEN 'quantity' THEN q WHEN 'discount' THEN d ELSE t END"))
-              .groupBy("shard", "feature", "thr")
-              .agg(count(lit(1)).as("n"),
-                sum(when(col("x") <= col("thr"), 1L).otherwise(0L)).as("nl"),
-                T.sumE12(col("yr")).as("syr"),
-                T.sumE12(when(col("x") <= col("thr"), col("yr"))).as("sylr"))
-              .selectExpr("shard", "feature", "thr", "n", "nl",
-                s"${T.bitsE12("syr")} AS sy", s"${T.bitsE12("sylr")} AS syl")
-              .withColumn("score", expr(scoreTextR))
-              .withColumn("rn", row_number().over(best)).where(col("rn") === 1)
-              .selectExpr("shard", "feature", "thr",
+            val b1 = regCounts(sharded, Seq("shard"))
+              .withColumn("rn", row_number().over(w1)).where(col("rn") === 1)
+              .select(col("shard"), col("feature").as("f1"), col("thr").as("t1"))
+            val l2 = sharded.join(broadcast(b1), "shard")
+              .withColumn("node", expr(
+                "CASE WHEN (CASE f1 WHEN 'quantity' THEN q WHEN 'discount' THEN d ELSE t END) <= t1 THEN 'L' ELSE 'R' END"))
+            val w2 = Window.partitionBy(col("shard"), col("node"))
+              .orderBy(col("score").desc, col("feature").asc, col("thr").asc)
+            val b2 = regCounts(l2, Seq("shard", "node"))
+              .withColumn("rn", row_number().over(w2)).where(col("rn") === 1)
+              .selectExpr("shard", "node", "feature AS f2", "thr AS t2",
                 "syl / nl AS ml", "(sy - syl) / (n - nl) AS mr")
+            def nmax(node: String, c: String) =
+              max(when(col("node") === node, col(c)))
+            b1.join(
+                b2.groupBy("shard").agg(
+                  nmax("L", "f2").as("f2l"), nmax("L", "t2").as("t2l"),
+                  nmax("L", "ml").as("mll"), nmax("L", "mr").as("mlr"),
+                  nmax("R", "f2").as("f2r"), nmax("R", "t2").as("t2r"),
+                  nmax("R", "ml").as("mrl"), nmax("R", "mr").as("mrr")),
+                "shard")
               .collect()
               .map(r => (r.getInt(0), r.getString(1),
                 java.lang.Double.toString(r.getDouble(2)),
-                java.lang.Double.toString(r.getDouble(3)),
-                java.lang.Double.toString(r.getDouble(4))))
+                r.getString(3), java.lang.Double.toString(r.getDouble(4)),
+                java.lang.Double.toString(r.getDouble(5)),
+                java.lang.Double.toString(r.getDouble(6)),
+                r.getString(7), java.lang.Double.toString(r.getDouble(8)),
+                java.lang.Double.toString(r.getDouble(9)),
+                java.lang.Double.toString(r.getDouble(10))))
               .sortBy(_._1)
           }
         def xOf(f: String) =
           f match { case "quantity" => "q"; case "discount" => "d"; case _ => "t" }
-        val pattern = stumps.map { case (sh, f, thr, _, _) =>
-          s"(CASE WHEN ${xOf(f)} <= $thr THEN ${1 << sh} ELSE 0 END)"
+        val pattern = trees.map { case (sh, f1, t1, _, _, _, _, _, _, _, _) =>
+          s"(CASE WHEN ${xOf(f1)} <= $t1 THEN ${1 << sh} ELSE 0 END)"
         }.mkString(" + ")
-        val pred = stumps.map { case (_, f, thr, ml, mr) =>
-          s"CAST((CASE WHEN ${xOf(f)} <= $thr THEN $ml ELSE $mr END) AS DECIMAL(30,12))"
+        val pred = trees.map { case (_, f1, t1, f2l, t2l, mll, mlr, f2r, t2r, mrl, mrr) =>
+          s"""CAST((CASE WHEN ${xOf(f1)} <= $t1
+               THEN (CASE WHEN ${xOf(f2l)} <= $t2l THEN $mll ELSE $mlr END)
+               ELSE (CASE WHEN ${xOf(f2r)} <= $t2r THEN $mrl ELSE $mrr END) END)
+             AS DECIMAL(30,12))"""
         }.mkString(" + ")
         featsR(s, dir)
           .select(col("yr"),
             expr(s"CAST($pattern AS BIGINT)").as("pattern"),
             expr(s"CAST(($pred) AS DOUBLE) / 8").as("p"))
           .groupBy("pattern")
-          .agg(count(lit(1)).as("n"), max(col("p")).as("pm"),
+          .agg(count(lit(1)).as("n"), T.xsum(col("p")).as("sp"),
             T.xsum(col("yr")).as("sy2"))
-          .selectExpr("pattern", "n", "round(pm, 6) AS pred",
+          .selectExpr("pattern", "n", "round(sp / n, 6) AS pred",
             "round(sy2 / n, 6) AS actual_mean")
           .orderBy("pattern")
       },
       Some(s"""WITH $sqlFeatsR, $sqlGrid,
                  sh AS (SELECT *, $shardExpr AS shard FROM lr),
-                 sc AS (SELECT shard, feature, thr, count(*) AS n,
+                 sc1 AS (SELECT shard, feature, thr, count(*) AS n,
                      CAST(sum(CASE WHEN (CASE feature WHEN 'quantity' THEN q
                            WHEN 'discount' THEN d ELSE t END) <= thr
                          THEN 1 ELSE 0 END) AS BIGINT) AS nl,
                      ${T.sqlSumE12("yr")} AS syr,
                      ${T.sqlSumE12("CASE WHEN (CASE feature WHEN 'quantity' THEN q WHEN 'discount' THEN d ELSE t END) <= thr THEN yr END")} AS sylr
                    FROM sh CROSS JOIN cand GROUP BY shard, feature, thr),
-                 sb AS (SELECT shard, feature, thr, n, nl,
+                 g1 AS (SELECT *, $scoreTextR AS score FROM
+                   (SELECT shard, feature, thr, n, nl,
                      ${T.sqlBitsE12("syr")} AS sy, ${T.sqlBitsE12("sylr")} AS syl
-                   FROM sc),
-                 g AS (SELECT *, $scoreTextR AS score FROM sb),
-                 st AS (SELECT shard, feature, thr,
-                     syl / nl AS ml, (sy - syl) / (n - nl) AS mr
+                   FROM sc1) sb1),
+                 b1 AS (SELECT shard, feature AS f1, thr AS t1
                    FROM (SELECT *, row_number() OVER (PARTITION BY shard
-                       ORDER BY score DESC, feature ASC, thr ASC) AS rn FROM g) t
+                       ORDER BY score DESC, feature ASC, thr ASC) AS rn FROM g1) t
                    WHERE rn = 1),
+                 l2 AS (SELECT sh.*, CASE WHEN (CASE f1 WHEN 'quantity' THEN q
+                       WHEN 'discount' THEN d ELSE t END) <= t1
+                     THEN 'L' ELSE 'R' END AS node
+                   FROM sh JOIN b1 USING (shard)),
+                 sc2 AS (SELECT shard, node, feature, thr, count(*) AS n,
+                     CAST(sum(CASE WHEN (CASE feature WHEN 'quantity' THEN q
+                           WHEN 'discount' THEN d ELSE t END) <= thr
+                         THEN 1 ELSE 0 END) AS BIGINT) AS nl,
+                     ${T.sqlSumE12("yr")} AS syr,
+                     ${T.sqlSumE12("CASE WHEN (CASE feature WHEN 'quantity' THEN q WHEN 'discount' THEN d ELSE t END) <= thr THEN yr END")} AS sylr
+                   FROM l2 CROSS JOIN cand GROUP BY shard, node, feature, thr),
+                 g2 AS (SELECT *, $scoreTextR AS score FROM
+                   (SELECT shard, node, feature, thr, n, nl,
+                     ${T.sqlBitsE12("syr")} AS sy, ${T.sqlBitsE12("sylr")} AS syl
+                   FROM sc2) sb2),
+                 b2 AS (SELECT shard, node, feature AS f2, thr AS t2,
+                     syl / nl AS ml, (sy - syl) / (n - nl) AS mr
+                   FROM (SELECT *, row_number() OVER (PARTITION BY shard, node
+                       ORDER BY score DESC, feature ASC, thr ASC) AS rn FROM g2) t
+                   WHERE rn = 1),
+                 tr AS (SELECT b1.shard, f1, t1,
+                     max(CASE WHEN node = 'L' THEN f2 END) AS f2l,
+                     max(CASE WHEN node = 'L' THEN t2 END) AS t2l,
+                     max(CASE WHEN node = 'L' THEN ml END) AS mll,
+                     max(CASE WHEN node = 'L' THEN mr END) AS mlr,
+                     max(CASE WHEN node = 'R' THEN f2 END) AS f2r,
+                     max(CASE WHEN node = 'R' THEN t2 END) AS t2r,
+                     max(CASE WHEN node = 'R' THEN ml END) AS mrl,
+                     max(CASE WHEN node = 'R' THEN mr END) AS mrr
+                   FROM b1 JOIN b2 USING (shard)
+                   GROUP BY b1.shard, f1, t1),
                  scored AS (SELECT lr.yr,
-                     (SELECT CAST(sum(CASE WHEN (CASE st.feature
+                     (SELECT CAST(sum(CASE WHEN (CASE tr.f1
                            WHEN 'quantity' THEN lr.q WHEN 'discount' THEN lr.d
-                           ELSE lr.t END) <= st.thr
-                         THEN CAST(pow(2, st.shard) AS BIGINT) ELSE 0 END) AS BIGINT)
-                      FROM st) AS pattern,
-                     (SELECT CAST(sum(CAST(CASE WHEN (CASE st.feature
+                           ELSE lr.t END) <= tr.t1
+                         THEN CAST(pow(2, tr.shard) AS BIGINT) ELSE 0 END) AS BIGINT)
+                      FROM tr) AS pattern,
+                     (SELECT CAST(sum(CAST(CASE WHEN (CASE tr.f1
                            WHEN 'quantity' THEN lr.q WHEN 'discount' THEN lr.d
-                           ELSE lr.t END) <= st.thr
-                         THEN st.ml ELSE st.mr END AS DECIMAL(30,12))) AS DOUBLE)
-                      FROM st) / 8 AS p
+                           ELSE lr.t END) <= tr.t1
+                         THEN (CASE WHEN (CASE tr.f2l
+                             WHEN 'quantity' THEN lr.q WHEN 'discount' THEN lr.d
+                             ELSE lr.t END) <= tr.t2l THEN tr.mll ELSE tr.mlr END)
+                         ELSE (CASE WHEN (CASE tr.f2r
+                             WHEN 'quantity' THEN lr.q WHEN 'discount' THEN lr.d
+                             ELSE lr.t END) <= tr.t2r THEN tr.mrl ELSE tr.mrr END)
+                         END AS DECIMAL(30,12))) AS DOUBLE)
+                      FROM tr) / 8 AS p
                    FROM lr)
-               SELECT pattern, count(*) AS n, round(max(p), 6) AS pred,
+               SELECT pattern, count(*) AS n,
+                 round(${T.sqlXsum("p")} / count(*), 6) AS pred,
                  round(${T.sqlXsum("yr")} / count(*), 6) AS actual_mean
                FROM scored GROUP BY pattern ORDER BY pattern""")),
 

@@ -785,6 +785,21 @@ class MicroSpec extends SparkSpec {
     }
   }
 
+  test("ml_tree_depth2: child nodes partition the root's branches (r8)") {
+    val rows = q("ml_tree_depth2").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("root", "L", "R"))
+    val (root, l, r) = (rows("root"), rows("L"), rows("R"))
+    // each child's total rows = the root branch that feeds it, same for
+    // the positive counts — the level-2 pass saw exactly the level-1 split
+    assert(l.getLong(4) + l.getLong(6) == root.getLong(4))
+    assert(r.getLong(4) + r.getLong(6) == root.getLong(6))
+    assert(l.getLong(5) + l.getLong(7) == root.getLong(5))
+    assert(r.getLong(5) + r.getLong(7) == root.getLong(7))
+    // a child's best weighted gini cannot exceed 0.5 (binary impurity cap)
+    assert(l.getDouble(3) <= 0.5 && r.getDouble(3) <= 0.5)
+  }
+
   test("ml_rf_regress: patterns partition lineitem, predictions stay in the target hull (r7)") {
     val rows = q("ml_rf_regress").collect()
     val total = Tables.lineitem(spark, sf).count()
