@@ -46,6 +46,68 @@ object Cluster {
         element_at(col("embedding"), 1).cast("double").as("x"),
         element_at(col("embedding"), 2).cast("double").as("y"))
 
+  /** The fuzzy-simplicial-set dataflow shared by ml_umap_graph (which
+    * emits it) and ml_umap_layout (which descends on it): k = 3 directed
+    * kNN over the bounded 30-vector sample, ρ/σ calibration, exp
+    * membership weights, undirected (a < b) pairs with both directed
+    * weights (uab, uba) — the t-conorm symmetrization stays in the
+    * consumers so the layout step can reuse the unrounded doubles. */
+  private def umapGraph(s: SparkSession, dir: String): DataFrame = {
+    val e = T.embeddings(s, dir).where(col("vec_id") < 30)
+      .select(col("vec_id").as("id"), col("embedding").as("emb"))
+    val b = e.select(col("id").as("jid"), col("emb").as("jemb"))
+    val kw = Window.partitionBy(col("id")).orderBy(col("d"), col("jid"))
+    val rw = Window.partitionBy(col("id"))
+    val knn = e.crossJoin(broadcast(b))
+      .where(col("id") =!= col("jid"))
+      .select(col("id"), col("jid"),
+        graft.functions.Vec.l2(s, "emb", "jemb").as("d"))
+      .withColumn("rn", row_number().over(kw)).where(col("rn") <= 3)
+    val w = knn
+      .withColumn("rho", min(col("d")).over(rw))
+      .withColumn("sig", greatest(
+        sum((col("d") - col("rho")).cast(T.exact)).over(rw)
+          .cast("double") / lit(3.0), lit(1e-9)))
+      .select(col("id"), col("jid"),
+        expr("CAST(CAST(exp(-(d - rho) / sig) AS FLOAT) AS DOUBLE)").as("w"))
+    w.select(least(col("id"), col("jid")).as("a"),
+        greatest(col("id"), col("jid")).as("b"),
+        when(col("id") < col("jid"), col("w")).as("wab"),
+        when(col("id") > col("jid"), col("w")).as("wba"))
+      .groupBy("a", "b").agg(
+        coalesce(max(col("wab")), lit(0.0)).as("uab"),
+        coalesce(max(col("wba")), lit(0.0)).as("uba"))
+  }
+
+  /** DuckDB twin of [[umapGraph]] — CTE chain ending in `ug(a, b, uab,
+    * uba)`. */
+  private val sqlUmapGraphChain: String =
+    """sm AS (SELECT vec_id AS id, embedding AS emb
+                   FROM embeddings WHERE vec_id < 30),
+                 knn AS (SELECT id, jid, d FROM (
+                     SELECT a.id, b.id AS jid,
+                       list_distance(CAST(a.emb AS DOUBLE[]), CAST(b.emb AS DOUBLE[])) AS d,
+                       row_number() OVER (PARTITION BY a.id
+                         ORDER BY list_distance(CAST(a.emb AS DOUBLE[]),
+                                                CAST(b.emb AS DOUBLE[])), b.id) AS rn
+                     FROM sm a JOIN sm b ON a.id <> b.id) t
+                   WHERE rn <= 3),
+                 r1 AS (SELECT id, jid, d, min(d) OVER (PARTITION BY id) AS rho FROM knn),
+                 r2 AS (SELECT id, jid, d, rho,
+                     greatest(CAST(sum(CAST((d - rho) AS DECIMAL(30,12)))
+                       OVER (PARTITION BY id) AS DOUBLE) / 3.0, 1e-9) AS sig
+                   FROM r1),
+                 w AS (SELECT id, jid,
+                     CAST(CAST(exp(-(d - rho) / sig) AS REAL) AS DOUBLE) AS w
+                   FROM r2),
+                 und AS (SELECT least(id, jid) AS a, greatest(id, jid) AS b,
+                     CASE WHEN id < jid THEN w END AS wab,
+                     CASE WHEN id > jid THEN w END AS wba
+                   FROM w),
+                 ug AS (SELECT a, b, coalesce(max(wab), 0e0) AS uab,
+                     coalesce(max(wba), 0e0) AS uba
+                   FROM und GROUP BY a, b)"""
+
   /** Undirected eps-neighbor pairs (a < b), via the eps-cell grid join.
     * Each point lands in cell (⌊x/eps⌋, ⌊y/eps⌋) once as HOME and probes
     * the 3×3 neighborhood as PROBE; a pair (a<b) meets exactly once — at
@@ -362,63 +424,99 @@ object Cluster {
       // bounded window passes + one groupBy regardless of corpus size.
       // Determinism: distances are the shared codegen'd/list_distance
       // loop, σ sums ride the exact-decimal wire, exp is REAL-collapsed.
-      (s, dir) => {
-        val e = T.embeddings(s, dir).where(col("vec_id") < 30)
-          .select(col("vec_id").as("id"), col("embedding").as("emb"))
-        val b = e.select(col("id").as("jid"), col("emb").as("jemb"))
-        val kw = Window.partitionBy(col("id")).orderBy(col("d"), col("jid"))
-        val rw = Window.partitionBy(col("id"))
-        val knn = e.crossJoin(broadcast(b))
-          .where(col("id") =!= col("jid"))
-          .select(col("id"), col("jid"),
-            graft.functions.Vec.l2(s, "emb", "jemb").as("d"))
-          .withColumn("rn", row_number().over(kw)).where(col("rn") <= 3)
-        val w = knn
-          .withColumn("rho", min(col("d")).over(rw))
-          .withColumn("sig", greatest(
-            sum((col("d") - col("rho")).cast(T.exact)).over(rw)
-              .cast("double") / lit(3.0), lit(1e-9)))
-          .select(col("id"), col("jid"),
-            expr("CAST(CAST(exp(-(d - rho) / sig) AS FLOAT) AS DOUBLE)").as("w"))
-        w.select(least(col("id"), col("jid")).as("a"),
-            greatest(col("id"), col("jid")).as("b"),
-            when(col("id") < col("jid"), col("w")).as("wab"),
-            when(col("id") > col("jid"), col("w")).as("wba"))
-          .groupBy("a", "b").agg(
-            coalesce(max(col("wab")), lit(0.0)).as("uab"),
-            coalesce(max(col("wba")), lit(0.0)).as("uba"))
-          .selectExpr("a", "b", "round(uab, 6) AS w_ab", "round(uba, 6) AS w_ba",
-            "round(uab + uba - uab * uba, 6) AS w_sym")
-          .orderBy("a", "b")
-      },
-      Some(s"""WITH sm AS (SELECT vec_id AS id, embedding AS emb
-                   FROM embeddings WHERE vec_id < 30),
-                 knn AS (SELECT id, jid, d FROM (
-                     SELECT a.id, b.id AS jid,
-                       list_distance(CAST(a.emb AS DOUBLE[]), CAST(b.emb AS DOUBLE[])) AS d,
-                       row_number() OVER (PARTITION BY a.id
-                         ORDER BY list_distance(CAST(a.emb AS DOUBLE[]),
-                                                CAST(b.emb AS DOUBLE[])), b.id) AS rn
-                     FROM sm a JOIN sm b ON a.id <> b.id) t
-                   WHERE rn <= 3),
-                 r1 AS (SELECT id, jid, d, min(d) OVER (PARTITION BY id) AS rho FROM knn),
-                 r2 AS (SELECT id, jid, d, rho,
-                     greatest(CAST(sum(CAST((d - rho) AS DECIMAL(30,12)))
-                       OVER (PARTITION BY id) AS DOUBLE) / 3.0, 1e-9) AS sig
-                   FROM r1),
-                 w AS (SELECT id, jid,
-                     CAST(CAST(exp(-(d - rho) / sig) AS REAL) AS DOUBLE) AS w
-                   FROM r2),
-                 und AS (SELECT least(id, jid) AS a, greatest(id, jid) AS b,
-                     CASE WHEN id < jid THEN w END AS wab,
-                     CASE WHEN id > jid THEN w END AS wba
-                   FROM w),
-                 g AS (SELECT a, b, coalesce(max(wab), 0e0) AS uab,
-                     coalesce(max(wba), 0e0) AS uba
-                   FROM und GROUP BY a, b)
+      (s, dir) => umapGraph(s, dir)
+        .selectExpr("a", "b", "round(uab, 6) AS w_ab", "round(uba, 6) AS w_ba",
+          "round(uab + uba - uab * uba, 6) AS w_sym")
+        .orderBy("a", "b"),
+      Some(s"""WITH $sqlUmapGraphChain
                SELECT a, b, round(uab, 6) AS w_ab, round(uba, 6) AS w_ba,
                  round(uab + uba - uab * uba, 6) AS w_sym
-               FROM g ORDER BY a, b""")),
+               FROM ug ORDER BY a, b""")),
+
+    QueryDef(
+      "ml_umap_layout",
+      // ONE UMAP layout step (r8 — VERDICT r7 #4, completing the manifold
+      // fit story): gradient descent on the fuzzy-graph cross-entropy in
+      // the 2-d layout space, the ml_sgd_linreg unrolled-step discipline.
+      // Init = the first two embedding dims (the deterministic stand-in
+      // for spectral init). Attraction flows along the symmetrized edge
+      // table (w · 2/(1+d²) toward each neighbor — the a=b=1 UMAP kernel);
+      // repulsion is the uniform all-pairs term 2/((10⁻³+d²)(1+d²)) away
+      // from every other sample point, normalized per point — over the
+      // BOUNDED 30-point sample this is the exact negative-sampling
+      // expectation, and at scale the same two aggregations run per
+      // minibatch with sampled negatives. Output: old → new coordinates +
+      // step distance per point. Determinism: pure double arithmetic on
+      // identical inputs, per-point sums on the exact-decimal wire.
+      (s, dir) => {
+        val ew = umapGraph(s, dir)
+          .selectExpr("a", "b", "uab + uba - uab * uba AS w")
+        val ed = ew.selectExpr("a AS i", "b AS j", "w")
+          .unionAll(ew.selectExpr("b AS i", "a AS j", "w"))
+        val pts = plane(s, dir).where(col("id") < 30)
+        val pj = pts.selectExpr("id AS j", "x AS xj", "y AS yj")
+        val att = ed.join(broadcast(pts.selectExpr("id AS i", "x AS xi", "y AS yi")), "i")
+          .join(broadcast(pj), "j")
+          .selectExpr("i",
+            "(xi - xj) * (xi - xj) + (yi - yj) * (yi - yj) AS d2",
+            "xi", "yi", "xj", "yj", "w")
+          .selectExpr("i",
+            "w * (2e0 / (1e0 + d2)) * (xj - xi) AS ax",
+            "w * (2e0 / (1e0 + d2)) * (yj - yi) AS ay")
+          .groupBy("i")
+          .agg(T.xsum(col("ax")).as("ax"), T.xsum(col("ay")).as("ay"))
+        val pk = pts.selectExpr("id AS k", "x AS xk", "y AS yk")
+        val rep = pts.selectExpr("id AS i", "x AS xi", "y AS yi")
+          .crossJoin(broadcast(pk)).where(col("i") =!= col("k"))
+          .selectExpr("i", "xi", "yi", "xk", "yk",
+            "(xi - xk) * (xi - xk) + (yi - yk) * (yi - yk) AS d2")
+          .selectExpr("i",
+            "(2e0 / ((1e-3 + d2) * (1e0 + d2))) * (xi - xk) AS rx",
+            "(2e0 / ((1e-3 + d2) * (1e0 + d2))) * (yi - yk) AS ry")
+          .groupBy("i")
+          .agg(count(lit(1)).as("nk"),
+            T.xsum(col("rx")).as("rx"), T.xsum(col("ry")).as("ry"))
+        pts.join(att.withColumnRenamed("i", "id"), Seq("id"), "left")
+          .join(rep.withColumnRenamed("i", "id"), Seq("id"))
+          .selectExpr("id", "x", "y",
+            "x + 1e-1 * (coalesce(ax, 0e0) + rx / nk) AS x1",
+            "y + 1e-1 * (coalesce(ay, 0e0) + ry / nk) AS y1")
+          .selectExpr("id", "round(x, 6) AS x0", "round(y, 6) AS y0",
+            "round(x1, 6) AS x1", "round(y1, 6) AS y1",
+            "round(sqrt((x1 - x) * (x1 - x) + (y1 - y) * (y1 - y)), 6) AS step")
+          .orderBy("id")
+      },
+      Some(s"""WITH $sqlUmapGraphChain,
+                 ew AS (SELECT a, b, uab + uba - uab * uba AS w FROM ug),
+                 ed AS (SELECT a AS i, b AS j, w FROM ew
+                   UNION ALL SELECT b AS i, a AS j, w FROM ew),
+                 pts AS (SELECT id, CAST(emb[1] AS DOUBLE) AS x,
+                     CAST(emb[2] AS DOUBLE) AS y FROM sm),
+                 att AS (SELECT i, ${T.sqlXsum(
+                     "w * (2e0 / (1e0 + d2)) * (xj - xi)")} AS ax,
+                     ${T.sqlXsum("w * (2e0 / (1e0 + d2)) * (yj - yi)")} AS ay
+                   FROM (SELECT i, w, pi.x AS xi, pi.y AS yi, pjj.x AS xj, pjj.y AS yj,
+                       (pi.x - pjj.x) * (pi.x - pjj.x) + (pi.y - pjj.y) * (pi.y - pjj.y) AS d2
+                     FROM ed JOIN pts pi ON ed.i = pi.id
+                       JOIN pts pjj ON ed.j = pjj.id) t
+                   GROUP BY i),
+                 rep AS (SELECT i, count(*) AS nk,
+                     ${T.sqlXsum("(2e0 / ((1e-3 + d2) * (1e0 + d2))) * (xi - xk)")} AS rx,
+                     ${T.sqlXsum("(2e0 / ((1e-3 + d2) * (1e0 + d2))) * (yi - yk)")} AS ry
+                   FROM (SELECT pi.id AS i, pi.x AS xi, pi.y AS yi,
+                       pk.x AS xk, pk.y AS yk,
+                       (pi.x - pk.x) * (pi.x - pk.x) + (pi.y - pk.y) * (pi.y - pk.y) AS d2
+                     FROM pts pi JOIN pts pk ON pi.id <> pk.id) t
+                   GROUP BY i),
+                 upd AS (SELECT id, x, y,
+                     x + 1e-1 * (coalesce(ax, 0e0) + rx / nk) AS x1,
+                     y + 1e-1 * (coalesce(ay, 0e0) + ry / nk) AS y1
+                   FROM pts LEFT JOIN att ON pts.id = att.i
+                     JOIN rep ON pts.id = rep.i)
+               SELECT id, round(x, 6) AS x0, round(y, 6) AS y0,
+                 round(x1, 6) AS x1, round(y1, 6) AS y1,
+                 round(sqrt((x1 - x) * (x1 - x) + (y1 - y) * (y1 - y)), 6) AS step
+               FROM upd ORDER BY id""")),
 
     QueryDef(
       "ml_make_blobs",

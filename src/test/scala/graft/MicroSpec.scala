@@ -785,6 +785,26 @@ class MicroSpec extends SparkSpec {
     }
   }
 
+  test("ml_umap_layout: the step is a real contraction signal, not NaN (r8)") {
+    val rows = q("ml_umap_layout").collect()
+    assert(rows.length == 30)
+    for (r <- rows) {
+      val step = r.getDouble(5)
+      assert(!step.isNaN && step >= 0, s"step $step")
+      // one lr=0.1 step over unit-scale coordinates cannot teleport
+      assert(step < 10.0, s"step $step")
+    }
+  }
+
+  test("ml_kmeans_converge: converged is a terminal flag and shifts stay positive (r8)") {
+    val rows = q("ml_kmeans_converge").orderBy(col("iter")).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    assert(rows.forall(_.getDouble(1) > 0))
+    // only the last row may be converged; every earlier shift beats tol
+    assert(rows.init.forall(!_.getBoolean(2)))
+    if (rows.last.getBoolean(2)) assert(rows.last.getDouble(1) <= 1e-4 + 1e-12)
+  }
+
   test("ml_tree_depth2: child nodes partition the root's branches (r8)") {
     val rows = q("ml_tree_depth2").collect()
       .map(r => r.getString(0) -> r).toMap
