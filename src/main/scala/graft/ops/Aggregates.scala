@@ -746,7 +746,11 @@ object Aggregates {
         val bktExpr = "CAST(CASE feature WHEN 'quantity' THEN floor(v) " +
           "WHEN 'extendedprice' THEN floor(v / 1000) " +
           "ELSE floor(v * 100) END AS BIGINT)"
+        // project to the 3 columns BEFORE the fan-out so the parallelism
+        // shuffle moves 24 bytes/row, not the full lineitem width
         def u = T.lineitem(s, dir)
+          .select(col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+          .transform(T.fanOut(_))
           .selectExpr(
             "stack(3, 'quantity', CAST(l_quantity AS DOUBLE), 'extendedprice', CAST(l_extendedprice AS DOUBLE), 'discount', CAST(l_discount AS DOUBLE)) AS (feature, v)")
           .selectExpr("feature", "v", s"$bktExpr AS bkt")
