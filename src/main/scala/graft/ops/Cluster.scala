@@ -79,6 +79,95 @@ object Cluster {
         coalesce(max(col("wba")), lit(0.0)).as("uba"))
   }
 
+  /** The perplexity-calibrated t-SNE affinity dataflow shared by
+    * ml_tsne_affinity (which emits it) and ml_tsne_layout (which descends
+    * on it): conditional Gaussians with 3 unrolled bisection steps on the
+    * entropy, symmetrization deferred to the consumers — returns the
+    * undirected (a < b) pair table with both conditional masses
+    * (uab, uba); p_sym = (uab + uba)/2n. */
+  private def tsneAffinity(s: SparkSession, dir: String): DataFrame = {
+    val hStar = "1.6094379124341003e0"
+    val e = T.embeddings(s, dir).where(col("vec_id") < 30)
+      .select(col("vec_id").as("id"), col("embedding").as("emb"))
+    val b = e.select(col("id").as("jid"), col("emb").as("jemb"))
+    val wi = Window.partitionBy(col("id"))
+    def xs(c: org.apache.spark.sql.Column) =
+      sum(c.cast(T.exact)).over(wi).cast("double")
+    val base = e.crossJoin(broadcast(b)).where(col("id") =!= col("jid"))
+      .select(col("id"), col("jid"),
+        graft.functions.Vec.l2(s, "emb", "jemb").as("dd"))
+      .withColumn("d2", col("dd") * col("dd"))
+      .withColumn("cnt", count(lit(1)).over(wi))
+      .withColumn("sd2", xs(col("d2")))
+      .withColumn("lo0", expr("0e0"))
+      .withColumn("hi0", expr("8e0 / (sd2 / cnt)"))
+    val stepped = (1 to 3).foldLeft(base) { (df, k) =>
+      df.withColumn(s"bm$k", expr(s"(lo${k - 1} + hi${k - 1}) / 2e0"))
+        .withColumn(s"e$k",
+          expr(s"CAST(CAST(exp(-bm$k * d2) AS FLOAT) AS DOUBLE)"))
+        .withColumn(s"s$k", xs(col(s"e$k")))
+        .withColumn(s"t$k", xs(col("d2") * col(s"e$k")))
+        .withColumn(s"h$k",
+          expr(s"CAST(CAST(ln(s$k) AS FLOAT) AS DOUBLE) + bm$k * t$k / s$k"))
+        .withColumn(s"lo$k",
+          expr(s"CASE WHEN h$k > $hStar THEN bm$k ELSE lo${k - 1} END"))
+        .withColumn(s"hi$k",
+          expr(s"CASE WHEN h$k > $hStar THEN hi${k - 1} ELSE bm$k END"))
+    }
+    val fin = stepped
+      .withColumn("bf", expr("(lo3 + hi3) / 2e0"))
+      .withColumn("ef", expr("CAST(CAST(exp(-bf * d2) AS FLOAT) AS DOUBLE)"))
+      .withColumn("sf", xs(col("ef")))
+      .select(col("id"), col("jid"), (col("ef") / col("sf")).as("p"))
+    fin.select(least(col("id"), col("jid")).as("a"),
+        greatest(col("id"), col("jid")).as("b"),
+        when(col("id") < col("jid"), col("p")).as("pab"),
+        when(col("id") > col("jid"), col("p")).as("pba"))
+      .groupBy("a", "b")
+      .agg(max(col("pab")).as("uab"), max(col("pba")).as("uba"))
+  }
+
+  /** DuckDB twin of [[tsneAffinity]] — CTE chain ending in
+    * `tg(a, b, uab, uba)`. */
+  private val sqlTsneAffinityChain: String = {
+    val hStar = "1.6094379124341003e0"
+    def xsq(inner: String) =
+      s"CAST(sum(CAST(($inner) AS DECIMAL(30,12))) OVER (PARTITION BY id) AS DOUBLE)"
+    val steps = (1 to 3).map { k =>
+      s"""c$k AS (SELECT *, (lo${k - 1} + hi${k - 1}) / 2e0 AS bm$k FROM u${k - 1}),
+              w$k AS (SELECT *,
+                  CAST(CAST(exp(-bm$k * d2) AS REAL) AS DOUBLE) AS e$k FROM c$k),
+              a$k AS (SELECT *, ${xsq(s"e$k")} AS s$k,
+                  ${xsq(s"d2 * e$k")} AS t$k FROM w$k),
+              u$k AS (SELECT *,
+                  CASE WHEN CAST(CAST(ln(s$k) AS REAL) AS DOUBLE) + bm$k * t$k / s$k > $hStar
+                    THEN bm$k ELSE lo${k - 1} END AS lo$k,
+                  CASE WHEN CAST(CAST(ln(s$k) AS REAL) AS DOUBLE) + bm$k * t$k / s$k > $hStar
+                    THEN hi${k - 1} ELSE bm$k END AS hi$k
+                FROM a$k)"""
+    }.mkString(",\n              ")
+    s"""tsm AS (SELECT vec_id AS id, embedding AS emb
+                 FROM embeddings WHERE vec_id < 30),
+              pr AS (SELECT a.id, b.id AS jid,
+                  list_distance(CAST(a.emb AS DOUBLE[]), CAST(b.emb AS DOUBLE[])) AS dd
+                FROM tsm a JOIN tsm b ON a.id <> b.id),
+              d2t AS (SELECT id, jid, dd * dd AS d2 FROM pr),
+              u0 AS (SELECT *, count(*) OVER (PARTITION BY id) AS cnt,
+                  0e0 AS lo0,
+                  8e0 / (${xsq("d2")} / count(*) OVER (PARTITION BY id)) AS hi0
+                FROM d2t),
+              $steps,
+              ff AS (SELECT *, (lo3 + hi3) / 2e0 AS bf FROM u3),
+              fe AS (SELECT *, CAST(CAST(exp(-bf * d2) AS REAL) AS DOUBLE) AS ef FROM ff),
+              fs AS (SELECT id, jid, ef / ${xsq("ef")} AS p FROM fe),
+              tund AS (SELECT least(id, jid) AS a, greatest(id, jid) AS b,
+                  CASE WHEN id < jid THEN p END AS pab,
+                  CASE WHEN id > jid THEN p END AS pba
+                FROM fs),
+              tg AS (SELECT a, b, max(pab) AS uab, max(pba) AS uba
+                FROM tund GROUP BY a, b)"""
+  }
+
   /** DuckDB twin of [[umapGraph]] — CTE chain ending in `ug(a, b, uab,
     * uba)`. */
   private val sqlUmapGraphChain: String =
@@ -933,89 +1022,77 @@ object Cluster {
       // exact-decimal wire, the bisection compare is on doubles both
       // engines derived identically; H* is a literal (closest double to
       // ln 5), not an engine-evaluated ln.
-      (s, dir) => {
-        val hStar = "1.6094379124341003e0"
-        val e = T.embeddings(s, dir).where(col("vec_id") < 30)
-          .select(col("vec_id").as("id"), col("embedding").as("emb"))
-        val b = e.select(col("id").as("jid"), col("emb").as("jemb"))
-        val wi = Window.partitionBy(col("id"))
-        def xs(c: org.apache.spark.sql.Column) =
-          sum(c.cast(T.exact)).over(wi).cast("double")
-        val base = e.crossJoin(broadcast(b)).where(col("id") =!= col("jid"))
-          .select(col("id"), col("jid"),
-            graft.functions.Vec.l2(s, "emb", "jemb").as("dd"))
-          .withColumn("d2", col("dd") * col("dd"))
-          .withColumn("cnt", count(lit(1)).over(wi))
-          .withColumn("sd2", xs(col("d2")))
-          .withColumn("lo0", expr("0e0"))
-          .withColumn("hi0", expr("8e0 / (sd2 / cnt)"))
-        val stepped = (1 to 3).foldLeft(base) { (df, k) =>
-          df.withColumn(s"bm$k", expr(s"(lo${k - 1} + hi${k - 1}) / 2e0"))
-            .withColumn(s"e$k",
-              expr(s"CAST(CAST(exp(-bm$k * d2) AS FLOAT) AS DOUBLE)"))
-            .withColumn(s"s$k", xs(col(s"e$k")))
-            .withColumn(s"t$k", xs(col("d2") * col(s"e$k")))
-            .withColumn(s"h$k",
-              expr(s"CAST(CAST(ln(s$k) AS FLOAT) AS DOUBLE) + bm$k * t$k / s$k"))
-            .withColumn(s"lo$k",
-              expr(s"CASE WHEN h$k > $hStar THEN bm$k ELSE lo${k - 1} END"))
-            .withColumn(s"hi$k",
-              expr(s"CASE WHEN h$k > $hStar THEN hi${k - 1} ELSE bm$k END"))
-        }
-        val fin = stepped
-          .withColumn("bf", expr("(lo3 + hi3) / 2e0"))
-          .withColumn("ef", expr("CAST(CAST(exp(-bf * d2) AS FLOAT) AS DOUBLE)"))
-          .withColumn("sf", xs(col("ef")))
-          .select(col("id"), col("jid"), (col("ef") / col("sf")).as("p"))
-        fin.select(least(col("id"), col("jid")).as("a"),
-            greatest(col("id"), col("jid")).as("b"),
-            when(col("id") < col("jid"), col("p")).as("pab"),
-            when(col("id") > col("jid"), col("p")).as("pba"))
-          .groupBy("a", "b")
-          .agg(max(col("pab")).as("uab"), max(col("pba")).as("uba"))
-          .selectExpr("a", "b", "round((uab + uba) / 60e0, 8) AS p_sym")
-          .orderBy("a", "b")
-      },
-      Some {
-        val hStar = "1.6094379124341003e0"
-        def xsq(inner: String) =
-          s"CAST(sum(CAST(($inner) AS DECIMAL(30,12))) OVER (PARTITION BY id) AS DOUBLE)"
-        val steps = (1 to 3).map { k =>
-          s"""c$k AS (SELECT *, (lo${k - 1} + hi${k - 1}) / 2e0 AS bm$k FROM u${k - 1}),
-              w$k AS (SELECT *,
-                  CAST(CAST(exp(-bm$k * d2) AS REAL) AS DOUBLE) AS e$k FROM c$k),
-              a$k AS (SELECT *, ${xsq(s"e$k")} AS s$k,
-                  ${xsq(s"d2 * e$k")} AS t$k FROM w$k),
-              u$k AS (SELECT *,
-                  CASE WHEN CAST(CAST(ln(s$k) AS REAL) AS DOUBLE) + bm$k * t$k / s$k > $hStar
-                    THEN bm$k ELSE lo${k - 1} END AS lo$k,
-                  CASE WHEN CAST(CAST(ln(s$k) AS REAL) AS DOUBLE) + bm$k * t$k / s$k > $hStar
-                    THEN hi${k - 1} ELSE bm$k END AS hi$k
-                FROM a$k)"""
-        }.mkString(",\n              ")
-        s"""WITH sm AS (SELECT vec_id AS id, embedding AS emb
-                 FROM embeddings WHERE vec_id < 30),
-              pr AS (SELECT a.id, b.id AS jid,
-                  list_distance(CAST(a.emb AS DOUBLE[]), CAST(b.emb AS DOUBLE[])) AS dd
-                FROM sm a JOIN sm b ON a.id <> b.id),
-              d2t AS (SELECT id, jid, dd * dd AS d2 FROM pr),
-              u0 AS (SELECT *, count(*) OVER (PARTITION BY id) AS cnt,
-                  0e0 AS lo0,
-                  8e0 / (${xsq("d2")} / count(*) OVER (PARTITION BY id)) AS hi0
-                FROM d2t),
-              $steps,
-              ff AS (SELECT *, (lo3 + hi3) / 2e0 AS bf FROM u3),
-              fe AS (SELECT *, CAST(CAST(exp(-bf * d2) AS REAL) AS DOUBLE) AS ef FROM ff),
-              fs AS (SELECT id, jid, ef / ${xsq("ef")} AS p FROM fe),
-              und AS (SELECT least(id, jid) AS a, greatest(id, jid) AS b,
-                  CASE WHEN id < jid THEN p END AS pab,
-                  CASE WHEN id > jid THEN p END AS pba
-                FROM fs),
-              g AS (SELECT a, b, max(pab) AS uab, max(pba) AS uba
-                FROM und GROUP BY a, b)
+      (s, dir) => tsneAffinity(s, dir)
+        .selectExpr("a", "b", "round((uab + uba) / 60e0, 8) AS p_sym")
+        .orderBy("a", "b"),
+      Some(s"""WITH $sqlTsneAffinityChain
             SELECT a, b, round((uab + uba) / 60e0, 8) AS p_sym
-            FROM g ORDER BY a, b"""
-      }),
+            FROM tg ORDER BY a, b""")),
+
+    QueryDef(
+      "ml_tsne_layout",
+      // ONE t-SNE layout step (r8 — the gradient-descent sibling of
+      // ml_umap_layout, so BOTH manifold pairs now ship their fit step):
+      // KL gradient ∂C/∂y_i = 4·Σ_j (p_ij − q_ij)·w_ij·(y_i − y_j) with
+      // the Student-t kernel w = 1/(1+d²) and q = w/W — over the bounded
+      // 30-point sample the P and Q sums are EXACT (no negative
+      // sampling), and at scale the same two aggregations run with
+      // attractive terms from the kNN affinities + sampled repulsion
+      // (Barnes-Hut's role). Init = the first two embedding dims; lr =
+      // 200 (the classic t-SNE default). W and the per-point gradient
+      // sums ride the exact-decimal wire; everything else is shared-text
+      // double arithmetic on both engines.
+      (s, dir) => {
+        val ew = tsneAffinity(s, dir)
+          .selectExpr("a", "b", "(uab + uba) / 60e0 AS p")
+        val ed = ew.selectExpr("a AS i", "b AS j", "p")
+          .unionAll(ew.selectExpr("b AS i", "a AS j", "p"))
+        val pts = plane(s, dir).where(col("id") < 30)
+        val wt = Window.partitionBy()
+        val g = ed
+          .join(broadcast(pts.selectExpr("id AS i", "x AS xi", "y AS yi")), "i")
+          .join(broadcast(pts.selectExpr("id AS j", "x AS xj", "y AS yj")), "j")
+          .selectExpr("i", "p", "xi", "yi", "xj", "yj",
+            "1e0 / (1e0 + (xi - xj) * (xi - xj) + (yi - yj) * (yi - yj)) AS w")
+          .withColumn("bigw",
+            sum(col("w").cast(T.exact)).over(wt).cast("double"))
+          .selectExpr("i",
+            "4e0 * (p - w / bigw) * w * (xi - xj) AS gx",
+            "4e0 * (p - w / bigw) * w * (yi - yj) AS gy")
+          .groupBy("i")
+          .agg(T.xsum(col("gx")).as("gx"), T.xsum(col("gy")).as("gy"))
+        pts.join(g.withColumnRenamed("i", "id"), Seq("id"))
+          .selectExpr("id", "x", "y",
+            "x - 200e0 * gx AS x1", "y - 200e0 * gy AS y1")
+          .selectExpr("id", "round(x, 6) AS x0", "round(y, 6) AS y0",
+            "round(x1, 6) AS x1", "round(y1, 6) AS y1",
+            "round(sqrt((x1 - x) * (x1 - x) + (y1 - y) * (y1 - y)), 6) AS step")
+          .orderBy("id")
+      },
+      Some(s"""WITH $sqlTsneAffinityChain,
+                 ew AS (SELECT a, b, (uab + uba) / 60e0 AS p FROM tg),
+                 ed AS (SELECT a AS i, b AS j, p FROM ew
+                   UNION ALL SELECT b AS i, a AS j, p FROM ew),
+                 pts AS (SELECT id, CAST(emb[1] AS DOUBLE) AS x,
+                     CAST(emb[2] AS DOUBLE) AS y FROM tsm),
+                 wk AS (SELECT i, p, xi, yi, xj, yj,
+                     1e0 / (1e0 + (xi - xj) * (xi - xj) + (yi - yj) * (yi - yj)) AS w
+                   FROM (SELECT i, p, pi.x AS xi, pi.y AS yi, pjj.x AS xj, pjj.y AS yj
+                     FROM ed JOIN pts pi ON ed.i = pi.id
+                       JOIN pts pjj ON ed.j = pjj.id) t),
+                 ww AS (SELECT *, CAST(sum(CAST(w AS DECIMAL(30,12))) OVER () AS DOUBLE) AS bigw
+                   FROM wk),
+                 g AS (SELECT i,
+                     ${T.sqlXsum("4e0 * (p - w / bigw) * w * (xi - xj)")} AS gx,
+                     ${T.sqlXsum("4e0 * (p - w / bigw) * w * (yi - yj)")} AS gy
+                   FROM ww GROUP BY i),
+                 upd AS (SELECT id, x, y,
+                     x - 200e0 * gx AS x1, y - 200e0 * gy AS y1
+                   FROM pts JOIN g ON pts.id = g.i)
+               SELECT id, round(x, 6) AS x0, round(y, 6) AS y0,
+                 round(x1, 6) AS x1, round(y1, 6) AS y1,
+                 round(sqrt((x1 - x) * (x1 - x) + (y1 - y) * (y1 - y)), 6) AS step
+               FROM upd ORDER BY id""")),
 
     QueryDef(
       "ml_gmm_em",

@@ -796,6 +796,16 @@ class MicroSpec extends SparkSpec {
     }
   }
 
+  test("ml_tsne_layout: pairwise forces cancel, so the center of mass is fixed (r8)") {
+    val rows = q("ml_tsne_layout").collect()
+    assert(rows.length == 30)
+    // p, q and w are symmetric, so each pair's gradient terms are equal
+    // and opposite — one step cannot move the centroid (up to 6-dp wire)
+    val dx = rows.map(r => r.getDouble(3) - r.getDouble(1)).sum
+    val dy = rows.map(r => r.getDouble(4) - r.getDouble(2)).sum
+    assert(math.abs(dx) < 1e-4 && math.abs(dy) < 1e-4, s"$dx $dy")
+  }
+
   test("ml_kmeans_converge: converged is a terminal flag and shifts stay positive (r8)") {
     val rows = q("ml_kmeans_converge").orderBy(col("iter")).collect()
     assert(rows.nonEmpty && rows.length <= 10)
