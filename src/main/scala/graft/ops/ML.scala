@@ -524,6 +524,25 @@ object ML {
       Array("cqy", "cdy", "cty"), "rg") ++
     Seq("rgb0" -> "(my - rgx0 * mq - rgx1 * md - rgx2 * mt) / nn")
 
+  /** Centered ridge normal equations over the SPARSE hashed-feature
+    * moment row (ml_ridge_sparse): the same eig-contract elimination as
+    * [[ridgeSteps]], on moments assembled from the COO long form. Slot
+    * names g00..g22 / s0..s2 / x0y..x2y / sy / nn come from the sparse
+    * gram wire; α = 100 on the penalized diagonal; intercept closed-form
+    * from the uncentered means. */
+  private lazy val sparseRidgeSteps: Seq[(String, String)] =
+    Seq(
+      "c00" -> "g00 - s0 * s0 / nn", "c01" -> "g01 - s0 * s1 / nn",
+      "c02" -> "g02 - s0 * s2 / nn", "c11" -> "g11 - s1 * s1 / nn",
+      "c12" -> "g12 - s1 * s2 / nn", "c22" -> "g22 - s2 * s2 / nn",
+      "cy0" -> "x0y - s0 * sy / nn", "cy1" -> "x1y - s1 * sy / nn",
+      "cy2" -> "x2y - s2 * sy / nn",
+      "k00" -> "c00 + 100.0", "k11" -> "c11 + 100.0", "k22" -> "c22 + 100.0") ++
+    symGauss3(
+      Array(Array("k00", "c01", "c02"), Array("c01", "k11", "c12"), Array("c02", "c12", "k22")),
+      Array("cy0", "cy1", "cy2"), "sr") ++
+    Seq("srb0" -> "(sy - srx0 * s0 - srx1 * s1 - srx2 * s2) / nn")
+
   /** Multi-feature coordinate descent (VERDICT r5 #4 — the reference's `cd`
     * solver): `sweeps` unrolled cyclic sweeps over the 3 centered-feature
     * coordinates. Per update the residual cross-moment is soft-thresholded:
@@ -3677,6 +3696,118 @@ object ML {
               SELECT round(enbint, 6) AS intercept, round(enb3_0, 6) AS b_quantity,
                      round(enb3_1, 6) AS b_discount, round(enb3_2, 6) AS b_tax
               FROM $fin"""
+      }),
+
+    QueryDef(
+      "ml_ridge_sparse",
+      // Ridge over SPARSE input (r8 — VERDICT r7 missing #4: cuML accepts
+      // sparse X [R]; this is the CSR-path normal-equation shape): the
+      // design matrix is the (doc_id, feature, value) COO long form of a
+      // 3-bucket HashingVectorizer over document tokens — NEVER
+      // densified. The Gram matrix comes from the sparse SELF-JOIN on
+      // doc_id (cost Σ_d nnz_d², zeros contribute nothing — exactly how a
+      // distributed sparse solver assembles XᵀX), the cross-moments from
+      // one join against the target, and centering handles the implicit
+      // zeros algebraically (c_ij = S_ij − S_i·S_j/n is exact when absent
+      // entries are 0). α = 100 ridge solved by the shared unrolled
+      // elimination; scoring is the sparse dot product — a groupBy(doc)
+      // over PRESENT entries only, absent features contributing their
+      // true 0. Target y = n_chars/100. All sums on the bit-identical
+      // sumE12 wire (the gram4 discipline — the elimination amplifies
+      // input ulps).
+      (s, dir) => {
+        val toks = T.documents(s, dir).transform(T.fanOut(_, col("doc_id")))
+          .select(col("doc_id"),
+            explode(filter(split(col("text"), " "), t => t =!= "")).as("term"))
+        val lf = toks
+          .select(col("doc_id"), (T.polyTid("term") % 3).as("h"))
+          .groupBy("doc_id", "h").agg(count(lit(1)).cast("double").as("v"))
+        val yd = T.documents(s, dir).select(col("doc_id"), col("source"),
+          (col("n_chars").cast("double") / lit(100.0)).as("y"))
+        val pairs = for (i <- 0 to 2; j <- i to 2) yield (i, j)
+        val gr = lf.select(col("doc_id"), col("h").as("ia"), col("v").as("va"))
+          .join(lf.select(col("doc_id"), col("h").as("jb"), col("v").as("vb")), "doc_id")
+          .agg(
+            T.sumE12(expr(s"CASE WHEN ia = 0 AND jb = 0 THEN va * vb END")).as("s_g00"),
+            pairs.tail.map { case (i, j) =>
+              T.sumE12(expr(s"CASE WHEN ia = $i AND jb = $j THEN va * vb END")).as(s"s_g$i$j")
+            }: _*)
+        val xy = lf.join(yd, "doc_id")
+          .agg(
+            T.sumE12(expr("CASE WHEN h = 0 THEN v END")).as("s_s0"),
+            (1 to 2).map(i =>
+              T.sumE12(expr(s"CASE WHEN h = $i THEN v END")).as(s"s_s$i")) ++
+            (0 to 2).map(i =>
+              T.sumE12(expr(s"CASE WHEN h = $i THEN v * y END")).as(s"s_x${i}y")): _*)
+        val ym = yd.agg(count(lit(1)).as("n"), T.sumE12(col("y")).as("s_sy"))
+        val m = gr.crossJoin(xy).crossJoin(ym)
+          .selectExpr(Seq("CAST(n AS DOUBLE) AS nn") ++
+            pairs.map { case (i, j) => s"${T.bitsE12(s"s_g$i$j")} AS g$i$j" } ++
+            (0 to 2).map(i => s"${T.bitsE12(s"s_s$i")} AS s$i") ++
+            (0 to 2).map(i => s"${T.bitsE12(s"s_x${i}y")} AS x${i}y") ++
+            Seq(s"${T.bitsE12("s_sy")} AS sy"): _*)
+        val coefs = stepChain(m, sparseRidgeSteps)
+          .selectExpr("srx0 AS c0", "srx1 AS c1", "srx2 AS c2", "srb0 AS b0")
+        val contrib = lf.crossJoin(broadcast(coefs))
+          .selectExpr("doc_id",
+            "CAST(v * (CASE h WHEN 0 THEN c0 WHEN 1 THEN c1 ELSE c2 END) AS DECIMAL(30,12)) AS t")
+          .groupBy("doc_id").agg(sum(col("t")).cast("double").as("ct"))
+        yd.join(contrib, Seq("doc_id"), "left").crossJoin(broadcast(coefs))
+          .selectExpr("source", "y - (b0 + coalesce(ct, 0e0)) AS r",
+            "c0", "c1", "c2", "b0")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            round(max(col("c0")), 6).as("coef0"),
+            round(max(col("c1")), 6).as("coef1"),
+            round(max(col("c2")), 6).as("coef2"),
+            round(max(col("b0")), 6).as("intercept"),
+            round(T.xsum(col("r")) / count(lit(1)), 6).as("avg_resid"),
+            round(sqrt(T.xsum(col("r") * col("r")) / count(lit(1))), 6).as("rmse"))
+          .orderBy("source")
+      },
+      Some {
+        val pairs = for (i <- 0 to 2; j <- i to 2) yield (i, j)
+        val (ctes, fin) = sqlChainFrom(sparseRidgeSteps, "spr")
+        s"""WITH tk AS (SELECT doc_id,
+                  unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS term
+                FROM documents),
+              lf AS (SELECT doc_id, ${T.sqlPolyTid("term")} % 3 AS h,
+                  CAST(count(*) AS DOUBLE) AS v
+                FROM tk GROUP BY doc_id, h),
+              yd AS (SELECT doc_id, source, CAST(n_chars AS DOUBLE) / 100.0 AS y
+                FROM documents),
+              gr AS (SELECT
+                  ${pairs.map { case (i, j) =>
+                    s"${T.sqlSumE12(s"CASE WHEN a.h = $i AND b.h = $j THEN a.v * b.v END")} AS s_g$i$j"
+                  }.mkString(",\n                  ")}
+                FROM lf a JOIN lf b ON a.doc_id = b.doc_id),
+              xy AS (SELECT
+                  ${(0 to 2).map(i =>
+                    s"${T.sqlSumE12(s"CASE WHEN h = $i THEN v END")} AS s_s$i").mkString(",\n                  ")},
+                  ${(0 to 2).map(i =>
+                    s"${T.sqlSumE12(s"CASE WHEN h = $i THEN v * y END")} AS s_x${i}y").mkString(",\n                  ")}
+                FROM lf JOIN yd USING (doc_id)),
+              ym AS (SELECT count(*) AS n, ${T.sqlSumE12("y")} AS s_sy FROM yd),
+              m AS (SELECT CAST(n AS DOUBLE) AS nn,
+                  ${pairs.map { case (i, j) => s"${T.sqlBitsE12(s"s_g$i$j")} AS g$i$j" }.mkString(",\n                  ")},
+                  ${(0 to 2).map(i => s"${T.sqlBitsE12(s"s_s$i")} AS s$i").mkString(",\n                  ")},
+                  ${(0 to 2).map(i => s"${T.sqlBitsE12(s"s_x${i}y")} AS x${i}y").mkString(",\n                  ")},
+                  ${T.sqlBitsE12("s_sy")} AS sy
+                FROM gr, xy, ym),
+              $ctes,
+              co AS (SELECT srx0 AS c0, srx1 AS c1, srx2 AS c2, srb0 AS b0 FROM $fin),
+              contrib AS (SELECT doc_id,
+                  CAST(sum(CAST(v * (CASE h WHEN 0 THEN c0 WHEN 1 THEN c1 ELSE c2 END) AS DECIMAL(30,12))) AS DOUBLE) AS ct
+                FROM lf, co GROUP BY doc_id),
+              scored AS (SELECT source, y - (b0 + coalesce(ct, 0e0)) AS r,
+                  c0, c1, c2, b0
+                FROM yd LEFT JOIN contrib USING (doc_id), co)
+            SELECT source, count(*) AS n_docs,
+              round(max(c0), 6) AS coef0, round(max(c1), 6) AS coef1,
+              round(max(c2), 6) AS coef2, round(max(b0), 6) AS intercept,
+              round(${T.sqlXsum("r")} / count(*), 6) AS avg_resid,
+              round(sqrt(${T.sqlXsum("r * r")} / count(*)), 6) AS rmse
+            FROM scored GROUP BY source ORDER BY source"""
       }),
 
     QueryDef(
