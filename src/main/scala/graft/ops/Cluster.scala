@@ -608,6 +608,78 @@ object Cluster {
                FROM upd ORDER BY id""")),
 
     QueryDef(
+      "ml_umap_transform",
+      // cuml.manifold UMAP.transform [R] — the OUT-OF-SAMPLE contract the
+      // fitted model exposes: a new point's embedding is initialized as the
+      // membership-weighted mean of its k = 3 nearest TRAINING points'
+      // layout coordinates, with the same ρ/σ smooth-kNN calibration and
+      // exp kernel the graph phase uses (training layout = the first two
+      // embedding dims, consistent with ml_umap_layout's init). 15 new
+      // points (30 ≤ vec_id < 45) against the 30-point training sample.
+      // Scale shape: new×train kNN is the IVF probe pattern at scale
+      // (ml_knn_ivf); here the bounded training side broadcasts and the
+      // transform is ONE map+window pass per new point — transform never
+      // touches train×train pairs. Determinism: distances are the shared
+      // codegen'd/list_distance loop, σ sums and the weighted means ride
+      // the exact-decimal wire, exp is REAL-collapsed.
+      (s, dir) => {
+        val trn = T.embeddings(s, dir).where(col("vec_id") < 30)
+          .select(col("vec_id").as("jid"), col("embedding").as("jemb"),
+            element_at(col("embedding"), 1).cast("double").as("xj"),
+            element_at(col("embedding"), 2).cast("double").as("yj"))
+        val nw = T.embeddings(s, dir)
+          .where(col("vec_id") >= 30 && col("vec_id") < 45)
+          .select(col("vec_id").as("id"), col("embedding").as("emb"))
+        val kw = Window.partitionBy(col("id")).orderBy(col("d"), col("jid"))
+        val rw = Window.partitionBy(col("id"))
+        val knn = nw.crossJoin(broadcast(trn))
+          .select(col("id"), col("jid"), col("xj"), col("yj"),
+            graft.functions.Vec.l2(s, "emb", "jemb").as("d"))
+          .withColumn("rn", row_number().over(kw)).where(col("rn") <= 3)
+        val w = knn
+          .withColumn("rho", min(col("d")).over(rw))
+          .withColumn("sig", greatest(
+            sum((col("d") - col("rho")).cast(T.exact)).over(rw)
+              .cast("double") / lit(3.0), lit(1e-9)))
+          .select(col("id"), col("xj"), col("yj"),
+            expr("CAST(CAST(exp(-(d - rho) / sig) AS FLOAT) AS DOUBLE)").as("w"))
+        w.groupBy("id").agg(
+            T.xsum(col("w") * col("xj")).as("swx"),
+            T.xsum(col("w") * col("yj")).as("swy"),
+            T.xsum(col("w")).as("sw"))
+          .selectExpr("id", "round(swx / sw, 6) AS x", "round(swy / sw, 6) AS y")
+          .orderBy("id")
+      },
+      Some(s"""WITH tn AS (SELECT vec_id AS jid, embedding AS jemb,
+                   CAST(embedding[1] AS DOUBLE) AS xj,
+                   CAST(embedding[2] AS DOUBLE) AS yj
+                 FROM embeddings WHERE vec_id < 30),
+                 nw AS (SELECT vec_id AS id, embedding AS emb
+                   FROM embeddings WHERE vec_id >= 30 AND vec_id < 45),
+                 knn AS (SELECT id, jid, xj, yj, d FROM (
+                     SELECT n.id, t.jid, t.xj, t.yj,
+                       list_distance(CAST(n.emb AS DOUBLE[]), CAST(t.jemb AS DOUBLE[])) AS d,
+                       row_number() OVER (PARTITION BY n.id
+                         ORDER BY list_distance(CAST(n.emb AS DOUBLE[]),
+                                                CAST(t.jemb AS DOUBLE[])), t.jid) AS rn
+                     FROM nw n CROSS JOIN tn t) z
+                   WHERE rn <= 3),
+                 r1 AS (SELECT id, jid, xj, yj, d,
+                     min(d) OVER (PARTITION BY id) AS rho FROM knn),
+                 r2 AS (SELECT id, jid, xj, yj, d, rho,
+                     greatest(CAST(sum(CAST((d - rho) AS DECIMAL(30,12)))
+                       OVER (PARTITION BY id) AS DOUBLE) / 3.0, 1e-9) AS sig
+                   FROM r1),
+                 wt AS (SELECT id, xj, yj,
+                     CAST(CAST(exp(-(d - rho) / sig) AS REAL) AS DOUBLE) AS w
+                   FROM r2),
+                 ag AS (SELECT id, ${T.sqlXsum("w * xj")} AS swx,
+                     ${T.sqlXsum("w * yj")} AS swy, ${T.sqlXsum("w")} AS sw
+                   FROM wt GROUP BY id)
+               SELECT id, round(swx / sw, 6) AS x, round(swy / sw, 6) AS y
+               FROM ag ORDER BY id""")),
+
+    QueryDef(
       "ml_make_blobs",
       // cuml.dask.datasets.make_blobs [R] — the dataset-generation module
       // as a registered row: n = 1000 samples, K = 4 literal centers,

@@ -66,7 +66,7 @@ object Supervised {
     * are exact decimal literals — both engines parse them to the same
     * doubles). Fixed and data-independent: at any scale the split search
     * is ONE pass of |grid| map-side-combined conditional counts. */
-  private val grid: Seq[(String, String)] =
+  private[ops] val grid: Seq[(String, String)] =
     (5 to 45 by 5).map(v => ("quantity", s"$v.0")) ++
       (1 to 9).map(v => ("discount", s"0.0$v")) ++
       (1 to 7).map(v => ("tax", s"0.0$v"))
@@ -74,7 +74,7 @@ object Supervised {
   /** Weighted gini impurity of a candidate split from its four counts
     * (n, pos, nl, posl) — pure rational arithmetic, identical cross-engine;
     * an empty side contributes zero impurity. */
-  private val giniExpr =
+  private[ops] val giniExpr =
     """(CASE WHEN nl = 0 THEN 0.0 ELSE
          nl * (1.0 - pow(CAST(posl AS DOUBLE) / nl, 2)
                    - pow(CAST(nl - posl AS DOUBLE) / nl, 2)) END
@@ -85,7 +85,7 @@ object Supervised {
 
   /** Feature/label projection shared by the tree and forest rows: the
     * binary target is returnflag = 'R' (the ml_logreg fixture). */
-  private def feats(s: SparkSession, dir: String): DataFrame =
+  private[ops] def feats(s: SparkSession, dir: String): DataFrame =
     T.lineitem(s, dir).select(
       col("l_orderkey"), col("l_linenumber"),
       col("l_quantity").cast("double").as("q"),
@@ -94,7 +94,7 @@ object Supervised {
       when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"))
       .transform(T.fanOut(_))
 
-  private val sqlFeats =
+  private[ops] val sqlFeats =
     """l AS (SELECT l_orderkey, l_linenumber,
          CAST(l_quantity AS DOUBLE) AS q, CAST(l_discount AS DOUBLE) AS d,
          CAST(l_tax AS DOUBLE) AS t,
@@ -132,7 +132,7 @@ object Supervised {
     * rows (map-side combine collapses each partition to |grid| groups
     * before the shuffle). `extra` prepends grouping columns (the forest's
     * shard id). */
-  private def splitCounts(rows: DataFrame, cands: DataFrame, extra: Seq[String]): DataFrame =
+  private[ops] def splitCounts(rows: DataFrame, cands: DataFrame, extra: Seq[String]): DataFrame =
     rows.crossJoin(broadcast(cands))
       .withColumn("x", expr(
         "CASE feature WHEN 'quantity' THEN q WHEN 'discount' THEN d ELSE t END"))
@@ -144,12 +144,12 @@ object Supervised {
   /** The oracle's candidate grid as a VALUES CTE (same literal text; thr
     * cast to DOUBLE — a bare VALUES decimal literal is DECIMAL(3,2) in
     * DuckDB, which would leak into the output schema). */
-  private val sqlGrid: String =
+  private[ops] val sqlGrid: String =
     grid.map { case (f, v) => s"('$f', $v)" }.mkString(
       "cand AS (SELECT feature, CAST(thr AS DOUBLE) AS thr FROM (VALUES ",
       ", ", ") v(feature, thr))")
 
-  private def sqlSplitCounts(src: String, extra: String): String =
+  private[ops] def sqlSplitCounts(src: String, extra: String): String =
     s"""SELECT ${extra}feature, thr, count(*) AS n,
           CAST(sum(y) AS BIGINT) AS pos,
           CAST(sum(CASE WHEN (CASE feature WHEN 'quantity' THEN q
@@ -165,7 +165,7 @@ object Supervised {
     * from the 387143/48271/69621 families so shards can't alias another
     * query's split on the same table). k ≤ 8·maxOrderkey+7 keeps
     * k·104729 ≪ 2⁶³ at any tested SF. */
-  private val shardExpr =
+  private[ops] val shardExpr =
     s"CAST(((l_orderkey * 8 + l_linenumber) * 104729 + 7919) % ${T.HASH_P} % 8 AS INT)"
 
   val entries: Seq[QueryDef] = Seq(
@@ -1321,7 +1321,7 @@ object Supervised {
   /** Column-name-safe suffix for a split-candidate value (10.0 → 10_0,
     * 0.02 → 0_02) — shared by the Spark aggregate aliases and the oracle
     * CTE text so the per-candidate sums line up by construction. */
-  private def cs(c: Double): String = c.toString.replace('.', '_')
+  private[ops] def cs(c: Double): String = c.toString.replace('.', '_')
 
   /** Per-row predictions of BOTH multiclass meta-strategies (OvR argmax
     * and OvO majority vote) in ONE scoring pass — the shared input of

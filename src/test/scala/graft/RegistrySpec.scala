@@ -6,9 +6,9 @@ package graft
   */
 class RegistrySpec extends SparkSpec {
 
-  test("all seventeen catalogs are registered (66 SURVEY keys + 227 extensions)") {
-    assert(SparkEntry.queries.size == 293,
-      s"expected 293 registered queries, got ${SparkEntry.queries.size}")
+  test("all eighteen catalogs are registered (66 SURVEY keys + 232 extensions)") {
+    assert(SparkEntry.queries.size == 298,
+      s"expected 298 registered queries, got ${SparkEntry.queries.size}")
   }
 
   test("no oracle uses a constant generate_series bound (VERDICT r4 #2)") {
