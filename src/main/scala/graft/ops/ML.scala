@@ -543,6 +543,30 @@ object ML {
       Array("cy0", "cy1", "cy2"), "sr") ++
     Seq("srb0" -> "(sy - srx0 * s0 - srx1 * s1 - srx2 * s2) / nn")
 
+  /** One penalized Newton (IRLS) step from β = 0 for LOGISTIC regression
+    * over the SPARSE hashed-feature moment row (ml_logreg_sparse — cuML's
+    * QN solver accepts sparse X [R]): at β = 0 every pᵢ = 1/2, so the IRLS
+    * weight matrix is I/4 and the step solves (C/4 + λI)β = c_y on the
+    * SAME centered sparse Gram as [[sparseRidgeSteps]] — the centered
+    * cross-moment c(v, y − 1/2) equals c(v, y) because the constant
+    * cancels under centering, so a BINARY target reuses the ridge wire
+    * unchanged. The intercept row eliminates to
+    * b0 = (4(sy − n/2) − βᵀs)/n. λ = 10. */
+  private lazy val sparseLogregSteps: Seq[(String, String)] =
+    Seq(
+      "c00" -> "g00 - s0 * s0 / nn", "c01" -> "g01 - s0 * s1 / nn",
+      "c02" -> "g02 - s0 * s2 / nn", "c11" -> "g11 - s1 * s1 / nn",
+      "c12" -> "g12 - s1 * s2 / nn", "c22" -> "g22 - s2 * s2 / nn",
+      "cy0" -> "x0y - s0 * sy / nn", "cy1" -> "x1y - s1 * sy / nn",
+      "cy2" -> "x2y - s2 * sy / nn",
+      "h00" -> "25e-2 * c00 + 1e1", "h01" -> "25e-2 * c01",
+      "h02" -> "25e-2 * c02", "h11" -> "25e-2 * c11 + 1e1",
+      "h12" -> "25e-2 * c12", "h22" -> "25e-2 * c22 + 1e1") ++
+    symGauss3(
+      Array(Array("h00", "h01", "h02"), Array("h01", "h11", "h12"), Array("h02", "h12", "h22")),
+      Array("cy0", "cy1", "cy2"), "sq") ++
+    Seq("sqb0" -> "(4e0 * (sy - nn / 2e0) - sqx0 * s0 - sqx1 * s1 - sqx2 * s2) / nn")
+
   /** Multi-feature coordinate descent (VERDICT r5 #4 — the reference's `cd`
     * solver): `sweeps` unrolled cyclic sweeps over the 3 centered-feature
     * coordinates. Per update the residual cross-moment is soft-thresholded:
@@ -3808,6 +3832,120 @@ object ML {
               round(${T.sqlXsum("r")} / count(*), 6) AS avg_resid,
               round(sqrt(${T.sqlXsum("r * r")} / count(*)), 6) AS rmse
             FROM scored GROUP BY source ORDER BY source"""
+      }),
+
+    QueryDef(
+      "ml_logreg_sparse",
+      // Logistic regression over SPARSE input (the QN-solver sibling of
+      // ml_ridge_sparse — cuML's logistic QN path accepts sparse X [R]):
+      // same (doc_id, feature, value) COO long form from the 3-bucket
+      // HashingVectorizer, binary target y = (lang = 'en'). ONE penalized
+      // Newton step from β = 0 (p ≡ 1/2 ⇒ W = I/4), so the step reuses the
+      // sparse Gram wire UNCHANGED — (C/4 + λI)β = c(v, y), intercept
+      // eliminated in closed form (see sparseLogregSteps). Scoring is the
+      // sparse dot product over PRESENT entries + the REAL-collapsed
+      // sigmoid; output = per-class calibration (mean p, predicted-
+      // positive count) with the fitted coefficients on the wire. All
+      // moment sums ride the bit-identical sumE12 wire (the elimination
+      // amplifies input ulps — the gram4 discipline).
+      (s, dir) => {
+        val toks = T.documents(s, dir).transform(T.fanOut(_, col("doc_id")))
+          .select(col("doc_id"),
+            explode(filter(split(col("text"), " "), t => t =!= "")).as("term"))
+        val lf = toks
+          .select(col("doc_id"), (T.polyTid("term") % 3).as("h"))
+          .groupBy("doc_id", "h").agg(count(lit(1)).cast("double").as("v"))
+        val yd = T.documents(s, dir).select(col("doc_id"),
+          when(col("lang") === "en", lit(1.0)).otherwise(lit(0.0)).as("y"))
+        val pairs = for (i <- 0 to 2; j <- i to 2) yield (i, j)
+        val gr = lf.select(col("doc_id"), col("h").as("ia"), col("v").as("va"))
+          .join(lf.select(col("doc_id"), col("h").as("jb"), col("v").as("vb")), "doc_id")
+          .agg(
+            T.sumE12(expr(s"CASE WHEN ia = 0 AND jb = 0 THEN va * vb END")).as("s_g00"),
+            pairs.tail.map { case (i, j) =>
+              T.sumE12(expr(s"CASE WHEN ia = $i AND jb = $j THEN va * vb END")).as(s"s_g$i$j")
+            }: _*)
+        val xy = lf.join(yd, "doc_id")
+          .agg(
+            T.sumE12(expr("CASE WHEN h = 0 THEN v END")).as("s_s0"),
+            (1 to 2).map(i =>
+              T.sumE12(expr(s"CASE WHEN h = $i THEN v END")).as(s"s_s$i")) ++
+            (0 to 2).map(i =>
+              T.sumE12(expr(s"CASE WHEN h = $i THEN v * y END")).as(s"s_x${i}y")): _*)
+        val ym = yd.agg(count(lit(1)).as("n"), T.sumE12(col("y")).as("s_sy"))
+        val m = gr.crossJoin(xy).crossJoin(ym)
+          .selectExpr(Seq("CAST(n AS DOUBLE) AS nn") ++
+            pairs.map { case (i, j) => s"${T.bitsE12(s"s_g$i$j")} AS g$i$j" } ++
+            (0 to 2).map(i => s"${T.bitsE12(s"s_s$i")} AS s$i") ++
+            (0 to 2).map(i => s"${T.bitsE12(s"s_x${i}y")} AS x${i}y") ++
+            Seq(s"${T.bitsE12("s_sy")} AS sy"): _*)
+        val coefs = stepChain(m, sparseLogregSteps)
+          .selectExpr("sqx0 AS c0", "sqx1 AS c1", "sqx2 AS c2", "sqb0 AS b0")
+        val contrib = lf.crossJoin(broadcast(coefs))
+          .selectExpr("doc_id",
+            "CAST(v * (CASE h WHEN 0 THEN c0 WHEN 1 THEN c1 ELSE c2 END) AS DECIMAL(30,12)) AS t")
+          .groupBy("doc_id").agg(sum(col("t")).cast("double").as("ct"))
+        yd.join(contrib, Seq("doc_id"), "left").crossJoin(broadcast(coefs))
+          .selectExpr("y",
+            "CAST(CAST(1e0 / (1e0 + exp(-(b0 + coalesce(ct, 0e0)))) AS FLOAT) AS DOUBLE) AS p",
+            "c0", "c1", "c2", "b0")
+          .groupBy("y")
+          .agg(count(lit(1)).as("n_docs"),
+            round(max(col("c0")), 6).as("coef0"),
+            round(max(col("c1")), 6).as("coef1"),
+            round(max(col("c2")), 6).as("coef2"),
+            round(max(col("b0")), 6).as("intercept"),
+            round(T.xsum(col("p")) / count(lit(1)), 6).as("avg_p"),
+            sum(expr("CASE WHEN p >= 5e-1 THEN 1 ELSE 0 END")).cast("long").as("n_pred_pos"))
+          .selectExpr("CAST(y AS INT) AS actual", "n_docs", "coef0", "coef1",
+            "coef2", "intercept", "avg_p", "n_pred_pos")
+          .orderBy("actual")
+      },
+      Some {
+        val pairs = for (i <- 0 to 2; j <- i to 2) yield (i, j)
+        val (ctes, fin) = sqlChainFrom(sparseLogregSteps, "slg")
+        s"""WITH tk AS (SELECT doc_id,
+                  unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS term
+                FROM documents),
+              lf AS (SELECT doc_id, ${T.sqlPolyTid("term")} % 3 AS h,
+                  CAST(count(*) AS DOUBLE) AS v
+                FROM tk GROUP BY doc_id, h),
+              yd AS (SELECT doc_id,
+                  CASE WHEN lang = 'en' THEN 1e0 ELSE 0e0 END AS y
+                FROM documents),
+              gr AS (SELECT
+                  ${pairs.map { case (i, j) =>
+                    s"${T.sqlSumE12(s"CASE WHEN a.h = $i AND b.h = $j THEN a.v * b.v END")} AS s_g$i$j"
+                  }.mkString(",\n                  ")}
+                FROM lf a JOIN lf b ON a.doc_id = b.doc_id),
+              xy AS (SELECT
+                  ${(0 to 2).map(i =>
+                    s"${T.sqlSumE12(s"CASE WHEN h = $i THEN v END")} AS s_s$i").mkString(",\n                  ")},
+                  ${(0 to 2).map(i =>
+                    s"${T.sqlSumE12(s"CASE WHEN h = $i THEN v * y END")} AS s_x${i}y").mkString(",\n                  ")}
+                FROM lf JOIN yd USING (doc_id)),
+              ym AS (SELECT count(*) AS n, ${T.sqlSumE12("y")} AS s_sy FROM yd),
+              m AS (SELECT CAST(n AS DOUBLE) AS nn,
+                  ${pairs.map { case (i, j) => s"${T.sqlBitsE12(s"s_g$i$j")} AS g$i$j" }.mkString(",\n                  ")},
+                  ${(0 to 2).map(i => s"${T.sqlBitsE12(s"s_s$i")} AS s$i").mkString(",\n                  ")},
+                  ${(0 to 2).map(i => s"${T.sqlBitsE12(s"s_x${i}y")} AS x${i}y").mkString(",\n                  ")},
+                  ${T.sqlBitsE12("s_sy")} AS sy
+                FROM gr, xy, ym),
+              $ctes,
+              co AS (SELECT sqx0 AS c0, sqx1 AS c1, sqx2 AS c2, sqb0 AS b0 FROM $fin),
+              contrib AS (SELECT doc_id,
+                  CAST(sum(CAST(v * (CASE h WHEN 0 THEN c0 WHEN 1 THEN c1 ELSE c2 END) AS DECIMAL(30,12))) AS DOUBLE) AS ct
+                FROM lf, co GROUP BY doc_id),
+              scored AS (SELECT y,
+                  CAST(CAST(1e0 / (1e0 + exp(-(b0 + coalesce(ct, 0e0)))) AS REAL) AS DOUBLE) AS p,
+                  c0, c1, c2, b0
+                FROM yd LEFT JOIN contrib USING (doc_id), co)
+            SELECT CAST(y AS INT) AS actual, count(*) AS n_docs,
+              round(max(c0), 6) AS coef0, round(max(c1), 6) AS coef1,
+              round(max(c2), 6) AS coef2, round(max(b0), 6) AS intercept,
+              round(${T.sqlXsum("p")} / count(*), 6) AS avg_p,
+              CAST(sum(CASE WHEN p >= 5e-1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_pos
+            FROM scored GROUP BY y ORDER BY actual"""
       }),
 
     QueryDef(
