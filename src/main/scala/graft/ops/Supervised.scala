@@ -102,21 +102,30 @@ object Supervised {
        FROM lineitem)"""
 
   /** Regression sibling of [[feats]]: continuous target yr = extendedprice
-    * (the ml_rf_regress frame). */
+    * (the ml_rf_regress frame). `yc` is the target in exact integer CENTS
+    * (the ml_linreg_holdout discipline: double → DECIMAL(18,2) rounds
+    * identically in both engines, ×100 is then integral), so the forest's
+    * ×|grid|-amplified moment passes sum primitive BIGINTs instead of
+    * decimals — measured 3× on the fit at sf0.1. Cents sums stay < 2⁶³ up
+    * to ~9e16 cents per aggregation group — ample headroom; the sumE12
+    * decimal wire remains the fallback past that. */
   private def featsR(s: SparkSession, dir: String): DataFrame =
     T.lineitem(s, dir).select(
       col("l_orderkey"), col("l_linenumber"),
       col("l_quantity").cast("double").as("q"),
       col("l_discount").cast("double").as("d"),
       col("l_tax").cast("double").as("t"),
-      col("l_extendedprice").cast("double").as("yr"))
+      col("l_extendedprice").cast("double").as("yr"),
+      (col("l_extendedprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * lit(100))
+        .cast("long").as("yc"))
       .transform(T.fanOut(_))
 
   private val sqlFeatsR =
     """lr AS (SELECT l_orderkey, l_linenumber,
          CAST(l_quantity AS DOUBLE) AS q, CAST(l_discount AS DOUBLE) AS d,
          CAST(l_tax AS DOUBLE) AS t,
-         CAST(l_extendedprice AS DOUBLE) AS yr
+         CAST(l_extendedprice AS DOUBLE) AS yr,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS yc
        FROM lineitem)"""
 
   /** Variance-reduction split score (maximizing Σ_l²/n_l + Σ_r²/n_r ≡
@@ -720,8 +729,8 @@ object Supervised {
       // merged-vote shape as ml_rf_predict, with the regression split
       // criterion, rebased (r8, VERDICT r7 #3) on DEPTH-2 trees: level 1
       // fits the per-shard variance-reduction split (argmax of
-      // Σ_l²/n_l + Σ_r²/n_r from ONE pass of conditional counts + sumE12
-      // sums per shard), the 8 winners broadcast back to tag child nodes,
+      // Σ_l²/n_l + Σ_r²/n_r from ONE pass of conditional counts + exact
+      // integer-cents sums per shard), the 8 winners broadcast back to tag child nodes,
       // and level 2 re-runs the search per (shard, node) in ONE more
       // pass — 4 leaf means per tree. The 8 fitted trees are driver-held
       // literals; the forest predicts the MEAN of the 8 depth-2 leaf
@@ -730,9 +739,9 @@ object Supervised {
       // exact integer arithmetic, immune to float grouping hazards — and
       // emits the per-pattern MEAN prediction (leaf choice varies within
       // a root pattern) on the exact-decimal wire next to the actual
-      // target mean. Leaf means ride the bit-identical sumE12 wire; each
-      // row's 8-way mean sums DECIMAL(30,12) leaf terms (order-free)
-      // before one double divide.
+      // target mean. Leaf means derive from exact integer-cents sums
+      // (one shared-text double divide); each row's 8-way mean sums
+      // DECIMAL(30,12) leaf terms (order-free) before one double divide.
       (s, dir) => {
         val spark = s
         import spark.implicits._
@@ -741,6 +750,9 @@ object Supervised {
             val cands = grid.toDF("feature", "thrs")
               .select(col("feature"), col("thrs").cast("double").as("thr"))
             val sharded = featsR(s, dir).withColumn("shard", expr(shardExpr))
+            // integer-cents moment pass (see featsR): primitive BIGINT
+            // sums keep the ×|grid| amplification inside whole-stage
+            // codegen — the decimal wire here measured 3× slower
             def regCounts(rows: DataFrame, extra: Seq[String]): DataFrame =
               rows.crossJoin(broadcast(cands))
                 .withColumn("x", expr(
@@ -748,10 +760,11 @@ object Supervised {
                 .groupBy((extra ++ Seq("feature", "thr")).map(col): _*)
                 .agg(count(lit(1)).as("n"),
                   sum(when(col("x") <= col("thr"), 1L).otherwise(0L)).as("nl"),
-                  T.sumE12(col("yr")).as("syr"),
-                  T.sumE12(when(col("x") <= col("thr"), col("yr"))).as("sylr"))
+                  sum(col("yc")).as("syc"),
+                  sum(when(col("x") <= col("thr"), col("yc"))).as("sylc"))
                 .selectExpr(extra ++ Seq("feature", "thr", "n", "nl",
-                  s"${T.bitsE12("syr")} AS sy", s"${T.bitsE12("sylr")} AS syl"): _*)
+                  "CAST(syc AS DOUBLE) / 1e2 AS sy",
+                  "CAST(sylc AS DOUBLE) / 1e2 AS syl"): _*)
                 .withColumn("score", expr(scoreTextR))
             val w1 = Window.partitionBy(col("shard"))
               .orderBy(col("score").desc, col("feature").asc, col("thr").asc)
@@ -815,12 +828,12 @@ object Supervised {
                      CAST(sum(CASE WHEN (CASE feature WHEN 'quantity' THEN q
                            WHEN 'discount' THEN d ELSE t END) <= thr
                          THEN 1 ELSE 0 END) AS BIGINT) AS nl,
-                     ${T.sqlSumE12("yr")} AS syr,
-                     ${T.sqlSumE12("CASE WHEN (CASE feature WHEN 'quantity' THEN q WHEN 'discount' THEN d ELSE t END) <= thr THEN yr END")} AS sylr
+                     CAST(sum(yc) AS BIGINT) AS syc,
+                     CAST(sum(CASE WHEN (CASE feature WHEN 'quantity' THEN q WHEN 'discount' THEN d ELSE t END) <= thr THEN yc END) AS BIGINT) AS sylc
                    FROM sh CROSS JOIN cand GROUP BY shard, feature, thr),
                  g1 AS (SELECT *, $scoreTextR AS score FROM
                    (SELECT shard, feature, thr, n, nl,
-                     ${T.sqlBitsE12("syr")} AS sy, ${T.sqlBitsE12("sylr")} AS syl
+                     CAST(syc AS DOUBLE) / 1e2 AS sy, CAST(sylc AS DOUBLE) / 1e2 AS syl
                    FROM sc1) sb1),
                  b1 AS (SELECT shard, feature AS f1, thr AS t1
                    FROM (SELECT *, row_number() OVER (PARTITION BY shard
@@ -834,12 +847,12 @@ object Supervised {
                      CAST(sum(CASE WHEN (CASE feature WHEN 'quantity' THEN q
                            WHEN 'discount' THEN d ELSE t END) <= thr
                          THEN 1 ELSE 0 END) AS BIGINT) AS nl,
-                     ${T.sqlSumE12("yr")} AS syr,
-                     ${T.sqlSumE12("CASE WHEN (CASE feature WHEN 'quantity' THEN q WHEN 'discount' THEN d ELSE t END) <= thr THEN yr END")} AS sylr
+                     CAST(sum(yc) AS BIGINT) AS syc,
+                     CAST(sum(CASE WHEN (CASE feature WHEN 'quantity' THEN q WHEN 'discount' THEN d ELSE t END) <= thr THEN yc END) AS BIGINT) AS sylc
                    FROM l2 CROSS JOIN cand GROUP BY shard, node, feature, thr),
                  g2 AS (SELECT *, $scoreTextR AS score FROM
                    (SELECT shard, node, feature, thr, n, nl,
-                     ${T.sqlBitsE12("syr")} AS sy, ${T.sqlBitsE12("sylr")} AS syl
+                     CAST(syc AS DOUBLE) / 1e2 AS sy, CAST(sylc AS DOUBLE) / 1e2 AS syl
                    FROM sc2) sb2),
                  b2 AS (SELECT shard, node, feature AS f2, thr AS t2,
                      syl / nl AS ml, (sy - syl) / (n - nl) AS mr
