@@ -53,7 +53,29 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").collect()
     try spark.read.parquet(s"$sfDir/lineitem.parquet").limit(10).collect()
     catch { case _: Throwable => () }
-    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    // LPT scheduling (r8): with a fixed worker pool, wall time is set by
+    // stragglers — an expensive query submitted LAST runs alone at the
+    // end, extending the wall by its full duration (measured: alphabetical
+    // order left ml_agglo_single straggling 70 s contended). Classic
+    // longest-processing-time-first fixes it: submit queries in descending
+    // historical cost, using the committed bench_seq.json (the threads=1
+    // uncontended truth of a prior run of this same registry) as the cost
+    // model. Unknown queries (new since the last seq run) sort FIRST with
+    // an infinite prior — assuming new work is expensive is the safe side
+    // of LPT. No file → alphabetical, the prior behavior.
+    val histCost: Map[String, Double] =
+      try {
+        val txt = Files.readString(Paths.get("bench_seq.json"))
+        val qs = txt.indexOf("\"queries\":{")
+        if (qs < 0) Map.empty
+        else {
+          val sub = txt.substring(qs + 11, txt.indexOf('}', qs))
+          "\"([A-Za-z0-9_]+)\":([0-9.]+)".r.findAllMatchIn(sub)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        }
+      } catch { case _: Throwable => Map.empty }
+    val names = SparkEntry.queries.toSeq
+      .sortBy { case (n, _) => (-histCost.getOrElse(n, Double.MaxValue), n) }
     val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
     val t0all = System.nanoTime()
     val futures = names.map { case (name, fn) =>
