@@ -457,6 +457,92 @@ object Supervised {
                ORDER BY node""")),
 
     QueryDef(
+      "ml_tree_depth3",
+      // Depth-3 DecisionTree fit — the proof that ml_tree_depth2's
+      // broadcast-tag-and-search recursion iterates: level 3 re-tags every
+      // row with its depth-2 node (root branch ++ level-2 branch, via the
+      // 2-row broadcast of the level-2 winners) and runs the SAME grid
+      // search per node in ONE more pass. Per-level cost stays one
+      // map-side-combined aggregation whose shuffle carries |nodes|×|grid|
+      // rows (4×25 here) regardless of corpus size — the distributed-
+      // histogram recursion cuML RandomForest [R] runs to max_depth.
+      // Output: the full 7-node fitted tree.
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        val cands = grid.toDF("feature", "thrs")
+          .select(col("feature"), col("thrs").cast("double").as("thr"))
+        val w1 = Window.orderBy(col("gini").asc, col("feature").asc, col("thr").asc)
+        val b1 = splitCounts(feats(s, dir), cands, Seq.empty)
+          .withColumn("gini", expr(giniExpr))
+          .withColumn("rn", row_number().over(w1)).where(col("rn") === 1)
+        val l2 = feats(s, dir).crossJoin(broadcast(
+            b1.selectExpr("feature AS f1", "thr AS t1")))
+          .withColumn("node", expr(
+            "CASE WHEN (CASE f1 WHEN 'quantity' THEN q WHEN 'discount' THEN d ELSE t END) <= t1 THEN 'L' ELSE 'R' END"))
+        val w2 = Window.partitionBy(col("node"))
+          .orderBy(col("gini").asc, col("feature").asc, col("thr").asc)
+        val b2 = splitCounts(l2, cands, Seq("node"))
+          .withColumn("gini", expr(giniExpr))
+          .withColumn("rn", row_number().over(w2)).where(col("rn") === 1)
+        val l3 = l2.join(broadcast(
+            b2.selectExpr("node", "feature AS f2", "thr AS t2")), "node")
+          .withColumn("node2", expr(
+            "concat(node, CASE WHEN (CASE f2 WHEN 'quantity' THEN q WHEN 'discount' THEN d ELSE t END) <= t2 THEN 'L' ELSE 'R' END)"))
+        val w3 = Window.partitionBy(col("node2"))
+          .orderBy(col("gini").asc, col("feature").asc, col("thr").asc)
+        val b3 = splitCounts(l3, cands, Seq("node2"))
+          .withColumn("gini", expr(giniExpr))
+          .withColumn("rn", row_number().over(w3)).where(col("rn") === 1)
+        def leafCols(src: DataFrame, nodeExpr: String) =
+          src.selectExpr(s"$nodeExpr AS node", "feature", "thr AS threshold",
+            "round(gini, 6) AS gini", "nl AS n_left", "posl AS pos_left",
+            "n - nl AS n_right", "pos - posl AS pos_right")
+        leafCols(b1, "'root'")
+          .unionAll(leafCols(b2, "node"))
+          .unionAll(leafCols(b3, "node2"))
+          .orderBy("node")
+      },
+      Some(s"""WITH $sqlFeats, $sqlGrid,
+                 sc1 AS (${sqlSplitCounts("l", "")}),
+                 g1 AS (SELECT *, $giniExpr AS gini FROM sc1),
+                 b1 AS (SELECT * FROM (SELECT *, row_number() OVER (
+                       ORDER BY gini ASC, feature ASC, thr ASC) AS rn
+                     FROM g1) t WHERE rn = 1),
+                 l2 AS (SELECT l.*, CASE WHEN (CASE f1 WHEN 'quantity' THEN q
+                       WHEN 'discount' THEN d ELSE t END) <= t1
+                     THEN 'L' ELSE 'R' END AS node
+                   FROM l CROSS JOIN (SELECT feature AS f1, thr AS t1 FROM b1) bb),
+                 sc2 AS (${sqlSplitCounts("l2", "node, ")}),
+                 g2 AS (SELECT *, $giniExpr AS gini FROM sc2),
+                 b2 AS (SELECT * FROM (SELECT *, row_number() OVER (
+                       PARTITION BY node ORDER BY gini ASC, feature ASC,
+                       thr ASC) AS rn FROM g2) t WHERE rn = 1),
+                 l3 AS (SELECT l2.*, node || CASE WHEN (CASE f2
+                       WHEN 'quantity' THEN q WHEN 'discount' THEN d
+                       ELSE t END) <= t2 THEN 'L' ELSE 'R' END AS node2
+                   FROM l2 JOIN (SELECT node, feature AS f2, thr AS t2
+                     FROM b2) b2s USING (node)),
+                 sc3 AS (${sqlSplitCounts("l3", "node2, ")}),
+                 g3 AS (SELECT *, $giniExpr AS gini FROM sc3),
+                 b3 AS (SELECT * FROM (SELECT *, row_number() OVER (
+                       PARTITION BY node2 ORDER BY gini ASC, feature ASC,
+                       thr ASC) AS rn FROM g3) t WHERE rn = 1)
+               SELECT * FROM (
+                 SELECT 'root' AS node, feature, thr AS threshold,
+                   round(gini, 6) AS gini, nl AS n_left, posl AS pos_left,
+                   n - nl AS n_right, pos - posl AS pos_right FROM b1
+                 UNION ALL
+                 SELECT node, feature, thr AS threshold, round(gini, 6) AS gini,
+                   nl AS n_left, posl AS pos_left,
+                   n - nl AS n_right, pos - posl AS pos_right FROM b2
+                 UNION ALL
+                 SELECT node2, feature, thr AS threshold, round(gini, 6) AS gini,
+                   nl AS n_left, posl AS pos_left,
+                   n - nl AS n_right, pos - posl AS pos_right FROM b3) u
+               ORDER BY node""")),
+
+    QueryDef(
       "ml_rf_predict",
       // cuml.dask.ensemble RandomForestClassifier [R], the MNMG shape:
       // the reference trains independent sub-forests on each partition's

@@ -6,9 +6,9 @@ package graft
   */
 class RegistrySpec extends SparkSpec {
 
-  test("all eighteen catalogs are registered (66 SURVEY keys + 233 extensions)") {
-    assert(SparkEntry.queries.size == 299,
-      s"expected 299 registered queries, got ${SparkEntry.queries.size}")
+  test("all eighteen catalogs are registered (66 SURVEY keys + 234 extensions)") {
+    assert(SparkEntry.queries.size == 300,
+      s"expected 300 registered queries, got ${SparkEntry.queries.size}")
   }
 
   test("no oracle uses a constant generate_series bound (VERDICT r4 #2)") {
