@@ -65,6 +65,23 @@ class BoostSpec extends SparkSpec {
     rows.foreach(r => assert(math.abs(r.getDouble(2)) <= 1.0))
   }
 
+  test("ml_tree_depth3: child node populations partition their parent") {
+    val rows = q("ml_tree_depth3").collect()
+      .map(r => r.getString(0) -> (r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+      .toMap
+    assert(rows.keySet == Set("root", "L", "R", "LL", "LR", "RL", "RR"))
+    // node X splits (nl, posl | nr, posr); its children's totals must be
+    // exactly those counts — the recursion tags rows, it never loses any
+    def tot(n: String) = { val (nl, pl, nr, pr) = rows(n); (nl + nr, pl + pr) }
+    for ((parent, side, child) <- Seq(
+        ("root", 0, "L"), ("root", 1, "R"),
+        ("L", 0, "LL"), ("L", 1, "LR"), ("R", 0, "RL"), ("R", 1, "RR"))) {
+      val (nl, pl, nr, pr) = rows(parent)
+      val exp = if (side == 0) (nl, pl) else (nr, pr)
+      assert(tot(child) == exp, s"$child totals ${tot(child)} != $parent side-$side $exp")
+    }
+  }
+
   test("ml_umap_transform: embeddings stay in the training layout's hull") {
     val rows = q("ml_umap_transform").collect()
     assert(rows.length == 15)
