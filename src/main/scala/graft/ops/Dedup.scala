@@ -653,6 +653,65 @@ object Dedup {
                          FROM sen GROUP BY pid)
                SELECT n_docs, count(*) AS n_passages
                FROM grp WHERE n_docs > 1
-               GROUP BY n_docs ORDER BY n_docs"""))
+               GROUP BY n_docs ORDER BY n_docs""")),
+
+    QueryDef(
+      "dedup_span_ngrams",
+      // Duplicated-SPAN profile (the Lee et al. "Deduplicating Training
+      // Data" diagnostic that motivates substring-level dedup, next to the
+      // whole-doc dedup family): OVERLAPPING 8-token spans per document
+      // (step 1, vs dedup_paragraph's non-overlapping chunks), hashed to
+      // 8-byte rolling ids, deduplicated within each doc, then an
+      // inverted-index count of how many documents carry each span.
+      // Output: per source, the fraction of its distinct spans that also
+      // occur in ANOTHER document — the duplication-rate readout a
+      // curation run uses to decide whether substring dedup is worth a
+      // pass. Scale: span building is a pure map; the df aggregation and
+      // the (gid)-keyed join are inverted-index shaped (cost Σ df, the
+      // join fans out one small (gid, ndocs) row per posting — never
+      // pairs, never n²). The shuffle key is the 8-byte hash, not the
+      // span text (the dedup_paragraph discipline); collisions are the
+      // generic ~1/P kind, mirrored exactly by the oracle.
+      (s, dir) => {
+        val spans = T.documents(s, dir)
+          .transform(T.fanOut(_, col("doc_id")))
+          .select(col("doc_id"), col("source"),
+            expr("filter(split(text, ' '), t -> t <> '')").as("ts"))
+          .where(size(col("ts")) >= 8)
+          .selectExpr("doc_id", "source",
+            "explode(array_distinct(transform(sequence(1, size(ts) - 7), i -> aggregate(slice(ts, i, 8), 0L, (acc, w) -> (acc * 31 + aggregate(sequence(1, length(w)), 0L, (a2, j) -> (a2 * 31 + ascii(substring(w, j, 1))) % 2147483647) + 7) % 2147483647)))) AS gid")
+        val df = spans.groupBy("gid").agg(count(lit(1)).as("ndocs"))
+        spans.join(df, "gid")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_spans"),
+            sum(when(col("ndocs") > 1, 1L).otherwise(0L)).as("n_dup"))
+          .selectExpr("source", "n_spans", "n_dup",
+            "round(CAST(n_dup AS DOUBLE) / n_spans, 6) AS dup_frac")
+          .orderBy("source")
+      },
+      // span id = base-31 fold of the 8 token ids (each the polyTid
+      // rolling hash, +7 word separator), all mod P per step — the same
+      // stateless-arithmetic contract as every hash family in the repo
+      Some("""WITH tk AS (SELECT doc_id, source,
+                   list_filter(string_split(text, ' '), t -> t <> '') AS ts
+                 FROM documents),
+                 sp0 AS (SELECT doc_id, source,
+                     list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(ts[i:i + 7], w ->
+                         list_reduce(list_prepend(CAST(0 AS BIGINT),
+                           list_transform(generate_series(1, length(w)),
+                             j -> CAST(unicode(substr(w, CAST(j AS INT), 1)) AS BIGINT))),
+                           (a2, x) -> (a2 * 31 + x) % 2147483647))),
+                       (acc, t) -> (acc * 31 + t + 7) % 2147483647) AS gid
+                   FROM (SELECT doc_id, source, ts,
+                           unnest(generate_series(1, len(ts) - 7)) AS i
+                         FROM tk WHERE len(ts) >= 8) x),
+                 sp AS (SELECT DISTINCT doc_id, source, gid FROM sp0),
+                 df AS (SELECT gid, count(*) AS ndocs FROM sp GROUP BY gid)
+               SELECT source, count(*) AS n_spans,
+                 CAST(sum(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+                 round(CAST(sum(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS dup_frac
+               FROM sp JOIN df USING (gid)
+               GROUP BY source ORDER BY source"""))
   )
 }

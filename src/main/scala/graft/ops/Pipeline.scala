@@ -1259,6 +1259,61 @@ object Pipeline {
                SELECT CAST(nd AS BIGINT) AS n_terms,
                  round(slope, 6) AS zipf_slope,
                  round(icept, 6) AS intercept, round(r2, 6) AS r2
-               FROM s2"""))
+               FROM s2""")),
+
+    QueryDef(
+      "text_pack_sequences",
+      // GPT-style SEQUENCE PACKING audit — the step between curation and
+      // the trainer: documents concatenate per source in doc_id order and
+      // split into fixed 512-token context windows (documents straddle
+      // boundaries — the standard pretraining packing, zero padding
+      // inside the stream). Emits the packing efficiency a pipeline logs:
+      // windows needed, fill ratio of the allocated window space, and the
+      // max documents starting in one window (the attention-mask
+      // fragmentation signal). Dataflow: ONE token-count map + ONE
+      // prefix-sum window per source (ordered by doc_id — at scale the
+      // per-source streams are the partitions and this is a per-partition
+      // running total) + two bounded aggregations. All integer
+      // arithmetic: token counts exact, window index = cumsum div 512 —
+      // no float anywhere before the final ratio.
+      (s, dir) => {
+        val d = T.documents(s, dir).transform(T.fanOut(_, col("doc_id")))
+          .select(col("doc_id"), col("source"),
+            expr("CAST(size(filter(split(text, ' '), t -> t <> '')) AS BIGINT)").as("tok"))
+        val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val packed = d
+          .withColumn("cumb", coalesce(sum(col("tok")).over(w), lit(0L)))
+          .withColumn("win", expr("cumb div 512"))
+        val perWin = packed.groupBy("source", "win")
+          .agg(count(lit(1)).as("dw"))
+          .groupBy("source").agg(max(col("dw")).as("max_docs_per_window"))
+        packed.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("total_tokens"))
+          .join(perWin, "source")
+          .selectExpr("source", "n_docs", "total_tokens",
+            "(total_tokens + 511) div 512 AS n_windows",
+            "round(CAST(total_tokens AS DOUBLE) / (((total_tokens + 511) div 512) * 512e0), 6) AS fill_ratio",
+            "max_docs_per_window")
+          .orderBy("source")
+      },
+      Some("""WITH d AS (SELECT doc_id, source,
+                   CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS tok
+                 FROM documents),
+                 p AS (SELECT *, coalesce(sum(tok) OVER (PARTITION BY source
+                     ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING), 0) AS cumb FROM d),
+                 pw AS (SELECT source, cumb // 512 AS win, count(*) AS dw
+                        FROM p GROUP BY source, cumb // 512),
+                 mx AS (SELECT source, max(dw) AS max_docs_per_window
+                        FROM pw GROUP BY source),
+                 ag AS (SELECT source, count(*) AS n_docs,
+                     CAST(sum(tok) AS BIGINT) AS total_tokens
+                   FROM p GROUP BY source)
+               SELECT ag.source, n_docs, total_tokens,
+                 CAST((total_tokens + 511) // 512 AS BIGINT) AS n_windows,
+                 round(CAST(total_tokens AS DOUBLE) / (((total_tokens + 511) // 512) * 512e0), 6) AS fill_ratio,
+                 max_docs_per_window
+               FROM ag JOIN mx USING (source) ORDER BY ag.source"""))
   )
 }
