@@ -1314,6 +1314,85 @@ object Pipeline {
                  CAST((total_tokens + 511) // 512 AS BIGINT) AS n_windows,
                  round(CAST(total_tokens AS DOUBLE) / (((total_tokens + 511) // 512) * 512e0), 6) AS fill_ratio,
                  max_docs_per_window
-               FROM ag JOIN mx USING (source) ORDER BY ag.source"""))
+               FROM ag JOIN mx USING (source) ORDER BY ag.source""")),
+
+    QueryDef(
+      "text_domain_mix",
+      // Data-MIXTURE reweighting (the DoReMi/multilingual-sampling step a
+      // pretraining pipeline runs over its domain shares): per source the
+      // exact token share p_i, and the temperature-rebalanced sampling
+      // weight w_i = p_i^α / Σ_j p_j^α at α = 1/2 — upweights small
+      // domains, the standard smoothing between proportional (α=1) and
+      // uniform (α=0). Dataflow: one token-count aggregation to 20 source
+      // rows, then bounded global windows over those rows (the
+      // post-aggregation bounded-window pattern — never a data-sized
+      // single partition). Determinism: counts exact; p is one shared
+      // double divide; sqrt is correctly-rounded IEEE; the α-mass sum
+      // runs as DECIMAL(30,12) so its order can't matter.
+      (s, dir) => {
+        val w = Window.partitionBy()
+        T.documents(s, dir).transform(T.fanOut(_, col("doc_id")))
+          .select(col("source"),
+            expr("CAST(size(filter(split(text, ' '), t -> t <> '')) AS BIGINT)").as("tok"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("n_tokens"))
+          .withColumn("tt", sum(col("n_tokens")).over(w))
+          .withColumn("p", expr("CAST(n_tokens AS DOUBLE) / tt"))
+          .withColumn("sq", expr("sqrt(p)"))
+          .withColumn("ws", sum(expr("CAST(sq AS DECIMAL(30,12))")).over(w))
+          .selectExpr("source", "n_docs", "n_tokens",
+            "round(p, 6) AS token_share",
+            "round(sq / CAST(ws AS DOUBLE), 6) AS mix_weight")
+          .orderBy("source")
+      },
+      Some("""WITH d AS (SELECT source,
+                   CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS tok
+                 FROM documents),
+                 ag AS (SELECT source, count(*) AS n_docs,
+                     CAST(sum(tok) AS BIGINT) AS n_tokens
+                   FROM d GROUP BY source),
+                 sh AS (SELECT *, CAST(n_tokens AS DOUBLE)
+                     / sum(n_tokens) OVER () AS p FROM ag),
+                 sq AS (SELECT *, sqrt(p) AS sq FROM sh),
+                 ws AS (SELECT *, sum(CAST(sq AS DECIMAL(30,12))) OVER () AS ws FROM sq)
+               SELECT source, n_docs, n_tokens,
+                 round(p, 6) AS token_share,
+                 round(sq / CAST(ws AS DOUBLE), 6) AS mix_weight
+               FROM ws ORDER BY source""")),
+
+    QueryDef(
+      "text_bpe_merge",
+      // One BPE TRAINING round — the pair-count step under every modern
+      // tokenizer (count adjacent symbol pairs over the corpus, merge the
+      // most frequent): adjacent CHARACTER pairs within each word
+      // occurrence (word frequency weighting comes free from counting
+      // occurrences, exactly as BPE does), global counts, the top-10
+      // merge candidates with the deterministic (count desc, pair asc)
+      // rank — round 1 of the merge table. Later rounds re-run the same
+      // plan over re-segmented symbols. Dataflow: pure map explosion
+      // (token → length-1 pairs) + ONE map-side-combined count + a
+      // 10-row bounded top-k. Exact integer counting end-to-end.
+      (s, dir) => {
+        val w = Window.orderBy(col("n").desc, col("pair").asc)
+        T.documents(s, dir).transform(T.fanOut(_, col("doc_id")))
+          .select(explode(expr("filter(split(text, ' '), t -> t <> '')")).as("wd"))
+          .where(length(col("wd")) >= 2)
+          .select(explode(expr(
+            "transform(sequence(1, length(wd) - 1), i -> substring(wd, i, 2))")).as("pair"))
+          .groupBy("pair").agg(count(lit(1)).as("n"))
+          .withColumn("rank", row_number().over(w)).where(col("rank") <= 10)
+          .select(col("rank"), col("pair"), col("n"))
+          .orderBy("rank")
+      },
+      Some("""WITH wd AS (SELECT unnest(list_filter(string_split(text, ' '),
+                     t -> t <> '')) AS wd
+                 FROM documents),
+                 pr AS (SELECT substr(wd, CAST(i AS INT), 2) AS pair
+                   FROM (SELECT wd, unnest(generate_series(1, length(wd) - 1)) AS i
+                         FROM wd WHERE length(wd) >= 2) x),
+                 cnt AS (SELECT pair, count(*) AS n FROM pr GROUP BY pair),
+                 rk AS (SELECT *, row_number() OVER (ORDER BY n DESC, pair ASC) AS rank
+                        FROM cnt)
+               SELECT rank, pair, n FROM rk WHERE rank <= 10 ORDER BY rank"""))
   )
 }
