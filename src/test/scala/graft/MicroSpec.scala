@@ -1934,4 +1934,46 @@ class MicroSpec extends SparkSpec {
     val r2 = r.getAs[Double]("r2")
     assert(r2 >= 0 && r2 <= 1)
   }
+
+  test("text_pack_sequences: window accounting is exact (r8)") {
+    q("text_pack_sequences").collect().foreach { r =>
+      val (tot, wins) = (r.getAs[Long]("total_tokens"), r.getAs[Long]("n_windows"))
+      assert(wins == (tot + 511) / 512, "n_windows must be ceil(total/512)")
+      val fill = r.getAs[Double]("fill_ratio")
+      // fill = total / (windows*512) ∈ (0, 1]; the last window is the
+      // only one that can be short
+      assert(fill > 0 && fill <= 1.0)
+      assert(r.getAs[Long]("max_docs_per_window") >= 1)
+    }
+  }
+
+  test("text_domain_mix: shares and temperature weights are distributions (r8)") {
+    val rows = q("text_domain_mix").collect()
+    val shares = rows.map(_.getAs[Double]("token_share"))
+    val weights = rows.map(_.getAs[Double]("mix_weight"))
+    assert(math.abs(shares.sum - 1.0) < 1e-3, s"shares sum ${shares.sum}")
+    assert(math.abs(weights.sum - 1.0) < 1e-3, s"weights sum ${weights.sum}")
+    // α = 1/2 compresses toward uniform: the largest domain's weight must
+    // not exceed its raw share, the smallest must not fall below it
+    val mx = rows.maxBy(_.getAs[Double]("token_share"))
+    val mn = rows.minBy(_.getAs[Double]("token_share"))
+    assert(mx.getAs[Double]("mix_weight") <= mx.getAs[Double]("token_share") + 1e-6)
+    assert(mn.getAs[Double]("mix_weight") >= mn.getAs[Double]("token_share") - 1e-6)
+  }
+
+  test("dedup_span_ngrams: duplication fraction is a fraction (r8)") {
+    q("dedup_span_ngrams").collect().foreach { r =>
+      val (n, dup) = (r.getAs[Long]("n_spans"), r.getAs[Long]("n_dup"))
+      assert(n > 0 && dup >= 0 && dup <= n)
+      assert(math.abs(r.getAs[Double]("dup_frac") - dup.toDouble / n) < 1e-5)
+    }
+  }
+
+  test("text_bpe_merge: merge candidates rank by descending count (r8)") {
+    val rows = q("text_bpe_merge").collect()
+    assert(rows.length == 10)
+    assert(rows.forall(_.getAs[String]("pair").length == 2))
+    val ns = rows.map(_.getAs[Long]("n"))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b }, "descending counts")
+  }
 }
