@@ -935,35 +935,73 @@ object Metrics {
       // median_absolute_error (the sklearn-parity robust metric completing
       // the regression family next to ml_mse_mae / ml_msle) of the
       // multi-feature OLS fit, plus the p90 absolute error and max_error.
-      // The quantiles are EXACT interpolated percentiles — Spark
-      // `percentile` ↔ DuckDB `quantile_cont`, both the (n−1)·p linear
-      // interpolation; their interpolation arithmetic can differ in the
-      // last ulp, absorbed by round(…, 6) on O(100)-magnitude residuals.
-      // max_error is order-free and exact. SCALE NOTE: exact percentile
-      // merges per-partition value→count maps at the driver — correct but
-      // memory-bound in the distinct-value count; the 100 TB path is
-      // approx_percentile (t-digest, bounded sketch, same plan shape).
-      // The exact form is the oracle-checkable reference.
+      // The quantiles are EXACT interpolated (n−1)·p percentiles by the
+      // TWO-PHASE BUCKET-HISTOGRAM RANK (agg_describe / ml_robust_scaler
+      // machinery — VERDICT r8 #4 replaced Spark's `percentile`
+      // aggregate, whose per-partition value→count maps merge at the
+      // DRIVER and are memory-bound in distinct values): phase 1 is one
+      // map-combinable pass to a bounded bucket histogram (bucket =
+      // floor(ar/64) — monotone in ar, exact binary division; the bucket
+      // COUNT is bounded by the residual RANGE, a property of the model
+      // fit, not the corpus size), phase 2 ranks only inside the ≤4
+      // target buckets. max_error is order-free and exact. Oracle = the
+      // plain rank-window decomposition proof with shared interpolation
+      // text (the agg_describe discipline).
       (s, dir) => {
+        val spark = s
+        import spark.implicits._
         val coefs = ML.gaussSolved(s, dir).selectExpr("x0", "x1", "x2", "x3")
-        val l = T.lineitem(s, dir).select(
-          col("l_quantity").cast("double").as("q"),
-          col("l_discount").cast("double").as("d"),
-          col("l_tax").cast("double").as("t"),
-          col("l_extendedprice").cast("double").as("y"))
+        // re-literalized per use (gaussSolved is fitCache-memoized)
+        def r = T.lineitem(s, dir).select(
+            col("l_quantity").cast("double").as("q"),
+            col("l_discount").cast("double").as("d"),
+            col("l_tax").cast("double").as("t"),
+            col("l_extendedprice").cast("double").as("y"))
           .transform(T.fanOut(_))
-        l.crossJoin(broadcast(coefs))
+          .crossJoin(broadcast(coefs))
           .select(expr("abs(y - (x0 + x1 * q + x2 * d + x3 * t))").as("ar"))
-          .agg(count(lit(1)).as("n"),
-            expr("percentile(ar, 5e-1)").as("med"),
-            expr("percentile(ar, 9e-1)").as("p90"),
-            max(col("ar")).as("mx"))
+          .selectExpr("ar", "CAST(floor(ar / 64) AS BIGINT) AS bkt")
+        val bk = T.freeze(r.groupBy("bkt")
+          .agg(count(lit(1)).as("c"), max(col("ar")).as("mx")))
+        val tot = bk.agg(sum(col("c")).as("n"), max(col("mx")).as("mx"))
+        // bounded window: the bucket table, not the raw support
+        val wOff = Window.orderBy("bkt")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val off = bk.select(col("bkt"), col("c"),
+            coalesce(sum(col("c")).over(wOff), lit(0L)).as("off"))
+          .crossJoin(broadcast(tot.select("n")))
+        val targets = off.crossJoin(broadcast(Seq(0.5, 0.9).toDF("qq")))
+          .withColumn("klo", floor((col("n") - 1) * col("qq")).cast("long"))
+          .selectExpr("bkt", "c", "off", "qq",
+            "stack(2, 'lo', klo + 1, 'hi', least(klo + 2, n)) AS (br, rk)")
+          .where(col("off") < col("rk") && col("rk") <= col("off") + col("c"))
+          .select("bkt", "off", "qq", "br", "rk")
+        // phase 2: rank only the target buckets' rows (ties in ar are
+        // interchangeable — the value at rank rk is unique)
+        val wIn = Window.partitionBy("qq", "br").orderBy("ar")
+        val qv = r.join(broadcast(targets), Seq("bkt"))
+          .withColumn("rn", col("off") + row_number().over(wIn))
+          .where(col("rn") === col("rk"))
+          .agg(
+            max(when(col("qq") === 0.5 && col("br") === "lo", col("ar"))).as("lo_q50"),
+            max(when(col("qq") === 0.5 && col("br") === "hi", col("ar"))).as("hi_q50"),
+            max(when(col("qq") === 0.9 && col("br") === "lo", col("ar"))).as("lo_q90"),
+            max(when(col("qq") === 0.9 && col("br") === "hi", col("ar"))).as("hi_q90"))
+        def interp(q: String, t: String): String =
+          s"round(lo_$t + ((n - 1) * $q - floor((n - 1) * $q)) * (hi_$t - lo_$t), 6)"
+        tot.crossJoin(qv)
           .selectExpr("n",
-            "round(med, 6) AS median_abs_error",
-            "round(p90, 6) AS p90_abs_error",
+            s"${interp("5e-1", "q50")} AS median_abs_error",
+            s"${interp("9e-1", "q90")} AS p90_abs_error",
             "round(mx, 6) AS max_error")
       },
-      Some(s"""WITH ${ML.sqlGaussChain},
+      Some {
+        def bracket(q: String, t: String): String =
+          s"""max(CASE WHEN rn = CAST(floor((n - 1) * $q) AS BIGINT) + 1 THEN ar END) AS lo_$t,
+                     max(CASE WHEN rn = least(CAST(floor((n - 1) * $q) AS BIGINT) + 2, n) THEN ar END) AS hi_$t"""
+        def interp(q: String, t: String): String =
+          s"round(lo_$t + ((n - 1) * $q - floor((n - 1) * $q)) * (hi_$t - lo_$t), 6)"
+        s"""WITH ${ML.sqlGaussChain},
                  l AS (SELECT CAST(l_quantity AS DOUBLE) AS q,
                          CAST(l_discount AS DOUBLE) AS d,
                          CAST(l_tax AS DOUBLE) AS t,
@@ -971,16 +1009,19 @@ object Metrics {
                        FROM lineitem),
                  r AS (SELECT abs(y - (x0 + x1 * q + x2 * d + x3 * t)) AS ar
                        FROM l, ${ML.sqlGaussFinal}),
-                 sc AS (SELECT count(*) AS n,
-                     quantile_cont(ar, 5e-1) AS med,
-                     quantile_cont(ar, 9e-1) AS p90,
-                     max(ar) AS mx
-                   FROM r)
-               SELECT CAST(n AS BIGINT) AS n,
-                 round(med, 6) AS median_abs_error,
-                 round(p90, 6) AS p90_abs_error,
+                 rk AS (SELECT ar, row_number() OVER (ORDER BY ar) AS rn,
+                          count(*) OVER () AS n
+                        FROM r),
+                 qb AS (SELECT ${bracket("5e-1", "q50")},
+                     ${bracket("9e-1", "q90")}
+                   FROM rk),
+                 mt AS (SELECT count(*) AS n, max(ar) AS mx FROM r)
+               SELECT CAST(mt.n AS BIGINT) AS n,
+                 ${interp("5e-1", "q50")} AS median_abs_error,
+                 ${interp("9e-1", "q90")} AS p90_abs_error,
                  round(mx, 6) AS max_error
-               FROM sc""")),
+               FROM mt CROSS JOIN qb"""
+      }),
 
     QueryDef(
       "ml_permutation_importance",

@@ -226,7 +226,7 @@ object Supervised {
       (s, dir) => {
         val tk = toks(s, dir)
         val dt = tk.groupBy("doc_id", "lang", "term").agg(count(lit(1)).as("m"))
-        val cnt0 = tk.groupBy(col("lang").as("c_lang"), col("term"))
+        val cnt0 = tk.groupBy(col("lang").as("c_lang"), col("term").as("c_term"))
           .agg(count(lit(1)).as("cnt"))
         val classes = tk.groupBy(col("lang").as("c_lang")).agg(count(lit(1)).as("tot"))
           .crossJoin(tk.agg(countDistinct(col("term")).as("v")))
@@ -239,7 +239,7 @@ object Supervised {
               .as("lpri"))
         val scored = dt.crossJoin(broadcast(classes))
           .join(cnt0,
-            dt("term") === cnt0("term") && classes("c_lang") === cnt0("c_lang"),
+            dt("term") === cnt0("c_term") && classes("c_lang") === cnt0("c_lang"),
             "left")
           .select(dt("doc_id"), dt("lang"), classes("c_lang"),
             (col("m").cast("double") *
@@ -304,7 +304,7 @@ object Supervised {
       (s, dir) => {
         val tk = toks(s, dir)
         val dt = tk.groupBy("doc_id", "lang", "term").agg(count(lit(1)).as("m"))
-        val cnt0 = tk.groupBy(col("lang").as("c_lang"), col("term"))
+        val cnt0 = tk.groupBy(col("lang").as("c_lang"), col("term").as("c_term"))
           .agg(count(lit(1)).as("cnt"))
         val ttot = tk.groupBy("term").agg(count(lit(1)).as("tt"))
         val classes = tk.groupBy(col("lang").as("c_lang")).agg(count(lit(1)).as("tot"))
@@ -313,7 +313,7 @@ object Supervised {
         val scored = dt.join(ttot, "term")
           .crossJoin(broadcast(classes))
           .join(cnt0,
-            dt("term") === cnt0("term") && classes("c_lang") === cnt0("c_lang"),
+            dt("term") === cnt0("c_term") && classes("c_lang") === cnt0("c_lang"),
             "left")
           .select(dt("doc_id"), dt("lang"), classes("c_lang"),
             (col("m").cast("double") *
@@ -732,7 +732,7 @@ object Supervised {
       // discipline). Output: actual×predicted confusion matrix.
       (s, dir) => {
         val dt = toks(s, dir).select("doc_id", "lang", "term").distinct()
-        val df0 = dt.groupBy(col("lang").as("c_lang"), col("term"))
+        val df0 = dt.groupBy(col("lang").as("c_lang"), col("term").as("c_term"))
           .agg(count(lit(1)).as("df"))
         val ncls = T.documents(s, dir).groupBy(col("lang").as("c_lang"))
           .agg(count(lit(1)).as("nc"))
@@ -753,7 +753,7 @@ object Supervised {
             expr(s"CAST(${rc("CAST(n_docs AS DOUBLE) / n_all", real = false)} AS DECIMAL(30,12))").as("lpri"))
         val corr = dt.crossJoin(broadcast(ncls))
           .join(df0,
-            dt("term") === df0("term") && ncls("c_lang") === df0("c_lang"),
+            dt("term") === df0("c_term") && ncls("c_lang") === df0("c_lang"),
             "left")
           .select(dt("doc_id"), dt("lang"), ncls("c_lang"),
             expr(s"""${rc("(coalesce(df, 0) + 1e0) / (nc + 2e0)", real = false)}
