@@ -815,6 +815,28 @@ class MicroSpec extends SparkSpec {
     if (rows.last.getBoolean(2)) assert(rows.last.getDouble(1) <= 1e-4 + 1e-12)
   }
 
+  test("ml_umap_converge: cross-entropy descends monotonically over 5 steps (r9)") {
+    val rows = q("ml_umap_converge").orderBy(col("iter")).collect()
+    assert(rows.length == 5)
+    val ce = rows.map(_.getDouble(3))
+    ce.sliding(2).foreach { case Array(a, b) =>
+      assert(b < a, s"ce_total not monotone: ${ce.toSeq}")
+    }
+    // descent slows: the mean step shrinks after the big first move
+    val steps = rows.map(_.getDouble(4))
+    assert(steps.forall(_ > 0) && steps.last < steps.head)
+  }
+
+  test("ml_tsne_converge: KL descends monotonically over 5 steps (r9)") {
+    val rows = q("ml_tsne_converge").orderBy(col("iter")).collect()
+    assert(rows.length == 5)
+    val kl = rows.map(_.getDouble(1))
+    kl.sliding(2).foreach { case Array(a, b) =>
+      assert(b < a, s"kl not monotone: ${kl.toSeq}")
+    }
+    assert(kl.forall(_ > 0), "KL divergence is nonnegative")
+  }
+
   test("ml_tree_depth2: child nodes partition the root's branches (r8)") {
     val rows = q("ml_tree_depth2").collect()
       .map(r => r.getString(0) -> r).toMap
