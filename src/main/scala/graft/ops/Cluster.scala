@@ -197,6 +197,65 @@ object Cluster {
                      coalesce(max(wba), 0e0) AS uba
                    FROM und GROUP BY a, b)"""
 
+  /** The HDBSCAN density layer shared by ml_hdbscan_reach / ml_hdbscan_mst
+    * / ml_hdbscan_dendrogram: within-horizon pair distances via the
+    * eps-cell grid join (cell = shuffle key, 3×3 probe, exact predicate
+    * decides), core distance = 4th in-horizon neighbor, mutual
+    * reachability w = max(d, core_a, core_b). Pairs with either endpoint
+    * lacking 4 in-horizon neighbors drop out (core > horizon ≥ any cut —
+    * HDBSCAN noise at this λ). Returns (a, b, w) with a < b, frozen. */
+  private def mrGraph(s: SparkSession, dir: String, horizon: Double = 0.01): DataFrame = {
+    val p = plane(s, dir).transform(T.fanOut(_, col("id")))
+    val home = p.select(col("id").as("n_id"), col("x"), col("y"),
+      floor(col("x") / horizon).as("cx"), floor(col("y") / horizon).as("cy"))
+    val probe = p.select(col("id").as("q_id"),
+        col("x").as("qx"), col("y").as("qy"),
+        floor(col("x") / horizon).as("qcx"), floor(col("y") / horizon).as("qcy"))
+      .select(col("q_id"), col("qx"), col("qy"),
+        explode(expr("flatten(transform(sequence(-1, 1), dx -> " +
+          "transform(sequence(-1, 1), dy -> " +
+          "struct(qcx + dx AS cx, qcy + dy AS cy))))")).as("c"))
+      .select(col("q_id"), col("qx"), col("qy"),
+        col("c.cx").as("cx"), col("c.cy").as("cy"))
+    val dpairs = probe.join(home, Seq("cx", "cy"))
+      .where(col("q_id") < col("n_id"))
+      .where((col("qx") - col("x")) * (col("qx") - col("x")) +
+             (col("qy") - col("y")) * (col("qy") - col("y")) <= lit(horizon * horizon))
+      .select(col("q_id").as("a"), col("n_id").as("b"),
+        sqrt((col("qx") - col("x")) * (col("qx") - col("x")) +
+             (col("qy") - col("y")) * (col("qy") - col("y"))).as("d"))
+    val ep = T.freeze(dpairs)
+    val dn = ep.select(col("a").as("u"), col("b").as("v"), col("d"))
+      .union(ep.select(col("b").as("u"), col("a").as("v"), col("d")))
+    val rw = Window.partitionBy(col("u")).orderBy(col("d"), col("v"))
+    val core = dn.withColumn("rn", row_number().over(rw))
+      .where(col("rn") === 4)
+      .select(col("u").as("cid"), col("d").as("cd"))
+    T.freeze(ep
+      .join(core.select(col("cid").as("a"), col("cd").as("ca")), "a")
+      .join(core.select(col("cid").as("b"), col("cd").as("cb")), "b")
+      .select(col("a"), col("b"),
+        greatest(col("d"), col("ca"), col("cb")).as("w")))
+  }
+
+  /** DuckDB twin of [[mrGraph]] — CTE chain ending in `mr(a, b, w)`. */
+  private val sqlMrCtes: String =
+    s"""pts AS (SELECT vec_id AS id, CAST(embedding[1] AS DOUBLE) AS x,
+                  CAST(embedding[2] AS DOUBLE) AS y FROM embeddings),
+                 ep AS (SELECT p.id AS a, q.id AS b,
+                     sqrt((p.x - q.x) * (p.x - q.x) + (p.y - q.y) * (p.y - q.y)) AS d
+                   FROM pts p JOIN pts q ON p.id < q.id
+                    AND (p.x - q.x) * (p.x - q.x) + (p.y - q.y) * (p.y - q.y)
+                        <= ${0.01 * 0.01}),
+                 dn AS (SELECT a AS u, b AS v, d FROM ep
+                        UNION ALL SELECT b, a, d FROM ep),
+                 rk AS (SELECT u, v, d, row_number() OVER (PARTITION BY u
+                     ORDER BY d, v) AS rn FROM dn),
+                 core AS (SELECT u AS cid, d AS cd FROM rk WHERE rn = 4),
+                 mr AS MATERIALIZED (SELECT ep.a, ep.b, greatest(ep.d, ca.cd, cb.cd) AS w
+                   FROM ep JOIN core ca ON ca.cid = ep.a
+                           JOIN core cb ON cb.cid = ep.b)"""
+
   /** Undirected eps-neighbor pairs (a < b), via the eps-cell grid join.
     * Each point lands in cell (⌊x/eps⌋, ⌊y/eps⌋) once as HOME and probes
     * the 3×3 neighborhood as PROBE; a pair (a<b) meets exactly once — at
@@ -923,38 +982,8 @@ object Cluster {
       // all comparisons on doubles both engines derived from the same
       // text.
       (s, dir) => {
-        val horizon = 0.01
         val cut = 0.01
-        val p = plane(s, dir).transform(T.fanOut(_, col("id")))
-        val home = p.select(col("id").as("n_id"), col("x"), col("y"),
-          floor(col("x") / horizon).as("cx"), floor(col("y") / horizon).as("cy"))
-        val probe = p.select(col("id").as("q_id"),
-            col("x").as("qx"), col("y").as("qy"),
-            floor(col("x") / horizon).as("qcx"), floor(col("y") / horizon).as("qcy"))
-          .select(col("q_id"), col("qx"), col("qy"),
-            explode(expr("flatten(transform(sequence(-1, 1), dx -> " +
-              "transform(sequence(-1, 1), dy -> " +
-              "struct(qcx + dx AS cx, qcy + dy AS cy))))")).as("c"))
-          .select(col("q_id"), col("qx"), col("qy"),
-            col("c.cx").as("cx"), col("c.cy").as("cy"))
-        val dpairs = probe.join(home, Seq("cx", "cy"))
-          .where(col("q_id") < col("n_id"))
-          .where((col("qx") - col("x")) * (col("qx") - col("x")) +
-                 (col("qy") - col("y")) * (col("qy") - col("y")) <= lit(horizon * horizon))
-          .select(col("q_id").as("a"), col("n_id").as("b"),
-            sqrt((col("qx") - col("x")) * (col("qx") - col("x")) +
-                 (col("qy") - col("y")) * (col("qy") - col("y"))).as("d"))
-        val ep = T.freeze(dpairs)
-        val dn = ep.select(col("a").as("u"), col("b").as("v"), col("d"))
-          .union(ep.select(col("b").as("u"), col("a").as("v"), col("d")))
-        val rw = Window.partitionBy(col("u")).orderBy(col("d"), col("v"))
-        val core = dn.withColumn("rn", row_number().over(rw))
-          .where(col("rn") === 4)
-          .select(col("u").as("cid"), col("d").as("cd"))
-        val me = ep
-          .join(core.select(col("cid").as("a"), col("cd").as("ca")), "a")
-          .join(core.select(col("cid").as("b"), col("cd").as("cb")), "b")
-          .where(greatest(col("d"), col("ca"), col("cb")) <= cut)
+        val me = mrGraph(s, dir).where(col("w") <= cut)
           .select(col("a").as("doc_a"), col("b").as("doc_b"))
         Dedup.minLabelComponents(me, None, MAX_ROUNDS)
           .groupBy(col("lbl").as("cluster"))
@@ -962,22 +991,8 @@ object Cluster {
           .orderBy("cluster")
       },
       Some(s"""WITH RECURSIVE
-                 pts AS (SELECT vec_id AS id, CAST(embedding[1] AS DOUBLE) AS x,
-                           CAST(embedding[2] AS DOUBLE) AS y FROM embeddings),
-                 ep AS (SELECT p.id AS a, q.id AS b,
-                     sqrt((p.x - q.x) * (p.x - q.x) + (p.y - q.y) * (p.y - q.y)) AS d
-                   FROM pts p JOIN pts q ON p.id < q.id
-                    AND (p.x - q.x) * (p.x - q.x) + (p.y - q.y) * (p.y - q.y)
-                        <= ${0.01 * 0.01}),
-                 dn AS (SELECT a AS u, b AS v, d FROM ep
-                        UNION ALL SELECT b, a, d FROM ep),
-                 rk AS (SELECT u, v, d, row_number() OVER (PARTITION BY u
-                     ORDER BY d, v) AS rn FROM dn),
-                 core AS (SELECT u AS cid, d AS cd FROM rk WHERE rn = 4),
-                 me AS (SELECT ep.a AS src, ep.b AS dst FROM ep
-                   JOIN core ca ON ca.cid = ep.a
-                   JOIN core cb ON cb.cid = ep.b
-                   WHERE greatest(ep.d, ca.cd, cb.cd) <= 0.01),
+                 $sqlMrCtes,
+                 me AS (SELECT a AS src, b AS dst FROM mr WHERE w <= 0.01),
                  edges AS (SELECT src, dst FROM me UNION ALL SELECT dst, src FROM me),
                  reach(v, r) AS (
                    SELECT src, src FROM (SELECT DISTINCT src FROM edges) nn
@@ -1003,38 +1018,7 @@ object Cluster {
       // tie-break on (w, v) — deterministic cross-engine; weights are
       // shared-text doubles.
       (s, dir) => {
-        val horizon = 0.01
-        val p = plane(s, dir).transform(T.fanOut(_, col("id")))
-        val home = p.select(col("id").as("n_id"), col("x"), col("y"),
-          floor(col("x") / horizon).as("cx"), floor(col("y") / horizon).as("cy"))
-        val probe = p.select(col("id").as("q_id"),
-            col("x").as("qx"), col("y").as("qy"),
-            floor(col("x") / horizon).as("qcx"), floor(col("y") / horizon).as("qcy"))
-          .select(col("q_id"), col("qx"), col("qy"),
-            explode(expr("flatten(transform(sequence(-1, 1), dx -> " +
-              "transform(sequence(-1, 1), dy -> " +
-              "struct(qcx + dx AS cx, qcy + dy AS cy))))")).as("c"))
-          .select(col("q_id"), col("qx"), col("qy"),
-            col("c.cx").as("cx"), col("c.cy").as("cy"))
-        val dpairs = probe.join(home, Seq("cx", "cy"))
-          .where(col("q_id") < col("n_id"))
-          .where((col("qx") - col("x")) * (col("qx") - col("x")) +
-                 (col("qy") - col("y")) * (col("qy") - col("y")) <= lit(horizon * horizon))
-          .select(col("q_id").as("a"), col("n_id").as("b"),
-            sqrt((col("qx") - col("x")) * (col("qx") - col("x")) +
-                 (col("qy") - col("y")) * (col("qy") - col("y"))).as("d"))
-        val ep = T.freeze(dpairs)
-        val dn = ep.select(col("a").as("u"), col("b").as("v"), col("d"))
-          .union(ep.select(col("b").as("u"), col("a").as("v"), col("d")))
-        val rw = Window.partitionBy(col("u")).orderBy(col("d"), col("v"))
-        val core = dn.withColumn("rn", row_number().over(rw))
-          .where(col("rn") === 4)
-          .select(col("u").as("cid"), col("d").as("cd"))
-        val mr = ep
-          .join(core.select(col("cid").as("a"), col("cd").as("ca")), "a")
-          .join(core.select(col("cid").as("b"), col("cd").as("cb")), "b")
-          .select(col("a"), col("b"),
-            greatest(col("d"), col("ca"), col("cb")).as("w"))
+        val mr = mrGraph(s, dir)
         val sym = mr.select(col("a").as("u"), col("b").as("v"), col("w"))
           .union(mr.select(col("b").as("u"), col("a").as("v"), col("w")))
         val pick = Window.partitionBy(col("u")).orderBy(col("w"), col("v"))
@@ -1049,21 +1033,7 @@ object Cluster {
           .orderBy(col("weight"), col("node_a"), col("node_b"))
           .limit(30)
       },
-      Some(s"""WITH pts AS (SELECT vec_id AS id, CAST(embedding[1] AS DOUBLE) AS x,
-                   CAST(embedding[2] AS DOUBLE) AS y FROM embeddings),
-                 ep AS (SELECT p.id AS a, q.id AS b,
-                     sqrt((p.x - q.x) * (p.x - q.x) + (p.y - q.y) * (p.y - q.y)) AS d
-                   FROM pts p JOIN pts q ON p.id < q.id
-                    AND (p.x - q.x) * (p.x - q.x) + (p.y - q.y) * (p.y - q.y)
-                        <= ${0.01 * 0.01}),
-                 dn AS (SELECT a AS u, b AS v, d FROM ep
-                        UNION ALL SELECT b, a, d FROM ep),
-                 rk AS (SELECT u, v, d, row_number() OVER (PARTITION BY u
-                     ORDER BY d, v) AS rn FROM dn),
-                 core AS (SELECT u AS cid, d AS cd FROM rk WHERE rn = 4),
-                 mr AS (SELECT ep.a, ep.b, greatest(ep.d, ca.cd, cb.cd) AS w
-                   FROM ep JOIN core ca ON ca.cid = ep.a
-                           JOIN core cb ON cb.cid = ep.b),
+      Some(s"""WITH $sqlMrCtes,
                  sym AS (SELECT a AS u, b AS v, w FROM mr
                          UNION ALL SELECT b, a, w FROM mr),
                  pk AS (SELECT u, v, w FROM (SELECT *, row_number() OVER (
@@ -1075,6 +1045,117 @@ object Cluster {
                SELECT node_a, node_b, round(w, 6) AS weight, n_picks
                FROM ch CROSS JOIN cn
                ORDER BY weight, node_a, node_b LIMIT 30""")),
+
+    QueryDef(
+      "ml_hdbscan_dendrogram",
+      // Borůvka MST run TO COMPLETION (r9 — VERDICT r8 #2: ml_hdbscan_mst
+      // is round 1; the full MST is log n frozen rounds) + the
+      // single-linkage dendrogram cut at three λ thresholds. Each round:
+      // every component picks its lexicographically-lightest (w, a, b)
+      // outgoing edge in one window pass (the strict total edge order
+      // makes Borůvka cycle-free under ties), picked edges join the MST,
+      // and components contract by min-label propagation over the PICKED
+      // component graph (bounded: ≤ one edge per component). The node
+      // labels stay DISTRIBUTED end-to-end — only per-round emptiness
+      // checks and the two final totals reach the driver. Output: one row
+      // per cut with the cluster profile OF THE MST restricted to edges
+      // ≤ λ, plus the MST totals. The oracle never builds an MST — it
+      // profiles the FULL mutual-reachability graph at each λ and derives
+      // mst_edges = nodes − components from the forest handshake; equality
+      // of the two sides is exactly the single-linkage/MST theorem
+      // (components of MST≤λ = components of G≤λ), so the green row
+      // PROVES the Borůvka result, per-component edge count n−1 included.
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        val mr = mrGraph(s, dir)
+        val nodes = T.freeze(mr.select(col("a").as("v"))
+          .union(mr.select(col("b").as("v"))).distinct())
+        var lbl = nodes.select(col("v"), col("v").as("l"))
+        var mst: DataFrame = null
+        var rounds = 0
+        var active = true
+        while (active && rounds < MAX_ROUNDS) {
+          rounds += 1
+          val e2 = mr
+            .join(lbl.select(col("v").as("a"), col("l").as("la")), "a")
+            .join(lbl.select(col("v").as("b"), col("l").as("lb")), "b")
+            .where(col("la") =!= col("lb"))
+          val sym = e2.selectExpr("la AS cu", "lb AS cv", "a", "b", "w")
+            .unionAll(e2.selectExpr("lb AS cu", "la AS cv", "a", "b", "w"))
+          val pw = Window.partitionBy("cu").orderBy(col("w"), col("a"), col("b"))
+          val picks = T.freeze(sym.withColumn("rn", row_number().over(pw))
+            .where(col("rn") === 1)
+            .select(col("cu"), col("cv"), col("a"), col("b"), col("w")))
+          if (picks.isEmpty) active = false
+          else {
+            val newEdges = picks.select(col("a"), col("b"), col("w")).distinct()
+            mst =
+              if (mst == null) T.freeze(newEdges)
+              else T.freeze(mst.unionAll(newEdges))
+            val cm = Dedup.minLabelComponents(
+              picks.select(col("cu").as("doc_a"), col("cv").as("doc_b")),
+              None, MAX_ROUNDS)
+            lbl = T.freeze(lbl
+              .join(cm.select(col("v").as("l"), col("lbl").as("nl")), Seq("l"), "left")
+              .select(col("v"), coalesce(col("nl"), col("l")).as("l")))
+          }
+        }
+        val mstF = if (mst == null) mr.where(lit(false)) else mst
+        val nNodes = nodes.count()
+        val mstEdges = mstF.count()
+        val cutRows = Seq(0.004, 0.007, 0.01).map { cut =>
+          val comp = Dedup.minLabelComponents(
+            mstF.where(col("w") <= cut)
+              .select(col("a").as("doc_a"), col("b").as("doc_b")),
+            None, MAX_ROUNDS)
+          comp.groupBy("lbl").agg(count(lit(1)).as("m"))
+            .agg(coalesce(count(lit(1)), lit(0L)).as("n_clusters"),
+              coalesce(sum(col("m")), lit(0L)).as("n_clustered"))
+            .selectExpr(s"CAST($cut AS DOUBLE) AS cut", "n_clusters", "n_clustered",
+              s"${nNodes}L - n_clustered AS n_noise",
+              s"${mstEdges}L AS mst_edges", s"${nNodes}L AS mst_nodes")
+        }
+        cutRows.reduce(_ unionAll _).orderBy("cut")
+      },
+      Some {
+        def cutCtes(i: Int, cut: Double): String =
+          s"""e$i AS (SELECT a AS src, b AS dst FROM mr WHERE w <= $cut
+                   UNION ALL SELECT b, a FROM mr WHERE w <= $cut),
+                 rc$i(v, r) AS (
+                   SELECT src, src FROM (SELECT DISTINCT src FROM e$i) t
+                   UNION
+                   SELECT e.src, rc$i.r FROM e$i e JOIN rc$i ON e.dst = rc$i.v),
+                 lb$i AS (SELECT v, min(r) AS lbl FROM rc$i GROUP BY v),
+                 sz$i AS (SELECT lbl, count(*) AS m FROM lb$i GROUP BY lbl),
+                 ct$i AS (SELECT CAST($cut AS DOUBLE) AS cut,
+                     coalesce(count(*), 0) AS n_clusters,
+                     coalesce(sum(m), 0) AS n_clustered FROM sz$i)"""
+        val cuts = Seq(0.004, 0.007, 0.01).zipWithIndex
+          .map { case (c, i) => cutCtes(i + 1, c) }
+          .mkString(",\n                 ")
+        s"""WITH RECURSIVE $sqlMrCtes,
+                 nodes AS (SELECT DISTINCT v FROM
+                   (SELECT a AS v FROM mr UNION ALL SELECT b FROM mr) t),
+                 nn AS (SELECT count(*) AS n FROM nodes),
+                 eall AS (SELECT a AS src, b AS dst FROM mr
+                   UNION ALL SELECT b, a FROM mr),
+                 rall(v, r) AS (
+                   SELECT v, v FROM nodes
+                   UNION
+                   SELECT e.src, rall.r FROM eall e JOIN rall ON e.dst = rall.v),
+                 cinf AS (SELECT count(DISTINCT lbl) AS c FROM
+                   (SELECT v, min(r) AS lbl FROM rall GROUP BY v) t),
+                 $cuts,
+                 allcuts AS (SELECT * FROM ct1 UNION ALL
+                   SELECT * FROM ct2 UNION ALL SELECT * FROM ct3)
+               SELECT cut, n_clusters,
+                 CAST(n_clustered AS BIGINT) AS n_clustered,
+                 CAST(nn.n - n_clustered AS BIGINT) AS n_noise,
+                 CAST(nn.n - cinf.c AS BIGINT) AS mst_edges,
+                 nn.n AS mst_nodes
+               FROM allcuts, nn, cinf ORDER BY cut"""
+      }),
 
     QueryDef(
       "ml_tsne_affinity",

@@ -837,6 +837,22 @@ class MicroSpec extends SparkSpec {
     assert(kl.forall(_ > 0), "KL divergence is nonnegative")
   }
 
+  test("ml_hdbscan_dendrogram: Boruvka forest obeys the handshake (r9)") {
+    val rows = q("ml_hdbscan_dendrogram").orderBy(col("cut")).collect()
+    assert(rows.length == 3)
+    // all mutual-reachability edges have w <= horizon, so the top cut sees
+    // the whole graph: no noise, and the forest handshake — MST edge count
+    // = nodes − components — holds per component summed
+    val top = rows.last
+    assert(top.getLong(3) == 0, "no noise at the horizon cut")
+    assert(top.getLong(4) == top.getLong(5) - top.getLong(1),
+      s"mst_edges ${top.getLong(4)} != nodes ${top.getLong(5)} - components ${top.getLong(1)}")
+    // single-linkage monotonicity: raising λ can only merge, never split
+    rows.map(_.getLong(2)).sliding(2).foreach { case Array(a, b) =>
+      assert(b >= a, "n_clustered nondecreasing in cut")
+    }
+  }
+
   test("ml_tree_depth2: child nodes partition the root's branches (r8)") {
     val rows = q("ml_tree_depth2").collect()
       .map(r => r.getString(0) -> r).toMap

@@ -7,8 +7,8 @@ package graft
 class RegistrySpec extends SparkSpec {
 
   test("all eighteen catalogs are registered (66 SURVEY keys + 236 extensions)") {
-    assert(SparkEntry.queries.size == 306,
-      s"expected 306 registered queries, got ${SparkEntry.queries.size}")
+    assert(SparkEntry.queries.size == 307,
+      s"expected 307 registered queries, got ${SparkEntry.queries.size}")
   }
 
   test("no oracle uses a constant generate_series bound (VERDICT r4 #2)") {
