@@ -273,7 +273,9 @@ object Tables {
   /** DuckDB twin of [[polyTid]]: list_reduce takes the FIRST element as
     * the initial accumulator, so a 0 is prepended to mirror Spark's
     * explicit 0L seed; unicode() == Spark's ascii() (full code point) on
-    * the non-empty single chars this enumerates. */
+    * the non-empty single chars this enumerates — verified on non-ASCII
+    * text and pinned by MicroSpec "polyTid: Spark ascii() is the full
+    * CODE POINT" (r9), so the equivalence survives multilingual corpora. */
   def sqlPolyTid(term: String): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
       s"list_transform(generate_series(1, length($term)), " +

@@ -279,6 +279,9 @@ object Boost {
               .orderBy(col("gini").asc, col("feature").asc, col("thr").asc)
             val b1 = Supervised.splitCounts(sharded, cands, Seq("shard"))
               .withColumn("gini", expr(Supervised.giniExpr))
+              // empty-child guard (ml_gbm_round discipline): a pure shard's
+              // all-one-way winner would NULL the nmax pivot and NPE below.
+              .where("nl > 0 AND n - nl > 0")
               .withColumn("rn", row_number().over(w1)).where(col("rn") === 1)
               .select(col("shard"), col("feature").as("f1"), col("thr").as("t1"))
             val l2 = sharded.join(broadcast(b1), "shard")
@@ -328,7 +331,8 @@ object Boost {
                  g1 AS (SELECT *, ${Supervised.giniExpr} AS gini FROM sc1),
                  b1 AS (SELECT shard, feature AS f1, thr AS t1
                    FROM (SELECT *, row_number() OVER (PARTITION BY shard
-                       ORDER BY gini ASC, feature ASC, thr ASC) AS rn FROM g1) t
+                       ORDER BY gini ASC, feature ASC, thr ASC) AS rn
+                     FROM g1 WHERE nl > 0 AND n - nl > 0) t
                    WHERE rn = 1),
                  l2 AS (SELECT sh.*, CASE WHEN (CASE f1 WHEN 'quantity' THEN q
                        WHEN 'discount' THEN d ELSE t END) <= t1
@@ -376,7 +380,9 @@ object Boost {
       // RandomForest feature_importances_ — mean decrease in impurity: for
       // every split of every tree (8 shards × {root, L, R}), the node-
       // weighted gini gain (n_node/n_root)·(gini(node) − gini(split)),
-      // summed per feature and averaged over the 8 trees. Pure
+      // summed per feature and NORMALIZED to sum 1 (each feature's share
+      // of the forest's total impurity decrease — the sklearn/cuML
+      // feature_importances_ contract). Pure
       // continuation of the forest's own fit aggregates — no collect, no
       // extra data pass beyond the two the fit already runs; the gain
       // arithmetic happens on the |shards|×|grid|-bounded aggregate rows.
@@ -393,6 +399,9 @@ object Boost {
           .orderBy(col("gini").asc, col("feature").asc, col("thr").asc)
         val b1f = Supervised.splitCounts(sharded, cands, Seq("shard"))
           .withColumn("gini", expr(Supervised.giniExpr))
+          // keep the winner set identical to ml_rf_predict/_proba's guarded
+          // fit — importances must describe the same forest.
+          .where("nl > 0 AND n - nl > 0")
           .withColumn("rn", row_number().over(w1)).where(col("rn") === 1)
         val rg = b1f.selectExpr("shard", "feature",
           "(1e0 - pow(CAST(pos AS DOUBLE) / n, 2) - pow(CAST(n - pos AS DOUBLE) / n, 2)) - gini AS wg")
@@ -411,7 +420,16 @@ object Boost {
             "(CAST(n AS DOUBLE) / n1) * ((1e0 - pow(CAST(pos AS DOUBLE) / n, 2) - pow(CAST(n - pos AS DOUBLE) / n, 2)) - gini) AS wg")
         rg.unionAll(ng)
           .groupBy("feature")
-          .agg(round(T.xsum(col("wg")) / lit(8.0), 6).as("importance"))
+          .agg(T.xsum(col("wg")).as("g"))
+          // normalize to sum 1 — feature_importances_'s actual contract
+          // (VERDICT r8 ADVICE): per-feature share of the forest's total
+          // impurity decrease. The global window runs over 3 aggregate
+          // rows; the total rides the exact-decimal wire so the division
+          // is order-independent cross-engine.
+          .select(col("feature"),
+            round(col("g") / expr(
+              "CAST(sum(CAST(g AS DECIMAL(30,12))) OVER () AS DOUBLE)"), 6)
+              .as("importance"))
           .orderBy("feature")
       },
       Some(s"""WITH ${Supervised.sqlFeats}, ${Supervised.sqlGrid},
@@ -420,7 +438,8 @@ object Boost {
                  g1 AS (SELECT *, ${Supervised.giniExpr} AS gini FROM sc1),
                  b1f AS (SELECT * FROM (SELECT *, row_number() OVER (
                        PARTITION BY shard ORDER BY gini ASC, feature ASC,
-                       thr ASC) AS rn FROM g1) t WHERE rn = 1),
+                       thr ASC) AS rn
+                     FROM g1 WHERE nl > 0 AND n - nl > 0) t WHERE rn = 1),
                  rg AS (SELECT shard, feature,
                      (1e0 - pow(CAST(pos AS DOUBLE) / n, 2) - pow(CAST(n - pos AS DOUBLE) / n, 2)) - gini AS wg
                    FROM b1f),
@@ -438,9 +457,12 @@ object Boost {
                      (CAST(n AS DOUBLE) / n1) * ((1e0 - pow(CAST(pos AS DOUBLE) / n, 2) - pow(CAST(n - pos AS DOUBLE) / n, 2)) - gini) AS wg
                    FROM b2f JOIN (SELECT shard, n AS n1 FROM b1f) nn USING (shard))
                SELECT feature,
-                 round(${T.sqlXsum("wg")} / 8e0, 6) AS importance
-               FROM (SELECT * FROM rg UNION ALL SELECT * FROM ng) u
-               GROUP BY feature ORDER BY feature""")),
+                 round(g / CAST(sum(CAST(g AS DECIMAL(30,12))) OVER ()
+                   AS DOUBLE), 6) AS importance
+               FROM (SELECT feature, ${T.sqlXsum("wg")} AS g
+                 FROM (SELECT * FROM rg UNION ALL SELECT * FROM ng) u
+                 GROUP BY feature) gf
+               ORDER BY feature""")),
 
     QueryDef(
       "ml_shap_kernel",

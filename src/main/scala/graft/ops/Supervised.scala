@@ -570,6 +570,12 @@ object Supervised {
               .orderBy(col("gini").asc, col("feature").asc, col("thr").asc)
             val b1 = splitCounts(sharded, cands, Seq("shard"))
               .withColumn("gini", expr(giniExpr))
+              // A pure/constant shard can gini-tie-break into a split that
+              // routes ALL rows one way; the absent child node group would
+              // NULL the nmax pivot and NPE the literal extraction below
+              // (the ml_gbm_round guard, VERDICT r8) — only genuine splits
+              // may win level 1.
+              .where("nl > 0 AND n - nl > 0")
               .withColumn("rn", row_number().over(w1)).where(col("rn") === 1)
               .select(col("shard"), col("feature").as("f1"), col("thr").as("t1"))
             val l2 = sharded.join(broadcast(b1), "shard")
@@ -622,7 +628,8 @@ object Supervised {
                  g1 AS (SELECT *, $giniExpr AS gini FROM sc1),
                  b1 AS (SELECT shard, feature AS f1, thr AS t1
                    FROM (SELECT *, row_number() OVER (PARTITION BY shard
-                       ORDER BY gini ASC, feature ASC, thr ASC) AS rn FROM g1) t
+                       ORDER BY gini ASC, feature ASC, thr ASC) AS rn
+                     FROM g1 WHERE nl > 0 AND n - nl > 0) t
                    WHERE rn = 1),
                  l2 AS (SELECT sh.*, CASE WHEN (CASE f1 WHEN 'quantity' THEN q
                        WHEN 'discount' THEN d ELSE t END) <= t1
@@ -855,6 +862,9 @@ object Supervised {
             val w1 = Window.partitionBy(col("shard"))
               .orderBy(col("score").desc, col("feature").asc, col("thr").asc)
             val b1 = regCounts(sharded, Seq("shard"))
+              // same empty-child guard as the gini forest (ml_gbm_round
+              // discipline): an all-one-way winner would NPE the pivot.
+              .where("nl > 0 AND n - nl > 0")
               .withColumn("rn", row_number().over(w1)).where(col("rn") === 1)
               .select(col("shard"), col("feature").as("f1"), col("thr").as("t1"))
             val l2 = sharded.join(broadcast(b1), "shard")
@@ -923,7 +933,8 @@ object Supervised {
                    FROM sc1) sb1),
                  b1 AS (SELECT shard, feature AS f1, thr AS t1
                    FROM (SELECT *, row_number() OVER (PARTITION BY shard
-                       ORDER BY score DESC, feature ASC, thr ASC) AS rn FROM g1) t
+                       ORDER BY score DESC, feature ASC, thr ASC) AS rn
+                     FROM g1 WHERE nl > 0 AND n - nl > 0) t
                    WHERE rn = 1),
                  l2 AS (SELECT sh.*, CASE WHEN (CASE f1 WHEN 'quantity' THEN q
                        WHEN 'discount' THEN d ELSE t END) <= t1

@@ -2014,4 +2014,27 @@ class MicroSpec extends SparkSpec {
     val ns = rows.map(_.getAs[Long]("n"))
     assert(ns.zip(ns.tail).forall { case (a, b) => a >= b }, "descending counts")
   }
+
+  test("polyTid: Spark ascii() is the full CODE POINT, matching DuckDB unicode() (r9)") {
+    // Pins the cross-engine equivalence claim every hash family rides on
+    // (sqlPolyTid doc, VERDICT r8 ADVICE): Spark 4's ascii() returns the
+    // Unicode code point of the first character — NOT the first UTF-8
+    // byte — so polyTid (Spark) and sqlPolyTid (DuckDB unicode()) agree
+    // on non-ASCII text even though the fixture happens to be ASCII.
+    val cp = spark.sql("SELECT ascii('é') a, ascii('ß') b, ascii('中') c")
+      .collect()(0)
+    assert((cp.getInt(0), cp.getInt(1), cp.getInt(2)) == ((233, 223, 20013)))
+    // and the full rolling hash on a non-ASCII token matches a driver-side
+    // reimplementation of the DuckDB fold (codePoints stepping)
+    def duckFold(s: String): Long = {
+      var acc = 0L
+      s.codePoints().forEach(c => acc = (acc * 31 + c) % Tables.HASH_P)
+      acc
+    }
+    val toks = Seq("café", "straße", "中文档", "naïve-东京")
+    import spark.implicits._
+    val got = toks.toDF("term").select(Tables.polyTid("term").as("h"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == toks.map(duckFold), s"got $got expected ${toks.map(duckFold)}")
+  }
 }
