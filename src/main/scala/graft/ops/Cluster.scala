@@ -204,7 +204,13 @@ object Cluster {
     * reachability w = max(d, core_a, core_b). Pairs with either endpoint
     * lacking 4 in-horizon neighbors drop out (core > horizon ≥ any cut —
     * HDBSCAN noise at this λ). Returns (a, b, w) with a < b, frozen. */
-  private def mrGraph(s: SparkSession, dir: String, horizon: Double = 0.01): DataFrame = {
+  /** One shared horizon for the Spark side AND [[sqlMrCtes]] (r10 — ADVICE
+    * r9: a caller-supplied horizon would silently desync every oracle built
+    * on the hardcoded CTE text; one constant feeds both). */
+  private val HORIZON = 0.01
+
+  private def mrGraph(s: SparkSession, dir: String): DataFrame = {
+    val horizon = HORIZON
     val p = plane(s, dir).transform(T.fanOut(_, col("id")))
     val home = p.select(col("id").as("n_id"), col("x"), col("y"),
       floor(col("x") / horizon).as("cx"), floor(col("y") / horizon).as("cy"))
@@ -229,7 +235,7 @@ object Cluster {
       .union(ep.select(col("b").as("u"), col("a").as("v"), col("d")))
     val rw = Window.partitionBy(col("u")).orderBy(col("d"), col("v"))
     val core = dn.withColumn("rn", row_number().over(rw))
-      .where(col("rn") === 4)
+      .where(col("rn") === MIN_PTS)
       .select(col("u").as("cid"), col("d").as("cd"))
     T.freeze(ep
       .join(core.select(col("cid").as("a"), col("cd").as("ca")), "a")
@@ -246,12 +252,12 @@ object Cluster {
                      sqrt((p.x - q.x) * (p.x - q.x) + (p.y - q.y) * (p.y - q.y)) AS d
                    FROM pts p JOIN pts q ON p.id < q.id
                     AND (p.x - q.x) * (p.x - q.x) + (p.y - q.y) * (p.y - q.y)
-                        <= ${0.01 * 0.01}),
+                        <= ${HORIZON * HORIZON}),
                  dn AS (SELECT a AS u, b AS v, d FROM ep
                         UNION ALL SELECT b, a, d FROM ep),
                  rk AS (SELECT u, v, d, row_number() OVER (PARTITION BY u
                      ORDER BY d, v) AS rn FROM dn),
-                 core AS (SELECT u AS cid, d AS cd FROM rk WHERE rn = 4),
+                 core AS (SELECT u AS cid, d AS cd FROM rk WHERE rn = $MIN_PTS),
                  mr AS MATERIALIZED (SELECT ep.a, ep.b, greatest(ep.d, ca.cd, cb.cd) AS w
                    FROM ep JOIN core ca ON ca.cid = ep.a
                            JOIN core cb ON cb.cid = ep.b)"""
@@ -1065,44 +1071,65 @@ object Cluster {
       // of the two sides is exactly the single-linkage/MST theorem
       // (components of MST≤λ = components of G≤λ), so the green row
       // PROVES the Borůvka result, per-component edge count n−1 included.
+      // r10 rewrite (VERDICT r9 #1 — the reproduced StackOverflow): the
+      // loop now runs on the CONTRACTED component graph, not on per-node
+      // labels. `ce(cu, cv, a, b, w)` keeps ONE witness edge (the (w, a, b)
+      // minimum) per unordered component pair; after each round the table
+      // is re-keyed to the new labels and re-minimized, so it shrinks
+      // geometrically (components at least halve per Borůvka round — the
+      // real distributed contract). Every round's state is T.pin'd
+      // (eager localCheckpoint): the RDD lineage is CUT each round, which
+      // kills both the 1,700-stage recompute and the task-deserialization
+      // StackOverflow the bare freeze chain sat on. The node-level label
+      // table is gone entirely — MST edges carry original (a, b), so the
+      // λ cuts run on the ONE pinned MST at the end. Exiting the round cap
+      // with edges still active THROWS (no silent caps).
       (s, dir) => {
-        val spark = s
-        import spark.implicits._
-        val mr = mrGraph(s, dir)
-        val nodes = T.freeze(mr.select(col("a").as("v"))
-          .union(mr.select(col("b").as("v"))).distinct())
-        var lbl = nodes.select(col("v"), col("v").as("l"))
+        val mr = T.pin(mrGraph(s, dir))
+        val nNodes = mr.select(col("a").as("v"))
+          .union(mr.select(col("b").as("v"))).distinct().count()
+        var ce = T.pin(mr.selectExpr("a AS cu", "b AS cv", "a", "b", "w"))
         var mst: DataFrame = null
         var rounds = 0
-        var active = true
-        while (active && rounds < MAX_ROUNDS) {
-          rounds += 1
-          val e2 = mr
-            .join(lbl.select(col("v").as("a"), col("l").as("la")), "a")
-            .join(lbl.select(col("v").as("b"), col("l").as("lb")), "b")
-            .where(col("la") =!= col("lb"))
-          val sym = e2.selectExpr("la AS cu", "lb AS cv", "a", "b", "w")
-            .unionAll(e2.selectExpr("lb AS cu", "la AS cv", "a", "b", "w"))
-          val pw = Window.partitionBy("cu").orderBy(col("w"), col("a"), col("b"))
-          val picks = T.freeze(sym.withColumn("rn", row_number().over(pw))
-            .where(col("rn") === 1)
-            .select(col("cu"), col("cv"), col("a"), col("b"), col("w")))
-          if (picks.isEmpty) active = false
+        var done = false
+        while (!done) {
+          if (ce.isEmpty) done = true
+          else if (rounds >= MAX_ROUNDS) throw new IllegalStateException(
+            s"ml_hdbscan_dendrogram: Borůvka edges still active after " +
+              s"$MAX_ROUNDS rounds — component count not contracting")
           else {
+            rounds += 1
+            val sym = ce.selectExpr("cu", "cv", "a", "b", "w")
+              .unionAll(ce.selectExpr("cv AS cu", "cu AS cv", "a", "b", "w"))
+            val pw = Window.partitionBy("cu")
+              .orderBy(col("w"), col("a"), col("b"))
+            val picks = T.pin(sym.withColumn("rn", row_number().over(pw))
+              .where(col("rn") === 1)
+              .select(col("cu"), col("cv"), col("a"), col("b"), col("w")))
             val newEdges = picks.select(col("a"), col("b"), col("w")).distinct()
-            mst =
-              if (mst == null) T.freeze(newEdges)
-              else T.freeze(mst.unionAll(newEdges))
+            mst = T.pin(if (mst == null) newEdges else mst.unionAll(newEdges))
+            // relabel over the PICKED component graph (≤ 1 edge/component)
             val cm = Dedup.minLabelComponents(
               picks.select(col("cu").as("doc_a"), col("cv").as("doc_b")),
               None, MAX_ROUNDS)
-            lbl = T.freeze(lbl
-              .join(cm.select(col("v").as("l"), col("lbl").as("nl")), Seq("l"), "left")
-              .select(col("v"), coalesce(col("nl"), col("l")).as("l")))
+            // contract: re-key to new labels, drop intra-component edges,
+            // keep the (w, a, b)-minimum witness per component pair
+            val rek = ce
+              .join(cm.select(col("v").as("cu"), col("lbl").as("lu")), "cu")
+              .join(cm.select(col("v").as("cv"), col("lbl").as("lv")), "cv")
+              .where(col("lu") =!= col("lv"))
+              .select(least(col("lu"), col("lv")).as("cu"),
+                greatest(col("lu"), col("lv")).as("cv"),
+                col("a"), col("b"), col("w"))
+            ce = T.pin(rek.groupBy("cu", "cv")
+              .agg(min(struct(col("w"), col("a"), col("b"))).as("m"))
+              .select(col("cu"), col("cv"), col("m.a").as("a"),
+                col("m.b").as("b"), col("m.w").as("w")))
           }
         }
-        val mstF = if (mst == null) mr.where(lit(false)) else mst
-        val nNodes = nodes.count()
+        val mstF =
+          if (mst == null) mr.select(col("a"), col("b"), col("w")).where(lit(false))
+          else mst
         val mstEdges = mstF.count()
         val cutRows = Seq(0.004, 0.007, 0.01).map { cut =>
           val comp = Dedup.minLabelComponents(
