@@ -74,12 +74,19 @@ object Bench {
         if (qn == null || !qn.isObject) Map.empty
         else {
           val b = Map.newBuilder[String, Double]
-          qn.fields().forEachRemaining(e => b += e.getKey -> e.getValue.asDouble())
+          // non-number nodes are SKIPPED (ADVICE r9: asDouble() coerces
+          // malformed entries to 0.0 — the cheapest slot, the exact
+          // opposite of the unknown-is-expensive prior; skipping lets the
+          // Double.MaxValue fallback below handle them)
+          qn.fields().forEachRemaining { e =>
+            if (e.getValue.isNumber) b += e.getKey -> e.getValue.asDouble()
+          }
           b.result()
         }
       } catch { case _: Throwable => Map.empty }
     if (histCost.isEmpty)
-      System.err.println("[bench] no bench_seq.json cost model — " +
+      System.err.println("[bench] bench_seq.json missing or unparseable — " +
+        s"(exists=${Files.exists(Paths.get("bench_seq.json"))}) " +
         "submission order degrades to alphabetical (LPT disabled)")
     val names = SparkEntry.queries.toSeq
       .sortBy { case (n, _) => (-histCost.getOrElse(n, Double.MaxValue), n) }

