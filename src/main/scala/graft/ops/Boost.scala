@@ -281,7 +281,7 @@ object Boost {
               .withColumn("gini", expr(Supervised.giniExpr))
               // empty-child guard (ml_gbm_round discipline): a pure shard's
               // all-one-way winner would NULL the nmax pivot and NPE below.
-              .where("nl > 0 AND n - nl > 0")
+              .where("nl > 0 AND n - nl > 0").where(expr(Supervised.mtryExpr))
               .withColumn("rn", row_number().over(w1)).where(col("rn") === 1)
               .select(col("shard"), col("feature").as("f1"), col("thr").as("t1"))
             val l2 = sharded.join(broadcast(b1), "shard")
@@ -291,6 +291,7 @@ object Boost {
               .orderBy(col("gini").asc, col("feature").asc, col("thr").asc)
             val b2 = Supervised.splitCounts(l2, cands, Seq("shard", "node"))
               .withColumn("gini", expr(Supervised.giniExpr))
+              .where(expr(Supervised.mtryExpr))
               .withColumn("rn", row_number().over(w2)).where(col("rn") === 1)
               .selectExpr("shard", "node", "feature AS f2", "thr AS t2",
                 "((posl + 1) * 1000000) div (nl + 2) AS pl",
@@ -332,7 +333,8 @@ object Boost {
                  b1 AS (SELECT shard, feature AS f1, thr AS t1
                    FROM (SELECT *, row_number() OVER (PARTITION BY shard
                        ORDER BY gini ASC, feature ASC, thr ASC) AS rn
-                     FROM g1 WHERE nl > 0 AND n - nl > 0) t
+                     FROM g1 WHERE nl > 0 AND n - nl > 0
+                       AND ${Supervised.mtryExpr}) t
                    WHERE rn = 1),
                  l2 AS (SELECT sh.*, CASE WHEN (CASE f1 WHEN 'quantity' THEN q
                        WHEN 'discount' THEN d ELSE t END) <= t1
@@ -344,7 +346,8 @@ object Boost {
                      ((posl + 1) * 1000000) // (nl + 2) AS pl,
                      (((pos - posl) + 1) * 1000000) // ((n - nl) + 2) AS pr
                    FROM (SELECT *, row_number() OVER (PARTITION BY shard, node
-                       ORDER BY gini ASC, feature ASC, thr ASC) AS rn FROM g2) t
+                       ORDER BY gini ASC, feature ASC, thr ASC) AS rn
+                     FROM g2 WHERE ${Supervised.mtryExpr}) t
                    WHERE rn = 1),
                  tr AS (SELECT b1.shard, f1, t1,
                      max(CASE WHEN node = 'L' THEN f2 END) AS f2l,
@@ -400,8 +403,8 @@ object Boost {
         val b1f = Supervised.splitCounts(sharded, cands, Seq("shard"))
           .withColumn("gini", expr(Supervised.giniExpr))
           // keep the winner set identical to ml_rf_predict/_proba's guarded
-          // fit — importances must describe the same forest.
-          .where("nl > 0 AND n - nl > 0")
+          // mtry fit — importances must describe the same forest.
+          .where("nl > 0 AND n - nl > 0").where(expr(Supervised.mtryExpr))
           .withColumn("rn", row_number().over(w1)).where(col("rn") === 1)
         val rg = b1f.selectExpr("shard", "feature",
           "(1e0 - pow(CAST(pos AS DOUBLE) / n, 2) - pow(CAST(n - pos AS DOUBLE) / n, 2)) - gini AS wg")
@@ -414,6 +417,7 @@ object Boost {
           .orderBy(col("gini").asc, col("feature").asc, col("thr").asc)
         val b2f = Supervised.splitCounts(l2, cands, Seq("shard", "node"))
           .withColumn("gini", expr(Supervised.giniExpr))
+          .where(expr(Supervised.mtryExpr))
           .withColumn("rn", row_number().over(w2)).where(col("rn") === 1)
         val ng = b2f.join(broadcast(b1f.select(col("shard"), col("n").as("n1"))), "shard")
           .selectExpr("shard", "feature",
@@ -448,7 +452,8 @@ object Boost {
                  b1f AS (SELECT * FROM (SELECT *, row_number() OVER (
                        PARTITION BY shard ORDER BY gini ASC, feature ASC,
                        thr ASC) AS rn
-                     FROM g1 WHERE nl > 0 AND n - nl > 0) t WHERE rn = 1),
+                     FROM g1 WHERE nl > 0 AND n - nl > 0
+                       AND ${Supervised.mtryExpr}) t WHERE rn = 1),
                  rg AS (SELECT shard, feature,
                      (1e0 - pow(CAST(pos AS DOUBLE) / n, 2) - pow(CAST(n - pos AS DOUBLE) / n, 2)) - gini AS wg
                    FROM b1f),
@@ -461,7 +466,8 @@ object Boost {
                  g2 AS (SELECT *, ${Supervised.giniExpr} AS gini FROM sc2),
                  b2f AS (SELECT * FROM (SELECT *, row_number() OVER (
                        PARTITION BY shard, node ORDER BY gini ASC, feature ASC,
-                       thr ASC) AS rn FROM g2) t WHERE rn = 1),
+                       thr ASC) AS rn
+                     FROM g2 WHERE ${Supervised.mtryExpr}) t WHERE rn = 1),
                  ng AS (SELECT b2f.shard, feature,
                      (CAST(n AS DOUBLE) / n1) * ((1e0 - pow(CAST(pos AS DOUBLE) / n, 2) - pow(CAST(n - pos AS DOUBLE) / n, 2)) - gini) AS wg
                    FROM b2f JOIN (SELECT shard, n AS n1 FROM b1f) nn USING (shard))

