@@ -1362,37 +1362,97 @@ object Pipeline {
 
     QueryDef(
       "text_bpe_merge",
-      // One BPE TRAINING round — the pair-count step under every modern
-      // tokenizer (count adjacent symbol pairs over the corpus, merge the
-      // most frequent): adjacent CHARACTER pairs within each word
-      // occurrence (word frequency weighting comes free from counting
-      // occurrences, exactly as BPE does), global counts, the top-10
-      // merge candidates with the deterministic (count desc, pair asc)
-      // rank — round 1 of the merge table. Later rounds re-run the same
-      // plan over re-segmented symbols. Dataflow: pure map explosion
-      // (token → length-1 pairs) + ONE map-side-combined count + a
-      // 10-row bounded top-k. Exact integer counting end-to-end.
+      // ITERATED BPE training, 3 unrolled merge rounds (r10 — VERDICT r9
+      // #5: round 1 alone was just pair counting; real tokenizer training
+      // re-segments with the winning pair and repeats). The trainer runs
+      // on the WORD-FREQUENCY VOCAB, not the corpus — the classic BPE
+      // optimization and the 100 TB design: one corpus pass builds
+      // (word, freq), every merge round then iterates over the vocab
+      // table (≪ corpus) with freq-weighted pair counts. Segmentations
+      // ride a separator-wrapped string (chr(31) between symbols, also at
+      // both ends), so the merge is ONE shared-text `replace` per round:
+      // replacing '␟p1␟p2␟' with '␟p1p2␟' is exactly greedy left-to-right
+      // non-overlapping pair merging (both engines' replace() scans left
+      // to right and never rescans the replacement — e.g. winner (a,a) on
+      // "aaa" gives (aa,a)), and the full-symbol separators make a
+      // multi-char symbol atomic (winner (b,c) cannot fire inside symbol
+      // "ab"). Each round's winner is the (n DESC, p1, p2) top-1, kept
+      // IN-PLAN as a broadcast one-row frame — no driver collect. Output:
+      // the merge table — top-5 freq-weighted pairs per round. Exact
+      // integer counting end-to-end.
       (s, dir) => {
-        val w = Window.orderBy(col("n").desc, col("pair").asc)
-        T.documents(s, dir).transform(T.fanOut(_, col("doc_id")))
+        def pairCounts(seg: DataFrame): DataFrame =
+          seg.select(col("freq"),
+              expr("filter(split(seg, chr(31)), x -> x <> '')").as("syms"))
+            .where(size(col("syms")) >= 2)
+            .select(col("freq"), explode(expr(
+              "transform(sequence(1, size(syms) - 1), i -> " +
+                "struct(element_at(syms, i) AS p1, element_at(syms, i + 1) AS p2))"))
+              .as("pr"))
+            .groupBy(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
+            .agg(sum(col("freq")).as("n"))
+        val w = Window.orderBy(col("n").desc, col("p1").asc, col("p2").asc)
+        def ranked(cnt: DataFrame, round: Int): DataFrame =
+          cnt.withColumn("rank", row_number().over(w))
+            .withColumn("round", lit(round))
+        def winner(rk: DataFrame): DataFrame =
+          broadcast(rk.where(col("rank") === 1)
+            .select(col("p1").as("w1"), col("p2").as("w2")))
+        def merge(seg: DataFrame, win: DataFrame): DataFrame =
+          seg.crossJoin(win).select(col("freq"), expr(
+            "replace(seg, chr(31) || w1 || chr(31) || w2 || chr(31), " +
+              "chr(31) || w1 || w2 || chr(31))").as("seg"))
+        val seg1 = T.freeze(T.documents(s, dir)
+          .transform(T.fanOut(_, col("doc_id")))
           .select(explode(expr("filter(split(text, ' '), t -> t <> '')")).as("wd"))
           .where(length(col("wd")) >= 2)
-          .select(explode(expr(
-            "transform(sequence(1, length(wd) - 1), i -> substring(wd, i, 2))")).as("pair"))
-          .groupBy("pair").agg(count(lit(1)).as("n"))
-          .withColumn("rank", row_number().over(w)).where(col("rank") <= 10)
-          .select(col("rank"), col("pair"), col("n"))
-          .orderBy("rank")
+          .groupBy("wd").agg(count(lit(1)).as("freq"))
+          .select(col("freq"), expr(
+            "chr(31) || regexp_replace(wd, '(.)', concat('$1', chr(31)))").as("seg")))
+        val c1 = T.freeze(ranked(pairCounts(seg1), 1))
+        val seg2 = merge(seg1, winner(c1))
+        val c2 = T.freeze(ranked(pairCounts(seg2), 2))
+        val seg3 = merge(seg2, winner(c2))
+        val c3 = ranked(pairCounts(seg3), 3)
+        Seq(c1, c2, c3).reduce(_ unionAll _)
+          .where(col("rank") <= 5)
+          .select(col("round"), col("rank"), col("p1"), col("p2"), col("n"))
+          .orderBy("round", "rank")
       },
-      Some("""WITH wd AS (SELECT unnest(list_filter(string_split(text, ' '),
+      Some {
+        def pairCtes(r: Int, segSrc: String): String =
+          s"""sy$r AS (SELECT freq,
+                 list_filter(string_split(seg, chr(31)), x -> x <> '') AS syms
+               FROM $segSrc),
+             pr$r AS (SELECT freq, syms[CAST(i AS INT)] AS p1,
+                 syms[CAST(i AS INT) + 1] AS p2
+               FROM (SELECT freq, syms, unnest(generate_series(1, len(syms) - 1)) AS i
+                     FROM sy$r WHERE len(syms) >= 2) x),
+             c$r AS (SELECT round, rank, p1, p2, n FROM (
+                 SELECT $r AS round, p1, p2, CAST(sum(freq) AS BIGINT) AS n,
+                   row_number() OVER (ORDER BY sum(freq) DESC, p1 ASC, p2 ASC) AS rank
+                 FROM pr$r GROUP BY p1, p2) t),
+             w$r AS (SELECT p1 AS w1, p2 AS w2 FROM c$r WHERE rank = 1)"""
+        def mergeCte(r: Int, prev: String): String =
+          s"""seg$r AS (SELECT freq,
+                 replace(seg, chr(31) || w1 || chr(31) || w2 || chr(31),
+                   chr(31) || w1 || w2 || chr(31)) AS seg
+               FROM $prev, w${r - 1})"""
+        s"""WITH wd AS (SELECT unnest(list_filter(string_split(text, ' '),
                      t -> t <> '')) AS wd
                  FROM documents),
-                 pr AS (SELECT substr(wd, CAST(i AS INT), 2) AS pair
-                   FROM (SELECT wd, unnest(generate_series(1, length(wd) - 1)) AS i
-                         FROM wd WHERE length(wd) >= 2) x),
-                 cnt AS (SELECT pair, count(*) AS n FROM pr GROUP BY pair),
-                 rk AS (SELECT *, row_number() OVER (ORDER BY n DESC, pair ASC) AS rank
-                        FROM cnt)
-               SELECT rank, pair, n FROM rk WHERE rank <= 10 ORDER BY rank"""))
+                 seg1 AS (SELECT count(*) AS freq,
+                     chr(31) || regexp_replace(wd, '(.)', '\\1' || chr(31), 'g') AS seg
+                   FROM wd WHERE length(wd) >= 2 GROUP BY wd),
+                 ${pairCtes(1, "seg1")},
+                 ${mergeCte(2, "seg1")},
+                 ${pairCtes(2, "seg2")},
+                 ${mergeCte(3, "seg2")},
+                 ${pairCtes(3, "seg3")}
+               SELECT round, rank, p1, p2, n
+               FROM (SELECT * FROM c1 UNION ALL SELECT * FROM c2
+                     UNION ALL SELECT * FROM c3) z
+               WHERE rank <= 5 ORDER BY round, rank"""
+      })
   )
 }
