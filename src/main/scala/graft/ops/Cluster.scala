@@ -1185,6 +1185,147 @@ object Cluster {
       }),
 
     QueryDef(
+      "ml_hdbscan_extract",
+      // HDBSCAN flat-cluster EXTRACTION (r10 — VERDICT r9 #6: the layer
+      // above _reach/_mst/_dendrogram): stability-based excess-of-mass
+      // selection over the condensed hierarchy, DISCRETIZED to the three
+      // λ grid levels the dendrogram already profiles (λ = 1/d for d ∈
+      // {0.004, 0.007, 0.01}; cuML's cluster_selection_method='eom' [R]
+      // runs the same bottom-up rule over the exact tree). Tree nodes =
+      // components of G≤d per level (= MST≤d components by the
+      // single-linkage theorem; min_cluster_size = 2 falls out of
+      // edge-induced components); parent = the containing component one
+      // level coarser. Each node owns its grid λ-interval, so its own
+      // stability is |C|·Δλ from exact integer counts × shared-text
+      // double literals; child stabilities accumulate on the
+      // exact-decimal wire (order-free). Selection is the standard eom
+      // recursion, unrolled over the 3 levels: a node WINS iff its own
+      // stability ≥ its children's accumulated selected value (parent
+      // wins ties, as sklearn/cuML); the flat clustering is each branch's
+      // highest winning node. Output: every tree node with its size, own
+      // and child stability, and the flat flag — the selected rows
+      // partition the clustered points. Scale: per level one
+      // minLabelComponents fixpoint on the pinned mr graph + bounded
+      // joins on cluster-count-sized aggregates.
+      (s, dir) => {
+        val mr = T.pin(mrGraph(s, dir))
+        def lbl(cut: Double) = T.pin(Dedup.minLabelComponents(
+          mr.where(col("w") <= cut)
+            .select(col("a").as("doc_a"), col("b").as("doc_b")),
+          None, MAX_ROUNDS))
+        val l1 = lbl(0.004); val l2 = lbl(0.007); val l3 = lbl(0.01)
+        val w1 = "(1e0 / 4e-3 - 1e0 / 7e-3)"
+        val w2 = "(1e0 / 7e-3 - 1e0 / 1e-2)"
+        val w3 = "(1e0 / 1e-2)"
+        val v1 = l1.groupBy(col("lbl").as("c1")).agg(count(lit(1)).as("n1"))
+          .selectExpr("c1", "n1", s"CAST(n1 AS DOUBLE) * $w1 AS v1")
+        val p12 = l1.select(col("v"), col("lbl").as("c1"))
+          .join(l2.select(col("v"), col("lbl").as("c2")), "v")
+          .groupBy("c1").agg(min(col("c2")).as("c2"))
+        val chs2 = p12.join(v1, "c1")
+          .groupBy("c2").agg(T.xsum(col("v1")).as("ch"))
+        val t2 = l2.groupBy(col("lbl").as("c2")).agg(count(lit(1)).as("n2"))
+          .join(chs2, Seq("c2"), "left")
+          .selectExpr("c2", "n2", s"CAST(n2 AS DOUBLE) * $w2 AS s2",
+            "coalesce(ch, 0e0) AS ch2")
+          .selectExpr("c2", "n2", "s2", "ch2",
+            "s2 >= ch2 AS wins2", "greatest(s2, ch2) AS v2")
+        val p23 = l2.select(col("v"), col("lbl").as("c2"))
+          .join(l3.select(col("v"), col("lbl").as("c3")), "v")
+          .groupBy("c2").agg(min(col("c3")).as("c3"))
+        val chs3 = p23.join(t2.select("c2", "v2"), "c2")
+          .groupBy("c3").agg(T.xsum(col("v2")).as("ch"))
+        val t3 = l3.groupBy(col("lbl").as("c3")).agg(count(lit(1)).as("n3"))
+          .join(chs3, Seq("c3"), "left")
+          .selectExpr("c3", "n3", s"CAST(n3 AS DOUBLE) * $w3 AS s3",
+            "coalesce(ch, 0e0) AS ch3")
+          .withColumn("wins3", expr("s3 >= ch3"))
+        val f3 = t3.selectExpr("CAST(0.01 AS DOUBLE) AS cut",
+          "c3 AS cluster", "n3 AS n_points", "s3 AS stability",
+          "ch3 AS child_stability", "CAST(wins3 AS INT) AS is_flat")
+        val f2 = t2.join(p23, "c2")
+          .join(t3.select(col("c3"), col("wins3")), "c3")
+          .selectExpr("CAST(0.007 AS DOUBLE) AS cut",
+            "c2 AS cluster", "n2 AS n_points", "s2 AS stability",
+            "ch2 AS child_stability",
+            "CAST(wins2 AND NOT wins3 AS INT) AS is_flat")
+        val f1 = v1.join(p12, "c1")
+          .join(t2.select(col("c2"), col("wins2")), "c2")
+          .join(p23, "c2")
+          .join(t3.select(col("c3"), col("wins3")), "c3")
+          .selectExpr("CAST(0.004 AS DOUBLE) AS cut",
+            "c1 AS cluster", "n1 AS n_points", "v1 AS stability",
+            "CAST(0e0 AS DOUBLE) AS child_stability",
+            "CAST(NOT wins2 AND NOT wins3 AS INT) AS is_flat")
+        Seq(f1, f2, f3).reduce(_ unionAll _)
+          .selectExpr("cut", "cluster", "n_points",
+            "round(stability, 6) AS stability",
+            "round(child_stability, 6) AS child_stability", "is_flat")
+          .orderBy("cut", "cluster")
+      },
+      Some {
+        def lvl(i: Int, cut: Double): String =
+          s"""e$i AS (SELECT a AS src, b AS dst FROM mr WHERE w <= $cut
+                   UNION ALL SELECT b, a FROM mr WHERE w <= $cut),
+                 rc$i(v, r) AS (
+                   SELECT src, src FROM (SELECT DISTINCT src FROM e$i) t
+                   UNION
+                   SELECT e.src, rc$i.r FROM e$i e JOIN rc$i ON e.dst = rc$i.v),
+                 lb$i AS (SELECT v, CAST(min(r) AS BIGINT) AS lbl
+                   FROM rc$i GROUP BY v)"""
+        val w1 = "(1e0 / 4e-3 - 1e0 / 7e-3)"
+        val w2 = "(1e0 / 7e-3 - 1e0 / 1e-2)"
+        val w3 = "(1e0 / 1e-2)"
+        s"""WITH RECURSIVE $sqlMrCtes,
+                 ${lvl(1, 0.004)},
+                 ${lvl(2, 0.007)},
+                 ${lvl(3, 0.01)},
+                 v1t AS (SELECT lbl AS c1, count(*) AS n1,
+                     CAST(count(*) AS DOUBLE) * $w1 AS v1
+                   FROM lb1 GROUP BY lbl),
+                 p12 AS (SELECT c1, min(c2) AS c2 FROM
+                   (SELECT lb1.lbl AS c1, lb2.lbl AS c2
+                    FROM lb1 JOIN lb2 USING (v)) t GROUP BY c1),
+                 chs2 AS (SELECT c2, ${T.sqlXsum("v1")} AS ch
+                   FROM p12 JOIN v1t USING (c1) GROUP BY c2),
+                 sz2 AS (SELECT lbl AS c2, count(*) AS n2 FROM lb2 GROUP BY lbl),
+                 t2 AS (SELECT c2, n2, CAST(n2 AS DOUBLE) * $w2 AS s2,
+                     coalesce(ch, 0e0) AS ch2
+                   FROM sz2 LEFT JOIN chs2 USING (c2)),
+                 u2 AS (SELECT *, s2 >= ch2 AS wins2,
+                     greatest(s2, ch2) AS v2 FROM t2),
+                 p23 AS (SELECT c2, min(c3) AS c3 FROM
+                   (SELECT lb2.lbl AS c2, lb3.lbl AS c3
+                    FROM lb2 JOIN lb3 USING (v)) t GROUP BY c2),
+                 chs3 AS (SELECT c3, ${T.sqlXsum("v2")} AS ch
+                   FROM p23 JOIN u2 USING (c2) GROUP BY c3),
+                 sz3 AS (SELECT lbl AS c3, count(*) AS n3 FROM lb3 GROUP BY lbl),
+                 t3 AS (SELECT c3, n3, CAST(n3 AS DOUBLE) * $w3 AS s3,
+                     coalesce(ch, 0e0) AS ch3
+                   FROM sz3 LEFT JOIN chs3 USING (c3)),
+                 u3 AS (SELECT *, s3 >= ch3 AS wins3 FROM t3),
+                 f3 AS (SELECT CAST(0.01 AS DOUBLE) AS cut, c3 AS cluster,
+                     n3 AS n_points, s3 AS stability, ch3 AS child_stability,
+                     CAST(wins3 AS INT) AS is_flat
+                   FROM u3),
+                 f2 AS (SELECT CAST(0.007 AS DOUBLE) AS cut, u2.c2 AS cluster,
+                     n2 AS n_points, s2 AS stability, ch2 AS child_stability,
+                     CAST(wins2 AND NOT wins3 AS INT) AS is_flat
+                   FROM u2 JOIN p23 USING (c2) JOIN u3 USING (c3)),
+                 f1 AS (SELECT CAST(0.004 AS DOUBLE) AS cut, v1t.c1 AS cluster,
+                     n1 AS n_points, v1 AS stability,
+                     CAST(0e0 AS DOUBLE) AS child_stability,
+                     CAST(NOT wins2 AND NOT wins3 AS INT) AS is_flat
+                   FROM v1t JOIN p12 USING (c1) JOIN u2 USING (c2)
+                     JOIN p23 USING (c2) JOIN u3 USING (c3))
+               SELECT cut, cluster, n_points, round(stability, 6) AS stability,
+                 round(child_stability, 6) AS child_stability, is_flat
+               FROM (SELECT * FROM f1 UNION ALL SELECT * FROM f2
+                     UNION ALL SELECT * FROM f3) z
+               ORDER BY cut, cluster"""
+      }),
+
+    QueryDef(
       "ml_tsne_affinity",
       // cuml.manifold TSNE's AFFINITY phase (the P-matrix — like
       // ml_umap_graph, the dataflow part of the manifold pair; the layout
