@@ -2007,12 +2007,27 @@ class MicroSpec extends SparkSpec {
     }
   }
 
-  test("text_bpe_merge: merge candidates rank by descending count (r8)") {
+  test("text_bpe_merge: 3 iterated rounds, re-segmentation provably applied (r10)") {
     val rows = q("text_bpe_merge").collect()
-    assert(rows.length == 10)
-    assert(rows.forall(_.getAs[String]("pair").length == 2))
-    val ns = rows.map(_.getAs[Long]("n"))
-    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b }, "descending counts")
+    assert(rows.length == 15, s"expected 3 rounds x top-5, got ${rows.length}")
+    for (r <- 1 to 3) {
+      val rnd = rows.filter(_.getAs[Int]("round") == r)
+      assert(rnd.map(_.getAs[Int]("rank")).toSeq == (1 to 5),
+        s"round $r ranks not 1..5")
+      val ns = rnd.sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("n"))
+      assert(ns.zip(ns.tail).forall { case (a, b) => a >= b },
+        s"round $r counts not descending")
+    }
+    // the merge actually re-segments: each round's winner never reappears
+    // as a candidate pair in any LATER round (its adjacency was consumed)
+    for (r <- 1 to 2) {
+      val win = rows.filter(x => x.getAs[Int]("round") == r &&
+        x.getAs[Int]("rank") == 1).head
+      val (w1, w2) = (win.getAs[String]("p1"), win.getAs[String]("p2"))
+      assert(!rows.exists(x => x.getAs[Int]("round") > r &&
+        x.getAs[String]("p1") == w1 && x.getAs[String]("p2") == w2),
+        s"round-$r winner ($w1,$w2) reappears after its merge")
+    }
   }
 
   test("polyTid: Spark ascii() is the full CODE POINT, matching DuckDB unicode() (r9)") {
