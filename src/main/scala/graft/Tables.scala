@@ -146,7 +146,16 @@ object Tables {
     * reference starts from a flat leaf. On a real cluster the executor-
     * local blocks are lost on executor failure — the documented tradeoff
     * vs reliable checkpointing — which is exactly right for per-round
-    * state a retry can rebuild from the previous pin. */
+    * state a retry can rebuild from the previous pin.
+    *
+    * NOT a drop-in freeze replacement: pin pays a full eager
+    * compute-and-cache job per call, where freeze defers to the next
+    * action and reuses shuffle files. Swapping minLabelComponents' flat
+    * per-round freezes for pin measured a >6× REGRESSION at sf0.1 (the
+    * propagation table is the query's largest intermediate; caching it
+    * every round dwarfs the recompute it saves). Use pin where lineage
+    * DEPTH is the hazard (nested fixpoints, state reused across many
+    * later actions); keep freeze for flat single-loop rounds. */
   def pin(df: DataFrame): DataFrame = df.localCheckpoint(eager = true)
 
   /** Session-scoped memo for DRIVER-HELD fit state (VERDICT r6 #7 — "batch

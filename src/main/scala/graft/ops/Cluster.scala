@@ -1106,8 +1106,12 @@ object Cluster {
             val picks = T.pin(sym.withColumn("rn", row_number().over(pw))
               .where(col("rn") === 1)
               .select(col("cu"), col("cv"), col("a"), col("b"), col("w")))
+            // mst stays an UNPINNED union of pinned picks: the union tree
+            // is ≤ log n deep (no recompute — every leaf is materialized)
+            // and the one pin at mstF below materializes it once, saving
+            // an eager cache job per round
             val newEdges = picks.select(col("a"), col("b"), col("w")).distinct()
-            mst = T.pin(if (mst == null) newEdges else mst.unionAll(newEdges))
+            mst = if (mst == null) newEdges else mst.unionAll(newEdges)
             // relabel over the PICKED component graph (≤ 1 edge/component)
             val cm = Dedup.minLabelComponents(
               picks.select(col("cu").as("doc_a"), col("cv").as("doc_b")),
@@ -1127,9 +1131,9 @@ object Cluster {
                 col("m.b").as("b"), col("m.w").as("w")))
           }
         }
-        val mstF =
+        val mstF = T.pin(
           if (mst == null) mr.select(col("a"), col("b"), col("w")).where(lit(false))
-          else mst
+          else mst)
         val mstEdges = mstF.count()
         val cutRows = Seq(0.004, 0.007, 0.01).map { cut =>
           val comp = Dedup.minLabelComponents(
