@@ -262,6 +262,25 @@ object Cluster {
                    FROM ep JOIN core ca ON ca.cid = ep.a
                            JOIN core cb ON cb.cid = ep.b)"""
 
+  /** Components of the SAME weighted graph at SEVERAL thresholds in ONE
+    * label-propagation fixpoint (r10 perf: the dendrogram/extract rows ran
+    * one fixpoint PER cut — 3× the job count for the same rounds, and the
+    * inner fixpoint's fixed per-round cost dominates these queries in
+    * local mode). Vertices are composited as v·n + cutIdx, so the three
+    * cut-graphs ride one edge table and one fixpoint; within a component
+    * every composite shares the cut index, so labels decode back by
+    * integer division. Returns (cut_idx, v, lbl). */
+  private def cutComponents(edges: DataFrame, cuts: Seq[Double]): DataFrame = {
+    val n = cuts.length
+    val pairs = cuts.zipWithIndex.map { case (c, i) =>
+      edges.where(col("w") <= c)
+        .selectExpr(s"a * $n + $i AS doc_a", s"b * $n + $i AS doc_b")
+    }.reduce(_ unionAll _)
+    Dedup.minLabelComponents(pairs, None, MAX_ROUNDS)
+      .selectExpr(s"CAST(v % $n AS INT) AS cut_idx",
+        s"v div $n AS v", s"lbl div $n AS lbl")
+  }
+
   /** Undirected eps-neighbor pairs (a < b), via the eps-cell grid join.
     * Each point lands in cell (⌊x/eps⌋, ⌊y/eps⌋) once as HOME and probes
     * the 3×3 neighborhood as PROBE; a pair (a<b) meets exactly once — at
@@ -1135,11 +1154,9 @@ object Cluster {
           if (mst == null) mr.select(col("a"), col("b"), col("w")).where(lit(false))
           else mst)
         val mstEdges = mstF.count()
-        val cutRows = Seq(0.004, 0.007, 0.01).map { cut =>
-          val comp = Dedup.minLabelComponents(
-            mstF.where(col("w") <= cut)
-              .select(col("a").as("doc_a"), col("b").as("doc_b")),
-            None, MAX_ROUNDS)
+        val allComp = T.pin(cutComponents(mstF, Seq(0.004, 0.007, 0.01)))
+        val cutRows = Seq(0.004, 0.007, 0.01).zipWithIndex.map { case (cut, ci) =>
+          val comp = allComp.where(col("cut_idx") === ci)
           comp.groupBy("lbl").agg(count(lit(1)).as("m"))
             .agg(coalesce(count(lit(1)), lit(0L)).as("n_clusters"),
               coalesce(sum(col("m")), lit(0L)).as("n_clustered"))
@@ -1213,11 +1230,11 @@ object Cluster {
       // joins on cluster-count-sized aggregates.
       (s, dir) => {
         val mr = T.pin(mrGraph(s, dir))
-        def lbl(cut: Double) = T.pin(Dedup.minLabelComponents(
-          mr.where(col("w") <= cut)
-            .select(col("a").as("doc_a"), col("b").as("doc_b")),
-          None, MAX_ROUNDS))
-        val l1 = lbl(0.004); val l2 = lbl(0.007); val l3 = lbl(0.01)
+        // all three level labelings from ONE fixpoint (see cutComponents)
+        val allComp = T.pin(cutComponents(mr, Seq(0.004, 0.007, 0.01)))
+        def lbl(ci: Int) = allComp.where(col("cut_idx") === ci)
+          .select(col("v"), col("lbl"))
+        val l1 = lbl(0); val l2 = lbl(1); val l3 = lbl(2)
         val w1 = "(1e0 / 4e-3 - 1e0 / 7e-3)"
         val w2 = "(1e0 / 7e-3 - 1e0 / 1e-2)"
         val w3 = "(1e0 / 1e-2)"
