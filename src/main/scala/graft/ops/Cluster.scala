@@ -1482,6 +1482,143 @@ object Cluster {
       }),
 
     QueryDef(
+      "ml_tsne_distributed",
+      // t-SNE sibling of ml_umap_distributed (r10 — completes the
+      // distributed manifold PAIR): the KL gradient 4Σ(p−q)·w·(y_i−y_j)
+      // with the Student-t kernel w = 1/(1+d²), run over EVERY embedding
+      // with the coordinate table pinned per round and never collected.
+      // p is uniform 1/m over the directed eps-graph edges (the
+      // perplexity-calibrated P is ml_tsne_affinity's layer); q = w/W
+      // needs the GLOBAL normalizer W = Σ_{k≠l} w_kl — the quantity
+      // Barnes-Hut exists to approximate — estimated here from the same
+      // sampled negatives by importance scaling: Ŵ = (n(n−1)/|samples|)·
+      // Σ_samples w, ONE scalar aggregate per round broadcast back into
+      // the update. Repulsion per point scales its sampled mean by
+      // (n−1) (the ordered-pair count it stands in for). Only the 3-row
+      // trail (mean edge kernel, mean step) reaches the driver; counts
+      // n and m enter as driver literals (bounded scalars, not layout).
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        val pts0 = plane(s, dir).select("id", "x", "y")
+        val n = pts0.count()
+        val ep = T.pin(epsPairs(s, dir))
+        val ed = ep.selectExpr("a AS i", "b AS j")
+          .unionAll(ep.selectExpr("b AS i", "a AS j"))
+        val m = ed.count()
+        val negC = broadcast(Seq(1, 2).toDF("c"))
+        var pts = T.pin(pts0)
+        val trail = scala.collection.mutable.ArrayBuffer[DataFrame]()
+        for (it <- 1 to 3) {
+          val jdF = T.pin(ed
+            .join(pts.selectExpr("id AS i", "x AS xi", "y AS yi"), "i")
+            .join(pts.selectExpr("id AS j", "x AS xj", "y AS yj"), "j")
+            .selectExpr("i", "xi", "yi", "xj", "yj",
+              "1e0 / (1e0 + (xi - xj) * (xi - xj) + (yi - yj) * (yi - yj)) AS w"))
+          val att = jdF.selectExpr("i",
+              s"(w / ${m}e0) * (xj - xi) AS ax",
+              s"(w / ${m}e0) * (yj - yi) AS ay")
+            .groupBy("i")
+            .agg(T.xsum(col("ax")).as("ax"), T.xsum(col("ay")).as("ay"))
+          val rpF = T.pin(pts.selectExpr("id AS i", "x AS xi", "y AS yi")
+            .crossJoin(negC)
+            .selectExpr("i", "xi", "yi",
+              s"(i * 48271 + c * 16807 + $it) % ${T.HASH_P} % ${n}L AS k")
+            .where(col("k") =!= col("i"))
+            .join(pts.selectExpr("id AS k", "x AS xk", "y AS yk"), "k")
+            .selectExpr("i", "xi", "yi", "xk", "yk",
+              "1e0 / (1e0 + (xi - xk) * (xi - xk) + (yi - yk) * (yi - yk)) AS w"))
+          val wEst = rpF.agg(count(lit(1)).as("ns"), T.xsum(col("w")).as("sw"))
+            .selectExpr(s"(${n}e0 * ${n - 1}e0 / ns) * sw AS west")
+          val rep = rpF.crossJoin(broadcast(wEst))
+            .selectExpr("i",
+              s"(w * w / west) * ${n - 1}e0 * (xi - xk) AS rx",
+              s"(w * w / west) * ${n - 1}e0 * (yi - yk) AS ry")
+            .groupBy("i")
+            .agg(count(lit(1)).as("nk"),
+              T.xsum(col("rx")).as("rx"), T.xsum(col("ry")).as("ry"))
+          val nxt = T.pin(pts
+            .join(att.withColumnRenamed("i", "id"), Seq("id"), "left")
+            .join(rep.withColumnRenamed("i", "id"), Seq("id"), "left")
+            .selectExpr("id", "x", "y",
+              "x + 8e1 * (coalesce(ax, 0e0) + coalesce(rx / nk, 0e0)) AS x1",
+              "y + 8e1 * (coalesce(ay, 0e0) + coalesce(ry / nk, 0e0)) AS y1"))
+          val cw = jdF.agg(T.xsum(col("w")).as("sw"))
+          val st = nxt.agg(count(lit(1)).as("np"),
+            T.xsum(expr(
+              "sqrt((x1 - x) * (x1 - x) + (y1 - y) * (y1 - y))")).as("ss"))
+          trail += cw.crossJoin(st).selectExpr(s"$it AS iter", "np AS n_pts",
+            s"round(sw / ${m}e0, 6) AS mean_edge_w",
+            "round(ss / np, 6) AS mean_step")
+          pts = nxt.selectExpr("id", "x1 AS x", "y1 AS y")
+        }
+        trail.reduce(_ unionAll _).orderBy("iter")
+      },
+      Some {
+        def stepCtes(k: Int): String = {
+          val p = s"tp${k - 1}"
+          s"""jd$k AS MATERIALIZED (SELECT i, xi, yi, xj, yj,
+                     1e0 / (1e0 + (xi - xj) * (xi - xj) + (yi - yj) * (yi - yj)) AS w
+                   FROM (SELECT ed.i, pi.x AS xi, pi.y AS yi,
+                       pj.x AS xj, pj.y AS yj
+                     FROM ed JOIN $p pi ON ed.i = pi.id
+                       JOIN $p pj ON ed.j = pj.id) t),
+                 at$k AS (SELECT i,
+                     ${T.sqlXsum("(w / mm.m) * (xj - xi)")} AS ax,
+                     ${T.sqlXsum("(w / mm.m) * (yj - yi)")} AS ay
+                   FROM jd$k, mm GROUP BY i),
+                 rp$k AS MATERIALIZED (SELECT i, xi, yi, xk, yk,
+                     1e0 / (1e0 + (xi - xk) * (xi - xk) + (yi - yk) * (yi - yk)) AS w
+                   FROM (SELECT s.i, s.xi, s.yi, pk.x AS xk, pk.y AS yk
+                     FROM (SELECT p.id AS i, p.x AS xi, p.y AS yi,
+                         (p.id * 48271 + c * 16807 + $k) % ${T.HASH_P} % nn.n AS k
+                       FROM $p p CROSS JOIN ng, nn) s
+                     JOIN $p pk ON pk.id = s.k
+                     WHERE s.k <> s.i) t),
+                 ws$k AS (SELECT (nn.n * (nn.n - 1e0) / count(*)) *
+                     ${T.sqlXsum("w")} AS west
+                   FROM rp$k, nn GROUP BY nn.n),
+                 rg$k AS (SELECT i, count(*) AS nk,
+                     ${T.sqlXsum("(w * w / west) * (nn.n - 1e0) * (xi - xk)")} AS rx,
+                     ${T.sqlXsum("(w * w / west) * (nn.n - 1e0) * (yi - yk)")} AS ry
+                   FROM rp$k, ws$k, nn GROUP BY i),
+                 u$k AS MATERIALIZED (SELECT id, x, y,
+                     x + 8e1 * (coalesce(ax, 0e0) + coalesce(rx / nk, 0e0)) AS x1,
+                     y + 8e1 * (coalesce(ay, 0e0) + coalesce(ry / nk, 0e0)) AS y1
+                   FROM $p LEFT JOIN at$k ON $p.id = at$k.i
+                     LEFT JOIN rg$k ON $p.id = rg$k.i),
+                 tp$k AS (SELECT id, x1 AS x, y1 AS y FROM u$k),
+                 cw$k AS (SELECT ${T.sqlXsum("w")} AS sw FROM jd$k),
+                 st$k AS (SELECT count(*) AS np,
+                     ${T.sqlXsum("sqrt((x1 - x) * (x1 - x) + (y1 - y) * (y1 - y))")} AS ss
+                   FROM u$k),
+                 tr$k AS (SELECT $k AS iter, np AS n_pts,
+                     round(sw / mm.m, 6) AS mean_edge_w,
+                     round(ss / np, 6) AS mean_step
+                   FROM cw$k, st$k, mm)"""
+        }
+        s"""WITH tp0 AS MATERIALIZED (SELECT vec_id AS id,
+                   CAST(embedding[1] AS DOUBLE) AS x,
+                   CAST(embedding[2] AS DOUBLE) AS y FROM embeddings),
+                 nn AS (SELECT count(*) AS n FROM tp0),
+                 ept AS MATERIALIZED (SELECT p.id AS a, q.id AS b
+                   FROM tp0 p JOIN tp0 q ON p.id < q.id
+                    AND (p.x - q.x) * (p.x - q.x) + (p.y - q.y) * (p.y - q.y)
+                        <= ${EPS * EPS}),
+                 ed AS (SELECT a AS i, b AS j FROM ept
+                        UNION ALL SELECT b, a FROM ept),
+                 mm AS (SELECT CAST(count(*) AS DOUBLE) AS m FROM ed),
+                 ng AS (SELECT * FROM (VALUES (1), (2)) v(c)),
+                 ${stepCtes(1)},
+                 ${stepCtes(2)},
+                 ${stepCtes(3)}
+               SELECT iter, n_pts, mean_edge_w, mean_step
+               FROM (SELECT * FROM tr1 UNION ALL SELECT * FROM tr2
+                     UNION ALL SELECT * FROM tr3) z
+               ORDER BY iter"""
+      }),
+
+    QueryDef(
       "ml_tsne_affinity",
       // cuml.manifold TSNE's AFFINITY phase (the P-matrix — like
       // ml_umap_graph, the dataflow part of the manifold pair; the layout

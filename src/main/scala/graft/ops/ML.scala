@@ -4667,6 +4667,71 @@ object ML {
                FROM fin""")),
 
     QueryDef(
+      "ml_isotonic_calibration",
+      // Isotonic regression (sklearn IsotonicRegression / the missing
+      // member of the calibration family next to ml_platt_scaling):
+      // monotone non-decreasing fit of P(returnflag = R | quantity) over
+      // the 50 natural integer quantity bins. NO PAVA loop: the L2
+      // isotonic solution has the closed MINIMAX form f(i) = max_{j≤i}
+      // min_{k≥i} avg(y[j..k]), and with B bins the O(B³) triple space is
+      // a BOUNDED ~22k-row aggregate-table computation — one corpus pass
+      // to (bin, n, pos), prefix sums by one 50-row window, interval
+      // averages from a bounded inequality self-join, then min-per-(i,j)
+      // → max-per-i. Exact integer counts end-to-end; the only doubles
+      // are the shared-text interval-average divisions, and min/max over
+      // identical doubles is order-free, so the fit is bit-deterministic
+      // cross-engine. At 100 TB the corpus pass is the only scan; the
+      // bin table is fixed-size driver-independent aggregate state.
+      (s, dir) => {
+        val b = T.lineitem(s, dir)
+          .selectExpr("CAST(l_quantity AS INT) AS q",
+            "CASE WHEN l_returnflag = 'R' THEN 1L ELSE 0L END AS y")
+          .transform(T.fanOut(_))
+          .groupBy("q").agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
+        val wc = Window.orderBy("q")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val c = T.freeze(b.select(col("q"), col("n"), col("pos"),
+          sum(col("n")).over(wc).as("cn"), sum(col("pos")).over(wc).as("cpos")))
+        val pairs = c.selectExpr("q AS jq", "n AS jn", "pos AS jpos",
+            "cn AS jcn", "cpos AS jcpos")
+          .join(broadcast(c.selectExpr("q AS kq", "cn AS kcn", "cpos AS kcpos")),
+            expr("jq <= kq"))
+          .selectExpr("jq", "kq",
+            "CAST(kcpos - jcpos + jpos AS DOUBLE) / CAST(kcn - jcn + jn AS DOUBLE) AS avgjk")
+        val tri = c.select(col("q"), col("n"), col("pos"))
+          .join(broadcast(pairs), expr("jq <= q AND q <= kq"))
+        tri.groupBy("q", "n", "pos", "jq").agg(min(col("avgjk")).as("mnk"))
+          .groupBy("q", "n", "pos").agg(max(col("mnk")).as("iso"))
+          .selectExpr("q AS quantity", "n",
+            "round(CAST(pos AS DOUBLE) / n, 6) AS emp_rate",
+            "round(iso, 6) AS iso_rate")
+          .orderBy("quantity")
+      },
+      Some("""WITH b AS (SELECT CAST(l_quantity AS INT) AS q, count(*) AS n,
+                     CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS pos
+                   FROM lineitem GROUP BY q),
+                 c AS (SELECT q, n, pos,
+                     sum(n) OVER (ORDER BY q ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS cn,
+                     sum(pos) OVER (ORDER BY q ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS cpos
+                   FROM b),
+                 pr AS (SELECT j.q AS jq, k.q AS kq,
+                     CAST(k.cpos - j.cpos + j.pos AS DOUBLE) /
+                       CAST(k.cn - j.cn + j.n AS DOUBLE) AS avgjk
+                   FROM c j JOIN c k ON j.q <= k.q),
+                 tri AS (SELECT i.q, i.n, i.pos, pr.jq, pr.avgjk
+                   FROM c i JOIN pr ON pr.jq <= i.q AND i.q <= pr.kq),
+                 mn AS (SELECT q, n, pos, jq, min(avgjk) AS mnk
+                   FROM tri GROUP BY q, n, pos, jq),
+                 iso AS (SELECT q, n, pos, max(mnk) AS iso
+                   FROM mn GROUP BY q, n, pos)
+               SELECT q AS quantity, n,
+                 round(CAST(pos AS DOUBLE) / n, 6) AS emp_rate,
+                 round(iso, 6) AS iso_rate
+               FROM iso ORDER BY quantity""")),
+
+    QueryDef(
       "ml_platt_scaling",
       // SVC(probability=True) — Platt scaling: calibrate the linear SVC's
       // decision values f = a + b·x into probabilities p = σ(A + B·f) by

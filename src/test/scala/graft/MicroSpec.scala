@@ -1163,6 +1163,20 @@ class MicroSpec extends SparkSpec {
 
   // ---- r7 closing-session operator pins ----------------------------------
 
+  test("ml_isotonic_calibration: monotone fit preserving the weighted mean (r10)") {
+    val rows = q("ml_isotonic_calibration").orderBy("quantity").collect()
+    assert(rows.length >= 10)
+    val iso = rows.map(_.getAs[Double]("iso_rate"))
+    assert(iso.zip(iso.tail).forall { case (a, b) => b >= a - 1e-9 },
+      "iso_rate not monotone non-decreasing")
+    assert(iso.forall(v => v >= 0.0 && v <= 1.0))
+    // L2 projection onto the monotone cone preserves the weighted mean
+    val wIso = rows.map(r => r.getAs[Long]("n") * r.getAs[Double]("iso_rate")).sum
+    val wEmp = rows.map(r => r.getAs[Long]("n") * r.getAs[Double]("emp_rate")).sum
+    assert(math.abs(wIso - wEmp) <= 1e-3 * math.max(wEmp, 1.0),
+      s"weighted mean not preserved: iso=$wIso emp=$wEmp")
+  }
+
   test("ml_platt_scaling: calibration orders the classes and log loss is sane (r7)") {
     val r = q("ml_platt_scaling").collect()(0)
     val (pPos, pNeg, ll) = (r.getAs[Double]("mean_p_pos"),
