@@ -191,6 +191,12 @@ object Vec {
   def l2(s: SparkSession, a: String, b: String): Column = {
     register(s); expr(s"graft_vec_l2($a, $b)")
   }
+  /** Column-form l2 — for callers whose operand is not a named column
+    * (e.g. a literal centroid array in the map-only kmeans assignment). */
+  def l2Cols(s: SparkSession, a: Column, b: Column): Column = {
+    register(s)
+    org.apache.spark.sql.functions.call_function("graft_vec_l2", a, b)
+  }
   def l1(s: SparkSession, a: String, b: String): Column = {
     register(s); expr(s"graft_vec_l1($a, $b)")
   }

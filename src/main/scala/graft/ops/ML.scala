@@ -2010,38 +2010,66 @@ object ML {
       // with the convergence verdict. The sequence is deterministic, so
       // the DuckDB oracle unrolls all 10 candidate iterations as CTEs and
       // truncates at the same stopping index the driver loop used.
+      // r10 perf rewrite: assignment was crossJoin(broadcast(cent)) +
+      // Window.partitionBy(vec_id) — a shuffle of K× the corpus PER
+      // ITERATION just to pick the row_number()=1 row. The centroids are
+      // driver-held model state anyway (collected every round for the
+      // shift check), so assignment is now MAP-ONLY: `least()` over K
+      // literal (d, cid) structs — struct comparison is lexicographic, so
+      // the (d, cid) tie-break is bit-identical to the old window order
+      // and to the oracle's row_number ORDER BY d, cid. Per iteration the
+      // only shuffle left is the K-group partial-aggregated mean (the
+      // Lloyd shape MLlib itself uses). The shift check moved driver-side
+      // (same widen-then-accumulate IEEE sequence as graft_vec_l2).
       (s, dir) => {
         val spark = s
         import spark.implicits._
+        // cached across the Lloyd iterations (the MLlib discipline: an
+        // iterative fit over an immutable corpus persists it once —
+        // MEMORY_AND_DISK, so at 100 TB partitions spill, never OOM)
         val e = T.embeddings(s, dir)
           .select(col("vec_id"), col("embedding"))
           .transform(T.fanOut(_, col("vec_id")))
-        var cent: DataFrame = e.where(col("vec_id") < 10)
-          .select(col("vec_id").as("cid"), col("embedding").as("c_emb"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // client-held model state (the cuML coef_ pattern): K=10 rows
+        var cent: Seq[(Long, Array[Float])] = e.where(col("vec_id") < 10)
+          .select(col("vec_id"), col("embedding"))
+          .collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+          .toSeq.sortBy(_._1)
+        def l2Local(a: Array[Float], b: Array[Float]): Double = {
+          var acc = 0.0; var i = 0
+          while (i < a.length) {
+            val d = a(i).toDouble - b(i).toDouble; acc += d * d; i += 1
+          }
+          math.sqrt(acc)
+        }
         val trail = scala.collection.mutable.ArrayBuffer[(Int, Double)]()
         var shift = Double.MaxValue
         var it = 0
         while (it < 10 && shift > 1e-4) {
           it += 1
-          val dist = graft.functions.Vec.l2(s, "embedding", "c_emb")
-          val w = Window.partitionBy(col("vec_id")).orderBy(col("d"), col("cid"))
-          val next = e.crossJoin(broadcast(cent))
-            .select(col("vec_id"), col("embedding"), col("cid"), dist.as("d"))
-            .withColumn("rn", row_number().over(w))
-            .where(col("rn") === 1)
+          val best = least(cent.map { case (cid, emb) =>
+            struct(
+              graft.functions.Vec.l2Cols(s, col("embedding"), typedLit(emb)).as("d"),
+              lit(cid).as("cid"))
+          }: _*)
+          val next = e
+            .select(col("embedding"), best.getField("cid").as("cid"))
             .groupBy("cid")
             .agg(array((1 to 64).map(i =>
               avg(element_at(col("embedding"), i).cast("double")).cast("float")): _*).as("c_emb"))
-          val nextRows = next.collect()
-          val nextDf = s.createDataFrame(
-            java.util.Arrays.asList(nextRows: _*), next.schema)
-          shift = cent.select(col("cid"), col("c_emb").as("o_emb"))
-            .join(nextDf.select(col("cid"), col("c_emb").as("n_emb")), "cid")
-            .select(graft.functions.Vec.l2(s, "o_emb", "n_emb").as("d"))
-            .agg(max(col("d"))).collect()(0).getDouble(0)
+          val nextCent = next.collect()
+            .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+            .toSeq.sortBy(_._1)
+          val old = cent.toMap
+          shift = nextCent.flatMap { case (cid, emb) =>
+            old.get(cid).map(l2Local(_, emb))
+          }.max
           trail += ((it, shift))
-          cent = nextDf
+          cent = nextCent
         }
+        e.unpersist(blocking = false)
         trail.toSeq.toDF("iter", "s")
           .selectExpr("iter", "round(s, 6) AS shift", "s <= 1e-4 AS converged")
           .orderBy("iter")
