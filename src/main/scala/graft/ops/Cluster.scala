@@ -262,6 +262,112 @@ object Cluster {
                    FROM ep JOIN core ca ON ca.cid = ep.a
                            JOIN core cb ON cb.cid = ep.b)"""
 
+  /** Borůvka MST over a weighted edge list `(a, b, w)` under the strict
+    * total edge order (w, a, b) — returns the MST edges `(a, b, w)`.
+    *
+    * Distributed rounds (the contracted-component-graph loop r10 built for
+    * ml_hdbscan_dendrogram): every component picks its lexicographically
+    * lightest outgoing edge in one window pass, picked edges join the MST,
+    * components contract by min-label propagation over the picked graph,
+    * and the edge table is re-keyed to the new labels keeping ONE
+    * (w, a, b)-minimum witness per component pair — so it shrinks
+    * geometrically (components at least halve per round).
+    *
+    * LOCAL FINISH (r10 perf — "Filtering", Lattanzi et al., SPAA 2011:
+    * contract distributedly until the problem fits one machine, then
+    * finish there): once the contracted component graph has ≤ `localFinish`
+    * edges it is MODEL-sized, not corpus-sized — collect it and run
+    * lexicographic Kruskal driver-side. Under a strict total edge order
+    * the minimum spanning forest is UNIQUE, so local Kruskal and further
+    * distributed rounds produce the identical edge set (pinned by
+    * MicroSpec's equivalence test, which runs this helper at
+    * localFinish=0 — fully distributed — and localFinish=MaxValue — pure
+    * Kruskal — on the same graph). At sf0.1 the mutual-reachability graph
+    * contracts 2037 → 109 edges after one round; the local finish saves
+    * the last ~3 rounds of fixpoints, which local-mode job overhead made
+    * the single most expensive stretch in the registry. At 100 TB the
+    * loop runs log(n) − log(localFinish) distributed rounds first — the
+    * collect is bounded by construction, never corpus-sized. */
+  private[graft] def boruvkaMst(
+      s: SparkSession, mr: DataFrame, localFinish: Long = 1024L): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+    var ce = T.pin(mr.selectExpr("a AS cu", "b AS cv", "a", "b", "w"))
+    var mst: DataFrame = null
+    var rounds = 0
+    var done = false
+    while (!done) {
+      val nEdges = ce.count()
+      if (nEdges == 0) done = true
+      else if (nEdges <= localFinish) {
+        val rows = ce.select("cu", "cv", "a", "b", "w").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+            r.getDouble(4)))
+          .sortBy { case (_, _, a, b, w) => (w, a, b) }
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) {
+            val nx = parent(c); parent(c) = r; c = nx
+          }
+          r
+        }
+        val picked = rows.flatMap { case (cu, cv, a, b, w) =>
+          val ru = find(cu); val rv = find(cv)
+          if (ru == rv) None
+          else {
+            parent(math.max(ru, rv)) = math.min(ru, rv)
+            Some(Row(a, b, w))
+          }
+        }
+        val local = s.createDataFrame(
+          java.util.Arrays.asList(picked.toIndexedSeq: _*),
+          StructType(Seq(StructField("a", LongType), StructField("b", LongType),
+            StructField("w", DoubleType))))
+        mst = if (mst == null) local else mst.unionAll(local)
+        done = true
+      } else if (rounds >= MAX_ROUNDS) throw new IllegalStateException(
+        s"boruvkaMst: Borůvka edges still active after " +
+          s"$MAX_ROUNDS rounds — component count not contracting")
+      else {
+        rounds += 1
+        val sym = ce.selectExpr("cu", "cv", "a", "b", "w")
+          .unionAll(ce.selectExpr("cv AS cu", "cu AS cv", "a", "b", "w"))
+        val pw = Window.partitionBy("cu")
+          .orderBy(col("w"), col("a"), col("b"))
+        val picks = T.pin(sym.withColumn("rn", row_number().over(pw))
+          .where(col("rn") === 1)
+          .select(col("cu"), col("cv"), col("a"), col("b"), col("w")))
+        // mst stays an UNPINNED union of pinned picks: the union tree is
+        // ≤ log n deep (no recompute — every leaf is materialized) and the
+        // caller's single pin materializes it once
+        val newEdges = picks.select(col("a"), col("b"), col("w")).distinct()
+        mst = if (mst == null) newEdges else mst.unionAll(newEdges)
+        // relabel over the PICKED component graph (≤ 1 edge/component)
+        val cm = Dedup.minLabelComponents(
+          picks.select(col("cu").as("doc_a"), col("cv").as("doc_b")),
+          None, MAX_ROUNDS)
+        // contract: re-key to new labels, drop intra-component edges,
+        // keep the (w, a, b)-minimum witness per component pair
+        val rek = ce
+          .join(cm.select(col("v").as("cu"), col("lbl").as("lu")), "cu")
+          .join(cm.select(col("v").as("cv"), col("lbl").as("lv")), "cv")
+          .where(col("lu") =!= col("lv"))
+          .select(least(col("lu"), col("lv")).as("cu"),
+            greatest(col("lu"), col("lv")).as("cv"),
+            col("a"), col("b"), col("w"))
+        ce = T.pin(rek.groupBy("cu", "cv")
+          .agg(min(struct(col("w"), col("a"), col("b"))).as("m"))
+          .select(col("cu"), col("cv"), col("m.a").as("a"),
+            col("m.b").as("b"), col("m.w").as("w")))
+      }
+    }
+    if (mst == null) mr.select(col("a"), col("b"), col("w")).where(lit(false))
+    else mst
+  }
+
   /** Components of the SAME weighted graph at SEVERAL thresholds in ONE
     * label-propagation fixpoint (r10 perf: the dendrogram/extract rows ran
     * one fixpoint PER cut — 3× the job count for the same rounds, and the
@@ -1091,80 +1197,42 @@ object Cluster {
       // (components of MST≤λ = components of G≤λ), so the green row
       // PROVES the Borůvka result, per-component edge count n−1 included.
       // r10 rewrite (VERDICT r9 #1 — the reproduced StackOverflow): the
-      // loop now runs on the CONTRACTED component graph, not on per-node
-      // labels. `ce(cu, cv, a, b, w)` keeps ONE witness edge (the (w, a, b)
-      // minimum) per unordered component pair; after each round the table
-      // is re-keyed to the new labels and re-minimized, so it shrinks
-      // geometrically (components at least halve per Borůvka round — the
-      // real distributed contract). Every round's state is T.pin'd
-      // (eager localCheckpoint): the RDD lineage is CUT each round, which
-      // kills both the 1,700-stage recompute and the task-deserialization
-      // StackOverflow the bare freeze chain sat on. The node-level label
-      // table is gone entirely — MST edges carry original (a, b), so the
-      // λ cuts run on the ONE pinned MST at the end. Exiting the round cap
-      // with edges still active THROWS (no silent caps).
+      // Borůvka loop lives in [[boruvkaMst]] — contracted component graph
+      // with one (w, a, b)-min witness edge per component pair, T.pin'd
+      // rounds (lineage CUT — no recompute, no deep task closures), and a
+      // Filtering-style bounded local Kruskal finish once the contracted
+      // graph is model-sized. Exiting the round cap with live edges THROWS.
+      // r10 perf: the λ-cut profile needs COUNTS only, and the MST is a
+      // FOREST — so components(MST≤λ) = touched_vertices(≤λ) − edges(≤λ)
+      // by the forest handshake, and touched(MST≤λ) = touched(G≤λ) by the
+      // MST minimax property (a vertex with a G-edge ≤ λ reaches that
+      // neighbor through MST edges all ≤ λ). The per-cut label-propagation
+      // fixpoint (cutComponents) is therefore replaced by ONE aggregation
+      // over the exploded MST endpoints: three filtered countDistincts +
+      // edge counts in a single pass. ml_hdbscan_extract still runs the
+      // real fixpoint — it needs label VALUES, not counts.
       (s, dir) => {
         val mr = T.pin(mrGraph(s, dir))
         val nNodes = mr.select(col("a").as("v"))
           .union(mr.select(col("b").as("v"))).distinct().count()
-        var ce = T.pin(mr.selectExpr("a AS cu", "b AS cv", "a", "b", "w"))
-        var mst: DataFrame = null
-        var rounds = 0
-        var done = false
-        while (!done) {
-          if (ce.isEmpty) done = true
-          else if (rounds >= MAX_ROUNDS) throw new IllegalStateException(
-            s"ml_hdbscan_dendrogram: Borůvka edges still active after " +
-              s"$MAX_ROUNDS rounds — component count not contracting")
-          else {
-            rounds += 1
-            val sym = ce.selectExpr("cu", "cv", "a", "b", "w")
-              .unionAll(ce.selectExpr("cv AS cu", "cu AS cv", "a", "b", "w"))
-            val pw = Window.partitionBy("cu")
-              .orderBy(col("w"), col("a"), col("b"))
-            val picks = T.pin(sym.withColumn("rn", row_number().over(pw))
-              .where(col("rn") === 1)
-              .select(col("cu"), col("cv"), col("a"), col("b"), col("w")))
-            // mst stays an UNPINNED union of pinned picks: the union tree
-            // is ≤ log n deep (no recompute — every leaf is materialized)
-            // and the one pin at mstF below materializes it once, saving
-            // an eager cache job per round
-            val newEdges = picks.select(col("a"), col("b"), col("w")).distinct()
-            mst = if (mst == null) newEdges else mst.unionAll(newEdges)
-            // relabel over the PICKED component graph (≤ 1 edge/component)
-            val cm = Dedup.minLabelComponents(
-              picks.select(col("cu").as("doc_a"), col("cv").as("doc_b")),
-              None, MAX_ROUNDS)
-            // contract: re-key to new labels, drop intra-component edges,
-            // keep the (w, a, b)-minimum witness per component pair
-            val rek = ce
-              .join(cm.select(col("v").as("cu"), col("lbl").as("lu")), "cu")
-              .join(cm.select(col("v").as("cv"), col("lbl").as("lv")), "cv")
-              .where(col("lu") =!= col("lv"))
-              .select(least(col("lu"), col("lv")).as("cu"),
-                greatest(col("lu"), col("lv")).as("cv"),
-                col("a"), col("b"), col("w"))
-            ce = T.pin(rek.groupBy("cu", "cv")
-              .agg(min(struct(col("w"), col("a"), col("b"))).as("m"))
-              .select(col("cu"), col("cv"), col("m.a").as("a"),
-                col("m.b").as("b"), col("m.w").as("w")))
-          }
+        val mstF = T.pin(boruvkaMst(s, mr))
+        val cuts = Seq(0.004, 0.007, 0.01)
+        val ep = mstF.select(explode(array(col("a"), col("b"))).as("v"), col("w"))
+        val aggCols = cuts.zipWithIndex.flatMap { case (c, i) => Seq(
+          countDistinct(when(col("w") <= c, col("v"))).as(s"touched_$i"),
+          (sum(when(col("w") <= c, 1L).otherwise(0L)) / 2).cast("long").as(s"edges_$i"))
+        } :+ (count(lit(1)) / 2).cast("long").as("mst_edges")
+        val p = ep.agg(aggCols.head, aggCols.tail: _*).collect()(0)
+        val mstEdges = p.getLong(p.fieldIndex("mst_edges"))
+        val rows = cuts.zipWithIndex.map { case (c, i) =>
+          val touched = p.getLong(p.fieldIndex(s"touched_$i"))
+          val edges = p.getLong(p.fieldIndex(s"edges_$i"))
+          (c, touched - edges, touched, nNodes - touched, mstEdges, nNodes)
         }
-        val mstF = T.pin(
-          if (mst == null) mr.select(col("a"), col("b"), col("w")).where(lit(false))
-          else mst)
-        val mstEdges = mstF.count()
-        val allComp = T.pin(cutComponents(mstF, Seq(0.004, 0.007, 0.01)))
-        val cutRows = Seq(0.004, 0.007, 0.01).zipWithIndex.map { case (cut, ci) =>
-          val comp = allComp.where(col("cut_idx") === ci)
-          comp.groupBy("lbl").agg(count(lit(1)).as("m"))
-            .agg(coalesce(count(lit(1)), lit(0L)).as("n_clusters"),
-              coalesce(sum(col("m")), lit(0L)).as("n_clustered"))
-            .selectExpr(s"CAST($cut AS DOUBLE) AS cut", "n_clusters", "n_clustered",
-              s"${nNodes}L - n_clustered AS n_noise",
-              s"${mstEdges}L AS mst_edges", s"${nNodes}L AS mst_nodes")
-        }
-        cutRows.reduce(_ unionAll _).orderBy("cut")
+        val spark = s
+        import spark.implicits._
+        rows.toDF("cut", "n_clusters", "n_clustered", "n_noise",
+          "mst_edges", "mst_nodes").orderBy("cut")
       },
       Some {
         def cutCtes(i: Int, cut: Double): String =

@@ -853,6 +853,32 @@ class MicroSpec extends SparkSpec {
     }
   }
 
+  test("boruvkaMst: distributed rounds == local Kruskal, same unique MST (r10)") {
+    // Pins the Filtering local-finish equivalence claim (Cluster.boruvkaMst
+    // doc): under the strict (w, a, b) total edge order the MSF is unique,
+    // so the fully-distributed loop (localFinish=0 — never collect) and
+    // pure driver Kruskal (localFinish=MaxValue — collect immediately)
+    // must emit the identical edge set. Graph: two components with
+    // deliberate weight TIES so the tie-break is exercised.
+    import spark.implicits._
+    val edges = Seq(
+      (1L, 2L, 0.5), (2L, 3L, 0.5), (1L, 3L, 0.5), // tied triangle
+      (3L, 4L, 0.2), (4L, 5L, 0.9), (3L, 5L, 0.9), // tied heavier pair
+      (10L, 11L, 0.1), (11L, 12L, 0.3), (10L, 12L, 0.05) // second comp
+    ).toDF("a", "b", "w")
+    def mstSet(localFinish: Long) =
+      graft.ops.Cluster.boruvkaMst(spark, edges, localFinish)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val dist = mstSet(0L)
+    val local = mstSet(Long.MaxValue)
+    assert(dist == local, s"distributed $dist != local $local")
+    // forest handshake: 8 vertices, 2 components -> 6 MST edges
+    assert(dist.size == 6, s"expected 6 MST edges, got ${dist.size}")
+    // the tied triangle resolves lexicographically: (1,2,.5) and (1,3,.5)
+    assert(dist.contains((1L, 2L, 0.5)) && dist.contains((1L, 3L, 0.5)) &&
+      !dist.contains((2L, 3L, 0.5)), "tie-break not lexicographic")
+  }
+
   test("ml_tree_depth2: child nodes partition the root's branches (r8)") {
     val rows = q("ml_tree_depth2").collect()
       .map(r => r.getString(0) -> r).toMap
