@@ -209,8 +209,9 @@ object Cluster {
     * on the hardcoded CTE text; one constant feeds both). */
   private val HORIZON = 0.01
 
-  private def mrGraph(s: SparkSession, dir: String): DataFrame = {
-    val horizon = HORIZON
+  /** Within-horizon pair DISTANCES (a < b, d) via the eps-cell grid join —
+    * the shared candidate layer under mrGraph and ml_lof. */
+  private def distPairs(s: SparkSession, dir: String, horizon: Double): DataFrame = {
     val p = plane(s, dir).transform(T.fanOut(_, col("id")))
     val home = p.select(col("id").as("n_id"), col("x"), col("y"),
       floor(col("x") / horizon).as("cx"), floor(col("y") / horizon).as("cy"))
@@ -223,14 +224,17 @@ object Cluster {
           "struct(qcx + dx AS cx, qcy + dy AS cy))))")).as("c"))
       .select(col("q_id"), col("qx"), col("qy"),
         col("c.cx").as("cx"), col("c.cy").as("cy"))
-    val dpairs = probe.join(home, Seq("cx", "cy"))
+    probe.join(home, Seq("cx", "cy"))
       .where(col("q_id") < col("n_id"))
       .where((col("qx") - col("x")) * (col("qx") - col("x")) +
              (col("qy") - col("y")) * (col("qy") - col("y")) <= lit(horizon * horizon))
       .select(col("q_id").as("a"), col("n_id").as("b"),
         sqrt((col("qx") - col("x")) * (col("qx") - col("x")) +
              (col("qy") - col("y")) * (col("qy") - col("y"))).as("d"))
-    val ep = T.freeze(dpairs)
+  }
+
+  private def mrGraph(s: SparkSession, dir: String): DataFrame = {
+    val ep = T.freeze(distPairs(s, dir, HORIZON))
     val dn = ep.select(col("a").as("u"), col("b").as("v"), col("d"))
       .union(ep.select(col("b").as("u"), col("a").as("v"), col("d")))
     val rw = Window.partitionBy(col("u")).orderBy(col("d"), col("v"))
@@ -2052,7 +2056,157 @@ object Cluster {
                  round(sll / nd, 6) AS mean_loglik
                FROM fin""")),
 
-    gmmBicEntry
+    gmmBicEntry,
+
+    QueryDef(
+      "ml_lof",
+      // Local Outlier Factor (Breunig et al., SIGMOD 2000) over the
+      // in-horizon neighbor graph — the per-point data-quality outlier
+      // score next to the HDBSCAN family, on the same candidate layer:
+      // k-distance = MIN_PTS-th in-horizon neighbor (the core-distance
+      // wire), N_k(u) = in-horizon neighbors within k-distance (ties
+      // included), reach_k(u, o) = max(d(u, o), kdist(o)), lrd(u) =
+      // |N_k| / Σ reach (exact decimal sum — order-independent across
+      // engines), LOF(u) = Σ lrd(o) / (|N_k| · lrd(u)). Restrictions
+      // both engines share: points without MIN_PTS in-horizon neighbors
+      // have no k-distance and drop out (the HDBSCAN noise convention),
+      // and neighbors without an lrd of their own drop from the average
+      // (the horizon-graph analogue of LOF's full-kNN assumption).
+      // Scale: every stage is a key-partitioned join/window on the
+      // grid-bounded pair list — no all-pairs product. Output: top-20
+      // outliers by rounded LOF (ties by id — deterministic).
+      (s, dir) => {
+        val ep = T.freeze(distPairs(s, dir, HORIZON))
+        val dn = ep.select(col("a").as("u"), col("b").as("v"), col("d"))
+          .union(ep.select(col("b").as("u"), col("a").as("v"), col("d")))
+        val rw = Window.partitionBy(col("u")).orderBy(col("d"), col("v"))
+        val kd = dn.withColumn("rn", row_number().over(rw))
+          .where(col("rn") === MIN_PTS)
+          .select(col("u"), col("d").as("kdist"))
+        val nk = dn.join(kd, "u").where(col("d") <= col("kdist"))
+          .select(col("u"), col("v"), col("d"))
+        val reach = nk
+          .join(kd.select(col("u").as("v"), col("kdist").as("kd_o")), "v")
+          .select(col("u"), col("v"), greatest(col("d"), col("kd_o")).as("r"))
+        val lrd = reach.groupBy("u")
+          .agg((count(lit(1)).cast("double") / T.xsum(col("r"))).as("lrd"))
+        val lof = reach
+          .join(lrd.select(col("u").as("v"), col("lrd").as("lrd_o")), "v")
+          .join(lrd, "u")
+          .groupBy("u")
+          .agg((T.xsum(col("lrd_o")) /
+            (count(lit(1)) * min(col("lrd")))).as("lof_raw"),
+            count(lit(1)).as("n_k"))
+        lof.select(col("u").as("id"), round(col("lof_raw"), 6).as("lof"),
+            col("n_k"))
+          .orderBy(col("lof").desc, col("id")).limit(20)
+      },
+      Some(s"""WITH pts AS (SELECT vec_id AS id,
+                   CAST(embedding[1] AS DOUBLE) AS x,
+                   CAST(embedding[2] AS DOUBLE) AS y FROM embeddings),
+                 epd AS (SELECT p.id AS a, q.id AS b,
+                     sqrt((p.x - q.x) * (p.x - q.x) + (p.y - q.y) * (p.y - q.y)) AS d
+                   FROM pts p JOIN pts q ON p.id < q.id
+                    AND (p.x - q.x) * (p.x - q.x) + (p.y - q.y) * (p.y - q.y)
+                        <= ${HORIZON * HORIZON}),
+                 dn AS (SELECT a AS u, b AS v, d FROM epd
+                        UNION ALL SELECT b, a, d FROM epd),
+                 rk AS (SELECT u, v, d, row_number() OVER (PARTITION BY u
+                     ORDER BY d, v) AS rn FROM dn),
+                 kd AS (SELECT u, d AS kdist FROM rk WHERE rn = $MIN_PTS),
+                 nk AS (SELECT dn.u, dn.v, dn.d
+                   FROM dn JOIN kd ON kd.u = dn.u WHERE dn.d <= kd.kdist),
+                 rch AS (SELECT nk.u, nk.v, greatest(nk.d, kdo.kdist) AS r
+                   FROM nk JOIN kd kdo ON kdo.u = nk.v),
+                 lrd AS (SELECT u,
+                     CAST(count(*) AS DOUBLE) / ${T.sqlXsum("r")} AS lrd
+                   FROM rch GROUP BY u),
+                 lof AS (SELECT rch.u,
+                     ${T.sqlXsum("lv.lrd")} / (count(*) * min(lu.lrd)) AS lof_raw,
+                     count(*) AS n_k
+                   FROM rch JOIN lrd lv ON lv.u = rch.v
+                            JOIN lrd lu ON lu.u = rch.u
+                   GROUP BY rch.u)
+               SELECT u AS id, round(lof_raw, 6) AS lof, n_k
+               FROM lof ORDER BY lof DESC, id LIMIT 20""")),
+
+    QueryDef(
+      "ml_hdbscan_glosh",
+      // GLOSH outlier scores (Campello et al. 2015; cuML HDBSCAN's
+      // outlier_scores_ [R]) DISCRETIZED to the same three-λ grid as
+      // ml_hdbscan_extract: a point's score is 1 − λ_join(p)/λ_max(C) —
+      // how much later (sparser) the point joined its final cluster than
+      // the cluster's densest core. On the grid: first_idx(p) = densest
+      // cut level at which p is clustered, min_idx(C) = densest level any
+      // member of p's top-level cluster reaches, score = 1 −
+      // cut[min_idx]/cut[first_idx] (identical literal arithmetic both
+      // engines). Points never clustered at any level are pure noise —
+      // score 1.0. Output: the bounded per-(cluster, join-level) profile
+      // + the noise row, NOT per-point rows — cluster-count-sized, the
+      // same contract as the extract row. Scale: one cutComponents
+      // fixpoint (shared shape), then joins on cluster-sized aggregates.
+      (s, dir) => {
+        val mr = T.pin(mrGraph(s, dir))
+        val allComp = T.pin(cutComponents(mr, Seq(0.004, 0.007, 0.01)))
+        val universe = plane(s, dir).select(col("id").as("v"))
+        val first = allComp.groupBy("v").agg(min(col("cut_idx")).as("first_idx"))
+        val top = allComp.where(col("cut_idx") === 2).select(col("v"), col("lbl"))
+        val m = top.join(first, "v")
+        val cmin = m.groupBy("lbl").agg(min(col("first_idx")).as("min_idx"))
+        val cutArr = "array(4e-3, 7e-3, 1e-2)"
+        val scored = m.join(cmin, "lbl")
+          .selectExpr("v", "lbl", "first_idx",
+            s"1e0 - element_at($cutArr, min_idx + 1) / " +
+              s"element_at($cutArr, first_idx + 1) AS score")
+        val prof = scored.groupBy("lbl", "first_idx")
+          .agg(count(lit(1)).as("n_points"),
+            round(min(col("score")), 6).as("glosh"))
+          .selectExpr("lbl", "first_idx", "n_points", "glosh")
+        val noise = universe.join(top.select("v"), Seq("v"), "left_anti")
+          .agg(count(lit(1)).as("n_points"))
+          .selectExpr("-1L AS lbl", "-1 AS first_idx", "n_points",
+            "CAST(1e0 AS DOUBLE) AS glosh")
+        prof.unionAll(noise).orderBy("lbl", "first_idx")
+      },
+      Some {
+        def lvl(i: Int, cut: Double): String =
+          s"""e$i AS (SELECT a AS src, b AS dst FROM mr WHERE w <= $cut
+                   UNION ALL SELECT b, a FROM mr WHERE w <= $cut),
+                 rc$i(v, r) AS (
+                   SELECT src, src FROM (SELECT DISTINCT src FROM e$i) t
+                   UNION
+                   SELECT e.src, rc$i.r FROM e$i e JOIN rc$i ON e.dst = rc$i.v),
+                 lb$i AS (SELECT v, CAST(min(r) AS BIGINT) AS lbl
+                   FROM rc$i GROUP BY v)"""
+        s"""WITH RECURSIVE $sqlMrCtes,
+                 ${lvl(1, 0.004)},
+                 ${lvl(2, 0.007)},
+                 ${lvl(3, 0.01)},
+                 firstj AS (SELECT v, min(ci) AS first_idx FROM (
+                     SELECT v, 0 AS ci FROM lb1
+                     UNION ALL SELECT v, 1 FROM lb2
+                     UNION ALL SELECT v, 2 FROM lb3) t GROUP BY v),
+                 topl AS (SELECT v, lbl FROM lb3),
+                 m AS (SELECT topl.v, topl.lbl, firstj.first_idx
+                   FROM topl JOIN firstj USING (v)),
+                 cmin AS (SELECT lbl, min(first_idx) AS min_idx
+                   FROM m GROUP BY lbl),
+                 scored AS (SELECT m.v, m.lbl, m.first_idx,
+                     1e0 - ([4e-3, 7e-3, 1e-2])[min_idx + 1] /
+                           ([4e-3, 7e-3, 1e-2])[first_idx + 1] AS score
+                   FROM m JOIN cmin USING (lbl)),
+                 prof AS (SELECT lbl, first_idx, count(*) AS n_points,
+                     round(min(score), 6) AS glosh
+                   FROM scored GROUP BY lbl, first_idx),
+                 uni AS (SELECT vec_id AS v FROM embeddings),
+                 noise AS (SELECT CAST(-1 AS BIGINT) AS lbl,
+                     -1 AS first_idx, count(*) AS n_points,
+                     CAST(1e0 AS DOUBLE) AS glosh
+                   FROM uni LEFT JOIN topl USING (v) WHERE topl.lbl IS NULL)
+               SELECT lbl, first_idx, n_points, glosh FROM prof
+               UNION ALL SELECT * FROM noise
+               ORDER BY lbl, first_idx"""
+      })
   )
 
   /** Model selection for [[gmmEm]] — see ml_gmm_bic. */

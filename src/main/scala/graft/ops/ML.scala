@@ -2826,6 +2826,74 @@ object ML {
                SELECT round(a, 6) AS intercept, round(b, 6) AS slope FROM b3""")),
 
     QueryDef(
+      "ml_poisson_glm",
+      // Poisson regression with the log link (the GLM loss cuML's QN
+      // solver exposes next to logistic [R]): E[y|x] = exp(a + b·x),
+      // y = l_quantity (a count), x = l_discount. 3 Newton/IRLS steps —
+      // per step ONE distributed aggregation (gradient g = Σ(y−μ)·(1,x),
+      // Hessian H = Σμ·(1,x)(1,x)ᵀ on the exact decimal wire), the 2×2
+      // solve driver-side with coefficients re-literalized (the
+      // ml_logreg_fit discipline). μ = exp(η) is REAL-collapsed per row —
+      // exp() is the one non-IEEE-pinned op, and the float cast absorbs
+      // the engine ulp exactly as the sigmoid rows do. Output: the fitted
+      // coefficients and the implied mean at x = 0.
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        val d = T.lineitem(s, dir).select(
+          col("l_discount").cast("double").as("x"),
+          col("l_quantity").cast("double").as("y"))
+          .transform(T.fanOut(_))
+        var a = 0.0
+        var b = 0.0
+        for (_ <- 1 to 3) {
+          val ab = Seq((a, b)).toDF("ca", "cb")
+          val mu = exp(col("ca") + col("cb") * col("x"))
+            .cast("float").cast("double")
+          val r = d.crossJoin(broadcast(ab))
+            .select(col("x"), col("y"), mu.as("mu"))
+            .agg(
+              T.xsum(col("y") - col("mu")).as("g0"),
+              T.xsum((col("y") - col("mu")) * col("x")).as("g1"),
+              T.xsum(col("mu")).as("h00"),
+              T.xsum(col("mu") * col("x")).as("h01"),
+              T.xsum(col("mu") * col("x") * col("x")).as("h11"))
+            .collect()(0)
+          val g0 = r.getDouble(0); val g1 = r.getDouble(1)
+          val h00 = r.getDouble(2); val h01 = r.getDouble(3); val h11 = r.getDouble(4)
+          val den = h00 * h11 - h01 * h01
+          a = a + (h11 * g0 - h01 * g1) / den
+          b = b + (h00 * g1 - h01 * g0) / den
+        }
+        Seq((a, b)).toDF("ia", "ib")
+          .selectExpr("round(ia, 6) AS intercept", "round(ib, 6) AS slope",
+            "round(CAST(CAST(exp(ia) AS REAL) AS DOUBLE), 6) AS mu_at_zero")
+      },
+      Some {
+        def step(src: String, out: String): String =
+          s"""${out}e AS (SELECT x, y,
+                 CAST(CAST(exp(a + b * x) AS REAL) AS DOUBLE) AS mu
+               FROM prows, $src),
+                 ${out}m AS (SELECT ${T.sqlXsum("y - mu")} AS g0,
+                     ${T.sqlXsum("(y - mu) * x")} AS g1,
+                     ${T.sqlXsum("mu")} AS h00, ${T.sqlXsum("mu * x")} AS h01,
+                     ${T.sqlXsum("mu * x * x")} AS h11 FROM ${out}e),
+                 $out AS (SELECT
+                     a + (h11 * g0 - h01 * g1) / (h00 * h11 - h01 * h01) AS a,
+                     b + (h00 * g1 - h01 * g0) / (h00 * h11 - h01 * h01) AS b
+                   FROM $src, ${out}m)"""
+        s"""WITH prows AS (SELECT CAST(l_discount AS DOUBLE) AS x,
+                   CAST(l_quantity AS DOUBLE) AS y FROM lineitem),
+                 pg0 AS (SELECT 0e0 AS a, 0e0 AS b),
+                 ${step("pg0", "pg1")},
+                 ${step("pg1", "pg2")},
+                 ${step("pg2", "pg3")}
+               SELECT round(a, 6) AS intercept, round(b, 6) AS slope,
+                 round(CAST(CAST(exp(a) AS REAL) AS DOUBLE), 6) AS mu_at_zero
+               FROM pg3"""
+      }),
+
+    QueryDef(
       "ml_logreg_l2",
       // LogisticRegression(penalty='l2') — the regularized twin of
       // ml_logreg_fit: 3 ridge-Newton steps (H + λ·diag(0,1))δ =

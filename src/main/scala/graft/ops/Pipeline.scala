@@ -21,6 +21,25 @@ object Pipeline {
   private val FA = 48271L
   private val FB = 16807L
 
+  /** PII patterns for text_pii_redact — deliberately LOOKAROUND-FREE so
+    * Java regex (Spark) and RE2 (DuckDB) match identically; applied in a
+    * fixed order (email → ipv4 → phone) so both engines see the same
+    * intermediate text. private[graft] because MicroSpec drives them over
+    * a synthetic fixture WITH PII (the corpus has none by construction —
+    * the registered row proves the zeros, the spec proves the machinery). */
+  private[graft] val PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val PII_IPV4 =
+    "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  private[graft] val PII_PHONE = "\\+[0-9][0-9 ()-]{6,}[0-9]"
+
+  /** The sequential redaction column text_pii_redact and MicroSpec share. */
+  private[graft] def piiRedact(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, lit(PII_EMAIL), lit("<EMAIL>")),
+        lit(PII_IPV4), lit("<IP>")),
+      lit(PII_PHONE), lit("<PHONE>"))
+
   /** Porter stemmer steps 1a–1c as a named expression cascade — EXACT,
     * including the measure m and the context-dependent y vowel/consonant
     * rule, via a positional vowel/consonant ENCODING column: the token is
@@ -204,6 +223,56 @@ object Pipeline {
                  ${T.sqlDavg("n_tok")} AS avg_tokens,
                  ${T.sqlDavg("avg_tok_len")} AS avg_tok_len,
                  ${T.sqlDavg("stop_ratio")} AS avg_stop_ratio
+               FROM d GROUP BY source ORDER BY source""")),
+
+    QueryDef(
+      "text_pii_redact",
+      // PII redaction — the pretraining-curation pass every shipped corpus
+      // runs (emails / IPv4 / phone numbers → typed placeholders) with its
+      // per-source audit: docs scanned, match counts per type (counted on
+      // the ORIGINAL text — audit semantics), docs touched, and the net
+      // character delta of the redacted corpus. Map-only regexes fused
+      // into the scan; the audit is one bounded aggregate — the shape
+      // holds at 100 TB because nothing but the per-source counters ever
+      // shuffles. The fixture corpus is synthetic word-salad with zero
+      // PII by construction, so every count is 0 and delta is 0 — the
+      // row PROVES the zeros against the oracle running the same RE2/Java
+      // compatible patterns; MicroSpec redacts a fixture that DOES contain
+      // all three types and pins the placeholders land.
+      (s, dir) => {
+        val red = piiRedact(col("text"))
+        T.documents(s, dir).select(col("source"),
+            regexp_count(col("text"), lit(PII_EMAIL)).as("ne"),
+            regexp_count(col("text"), lit(PII_IPV4)).as("ni"),
+            regexp_count(col("text"), lit(PII_PHONE)).as("np"),
+            length(col("text")).as("len_orig"), length(red).as("len_red"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("ne")).as("n_emails"),
+            sum(col("ni")).as("n_ips"),
+            sum(col("np")).as("n_phones"),
+            sum(when(col("ne") + col("ni") + col("np") > 0, 1L)
+              .otherwise(0L)).as("docs_redacted"),
+            sum((col("len_orig") - col("len_red")).cast("long")).as("chars_delta"))
+          .orderBy("source")
+      },
+      Some(s"""WITH d AS (SELECT source,
+                 len(regexp_extract_all(text, '$PII_EMAIL')) AS ne,
+                 len(regexp_extract_all(text, '$PII_IPV4')) AS ni,
+                 len(regexp_extract_all(text, '$PII_PHONE')) AS np,
+                 length(text) AS len_orig,
+                 length(regexp_replace(regexp_replace(regexp_replace(text,
+                   '$PII_EMAIL', '<EMAIL>', 'g'),
+                   '$PII_IPV4', '<IP>', 'g'),
+                   '$PII_PHONE', '<PHONE>', 'g')) AS len_red
+               FROM documents)
+               SELECT source, count(*) AS n_docs,
+                 CAST(sum(ne) AS BIGINT) AS n_emails,
+                 CAST(sum(ni) AS BIGINT) AS n_ips,
+                 CAST(sum(np) AS BIGINT) AS n_phones,
+                 CAST(sum(CASE WHEN ne + ni + np > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS docs_redacted,
+                 CAST(sum(len_orig - len_red) AS BIGINT) AS chars_delta
                FROM d GROUP BY source ORDER BY source""")),
 
     QueryDef(

@@ -853,6 +853,59 @@ class MicroSpec extends SparkSpec {
     }
   }
 
+  test("text_pii_redact: the shared patterns actually redact (r10)") {
+    // The corpus is synthetic word-salad with zero PII, so the registered
+    // row's audit proves zeros; THIS pins the machinery on a fixture that
+    // does contain all three types — same shared Column, same patterns.
+    import spark.implicits._
+    val docs = Seq(
+      "contact me at alice.smith+test@example.co.uk today",
+      "server at 192.168.1.254 timed out",
+      "call +1 (555) 123-4567 or +44 20 7946 0958",
+      "no pii here at all").toDF("text")
+    val red = docs.select(graft.ops.Pipeline.piiRedact(col("text")).as("r"))
+      .collect().map(_.getString(0))
+    assert(red(0) == "contact me at <EMAIL> today", red(0))
+    assert(red(1) == "server at <IP> timed out", red(1))
+    assert(red(2) == "call <PHONE> or <PHONE>", red(2))
+    assert(red(3) == "no pii here at all", red(3))
+    // and the corpus really is PII-free — the row's zeros aren't vacuous
+    val z = q("text_pii_redact")
+      .agg((sum(col("n_emails")) + sum(col("n_ips")) +
+        sum(col("n_phones"))).as("t")).collect()(0)
+    assert(z.getLong(0) == 0L)
+  }
+
+  test("ml_lof: scores are positive and inliers sit near 1 (r10)") {
+    val rows = q("ml_lof").collect()
+    assert(rows.nonEmpty)
+    // LOF is a positive ratio of local reachability densities; the top-k
+    // list is sorted descending and deterministic on ties
+    val lofs = rows.map(_.getDouble(1))
+    assert(lofs.forall(_ > 0))
+    assert(lofs.sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
+    // every listed point carries at least MIN_PTS-worth of neighbors? no:
+    // n_k counts core neighbors within k-distance — at least 1 by
+    // construction (inner joins), bounded by the in-horizon degree
+    assert(rows.map(_.getLong(2)).forall(_ >= 1))
+  }
+
+  test("ml_hdbscan_glosh: scores in [0,1], noise row accounts for the rest (r10)") {
+    val rows = q("ml_hdbscan_glosh").collect()
+    val noise = rows.filter(_.getLong(0) == -1L)
+    assert(noise.length == 1 && noise.head.getDouble(3) == 1.0)
+    val clustered = rows.filter(_.getLong(0) >= 0L)
+    assert(clustered.forall(r => r.getDouble(3) >= 0.0 && r.getDouble(3) < 1.0))
+    // a cluster's densest join level scores exactly 0 (its own core)
+    val byCluster = clustered.groupBy(_.getLong(0))
+    byCluster.foreach { case (_, rs) =>
+      assert(rs.minBy(_.getInt(1)).getDouble(3) == 0.0)
+    }
+    // universe accounting: clustered + noise = all embedding rows
+    val total = rows.map(_.getLong(2)).sum
+    assert(total == Tables.embeddings(spark, sf).count())
+  }
+
   test("boruvkaMst: distributed rounds == local Kruskal, same unique MST (r10)") {
     // Pins the Filtering local-finish equivalence claim (Cluster.boruvkaMst
     // doc): under the strict (w, a, b) total edge order the MSF is unique,
