@@ -211,8 +211,13 @@ object Cluster {
 
   /** Within-horizon pair DISTANCES (a < b, d) via the eps-cell grid join —
     * the shared candidate layer under mrGraph and ml_lof. */
-  private def distPairs(s: SparkSession, dir: String, horizon: Double): DataFrame = {
-    val p = plane(s, dir).transform(T.fanOut(_, col("id")))
+  private def distPairs(s: SparkSession, dir: String, horizon: Double): DataFrame =
+    distPairsOf(plane(s, dir), horizon)
+
+  /** [[distPairs]] over an arbitrary (id, x, y) point set — the
+    * fit/query split ml_hdbscan_predict needs. */
+  private def distPairsOf(points: DataFrame, horizon: Double): DataFrame = {
+    val p = points.transform(T.fanOut(_, col("id")))
     val home = p.select(col("id").as("n_id"), col("x"), col("y"),
       floor(col("x") / horizon).as("cx"), floor(col("y") / horizon).as("cy"))
     val probe = p.select(col("id").as("q_id"),
@@ -233,8 +238,12 @@ object Cluster {
              (col("qy") - col("y")) * (col("qy") - col("y"))).as("d"))
   }
 
-  private def mrGraph(s: SparkSession, dir: String): DataFrame = {
-    val ep = T.freeze(distPairs(s, dir, HORIZON))
+  private def mrGraph(s: SparkSession, dir: String): DataFrame =
+    mrGraphOf(plane(s, dir))
+
+  /** [[mrGraph]] over an arbitrary (id, x, y) point set. */
+  private def mrGraphOf(points: DataFrame): DataFrame = {
+    val ep = T.freeze(distPairsOf(points, HORIZON))
     val dn = ep.select(col("a").as("u"), col("b").as("v"), col("d"))
       .union(ep.select(col("b").as("u"), col("a").as("v"), col("d")))
     val rw = Window.partitionBy(col("u")).orderBy(col("d"), col("v"))
@@ -248,10 +257,12 @@ object Cluster {
         greatest(col("d"), col("ca"), col("cb")).as("w")))
   }
 
-  /** DuckDB twin of [[mrGraph]] — CTE chain ending in `mr(a, b, w)`. */
-  private val sqlMrCtes: String =
+  /** DuckDB twin of [[mrGraph]] — CTE chain ending in `mr(a, b, w)`.
+    * `ptsFilter` (e.g. " WHERE vec_id >= 20") restricts the point set —
+    * the fit/query split ml_hdbscan_predict's oracle needs. */
+  private def sqlMrCtesFor(ptsFilter: String): String =
     s"""pts AS (SELECT vec_id AS id, CAST(embedding[1] AS DOUBLE) AS x,
-                  CAST(embedding[2] AS DOUBLE) AS y FROM embeddings),
+                  CAST(embedding[2] AS DOUBLE) AS y FROM embeddings$ptsFilter),
                  ep AS (SELECT p.id AS a, q.id AS b,
                      sqrt((p.x - q.x) * (p.x - q.x) + (p.y - q.y) * (p.y - q.y)) AS d
                    FROM pts p JOIN pts q ON p.id < q.id
@@ -265,6 +276,8 @@ object Cluster {
                  mr AS MATERIALIZED (SELECT ep.a, ep.b, greatest(ep.d, ca.cd, cb.cd) AS w
                    FROM ep JOIN core ca ON ca.cid = ep.a
                            JOIN core cb ON cb.cid = ep.b)"""
+
+  private val sqlMrCtes: String = sqlMrCtesFor("")
 
   /** Borůvka MST over a weighted edge list `(a, b, w)` under the strict
     * total edge order (w, a, b) — returns the MST edges `(a, b, w)`.
@@ -389,6 +402,59 @@ object Cluster {
     Dedup.minLabelComponents(pairs, None, MAX_ROUNDS)
       .selectExpr(s"CAST(v % $n AS INT) AS cut_idx",
         s"v div $n AS v", s"lbl div $n AS lbl")
+  }
+
+  /** Per-POINT flat cluster from the eom selection over the 3-level grid
+    * (the assignment layer under ml_hdbscan_extract's per-node stats,
+    * shared with ml_hdbscan_predict): returns (v, flat, lvl) where flat =
+    * the selected node's label on v's branch and lvl ∈ {1,2,3} its level.
+    * Points whose branch selected a node they never joined (they fell out
+    * of the condensed tree below the winner) are HDBSCAN noise and are
+    * absent. Stability wins mirror the extract row exactly: a node wins
+    * iff its own |C|·Δλ stability ≥ its children's accumulated selected
+    * value, parent wins ties, highest winner on the branch takes the
+    * point. */
+  private def flatLabels(mr: DataFrame): DataFrame = {
+    val allComp = T.pin(cutComponents(mr, Seq(0.004, 0.007, 0.01)))
+    def lbl(ci: Int) = allComp.where(col("cut_idx") === ci)
+      .select(col("v"), col("lbl"))
+    val l1 = lbl(0); val l2 = lbl(1); val l3 = lbl(2)
+    val w1 = "(1e0 / 4e-3 - 1e0 / 7e-3)"
+    val w2 = "(1e0 / 7e-3 - 1e0 / 1e-2)"
+    val w3 = "(1e0 / 1e-2)"
+    val v1 = l1.groupBy(col("lbl").as("c1")).agg(count(lit(1)).as("n1"))
+      .selectExpr("c1", s"CAST(n1 AS DOUBLE) * $w1 AS v1")
+    val p12 = l1.select(col("v"), col("lbl").as("c1"))
+      .join(l2.select(col("v"), col("lbl").as("c2")), "v")
+      .groupBy("c1").agg(min(col("c2")).as("c2"))
+    val chs2 = p12.join(v1, "c1")
+      .groupBy("c2").agg(T.xsum(col("v1")).as("ch"))
+    val t2 = l2.groupBy(col("lbl").as("c2")).agg(count(lit(1)).as("n2"))
+      .join(chs2, Seq("c2"), "left")
+      .selectExpr("c2", s"CAST(n2 AS DOUBLE) * $w2 AS s2",
+        "coalesce(ch, 0e0) AS ch2")
+      .selectExpr("c2", "s2 >= ch2 AS wins2", "greatest(s2, ch2) AS v2")
+    val p23 = l2.select(col("v"), col("lbl").as("c2"))
+      .join(l3.select(col("v"), col("lbl").as("c3")), "v")
+      .groupBy("c2").agg(min(col("c3")).as("c3"))
+    val chs3 = p23.join(t2.select("c2", "v2"), "c2")
+      .groupBy("c3").agg(T.xsum(col("v2")).as("ch"))
+    val t3 = l3.groupBy(col("lbl").as("c3")).agg(count(lit(1)).as("n3"))
+      .join(chs3, Seq("c3"), "left")
+      .selectExpr("c3", s"CAST(n3 AS DOUBLE) * $w3 AS s3",
+        "coalesce(ch, 0e0) AS ch3")
+      .selectExpr("c3", "s3 >= ch3 AS wins3")
+    l3.select(col("v"), col("lbl").as("c3"))
+      .join(l2.select(col("v"), col("lbl").as("c2")), Seq("v"), "left")
+      .join(l1.select(col("v"), col("lbl").as("c1")), Seq("v"), "left")
+      .join(t3, "c3")
+      .join(t2.select(col("c2"), col("wins2")), Seq("c2"), "left")
+      .selectExpr("v",
+        "CASE WHEN wins3 THEN c3 WHEN coalesce(wins2, false) THEN c2 " +
+          "WHEN c1 IS NOT NULL THEN c1 END AS flat",
+        "CASE WHEN wins3 THEN 3 WHEN coalesce(wins2, false) THEN 2 " +
+          "WHEN c1 IS NOT NULL THEN 1 END AS lvl")
+      .where(col("flat").isNotNull)
   }
 
   /** Undirected eps-neighbor pairs (a < b), via the eps-cell grid join.
@@ -2206,6 +2272,131 @@ object Cluster {
                SELECT lbl, first_idx, n_points, glosh FROM prof
                UNION ALL SELECT * FROM noise
                ORDER BY lbl, first_idx"""
+      }),
+
+    QueryDef(
+      "ml_hdbscan_predict",
+      // approximate_predict (cuML HDBSCAN's out-of-sample API [R]): FIT
+      // the density hierarchy on points id ≥ 20 (the same fit/query split
+      // as the knn rows), extract per-point flat clusters via the eom
+      // cascade ([[flatLabels]]), then assign each of the 20 QUERY points
+      // to the flat cluster of its nearest fit point within the horizon —
+      // noise if no in-horizon fit neighbor exists or the nearest fit
+      // point is itself noise (cuML's convention: new points inherit the
+      // neighbor's cluster or -1). Scale: the query probe is the same
+      // grid cell join as the fit graph (query side is model-request
+      // sized, never corpus-sized); the flat-label table is the fit
+      // corpus but every join on it is id-keyed. Output: one row per
+      // query — assigned cluster, selection level, distance (−1
+      // sentinels for noise, no NULLs in the contract).
+      (s, dir) => {
+        val fitP = plane(s, dir).where(col("id") >= 20)
+        val qryP = plane(s, dir).where(col("id") < 20)
+        val mr = T.pin(mrGraphOf(fitP))
+        val fl = T.pin(flatLabels(mr))
+        val h = HORIZON
+        val home = fitP.select(col("id").as("fid"), col("x"), col("y"),
+          floor(col("x") / h).as("cx"), floor(col("y") / h).as("cy"))
+        val probe = qryP
+          .select(col("id").as("qid"), col("x").as("qx"), col("y").as("qy"),
+            floor(col("x") / h).as("qcx"), floor(col("y") / h).as("qcy"))
+          .select(col("qid"), col("qx"), col("qy"),
+            explode(expr("flatten(transform(sequence(-1, 1), dx -> " +
+              "transform(sequence(-1, 1), dy -> " +
+              "struct(qcx + dx AS cx, qcy + dy AS cy))))")).as("c"))
+          .select(col("qid"), col("qx"), col("qy"),
+            col("c.cx").as("cx"), col("c.cy").as("cy"))
+        val cand = probe.join(home, Seq("cx", "cy"))
+          .where((col("qx") - col("x")) * (col("qx") - col("x")) +
+                 (col("qy") - col("y")) * (col("qy") - col("y")) <= lit(h * h))
+          .select(col("qid"), col("fid"),
+            sqrt((col("qx") - col("x")) * (col("qx") - col("x")) +
+                 (col("qy") - col("y")) * (col("qy") - col("y"))).as("d"))
+        val bw = Window.partitionBy(col("qid")).orderBy(col("d"), col("fid"))
+        val best = cand.withColumn("rn", row_number().over(bw))
+          .where(col("rn") === 1).select(col("qid"), col("fid"), col("d"))
+        qryP.select(col("id"))
+          .join(best.withColumnRenamed("qid", "id"), Seq("id"), "left")
+          .join(fl.select(col("v").as("fid"), col("flat"), col("lvl")),
+            Seq("fid"), "left")
+          .selectExpr("id", "coalesce(flat, -1L) AS cluster",
+            "coalesce(lvl, -1) AS level",
+            "coalesce(round(d, 6), -1e0) AS dist")
+          .orderBy("id")
+      },
+      Some {
+        def lvl(i: Int, cut: Double): String =
+          s"""e$i AS (SELECT a AS src, b AS dst FROM mr WHERE w <= $cut
+                   UNION ALL SELECT b, a FROM mr WHERE w <= $cut),
+                 rc$i(v, r) AS (
+                   SELECT src, src FROM (SELECT DISTINCT src FROM e$i) t
+                   UNION
+                   SELECT e.src, rc$i.r FROM e$i e JOIN rc$i ON e.dst = rc$i.v),
+                 lb$i AS (SELECT v, CAST(min(r) AS BIGINT) AS lbl
+                   FROM rc$i GROUP BY v)"""
+        val w1 = "(1e0 / 4e-3 - 1e0 / 7e-3)"
+        val w2 = "(1e0 / 7e-3 - 1e0 / 1e-2)"
+        val w3 = "(1e0 / 1e-2)"
+        s"""WITH RECURSIVE ${sqlMrCtesFor(" WHERE vec_id >= 20")},
+                 qry AS (SELECT vec_id AS id, CAST(embedding[1] AS DOUBLE) AS x,
+                     CAST(embedding[2] AS DOUBLE) AS y
+                   FROM embeddings WHERE vec_id < 20),
+                 ${lvl(1, 0.004)},
+                 ${lvl(2, 0.007)},
+                 ${lvl(3, 0.01)},
+                 v1t AS (SELECT lbl AS c1,
+                     CAST(count(*) AS DOUBLE) * $w1 AS v1
+                   FROM lb1 GROUP BY lbl),
+                 p12 AS (SELECT c1, min(c2) AS c2 FROM
+                   (SELECT lb1.lbl AS c1, lb2.lbl AS c2
+                    FROM lb1 JOIN lb2 USING (v)) t GROUP BY c1),
+                 chs2 AS (SELECT c2, ${T.sqlXsum("v1")} AS ch
+                   FROM p12 JOIN v1t USING (c1) GROUP BY c2),
+                 t2 AS (SELECT lbl AS c2,
+                     CAST(count(*) AS DOUBLE) * $w2 AS s2
+                   FROM lb2 GROUP BY lbl),
+                 u2 AS (SELECT c2, s2 >= coalesce(ch, 0e0) AS wins2,
+                     greatest(s2, coalesce(ch, 0e0)) AS v2
+                   FROM t2 LEFT JOIN chs2 USING (c2)),
+                 p23 AS (SELECT c2, min(c3) AS c3 FROM
+                   (SELECT lb2.lbl AS c2, lb3.lbl AS c3
+                    FROM lb2 JOIN lb3 USING (v)) t GROUP BY c2),
+                 chs3 AS (SELECT c3, ${T.sqlXsum("v2")} AS ch
+                   FROM p23 JOIN u2 USING (c2) GROUP BY c3),
+                 t3 AS (SELECT lbl AS c3,
+                     CAST(count(*) AS DOUBLE) * $w3 AS s3
+                   FROM lb3 GROUP BY lbl),
+                 u3 AS (SELECT c3, s3 >= coalesce(ch, 0e0) AS wins3
+                   FROM t3 LEFT JOIN chs3 USING (c3)),
+                 flat AS (SELECT l3.v,
+                     CASE WHEN u3.wins3 THEN l3.lbl
+                          WHEN coalesce(u2.wins2, false) THEN l2.lbl
+                          WHEN l1.lbl IS NOT NULL THEN l1.lbl END AS flat,
+                     CASE WHEN u3.wins3 THEN 3
+                          WHEN coalesce(u2.wins2, false) THEN 2
+                          WHEN l1.lbl IS NOT NULL THEN 1 END AS lvl
+                   FROM lb3 l3
+                   LEFT JOIN lb2 l2 ON l2.v = l3.v
+                   LEFT JOIN lb1 l1 ON l1.v = l3.v
+                   JOIN u3 ON u3.c3 = l3.lbl
+                   LEFT JOIN u2 ON u2.c2 = l2.lbl),
+                 flatc AS (SELECT v, flat, lvl FROM flat
+                   WHERE flat IS NOT NULL),
+                 cand AS (SELECT q.id AS qid, p.id AS fid,
+                     sqrt((q.x - p.x) * (q.x - p.x) +
+                          (q.y - p.y) * (q.y - p.y)) AS d
+                   FROM qry q JOIN pts p
+                     ON (q.x - p.x) * (q.x - p.x) +
+                        (q.y - p.y) * (q.y - p.y) <= ${HORIZON * HORIZON}),
+                 best AS (SELECT qid, fid, d FROM (SELECT *,
+                     row_number() OVER (PARTITION BY qid
+                       ORDER BY d, fid) AS rn FROM cand) t WHERE rn = 1)
+               SELECT q.id, coalesce(fc.flat, CAST(-1 AS BIGINT)) AS cluster,
+                 coalesce(fc.lvl, -1) AS level,
+                 coalesce(round(b.d, 6), -1e0) AS dist
+               FROM qry q LEFT JOIN best b ON b.qid = q.id
+                 LEFT JOIN flatc fc ON fc.v = b.fid
+               ORDER BY q.id"""
       })
   )
 

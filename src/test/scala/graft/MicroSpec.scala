@@ -906,6 +906,22 @@ class MicroSpec extends SparkSpec {
     assert(total == Tables.embeddings(spark, sf).count())
   }
 
+  test("ml_hdbscan_predict: 20 queries, noise iff no labeled neighbor (r10)") {
+    val rows = q("ml_hdbscan_predict").collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      val (cluster, level, dist) = (r.getLong(1), r.getInt(2), r.getDouble(3))
+      assert(Set(-1, 1, 2, 3).contains(level), s"bad level $level")
+      // cluster and level are -1 together (noise), never one-sided
+      assert((cluster == -1L) == (level == -1), s"cluster $cluster level $level")
+      // no in-horizon neighbor (dist sentinel) forces noise
+      if (dist == -1.0) assert(cluster == -1L)
+      else assert(dist >= 0.0 && dist <= 0.01 + 1e-9, s"dist $dist > horizon")
+    }
+    // the fixture is dense enough that at least one query lands in a cluster
+    assert(rows.exists(_.getLong(1) >= 0L))
+  }
+
   test("boruvkaMst: distributed rounds == local Kruskal, same unique MST (r10)") {
     // Pins the Filtering local-finish equivalence claim (Cluster.boruvkaMst
     // doc): under the strict (w, a, b) total edge order the MSF is unique,

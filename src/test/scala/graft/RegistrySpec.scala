@@ -6,9 +6,9 @@ package graft
   */
 class RegistrySpec extends SparkSpec {
 
-  test("all eighteen catalogs are registered (66 SURVEY keys + 249 extensions)") {
-    assert(SparkEntry.queries.size == 315,
-      s"expected 315 registered queries, got ${SparkEntry.queries.size}")
+  test("all eighteen catalogs are registered (66 SURVEY keys + 250 extensions)") {
+    assert(SparkEntry.queries.size == 316,
+      s"expected 316 registered queries, got ${SparkEntry.queries.size}")
   }
 
   test("no oracle uses a constant generate_series bound (VERDICT r4 #2)") {
