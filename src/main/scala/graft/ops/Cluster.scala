@@ -2397,7 +2397,58 @@ object Cluster {
                FROM qry q LEFT JOIN best b ON b.qid = q.id
                  LEFT JOIN flatc fc ON fc.v = b.fid
                ORDER BY q.id"""
-      })
+      }),
+
+    QueryDef(
+      "graph_jaccard_link",
+      // Link prediction on the embedding neighborhood graph —
+      // common-neighbor Jaccard over NON-edges at distance 2 (the
+      // ANN-graph completion pass: a high-Jaccard non-edge is a neighbor
+      // pair the radius cutoff juuust missed; kNN-graph builders use
+      // exactly this to densify). Graph = the in-horizon eps graph (the
+      // LOF/HDBSCAN candidate layer). Candidates come from the wedge
+      // enumeration (self-join on the shared endpoint — Σdeg² bounded,
+      // never all-pairs; the graph_triangles discipline), existing edges
+      // drop by anti-join, and the score is an exact integer ratio
+      // |N(a)∩N(b)| / |N(a)∪N(b)| — bit-deterministic across engines.
+      // Output: top-20 predicted links by (score, a, b).
+      (s, dir) => {
+        val e = T.freeze(epsPairs(s, dir, HORIZON)) // (a < b)
+        val nbr = e.select(col("a").as("u"), col("b").as("v"))
+          .unionAll(e.select(col("b").as("u"), col("a").as("v")))
+        val cn = nbr.select(col("u").as("w"), col("v").as("a"))
+          .join(nbr.select(col("u").as("w"), col("v").as("b")), "w")
+          .where(col("a") < col("b"))
+          .groupBy("a", "b").agg(count(lit(1)).as("cn"))
+          .join(e, Seq("a", "b"), "left_anti")
+        val deg = nbr.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+        cn.join(deg.select(col("u").as("a"), col("deg").as("da")), "a")
+          .join(deg.select(col("u").as("b"), col("deg").as("db")), "b")
+          .selectExpr("a", "b", "cn",
+            "round(CAST(cn AS DOUBLE) / (da + db - cn), 6) AS jaccard")
+          .orderBy(col("jaccard").desc, col("a"), col("b")).limit(20)
+      },
+      Some(s"""WITH pts AS (SELECT vec_id AS id,
+                   CAST(embedding[1] AS DOUBLE) AS x,
+                   CAST(embedding[2] AS DOUBLE) AS y FROM embeddings),
+                 ep AS (SELECT p.id AS a, q.id AS b FROM pts p JOIN pts q
+                   ON p.id < q.id
+                  AND (p.x - q.x) * (p.x - q.x) + (p.y - q.y) * (p.y - q.y)
+                      <= ${HORIZON * HORIZON}),
+                 nbr AS (SELECT a AS u, b AS v FROM ep
+                         UNION ALL SELECT b, a FROM ep),
+                 cn AS (SELECT n1.v AS a, n2.v AS b, count(*) AS cn
+                   FROM nbr n1 JOIN nbr n2 ON n1.u = n2.u
+                   WHERE n1.v < n2.v
+                   GROUP BY n1.v, n2.v),
+                 ne AS (SELECT cn.* FROM cn
+                   LEFT JOIN ep ON ep.a = cn.a AND ep.b = cn.b
+                   WHERE ep.a IS NULL),
+                 deg AS (SELECT u, count(*) AS deg FROM nbr GROUP BY u)
+               SELECT a, b, cn,
+                 round(CAST(cn AS DOUBLE) / (da.deg + db.deg - cn), 6) AS jaccard
+               FROM ne JOIN deg da ON da.u = ne.a JOIN deg db ON db.u = ne.b
+               ORDER BY jaccard DESC, a, b LIMIT 20"""))
   )
 
   /** Model selection for [[gmmEm]] — see ml_gmm_bic. */
