@@ -2448,7 +2448,78 @@ object Cluster {
                SELECT a, b, cn,
                  round(CAST(cn AS DOUBLE) / (da.deg + db.deg - cn), 6) AS jaccard
                FROM ne JOIN deg da ON da.u = ne.a JOIN deg db ON db.u = ne.b
-               ORDER BY jaccard DESC, a, b LIMIT 20"""))
+               ORDER BY jaccard DESC, a, b LIMIT 20""")),
+
+    QueryDef(
+      "ml_spectral_embed",
+      // Power-iteration spectral embedding (Lin & Cohen's PIC, ICML 2010
+      // — the O(edges)-per-round route to the leading NON-TRIVIAL
+      // eigenvector of the random-walk matrix P = D⁻¹A; sklearn's
+      // spectral_embedding solves the same subspace by full eigensolve,
+      // which doesn't distribute): 5 rounds of x ← Px, each followed by
+      // mean-centering (projects out the trivial all-ones eigenvector)
+      // and L2 normalization — the PIC pseudo-eigenvector. Seed =
+      // affine hash of the id (deterministic, non-constant). Graph = the
+      // eps neighborhood graph; per round ONE edge-keyed join + degree
+      // division + two exact-wire scalars (mean, norm) carried IN-PLAN
+      // as broadcast one-row frames (the pagerank discipline — no
+      // driver collect in the loop; rounds are frozen flat). Output:
+      // the embedding coordinate for ids < 20 (the model-sample
+      // convention the knn rows use), deterministic to the last bit.
+      (s, dir) => {
+        val e = T.freeze(epsPairs(s, dir, HORIZON))
+        val nbr = T.freeze(e.select(col("a").as("u"), col("b").as("v"))
+          .unionAll(e.select(col("b").as("u"), col("a").as("v"))))
+        val deg = nbr.groupBy("u").agg(count(lit(1)).as("deg"))
+        var x = T.freeze(deg.selectExpr("u",
+          s"CAST((u * 48271 + 16807) % ${T.HASH_P} % 1000 AS DOUBLE) / 1e3 AS x"))
+        for (_ <- 1 to 5) {
+          val px = nbr.join(x.selectExpr("u AS v", "x"), "v")
+            .groupBy("u").agg(T.xsum(col("x")).as("sx"))
+            .join(deg, "u").selectExpr("u", "sx / deg AS x")
+          val mu = px.agg((T.xsum(col("x")) / count(lit(1))).as("mu"))
+          val cx = px.crossJoin(broadcast(mu)).selectExpr("u", "x - mu AS xc")
+          val nrm = cx.agg(sqrt(T.xsum(col("xc") * col("xc"))).as("nrm"))
+          x = T.freeze(cx.crossJoin(broadcast(nrm))
+            .selectExpr("u", "xc / nrm AS x"))
+        }
+        x.where(col("u") < 20)
+          .selectExpr("u AS id", "round(x, 6) AS embed")
+          .orderBy("id")
+      },
+      Some {
+        def round(k: Int): String = {
+          val prev = if (k == 1) "x0" else s"x${k - 1}"
+          s"""p$k AS (SELECT nbr.u, ${T.sqlXsum("x.x")} AS sx
+                FROM nbr JOIN $prev x ON x.u = nbr.v GROUP BY nbr.u),
+              d$k AS (SELECT p.u, sx / deg AS x
+                FROM p$k p JOIN deg ON deg.u = p.u),
+              m$k AS (SELECT ${T.sqlXsum("x")} / count(*) AS mu FROM d$k),
+              c$k AS (SELECT u, x - mu AS xc FROM d$k, m$k),
+              n$k AS (SELECT sqrt(${T.sqlXsum("xc * xc")}) AS nrm FROM c$k),
+              x$k AS (SELECT u, xc / nrm AS x FROM c$k, n$k)"""
+        }
+        s"""WITH pts AS (SELECT vec_id AS id,
+                   CAST(embedding[1] AS DOUBLE) AS x,
+                   CAST(embedding[2] AS DOUBLE) AS y FROM embeddings),
+                 ep AS (SELECT p.id AS a, q.id AS b FROM pts p JOIN pts q
+                   ON p.id < q.id
+                  AND (p.x - q.x) * (p.x - q.x) + (p.y - q.y) * (p.y - q.y)
+                      <= ${HORIZON * HORIZON}),
+                 nbr AS (SELECT a AS u, b AS v FROM ep
+                         UNION ALL SELECT b, a FROM ep),
+                 deg AS (SELECT u, count(*) AS deg FROM nbr GROUP BY u),
+                 x0 AS (SELECT u,
+                     CAST((u * 48271 + 16807) % ${T.HASH_P} % 1000 AS DOUBLE) / 1e3 AS x
+                   FROM deg),
+                 ${round(1)},
+                 ${round(2)},
+                 ${round(3)},
+                 ${round(4)},
+                 ${round(5)}
+               SELECT u AS id, round(x, 6) AS embed
+               FROM x5 WHERE u < 20 ORDER BY u"""
+      })
   )
 
   /** Model selection for [[gmmEm]] — see ml_gmm_bic. */
