@@ -564,6 +564,108 @@ object Cluster {
                ORDER BY p.id""")),
 
     QueryDef(
+      "ml_dbscan_predict",
+      // Out-of-sample DBSCAN assignment (the `approximate_predict`
+      // convention HDBSCAN standardized, applied to DBSCAN: a new point
+      // inherits the cluster of its nearest CORE point within eps, else
+      // noise — sklearn/cuML deliberately ship no dbscan.predict, and
+      // this nearest-core rule is the standard serving-time approximation
+      // a deployed density model uses). Fit on id ≥ 20 (the corpus), the
+      // 20 query points held out: the fit reruns ml_dbscan's exact chain
+      // on the fit subset — eps-grid pairs, degree+1 ≥ min_pts cores,
+      // min-label components over core-core edges — and the probe is the
+      // same grid-cell join with the QUERY side model-request-sized (the
+      // ml_hdbscan_predict shape: never corpus × corpus). Border fit
+      // points are invisible to assignment by construction (only cores
+      // carry labels into the probe), matching the rule. Output: one row
+      // per query — cluster, nearest-core distance (−1 sentinels).
+      (s, dir) => {
+        val fitP = plane(s, dir).where(col("id") >= 20)
+        val qryP = plane(s, dir).where(col("id") < 20)
+        val pairs = T.freeze(distPairsOf(fitP, EPS).select("a", "b"))
+        val nbrs = pairs.select(col("a").as("u"), col("b").as("v"))
+          .unionAll(pairs.select(col("b").as("u"), col("a").as("v")))
+        val deg = nbrs.groupBy("u").agg(count(lit(1)).as("c"))
+        val core = fitP.join(deg, fitP("id") === deg("u"), "left")
+          .where(coalesce(col("c"), lit(0L)) + 1 >= MIN_PTS)
+          .select(col("id"))
+        val corePairs = pairs
+          .join(core.select(col("id").as("a")), "a")
+          .join(core.select(col("id").as("b")), "b")
+          .select(col("a").as("doc_a"), col("b").as("doc_b"))
+        val labels = Dedup.minLabelComponents(
+          corePairs, Some(core.select(col("id"))), MAX_ROUNDS)
+        // probe: nearest fit CORE within eps per query, via the grid join
+        val coreP = fitP.join(core.withColumnRenamed("id", "cid"),
+            fitP("id") === col("cid")).select(col("id"), col("x"), col("y"))
+        val home = coreP.select(col("id").as("fid"), col("x"), col("y"),
+          floor(col("x") / EPS).as("cx"), floor(col("y") / EPS).as("cy"))
+        val probe = qryP
+          .select(col("id").as("qid"), col("x").as("qx"), col("y").as("qy"),
+            floor(col("x") / EPS).as("qcx"), floor(col("y") / EPS).as("qcy"))
+          .select(col("qid"), col("qx"), col("qy"),
+            explode(expr("flatten(transform(sequence(-1, 1), dx -> " +
+              "transform(sequence(-1, 1), dy -> " +
+              "struct(qcx + dx AS cx, qcy + dy AS cy))))")).as("c"))
+          .select(col("qid"), col("qx"), col("qy"),
+            col("c.cx").as("cx"), col("c.cy").as("cy"))
+        val cand = probe.join(home, Seq("cx", "cy"))
+          .where((col("qx") - col("x")) * (col("qx") - col("x")) +
+                 (col("qy") - col("y")) * (col("qy") - col("y")) <= lit(EPS * EPS))
+          .select(col("qid"), col("fid"),
+            sqrt((col("qx") - col("x")) * (col("qx") - col("x")) +
+                 (col("qy") - col("y")) * (col("qy") - col("y"))).as("d"))
+        val bw = Window.partitionBy(col("qid")).orderBy(col("d"), col("fid"))
+        val best = cand.withColumn("rn", row_number().over(bw))
+          .where(col("rn") === 1)
+        qryP.select(col("id"))
+          .join(best.withColumnRenamed("qid", "id"), Seq("id"), "left")
+          .join(labels.select(col("v").as("fid"), col("lbl")), Seq("fid"), "left")
+          .selectExpr("id", "coalesce(lbl, -1L) AS cluster",
+            "coalesce(round(d, 6), -1e0) AS dist")
+          .orderBy("id")
+      },
+      Some(s"""WITH RECURSIVE
+                 fpts AS (SELECT vec_id AS id, CAST(embedding[1] AS DOUBLE) AS x,
+                     CAST(embedding[2] AS DOUBLE) AS y FROM embeddings
+                   WHERE vec_id >= 20),
+                 qpts AS (SELECT vec_id AS id, CAST(embedding[1] AS DOUBLE) AS x,
+                     CAST(embedding[2] AS DOUBLE) AS y FROM embeddings
+                   WHERE vec_id < 20),
+                 ep AS (SELECT p.id AS a, q.id AS b FROM fpts p JOIN fpts q
+                   ON p.id < q.id
+                  AND (p.x - q.x) * (p.x - q.x) + (p.y - q.y) * (p.y - q.y)
+                      <= ${EPS * EPS}),
+                 nbr AS (SELECT a AS u, b AS v FROM ep
+                         UNION ALL SELECT b, a FROM ep),
+                 dg AS (SELECT u, count(*) AS c FROM nbr GROUP BY u),
+                 core AS (SELECT p.id FROM fpts p LEFT JOIN dg ON dg.u = p.id
+                   WHERE coalesce(dg.c, 0) + 1 >= $MIN_PTS),
+                 ce AS (SELECT u, v FROM nbr
+                        WHERE u IN (SELECT id FROM core)
+                          AND v IN (SELECT id FROM core)),
+                 reach(s, r) AS (
+                   SELECT id, id FROM core
+                   UNION
+                   SELECT ce.u, reach.r FROM ce JOIN reach ON ce.v = reach.s),
+                 lbl AS (SELECT s AS id, min(r) AS lbl FROM reach GROUP BY s),
+                 cand AS (SELECT q.id AS qid, c.id AS fid,
+                     sqrt((q.x - c.x) * (q.x - c.x) + (q.y - c.y) * (q.y - c.y)) AS d
+                   FROM qpts q JOIN (SELECT f.* FROM fpts f
+                       JOIN core ON core.id = f.id) c
+                     ON (q.x - c.x) * (q.x - c.x) + (q.y - c.y) * (q.y - c.y)
+                        <= ${EPS * EPS}),
+                 best AS (SELECT qid, fid, d FROM (
+                     SELECT *, row_number() OVER (PARTITION BY qid
+                       ORDER BY d, fid) AS rn FROM cand) t
+                   WHERE rn = 1)
+               SELECT q.id, coalesce(l.lbl, -1) AS cluster,
+                 coalesce(round(b.d, 6), -1e0) AS dist
+               FROM qpts q LEFT JOIN best b ON b.qid = q.id
+                           LEFT JOIN lbl l ON l.id = b.fid
+               ORDER BY q.id""")),
+
+    QueryDef(
       "ml_knn_graph",
       // NearestNeighbors.kneighbors_graph: the k=3 directed neighbor graph
       // over ALL vectors, built on the IVF probe shape (assign once, probe
@@ -2449,6 +2551,138 @@ object Cluster {
                  round(CAST(cn AS DOUBLE) / (da.deg + db.deg - cn), 6) AS jaccard
                FROM ne JOIN deg da ON da.u = ne.a JOIN deg db ON db.u = ne.b
                ORDER BY jaccard DESC, a, b LIMIT 20""")),
+
+    QueryDef(
+      "graph_kcore",
+      // 3-core decomposition of the eps neighborhood graph — the density
+      // skeleton a graph-curation pass keeps (a vertex survives iff it has
+      // ≥ 3 surviving neighbors; the k-core is the unique maximal such
+      // subgraph, so iteration ORDER cannot change the answer). The
+      // distributed shape is synchronous peeling: per round ONE degree
+      // aggregation over edges restricted to alive endpoints — no
+      // all-pairs anywhere, per-round cost O(edges alive) on vertex-keyed
+      // shuffles, rounds frozen flat (the pagerank discipline). The
+      // fixtures peel in ≤ 4 rounds; the cap throws loudly (the Borůvka
+      // contract) rather than emit a non-fixpoint. Oracle unrolls 6
+      // synchronous rounds — peeling is idempotent at the fixpoint, so
+      // extra unrolled rounds are exact no-ops and the unroll only needs
+      // to be ≥ the observed round count. Output: the degree histogram
+      // WITHIN the 3-core (degree → vertex count), the bounded shape.
+      (s, dir) => {
+        val K = 3
+        val e = T.freeze(epsPairs(s, dir, HORIZON)) // (a < b)
+        val nbr = T.freeze(e.select(col("a").as("u"), col("b").as("v"))
+          .unionAll(e.select(col("b").as("u"), col("a").as("v"))))
+        var alive = T.freeze(nbr.select(col("u")).distinct())
+        var changed = true
+        var rounds = 0
+        while (changed && rounds < MAX_ROUNDS) {
+          val next = T.freeze(nbr
+            .join(alive, "u")
+            .join(alive.select(col("u").as("v")), "v")
+            .groupBy("u").agg(count(lit(1)).as("d"))
+            .where(col("d") >= K).select("u"))
+          changed = next.count() != alive.count()
+          alive = next
+          rounds += 1
+        }
+        if (changed)
+          throw new IllegalStateException(
+            s"graph_kcore: no fixpoint after $MAX_ROUNDS peel rounds")
+        nbr.join(alive, "u")
+          .join(alive.select(col("u").as("v")), "v")
+          .groupBy("u").agg(count(lit(1)).as("degree"))
+          .groupBy("degree").agg(count(lit(1)).as("n_vertices"))
+          .orderBy("degree")
+      },
+      Some {
+        def peel(i: Int): String = {
+          val prev = if (i == 1) "a0" else s"a${i - 1}"
+          s"""a$i AS (SELECT u FROM (
+                SELECT n.u, count(*) AS d
+                FROM nbr n JOIN $prev x ON x.u = n.u
+                           JOIN $prev y ON y.u = n.v
+                GROUP BY n.u) t
+              WHERE d >= 3)"""
+        }
+        s"""WITH pts AS (SELECT vec_id AS id,
+                   CAST(embedding[1] AS DOUBLE) AS x,
+                   CAST(embedding[2] AS DOUBLE) AS y FROM embeddings),
+                 ep AS (SELECT p.id AS a, q.id AS b FROM pts p JOIN pts q
+                   ON p.id < q.id
+                  AND (p.x - q.x) * (p.x - q.x) + (p.y - q.y) * (p.y - q.y)
+                      <= ${HORIZON * HORIZON}),
+                 nbr AS (SELECT a AS u, b AS v FROM ep
+                         UNION ALL SELECT b, a FROM ep),
+                 a0 AS (SELECT DISTINCT u FROM nbr),
+                 ${peel(1)}, ${peel(2)}, ${peel(3)},
+                 ${peel(4)}, ${peel(5)}, ${peel(6)},
+                 core AS (SELECT n.u, count(*) AS degree
+                   FROM nbr n JOIN a6 x ON x.u = n.u
+                              JOIN a6 y ON y.u = n.v
+                   GROUP BY n.u)
+               SELECT degree, count(*) AS n_vertices
+               FROM core GROUP BY degree ORDER BY degree"""
+      }),
+
+    QueryDef(
+      "graph_clustering_coeff",
+      // Local clustering coefficient over the eps neighborhood graph —
+      // the per-vertex transitivity profile next to graph_triangles'
+      // global count: c(v) = 2·tri(v) / (deg(v)·(deg(v)−1)) for deg ≥ 2.
+      // tri(v) comes from the wedge enumeration CENTERED at v (the
+      // (w: a<b) self-join on the shared endpoint, closed by the (a, b)
+      // edge — each triangle contributes exactly one closed wedge per
+      // center, so no multiplicity correction is needed). Cost is Σdeg²
+      // wedge rows on vertex-keyed shuffles — the graph_triangles skew
+      // discipline — and the coefficient is an exact integer ratio, so
+      // the output is bit-deterministic. Output: the 0.1-bucket histogram
+      // of c(v) with per-bucket mean — bounded (11 rows) at any scale.
+      (s, dir) => {
+        val e = T.freeze(epsPairs(s, dir, HORIZON)) // (a < b)
+        val nbr = e.select(col("a").as("u"), col("b").as("v"))
+          .unionAll(e.select(col("b").as("u"), col("a").as("v")))
+        val deg = nbr.groupBy("u").agg(count(lit(1)).as("deg"))
+        val wedges = nbr.select(col("u").as("w"), col("v").as("a"))
+          .join(nbr.select(col("u").as("w"), col("v").as("b")), "w")
+          .where(col("a") < col("b"))
+        val tri = wedges.join(e, Seq("a", "b"))
+          .groupBy(col("w").as("u")).agg(count(lit(1)).as("tri"))
+        deg.where(col("deg") >= 2)
+          .join(tri, Seq("u"), "left")
+          .selectExpr("u",
+            "CAST(2 * coalesce(tri, 0) AS DOUBLE) / (deg * (deg - 1)) AS c")
+          .selectExpr("floor(c * 10) / 10 AS coeff_bucket", "c")
+          .groupBy("coeff_bucket")
+          .agg(count(lit(1)).as("n_vertices"),
+            round(T.xsum(col("c")) / count(lit(1)), 6).as("avg_coeff"))
+          .orderBy("coeff_bucket")
+      },
+      Some(s"""WITH pts AS (SELECT vec_id AS id,
+                   CAST(embedding[1] AS DOUBLE) AS x,
+                   CAST(embedding[2] AS DOUBLE) AS y FROM embeddings),
+                 ep AS (SELECT p.id AS a, q.id AS b FROM pts p JOIN pts q
+                   ON p.id < q.id
+                  AND (p.x - q.x) * (p.x - q.x) + (p.y - q.y) * (p.y - q.y)
+                      <= ${HORIZON * HORIZON}),
+                 nbr AS (SELECT a AS u, b AS v FROM ep
+                         UNION ALL SELECT b, a FROM ep),
+                 deg AS (SELECT u, count(*) AS deg FROM nbr GROUP BY u),
+                 tri AS (SELECT w AS u, count(*) AS tri FROM (
+                     SELECT n1.u AS w, n1.v AS a, n2.v AS b
+                     FROM nbr n1 JOIN nbr n2 ON n1.u = n2.u
+                     WHERE n1.v < n2.v) wd
+                   JOIN ep ON ep.a = wd.a AND ep.b = wd.b
+                   GROUP BY w),
+                 cc AS (SELECT deg.u,
+                     CAST(2 * coalesce(tri.tri, 0) AS DOUBLE)
+                       / (deg.deg * (deg.deg - 1)) AS c
+                   FROM deg LEFT JOIN tri ON tri.u = deg.u
+                   WHERE deg.deg >= 2)
+               SELECT floor(c * 10) / 10 AS coeff_bucket,
+                 count(*) AS n_vertices,
+                 round(${T.sqlXsum("c")} / count(*), 6) AS avg_coeff
+               FROM cc GROUP BY 1 ORDER BY coeff_bucket""")),
 
     QueryDef(
       "ml_spectral_embed",
