@@ -897,7 +897,59 @@ object Forecast {
                  round(sdow, 6) AS seasonal_part,
                  round(a + b * (tmax + h) + sdow, 6) AS forecast
                FROM f JOIN season USING (dow)
-               ORDER BY h"""))
+               ORDER BY h""")),
+
+    QueryDef(
+      "ml_anomaly_residual",
+      // Seasonal-residual anomaly detection on the hourly event volume —
+      // the monitoring twin of ml_seasonal_decompose: the expected volume
+      // for an hour is its hour-of-day profile mean (the seasonal naive
+      // model), the residual z-scores against that same hour-of-day's
+      // spread, and hours with |z| ≥ 2 flag as anomalies — the alert an
+      // operations stream fires on volume spikes/collapses. Dataflow: one
+      // hour-bucket count, one 24-group moment aggregate (mean + MLE
+      // variance from exact integer sums — counts are BIGINT, so the
+      // moments are bit-exact before ONE division), one map-side z pass.
+      // Profile and variance stay integer until the final doubles, so
+      // cross-engine determinism is structural. Output: flagged hours
+      // only (span-bounded, like the daily forecasting rows).
+      (s, dir) => {
+        val hr = T.events(s, dir)
+          .select((unix_micros(col("ts").cast("timestamp")) / lit(3600000000L))
+            .cast("long").as("hr"))
+          .groupBy("hr").agg(count(lit(1)).as("y"))
+          .withColumn("hod", col("hr") % 24)
+        val prof = hr.groupBy("hod")
+          .agg(count(lit(1)).as("n"), sum(col("y")).as("s"),
+            sum(col("y") * col("y")).as("ss"))
+          .selectExpr("hod",
+            "CAST(s AS DOUBLE) / n AS mu",
+            "CAST(ss AS DOUBLE) / n - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n) AS vr")
+        hr.join(broadcast(prof), "hod")
+          .selectExpr("hr", "hod", "y", "mu",
+            "(CAST(y AS DOUBLE) - mu) / sqrt(vr + 1e-9) AS z")
+          .where(expr("abs(z) >= 2e0"))
+          .selectExpr("hr", "CAST(hod AS INT) AS hour_of_day", "y",
+            "round(mu, 6) AS expected", "round(z, 4) AS zscore")
+          .orderBy("hr")
+      },
+      Some("""WITH hc AS (SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hr,
+                   count(*) AS y
+                 FROM events GROUP BY 1),
+                 hh AS (SELECT *, hr % 24 AS hod FROM hc),
+                 prof AS (SELECT hod,
+                     CAST(sum(y) AS DOUBLE) / count(*) AS mu,
+                     CAST(sum(y * y) AS DOUBLE) / count(*)
+                       - (CAST(sum(y) AS DOUBLE) / count(*))
+                       * (CAST(sum(y) AS DOUBLE) / count(*)) AS vr
+                   FROM hh GROUP BY hod),
+                 z AS (SELECT hr, hod, y, mu,
+                     (CAST(y AS DOUBLE) - mu) / sqrt(vr + 1e-9) AS z
+                   FROM hh JOIN prof USING (hod))
+               SELECT hr, CAST(hod AS INT) AS hour_of_day, y,
+                 round(mu, 6) AS expected, round(z, 4) AS zscore
+               FROM z WHERE abs(z) >= 2e0
+               ORDER BY hr"""))
   )
 
   /** Shared scalar cascade for ml_auto_arima: widen the conditional BIGINT

@@ -1522,6 +1522,117 @@ object Pipeline {
                FROM (SELECT * FROM c1 UNION ALL SELECT * FROM c2
                      UNION ALL SELECT * FROM c3) z
                WHERE rank <= 5 ORDER BY round, rank"""
-      })
+      }),
+
+    QueryDef(
+      "text_chunk_overlap",
+      // RAG-style overlapping chunking — the retrieval-corpus prep step
+      // next to text_pack_sequences' trainer packing: each document is
+      // cut into 32-token windows with stride 24 (8-token overlap, the
+      // context-bridging convention), chunks start at token offsets 0,
+      // 24, 48, … while the offset is inside the document, and the final
+      // chunk is allowed short (a trailing fragment is still retrievable
+      // context). Dataflow: ONE token-count map + ONE bounded
+      // explode of the per-doc offset sequence (⌈n/stride⌉ rows per doc —
+      // linear in corpus tokens, never quadratic) + one aggregation per
+      // source. All integer arithmetic until the final ratios. Emits the
+      // numbers a chunking run logs: chunk count, mean chunk tokens, and
+      // the index-inflation factor (chunked tokens / raw tokens — the
+      // storage price of the overlap).
+      (s, dir) => {
+        val d = T.documents(s, dir).transform(T.fanOut(_, col("doc_id")))
+          .select(col("doc_id"), col("source"),
+            expr("CAST(size(filter(split(text, ' '), t -> t <> '')) AS BIGINT)").as("tok"))
+          .where(col("tok") > 0)
+        val chunks = d.select(col("doc_id"), col("source"), col("tok"),
+            explode(expr("sequence(0, CAST(tok - 1 AS BIGINT), 24)")).as("off"))
+          .select(col("doc_id"), col("source"),
+            least(col("tok") - col("off"), lit(32L)).as("ctok"))
+        chunks.groupBy("source")
+          .agg(countDistinct(col("doc_id")).as("n_docs"),
+            count(lit(1)).as("n_chunks"),
+            sum(col("ctok")).as("chunk_tokens"))
+          .join(d.groupBy("source").agg(sum(col("tok")).as("raw_tokens")), "source")
+          .selectExpr("source", "n_docs", "n_chunks",
+            "round(CAST(chunk_tokens AS DOUBLE) / n_chunks, 6) AS avg_chunk_tokens",
+            "round(CAST(chunk_tokens AS DOUBLE) / raw_tokens, 6) AS inflation")
+          .orderBy("source")
+      },
+      Some("""WITH d AS (SELECT doc_id, source,
+                   CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS tok
+                 FROM documents),
+                 dd AS (SELECT * FROM d WHERE tok > 0),
+                 ch AS (SELECT doc_id, source,
+                     least(tok - off, 32) AS ctok
+                   FROM (SELECT doc_id, source, tok,
+                       unnest(generate_series(0, tok - 1, 24)) AS off
+                     FROM dd) x),
+                 ag AS (SELECT source, count(DISTINCT doc_id) AS n_docs,
+                     count(*) AS n_chunks,
+                     CAST(sum(ctok) AS BIGINT) AS chunk_tokens
+                   FROM ch GROUP BY source),
+                 rw AS (SELECT source, CAST(sum(tok) AS BIGINT) AS raw_tokens
+                        FROM dd GROUP BY source)
+               SELECT source, n_docs, n_chunks,
+                 round(CAST(chunk_tokens AS DOUBLE) / n_chunks, 6) AS avg_chunk_tokens,
+                 round(CAST(chunk_tokens AS DOUBLE) / raw_tokens, 6) AS inflation
+               FROM ag JOIN rw USING (source) ORDER BY source""")),
+
+    QueryDef(
+      "text_perplexity_bucket",
+      // CCNet's head/middle/tail split — the step AFTER text_unigram_lm's
+      // scoring: rank every document by its LM negative log-likelihood
+      // and cut the corpus into perplexity terciles (head = fluent,
+      // middle, tail = quarantine candidates; CCNet routes each third to
+      // a different training-mix weight). Shares text_unigram_lm's exact
+      // dataflow for the per-doc NLL (shuffled vocab join, term-level
+      // REAL-collapsed logp, exact-decimal doc sums); the tercile is
+      // ntile(3) over (nll, doc_id) — a deterministic total order, so the
+      // bucket boundary cannot float between engines. The single
+      // unpartitioned ntile window runs over the POST-AGGREGATION per-doc
+      // NLL table (one row per document, the documented bounded-window
+      // pattern; at 100 TB the split would come from approx quantiles of
+      // the same table). Output: per (bucket, lang) doc counts and NLL
+      // range — the mix-table a curation run feeds back into sampling.
+      (s, dir) => {
+        val tok = T.documents(s, dir)
+          .transform(T.fanOut(_, col("doc_id")))
+          .selectExpr("doc_id", "lang",
+            "explode(filter(split(text, ' '), t -> t <> '')) AS t")
+          .select(col("doc_id"), col("lang"), lower(col("t")).as("term"))
+        val ntot = tok.agg(count(lit(1)).as("n_tok_total"))
+        val vocab = tok.groupBy("term").agg(count(lit(1)).as("cnt"))
+          .crossJoin(broadcast(ntot))
+          .selectExpr("term",
+            "CAST(CAST(ln(CAST(cnt AS DOUBLE) / n_tok_total) AS FLOAT) AS DOUBLE) AS logp")
+        val nll = tok.join(vocab, "term")
+          .groupBy("doc_id", "lang")
+          .agg((T.xsum(-col("logp")) / count(lit(1))).as("nll"))
+        val tw = Window.orderBy(col("nll"), col("doc_id"))
+        nll.withColumn("bucket", ntile(3).over(tw))
+          .groupBy("bucket", "lang")
+          .agg(count(lit(1)).as("n_docs"),
+            round(min(col("nll")), 6).as("min_nll"),
+            round(max(col("nll")), 6).as("max_nll"))
+          .orderBy("bucket", "lang")
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, lang, lower(t) AS term FROM (
+                   SELECT doc_id, lang,
+                     unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS t
+                   FROM documents) x),
+                 ntot AS (SELECT count(*) AS n_tok_total FROM tok),
+                 vocab AS (SELECT term,
+                     CAST(CAST(ln(CAST(count(*) AS DOUBLE) / any_value(n_tok_total)) AS REAL) AS DOUBLE) AS logp
+                   FROM tok CROSS JOIN ntot GROUP BY term),
+                 pd AS (SELECT doc_id, lang,
+                     ${T.sqlXsum("-logp")} / count(*) AS nll
+                   FROM tok JOIN vocab USING (term)
+                   GROUP BY doc_id, lang),
+                 bk AS (SELECT *, ntile(3) OVER (ORDER BY nll, doc_id) AS bucket
+                        FROM pd)
+               SELECT bucket, lang, count(*) AS n_docs,
+                 round(min(nll), 6) AS min_nll,
+                 round(max(nll), 6) AS max_nll
+               FROM bk GROUP BY bucket, lang ORDER BY bucket, lang"""))
   )
 }

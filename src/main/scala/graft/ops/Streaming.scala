@@ -386,6 +386,42 @@ object Streaming {
                           FROM ex GROUP BY win_day)
                SELECT day, dau, rolling7_au
                FROM dau JOIN roll ON day = win_day
-               ORDER BY day"""))
+               ORDER BY day""")),
+
+    QueryDef(
+      "stream_cdc_upsert",
+      // CDC upsert compaction — latest-wins state per key, the batch
+      // mirror of a `mapGroupsWithState` keyed-state stream (or a Delta/
+      // Hudi MERGE materialization): per user_id keep ONLY the newest
+      // event (us desc, event_id desc breaks same-microsecond ties
+      // deterministically), then summarize the compacted state table by
+      // the latest event_type — how many users currently sit in each
+      // state and their value mass. The per-key window is the honest
+      // distributed shape (one shuffle on the state key, exactly what the
+      // streaming state store partitions by); output is bounded by the
+      // type cardinality. Streaming form: readStream + watermark +
+      // mapGroupsWithState keeping max-(us, event_id); the reduction here
+      // is the identical expression.
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("us").desc, col("event_id").desc)
+        ev(s, dir)
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_users"),
+            T.dsum(col("value")).as("state_value"),
+            max(col("us")).as("newest_us"))
+          .orderBy("event_type")
+      },
+      Some(s"""WITH st AS (
+                 SELECT *, row_number() OVER (PARTITION BY user_id
+                     ORDER BY us DESC, event_id DESC) AS rn
+                 FROM ($sqlEv) e)
+               SELECT event_type, count(*) AS n_users,
+                 ${T.sqlDsum("value")} AS state_value,
+                 max(us) AS newest_us
+               FROM st WHERE rn = 1
+               GROUP BY event_type ORDER BY event_type"""))
   )
 }
