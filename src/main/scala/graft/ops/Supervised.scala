@@ -189,6 +189,118 @@ object Supervised {
     "(CASE feature WHEN 'quantity' THEN 0 WHEN 'discount' THEN 1 ELSE 2 END)" +
       " <> (shard * 104729 + 11) % 3"
 
+  /** The classifier forest fit shared by ml_rf_predict and ml_rf_oob
+    * (r11 refactor — OOB needs each tree's SHARD to exclude the in-bag
+    * tree, so the driver-held literal gained its bag id): 8 affine-hash
+    * shards each fit a depth-2 gini tree by the ml_tree_depth2 recursion
+    * — TWO aggregation passes for the whole forest at any corpus size —
+    * and the fitted trees come back as (shard, f1, t1, f2l, t2l, vll,
+    * vlr, f2r, t2r, vrl, vrr) literals through the fit memo. */
+  private def rfTrees(s: SparkSession, dir: String)
+      : Array[(Int, String, String, String, String, Int, Int, String, String, Int, Int)] =
+    T.fitCache("rfTrees2", dir) {
+      val spark = s
+      import spark.implicits._
+      val cands = grid.toDF("feature", "thrs")
+        .select(col("feature"), col("thrs").cast("double").as("thr"))
+      val sharded = feats(s, dir).withColumn("shard", expr(shardExpr))
+      val w1 = Window.partitionBy(col("shard"))
+        .orderBy(col("gini").asc, col("feature").asc, col("thr").asc)
+      val b1 = splitCounts(sharded, cands, Seq("shard"))
+        .withColumn("gini", expr(giniExpr))
+        // A pure/constant shard can gini-tie-break into a split that
+        // routes ALL rows one way; the absent child node group would
+        // NULL the nmax pivot and NPE the literal extraction below
+        // (the ml_gbm_round guard, VERDICT r8) — only genuine splits
+        // may win level 1.
+        .where("nl > 0 AND n - nl > 0").where(expr(mtryExpr))
+        .withColumn("rn", row_number().over(w1)).where(col("rn") === 1)
+        .select(col("shard"), col("feature").as("f1"), col("thr").as("t1"))
+      val l2 = sharded.join(broadcast(b1), "shard")
+        .withColumn("node", expr(
+          "CASE WHEN (CASE f1 WHEN 'quantity' THEN q WHEN 'discount' THEN d ELSE t END) <= t1 THEN 'L' ELSE 'R' END"))
+      val w2 = Window.partitionBy(col("shard"), col("node"))
+        .orderBy(col("gini").asc, col("feature").asc, col("thr").asc)
+      val b2 = splitCounts(l2, cands, Seq("shard", "node"))
+        .withColumn("gini", expr(giniExpr))
+        .where(expr(mtryExpr))
+        .withColumn("rn", row_number().over(w2)).where(col("rn") === 1)
+        .select(col("shard"), col("node"),
+          col("feature").as("f2"), col("thr").as("t2"),
+          (col("posl") * 3 > col("nl")).cast("int").as("vl"),
+          ((col("pos") - col("posl")) * 3 > (col("n") - col("nl"))).cast("int").as("vr"))
+      def nmax(node: String, c: String) =
+        max(when(col("node") === node, col(c)))
+      b1.join(
+          b2.groupBy("shard").agg(
+            nmax("L", "f2").as("f2l"), nmax("L", "t2").as("t2l"),
+            nmax("L", "vl").as("vll"), nmax("L", "vr").as("vlr"),
+            nmax("R", "f2").as("f2r"), nmax("R", "t2").as("t2r"),
+            nmax("R", "vl").as("vrl"), nmax("R", "vr").as("vrr")),
+          "shard")
+        .collect()
+        .map(r => (r.getInt(0), r.getString(1),
+          // exact round-trip literals: thresholds are grid values
+          java.lang.Double.toString(r.getDouble(2)),
+          r.getString(3), java.lang.Double.toString(r.getDouble(4)),
+          r.getInt(5), r.getInt(6),
+          r.getString(7), java.lang.Double.toString(r.getDouble(8)),
+          r.getInt(9), r.getInt(10)))
+    }
+
+  /** ml_rf_predict's oracle — the forest fit + in-bag vote calibration
+    * (lifted out verbatim when the fit moved into [[rfTrees]]). */
+  private val rfPredictOracle: Option[String] =
+    Some(s"""WITH $sqlFeats, $sqlGrid,
+                 sh AS (SELECT *, $shardExpr AS shard FROM l),
+                 sc1 AS (${sqlSplitCounts("sh", "shard, ")}),
+                 g1 AS (SELECT *, $giniExpr AS gini FROM sc1),
+                 b1 AS (SELECT shard, feature AS f1, thr AS t1
+                   FROM (SELECT *, row_number() OVER (PARTITION BY shard
+                       ORDER BY gini ASC, feature ASC, thr ASC) AS rn
+                     FROM g1 WHERE nl > 0 AND n - nl > 0 AND $mtryExpr) t
+                   WHERE rn = 1),
+                 l2 AS (SELECT sh.*, CASE WHEN (CASE f1 WHEN 'quantity' THEN q
+                       WHEN 'discount' THEN d ELSE t END) <= t1
+                     THEN 'L' ELSE 'R' END AS node
+                   FROM sh JOIN b1 USING (shard)),
+                 sc2 AS (${sqlSplitCounts("l2", "shard, node, ")}),
+                 g2 AS (SELECT *, $giniExpr AS gini FROM sc2),
+                 b2 AS (SELECT shard, node, feature AS f2, thr AS t2,
+                     CASE WHEN posl * 3 > nl THEN 1 ELSE 0 END AS vl,
+                     CASE WHEN (pos - posl) * 3 > (n - nl) THEN 1 ELSE 0 END AS vr
+                   FROM (SELECT *, row_number() OVER (PARTITION BY shard, node
+                       ORDER BY gini ASC, feature ASC, thr ASC) AS rn
+                     FROM g2 WHERE $mtryExpr) t
+                   WHERE rn = 1),
+                 tr AS (SELECT b1.shard, f1, t1,
+                     max(CASE WHEN node = 'L' THEN f2 END) AS f2l,
+                     max(CASE WHEN node = 'L' THEN t2 END) AS t2l,
+                     max(CASE WHEN node = 'L' THEN vl END) AS vll,
+                     max(CASE WHEN node = 'L' THEN vr END) AS vlr,
+                     max(CASE WHEN node = 'R' THEN f2 END) AS f2r,
+                     max(CASE WHEN node = 'R' THEN t2 END) AS t2r,
+                     max(CASE WHEN node = 'R' THEN vl END) AS vrl,
+                     max(CASE WHEN node = 'R' THEN vr END) AS vrr
+                   FROM b1 JOIN b2 USING (shard)
+                   GROUP BY b1.shard, f1, t1),
+                 scored AS (SELECT l.y,
+                     (SELECT CAST(sum(CASE WHEN (CASE tr.f1
+                           WHEN 'quantity' THEN l.q WHEN 'discount' THEN l.d
+                           ELSE l.t END) <= tr.t1
+                         THEN (CASE WHEN (CASE tr.f2l
+                             WHEN 'quantity' THEN l.q WHEN 'discount' THEN l.d
+                             ELSE l.t END) <= tr.t2l THEN tr.vll ELSE tr.vlr END)
+                         ELSE (CASE WHEN (CASE tr.f2r
+                             WHEN 'quantity' THEN l.q WHEN 'discount' THEN l.d
+                             ELSE l.t END) <= tr.t2r THEN tr.vrl ELSE tr.vrr END)
+                         END) AS INT)
+                      FROM tr) AS votes
+                   FROM l)
+               SELECT votes, count(*) AS n,
+                 round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS actual_rate
+               FROM scored GROUP BY votes ORDER BY votes""")
+
   val entries: Seq[QueryDef] = Seq(
 
     QueryDef(
@@ -571,59 +683,10 @@ object Supervised {
       // lineitem (no join, no shuffle beyond the 9-group vote histogram).
       // Output: votes → (n, actual R rate) calibration.
       (s, dir) => {
-        val spark = s
-        import spark.implicits._
-        val cands = grid.toDF("feature", "thrs")
-          .select(col("feature"), col("thrs").cast("double").as("thr"))
-        val trees: Array[(String, String, String, String, Int, Int, String, String, Int, Int)] =
-          T.fitCache("rfTrees2", dir) {
-            val sharded = feats(s, dir).withColumn("shard", expr(shardExpr))
-            val w1 = Window.partitionBy(col("shard"))
-              .orderBy(col("gini").asc, col("feature").asc, col("thr").asc)
-            val b1 = splitCounts(sharded, cands, Seq("shard"))
-              .withColumn("gini", expr(giniExpr))
-              // A pure/constant shard can gini-tie-break into a split that
-              // routes ALL rows one way; the absent child node group would
-              // NULL the nmax pivot and NPE the literal extraction below
-              // (the ml_gbm_round guard, VERDICT r8) — only genuine splits
-              // may win level 1.
-              .where("nl > 0 AND n - nl > 0").where(expr(mtryExpr))
-              .withColumn("rn", row_number().over(w1)).where(col("rn") === 1)
-              .select(col("shard"), col("feature").as("f1"), col("thr").as("t1"))
-            val l2 = sharded.join(broadcast(b1), "shard")
-              .withColumn("node", expr(
-                "CASE WHEN (CASE f1 WHEN 'quantity' THEN q WHEN 'discount' THEN d ELSE t END) <= t1 THEN 'L' ELSE 'R' END"))
-            val w2 = Window.partitionBy(col("shard"), col("node"))
-              .orderBy(col("gini").asc, col("feature").asc, col("thr").asc)
-            val b2 = splitCounts(l2, cands, Seq("shard", "node"))
-              .withColumn("gini", expr(giniExpr))
-              .where(expr(mtryExpr))
-              .withColumn("rn", row_number().over(w2)).where(col("rn") === 1)
-              .select(col("shard"), col("node"),
-                col("feature").as("f2"), col("thr").as("t2"),
-                (col("posl") * 3 > col("nl")).cast("int").as("vl"),
-                ((col("pos") - col("posl")) * 3 > (col("n") - col("nl"))).cast("int").as("vr"))
-            def nmax(node: String, c: String) =
-              max(when(col("node") === node, col(c)))
-            b1.join(
-                b2.groupBy("shard").agg(
-                  nmax("L", "f2").as("f2l"), nmax("L", "t2").as("t2l"),
-                  nmax("L", "vl").as("vll"), nmax("L", "vr").as("vlr"),
-                  nmax("R", "f2").as("f2r"), nmax("R", "t2").as("t2r"),
-                  nmax("R", "vl").as("vrl"), nmax("R", "vr").as("vrr")),
-                "shard")
-              .collect()
-              .map(r => (r.getString(1),
-                // exact round-trip literals: thresholds are grid values
-                java.lang.Double.toString(r.getDouble(2)),
-                r.getString(3), java.lang.Double.toString(r.getDouble(4)),
-                r.getInt(5), r.getInt(6),
-                r.getString(7), java.lang.Double.toString(r.getDouble(8)),
-                r.getInt(9), r.getInt(10)))
-          }
+        val trees = rfTrees(s, dir)
         def xOf(f: String) =
           f match { case "quantity" => "q"; case "discount" => "d"; case _ => "t" }
-        val votes = trees.map { case (f1, t1, f2l, t2l, vll, vlr, f2r, t2r, vrl, vrr) =>
+        val votes = trees.map { case (_, f1, t1, f2l, t2l, vll, vlr, f2r, t2r, vrl, vrr) =>
           s"""(CASE WHEN ${xOf(f1)} <= $t1
                THEN (CASE WHEN ${xOf(f2l)} <= $t2l THEN $vll ELSE $vlr END)
                ELSE (CASE WHEN ${xOf(f2r)} <= $t2r THEN $vrl ELSE $vrr END) END)"""
@@ -634,6 +697,43 @@ object Supervised {
           .agg(count(lit(1)).as("n"),
             round(sum(col("y")).cast("double") / count(lit(1)), 6).as("actual_rate"))
           .orderBy("votes")
+      },
+      rfPredictOracle),
+
+    QueryDef(
+      "ml_rf_oob",
+      // Out-of-bag error for the sharded forest (cuML RandomForest's
+      // oob_score companion [R], in the MNMG partition-bag form): each of
+      // the 8 trees trained on ONE affine-hash shard, so every row is
+      // in-bag for exactly its own shard's tree and OUT-of-bag for the
+      // other 7 — its OOB prediction is the majority of those 7 votes
+      // (7 is odd: no tie rule needed), an unbiased test-error estimate
+      // with zero extra fitting (the fit is the SAME driver-held literal
+      // table as ml_rf_predict, shared through the fit memo). Scoring
+      // stays a PURE MAP pass — the row's shard picks which 7 tree
+      // expressions count, all integer arithmetic. Output: the 2×2 OOB
+      // confusion matrix with per-cell share — the oob_score_ surface.
+      (s, dir) => {
+        val trees = rfTrees(s, dir)
+        def xOf(f: String) =
+          f match { case "quantity" => "q"; case "discount" => "d"; case _ => "t" }
+        val votes = trees.map { case (sh, f1, t1, f2l, t2l, vll, vlr, f2r, t2r, vrl, vrr) =>
+          s"""(CASE WHEN shard = $sh THEN 0
+               WHEN ${xOf(f1)} <= $t1
+               THEN (CASE WHEN ${xOf(f2l)} <= $t2l THEN $vll ELSE $vlr END)
+               ELSE (CASE WHEN ${xOf(f2r)} <= $t2r THEN $vrl ELSE $vrr END) END)"""
+        }.mkString(" + ")
+        val scored = feats(s, dir)
+          .withColumn("shard", expr(shardExpr))
+          .select(col("y"), expr(votes).as("v"))
+          .selectExpr("y", "CASE WHEN v * 2 > 7 THEN 1 ELSE 0 END AS oob_pred")
+        val tot = scored.agg(count(lit(1)).as("n_total"))
+        scored.groupBy("y", "oob_pred")
+          .agg(count(lit(1)).as("n"))
+          .crossJoin(broadcast(tot))
+          .selectExpr("y", "oob_pred", "n",
+            "round(CAST(n AS DOUBLE) / n_total, 6) AS share")
+          .orderBy("y", "oob_pred")
       },
       Some(s"""WITH $sqlFeats, $sqlGrid,
                  sh AS (SELECT *, $shardExpr AS shard FROM l),
@@ -668,22 +768,26 @@ object Supervised {
                      max(CASE WHEN node = 'R' THEN vr END) AS vrr
                    FROM b1 JOIN b2 USING (shard)
                    GROUP BY b1.shard, f1, t1),
-                 scored AS (SELECT l.y,
+                 scored AS (SELECT sh.y,
                      (SELECT CAST(sum(CASE WHEN (CASE tr.f1
-                           WHEN 'quantity' THEN l.q WHEN 'discount' THEN l.d
-                           ELSE l.t END) <= tr.t1
+                           WHEN 'quantity' THEN sh.q WHEN 'discount' THEN sh.d
+                           ELSE sh.t END) <= tr.t1
                          THEN (CASE WHEN (CASE tr.f2l
-                             WHEN 'quantity' THEN l.q WHEN 'discount' THEN l.d
-                             ELSE l.t END) <= tr.t2l THEN tr.vll ELSE tr.vlr END)
+                             WHEN 'quantity' THEN sh.q WHEN 'discount' THEN sh.d
+                             ELSE sh.t END) <= tr.t2l THEN tr.vll ELSE tr.vlr END)
                          ELSE (CASE WHEN (CASE tr.f2r
-                             WHEN 'quantity' THEN l.q WHEN 'discount' THEN l.d
-                             ELSE l.t END) <= tr.t2r THEN tr.vrl ELSE tr.vrr END)
+                             WHEN 'quantity' THEN sh.q WHEN 'discount' THEN sh.d
+                             ELSE sh.t END) <= tr.t2r THEN tr.vrl ELSE tr.vrr END)
                          END) AS INT)
-                      FROM tr) AS votes
-                   FROM l)
-               SELECT votes, count(*) AS n,
-                 round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS actual_rate
-               FROM scored GROUP BY votes ORDER BY votes""")),
+                      FROM tr WHERE tr.shard <> sh.shard) AS v
+                   FROM sh),
+                 pr AS (SELECT y, CASE WHEN v * 2 > 7 THEN 1 ELSE 0 END AS oob_pred
+                        FROM scored),
+                 tot AS (SELECT count(*) AS n_total FROM pr)
+               SELECT y, oob_pred, count(*) AS n,
+                 round(CAST(count(*) AS DOUBLE) / any_value(n_total), 6) AS share
+               FROM pr CROSS JOIN tot
+               GROUP BY y, oob_pred ORDER BY y, oob_pred""")),
 
     QueryDef(
       "ml_nb_gaussian",
