@@ -459,6 +459,91 @@ object Pipeline {
               WHERE rn <= 5 ORDER BY q_id, rn""")),
 
     QueryDef(
+      "ml_knn_pq",
+      // Product quantization — the OTHER half of the FAISS/cuML IVF-PQ
+      // index family next to ml_knn_ivf's coarse cells and ml_knn_sq8's
+      // scalar codes: the 64-dim space splits into M = 2 subspaces of 32
+      // dims, each subspace gets a 16-entry codebook (here the first 16
+      // corpus subvectors — a deterministic seed pick; a production train
+      // would Lloyd-iterate them with ml_kmeans_converge's loop, same
+      // dataflow), and every vector stores only its 2 nearest-code ids —
+      // 2 bytes instead of 256, the compression that makes
+      // billion-vector indexes RAM-resident. Query-time is ASYMMETRIC
+      // distance computation (ADC): one bounded per-query lookup table
+      // d(q_m, code) (|queries|·M·16 rows, broadcast), then every coded
+      // vector's distance is TWO table lookups — the scan never touches
+      // raw floats, which is the PQ bandwidth win. d̂ = √(d₀² + d₁²) in
+      // shared text; encode/rank windows tie-break on code/vector id, so
+      // the approximate result itself is oracle-checked end-to-end
+      // (the sq8/ivf discipline). Composing with ml_knn_ivf's probe join
+      // gives the full IVFPQ.
+      (s, dir) => {
+        val sub = T.embeddings(s, dir)
+          .transform(T.fanOut(_, col("vec_id")))
+          .select(col("vec_id"),
+            expr("slice(embedding, 1, 32)").as("s0"),
+            expr("slice(embedding, 33, 32)").as("s1"))
+        val vm = sub.select(col("vec_id"), explode(expr(
+            "array(struct(0 AS m, s0 AS sv), struct(1 AS m, s1 AS sv))")).as("x"))
+          .select(col("vec_id"), col("x.m").as("m"), col("x.sv").as("sv"))
+        val cm = vm.where(col("vec_id") < 16)
+          .select(col("vec_id").as("code"), col("m"), col("sv").as("cv"))
+        val ew = Window.partitionBy(col("vec_id"), col("m"))
+          .orderBy(col("d"), col("code"))
+        val codes = vm.join(broadcast(cm), "m")
+          .select(col("vec_id"), col("m"), col("code"),
+            graft.functions.Vec.l2(s, "sv", "cv").as("d"))
+          .withColumn("rn", row_number().over(ew)).where(col("rn") === 1)
+          .select(col("vec_id").as("n_id"), col("m"), col("code"))
+        val lut = vm.where(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("m"), col("sv"))
+          .join(broadcast(cm), "m")
+          .select(col("q_id"), col("m"), col("code"),
+            graft.functions.Vec.l2(s, "sv", "cv").as("dm"))
+        val kw = Window.partitionBy(col("q_id")).orderBy(col("dhat"), col("n_id"))
+        codes.join(broadcast(lut), Seq("m", "code"))
+          .where(col("q_id") =!= col("n_id"))
+          .groupBy("q_id", "n_id")
+          .agg(max(when(col("m") === 0, col("dm"))).as("d0"),
+            max(when(col("m") === 1, col("dm"))).as("d1"))
+          .selectExpr("q_id", "n_id", "sqrt(d0 * d0 + d1 * d1) AS dhat")
+          .withColumn("rn", row_number().over(kw)).where(col("rn") <= 5)
+          .select(col("q_id"), col("rn"), col("n_id"),
+            round(col("dhat"), 6).as("dist_adc"))
+          .orderBy("q_id", "rn")
+      },
+      Some("""WITH sub AS (SELECT vec_id,
+                   CAST(embedding[1:32] AS DOUBLE[]) AS s0,
+                   CAST(embedding[33:64] AS DOUBLE[]) AS s1
+                 FROM embeddings),
+                 vm AS (SELECT vec_id, 0 AS m, s0 AS sv FROM sub
+                        UNION ALL SELECT vec_id, 1, s1 FROM sub),
+                 cm AS (SELECT vec_id AS code, m, sv AS cv FROM vm
+                        WHERE vec_id < 16),
+                 codes AS (SELECT vec_id AS n_id, m, code FROM (
+                     SELECT v.vec_id, v.m, c.code,
+                       row_number() OVER (PARTITION BY v.vec_id, v.m
+                         ORDER BY list_distance(v.sv, c.cv), c.code) AS rn
+                     FROM vm v JOIN cm c USING (m)) t
+                   WHERE rn = 1),
+                 lut AS (SELECT q.vec_id AS q_id, q.m, c.code,
+                     list_distance(q.sv, c.cv) AS dm
+                   FROM vm q JOIN cm c USING (m)
+                   WHERE q.vec_id < 10),
+                 adc AS (SELECT l.q_id, cd.n_id,
+                     max(CASE WHEN l.m = 0 THEN dm END) AS d0,
+                     max(CASE WHEN l.m = 1 THEN dm END) AS d1
+                   FROM codes cd JOIN lut l ON l.m = cd.m AND l.code = cd.code
+                   WHERE l.q_id <> cd.n_id
+                   GROUP BY l.q_id, cd.n_id)
+               SELECT q_id, rn, n_id, round(dhat, 6) AS dist_adc FROM (
+                 SELECT q_id, n_id, sqrt(d0 * d0 + d1 * d1) AS dhat,
+                   row_number() OVER (PARTITION BY q_id
+                     ORDER BY sqrt(d0 * d0 + d1 * d1), n_id) AS rn
+                 FROM adc) r
+               WHERE rn <= 5 ORDER BY q_id, rn""")),
+
+    QueryDef(
       "ml_knn_sq8",
       // The SQ8 scalar-quantizer half of cuML's ivfsq ANN method [R]:
       // per-DIMENSION 8-bit uniform quantization (codebook = 64 (min, max)
