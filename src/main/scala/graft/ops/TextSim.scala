@@ -456,6 +456,114 @@ object TextSim {
                  v$k AS (SELECT term, vp / nrm AS v FROM vp$k, n$k)"""
                  }.mkString(",\n                 ")}
                SELECT term, round(v, 6) AS loading
-               FROM v3 ORDER BY v DESC, term LIMIT 10"""))
+               FROM v3 ORDER BY v DESC, term LIMIT 10""")),
+
+    QueryDef(
+      "ml_nmf",
+      // Non-negative matrix factorization (k = 2 topics, 2 Lee–Seung
+      // multiplicative update rounds) on the doc × term count matrix —
+      // the nonnegative sibling of text_lsa_power's SVD topic extraction
+      // (parts-based topics: no cancellation, loadings read as word
+      // lists). The distributed decomposition layout: W (docs × 2) is a
+      // doc-keyed TABLE — never collected, never broadcast; H (2 × 20
+      // vocab terms) is model-sized and broadcasts; V stays sparse
+      // (doc_id, r, count). Each update round is the four standard
+      // aggregates — WᵀW (2×2, one-row frame), WᵀV (vocab-keyed join +
+      // groupBy), HHᵀ, VHᵀ (doc-keyed groupBy) — so a round costs two
+      // sparse-matmul shuffles exactly like one LSA power step; rounds
+      // are frozen flat. Every sum rides the exact decimal wire and the
+      // update ratio h·(WᵀV)/(WᵀWH + ε) is shared text, so the factor
+      // entries are bit-identical cross-engine. Vocabulary bounded to the
+      // top-20 terms (count desc, term asc — deterministic ranks); init
+      // is an affine-hash positive matrix, not an RNG. Output: H after
+      // round 2 — the 20-term topic loading table.
+      (s, dir) => {
+        val dt = docTerms(s, dir)
+        val vt = dt.groupBy("term").agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("term")).limit(20)
+          .withColumn("r", row_number().over(
+            Window.orderBy(col("cnt").desc, col("term"))))
+          .select("term", "r")
+        val v = T.freeze(dt.join(broadcast(vt), "term")
+          .groupBy("doc_id", "r")
+          .agg(count(lit(1)).cast("double").as("v")))
+        var w = T.freeze(v.select("doc_id").distinct()
+          .selectExpr("doc_id",
+            "CAST(1 + (doc_id * 31) % 7 AS DOUBLE) AS w0",
+            "CAST(1 + (doc_id * 31 + 17) % 7 AS DOUBLE) AS w1"))
+        var h = T.freeze(vt.selectExpr("r",
+          "CAST(1 + (r * 13) % 5 AS DOUBLE) AS h0",
+          "CAST(1 + (r * 13 + 11) % 5 AS DOUBLE) AS h1"))
+        for (_ <- 1 to 2) {
+          val ww = w.agg(T.xsum(col("w0") * col("w0")).as("s00"),
+            T.xsum(col("w0") * col("w1")).as("s01"),
+            T.xsum(col("w1") * col("w1")).as("s11"))
+          val wv = v.join(w, "doc_id").groupBy("r")
+            .agg(T.xsum(col("w0") * col("v")).as("wv0"),
+              T.xsum(col("w1") * col("v")).as("wv1"))
+          h = T.freeze(h.join(wv, "r").crossJoin(broadcast(ww))
+            .selectExpr("r",
+              "h0 * wv0 / (s00 * h0 + s01 * h1 + 1e-9) AS h0",
+              "h1 * wv1 / (s01 * h0 + s11 * h1 + 1e-9) AS h1"))
+          val hh = h.agg(T.xsum(col("h0") * col("h0")).as("t00"),
+            T.xsum(col("h0") * col("h1")).as("t01"),
+            T.xsum(col("h1") * col("h1")).as("t11"))
+          val vh = v.join(broadcast(h), "r").groupBy("doc_id")
+            .agg(T.xsum(col("v") * col("h0")).as("vh0"),
+              T.xsum(col("v") * col("h1")).as("vh1"))
+          w = T.freeze(w.join(vh, "doc_id").crossJoin(broadcast(hh))
+            .selectExpr("doc_id",
+              "w0 * vh0 / (w0 * t00 + w1 * t01 + 1e-9) AS w0",
+              "w1 * vh1 / (w0 * t01 + w1 * t11 + 1e-9) AS w1"))
+        }
+        h.join(broadcast(vt), "r")
+          .selectExpr("r", "term",
+            "round(h0, 6) AS topic0", "round(h1, 6) AS topic1")
+          .orderBy("r")
+      },
+      Some {
+        def round(k: Int): String = {
+          val (pw, ph) = (s"w${k - 1}", s"h${k - 1}")
+          s"""ww$k AS (SELECT ${T.sqlXsum("w0 * w0")} AS s00,
+                  ${T.sqlXsum("w0 * w1")} AS s01,
+                  ${T.sqlXsum("w1 * w1")} AS s11 FROM $pw),
+              wv$k AS (SELECT r, ${T.sqlXsum("w0 * v")} AS wv0,
+                  ${T.sqlXsum("w1 * v")} AS wv1
+                FROM v JOIN $pw USING (doc_id) GROUP BY r),
+              h$k AS (SELECT h.r,
+                  h.h0 * wv0 / (s00 * h.h0 + s01 * h.h1 + 1e-9) AS h0,
+                  h.h1 * wv1 / (s01 * h.h0 + s11 * h.h1 + 1e-9) AS h1
+                FROM $ph h JOIN wv$k USING (r) CROSS JOIN ww$k),
+              hh$k AS (SELECT ${T.sqlXsum("h0 * h0")} AS t00,
+                  ${T.sqlXsum("h0 * h1")} AS t01,
+                  ${T.sqlXsum("h1 * h1")} AS t11 FROM h$k),
+              vh$k AS (SELECT doc_id, ${T.sqlXsum("v * h0")} AS vh0,
+                  ${T.sqlXsum("v * h1")} AS vh1
+                FROM v JOIN h$k USING (r) GROUP BY doc_id),
+              w$k AS (SELECT w.doc_id,
+                  w.w0 * vh0 / (w.w0 * t00 + w.w1 * t01 + 1e-9) AS w0,
+                  w.w1 * vh1 / (w.w0 * t01 + w.w1 * t11 + 1e-9) AS w1
+                FROM $pw w JOIN vh$k USING (doc_id) CROSS JOIN hh$k)"""
+        }
+        s"""WITH dt0 AS ($sqlDocTerms),
+                 dt AS (SELECT doc_id, term FROM dt0 WHERE term <> ''),
+                 vt AS (SELECT term, row_number() OVER (ORDER BY cnt DESC, term) AS r
+                   FROM (SELECT term, count(*) AS cnt FROM dt GROUP BY term
+                         ORDER BY cnt DESC, term LIMIT 20) tv),
+                 v AS (SELECT doc_id, r, CAST(count(*) AS DOUBLE) AS v
+                   FROM dt JOIN vt USING (term) GROUP BY doc_id, r),
+                 w0 AS (SELECT doc_id,
+                     CAST(1 + (doc_id * 31) % 7 AS DOUBLE) AS w0,
+                     CAST(1 + (doc_id * 31 + 17) % 7 AS DOUBLE) AS w1
+                   FROM (SELECT DISTINCT doc_id FROM v) dv),
+                 h0 AS (SELECT r,
+                     CAST(1 + (r * 13) % 5 AS DOUBLE) AS h0,
+                     CAST(1 + (r * 13 + 11) % 5 AS DOUBLE) AS h1
+                   FROM vt),
+                 ${round(1)},
+                 ${round(2)}
+               SELECT r, term, round(h0, 6) AS topic0, round(h1, 6) AS topic1
+               FROM h2 JOIN vt USING (r) ORDER BY r"""
+      })
   )
 }
