@@ -463,85 +463,104 @@ object Pipeline {
       // Product quantization — the OTHER half of the FAISS/cuML IVF-PQ
       // index family next to ml_knn_ivf's coarse cells and ml_knn_sq8's
       // scalar codes: the 64-dim space splits into M = 2 subspaces of 32
-      // dims, each subspace gets a 16-entry codebook (here the first 16
-      // corpus subvectors — a deterministic seed pick; a production train
-      // would Lloyd-iterate them with ml_kmeans_converge's loop, same
-      // dataflow), and every vector stores only its 2 nearest-code ids —
-      // 2 bytes instead of 256, the compression that makes
-      // billion-vector indexes RAM-resident. Query-time is ASYMMETRIC
-      // distance computation (ADC): one bounded per-query lookup table
-      // d(q_m, code) (|queries|·M·16 rows, broadcast), then every coded
-      // vector's distance is TWO table lookups — the scan never touches
-      // raw floats, which is the PQ bandwidth win. d̂ = √(d₀² + d₁²) in
-      // shared text; encode/rank windows tie-break on code/vector id, so
-      // the approximate result itself is oracle-checked end-to-end
-      // (the sq8/ivf discipline). Composing with ml_knn_ivf's probe join
-      // gives the full IVFPQ.
+      // dims, each subspace trains a 16-entry codebook by ONE Lloyd round
+      // (seed = the first 16 corpus subvectors, assign, recenter — the
+      // ml_kmeans_update dataflow per subspace; more rounds iterate the
+      // same two aggregations), and every vector stores only its 2
+      // nearest-code ids — 2 bytes instead of 256, the compression that
+      // makes billion-vector indexes RAM-resident. Query-time is
+      // ASYMMETRIC distance computation (ADC): one bounded per-query
+      // lookup table d²(q_m, code) (|queries|·M·16 rows, broadcast), then
+      // every coded vector's distance is TWO lookups — the scan never
+      // touches raw floats, which is the PQ bandwidth win. Dims stay
+      // EXPLODED through the distance passes (the sq8 per-dim equi-join
+      // both engines share) with d² on the exact decimal wire, and the
+      // trained centroids are ratios of exact sums — so every code
+      // assignment, the LUT, and the final ranking are bit-deterministic
+      // and the approximate result itself is oracle-checked end-to-end.
+      // At 100 TB the train runs on a bounded sample (cuML's fit [R]
+      // does exactly that) and the encode/ADC passes stay map-shaped.
       (s, dir) => {
-        val sub = T.embeddings(s, dir)
+        val vd = T.freeze(T.embeddings(s, dir)
           .transform(T.fanOut(_, col("vec_id")))
-          .select(col("vec_id"),
-            expr("slice(embedding, 1, 32)").as("s0"),
-            expr("slice(embedding, 33, 32)").as("s1"))
-        val vm = sub.select(col("vec_id"), explode(expr(
-            "array(struct(0 AS m, s0 AS sv), struct(1 AS m, s1 AS sv))")).as("x"))
-          .select(col("vec_id"), col("x.m").as("m"), col("x.sv").as("sv"))
-        val cm = vm.where(col("vec_id") < 16)
-          .select(col("vec_id").as("code"), col("m"), col("sv").as("cv"))
-        val ew = Window.partitionBy(col("vec_id"), col("m"))
-          .orderBy(col("d"), col("code"))
-        val codes = vm.join(broadcast(cm), "m")
-          .select(col("vec_id"), col("m"), col("code"),
-            graft.functions.Vec.l2(s, "sv", "cv").as("d"))
-          .withColumn("rn", row_number().over(ew)).where(col("rn") === 1)
-          .select(col("vec_id").as("n_id"), col("m"), col("code"))
-        val lut = vm.where(col("vec_id") < 10)
-          .select(col("vec_id").as("q_id"), col("m"), col("sv"))
-          .join(broadcast(cm), "m")
-          .select(col("q_id"), col("m"), col("code"),
-            graft.functions.Vec.l2(s, "sv", "cv").as("dm"))
+          .select(col("vec_id"), posexplode(col("embedding")))
+          .toDF("vec_id", "p", "xf")
+          .selectExpr("vec_id", "CAST(p div 32 AS INT) AS m",
+            "CAST(p % 32 AS INT) AS j", "CAST(xf AS DOUBLE) AS x"))
+        val cb0 = vd.where(col("vec_id") < 16)
+          .selectExpr("CAST(vec_id AS INT) AS code", "m", "j", "x AS c")
+        def encode(cb: DataFrame): DataFrame = {
+          val aw = Window.partitionBy(col("vec_id"), col("m"))
+            .orderBy(col("d2"), col("code"))
+          vd.join(broadcast(cb), Seq("m", "j"))
+            .groupBy("vec_id", "m", "code")
+            .agg(T.xsum((col("x") - col("c")) * (col("x") - col("c"))).as("d2"))
+            .withColumn("rn", row_number().over(aw)).where(col("rn") === 1)
+            .select(col("vec_id"), col("m"), col("code"))
+        }
+        val cb1 = T.freeze(vd.join(encode(cb0), Seq("vec_id", "m"))
+          .groupBy("m", "code", "j")
+          .agg((T.xsum(col("x")) / count(lit(1))).as("c")))
+        val codes = encode(cb1).withColumnRenamed("vec_id", "n_id")
+        val lut = vd.where(col("vec_id") < 10)
+          .selectExpr("vec_id AS q_id", "m", "j", "x")
+          .join(broadcast(cb1), Seq("m", "j"))
+          .groupBy("q_id", "m", "code")
+          .agg(T.xsum((col("x") - col("c")) * (col("x") - col("c"))).as("d2m"))
         val kw = Window.partitionBy(col("q_id")).orderBy(col("dhat"), col("n_id"))
         codes.join(broadcast(lut), Seq("m", "code"))
           .where(col("q_id") =!= col("n_id"))
           .groupBy("q_id", "n_id")
-          .agg(max(when(col("m") === 0, col("dm"))).as("d0"),
-            max(when(col("m") === 1, col("dm"))).as("d1"))
-          .selectExpr("q_id", "n_id", "sqrt(d0 * d0 + d1 * d1) AS dhat")
+          .agg(max(when(col("m") === 0, col("d2m"))).as("d20"),
+            max(when(col("m") === 1, col("d2m"))).as("d21"))
+          .selectExpr("q_id", "n_id", "sqrt(d20 + d21) AS dhat")
           .withColumn("rn", row_number().over(kw)).where(col("rn") <= 5)
           .select(col("q_id"), col("rn"), col("n_id"),
             round(col("dhat"), 6).as("dist_adc"))
           .orderBy("q_id", "rn")
       },
-      Some("""WITH sub AS (SELECT vec_id,
-                   CAST(embedding[1:32] AS DOUBLE[]) AS s0,
-                   CAST(embedding[33:64] AS DOUBLE[]) AS s1
-                 FROM embeddings),
-                 vm AS (SELECT vec_id, 0 AS m, s0 AS sv FROM sub
-                        UNION ALL SELECT vec_id, 1, s1 FROM sub),
-                 cm AS (SELECT vec_id AS code, m, sv AS cv FROM vm
-                        WHERE vec_id < 16),
-                 codes AS (SELECT vec_id AS n_id, m, code FROM (
-                     SELECT v.vec_id, v.m, c.code,
-                       row_number() OVER (PARTITION BY v.vec_id, v.m
-                         ORDER BY list_distance(v.sv, c.cv), c.code) AS rn
-                     FROM vm v JOIN cm c USING (m)) t
-                   WHERE rn = 1),
-                 lut AS (SELECT q.vec_id AS q_id, q.m, c.code,
-                     list_distance(q.sv, c.cv) AS dm
-                   FROM vm q JOIN cm c USING (m)
-                   WHERE q.vec_id < 10),
-                 adc AS (SELECT l.q_id, cd.n_id,
-                     max(CASE WHEN l.m = 0 THEN dm END) AS d0,
-                     max(CASE WHEN l.m = 1 THEN dm END) AS d1
-                   FROM codes cd JOIN lut l ON l.m = cd.m AND l.code = cd.code
-                   WHERE l.q_id <> cd.n_id
-                   GROUP BY l.q_id, cd.n_id)
+      Some {
+        def distCte(name: String, cb: String, filter: String): String =
+          s"""$name AS (SELECT v.vec_id, v.m, c.code,
+                  ${T.sqlXsum("(v.x - c.c) * (v.x - c.c)")} AS d2
+                FROM vd v JOIN $cb c ON c.m = v.m AND c.j = v.j$filter
+                GROUP BY v.vec_id, v.m, c.code)"""
+        def encCte(name: String, dist: String): String =
+          s"""$name AS (SELECT vec_id, m, code FROM (
+                  SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                    ORDER BY d2, code) AS rn FROM $dist) t
+                WHERE rn = 1)"""
+        s"""WITH vd AS (SELECT vec_id,
+                   CAST((p1 - 1) // 32 AS INT) AS m,
+                   CAST((p1 - 1) % 32 AS INT) AS j,
+                   CAST(xf AS DOUBLE) AS x
+                 FROM (SELECT vec_id, generate_subscripts(embedding, 1) AS p1,
+                         unnest(embedding) AS xf FROM embeddings) t),
+                 cb0 AS (SELECT CAST(vec_id AS INT) AS code, m, j, x AS c
+                         FROM vd WHERE vec_id < 16),
+                 ${distCte("dd0", "cb0", "")},
+                 ${encCte("enc0", "dd0")},
+                 cb1 AS (SELECT a.m, a.code, v.j,
+                     ${T.sqlXsum("v.x")} / count(*) AS c
+                   FROM vd v JOIN enc0 a ON a.vec_id = v.vec_id AND a.m = v.m
+                   GROUP BY a.m, a.code, v.j),
+                 ${distCte("dd1", "cb1", "")},
+                 ${encCte("codes", "dd1")},
+                 ${distCte("lutd", "cb1", " WHERE v.vec_id < 10")},
+                 adc AS (SELECT l.vec_id AS q_id, cd.vec_id AS n_id,
+                     max(CASE WHEN l.m = 0 THEN l.d2 END) AS d20,
+                     max(CASE WHEN l.m = 1 THEN l.d2 END) AS d21
+                   FROM codes cd JOIN lutd l
+                     ON l.m = cd.m AND l.code = cd.code
+                   WHERE l.vec_id <> cd.vec_id
+                   GROUP BY l.vec_id, cd.vec_id)
                SELECT q_id, rn, n_id, round(dhat, 6) AS dist_adc FROM (
-                 SELECT q_id, n_id, sqrt(d0 * d0 + d1 * d1) AS dhat,
+                 SELECT q_id, n_id, sqrt(d20 + d21) AS dhat,
                    row_number() OVER (PARTITION BY q_id
-                     ORDER BY sqrt(d0 * d0 + d1 * d1), n_id) AS rn
+                     ORDER BY sqrt(d20 + d21), n_id) AS rn
                  FROM adc) r
-               WHERE rn <= 5 ORDER BY q_id, rn""")),
+               WHERE rn <= 5 ORDER BY q_id, rn"""
+      }),
 
     QueryDef(
       "ml_knn_sq8",

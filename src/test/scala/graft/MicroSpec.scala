@@ -2161,4 +2161,126 @@ class MicroSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq
     assert(got == toks.map(duckFold), s"got $got expected ${toks.map(duckFold)}")
   }
+
+  test("graph_kcore: the 3-core keeps every vertex at degree >= 3 (r11)") {
+    val rows = q("graph_kcore").collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("degree") >= 3, "vertex below k in the k-core")
+      assert(r.getAs[Long]("n_vertices") > 0)
+    }
+    // handshake: within-core degree mass is even (each edge counted twice)
+    val mass = rows.map(r => r.getAs[Long]("degree") * r.getAs[Long]("n_vertices")).sum
+    assert(mass % 2 == 0, s"odd degree mass $mass")
+  }
+
+  test("graph_clustering_coeff: coefficients bucket into [0, 1] (r11)") {
+    val rows = q("graph_clustering_coeff").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (b, a) = (r.getAs[Double]("coeff_bucket"), r.getAs[Double]("avg_coeff"))
+      assert(b >= -1e-9 && b <= 1.0 + 1e-9, s"bucket $b out of range")
+      assert(a >= b - 1e-9 && a <= b + 0.1 + 1e-9, s"mean $a outside bucket $b")
+    }
+  }
+
+  test("ml_dbscan_predict: cluster and distance sentinels agree (r11)") {
+    val rows = q("ml_dbscan_predict").collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      val (c, d) = (r.getAs[Long]("cluster"), r.getAs[Double]("dist"))
+      // the nearest in-eps fit point is a CORE by construction, and every
+      // core carries a component label — so noise ⟺ no in-eps neighbor
+      if (c == -1L) assert(d == -1e0, s"noise row with distance $d")
+      else assert(d >= 0 && d <= 0.006 + 1e-12, s"assigned row at distance $d")
+    }
+  }
+
+  test("stream_cdc_upsert: compacted state covers every user exactly once (r11)") {
+    val rows = q("stream_cdc_upsert").collect()
+    val n = rows.map(_.getAs[Long]("n_users")).sum
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(n == users, s"state rows $n != distinct users $users")
+    rows.foreach(r => assert(!r.getAs[Double]("state_value").isNaN))
+  }
+
+  test("text_chunk_overlap: stride-24 windows of <= 32 tokens inflate the index (r11)") {
+    q("text_chunk_overlap").collect().foreach { r =>
+      assert(r.getAs[Double]("inflation") >= 1.0 - 1e-9, "overlap cannot deflate")
+      val avg = r.getAs[Double]("avg_chunk_tokens")
+      assert(avg > 0 && avg <= 32.0 + 1e-9, s"avg chunk $avg out of range")
+      assert(r.getAs[Long]("n_chunks") >= r.getAs[Long]("n_docs"))
+    }
+  }
+
+  test("text_perplexity_bucket: terciles partition the corpus in NLL order (r11)") {
+    val rows = q("text_perplexity_bucket").collect()
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(total == Tables.documents(spark, sf).count())
+    def agg(f: Array[org.apache.spark.sql.Row] => Double)(b: Int) =
+      f(rows.filter(_.getAs[Int]("bucket") == b))
+    val hi = agg(_.map(_.getAs[Double]("max_nll")).max)(1)
+    val lo = agg(_.map(_.getAs[Double]("min_nll")).min)(3)
+    assert(hi <= lo + 1e-9, s"head max NLL $hi above tail min $lo")
+  }
+
+  test("ml_anomaly_residual: every flagged hour is a 2-sigma deviation (r11)") {
+    q("ml_anomaly_residual").collect().foreach { r =>
+      assert(math.abs(r.getAs[Double]("zscore")) >= 2.0 - 1e-4)
+      assert(r.getAs[Int]("hour_of_day") == (r.getAs[Long]("hr") % 24).toInt)
+    }
+  }
+
+  test("ml_rf_oob: the OOB confusion partitions the corpus (r11)") {
+    val rows = q("ml_rf_oob").collect()
+    val n = rows.map(_.getAs[Long]("n")).sum
+    assert(n == Tables.lineitem(spark, sf).count(), "confusion must cover every row")
+    val share = rows.map(_.getAs[Double]("share")).sum
+    assert(math.abs(share - 1.0) < 1e-3, s"shares sum $share")
+    rows.foreach { r =>
+      assert(Set(0L, 1L).contains(r.getAs[Long]("y")))
+      assert(Set(0, 1).contains(r.getAs[Int]("oob_pred")))
+    }
+  }
+
+  test("ml_nmf: nonnegative loadings over the full top-20 vocabulary (r11)") {
+    val rows = q("ml_nmf").collect()
+    assert(rows.length == 20, s"expected 20 vocab rows, got ${rows.length}")
+    rows.foreach { r =>
+      assert(r.getAs[Double]("topic0") >= 0 && r.getAs[Double]("topic1") >= 0,
+        "multiplicative updates must preserve nonnegativity")
+    }
+    // both topics carry mass (the factorization did not collapse a column)
+    assert(rows.map(_.getAs[Double]("topic0")).sum > 0)
+    assert(rows.map(_.getAs[Double]("topic1")).sum > 0)
+  }
+
+  test("ml_knn_pq: ADC-selected neighbors are truly nearer than average (r11)") {
+    import org.apache.spark.sql.functions._
+    val pq = q("ml_knn_pq").collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    val e = Tables.embeddings(spark, sf)
+    val qs = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val all = e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+      .crossJoin(broadcast(qs))
+      .where(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        graft.functions.Vec.l2(spark, "q_emb", "n_emb").as("d"))
+      .collect().map(r =>
+        ((r.getAs[Long]("q_id"), r.getAs[Long]("n_id")), r.getAs[Double]("d")))
+    // The synthetic embeddings are near-uniform in 64-d (distance
+    // concentration: even the TRUE top-5 of a query isn't same-label), so
+    // a 2×16 product code retains only a thin distance signal — exact
+    // recall is NOT the pin (the ADC math itself is hash-pinned by the
+    // sf0.01 oracle). The semantic pin: the TRUE distance of ADC-selected
+    // pairs must still beat the candidate average — code assignment or
+    // LUT breakage collapses the ratio to ~1.0, measured 0.90 healthy.
+    val meanAll = all.map(_._2).sum / all.length
+    val sel = all.filter(x => pq.contains(x._1))
+    val meanSel = sel.map(_._2).sum / sel.length
+    assert(sel.length == pq.size, "every PQ pair must exist in the candidate set")
+    assert(pq.size == 50, s"expected 10 queries x top-5, got ${pq.size}")
+    assert(meanSel < 0.95 * meanAll,
+      s"ADC selection mean $meanSel not better than average $meanAll")
+  }
 }
