@@ -248,6 +248,40 @@ object Tables {
   def sqlSumE12(e: String): String =
     s"sum(CAST(($e) * 1000000000000.0 AS DECIMAL(38,0)))"
 
+  /** Long-lane [[sumE12]] for SMALL-MAGNITUDE addends (r11 — found by the
+    * 28 s ml_logreg_multi fit): the decimal wire's per-row
+    * double→DECIMAL(38,0) cast + BigDecimal add is the whole cost of a
+    * 14-sum IRLS pass (measured 4.7 s vs 0.9 s for raw double sums at
+    * sf0.1). Same 12-dp fixed-point contract and the same DECIMAL(38,0)
+    * output (drop-in ahead of [[bitsE12]]), but the per-row work is two
+    * LONG lanes: v = round(c·10¹²) as BIGINT, lo = v % 10⁸ (dividend
+    * sign), hi = (v − lo)/10⁸ (an exact multiple of 10⁸ ≤ 2⁵³, so the
+    * double division is exact) — all codegen'd primitive ops; the single
+    * decimal reconstruction hi·10⁸ + lo runs once per GROUP. Tie-rounding
+    * (round = ties away from zero in both engines) can differ from the
+    * decimal cast's by 1 ulp at exact .5 addends — legal inside the
+    * shared-text contract because BOTH engines run this identical text.
+    * EXACTNESS BOUNDS (the price of the speed): |addend| < ~9·10³ (so
+    * |v| < 2⁵³) and < ~9·10¹⁰ rows per aggregation group (lane-sum
+    * headroom). Fit passes over bounded features (logistic weights
+    * w ≤ ¼, q ≤ 50, d/t ≤ 0.11) sit far inside both; larger magnitudes
+    * (price cross-products) or unbounded groups stay on [[sumE12]]. */
+  def sumE12L(c: Column): Column = {
+    val v = round(c * lit(1.0e12), 0).cast(LongType)
+    val lo = v % lit(100000000L)
+    val hi = ((v - lo) / lit(100000000L)).cast(LongType)
+    (sum(hi).cast(DecimalType(38, 0)) * lit(100000000L)
+      + sum(lo).cast(DecimalType(38, 0))).cast(DecimalType(38, 0))
+  }
+
+  /** DuckDB twin of [[sumE12L]] — shared structure (sum(BIGINT) is
+    * HUGEINT in DuckDB; the DECIMAL(38,0) casts meet at the same type). */
+  def sqlSumE12L(e: String): String = {
+    val v = s"CAST(round(($e) * 1000000000000.0) AS BIGINT)"
+    s"CAST(CAST(sum(CAST(($v - ($v % 100000000)) / 100000000 AS BIGINT)) AS DECIMAL(38,0)) * 100000000" +
+      s" + CAST(sum($v % 100000000) AS DECIMAL(38,0)) AS DECIMAL(38,0))"
+  }
+
   /** DuckDB twin of [[bitsE12]] — `//` on DECIMAL is TRUE division in
     * DuckDB (the r6 holdout gotcha), so route through HUGEINT; both
     * engines truncate integer division toward zero and give `%` the

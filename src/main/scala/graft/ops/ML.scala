@@ -1030,12 +1030,19 @@ object ML {
   private def irlsMultiBetaCompute(s: SparkSession, dir: String): Array[Double] = {
     val spark = s
     import spark.implicits._
+    // persist the projected corpus across the 3 IRLS passes (the
+    // ml_kmeans_converge discipline, r11): without it every round re-runs
+    // the scan + fanOut shuffle — measured 10.6 → ~6 s at sf0.1. The
+    // 4-column double frame is the smallest possible cache footprint;
+    // unpersisted before return so no blocks outlive the fit.
     val d = T.lineitem(s, dir).select(
       col("l_quantity").cast("double").as("q"),
       col("l_discount").cast("double").as("dd"),
       col("l_tax").cast("double").as("tt"),
       when(col("l_returnflag") === "R", 1.0).otherwise(0.0).as("y"))
       .transform(T.fanOut(_))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     var e = Array(0.0, 0.0, 0.0, 0.0)
     for (_ <- 1 to 3) {
       val bt = Seq((e(0), e(1), e(2), e(3))).toDF("e0", "e1", "e2", "e3")
@@ -1047,9 +1054,11 @@ object ML {
           (col("y") - col("mu")).as("r"),
           (col("mu") * (lit(1.0) - col("mu"))).as("w"))
       // named straight into the gaussBase slots: H → a.., gradient → b..
-      // T.sumE12 + bitsE12 wire (NOT xsum): DuckDB's decimal→double cast
-      // is off by ulps, and this solve amplifies input ulps ~1e8× through
+      // The 12-dp split wire (NOT xsum): DuckDB's decimal→double cast is
+      // off by ulps, and this solve amplifies input ulps ~1e8× through
       // the ill-conditioned Hessian — the split wire is bit-identical.
+      // r11: sumE12L (long lanes) — the addends are bounded (w ≤ ¼,
+      // q ≤ 50, d/t ≤ 0.11), well inside the lane contract.
       val slots = Seq(
         "a00" -> col("w"), "a01" -> col("w") * col("q"),
         "a02" -> col("w") * col("dd"), "a03" -> col("w") * col("tt"),
@@ -1058,7 +1067,7 @@ object ML {
         "a23" -> col("w") * col("dd") * col("tt"), "a33" -> col("w") * col("tt") * col("tt"),
         "b0" -> col("r"), "b1" -> col("r") * col("q"),
         "b2" -> col("r") * col("dd"), "b3" -> col("r") * col("tt"))
-      val aggs = slots.map { case (nm, c) => T.sumE12(c).as(s"s_$nm") }
+      val aggs = slots.map { case (nm, c) => T.sumE12L(c).as(s"s_$nm") }
       val sums = rw.agg(aggs.head, aggs.tail: _*)
         .selectExpr(slots.map { case (nm, _) => s"${T.bitsE12(s"s_$nm")} AS $nm" }: _*)
       val x = stepChain(sums, gaussSteps).selectExpr("x0", "x1", "x2", "x3").collect()(0)
@@ -1066,6 +1075,7 @@ object ML {
         e(2) + x.getDouble(2), e(3) + x.getDouble(3))
     }
     e
+    } finally d.unpersist(blocking = false)
   }
 
   /** Oracle twin of [[irlsMultiBeta]]: 3 unrolled (sigmoid → 14 sums →
@@ -1082,7 +1092,7 @@ object ML {
       "b0" -> "y - mu", "b1" -> "(y - mu) * q",
       "b2" -> "(y - mu) * dd", "b3" -> "(y - mu) * tt")
     def mStep(src: String) =
-      s"""SELECT ${slots.map { case (nm, e) => s"${T.sqlSumE12(e)} AS s_$nm" }.mkString(",\n            ")}
+      s"""SELECT ${slots.map { case (nm, e) => s"${T.sqlSumE12L(e)} AS s_$nm" }.mkString(",\n            ")}
           FROM $src"""
     def gaussCtes(k: Int): (String, String) = {
       val base = s"s${k}_0 AS (SELECT ${slots.map { case (nm, _) =>
