@@ -4942,7 +4942,146 @@ object ML {
                UNION ALL
                SELECT 3, 2, round(c3.a, 6), round(c3.b, 6), n, accuracy
                FROM c3 CROSS JOIN acc
-               ORDER BY step"""))
+               ORDER BY step""")),
+
+    QueryDef(
+      "ml_weighted_linreg",
+      // sample_weight OLS (cuML LinearRegression(sample_weight=…) [R]) —
+      // the weighted twin of ml_linreg_fit: minimize Σ wᵢ(yᵢ − a − bxᵢ)²
+      // with w = l_linenumber (an integer per-row weight). One
+      // map-side-combined weighted-moment pass on the exact decimal wire,
+      // then the closed-form 2×2 solve and the weighted RMSE by residual
+      // expansion (the ridge_cv identity — no second data pass). All
+      // divisions run on identical xsum-derived doubles, so the
+      // coefficients are bit-deterministic cross-engine.
+      (s, dir) => {
+        T.lineitem(s, dir)
+          .select(col("l_quantity").cast("double").as("x"),
+            col("l_extendedprice").cast("double").as("y"),
+            col("l_linenumber").cast("double").as("w"))
+          .transform(T.fanOut(_))
+          .agg(count(lit(1)).as("n"),
+            T.xsum(col("w")).as("sw"),
+            T.xsum(col("w") * col("x")).as("swx"),
+            T.xsum(col("w") * col("y")).as("swy"),
+            T.xsum(col("w") * col("x") * col("x")).as("swxx"),
+            T.xsum(col("w") * col("x") * col("y")).as("swxy"),
+            T.xsum(col("w") * col("y") * col("y")).as("swyy"))
+          .selectExpr("n", "sw", "swx", "swy", "swxx", "swxy", "swyy",
+            "(sw * swxy - swx * swy) / (sw * swxx - swx * swx) AS b")
+          .selectExpr("n", "sw", "swx", "swy", "swxx", "swxy", "swyy", "b",
+            "(swy - b * swx) / sw AS a")
+          .selectExpr("n", "round(a, 6) AS intercept", "round(b, 6) AS slope",
+            "round(sqrt((swyy - 2*a*swy - 2*b*swxy + sw*a*a + 2*a*b*swx + b*b*swxx) / sw), 6) AS weighted_rmse")
+      },
+      Some(s"""WITH m AS (SELECT count(*) AS n,
+                   ${T.sqlXsum("w")} AS sw,
+                   ${T.sqlXsum("w * x")} AS swx,
+                   ${T.sqlXsum("w * y")} AS swy,
+                   ${T.sqlXsum("w * x * x")} AS swxx,
+                   ${T.sqlXsum("w * x * y")} AS swxy,
+                   ${T.sqlXsum("w * y * y")} AS swyy
+                 FROM (SELECT CAST(l_quantity AS DOUBLE) AS x,
+                         CAST(l_extendedprice AS DOUBLE) AS y,
+                         CAST(l_linenumber AS DOUBLE) AS w
+                       FROM lineitem) d),
+                 cb AS (SELECT *,
+                     (sw * swxy - swx * swy) / (sw * swxx - swx * swx) AS b
+                   FROM m),
+                 ca AS (SELECT *, (swy - b * swx) / sw AS a FROM cb)
+               SELECT n, round(a, 6) AS intercept, round(b, 6) AS slope,
+                 round(sqrt((swyy - 2*a*swy - 2*b*swxy + sw*a*a + 2*a*b*swx + b*b*swxx) / sw), 6) AS weighted_rmse
+               FROM ca""")),
+
+    QueryDef(
+      "ml_huber_regression",
+      // Huber-loss robust regression (sklearn HuberRegressor's loss; the
+      // robust member the linear family was missing): OLS warm start,
+      // δ = 1.345·σ̂ from the OLS residual scale (the classic 95%%-
+      // efficiency constant; held fixed across rounds — the standard
+      // simplification), then 2 IRLS rounds with the Huber weight
+      // w = min(1, δ/|r|). Every round is ONE weighted-moment pass (the
+      // ml_weighted_linreg aggregation) with (a, b, δ) carried IN-PLAN as
+      // a broadcast one-row frame — no driver round trip inside the loop.
+      // Addends are price-scale, so the moments ride the xsum decimal
+      // wire; weights/residuals are identical double chains from those
+      // sums. Output: the 3-row coefficient trail (round 0 = OLS) — a
+      // fat-tailed target shows the slope walking away from OLS.
+      (s, dir) => {
+        val d = T.lineitem(s, dir)
+          .select(col("l_quantity").cast("double").as("x"),
+            col("l_extendedprice").cast("double").as("y"))
+          .transform(T.fanOut(_))
+        val m0 = d.agg(count(lit(1)).cast("double").as("n"),
+          T.xsum(col("x")).as("sx"), T.xsum(col("y")).as("sy"),
+          T.xsum(col("x") * col("x")).as("sxx"),
+          T.xsum(col("x") * col("y")).as("sxy"),
+          T.xsum(col("y") * col("y")).as("syy"))
+        var c = m0
+          .selectExpr("*", "(n * sxy - sx * sy) / (n * sxx - sx * sx) AS b")
+          .selectExpr("*", "(sy - b * sx) / n AS a")
+          .selectExpr("a", "b",
+            "1.345e0 * sqrt((syy - 2*a*sy - 2*b*sxy + n*a*a + 2*a*b*sx + b*b*sxx) / n) AS delta")
+        val trail = Seq.newBuilder[DataFrame]
+        trail += c.selectExpr("0 AS round", "a", "b")
+        for (k <- 1 to 2) {
+          val w = d.crossJoin(broadcast(c))
+            .selectExpr("x", "y", "delta",
+              "CASE WHEN abs(y - a - b * x) <= delta THEN 1e0 " +
+                "ELSE delta / abs(y - a - b * x) END AS w")
+          c = w.groupBy("delta")
+            .agg(T.xsum(col("w")).as("sw"),
+              T.xsum(col("w") * col("x")).as("swx"),
+              T.xsum(col("w") * col("y")).as("swy"),
+              T.xsum(col("w") * col("x") * col("x")).as("swxx"),
+              T.xsum(col("w") * col("x") * col("y")).as("swxy"))
+            .selectExpr("delta",
+              "(sw * swxy - swx * swy) / (sw * swxx - swx * swx) AS b", "sw", "swx", "swy")
+            .selectExpr("delta", "b", "(swy - b * swx) / sw AS a")
+            .selectExpr("a", "b", "delta")
+          trail += c.selectExpr(s"$k AS round", "a", "b")
+        }
+        trail.result().reduce(_ unionAll _)
+          .selectExpr("round", "round(a, 6) AS intercept", "round(b, 6) AS slope")
+          .orderBy("round")
+      },
+      Some {
+        def roundCte(k: Int): String =
+          s"""w$k AS (SELECT x, y, delta,
+                  CASE WHEN abs(y - a - b * x) <= delta THEN 1e0
+                       ELSE delta / abs(y - a - b * x) END AS w
+                FROM d CROSS JOIN c${k - 1}),
+              m$k AS (SELECT delta, ${T.sqlXsum("w")} AS sw,
+                  ${T.sqlXsum("w * x")} AS swx, ${T.sqlXsum("w * y")} AS swy,
+                  ${T.sqlXsum("w * x * x")} AS swxx,
+                  ${T.sqlXsum("w * x * y")} AS swxy
+                FROM w$k GROUP BY delta),
+              mb$k AS (SELECT delta, sw, swx, swy,
+                  (sw * swxy - swx * swy) / (sw * swxx - swx * swx) AS b
+                FROM m$k),
+              c$k AS (SELECT (swy - b * swx) / sw AS a, b, delta FROM mb$k)"""
+        s"""WITH d AS (SELECT CAST(l_quantity AS DOUBLE) AS x,
+                   CAST(l_extendedprice AS DOUBLE) AS y FROM lineitem),
+                 m0 AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                     ${T.sqlXsum("x")} AS sx, ${T.sqlXsum("y")} AS sy,
+                     ${T.sqlXsum("x * x")} AS sxx, ${T.sqlXsum("x * y")} AS sxy,
+                     ${T.sqlXsum("y * y")} AS syy
+                   FROM d),
+                 mb0 AS (SELECT *,
+                     (n * sxy - sx * sy) / (n * sxx - sx * sx) AS b
+                   FROM m0),
+                 ma0 AS (SELECT *, (sy - b * sx) / n AS a FROM mb0),
+                 c0 AS (SELECT a, b,
+                     1.345e0 * sqrt((syy - 2*a*sy - 2*b*sxy + n*a*a + 2*a*b*sx + b*b*sxx) / n) AS delta
+                   FROM ma0),
+                 ${roundCte(1)},
+                 ${roundCte(2)}
+               SELECT round, round(a, 6) AS intercept, round(b, 6) AS slope
+               FROM (SELECT 0 AS round, a, b FROM c0
+                     UNION ALL SELECT 1, a, b FROM c1
+                     UNION ALL SELECT 2, a, b FROM c2) u
+               ORDER BY round"""
+      })
   )
 
   /** svmRows with the minibatch id (l_orderkey mod 3) retained. */

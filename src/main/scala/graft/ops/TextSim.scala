@@ -50,23 +50,34 @@ object TextSim {
     * single reduction every A_i·tid ≤ 1.9e15 at any code point. */
   private val POW31: IndexedSeq[Long] = (0 until 7).scanLeft(1L)((p, _) => p * 31L).toIndexedSeq.take(7)
 
-  /** MinHash banded candidate pairs (doc_a < doc_b, distinct, unordered) —
-    * the body of dedup_minhash, shared with dedup_cluster (Dedup.scala),
-    * which runs connected components over exactly this pair set. */
-  private[ops] def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+  /** The (doc_id, tid) 7-char shingle stream under the stateless
+    * polynomial id — the input of both the signature aggregate and the
+    * exact-Jaccard side of dedup_minhash_accuracy (r11 factor-out). */
+  private[ops] def shingleTids(s: SparkSession, dir: String): DataFrame = {
     val tid = (0 until 7).map(k =>
       ascii(substring(col("term"), k + 1, 1)).cast("long") * lit(POW31(k)))
       .reduce(_ + _) % lit(P)
-    val dt = T.documents(s, dir)
+    T.documents(s, dir)
       .transform(T.fanOut(_, col("doc_id")))
       .where(length(col("text")) >= 7) // sequence(1, n<1) counts DOWN
       .select(col("doc_id"),
         explode_outer(expr(
           "transform(sequence(1, length(text) - 6), i -> substring(text, i, 7))")).as("term"))
       .select(col("doc_id"), tid.as("tid"))
+  }
+
+  /** The 8-hash MinHash signature table (doc_id, h0..h7). */
+  private[ops] def sigTable(s: SparkSession, dir: String): DataFrame = {
     val hs = (0 until 8).map(i =>
       min((lit(A(i)) * col("tid") + lit(B(i))) % lit(P)).as(s"h$i"))
-    val sig = dt.groupBy("doc_id").agg(hs.head, hs.tail: _*)
+    shingleTids(s, dir).groupBy("doc_id").agg(hs.head, hs.tail: _*)
+  }
+
+  /** MinHash banded candidate pairs (doc_a < doc_b, distinct, unordered) —
+    * the body of dedup_minhash, shared with dedup_cluster (Dedup.scala),
+    * which runs connected components over exactly this pair set. */
+  private[ops] def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val sig = sigTable(s, dir)
     val bandStructs = (0 until 2).map(b =>
       struct(lit(b).as("band"),
         col(s"h${4 * b}").as("k1"), col(s"h${4 * b + 1}").as("k2"),
@@ -564,6 +575,70 @@ object TextSim {
                  ${round(2)}
                SELECT r, term, round(h0, 6) AS topic0, round(h1, 6) AS topic1
                FROM h2 JOIN vt USING (r) ORDER BY r"""
-      })
+      }),
+
+    QueryDef(
+      "dedup_minhash_accuracy",
+      // Estimator-vs-truth audit of the MinHash index (the ml_recall_at_k
+      // discipline applied to dedup): for every banded CANDIDATE pair,
+      // the 8-hash signature estimate of Jaccard (matching-minima
+      // fraction — the unbiased MinHash estimator) against the EXACT
+      // shingle-set Jaccard, with the signed estimation error. The number
+      // a dedup-threshold tuning run tracks per corpus: a drifting error
+      // histogram means the banding parameters no longer fit the shingle
+      // distribution. Cost: the exact side runs ONLY over candidate
+      // pairs (join on doc_id then tid — Σ|doc| per candidate, never
+      // all-pairs); est is a model-width comparison of two 8-value rows.
+      // All arithmetic is exact integer ratios — bit-deterministic.
+      (s, dir) => {
+        val pairs = T.freeze(minhashPairs(s, dir))
+        val sig = sigTable(s, dir)
+        val sa = sig.toDF("doc_a" +: (0 until 8).map(i => s"a$i"): _*)
+        val sb = sig.toDF("doc_b" +: (0 until 8).map(i => s"b$i"): _*)
+        val estExpr = (0 until 8)
+          .map(i => s"(CASE WHEN a$i = b$i THEN 1 ELSE 0 END)")
+          .mkString("(", " + ", ") / 8e0")
+        val tids = shingleTids(s, dir).distinct()
+        val na = tids.groupBy(col("doc_id").as("doc_a"))
+          .agg(count(lit(1)).as("na"))
+        val nb = tids.groupBy(col("doc_id").as("doc_b"))
+          .agg(count(lit(1)).as("nb"))
+        val inter = pairs
+          .join(tids.toDF("doc_a", "tid"), "doc_a")
+          .join(tids.toDF("doc_b", "tid"), Seq("doc_b", "tid"))
+          .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("ix"))
+        pairs.join(sa, "doc_a").join(sb, "doc_b")
+          .selectExpr("doc_a", "doc_b", s"$estExpr AS est")
+          .join(inter, Seq("doc_a", "doc_b"), "left")
+          .join(na, "doc_a").join(nb, "doc_b")
+          .selectExpr("doc_a", "doc_b", "round(est, 6) AS est_jaccard",
+            "round(CAST(coalesce(ix, 0) AS DOUBLE) / (na + nb - coalesce(ix, 0)), 6) AS true_jaccard",
+            "round(est - CAST(coalesce(ix, 0) AS DOUBLE) / (na + nb - coalesce(ix, 0)), 6) AS err")
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""WITH $sqlMinhashCtes,
+                 tids AS (SELECT DISTINCT doc_id, tid FROM dt),
+                 cnt AS (SELECT doc_id, count(*) AS n FROM tids GROUP BY doc_id),
+                 inter AS (SELECT p.doc_a, p.doc_b, count(*) AS ix
+                   FROM pairs p
+                   JOIN tids ta ON ta.doc_id = p.doc_a
+                   JOIN tids tb ON tb.doc_id = p.doc_b AND tb.tid = ta.tid
+                   GROUP BY p.doc_a, p.doc_b),
+                 est AS (SELECT p.doc_a, p.doc_b,
+                     (${(0 until 8).map(i =>
+                       s"(CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END)").mkString(" + ")}) / 8e0 AS est
+                   FROM pairs p
+                   JOIN sig sa ON sa.doc_id = p.doc_a
+                   JOIN sig sb ON sb.doc_id = p.doc_b)
+               SELECT e.doc_a, e.doc_b, round(e.est, 6) AS est_jaccard,
+                 round(CAST(coalesce(i.ix, 0) AS DOUBLE)
+                   / (ca.n + cb.n - coalesce(i.ix, 0)), 6) AS true_jaccard,
+                 round(e.est - CAST(coalesce(i.ix, 0) AS DOUBLE)
+                   / (ca.n + cb.n - coalesce(i.ix, 0)), 6) AS err
+               FROM est e
+               LEFT JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
+               JOIN cnt ca ON ca.doc_id = e.doc_a
+               JOIN cnt cb ON cb.doc_id = e.doc_b
+               ORDER BY e.doc_a, e.doc_b"""))
   )
 }

@@ -2283,4 +2283,35 @@ class MicroSpec extends SparkSpec {
     assert(meanSel < 0.95 * meanAll,
       s"ADC selection mean $meanSel not better than average $meanAll")
   }
+
+  test("dedup_minhash_accuracy: estimator and truth are Jaccards, err is their gap (r11)") {
+    val rows = q("dedup_minhash_accuracy").collect()
+    assert(rows.nonEmpty, "banded candidates exist in the fixture")
+    rows.foreach { r =>
+      val (e, t) = (r.getAs[Double]("est_jaccard"), r.getAs[Double]("true_jaccard"))
+      assert(e >= 0 && e <= 1 && t >= 0 && t <= 1)
+      assert(math.abs(r.getAs[Double]("err") - (e - t)) < 2e-6)
+      // a banded candidate matched at least one full band = 4 of 8 minima
+      assert(e >= 0.5 - 1e-9, s"candidate with est $e below the band floor")
+    }
+  }
+
+  test("ml_weighted_linreg: closed-form WLS with a positive residual scale (r11)") {
+    val r = q("ml_weighted_linreg").collect()(0)
+    assert(r.getAs[Long]("n") == Tables.lineitem(spark, sf).count())
+    assert(r.getAs[Double]("weighted_rmse") > 0)
+    assert(!r.getAs[Double]("slope").isNaN && !r.getAs[Double]("intercept").isNaN)
+  }
+
+  test("ml_huber_regression: 3-round trail from the OLS warm start (r11)") {
+    val rows = q("ml_huber_regression").collect()
+    assert(rows.map(_.getAs[Int]("round")).toSeq == Seq(0, 1, 2))
+    rows.foreach { r =>
+      assert(!r.getAs[Double]("slope").isNaN && !r.getAs[Double]("intercept").isNaN)
+    }
+    // downweighting the tails must move the fit off the OLS start
+    val b = rows.map(_.getAs[Double]("slope"))
+    assert(b(0) != b(1) || rows.map(_.getAs[Double]("intercept")).distinct.length > 1,
+      "IRLS rounds left the OLS fit untouched")
+  }
 }
