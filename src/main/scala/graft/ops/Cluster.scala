@@ -2685,6 +2685,105 @@ object Cluster {
                FROM cc GROUP BY 1 ORDER BY coeff_bucket""")),
 
     QueryDef(
+      "ml_hbos",
+      // Histogram-Based Outlier Score (Goldstein & Dengel 2012) — the
+      // O(n) density outlier detector next to ml_lof's O(n·k) one: each
+      // dimension gets a 20-bin equal-width histogram, a point's score is
+      // −Σ_dim ln(bin density) — rare-bin points score high. The whole
+      // detector is TWO map-side-combined histogram passes + one
+      // broadcast-join scoring map — no pair enumeration at all, the
+      // shape that still works when eps-graph methods drown in density
+      // skew. Bin edges from the global min/max (one bounded aggregate,
+      // broadcast); ln REAL-collapsed; ties broken by id. Output: top-20
+      // outliers.
+      (s, dir) => {
+        val p = plane(s, dir)
+        val mm = p.agg(min(col("x")).as("xmn"), max(col("x")).as("xmx"),
+          min(col("y")).as("ymn"), max(col("y")).as("ymx"),
+          count(lit(1)).as("n"))
+        val binned = T.freeze(p.crossJoin(broadcast(mm))
+          .selectExpr("id", "n",
+            "least(CAST(floor((x - xmn) * 20e0 / (xmx - xmn)) AS BIGINT), 19L) AS bx",
+            "least(CAST(floor((y - ymn) * 20e0 / (ymx - ymn)) AS BIGINT), 19L) AS by"))
+        val hx = binned.groupBy("bx").agg(count(lit(1)).as("cx"))
+        val hy = binned.groupBy("by").agg(count(lit(1)).as("cy"))
+        binned.join(broadcast(hx), "bx").join(broadcast(hy), "by")
+          .selectExpr("id", "bx", "by",
+            "-(CAST(CAST(ln(CAST(cx AS DOUBLE) / n) AS FLOAT) AS DOUBLE)) " +
+              "- (CAST(CAST(ln(CAST(cy AS DOUBLE) / n) AS FLOAT) AS DOUBLE)) AS score")
+          .orderBy(col("score").desc, col("id")).limit(20)
+          .selectExpr("id", "bx", "by", "round(score, 6) AS hbos")
+      },
+      Some("""WITH pts AS (SELECT vec_id AS id,
+                   CAST(embedding[1] AS DOUBLE) AS x,
+                   CAST(embedding[2] AS DOUBLE) AS y FROM embeddings),
+                 mm AS (SELECT min(x) AS xmn, max(x) AS xmx,
+                     min(y) AS ymn, max(y) AS ymx, count(*) AS n FROM pts),
+                 b AS (SELECT id, n,
+                     least(CAST(floor((x - xmn) * 20e0 / (xmx - xmn)) AS BIGINT), 19) AS bx,
+                     least(CAST(floor((y - ymn) * 20e0 / (ymx - ymn)) AS BIGINT), 19) AS by
+                   FROM pts CROSS JOIN mm),
+                 hx AS (SELECT bx, count(*) AS cx FROM b GROUP BY bx),
+                 hy AS (SELECT by, count(*) AS cy FROM b GROUP BY by)
+               SELECT id, bx, by, round(score, 6) AS hbos FROM (
+                 SELECT b.id, b.bx, b.by,
+                   -(CAST(CAST(ln(CAST(cx AS DOUBLE) / n) AS REAL) AS DOUBLE))
+                   - (CAST(CAST(ln(CAST(cy AS DOUBLE) / n) AS REAL) AS DOUBLE)) AS score
+                 FROM b JOIN hx USING (bx) JOIN hy USING (by)) t
+               ORDER BY score DESC, id LIMIT 20""")),
+
+    QueryDef(
+      "ml_mahalanobis_outlier",
+      // Mahalanobis-distance outliers (sklearn EllipticEnvelope's
+      // decision surface, without the MCD subsampling): fit the 2-d
+      // Gaussian (mean + covariance) in ONE exact-decimal moment pass,
+      // invert the 2×2 closed-form, score every point's squared
+      // Mahalanobis distance in a map — the parametric outlier detector
+      // next to ml_hbos's nonparametric one. All divisions run on
+      // identical xsum-derived doubles; the quadratic form is shared
+      // text. Output: top-20 by distance.
+      (s, dir) => {
+        val p = plane(s, dir)
+        val m = p.agg(count(lit(1)).cast("double").as("n"),
+          T.xsum(col("x")).as("sx"), T.xsum(col("y")).as("sy"),
+          T.xsum(col("x") * col("x")).as("sxx"),
+          T.xsum(col("y") * col("y")).as("syy"),
+          T.xsum(col("x") * col("y")).as("sxy"))
+          .selectExpr("sx / n AS mx", "sy / n AS my",
+            "sxx / n - (sx / n) * (sx / n) AS vxx",
+            "syy / n - (sy / n) * (sy / n) AS vyy",
+            "sxy / n - (sx / n) * (sy / n) AS vxy")
+          .selectExpr("mx", "my", "vxx", "vyy", "vxy",
+            "vxx * vyy - vxy * vxy AS det")
+        p.crossJoin(broadcast(m))
+          .selectExpr("id",
+            "(vyy * (x - mx) * (x - mx) - 2e0 * vxy * (x - mx) * (y - my) " +
+              "+ vxx * (y - my) * (y - my)) / det AS md2")
+          .orderBy(col("md2").desc, col("id")).limit(20)
+          .selectExpr("id", "round(md2, 6) AS mahalanobis_sq")
+      },
+      Some(s"""WITH pts AS (SELECT vec_id AS id,
+                   CAST(embedding[1] AS DOUBLE) AS x,
+                   CAST(embedding[2] AS DOUBLE) AS y FROM embeddings),
+                 m0 AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                     ${T.sqlXsum("x")} AS sx, ${T.sqlXsum("y")} AS sy,
+                     ${T.sqlXsum("x * x")} AS sxx, ${T.sqlXsum("y * y")} AS syy,
+                     ${T.sqlXsum("x * y")} AS sxy
+                   FROM pts),
+                 m1 AS (SELECT sx / n AS mx, sy / n AS my,
+                     sxx / n - (sx / n) * (sx / n) AS vxx,
+                     syy / n - (sy / n) * (sy / n) AS vyy,
+                     sxy / n - (sx / n) * (sy / n) AS vxy
+                   FROM m0),
+                 m AS (SELECT *, vxx * vyy - vxy * vxy AS det FROM m1)
+               SELECT id, round(md2, 6) AS mahalanobis_sq FROM (
+                 SELECT id,
+                   (vyy * (x - mx) * (x - mx) - 2e0 * vxy * (x - mx) * (y - my)
+                    + vxx * (y - my) * (y - my)) / det AS md2
+                 FROM pts CROSS JOIN m) t
+               ORDER BY md2 DESC, id LIMIT 20""")),
+
+    QueryDef(
       "ml_spectral_embed",
       // Power-iteration spectral embedding (Lin & Cohen's PIC, ICML 2010
       // — the O(edges)-per-round route to the leading NON-TRIVIAL

@@ -949,7 +949,132 @@ object Forecast {
                SELECT hr, CAST(hod AS INT) AS hour_of_day, y,
                  round(mu, 6) AS expected, round(z, 4) AS zscore
                FROM z WHERE abs(z) >= 2e0
-               ORDER BY hr"""))
+               ORDER BY hr""")),
+
+    QueryDef(
+      "ml_survival_km",
+      // Kaplan–Meier survival over user activity spans — the retention
+      // curve a product-analytics run reads off the event stream: a
+      // user's duration is last-event − first-event in whole days, the
+      // "death" is going quiet, and users still active in the final 7
+      // days are right-CENSORED (they count in the risk set but not the
+      // event count — the estimator's whole point). S(d) = Π_{d'≤d}
+      // (1 − e_{d'}/r_{d'}), computed as exp of the cumulative sum of
+      // REAL-collapsed ln factors on the exact decimal wire (the
+      // deterministic product), with the e = r full-dropout edge mapped
+      // to S = 0 through a running flag rather than ln(0). One per-user
+      // aggregate + bounded windows over the ≤ day-span duration table.
+      (s, dir) => {
+        val ev = T.events(s, dir)
+          .select(col("user_id"), unix_micros(col("ts").cast("timestamp")).as("us"))
+        val spans = ev.groupBy("user_id")
+          .agg(min(col("us")).as("first_us"), max(col("us")).as("last_us"))
+        val gmax = ev.agg(max(col("us")).as("gmax"))
+        val dur = spans.crossJoin(broadcast(gmax))
+          .selectExpr("(last_us - first_us) div 86400000000 AS d",
+            "CASE WHEN last_us <= gmax - 604800000000 THEN 1 ELSE 0 END AS e")
+        val byd = dur.groupBy("d")
+          .agg(count(lit(1)).as("c"), sum(col("e")).as("ev"))
+        val tot = dur.agg(count(lit(1)).as("n_total"))
+        val wAsc = Window.orderBy(col("d"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wPrev = Window.orderBy(col("d"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        byd.crossJoin(broadcast(tot))
+          .withColumn("at_risk",
+            col("n_total") - coalesce(sum(col("c")).over(wPrev), lit(0L)))
+          .withColumn("lnf", expr(
+            "CASE WHEN ev < at_risk THEN CAST(CAST(ln(1e0 - CAST(ev AS DOUBLE) / at_risk) AS FLOAT) AS DOUBLE) ELSE 0e0 END"))
+          .withColumn("dead", max((col("ev") === col("at_risk")).cast("int")).over(wAsc))
+          .withColumn("cln", sum(col("lnf").cast(T.exact)).over(wAsc).cast("double"))
+          .selectExpr("d AS duration_days", "c AS n_users", "ev AS n_events",
+            "at_risk",
+            "CASE WHEN dead = 1 THEN 0e0 " +
+              "ELSE round(CAST(CAST(exp(cln) AS FLOAT) AS DOUBLE), 6) END AS survival")
+          .orderBy("duration_days")
+      },
+      Some("""WITH ev AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+                 spans AS (SELECT user_id, min(us) AS first_us, max(us) AS last_us
+                           FROM ev GROUP BY user_id),
+                 gm AS (SELECT max(us) AS gmax FROM ev),
+                 dur AS (SELECT CAST((last_us - first_us) // 86400000000 AS BIGINT) AS d,
+                     CASE WHEN last_us <= gmax - 604800000000 THEN 1 ELSE 0 END AS e
+                   FROM spans CROSS JOIN gm),
+                 byd AS (SELECT d, count(*) AS c, CAST(sum(e) AS BIGINT) AS ev
+                         FROM dur GROUP BY d),
+                 tot AS (SELECT count(*) AS n_total FROM dur),
+                 rk AS (SELECT *, n_total - coalesce(sum(c) OVER (ORDER BY d
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS at_risk
+                   FROM byd CROSS JOIN tot),
+                 lf AS (SELECT *,
+                     CASE WHEN ev < at_risk THEN CAST(CAST(ln(1e0 - CAST(ev AS DOUBLE) / at_risk) AS REAL) AS DOUBLE) ELSE 0e0 END AS lnf,
+                     max(CASE WHEN ev = at_risk THEN 1 ELSE 0 END) OVER (ORDER BY d
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dead
+                   FROM rk),
+                 cl AS (SELECT *,
+                     CAST(sum(CAST(lnf AS DECIMAL(30,12))) OVER (ORDER BY d
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cln
+                   FROM lf)
+               SELECT d AS duration_days, c AS n_users, ev AS n_events,
+                 at_risk,
+                 CASE WHEN dead = 1 THEN 0e0
+                      ELSE round(CAST(CAST(exp(cln) AS REAL) AS DOUBLE), 6) END AS survival
+               FROM cl ORDER BY duration_days""")),
+
+    QueryDef(
+      "ml_theta_forecast",
+      // Theta-method forecast (Assimakopoulos & Nikolopoulos 2000 — the
+      // M3 benchmark winner, the other classical forecaster next to
+      // ml_holtwinters/ml_auto_arima): decompose the daily series into
+      // the θ=0 line (the OLS linear trend) and the θ=2 line
+      // zₜ = 2yₜ − (a + b·t), SES the θ=2 line (α = ½, closed form — one
+      // weighted sum, no recurrence), and forecast the average of the
+      // extrapolated trend and the flat SES level. One daily aggregate,
+      // one exact-wire moment pass for the trend, one weighted-sum pass
+      // for the level (pow(½, n−t) shared text), 7 horizon rows from the
+      // one-row model.
+      (s, dir) => {
+        val daily = T.events(s, dir)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("y"))
+        val idx = daily.withColumn("t",
+          row_number().over(Window.orderBy("day")).cast("double"))
+        val m = idx.agg(count(lit(1)).cast("double").as("n"),
+          T.xsum(col("t")).as("st"), T.xsum(col("y")).as("sy"),
+          T.xsum(col("t") * col("t")).as("stt"),
+          T.xsum(col("t") * col("y")).as("sty"))
+          .selectExpr("n", "(n * sty - st * sy) / (n * stt - st * st) AS b", "st", "sy")
+          .selectExpr("n", "b", "(sy - b * st) / n AS a")
+        val lvl = idx.crossJoin(broadcast(m))
+          .selectExpr("n", "a", "b",
+            "(2e0 * y - (a + b * t)) * (CASE WHEN t = 1e0 THEN pow(5e-1, n - 1e0) ELSE pow(5e-1, n - t + 1e0) END) AS zw")
+          .groupBy("n", "a", "b").agg(T.xsum(col("zw")).as("l"))
+        val spark = s
+        import spark.implicits._
+        val hs = (1 to 7).toDF("h")
+        hs.crossJoin(broadcast(lvl))
+          .selectExpr("h",
+            "round(5e-1 * (a + b * (n + h)) + 5e-1 * l, 6) AS forecast")
+          .orderBy("h")
+      },
+      Some(s"""WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS y
+                              FROM events GROUP BY 1),
+                 idx AS (SELECT y, CAST(row_number() OVER (ORDER BY day) AS DOUBLE) AS t
+                         FROM daily),
+                 m0 AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                     ${T.sqlXsum("t")} AS st, ${T.sqlXsum("y")} AS sy,
+                     ${T.sqlXsum("t * t")} AS stt, ${T.sqlXsum("t * y")} AS sty
+                   FROM idx),
+                 mb AS (SELECT n, st, sy,
+                     (n * sty - st * sy) / (n * stt - st * st) AS b FROM m0),
+                 m AS (SELECT n, b, (sy - b * st) / n AS a FROM mb),
+                 lvl AS (SELECT n, a, b, ${T.sqlXsum(
+                   "(2e0 * y - (a + b * t)) * (CASE WHEN t = 1e0 THEN pow(5e-1, n - 1e0) ELSE pow(5e-1, n - t + 1e0) END)")} AS l
+                   FROM idx CROSS JOIN m GROUP BY n, a, b)
+               SELECT CAST(h AS INT) AS h,
+                 round(5e-1 * (a + b * (n + h)) + 5e-1 * l, 6) AS forecast
+               FROM (SELECT unnest(generate_series(1, 7)) AS h) hs CROSS JOIN lvl
+               ORDER BY h"""))
   )
 
   /** Shared scalar cascade for ml_auto_arima: widen the conditional BIGINT

@@ -1737,6 +1737,54 @@ object Pipeline {
                SELECT bucket, lang, count(*) AS n_docs,
                  round(min(nll), 6) AS min_nll,
                  round(max(nll), 6) AS max_nll
-               FROM bk GROUP BY bucket, lang ORDER BY bucket, lang"""))
+               FROM bk GROUP BY bucket, lang ORDER BY bucket, lang""")),
+
+    QueryDef(
+      "text_keywords",
+      // Corpus keyword extraction — each document's single strongest
+      // TF-IDF term (the degenerate-but-distributed core of RAKE/KeyBERT
+      // pipelines), rolled up to the top-20 corpus keywords by how many
+      // documents elect them. The per-doc argmax is a doc-keyed window
+      // (never global); df comes from one distinct aggregate; the tf·idf
+      // weight REAL-collapses its ln exactly like text_tfidf so the
+      // argmax ordering is bit-stable cross-engine. Output bounded at 20
+      // — the tag cloud a curation dashboard renders.
+      (s, dir) => {
+        val dt = T.documents(s, dir)
+          .transform(T.fanOut(_, col("doc_id")))
+          .selectExpr("doc_id",
+            "explode(filter(split(text, ' '), t -> t <> '')) AS term")
+        val ntot = T.documents(s, dir).agg(count(lit(1)).as("n_total"))
+        val dfx = dt.distinct().groupBy("term").agg(count(lit(1)).as("df"))
+        val tf = dt.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(col("w").desc, col("term"))
+        tf.join(dfx, "term").crossJoin(broadcast(ntot))
+          .selectExpr("doc_id", "term",
+            "CAST(CAST(tf * ln(CAST(n_total AS DOUBLE) / df) AS FLOAT) AS DOUBLE) AS w")
+          .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+          .groupBy("term").agg(count(lit(1)).as("n_docs_rank1"))
+          .orderBy(col("n_docs_rank1").desc, col("term")).limit(20)
+      },
+      Some("""WITH dt AS (SELECT doc_id, t AS term FROM (
+                   SELECT doc_id,
+                     unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS t
+                   FROM documents) x),
+                 ntot AS (SELECT count(*) AS n_total FROM documents),
+                 dfx AS (SELECT term, count(*) AS df
+                         FROM (SELECT DISTINCT doc_id, term FROM dt) u
+                         GROUP BY term),
+                 tf AS (SELECT doc_id, term, count(*) AS tf
+                        FROM dt GROUP BY doc_id, term),
+                 wt AS (SELECT doc_id, term,
+                     CAST(CAST(tf * ln(CAST(n_total AS DOUBLE) / df) AS REAL) AS DOUBLE) AS w
+                   FROM tf JOIN dfx USING (term) CROSS JOIN ntot),
+                 top1 AS (SELECT doc_id, term FROM (
+                     SELECT *, row_number() OVER (PARTITION BY doc_id
+                       ORDER BY w DESC, term) AS rn FROM wt) t
+                   WHERE rn = 1)
+               SELECT term, count(*) AS n_docs_rank1
+               FROM top1 GROUP BY term
+               ORDER BY n_docs_rank1 DESC, term LIMIT 20"""))
   )
 }

@@ -2314,4 +2314,48 @@ class MicroSpec extends SparkSpec {
     assert(b(0) != b(1) || rows.map(_.getAs[Double]("intercept")).distinct.length > 1,
       "IRLS rounds left the OLS fit untouched")
   }
+
+  test("ml_hbos: rare-bin scores are nonnegative and descending (r11)") {
+    val rows = q("ml_hbos").collect()
+    assert(rows.length == 20)
+    val scores = rows.map(_.getAs[Double]("hbos"))
+    assert(scores.forall(_ >= -1e-9), "density ≤ 1 ⇒ −ln ≥ 0")
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b - 1e-9 })
+  }
+
+  test("ml_mahalanobis_outlier: squared distances nonnegative, descending (r11)") {
+    val d = q("ml_mahalanobis_outlier").collect()
+      .map(_.getAs[Double]("mahalanobis_sq"))
+    assert(d.length == 20 && d.forall(_ >= 0))
+    assert(d.zip(d.tail).forall { case (a, b) => a >= b - 1e-9 })
+  }
+
+  test("ml_survival_km: a monotone survival curve over a shrinking risk set (r11)") {
+    val rows = q("ml_survival_km").collect()
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_users")).sum == users)
+    val s = rows.map(_.getAs[Double]("survival"))
+    assert(s.forall(v => v >= 0 && v <= 1 + 1e-9))
+    assert(s.zip(s.tail).forall { case (a, b) => a >= b - 1e-9 }, "S must not rise")
+    val r = rows.map(_.getAs[Long]("at_risk"))
+    assert(r.zip(r.tail).forall { case (a, b) => a >= b }, "risk set must shrink")
+    rows.foreach(x => assert(x.getAs[Long]("n_events") <= x.getAs[Long]("at_risk")))
+  }
+
+  test("ml_theta_forecast: 7 finite horizon rows (r11)") {
+    val rows = q("ml_theta_forecast").collect()
+    assert(rows.map(_.getAs[Int]("h")).toSeq == (1 to 7))
+    rows.foreach(r => assert(!r.getAs[Double]("forecast").isNaN))
+  }
+
+  test("text_keywords: bounded tag cloud with descending document votes (r11)") {
+    val rows = q("text_keywords").collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val n = rows.map(_.getAs[Long]("n_docs_rank1"))
+    assert(n.forall(_ >= 1))
+    assert(n.zip(n.tail).forall { case (a, b) => a >= b })
+    // every document elects exactly one keyword, so the votes can never
+    // exceed the corpus
+    assert(n.sum <= Tables.documents(spark, sf).count())
+  }
 }

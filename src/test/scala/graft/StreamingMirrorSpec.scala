@@ -285,4 +285,52 @@ class StreamingMirrorSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == Set((1L, h)), got.toString)
   }
+
+  test("cdc-upsert mirror: mapGroupsWithState latest-wins == batch row_number (r11)") {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // (event_id, us, user_id, event_type, value) — user 1 updated across
+    // batches, user 2 carries a same-microsecond tie broken by event_id
+    val mem = MemoryStream[(Long, Long, Long, String, Double)]
+    val upserted = mem.toDS()
+      .groupByKey(_._3)
+      .mapGroupsWithState[(Long, Long, String, Double), (Long, String, Double)](
+        GroupStateTimeout.NoTimeout()) {
+        (uid: Long, evs: Iterator[(Long, Long, Long, String, Double)],
+         state: GroupState[(Long, Long, String, Double)]) =>
+          // latest-wins on (us, event_id) — the stream_cdc_upsert order
+          val newest = (evs.map(e => (e._2, e._1, e._4, e._5)) ++
+            state.getOption.iterator).maxBy(x => (x._1, x._2))
+          state.update(newest)
+          (uid, newest._3, newest._4)
+      }.toDF("user_id", "event_type", "value")
+    val query = upserted.writeStream
+      .format("memory").queryName("cdc_mirror")
+      .outputMode("update")
+      .start()
+    mem.addData((1L, 10L, 1L, "click", 1.0), (2L, 20L, 2L, "click", 2.0),
+      (3L, 20L, 2L, "purchase", 3.0))
+    query.processAllAvailable()
+    mem.addData((4L, 5L, 1L, "error", 9.0)) // OLDER than user 1's state — must lose
+    query.processAllAvailable()
+    query.stop()
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us").desc, col("event_id").desc)
+    val batch = Seq((1L, 10L, 1L, "click", 1.0), (2L, 20L, 2L, "click", 2.0),
+      (3L, 20L, 2L, "purchase", 3.0), (4L, 5L, 1L, "error", 9.0))
+      .toDF("event_id", "us", "user_id", "event_type", "value")
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select("user_id", "event_type", "value")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    // streaming table carries one row per (user, update); the final state
+    // per user is the last update — take the per-user row from the LAST
+    // micro-batch that touched it via groupBy max on the update log
+    val log = spark.table("cdc_mirror").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val finalState = log.zipWithIndex.groupBy(_._1._1)
+      .map { case (_, g) => g.maxBy(_._2)._1 }.toSet
+    assert(finalState == batch, s"stream $finalState vs batch $batch")
+  }
 }
