@@ -457,6 +457,54 @@ object Cluster {
       .where(col("flat").isNotNull)
   }
 
+  /** The k-core alive-vertex set of an (a < b) edge list — synchronous
+    * peeling to the UNIQUE fixpoint (iteration order cannot change a
+    * k-core). LOCAL FINISH (r11, the boruvkaMst Filtering discipline): a
+    * model-sized edge list (≤ localFinish pairs) peels driver-side — the
+    * fixture graphs are a few thousand edges while the distributed
+    * loop's per-round job overhead dominated the query; past the cap the
+    * per-round degree-aggregation loop below runs unchanged (frozen
+    * rounds, loud cap — MicroSpec pins local == distributed). */
+  private[graft] def kcoreAlive(
+      e: DataFrame, nbr: DataFrame, k: Int,
+      localFinish: Long = 65536L): DataFrame = {
+    if (e.count() <= localFinish) {
+      val es = e.collect().map(r => (r.getLong(0), r.getLong(1)))
+      var alive = es.flatMap(p => Seq(p._1, p._2)).toSet
+      var changed = true
+      while (changed) {
+        val deg = scala.collection.mutable.Map.empty[Long, Int]
+        for ((a, b) <- es if alive(a) && alive(b)) {
+          deg(a) = deg.getOrElse(a, 0) + 1
+          deg(b) = deg.getOrElse(b, 0) + 1
+        }
+        val next = alive.filter(v => deg.getOrElse(v, 0) >= k)
+        changed = next.size != alive.size
+        alive = next
+      }
+      val spark = e.sparkSession
+      import spark.implicits._
+      return alive.toSeq.sorted.toDF("u")
+    }
+    var alive = T.freeze(nbr.select(col("u")).distinct())
+    var changed = true
+    var rounds = 0
+    while (changed && rounds < MAX_ROUNDS) {
+      val next = T.freeze(nbr
+        .join(alive, "u")
+        .join(alive.select(col("u").as("v")), "v")
+        .groupBy("u").agg(count(lit(1)).as("d"))
+        .where(col("d") >= k).select("u"))
+      changed = next.count() != alive.count()
+      alive = next
+      rounds += 1
+    }
+    if (changed)
+      throw new IllegalStateException(
+        s"kcoreAlive: no fixpoint after $MAX_ROUNDS peel rounds")
+    alive
+  }
+
   /** Undirected eps-neighbor pairs (a < b), via the eps-cell grid join.
     * Each point lands in cell (⌊x/eps⌋, ⌊y/eps⌋) once as HOME and probes
     * the 3×3 neighborhood as PROBE; a pair (a<b) meets exactly once — at
@@ -2569,26 +2617,10 @@ object Cluster {
       // to be ≥ the observed round count. Output: the degree histogram
       // WITHIN the 3-core (degree → vertex count), the bounded shape.
       (s, dir) => {
-        val K = 3
         val e = T.freeze(epsPairs(s, dir, HORIZON)) // (a < b)
         val nbr = T.freeze(e.select(col("a").as("u"), col("b").as("v"))
           .unionAll(e.select(col("b").as("u"), col("a").as("v"))))
-        var alive = T.freeze(nbr.select(col("u")).distinct())
-        var changed = true
-        var rounds = 0
-        while (changed && rounds < MAX_ROUNDS) {
-          val next = T.freeze(nbr
-            .join(alive, "u")
-            .join(alive.select(col("u").as("v")), "v")
-            .groupBy("u").agg(count(lit(1)).as("d"))
-            .where(col("d") >= K).select("u"))
-          changed = next.count() != alive.count()
-          alive = next
-          rounds += 1
-        }
-        if (changed)
-          throw new IllegalStateException(
-            s"graph_kcore: no fixpoint after $MAX_ROUNDS peel rounds")
+        val alive = kcoreAlive(e, nbr, 3)
         nbr.join(alive, "u")
           .join(alive.select(col("u").as("v")), "v")
           .groupBy("u").agg(count(lit(1)).as("degree"))

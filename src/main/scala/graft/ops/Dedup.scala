@@ -111,11 +111,50 @@ object Dedup {
     * and restricts the OUTPUT to that set — without it every pair endpoint
     * gets a row. `cap` bounds the rounds and fails loudly past it; with
     * log-round convergence, 16 covers diameter 2¹⁶ with slack. */
-  private[ops] def minLabelComponents(
+  private[graft] def minLabelComponents(
       pairs: DataFrame,
       vertices: Option[DataFrame] = None,
-      cap: Int = 24): DataFrame = {
-    val edges = T.freeze(pairs.union(pairs.select(col("doc_b"), col("doc_a")))
+      cap: Int = 24,
+      localFinish: Long = 65536L): DataFrame = {
+    val p2 = T.freeze(pairs.toDF("doc_a", "doc_b"))
+    // LOCAL FINISH (r11 — the Filtering discipline boruvkaMst already
+    // carries, SPAA 2011): a candidate-pair graph whose EDGE LIST is
+    // model-sized (≤ localFinish pairs ≈ 1 MB) is finished driver-side
+    // with min-label union-find instead of 5+ hash-to-min shuffle rounds
+    // — the fixpoint is unique, so the two paths provably agree
+    // (MicroSpec pins local == distributed on the same graph). Per-point
+    // LABELS stay distributed either way: the bounded label map
+    // broadcast-joins back onto the vertex table. The dedup/density
+    // fixtures' graphs are tiny (thousands of pairs) while the loop's
+    // per-round job overhead dominated 6 registry queries; at 100 TB the
+    // pair count blows the cap and the distributed loop below runs
+    // unchanged.
+    if (p2.count() <= localFinish) {
+      val es = p2.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      for ((a, b) <- es) {
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val spark = p2.sparkSession
+      import spark.implicits._
+      val lblDf = parent.keys.toSeq.map(v => (v, find(v))).toDF("v", "lbl")
+      return vertices match {
+        case Some(vs) => vs.toDF("v")
+          .join(broadcast(lblDf), Seq("v"), "left")
+          .select(col("v"), coalesce(col("lbl"), col("v")).as("lbl"))
+        case None => lblDf
+      }
+    }
+    val edges = T.freeze(p2.union(p2.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst"))
     val verts = vertices match {
       case Some(vs) => vs.toDF("v")

@@ -2315,6 +2315,37 @@ class MicroSpec extends SparkSpec {
       "IRLS rounds left the OLS fit untouched")
   }
 
+  test("minLabelComponents: driver union-find == distributed hash-to-min (r11)") {
+    import spark.implicits._
+    // two chains, one triangle, one isolated vertex via the vertices option
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 1L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (22L, 23L)).toDF("doc_a", "doc_b")
+    val verts = (Seq(99L) ++ Seq(1L, 2L, 3L, 10L, 11L, 20L, 21L, 22L, 23L)).toDF("v")
+    def run(lf: Long) = graft.ops.Dedup
+      .minLabelComponents(pairs, Some(verts), 24, lf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val local = run(65536L)
+    val dist = run(0L) // cap 0 forces the distributed hash-to-min loop
+    assert(local == dist, s"local $local vs distributed $dist")
+    assert(local.contains((99L, 99L)), "isolated vertex labels itself")
+    assert(local.filter(_._1 <= 3L).forall(_._2 == 1L), "triangle min label")
+  }
+
+  test("kcoreAlive: driver peel == distributed peel (r11)") {
+    import spark.implicits._
+    // K4 core + a pendant chain that must peel away
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L)).toDF("a", "b")
+    val nbr = e.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(e.select(col("b").as("u"), col("a").as("v")))
+    def run(lf: Long) = graft.ops.Cluster.kcoreAlive(e, nbr, 3, lf)
+      .collect().map(_.getLong(0)).toSet
+    val local = run(65536L)
+    val dist = run(0L)
+    assert(local == dist, s"local $local vs distributed $dist")
+    assert(local == Set(1L, 2L, 3L, 4L), local.toString)
+  }
+
   test("ml_hbos: rare-bin scores are nonnegative and descending (r11)") {
     val rows = q("ml_hbos").collect()
     assert(rows.length == 20)
