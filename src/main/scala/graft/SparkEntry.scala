@@ -29,7 +29,8 @@ object SparkEntry {
     ops.Metrics.entries ++
     ops.Preprocess.entries ++
     ops.Forecast.entries ++
-    ops.Boost.entries
+    ops.Boost.entries ++
+    ops.Behavior.entries
 
   /** Flagship query (TPC-H Q1 pricing summary, SURVEY.md §2.4) on
     * /root/testdata/sf0.001; driver smoke-checks rows>0. */

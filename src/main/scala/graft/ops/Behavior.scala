@@ -1,0 +1,327 @@
+package graft.ops
+
+import graft.{QueryDef, Tables => T}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-series behavioral analytics (r10 cont.) — the product-analytics
+  * layer over the `events` stream that sits next to the forecasting family:
+  * batch sessionization, CUSUM changepoint detection, the autocorrelation
+  * profile, and Cox proportional-hazards churn regression.
+  *
+  * Shared determinism discipline: every per-row quantity stays on exact
+  * integer arithmetic (micros, counts) as long as possible; the few double
+  * reductions ride the DECIMAL(30,12) wire ([[T.exact]]) so summation order
+  * can never split the engines; `exp`/`ln` are REAL-collapsed per the
+  * ml_poisson_glm convention. Scale notes per query.
+  */
+object Behavior {
+
+  /** Session gap threshold: 30 minutes, in micros (shared with the SQL
+    * text via interpolation). */
+  private val GAP_US = 1800000000L
+
+  // Shared closing texts — declared BEFORE `entries` (the oracle strings
+  // interpolate them at object init; a later val would still be null).
+
+  /** Shared ACF closing texts (exact-int inputs → one double sequence). */
+  private val acfNum =
+    "CAST(sxy AS DOUBLE) - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) * CAST(sa + sb AS DOUBLE) " +
+      "+ CAST(m AS DOUBLE) * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))"
+  private val acfDen =
+    "CAST(syy AS DOUBLE) - CAST(n AS DOUBLE) * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))"
+
+  /** Shared Cox per-duration score/information texts. Step 1 (β = 0):
+    * all-BIGINT inputs. */
+  private val coxU0 =
+    "CAST(sex AS DOUBLE) - CAST(m AS DOUBLE) * (CAST(rx AS DOUBLE) / CAST(rc AS DOUBLE))"
+  private val coxI0 =
+    "CAST(m AS DOUBLE) * (CAST(rxx AS DOUBLE) / CAST(rc AS DOUBLE) " +
+      "- (CAST(rx AS DOUBLE) / CAST(rc AS DOUBLE)) * (CAST(rx AS DOUBLE) / CAST(rc AS DOUBLE)))"
+
+  /** Step 2 (β = β₁): decimal-backed weighted risk sums. */
+  private val coxU1 = "CAST(sex AS DOUBLE) - CAST(m AS DOUBLE) * (rwx / rw)"
+  private val coxI1 =
+    "CAST(m AS DOUBLE) * (rwxx / rw - (rwx / rw) * (rwx / rw))"
+
+  val entries: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "win_sessionize",
+      // Batch sessionization — the batch twin of stream_session (which
+      // uses session_window): per user, a new session starts when the gap
+      // since the previous event exceeds 30 min; session ids are the
+      // running count of breaks. The whole computation is per-user
+      // windows (partitionBy user_id — fully distributed, no global
+      // window) on exact integer micros, so it is bit-deterministic and
+      // shuffle-minimal: ONE hash exchange on user_id feeds both the
+      // window and the session aggregation (same key). At 100 TB the
+      // window partitions by the high-cardinality user key — the
+      // scale-correct sessionize shape.
+      (s, dir) => {
+        val ev = T.events(s, dir).select(col("user_id"), col("event_id"),
+          unix_micros(col("ts").cast("timestamp")).as("us"))
+        val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+        val wCum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ev.withColumn("brk",
+            when(col("us") - lag(col("us"), 1).over(w) > GAP_US
+              || lag(col("us"), 1).over(w).isNull, 1L).otherwise(0L))
+          .withColumn("session_seq", sum(col("brk")).over(wCum))
+          .groupBy("user_id", "session_seq")
+          .agg(count(lit(1)).as("n_events"),
+            min(col("us")).as("start_us"),
+            (max(col("us")) - min(col("us"))).as("duration_us"))
+          .orderBy("user_id", "session_seq")
+      },
+      Some(s"""WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS us
+                           FROM events),
+                 b AS (SELECT user_id, us,
+                     CASE WHEN us - lag(us) OVER (PARTITION BY user_id
+                            ORDER BY us, event_id) > $GAP_US
+                          OR lag(us) OVER (PARTITION BY user_id
+                            ORDER BY us, event_id) IS NULL
+                       THEN 1 ELSE 0 END AS brk
+                   FROM ev),
+                 sid AS (SELECT user_id, us,
+                     sum(brk) OVER (PARTITION BY user_id ORDER BY us
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS session_seq
+                   FROM b)
+               SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+                 count(*) AS n_events,
+                 min(us) AS start_us,
+                 max(us) - min(us) AS duration_us
+               FROM sid GROUP BY user_id, session_seq
+               ORDER BY user_id, session_seq""")),
+
+    QueryDef(
+      "ml_changepoint_cusum",
+      // CUSUM changepoint detection on the daily event series (Page 1954
+      // — the classic control chart): C_t = Σ_{i≤t}(y_i − ȳ) peaks at the
+      // most likely level-shift point. All inputs are exact BIGINTs
+      // (daily counts, cumulative counts, row index), so C_t = cy −
+      // t·(sy/n) is one identical double expression in both engines; the
+      // argmax flag compares those bit-identical doubles. The daily
+      // aggregate is the only corpus-scale pass (map-side combined); the
+      // window runs over the ≤ day-range aggregate rows (the
+      // agg_approx_quantile bounded-window discipline).
+      (s, dir) => {
+        val daily = T.events(s, dir)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("y"))
+        val wIdx = Window.orderBy("day")
+        val wCum = Window.orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAll = Window.partitionBy()
+        daily
+          .withColumn("t", row_number().over(wIdx))
+          .withColumn("cy", sum(col("y")).over(wCum))
+          .withColumn("n", count(lit(1)).over(wAll))
+          .withColumn("sy", sum(col("y")).over(wAll))
+          .withColumn("cusum", expr(
+            "CAST(cy AS DOUBLE) - CAST(t AS DOUBLE) * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))"))
+          .withColumn("mx", max(abs(col("cusum"))).over(wAll))
+          .selectExpr("day", "y", "round(cusum, 6) AS cusum",
+            "CASE WHEN abs(cusum) = mx THEN 1 ELSE 0 END AS is_changepoint")
+          .orderBy("day")
+      },
+      Some("""WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS y
+                             FROM events GROUP BY 1),
+                 idx AS (SELECT day, y,
+                     row_number() OVER (ORDER BY day) AS t,
+                     sum(y) OVER (ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cy,
+                     count(*) OVER () AS n,
+                     sum(y) OVER () AS sy
+                   FROM daily),
+                 cs AS (SELECT day, y,
+                     CAST(cy AS DOUBLE) - CAST(t AS DOUBLE)
+                       * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) AS cusum
+                   FROM idx),
+                 mx AS (SELECT max(abs(cusum)) AS mx FROM cs)
+               SELECT day, y, round(cusum, 6) AS cusum,
+                 CASE WHEN abs(cusum) = mx THEN 1 ELSE 0 END AS is_changepoint
+               FROM cs CROSS JOIN mx ORDER BY day""")),
+
+    QueryDef(
+      "ml_acf",
+      // Autocorrelation function of the daily event series at lags 1–7 —
+      // the diagnostic that motivates the ARIMA family (ml_ar2/
+      // ml_arima_*): ρ_L = Σ_{t>L}(y_t−ȳ)(y_{t−L}−ȳ) / Σ_t(y_t−ȳ)².
+      // The cross-moment expands to pure BIGINT sums (Σy_t·y_{t−L},
+      // Σ'y_t, Σ'y_{t−L}, pair count) so the only doubles are one shared
+      // closing expression — bit-deterministic. The lag pairing is a
+      // bounded self-join on the ≤ day-range aggregate (t differs by ≤
+      // 7), nothing corpus-scale beyond the daily aggregation.
+      (s, dir) => {
+        val daily = T.events(s, dir)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("y"))
+          .withColumn("t", row_number().over(Window.orderBy("day")))
+        val a = daily.select(col("t").as("ta"), col("y").as("ya"))
+        val b = daily.select(col("t").as("tb"), col("y").as("yb"))
+        val pairs = a.join(b,
+            col("ta") - col("tb") >= 1 && col("ta") - col("tb") <= 7)
+          .groupBy((col("ta") - col("tb")).cast("long").as("lag"))
+          .agg(count(lit(1)).as("m"),
+            sum(col("ya") * col("yb")).as("sxy"),
+            sum(col("ya")).as("sa"), sum(col("yb")).as("sb"))
+        val glob = daily.agg(count(lit(1)).as("n"), sum(col("y")).as("sy"),
+          sum(col("y") * col("y")).as("syy"))
+        pairs.crossJoin(broadcast(glob))
+          .selectExpr("lag", "m AS n_pairs",
+            s"round(($acfNum) / ($acfDen), 6) AS acf")
+          .orderBy("lag")
+      },
+      Some(s"""WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS y
+                              FROM events GROUP BY 1),
+                 idx AS (SELECT y, row_number() OVER (ORDER BY day) AS t
+                         FROM daily),
+                 pr AS (SELECT CAST(a.t - b.t AS BIGINT) AS lag, count(*) AS m,
+                     CAST(sum(a.y * b.y) AS BIGINT) AS sxy,
+                     CAST(sum(a.y) AS BIGINT) AS sa,
+                     CAST(sum(b.y) AS BIGINT) AS sb
+                   FROM idx a JOIN idx b
+                     ON a.t - b.t BETWEEN 1 AND 7
+                   GROUP BY 1),
+                 g AS (SELECT count(*) AS n, CAST(sum(y) AS BIGINT) AS sy,
+                     CAST(sum(y * y) AS BIGINT) AS syy
+                   FROM idx)
+               SELECT lag, m AS n_pairs,
+                 round(($acfNum) / ($acfDen), 6) AS acf
+               FROM pr CROSS JOIN g ORDER BY lag""")),
+
+    QueryDef(
+      "ml_cox_ph",
+      // Cox proportional-hazards time-to-conversion regression — does
+      // activity level (a user's event count) predict how fast they reach
+      // their first 'purchase'? Duration = hours from a user's first
+      // event to their first purchase; users who never purchase are
+      // right-censored at their last event (the fixture converts
+      // everyone, but the text is the general estimator). Breslow partial
+      // likelihood with tied event times, covariate x = per-user event
+      // count, 2 Newton steps from β = 0. The risk-set statistics
+      // R(d) = Σ_{d'≥d} over users come from DESCENDING cumulative
+      // windows on the per-duration aggregate (bounded by the hour
+      // range) — step 1's sums are exact BIGINTs (x is an integer
+      // count); step 2's exp(β·x) weights are REAL-collapsed per row and
+      // every reduction rides the DECIMAL(30,12) wire, so both engines
+      // walk one double sequence. Scale: two corpus passes (the per-user
+      // span/count aggregate + the first-purchase aggregate), the rest
+      // on ≤ hour-range rows; the score/information sums over event
+      // durations also ride the decimal wire (order-proof).
+      (s, dir) => {
+        val ev = T.events(s, dir)
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("ts").cast("timestamp")).as("us"))
+        val sp = ev.groupBy("user_id")
+          .agg(min(col("us")).as("t0"), max(col("us")).as("tl"),
+            count(lit(1)).as("x"))
+        val pv = ev.where(col("event_type") === "purchase")
+          .groupBy("user_id").agg(min(col("us")).as("tp"))
+        val dur = sp.join(pv, Seq("user_id"), "left")
+          .selectExpr("(coalesce(tp, tl) - t0) div 3600000000 AS d",
+            "CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS e",
+            "x")
+        // per-duration exact integer moments: event side (m, sex) and
+        // risk side (c, cx, cxx)
+        val byd = dur.groupBy("d").agg(
+          count(lit(1)).as("c"), sum(col("x")).as("cx"),
+          sum(col("x") * col("x")).as("cxx"),
+          sum(col("e")).as("m"), sum(col("e") * col("x")).as("sex"))
+        val wDesc = Window.orderBy(col("d").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val risk0 = byd
+          .withColumn("rc", sum(col("c")).over(wDesc))
+          .withColumn("rx", sum(col("cx")).over(wDesc))
+          .withColumn("rxx", sum(col("cxx")).over(wDesc))
+        // step 1 at β = 0: U = Σ_d [sex − m·(rx/rc)], I = Σ_d m·(rxx/rc −
+        // (rx/rc)²) — per-d terms are identical doubles from exact ints;
+        // the Σ_d rides the decimal wire.
+        val c1 = risk0.where(col("m") > 0)
+          .select(
+            expr(s"CAST(($coxU0) AS DECIMAL(30,12))").as("ud"),
+            expr(s"CAST(($coxI0) AS DECIMAL(30,12))").as("id"))
+          .agg(sum(col("ud")).cast("double").as("u"),
+            sum(col("id")).cast("double").as("i"))
+          .selectExpr("u / i AS beta1")
+        // step 2 at β₁: per-user weight w = REAL(exp(β₁·x)); risk sums of
+        // (w, w·x, w·x²) are per-duration decimal sums cumulated by the
+        // same descending window (decimal all the way — order-proof).
+        val wtd = dur.crossJoin(broadcast(c1))
+          .withColumn("w", expr("CAST(CAST(exp(beta1 * x) AS REAL) AS DOUBLE)"))
+        val byd2 = wtd.groupBy("d", "beta1").agg(
+          sum(expr("CAST(w AS DECIMAL(30,12))")).as("sw"),
+          sum(expr("CAST(w * x AS DECIMAL(30,12))")).as("swx"),
+          sum(expr("CAST(w * x * x AS DECIMAL(30,12))")).as("swxx"),
+          sum(col("e")).as("m"), sum(col("e") * col("x")).as("sex"))
+        val risk1 = byd2
+          .withColumn("rw", sum(col("sw")).over(wDesc).cast("double"))
+          .withColumn("rwx", sum(col("swx")).over(wDesc).cast("double"))
+          .withColumn("rwxx", sum(col("swxx")).over(wDesc).cast("double"))
+        risk1.where(col("m") > 0)
+          .select(col("beta1"),
+            expr(s"CAST(($coxU1) AS DECIMAL(30,12))").as("ud"),
+            expr(s"CAST(($coxI1) AS DECIMAL(30,12))").as("id"))
+          .groupBy("beta1")
+          .agg(sum(col("ud")).cast("double").as("u"),
+            sum(col("id")).cast("double").as("i"))
+          .selectExpr("round(beta1, 6) AS beta_step1",
+            "round(beta1 + u / i, 6) AS beta_step2",
+            "round(CAST(CAST(exp(beta1 + u / i) AS REAL) AS DOUBLE), 6) AS hazard_ratio")
+      },
+      Some(s"""WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us
+                           FROM events),
+                 sp AS (SELECT user_id, min(us) AS t0, max(us) AS tl,
+                          count(*) AS x FROM ev GROUP BY 1),
+                 pv AS (SELECT user_id, min(us) AS tp FROM ev
+                        WHERE event_type = 'purchase' GROUP BY 1),
+                 dur AS (SELECT
+                     CAST((coalesce(tp, tl) - t0) // 3600000000 AS BIGINT) AS d,
+                     CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS e, x
+                   FROM sp LEFT JOIN pv USING (user_id)),
+                 byd AS (SELECT d, count(*) AS c,
+                     CAST(sum(x) AS BIGINT) AS cx,
+                     CAST(sum(x * x) AS BIGINT) AS cxx,
+                     CAST(sum(e) AS BIGINT) AS m,
+                     CAST(sum(e * x) AS BIGINT) AS sex
+                   FROM dur GROUP BY d),
+                 rk AS (SELECT *,
+                     sum(c) OVER (ORDER BY d DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rc,
+                     sum(cx) OVER (ORDER BY d DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rx,
+                     sum(cxx) OVER (ORDER BY d DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rxx
+                   FROM byd),
+                 c1 AS (SELECT u / i AS beta1 FROM (
+                   SELECT CAST(sum(CAST(($coxU0) AS DECIMAL(30,12))) AS DOUBLE) AS u,
+                       CAST(sum(CAST(($coxI0) AS DECIMAL(30,12))) AS DOUBLE) AS i
+                     FROM rk WHERE m > 0) t),
+                 wtd AS (SELECT d, e, x, beta1,
+                     CAST(CAST(exp(beta1 * x) AS REAL) AS DOUBLE) AS w
+                   FROM dur CROSS JOIN c1),
+                 byd2 AS (SELECT d, beta1,
+                     sum(CAST(w AS DECIMAL(30,12))) AS sw,
+                     sum(CAST(w * x AS DECIMAL(30,12))) AS swx,
+                     sum(CAST(w * x * x AS DECIMAL(30,12))) AS swxx,
+                     CAST(sum(e) AS BIGINT) AS m,
+                     CAST(sum(e * x) AS BIGINT) AS sex
+                   FROM wtd GROUP BY d, beta1),
+                 rk2 AS (SELECT *,
+                     CAST(sum(sw) OVER (ORDER BY d DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS rw,
+                     CAST(sum(swx) OVER (ORDER BY d DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS rwx,
+                     CAST(sum(swxx) OVER (ORDER BY d DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS rwxx
+                   FROM byd2)
+               SELECT round(beta1, 6) AS beta_step1,
+                 round(beta1 + u / i, 6) AS beta_step2,
+                 round(CAST(CAST(exp(beta1 + u / i) AS REAL) AS DOUBLE), 6) AS hazard_ratio
+               FROM (SELECT beta1,
+                   CAST(sum(CAST(($coxU1) AS DECIMAL(30,12))) AS DOUBLE) AS u,
+                   CAST(sum(CAST(($coxI1) AS DECIMAL(30,12))) AS DOUBLE) AS i
+                 FROM rk2 WHERE m > 0 GROUP BY beta1) t"""))
+  )
+}
