@@ -2717,6 +2717,71 @@ object Cluster {
                FROM cc GROUP BY 1 ORDER BY coeff_bucket""")),
 
     QueryDef(
+      "graph_label_prop",
+      // Community detection by SYNCHRONOUS label propagation (Raghavan
+      // 2007) over the eps neighborhood graph — the cheap first-pass
+      // community structure a graph-curation run reads before committing
+      // to Louvain-class methods. 3 synchronous rounds from singleton
+      // seeds (label = own id); each round every vertex adopts its
+      // neighbors' MODE label, ties broken by min label — synchronous +
+      // deterministic tie-break makes the round a pure function of the
+      // previous labeling, so both engines walk the same trajectory
+      // (async LPA's order-dependence is exactly what's being avoided).
+      // Per round: ONE vertex-keyed join (labels onto edges) + ONE
+      // (vertex, label) count + ONE per-vertex argmax window — all O(E)
+      // shuffles, rounds frozen flat (the pagerank discipline). Isolated
+      // vertices stay singleton communities via the final left join.
+      // Output: the community-size histogram — bounded at any scale.
+      (s, dir) => {
+        val e = T.freeze(epsPairs(s, dir, HORIZON)) // (a < b)
+        val nbr = T.freeze(e.select(col("a").as("u"), col("b").as("v"))
+          .unionAll(e.select(col("b").as("u"), col("a").as("v"))))
+        var lbl = nbr.select(col("u")).distinct().withColumn("lbl", col("u"))
+        for (_ <- 1 to 3) {
+          val msg = nbr
+            .join(lbl.select(col("u").as("v"), col("lbl")), "v")
+            .groupBy("u", "lbl").agg(count(lit(1)).as("cnt"))
+          val win = Window.partitionBy("u")
+            .orderBy(col("cnt").desc, col("lbl").asc)
+          lbl = T.freeze(msg.withColumn("rn", row_number().over(win))
+            .where(col("rn") === 1).select("u", "lbl"))
+        }
+        plane(s, dir).select(col("id"))
+          .join(lbl.withColumnRenamed("u", "id"), Seq("id"), "left")
+          .selectExpr("coalesce(lbl, id) AS community")
+          .groupBy("community").agg(count(lit(1)).as("size"))
+          .groupBy("size").agg(count(lit(1)).as("n_communities"))
+          .orderBy("size")
+      },
+      Some {
+        def lpRound(k: Int): String =
+          s"""lm$k AS (SELECT n.u, l.lbl, count(*) AS cnt
+                FROM nbr n JOIN lp${k - 1} l ON l.u = n.v
+                GROUP BY n.u, l.lbl),
+              lp$k AS (SELECT u, lbl FROM (SELECT u, lbl,
+                  row_number() OVER (PARTITION BY u
+                    ORDER BY cnt DESC, lbl) AS rn FROM lm$k) t
+                WHERE rn = 1)"""
+        s"""WITH pts AS (SELECT vec_id AS id,
+                   CAST(embedding[1] AS DOUBLE) AS x,
+                   CAST(embedding[2] AS DOUBLE) AS y FROM embeddings),
+                 ep AS (SELECT p.id AS a, q.id AS b FROM pts p JOIN pts q
+                   ON p.id < q.id
+                  AND (p.x - q.x) * (p.x - q.x) + (p.y - q.y) * (p.y - q.y)
+                      <= ${HORIZON * HORIZON}),
+                 nbr AS (SELECT a AS u, b AS v FROM ep
+                         UNION ALL SELECT b, a FROM ep),
+                 lp0 AS (SELECT DISTINCT u, u AS lbl FROM nbr),
+                 ${lpRound(1)}, ${lpRound(2)}, ${lpRound(3)},
+                 fin AS (SELECT coalesce(l.lbl, p.id) AS community
+                   FROM pts p LEFT JOIN lp3 l ON l.u = p.id),
+                 cs AS (SELECT community, count(*) AS size
+                        FROM fin GROUP BY 1)
+               SELECT size, count(*) AS n_communities
+               FROM cs GROUP BY 1 ORDER BY size"""
+      }),
+
+    QueryDef(
       "ml_hbos",
       // Histogram-Based Outlier Score (Goldstein & Dengel 2012) — the
       // O(n) density outlier detector next to ml_lof's O(n·k) one: each

@@ -5081,6 +5081,174 @@ object ML {
                      UNION ALL SELECT 1, a, b FROM c1
                      UNION ALL SELECT 2, a, b FROM c2) u
                ORDER BY round"""
+      }),
+
+    QueryDef(
+      "ml_quantile_regression",
+      // Quantile regression at q = 0.9 (the pinball/check loss — the
+      // sklearn QuantileRegressor surface, and the estimator a pipeline
+      // uses for tail-latency / price-ceiling curves): OLS warm start,
+      // then 3 IRLS rounds with the check-loss weights w = q/max(r, ε)
+      // above the line and (1−q)/max(−r, ε) below. ε is DATA-DERIVED
+      // from the OLS residual scale (σ̂/20, the ml_huber_regression
+      // delta discipline; a fixture-constant floor measured unstable —
+      // ε ≪ σ makes the weighted fit degenerate to the near-line band
+      // and the slope saw-tooths). Structure is the huber wire verbatim:
+      // one weighted xsum moment pass per round, coefficients carried
+      // IN-PLAN as a broadcast one-row frame, 4-row coefficient trail
+      // out. The q = 0.9 fit climbs ABOVE the OLS line — the intercept
+      // trail is strictly increasing (MicroSpec pin).
+      (s, dir) => {
+        val d = T.lineitem(s, dir)
+          .select(col("l_quantity").cast("double").as("x"),
+            col("l_extendedprice").cast("double").as("y"))
+          .transform(T.fanOut(_))
+        val m0 = d.agg(count(lit(1)).cast("double").as("n"),
+          T.xsum(col("x")).as("sx"), T.xsum(col("y")).as("sy"),
+          T.xsum(col("x") * col("x")).as("sxx"),
+          T.xsum(col("x") * col("y")).as("sxy"),
+          T.xsum(col("y") * col("y")).as("syy"))
+        var c = m0
+          .selectExpr("*", "(n * sxy - sx * sy) / (n * sxx - sx * sx) AS b")
+          .selectExpr("*", "(sy - b * sx) / n AS a")
+          .selectExpr("a", "b",
+            "sqrt((syy - 2*a*sy - 2*b*sxy + n*a*a + 2*a*b*sx + b*b*sxx) / n) / 20e0 AS eps")
+        val trail = Seq.newBuilder[DataFrame]
+        trail += c.selectExpr("0 AS round", "a", "b")
+        for (k <- 1 to 3) {
+          val w = d.crossJoin(broadcast(c))
+            .selectExpr("x", "y", "eps",
+              "CASE WHEN y - a - b * x >= 0e0 " +
+                "THEN 0.9e0 / greatest(y - a - b * x, eps) " +
+                "ELSE 0.1e0 / greatest(a + b * x - y, eps) END AS w")
+          c = w.groupBy("eps")
+            .agg(T.xsum(col("w")).as("sw"),
+              T.xsum(col("w") * col("x")).as("swx"),
+              T.xsum(col("w") * col("y")).as("swy"),
+              T.xsum(col("w") * col("x") * col("x")).as("swxx"),
+              T.xsum(col("w") * col("x") * col("y")).as("swxy"))
+            .selectExpr("eps",
+              "(sw * swxy - swx * swy) / (sw * swxx - swx * swx) AS b",
+              "sw", "swx", "swy")
+            .selectExpr("eps", "b", "(swy - b * swx) / sw AS a")
+            .selectExpr("a", "b", "eps")
+          trail += c.selectExpr(s"$k AS round", "a", "b")
+        }
+        trail.result().reduce(_ unionAll _)
+          .selectExpr("round", "round(a, 6) AS intercept", "round(b, 6) AS slope")
+          .orderBy("round")
+      },
+      Some {
+        def roundCte(k: Int): String =
+          s"""qw$k AS (SELECT x, y, eps,
+                  CASE WHEN y - a - b * x >= 0e0
+                       THEN 0.9e0 / greatest(y - a - b * x, eps)
+                       ELSE 0.1e0 / greatest(a + b * x - y, eps) END AS w
+                FROM qd CROSS JOIN qc${k - 1}),
+              qm$k AS (SELECT eps, ${T.sqlXsum("w")} AS sw,
+                  ${T.sqlXsum("w * x")} AS swx, ${T.sqlXsum("w * y")} AS swy,
+                  ${T.sqlXsum("w * x * x")} AS swxx,
+                  ${T.sqlXsum("w * x * y")} AS swxy
+                FROM qw$k GROUP BY eps),
+              qb$k AS (SELECT eps, sw, swx, swy,
+                  (sw * swxy - swx * swy) / (sw * swxx - swx * swx) AS b
+                FROM qm$k),
+              qc$k AS (SELECT (swy - b * swx) / sw AS a, b, eps FROM qb$k)"""
+        s"""WITH qd AS (SELECT CAST(l_quantity AS DOUBLE) AS x,
+                   CAST(l_extendedprice AS DOUBLE) AS y FROM lineitem),
+                 qm0 AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                     ${T.sqlXsum("x")} AS sx, ${T.sqlXsum("y")} AS sy,
+                     ${T.sqlXsum("x * x")} AS sxx, ${T.sqlXsum("x * y")} AS sxy,
+                     ${T.sqlXsum("y * y")} AS syy
+                   FROM qd),
+                 qb0 AS (SELECT *,
+                     (n * sxy - sx * sy) / (n * sxx - sx * sx) AS b
+                   FROM qm0),
+                 qa0 AS (SELECT *, (sy - b * sx) / n AS a FROM qb0),
+                 qc0 AS (SELECT a, b,
+                     sqrt((syy - 2*a*sy - 2*b*sxy + n*a*a + 2*a*b*sx + b*b*sxx) / n) / 20e0 AS eps
+                   FROM qa0),
+                 ${roundCte(1)},
+                 ${roundCte(2)},
+                 ${roundCte(3)}
+               SELECT round, round(a, 6) AS intercept, round(b, 6) AS slope
+               FROM (SELECT 0 AS round, a, b FROM qc0
+                     UNION ALL SELECT 1, a, b FROM qc1
+                     UNION ALL SELECT 2, a, b FROM qc2
+                     UNION ALL SELECT 3, a, b FROM qc3) u
+               ORDER BY round"""
+      }),
+
+    QueryDef(
+      "ml_gamma_glm",
+      // Gamma GLM with the log link (the positive-continuous-target GLM
+      // next to ml_poisson_glm — insurance severity / spend modeling):
+      // E[y|x] = exp(a + b·x), y = extendedprice/1000 (positive), x =
+      // quantity. For gamma+log the IRLS weights are identically 1, so
+      // each step is an UNWEIGHTED OLS of the working response z = η +
+      // y/μ − 1 on x — one xsum moment pass per step, coefficients
+      // carried in-plan. Warm start a₀ = ln(ȳ) (the null model), b₀ = 0.
+      // μ = exp(η) and ln(ȳ) are REAL-collapsed (the one non-IEEE-pinned
+      // op, the ml_poisson_glm discipline). Output: the 3-row (a, b)
+      // trail, round 0 = the null model.
+      (s, dir) => {
+        val d = T.lineitem(s, dir)
+          .select(col("l_quantity").cast("double").as("x"),
+            (col("l_extendedprice").cast("double") / 1000).as("y"))
+          .transform(T.fanOut(_))
+        var c = d.agg(count(lit(1)).cast("double").as("n"), T.xsum(col("y")).as("sy"))
+          .selectExpr(
+            "CAST(CAST(ln(sy / n) AS FLOAT) AS DOUBLE) AS a", "0e0 AS b")
+        val trail = Seq.newBuilder[DataFrame]
+        trail += c.selectExpr("0 AS round", "a", "b")
+        for (k <- 1 to 2) {
+          val z = d.crossJoin(broadcast(c))
+            .selectExpr("x",
+              "a + b * x + y / CAST(CAST(exp(a + b * x) AS FLOAT) AS DOUBLE) - 1e0 AS z")
+          c = z
+            .agg(count(lit(1)).cast("double").as("n"),
+              T.xsum(col("x")).as("sx"), T.xsum(col("z")).as("sz"),
+              T.xsum(col("x") * col("x")).as("sxx"),
+              T.xsum(col("x") * col("z")).as("sxz"))
+            .selectExpr("n", "sx", "sz",
+              "(n * sxz - sx * sz) / (n * sxx - sx * sx) AS b")
+            .selectExpr("b", "(sz - b * sx) / n AS a")
+            .selectExpr("a", "b")
+          trail += c.selectExpr(s"$k AS round", "a", "b")
+        }
+        trail.result().reduce(_ unionAll _)
+          .selectExpr("round", "round(a, 6) AS intercept", "round(b, 6) AS slope",
+            "round(CAST(CAST(exp(a) AS FLOAT) AS DOUBLE), 6) AS mu_at_zero")
+          .orderBy("round")
+      },
+      Some {
+        def stepCte(k: Int): String =
+          s"""gz$k AS (SELECT x,
+                  a + b * x + y / CAST(CAST(exp(a + b * x) AS REAL) AS DOUBLE)
+                    - 1e0 AS z
+                FROM gd CROSS JOIN gc${k - 1}),
+              gm$k AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                  ${T.sqlXsum("x")} AS sx, ${T.sqlXsum("z")} AS sz,
+                  ${T.sqlXsum("x * x")} AS sxx, ${T.sqlXsum("x * z")} AS sxz
+                FROM gz$k),
+              gb$k AS (SELECT n, sx, sz,
+                  (n * sxz - sx * sz) / (n * sxx - sx * sx) AS b
+                FROM gm$k),
+              gc$k AS (SELECT (sz - b * sx) / n AS a, b FROM gb$k)"""
+        s"""WITH gd AS (SELECT CAST(l_quantity AS DOUBLE) AS x,
+                   CAST(l_extendedprice AS DOUBLE) / 1000 AS y FROM lineitem),
+                 gc0 AS (SELECT CAST(CAST(ln(${T.sqlXsum("y")}
+                       / CAST(count(*) AS DOUBLE)) AS REAL) AS DOUBLE) AS a,
+                     0e0 AS b
+                   FROM gd),
+                 ${stepCte(1)},
+                 ${stepCte(2)}
+               SELECT round, round(a, 6) AS intercept, round(b, 6) AS slope,
+                 round(CAST(CAST(exp(a) AS REAL) AS DOUBLE), 6) AS mu_at_zero
+               FROM (SELECT 0 AS round, a, b FROM gc0
+                     UNION ALL SELECT 1, a, b FROM gc1
+                     UNION ALL SELECT 2, a, b FROM gc2) u
+               ORDER BY round"""
       })
   )
 

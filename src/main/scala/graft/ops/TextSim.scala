@@ -149,6 +149,63 @@ object TextSim {
                FROM documents GROUP BY lang, source ORDER BY lang, source""")),
 
     QueryDef(
+      "text_vocab_growth",
+      // Vocabulary growth curve (Heaps' law) over the BIGRAM space — how
+      // fast does the corpus stop yielding NEW n-grams? The curve a
+      // BPE-tokenizer run reads to size its merge table and decide when
+      // more data stops helping (the fixture's unigram vocab is a closed
+      // ~60-word set that saturates in decile 0 — the bigram space is the
+      // one with a growth tail, and the one merge training consumes).
+      // Each bigram is attributed to the decile of the corpus where it
+      // FIRST appears (min doc_id, scaled by the total doc count so the
+      // grid is data-derived, not a fixture constant); output = new
+      // bigrams per decile + the running vocabulary size. The bigram
+      // table is the text_bigram_freq collocated-join (shuffle key
+      // doc_id, adjacency resolved within the group); the min() pass is
+      // map-side combinable; then bounded 10-row windows. Pure integer
+      // arithmetic end-to-end.
+      (s, dir) => {
+        val toks = T.documents(s, dir).transform(T.fanOut(_, col("doc_id")))
+          .select(col("doc_id"), posexplode(split(col("text"), " ")))
+          .where(col("col") =!= "")
+          .select(col("doc_id"), col("pos"), col("col").as("term"))
+        val a = toks.select(col("doc_id"), col("pos"), col("term").as("t1"))
+        val b = toks.select(col("doc_id"), (col("pos") - 1).as("pos"),
+          col("term").as("t2"))
+        val firsts = a.join(b, Seq("doc_id", "pos"))
+          .select(concat(col("t1"), lit(" "), col("t2")).as("bigram"),
+            col("doc_id"))
+          .groupBy("bigram").agg(min(col("doc_id")).as("first_doc"))
+        val n = T.documents(s, dir).agg(count(lit(1)).as("nd"))
+        val wCum = Window.orderBy("decile")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        firsts.crossJoin(broadcast(n))
+          .selectExpr("least(first_doc * 10 div nd, 9) AS decile")
+          .groupBy("decile").agg(count(lit(1)).as("new_bigrams"))
+          .withColumn("cum_vocab", sum(col("new_bigrams")).over(wCum))
+          .orderBy("decile")
+      },
+      Some("""WITH tk AS (SELECT doc_id,
+                  generate_subscripts(string_split(text, ' '), 1) AS pos,
+                  unnest(string_split(text, ' ')) AS term
+                FROM documents),
+                 tf AS (SELECT doc_id, pos, term FROM tk WHERE term <> ''),
+                 f AS (SELECT a.term || ' ' || b.term AS bigram,
+                     min(a.doc_id) AS first_doc
+                   FROM tf a JOIN tf b
+                     ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+                   GROUP BY 1),
+                 n AS (SELECT count(*) AS nd FROM documents),
+                 dec AS (SELECT least(first_doc * 10 // nd, 9) AS decile,
+                     count(*) AS new_bigrams
+                   FROM f CROSS JOIN n GROUP BY 1)
+               SELECT decile, new_bigrams,
+                 CAST(sum(new_bigrams) OVER (ORDER BY decile
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS cum_vocab
+               FROM dec ORDER BY decile""")),
+
+    QueryDef(
       "dedup_exact",
       // Exact-duplicate groups. Groups on (sha2(text), length) — at 100 TB
       // the shuffle carries 40-byte digests, never the documents; the
