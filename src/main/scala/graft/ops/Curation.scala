@@ -1,0 +1,479 @@
+package graft.ops
+
+import graft.{QueryDef, Tables => T}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation closures (r10 cont.): SemDeDup embedding dedup, the
+  * pair-counting Fowlkes–Mallows clustering score, binary MCC / balanced
+  * accuracy for the kNN language classifier, and Levenshtein verification
+  * of the MinHash candidate pairs — four rows that close gaps a pretraining
+  * curation run hits right after the existing dedup/metric families.
+  *
+  * Shared determinism discipline: counts and pair counts stay BIGINT to the
+  * last expression; cosines ride the shared Vec.dot / list_cosine_similarity
+  * agreement already pinned by sim_threshold; Levenshtein is the classic
+  * unit-cost DP both engines implement identically on ASCII text. Scale
+  * notes per query.
+  */
+object Curation {
+
+  /** SemDeDup similarity threshold. The fixture embeddings are
+    * near-orthogonal (max within-cluster cosine ≈ 0.49), so the
+    * demonstration threshold sits below the paper's 0.9+ production
+    * values; the plan is threshold-independent. Shared with the SQL text
+    * via interpolation. */
+  private val SEM_TAU = "0.35"
+
+  /** Edit-distance verification window: the DP is O(len²) per pair, so a
+    * production pass caps the compared prefix (here 240 chars — beyond the
+    * fixture's ~300-char mean, so most docs compare whole). Shared with the
+    * SQL text. */
+  private val LEV_CAP = 240
+
+  /** BFS seed rule: vertices with id ≡ 0 (mod 10) — a deterministic
+    * ~10% multi-source seed set, shared with the SQL text. */
+  private val BFS_SEED_MOD = 10
+
+  // ---- shared per-(cluster, dimension) moment wire ------------------------
+
+  /** One posexplode pass over the Lloyd-assigned corpus reduced to exact
+    * DECIMAL sums: per-(cid, j) coordinate sums `sx`, and per-cid counts +
+    * second moments `(nc, ss)`. Everything downstream of this pass is
+    * bounded at k×64 (+k) rows, so the variance-ratio metrics
+    * (Calinski–Harabasz, Davies–Bouldin) cost ONE corpus scan each — the
+    * scale-correct shape (the all-pairs definitions are not needed: both
+    * metrics are moment-expressible). */
+  private def clusterMoments(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val asg = Metrics.lloydAssign(s, dir).select(col("vec_id"), col("cid"))
+    val ex = asg
+      .join(T.embeddings(s, dir).select(col("vec_id"), col("embedding")), "vec_id")
+      .select(col("cid"), posexplode(col("embedding")).as(Seq("j", "xf")))
+      .select(col("cid"), col("j"), col("xf").cast("double").as("x"))
+    val sx = ex.groupBy("cid", "j").agg(T.xsumD(col("x")).as("sx"))
+    val mc = ex.groupBy("cid").agg(
+      count(when(col("j") === 0, 1)).as("nc"),
+      T.xsumD(expr("x * x")).as("ss"))
+    (sx, mc)
+  }
+
+  /** Oracle twin of [[clusterMoments]] ending in `sx(cid, j, sx)` and
+    * `mc(cid, nc, ss)` (prefix: Metrics.sqlLloydAssign's `a`). */
+  private val sqlClusterMoments =
+    s"""asg AS (SELECT a.cid, CAST(e.embedding AS DOUBLE[]) AS emb
+           FROM a JOIN embeddings e ON a.vec_id = e.vec_id),
+       exz AS (SELECT cid, generate_subscripts(emb, 1) - 1 AS j, unnest(emb) AS x
+               FROM asg),
+       sx AS (SELECT cid, j, ${T.sqlXsumD("x")} AS sx FROM exz GROUP BY cid, j),
+       mc AS (SELECT cid,
+           CAST(count(*) FILTER (WHERE j = 0) AS BIGINT) AS nc,
+           ${T.sqlXsumD("x * x")} AS ss
+         FROM exz GROUP BY cid)"""
+
+  /** Per-(cid, j) centroid coordinates from the moment wire — shared
+    * closing text (m = sx/nc, everything bounded). */
+  private val sqlCentroids =
+    """mj AS (SELECT sx.cid, sx.j, mc.nc, CAST(sx.sx AS DOUBLE) / mc.nc AS m
+         FROM sx JOIN mc ON sx.cid = mc.cid)"""
+
+  val entries: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "dedup_semantic",
+      // SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means-cluster the
+      // embedding space, then compare pairs ONLY within a cluster and drop
+      // every member cosine-closer than τ to a lower-id member. The cluster
+      // partition is what makes semantic dedup tractable: pair cost is
+      // Σ_c n_c² instead of n², and production scales k ∝ n so the
+      // per-cluster population (and thus per-cluster pair cost) stays
+      // CONSTANT as the corpus grows — the 100 TB story is "more clusters",
+      // not "bigger clusters". Here k = 10 fixed vec_id<10 centroids (the
+      // clustering-metric family's shared Lloyd assignment) so the oracle
+      // is exactly mirrorable. The pair scan is a hash JOIN ON cid (never
+      // broadcast, never cartesian): both sides shuffle-partition by
+      // cluster, each cluster's pairs form locally. Keep-lowest-id is the
+      // standard greedy: a member is a duplicate iff SOME lower-id member
+      // of its cluster is ≥ τ-similar (no transitive chaining — matches
+      // the paper's one-shot per-cluster sweep). Output: per-cluster
+      // member/duplicate/kept counts — the removal-rate readout a curation
+      // run logs per shard.
+      (s, dir) => {
+        val e = T.embeddings(s, dir).select(col("vec_id"), col("embedding"),
+          sqrt(graft.functions.Vec.dot(s, "embedding", "embedding")).as("nrm"))
+        val m = T.freeze(Metrics.lloydAssign(s, dir).select(col("vec_id"), col("cid"))
+          .join(e, "vec_id"))
+        val a = m.select(col("cid"), col("vec_id").as("id_a"),
+          col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
+          .transform(T.fanOut(_, col("id_a")))
+        val b = m.select(col("cid"), col("vec_id").as("id_b"),
+          col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
+        val cos = graft.functions.Vec.dot(s, "emb_a", "emb_b") /
+          (col("nrm_a") * col("nrm_b"))
+        val dups = a.join(b, "cid").where(col("id_a") < col("id_b"))
+          .where(cos > expr(SEM_TAU))
+          .select(col("cid"), col("id_b").as("dup_id")).distinct()
+        m.groupBy("cid").agg(count(lit(1)).as("n_members"))
+          .join(dups.groupBy("cid").agg(count(lit(1)).as("nd")), Seq("cid"), "left")
+          .select(col("cid"), col("n_members"),
+            coalesce(col("nd"), lit(0L)).as("n_dup"),
+            (col("n_members") - coalesce(col("nd"), lit(0L))).as("n_kept"))
+          .orderBy("cid")
+      },
+      Some(s"""WITH ${Metrics.sqlLloydAssign},
+                 m AS (SELECT a.cid, a.vec_id, CAST(e.embedding AS DOUBLE[]) AS emb
+                       FROM a JOIN embeddings e ON a.vec_id = e.vec_id),
+                 dups AS (SELECT DISTINCT x.cid, y.vec_id AS dup_id
+                          FROM m x JOIN m y
+                            ON x.cid = y.cid AND x.vec_id < y.vec_id
+                          WHERE list_cosine_similarity(x.emb, y.emb) > $SEM_TAU),
+                 dc AS (SELECT cid, count(*) AS nd FROM dups GROUP BY cid),
+                 mc AS (SELECT cid, count(*) AS n_members FROM m GROUP BY cid)
+               SELECT mc.cid, mc.n_members,
+                 COALESCE(dc.nd, 0) AS n_dup,
+                 mc.n_members - COALESCE(dc.nd, 0) AS n_kept
+               FROM mc LEFT JOIN dc ON mc.cid = dc.cid
+               ORDER BY mc.cid""")),
+
+    QueryDef(
+      "ml_fowlkes_mallows",
+      // cuml.metrics-adjacent Fowlkes–Mallows index between the k-means
+      // assignment and the ground-truth label, from the same (cid, label)
+      // contingency pass as ml_adjusted_rand: FMI = TP/√((TP+FP)(TP+FN))
+      // over same-cluster/same-label point pairs, i.e.
+      // ΣC(nij,2) / √(ΣC(ai,2)·ΣC(bj,2)). All pair counts are exact BIGINT
+      // (n(n−1) products — the /2 factors cancel in the ratio, so the only
+      // double op is the final sqrt division). Bounded after the K×|labels|
+      // contingency, as the whole clustering-metric family.
+      (s, dir) => {
+        val ct = T.freeze(Metrics.lloydAssign(s, dir)
+          .groupBy("cid", "label").agg(count(lit(1)).as("nij")))
+        val ra = ct.groupBy("cid").agg(sum(col("nij")).as("ai"))
+          .agg(sum(col("ai") * (col("ai") - 1)).as("sa2"))
+        val cb = ct.groupBy("label").agg(sum(col("nij")).as("bj"))
+          .agg(sum(col("bj") * (col("bj") - 1)).as("sb2"))
+        val sij = ct.agg(
+          sum(col("nij") * (col("nij") - 1)).as("sij2"),
+          sum(col("nij")).as("n"))
+        sij.crossJoin(broadcast(ra)).crossJoin(broadcast(cb))
+          .selectExpr("CAST(n AS BIGINT) AS n",
+            "round(CAST(sij2 AS DOUBLE) / sqrt(CAST(sa2 AS DOUBLE) * CAST(sb2 AS DOUBLE)), 6) AS fmi")
+      },
+      Some(s"""WITH ${Metrics.sqlContingency},
+                 ra AS (SELECT CAST(sum(ai * (ai - 1)) AS BIGINT) AS sa2 FROM
+                          (SELECT CAST(sum(nij) AS BIGINT) AS ai FROM ct GROUP BY cid) r),
+                 cb AS (SELECT CAST(sum(bj * (bj - 1)) AS BIGINT) AS sb2 FROM
+                          (SELECT CAST(sum(nij) AS BIGINT) AS bj FROM ct GROUP BY label) c),
+                 s0 AS (SELECT CAST(sum(nij * (nij - 1)) AS BIGINT) AS sij2,
+                               CAST(sum(nij) AS BIGINT) AS n FROM ct)
+               SELECT CAST(n AS BIGINT) AS n,
+                 round(CAST(sij2 AS DOUBLE) / sqrt(CAST(sa2 AS DOUBLE) * CAST(sb2 AS DOUBLE)), 6) AS fmi
+               FROM s0 CROSS JOIN ra CROSS JOIN cb""")),
+
+    QueryDef(
+      "ml_matthews_corrcoef",
+      // Binary Matthews correlation + balanced accuracy for the bounded
+      // kNN language classifier (positive class = 'en', the majority
+      // lang), on the shared EVAL_N evaluation sample (ML.knnPredLang —
+      // one n·EVAL_N distance pass per session, reused across the whole
+      // scoring family). The 2×2 confusion counts are exact BIGINT; MCC's
+      // numerator tp·tn − fp·fn and the four marginal products stay in
+      // BIGINT (≤ EVAL_N² each), so the only double ops are the final
+      // sqrt and divisions — bit-deterministic cross-engine.
+      (s, dir) => {
+        val pred = ML.knnPredLang(s, dir)
+        val truth = T.documents(s, dir).select(col("doc_id"), col("lang"))
+        pred.join(truth, pred("q_id") === truth("doc_id"))
+          .select((col("lang") === "en").cast("int").as("y"),
+            (col("pred_lang") === "en").cast("int").as("p"))
+          .agg(
+            sum(when(col("y") === 1 && col("p") === 1, 1L).otherwise(0L)).as("tp"),
+            sum(when(col("y") === 0 && col("p") === 1, 1L).otherwise(0L)).as("fp"),
+            sum(when(col("y") === 1 && col("p") === 0, 1L).otherwise(0L)).as("fn"),
+            sum(when(col("y") === 0 && col("p") === 0, 1L).otherwise(0L)).as("tn"))
+          .selectExpr("tp", "fp", "fn", "tn",
+            "round(CAST(tp * tn - fp * fn AS DOUBLE) / sqrt(CAST((tp + fp) * (tp + fn) AS DOUBLE) * CAST((tn + fp) * (tn + fn) AS DOUBLE)), 6) AS mcc",
+            "round((CAST(tp AS DOUBLE) / (tp + fn) + CAST(tn AS DOUBLE) / (tn + fp)) / 2, 6) AS bal_acc")
+      },
+      Some(s"""WITH ${ML.sqlKnnPredCtes},
+                 bin AS (SELECT CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y,
+                                CASE WHEN p.pred_lang = 'en' THEN 1 ELSE 0 END AS p
+                         FROM pred p JOIN documents d ON p.q_id = d.doc_id),
+                 c AS (SELECT
+                     CAST(sum(CASE WHEN y = 1 AND p = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                     CAST(sum(CASE WHEN y = 0 AND p = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                     CAST(sum(CASE WHEN y = 1 AND p = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+                     CAST(sum(CASE WHEN y = 0 AND p = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+                   FROM bin)
+               SELECT tp, fp, fn, tn,
+                 round(CAST(tp * tn - fp * fn AS DOUBLE) / sqrt(CAST((tp + fp) * (tp + fn) AS DOUBLE) * CAST((tn + fp) * (tn + fn) AS DOUBLE)), 6) AS mcc,
+                 round((CAST(tp AS DOUBLE) / (tp + fn) + CAST(tn AS DOUBLE) / (tn + fp)) / 2, 6) AS bal_acc
+               FROM c""")),
+
+    QueryDef(
+      "text_edit_distance",
+      // Levenshtein verification of the MinHash candidate pairs — the
+      // second-stage exact check a dedup pipeline runs AFTER LSH banding
+      // (candidates only, never all pairs: the pair set is the
+      // LSH-bucket-bounded TextSim.minhashPairs, so the O(len²) DP cost is
+      // per-candidate, with the compared prefix capped at LEV_CAP chars —
+      // the standard guard against pathological document lengths). Both
+      // engines implement the classic unit-cost insert/delete/substitute
+      // DP; the fixture text is ASCII so char semantics agree exactly.
+      // Output: per candidate pair the distance and the normalized
+      // similarity 1 − lev/max(len) — the score a curation run thresholds.
+      (s, dir) => {
+        val txt = T.documents(s, dir)
+          .select(col("doc_id"), substring(col("text"), 1, LEV_CAP).as("tx"))
+        val pairs = TextSim.minhashPairs(s, dir)
+        pairs
+          .join(txt.select(col("doc_id").as("doc_a"), col("tx").as("ta")), "doc_a")
+          .join(txt.select(col("doc_id").as("doc_b"), col("tx").as("tb")), "doc_b")
+          .select(col("doc_a"), col("doc_b"),
+            length(col("ta")).as("la"), length(col("tb")).as("lb"),
+            levenshtein(col("ta"), col("tb")).as("lev"))
+          .withColumn("sim",
+            round(lit(1.0) - col("lev").cast("double") / greatest(col("la"), col("lb")), 6))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""WITH ${TextSim.sqlMinhashCtes},
+                 tx AS (SELECT doc_id, substring(text, 1, $LEV_CAP) AS t
+                        FROM documents),
+                 sc AS (SELECT p.doc_a, p.doc_b,
+                     length(a.t) AS la, length(b.t) AS lb,
+                     levenshtein(a.t, b.t) AS lev
+                   FROM pairs p
+                   JOIN tx a ON p.doc_a = a.doc_id
+                   JOIN tx b ON p.doc_b = b.doc_id)
+               SELECT doc_a, doc_b, la, lb, lev,
+                 round(1.0 - CAST(lev AS DOUBLE) / greatest(la, lb), 6) AS sim
+               FROM sc ORDER BY doc_a, doc_b""")),
+
+    QueryDef(
+      "ml_calinski_harabasz",
+      // cuml.metrics-adjacent Calinski–Harabasz (variance-ratio) score of
+      // the k-means labeling: CH = (B/(k−1))/(W/(n−k)) with B/W the
+      // between/within scatter. Computed from MOMENTS, not pairs: one
+      // posexplode pass yields exact per-(cid,j) coordinate sums and
+      // per-cid second moments (clusterMoments); B = Σ_{c,j} n_c(m_cj−g_j)²
+      // and W = Σ_c (ss_c − n_c·Σ_j m_cj²) are then bounded k×64-row
+      // computations. The corpus is touched ONCE; the exact decimal sums
+      // make every downstream double identical cross-engine (each bounded
+      // reduction rides the xsum wire, so order can't split the engines).
+      (s, dir) => {
+        val (sx0, mc0) = clusterMoments(s, dir)
+        val sx = T.freeze(sx0); val mc = T.freeze(mc0)
+        val mj = sx.join(mc.select("cid", "nc"), "cid")
+          .selectExpr("cid", "j", "nc", "CAST(sx AS DOUBLE) / nc AS m")
+        val gj = sx.groupBy("j").agg(sum(col("sx")).as("gs"))
+        val tot = mc.agg(sum(col("nc")).cast("long").as("n"),
+          count(lit(1)).as("k"))
+        val bss = mj.join(gj, "j").crossJoin(broadcast(tot))
+          .selectExpr(
+            "CAST(nc AS DOUBLE) * (m - CAST(gs AS DOUBLE) / n) * (m - CAST(gs AS DOUBLE) / n) AS t")
+          .agg(T.xsum(col("t")).as("bss"))
+        val sm2 = mj.groupBy("cid").agg(T.xsum(expr("m * m")).as("sm2"))
+        val wss = mc.join(sm2, "cid")
+          .selectExpr("CAST(ss AS DOUBLE) - CAST(nc AS DOUBLE) * sm2 AS wc")
+          .agg(T.xsum(col("wc")).as("wss"))
+        bss.crossJoin(wss).crossJoin(broadcast(tot))
+          .selectExpr("n", "k", "round(bss, 6) AS bss", "round(wss, 6) AS wss",
+            "round((bss / (k - 1)) / (wss / (n - k)), 6) AS ch")
+      },
+      Some(s"""WITH ${Metrics.sqlLloydAssign},
+                 $sqlClusterMoments,
+                 $sqlCentroids,
+                 gj AS (SELECT j, sum(sx) AS gs FROM sx GROUP BY j),
+                 tot AS (SELECT CAST(sum(nc) AS BIGINT) AS n,
+                                count(*) AS k FROM mc),
+                 bs AS (SELECT ${T.sqlXsum(
+                     "CAST(nc AS DOUBLE) * (m - CAST(gs AS DOUBLE) / n) * (m - CAST(gs AS DOUBLE) / n)")} AS bss
+                        FROM mj JOIN gj ON mj.j = gj.j CROSS JOIN tot),
+                 sm2 AS (SELECT cid, ${T.sqlXsum("m * m")} AS sm2
+                         FROM mj GROUP BY cid),
+                 ws AS (SELECT ${T.sqlXsum(
+                     "CAST(ss AS DOUBLE) - CAST(nc AS DOUBLE) * sm2")} AS wss
+                        FROM mc JOIN sm2 ON mc.cid = sm2.cid)
+               SELECT n, k, round(bss, 6) AS bss, round(wss, 6) AS wss,
+                 round((bss / (k - 1)) / (wss / (n - k)), 6) AS ch
+               FROM bs CROSS JOIN ws CROSS JOIN tot""")),
+
+    QueryDef(
+      "ml_davies_bouldin",
+      // Davies–Bouldin index of the same labeling, centroid-diameter
+      // (RMS-radius) variant: s_c = √(W_c/n_c), d_ij = ‖m_i − m_j‖,
+      // R_i = max_{j≠i}(s_i+s_j)/d_ij, DB = mean_i R_i. Shares the ONE
+      // corpus moment pass with ml_calinski_harabasz; the pairwise
+      // centroid table is k²×64 bounded rows (k = 10 here; production k
+      // is the SemDeDup cluster count — still driver-trivial). Output:
+      // per-cluster radius and worst separation ratio, plus the index.
+      (s, dir) => {
+        val (sx0, mc0) = clusterMoments(s, dir)
+        val sx = T.freeze(sx0); val mc = T.freeze(mc0)
+        val mj = sx.join(mc.select("cid", "nc"), "cid")
+          .selectExpr("cid", "j", "CAST(sx AS DOUBLE) / nc AS m")
+        val sm2 = mj.groupBy("cid").agg(T.xsum(expr("m * m")).as("sm2"))
+        val sc = mc.join(sm2, "cid")
+          .selectExpr("cid",
+            "sqrt((CAST(ss AS DOUBLE) - CAST(nc AS DOUBLE) * sm2) / nc) AS s")
+        val d2 = mj.join(
+            mj.select(col("cid").as("cid2"), col("j"), col("m").as("m2")), "j")
+          .where(col("cid") =!= col("cid2"))
+          .groupBy("cid", "cid2")
+          .agg(T.xsum(expr("(m - m2) * (m - m2)")).as("d2"))
+        val rmax = d2.join(sc, "cid")
+          .join(sc.select(col("cid").as("cid2"), col("s").as("s2")), "cid2")
+          .selectExpr("cid", "(s + s2) / sqrt(d2) AS r")
+          .groupBy("cid").agg(max(col("r")).as("rmax"))
+        val db = rmax.agg((T.xsum(col("rmax")) / count(lit(1))).as("db"))
+        sc.join(rmax, "cid").crossJoin(broadcast(db))
+          .selectExpr("cid", "round(s, 6) AS radius",
+            "round(rmax, 6) AS r_max", "round(db, 6) AS db_index")
+          .orderBy("cid")
+      },
+      Some(s"""WITH ${Metrics.sqlLloydAssign},
+                 $sqlClusterMoments,
+                 $sqlCentroids,
+                 sm2 AS (SELECT cid, ${T.sqlXsum("m * m")} AS sm2
+                         FROM mj GROUP BY cid),
+                 sc AS (SELECT mc.cid,
+                     sqrt((CAST(ss AS DOUBLE) - CAST(nc AS DOUBLE) * sm2) / nc) AS s
+                   FROM mc JOIN sm2 ON mc.cid = sm2.cid),
+                 d2 AS (SELECT x.cid, y.cid AS cid2,
+                     ${T.sqlXsum("(x.m - y.m) * (x.m - y.m)")} AS d2
+                   FROM mj x JOIN mj y ON x.j = y.j AND x.cid <> y.cid
+                   GROUP BY x.cid, y.cid),
+                 rm AS (SELECT d2.cid, max((a1.s + a2.s) / sqrt(d2.d2)) AS rmax
+                   FROM d2 JOIN sc a1 ON d2.cid = a1.cid
+                           JOIN sc a2 ON d2.cid2 = a2.cid
+                   GROUP BY d2.cid),
+                 db AS (SELECT ${T.sqlXsum("rmax")} / count(*) AS db FROM rm)
+               SELECT sc.cid, round(sc.s, 6) AS radius,
+                 round(rm.rmax, 6) AS r_max, round(db.db, 6) AS db_index
+               FROM sc JOIN rm ON sc.cid = rm.cid CROSS JOIN db
+               ORDER BY sc.cid""")),
+
+    QueryDef(
+      "ml_tweedie_glm",
+      // Tweedie GLM, power p = 1.5 (compound Poisson–gamma — the
+      // insurance/claims loss between Poisson p=1 and gamma p=2), log
+      // link, on the same (y = l_quantity, x = l_discount) frame as
+      // ml_poisson_glm so the family is directly comparable. 3 Fisher
+      // scoring steps; per step ONE distributed aggregation — score
+      // U = Σ(y−μ)·μ^(1−p)·(1,x) = Σ(y−μ)/√μ·(1,x), information
+      // I = Σμ^(2−p)·(1,x)(1,x)ᵀ = Σ√μ·(1,x)(1,x)ᵀ — on the exact
+      // decimal wire, 2×2 solve driver-side with re-literalized
+      // coefficients (the GLM-family discipline). μ = exp(η) is
+      // REAL-collapsed; √ and / are IEEE-exact so every per-row term is
+      // identical cross-engine.
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        val d = T.lineitem(s, dir).select(
+          col("l_discount").cast("double").as("x"),
+          col("l_quantity").cast("double").as("y"))
+          .transform(T.fanOut(_))
+        var a = 0.0
+        var b = 0.0
+        for (_ <- 1 to 3) {
+          val ab = Seq((a, b)).toDF("ca", "cb")
+          val mu = exp(col("ca") + col("cb") * col("x"))
+            .cast("float").cast("double")
+          val r = d.crossJoin(broadcast(ab))
+            .select(col("x"), col("y"), mu.as("mu"))
+            .agg(
+              T.xsum(expr("(y - mu) / sqrt(mu)")).as("g0"),
+              T.xsum(expr("(y - mu) / sqrt(mu) * x")).as("g1"),
+              T.xsum(expr("sqrt(mu)")).as("h00"),
+              T.xsum(expr("sqrt(mu) * x")).as("h01"),
+              T.xsum(expr("sqrt(mu) * x * x")).as("h11"))
+            .collect()(0)
+          val g0 = r.getDouble(0); val g1 = r.getDouble(1)
+          val h00 = r.getDouble(2); val h01 = r.getDouble(3); val h11 = r.getDouble(4)
+          val den = h00 * h11 - h01 * h01
+          a = a + (h11 * g0 - h01 * g1) / den
+          b = b + (h00 * g1 - h01 * g0) / den
+        }
+        Seq((a, b)).toDF("ia", "ib")
+          .selectExpr("round(ia, 6) AS intercept", "round(ib, 6) AS slope",
+            "round(CAST(CAST(exp(ia) AS REAL) AS DOUBLE), 6) AS mu_at_zero")
+      },
+      Some {
+        def step(src: String, out: String): String =
+          s"""${out}e AS (SELECT x, y,
+                 CAST(CAST(exp(a + b * x) AS REAL) AS DOUBLE) AS mu
+               FROM trows, $src),
+                 ${out}m AS (SELECT ${T.sqlXsum("(y - mu) / sqrt(mu)")} AS g0,
+                     ${T.sqlXsum("(y - mu) / sqrt(mu) * x")} AS g1,
+                     ${T.sqlXsum("sqrt(mu)")} AS h00,
+                     ${T.sqlXsum("sqrt(mu) * x")} AS h01,
+                     ${T.sqlXsum("sqrt(mu) * x * x")} AS h11 FROM ${out}e),
+                 $out AS (SELECT
+                     a + (h11 * g0 - h01 * g1) / (h00 * h11 - h01 * h01) AS a,
+                     b + (h00 * g1 - h01 * g0) / (h00 * h11 - h01 * h01) AS b
+                   FROM $src, ${out}m)"""
+        s"""WITH trows AS (SELECT CAST(l_discount AS DOUBLE) AS x,
+                   CAST(l_quantity AS DOUBLE) AS y FROM lineitem),
+                 tw0 AS (SELECT 0e0 AS a, 0e0 AS b),
+                 ${step("tw0", "tw1")},
+                 ${step("tw1", "tw2")},
+                 ${step("tw2", "tw3")}
+               SELECT round(a, 6) AS intercept, round(b, 6) AS slope,
+                 round(CAST(CAST(exp(a) AS REAL) AS DOUBLE), 6) AS mu_at_zero
+               FROM tw3"""
+      }),
+
+    QueryDef(
+      "graph_bfs",
+      // Multi-source BFS on the near-duplicate graph: hop distance from
+      // the deterministic ~10% seed set (id ≡ 0 mod BFS_SEED_MOD), 3
+      // unrolled frontier rounds — the reachability profile a dedup run
+      // uses to see how far boilerplate contagion spreads from known
+      // templates. The distributed shape: the label table is (v, dist);
+      // one round = frontier semi-join against the symmetric edge list +
+      // a left join back onto labels (both shuffles on vertex keys,
+      // AQE-friendly); each round's label table is frozen so the plan
+      // stays flat (the pagerank discipline). Unrolled-fixed rounds keep
+      // the oracle expressible; the at-scale form iterates to frontier
+      // exhaustion with the same per-round body. Output: the hop-distance
+      // histogram (dist −1 = unreached within 3 hops).
+      (s, dir) => {
+        val pairs = T.freeze(TextSim.minhashPairs(s, dir))
+        val edges = pairs
+          .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+          .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        val verts = edges.select(col("src").as("v")).distinct()
+        var lab = T.freeze(verts.select(col("v"),
+          when(col("v") % BFS_SEED_MOD === 0, lit(0))
+            .otherwise(lit(null).cast("int")).as("dist")))
+        for (k <- 1 to 3) {
+          val frontier = lab.where(col("dist") === k - 1).select(col("v").as("src"))
+          val nxt = edges.join(frontier, "src")
+            .select(col("dst").as("v")).distinct()
+            .withColumn("nd", lit(k))
+          lab = T.freeze(lab.join(nxt, Seq("v"), "left")
+            .select(col("v"), coalesce(col("dist"), col("nd")).as("dist")))
+        }
+        lab.groupBy(coalesce(col("dist"), lit(-1)).as("dist"))
+          .agg(count(lit(1)).as("n_vertices"))
+          .orderBy("dist")
+      },
+      Some {
+        def round(k: Int): String =
+          s"""f$k AS (SELECT DISTINCT e.dst AS v, $k AS nd
+                FROM ed e JOIN l${k - 1} l ON l.v = e.src AND l.dist = ${k - 1}),
+              l$k AS (SELECT l.v, COALESCE(l.dist, f$k.nd) AS dist
+                FROM l${k - 1} l LEFT JOIN f$k ON f$k.v = l.v)"""
+        s"""WITH ${TextSim.sqlMinhashCtes},
+                 ed AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                        UNION ALL SELECT doc_b, doc_a FROM pairs),
+                 v0 AS (SELECT DISTINCT src AS v FROM ed),
+                 l0 AS (SELECT v, CASE WHEN v % $BFS_SEED_MOD = 0 THEN 0 END AS dist
+                        FROM v0),
+                 ${round(1)},
+                 ${round(2)},
+                 ${round(3)}
+               SELECT COALESCE(dist, -1) AS dist, count(*) AS n_vertices
+               FROM l3 GROUP BY 1 ORDER BY 1"""
+      })
+  )
+}

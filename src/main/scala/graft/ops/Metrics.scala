@@ -33,9 +33,11 @@ object Metrics {
   // ---- shared k-means-vs-truth contingency --------------------------------
 
   /** Lloyd assignment against the fixed vec_id<10 centroids carrying the
-    * ground-truth label, reduced to the (cid, label) contingency counts.
-    * Broadcast(10 centroids) × points — one pass, bounded output. */
-  private def contingency(s: SparkSession, dir: String): DataFrame = {
+    * ground-truth label: (vec_id, label, cid). Broadcast(10 centroids) ×
+    * points — one pass. Shared with the clustering-metric family here and
+    * the SemDeDup row (Curation.scala), so the whole family runs one
+    * assignment shape. */
+  private[ops] def lloydAssign(s: SparkSession, dir: String): DataFrame = {
     val e = T.embeddings(s, dir)
     val cent = e.where(col("vec_id") < 10)
       .select(col("vec_id").as("cid"), col("embedding").as("c_emb"))
@@ -45,20 +47,28 @@ object Metrics {
       .crossJoin(broadcast(cent))
       .select(col("vec_id"), col("label"), col("cid"), dist.as("d"))
       .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
-      .groupBy("cid", "label").agg(count(lit(1)).as("nij"))
   }
 
-  /** Oracle twin ending in `ct(cid, label, nij)` — the row_number
-    * (d, cid) argmin form mirrors Spark's deterministic tiebreak (the
-    * ml_kmeans_assign oracle note). */
-  private val sqlContingency =
+  /** [[lloydAssign]] reduced to the (cid, label) contingency counts —
+    * bounded output. */
+  private def contingency(s: SparkSession, dir: String): DataFrame =
+    lloydAssign(s, dir).groupBy("cid", "label").agg(count(lit(1)).as("nij"))
+
+  /** Oracle twin of [[lloydAssign]] ending in `a(vec_id, label, cid)` —
+    * the row_number (d, cid) argmin form mirrors Spark's deterministic
+    * tiebreak (the ml_kmeans_assign oracle note). */
+  private[ops] val sqlLloydAssign =
     """a AS (SELECT vec_id, label, cid FROM (
          SELECT e.vec_id, e.label, c.vec_id AS cid,
            row_number() OVER (PARTITION BY e.vec_id
              ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), c.vec_id) AS rn
          FROM embeddings e CROSS JOIN embeddings c
          WHERE c.vec_id < 10) t
-       WHERE rn = 1),
+       WHERE rn = 1)"""
+
+  /** Oracle twin ending in `ct(cid, label, nij)`. */
+  private[ops] val sqlContingency =
+    s"""$sqlLloydAssign,
        ct AS (SELECT cid, label, count(*) AS nij FROM a GROUP BY cid, label)"""
 
   /** REAL-collapsed ln for entropy/MI terms (libm last-ulp differences
