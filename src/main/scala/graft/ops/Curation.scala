@@ -76,6 +76,88 @@ object Curation {
     """mj AS (SELECT sx.cid, sx.j, mc.nc, CAST(sx.sx AS DOUBLE) / mc.nc AS m
          FROM sx JOIN mc ON sx.cid = mc.cid)"""
 
+  // ---- shared n-gram overlap wire (BLEU / ROUGE) --------------------------
+
+  /** REAL-collapsed ln/exp (the agg_entropy / GLM-family discipline). */
+  private def lnR(a: String) = s"CAST(CAST(ln($a) AS FLOAT) AS DOUBLE)"
+  private def lnRD(a: String) = s"CAST(CAST(ln($a) AS REAL) AS DOUBLE)"
+  private def expR(a: String) = s"CAST(CAST(exp($a) AS FLOAT) AS DOUBLE)"
+  private def expRD(a: String) = s"CAST(CAST(exp($a) AS REAL) AS DOUBLE)"
+
+  /** Candidate/reference pairing for the MT-metric rows: each document
+    * scores against the NEXT doc_id of its source (a deterministic
+    * same-distribution pairing — the shape of an eval harness scoring
+    * generations against references; the window is per-source, so fully
+    * distributed). */
+  private def evalPairs(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+    T.documents(s, dir).select(col("doc_id"), col("source"))
+      .withColumn("ref_id", lead(col("doc_id"), 1).over(w))
+      .where(col("ref_id").isNotNull)
+      .select(col("doc_id").as("ca"), col("ref_id").as("re"))
+  }
+
+  private val sqlEvalPairs =
+    """pr AS (SELECT doc_id AS ca, ref_id AS re FROM (
+         SELECT doc_id, source,
+           lead(doc_id, 1) OVER (PARTITION BY source ORDER BY doc_id) AS ref_id
+         FROM documents) t
+       WHERE ref_id IS NOT NULL)"""
+
+  /** Per-doc n-gram multiset counts (n = 1, 2): (doc_id, g, c). The gram
+    * key is the raw token text (bounded vocab on the fixture; at 100 TB
+    * the key would be Tables.polyTid — the dedup-family discipline). */
+  private def gramCounts(s: SparkSession, dir: String, n: Int): DataFrame = {
+    val base = T.documents(s, dir)
+      .transform(T.fanOut(_, col("doc_id")))
+      .selectExpr("doc_id", "filter(split(text, ' '), t -> t <> '') AS ts")
+    val g =
+      if (n == 1) base.select(col("doc_id"), explode(col("ts")).as("g"))
+      else base.where(size(col("ts")) >= 2)
+        .selectExpr("doc_id",
+          "explode(transform(sequence(1, size(ts) - 1), i -> concat_ws(' ', element_at(ts, i), element_at(ts, i + 1)))) AS g")
+    g.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+  }
+
+  /** Oracle twin of [[gramCounts]] as a CTE named `g$n(doc_id, g, c)`. */
+  private def sqlGramCounts(n: Int): String =
+    if (n == 1)
+      """g1 AS (SELECT doc_id, g, count(*) AS c FROM (
+           SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS g
+           FROM documents) t GROUP BY doc_id, g)"""
+    else
+      """g2 AS (SELECT doc_id, g, count(*) AS c FROM (
+           SELECT doc_id, ts[i] || ' ' || ts[i + 1] AS g
+           FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 1)) AS i
+                 FROM (SELECT doc_id,
+                         list_filter(string_split(text, ' '), t -> t <> '') AS ts
+                       FROM documents) b0
+                 WHERE len(ts) >= 2) b) t GROUP BY doc_id, g)"""
+
+  /** Clipped-overlap sums for order n against the pair table `pr`:
+    * (ca, re, num = Σ min(c_cand, c_ref), den_c = Σ c_cand). The join is
+    * gram-keyed per pair — inverted-index shaped, never all-pairs. */
+  private def clipOverlap(s: SparkSession, dir: String, n: Int): DataFrame = {
+    val g = gramCounts(s, dir, n)
+    evalPairs(s, dir)
+      .join(g.select(col("doc_id").as("ca"), col("g"), col("c").as("cc")), "ca")
+      .join(g.select(col("doc_id").as("re"), col("g"), col("c").as("cr")),
+        Seq("re", "g"), "left")
+      .groupBy("ca", "re")
+      .agg(sum(least(col("cc"), coalesce(col("cr"), lit(0L)))).as("num"),
+        sum(col("cc")).as("den"))
+  }
+
+  /** Oracle twin of [[clipOverlap]] ending in `ov$n(ca, re, num, den)`. */
+  private def sqlClipOverlap(n: Int): String =
+    s"""ov$n AS (SELECT pr.ca, pr.re,
+           CAST(sum(least(a.c, COALESCE(b.c, 0))) AS BIGINT) AS num,
+           CAST(sum(a.c) AS BIGINT) AS den
+         FROM pr JOIN g$n a ON a.doc_id = pr.ca
+         LEFT JOIN g$n b ON b.doc_id = pr.re AND b.g = a.g
+         GROUP BY pr.ca, pr.re)"""
+
   val entries: Seq[QueryDef] = Seq(
 
     QueryDef(
@@ -474,6 +556,156 @@ object Curation {
                  ${round(3)}
                SELECT COALESCE(dist, -1) AS dist, count(*) AS n_vertices
                FROM l3 GROUP BY 1 ORDER BY 1"""
-      })
+      }),
+
+    QueryDef(
+      "text_bleu",
+      // Sentence-level BLEU-2 (Papineni et al. 2002) of each document
+      // against its source's next document — the eval-harness metric shape
+      // (modified/clipped n-gram precision × brevity penalty) over a
+      // deterministic pairing. The overlap join is GRAM-KEYED per pair
+      // (inverted-index cost Σ|cand grams|, never pairwise over the
+      // corpus); clipped counts stay BIGINT; ln/exp are REAL-collapsed and
+      // the geometric mean is one shared-text expression — the GLM-family
+      // determinism discipline.
+      (s, dir) => {
+        val ov1 = clipOverlap(s, dir, 1)
+        val ov2 = clipOverlap(s, dir, 2)
+          .select(col("ca"), col("num").as("num2"), col("den").as("den2"))
+        val dl = T.documents(s, dir).selectExpr("doc_id",
+          "size(filter(split(text, ' '), t -> t <> '')) AS rlen")
+        ov1.join(ov2, "ca")
+          .join(dl.select(col("doc_id").as("re"), col("rlen")), "re")
+          .selectExpr("ca", "re",
+            "CAST(num AS DOUBLE) / den AS p1",
+            "CASE WHEN den2 > 0 THEN CAST(num2 AS DOUBLE) / den2 ELSE 0e0 END AS p2",
+            s"CASE WHEN den >= rlen THEN 1e0 ELSE ${expR("1e0 - CAST(rlen AS DOUBLE) / den")} END AS bp")
+          .selectExpr("ca AS doc_id", "re AS ref_id",
+            "round(p1, 6) AS p1", "round(p2, 6) AS p2",
+            s"round(CASE WHEN p1 > 0 AND p2 > 0 THEN bp * ${expR(s"(${lnR("p1")} + ${lnR("p2")}) / 2")} ELSE 0e0 END, 6) AS bleu2")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $sqlEvalPairs,
+                 ${sqlGramCounts(1)},
+                 ${sqlGramCounts(2)},
+                 ${sqlClipOverlap(1)},
+                 ${sqlClipOverlap(2)},
+                 dl AS (SELECT doc_id,
+                     len(list_filter(string_split(text, ' '), t -> t <> '')) AS rlen
+                   FROM documents),
+                 m AS (SELECT ov1.ca, ov1.re,
+                     CAST(ov1.num AS DOUBLE) / ov1.den AS p1,
+                     CASE WHEN ov2.den > 0 THEN CAST(ov2.num AS DOUBLE) / ov2.den ELSE 0e0 END AS p2,
+                     CASE WHEN ov1.den >= dl.rlen THEN 1e0 ELSE ${expRD("1e0 - CAST(dl.rlen AS DOUBLE) / ov1.den")} END AS bp
+                   FROM ov1 JOIN ov2 ON ov1.ca = ov2.ca
+                   JOIN dl ON dl.doc_id = ov1.re)
+               SELECT ca AS doc_id, re AS ref_id,
+                 round(p1, 6) AS p1, round(p2, 6) AS p2,
+                 round(CASE WHEN p1 > 0 AND p2 > 0 THEN bp * ${expRD(s"(${lnRD("p1")} + ${lnRD("p2")}) / 2")} ELSE 0e0 END, 6) AS bleu2
+               FROM m ORDER BY doc_id""")),
+
+    QueryDef(
+      "text_rouge_n",
+      // ROUGE-1/2 recall for the same candidate/reference pairing as
+      // text_bleu: clipped overlap over the REFERENCE length (recall,
+      // where BLEU is precision — together they complete the n-gram eval
+      // pair). Shares the gram-keyed clip wire; the clipped numerator is
+      // symmetric, so only the denominators change (reference token /
+      // bigram totals, map-only per doc).
+      (s, dir) => {
+        val ov1 = clipOverlap(s, dir, 1)
+          .select(col("ca"), col("re"), col("num").as("num1"))
+        val ov2 = clipOverlap(s, dir, 2).select(col("ca"), col("num").as("num2"))
+        val dl = T.documents(s, dir).selectExpr("doc_id",
+          "size(filter(split(text, ' '), t -> t <> '')) AS rl1")
+          .selectExpr("doc_id", "rl1", "greatest(rl1 - 1, 0) AS rl2")
+        ov1.join(ov2, "ca")
+          .join(dl.select(col("doc_id").as("re"), col("rl1"), col("rl2")), "re")
+          .selectExpr("ca AS doc_id", "re AS ref_id",
+            "round(CAST(num1 AS DOUBLE) / rl1, 6) AS rouge1",
+            "round(CASE WHEN rl2 > 0 THEN CAST(num2 AS DOUBLE) / rl2 ELSE 0e0 END, 6) AS rouge2")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $sqlEvalPairs,
+                 ${sqlGramCounts(1)},
+                 ${sqlGramCounts(2)},
+                 ${sqlClipOverlap(1)},
+                 ${sqlClipOverlap(2)},
+                 dl AS (SELECT doc_id, rl1, greatest(rl1 - 1, 0) AS rl2 FROM (
+                     SELECT doc_id,
+                       len(list_filter(string_split(text, ' '), t -> t <> '')) AS rl1
+                     FROM documents) t)
+               SELECT ov1.ca AS doc_id, ov1.re AS ref_id,
+                 round(CAST(ov1.num AS DOUBLE) / dl.rl1, 6) AS rouge1,
+                 round(CASE WHEN dl.rl2 > 0 THEN CAST(ov2.num AS DOUBLE) / dl.rl2 ELSE 0e0 END, 6) AS rouge2
+               FROM ov1 JOIN ov2 ON ov1.ca = ov2.ca
+               JOIN dl ON dl.doc_id = ov1.re
+               ORDER BY doc_id""")),
+
+    QueryDef(
+      "join_bloom_filter",
+      // Bloom-filter semi-join reduction — THE 100 TB shuffle-pruning
+      // pattern: build a 2048-bit Bloom filter (64 32-bit words, 3 affine hashes
+      // — the engine's deterministic hash family, since engine hash()
+      // builtins differ) over the small filtered build side, broadcast it
+      // (32 rows!), and pre-filter the probe side before the expensive
+      // join/shuffle. The row reports the filter's effectiveness: exact
+      // matches, Bloom passes, false positives. At scale the filter size
+      // grows ∝ build keys (m/n ≈ 15 bits/key for 1% FP) and the probe
+      // prune happens BEFORE the shuffle — the probe side never moves
+      // non-candidate rows. No engine-native bloom is used, so the oracle
+      // mirrors the filter bit-for-bit.
+      (s, dir) => {
+        val M = 2048L
+        val hashes = Seq((387143L, 31337L), (670871L, 271829L), (919393L, 828181L))
+        def positions(k: org.apache.spark.sql.Column) =
+          array(hashes.map { case (a, b) =>
+            ((lit(a) * k + lit(b)) % T.HASH_P) % M }: _*)
+        val bld = T.orders(s, dir).where(col("o_totalprice") > 495000)
+          .select(col("o_custkey").as("k")).distinct()
+        val bloom = bld.select(explode(positions(col("k"))).as("pos")).distinct()
+          .selectExpr("pos DIV 32 AS w", "CAST(pos % 32 AS INT) AS b")
+          .groupBy("w").agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), b))").as("m"))
+        val pb = T.customer(s, dir).select(col("c_custkey").as("k"))
+          .transform(T.fanOut(_, col("k")))
+          .select(col("k"), explode(positions(col("k"))).as("pos"))
+          .selectExpr("k", "pos DIV 32 AS w", "CAST(pos % 32 AS INT) AS b")
+        val pass = pb.join(broadcast(bloom), Seq("w"), "left")
+          .selectExpr("k",
+            "CASE WHEN m IS NOT NULL AND (m & shiftleft(CAST(1 AS BIGINT), b)) <> 0 THEN 1 ELSE 0 END AS hit")
+          .groupBy("k").agg(sum(col("hit")).as("nh")).where(col("nh") === 3)
+        val cust = T.customer(s, dir)
+        val exact = cust.join(bld, cust("c_custkey") === bld("k"), "left_semi")
+        bld.agg(count(lit(1)).as("n_build_keys"))
+          .crossJoin(cust.agg(count(lit(1)).as("n_probe")))
+          .crossJoin(pass.agg(count(lit(1)).as("n_bloom_pass")))
+          .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
+          .selectExpr("n_build_keys", "n_probe", "n_bloom_pass", "n_exact",
+            "n_bloom_pass - n_exact AS n_false_pos")
+      },
+      Some(s"""WITH bld AS (SELECT DISTINCT o_custkey AS k FROM orders
+                            WHERE o_totalprice > 495000),
+                 bp0 AS (SELECT ((387143 * k + 31337) % ${T.HASH_P}) % 2048 AS pos FROM bld
+                         UNION ALL SELECT ((670871 * k + 271829) % ${T.HASH_P}) % 2048 FROM bld
+                         UNION ALL SELECT ((919393 * k + 828181) % ${T.HASH_P}) % 2048 FROM bld),
+                 bm AS (SELECT pos // 32 AS w,
+                     bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS m
+                   FROM (SELECT DISTINCT pos FROM bp0) t GROUP BY pos // 32),
+                 pp AS (SELECT c_custkey AS k, ((387143 * c_custkey + 31337) % ${T.HASH_P}) % 2048 AS pos FROM customer
+                        UNION ALL SELECT c_custkey, ((670871 * c_custkey + 271829) % ${T.HASH_P}) % 2048 FROM customer
+                        UNION ALL SELECT c_custkey, ((919393 * c_custkey + 828181) % ${T.HASH_P}) % 2048 FROM customer),
+                 hit AS (SELECT pb.k,
+                     CASE WHEN bm.m IS NOT NULL AND (bm.m & (CAST(1 AS BIGINT) << CAST(pb.b AS INT))) <> 0 THEN 1 ELSE 0 END AS hit
+                   FROM (SELECT k, pos // 32 AS w, pos % 32 AS b FROM pp) pb
+                   LEFT JOIN bm ON pb.w = bm.w),
+                 pass AS (SELECT k FROM hit GROUP BY k HAVING sum(hit) = 3),
+                 ex AS (SELECT count(*) AS n_exact FROM customer
+                        WHERE c_custkey IN (SELECT k FROM bld)),
+                 cc AS (SELECT count(*) AS n_probe FROM customer),
+                 bc AS (SELECT count(*) AS n_build_keys FROM bld),
+                 pc AS (SELECT count(*) AS n_bloom_pass FROM pass)
+               SELECT n_build_keys, n_probe, n_bloom_pass, n_exact,
+                 n_bloom_pass - n_exact AS n_false_pos
+               FROM bc CROSS JOIN cc CROSS JOIN pc CROSS JOIN ex"""))
   )
 }

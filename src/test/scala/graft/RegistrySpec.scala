@@ -6,9 +6,9 @@ package graft
   */
 class RegistrySpec extends SparkSpec {
 
-  test("all twenty catalogs are registered (66 SURVEY keys + 286 extensions)") {
-    assert(SparkEntry.queries.size == 352,
-      s"expected 352 registered queries, got ${SparkEntry.queries.size}")
+  test("all twenty catalogs are registered (66 SURVEY keys + 289 extensions)") {
+    assert(SparkEntry.queries.size == 355,
+      s"expected 355 registered queries, got ${SparkEntry.queries.size}")
   }
 
   test("no oracle uses a constant generate_series bound (VERDICT r4 #2)") {
