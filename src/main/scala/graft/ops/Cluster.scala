@@ -2949,7 +2949,142 @@ object Cluster {
                  ${round(5)}
                SELECT u AS id, round(x, 6) AS embed
                FROM x5 WHERE u < 20 ORDER BY u"""
-      })
+      }),
+
+    QueryDef(
+      "ml_spectral_cluster",
+      // Spectral CLUSTERING — completes ml_spectral_embed the way
+      // sklearn.cluster.SpectralClustering completes spectral_embedding:
+      // k-means (k = 2) on the PIC pseudo-eigenvector. The embedding loop
+      // is identical (5 frozen power rounds on the eps graph); the 1-D
+      // Lloyd tail is 2 unrolled rounds with DETERMINISTIC extreme-point
+      // init (c1 = min x, c2 = max x — no RNG, both clusters provably
+      // non-empty), centroids carried as broadcast one-row frames, means
+      // through the exact wire. Scale: the clustering tail adds one-row
+      // aggregates only; the cost remains the O(edges)-per-round power
+      // iteration. Output: per-cluster size + centroid on the spectral
+      // axis.
+      (s, dir) => {
+        val e = T.freeze(epsPairs(s, dir, HORIZON))
+        val nbr = T.freeze(e.select(col("a").as("u"), col("b").as("v"))
+          .unionAll(e.select(col("b").as("u"), col("a").as("v"))))
+        val deg = nbr.groupBy("u").agg(count(lit(1)).as("deg"))
+        var x = T.freeze(deg.selectExpr("u",
+          s"CAST((u * 48271 + 16807) % ${T.HASH_P} % 1000 AS DOUBLE) / 1e3 AS x"))
+        for (_ <- 1 to 5) {
+          val px = nbr.join(x.selectExpr("u AS v", "x"), "v")
+            .groupBy("u").agg(T.xsum(col("x")).as("sx"))
+            .join(deg, "u").selectExpr("u", "sx / deg AS x")
+          val mu = px.agg((T.xsum(col("x")) / count(lit(1))).as("mu"))
+          val cx = px.crossJoin(broadcast(mu)).selectExpr("u", "x - mu AS xc")
+          val nrm = cx.agg(sqrt(T.xsum(col("xc") * col("xc"))).as("nrm"))
+          x = T.freeze(cx.crossJoin(broadcast(nrm))
+            .selectExpr("u", "xc / nrm AS x"))
+        }
+        val asgText = "CASE WHEN abs(x - c1) <= abs(x - c2) THEN 0 ELSE 1 END AS cl"
+        val cs0 = x.agg(min(col("x")).as("c1"), max(col("x")).as("c2"))
+        val a1 = x.crossJoin(broadcast(cs0)).selectExpr("u", "x", asgText)
+        val cs1 = a1.agg(
+          (T.xsum(expr("CASE WHEN cl = 0 THEN x ELSE 0e0 END")) /
+            sum(expr("CASE WHEN cl = 0 THEN 1 ELSE 0 END"))).as("c1"),
+          (T.xsum(expr("CASE WHEN cl = 1 THEN x ELSE 0e0 END")) /
+            sum(expr("CASE WHEN cl = 1 THEN 1 ELSE 0 END"))).as("c2"))
+        val a2 = x.crossJoin(broadcast(cs1)).selectExpr("u", "x", asgText)
+        a2.groupBy("cl")
+          .agg(count(lit(1)).as("n"),
+            round(T.xsum(col("x")) / count(lit(1)), 6).as("centroid"))
+          .orderBy("cl")
+      },
+      Some {
+        def round(k: Int): String = {
+          val prev = if (k == 1) "x0" else s"x${k - 1}"
+          s"""p$k AS (SELECT nbr.u, ${T.sqlXsum("x.x")} AS sx
+                FROM nbr JOIN $prev x ON x.u = nbr.v GROUP BY nbr.u),
+              d$k AS (SELECT p.u, sx / deg AS x
+                FROM p$k p JOIN deg ON deg.u = p.u),
+              m$k AS (SELECT ${T.sqlXsum("x")} / count(*) AS mu FROM d$k),
+              c$k AS (SELECT u, x - mu AS xc FROM d$k, m$k),
+              n$k AS (SELECT sqrt(${T.sqlXsum("xc * xc")}) AS nrm FROM c$k),
+              x$k AS MATERIALIZED (SELECT u, xc / nrm AS x FROM c$k, n$k)"""
+        }
+        s"""WITH pts AS (SELECT vec_id AS id,
+                   CAST(embedding[1] AS DOUBLE) AS x,
+                   CAST(embedding[2] AS DOUBLE) AS y FROM embeddings),
+                 ep AS MATERIALIZED (SELECT p.id AS a, q.id AS b FROM pts p JOIN pts q
+                   ON p.id < q.id
+                  AND (p.x - q.x) * (p.x - q.x) + (p.y - q.y) * (p.y - q.y)
+                      <= ${HORIZON * HORIZON}),
+                 nbr AS (SELECT a AS u, b AS v FROM ep
+                         UNION ALL SELECT b, a FROM ep),
+                 deg AS (SELECT u, count(*) AS deg FROM nbr GROUP BY u),
+                 x0 AS (SELECT u,
+                     CAST((u * 48271 + 16807) % ${T.HASH_P} % 1000 AS DOUBLE) / 1e3 AS x
+                   FROM deg),
+                 ${round(1)},
+                 ${round(2)},
+                 ${round(3)},
+                 ${round(4)},
+                 ${round(5)},
+                 cs0 AS (SELECT min(x) AS c1, max(x) AS c2 FROM x5),
+                 a1 AS MATERIALIZED (SELECT u, x,
+                     CASE WHEN abs(x - c1) <= abs(x - c2) THEN 0 ELSE 1 END AS cl
+                   FROM x5, cs0),
+                 cs1 AS (SELECT
+                     ${T.sqlXsum("CASE WHEN cl = 0 THEN x ELSE 0e0 END")} /
+                       sum(CASE WHEN cl = 0 THEN 1 ELSE 0 END) AS c1,
+                     ${T.sqlXsum("CASE WHEN cl = 1 THEN x ELSE 0e0 END")} /
+                       sum(CASE WHEN cl = 1 THEN 1 ELSE 0 END) AS c2
+                   FROM a1),
+                 a2 AS (SELECT u, x,
+                     CASE WHEN abs(x - c1) <= abs(x - c2) THEN 0 ELSE 1 END AS cl
+                   FROM x5, cs1)
+               SELECT cl, count(*) AS n,
+                 round(${T.sqlXsum("x")} / count(*), 6) AS centroid
+               FROM a2 GROUP BY cl ORDER BY cl"""
+      }),
+
+    QueryDef(
+      "ml_gmm_predict",
+      // GaussianMixture.predict/predict_proba — the scoring pass for the
+      // ml_gmm_em fit: posterior responsibility r₁ = π₁φ₁/(π₁φ₁+π₂φ₂)
+      // per row (pure map over the broadcast 5-double parameter row — the
+      // client-held-model pattern), hard assignment at r₁ ≥ ½, reduced to
+      // the per-component population the fit run reports (count, mean x,
+      // mean posterior). Densities REAL-collapsed (the gmm_em discipline);
+      // posteriors and means through the exact wire.
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        val (p1, m1, v1, m2, v2) = gmmEm(s, dir)
+        val pars = Seq((p1, m1, v1, m2, v2)).toDF("p1", "m1", "v1", "m2", "v2")
+        val d = T.lineitem(s, dir)
+          .select(col("l_quantity").cast("double").as("x"))
+          .transform(T.fanOut(_))
+        d.crossJoin(broadcast(pars))
+          .selectExpr("x", "p1",
+            s"${gmmPhi("m1", "v1", spark = true)} AS f1",
+            s"${gmmPhi("m2", "v2", spark = true)} AS f2")
+          .selectExpr("x", "p1 * f1 / (p1 * f1 + (1e0 - p1) * f2) AS r1")
+          .selectExpr("x", "r1", "CASE WHEN r1 >= 5e-1 THEN 1 ELSE 2 END AS comp")
+          .groupBy("comp")
+          .agg(count(lit(1)).as("n"),
+            T.davg(col("x")).as("mean_x"),
+            round(T.xsum(col("r1")) / count(lit(1)), 6).as("mean_post"))
+          .orderBy("comp")
+      },
+      Some(s"""WITH d AS (SELECT CAST(l_quantity AS DOUBLE) AS x FROM lineitem),
+                 $sqlGmmChain,
+                 sc AS (SELECT x, p1, ${gmmPhi("m1", "v1", spark = false)} AS f1,
+                     ${gmmPhi("m2", "v2", spark = false)} AS f2
+                   FROM d, g2),
+                 rr AS (SELECT x, p1 * f1 / (p1 * f1 + (1e0 - p1) * f2) AS r1
+                        FROM sc),
+                 cz AS (SELECT x, r1,
+                     CASE WHEN r1 >= 5e-1 THEN 1 ELSE 2 END AS comp FROM rr)
+               SELECT comp, count(*) AS n,
+                 ${T.sqlDavg("x")} AS mean_x,
+                 round(${T.sqlXsum("r1")} / count(*), 6) AS mean_post
+               FROM cz GROUP BY comp ORDER BY comp"""))
   )
 
   /** Model selection for [[gmmEm]] — see ml_gmm_bic. */
