@@ -135,6 +135,28 @@ object Curation {
                        FROM documents) b0
                  WHERE len(ts) >= 2) b) t GROUP BY doc_id, g)"""
 
+  /** Ordered 3×3 Newton-solve steps (no pivoting — the logistic Hessian
+    * is positive definite): ONE symbolic list feeds both the Scala
+    * driver arithmetic and the oracle's CTE chain, so both engines run
+    * the SAME IEEE op sequence (the gaussSteps discipline, one size
+    * down). Names: fK elimination factors, aIJ/zI reduced rows, d0..d2
+    * the Newton update. */
+  private val solve3: Seq[(String, String)] = Seq(
+    "f1" -> "h01 / h00",
+    "a11" -> "h11 - f1 * h01",
+    "a12" -> "h12 - f1 * h02",
+    "z1" -> "g1 - f1 * g0",
+    "f2" -> "h02 / h00",
+    "a21" -> "h12 - f2 * h01",
+    "a22" -> "h22 - f2 * h02",
+    "z2" -> "g2 - f2 * g0",
+    "f3" -> "a21 / a11",
+    "a22b" -> "a22 - f3 * a12",
+    "z2b" -> "z2 - f3 * z1",
+    "d2" -> "z2b / a22b",
+    "d1" -> "(z1 - a12 * d2) / a11",
+    "d0" -> "(g0 - h01 * d1 - h02 * d2) / h00")
+
   /** Clipped-overlap sums for order n against the pair table `pr`:
     * (ca, re, num = Σ min(c_cand, c_ref), den_c = Σ c_cand). The join is
     * gram-keyed per pair — inverted-index shaped, never all-pairs. */
@@ -706,6 +728,126 @@ object Curation {
                  pc AS (SELECT count(*) AS n_bloom_pass FROM pass)
                SELECT n_build_keys, n_probe, n_bloom_pass, n_exact,
                  n_bloom_pass - n_exact AS n_false_pos
-               FROM bc CROSS JOIN cc CROSS JOIN pc CROSS JOIN ex"""))
+               FROM bc CROSS JOIN cc CROSS JOIN pc CROSS JOIN ex""")),
+
+    QueryDef(
+      "ml_quality_classifier",
+      // The GPT-3-style document quality filter (Brown et al. 2020 §A —
+      // a linear classifier on document features deciding what enters the
+      // training mix): logistic regression of y = (lang = 'en') on two
+      // map-only text features (stopword ratio, mean token length), 3
+      // Newton/IRLS steps. Feature extraction fuses into the scan; per
+      // step ONE distributed 9-sum aggregation (gradient + the 3×3
+      // Hessian's unique entries) on the exact decimal wire; the 3×3
+      // solve runs driver-side through the SAME ordered [[solve3]] text
+      // the oracle's CTE chain uses, with coefficients re-literalized
+      // (the GLM-family discipline; sigmoid REAL-collapsed). Output: the
+      // fitted weights + training accuracy — the numbers a curation run
+      // logs before applying the filter.
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        val d = T.documents(s, dir).transform(T.fanOut(_, col("doc_id")))
+          .selectExpr("filter(split(text, ' '), t -> t <> '') AS ts",
+            "n_chars", "lang")
+          .selectExpr(
+            "CAST(size(filter(ts, t -> array_contains(array('the','a','data','row','value'), t))) AS DOUBLE) / size(ts) AS x1",
+            "CAST(n_chars AS DOUBLE) / size(ts) AS x2",
+            "CASE WHEN lang = 'en' THEN 1e0 ELSE 0e0 END AS y")
+        var a = 0.0; var b1 = 0.0; var b2 = 0.0
+        for (_ <- 1 to 3) {
+          val co = Seq((a, b1, b2)).toDF("ca", "cb1", "cb2")
+          val mu = (lit(1.0) / (lit(1.0) +
+            exp(-(col("ca") + col("cb1") * col("x1") + col("cb2") * col("x2")))))
+            .cast("float").cast("double")
+          val r = d.crossJoin(broadcast(co))
+            .select(col("x1"), col("x2"), col("y"), mu.as("mu"),
+              (mu * (lit(1.0) - mu)).as("w"))
+            .agg(
+              T.xsum(col("y") - col("mu")).as("g0"),
+              T.xsum((col("y") - col("mu")) * col("x1")).as("g1"),
+              T.xsum((col("y") - col("mu")) * col("x2")).as("g2"),
+              T.xsum(col("w")).as("h00"),
+              T.xsum(col("w") * col("x1")).as("h01"),
+              T.xsum(col("w") * col("x2")).as("h02"),
+              T.xsum(col("w") * col("x1") * col("x1")).as("h11"),
+              T.xsum(col("w") * col("x1") * col("x2")).as("h12"),
+              T.xsum(col("w") * col("x2") * col("x2")).as("h22"))
+            .collect()(0)
+          val g0 = r.getDouble(0); val g1 = r.getDouble(1); val g2 = r.getDouble(2)
+          val h00 = r.getDouble(3); val h01 = r.getDouble(4); val h02 = r.getDouble(5)
+          val h11 = r.getDouble(6); val h12 = r.getDouble(7); val h22 = r.getDouble(8)
+          // the solve3 text, evaluated in the SAME order the oracle's CTE
+          // chain applies it
+          val f1 = h01 / h00
+          val a11 = h11 - f1 * h01
+          val a12 = h12 - f1 * h02
+          val z1 = g1 - f1 * g0
+          val f2 = h02 / h00
+          val a21 = h12 - f2 * h01
+          val a22 = h22 - f2 * h02
+          val z2 = g2 - f2 * g0
+          val f3 = a21 / a11
+          val a22b = a22 - f3 * a12
+          val z2b = z2 - f3 * z1
+          val d2 = z2b / a22b
+          val d1 = (z1 - a12 * d2) / a11
+          val d0 = (g0 - h01 * d1 - h02 * d2) / h00
+          a = a + d0; b1 = b1 + d1; b2 = b2 + d2
+        }
+        val co = Seq((a, b1, b2)).toDF("ca", "cb1", "cb2")
+        val mu = (lit(1.0) / (lit(1.0) +
+          exp(-(col("ca") + col("cb1") * col("x1") + col("cb2") * col("x2")))))
+          .cast("float").cast("double")
+        d.crossJoin(broadcast(co))
+          .select(col("y"), mu.as("mu"), col("ca"), col("cb1"), col("cb2"))
+          .agg(count(lit(1)).as("n"),
+            sum(expr("CASE WHEN (mu >= 5e-1) = (y = 1e0) THEN 1 ELSE 0 END")).as("nc"),
+            first(col("ca")).as("ca"), first(col("cb1")).as("cb1"),
+            first(col("cb2")).as("cb2"))
+          .selectExpr("round(ca, 6) AS intercept", "round(cb1, 6) AS w_stop",
+            "round(cb2, 6) AS w_toklen", "n",
+            "round(CAST(nc AS DOUBLE) / n, 6) AS train_acc")
+      },
+      Some {
+        val sig = "CAST(CAST(1e0 / (1e0 + exp(-(a + b1 * x1 + b2 * x2))) AS REAL) AS DOUBLE)"
+        def step(k: Int): String = {
+          val prev = s"q${k - 1}"
+          val solveCtes = solve3.zipWithIndex.map { case ((nm, ex), i) =>
+            s"s${k}c${i + 1} AS (SELECT *, $ex AS $nm FROM s${k}c$i)"
+          }.mkString(",\n                 ")
+          s"""s${k}e AS (SELECT x1, x2, y, $sig AS mu FROM drows, $prev),
+                 s${k}c0 AS (SELECT ${T.sqlXsum("y - mu")} AS g0,
+                     ${T.sqlXsum("(y - mu) * x1")} AS g1,
+                     ${T.sqlXsum("(y - mu) * x2")} AS g2,
+                     ${T.sqlXsum("mu * (1e0 - mu)")} AS h00,
+                     ${T.sqlXsum("mu * (1e0 - mu) * x1")} AS h01,
+                     ${T.sqlXsum("mu * (1e0 - mu) * x2")} AS h02,
+                     ${T.sqlXsum("mu * (1e0 - mu) * x1 * x1")} AS h11,
+                     ${T.sqlXsum("mu * (1e0 - mu) * x1 * x2")} AS h12,
+                     ${T.sqlXsum("mu * (1e0 - mu) * x2 * x2")} AS h22
+                   FROM s${k}e),
+                 $solveCtes,
+                 q$k AS (SELECT a + d0 AS a, b1 + d1 AS b1, b2 + d2 AS b2
+                   FROM s${k}c${solve3.size}, $prev)"""
+        }
+        s"""WITH drows AS (SELECT
+                   CAST(len(list_filter(ts, t -> list_contains(['the','a','data','row','value'], t))) AS DOUBLE) / len(ts) AS x1,
+                   CAST(n_chars AS DOUBLE) / len(ts) AS x2,
+                   CASE WHEN lang = 'en' THEN 1e0 ELSE 0e0 END AS y
+                 FROM (SELECT list_filter(string_split(text, ' '), t -> t <> '') AS ts,
+                         n_chars, lang FROM documents) t0),
+                 q0 AS (SELECT 0e0 AS a, 0e0 AS b1, 0e0 AS b2),
+                 ${step(1)},
+                 ${step(2)},
+                 ${step(3)},
+                 fin AS (SELECT y, $sig AS mu, a, b1, b2 FROM drows, q3)
+               SELECT round(any_value(a), 6) AS intercept,
+                 round(any_value(b1), 6) AS w_stop,
+                 round(any_value(b2), 6) AS w_toklen,
+                 count(*) AS n,
+                 round(CAST(sum(CASE WHEN (mu >= 5e-1) = (y = 1e0) THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS train_acc
+               FROM fin"""
+      })
   )
 }
