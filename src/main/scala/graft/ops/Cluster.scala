@@ -2782,6 +2782,90 @@ object Cluster {
       }),
 
     QueryDef(
+      "graph_modularity",
+      // Newman modularity Q = Σ_c (e_c/m − (d_c/2m)²) of the 3-round
+      // synchronous-LPA communities (the graph_label_prop labeling,
+      // re-walked — same deterministic trajectory) over the eps graph:
+      // the score a community-detection run reports to justify the
+      // partition. After the LPA rounds everything is exact integers —
+      // within-community edge counts e_c (one edges⋈labels⋈labels pass,
+      // vertex-keyed), community degree sums d_c — reduced per community
+      // then xsum'd; the only doubles are the final shared-text ratios.
+      // Scale: O(E) joins on vertex keys, community-bounded aggregates.
+      (s, dir) => {
+        val e = T.freeze(epsPairs(s, dir, HORIZON)) // (a < b)
+        val nbr = T.freeze(e.select(col("a").as("u"), col("b").as("v"))
+          .unionAll(e.select(col("b").as("u"), col("a").as("v"))))
+        var lbl = nbr.select(col("u")).distinct().withColumn("lbl", col("u"))
+        for (_ <- 1 to 3) {
+          val msg = nbr
+            .join(lbl.select(col("u").as("v"), col("lbl")), "v")
+            .groupBy("u", "lbl").agg(count(lit(1)).as("cnt"))
+          val win = Window.partitionBy("u")
+            .orderBy(col("cnt").desc, col("lbl").asc)
+          lbl = T.freeze(msg.withColumn("rn", row_number().over(win))
+            .where(col("rn") === 1).select("u", "lbl"))
+        }
+        val m = e.agg(count(lit(1)).as("m"))
+        val deg = nbr.groupBy("u").agg(count(lit(1)).as("deg"))
+        val ec = e.join(lbl.select(col("u").as("a"), col("lbl").as("la")), "a")
+          .join(lbl.select(col("u").as("b"), col("lbl").as("lb")), "b")
+          .where(col("la") === col("lb"))
+          .groupBy(col("la").as("lbl")).agg(count(lit(1)).as("ec"))
+        val dc = deg.join(lbl, "u").groupBy("lbl").agg(sum(col("deg")).as("dc"))
+        val terms = dc.join(ec, Seq("lbl"), "left").crossJoin(broadcast(m))
+          .selectExpr(
+            "CAST(coalesce(ec, 0) AS DOUBLE) / m - (CAST(dc AS DOUBLE) / (2 * m)) * (CAST(dc AS DOUBLE) / (2 * m)) AS t")
+        terms.agg(count(lit(1)).as("n_communities"), T.xsum(col("t")).as("q"))
+          .crossJoin(m)
+          .selectExpr("n_communities", "m AS n_edges",
+            "round(q, 6) AS modularity")
+      },
+      Some {
+        def lpRound(k: Int): String =
+          s"""lm$k AS (SELECT n.u, l.lbl, count(*) AS cnt
+                FROM nbr n JOIN lp${k - 1} l ON l.u = n.v
+                GROUP BY n.u, l.lbl),
+              lp$k AS (SELECT u, lbl FROM (SELECT u, lbl,
+                  row_number() OVER (PARTITION BY u
+                    ORDER BY cnt DESC, lbl) AS rn FROM lm$k) t
+                WHERE rn = 1)"""
+        s"""WITH pts AS (SELECT vec_id AS id,
+                   CAST(embedding[1] AS DOUBLE) AS x,
+                   CAST(embedding[2] AS DOUBLE) AS y FROM embeddings),
+                 ep AS MATERIALIZED (SELECT p.id AS a, q.id AS b FROM pts p JOIN pts q
+                   ON p.id < q.id
+                  AND (p.x - q.x) * (p.x - q.x) + (p.y - q.y) * (p.y - q.y)
+                      <= ${HORIZON * HORIZON}),
+                 nbr AS (SELECT a AS u, b AS v FROM ep
+                         UNION ALL SELECT b, a FROM ep),
+                 lp0 AS (SELECT DISTINCT u, u AS lbl FROM nbr),
+                 ${lpRound(1)}, ${lpRound(2)},
+                 lm3 AS (SELECT n.u, l.lbl, count(*) AS cnt
+                   FROM nbr n JOIN lp2 l ON l.u = n.v
+                   GROUP BY n.u, l.lbl),
+                 lp3 AS MATERIALIZED (SELECT u, lbl FROM (SELECT u, lbl,
+                     row_number() OVER (PARTITION BY u
+                       ORDER BY cnt DESC, lbl) AS rn FROM lm3) t
+                   WHERE rn = 1),
+                 m AS (SELECT count(*) AS m FROM ep),
+                 deg AS (SELECT u, count(*) AS deg FROM nbr GROUP BY u),
+                 ec AS (SELECT la.lbl AS lbl, count(*) AS ec
+                   FROM ep JOIN lp3 la ON la.u = ep.a
+                   JOIN lp3 lb ON lb.u = ep.b
+                   WHERE la.lbl = lb.lbl GROUP BY la.lbl),
+                 dc AS (SELECT l.lbl, CAST(sum(deg) AS BIGINT) AS dc
+                   FROM deg d JOIN lp3 l ON l.u = d.u GROUP BY l.lbl),
+                 tm AS (SELECT
+                     CAST(coalesce(ec, 0) AS DOUBLE) / m - (CAST(dc AS DOUBLE) / (2 * m)) * (CAST(dc AS DOUBLE) / (2 * m)) AS t
+                   FROM dc LEFT JOIN ec ON dc.lbl = ec.lbl CROSS JOIN m),
+                 qq AS (SELECT count(*) AS n_communities, ${T.sqlXsum("t")} AS q
+                        FROM tm)
+               SELECT n_communities, m AS n_edges, round(q, 6) AS modularity
+               FROM qq CROSS JOIN m"""
+      }),
+
+    QueryDef(
       "ml_hbos",
       // Histogram-Based Outlier Score (Goldstein & Dengel 2012) — the
       // O(n) density outlier detector next to ml_lof's O(n·k) one: each

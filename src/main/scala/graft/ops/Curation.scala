@@ -848,6 +848,50 @@ object Curation {
                  count(*) AS n,
                  round(CAST(sum(CASE WHEN (mu >= 5e-1) = (y = 1e0) THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS train_acc
                FROM fin"""
-      })
+      }),
+
+    QueryDef(
+      "graph_assortativity",
+      // Degree assortativity (Newman 2002) of the near-duplicate graph:
+      // the Pearson correlation of endpoint degrees over the DIRECTED
+      // edge list (both orientations — the standard undirected
+      // convention). A dedup graph with positive assortativity has
+      // template hubs linking to template hubs (one boilerplate family);
+      // negative means hubs surrounded by leaves (star-shaped
+      // contamination). Every sum is exact BIGINT (degrees × degrees);
+      // the correlation is ONE final shared-text double expression —
+      // bit-deterministic, no xsum needed. Scale: two vertex-keyed joins
+      // of the edge list against the degree table, one 6-sum reduce.
+      (s, dir) => {
+        val pairs = T.freeze(TextSim.minhashPairs(s, dir))
+        val dn = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+          .unionAll(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+        val deg = dn.groupBy("u").agg(count(lit(1)).as("deg"))
+        val ed = dn.join(deg, "u").withColumnRenamed("deg", "dx")
+          .join(deg.select(col("u").as("v"), col("deg").as("dy")), "v")
+        ed.agg(count(lit(1)).as("mm"),
+            sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
+            sum(col("dx") * col("dx")).as("sxx"),
+            sum(col("dy") * col("dy")).as("syy"),
+            sum(col("dx") * col("dy")).as("sxy"))
+          .selectExpr("mm AS n_directed_edges",
+            "round((CAST(sxy AS DOUBLE) / mm - (CAST(sx AS DOUBLE) / mm) * (CAST(sy AS DOUBLE) / mm)) / sqrt((CAST(sxx AS DOUBLE) / mm - (CAST(sx AS DOUBLE) / mm) * (CAST(sx AS DOUBLE) / mm)) * (CAST(syy AS DOUBLE) / mm - (CAST(sy AS DOUBLE) / mm) * (CAST(sy AS DOUBLE) / mm))), 6) AS assortativity")
+      },
+      Some(s"""WITH ${TextSim.sqlMinhashCtes},
+                 dn AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+                        UNION ALL SELECT doc_b, doc_a FROM pairs),
+                 deg AS (SELECT u, count(*) AS deg FROM dn GROUP BY u),
+                 ed AS (SELECT a.deg AS dx, b.deg AS dy
+                   FROM dn JOIN deg a ON dn.u = a.u
+                   JOIN deg b ON dn.v = b.u),
+                 sm AS (SELECT count(*) AS mm,
+                     CAST(sum(dx) AS BIGINT) AS sx, CAST(sum(dy) AS BIGINT) AS sy,
+                     CAST(sum(dx * dx) AS BIGINT) AS sxx,
+                     CAST(sum(dy * dy) AS BIGINT) AS syy,
+                     CAST(sum(dx * dy) AS BIGINT) AS sxy
+                   FROM ed)
+               SELECT mm AS n_directed_edges,
+                 round((CAST(sxy AS DOUBLE) / mm - (CAST(sx AS DOUBLE) / mm) * (CAST(sy AS DOUBLE) / mm)) / sqrt((CAST(sxx AS DOUBLE) / mm - (CAST(sx AS DOUBLE) / mm) * (CAST(sx AS DOUBLE) / mm)) * (CAST(syy AS DOUBLE) / mm - (CAST(sy AS DOUBLE) / mm) * (CAST(sy AS DOUBLE) / mm))), 6) AS assortativity
+               FROM sm"""))
   )
 }

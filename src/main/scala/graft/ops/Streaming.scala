@@ -422,6 +422,40 @@ object Streaming {
                  ${T.sqlDsum("value")} AS state_value,
                  max(us) AS newest_us
                FROM st WHERE rn = 1
-               GROUP BY event_type ORDER BY event_type"""))
+               GROUP BY event_type ORDER BY event_type""")),
+
+    QueryDef(
+      "stream_topk_hitters",
+      // Windowed heavy hitters: per 1-hour tumbling window, the top-3
+      // event types by count with rank — the exact answer the streaming
+      // count-min + heap approximation tracks (agg_count_min_sketch holds
+      // the sketch side of this pair). One shuffle on (window, type),
+      // then a window function over the BOUNDED per-window type rows —
+      // the partition key is the window start, so the rank never sees
+      // more than |event_type| rows per partition at any scale.
+      // Streaming form: groupBy(window($"ts", "1 hour"), $"event_type")
+      // + watermark, with the rank applied by the sink query.
+      (s, dir) => {
+        val w = Window.partitionBy("win_start_us")
+          .orderBy(col("n").desc, col("event_type"))
+        ev(s, dir)
+          .groupBy((col("us") - (col("us") % HOUR_US)).as("win_start_us"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("rk", row_number().over(w))
+          .where(col("rk") <= 3)
+          .select("win_start_us", "event_type", "n", "rk")
+          .orderBy("win_start_us", "rk")
+      },
+      Some(s"""WITH w AS (SELECT us - (us % $HOUR_US) AS win_start_us,
+                     event_type, count(*) AS n
+                   FROM ($sqlEv) e GROUP BY 1, 2),
+                 r AS (SELECT win_start_us, event_type, n,
+                     row_number() OVER (PARTITION BY win_start_us
+                       ORDER BY n DESC, event_type) AS rk
+                   FROM w)
+               SELECT win_start_us, event_type, n, rk
+               FROM r WHERE rk <= 3
+               ORDER BY win_start_us, rk"""))
   )
 }
