@@ -892,6 +892,81 @@ object Curation {
                    FROM ed)
                SELECT mm AS n_directed_edges,
                  round((CAST(sxy AS DOUBLE) / mm - (CAST(sx AS DOUBLE) / mm) * (CAST(sy AS DOUBLE) / mm)) / sqrt((CAST(sxx AS DOUBLE) / mm - (CAST(sx AS DOUBLE) / mm) * (CAST(sx AS DOUBLE) / mm)) * (CAST(syy AS DOUBLE) / mm - (CAST(sy AS DOUBLE) / mm) * (CAST(sy AS DOUBLE) / mm))), 6) AS assortativity
-               FROM sm"""))
+               FROM sm""")),
+
+    QueryDef(
+      "ml_als_round",
+      // One ALS alternation (Koren/Hu implicit-MF, rank 2, ridge λ=0.1)
+      // on the user × event-type count matrix — THE distributed
+      // matrix-factorization shape: item factors enter as a
+      // deterministic broadcast table (affine-hash init from the
+      // stateless polyTid item id — no RNG); the user-side solve is a
+      // per-GROUP closed form (each user's 2×2 normal equations
+      // assembled by ONE groupBy over its rated cells on the exact wire,
+      // then a shared-text 2×2 inverse) — embarrassingly parallel, no
+      // user ever sees another user's rows. The scoring pass re-joins
+      // factors to cells for the reconstruction RMSE. At 100 TB: cells
+      // partition by user (one shuffle), items broadcast (small side),
+      // exactly Spark MLlib ALS's layout for the user half-step.
+      (s, dir) => {
+        val r = T.events(s, dir)
+          .groupBy("user_id", "event_type").agg(count(lit(1)).as("r"))
+        val items = r.select("event_type").distinct()
+          .select(col("event_type"), T.polyTid("event_type").as("tid"))
+          .selectExpr("event_type",
+            s"CAST(tid * 48271 % ${T.HASH_P} % 1000 AS DOUBLE) / 1e3 AS q0",
+            s"CAST(tid * 16807 % ${T.HASH_P} % 1000 AS DOUBLE) / 1e3 AS q1")
+        val cells = T.freeze(r.join(broadcast(items), "event_type"))
+        val det = "((a00 + 1e-1) * (a11 + 1e-1) - a01 * a01)"
+        val p = cells.groupBy("user_id").agg(
+            T.xsum(expr("q0 * q0")).as("a00"),
+            T.xsum(expr("q0 * q1")).as("a01"),
+            T.xsum(expr("q1 * q1")).as("a11"),
+            T.xsum(expr("r * q0")).as("b0"),
+            T.xsum(expr("r * q1")).as("b1"))
+          .selectExpr("user_id",
+            s"((a11 + 1e-1) * b0 - a01 * b1) / $det AS p0",
+            s"((a00 + 1e-1) * b1 - a01 * b0) / $det AS p1")
+        val sc = cells.join(p, "user_id")
+          .selectExpr("CAST(r AS DOUBLE) - (p0 * q0 + p1 * q1) AS e")
+          .agg(count(lit(1)).as("n_cells"), T.xsum(expr("e * e")).as("sse"))
+        sc.crossJoin(p.agg(count(lit(1)).as("n_users")))
+          .crossJoin(items.agg(count(lit(1)).as("n_items")))
+          .selectExpr("n_users", "n_items", "n_cells",
+            "round(sqrt(sse / n_cells), 6) AS rmse")
+      },
+      Some {
+        val det = "((a00 + 1e-1) * (a11 + 1e-1) - a01 * a01)"
+        s"""WITH r AS (SELECT user_id, event_type, count(*) AS r
+                 FROM events GROUP BY 1, 2),
+                 it AS (SELECT event_type, ${T.sqlPolyTid("event_type")} AS tid
+                   FROM (SELECT DISTINCT event_type FROM r) t),
+                 itf AS (SELECT event_type,
+                     CAST(tid * 48271 % ${T.HASH_P} % 1000 AS DOUBLE) / 1e3 AS q0,
+                     CAST(tid * 16807 % ${T.HASH_P} % 1000 AS DOUBLE) / 1e3 AS q1
+                   FROM it),
+                 cells AS MATERIALIZED (SELECT r.user_id, r.r, itf.q0, itf.q1
+                   FROM r JOIN itf USING (event_type)),
+                 ua AS (SELECT user_id,
+                     ${T.sqlXsum("q0 * q0")} AS a00,
+                     ${T.sqlXsum("q0 * q1")} AS a01,
+                     ${T.sqlXsum("q1 * q1")} AS a11,
+                     ${T.sqlXsum("r * q0")} AS b0,
+                     ${T.sqlXsum("r * q1")} AS b1
+                   FROM cells GROUP BY user_id),
+                 p AS MATERIALIZED (SELECT user_id,
+                     ((a11 + 1e-1) * b0 - a01 * b1) / $det AS p0,
+                     ((a00 + 1e-1) * b1 - a01 * b0) / $det AS p1
+                   FROM ua),
+                 sc AS (SELECT CAST(r AS DOUBLE) - (p0 * q0 + p1 * q1) AS e
+                   FROM cells JOIN p USING (user_id)),
+                 ag AS (SELECT count(*) AS n_cells, ${T.sqlXsum("e * e")} AS sse
+                        FROM sc),
+                 uu AS (SELECT count(*) AS n_users FROM p),
+                 ii AS (SELECT count(*) AS n_items FROM itf)
+               SELECT n_users, n_items, n_cells,
+                 round(sqrt(sse / n_cells), 6) AS rmse
+               FROM ag CROSS JOIN uu CROSS JOIN ii"""
+      })
   )
 }
