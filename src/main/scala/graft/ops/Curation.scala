@@ -967,6 +967,84 @@ object Curation {
                SELECT n_users, n_items, n_cells,
                  round(sqrt(sse / n_cells), 6) AS rmse
                FROM ag CROSS JOIN uu CROSS JOIN ii"""
-      })
+      }),
+
+    QueryDef(
+      "text_dedup_curve",
+      // Dedup yield curve — the threshold-sweep diagnostic a curation run
+      // reads before committing to a similarity cutoff: for each Jaccard
+      // threshold in {0.5..0.9}, the surviving verified pair count and
+      // the docs the keep-lowest-id rule would remove. ONE pass over the
+      // already-thresholded trigram-Jaccard pair set (Dedup.ngramJaccard,
+      // inverted-index cost) joined to a 5-row broadcast threshold table
+      // — the sweep costs 5 predicate evaluations per pair, not 5 dedup
+      // runs. Thresholds written as exact double literals (5e-1 …) on
+      // both engines.
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        val pairs = Dedup.ngramJaccard(s, dir, Dedup.DF_CAP)
+        val th = Seq(0.5, 0.6, 0.7, 0.8, 0.9).toDF("t")
+        pairs.crossJoin(broadcast(th)).where(col("jaccard") >= col("t"))
+          .groupBy("t")
+          .agg(count(lit(1)).as("n_pairs"),
+            countDistinct(col("doc_b")).as("n_removable"))
+          .orderBy("t")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+                FROM documents),
+                ng AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS g
+                       FROM (SELECT doc_id, ts,
+                               unnest(generate_series(1, len(ts) - 2)) AS i
+                             FROM toks) x),
+                sz AS (SELECT doc_id, count(*) AS sz FROM ng GROUP BY doc_id),
+                ngf AS (SELECT doc_id, g FROM ng
+                        WHERE g IN (SELECT g FROM ng GROUP BY g HAVING count(*) <= ${Dedup.DF_CAP})),
+                shared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+                           FROM ngf a JOIN ngf b ON a.g = b.g AND a.doc_id < b.doc_id
+                           GROUP BY 1, 2),
+                j AS (SELECT doc_a, doc_b, round(
+                        CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
+                      FROM shared
+                      JOIN sz sa ON sa.doc_id = doc_a
+                      JOIN sz sb ON sb.doc_id = doc_b),
+                pairs2 AS (SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5),
+                th AS (SELECT unnest([5e-1, 6e-1, 7e-1, 8e-1, 9e-1]) AS t)
+              SELECT t, count(*) AS n_pairs,
+                count(DISTINCT doc_b) AS n_removable
+              FROM pairs2 CROSS JOIN th
+              WHERE jaccard >= t
+              GROUP BY t ORDER BY t""")),
+
+    QueryDef(
+      "multimodal_dedup",
+      // Exact dedup over the BINARY payload column — the multimodal twin
+      // of dedup_exact (a media corpus dedups on the content digest, not
+      // on any decoded representation): digest = sha2-256 of the payload
+      // bytes, one digest-keyed shuffle (the 32-byte digest is the
+      // shuffle key — the payload itself never moves), then the
+      // duplicate-group accounting a curation run logs. The payload is
+      // the multimodal family's synthesized UTF-8 binary (this container
+      // has no media libs — builder-prompt mandate); a real corpus swaps
+      // the encode() for the stored bytes, same plan.
+      (s, dir) => {
+        val grp = T.documents(s, dir).transform(T.fanOut(_, col("doc_id")))
+          .select(sha2(encode(col("text"), "UTF-8"), 256).as("digest"))
+          .groupBy("digest").agg(count(lit(1)).as("cnt"))
+        grp.agg(sum(col("cnt")).as("n_payloads"),
+            count(lit(1)).as("n_distinct"),
+            sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("n_dup_groups"),
+            sum(when(col("cnt") > 1, col("cnt") - 1).otherwise(0L)).as("n_removable"))
+          .selectExpr("CAST(n_payloads AS BIGINT) AS n_payloads", "n_distinct",
+            "CAST(n_dup_groups AS BIGINT) AS n_dup_groups",
+            "CAST(n_removable AS BIGINT) AS n_removable")
+      },
+      Some("""WITH grp AS (SELECT sha256(text) AS digest, count(*) AS cnt
+                 FROM documents GROUP BY 1)
+              SELECT CAST(sum(cnt) AS BIGINT) AS n_payloads,
+                count(*) AS n_distinct,
+                CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups,
+                CAST(sum(CASE WHEN cnt > 1 THEN cnt - 1 ELSE 0 END) AS BIGINT) AS n_removable
+              FROM grp"""))
   )
 }
