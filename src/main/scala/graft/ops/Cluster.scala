@@ -1997,6 +1997,60 @@ object Cluster {
                FROM upd ORDER BY id""")),
 
     QueryDef(
+      "ml_tsne_kl",
+      // The t-SNE OBJECTIVE — cuML TSNE's kl_divergence_ attribute [R]:
+      // KL(P ‖ Q) = Σ_{i≠j} p_ij·ln(p_ij / q_ij) of the perplexity-
+      // calibrated affinities P (the ml_tsne_affinity chain, symmetrized
+      // p = (u_ab + u_ba)/2n) against the Student-t layout distribution
+      // Q (w = 1/(1+d²), q = w/W) at the init layout (first two embedding
+      // dims) — the number the optimizer descends on and every tsne user
+      // reads off the fitted model. ln REAL-collapsed, terms summed on
+      // the exact-decimal wire; W is the same windowed exact sum as
+      // ml_tsne_layout. Output: one row — n_pairs, Σp (≈1 sanity), kl.
+      // Scale: the bounded-sample form mirrors the layout/converge rows;
+      // at corpus scale P comes from kNN affinities and Q's normalizer
+      // from sampled negatives (ml_tsne_distributed's estimator).
+      (s, dir) => {
+        val ew = tsneAffinity(s, dir)
+          .selectExpr("a", "b", "(uab + uba) / 60e0 AS p")
+        val ed = ew.selectExpr("a AS i", "b AS j", "p")
+          .unionAll(ew.selectExpr("b AS i", "a AS j", "p"))
+        val pts = plane(s, dir).where(col("id") < 30)
+        val wt = Window.partitionBy()
+        ed
+          .join(broadcast(pts.selectExpr("id AS i", "x AS xi", "y AS yi")), "i")
+          .join(broadcast(pts.selectExpr("id AS j", "x AS xj", "y AS yj")), "j")
+          .selectExpr("p",
+            "1e0 / (1e0 + (xi - xj) * (xi - xj) + (yi - yj) * (yi - yj)) AS w")
+          .withColumn("bigw",
+            sum(col("w").cast(T.exact)).over(wt).cast("double"))
+          .selectExpr("p",
+            "p * CAST(CAST(ln(p / (w / bigw)) AS FLOAT) AS DOUBLE) AS klt")
+          .agg(count(lit(1)).as("n_pairs"),
+            round(T.xsum(col("p")), 6).as("p_sum"),
+            round(T.xsum(col("klt")), 6).as("kl"))
+      },
+      Some(s"""WITH $sqlTsneAffinityChain,
+                 ew AS (SELECT a, b, (uab + uba) / 60e0 AS p FROM tg),
+                 ed AS (SELECT a AS i, b AS j, p FROM ew
+                   UNION ALL SELECT b AS i, a AS j, p FROM ew),
+                 pts AS (SELECT id, CAST(emb[1] AS DOUBLE) AS x,
+                     CAST(emb[2] AS DOUBLE) AS y FROM tsm),
+                 wk AS (SELECT p,
+                     1e0 / (1e0 + (xi - xj) * (xi - xj) + (yi - yj) * (yi - yj)) AS w
+                   FROM (SELECT p, pi.x AS xi, pi.y AS yi, pjj.x AS xj, pjj.y AS yj
+                     FROM ed JOIN pts pi ON ed.i = pi.id
+                       JOIN pts pjj ON ed.j = pjj.id) t),
+                 ww AS (SELECT p, w,
+                     CAST(sum(CAST(w AS DECIMAL(30,12))) OVER () AS DOUBLE) AS bigw
+                   FROM wk)
+               SELECT count(*) AS n_pairs,
+                 round(${T.sqlXsum("p")}, 6) AS p_sum,
+                 round(${T.sqlXsum(
+                   "p * CAST(CAST(ln(p / (w / bigw)) AS REAL) AS DOUBLE)")}, 6) AS kl
+               FROM ww""")),
+
+    QueryDef(
       "ml_umap_converge",
       // UMAP layout descent for N=5 steps (r9 — VERDICT r8 #3: "one step
       // proves the gradient; a loop proves the optimizer"): the
@@ -2547,6 +2601,123 @@ object Cluster {
                FROM qry q LEFT JOIN best b ON b.qid = q.id
                  LEFT JOIN flatc fc ON fc.v = b.fid
                ORDER BY q.id"""
+      }),
+
+    QueryDef(
+      "ml_hdbscan_membership",
+      // Soft cluster membership — cuML HDBSCAN's membership_vector API
+      // [R] (all_points_membership_vectors): for every CLUSTERED point,
+      // a probability vector over the flat eom clusters. This grid
+      // variant scores inverse-squared-distance to each flat cluster's
+      // centroid, w_c = 1/(ε + d²(v, μ_c)), normalized per point (the
+      // softmax-free form — exemplar distances reduce to centroid
+      // distances on the 2-d grid hierarchy). Output: one row per
+      // clustered point — its hard eom label, the argmax-membership
+      // cluster, that membership, and the membership entropy (the
+      // confidence number a curation pipeline thresholds on). Scale: the
+      // flat-cluster table is cluster-count-sized → broadcast under a
+      // corpus × k join; centroids ride the exact-decimal wire; one
+      // window per point over k rows.
+      (s, dir) => {
+        val mr = T.pin(mrGraph(s, dir))
+        val fl = T.pin(flatLabels(mr))
+        val p = plane(s, dir)
+        val fpt = fl.select(col("v"), col("flat"))
+          .join(p.withColumnRenamed("id", "v"), "v")
+        val cent = fpt.groupBy(col("flat").as("c"))
+          .agg((T.xsum(col("x")) / count(lit(1))).as("cx"),
+               (T.xsum(col("y")) / count(lit(1))).as("cy"))
+        val mem = fpt.crossJoin(broadcast(cent))
+          .selectExpr("v", "flat", "c",
+            "1e0 / (1e-6 + (x - cx) * (x - cx) + (y - cy) * (y - cy)) AS wgt")
+        val wv = Window.partitionBy(col("v"))
+        val mm = mem
+          .withColumn("wsum", sum(col("wgt").cast(T.exact)).over(wv).cast("double"))
+          .selectExpr("v", "flat", "c", "wgt / wsum AS m")
+        val ow = Window.partitionBy(col("v")).orderBy(col("m").desc, col("c"))
+        mm.withColumn("rn", row_number().over(ow))
+          .withColumn("ent", sum(
+            expr("CAST(-m * CAST(CAST(ln(m) AS FLOAT) AS DOUBLE) AS DECIMAL(30,12))")
+          ).over(wv).cast("double"))
+          .where(col("rn") === 1)
+          .selectExpr("v", "flat", "c AS top_cluster",
+            "round(m, 6) AS m_top", "round(ent, 6) AS entropy")
+          .orderBy("v")
+      },
+      Some {
+        def lvl(i: Int, cut: Double): String =
+          s"""e$i AS (SELECT a AS src, b AS dst FROM mr WHERE w <= $cut
+                   UNION ALL SELECT b, a FROM mr WHERE w <= $cut),
+                 rc$i(v, r) AS (
+                   SELECT src, src FROM (SELECT DISTINCT src FROM e$i) t
+                   UNION
+                   SELECT e.src, rc$i.r FROM e$i e JOIN rc$i ON e.dst = rc$i.v),
+                 lb$i AS (SELECT v, CAST(min(r) AS BIGINT) AS lbl
+                   FROM rc$i GROUP BY v)"""
+        val w1 = "(1e0 / 4e-3 - 1e0 / 7e-3)"
+        val w2 = "(1e0 / 7e-3 - 1e0 / 1e-2)"
+        val w3 = "(1e0 / 1e-2)"
+        s"""WITH RECURSIVE $sqlMrCtes,
+                 ${lvl(1, 0.004)},
+                 ${lvl(2, 0.007)},
+                 ${lvl(3, 0.01)},
+                 v1t AS (SELECT lbl AS c1,
+                     CAST(count(*) AS DOUBLE) * $w1 AS v1
+                   FROM lb1 GROUP BY lbl),
+                 p12 AS (SELECT c1, min(c2) AS c2 FROM
+                   (SELECT lb1.lbl AS c1, lb2.lbl AS c2
+                    FROM lb1 JOIN lb2 USING (v)) t GROUP BY c1),
+                 chs2 AS (SELECT c2, ${T.sqlXsum("v1")} AS ch
+                   FROM p12 JOIN v1t USING (c1) GROUP BY c2),
+                 t2 AS (SELECT lbl AS c2,
+                     CAST(count(*) AS DOUBLE) * $w2 AS s2
+                   FROM lb2 GROUP BY lbl),
+                 u2 AS (SELECT c2, s2 >= coalesce(ch, 0e0) AS wins2,
+                     greatest(s2, coalesce(ch, 0e0)) AS v2
+                   FROM t2 LEFT JOIN chs2 USING (c2)),
+                 p23 AS (SELECT c2, min(c3) AS c3 FROM
+                   (SELECT lb2.lbl AS c2, lb3.lbl AS c3
+                    FROM lb2 JOIN lb3 USING (v)) t GROUP BY c2),
+                 chs3 AS (SELECT c3, ${T.sqlXsum("v2")} AS ch
+                   FROM p23 JOIN u2 USING (c2) GROUP BY c3),
+                 t3 AS (SELECT lbl AS c3,
+                     CAST(count(*) AS DOUBLE) * $w3 AS s3
+                   FROM lb3 GROUP BY lbl),
+                 u3 AS (SELECT c3, s3 >= coalesce(ch, 0e0) AS wins3
+                   FROM t3 LEFT JOIN chs3 USING (c3)),
+                 flat AS (SELECT l3.v,
+                     CASE WHEN u3.wins3 THEN l3.lbl
+                          WHEN coalesce(u2.wins2, false) THEN l2.lbl
+                          WHEN l1.lbl IS NOT NULL THEN l1.lbl END AS flat,
+                     CASE WHEN u3.wins3 THEN 3
+                          WHEN coalesce(u2.wins2, false) THEN 2
+                          WHEN l1.lbl IS NOT NULL THEN 1 END AS lvl
+                   FROM lb3 l3
+                   LEFT JOIN lb2 l2 ON l2.v = l3.v
+                   LEFT JOIN lb1 l1 ON l1.v = l3.v
+                   JOIN u3 ON u3.c3 = l3.lbl
+                   LEFT JOIN u2 ON u2.c2 = l2.lbl),
+                 flatc AS (SELECT v, flat FROM flat WHERE flat IS NOT NULL),
+                 fpt AS (SELECT fc.v, fc.flat, p.x, p.y
+                   FROM flatc fc JOIN pts p ON p.id = fc.v),
+                 cent AS (SELECT flat AS c,
+                     ${T.sqlXsum("x")} / count(*) AS cx,
+                     ${T.sqlXsum("y")} / count(*) AS cy
+                   FROM fpt GROUP BY flat),
+                 mem AS (SELECT v, flat, c,
+                     1e0 / (1e-6 + (x - cx) * (x - cx) + (y - cy) * (y - cy)) AS wgt
+                   FROM fpt CROSS JOIN cent),
+                 mm AS (SELECT v, flat, c, wgt /
+                     CAST(sum(CAST(wgt AS DECIMAL(30,12))) OVER (PARTITION BY v) AS DOUBLE) AS m
+                   FROM mem),
+                 sc AS (SELECT v, flat, c, m,
+                     row_number() OVER (PARTITION BY v ORDER BY m DESC, c) AS rn,
+                     CAST(sum(CAST(-m * CAST(CAST(ln(m) AS REAL) AS DOUBLE) AS DECIMAL(30,12)))
+                       OVER (PARTITION BY v) AS DOUBLE) AS ent
+                   FROM mm)
+               SELECT v, flat, c AS top_cluster,
+                 round(m, 6) AS m_top, round(ent, 6) AS entropy
+               FROM sc WHERE rn = 1 ORDER BY v"""
       }),
 
     QueryDef(

@@ -1074,7 +1074,57 @@ object Forecast {
                SELECT CAST(h AS INT) AS h,
                  round(5e-1 * (a + b * (n + h)) + 5e-1 * l, 6) AS forecast
                FROM (SELECT unnest(generate_series(1, 7)) AS h) hs CROSS JOIN lvl
-               ORDER BY h"""))
+               ORDER BY h""")),
+
+    QueryDef(
+      "ml_forecast_backtest",
+      // Rolling-origin backtest (the time-series analogue of ml_kfold_cv —
+      // the evaluation loop every cuml.tsa user runs before trusting a
+      // forecaster): for each of the last 3 days as a 1-step holdout,
+      // fit SES (α = ½, the ml_theta_forecast closed form — one weighted
+      // sum, no recurrence) on the strictly-prior days and score the
+      // forecast against the actual. Output: one row per fold (cutoff
+      // index, actual, forecast, abs error) — MAE is their mean. Scale:
+      // ONE daily aggregate (the only corpus pass), then a 3-row
+      // broadcast of cutoffs against the bounded day table; folds never
+      // rescan events.
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        val daily = T.events(s, dir)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("y"))
+        val idx = T.freeze(daily.withColumn("t",
+          row_number().over(Window.orderBy("day")).cast("double")))
+        val n = idx.count()
+        val cuts = broadcast((1 to 3).map(k => n - k).toDF("c"))
+        val lvl = idx.crossJoin(cuts)
+          .where(col("t") <= col("c"))
+          .selectExpr("c",
+            "y * (CASE WHEN t = 1e0 THEN pow(5e-1, c - 1e0) ELSE pow(5e-1, c - t + 1e0) END) AS zw")
+          .groupBy("c").agg(T.xsum(col("zw")).as("forecast"))
+        lvl.join(idx.selectExpr("t", "y AS actual"),
+            col("t") === col("c") + 1)
+          .selectExpr("CAST(c AS BIGINT) AS cutoff", "actual",
+            "round(forecast, 6) AS forecast",
+            "round(abs(actual - forecast), 6) AS abs_err")
+          .orderBy("cutoff")
+      },
+      Some(s"""WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS y
+                              FROM events GROUP BY 1),
+                 idx AS (SELECT y, CAST(row_number() OVER (ORDER BY day) AS DOUBLE) AS t
+                         FROM daily),
+                 nn AS (SELECT count(*) AS n FROM idx),
+                 cuts AS (SELECT CAST(n - k AS DOUBLE) AS c
+                   FROM (SELECT unnest(generate_series(1, 3)) AS k) ks, nn),
+                 lvl AS (SELECT c, ${T.sqlXsum(
+                   "y * (CASE WHEN t = 1e0 THEN pow(5e-1, c - 1e0) ELSE pow(5e-1, c - t + 1e0) END)")} AS forecast
+                   FROM idx CROSS JOIN cuts WHERE t <= c GROUP BY c)
+               SELECT CAST(c AS BIGINT) AS cutoff, i.y AS actual,
+                 round(forecast, 6) AS forecast,
+                 round(abs(i.y - forecast), 6) AS abs_err
+               FROM lvl JOIN idx i ON i.t = lvl.c + 1
+               ORDER BY cutoff"""))
   )
 
   /** Shared scalar cascade for ml_auto_arima: widen the conditional BIGINT

@@ -1921,6 +1921,62 @@ object ML {
               FROM a GROUP BY cid ORDER BY cid""")),
 
     QueryDef(
+      "ml_kmeans_weighted",
+      // Weighted Lloyd update — cuML KMeans' sample_weight parameter [R]:
+      // the update step with per-point weights w = 1 + vec_id % 5
+      // (deterministic importance weights; in a curation pipeline these
+      // would be dedup multiplicities or quality scores). Weighted
+      // centroid = Σ w·x / Σ w on the exact-decimal wire (weights are
+      // small integers, x is a float32 dim — the products are exactly
+      // representable, so the decimal sums are bit-deterministic); the
+      // assignment step is the unweighted argmin (weights bias the
+      // UPDATE, not the metric — the sklearn/cuML contract). Same scale
+      // shape as ml_kmeans_update: broadcast centroids, one groupBy.
+      (s, dir) => {
+        val e = T.embeddings(s, dir)
+        val cent = e.where(col("vec_id") < 10)
+          .select(col("vec_id").as("cid"), col("embedding").as("c_emb"))
+        val dist = graft.functions.Vec.l2(s, "embedding", "c_emb")
+        val w = Window.partitionBy(col("vec_id")).orderBy(col("d"), col("cid"))
+        e.transform(T.fanOut(_, col("vec_id")))
+          .crossJoin(broadcast(cent))
+          .select(col("vec_id"), col("embedding"), col("cid"), dist.as("d"))
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .selectExpr("cid", "embedding",
+            "CAST(1 + vec_id % 5 AS DOUBLE) AS sw")
+          .groupBy("cid")
+          .agg(
+            count(lit(1)).as("n"),
+            T.xsum(col("sw")).as("wsum"),
+            round(T.xsum(col("sw") * element_at(col("embedding"), 1).cast("double")) /
+              T.xsum(col("sw")), 6).as("m1"),
+            round(T.xsum(col("sw") * element_at(col("embedding"), 2).cast("double")) /
+              T.xsum(col("sw")), 6).as("m2"),
+            round(T.xsum(col("sw") * element_at(col("embedding"), 3).cast("double")) /
+              T.xsum(col("sw")), 6).as("m3"),
+            round(T.xsum(col("sw") * element_at(col("embedding"), 4).cast("double")) /
+              T.xsum(col("sw")), 6).as("m4"))
+          .orderBy("cid")
+      },
+      // row_number tie-break form — see ml_kmeans_assign oracle note
+      Some(s"""WITH a AS (
+                SELECT vec_id, embedding, cid,
+                  CAST(1 + vec_id % 5 AS DOUBLE) AS sw FROM (
+                  SELECT e.vec_id, e.embedding, c.vec_id AS cid,
+                    row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), c.vec_id) AS rn
+                  FROM embeddings e CROSS JOIN embeddings c
+                  WHERE c.vec_id < 10) t
+                WHERE rn = 1)
+              SELECT cid, count(*) AS n, ${T.sqlXsum("sw")} AS wsum,
+                round(${T.sqlXsum("sw * CAST(embedding[1] AS DOUBLE)")} / ${T.sqlXsum("sw")}, 6) AS m1,
+                round(${T.sqlXsum("sw * CAST(embedding[2] AS DOUBLE)")} / ${T.sqlXsum("sw")}, 6) AS m2,
+                round(${T.sqlXsum("sw * CAST(embedding[3] AS DOUBLE)")} / ${T.sqlXsum("sw")}, 6) AS m3,
+                round(${T.sqlXsum("sw * CAST(embedding[4] AS DOUBLE)")} / ${T.sqlXsum("sw")}, 6) AS m4
+              FROM a GROUP BY cid ORDER BY cid""")),
+
+    QueryDef(
       "ml_kmeans_iterate",
       // 3 full Lloyd iterations — the driver-side loop is the idiomatic
       // Spark replacement for dask's dynamic task graph. The centroids are
