@@ -180,4 +180,43 @@ class CurationSpec extends SparkSpec {
       assert(byRank.zip(byRank.drop(1)).forall { case (a, b) => a >= b })
     }
   }
+
+  test("ml_kmeans_weighted: weight mass >= member count (weights are >= 1)") {
+    val rows = q("ml_kmeans_weighted").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("wsum") >= r.getAs[Long]("n").toDouble)
+    }
+  }
+
+  test("ml_forecast_backtest: 3 folds, abs_err consistent with its operands") {
+    val rows = q("ml_forecast_backtest").collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      val e = r.getAs[Double]("abs_err")
+      val want = math.abs(r.getAs[Long]("actual") - r.getAs[Double]("forecast"))
+      assert(e >= 0 && math.abs(e - want) < 1e-5)
+    }
+  }
+
+  test("ml_tsne_kl: P sums to ~1 and KL(P||Q) is non-negative") {
+    val r = q("ml_tsne_kl").collect()(0)
+    assert(math.abs(r.getAs[Double]("p_sum") - 1.0) < 1e-3)
+    // Gibbs' inequality: KL >= 0 for distributions; Q here is a proper
+    // distribution over the SAME directed-pair support as P, so the
+    // inequality must hold up to the REAL-collapse rounding of ln.
+    assert(r.getAs[Double]("kl") >= -1e-6)
+  }
+
+  test("ml_hdbscan_membership: memberships are probabilities, entropy bounded by ln k") {
+    val rows = q("ml_hdbscan_membership").collect()
+    assert(rows.nonEmpty)
+    val k = rows.map(_.getAs[Long]("flat")).distinct.length
+    rows.foreach { r =>
+      val m = r.getAs[Double]("m_top"); val ent = r.getAs[Double]("entropy")
+      assert(m > 0 && m <= 1.0 + 1e-9)
+      assert(m >= 1.0 / k - 1e-9, "argmax membership can't be below uniform")
+      assert(ent >= -1e-6 && ent <= math.log(k.toDouble) + 1e-6)
+    }
+  }
 }
