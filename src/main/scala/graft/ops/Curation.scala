@@ -581,6 +581,76 @@ object Curation {
       }),
 
     QueryDef(
+      "graph_harmonic_centrality",
+      // Truncated harmonic centrality of 3 probe vertices on the
+      // near-duplicate graph: H(s) = Σ_{v reached, v≠s} 1/d(s,v) with the
+      // BFS truncated at 3 hops — the HyperBall-family centrality
+      // (Boldi & Vigna 2014 compute exactly this with sketched frontiers;
+      // here the frontiers are exact). Probes = the 3 smallest vertices
+      // of graph_bfs's seed residue class, so the two rows profile the
+      // same template set. The distributed shape: a SPARSE (v, seed,
+      // dist) label table — only reached pairs exist, so the state is
+      // Σ ball sizes, not |V|×seeds; one round = frontier join against
+      // the symmetric edge list + anti-join against the labels (all
+      // vertex-keyed shuffles), frozen per round. Output: per probe the
+      // ball profile n1/n2/n3 and the truncated harmonic sum.
+      (s, dir) => {
+        val pairs = T.freeze(TextSim.minhashPairs(s, dir))
+        val edges = pairs
+          .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+          .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        val seeds = edges.select(col("src").as("v")).distinct()
+          .where(col("v") % BFS_SEED_MOD === 0)
+          .orderBy("v").limit(3)
+        var lab = T.freeze(broadcast(seeds)
+          .select(col("v"), col("v").as("seed"), lit(0).as("dist")))
+        for (k <- 1 to 3) {
+          val frontier = lab.where(col("dist") === k - 1)
+            .select(col("v").as("src"), col("seed"))
+          val nxt = edges.join(frontier, "src")
+            .select(col("dst").as("v"), col("seed")).distinct()
+            .join(lab.select("v", "seed"), Seq("v", "seed"), "left_anti")
+            .withColumn("dist", lit(k))
+          lab = T.freeze(lab.unionAll(nxt))
+        }
+        lab.where(col("dist") > 0)
+          .groupBy("seed")
+          .agg(
+            sum(when(col("dist") === 1, 1L).otherwise(0L)).as("n1"),
+            sum(when(col("dist") === 2, 1L).otherwise(0L)).as("n2"),
+            sum(when(col("dist") === 3, 1L).otherwise(0L)).as("n3"))
+          .selectExpr("seed", "n1", "n2", "n3",
+            "round(n1 + n2 / 2e0 + n3 / 3e0, 6) AS harmonic")
+          .orderBy("seed")
+      },
+      Some {
+        def round(k: Int): String =
+          s"""f$k AS (SELECT DISTINCT e.dst AS v, l.seed
+                FROM ed e JOIN l${k - 1} l ON l.v = e.src AND l.dist = ${k - 1}),
+              n$k AS (SELECT f.v, f.seed, $k AS dist FROM f$k f
+                LEFT JOIN l${k - 1} l ON l.v = f.v AND l.seed = f.seed
+                WHERE l.v IS NULL),
+              l$k AS (SELECT * FROM l${k - 1} UNION ALL SELECT * FROM n$k)"""
+        s"""WITH ${TextSim.sqlMinhashCtes},
+                 ed AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                        UNION ALL SELECT doc_b, doc_a FROM pairs),
+                 seeds AS (SELECT DISTINCT src AS v FROM ed
+                   WHERE src % $BFS_SEED_MOD = 0 ORDER BY v LIMIT 3),
+                 l0 AS (SELECT v, v AS seed, 0 AS dist FROM seeds),
+                 ${round(1)},
+                 ${round(2)},
+                 ${round(3)}
+               SELECT seed,
+                 CAST(sum(CASE WHEN dist = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                 CAST(sum(CASE WHEN dist = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+                 CAST(sum(CASE WHEN dist = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+                 round(sum(CASE WHEN dist = 1 THEN 1 ELSE 0 END)
+                   + sum(CASE WHEN dist = 2 THEN 1 ELSE 0 END) / 2e0
+                   + sum(CASE WHEN dist = 3 THEN 1 ELSE 0 END) / 3e0, 6) AS harmonic
+               FROM l3 WHERE dist > 0 GROUP BY seed ORDER BY seed"""
+      }),
+
+    QueryDef(
       "text_bleu",
       // Sentence-level BLEU-2 (Papineni et al. 2002) of each document
       // against its source's next document — the eval-harness metric shape

@@ -28,6 +28,12 @@ import org.apache.spark.sql.functions._
   */
 object Forecast {
 
+  /** DTW series cap: the DP is O(n²), so the compared prefix is bounded
+    * at the first 24 days regardless of corpus span (the LEV_CAP
+    * discipline). One constant feeds the Spark collect bound AND the
+    * oracle's unrolled diagonal count. */
+  private val DTW_CAP = 24
+
   /** Cramer's-rule determinant texts for the AR(2) normal equations
     *   [ nd  s1  s2 ] [c ]   [ sy ]
     *   [ s1  s11 s12] [p1] = [ s1y]
@@ -1124,7 +1130,88 @@ object Forecast {
                  round(forecast, 6) AS forecast,
                  round(abs(i.y - forecast), 6) AS abs_err
                FROM lvl JOIN idx i ON i.t = lvl.c + 1
-               ORDER BY cutoff"""))
+               ORDER BY cutoff""")),
+
+    QueryDef(
+      "ml_dtw_distance",
+      // Dynamic time warping between the 'click' and 'view' daily count
+      // series (Sakoe & Chiba 1978) — the alignment distance a
+      // time-series pipeline uses where Euclidean is wrong because the
+      // shapes are shifted. Classic unit DP: D(i,j) = |x_i − y_j| +
+      // min(D(i−1,j), D(i,j−1), D(i−1,j−1)). Both series are capped at
+      // the first DTW_CAP days (the LEV_CAP discipline — bounds the
+      // O(n²) DP regardless of corpus span). Scale: ONE daily aggregate
+      // is the only corpus pass; the capped series is driver-held model
+      // state (≤ 24 points — the kcoreAlive local-finish discipline) and
+      // the DP runs on it; counts are integers so every DP value is an
+      // exactly-representable double on both engines. The oracle unrolls
+      // the same DP by anti-diagonals (the only order a CTE chain can
+      // express); min/+ per cell is order-free so row-major == diagonal.
+      // Output: series length used, DTW, and the path-normalized DTW.
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        val daily = T.events(s, dir)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("xa"),
+               sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("xb"))
+        val idx = daily
+          .withColumn("t", row_number().over(Window.orderBy("day")))
+          .where(col("t") <= DTW_CAP)
+          .orderBy("t")
+          .selectExpr("CAST(xa AS DOUBLE) AS x", "CAST(xb AS DOUBLE) AS y")
+          .collect()
+        val n = idx.length
+        val x = idx.map(_.getDouble(0)); val y = idx.map(_.getDouble(1))
+        val SENT = 1e308
+        val dp = Array.fill(n + 1, n + 1)(SENT)
+        for (i <- 1 to n; j <- 1 to n) {
+          val cost = math.abs(x(i - 1) - y(j - 1))
+          dp(i)(j) =
+            if (i == 1 && j == 1) cost
+            else cost + math.min(dp(i - 1)(j), math.min(dp(i)(j - 1), dp(i - 1)(j - 1)))
+        }
+        Seq((n.toLong, dp(n)(n), dp(n)(n) / (2.0 * n)))
+          .toDF("n_days", "dtw", "dtw_norm")
+          .selectExpr("n_days", "round(dtw, 6) AS dtw",
+            "round(dtw_norm, 6) AS dtw_norm")
+      },
+      Some {
+        def dg(d: Int): String = {
+          val diagJoin =
+            if (d >= 4)
+              s"LEFT JOIN dg${d - 2} g ON g.i = a.i - 1 AND g.j = b.j - 1"
+            else ""
+          val gRef = if (d >= 4) "coalesce(g.c, 1e308)" else "1e308"
+          s"""dg$d AS MATERIALIZED (SELECT a.i, b.j, abs(a.x - b.y) + least(
+                     coalesce(u.c, 1e308), coalesce(l.c, 1e308), $gRef) AS c
+                   FROM sa a JOIN sb b ON a.i + b.j = $d
+                   LEFT JOIN dg${d - 1} u ON u.i = a.i - 1 AND u.j = b.j
+                   LEFT JOIN dg${d - 1} l ON l.i = a.i AND l.j = b.j - 1
+                   $diagJoin)"""
+        }
+        val chain = (3 to 2 * DTW_CAP).map(dg).mkString(",\n                 ")
+        val unions = (2 to 2 * DTW_CAP)
+          .map(d => s"SELECT * FROM dg$d").mkString(" UNION ALL ")
+        s"""WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+                     sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS xa,
+                     sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS xb
+                   FROM events GROUP BY 1),
+                 idx AS MATERIALIZED (SELECT CAST(xa AS DOUBLE) AS x,
+                     CAST(xb AS DOUBLE) AS y,
+                     row_number() OVER (ORDER BY day) AS t
+                   FROM daily QUALIFY t <= $DTW_CAP),
+                 sa AS MATERIALIZED (SELECT t AS i, x FROM idx),
+                 sb AS MATERIALIZED (SELECT t AS j, y FROM idx),
+                 dg2 AS MATERIALIZED (SELECT 1 AS i, 1 AS j, abs(a.x - b.y) AS c
+                   FROM sa a, sb b WHERE a.i = 1 AND b.j = 1),
+                 $chain,
+                 alld AS ($unions),
+                 nn AS (SELECT max(i) AS n FROM sa)
+               SELECT CAST(nn.n AS BIGINT) AS n_days, round(a.c, 6) AS dtw,
+                 round(a.c / (2e0 * nn.n), 6) AS dtw_norm
+               FROM alld a, nn WHERE a.i = nn.n AND a.j = nn.n"""
+      })
   )
 
   /** Shared scalar cascade for ml_auto_arima: widen the conditional BIGINT

@@ -208,6 +208,35 @@ class CurationSpec extends SparkSpec {
     assert(r.getAs[Double]("kl") >= -1e-6)
   }
 
+  test("ml_dtw_distance: non-negative and bounded by the diagonal (L1) alignment") {
+    val r = q("ml_dtw_distance").collect()(0)
+    val dtw = r.getAs[Double]("dtw"); val n = r.getAs[Long]("n_days")
+    assert(dtw >= 0 && n > 0)
+    // The diagonal path (i,i) is an admissible warping path, so
+    // DTW <= Σ_i |x_i - y_i|. Re-derive the capped series here.
+    val l1 = Tables.events(spark, sf)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("xa"),
+           sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("xb"))
+      .orderBy("day").limit(n.toInt)
+      .selectExpr("abs(CAST(xa AS DOUBLE) - CAST(xb AS DOUBLE)) AS d")
+      .agg(sum(col("d"))).collect()(0).getDouble(0)
+    assert(dtw <= l1 + 1e-6, s"dtw=$dtw must be <= diagonal L1=$l1")
+  }
+
+  test("graph_harmonic_centrality: probes in the seed class, harmonic consistent") {
+    val rows = q("graph_harmonic_centrality").collect()
+    assert(rows.nonEmpty && rows.length <= 3)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("seed") % 10 == 0)
+      val n1 = r.getAs[Long]("n1"); val n2 = r.getAs[Long]("n2")
+      val n3 = r.getAs[Long]("n3")
+      val h = r.getAs[Double]("harmonic")
+      assert(math.abs(h - (n1 + n2 / 2.0 + n3 / 3.0)) < 1e-6)
+      assert(h <= n1 + n2 + n3)
+    }
+  }
+
   test("ml_hdbscan_membership: memberships are probabilities, entropy bounded by ln k") {
     val rows = q("ml_hdbscan_membership").collect()
     assert(rows.nonEmpty)
