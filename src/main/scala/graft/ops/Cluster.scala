@@ -39,6 +39,48 @@ object Cluster {
 
   /** (vec_id, x, y) plane; float→double cast is exact, so both engines see
     * identical coordinates. */
+  /** Isolation-forest split cascade (ml_isolation_forest): the per-node
+    * split feature and cut fraction come from an affine hash of
+    * (tree, node); cuts recurse on the node's sub-range of the global
+    * min/max box (xmn/xmx/ymn/ymx — broadcast bounds columns), so each
+    * depth-3 tree evaluates as ONE nested-CASE text over columns x/y,
+    * shared verbatim by selectExpr and the oracle. Fractions stay in
+    * [0.2, 0.8] so no split is hash-degenerate; literals are emitted in
+    * e-notation so BOTH engines parse them as DOUBLE (a bare decimal
+    * literal is DECIMAL in DuckDB). Returns the leaf id (0..7). */
+  private def ifoLeafExpr(tree: Int): String = {
+    def d(v: Double): String = {
+      val s0 = java.lang.Double.toString(v)
+      if (s0.contains("E") || s0.contains("e")) s0 else s0 + "e0"
+    }
+    def go(depth: Int, path: Int,
+           xlo: String, xhi: String, ylo: String, yhi: String): String =
+      if (depth == 3) path.toString
+      else {
+        val nodeId = (1 << depth) - 1 + path
+        val h = math.floorMod(tree * 73856093 + nodeId * 19349663 + 7919, 104729)
+        val frac = 0.2 + 0.6 * ((h / 2 % 9949).toDouble / 9949.0)
+        if (h % 2 == 0) {
+          val cut = s"($xlo + ${d(frac)} * ($xhi - $xlo))"
+          s"(CASE WHEN x <= $cut THEN ${go(depth + 1, path * 2, xlo, cut, ylo, yhi)} " +
+            s"ELSE ${go(depth + 1, path * 2 + 1, cut, xhi, ylo, yhi)} END)"
+        } else {
+          val cut = s"($ylo + ${d(frac)} * ($yhi - $ylo))"
+          s"(CASE WHEN y <= $cut THEN ${go(depth + 1, path * 2, xlo, xhi, ylo, cut)} " +
+            s"ELSE ${go(depth + 1, path * 2 + 1, xlo, xhi, cut, yhi)} END)"
+        }
+      }
+    go(0, 0, "xmn", "xmx", "ymn", "ymx")
+  }
+
+  /** Average-BST path-length correction c(m) = 2(ln(m−1) + γ) − 2(m−1)/m
+    * (Liu et al. 2008 eq. 1) as shared text; `fl` = FLOAT (Spark) / REAL
+    * (DuckDB) for the ln collapse. */
+  private def ifoC(m: String, fl: String): String =
+    s"(CASE WHEN $m <= 1 THEN 0e0 WHEN $m = 2 THEN 1e0 ELSE " +
+      s"2e0 * (CAST(CAST(ln(CAST($m AS DOUBLE) - 1e0) AS $fl) AS DOUBLE) + 5.772156649015329e-1) " +
+      s"- 2e0 * (CAST($m AS DOUBLE) - 1e0) / CAST($m AS DOUBLE) END)"
+
   private def plane(s: SparkSession, dir: String): DataFrame =
     T.embeddings(s, dir)
       .transform(T.fanOut(_, col("vec_id")))
@@ -3082,6 +3124,65 @@ object Cluster {
                    -(CAST(CAST(ln(CAST(cx AS DOUBLE) / n) AS REAL) AS DOUBLE))
                    - (CAST(CAST(ln(CAST(cy AS DOUBLE) / n) AS REAL) AS DOUBLE)) AS score
                  FROM b JOIN hx USING (bx) JOIN hy USING (by)) t
+               ORDER BY score DESC, id LIMIT 20""")),
+
+    QueryDef(
+      "ml_isolation_forest",
+      // Isolation forest (Liu, Ting & Zhou 2008) — the isolation-based
+      // anomaly detector completing the density (ml_hbos), parametric
+      // (ml_mahalanobis_outlier), and neighborhood (ml_lof) families.
+      // Determinized per the mtry-forest discipline: 4 depth-3 trees
+      // whose per-node split feature and cut fraction come from an
+      // affine hash of (tree, node), cuts recursing on the node's
+      // sub-range of the global min/max box — so each tree is ONE
+      // nested-CASE leaf-assignment text shared verbatim by selectExpr
+      // and the oracle, and the corpus is touched exactly twice (leaf
+      // assignment + count join). A point's path length h = depth +
+      // c(leaf size) with the standard average-BST correction
+      // c(m) = 2(ln(m−1) + γ) − 2(m−1)/m; anomaly score
+      // s = 2^(−E[h]/c(n)) realized as a REAL-collapsed exp of
+      // E[h]·ln2/c(n) (the repo's no-raw-pow discipline). Scale: the
+      // bounds row and the 32-row leaf-count table broadcast; every
+      // corpus-sized step is a map. Output: top-20 anomalies.
+      (s, dir) => {
+        val p = plane(s, dir)
+        val mm = p.agg(min(col("x")).as("xmn"), max(col("x")).as("xmx"),
+          min(col("y")).as("ymn"), max(col("y")).as("ymx"),
+          count(lit(1)).as("n"))
+        val lf = T.freeze(p.crossJoin(broadcast(mm)).selectExpr(
+          (Seq("id", "n") ++ (0 until 4).map(t => s"${ifoLeafExpr(t)} AS l$t")): _*))
+        val tl = lf.selectExpr("id", "n",
+          "stack(4, 0, l0, 1, l1, 2, l2, 3, l3) AS (tree, leaf)")
+        val cnt = tl.groupBy("tree", "leaf").agg(count(lit(1)).as("c"))
+        val h = tl.join(broadcast(cnt), Seq("tree", "leaf"))
+          .selectExpr("id", "n", s"3e0 + ${ifoC("c", "FLOAT")} AS h")
+        val eh = h.groupBy("id", "n").agg((T.xsum(col("h")) / lit(4.0)).as("eh"))
+        eh.selectExpr("id", "eh",
+            s"CAST(CAST(exp(-(eh / ${ifoC("n", "FLOAT")}) * 6.931471805599453e-1) AS FLOAT) AS DOUBLE) AS score")
+          .orderBy(col("score").desc, col("id")).limit(20)
+          .selectExpr("id", "round(eh, 6) AS path_len", "round(score, 6) AS iforest")
+      },
+      Some(s"""WITH pts AS (SELECT vec_id AS id,
+                   CAST(embedding[1] AS DOUBLE) AS x,
+                   CAST(embedding[2] AS DOUBLE) AS y FROM embeddings),
+                 mm AS (SELECT min(x) AS xmn, max(x) AS xmx,
+                     min(y) AS ymn, max(y) AS ymx, count(*) AS n FROM pts),
+                 b AS MATERIALIZED (SELECT id, n,
+                     ${(0 until 4).map(t => s"${ifoLeafExpr(t)} AS l$t").mkString(",\n                     ")}
+                   FROM pts CROSS JOIN mm),
+                 tl AS (${(0 until 4).map(t =>
+                     s"SELECT id, n, $t AS tree, l$t AS leaf FROM b")
+                   .mkString("\n                   UNION ALL ")}),
+                 cnt AS (SELECT tree, leaf, count(*) AS c FROM tl
+                   GROUP BY tree, leaf),
+                 h AS (SELECT id, n, 3e0 + ${ifoC("c", "REAL")} AS h
+                   FROM tl JOIN cnt USING (tree, leaf)),
+                 eh AS (SELECT id, n, ${T.sqlXsum("h")} / 4e0 AS eh
+                   FROM h GROUP BY id, n)
+               SELECT id, round(eh, 6) AS path_len, round(score, 6) AS iforest
+               FROM (SELECT id, eh,
+                   CAST(CAST(exp(-(eh / ${ifoC("n", "REAL")}) * 6.931471805599453e-1) AS REAL) AS DOUBLE) AS score
+                 FROM eh) t
                ORDER BY score DESC, id LIMIT 20""")),
 
     QueryDef(

@@ -224,6 +224,20 @@ class CurationSpec extends SparkSpec {
     assert(dtw <= l1 + 1e-6, s"dtw=$dtw must be <= diagonal L1=$l1")
   }
 
+  test("ml_isolation_forest: scores in (0,1), inverse-monotone in path length") {
+    val rows = q("ml_isolation_forest").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val sc = r.getAs[Double]("iforest"); val pl = r.getAs[Double]("path_len")
+      assert(sc > 0 && sc < 1, s"score $sc out of (0,1)")
+      assert(pl >= 3.0 - 1e-9, "every point descends all 3 levels")
+    }
+    // s = 2^(-E[h]/c(n)) is strictly decreasing in E[h]: the top-20
+    // (sorted by score desc) must be sorted by path_len asc.
+    val pls = rows.map(_.getAs[Double]("path_len"))
+    assert(pls.zip(pls.drop(1)).forall { case (a, b) => a <= b + 1e-9 })
+  }
+
   test("graph_harmonic_centrality: probes in the seed class, harmonic consistent") {
     val rows = q("graph_harmonic_centrality").collect()
     assert(rows.nonEmpty && rows.length <= 3)
