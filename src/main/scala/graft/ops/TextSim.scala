@@ -67,17 +67,27 @@ object TextSim {
   }
 
   /** The 8-hash MinHash signature table (doc_id, h0..h7). */
-  private[ops] def sigTable(s: SparkSession, dir: String): DataFrame = {
+  private[ops] def sigTable(s: SparkSession, dir: String): DataFrame =
+    sigTableOf(shingleTids(s, dir))
+
+  /** [[sigTable]] over an already-computed shingle table — lets a caller
+    * that needs BOTH the shingles and the signatures (the accuracy audit)
+    * pay the explode pass once. min per hash is multiset-invariant, so a
+    * distinct'd tid table yields the identical signature. */
+  private[ops] def sigTableOf(tids: DataFrame): DataFrame = {
     val hs = (0 until 8).map(i =>
       min((lit(A(i)) * col("tid") + lit(B(i))) % lit(P)).as(s"h$i"))
-    shingleTids(s, dir).groupBy("doc_id").agg(hs.head, hs.tail: _*)
+    tids.groupBy("doc_id").agg(hs.head, hs.tail: _*)
   }
 
   /** MinHash banded candidate pairs (doc_a < doc_b, distinct, unordered) —
     * the body of dedup_minhash, shared with dedup_cluster (Dedup.scala),
     * which runs connected components over exactly this pair set. */
-  private[ops] def minhashPairs(s: SparkSession, dir: String): DataFrame = {
-    val sig = sigTable(s, dir)
+  private[ops] def minhashPairs(s: SparkSession, dir: String): DataFrame =
+    minhashPairsOf(sigTable(s, dir))
+
+  /** [[minhashPairs]] over an already-computed signature table. */
+  private[ops] def minhashPairsOf(sig: DataFrame): DataFrame = {
     val bandStructs = (0 until 2).map(b =>
       struct(lit(b).as("band"),
         col(s"h${4 * b}").as("k1"), col(s"h${4 * b + 1}").as("k2"),
@@ -647,15 +657,20 @@ object TextSim {
       // pairs (join on doc_id then tid — Σ|doc| per candidate, never
       // all-pairs); est is a model-width comparison of two 8-value rows.
       // All arithmetic is exact integer ratios — bit-deterministic.
+      // The shingle explode (the expensive corpus pass) runs ONCE: the
+      // distinct'd tid table is pinned and feeds signatures, banding,
+      // AND the exact-Jaccard side (r12 — it ran 3× before, the
+      // registry's slowest sequential row at 10 s; min-per-hash is
+      // multiset-invariant so the distinct is signature-neutral).
       (s, dir) => {
-        val pairs = T.freeze(minhashPairs(s, dir))
-        val sig = sigTable(s, dir)
+        val tids = T.pin(shingleTids(s, dir).distinct())
+        val sig = T.pin(sigTableOf(tids))
+        val pairs = T.freeze(minhashPairsOf(sig))
         val sa = sig.toDF("doc_a" +: (0 until 8).map(i => s"a$i"): _*)
         val sb = sig.toDF("doc_b" +: (0 until 8).map(i => s"b$i"): _*)
         val estExpr = (0 until 8)
           .map(i => s"(CASE WHEN a$i = b$i THEN 1 ELSE 0 END)")
           .mkString("(", " + ", ") / 8e0")
-        val tids = shingleTids(s, dir).distinct()
         val na = tids.groupBy(col("doc_id").as("doc_a"))
           .agg(count(lit(1)).as("na"))
         val nb = tids.groupBy(col("doc_id").as("doc_b"))
