@@ -192,6 +192,78 @@ object Behavior {
                FROM pr CROSS JOIN g ORDER BY lag""")),
 
     QueryDef(
+      "ml_pacf",
+      // Partial autocorrelation at lags 1–3 via the Durbin–Levinson
+      // recursion on the ACF values (Box & Jenkins' AR-order diagnostic —
+      // the plot a tsa user reads next to ml_acf to pick p):
+      // φ11 = ρ1; φ22 = (ρ2 − ρ1²)/(1 − ρ1²); φ21 = ρ1(1 − φ22);
+      // φ33 = (ρ3 − φ21ρ2 − φ22ρ1)/(1 − φ21ρ1 − φ22ρ2). The ρ's come
+      // from the same all-BIGINT lag-pair moments as ml_acf; the
+      // recursion is a bounded shared-text double cascade on the 1-row
+      // pivot — nothing corpus-scale beyond the daily aggregation.
+      (s, dir) => {
+        val daily = T.events(s, dir)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("y"))
+          .withColumn("t", row_number().over(Window.orderBy("day")))
+        val a = daily.select(col("t").as("ta"), col("y").as("ya"))
+        val b = daily.select(col("t").as("tb"), col("y").as("yb"))
+        val pairs = a.join(b,
+            col("ta") - col("tb") >= 1 && col("ta") - col("tb") <= 3)
+          .groupBy((col("ta") - col("tb")).cast("long").as("lag"))
+          .agg(count(lit(1)).as("m"),
+            sum(col("ya") * col("yb")).as("sxy"),
+            sum(col("ya")).as("sa"), sum(col("yb")).as("sb"))
+        val glob = daily.agg(count(lit(1)).as("n"), sum(col("y")).as("sy"),
+          sum(col("y") * col("y")).as("syy"))
+        pairs.crossJoin(broadcast(glob))
+          .selectExpr("lag", s"($acfNum) / ($acfDen) AS r")
+          .agg(
+            max(when(col("lag") === 1, col("r"))).as("r1"),
+            max(when(col("lag") === 2, col("r"))).as("r2"),
+            max(when(col("lag") === 3, col("r"))).as("r3"))
+          .selectExpr("r1", "r2", "r3",
+            "(r2 - r1 * r1) / (1e0 - r1 * r1) AS p22")
+          .selectExpr("r1", "r2", "r3", "p22", "r1 * (1e0 - p22) AS p21")
+          .selectExpr("r1", "p22",
+            "(r3 - p21 * r2 - p22 * r1) / (1e0 - p21 * r1 - p22 * r2) AS p33")
+          .selectExpr("stack(3, 1L, r1, 2L, p22, 3L, p33) AS (lag, pacf)")
+          .selectExpr("lag", "round(pacf, 6) AS pacf")
+          .orderBy("lag")
+      },
+      Some(s"""WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS y
+                              FROM events GROUP BY 1),
+                 idx AS (SELECT y, row_number() OVER (ORDER BY day) AS t
+                         FROM daily),
+                 pr AS (SELECT CAST(a.t - b.t AS BIGINT) AS lag, count(*) AS m,
+                     CAST(sum(a.y * b.y) AS BIGINT) AS sxy,
+                     CAST(sum(a.y) AS BIGINT) AS sa,
+                     CAST(sum(b.y) AS BIGINT) AS sb
+                   FROM idx a JOIN idx b
+                     ON a.t - b.t BETWEEN 1 AND 3
+                   GROUP BY 1),
+                 g AS (SELECT count(*) AS n, CAST(sum(y) AS BIGINT) AS sy,
+                     CAST(sum(y * y) AS BIGINT) AS syy
+                   FROM idx),
+                 ac AS (SELECT lag, ($acfNum) / ($acfDen) AS r
+                   FROM pr CROSS JOIN g),
+                 rv AS (SELECT max(CASE WHEN lag = 1 THEN r END) AS r1,
+                     max(CASE WHEN lag = 2 THEN r END) AS r2,
+                     max(CASE WHEN lag = 3 THEN r END) AS r3 FROM ac),
+                 s2 AS (SELECT r1, r2, r3,
+                     (r2 - r1 * r1) / (1e0 - r1 * r1) AS p22 FROM rv),
+                 s3 AS (SELECT r1, r2, r3, p22,
+                     r1 * (1e0 - p22) AS p21 FROM s2),
+                 s4 AS (SELECT r1, p22,
+                     (r3 - p21 * r2 - p22 * r1) / (1e0 - p21 * r1 - p22 * r2) AS p33
+                   FROM s3)
+               SELECT lag, round(pacf, 6) AS pacf FROM (
+                 SELECT CAST(1 AS BIGINT) AS lag, r1 AS pacf FROM s4
+                 UNION ALL SELECT 2, p22 FROM s4
+                 UNION ALL SELECT 3, p33 FROM s4) t
+               ORDER BY lag""")),
+
+    QueryDef(
       "ml_cox_ph",
       // Cox proportional-hazards time-to-conversion regression — does
       // activity level (a user's event count) predict how fast they reach

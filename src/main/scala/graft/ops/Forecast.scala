@@ -1211,7 +1211,98 @@ object Forecast {
                SELECT CAST(nn.n AS BIGINT) AS n_days, round(a.c, 6) AS dtw,
                  round(a.c / (2e0 * nn.n), 6) AS dtw_norm
                FROM alld a, nn WHERE a.i = nn.n AND a.j = nn.n"""
-      })
+      }),
+
+    QueryDef(
+      "ml_granger_f",
+      // Granger-causality F-test (Granger 1969): does yesterday's 'view'
+      // count help predict today's 'click' count beyond yesterday's
+      // 'click'? Unrestricted OLS click_t ~ [1, click_{t−1}, view_{t−1}]
+      // vs restricted click_t ~ [1, click_{t−1}];
+      // F = (SSR_r − SSR_u) / (SSR_u / (n − 3)) with 1 numerator df.
+      // Every regression input is an all-BIGINT moment of the lagged
+      // day table (ONE daily aggregate + a t/t−1 self-join on ≤ day-range
+      // rows); the centered 2×2 Cramer solve and both SSR identities are
+      // one shared-text double cascade — bit-deterministic, the ml_acf
+      // discipline. Output: n, both SSRs, the F statistic.
+      (s, dir) => {
+        val daily = T.events(s, dir)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("c"),
+               sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("v"))
+          .withColumn("t", row_number().over(Window.orderBy("day")))
+        val cur = daily.select(col("t"), col("c").as("y"))
+        val lag = daily.select((col("t") + 1).as("t"),
+          col("c").as("x1"), col("v").as("x2"))
+        val m = cur.join(lag, "t")
+          .agg(count(lit(1)).as("n"),
+            sum(col("y")).as("sy"), sum(col("x1")).as("s1"),
+            sum(col("x2")).as("s2"),
+            sum(col("x1") * col("x1")).as("s11"),
+            sum(col("x2") * col("x2")).as("s22"),
+            sum(col("x1") * col("x2")).as("s12"),
+            sum(col("x1") * col("y")).as("s1y"),
+            sum(col("x2") * col("y")).as("s2y"),
+            sum(col("y") * col("y")).as("syy"))
+        m.selectExpr("CAST(n AS DOUBLE) AS nd", "n",
+            "CAST(s11 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n AS c11",
+            "CAST(s22 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n AS c22",
+            "CAST(s12 AS DOUBLE) - CAST(s1 AS DOUBLE) * s2 / n AS c12",
+            "CAST(s1y AS DOUBLE) - CAST(s1 AS DOUBLE) * sy / n AS c1y",
+            "CAST(s2y AS DOUBLE) - CAST(s2 AS DOUBLE) * sy / n AS c2y",
+            "CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n AS cyy")
+          .selectExpr("n", "nd", "cyy", "c1y", "c11",
+            "(c1y * c22 - c2y * c12) / (c11 * c22 - c12 * c12) AS b1",
+            "(c2y * c11 - c1y * c12) / (c11 * c22 - c12 * c12) AS b2",
+            "c2y")
+          .selectExpr("n", "nd",
+            "cyy - b1 * c1y - b2 * c2y AS ssr_u",
+            "cyy - (c1y / c11) * c1y AS ssr_r")
+          .selectExpr("n",
+            "round(ssr_u, 6) AS ssr_unrestricted",
+            "round(ssr_r, 6) AS ssr_restricted",
+            "round((ssr_r - ssr_u) / (ssr_u / (nd - 3e0)), 6) AS f_stat")
+      },
+      Some("""WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+                     sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c,
+                     sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS v
+                   FROM events GROUP BY 1),
+                 idx AS (SELECT c, v, row_number() OVER (ORDER BY day) AS t
+                         FROM daily),
+                 j AS (SELECT cur.c AS y, lg.c AS x1, lg.v AS x2
+                   FROM idx cur JOIN idx lg ON cur.t = lg.t + 1),
+                 m AS (SELECT count(*) AS n,
+                     CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x1) AS BIGINT) AS s1,
+                     CAST(sum(x2) AS BIGINT) AS s2,
+                     CAST(sum(x1 * x1) AS BIGINT) AS s11,
+                     CAST(sum(x2 * x2) AS BIGINT) AS s22,
+                     CAST(sum(x1 * x2) AS BIGINT) AS s12,
+                     CAST(sum(x1 * y) AS BIGINT) AS s1y,
+                     CAST(sum(x2 * y) AS BIGINT) AS s2y,
+                     CAST(sum(y * y) AS BIGINT) AS syy
+                   FROM j),
+                 cm AS (SELECT CAST(n AS DOUBLE) AS nd, n,
+                     CAST(s11 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n AS c11,
+                     CAST(s22 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n AS c22,
+                     CAST(s12 AS DOUBLE) - CAST(s1 AS DOUBLE) * s2 / n AS c12,
+                     CAST(s1y AS DOUBLE) - CAST(s1 AS DOUBLE) * sy / n AS c1y,
+                     CAST(s2y AS DOUBLE) - CAST(s2 AS DOUBLE) * sy / n AS c2y,
+                     CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n AS cyy
+                   FROM m),
+                 sol AS (SELECT n, nd, cyy, c1y, c11,
+                     (c1y * c22 - c2y * c12) / (c11 * c22 - c12 * c12) AS b1,
+                     (c2y * c11 - c1y * c12) / (c11 * c22 - c12 * c12) AS b2,
+                     c2y
+                   FROM cm),
+                 ssr AS (SELECT n, nd,
+                     cyy - b1 * c1y - b2 * c2y AS ssr_u,
+                     cyy - (c1y / c11) * c1y AS ssr_r
+                   FROM sol)
+               SELECT n,
+                 round(ssr_u, 6) AS ssr_unrestricted,
+                 round(ssr_r, 6) AS ssr_restricted,
+                 round((ssr_r - ssr_u) / (ssr_u / (nd - 3e0)), 6) AS f_stat
+               FROM ssr"""))
   )
 
   /** Shared scalar cascade for ml_auto_arima: widen the conditional BIGINT

@@ -1977,6 +1977,82 @@ object ML {
               FROM a GROUP BY cid ORDER BY cid""")),
 
     QueryDef(
+      "ml_kmeans_minibatch",
+      // Mini-batch k-means update (Sculley 2010 — cuML/sklearn
+      // MiniBatchKMeans [R]): ONE update round on a deterministic ~10%
+      // batch (affine hash of vec_id — the sampled-negatives discipline),
+      // per-center learning rate η = n_b / (n_b + N0) with prior count
+      // N0 = 100 (the streaming-counts schedule with a warm prior), new
+      // center c′ = c + η·(batch_mean − c). The at-scale point: the
+      // corpus pass touches ONLY the batch (the hash predicate prunes
+      // before the distance crossJoin), so a round costs 10% of a full
+      // Lloyd round — the reason mini-batch exists. Weighted means ride
+      // the exact-decimal wire; η and the convex update are shared text.
+      (s, dir) => {
+        val e = T.embeddings(s, dir)
+        val cent = e.where(col("vec_id") < 10)
+          .select(col("vec_id").as("cid"), col("embedding").as("c_emb"))
+        val batch = e.where((col("vec_id") * 48271L + 11L) % T.HASH_P % 10 === 0)
+        val dist = graft.functions.Vec.l2(s, "embedding", "c_emb")
+        val w = Window.partitionBy(col("vec_id")).orderBy(col("d"), col("cid"))
+        val bm = batch.transform(T.fanOut(_, col("vec_id")))
+          .crossJoin(broadcast(cent))
+          .select(col("vec_id"), col("embedding"), col("cid"), dist.as("d"))
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .groupBy("cid")
+          .agg(count(lit(1)).as("nb"),
+            (T.xsum(element_at(col("embedding"), 1).cast("double")) / count(lit(1))).as("b1"),
+            (T.xsum(element_at(col("embedding"), 2).cast("double")) / count(lit(1))).as("b2"),
+            (T.xsum(element_at(col("embedding"), 3).cast("double")) / count(lit(1))).as("b3"),
+            (T.xsum(element_at(col("embedding"), 4).cast("double")) / count(lit(1))).as("b4"))
+        cent.join(bm, "cid")
+          .selectExpr("cid", "nb",
+            "CAST(nb AS DOUBLE) / (nb + 100e0) AS eta0",
+            // element_at is 1-based in Spark; bare [k] would be 0-based
+            // (DuckDB's [k] is 1-based — the one indexing split)
+            "CAST(element_at(c_emb, 1) AS DOUBLE) AS c1",
+            "CAST(element_at(c_emb, 2) AS DOUBLE) AS c2",
+            "CAST(element_at(c_emb, 3) AS DOUBLE) AS c3",
+            "CAST(element_at(c_emb, 4) AS DOUBLE) AS c4",
+            "b1", "b2", "b3", "b4")
+          .selectExpr("cid", "nb", "round(eta0, 6) AS eta",
+            "round(c1 + eta0 * (b1 - c1), 6) AS m1",
+            "round(c2 + eta0 * (b2 - c2), 6) AS m2",
+            "round(c3 + eta0 * (b3 - c3), 6) AS m3",
+            "round(c4 + eta0 * (b4 - c4), 6) AS m4")
+          .orderBy("cid")
+      },
+      Some(s"""WITH cent AS (SELECT vec_id AS cid, embedding AS c_emb
+                   FROM embeddings WHERE vec_id < 10),
+                 batch AS (SELECT vec_id, embedding FROM embeddings
+                   WHERE (vec_id * 48271 + 11) % ${T.HASH_P} % 10 = 0),
+                 a AS (SELECT vec_id, embedding, cid FROM (
+                   SELECT b.vec_id, b.embedding, c.cid,
+                     row_number() OVER (PARTITION BY b.vec_id
+                       ORDER BY list_distance(CAST(b.embedding AS DOUBLE[]), CAST(c.c_emb AS DOUBLE[])), c.cid) AS rn
+                   FROM batch b CROSS JOIN cent c) t
+                 WHERE rn = 1),
+                 bm AS (SELECT cid, count(*) AS nb,
+                     ${T.sqlXsum("CAST(embedding[1] AS DOUBLE)")} / count(*) AS b1,
+                     ${T.sqlXsum("CAST(embedding[2] AS DOUBLE)")} / count(*) AS b2,
+                     ${T.sqlXsum("CAST(embedding[3] AS DOUBLE)")} / count(*) AS b3,
+                     ${T.sqlXsum("CAST(embedding[4] AS DOUBLE)")} / count(*) AS b4
+                   FROM a GROUP BY cid),
+                 u AS (SELECT cent.cid, nb,
+                     CAST(nb AS DOUBLE) / (nb + 100e0) AS eta0,
+                     CAST(c_emb[1] AS DOUBLE) AS c1, CAST(c_emb[2] AS DOUBLE) AS c2,
+                     CAST(c_emb[3] AS DOUBLE) AS c3, CAST(c_emb[4] AS DOUBLE) AS c4,
+                     b1, b2, b3, b4
+                   FROM cent JOIN bm ON bm.cid = cent.cid)
+               SELECT cid, nb, round(eta0, 6) AS eta,
+                 round(c1 + eta0 * (b1 - c1), 6) AS m1,
+                 round(c2 + eta0 * (b2 - c2), 6) AS m2,
+                 round(c3 + eta0 * (b3 - c3), 6) AS m3,
+                 round(c4 + eta0 * (b4 - c4), 6) AS m4
+               FROM u ORDER BY cid""")),
+
+    QueryDef(
       "ml_kmeans_iterate",
       // 3 full Lloyd iterations — the driver-side loop is the idiomatic
       // Spark replacement for dask's dynamic task graph. The centroids are

@@ -1373,6 +1373,70 @@ object Pipeline {
                FROM pd GROUP BY source ORDER BY source""")),
 
     QueryDef(
+      "text_js_divergence",
+      // Jensen–Shannon divergence between the unigram distributions of
+      // two corpus halves (sources split by numeric-suffix parity) — THE
+      // domain-shift number a data-mixing run tracks: symmetric, bounded
+      // by ln 2, zero iff the halves speak the same unigram language
+      // (Lin 1991). One tokenize pass → per-term conditional counts →
+      // JSD = ½Σ p·ln(p/m) + ½Σ q·ln(q/m) with m = (p+q)/2, zero-count
+      // terms contributing only their present side (the 0·ln0 = 0
+      // convention). Scale: term-keyed groupBy (vocab-sized, SHUFFLED
+      // not broadcast — the unigram_lm Heaps'-law argument); the two
+      // token totals broadcast as one row; ln REAL-collapsed, sums on
+      // the exact-decimal wire. Output: vocab size, both token totals,
+      // jsd and jsd/ln2.
+      (s, dir) => {
+        val tok = T.documents(s, dir)
+          .transform(T.fanOut(_, col("doc_id")))
+          .selectExpr("CAST(substring(source, 4) AS INT) % 2 AS grp",
+            "explode(filter(split(text, ' '), t -> t <> '')) AS t")
+          .select(col("grp"), lower(col("t")).as("term"))
+        val cnt = tok.groupBy("term").agg(
+          sum(when(col("grp") === 0, 1L).otherwise(0L)).as("ca"),
+          sum(when(col("grp") === 1, 1L).otherwise(0L)).as("cb"))
+        val tot = cnt.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+        val terms = cnt.crossJoin(broadcast(tot))
+          .selectExpr("ca", "cb",
+            "CAST(ca AS DOUBLE) / na AS p", "CAST(cb AS DOUBLE) / nb AS q")
+          .selectExpr("ca", "cb", "p", "q", "(p + q) / 2e0 AS m")
+          .selectExpr(
+            "CASE WHEN ca > 0 THEN p * CAST(CAST(ln(p / m) AS FLOAT) AS DOUBLE) ELSE 0e0 END AS tp",
+            "CASE WHEN cb > 0 THEN q * CAST(CAST(ln(q / m) AS FLOAT) AS DOUBLE) ELSE 0e0 END AS tq")
+        terms.agg(count(lit(1)).as("n_terms"),
+            T.xsum(col("tp")).as("kp"), T.xsum(col("tq")).as("kq"))
+          .crossJoin(broadcast(tot))
+          .selectExpr("n_terms", "na AS n_tok_a", "nb AS n_tok_b",
+            "round((kp + kq) / 2e0, 6) AS jsd",
+            "round(((kp + kq) / 2e0) / 6.931471805599453e-1, 6) AS jsd_norm")
+      },
+      Some(s"""WITH tok AS (SELECT
+                     CAST(substr(source, 4) AS INT) % 2 AS grp,
+                     lower(unnest(list_filter(string_split(text, ' '), t -> t <> ''))) AS term
+                   FROM documents),
+                 cnt AS (SELECT term,
+                     CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+                     CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+                   FROM tok GROUP BY term),
+                 tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+                     CAST(sum(cb) AS BIGINT) AS nb FROM cnt),
+                 pq AS (SELECT ca, cb,
+                     CAST(ca AS DOUBLE) / na AS p, CAST(cb AS DOUBLE) / nb AS q
+                   FROM cnt CROSS JOIN tot),
+                 tm AS (SELECT ca, cb, p, q, (p + q) / 2e0 AS m FROM pq),
+                 kl AS (SELECT
+                     CASE WHEN ca > 0 THEN p * CAST(CAST(ln(p / m) AS REAL) AS DOUBLE) ELSE 0e0 END AS tp,
+                     CASE WHEN cb > 0 THEN q * CAST(CAST(ln(q / m) AS REAL) AS DOUBLE) ELSE 0e0 END AS tq
+                   FROM tm),
+                 agg AS (SELECT count(*) AS n_terms,
+                     ${T.sqlXsum("tp")} AS kp, ${T.sqlXsum("tq")} AS kq
+                   FROM kl)
+               SELECT n_terms, na AS n_tok_a, nb AS n_tok_b,
+                 round((kp + kq) / 2e0, 6) AS jsd,
+                 round(((kp + kq) / 2e0) / 6.931471805599453e-1, 6) AS jsd_norm
+               FROM agg CROSS JOIN tot""")),
+
+    QueryDef(
       "text_zipf",
       // Zipf's-law diagnostic — the corpus-statistics check next to
       // text_langid/text_quality: OLS of ln(freq) on ln(rank) over the

@@ -224,6 +224,45 @@ class CurationSpec extends SparkSpec {
     assert(dtw <= l1 + 1e-6, s"dtw=$dtw must be <= diagonal L1=$l1")
   }
 
+  test("ml_pacf: lag-1 PACF equals lag-1 ACF, all values in [-1, 1]") {
+    val pacf = q("ml_pacf").collect()
+      .map(r => r.getAs[Long]("lag") -> r.getAs[Double]("pacf")).toMap
+    assert(pacf.size == 3)
+    pacf.values.foreach(v => assert(v >= -1.0 - 1e-6 && v <= 1.0 + 1e-6))
+    // Durbin-Levinson base case: phi_11 = rho_1 — cross-query pin vs ml_acf
+    val acf1 = q("ml_acf").collect()
+      .find(_.getAs[Long]("lag") == 1).get.getAs[Double]("acf")
+    assert(math.abs(pacf(1L) - acf1) < 1e-6)
+  }
+
+  test("ml_granger_f: restricted SSR >= unrestricted, F >= 0") {
+    val r = q("ml_granger_f").collect()(0)
+    val u = r.getAs[Double]("ssr_unrestricted")
+    val rr = r.getAs[Double]("ssr_restricted")
+    assert(u >= 0 && rr >= u - 1e-6,
+      "adding a regressor can never increase the training SSR")
+    assert(r.getAs[Double]("f_stat") >= -1e-9)
+  }
+
+  test("ml_kmeans_minibatch: eta is the streaming-count schedule, 10 centers") {
+    val rows = q("ml_kmeans_minibatch").collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val nb = r.getAs[Long]("nb"); val eta = r.getAs[Double]("eta")
+      assert(nb >= 1)
+      assert(math.abs(eta - nb.toDouble / (nb + 100.0)) < 1e-6)
+      assert(eta > 0 && eta < 1)
+    }
+  }
+
+  test("text_js_divergence: bounded by ln 2, norm in [0, 1]") {
+    val r = q("text_js_divergence").collect()(0)
+    val j = r.getAs[Double]("jsd"); val jn = r.getAs[Double]("jsd_norm")
+    assert(j >= -1e-9 && j <= math.log(2.0) + 1e-6)
+    assert(jn >= -1e-9 && jn <= 1.0 + 1e-6)
+    assert(math.abs(jn - j / math.log(2.0)) < 1e-5)
+  }
+
   test("ml_isolation_forest: scores in (0,1), inverse-monotone in path length") {
     val rows = q("ml_isolation_forest").collect()
     assert(rows.nonEmpty)
