@@ -839,6 +839,49 @@ object Aggregates {
                  ${interp("0.75", "q75")} AS p75,
                  max_v AS max
                FROM m JOIN q USING (feature) ORDER BY feature"""
-      })
+      }),
+
+    QueryDef(
+      "agg_weighted_median",
+      // Weighted median of l_quantity with revenue weights — the robust
+      // location estimate a skew-aware rollup reports (the 50% revenue
+      // quantity, not the 50% row-count one). l_quantity's value domain
+      // is bounded (integral 1..50), so the whole computation after ONE
+      // map-side-combined (value → Σweight) aggregate is a ≤50-row
+      // cumulative window: the median is the least v with
+      // 2·cumw ≥ total. Weights are parquet DECIMALs summed exactly and
+      // COMPARED in decimal (2·cumw is exact), so the pick is
+      // bit-deterministic in both engines — no double enters until the
+      // output cast.
+      (s, dir) => {
+        val byV = T.lineitem(s, dir)
+          .groupBy(col("l_quantity").as("v"))
+          .agg(sum(col("l_extendedprice")).as("w"))
+        val wc = Window.orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wg = Window.partitionBy()
+        byV.select(col("v"), col("w"),
+            sum(col("w")).over(wc).as("cw"),
+            sum(col("w")).over(wg).as("tot"),
+            count(lit(1)).over(wg).as("nv"))
+          .where(col("cw") * 2 >= col("tot"))
+          .agg(min(col("v")).as("mv"), first(col("tot")).as("tot"),
+            first(col("nv")).as("nv"))
+          .selectExpr("CAST(mv AS DOUBLE) AS weighted_median",
+            "round(CAST(tot AS DOUBLE), 2) AS total_weight",
+            "nv AS n_values")
+      },
+      Some("""WITH byv AS (SELECT l_quantity AS v, sum(l_extendedprice) AS w
+                 FROM lineitem GROUP BY l_quantity),
+                 cum AS (SELECT v, w,
+                     sum(w) OVER (ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+                     sum(w) OVER () AS tot,
+                     count(*) OVER () AS nv
+                   FROM byv)
+               SELECT CAST(min(v) AS DOUBLE) AS weighted_median,
+                 round(CAST(any_value(tot) AS DOUBLE), 2) AS total_weight,
+                 CAST(any_value(nv) AS BIGINT) AS n_values
+               FROM cum WHERE cw * 2 >= tot"""))
   )
 }

@@ -264,6 +264,57 @@ object Behavior {
                ORDER BY lag""")),
 
     QueryDef(
+      "ml_kendall_tau",
+      // Kendall's τ-b between the daily 'click' and 'view' series — the
+      // rank-correlation sibling of ml_spearman_corr that is robust to
+      // ties (Kendall 1945's tie-corrected form):
+      // τ_b = (C − D) / √((n0 − t_x)(n0 − t_y)) with n0 = n(n−1)/2 and
+      // t the tied-pair counts. The pair enumeration is a bounded
+      // self-join on the day table (≤ day-range², never corpus rows);
+      // C/D/t are exact BIGINT counts, so the only doubles are the two
+      // √ of integer-valued operands — bit-deterministic.
+      (s, dir) => {
+        val daily = T.events(s, dir)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"),
+               sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("y"))
+          .withColumn("t", row_number().over(Window.orderBy("day")))
+        val a = daily.selectExpr("t AS ta", "x AS xa", "y AS ya")
+        val b = daily.selectExpr("t AS tb", "x AS xb", "y AS yb")
+        a.join(b, col("ta") < col("tb"))
+          .agg(count(lit(1)).as("n0"),
+            sum(when((col("xa") < col("xb") && col("ya") < col("yb")) ||
+                     (col("xa") > col("xb") && col("ya") > col("yb")), 1L)
+              .otherwise(0L)).as("c"),
+            sum(when((col("xa") < col("xb") && col("ya") > col("yb")) ||
+                     (col("xa") > col("xb") && col("ya") < col("yb")), 1L)
+              .otherwise(0L)).as("d"),
+            sum(when(col("xa") === col("xb"), 1L).otherwise(0L)).as("tx"),
+            sum(when(col("ya") === col("yb"), 1L).otherwise(0L)).as("ty"))
+          .selectExpr("n0", "c AS concordant", "d AS discordant",
+            "round(CAST(c - d AS DOUBLE) / " +
+              "(sqrt(CAST(n0 - tx AS DOUBLE)) * sqrt(CAST(n0 - ty AS DOUBLE))), 6) AS tau_b")
+      },
+      Some("""WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+                     sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS x,
+                     sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS y
+                   FROM events GROUP BY 1),
+                 idx AS (SELECT x, y, row_number() OVER (ORDER BY day) AS t
+                         FROM daily),
+                 pr AS (SELECT count(*) AS n0,
+                     CAST(sum(CASE WHEN (a.x < b.x AND a.y < b.y)
+                       OR (a.x > b.x AND a.y > b.y) THEN 1 ELSE 0 END) AS BIGINT) AS c,
+                     CAST(sum(CASE WHEN (a.x < b.x AND a.y > b.y)
+                       OR (a.x > b.x AND a.y < b.y) THEN 1 ELSE 0 END) AS BIGINT) AS d,
+                     CAST(sum(CASE WHEN a.x = b.x THEN 1 ELSE 0 END) AS BIGINT) AS tx,
+                     CAST(sum(CASE WHEN a.y = b.y THEN 1 ELSE 0 END) AS BIGINT) AS ty
+                   FROM idx a JOIN idx b ON a.t < b.t)
+               SELECT n0, c AS concordant, d AS discordant,
+                 round(CAST(c - d AS DOUBLE) /
+                   (sqrt(CAST(n0 - tx AS DOUBLE)) * sqrt(CAST(n0 - ty AS DOUBLE))), 6) AS tau_b
+               FROM pr""")),
+
+    QueryDef(
       "ml_cox_ph",
       // Cox proportional-hazards time-to-conversion regression — does
       // activity level (a user's event count) predict how fast they reach

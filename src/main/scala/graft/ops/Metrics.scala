@@ -1686,6 +1686,108 @@ object Metrics {
                FROM ex""")),
 
     QueryDef(
+      "ml_cramers_v",
+      // Cramér's V — the [0,1]-normalized effect size over ml_chi2_test's
+      // statistic (the number a feature-screening run actually thresholds,
+      // since raw χ² grows with n): V = √(χ²/(n·min(r−1, c−1))). Same
+      // one-pass bounded contingency wire; √ is IEEE-correctly-rounded so
+      // it needs no collapse.
+      (s, dir) => {
+        val ct = T.lineitem(s, dir)
+          .groupBy(col("l_returnflag").as("rf"), col("l_linestatus").as("ls"))
+          .agg(count(lit(1)).as("o"))
+        val wr = Window.partitionBy(col("rf"))
+        val wc = Window.partitionBy(col("ls"))
+        val wg = Window.partitionBy()
+        ct.select(col("rf"), col("ls"), col("o"),
+            sum(col("o")).over(wr).as("rt"),
+            sum(col("o")).over(wc).as("st"),
+            sum(col("o")).over(wg).as("n"))
+          .selectExpr("rf", "ls", "o", "n",
+            "CAST(rt AS DOUBLE) * st / n AS e")
+          .agg(T.xsum(expr("(o - e) * (o - e) / e")).as("chi2"),
+            countDistinct(col("rf")).as("r"),
+            countDistinct(col("ls")).as("c"),
+            first(col("n")).as("n"))
+          .selectExpr("round(chi2, 6) AS chi2", "n",
+            "CAST(least(r - 1, c - 1) AS INT) AS min_dim",
+            "round(sqrt(chi2 / (CAST(n AS DOUBLE) * least(r - 1, c - 1))), 6) AS cramers_v")
+      },
+      Some("""WITH ct AS (SELECT l_returnflag AS rf, l_linestatus AS ls,
+                   count(*) AS o
+                 FROM lineitem GROUP BY rf, ls),
+                 mg AS (SELECT rf, ls, o,
+                     sum(o) OVER (PARTITION BY rf) AS rt,
+                     sum(o) OVER (PARTITION BY ls) AS st,
+                     sum(o) OVER () AS n
+                   FROM ct),
+                 ex AS (SELECT rf, ls, o, n,
+                     CAST(rt AS DOUBLE) * st / n AS e FROM mg),
+                 ag AS (SELECT
+                     CAST(sum(CAST(((o - e) * (o - e) / e) AS DECIMAL(30,12))) AS DOUBLE) AS chi2,
+                     count(DISTINCT rf) AS r, count(DISTINCT ls) AS c,
+                     CAST(any_value(n) AS BIGINT) AS n
+                   FROM ex)
+               SELECT round(chi2, 6) AS chi2, n,
+                 CAST(least(r - 1, c - 1) AS INT) AS min_dim,
+                 round(sqrt(chi2 / (CAST(n AS DOUBLE) * least(r - 1, c - 1))), 6) AS cramers_v
+               FROM ag""")),
+
+    QueryDef(
+      "ml_bartlett",
+      // Bartlett's test of variance homogeneity across the returnflag
+      // groups (Snedecor & Cochran §10.21 — the ANOVA precondition check
+      // completing the test family next to ml_ab_ttest / ml_ks_test /
+      // ml_mannwhitney_u): X² = [(N−k)·ln(S_p²) − Σ(n_i−1)·ln(s_i²)] / C
+      // with C = 1 + (Σ 1/(n_i−1) − 1/(N−k)) / (3(k−1)). ONE map-side
+      // contingency-free moment pass (per-group n/Σy/Σy² on the exact
+      // wire); everything after is a k-row reduction — ln REAL-collapsed,
+      // per-group terms re-summed on the decimal wire.
+      (s, dir) => {
+        val g = T.lineitem(s, dir)
+          .select(col("l_returnflag").as("rf"),
+            col("l_extendedprice").cast("double").as("y"))
+          .groupBy("rf")
+          .agg(count(lit(1)).as("ni"),
+            T.xsum(col("y")).as("sy"), T.xsum(col("y") * col("y")).as("syy"))
+          .selectExpr("rf", "ni",
+            "(syy - sy * sy / ni) / (ni - 1) AS s2")
+        g.agg(count(lit(1)).as("k"),
+            sum(col("ni")).as("nn"),
+            T.xsum(expr("(ni - 1) * CAST(CAST(ln(s2) AS FLOAT) AS DOUBLE)")).as("sl"),
+            T.xsum(expr("(ni - 1) * s2")).as("sp"),
+            T.xsum(expr("1e0 / (ni - 1)")).as("si"))
+          .selectExpr("k", "nn", "sl", "si",
+            "sp / (nn - k) AS sp2")
+          .selectExpr("k", "nn",
+            "((nn - k) * CAST(CAST(ln(sp2) AS FLOAT) AS DOUBLE) - sl) AS num",
+            "1e0 + (si - 1e0 / (nn - k)) / (3e0 * (k - 1)) AS corr")
+          .selectExpr("CAST(k AS INT) AS k", "nn AS n",
+            "round(num / corr, 6) AS bartlett",
+            "round(corr, 6) AS correction")
+      },
+      Some(s"""WITH g AS (SELECT l_returnflag AS rf, count(*) AS ni,
+                     ${T.sqlXsum("CAST(l_extendedprice AS DOUBLE)")} AS sy,
+                     ${T.sqlXsum("CAST(l_extendedprice AS DOUBLE) * CAST(l_extendedprice AS DOUBLE)")} AS syy
+                   FROM lineitem GROUP BY rf),
+                 v AS (SELECT rf, ni, (syy - sy * sy / ni) / (ni - 1) AS s2
+                   FROM g),
+                 ag AS (SELECT count(*) AS k, CAST(sum(ni) AS BIGINT) AS nn,
+                     ${T.sqlXsum("(ni - 1) * CAST(CAST(ln(s2) AS REAL) AS DOUBLE)")} AS sl,
+                     ${T.sqlXsum("(ni - 1) * s2")} AS sp,
+                     ${T.sqlXsum("1e0 / (ni - 1)")} AS si
+                   FROM v),
+                 s1 AS (SELECT k, nn, sl, si, sp / (nn - k) AS sp2 FROM ag),
+                 s2t AS (SELECT k, nn,
+                     ((nn - k) * CAST(CAST(ln(sp2) AS REAL) AS DOUBLE) - sl) AS num,
+                     1e0 + (si - 1e0 / (nn - k)) / (3e0 * (k - 1)) AS corr
+                   FROM s1)
+               SELECT CAST(k AS INT) AS k, nn AS n,
+                 round(num / corr, 6) AS bartlett,
+                 round(corr, 6) AS correction
+               FROM s2t""")),
+
+    QueryDef(
       "ml_corr_matrix",
       // DataFrame.corr() — the cudf/pandas correlation matrix [R] over
       // (quantity, extendedprice, discount, tax): ALL 6 pairwise Pearson

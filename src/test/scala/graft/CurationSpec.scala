@@ -224,6 +224,37 @@ class CurationSpec extends SparkSpec {
     assert(dtw <= l1 + 1e-6, s"dtw=$dtw must be <= diagonal L1=$l1")
   }
 
+  test("ml_cramers_v: V in [0,1] and consistent with its chi2") {
+    val r = q("ml_cramers_v").collect()(0)
+    val v = r.getAs[Double]("cramers_v"); val chi2 = r.getAs[Double]("chi2")
+    val n = r.getAs[Long]("n"); val md = r.getAs[Int]("min_dim")
+    assert(v >= 0 && v <= 1.0 + 1e-9)
+    assert(math.abs(v * v * n * md - chi2) < 1e-2 * math.max(chi2, 1.0))
+  }
+
+  test("ml_bartlett: statistic non-negative, correction factor > 1") {
+    val r = q("ml_bartlett").collect()(0)
+    assert(r.getAs[Double]("bartlett") >= -1e-6)
+    assert(r.getAs[Double]("correction") > 1.0)
+  }
+
+  test("ml_kendall_tau: |tau| <= 1 and C + D <= n0") {
+    val r = q("ml_kendall_tau").collect()(0)
+    val c = r.getAs[Long]("concordant"); val d = r.getAs[Long]("discordant")
+    val n0 = r.getAs[Long]("n0")
+    assert(c >= 0 && d >= 0 && c + d <= n0)
+    val t = r.getAs[Double]("tau_b")
+    assert(t >= -1.0 - 1e-9 && t <= 1.0 + 1e-9)
+  }
+
+  test("agg_weighted_median: integral quantity in domain, positive mass") {
+    val r = q("agg_weighted_median").collect()(0)
+    val m = r.getAs[Double]("weighted_median")
+    assert(m >= 1.0 && m <= 50.0 && m == math.floor(m),
+      "l_quantity domain is integral 1..50")
+    assert(r.getAs[Double]("total_weight") > 0)
+  }
+
   test("ml_pacf: lag-1 PACF equals lag-1 ACF, all values in [-1, 1]") {
     val pacf = q("ml_pacf").collect()
       .map(r => r.getAs[Long]("lag") -> r.getAs[Double]("pacf")).toMap
