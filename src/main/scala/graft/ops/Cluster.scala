@@ -3127,6 +3127,70 @@ object Cluster {
                ORDER BY score DESC, id LIMIT 20""")),
 
     QueryDef(
+      "ml_hopkins",
+      // Hopkins clusterability statistic (Hopkins & Skellam 1954; the
+      // pre-clustering sanity check sklearn users compute by hand):
+      // H = Σu / (Σu + Σw) where u = nearest-data distances of m
+      // synthetic UNIFORM probes over the bounding box and w = nearest-
+      // OTHER distances of m hash-sampled data points; H → 1 on
+      // clustered data, ≈ ½ on uniform noise. Determinized per the
+      // sampled-negatives discipline: probe coordinates and the data
+      // sample come from affine hashes (shared text); distances enter as
+      // d² (the d-th power for the 2-d plane, so no √ at all). Scale:
+      // both NN passes are (broadcast model-sized probes) × corpus maps
+      // + a bounded groupBy — never pairs. Output: m's and H.
+      (s, dir) => {
+        val p = plane(s, dir)
+        val mm = p.agg(min(col("x")).as("xmn"), max(col("x")).as("xmx"),
+          min(col("y")).as("ymn"), max(col("y")).as("ymx"))
+        val spark = s
+        import spark.implicits._
+        val probes = broadcast((0 until 20).toDF("i").crossJoin(broadcast(mm))
+          .selectExpr("i",
+            "xmn + (CAST((i * 48271 + 7) % 104729 AS DOUBLE) / 104729e0) * (xmx - xmn) AS ux",
+            "ymn + (CAST((i * 16807 + 13) % 104729 AS DOUBLE) / 104729e0) * (ymx - ymn) AS uy"))
+        val u = p.crossJoin(probes)
+          .selectExpr("i",
+            "(x - ux) * (x - ux) + (y - uy) * (y - uy) AS d2")
+          .groupBy("i").agg(min(col("d2")).as("u"))
+        val picked = broadcast(p
+          .where((col("id") * 16807L + 3L) % T.HASH_P % 50 === 0)
+          .selectExpr("id AS pid", "x AS px", "y AS py"))
+        val w = p.crossJoin(picked)
+          .where(col("id") =!= col("pid"))
+          .selectExpr("pid",
+            "(x - px) * (x - px) + (y - py) * (y - py) AS d2")
+          .groupBy("pid").agg(min(col("d2")).as("w"))
+        val su = u.agg(count(lit(1)).as("m_probes"), T.xsum(col("u")).as("su"))
+        val sw = w.agg(count(lit(1)).as("m_samples"), T.xsum(col("w")).as("sw"))
+        su.crossJoin(sw)
+          .selectExpr("m_probes", "m_samples",
+            "round(su / (su + sw), 6) AS hopkins")
+      },
+      Some(s"""WITH pts AS (SELECT vec_id AS id,
+                   CAST(embedding[1] AS DOUBLE) AS x,
+                   CAST(embedding[2] AS DOUBLE) AS y FROM embeddings),
+                 mm AS (SELECT min(x) AS xmn, max(x) AS xmx,
+                     min(y) AS ymn, max(y) AS ymx FROM pts),
+                 pr AS (SELECT i,
+                     xmn + (CAST((i * 48271 + 7) % 104729 AS DOUBLE) / 104729e0) * (xmx - xmn) AS ux,
+                     ymn + (CAST((i * 16807 + 13) % 104729 AS DOUBLE) / 104729e0) * (ymx - ymn) AS uy
+                   FROM (SELECT unnest(generate_series(0, 19)) AS i) ii
+                   CROSS JOIN mm),
+                 u AS (SELECT i, min((x - ux) * (x - ux) + (y - uy) * (y - uy)) AS u
+                   FROM pts CROSS JOIN pr GROUP BY i),
+                 pk AS (SELECT id AS pid, x AS px, y AS py FROM pts
+                   WHERE (id * 16807 + 3) % ${T.HASH_P} % 50 = 0),
+                 w AS (SELECT pid,
+                     min((x - px) * (x - px) + (y - py) * (y - py)) AS w
+                   FROM pts CROSS JOIN pk WHERE id <> pid GROUP BY pid),
+                 su AS (SELECT count(*) AS m_probes, ${T.sqlXsum("u")} AS su FROM u),
+                 sw AS (SELECT count(*) AS m_samples, ${T.sqlXsum("w")} AS sw FROM w)
+               SELECT m_probes, m_samples,
+                 round(su / (su + sw), 6) AS hopkins
+               FROM su CROSS JOIN sw""")),
+
+    QueryDef(
       "ml_isolation_forest",
       // Isolation forest (Liu, Ting & Zhou 2008) — the isolation-based
       // anomaly detector completing the density (ml_hbos), parametric

@@ -2463,6 +2463,74 @@ object ML {
                FROM w ORDER BY k""")),
 
     QueryDef(
+      "ml_kmeans_knee",
+      // Automatic knee detection over the elbow sweep (Satopää 2011's
+      // Kneedle, the difference-curve form): normalize the (k, inertia)
+      // curve to the unit square, measure each point's vertical distance
+      // to the (0,1)→(1,0) chord — diff = 1 − x̂ − ŷ — and flag the
+      // argmax as the knee, the k the sweep recommends. The inertia
+      // table is the SAME one-pass prefix-min wire as ml_kmeans_elbow;
+      // the Kneedle layer is a 5-row window computation. Ties break to
+      // the smaller k (row_number).
+      (s, dir) => {
+        val e = T.embeddings(s, dir)
+        val cent = e.where(col("vec_id") < 10)
+          .select(col("vec_id").as("cid"), col("embedding").as("c_emb"))
+        val dist = graft.functions.Vec.l2(s, "embedding", "c_emb")
+        val wp = Window.partitionBy(col("vec_id")).orderBy(col("cid"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val g = e.transform(T.fanOut(_, col("vec_id")))
+          .crossJoin(broadcast(cent))
+          .select(col("vec_id"), col("cid"), (dist * dist).as("d2"))
+          .withColumn("pm", min(col("d2")).over(wp))
+          .where(col("cid") % 2 === 1)
+          .select((col("cid") + 1).as("k"), col("pm"))
+          .groupBy("k")
+          .agg(T.xsum(col("pm")).as("inertia"))
+        val wg = Window.partitionBy()
+        val norm = g.select(col("k"), col("inertia"),
+            min(col("k")).over(wg).as("kmn"), max(col("k")).over(wg).as("kmx"),
+            min(col("inertia")).over(wg).as("imn"),
+            max(col("inertia")).over(wg).as("imx"))
+          .selectExpr("k", "inertia",
+            "CAST(k - kmn AS DOUBLE) / (kmx - kmn) AS xh",
+            "(inertia - imn) / (imx - imn) AS yh")
+          .selectExpr("k", "inertia", "1e0 - xh - yh AS diff")
+        val wr = Window.orderBy(col("diff").desc, col("k"))
+        norm.withColumn("rn", row_number().over(wr))
+          .selectExpr("k", "round(inertia, 6) AS inertia",
+            "round(diff, 6) AS kneedle_diff",
+            "CAST(rn = 1 AS INT) AS is_knee")
+          .orderBy("k")
+      },
+      Some(s"""WITH dd AS (SELECT e.vec_id, c.vec_id AS cid,
+                   list_distance(CAST(e.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+                     * list_distance(CAST(e.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS d2
+                 FROM embeddings e CROSS JOIN embeddings c
+                 WHERE c.vec_id < 10),
+                 pm AS (SELECT vec_id, cid,
+                     min(d2) OVER (PARTITION BY vec_id ORDER BY cid
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pm
+                   FROM dd),
+                 kk AS (SELECT cid + 1 AS k, pm FROM pm WHERE cid % 2 = 1),
+                 g AS (SELECT k, ${T.sqlXsum("pm")} AS inertia FROM kk GROUP BY k),
+                 nm AS (SELECT k, inertia,
+                     min(k) OVER () AS kmn, max(k) OVER () AS kmx,
+                     min(inertia) OVER () AS imn, max(inertia) OVER () AS imx
+                   FROM g),
+                 nh AS (SELECT k, inertia,
+                     CAST(k - kmn AS DOUBLE) / (kmx - kmn) AS xh,
+                     (inertia - imn) / (imx - imn) AS yh
+                   FROM nm),
+                 df AS (SELECT k, inertia, 1e0 - xh - yh AS diff FROM nh),
+                 rk AS (SELECT *, row_number() OVER (ORDER BY diff DESC, k) AS rn
+                   FROM df)
+               SELECT k, round(inertia, 6) AS inertia,
+                 round(diff, 6) AS kneedle_diff,
+                 CAST(rn = 1 AS INT) AS is_knee
+               FROM rk ORDER BY k""")),
+
+    QueryDef(
       "ml_kmeans_transform",
       // cuml.dask.cluster.KMeans.transform [R]: the full sample×centroid
       // distance matrix (not just the argmin) — what the estimator's

@@ -224,6 +224,23 @@ class CurationSpec extends SparkSpec {
     assert(dtw <= l1 + 1e-6, s"dtw=$dtw must be <= diagonal L1=$l1")
   }
 
+  test("ml_hopkins: H in [0,1] with both sample sets non-empty") {
+    val r = q("ml_hopkins").collect()(0)
+    assert(r.getAs[Long]("m_probes") == 20)
+    assert(r.getAs[Long]("m_samples") >= 1)
+    val h = r.getAs[Double]("hopkins")
+    assert(h >= 0 && h <= 1.0 + 1e-9)
+  }
+
+  test("ml_kmeans_knee: exactly one knee, flagged at the max diff") {
+    val rows = q("ml_kmeans_knee").collect()
+    assert(rows.length == 5)
+    assert(rows.count(_.getAs[Int]("is_knee") == 1) == 1)
+    val maxDiff = rows.map(_.getAs[Double]("kneedle_diff")).max
+    val knee = rows.find(_.getAs[Int]("is_knee") == 1).get
+    assert(math.abs(knee.getAs[Double]("kneedle_diff") - maxDiff) < 1e-9)
+  }
+
   test("ml_cramers_v: V in [0,1] and consistent with its chi2") {
     val r = q("ml_cramers_v").collect()(0)
     val v = r.getAs[Double]("cramers_v"); val chi2 = r.getAs[Double]("chi2")

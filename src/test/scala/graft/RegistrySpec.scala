@@ -6,9 +6,9 @@ package graft
   */
 class RegistrySpec extends SparkSpec {
 
-  test("all twenty catalogs are registered (66 SURVEY keys + 313 extensions)") {
-    assert(SparkEntry.queries.size == 379,
-      s"expected 379 registered queries, got ${SparkEntry.queries.size}")
+  test("all twenty catalogs are registered (66 SURVEY keys + 315 extensions)") {
+    assert(SparkEntry.queries.size == 381,
+      s"expected 381 registered queries, got ${SparkEntry.queries.size}")
   }
 
   test("no oracle uses a constant generate_series bound (VERDICT r4 #2)") {
