@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.{QueryDef, Tables => T}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-curation closures (r10 cont.): SemDeDup embedding dedup, the
@@ -312,6 +313,107 @@ object Curation {
                  round(CAST(tp * tn - fp * fn AS DOUBLE) / sqrt(CAST((tp + fp) * (tp + fn) AS DOUBLE) * CAST((tn + fp) * (tn + fn) AS DOUBLE)), 6) AS mcc,
                  round((CAST(tp AS DOUBLE) / (tp + fn) + CAST(tn AS DOUBLE) / (tn + fp)) / 2, 6) AS bal_acc
                FROM c""")),
+
+    QueryDef(
+      "ml_knn_k_sweep",
+      // k-selection sweep for the kNN language classifier — accuracy at
+      // k ∈ {1, 3, 5} from ONE n·EVAL_N distance pass (ML.knnEvalNN's
+      // rn-carrying neighbor table: the vote at k is a PREFIX of the
+      // k = 5 neighbor list, the ml_kmeans_elbow prefix trick applied to
+      // classification). Votes and corrects are exact BIGINTs; ties
+      // break (votes DESC, lang ASC) — the knnPredLang contract.
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        val nn = ML.knnEvalNN(s, dir)
+        val labels = T.documents(s, dir).select(col("doc_id"), col("lang"))
+        val ks = broadcast(Seq(1, 3, 5).toDF("k"))
+        val voted = nn.join(labels, nn("n_id") === labels("doc_id"))
+          .crossJoin(ks).where(col("rn") <= col("k"))
+          .groupBy("k", "q_id", "lang").agg(count(lit(1)).as("votes"))
+        val pick = Window.partitionBy(col("k"), col("q_id"))
+          .orderBy(col("votes").desc, col("lang").asc)
+        val pred = voted.withColumn("vr", row_number().over(pick))
+          .where(col("vr") === 1)
+          .select(col("k"), col("q_id"), col("lang").as("pred_lang"))
+        pred.join(labels.select(col("doc_id").as("q_id"),
+            col("lang").as("true_lang")), "q_id")
+          .groupBy("k")
+          .agg(count(lit(1)).as("n_eval"),
+            sum(when(col("pred_lang") === col("true_lang"), 1L)
+              .otherwise(0L)).as("n_correct"))
+          .selectExpr("k", "n_eval", "n_correct",
+            "round(CAST(n_correct AS DOUBLE) / n_eval, 6) AS accuracy")
+          .orderBy("k")
+      },
+      Some(s"""WITH ${ML.sqlKnnNNCtes},
+                 ks AS (SELECT unnest([1, 3, 5]) AS k),
+                 voted AS (SELECT k, q_id, lang, count(*) AS votes
+                   FROM nnr JOIN documents ON n_id = doc_id
+                   CROSS JOIN ks WHERE rn <= k
+                   GROUP BY k, q_id, lang),
+                 pred AS (SELECT k, q_id, lang AS pred_lang FROM (
+                     SELECT k, q_id, lang, row_number() OVER (
+                       PARTITION BY k, q_id ORDER BY votes DESC, lang ASC) AS vr
+                     FROM voted) t WHERE vr = 1)
+               SELECT k, count(*) AS n_eval,
+                 CAST(sum(CASE WHEN pred_lang = d.lang THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+                 round(CAST(sum(CASE WHEN pred_lang = d.lang THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS accuracy
+               FROM pred JOIN documents d ON pred.q_id = d.doc_id
+               GROUP BY k ORDER BY k""")),
+
+    QueryDef(
+      "ml_mcnemar",
+      // McNemar's paired test (continuity-corrected) between the k = 1
+      // and k = 5 kNN language classifiers on the SAME evaluation sample
+      // — the statistically-sound way to compare two models on one test
+      // set (Dietterich 1998): only the discordant pairs matter,
+      // X² = (|b − c| − 1)² / (b + c) with b = k5-right/k1-wrong and
+      // c = k1-right/k5-wrong. Both prediction sets derive from one
+      // n·EVAL_N pass (ML.knnEvalNN prefix votes); all counts exact.
+      (s, dir) => {
+        val nn = ML.knnEvalNN(s, dir)
+        val labels = T.documents(s, dir).select(col("doc_id"), col("lang"))
+        val nl = T.freeze(nn.join(labels, nn("n_id") === labels("doc_id"))
+          .select(col("q_id"), col("rn"), col("lang")))
+        val p1 = nl.where(col("rn") === 1)
+          .select(col("q_id"), col("lang").as("p1"))
+        val pick = Window.partitionBy(col("q_id"))
+          .orderBy(col("votes").desc, col("lang").asc)
+        val p5 = nl.groupBy("q_id", "lang").agg(count(lit(1)).as("votes"))
+          .withColumn("vr", row_number().over(pick)).where(col("vr") === 1)
+          .select(col("q_id"), col("lang").as("p5"))
+        p1.join(p5, "q_id")
+          .join(labels.select(col("doc_id").as("q_id"),
+            col("lang").as("y")), "q_id")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("p5") === col("y") && col("p1") =!= col("y"), 1L)
+              .otherwise(0L)).as("b"),
+            sum(when(col("p5") =!= col("y") && col("p1") === col("y"), 1L)
+              .otherwise(0L)).as("c"))
+          .selectExpr("n", "b", "c",
+            "CASE WHEN b + c = 0 THEN 0e0 ELSE " +
+              "round((abs(CAST(b - c AS DOUBLE)) - 1e0) * (abs(CAST(b - c AS DOUBLE)) - 1e0) / (b + c), 6) END AS mcnemar")
+      },
+      Some(s"""WITH ${ML.sqlKnnNNCtes},
+                 nl AS (SELECT q_id, rn, lang
+                   FROM nnr JOIN documents ON n_id = doc_id),
+                 p1 AS (SELECT q_id, lang AS p1 FROM nl WHERE rn = 1),
+                 p5 AS (SELECT q_id, lang AS p5 FROM (
+                     SELECT q_id, lang, row_number() OVER (
+                       PARTITION BY q_id ORDER BY count(*) DESC, lang ASC) AS vr
+                     FROM nl GROUP BY q_id, lang) t WHERE vr = 1),
+                 j AS (SELECT p1.q_id, p1.p1, p5.p5, d.lang AS y
+                   FROM p1 JOIN p5 ON p1.q_id = p5.q_id
+                   JOIN documents d ON p1.q_id = d.doc_id),
+                 cnt AS (SELECT count(*) AS n,
+                     CAST(sum(CASE WHEN p5 = y AND p1 <> y THEN 1 ELSE 0 END) AS BIGINT) AS b,
+                     CAST(sum(CASE WHEN p5 <> y AND p1 = y THEN 1 ELSE 0 END) AS BIGINT) AS c
+                   FROM j)
+               SELECT n, b, c,
+                 CASE WHEN b + c = 0 THEN 0e0 ELSE
+                   round((abs(CAST(b - c AS DOUBLE)) - 1e0) * (abs(CAST(b - c AS DOUBLE)) - 1e0) / (b + c), 6) END AS mcnemar
+               FROM cnt""")),
 
     QueryDef(
       "text_edit_distance",

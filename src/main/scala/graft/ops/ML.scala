@@ -1310,6 +1310,42 @@ object ML {
       .select(col("q_id"), col("lang").as("pred_lang"))
   }
 
+  /** The rn-carrying 5-NN table over the shared EVAL_N sample — lets the
+    * model-comparison rows (ml_mcnemar, ml_knn_k_sweep) derive k-prefix
+    * votes for every k ≤ 5 from ONE n·EVAL_N distance pass. Same pick,
+    * same tiebreak as [[knnPredLang]]. */
+  private[ops] def knnEvalNN(s: SparkSession, dir: String): DataFrame = {
+    val e = T.embeddings(s, dir)
+    val labels = T.documents(s, dir).select(col("doc_id"), col("lang"))
+    val q = e.join(labels, e("vec_id") === labels("doc_id"), "left_semi")
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .orderBy((lit(84589L) * col("q_id") + lit(12345L)) % lit(2147483647L), col("q_id"))
+      .limit(EVAL_N)
+    val cand = e.transform(T.fanOut(_, col("vec_id")))
+      .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+    val dist = graft.functions.Vec.l2(s, "q_emb", "n_emb")
+    val w = Window.partitionBy(col("q_id")).orderBy(col("d"), col("n_id"))
+    cand.crossJoin(broadcast(q))
+      .where(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"), dist.as("d"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 5)
+      .select("q_id", "n_id", "rn")
+  }
+
+  /** Oracle twin of [[knnEvalNN]], ending in `nnr(q_id, n_id, rn)`. */
+  private[ops] val sqlKnnNNCtes: String =
+    s"""qs AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+         WHERE vec_id IN (SELECT doc_id FROM documents)
+         ORDER BY (84589 * vec_id + 12345) % 2147483647, vec_id LIMIT $EVAL_N),
+       nnr AS (SELECT q_id, n_id, rn FROM (
+         SELECT q.q_id, e.vec_id AS n_id,
+           row_number() OVER (PARTITION BY q.q_id
+             ORDER BY list_distance(CAST(q.q_emb AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), e.vec_id) AS rn
+         FROM qs q CROSS JOIN embeddings e
+         WHERE q.q_id <> e.vec_id) t
+       WHERE rn <= 5)"""
+
   /** Oracle twin of [[knnPredLang]], ending in `pred(q_id, pred_lang)`. */
   private[ops] val sqlKnnPredCtes: String =
     s"""qs AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings

@@ -224,6 +224,34 @@ class CurationSpec extends SparkSpec {
     assert(dtw <= l1 + 1e-6, s"dtw=$dtw must be <= diagonal L1=$l1")
   }
 
+  test("ml_knn_k_sweep: three k rows, same eval set, k=5 matches the shared wire") {
+    val rows = q("ml_knn_k_sweep").collect()
+    assert(rows.map(_.getAs[Int]("k")).toSeq == Seq(1, 3, 5))
+    val ns = rows.map(_.getAs[Long]("n_eval")).distinct
+    assert(ns.length == 1, "every k scores the identical evaluation sample")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_correct") <= r.getAs[Long]("n_eval"))
+      val a = r.getAs[Double]("accuracy")
+      assert(a >= 0 && a <= 1)
+    }
+    // k=5 prefix vote must reproduce ml_accuracy_score's shared wire
+    val acc5 = rows.find(_.getAs[Int]("k") == 5).get.getAs[Double]("accuracy")
+    val shared = q("ml_accuracy_score").collect()(0).getAs[Double]("accuracy")
+    assert(math.abs(acc5 - shared) < 1e-9,
+      s"k=5 sweep accuracy $acc5 != shared-wire accuracy $shared")
+  }
+
+  test("ml_mcnemar: discordant counts bounded by n, stat consistent") {
+    val r = q("ml_mcnemar").collect()(0)
+    val n = r.getAs[Long]("n"); val b = r.getAs[Long]("b")
+    val c = r.getAs[Long]("c")
+    assert(b >= 0 && c >= 0 && b + c <= n)
+    val st = r.getAs[Double]("mcnemar")
+    if (b + c == 0) assert(st == 0.0)
+    else assert(math.abs(st -
+      math.pow(math.abs(b.toDouble - c) - 1, 2) / (b + c)) < 1e-5)
+  }
+
   test("ml_hopkins: H in [0,1] with both sample sets non-empty") {
     val r = q("ml_hopkins").collect()(0)
     assert(r.getAs[Long]("m_probes") == 20)
