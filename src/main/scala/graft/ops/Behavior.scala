@@ -445,6 +445,96 @@ object Behavior {
                FROM (SELECT beta1,
                    CAST(sum(CAST(($coxU1) AS DECIMAL(30,12))) AS DOUBLE) AS u,
                    CAST(sum(CAST(($coxI1) AS DECIMAL(30,12))) AS DOUBLE) AS i
-                 FROM rk2 WHERE m > 0 GROUP BY beta1) t"""))
+                 FROM rk2 WHERE m > 0 GROUP BY beta1) t""")),
+
+    QueryDef(
+      "ml_frequent_itemsets",
+      // Frequent itemsets over per-user event-type baskets — the
+      // market-basket layer (Agrawal & Srikant 1994; Spark MLlib ships
+      // it as FPGrowth): support of every 1- and 2-itemset of event
+      // types, basket = the DISTINCT types a user ever fired. The item
+      // alphabet is bounded (5 types → ≤ 5 + 10 itemsets), so after ONE
+      // (user, type) distinct pass everything is a per-user ≤10-row pair
+      // expansion + a bounded groupBy — the shape that holds when users
+      // number billions: no candidate generation over the corpus, only
+      // over the alphabet. Counts exact; support = one final division.
+      (s, dir) => {
+        val ut = T.events(s, dir)
+          .select(col("user_id"), col("event_type")).distinct()
+        val nUsers = ut.select(col("user_id")).distinct()
+          .agg(count(lit(1)).as("n_users"))
+        val singles = ut.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_baskets"))
+          .selectExpr("event_type AS itemset", "1 AS size", "n_baskets")
+        val a = ut.select(col("user_id"), col("event_type").as("ta"))
+        val b = ut.select(col("user_id"), col("event_type").as("tb"))
+        val pairs = a.join(b, "user_id").where(col("ta") < col("tb"))
+          .groupBy("ta", "tb").agg(count(lit(1)).as("n_baskets"))
+          .selectExpr("concat(ta, '+', tb) AS itemset", "2 AS size",
+            "n_baskets")
+        singles.unionAll(pairs).crossJoin(broadcast(nUsers))
+          .selectExpr("itemset", "size", "n_baskets",
+            "round(CAST(n_baskets AS DOUBLE) / n_users, 6) AS support")
+          .orderBy("size", "itemset")
+      },
+      Some("""WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+                 nu AS (SELECT count(DISTINCT user_id) AS n_users FROM ut),
+                 s1 AS (SELECT event_type AS itemset, 1 AS size,
+                     count(*) AS n_baskets FROM ut GROUP BY event_type),
+                 s2 AS (SELECT concat(a.event_type, '+', b.event_type) AS itemset,
+                     2 AS size, count(*) AS n_baskets
+                   FROM ut a JOIN ut b ON a.user_id = b.user_id
+                     AND a.event_type < b.event_type
+                   GROUP BY 1),
+                 u AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
+               SELECT itemset, size, n_baskets,
+                 round(CAST(n_baskets AS DOUBLE) / n_users, 6) AS support
+               FROM u CROSS JOIN nu ORDER BY size, itemset""")),
+
+    QueryDef(
+      "ml_assoc_rules",
+      // Association rules a → b over the same baskets: confidence =
+      // supp(ab)/supp(a) and lift = confidence / P(b) for every ordered
+      // type pair (the FPGrowth associationRules output). Same one-pass
+      // wire as ml_frequent_itemsets; both directions of each pair emit,
+      // all counts exact, the two ratios shared text. lift > 1 ⇒ the
+      // antecedent genuinely raises the consequent's odds — the number a
+      // recommendation/funnel analysis reads.
+      (s, dir) => {
+        val ut = T.events(s, dir)
+          .select(col("user_id"), col("event_type")).distinct()
+        val nUsers = ut.select(col("user_id")).distinct()
+          .agg(count(lit(1)).as("n_users"))
+        val singles = ut.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("cnt"))
+        val a = ut.select(col("user_id"), col("event_type").as("ante"))
+        val b = ut.select(col("user_id"), col("event_type").as("cons"))
+        val both = a.join(b, "user_id").where(col("ante") =!= col("cons"))
+          .groupBy("ante", "cons").agg(count(lit(1)).as("n_ab"))
+        both
+          .join(broadcast(singles.selectExpr("event_type AS ante", "cnt AS n_a")), "ante")
+          .join(broadcast(singles.selectExpr("event_type AS cons", "cnt AS n_b")), "cons")
+          .crossJoin(broadcast(nUsers))
+          .selectExpr("ante", "cons", "n_ab",
+            "round(CAST(n_ab AS DOUBLE) / n_a, 6) AS confidence",
+            "round((CAST(n_ab AS DOUBLE) / n_a) / (CAST(n_b AS DOUBLE) / n_users), 6) AS lift")
+          .orderBy("ante", "cons")
+      },
+      Some("""WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+                 nu AS (SELECT count(DISTINCT user_id) AS n_users FROM ut),
+                 s1 AS (SELECT event_type, count(*) AS cnt FROM ut
+                   GROUP BY event_type),
+                 ab AS (SELECT a.event_type AS ante, b.event_type AS cons,
+                     count(*) AS n_ab
+                   FROM ut a JOIN ut b ON a.user_id = b.user_id
+                     AND a.event_type <> b.event_type
+                   GROUP BY 1, 2)
+               SELECT ante, cons, n_ab,
+                 round(CAST(n_ab AS DOUBLE) / sa.cnt, 6) AS confidence,
+                 round((CAST(n_ab AS DOUBLE) / sa.cnt) / (CAST(sb.cnt AS DOUBLE) / n_users), 6) AS lift
+               FROM ab JOIN s1 sa ON sa.event_type = ab.ante
+                 JOIN s1 sb ON sb.event_type = ab.cons
+                 CROSS JOIN nu
+               ORDER BY ante, cons"""))
   )
 }

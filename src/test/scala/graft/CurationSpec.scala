@@ -224,6 +224,37 @@ class CurationSpec extends SparkSpec {
     assert(dtw <= l1 + 1e-6, s"dtw=$dtw must be <= diagonal L1=$l1")
   }
 
+  test("ml_frequent_itemsets: pair support bounded by either item's support") {
+    val rows = q("ml_frequent_itemsets").collect()
+    val singles = rows.filter(_.getAs[Int]("size") == 1)
+      .map(r => r.getAs[String]("itemset") -> r.getAs[Long]("n_baskets")).toMap
+    val pairs = rows.filter(_.getAs[Int]("size") == 2)
+    assert(singles.size == 5 && pairs.length == 10)
+    pairs.foreach { r =>
+      val Array(a, b) = r.getAs[String]("itemset").split('+')
+      val nab = r.getAs[Long]("n_baskets")
+      assert(nab <= math.min(singles(a), singles(b)),
+        "monotonicity: supp(ab) <= min(supp(a), supp(b))")
+    }
+    rows.foreach(r => assert(r.getAs[Double]("support") > 0
+      && r.getAs[Double]("support") <= 1))
+  }
+
+  test("ml_assoc_rules: confidence in (0,1], lift consistent both directions") {
+    val rows = q("ml_assoc_rules").collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      val c = r.getAs[Double]("confidence")
+      assert(c > 0 && c <= 1.0 + 1e-9)
+      assert(r.getAs[Double]("lift") > 0)
+    }
+    // lift is symmetric: lift(a->b) == lift(b->a) up to rounding
+    val lifts = rows.map(r => (r.getAs[String]("ante"),
+      r.getAs[String]("cons")) -> r.getAs[Double]("lift")).toMap
+    lifts.foreach { case ((a, b), l) =>
+      assert(math.abs(l - lifts((b, a))) < 1e-5) }
+  }
+
   test("ml_knn_k_sweep: three k rows, same eval set, k=5 matches the shared wire") {
     val rows = q("ml_knn_k_sweep").collect()
     assert(rows.map(_.getAs[Int]("k")).toSeq == Seq(1, 3, 5))
