@@ -524,6 +524,82 @@ object Forecast {
               FROM se ORDER BY day""")),
 
     QueryDef(
+      "ml_seasonal_strength",
+      // Trend/seasonal strength (Hyndman & Athanasopoulos, FPP §12.2 —
+      // the scalar summary of ml_seasonal_decompose a feature-store
+      // computes per series): F_T = max(0, 1 − Var(R)/Var(T+R)) and
+      // F_S = max(0, 1 − Var(R)/Var(S+R)) over the days where the
+      // centered window is full. Same decomposition chain; the three
+      // variances come from ONE exact-wire moment pass over the bounded
+      // day rows, with T+R = y − seasonal and S+R = y − trend.
+      (s, dir) => {
+        val daily = T.events(s, dir)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("y"))
+        val wIdx = Window.orderBy("day")
+        val wMA = Window.orderBy("t").rowsBetween(-3, 3)
+        val ws = Window.partitionBy("dow")
+        daily
+          .withColumn("t", row_number().over(wIdx))
+          .withColumn("dow",
+            expr("CAST(datediff(day, DATE '1970-01-01') % 7 AS INT)"))
+          .withColumn("c7", count(lit(1)).over(wMA))
+          .withColumn("s7", sum(col("y")).over(wMA))
+          .withColumn("trend",
+            when(col("c7") === 7, expr("CAST(s7 AS DOUBLE) / 7")))
+          .withColumn("det", col("y") - col("trend"))
+          .withColumn("seasonal",
+            sum(col("det").cast(T.exact)).over(ws).cast("double") /
+              count(col("det")).over(ws))
+          .where(col("trend").isNotNull)
+          .selectExpr("y - trend - seasonal AS r",
+            "y - seasonal AS a", "y - trend AS b")
+          .agg(count(lit(1)).cast("double").as("n"),
+            T.xsum(col("r")).as("sr"), T.xsum(col("r") * col("r")).as("srr"),
+            T.xsum(col("a")).as("sa"), T.xsum(col("a") * col("a")).as("saa"),
+            T.xsum(col("b")).as("sb"), T.xsum(col("b") * col("b")).as("sbb"))
+          .selectExpr("n",
+            "srr / n - (sr / n) * (sr / n) AS vr",
+            "saa / n - (sa / n) * (sa / n) AS va",
+            "sbb / n - (sb / n) * (sb / n) AS vb")
+          .selectExpr("CAST(n AS BIGINT) AS n_full",
+            "round(greatest(0e0, 1e0 - vr / va), 6) AS f_trend",
+            "round(greatest(0e0, 1e0 - vr / vb), 6) AS f_seasonal")
+      },
+      Some(s"""WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS y
+                             FROM events GROUP BY 1),
+                idx AS (SELECT day, y, row_number() OVER (ORDER BY day) AS t,
+                    CAST((day - DATE '1970-01-01') % 7 AS INT) AS dow
+                  FROM daily),
+                ma AS (SELECT *, count(*) OVER w7 AS c7, sum(y) OVER w7 AS s7
+                  FROM idx
+                  WINDOW w7 AS (ORDER BY t ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+                tr AS (SELECT *, CASE WHEN c7 = 7 THEN CAST(s7 AS DOUBLE) / 7 END AS trend
+                  FROM ma),
+                dt AS (SELECT *, y - trend AS det FROM tr),
+                se AS (SELECT *,
+                    CAST(sum(CAST(det AS DECIMAL(30,12))) OVER (PARTITION BY dow) AS DOUBLE)
+                      / count(det) OVER (PARTITION BY dow) AS seasonal
+                  FROM dt),
+                fl AS (SELECT y - trend - seasonal AS r,
+                    y - seasonal AS a, y - trend AS b
+                  FROM se WHERE trend IS NOT NULL),
+                m AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                    ${T.sqlXsum("r")} AS sr, ${T.sqlXsum("r * r")} AS srr,
+                    ${T.sqlXsum("a")} AS sa, ${T.sqlXsum("a * a")} AS saa,
+                    ${T.sqlXsum("b")} AS sb, ${T.sqlXsum("b * b")} AS sbb
+                  FROM fl),
+                v AS (SELECT n,
+                    srr / n - (sr / n) * (sr / n) AS vr,
+                    saa / n - (sa / n) * (sa / n) AS va,
+                    sbb / n - (sb / n) * (sb / n) AS vb
+                  FROM m)
+              SELECT CAST(n AS BIGINT) AS n_full,
+                round(greatest(0e0, 1e0 - vr / va), 6) AS f_trend,
+                round(greatest(0e0, 1e0 - vr / vb), 6) AS f_seasonal
+              FROM v""")),
+
+    QueryDef(
       "ml_auto_arima",
       // cuML tsa auto_arima [R] — order selection by AIC over the
       // candidate set {AR(1), AR(2), ARIMA(1,1,0)} on the daily event

@@ -224,6 +224,15 @@ class CurationSpec extends SparkSpec {
     assert(dtw <= l1 + 1e-6, s"dtw=$dtw must be <= diagonal L1=$l1")
   }
 
+  test("ml_seasonal_strength: both strengths in [0,1], full-window rows only") {
+    val r = q("ml_seasonal_strength").collect()(0)
+    val ft = r.getAs[Double]("f_trend"); val fs = r.getAs[Double]("f_seasonal")
+    assert(ft >= 0 && ft <= 1.0 + 1e-9)
+    assert(fs >= 0 && fs <= 1.0 + 1e-9)
+    // 30 fixture days - 6 window-edge days
+    assert(r.getAs[Long]("n_full") >= 1)
+  }
+
   test("ml_frequent_itemsets: pair support bounded by either item's support") {
     val rows = q("ml_frequent_itemsets").collect()
     val singles = rows.filter(_.getAs[Int]("size") == 1)
