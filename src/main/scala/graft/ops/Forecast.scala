@@ -116,6 +116,70 @@ object Forecast {
               FROM c ORDER BY day""")),
 
     QueryDef(
+      "ml_ewma_control",
+      // EWMA control chart (Roberts 1959 — the SPC layer over
+      // ml_holtwinters' smoothing state): center line μ0 = ȳ, control
+      // limits μ0 ± 3σ·√(λ/(2−λ)·(1 − (1−λ)²ᵗ)) with λ = ½ so every
+      // power is DYADIC-exact (pow(2,t)/pow(.5,t)/pow(.25,t) — no libm
+      // ulp hazard, the ml_holtwinters lesson), and the statistic is the
+      // same closed-form SES level (the u = y·2ᵗ cumulative trick, exact
+      // BIGINTs). σ from one exact moment pass. Output per day: the
+      // statistic, both limits, and the out-of-control flag — the drift
+      // monitor a daily-volume pipeline pages on.
+      (s, dir) => {
+        val daily = T.events(s, dir)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("y"))
+        val wIdx = Window.orderBy("day")
+        val wCum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+        val wAll = Window.partitionBy()
+        daily
+          .withColumn("t", row_number().over(wIdx))
+          .withColumn("u", col("y") * expr("CAST(pow(2, t) AS BIGINT)"))
+          .withColumn("cu", sum(col("u")).over(wCum))
+          .withColumn("u1", sum(when(col("t") === 1, col("u"))).over(wAll))
+          .withColumn("y1", sum(when(col("t") === 1, col("y"))).over(wAll))
+          .withColumn("n", count(lit(1)).over(wAll))
+          .withColumn("sy", sum(col("y").cast(T.exact)).over(wAll).cast("double"))
+          .withColumn("syy",
+            sum((col("y") * col("y")).cast(T.exact)).over(wAll).cast("double"))
+          .selectExpr("day", "y", "t",
+            "pow(0.5, t + 1) * CAST(cu - u1 AS DOUBLE) + pow(0.5, t - 1) * CAST(y1 AS DOUBLE) AS z",
+            "sy / n AS mu0",
+            "sqrt(syy / n - (sy / n) * (sy / n)) AS sig",
+            "sqrt((1e0 / 3e0) * (1e0 - pow(0.25, t))) AS hw")
+          .selectExpr("day", "y", "round(z, 6) AS ewma",
+            "round(mu0 + 3e0 * sig * hw, 6) AS ucl",
+            "round(mu0 - 3e0 * sig * hw, 6) AS lcl",
+            "CAST(z > mu0 + 3e0 * sig * hw OR z < mu0 - 3e0 * sig * hw AS INT) AS out_of_control")
+          .orderBy("day")
+      },
+      Some(s"""WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS y
+                             FROM events GROUP BY 1),
+                idx AS (SELECT day, y, row_number() OVER (ORDER BY day) AS t
+                        FROM daily),
+                u AS (SELECT *, y * CAST(pow(2, t) AS BIGINT) AS u FROM idx),
+                c AS (SELECT *,
+                    sum(u) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cu,
+                    sum(CASE WHEN t = 1 THEN u END) OVER () AS u1,
+                    sum(CASE WHEN t = 1 THEN y END) OVER () AS y1,
+                    count(*) OVER () AS n,
+                    CAST(sum(CAST(y AS DECIMAL(30,12))) OVER () AS DOUBLE) AS sy,
+                    CAST(sum(CAST(y * y AS DECIMAL(30,12))) OVER () AS DOUBLE) AS syy
+                  FROM u),
+                z AS (SELECT day, y,
+                    pow(0.5, t + 1) * CAST(cu - u1 AS DOUBLE) + pow(0.5, t - 1) * CAST(y1 AS DOUBLE) AS z,
+                    sy / n AS mu0,
+                    sqrt(syy / n - (sy / n) * (sy / n)) AS sig,
+                    sqrt((1e0 / 3e0) * (1e0 - pow(0.25, t))) AS hw
+                  FROM c)
+              SELECT day, y, round(z, 6) AS ewma,
+                round(mu0 + 3e0 * sig * hw, 6) AS ucl,
+                round(mu0 - 3e0 * sig * hw, 6) AS lcl,
+                CAST(z > mu0 + 3e0 * sig * hw OR z < mu0 - 3e0 * sig * hw AS INT) AS out_of_control
+              FROM z ORDER BY day""")),
+
+    QueryDef(
       "ml_ar2",
       // cuML's ARIMA surface, by the estimator a cluster actually solves
       // in closed form: an AR(2) fit on the daily event series via

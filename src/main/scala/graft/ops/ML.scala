@@ -3430,6 +3430,114 @@ object ML {
                FROM r""")),
 
     QueryDef(
+      "ml_propensity_ipw",
+      // Inverse-propensity-weighted treatment effect (Horvitz–Thompson /
+      // Hájek — the observational-causal estimator an A/B-less analysis
+      // runs): treatment T = deep discount (l_discount > 0.05), outcome
+      // Y = extendedprice, confounder X = quantity. Propensity
+      // e(x) = σ(a + bx) from 2 driver-held IRLS steps (the irlsBeta
+      // discipline, unrolled identically in the oracle), clipped to
+      // [0.01, 0.99] (the standard positivity guard); ATE_ipw =
+      // Σ(TY/e)/Σ(T/e) − Σ((1−T)Y/(1−e))/Σ((1−T)/(1−e)), reported next
+      // to the confounded naive difference. One fit pass per step + one
+      // scoring pass, all sums exact-wire, μ REAL-collapsed.
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        val d = T.lineitem(s, dir).select(
+          col("l_quantity").cast("double").as("x"),
+          when(col("l_discount") > 0.05, 1.0).otherwise(0.0).as("tr"),
+          col("l_extendedprice").cast("double").as("yv"))
+          .transform(T.fanOut(_))
+        val (a, b) = T.fitCache[(Double, Double)]("propensityBeta", dir) {
+          var aa = 0.0; var bb = 0.0
+          for (_ <- 1 to 2) {
+            val ab = Seq((aa, bb)).toDF("ca", "cb")
+            val mu = (lit(1.0) / (lit(1.0) +
+              exp(-(col("ca") + col("cb") * col("x")))))
+              .cast("float").cast("double")
+            val r = d.crossJoin(broadcast(ab))
+              .select(col("x"), col("tr").as("y"), mu.as("mu"))
+              .select(col("x"), col("y"), col("mu"),
+                (col("mu") * (lit(1.0) - col("mu"))).as("w"))
+              .agg(
+                T.xsum(col("y") - col("mu")).as("g0"),
+                T.xsum((col("y") - col("mu")) * col("x")).as("g1"),
+                T.xsum(col("w")).as("h00"),
+                T.xsum(col("w") * col("x")).as("h01"),
+                T.xsum(col("w") * col("x") * col("x")).as("h11"))
+              .collect()(0)
+            val g0 = r.getDouble(0); val g1 = r.getDouble(1)
+            val h00 = r.getDouble(2); val h01 = r.getDouble(3)
+            val h11 = r.getDouble(4)
+            val den = h00 * h11 - h01 * h01
+            val na = aa + (h11 * g0 - h01 * g1) / den
+            val nb = bb + (h00 * g1 - h01 * g0) / den
+            aa = na; bb = nb
+          }
+          (aa, bb)
+        }
+        val ab = Seq((a, b)).toDF("ca", "cb")
+        d.crossJoin(broadcast(ab))
+          .selectExpr("tr", "yv",
+            "greatest(1e-2, least(99e-2, CAST(CAST(1.0 / (1.0 + exp(-(ca + cb * x))) AS FLOAT) AS DOUBLE))) AS e")
+          .agg(count(lit(1)).as("n"),
+            T.xsum(expr("tr * yv / e")).as("s1"),
+            T.xsum(expr("tr / e")).as("w1"),
+            T.xsum(expr("(1e0 - tr) * yv / (1e0 - e)")).as("s0"),
+            T.xsum(expr("(1e0 - tr) / (1e0 - e)")).as("w0"),
+            T.xsum(expr("tr * yv")).as("sn1"), T.xsum(col("tr")).as("n1"),
+            T.xsum(expr("(1e0 - tr) * yv")).as("sn0"),
+            T.xsum(expr("1e0 - tr")).as("n0"))
+          .selectExpr("n",
+            "round(s1 / w1, 6) AS mean_treated_ipw",
+            "round(s0 / w0, 6) AS mean_control_ipw",
+            "round(s1 / w1 - s0 / w0, 6) AS ate_ipw",
+            "round(sn1 / n1 - sn0 / n0, 6) AS ate_naive")
+      },
+      Some {
+        def mStep(src: String) =
+          s"""SELECT ${T.sqlXsum("y - mu")} AS g0,
+                ${T.sqlXsum("(y - mu) * x")} AS g1,
+                ${T.sqlXsum("mu * (1.0 - mu)")} AS h00,
+                ${T.sqlXsum("mu * (1.0 - mu) * x")} AS h01,
+                ${T.sqlXsum("mu * (1.0 - mu) * x * x")} AS h11
+              FROM $src"""
+        def beta(m: String, prevA: String, prevB: String) =
+          s"""SELECT $prevA + (h11 * g0 - h01 * g1) / (h00 * h11 - h01 * h01) AS a,
+                $prevB + (h00 * g1 - h01 * g0) / (h00 * h11 - h01 * h01) AS b
+              FROM $m"""
+        s"""WITH d AS (SELECT CAST(l_quantity AS DOUBLE) AS x,
+                   CASE WHEN l_discount > 0.05 THEN 1.0 ELSE 0.0 END AS y,
+                   CAST(l_extendedprice AS DOUBLE) AS yv
+                 FROM lineitem),
+                 i1 AS (SELECT x, y, yv, CAST(CAST(1.0 / (1.0 + exp(-(0.0 + 0.0 * x))) AS REAL) AS DOUBLE) AS mu FROM d),
+                 m1 AS (${mStep("i1")}),
+                 b1 AS (${beta("m1", "0.0", "0.0")}),
+                 i2 AS (SELECT x, y, yv, CAST(CAST(1.0 / (1.0 + exp(-(a + b * x))) AS REAL) AS DOUBLE) AS mu FROM d, b1),
+                 m2 AS (${mStep("i2")}),
+                 b2 AS (${beta("m2, b1", "b1.a", "b1.b")}),
+                 sc AS (SELECT y AS tr, yv,
+                     greatest(1e-2, least(99e-2, CAST(CAST(1.0 / (1.0 + exp(-(a + b * x))) AS REAL) AS DOUBLE))) AS e
+                   FROM d, b2),
+                 ag AS (SELECT count(*) AS n,
+                     ${T.sqlXsum("tr * yv / e")} AS s1,
+                     ${T.sqlXsum("tr / e")} AS w1,
+                     ${T.sqlXsum("(1e0 - tr) * yv / (1e0 - e)")} AS s0,
+                     ${T.sqlXsum("(1e0 - tr) / (1e0 - e)")} AS w0,
+                     ${T.sqlXsum("tr * yv")} AS sn1, ${T.sqlXsum("tr")} AS n1,
+                     ${T.sqlXsum("(1e0 - tr) * yv")} AS sn0,
+                     ${T.sqlXsum("1e0 - tr")} AS n0
+                   FROM sc)
+               SELECT n,
+                 round(s1 / w1, 6) AS mean_treated_ipw,
+                 round(s0 / w0, 6) AS mean_control_ipw,
+                 round(s1 / w1 - s0 / w0, 6) AS ate_ipw,
+                 round(sn1 / n1 - sn0 / n0, 6) AS ate_naive
+               FROM ag"""
+      }),
+
+    QueryDef(
       "ml_cohen_kappa",
       // Cohen's kappa between the engine's TWO multiclass meta-strategies
       // (ml_ovr_classifier vs ml_ovo_classifier predictions on the same

@@ -224,6 +224,32 @@ class CurationSpec extends SparkSpec {
     assert(dtw <= l1 + 1e-6, s"dtw=$dtw must be <= diagonal L1=$l1")
   }
 
+  test("ml_ewma_control: limits symmetric around the center, widening in t") {
+    val rows = q("ml_ewma_control").collect()
+    assert(rows.nonEmpty)
+    // ucl - lcl = 2 * 3 sigma hw(t), and hw(t) is strictly increasing
+    val widths = rows.map(r => r.getAs[Double]("ucl") - r.getAs[Double]("lcl"))
+    assert(widths.forall(_ > 0))
+    assert(widths.zip(widths.drop(1)).forall { case (a, b) => a <= b + 1e-9 })
+    // the EWMA statistic stays finite and the flag matches the bounds
+    rows.foreach { r =>
+      val z = r.getAs[Double]("ewma")
+      val out = r.getAs[Int]("out_of_control")
+      val in = z <= r.getAs[Double]("ucl") + 1e-9 && z >= r.getAs[Double]("lcl") - 1e-9
+      assert(out == (if (in) 0 else 1))
+    }
+  }
+
+  test("ml_propensity_ipw: weighted means finite, n positive") {
+    val r = q("ml_propensity_ipw").collect()(0)
+    assert(r.getAs[Long]("n") > 0)
+    val mt = r.getAs[Double]("mean_treated_ipw")
+    val mc = r.getAs[Double]("mean_control_ipw")
+    val ate = r.getAs[Double]("ate_ipw")
+    assert(!mt.isNaN && !mc.isNaN)
+    assert(math.abs(ate - (mt - mc)) < 1e-5)
+  }
+
   test("ml_seasonal_strength: both strengths in [0,1], full-window rows only") {
     val r = q("ml_seasonal_strength").collect()(0)
     val ft = r.getAs[Double]("f_trend"); val fs = r.getAs[Double]("f_seasonal")
