@@ -769,6 +769,52 @@ object ML {
   private def irlsBeta(s: SparkSession, dir: String): (Double, Double) =
     T.fitCache("irlsBeta", dir) { irlsBetaCompute(s, dir) }
 
+  /** The causal-inference frame shared by ml_propensity_ipw /
+    * ml_doubly_robust: confounder x = quantity, treatment tr = deep
+    * discount (> 0.05), outcome yv = extendedprice. */
+  private def causalFrame(s: SparkSession, dir: String): DataFrame =
+    T.lineitem(s, dir).select(
+      col("l_quantity").cast("double").as("x"),
+      when(col("l_discount") > 0.05, 1.0).otherwise(0.0).as("tr"),
+      col("l_extendedprice").cast("double").as("yv"))
+      .transform(T.fanOut(_))
+
+  /** 2 driver-held IRLS steps for the PROPENSITY e(x) = P(tr = 1 | x) —
+    * the irlsBeta discipline on [[causalFrame]]'s treatment; fitCache'd
+    * so the IPW and AIPW rows share one fit. */
+  private def propensityBeta(s: SparkSession, dir: String): (Double, Double) =
+    T.fitCache[(Double, Double)]("propensityBeta", dir) {
+      val spark = s
+      import spark.implicits._
+      val d = causalFrame(s, dir)
+      var aa = 0.0; var bb = 0.0
+      for (_ <- 1 to 2) {
+        val ab = Seq((aa, bb)).toDF("ca", "cb")
+        val mu = (lit(1.0) / (lit(1.0) +
+          exp(-(col("ca") + col("cb") * col("x")))))
+          .cast("float").cast("double")
+        val r = d.crossJoin(broadcast(ab))
+          .select(col("x"), col("tr").as("y"), mu.as("mu"))
+          .select(col("x"), col("y"), col("mu"),
+            (col("mu") * (lit(1.0) - col("mu"))).as("w"))
+          .agg(
+            T.xsum(col("y") - col("mu")).as("g0"),
+            T.xsum((col("y") - col("mu")) * col("x")).as("g1"),
+            T.xsum(col("w")).as("h00"),
+            T.xsum(col("w") * col("x")).as("h01"),
+            T.xsum(col("w") * col("x") * col("x")).as("h11"))
+          .collect()(0)
+        val g0 = r.getDouble(0); val g1 = r.getDouble(1)
+        val h00 = r.getDouble(2); val h01 = r.getDouble(3)
+        val h11 = r.getDouble(4)
+        val den = h00 * h11 - h01 * h01
+        val na = aa + (h11 * g0 - h01 * g1) / den
+        val nb = bb + (h00 * g1 - h01 * g0) / den
+        aa = na; bb = nb
+      }
+      (aa, bb)
+    }
+
   /** L2-penalized IRLS (LogisticRegression(penalty='l2') — the ridge
     * Newton step (H + λ·diag(0,1))δ = g − λ·(0, b): the SLOPE is
     * penalized, the intercept is not (the sklearn/cuml convention).
@@ -3430,6 +3476,93 @@ object ML {
                FROM r""")),
 
     QueryDef(
+      "ml_doubly_robust",
+      // AIPW — the doubly-robust treatment-effect estimator layered on
+      // ml_propensity_ipw's fitted propensity (Robins, Rotnitzky & Zhao
+      // 1994): per-arm outcome models m₁/m₀ = closed-form OLS of Y on x
+      // within each arm (two moment rows from ONE grouped pass), then
+      // ATE = mean[T·(Y−m₁)/e + m₁] − mean[(1−T)·(Y−m₀)/(1−e) + m₀] —
+      // consistent if EITHER the propensity or the outcome model is
+      // right. Propensity coefficients shared (fitCache) with the IPW
+      // row; e clipped identically; every reduction exact-wire.
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        val d = causalFrame(s, dir)
+        val (a, b) = propensityBeta(s, dir)
+        val ab = Seq((a, b)).toDF("ca", "cb")
+        val om = d.groupBy("tr")
+          .agg(count(lit(1)).cast("double").as("nn"),
+            T.xsum(col("x")).as("sx"), T.xsum(col("yv")).as("sy"),
+            T.xsum(col("x") * col("x")).as("sxx"),
+            T.xsum(col("x") * col("yv")).as("sxy"))
+          .selectExpr("tr",
+            "(nn * sxy - sx * sy) / (nn * sxx - sx * sx) AS slope",
+            "(sy - (nn * sxy - sx * sy) / (nn * sxx - sx * sx) * sx) / nn AS icept")
+        val m1 = om.where(col("tr") === 1.0)
+          .selectExpr("slope AS sl1", "icept AS ic1")
+        val m0 = om.where(col("tr") === 0.0)
+          .selectExpr("slope AS sl0", "icept AS ic0")
+        d.crossJoin(broadcast(ab))
+          .crossJoin(broadcast(m1)).crossJoin(broadcast(m0))
+          .selectExpr("tr", "yv",
+            "greatest(1e-2, least(99e-2, CAST(CAST(1.0 / (1.0 + exp(-(ca + cb * x))) AS FLOAT) AS DOUBLE))) AS e",
+            "ic1 + sl1 * x AS mm1", "ic0 + sl0 * x AS mm0")
+          .agg(count(lit(1)).as("n"),
+            T.xsum(expr("tr * (yv - mm1) / e + mm1")).as("t1"),
+            T.xsum(expr("(1e0 - tr) * (yv - mm0) / (1e0 - e) + mm0")).as("t0"))
+          .selectExpr("n",
+            "round(t1 / n, 6) AS mean_treated_dr",
+            "round(t0 / n, 6) AS mean_control_dr",
+            "round(t1 / n - t0 / n, 6) AS ate_aipw")
+      },
+      Some {
+        def mStep(src: String) =
+          s"""SELECT ${T.sqlXsum("y - mu")} AS g0,
+                ${T.sqlXsum("(y - mu) * x")} AS g1,
+                ${T.sqlXsum("mu * (1.0 - mu)")} AS h00,
+                ${T.sqlXsum("mu * (1.0 - mu) * x")} AS h01,
+                ${T.sqlXsum("mu * (1.0 - mu) * x * x")} AS h11
+              FROM $src"""
+        def beta(m: String, prevA: String, prevB: String) =
+          s"""SELECT $prevA + (h11 * g0 - h01 * g1) / (h00 * h11 - h01 * h01) AS a,
+                $prevB + (h00 * g1 - h01 * g0) / (h00 * h11 - h01 * h01) AS b
+              FROM $m"""
+        s"""WITH d AS (SELECT CAST(l_quantity AS DOUBLE) AS x,
+                   CASE WHEN l_discount > 0.05 THEN 1.0 ELSE 0.0 END AS y,
+                   CAST(l_extendedprice AS DOUBLE) AS yv
+                 FROM lineitem),
+                 i1 AS (SELECT x, y, yv, CAST(CAST(1.0 / (1.0 + exp(-(0.0 + 0.0 * x))) AS REAL) AS DOUBLE) AS mu FROM d),
+                 m1s AS (${mStep("i1")}),
+                 b1 AS (${beta("m1s", "0.0", "0.0")}),
+                 i2 AS (SELECT x, y, yv, CAST(CAST(1.0 / (1.0 + exp(-(a + b * x))) AS REAL) AS DOUBLE) AS mu FROM d, b1),
+                 m2s AS (${mStep("i2")}),
+                 b2 AS (${beta("m2s, b1", "b1.a", "b1.b")}),
+                 om AS (SELECT y AS tr,
+                     (nn * sxy - sx * sy) / (nn * sxx - sx * sx) AS slope,
+                     (sy - (nn * sxy - sx * sy) / (nn * sxx - sx * sx) * sx) / nn AS icept
+                   FROM (SELECT y, CAST(count(*) AS DOUBLE) AS nn,
+                       ${T.sqlXsum("x")} AS sx, ${T.sqlXsum("yv")} AS sy,
+                       ${T.sqlXsum("x * x")} AS sxx, ${T.sqlXsum("x * yv")} AS sxy
+                     FROM d GROUP BY y) g),
+                 mm1 AS (SELECT slope AS sl1, icept AS ic1 FROM om WHERE tr = 1.0),
+                 mm0 AS (SELECT slope AS sl0, icept AS ic0 FROM om WHERE tr = 0.0),
+                 sc AS (SELECT y AS tr, yv,
+                     greatest(1e-2, least(99e-2, CAST(CAST(1.0 / (1.0 + exp(-(a + b * x))) AS REAL) AS DOUBLE))) AS e,
+                     ic1 + sl1 * x AS mm1, ic0 + sl0 * x AS mm0
+                   FROM d, b2, mm1, mm0),
+                 ag AS (SELECT count(*) AS n,
+                     ${T.sqlXsum("tr * (yv - mm1) / e + mm1")} AS t1,
+                     ${T.sqlXsum("(1e0 - tr) * (yv - mm0) / (1e0 - e) + mm0")} AS t0
+                   FROM sc)
+               SELECT n,
+                 round(t1 / n, 6) AS mean_treated_dr,
+                 round(t0 / n, 6) AS mean_control_dr,
+                 round(t1 / n - t0 / n, 6) AS ate_aipw
+               FROM ag"""
+      }),
+
+    QueryDef(
       "ml_propensity_ipw",
       // Inverse-propensity-weighted treatment effect (Horvitz–Thompson /
       // Hájek — the observational-causal estimator an A/B-less analysis
@@ -3444,39 +3577,8 @@ object ML {
       (s, dir) => {
         val spark = s
         import spark.implicits._
-        val d = T.lineitem(s, dir).select(
-          col("l_quantity").cast("double").as("x"),
-          when(col("l_discount") > 0.05, 1.0).otherwise(0.0).as("tr"),
-          col("l_extendedprice").cast("double").as("yv"))
-          .transform(T.fanOut(_))
-        val (a, b) = T.fitCache[(Double, Double)]("propensityBeta", dir) {
-          var aa = 0.0; var bb = 0.0
-          for (_ <- 1 to 2) {
-            val ab = Seq((aa, bb)).toDF("ca", "cb")
-            val mu = (lit(1.0) / (lit(1.0) +
-              exp(-(col("ca") + col("cb") * col("x")))))
-              .cast("float").cast("double")
-            val r = d.crossJoin(broadcast(ab))
-              .select(col("x"), col("tr").as("y"), mu.as("mu"))
-              .select(col("x"), col("y"), col("mu"),
-                (col("mu") * (lit(1.0) - col("mu"))).as("w"))
-              .agg(
-                T.xsum(col("y") - col("mu")).as("g0"),
-                T.xsum((col("y") - col("mu")) * col("x")).as("g1"),
-                T.xsum(col("w")).as("h00"),
-                T.xsum(col("w") * col("x")).as("h01"),
-                T.xsum(col("w") * col("x") * col("x")).as("h11"))
-              .collect()(0)
-            val g0 = r.getDouble(0); val g1 = r.getDouble(1)
-            val h00 = r.getDouble(2); val h01 = r.getDouble(3)
-            val h11 = r.getDouble(4)
-            val den = h00 * h11 - h01 * h01
-            val na = aa + (h11 * g0 - h01 * g1) / den
-            val nb = bb + (h00 * g1 - h01 * g0) / den
-            aa = na; bb = nb
-          }
-          (aa, bb)
-        }
+        val d = causalFrame(s, dir)
+        val (a, b) = propensityBeta(s, dir)
         val ab = Seq((a, b)).toDF("ca", "cb")
         d.crossJoin(broadcast(ab))
           .selectExpr("tr", "yv",

@@ -240,6 +240,16 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("ml_doubly_robust: AIPW components internally consistent") {
+    val r = q("ml_doubly_robust").collect()(0)
+    val mt = r.getAs[Double]("mean_treated_dr")
+    val mc = r.getAs[Double]("mean_control_dr")
+    val ate = r.getAs[Double]("ate_aipw")
+    assert(!mt.isNaN && !mc.isNaN)
+    assert(math.abs(ate - (mt - mc)) < 1e-5)
+    assert(r.getAs[Long]("n") > 0)
+  }
+
   test("ml_propensity_ipw: weighted means finite, n positive") {
     val r = q("ml_propensity_ipw").collect()(0)
     assert(r.getAs[Long]("n") > 0)
