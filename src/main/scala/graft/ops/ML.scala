@@ -3476,6 +3476,79 @@ object ML {
                FROM r""")),
 
     QueryDef(
+      "ml_conformal_interval",
+      // Split-conformal prediction interval (Vovk; Lei et al. 2018 — the
+      // distribution-free uncertainty layer modern ML serving wraps
+      // around ANY point model): hash-split lineitem into train (~80%)
+      // and calibration (~20%), fit the closed-form OLS y ~ quantity on
+      // train, take q̂ = the ⌈(n_cal+1)·0.9⌉-th smallest absolute
+      // calibration residual — then ŷ ± q̂ covers ≥ 90% by construction
+      // (the CurationSpec pin). The rank is one row_number window over
+      // the calibration scores (the agg_describe exact-percentile
+      // precedent); k's double product is the same IEEE value in both
+      // engines. One grouped moment pass + one scoring pass.
+      (s, dir) => {
+        val d = T.lineitem(s, dir).select(
+          col("l_quantity").cast("double").as("x"),
+          col("l_extendedprice").cast("double").as("y"),
+          ((col("l_orderkey") * 48271L + col("l_linenumber")) % T.HASH_P % 5 === 0)
+            .as("is_cal"))
+          .transform(T.fanOut(_))
+        val cf = d.where(!col("is_cal"))
+          .agg(count(lit(1)).cast("double").as("nn"),
+            T.xsum(col("x")).as("sx"), T.xsum(col("y")).as("sy"),
+            T.xsum(col("x") * col("x")).as("sxx"),
+            T.xsum(col("x") * col("y")).as("sxy"))
+          .selectExpr("nn",
+            "(nn * sxy - sx * sy) / (nn * sxx - sx * sx) AS slope",
+            "(sy - (nn * sxy - sx * sy) / (nn * sxx - sx * sx) * sx) / nn AS icept")
+        val sc = d.where(col("is_cal")).crossJoin(broadcast(cf))
+          .selectExpr("nn", "abs(y - (icept + slope * x)) AS sv")
+        val wr = Window.orderBy("sv")
+        val wg = Window.partitionBy()
+        sc.withColumn("rn", row_number().over(wr))
+          .withColumn("ncal", count(lit(1)).over(wg))
+          .withColumn("k", least(
+            ceil((col("ncal") + 1) * lit(0.9)).cast("long"), col("ncal")))
+          .withColumn("qhat",
+            max(when(col("rn") === col("k"), col("sv"))).over(wg))
+          .agg(first(col("nn")).cast("long").as("n_train"),
+            first(col("ncal")).as("n_cal"), first(col("k")).as("k"),
+            round(first(col("qhat")), 6).as("qhat"),
+            round(T.xsum(when(col("sv") <= col("qhat"), 1.0).otherwise(0.0)) /
+              count(lit(1)), 6).as("coverage_cal"),
+            round(first(col("qhat")) * 2, 6).as("interval_width"))
+      },
+      Some(s"""WITH d AS (SELECT CAST(l_quantity AS DOUBLE) AS x,
+                   CAST(l_extendedprice AS DOUBLE) AS y,
+                   (l_orderkey * 48271 + l_linenumber) % ${T.HASH_P} % 5 = 0 AS is_cal
+                 FROM lineitem),
+                 cf AS (SELECT nn,
+                     (nn * sxy - sx * sy) / (nn * sxx - sx * sx) AS slope,
+                     (sy - (nn * sxy - sx * sy) / (nn * sxx - sx * sx) * sx) / nn AS icept
+                   FROM (SELECT CAST(count(*) AS DOUBLE) AS nn,
+                       ${T.sqlXsum("x")} AS sx, ${T.sqlXsum("y")} AS sy,
+                       ${T.sqlXsum("x * x")} AS sxx, ${T.sqlXsum("x * y")} AS sxy
+                     FROM d WHERE NOT is_cal) t),
+                 sc AS (SELECT nn, abs(y - (icept + slope * x)) AS sv
+                   FROM d, cf WHERE is_cal),
+                 rk AS (SELECT nn, sv,
+                     row_number() OVER (ORDER BY sv) AS rn,
+                     count(*) OVER () AS ncal
+                   FROM sc),
+                 kk AS (SELECT *, least(CAST(ceil((ncal + 1) * 0.9) AS BIGINT), ncal) AS k
+                   FROM rk),
+                 qh AS (SELECT *, max(CASE WHEN rn = k THEN sv END) OVER () AS qhat
+                   FROM kk)
+               SELECT CAST(any_value(nn) AS BIGINT) AS n_train,
+                 CAST(any_value(ncal) AS BIGINT) AS n_cal,
+                 CAST(any_value(k) AS BIGINT) AS k,
+                 round(any_value(qhat), 6) AS qhat,
+                 round(${T.sqlXsum("CASE WHEN sv <= qhat THEN 1.0 ELSE 0.0 END")} / count(*), 6) AS coverage_cal,
+                 round(any_value(qhat) * 2, 6) AS interval_width
+               FROM qh""")),
+
+    QueryDef(
       "ml_doubly_robust",
       // AIPW — the doubly-robust treatment-effect estimator layered on
       // ml_propensity_ipw's fitted propensity (Robins, Rotnitzky & Zhao

@@ -240,6 +240,16 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("ml_conformal_interval: calibration coverage >= 90% by construction") {
+    val r = q("ml_conformal_interval").collect()(0)
+    val nc = r.getAs[Long]("n_cal"); val k = r.getAs[Long]("k")
+    assert(nc > 0 && k >= 1 && k <= nc)
+    assert(r.getAs[Double]("coverage_cal") >= 0.9 - 1e-9,
+      "the k-th smallest score covers >= k/n_cal >= 0.9 of calibration")
+    assert(math.abs(r.getAs[Double]("interval_width") -
+      2 * r.getAs[Double]("qhat")) < 1e-5)
+  }
+
   test("ml_doubly_robust: AIPW components internally consistent") {
     val r = q("ml_doubly_robust").collect()(0)
     val mt = r.getAs[Double]("mean_treated_dr")
