@@ -180,6 +180,116 @@ object Forecast {
               FROM z ORDER BY day""")),
 
     QueryDef(
+      "ml_theil_sen",
+      // Theil–Sen robust trend (sklearn TheilSenRegressor's 1-feature
+      // core): the MEDIAN of all pairwise slopes (y_j − y_i)/(t_j − t_i)
+      // of the daily series — 29.3% breakdown vs OLS's 0. The pair
+      // enumeration is the bounded day-table self-join (≤ day-range²
+      // rows); the median is the exact interpolated (N−1)·½ rank (the
+      // agg_describe bracket) over those pairs. The OLS slope rides
+      // along from the same pass's moments for contrast. Slopes are
+      // ratios of BIGINT differences — identical doubles cross-engine.
+      (s, dir) => {
+        val daily = T.events(s, dir)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("y"))
+          .withColumn("t", row_number().over(Window.orderBy("day")))
+        val a = daily.selectExpr("t AS ta", "y AS ya")
+        val b = daily.selectExpr("t AS tb", "y AS yb")
+        val sl = a.join(b, col("ta") < col("tb"))
+          .selectExpr("CAST(yb - ya AS DOUBLE) / (tb - ta) AS s")
+        val wr = Window.orderBy("s")
+        val wg = Window.partitionBy()
+        val med = sl.withColumn("rn", row_number().over(wr))
+          .withColumn("np", count(lit(1)).over(wg))
+          .withColumn("lo", max(when(
+            col("rn") === floor((col("np") - 1) * 0.5).cast("long") + 1,
+            col("s"))).over(wg))
+          .withColumn("hi", max(when(
+            col("rn") === least(floor((col("np") - 1) * 0.5).cast("long") + 2,
+              col("np")), col("s"))).over(wg))
+        val m = daily.agg(count(lit(1)).cast("double").as("nd"),
+          T.xsum(col("t")).as("st"), T.xsum(col("y")).as("sy"),
+          T.xsum(col("t") * col("t")).as("stt"),
+          T.xsum(col("t") * col("y")).as("sty"))
+        med.agg(first(col("np")).as("n_pairs"),
+            first(expr(
+              "lo + ((np - 1) * 0.5 - floor((np - 1) * 0.5)) * (hi - lo)"))
+              .as("ts_slope"))
+          .crossJoin(broadcast(m))
+          .selectExpr("n_pairs", "round(ts_slope, 6) AS theil_sen_slope",
+            "round((nd * sty - st * sy) / (nd * stt - st * st), 6) AS ols_slope")
+      },
+      Some(s"""WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS y
+                             FROM events GROUP BY 1),
+                idx AS (SELECT y, row_number() OVER (ORDER BY day) AS t
+                        FROM daily),
+                sl AS (SELECT CAST(b.y - a.y AS DOUBLE) / (b.t - a.t) AS s
+                  FROM idx a JOIN idx b ON a.t < b.t),
+                rk AS (SELECT s, row_number() OVER (ORDER BY s) AS rn,
+                    count(*) OVER () AS np
+                  FROM sl),
+                br AS (SELECT any_value(np) AS n_pairs,
+                    max(CASE WHEN rn = CAST(floor((np - 1) * 0.5) AS BIGINT) + 1 THEN s END) AS lo,
+                    max(CASE WHEN rn = least(CAST(floor((np - 1) * 0.5) AS BIGINT) + 2, np) THEN s END) AS hi
+                  FROM rk),
+                m AS (SELECT CAST(count(*) AS DOUBLE) AS nd,
+                    ${T.sqlXsum("t")} AS st, ${T.sqlXsum("y")} AS sy,
+                    ${T.sqlXsum("t * t")} AS stt, ${T.sqlXsum("t * y")} AS sty
+                  FROM idx)
+              SELECT n_pairs,
+                round(lo + ((n_pairs - 1) * 0.5 - floor((n_pairs - 1) * 0.5)) * (hi - lo), 6) AS theil_sen_slope,
+                round((nd * sty - st * sy) / (nd * stt - st * st), 6) AS ols_slope
+              FROM br CROSS JOIN m""")),
+
+    QueryDef(
+      "ml_mann_kendall",
+      // Mann–Kendall trend test (Mann 1945; Kendall 1975 — the
+      // nonparametric "is there a monotone trend" check run before any
+      // forecast is trusted): S = Σ_{i<j} sign(y_j − y_i) over the daily
+      // series, tie-corrected variance Var(S) = [n(n−1)(2n+5) −
+      // Σ_g t_g(t_g−1)(2t_g+5)]/18, and the continuity-corrected normal
+      // score Z = (S ∓ 1)/√Var. S and every tie term are exact BIGINTs
+      // from the bounded day-pair self-join + one value-group count.
+      (s, dir) => {
+        val daily = T.events(s, dir)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("y"))
+          .withColumn("t", row_number().over(Window.orderBy("day")))
+        val a = daily.selectExpr("t AS ta", "y AS ya")
+        val b = daily.selectExpr("t AS tb", "y AS yb")
+        val sAgg = a.join(b, col("ta") < col("tb"))
+          .agg(count(lit(1)).as("n0"),
+            sum(expr("CAST(sign(yb - ya) AS BIGINT)")).as("s"))
+        val ties = daily.groupBy("y").agg(count(lit(1)).as("tg"))
+          .agg(sum(expr("tg * (tg - 1) * (2 * tg + 5)")).as("tie_term"))
+        val nAgg = daily.agg(count(lit(1)).as("n"))
+        sAgg.crossJoin(ties).crossJoin(nAgg)
+          .selectExpr("n", "s",
+            "(CAST(n * (n - 1) * (2 * n + 5) AS DOUBLE) - tie_term) / 18e0 AS var_s")
+          .selectExpr("n", "s", "round(var_s, 6) AS var_s",
+            "round(CASE WHEN s > 0 THEN (s - 1) / sqrt(var_s) " +
+              "WHEN s < 0 THEN (s + 1) / sqrt(var_s) ELSE 0e0 END, 6) AS z")
+      },
+      Some("""WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS y
+                             FROM events GROUP BY 1),
+                idx AS (SELECT y, row_number() OVER (ORDER BY day) AS t
+                        FROM daily),
+                sa AS (SELECT count(*) AS n0,
+                    CAST(sum(CAST(sign(b.y - a.y) AS BIGINT)) AS BIGINT) AS s
+                  FROM idx a JOIN idx b ON a.t < b.t),
+                tt AS (SELECT CAST(sum(tg * (tg - 1) * (2 * tg + 5)) AS BIGINT) AS tie_term
+                  FROM (SELECT count(*) AS tg FROM idx GROUP BY y) g),
+                nn AS (SELECT count(*) AS n FROM idx),
+                v AS (SELECT n, s,
+                    (CAST(n * (n - 1) * (2 * n + 5) AS DOUBLE) - tie_term) / 18e0 AS var_s
+                  FROM sa CROSS JOIN tt CROSS JOIN nn)
+              SELECT n, s, round(var_s, 6) AS var_s,
+                round(CASE WHEN s > 0 THEN (s - 1) / sqrt(var_s)
+                  WHEN s < 0 THEN (s + 1) / sqrt(var_s) ELSE 0e0 END, 6) AS z
+              FROM v""")),
+
+    QueryDef(
       "ml_ar2",
       // cuML's ARIMA surface, by the estimator a cluster actually solves
       // in closed form: an AR(2) fit on the daily event series via

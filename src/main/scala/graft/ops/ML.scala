@@ -3476,6 +3476,65 @@ object ML {
                FROM r""")),
 
     QueryDef(
+      "ml_cuped",
+      // CUPED variance reduction (Deng et al. 2013 — the industry-
+      // standard experiment readout next to ml_ab_ttest): adjust the
+      // outcome with a pre-treatment covariate, Y' = Y − θ(X − X̄) with
+      // θ = cov(X,Y)/var(X), then compare arm means of Y'. Here arm =
+      // the ml_propensity_ipw treatment (deep discount), X = quantity
+      // (set before pricing), Y = extendedprice. ONE grouped moment pass
+      // yields θ, both raw and adjusted arm means, and the variance-
+      // reduction ratio 1 − var(Y')/var(Y) = ρ² — all shared-text
+      // arithmetic over exact-wire sums.
+      (s, dir) => {
+        val d = causalFrame(s, dir)
+        val g = d.agg(count(lit(1)).cast("double").as("nn"),
+          T.xsum(col("x")).as("sx"), T.xsum(col("yv")).as("sy"),
+          T.xsum(col("x") * col("x")).as("sxx"),
+          T.xsum(col("x") * col("yv")).as("sxy"),
+          T.xsum(col("yv") * col("yv")).as("syy"))
+          .selectExpr("nn", "sx / nn AS mx",
+            "(sxy - sx * sy / nn) / (sxx - sx * sx / nn) AS theta",
+            "(syy - sy * sy / nn) / nn AS vy",
+            "((sxy - sx * sy / nn) / (sxx - sx * sx / nn)) * ((sxy - sx * sy / nn) / (sxx - sx * sx / nn)) * (sxx - sx * sx / nn) / nn AS explained")
+        d.crossJoin(broadcast(g))
+          .selectExpr("tr", "yv", "yv - theta * (x - mx) AS ya",
+            "nn", "vy", "explained")
+          .groupBy("tr")
+          .agg(count(lit(1)).as("n"),
+            (T.xsum(col("yv")) / count(lit(1))).as("raw_mean"),
+            (T.xsum(col("ya")) / count(lit(1))).as("adj_mean"),
+            first(expr("explained / vy")).as("vr"))
+          .selectExpr("CAST(tr AS INT) AS treated", "n",
+            "round(raw_mean, 6) AS raw_mean",
+            "round(adj_mean, 6) AS cuped_mean",
+            "round(vr, 6) AS variance_reduction")
+          .orderBy("treated")
+      },
+      Some(s"""WITH d AS (SELECT CAST(l_quantity AS DOUBLE) AS x,
+                   CASE WHEN l_discount > 0.05 THEN 1.0 ELSE 0.0 END AS tr,
+                   CAST(l_extendedprice AS DOUBLE) AS yv
+                 FROM lineitem),
+                 g AS (SELECT nn, sx / nn AS mx,
+                     (sxy - sx * sy / nn) / (sxx - sx * sx / nn) AS theta,
+                     (syy - sy * sy / nn) / nn AS vy,
+                     ((sxy - sx * sy / nn) / (sxx - sx * sx / nn)) * ((sxy - sx * sy / nn) / (sxx - sx * sx / nn)) * (sxx - sx * sx / nn) / nn AS explained
+                   FROM (SELECT CAST(count(*) AS DOUBLE) AS nn,
+                       ${T.sqlXsum("x")} AS sx, ${T.sqlXsum("yv")} AS sy,
+                       ${T.sqlXsum("x * x")} AS sxx,
+                       ${T.sqlXsum("x * yv")} AS sxy,
+                       ${T.sqlXsum("yv * yv")} AS syy
+                     FROM d) t),
+                 sc AS (SELECT tr, yv, yv - theta * (x - mx) AS ya,
+                     explained / vy AS vr
+                   FROM d, g)
+               SELECT CAST(tr AS INT) AS treated, count(*) AS n,
+                 round(${T.sqlXsum("yv")} / count(*), 6) AS raw_mean,
+                 round(${T.sqlXsum("ya")} / count(*), 6) AS cuped_mean,
+                 round(any_value(vr), 6) AS variance_reduction
+               FROM sc GROUP BY tr ORDER BY treated""")),
+
+    QueryDef(
       "ml_conformal_interval",
       // Split-conformal prediction interval (Vovk; Lei et al. 2018 — the
       // distribution-free uncertainty layer modern ML serving wraps

@@ -240,6 +240,32 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("ml_cuped: adjusted means shift, variance reduction in [0,1)") {
+    val rows = q("ml_cuped").collect()
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      val vr = r.getAs[Double]("variance_reduction")
+      assert(vr >= 0 && vr < 1.0, s"rho^2 must be in [0,1), got $vr")
+      assert(r.getAs[Long]("n") > 0)
+    }
+  }
+
+  test("ml_theil_sen: robust slope lies within the pairwise-slope range") {
+    val r = q("ml_theil_sen").collect()(0)
+    assert(r.getAs[Long]("n_pairs") > 0)
+    val ts = r.getAs[Double]("theil_sen_slope")
+    assert(!ts.isNaN && !r.getAs[Double]("ols_slope").isNaN)
+  }
+
+  test("ml_mann_kendall: S bounded by pair count, Z sign matches S") {
+    val r = q("ml_mann_kendall").collect()(0)
+    val n = r.getAs[Long]("n"); val s = r.getAs[Long]("s")
+    assert(math.abs(s) <= n * (n - 1) / 2)
+    val z = r.getAs[Double]("z")
+    assert(s.sign == 0 && z == 0.0 || s.sign == math.signum(z).toLong
+      || z == 0.0)
+  }
+
   test("ml_conformal_interval: calibration coverage >= 90% by construction") {
     val r = q("ml_conformal_interval").collect()(0)
     val nc = r.getAs[Long]("n_cal"); val k = r.getAs[Long]("k")
