@@ -3476,6 +3476,91 @@ object ML {
                FROM r""")),
 
     QueryDef(
+      "ml_ransac",
+      // RANSAC robust regression (Fischler & Bolles 1981; sklearn
+      // RANSACRegressor): 5 candidate lines, each fit exactly through a
+      // MINIMAL SAMPLE of 2 points, scored by consensus — the count of
+      // corpus rows within the inlier band |y − (a + b·x)| ≤ τ; the
+      // largest consensus wins. Determinized per the knnPredLang
+      // discipline: the 10 sample points are the smallest affine-hash
+      // ranks (TakeOrdered — no global sort), paired (1,2)(3,4)…;
+      // degenerate pairs (equal x) drop. τ = 20000 — about half the
+      // fixture's price IQR, documented not derived, so the band is a
+      // fixed contract. Scale: candidates are a 5-row broadcast against
+      // ONE corpus scoring pass. Output: every candidate's line +
+      // consensus + the winner flag (ties → smaller candidate id).
+      (s, dir) => {
+        val d = T.lineitem(s, dir).select(
+          col("l_quantity").cast("double").as("x"),
+          col("l_extendedprice").cast("double").as("y"),
+          col("l_orderkey"), col("l_linenumber"))
+          .transform(T.fanOut(_))
+        val pts = d
+          .orderBy((col("l_orderkey") * 69621L + col("l_linenumber") * 823L + 7L)
+            % T.HASH_P, col("l_orderkey"), col("l_linenumber"))
+          .limit(10)
+          .select(col("x"), col("y"))
+          .withColumn("i", row_number().over(
+            Window.orderBy((col("x") * 1e6 + col("y")))))
+        val cand = pts.selectExpr("CAST(floor((i + 1) / 2) AS INT) AS cid",
+            "CASE WHEN i % 2 = 1 THEN x END AS x1",
+            "CASE WHEN i % 2 = 1 THEN y END AS y1",
+            "CASE WHEN i % 2 = 0 THEN x END AS x2",
+            "CASE WHEN i % 2 = 0 THEN y END AS y2")
+          .groupBy("cid")
+          .agg(max(col("x1")).as("x1"), max(col("y1")).as("y1"),
+            max(col("x2")).as("x2"), max(col("y2")).as("y2"))
+          .where(col("x1") =!= col("x2"))
+          .selectExpr("cid", "(y2 - y1) / (x2 - x1) AS b",
+            "y1 - (y2 - y1) / (x2 - x1) * x1 AS a")
+        val scored = d.crossJoin(broadcast(cand))
+          .groupBy("cid", "a", "b")
+          .agg(sum(when(abs(col("y") - (col("a") + col("b") * col("x")))
+            <= 20000.0, 1L).otherwise(0L)).as("n_inliers"),
+            count(lit(1)).as("n"))
+        val wb = Window.orderBy(col("n_inliers").desc, col("cid"))
+        scored.withColumn("rk", row_number().over(wb))
+          .selectExpr("cid", "round(a, 6) AS icept", "round(b, 6) AS slope",
+            "n_inliers", "round(CAST(n_inliers AS DOUBLE) / n, 6) AS inlier_frac",
+            "CAST(rk = 1 AS INT) AS is_best")
+          .orderBy("cid")
+      },
+      Some {
+        // the candidate chain needs y1/x1 alongside b — spell the pair
+        // pivot once, reuse for a
+        s"""WITH d AS (SELECT CAST(l_quantity AS DOUBLE) AS x,
+                   CAST(l_extendedprice AS DOUBLE) AS y,
+                   l_orderkey, l_linenumber
+                 FROM lineitem),
+                 pts AS (SELECT x, y FROM d
+                   ORDER BY (l_orderkey * 69621 + l_linenumber * 823 + 7) % ${T.HASH_P},
+                     l_orderkey, l_linenumber LIMIT 10),
+                 ix AS (SELECT x, y,
+                     row_number() OVER (ORDER BY (x * 1e6 + y)) AS i
+                   FROM pts),
+                 pv AS (SELECT CAST(floor((i + 1) / 2) AS INT) AS cid,
+                     max(CASE WHEN i % 2 = 1 THEN x END) AS x1,
+                     max(CASE WHEN i % 2 = 1 THEN y END) AS y1,
+                     max(CASE WHEN i % 2 = 0 THEN x END) AS x2,
+                     max(CASE WHEN i % 2 = 0 THEN y END) AS y2
+                   FROM ix GROUP BY 1),
+                 cand AS (SELECT cid, (y2 - y1) / (x2 - x1) AS b,
+                     y1 - (y2 - y1) / (x2 - x1) * x1 AS a
+                   FROM pv WHERE x1 <> x2),
+                 scored AS (SELECT cid, a, b,
+                     CAST(sum(CASE WHEN abs(y - (a + b * x)) <= 20000.0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_inliers,
+                     count(*) AS n
+                   FROM d CROSS JOIN cand GROUP BY cid, a, b),
+                 rk AS (SELECT *, row_number() OVER (
+                     ORDER BY n_inliers DESC, cid) AS rk FROM scored)
+               SELECT cid, round(a, 6) AS icept, round(b, 6) AS slope,
+                 n_inliers, round(CAST(n_inliers AS DOUBLE) / n, 6) AS inlier_frac,
+                 CAST(rk = 1 AS INT) AS is_best
+               FROM rk ORDER BY cid"""
+      }),
+
+    QueryDef(
       "ml_cuped",
       // CUPED variance reduction (Deng et al. 2013 — the industry-
       // standard experiment readout next to ml_ab_ttest): adjust the

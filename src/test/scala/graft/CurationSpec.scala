@@ -240,6 +240,19 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("ml_ransac: exactly one winner with the max consensus") {
+    val rows = q("ml_ransac").collect()
+    assert(rows.nonEmpty)
+    assert(rows.count(_.getAs[Int]("is_best") == 1) == 1)
+    val maxIn = rows.map(_.getAs[Long]("n_inliers")).max
+    val best = rows.find(_.getAs[Int]("is_best") == 1).get
+    assert(best.getAs[Long]("n_inliers") == maxIn)
+    rows.foreach { r =>
+      val f = r.getAs[Double]("inlier_frac")
+      assert(f >= 0 && f <= 1)
+    }
+  }
+
   test("ml_cuped: adjusted means shift, variance reduction in [0,1)") {
     val rows = q("ml_cuped").collect()
     assert(rows.length == 2)
