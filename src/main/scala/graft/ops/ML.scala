@@ -3476,6 +3476,72 @@ object ML {
                FROM r""")),
 
     QueryDef(
+      "ml_lift_table",
+      // Decile lift table for the logistic return-flag classifier — the
+      // campaign-targeting readout (score the population, sort by
+      // predicted response, report each decile's response rate vs the
+      // base rate). SCALE TRICK: μ = σ(a + b·x) is monotone in x, and
+      // x = quantity has a BOUNDED integral domain — so deciles of the
+      // score are computable from the ≤50-row per-value histogram
+      // (ordered by each value's own μ), never a corpus-wide
+      // rank/ntile. Value groups stay together at decile boundaries
+      // (the standard grouped-lift convention). One grouped corpus pass;
+      // coefficients from the shared 3-step IRLS fit (driver-held,
+      // oracle re-derives the identical chain).
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        val (a, b) = irlsBeta(s, dir)
+        val ab = Seq((a, b)).toDF("ca", "cb")
+        val g = T.lineitem(s, dir).select(
+          col("l_quantity").cast("double").as("x"),
+          when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"))
+          .transform(T.fanOut(_))
+          .groupBy("x")
+          .agg(count(lit(1)).as("nv"), sum(col("y")).as("pos"))
+        val scored = g.crossJoin(broadcast(ab))
+          .selectExpr("x", "nv", "pos",
+            "CAST(CAST(1.0 / (1.0 + exp(-(ca + cb * x))) AS FLOAT) AS DOUBLE) AS mu")
+        val wo = Window.orderBy(col("mu").desc, col("x"))
+        val wg = Window.partitionBy()
+        scored
+          .withColumn("cb4",
+            coalesce(sum(col("nv")).over(
+              wo.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .withColumn("n", sum(col("nv")).over(wg))
+          .withColumn("npos", sum(col("pos")).over(wg))
+          .selectExpr("nv", "pos", "n", "npos",
+            "CAST(least(floor(cb4 * 10 / n), 9) AS INT) AS decile")
+          .groupBy("decile")
+          .agg(sum(col("nv")).as("n_rows"), sum(col("pos")).as("n_pos"),
+            first(col("n")).as("n"), first(col("npos")).as("npos"))
+          .selectExpr("decile", "n_rows", "n_pos",
+            "round(CAST(n_pos AS DOUBLE) / n_rows, 6) AS response_rate",
+            "round((CAST(n_pos AS DOUBLE) / n_rows) / (CAST(npos AS DOUBLE) / n), 6) AS lift")
+          .orderBy("decile")
+      },
+      Some(s"""WITH $sqlIrlsChain,
+                 g AS (SELECT x, count(*) AS nv,
+                     CAST(sum(y) AS BIGINT) AS pos
+                   FROM d GROUP BY x),
+                 sc AS (SELECT x, nv, pos,
+                     CAST(CAST(1.0 / (1.0 + exp(-(a + b * x))) AS REAL) AS DOUBLE) AS mu
+                   FROM g, b3),
+                 cu AS (SELECT *,
+                     coalesce(sum(nv) OVER (ORDER BY mu DESC, x
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb4,
+                     sum(nv) OVER () AS n, sum(pos) OVER () AS npos
+                   FROM sc),
+                 dd AS (SELECT nv, pos, n, npos,
+                     CAST(least(floor(cb4 * 10 / n), 9) AS INT) AS decile
+                   FROM cu)
+               SELECT decile, CAST(sum(nv) AS BIGINT) AS n_rows,
+                 CAST(sum(pos) AS BIGINT) AS n_pos,
+                 round(CAST(sum(pos) AS DOUBLE) / sum(nv), 6) AS response_rate,
+                 round((CAST(sum(pos) AS DOUBLE) / sum(nv)) / (CAST(any_value(npos) AS DOUBLE) / any_value(n)), 6) AS lift
+               FROM dd GROUP BY decile ORDER BY decile""")),
+
+    QueryDef(
       "ml_ransac",
       // RANSAC robust regression (Fischler & Bolles 1981; sklearn
       // RANSACRegressor): 5 candidate lines, each fit exactly through a

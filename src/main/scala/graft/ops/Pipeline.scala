@@ -1437,6 +1437,55 @@ object Pipeline {
                FROM agg CROSS JOIN tot""")),
 
     QueryDef(
+      "text_char_entropy",
+      // Per-document CHARACTER entropy — the compression-ratio proxy a
+      // curation pipeline thresholds on (low-entropy docs are repeated
+      // boilerplate/padding; the zlib-ratio filter's statistics without
+      // the codec): H(doc) = ln L − (Σ_c n_c·ln n_c)/L over the doc's
+      // char counts, reported as a 0.25-nat histogram with per-bucket
+      // mean length. Two vertex-keyed aggregations ((doc, char) counts,
+      // then per-doc reduction over its ≤alphabet rows); ln
+      // REAL-collapsed per term, per-doc sums exact — the unigram_lm
+      // determinism discipline at char granularity.
+      (s, dir) => {
+        val cc = T.documents(s, dir)
+          .transform(T.fanOut(_, col("doc_id")))
+          .select(col("doc_id"),
+            explode(expr(
+              "transform(sequence(1, length(text)), i -> substring(text, i, 1))")).as("ch"))
+          .groupBy("doc_id", "ch").agg(count(lit(1)).as("nc"))
+        val ent = cc.groupBy("doc_id")
+          .agg(sum(col("nc")).as("len"),
+            T.xsum(expr(
+              "nc * CAST(CAST(ln(CAST(nc AS DOUBLE)) AS FLOAT) AS DOUBLE)")).as("snl"))
+          .selectExpr("doc_id", "len",
+            "CAST(CAST(ln(CAST(len AS DOUBLE)) AS FLOAT) AS DOUBLE) - snl / len AS h")
+        ent.selectExpr("floor(h / 25e-2) * 25e-2 AS h_bucket", "h", "len")
+          .groupBy("h_bucket")
+          .agg(count(lit(1)).as("n_docs"),
+            round(T.xsum(col("h")) / count(lit(1)), 6).as("avg_entropy"),
+            round(T.xsum(col("len")) / count(lit(1)), 6).as("avg_len"))
+          .orderBy("h_bucket")
+      },
+      Some(s"""WITH cc AS (SELECT doc_id, ch, count(*) AS nc FROM (
+                   SELECT doc_id,
+                     unnest(list_transform(generate_series(1, length(text)),
+                       i -> substring(text, CAST(i AS INT), 1))) AS ch
+                   FROM documents) t
+                 GROUP BY doc_id, ch),
+                 ent AS (SELECT doc_id, CAST(sum(nc) AS BIGINT) AS len,
+                     ${T.sqlXsum("nc * CAST(CAST(ln(CAST(nc AS DOUBLE)) AS REAL) AS DOUBLE)")} AS snl
+                   FROM cc GROUP BY doc_id),
+                 h AS (SELECT doc_id, len,
+                     CAST(CAST(ln(CAST(len AS DOUBLE)) AS REAL) AS DOUBLE) - snl / len AS h
+                   FROM ent)
+               SELECT floor(h / 25e-2) * 25e-2 AS h_bucket,
+                 count(*) AS n_docs,
+                 round(${T.sqlXsum("h")} / count(*), 6) AS avg_entropy,
+                 round(${T.sqlXsum("len")} / count(*), 6) AS avg_len
+               FROM h GROUP BY 1 ORDER BY 1""")),
+
+    QueryDef(
       "text_zipf",
       // Zipf's-law diagnostic — the corpus-statistics check next to
       // text_langid/text_quality: OLS of ln(freq) on ln(rank) over the

@@ -240,6 +240,28 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("ml_lift_table: deciles partition the corpus, rates average to base") {
+    val rows = q("ml_lift_table").collect()
+    assert(rows.length == 10)
+    val n = rows.map(_.getAs[Long]("n_rows")).sum
+    val pos = rows.map(_.getAs[Long]("n_pos")).sum
+    assert(n > 0 && pos > 0 && pos <= n)
+    // Σ decile_rate * decile_n = total positives; lift weighted-avgs to 1
+    val wl = rows.map(r =>
+      r.getAs[Double]("lift") * r.getAs[Long]("n_rows")).sum / n
+    assert(math.abs(wl - 1.0) < 1e-3)
+  }
+
+  test("text_char_entropy: entropies bounded by ln(alphabet), lengths positive") {
+    val rows = q("text_char_entropy").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val h = r.getAs[Double]("avg_entropy")
+      assert(h >= -1e-9 && h < 6.0, "char entropy can't exceed ln(|alphabet|)")
+      assert(r.getAs[Double]("avg_len") > 0)
+    }
+  }
+
   test("ml_ransac: exactly one winner with the max consensus") {
     val rows = q("ml_ransac").collect()
     assert(rows.nonEmpty)
