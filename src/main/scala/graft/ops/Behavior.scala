@@ -448,6 +448,157 @@ object Behavior {
                  FROM rk2 WHERE m > 0 GROUP BY beta1) t""")),
 
     QueryDef(
+      "ml_friedman_test",
+      // Friedman's rank test (Friedman 1937 — the nonparametric
+      // repeated-measures ANOVA): do the 5 event types keep the same
+      // volume ordering across days, or does some type's rank genuinely
+      // shift? Blocks = days, treatments = event types; within each day
+      // the types are AVERAGE-ranked by count (ties get the mean of
+      // their row numbers — rank() + (tied−1)/2, identical text both
+      // engines), and χ²_F = 12/(n·k(k+1))·ΣR_j² − 3n(k+1). The grid is
+      // the bounded (day × type) aggregate with missing cells as 0;
+      // every rank and rank-sum is exact.
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        val e = T.events(s, dir)
+        val days = e.select(to_date(col("ts")).as("day")).distinct()
+        val types = e.select(col("event_type")).distinct()
+        val counts = e.groupBy(to_date(col("ts")).as("day"), col("event_type"))
+          .agg(count(lit(1)).as("c"))
+        val grid = days.crossJoin(broadcast(types))
+          .join(counts, Seq("day", "event_type"), "left")
+          .selectExpr("day", "event_type", "coalesce(c, 0L) AS c")
+        val wr = Window.partitionBy("day").orderBy("c")
+        val wt = Window.partitionBy("day", "c")
+        val ranked = grid
+          .withColumn("rk",
+            rank().over(wr) + (count(lit(1)).over(wt) - 1) / lit(2e0))
+        val rj = ranked.groupBy("event_type")
+          .agg(T.xsum(col("rk")).as("rsum"))
+        val nk = days.agg(count(lit(1)).as("n"))
+          .crossJoin(types.agg(count(lit(1)).as("k")))
+        rj.agg(T.xsum(col("rsum") * col("rsum")).as("ss"))
+          .crossJoin(broadcast(nk))
+          .selectExpr("n", "CAST(k AS INT) AS k",
+            "round(12e0 / (n * k * (k + 1)) * ss - 3e0 * n * (k + 1), 6) AS friedman_chi2")
+      },
+      Some(s"""WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+                 types AS (SELECT DISTINCT event_type FROM events),
+                 counts AS (SELECT CAST(ts AS DATE) AS day, event_type,
+                     count(*) AS c
+                   FROM events GROUP BY 1, 2),
+                 grid AS (SELECT d.day, t.event_type, coalesce(c.c, 0) AS c
+                   FROM days d CROSS JOIN types t
+                   LEFT JOIN counts c ON c.day = d.day
+                     AND c.event_type = t.event_type),
+                 ranked AS (SELECT day, event_type,
+                     rank() OVER (PARTITION BY day ORDER BY c)
+                       + (count(*) OVER (PARTITION BY day, c) - 1) / 2e0 AS rk
+                   FROM grid),
+                 rj AS (SELECT event_type, ${T.sqlXsum("rk")} AS rsum
+                   FROM ranked GROUP BY event_type),
+                 nk AS (SELECT (SELECT count(*) FROM days) AS n,
+                     (SELECT count(*) FROM types) AS k),
+                 ss AS (SELECT ${T.sqlXsum("rsum * rsum")} AS ss FROM rj)
+               SELECT CAST(n AS BIGINT) AS n, CAST(k AS INT) AS k,
+                 round(12e0 / (n * k * (k + 1)) * ss - 3e0 * n * (k + 1), 6) AS friedman_chi2
+               FROM ss CROSS JOIN nk""")),
+
+    QueryDef(
+      "ml_hurst_exponent",
+      // Hurst exponent by rescaled-range analysis (Hurst 1951; Mandelbrot
+      // & Wallis 1969 — the long-memory diagnostic next to ml_acf:
+      // H ≈ ½ random walk, > ½ trending, < ½ mean-reverting): for window
+      // sizes w ∈ {5, 10, 15} split the daily series into ⌊n/w⌋ blocks,
+      // per block R = range of cumulative mean-deviations and S = the
+      // population std, average R/S over blocks (S > 0), then H = the
+      // ln–ln OLS slope over the three (w, R/S) points. Everything runs
+      // on the bounded day table: per-block windows, exact sums,
+      // REAL-collapsed ln.
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        val daily = T.events(s, dir)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("y"))
+          .withColumn("t", row_number().over(Window.orderBy("day")))
+        val ws = broadcast(Seq(5, 10, 15).toDF("w"))
+        val blk = daily.crossJoin(ws)
+          .selectExpr("w", "CAST(floor((t - 1) / w) AS INT) AS b",
+            "t", "CAST(y AS DOUBLE) AS y")
+          .withColumn("nb", count(lit(1)).over(
+            Window.partitionBy("w", "b")))
+          .where(col("nb") === col("w"))
+        val wb = Window.partitionBy("w", "b")
+        val wc = Window.partitionBy("w", "b").orderBy("t")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val rs = blk
+          .withColumn("mb", sum(col("y").cast(T.exact)).over(wb).cast("double") / col("w"))
+          .withColumn("z", sum((col("y") - col("mb")).cast(T.exact)).over(wc).cast("double"))
+          .withColumn("r", max(col("z")).over(wb) - min(col("z")).over(wb))
+          .withColumn("s2",
+            sum(((col("y") - col("mb")) * (col("y") - col("mb"))).cast(T.exact))
+              .over(wb).cast("double") / col("w"))
+          .where(col("t") % col("w") === 0 && col("s2") > 0)
+          .selectExpr("w", "r / sqrt(s2) AS rs")
+          .groupBy("w")
+          .agg(count(lit(1)).as("n_blocks"), (T.xsum(col("rs")) / count(lit(1))).as("rsm"))
+        val pts = rs.selectExpr(
+          "CAST(CAST(ln(CAST(w AS DOUBLE)) AS FLOAT) AS DOUBLE) AS lx",
+          "CAST(CAST(ln(rsm) AS FLOAT) AS DOUBLE) AS ly",
+          "w", "n_blocks", "rsm")
+        pts.agg(count(lit(1)).cast("double").as("np"),
+            T.xsum(col("lx")).as("sx"), T.xsum(col("ly")).as("sy"),
+            T.xsum(col("lx") * col("lx")).as("sxx"),
+            T.xsum(col("lx") * col("ly")).as("sxy"),
+            round(max(when(col("w") === 5, col("rsm"))), 6).as("rs_5"),
+            round(max(when(col("w") === 10, col("rsm"))), 6).as("rs_10"),
+            round(max(when(col("w") === 15, col("rsm"))), 6).as("rs_15"))
+          .selectExpr("rs_5", "rs_10", "rs_15",
+            "round((np * sxy - sx * sy) / (np * sxx - sx * sx), 6) AS hurst")
+      },
+      Some(s"""WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS y
+                             FROM events GROUP BY 1),
+                 idx AS (SELECT CAST(y AS DOUBLE) AS y,
+                     row_number() OVER (ORDER BY day) AS t
+                   FROM daily),
+                 ws AS (SELECT unnest([5, 10, 15]) AS w),
+                 blk0 AS (SELECT w, CAST(floor((t - 1) / w) AS INT) AS b, t, y
+                   FROM idx CROSS JOIN ws),
+                 blk AS (SELECT * FROM (SELECT *,
+                     count(*) OVER (PARTITION BY w, b) AS nb FROM blk0) t0
+                   WHERE nb = w),
+                 st AS (SELECT w, b, t, y,
+                     CAST(sum(CAST(y AS DECIMAL(30,12))) OVER (PARTITION BY w, b) AS DOUBLE) / w AS mb
+                   FROM blk),
+                 zc AS (SELECT *,
+                     CAST(sum(CAST(y - mb AS DECIMAL(30,12))) OVER (PARTITION BY w, b ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS z
+                   FROM st),
+                 rb AS (SELECT *,
+                     max(z) OVER (PARTITION BY w, b) - min(z) OVER (PARTITION BY w, b) AS r,
+                     CAST(sum(CAST((y - mb) * (y - mb) AS DECIMAL(30,12))) OVER (PARTITION BY w, b) AS DOUBLE) / w AS s2
+                   FROM zc),
+                 rs AS (SELECT w, count(*) AS n_blocks,
+                     ${T.sqlXsum("r / sqrt(s2)")} / count(*) AS rsm
+                   FROM rb WHERE t % w = 0 AND s2 > 0 GROUP BY w),
+                 pt AS (SELECT w, rsm,
+                     CAST(CAST(ln(CAST(w AS DOUBLE)) AS REAL) AS DOUBLE) AS lx,
+                     CAST(CAST(ln(rsm) AS REAL) AS DOUBLE) AS ly
+                   FROM rs),
+                 ag AS (SELECT CAST(count(*) AS DOUBLE) AS np,
+                     ${T.sqlXsum("lx")} AS sx, ${T.sqlXsum("ly")} AS sy,
+                     ${T.sqlXsum("lx * lx")} AS sxx, ${T.sqlXsum("lx * ly")} AS sxy,
+                     round(max(CASE WHEN w = 5 THEN rsm END), 6) AS rs_5,
+                     round(max(CASE WHEN w = 10 THEN rsm END), 6) AS rs_10,
+                     round(max(CASE WHEN w = 15 THEN rsm END), 6) AS rs_15
+                   FROM pt)
+               SELECT rs_5, rs_10, rs_15,
+                 round((np * sxy - sx * sy) / (np * sxx - sx * sx), 6) AS hurst
+               FROM ag""")),
+
+    QueryDef(
       "ml_frequent_itemsets",
       // Frequent itemsets over per-user event-type baskets — the
       // market-basket layer (Agrawal & Srikant 1994; Spark MLlib ships

@@ -617,6 +617,69 @@ object Dedup {
       }),
 
     QueryDef(
+      "graph_pagerank_personalized",
+      // Personalized PageRank (3 damped rounds, d = 0.85) — teleport mass
+      // restarts at the SEED SET (graph_bfs's residue class, id ≡ 0 mod
+      // 10) instead of uniformly: the "similar to these known templates"
+      // ranking a curation run uses to expand a blocklist from a few
+      // confirmed seeds (the random-walk-with-restart form of label
+      // expansion). Same distributed shape as graph_pagerank — rank as a
+      // (v, pr) table, two vertex-keyed shuffles per frozen round — plus
+      // a LEFT join back to vertices each round because non-seed
+      // vertices with zero inflow must still hold their (1−d)·s(v) = 0
+      // floor. Output: top-10 non-seed vertices by personalized rank —
+      // the blocklist-expansion candidates.
+      (s, dir) => {
+        val pairs = TextSim.minhashPairs(s, dir)
+        val edges = T.freeze(pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+          .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
+        val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+        val ns = deg.agg(sum(when(col("src") % 10 === 0, 1L).otherwise(0L)).as("n_seed"))
+        var pr = T.freeze(deg.crossJoin(broadcast(ns))
+          .selectExpr("src AS v", "outdeg", "n_seed",
+            "CASE WHEN src % 10 = 0 THEN 1e0 / n_seed ELSE 0e0 END AS sv")
+          .withColumn("pr", col("sv")))
+        for (_ <- 1 to 3) {
+          val contrib = edges.join(pr.selectExpr("v AS src", "pr", "outdeg"), "src")
+            .groupBy(col("dst").as("v"))
+            .agg(T.xsum(expr("pr / outdeg")).as("inflow"))
+          pr = T.freeze(pr.select(col("v"), col("outdeg"), col("n_seed"), col("sv"))
+            .join(contrib, Seq("v"), "left")
+            .selectExpr("v", "outdeg", "n_seed", "sv",
+              "(1e0 - 0.85) * sv + 0.85 * coalesce(inflow, 0e0) AS pr"))
+        }
+        pr.where(col("v") % 10 =!= 0)
+          .orderBy(col("pr").desc, col("v")).limit(10)
+          .selectExpr("v", "round(pr, 8) AS ppr")
+      },
+      Some {
+        def round(k: Int): String = {
+          val prev = if (k == 1) "p0" else s"p${k - 1}"
+          s"""c$k AS (SELECT e.dst AS v, ${T.sqlXsum("p.pr / p.outdeg")} AS inflow
+                FROM edges e JOIN $prev p ON p.v = e.src
+                GROUP BY e.dst),
+              p$k AS (SELECT p.v, p.outdeg, p.n_seed, p.sv,
+                  (1e0 - 0.85) * p.sv + 0.85 * coalesce(c$k.inflow, 0e0) AS pr
+                FROM $prev p LEFT JOIN c$k ON c$k.v = p.v)"""
+        }
+        s"""WITH ${TextSim.sqlMinhashCtes},
+                 edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                           UNION ALL SELECT doc_b, doc_a FROM pairs),
+                 deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+                 ns AS (SELECT CAST(sum(CASE WHEN src % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_seed
+                   FROM deg),
+                 p0 AS (SELECT src AS v, outdeg, n_seed,
+                     CASE WHEN src % 10 = 0 THEN 1e0 / n_seed ELSE 0e0 END AS sv,
+                     CASE WHEN src % 10 = 0 THEN 1e0 / n_seed ELSE 0e0 END AS pr
+                   FROM deg CROSS JOIN ns),
+                 ${round(1)},
+                 ${round(2)},
+                 ${round(3)}
+               SELECT v, round(pr, 8) AS ppr
+               FROM p3 WHERE v % 10 <> 0 ORDER BY pr DESC, v LIMIT 10"""
+      }),
+
+    QueryDef(
       "dedup_embed_cosine",
       // Embedding near-dup via the SHARED banded sign-LSH (Lsh.candidates —
       // r6 rebase, VERDICT r5 #1): candidates meet inside one of

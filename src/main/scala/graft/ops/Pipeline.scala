@@ -1437,6 +1437,46 @@ object Pipeline {
                FROM agg CROSS JOIN tot""")),
 
     QueryDef(
+      "text_ttr",
+      // Lexical diversity per source — type-token ratio (the classic
+      // vocabulary-richness number a curation dashboard tracks next to
+      // text_quality; templated/boilerplate sources show up as LOW TTR):
+      // per doc TTR = |distinct terms| / |tokens|, rolled up per source
+      // with the root-TTR (Guiraud's R = types/√tokens, the
+      // length-robust variant). One tokenize pass → (doc, term) counts →
+      // per-doc then per-source bounded reductions; ratios of exact
+      // BIGINTs, √ uncollapsed (IEEE-exact).
+      (s, dir) => {
+        val tok = T.documents(s, dir)
+          .transform(T.fanOut(_, col("doc_id")))
+          .selectExpr("doc_id", "source",
+            "explode(filter(split(text, ' '), t -> t <> '')) AS t")
+          .select(col("doc_id"), col("source"), lower(col("t")).as("term"))
+        val perDoc = tok.groupBy("doc_id", "source")
+          .agg(count(lit(1)).as("n_tok"),
+            countDistinct(col("term")).as("n_typ"))
+          .selectExpr("source",
+            "CAST(n_typ AS DOUBLE) / n_tok AS ttr",
+            "CAST(n_typ AS DOUBLE) / sqrt(CAST(n_tok AS DOUBLE)) AS rttr")
+        perDoc.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            round(T.xsum(col("ttr")) / count(lit(1)), 6).as("avg_ttr"),
+            round(T.xsum(col("rttr")) / count(lit(1)), 6).as("avg_root_ttr"))
+          .orderBy("source")
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, source,
+                     lower(unnest(list_filter(string_split(text, ' '), t -> t <> ''))) AS term
+                   FROM documents),
+                 pd AS (SELECT source,
+                     CAST(count(DISTINCT term) AS DOUBLE) / count(*) AS ttr,
+                     CAST(count(DISTINCT term) AS DOUBLE) / sqrt(CAST(count(*) AS DOUBLE)) AS rttr
+                   FROM tok GROUP BY doc_id, source)
+               SELECT source, count(*) AS n_docs,
+                 round(${T.sqlXsum("ttr")} / count(*), 6) AS avg_ttr,
+                 round(${T.sqlXsum("rttr")} / count(*), 6) AS avg_root_ttr
+               FROM pd GROUP BY source ORDER BY source""")),
+
+    QueryDef(
       "text_char_entropy",
       // Per-document CHARACTER entropy — the compression-ratio proxy a
       // curation pipeline thresholds on (low-entropy docs are repeated

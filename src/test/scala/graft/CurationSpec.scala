@@ -240,6 +240,41 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("ml_friedman_test: chi2 non-negative and bounded by the rank extreme") {
+    val r = q("ml_friedman_test").collect()(0)
+    val n = r.getAs[Long]("n"); val k = r.getAs[Int]("k")
+    val f = r.getAs[Double]("friedman_chi2")
+    assert(f >= -1e-6)
+    // perfect ordering every day gives the maximum n(k-1) statistic
+    assert(f <= n * (k - 1) + 1e-6)
+  }
+
+  test("ml_hurst_exponent: H in (0, 1] for a real series, R/S positive") {
+    val r = q("ml_hurst_exponent").collect()(0)
+    Seq("rs_5", "rs_10", "rs_15").foreach(c =>
+      assert(r.getAs[Double](c) > 0))
+    val h = r.getAs[Double]("hurst")
+    assert(h > -0.5 && h < 1.5, s"R/S Hurst estimate wildly out of range: $h")
+  }
+
+  test("text_ttr: ratios in (0,1], every source present") {
+    val rows = q("text_ttr").collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      val t = r.getAs[Double]("avg_ttr")
+      assert(t > 0 && t <= 1.0 + 1e-9)
+      assert(r.getAs[Double]("avg_root_ttr") > 0)
+    }
+  }
+
+  test("graph_pagerank_personalized: only non-seeds emitted, ranks descending") {
+    val rows = q("graph_pagerank_personalized").collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Long]("v") % 10 != 0))
+    val ps = rows.map(_.getAs[Double]("ppr"))
+    assert(ps.zip(ps.drop(1)).forall { case (a, b) => a >= b - 1e-12 })
+  }
+
   test("ml_lift_table: deciles partition the corpus, rates average to base") {
     val rows = q("ml_lift_table").collect()
     assert(rows.length == 10)

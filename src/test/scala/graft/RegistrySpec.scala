@@ -7,8 +7,8 @@ package graft
 class RegistrySpec extends SparkSpec {
 
   test("all twenty catalogs are registered (66 SURVEY keys + 315 extensions)") {
-    assert(SparkEntry.queries.size == 396,
-      s"expected 396 registered queries, got ${SparkEntry.queries.size}")
+    assert(SparkEntry.queries.size == 400,
+      s"expected 400 registered queries, got ${SparkEntry.queries.size}")
   }
 
   test("no oracle uses a constant generate_series bound (VERDICT r4 #2)") {
