@@ -3318,9 +3318,13 @@ object Cluster {
       // convention the knn rows use), deterministic to the last bit.
       (s, dir) => {
         val e = T.freeze(epsPairs(s, dir, HORIZON))
-        val nbr = T.freeze(e.select(col("a").as("u"), col("b").as("v"))
+        // pin, not freeze: every power round joins nbr again (5 refs +
+        // the degree pass) — bare freeze re-runs the eps grid join per
+        // reference; localCheckpoint computes it once (the
+        // graph_pagerank_personalized lesson).
+        val nbr = T.pin(e.select(col("a").as("u"), col("b").as("v"))
           .unionAll(e.select(col("b").as("u"), col("a").as("v"))))
-        val deg = nbr.groupBy("u").agg(count(lit(1)).as("deg"))
+        val deg = T.pin(nbr.groupBy("u").agg(count(lit(1)).as("deg")))
         var x = T.freeze(deg.selectExpr("u",
           s"CAST((u * 48271 + 16807) % ${T.HASH_P} % 1000 AS DOUBLE) / 1e3 AS x"))
         for (_ <- 1 to 5) {
@@ -3386,9 +3390,13 @@ object Cluster {
       // axis.
       (s, dir) => {
         val e = T.freeze(epsPairs(s, dir, HORIZON))
-        val nbr = T.freeze(e.select(col("a").as("u"), col("b").as("v"))
+        // pin, not freeze: every power round joins nbr again (5 refs +
+        // the degree pass) — bare freeze re-runs the eps grid join per
+        // reference; localCheckpoint computes it once (the
+        // graph_pagerank_personalized lesson).
+        val nbr = T.pin(e.select(col("a").as("u"), col("b").as("v"))
           .unionAll(e.select(col("b").as("u"), col("a").as("v"))))
-        val deg = nbr.groupBy("u").agg(count(lit(1)).as("deg"))
+        val deg = T.pin(nbr.groupBy("u").agg(count(lit(1)).as("deg")))
         var x = T.freeze(deg.selectExpr("u",
           s"CAST((u * 48271 + 16807) % ${T.HASH_P} % 1000 AS DOUBLE) / 1e3 AS x"))
         for (_ <- 1 to 5) {

@@ -631,7 +631,11 @@ object Dedup {
       // the blocklist-expansion candidates.
       (s, dir) => {
         val pairs = TextSim.minhashPairs(s, dir)
-        val edges = T.freeze(pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        // pin, not freeze: the edge table is referenced by ALL THREE
+        // rounds' joins plus the degree pass — bare freeze re-derives the
+        // shingle→signature→banding chain per reference (measured 7.1 s
+        // vs graph_pagerank's 2.4 s); localCheckpoint computes it once.
+        val edges = T.pin(pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
           .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
         val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
         val ns = deg.agg(sum(when(col("src") % 10 === 0, 1L).otherwise(0L)).as("n_seed"))
