@@ -74,8 +74,13 @@ object Verify {
     // re-verify into a reused outDir would otherwise truncate
     // oracle_sql.json next to stale full-run parquet, silently masking
     // every unfiltered query from a compare keyed off the JSON.
+    // Oracles.materialize first (body CTEs → MATERIALIZED, VERDICT r10 #1:
+    // DuckDB's exponential CTE inlining starved the driver's compare and
+    // zeroed CORRECTNESS_r10), then selfContained wraps with PLAIN
+    // table-binding CTEs (inlining those keeps parquet pushdown).
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(selfContained(v))}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(selfContained(Oracles.materialize(v)))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

@@ -1175,12 +1175,18 @@ object Curation {
                 shared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
                            FROM ngf a JOIN ngf b ON a.g = b.g AND a.doc_id < b.doc_id
                            GROUP BY 1, 2),
-                j AS (SELECT doc_a, doc_b, round(
-                        CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
+                -- ADVICE r10 #2: filter on the UNROUNDED jac and round in
+                -- the projection, exactly as Dedup.ngramJaccard (and the
+                -- dedup_ngram_jaccard oracle) do — thresholding the
+                -- rounded value would keep a raw jac in [0.4999995, 0.5)
+                -- that the Spark side drops
+                j AS (SELECT doc_a, doc_b,
+                        CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jac
                       FROM shared
                       JOIN sz sa ON sa.doc_id = doc_a
                       JOIN sz sb ON sb.doc_id = doc_b),
-                pairs2 AS (SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5),
+                pairs2 AS (SELECT doc_a, doc_b, round(jac, 6) AS jaccard
+                           FROM j WHERE jac >= 0.5),
                 th AS (SELECT unnest([5e-1, 6e-1, 7e-1, 8e-1, 9e-1]) AS t)
               SELECT t, count(*) AS n_pairs,
                 count(DISTINCT doc_b) AS n_removable

@@ -53,6 +53,13 @@ object Dedup {
     * uncapped equality. */
   private[graft] val DF_CAP = 64
 
+  /** dedup_contamination_span flag threshold: a shared run of ≥ MIN_SPAN
+    * tokens between a benchmark doc and a training doc is a contamination
+    * verdict (2× the 8-token fingerprint width — long enough that chance
+    * or boilerplate collisions don't flag; Lee et al. 2022 use 50 tokens
+    * on real corpora, where docs are ~100× the fixture's 54-token mean). */
+  private[graft] val MIN_SPAN = 16
+
   /** dedup_ngram_jaccard body with the cap as a parameter (MicroSpec runs
     * the uncapped twin to prove fixture equality). */
   private[graft] def ngramJaccard(s: SparkSession, dir: String, dfCap: Int): DataFrame = {
@@ -818,6 +825,100 @@ object Dedup {
                  CAST(sum(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
                  round(CAST(sum(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS dup_frac
                FROM sp JOIN df USING (gid)
-               GROUP BY source ORDER BY source"""))
+               GROUP BY source ORDER BY source""")),
+
+    QueryDef(
+      "dedup_contamination_span",
+      // SUBSTRING-level decontamination verdict (Lee et al. 2022,
+      // "Deduplicating Training Data Makes Language Models Better" —
+      // VERDICT r10 gap #1): dedup_contamination answers "is this train
+      // doc a whole-document near-dup of a benchmark doc?"; production
+      // decontamination reports the LONGEST SHARED TOKEN SPAN per
+      // (benchmark, train) pair and flags pairs whose span exceeds a
+      // token threshold, catching a benchmark question quoted inside an
+      // otherwise-unrelated page. Dataflow: the dedup_span_ngrams
+      // machinery WITH POSITIONS — overlapping 8-token spans at every
+      // offset, keyed by the same stateless rolling hash — split into
+      // the eval side (doc_id < 50, the fixture's benchmark stand-in,
+      // dedup_contamination's convention) and the train side, joined on
+      // the span key. CHAINING: a shared run of L tokens yields L−7
+      // consecutive hits whose train and eval offsets advance in
+      // lockstep, so hits group by the (pair, i_train − i_eval) DIAGONAL
+      // and a maximal run of consecutive i_train values on a diagonal is
+      // one maximal shared span of (run + 7) tokens — recovered with the
+      // classic gaps-and-islands rewrite (i − row_number per diagonal),
+      // a per-pair bounded window, not a global one. Verdict: longest
+      // span ≥ MIN_SPAN (16 tokens — ~2× the fingerprint width, the
+      // "too long to be coincidence" cut; Lee et al. use 50 on real
+      // corpora). Scale: the span build is a pure map; the hit join is
+      // inverted-index shaped on the 8-byte hash, and the benchmark side
+      // is tiny in production (broadcast — the dedup_contamination scale
+      // note); the island window partitions by (pair, diagonal), bounded
+      // by document length, never corpus-sized. Output: the flagged
+      // pairs with their longest span and maximal-run count — the
+      // removal worklist a decontamination pass hands back.
+      (s, dir) => {
+        val spans = T.documents(s, dir)
+          .transform(T.fanOut(_, col("doc_id")))
+          .select(col("doc_id"),
+            expr("filter(split(text, ' '), t -> t <> '')").as("ts"))
+          .where(size(col("ts")) >= 8)
+          .selectExpr("doc_id",
+            "explode(transform(sequence(1, size(ts) - 7), i -> struct(i AS i, " +
+              "aggregate(slice(ts, i, 8), 0L, (acc, w) -> (acc * 31 + aggregate(sequence(1, length(w)), 0L, (a2, j) -> (a2 * 31 + ascii(substring(w, j, 1))) % 2147483647) + 7) % 2147483647) AS gid))) AS sp")
+          .selectExpr("doc_id", "sp.i AS i", "sp.gid AS gid")
+        val ev = spans.where(col("doc_id") < 50)
+          .select(col("doc_id").as("bench_doc"), col("i").as("j"), col("gid"))
+        val tr = spans.where(col("doc_id") >= 50)
+          .select(col("doc_id").as("train_doc"), col("i"), col("gid"))
+        val hits = tr.join(ev, "gid")
+          .select(col("train_doc"), col("bench_doc"), col("i"),
+            (col("i") - col("j")).as("diag"))
+          .distinct()
+        val wDiag = Window.partitionBy("train_doc", "bench_doc", "diag")
+          .orderBy("i")
+        hits
+          .withColumn("isl", col("i") - row_number().over(wDiag))
+          .groupBy("train_doc", "bench_doc", "diag", "isl")
+          .agg((count(lit(1)) + 7).as("span_tokens"))
+          .groupBy("bench_doc", "train_doc")
+          .agg(max(col("span_tokens")).as("longest_span"),
+            count(lit(1)).as("n_spans"))
+          .where(col("longest_span") >= MIN_SPAN)
+          .orderBy("bench_doc", "train_doc")
+      },
+      Some(s"""WITH tk AS (SELECT doc_id,
+                   list_filter(string_split(text, ' '), t -> t <> '') AS ts
+                 FROM documents),
+                 sp AS (SELECT doc_id, i,
+                     list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(ts[i:i + 7], w ->
+                         list_reduce(list_prepend(CAST(0 AS BIGINT),
+                           list_transform(generate_series(1, length(w)),
+                             j -> CAST(unicode(substr(w, CAST(j AS INT), 1)) AS BIGINT))),
+                           (a2, x) -> (a2 * 31 + x) % 2147483647))),
+                       (acc, t) -> (acc * 31 + t + 7) % 2147483647) AS gid
+                   FROM (SELECT doc_id, ts,
+                           unnest(generate_series(1, len(ts) - 7)) AS i
+                         FROM tk WHERE len(ts) >= 8) x),
+                 ev AS (SELECT doc_id AS bench_doc, i AS j, gid FROM sp
+                        WHERE doc_id < 50),
+                 tr AS (SELECT doc_id AS train_doc, i, gid FROM sp
+                        WHERE doc_id >= 50),
+                 hit AS (SELECT DISTINCT train_doc, bench_doc, i, i - j AS diag
+                         FROM tr JOIN ev USING (gid)),
+                 run AS (SELECT train_doc, bench_doc, diag,
+                     i - row_number() OVER (PARTITION BY train_doc, bench_doc, diag
+                       ORDER BY i) AS isl
+                   FROM hit),
+                 seg AS (SELECT train_doc, bench_doc,
+                     count(*) + 7 AS span_tokens
+                   FROM run GROUP BY train_doc, bench_doc, diag, isl)
+               SELECT bench_doc, train_doc,
+                 CAST(max(span_tokens) AS BIGINT) AS longest_span,
+                 count(*) AS n_spans
+               FROM seg GROUP BY 1, 2
+               HAVING max(span_tokens) >= $MIN_SPAN
+               ORDER BY 1, 2"""))
   )
 }

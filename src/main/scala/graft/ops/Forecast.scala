@@ -34,6 +34,27 @@ object Forecast {
     * oracle's unrolled diagonal count. */
   private val DTW_CAP = 24
 
+  /** Dyadic SES span bound (ADVICE r10 #4 — the DTW_CAP/LEV_CAP
+    * discipline applied to ml_holtwinters/ml_ewma_control's u = y·2ᵗ
+    * cumulative trick): u must stay an exact BIGINT, which holds while
+    * t ≤ 63 − log₂(max daily y). CAP = 40 leaves room for daily volumes
+    * up to 2²³ ≈ 8.4M events (the fixture peaks ~10³; a 100 TB corpus
+    * whose per-day counts exceed 2²³ would pre-aggregate to coarser
+    * buckets long before this operator). Beyond the cap Spark's non-ANSI
+    * cast would SATURATE silently while DuckDB raises — so the Spark side
+    * fails loudly instead (the e4-wire guard pattern); the oracle needs no
+    * twin guard because DuckDB's overflow is already an error, never a
+    * wrong answer. */
+  private val SES_SPAN_CAP = 40
+
+  /** The guarded u = y·2ᵗ column (requires `t` and `y` in scope). */
+  private def dyadicU: org.apache.spark.sql.Column =
+    when(col("t") > SES_SPAN_CAP,
+      raise_error(concat(
+        lit(s"SES dyadic wire: day index exceeds SES_SPAN_CAP=$SES_SPAN_CAP ("),
+        col("t").cast("string"), lit(")"))))
+      .otherwise(col("y") * expr("CAST(pow(2, t) AS BIGINT)"))
+
   /** Cramer's-rule determinant texts for the AR(2) normal equations
     *   [ nd  s1  s2 ] [c ]   [ sy ]
     *   [ s1  s11 s12] [p1] = [ s1y]
@@ -90,7 +111,7 @@ object Forecast {
         val wAll = Window.partitionBy()
         daily
           .withColumn("t", row_number().over(wIdx))
-          .withColumn("u", col("y") * expr("CAST(pow(2, t) AS BIGINT)"))
+          .withColumn("u", dyadicU)
           .withColumn("cu", sum(col("u")).over(wCum))
           .withColumn("u1", sum(when(col("t") === 1, col("u"))).over(wAll))
           .withColumn("y1", sum(when(col("t") === 1, col("y"))).over(wAll))
@@ -135,7 +156,7 @@ object Forecast {
         val wAll = Window.partitionBy()
         daily
           .withColumn("t", row_number().over(wIdx))
-          .withColumn("u", col("y") * expr("CAST(pow(2, t) AS BIGINT)"))
+          .withColumn("u", dyadicU)
           .withColumn("cu", sum(col("u")).over(wCum))
           .withColumn("u1", sum(when(col("t") === 1, col("u"))).over(wAll))
           .withColumn("y1", sum(when(col("t") === 1, col("y"))).over(wAll))

@@ -3561,13 +3561,18 @@ object ML {
           col("l_extendedprice").cast("double").as("y"),
           col("l_orderkey"), col("l_linenumber"))
           .transform(T.fanOut(_))
+        // ADVICE r10 #3: (x*1e6 + y) alone can tie (two sampled lineitems
+        // sharing quantity+extendedprice) and row_number over a tie is
+        // engine/run-dependent — carry the natural key through pts as the
+        // final tiebreak on both sides.
         val pts = d
           .orderBy((col("l_orderkey") * 69621L + col("l_linenumber") * 823L + 7L)
             % T.HASH_P, col("l_orderkey"), col("l_linenumber"))
           .limit(10)
-          .select(col("x"), col("y"))
+          .select(col("x"), col("y"), col("l_orderkey"), col("l_linenumber"))
           .withColumn("i", row_number().over(
-            Window.orderBy((col("x") * 1e6 + col("y")))))
+            Window.orderBy(col("x") * 1e6 + col("y"),
+              col("l_orderkey"), col("l_linenumber"))))
         val cand = pts.selectExpr("CAST(floor((i + 1) / 2) AS INT) AS cid",
             "CASE WHEN i % 2 = 1 THEN x END AS x1",
             "CASE WHEN i % 2 = 1 THEN y END AS y1",
@@ -3598,11 +3603,12 @@ object ML {
                    CAST(l_extendedprice AS DOUBLE) AS y,
                    l_orderkey, l_linenumber
                  FROM lineitem),
-                 pts AS (SELECT x, y FROM d
+                 pts AS (SELECT x, y, l_orderkey, l_linenumber FROM d
                    ORDER BY (l_orderkey * 69621 + l_linenumber * 823 + 7) % ${T.HASH_P},
                      l_orderkey, l_linenumber LIMIT 10),
                  ix AS (SELECT x, y,
-                     row_number() OVER (ORDER BY (x * 1e6 + y)) AS i
+                     row_number() OVER (ORDER BY (x * 1e6 + y),
+                       l_orderkey, l_linenumber) AS i
                    FROM pts),
                  pv AS (SELECT CAST(floor((i + 1) / 2) AS INT) AS cid,
                      max(CASE WHEN i % 2 = 1 THEN x END) AS x1,

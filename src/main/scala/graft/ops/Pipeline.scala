@@ -149,6 +149,53 @@ object Pipeline {
              FROM dd) t
            WHERE rn <= 5)"""
 
+  // ---- BPE trainer internals (shared by text_bpe_merge / text_bpe_apply,
+  // r11 — VERDICT r10 #5 asked for an apply/encode twin; sharing the
+  // dataflow makes "apply reproduces the trainer's segmentation" true by
+  // construction on the Spark side, and MicroSpec re-proves it end-to-end
+  // against a driver-side greedy re-segmentation). Contracts documented at
+  // the text_bpe_merge QueryDef: the vocab is (word, freq) — corpus
+  // scanned once — and a segmentation rides a chr(31)-separator-wrapped
+  // string so one replace() per round IS greedy non-overlapping merging.
+  // bpeVocab carries wd so the apply twin can join segmentations back to
+  // per-source word counts; the trainer ignores the column.
+
+  private def bpeVocab(s: SparkSession, dir: String): DataFrame =
+    T.documents(s, dir)
+      .transform(T.fanOut(_, col("doc_id")))
+      .select(explode(expr("filter(split(text, ' '), t -> t <> '')")).as("wd"))
+      .where(length(col("wd")) >= 2)
+      .groupBy("wd").agg(count(lit(1)).as("freq"))
+      .select(col("wd"), col("freq"), expr(
+        "chr(31) || regexp_replace(wd, '(.)', concat('$1', chr(31)))").as("seg"))
+
+  private def bpePairCounts(seg: DataFrame): DataFrame =
+    seg.select(col("freq"),
+        expr("filter(split(seg, chr(31)), x -> x <> '')").as("syms"))
+      .where(size(col("syms")) >= 2)
+      .select(col("freq"), explode(expr(
+        "transform(sequence(1, size(syms) - 1), i -> " +
+          "struct(element_at(syms, i) AS p1, element_at(syms, i + 1) AS p2))"))
+        .as("pr"))
+      .groupBy(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
+      .agg(sum(col("freq")).as("n"))
+
+  private def bpeRanked(cnt: DataFrame, round: Int): DataFrame =
+    cnt.withColumn("rank", row_number().over(
+        Window.orderBy(col("n").desc, col("p1").asc, col("p2").asc)))
+      .withColumn("round", lit(round))
+
+  private def bpeWinner(rk: DataFrame): DataFrame =
+    broadcast(rk.where(col("rank") === 1)
+      .select(col("p1").as("w1"), col("p2").as("w2")))
+
+  private def bpeMerge(seg: DataFrame, win: DataFrame): DataFrame =
+    seg.crossJoin(win)
+      .withColumn("seg", expr(
+        "replace(seg, chr(31) || w1 || chr(31) || w2 || chr(31), " +
+          "chr(31) || w1 || w2 || chr(31))"))
+      .drop("w1", "w2")
+
   val entries: Seq[QueryDef] = Seq(
 
     QueryDef(
@@ -1488,8 +1535,14 @@ object Pipeline {
       // REAL-collapsed per term, per-doc sums exact — the unigram_lm
       // determinism discipline at char granularity.
       (s, dir) => {
+        // ADVICE r10 #1: Spark's sequence(1, 0) counts DOWN to [1, 0]
+        // (two empty-char rows per empty doc) where DuckDB's
+        // generate_series(1, 0) is empty — guard the degenerate doc out
+        // BEFORE the transform, mirroring Dedup.ngramJaccard's
+        // size(ts) >= 3 guard; the oracle carries the same predicate.
         val cc = T.documents(s, dir)
           .transform(T.fanOut(_, col("doc_id")))
+          .where(length(col("text")) >= 1)
           .select(col("doc_id"),
             explode(expr(
               "transform(sequence(1, length(text)), i -> substring(text, i, 1))")).as("ch"))
@@ -1511,7 +1564,7 @@ object Pipeline {
                    SELECT doc_id,
                      unnest(list_transform(generate_series(1, length(text)),
                        i -> substring(text, CAST(i AS INT), 1))) AS ch
-                   FROM documents) t
+                   FROM documents WHERE length(text) >= 1) t
                  GROUP BY doc_id, ch),
                  ent AS (SELECT doc_id, CAST(sum(nc) AS BIGINT) AS len,
                      ${T.sqlXsum("nc * CAST(CAST(ln(CAST(nc AS DOUBLE)) AS REAL) AS DOUBLE)")} AS snl
@@ -1707,39 +1760,12 @@ object Pipeline {
       // the merge table — top-5 freq-weighted pairs per round. Exact
       // integer counting end-to-end.
       (s, dir) => {
-        def pairCounts(seg: DataFrame): DataFrame =
-          seg.select(col("freq"),
-              expr("filter(split(seg, chr(31)), x -> x <> '')").as("syms"))
-            .where(size(col("syms")) >= 2)
-            .select(col("freq"), explode(expr(
-              "transform(sequence(1, size(syms) - 1), i -> " +
-                "struct(element_at(syms, i) AS p1, element_at(syms, i + 1) AS p2))"))
-              .as("pr"))
-            .groupBy(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
-            .agg(sum(col("freq")).as("n"))
-        val w = Window.orderBy(col("n").desc, col("p1").asc, col("p2").asc)
-        def ranked(cnt: DataFrame, round: Int): DataFrame =
-          cnt.withColumn("rank", row_number().over(w))
-            .withColumn("round", lit(round))
-        def winner(rk: DataFrame): DataFrame =
-          broadcast(rk.where(col("rank") === 1)
-            .select(col("p1").as("w1"), col("p2").as("w2")))
-        def merge(seg: DataFrame, win: DataFrame): DataFrame =
-          seg.crossJoin(win).select(col("freq"), expr(
-            "replace(seg, chr(31) || w1 || chr(31) || w2 || chr(31), " +
-              "chr(31) || w1 || w2 || chr(31))").as("seg"))
-        val seg1 = T.freeze(T.documents(s, dir)
-          .transform(T.fanOut(_, col("doc_id")))
-          .select(explode(expr("filter(split(text, ' '), t -> t <> '')")).as("wd"))
-          .where(length(col("wd")) >= 2)
-          .groupBy("wd").agg(count(lit(1)).as("freq"))
-          .select(col("freq"), expr(
-            "chr(31) || regexp_replace(wd, '(.)', concat('$1', chr(31)))").as("seg")))
-        val c1 = T.freeze(ranked(pairCounts(seg1), 1))
-        val seg2 = merge(seg1, winner(c1))
-        val c2 = T.freeze(ranked(pairCounts(seg2), 2))
-        val seg3 = merge(seg2, winner(c2))
-        val c3 = ranked(pairCounts(seg3), 3)
+        val seg1 = T.freeze(bpeVocab(s, dir))
+        val c1 = T.freeze(bpeRanked(bpePairCounts(seg1), 1))
+        val seg2 = bpeMerge(seg1, bpeWinner(c1))
+        val c2 = T.freeze(bpeRanked(bpePairCounts(seg2), 2))
+        val seg3 = bpeMerge(seg2, bpeWinner(c2))
+        val c3 = bpeRanked(bpePairCounts(seg3), 3)
         Seq(c1, c2, c3).reduce(_ unionAll _)
           .where(col("rank") <= 5)
           .select(col("round"), col("rank"), col("p1"), col("p2"), col("n"))
@@ -1779,6 +1805,94 @@ object Pipeline {
                FROM (SELECT * FROM c1 UNION ALL SELECT * FROM c2
                      UNION ALL SELECT * FROM c3) z
                WHERE rank <= 5 ORDER BY round, rank"""
+      }),
+
+    QueryDef(
+      "text_bpe_apply",
+      // BPE APPLY/ENCODE (r11 — VERDICT r10 #5: the trainer's missing
+      // twin): re-segment the corpus with text_bpe_merge's LEARNED merge
+      // table (all 3 round winners, applied in training order) and meter
+      // each source in learned-BPE tokens — the number a tokenizer-aware
+      // data pipeline actually budgets with, next to text_token_count's
+      // regex-lexer metering. The encode exploits the same vocab
+      // factorization as the trainer: merges apply per DISTINCT word
+      // (shared bpeVocab/bpeMerge dataflow — the apply provably replays
+      // the trainer's segmentation because it IS the trainer's
+      // segmentation, extended by the round-3 winner the trainer counts
+      // but never applies), and the corpus metering is a (word → n_syms)
+      // equi-join against per-source word counts. The lexicon join is
+      // SHUFFLED, not broadcast — Heaps' law makes a 100 TB vocabulary
+      // unbroadcastable (the text_unigram_lm scale note); single-char
+      // words sit outside the trainer's vocab (length ≥ 2) and encode as
+      // exactly 1 token via the left-join coalesce. Per-round freeze =
+      // the dedup_cluster loop discipline (each seg level is referenced
+      // by both the next pair count and the next merge — unfrozen, the
+      // logical plan doubles per round).
+      (s, dir) => {
+        val seg1 = T.freeze(bpeVocab(s, dir))
+        val seg2 = T.freeze(bpeMerge(seg1, bpeWinner(bpeRanked(bpePairCounts(seg1), 1))))
+        val seg3 = T.freeze(bpeMerge(seg2, bpeWinner(bpeRanked(bpePairCounts(seg2), 2))))
+        val seg4 = bpeMerge(seg3, bpeWinner(bpeRanked(bpePairCounts(seg3), 3)))
+        val lex = seg4.selectExpr("wd",
+          "CAST(size(filter(split(seg, chr(31)), x -> x <> '')) AS BIGINT) AS nsym")
+        val swc = T.documents(s, dir)
+          .transform(T.fanOut(_, col("doc_id")))
+          .select(col("source"),
+            explode(expr("filter(split(text, ' '), t -> t <> '')")).as("wd"))
+          .groupBy("source", "wd").agg(count(lit(1)).as("cnt"))
+        swc.join(lex, Seq("wd"), "left")
+          .groupBy("source")
+          .agg(sum(col("cnt")).as("n_words"),
+            sum(col("cnt") * coalesce(col("nsym"), lit(1L))).as("n_tokens_bpe"))
+          .selectExpr("source", "n_words", "n_tokens_bpe",
+            "round(CAST(n_tokens_bpe AS DOUBLE) / n_words, 6) AS tokens_per_word")
+          .orderBy("source")
+      },
+      Some {
+        // trainer chain with wd carried through each seg level (the apply
+        // needs the word → final-segmentation lexicon; the trainer oracle
+        // drops wd after seg1)
+        def pairCtes(r: Int): String =
+          s"""sy$r AS (SELECT freq,
+                 list_filter(string_split(seg, chr(31)), x -> x <> '') AS syms
+               FROM seg$r),
+             pr$r AS (SELECT freq, syms[CAST(i AS INT)] AS p1,
+                 syms[CAST(i AS INT) + 1] AS p2
+               FROM (SELECT freq, syms, unnest(generate_series(1, len(syms) - 1)) AS i
+                     FROM sy$r WHERE len(syms) >= 2) x),
+             w$r AS (SELECT p1 AS w1, p2 AS w2 FROM (
+                 SELECT p1, p2,
+                   row_number() OVER (ORDER BY sum(freq) DESC, p1 ASC, p2 ASC) AS rank
+                 FROM pr$r GROUP BY p1, p2) t
+               WHERE rank = 1)"""
+        def mergeCte(r: Int): String =
+          s"""seg$r AS (SELECT wd, freq,
+                 replace(seg, chr(31) || w1 || chr(31) || w2 || chr(31),
+                   chr(31) || w1 || w2 || chr(31)) AS seg
+               FROM seg${r - 1}, w${r - 1})"""
+        s"""WITH tok AS (SELECT source,
+                     unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS wd
+                   FROM documents),
+                 swc AS (SELECT source, wd, count(*) AS cnt
+                         FROM tok GROUP BY source, wd),
+                 seg1 AS (SELECT wd, count(*) AS freq,
+                     chr(31) || regexp_replace(wd, '(.)', '\\1' || chr(31), 'g') AS seg
+                   FROM tok WHERE length(wd) >= 2 GROUP BY wd),
+                 ${pairCtes(1)},
+                 ${mergeCte(2)},
+                 ${pairCtes(2)},
+                 ${mergeCte(3)},
+                 ${pairCtes(3)},
+                 ${mergeCte(4)},
+                 lex AS (SELECT wd,
+                     CAST(len(list_filter(string_split(seg, chr(31)),
+                       x -> x <> '')) AS BIGINT) AS nsym
+                   FROM seg4)
+               SELECT source, CAST(sum(cnt) AS BIGINT) AS n_words,
+                 CAST(sum(cnt * coalesce(nsym, 1)) AS BIGINT) AS n_tokens_bpe,
+                 round(CAST(sum(cnt * coalesce(nsym, 1)) AS DOUBLE) / sum(cnt), 6) AS tokens_per_word
+               FROM swc LEFT JOIN lex USING (wd)
+               GROUP BY source ORDER BY source"""
       }),
 
     QueryDef(

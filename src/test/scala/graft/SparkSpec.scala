@@ -27,6 +27,10 @@ object SparkSpec {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // VERDICT r10 #6: the specs instantiate the same bounded post-agg
+    // windows Verify/Bench do — without this the test log floods with
+    // hundreds of WindowExec single-partition warns, burying real signal.
+    Log.quietBoundedWindowWarn()
     s
   }
 }
