@@ -980,7 +980,7 @@ object Metrics {
         // an exact binary division. Only Spark sees the buckets — the
         // oracle is the bucket-free rank proof — so the width choice can't
         // desync the engines, it only shapes the phase-2 partition.
-        val mxAr = r.agg(max(col("ar"))).head.getDouble(0)
+        val mxAr = r.agg(max(col("ar"))).head().getDouble(0)
         val width = math.pow(2.0,
           math.ceil(math.log(math.max(mxAr, 1e-12) / 1024.0) / math.log(2.0)))
         def rb = r.selectExpr("ar", s"CAST(floor(ar / $width) AS BIGINT) AS bkt")

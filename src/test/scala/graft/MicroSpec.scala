@@ -2379,6 +2379,69 @@ class MicroSpec extends SparkSpec {
     rows.foreach(r => assert(!r.getAs[Double]("forecast").isNaN))
   }
 
+  test("dedup_contamination_span: longest shared spans on a constructed overlap fixture (r11)") {
+    // VERDICT r10 #4 done-criterion: a hand-built corpus with KNOWN shared
+    // runs. bench doc 1 = e1..e40 (unique tokens). train doc 100 embeds a
+    // 20-token run (e5..e24) AND a 9-token run (e30..e38) -> flagged,
+    // longest 20, two maximal spans. train doc 101 embeds a 10-token run
+    // -> 10 < MIN_SPAN=16, must NOT be flagged. train doc 102 shares
+    // nothing 8 tokens long.
+    val dir = java.nio.file.Files.createTempDirectory("graft_cspan").toString
+    val e = (1 to 40).map(i => s"e$i")
+    val bench = e.mkString(" ")
+    val t100 = ((1 to 5).map(i => s"t$i") ++ e.slice(4, 24) ++
+      (6 to 10).map(i => s"t$i") ++ e.slice(29, 38) ++ Seq("t99")).mkString(" ")
+    val t101 = ((1 to 10).map(i => s"u$i") ++ e.slice(9, 19) ++
+      (11 to 20).map(i => s"u$i")).mkString(" ")
+    val t102 = (1 to 30).map(i => s"v$i").mkString(" ")
+    import spark.implicits._
+    Seq((1L, bench), (100L, t100), (101L, t101), (102L, t102))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("dedup_contamination_span")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1L, 100L, 20L, 2L)),
+      s"expected one flagged pair (1,100) longest=20 n_spans=2, got ${got.toSeq}")
+  }
+
+  test("text_bpe_apply: per-source metering equals a driver-side replay of the learned merges (r11)") {
+    // VERDICT r10 #5 done-criterion: applying the trainer's merge table
+    // reproduces the trainer's segmentation. Collect the 3 round winners
+    // from text_bpe_merge, replay them locally with the SAME
+    // separator-string replace (java.lang.String.replace is the
+    // left-to-right non-overlapping scan both engines implement), and
+    // recompute every source's BPE token count from the raw fixture.
+    val merges = q("text_bpe_merge").collect()
+      .filter(_.getAs[Int]("rank") == 1)
+      .sortBy(_.getAs[Int]("round"))
+      .map(r => (r.getAs[String]("p1"), r.getAs[String]("p2")))
+    assert(merges.length == 3)
+    val SEP = "\u001f" // chr(31), the query's symbol separator
+    def nTokens(word: String): Long =
+      if (word.length < 2) 1L
+      else {
+        var s = SEP + word.map(c => s"$c$SEP").mkString
+        for ((a, b) <- merges) s = s.replace(s"$SEP$a$SEP$b$SEP", s"$SEP$a$b$SEP")
+        s.split(SEP).count(_.nonEmpty).toLong
+      }
+    val local = Tables.documents(spark, sf).select("source", "text").collect()
+      .flatMap(r => r.getString(1).split(" ").filter(_.nonEmpty)
+        .map(w => (r.getString(0), w)))
+      .groupBy(_._1).map { case (src, ws) =>
+        src -> ((ws.length.toLong, ws.map(w => nTokens(w._2)).sum))
+      }
+    val got = q("text_bpe_apply").collect()
+    assert(got.nonEmpty)
+    for (r <- got) {
+      val (nw, nt) = local(r.getAs[String]("source"))
+      assert(r.getAs[Long]("n_words") == nw,
+        s"${r.getAs[String]("source")}: n_words ${r.getAs[Long]("n_words")} != local $nw")
+      assert(r.getAs[Long]("n_tokens_bpe") == nt,
+        s"${r.getAs[String]("source")}: n_tokens ${r.getAs[Long]("n_tokens_bpe")} != local $nt")
+    }
+  }
+
   test("text_keywords: bounded tag cloud with descending document votes (r11)") {
     val rows = q("text_keywords").collect()
     assert(rows.nonEmpty && rows.length <= 20)

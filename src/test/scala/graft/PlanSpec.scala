@@ -205,6 +205,23 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("dedup_contamination_span: hits join on the span hash, never a pair scan (r11)") {
+    val p = plan("dedup_contamination_span")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "span decontamination must stay inverted-index shaped:\n" + p)
+    assert(p.contains("gid"), s"span-hash join key missing from the plan:\n$p")
+  }
+
+  test("text_bpe_apply: the lexicon join is a shuffled equi-join on the word (r11)") {
+    // the BNLJs in this plan are the trainer's one-row broadcast winner
+    // crossJoins (the repo's model-side convention) — the metering join
+    // itself must be the shuffled SMJ (Heaps' law: no vocab broadcast)
+    val p = plan("text_bpe_apply")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("SortMergeJoin LeftOuter"),
+      "per-source counts must left-join the lexicon as a shuffled equi-join:\n" + p)
+  }
+
   test("whole-stage codegen covers the hot path of filter_pred") {
     // pre-execution the AQE wrapper hides codegen spans — run the query,
     // then inspect the final adaptive plan

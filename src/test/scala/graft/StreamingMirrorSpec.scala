@@ -333,4 +333,61 @@ class StreamingMirrorSpec extends SparkSpec {
       .map { case (_, g) => g.maxBy(_._2)._1 }.toSet
     assert(finalState == batch, s"stream $finalState vs batch $batch")
   }
+
+  test("foreachBatch idempotent sink: a re-delivered batch leaves the sink exactly-once (r11)") {
+    // VERDICT r10 #7 — the end-to-end sink story. foreachBatch is
+    // at-least-once: after a sink write whose checkpoint commit is lost,
+    // the engine replays the epoch and re-delivers the SAME deterministic
+    // batch under the SAME batchId. Streaming.idempotentBatchSink keys the
+    // output by batchId with dynamic partition overwrite, so the retry
+    // REPLACES its own partition instead of appending. Simulate the retry
+    // by re-invoking the sink with the captured batch rows + batchId and
+    // assert the sink is byte-identical to single delivery.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft_sink").toString + "/agg"
+    val sink = ops.Streaming.idempotentBatchSink(out) _
+    val mem = MemoryStream[(Long, Long, String, Double)]
+    val agg = mem.toDF().toDF("us", "user_id", "event_type", "value")
+      .withColumn("ts", timestamp_micros(col("us")))
+      .withWatermark("ts", "1 minute")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").cast("long").as("w"), col("event_type"), col("n"))
+    mem.addData(rows: _*)
+    @volatile var captured: (Array[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType, Long) = null
+    val query = agg.writeStream
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        sink(df, id)
+        captured = (df.collect(), df.schema, id)
+      }
+      .start()
+    query.processAllAvailable()
+    query.stop()
+    assert(captured != null, "foreachBatch never fired")
+    def sinkContents(): Seq[(Long, String, Long)] =
+      spark.read.parquet(out).select("w", "event_type", "n")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .sortBy(x => (x._1, x._2)).toSeq
+    val once = sinkContents()
+    assert(once.nonEmpty)
+    // the retry: deterministic replay re-produces the same rows + batchId
+    val (rws, schema, id) = captured
+    sink(spark.createDataFrame(java.util.Arrays.asList(rws: _*), schema), id)
+    val twice = sinkContents()
+    assert(twice == once,
+      s"re-delivered batch duplicated/changed the sink: $twice vs $once")
+    // and the sink equals the batch-computed aggregation (value check)
+    val expected = rows.toDF("us", "user_id", "event_type", "value")
+      .withColumn("ts", timestamp_micros(col("us")))
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").cast("long").as("w"), col("event_type"), col("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(x => (x._1, x._2)).toSeq
+    assert(once == expected, s"sink $once vs batch $expected")
+  }
 }
