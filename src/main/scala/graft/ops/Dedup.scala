@@ -60,6 +60,14 @@ object Dedup {
     * on real corpora, where docs are ~100× the fixture's 54-token mean). */
   private[graft] val MIN_SPAN = 16
 
+  /** dedup_span_removal canonical-occurrence key bound: the canonical
+    * (keep-the-first) occurrence of a duplicated span is min(doc_id·2²⁰ +
+    * offset) — one BIGINT both engines order identically. Offsets must
+    * stay < 2²⁰ (a 1M-token single document — far past any pretraining
+    * document cut; a corpus that big would chunk upstream). Enforced
+    * loudly in-plan, the SES_SPAN_CAP discipline. */
+  private[graft] val OFFSET_CAP = 1L << 20
+
   /** dedup_ngram_jaccard body with the cap as a parameter (MicroSpec runs
     * the uncapped twin to prove fixture equality). */
   private[graft] def ngramJaccard(s: SparkSession, dir: String, dfCap: Int): DataFrame = {
@@ -919,6 +927,124 @@ object Dedup {
                  count(*) AS n_spans
                FROM seg GROUP BY 1, 2
                HAVING max(span_tokens) >= $MIN_SPAN
-               ORDER BY 1, 2"""))
+               ORDER BY 1, 2""")),
+
+    QueryDef(
+      "dedup_span_removal",
+      // Substring-dedup APPLY (Lee et al. 2022 ExactSubstr — completes the
+      // span family's detect → verdict → REMOVE arc, as dedup_apply does
+      // for whole-document dedup): every occurrence of a duplicated
+      // 8-token span is removed EXCEPT its corpus-canonical first
+      // occurrence (global min (doc_id, offset) — keep-the-first, the
+      // keep-lowest-id rule at substring granularity), and the per-source
+      // accounting reports how many corpus tokens the pass deletes.
+      // Dataflow: positional span hashes (the dedup_contamination_span
+      // wire, occurrences NOT deduped within a doc — ExactSubstr removes
+      // within-document repeats too); ONE gid-keyed aggregation yields
+      // each span's occurrence count + canonical occurrence; non-canonical
+      // occurrences of repeated spans join back (inverted-index cost,
+      // Σ df per gid) and their 8-token intervals [i, i+7] merge per doc
+      // with an interval-union window (prefix-max of interval ends —
+      // overlapping/adjacent spans never double-count a token). The
+      // canonical occurrence is encoded as doc_id·2²⁰ + i: one BIGINT
+      // min() both engines order identically; offsets are bounded < 2²⁰
+      // tokens/doc (a 1M-token document is far past any pretraining doc
+      // cut; the bound is the LEV_CAP-style documented contract, enforced
+      // loudly). Scale: per-doc bounded windows, no pair space, payloads
+      // never shuffle — the token accounting moves only (doc, i) pairs.
+      // Output per source: docs touched, tokens before, tokens removed,
+      // removal fraction — the yield report a substring-dedup run logs.
+      (s, dir) => {
+        val toks = T.documents(s, dir)
+          .transform(T.fanOut(_, col("doc_id")))
+          .select(col("doc_id"), col("source"),
+            expr("filter(split(text, ' '), t -> t <> '')").as("ts"))
+        val docLen = toks.select(col("doc_id"), col("source"),
+          expr("CAST(size(ts) AS BIGINT)").as("len"))
+        val occ = toks
+          .where(size(col("ts")) >= 8)
+          .selectExpr("doc_id",
+            "explode(transform(sequence(1, size(ts) - 7), i -> struct(i AS i, " +
+              "aggregate(slice(ts, i, 8), 0L, (acc, w) -> (acc * 31 + aggregate(sequence(1, length(w)), 0L, (a2, j) -> (a2 * 31 + ascii(substring(w, j, 1))) % 2147483647) + 7) % 2147483647) AS gid))) AS sp")
+          .selectExpr("doc_id", "sp.i AS i", "sp.gid AS gid")
+          .withColumn("okey",
+            when(col("i") >= OFFSET_CAP, raise_error(concat(
+              lit(s"span offset exceeds the 2^20 canonical-key bound: "),
+              col("i").cast("string"))))
+              .otherwise(col("doc_id") * OFFSET_CAP + col("i")))
+        val canon = occ.groupBy("gid")
+          .agg(min(col("okey")).as("cmin"), count(lit(1)).as("nocc"))
+        val rem = occ.join(canon, "gid")
+          .where(col("nocc") > 1 && col("okey") > col("cmin"))
+          .select(col("doc_id"), col("i"))
+        val wDoc = Window.partitionBy("doc_id").orderBy("i")
+        val prevEnd = max(col("i") + 7)
+          .over(wDoc.rowsBetween(Window.unboundedPreceding, -1))
+        val removed = rem
+          .withColumn("new_isl",
+            when(prevEnd.isNull || col("i") > prevEnd, 1L).otherwise(0L))
+          .withColumn("isl", sum(col("new_isl"))
+            .over(wDoc.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy("doc_id", "isl")
+          .agg((max(col("i") + 7) - min(col("i")) + 1).as("covered"))
+          .groupBy("doc_id")
+          .agg(sum(col("covered")).as("removed"))
+        docLen.join(removed, Seq("doc_id"), "left")
+          .select(col("source"), col("len"),
+            coalesce(col("removed"), lit(0L)).as("removed"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("removed") > 0, 1L).otherwise(0L)).as("n_docs_touched"),
+            sum(col("len")).as("total_tokens"),
+            sum(col("removed")).as("tokens_removed"))
+          .selectExpr("source", "n_docs", "n_docs_touched", "total_tokens",
+            "tokens_removed",
+            "round(CAST(tokens_removed AS DOUBLE) / total_tokens, 6) AS removal_frac")
+          .orderBy("source")
+      },
+      Some(s"""WITH tk AS (SELECT doc_id, source,
+                   list_filter(string_split(text, ' '), t -> t <> '') AS ts
+                 FROM documents),
+                 dl AS (SELECT doc_id, source, CAST(len(ts) AS BIGINT) AS len
+                        FROM tk),
+                 occ AS (SELECT doc_id, i,
+                     list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(ts[i:i + 7], w ->
+                         list_reduce(list_prepend(CAST(0 AS BIGINT),
+                           list_transform(generate_series(1, length(w)),
+                             j -> CAST(unicode(substr(w, CAST(j AS INT), 1)) AS BIGINT))),
+                           (a2, x) -> (a2 * 31 + x) % 2147483647))),
+                       (acc, t) -> (acc * 31 + t + 7) % 2147483647) AS gid,
+                     doc_id * $OFFSET_CAP + i AS okey
+                   FROM (SELECT doc_id, ts,
+                           unnest(generate_series(1, len(ts) - 7)) AS i
+                         FROM tk WHERE len(ts) >= 8) x),
+                 canon AS (SELECT gid, min(okey) AS cmin, count(*) AS nocc
+                           FROM occ GROUP BY gid),
+                 rem AS (SELECT doc_id, i FROM occ JOIN canon USING (gid)
+                         WHERE nocc > 1 AND okey > cmin),
+                 isl0 AS (SELECT doc_id, i,
+                     CASE WHEN max(i + 7) OVER (PARTITION BY doc_id ORDER BY i
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       IS NULL THEN 1
+                       WHEN i > max(i + 7) OVER (PARTITION BY doc_id ORDER BY i
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       THEN 1 ELSE 0 END AS new_isl
+                   FROM rem),
+                 isl AS (SELECT doc_id, i,
+                     sum(new_isl) OVER (PARTITION BY doc_id ORDER BY i
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+                   FROM isl0),
+                 cov AS (SELECT doc_id, max(i + 7) - min(i) + 1 AS covered
+                         FROM isl GROUP BY doc_id, isl),
+                 rm AS (SELECT doc_id, CAST(sum(covered) AS BIGINT) AS removed
+                        FROM cov GROUP BY doc_id)
+               SELECT source, count(*) AS n_docs,
+                 CAST(sum(CASE WHEN coalesce(removed, 0) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_touched,
+                 CAST(sum(len) AS BIGINT) AS total_tokens,
+                 CAST(sum(coalesce(removed, 0)) AS BIGINT) AS tokens_removed,
+                 round(CAST(sum(coalesce(removed, 0)) AS DOUBLE) / sum(len), 6) AS removal_frac
+               FROM dl LEFT JOIN rm USING (doc_id)
+               GROUP BY source ORDER BY source"""))
   )
 }

@@ -2405,6 +2405,54 @@ class MicroSpec extends SparkSpec {
       s"expected one flagged pair (1,100) longest=20 n_spans=2, got ${got.toSeq}")
   }
 
+  test("dedup_span_removal: accounting equals a local ExactSubstr replay (r11)") {
+    // Local replay with EXACT 8-token tuples as span identity (the engine
+    // rides the rolling hash; agreement here simultaneously proves the
+    // removal logic and that no hash collision perturbs the fixture):
+    // canonical occurrence = corpus-min (doc_id, offset); every other
+    // occurrence of a repeated span marks [i, i+7]; removed = per-doc
+    // interval-union size.
+    val docs = Tables.documents(spark, sf).select("doc_id", "source", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).split(" ").filter(_.nonEmpty).toSeq))
+    val occ = docs.flatMap { case (id, _, ts) =>
+      if (ts.length < 8) Seq.empty
+      else (0 to ts.length - 8).map(i => (ts.slice(i, i + 8), id, i))
+    }
+    val byKey = occ.groupBy(_._1)
+    val removable = byKey.values.flatMap { os =>
+      if (os.length < 2) Seq.empty
+      else { val c = os.minBy(o => (o._2, o._3)); os.filterNot(_ == c) }
+    }.toSeq
+    val removedPerDoc = removable.groupBy(_._2).view.mapValues { os =>
+      val ivs = os.map(o => (o._3, o._3 + 7)).sortBy(_._1)
+      var tot = 0L; var end = -1
+      for ((a, b) <- ivs) {
+        if (a > end) { tot += b - a + 1; end = b }
+        else if (b > end) { tot += b - end; end = b }
+      }
+      tot
+    }.toMap
+    val expected = docs.groupBy(_._2).view.mapValues { ds =>
+      val total = ds.map(_._3.length.toLong).sum
+      val rem = ds.map(d => removedPerDoc.getOrElse(d._1, 0L)).sum
+      val touched = ds.count(d => removedPerDoc.getOrElse(d._1, 0L) > 0).toLong
+      (ds.length.toLong, touched, total, rem)
+    }.toMap
+    val got = q("dedup_span_removal").collect()
+    assert(got.nonEmpty)
+    for (r <- got) {
+      val src = r.getAs[String]("source")
+      val (nd, tch, tot, rem) = expected(src)
+      assert(r.getAs[Long]("n_docs") == nd, s"$src n_docs")
+      assert(r.getAs[Long]("n_docs_touched") == tch,
+        s"$src touched ${r.getAs[Long]("n_docs_touched")} != local $tch")
+      assert(r.getAs[Long]("total_tokens") == tot, s"$src total_tokens")
+      assert(r.getAs[Long]("tokens_removed") == rem,
+        s"$src removed ${r.getAs[Long]("tokens_removed")} != local $rem")
+    }
+  }
+
   test("text_bpe_apply: per-source metering equals a driver-side replay of the learned merges (r11)") {
     // VERDICT r10 #5 done-criterion: applying the trainer's merge table
     // reproduces the trainer's segmentation. Collect the 3 round winners
