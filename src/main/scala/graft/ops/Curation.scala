@@ -1223,6 +1223,77 @@ object Curation {
                 count(*) AS n_distinct,
                 CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups,
                 CAST(sum(CASE WHEN cnt > 1 THEN cnt - 1 ELSE 0 END) AS BIGINT) AS n_removable
-              FROM grp"""))
+              FROM grp""")),
+
+    QueryDef(
+      "text_dsir_weight",
+      // DSIR data selection (Xie et al. 2023, "Data Selection for
+      // Language Models via Importance Resampling" — the modern
+      // target-domain curation step next to the GPT-3-style
+      // ml_quality_classifier and CCNet's text_unigram_lm): score every
+      // raw document by the log importance ratio of a TARGET-domain
+      // unigram LM over the RAW-corpus LM, log w(d) = Σ_t c_d(t)·
+      // (ln p_T(t) − ln p_R(t)); docs with log w > 0 look more like the
+      // target than like the raw pool and survive the resampling. Target
+      // here = the lang='en' slice (the fixture's stand-in for the
+      // Wikipedia+books target DSIR uses); both LMs are add-one smoothed
+      // over the SHARED raw vocabulary so the ratio is defined
+      // everywhere. DSIR's hashed n-gram buckets collapse this to a
+      // fixed 10⁴-dim table at 100 TB — same plan with gid = hash(term)
+      // % 10⁴; the fixture's bounded vocab makes exact unigrams the
+      // honest twin. Dataflow: ONE (term → c_R, c_T) vocab aggregate
+      // (map-side combined), one-row totals broadcast, per-term log
+      // ratio REAL-collapsed ONCE in the vocab table (the unigram_lm
+      // lnR discipline), then a SHUFFLED vocab equi-join (Heaps' law —
+      // never broadcast) feeding exact per-doc and per-source sums.
+      // Output per source: docs, resampling survivors, mean log weight.
+      (s, dir) => {
+        val tok = T.documents(s, dir)
+          .transform(T.fanOut(_, col("doc_id")))
+          .selectExpr("doc_id", "source", "lang",
+            "explode(filter(split(text, ' '), t -> t <> '')) AS t")
+          .select(col("doc_id"), col("source"),
+            col("lang"), lower(col("t")).as("term"))
+        val totals = tok.agg(
+          count(lit(1)).as("n_raw"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_tgt"),
+          countDistinct(col("term")).as("v"))
+        val vocab = tok.groupBy("term")
+          .agg(count(lit(1)).as("c_raw"),
+            sum(when(col("lang") === "en", 1L).otherwise(0L)).as("c_tgt"))
+          .crossJoin(broadcast(totals))
+          .selectExpr("term",
+            "CAST(CAST(ln(CAST(c_tgt + 1 AS DOUBLE) / (n_tgt + v)) AS FLOAT) AS DOUBLE)" +
+              " - CAST(CAST(ln(CAST(c_raw + 1 AS DOUBLE) / (n_raw + v)) AS FLOAT) AS DOUBLE) AS lr")
+        tok.join(vocab, "term")
+          .groupBy("doc_id", "source")
+          .agg(T.xsum(col("lr")).as("logw"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("logw") > 0, 1L).otherwise(0L)).as("n_selected"),
+            round(T.xsum(col("logw")) / count(lit(1)), 6).as("avg_logw"))
+          .orderBy("source")
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, source, lang, lower(t) AS term FROM (
+                   SELECT doc_id, source, lang,
+                     unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS t
+                   FROM documents) x),
+                 totals AS (SELECT count(*) AS n_raw,
+                     CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_tgt,
+                     count(DISTINCT term) AS v
+                   FROM tok),
+                 vocab AS (SELECT term,
+                     CAST(CAST(ln(CAST(CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) + 1 AS DOUBLE)
+                         / (any_value(n_tgt) + any_value(v))) AS REAL) AS DOUBLE)
+                     - CAST(CAST(ln(CAST(count(*) + 1 AS DOUBLE)
+                         / (any_value(n_raw) + any_value(v))) AS REAL) AS DOUBLE) AS lr
+                   FROM tok CROSS JOIN totals GROUP BY term),
+                 pd AS (SELECT doc_id, source, ${T.sqlXsum("lr")} AS logw
+                        FROM tok JOIN vocab USING (term)
+                        GROUP BY doc_id, source)
+               SELECT source, count(*) AS n_docs,
+                 CAST(sum(CASE WHEN logw > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
+                 round(${T.sqlXsum("logw")} / count(*), 6) AS avg_logw
+               FROM pd GROUP BY source ORDER BY source"""))
   )
 }

@@ -2405,6 +2405,38 @@ class MicroSpec extends SparkSpec {
       s"expected one flagged pair (1,100) longest=20 n_spans=2, got ${got.toSeq}")
   }
 
+  test("text_dsir_weight: the importance ratio separates target-language docs (r11)") {
+    // Semantic direction check (values are oracle-checked): per-doc
+    // log w computed locally with the same add-one LMs must be higher on
+    // average for lang='en' docs (the target slice) than for the rest —
+    // DSIR's whole point. Plus per-source invariants on the query output.
+    val docs = Tables.documents(spark, sf).select("doc_id", "lang", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).split(" ").filter(_.nonEmpty).map(_.toLowerCase).toSeq))
+    val all = docs.flatMap(_._3)
+    val cRaw = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cTgt = docs.filter(_._2 == "en").flatMap(_._3)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val (nRaw, nTgt, v) = (all.size.toLong,
+      docs.filter(_._2 == "en").map(_._3.size).sum.toLong, cRaw.size.toLong)
+    def logw(ts: Seq[String]): Double = ts.map { t =>
+      math.log((cTgt.getOrElse(t, 0L) + 1).toDouble / (nTgt + v)) -
+        math.log((cRaw(t) + 1).toDouble / (nRaw + v))
+    }.sum
+    val en = docs.filter(_._2 == "en").map(d => logw(d._3))
+    val rest = docs.filter(_._2 != "en").map(d => logw(d._3))
+    assert(en.sum / en.size > rest.sum / rest.size,
+      "target-language docs must score higher under the importance ratio")
+    val rows = q("text_dsir_weight").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, sel) = (r.getAs[Long]("n_docs"), r.getAs[Long]("n_selected"))
+      assert(sel >= 0 && sel <= n)
+      assert(!r.getAs[Double]("avg_logw").isNaN)
+    }
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs.length)
+  }
+
   test("dedup_span_removal: accounting equals a local ExactSubstr replay (r11)") {
     // Local replay with EXACT 8-token tuples as span identity (the engine
     // rides the rolling hash; agreement here simultaneously proves the

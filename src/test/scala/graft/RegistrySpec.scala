@@ -6,9 +6,9 @@ package graft
   */
 class RegistrySpec extends SparkSpec {
 
-  test("all twenty catalogs are registered (66 SURVEY keys + 337 extensions)") {
-    assert(SparkEntry.queries.size == 403,
-      s"expected 403 registered queries, got ${SparkEntry.queries.size}")
+  test("all twenty catalogs are registered (66 SURVEY keys + 338 extensions)") {
+    assert(SparkEntry.queries.size == 404,
+      s"expected 404 registered queries, got ${SparkEntry.queries.size}")
   }
 
   test("no oracle uses a constant generate_series bound (VERDICT r4 #2)") {
