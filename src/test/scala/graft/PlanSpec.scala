@@ -222,6 +222,30 @@ class PlanSpec extends SparkSpec {
       "per-source counts must left-join the lexicon as a shuffled equi-join:\n" + p)
   }
 
+  test("dedup_span_removal: occurrence join keyed on gid, windows per doc (r11)") {
+    val p = plan("dedup_span_removal")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "span removal must stay inverted-index shaped:\n" + p)
+    // the interval-union window must partition by doc_id — a global
+    // unpartitioned window over span occurrences would serialize the corpus
+    assert("windowspecdefinition\\(doc_id".r.findFirstIn(p).isDefined,
+      "interval-union window not partitioned by doc_id:\n" + p)
+  }
+
+  test("text_dsir_weight: vocab scoring is an equi-join, only the totals cross (r11)") {
+    // At fixture scale the vocab side broadcasts (BroadcastHashJoin); at
+    // 100 TB it degrades gracefully to SMJ — either way it must be an
+    // EQUI-join. The single allowed BNLJ is the one-row totals crossJoin.
+    val p = plan("text_dsir_weight")
+    assert(!p.contains("CartesianProduct"), p)
+    // count detail headers only — formatted explain prints every node
+    // twice (tree line + numbered detail)
+    assert("\\(\\d+\\) BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1,
+      "more than the totals crossJoin plans as BNLJ:\n" + p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      "the vocab scoring join must be an equi-join:\n" + p)
+  }
+
   test("whole-stage codegen covers the hot path of filter_pred") {
     // pre-execution the AQE wrapper hides codegen spans — run the query,
     // then inspect the final adaptive plan
