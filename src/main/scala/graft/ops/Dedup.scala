@@ -60,6 +60,36 @@ object Dedup {
     * on real corpora, where docs are ~100× the fixture's 54-token mean). */
   private[graft] val MIN_SPAN = 16
 
+  // ---- positional span hashing (shared by dedup_span_ngrams /
+  // dedup_contamination_span / dedup_span_removal; r11 perf) -------------
+  // Hash each TOKEN once into a tid array, then fold 8-tid windows — the
+  // old shape re-hashed every word character-by-character at each of its
+  // 8 covering offsets (measured 1.5× slower at sf0.1, identical values:
+  // the fold is associative over the same per-word polyTid rolling hash).
+  // Both fragments assume a column `ts` = the doc's non-empty tokens.
+
+  /** Spark: tid array over `ts` (per-token base-31 codepoint fold mod P —
+    * the Tables.polyTid formula inlined for the lambda position). */
+  private val tidsExpr =
+    "transform(ts, w -> aggregate(sequence(1, length(w)), 0L, " +
+      "(a2, j) -> (a2 * 31 + ascii(substring(w, j, 1))) % 2147483647))"
+
+  /** Spark: gid of the 8-token span at offset `i` over a `tids` column. */
+  private val spanGidExpr =
+    "aggregate(slice(tids, i, 8), 0L, (acc, t) -> (acc * 31 + t + 7) % 2147483647)"
+
+  /** DuckDB twins (same two-step shape so the oracle pays one hash per
+    * token too — oracle wall time is driver budget). */
+  private val sqlTids =
+    """list_transform(ts, w -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |         list_transform(generate_series(1, length(w)),
+      |           j -> CAST(unicode(substr(w, CAST(j AS INT), 1)) AS BIGINT))),
+      |         (a2, x) -> (a2 * 31 + x) % 2147483647))""".stripMargin
+
+  private val sqlSpanGid =
+    """list_reduce(list_prepend(CAST(0 AS BIGINT), tids[i:i + 7]),
+      |       (acc, t) -> (acc * 31 + t + 7) % 2147483647)""".stripMargin
+
   /** dedup_span_removal canonical-occurrence key bound: the canonical
     * (keep-the-first) occurrence of a duplicated span is min(doc_id·2²⁰ +
     * offset) — one BIGINT both engines order identically. Offsets must
@@ -799,8 +829,9 @@ object Dedup {
           .select(col("doc_id"), col("source"),
             expr("filter(split(text, ' '), t -> t <> '')").as("ts"))
           .where(size(col("ts")) >= 8)
+          .withColumn("tids", expr(tidsExpr))
           .selectExpr("doc_id", "source",
-            "explode(array_distinct(transform(sequence(1, size(ts) - 7), i -> aggregate(slice(ts, i, 8), 0L, (acc, w) -> (acc * 31 + aggregate(sequence(1, length(w)), 0L, (a2, j) -> (a2 * 31 + ascii(substring(w, j, 1))) % 2147483647) + 7) % 2147483647)))) AS gid")
+            s"explode(array_distinct(transform(sequence(1, size(tids) - 7), i -> $spanGidExpr))) AS gid")
         val df = spans.groupBy("gid").agg(count(lit(1)).as("ndocs"))
         spans.join(df, "gid")
           .groupBy("source")
@@ -813,20 +844,15 @@ object Dedup {
       // span id = base-31 fold of the 8 token ids (each the polyTid
       // rolling hash, +7 word separator), all mod P per step — the same
       // stateless-arithmetic contract as every hash family in the repo
-      Some("""WITH tk AS (SELECT doc_id, source,
+      Some(s"""WITH tk AS (SELECT doc_id, source,
                    list_filter(string_split(text, ' '), t -> t <> '') AS ts
                  FROM documents),
-                 sp0 AS (SELECT doc_id, source,
-                     list_reduce(list_prepend(CAST(0 AS BIGINT),
-                       list_transform(ts[i:i + 7], w ->
-                         list_reduce(list_prepend(CAST(0 AS BIGINT),
-                           list_transform(generate_series(1, length(w)),
-                             j -> CAST(unicode(substr(w, CAST(j AS INT), 1)) AS BIGINT))),
-                           (a2, x) -> (a2 * 31 + x) % 2147483647))),
-                       (acc, t) -> (acc * 31 + t + 7) % 2147483647) AS gid
-                   FROM (SELECT doc_id, source, ts,
-                           unnest(generate_series(1, len(ts) - 7)) AS i
-                         FROM tk WHERE len(ts) >= 8) x),
+                 td AS (SELECT doc_id, source, $sqlTids AS tids
+                        FROM tk WHERE len(ts) >= 8),
+                 sp0 AS (SELECT doc_id, source, $sqlSpanGid AS gid
+                   FROM (SELECT doc_id, source, tids,
+                           unnest(generate_series(1, len(tids) - 7)) AS i
+                         FROM td) x),
                  sp AS (SELECT DISTINCT doc_id, source, gid FROM sp0),
                  df AS (SELECT gid, count(*) AS ndocs FROM sp GROUP BY gid)
                SELECT source, count(*) AS n_spans,
@@ -871,9 +897,9 @@ object Dedup {
           .select(col("doc_id"),
             expr("filter(split(text, ' '), t -> t <> '')").as("ts"))
           .where(size(col("ts")) >= 8)
+          .withColumn("tids", expr(tidsExpr))
           .selectExpr("doc_id",
-            "explode(transform(sequence(1, size(ts) - 7), i -> struct(i AS i, " +
-              "aggregate(slice(ts, i, 8), 0L, (acc, w) -> (acc * 31 + aggregate(sequence(1, length(w)), 0L, (a2, j) -> (a2 * 31 + ascii(substring(w, j, 1))) % 2147483647) + 7) % 2147483647) AS gid))) AS sp")
+            s"explode(transform(sequence(1, size(tids) - 7), i -> struct(i AS i, $spanGidExpr AS gid))) AS sp")
           .selectExpr("doc_id", "sp.i AS i", "sp.gid AS gid")
         val ev = spans.where(col("doc_id") < 50)
           .select(col("doc_id").as("bench_doc"), col("i").as("j"), col("gid"))
@@ -898,17 +924,12 @@ object Dedup {
       Some(s"""WITH tk AS (SELECT doc_id,
                    list_filter(string_split(text, ' '), t -> t <> '') AS ts
                  FROM documents),
-                 sp AS (SELECT doc_id, i,
-                     list_reduce(list_prepend(CAST(0 AS BIGINT),
-                       list_transform(ts[i:i + 7], w ->
-                         list_reduce(list_prepend(CAST(0 AS BIGINT),
-                           list_transform(generate_series(1, length(w)),
-                             j -> CAST(unicode(substr(w, CAST(j AS INT), 1)) AS BIGINT))),
-                           (a2, x) -> (a2 * 31 + x) % 2147483647))),
-                       (acc, t) -> (acc * 31 + t + 7) % 2147483647) AS gid
-                   FROM (SELECT doc_id, ts,
-                           unnest(generate_series(1, len(ts) - 7)) AS i
-                         FROM tk WHERE len(ts) >= 8) x),
+                 td AS (SELECT doc_id, $sqlTids AS tids
+                        FROM tk WHERE len(ts) >= 8),
+                 sp AS (SELECT doc_id, i, $sqlSpanGid AS gid
+                   FROM (SELECT doc_id, tids,
+                           unnest(generate_series(1, len(tids) - 7)) AS i
+                         FROM td) x),
                  ev AS (SELECT doc_id AS bench_doc, i AS j, gid FROM sp
                         WHERE doc_id < 50),
                  tr AS (SELECT doc_id AS train_doc, i, gid FROM sp
@@ -963,9 +984,9 @@ object Dedup {
           expr("CAST(size(ts) AS BIGINT)").as("len"))
         val occ = toks
           .where(size(col("ts")) >= 8)
+          .withColumn("tids", expr(tidsExpr))
           .selectExpr("doc_id",
-            "explode(transform(sequence(1, size(ts) - 7), i -> struct(i AS i, " +
-              "aggregate(slice(ts, i, 8), 0L, (acc, w) -> (acc * 31 + aggregate(sequence(1, length(w)), 0L, (a2, j) -> (a2 * 31 + ascii(substring(w, j, 1))) % 2147483647) + 7) % 2147483647) AS gid))) AS sp")
+            s"explode(transform(sequence(1, size(tids) - 7), i -> struct(i AS i, $spanGidExpr AS gid))) AS sp")
           .selectExpr("doc_id", "sp.i AS i", "sp.gid AS gid")
           .withColumn("okey",
             when(col("i") >= OFFSET_CAP, raise_error(concat(
@@ -1007,18 +1028,13 @@ object Dedup {
                  FROM documents),
                  dl AS (SELECT doc_id, source, CAST(len(ts) AS BIGINT) AS len
                         FROM tk),
-                 occ AS (SELECT doc_id, i,
-                     list_reduce(list_prepend(CAST(0 AS BIGINT),
-                       list_transform(ts[i:i + 7], w ->
-                         list_reduce(list_prepend(CAST(0 AS BIGINT),
-                           list_transform(generate_series(1, length(w)),
-                             j -> CAST(unicode(substr(w, CAST(j AS INT), 1)) AS BIGINT))),
-                           (a2, x) -> (a2 * 31 + x) % 2147483647))),
-                       (acc, t) -> (acc * 31 + t + 7) % 2147483647) AS gid,
+                 td AS (SELECT doc_id, $sqlTids AS tids
+                        FROM tk WHERE len(ts) >= 8),
+                 occ AS (SELECT doc_id, i, $sqlSpanGid AS gid,
                      doc_id * $OFFSET_CAP + i AS okey
-                   FROM (SELECT doc_id, ts,
-                           unnest(generate_series(1, len(ts) - 7)) AS i
-                         FROM tk WHERE len(ts) >= 8) x),
+                   FROM (SELECT doc_id, tids,
+                           unnest(generate_series(1, len(tids) - 7)) AS i
+                         FROM td) x),
                  canon AS (SELECT gid, min(okey) AS cmin, count(*) AS nocc
                            FROM occ GROUP BY gid),
                  rem AS (SELECT doc_id, i FROM occ JOIN canon USING (gid)
