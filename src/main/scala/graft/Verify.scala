@@ -18,17 +18,38 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // FAIR across per-query pools — the Bench r7 lesson applies here
+      // too: an iterative query's many 1-task jobs would otherwise queue
+      // behind another worker's wide scan.
+      .config("spark.scheduler.mode", "FAIR")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Log.quietBoundedWindowWarn()
+    Log.quietFairPoolWarn()
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.filter(q => keep(q._1)).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
+    // Small worker pool (r11): 404 sequential queries spend most of their
+    // wall on one-core driver work (analysis + codegen compile) while 31
+    // cores idle — the Bench pipelining argument. 4 workers keep the gate
+    // ~3× faster without the contention distortion a wide pool adds (this
+    // main is correctness-only; timings don't matter here). Results are
+    // independent per query (distinct output dirs), so ordering is free.
+    val threads = sys.env.getOrElse("SPARK_GRAFT_VERIFY_THREADS", "4").toInt
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    val futures = SparkEntry.queries.filter(q => keep(q._1)).toSeq.map {
+      case (name, fn) =>
+        pool.submit(new Runnable {
+          def run(): Unit = {
+            spark.sparkContext.setLocalProperty("spark.scheduler.pool", name)
+            try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+              .parquet(s"$outDir/$name")
+            catch { case e: Throwable =>
+              System.err.println(s"[verify] $name failed: ${e.getMessage}")
+            }
+          }
+        })
     }
+    futures.foreach(_.get())
+    pool.shutdown()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
