@@ -1061,6 +1061,92 @@ object Dedup {
                  CAST(sum(coalesce(removed, 0)) AS BIGINT) AS tokens_removed,
                  round(CAST(sum(coalesce(removed, 0)) AS DOUBLE) / sum(len), 6) AS removal_frac
                FROM dl LEFT JOIN rm USING (doc_id)
-               GROUP BY source ORDER BY source"""))
+               GROUP BY source ORDER BY source""")),
+
+    QueryDef(
+      "dedup_bloom_prefilter",
+      // BLOOM-FILTER candidate pre-filter for exact dedup (Bloom 1970;
+      // the standard trick before a corpus-wide dedup shuffle: a few
+      // bits per build-side document answer "definitely new" locally, so
+      // only Bloom CANDIDATES pay the exact-key shuffle). Build side =
+      // even doc_ids, probe side = odd (the held-out parity split); each
+      // document's full-text polynomial fingerprint sets k=3 bits via
+      // the repo's affine hash family (engine hash() builtins differ,
+      // arithmetic doesn't — the dedup_minhash discipline), with
+      // m = 6·n_build + 1 sized FROM THE CORPUS in-plan (one broadcast
+      // scalar, the Lsh.bitsFor convention — fill stays ≈ 1−e^(−1/2) at
+      // ANY scale, so the reported FP rate is stable from sf0.001 to
+      // 100 TB). A probe is a candidate iff ALL its (distinct) bits are
+      // set — checked by an inverted bit-keyed equi-join against the
+      // ≤ m-row distinct set-bit table, never a filter broadcast of the
+      // build corpus itself. The exact-fingerprint join supplies ground
+      // truth, so the output is the accounting a production run ships:
+      // candidates vs true duplicates vs false positives per source,
+      // plus the structural no-false-negative invariant (a Bloom filter
+      // can only over-approve) pinned as an always-TRUE column the
+      // oracle would catch drifting.
+      (s, dir) => {
+        val docs = T.documents(s, dir).transform(T.fanOut(_, col("doc_id")))
+          .withColumn("fp", T.polyTid("text"))
+        val build = docs.where(col("doc_id") % 2 === 0)
+        val probe = docs.where(col("doc_id") % 2 === 1)
+        val mrow = build.agg(count(lit(1)).as("n_build"))
+          .selectExpr("6 * n_build + 1 AS m")
+        val bitsExpr = "array_distinct(array(" +
+          s"((fp * 48271 + 1) % ${T.HASH_P}) % m, " +
+          s"((fp * 16807 + 2) % ${T.HASH_P}) % m, " +
+          s"((fp * 69621 + 3) % ${T.HASH_P}) % m))"
+        val setBits = build.crossJoin(broadcast(mrow))
+          .selectExpr(s"explode($bitsExpr) AS bit").distinct()
+        val pb = probe.crossJoin(broadcast(mrow))
+          .selectExpr("doc_id", "source", "fp", s"$bitsExpr AS bits")
+          .withColumn("n_bits", size(col("bits")))
+        val hits = pb.selectExpr("doc_id", "explode(bits) AS bit")
+          .join(setBits, "bit")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+        val truth = build.select(col("fp")).distinct().withColumn("dup", lit(1))
+        pb.join(hits, Seq("doc_id"), "left").na.fill(0L, Seq("n_hit"))
+          .join(truth, Seq("fp"), "left")
+          .selectExpr("source", "n_hit = n_bits AS cand", "dup IS NOT NULL AS isdup")
+          .groupBy("source").agg(
+            count(lit(1)).as("n_probe"),
+            sum(when(col("cand"), 1L).otherwise(0L)).as("n_candidate"),
+            sum(when(col("isdup"), 1L).otherwise(0L)).as("n_true_dup"),
+            sum(when(col("cand") && !col("isdup"), 1L).otherwise(0L)).as("n_false_pos"),
+            (sum(when(col("isdup") && !col("cand"), 1L).otherwise(0L)) === 0L)
+              .as("no_false_negatives"))
+          .orderBy("source")
+      },
+      Some(s"""WITH docs AS (SELECT doc_id, source,
+                   ${T.sqlPolyTid("text")} AS fp
+                 FROM documents),
+                 mrow AS (SELECT 6 * count(*) + 1 AS m FROM docs WHERE doc_id % 2 = 0),
+                 bb AS (SELECT DISTINCT unnest(list_distinct([
+                     ((fp * 48271 + 1) % ${T.HASH_P}) % m,
+                     ((fp * 16807 + 2) % ${T.HASH_P}) % m,
+                     ((fp * 69621 + 3) % ${T.HASH_P}) % m])) AS bit
+                   FROM docs CROSS JOIN mrow WHERE doc_id % 2 = 0),
+                 pb AS (SELECT doc_id, source, fp,
+                     list_distinct([
+                       ((fp * 48271 + 1) % ${T.HASH_P}) % m,
+                       ((fp * 16807 + 2) % ${T.HASH_P}) % m,
+                       ((fp * 69621 + 3) % ${T.HASH_P}) % m]) AS bits
+                   FROM docs CROSS JOIN mrow WHERE doc_id % 2 = 1),
+                 hits AS (SELECT doc_id, count(*) AS n_hit FROM (
+                     SELECT doc_id, unnest(bits) AS bit FROM pb) x
+                   JOIN bb USING (bit) GROUP BY doc_id),
+                 truth AS (SELECT DISTINCT fp, 1 AS dup FROM docs WHERE doc_id % 2 = 0),
+                 flag AS (SELECT pb.source,
+                     coalesce(hits.n_hit, 0) = len(pb.bits) AS cand,
+                     truth.dup IS NOT NULL AS isdup
+                   FROM pb LEFT JOIN hits USING (doc_id)
+                     LEFT JOIN truth USING (fp))
+               SELECT source, count(*) AS n_probe,
+                 CAST(sum(CASE WHEN cand THEN 1 ELSE 0 END) AS BIGINT) AS n_candidate,
+                 CAST(sum(CASE WHEN isdup THEN 1 ELSE 0 END) AS BIGINT) AS n_true_dup,
+                 CAST(sum(CASE WHEN cand AND NOT isdup THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+                 CAST(sum(CASE WHEN isdup AND NOT cand THEN 1 ELSE 0 END) AS BIGINT) = 0
+                   AS no_false_negatives
+               FROM flag GROUP BY source ORDER BY source"""))
   )
 }

@@ -2052,6 +2052,199 @@ object Pipeline {
                    WHERE rn = 1)
                SELECT term, count(*) AS n_docs_rank1
                FROM top1 GROUP BY term
-               ORDER BY n_docs_rank1 DESC, term LIMIT 20"""))
+               ORDER BY n_docs_rank1 DESC, term LIMIT 20""")),
+
+    QueryDef(
+      "text_quality_funnel",
+      // Rejection FUNNEL over an ordered rule pipeline — the accounting a
+      // curation run ships next to its filters (C4: Raffel et al. 2020;
+      // Gopher: Rae et al. 2021 report exactly this "docs removed per
+      // rule" table). Each document is attributed to the FIRST rule it
+      // fails (funnel semantics, not independent marginals): 1 min-token
+      // floor, 2 mean-token-length band, 3 symbol-ratio cap, 4 stopword
+      // presence, 5 top-unigram repetition cap. Thresholds are tuned so
+      // the fixture exercises real rejections on rules 1/2/4/5 while rule
+      // 3 proves its zero (the corpus is symbol-free by construction —
+      // same discipline as text_pii_redact). Dataflow: rules 1–4 are
+      // map-only expressions fused into the scan; rule 5's top-unigram
+      // share is one doc+term-keyed aggregate (map-side combined) joined
+      // back on doc_id; the funnel itself is a bounded per-source window
+      // over 5 post-aggregation rows per source — nothing but per-source
+      // counters ever shuffles, so the shape holds at 100 TB. The full
+      // source×rule grid comes from a broadcast 5-row rule dimension so
+      // zero-rejection stages still land in the report.
+      (s, dir) => {
+        val docs = T.documents(s, dir).transform(T.fanOut(_, col("doc_id")))
+        val base = docs.selectExpr("doc_id", "source",
+          "size(filter(split(text, ' '), t -> t <> '')) AS n_tok",
+          "CAST(n_chars AS DOUBLE) / size(filter(split(text, ' '), t -> t <> '')) AS atl",
+          "CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '')) AS DOUBLE) / length(text) AS symr",
+          "size(filter(transform(filter(split(text, ' '), t -> t <> ''), t -> lower(t)), " +
+            "t -> array_contains(array('the','a','data','row','value'), t))) AS n_stop")
+        val rep = docs
+          .selectExpr("doc_id", "explode(filter(split(text, ' '), t -> t <> '')) AS t")
+          .select(col("doc_id"), lower(col("t")).as("term"))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("n"))
+          .groupBy("doc_id").agg(max(col("n")).as("max_n"))
+        val staged = base.join(rep, "doc_id").selectExpr("source",
+          """CASE WHEN n_tok < 16 THEN 1
+                  WHEN atl < 3e0 OR atl > 6e0 THEN 2
+                  WHEN symr > 1e-1 THEN 3
+                  WHEN n_stop < 1 THEN 4
+                  WHEN CAST(max_n AS DOUBLE) / n_tok > 2e-1 THEN 5
+                  ELSE 6 END AS stage""")
+        val rej = staged.where(col("stage") <= 5)
+          .groupBy("source", "stage").agg(count(lit(1)).as("n_rejected"))
+        val rules = s.sql(
+          "SELECT * FROM VALUES (1, 'min_tokens'), (2, 'avg_tok_len'), " +
+            "(3, 'symbol_ratio'), (4, 'stopword_hit'), (5, 'repetition') " +
+            "AS t(stage, rule)")
+        val w = Window.partitionBy(col("source")).orderBy(col("stage"))
+        docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+          .crossJoin(broadcast(rules))
+          .join(rej, Seq("source", "stage"), "left")
+          .na.fill(0L, Seq("n_rejected"))
+          .withColumn("n_surviving",
+            col("n_docs") - sum(col("n_rejected")).over(w))
+          .select(col("source"), col("stage"), col("rule"),
+            col("n_rejected"), col("n_surviving"))
+          .orderBy("source", "stage")
+      },
+      Some("""WITH base AS (SELECT doc_id, source,
+                   len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tok,
+                   CAST(n_chars AS DOUBLE) /
+                     len(list_filter(string_split(text, ' '), t -> t <> '')) AS atl,
+                   CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) /
+                     length(text) AS symr,
+                   len(list_filter(list_transform(
+                       list_filter(string_split(text, ' '), t -> t <> ''), t -> lower(t)),
+                     t -> list_contains(['the','a','data','row','value'], t))) AS n_stop
+                 FROM documents),
+                 tok AS (SELECT doc_id,
+                     lower(unnest(list_filter(string_split(text, ' '), t -> t <> ''))) AS term
+                   FROM documents),
+                 rep AS (SELECT doc_id, max(n) AS max_n FROM (
+                     SELECT doc_id, term, count(*) AS n FROM tok GROUP BY doc_id, term) c
+                   GROUP BY doc_id),
+                 st AS (SELECT source,
+                     CASE WHEN n_tok < 16 THEN 1
+                          WHEN atl < 3e0 OR atl > 6e0 THEN 2
+                          WHEN symr > 1e-1 THEN 3
+                          WHEN n_stop < 1 THEN 4
+                          WHEN CAST(max_n AS DOUBLE) / n_tok > 2e-1 THEN 5
+                          ELSE 6 END AS stage
+                   FROM base JOIN rep USING (doc_id)),
+                 rej AS (SELECT source, stage, count(*) AS n_rejected
+                   FROM st WHERE stage <= 5 GROUP BY source, stage),
+                 rules AS (SELECT * FROM (VALUES (1, 'min_tokens'), (2, 'avg_tok_len'),
+                     (3, 'symbol_ratio'), (4, 'stopword_hit'), (5, 'repetition'))
+                   t(stage, rule)),
+                 tot AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+                 grid AS (SELECT source, n_docs, stage, rule,
+                     coalesce(n_rejected, CAST(0 AS BIGINT)) AS n_rejected
+                   FROM tot CROSS JOIN rules LEFT JOIN rej USING (source, stage))
+               SELECT source, stage, rule, n_rejected,
+                 n_docs - sum(n_rejected) OVER (PARTITION BY source ORDER BY stage) AS n_surviving
+               FROM grid ORDER BY source, stage""")),
+
+    QueryDef(
+      "text_bigram_backoff",
+      // HELD-OUT bigram LM scoring with Stupid Backoff (Brants et al.
+      // 2007, "Large Language Models in Machine Translation" — the
+      // backoff designed FOR distributed corpus-scale counting: no
+      // discounting pass, score S(v|u) = c(uv)/c(u) when the bigram was
+      // seen in training, else λ·P(v) with λ = 0.4). Train on the even
+      // source-parity half, score the odd half — held-out, so backoff
+      // genuinely fires on unseen bigrams (training on the scored corpus
+      // itself, as text_unigram_lm does for its in-domain proxy, would
+      // make the backoff arm dead code). Unseen-unigram OOV falls back to
+      // the add-one-smoothed unigram (c(v)+1)/(N+V) so every bigram gets
+      // a finite score. Dataflow: bigrams are built map-side per document
+      // (adjacent-pair transform over the token array — no window, no
+      // self-join); train counts and eval occurrences meet in
+      // vocab-keyed SHUFFLED equi-joins (the unigram_lm Heaps'-law
+      // argument: a 100 TB bigram table is far past broadcast size); the
+      // two scalars (N, V) broadcast as one row. Determinism: ln of the
+      // per-key score REAL-collapsed per (u,v); occurrence-weighted sums
+      // ride the exact-decimal wire. Output per eval source: docs,
+      // bigram occurrences, backoff rate, avg NLL.
+      (s, dir) => {
+        val half = T.documents(s, dir).transform(T.fanOut(_, col("doc_id")))
+          .selectExpr("doc_id", "source",
+            "CAST(substring(source, 4) AS INT) % 2 AS grp",
+            "transform(filter(split(text, ' '), t -> t <> ''), t -> lower(t)) AS w")
+        // size(w) >= 2 guard BEFORE the pair transform: Spark's
+        // sequence(1, 0) counts DOWN to [1, 0] (the text_char_entropy
+        // lesson), which would fabricate null-edged pairs for one-token
+        // docs; DuckDB's generate_series(1, 0) is empty. Same predicate
+        // on both engines keeps the bigram sets identical.
+        val big = half.where(expr("size(w) >= 2"))
+          .selectExpr("doc_id", "source", "grp",
+          "explode(transform(sequence(1, size(w) - 1), i -> struct(w[i-1] AS u, w[i] AS v))) AS b")
+          .selectExpr("doc_id", "source", "grp", "b.u AS u", "b.v AS v")
+        val tuni = half.where(col("grp") === 0)
+          .selectExpr("explode(w) AS v").groupBy("v").agg(count(lit(1)).as("cv"))
+        val tbig = big.where(col("grp") === 0)
+          .groupBy("u", "v").agg(count(lit(1)).as("cb"))
+        val tcu = tbig.groupBy("u").agg(sum(col("cb")).as("cu"))
+        val tot = tuni.agg(sum(col("cv")).as("nu"), count(lit(1)).as("vs"))
+        val el = big.where(col("grp") === 1)
+          .groupBy("source", "u", "v").agg(count(lit(1)).as("ne"))
+        val scored = el
+          .join(tbig, Seq("u", "v"), "left")
+          .join(tcu, Seq("u"), "left")
+          .join(tuni, Seq("v"), "left")
+          .crossJoin(broadcast(tot))
+          .selectExpr("source", "ne", "cb IS NULL AS backed",
+            """CAST(CAST(ln(CASE WHEN cb IS NOT NULL
+                 THEN CAST(cb AS DOUBLE) / cu
+                 ELSE 4e-1 * (CAST(coalesce(cv, 0L) AS DOUBLE) + 1e0) / (nu + vs)
+               END) AS FLOAT) AS DOUBLE) AS lns""")
+        scored.groupBy("source").agg(
+            sum(col("ne")).as("n_bigrams"),
+            round(T.xsum(when(col("backed"), col("ne")).otherwise(lit(0L))
+              .cast("double")) / sum(col("ne")), 6).as("backoff_rate"),
+            round(T.xsum(-col("lns") * col("ne")) / sum(col("ne")), 6).as("avg_nll"))
+          .join(half.where(col("grp") === 1).groupBy("source")
+            .agg(count(lit(1)).as("n_docs")), "source")
+          .select(col("source"), col("n_docs"), col("n_bigrams"),
+            col("backoff_rate"), col("avg_nll"))
+          .orderBy("source")
+      },
+      Some(s"""WITH half AS (SELECT doc_id, source,
+                   CAST(substr(source, 4) AS INT) % 2 AS grp,
+                   list_transform(list_filter(string_split(text, ' '), t -> t <> ''),
+                     t -> lower(t)) AS w
+                 FROM documents),
+                 big AS (SELECT doc_id, source, grp,
+                     w[CAST(i AS INT)] AS u, w[CAST(i AS INT) + 1] AS v
+                   FROM (SELECT doc_id, source, grp, w,
+                       unnest(generate_series(1, len(w) - 1)) AS i
+                     FROM half WHERE len(w) >= 2) x),
+                 tuni AS (SELECT v, count(*) AS cv FROM (
+                     SELECT unnest(w) AS v FROM half WHERE grp = 0) x GROUP BY v),
+                 tbig AS (SELECT u, v, count(*) AS cb FROM big WHERE grp = 0 GROUP BY u, v),
+                 tcu AS (SELECT u, CAST(sum(cb) AS BIGINT) AS cu FROM tbig GROUP BY u),
+                 tot AS (SELECT CAST(sum(cv) AS BIGINT) AS nu, count(*) AS vs FROM tuni),
+                 el AS (SELECT source, u, v, count(*) AS ne
+                   FROM big WHERE grp = 1 GROUP BY source, u, v),
+                 scored AS (SELECT source, ne, tbig.cb IS NULL AS backed,
+                     CAST(CAST(ln(CASE WHEN tbig.cb IS NOT NULL
+                         THEN CAST(tbig.cb AS DOUBLE) / tcu.cu
+                         ELSE 4e-1 * (CAST(coalesce(tuni.cv, 0) AS DOUBLE) + 1e0) / (tot.nu + tot.vs)
+                       END) AS REAL) AS DOUBLE) AS lns
+                   FROM el LEFT JOIN tbig USING (u, v)
+                     LEFT JOIN tcu USING (u)
+                     LEFT JOIN tuni USING (v)
+                     CROSS JOIN tot),
+                 agg AS (SELECT source,
+                     CAST(sum(ne) AS BIGINT) AS n_bigrams,
+                     round(${T.sqlXsum("CASE WHEN backed THEN CAST(ne AS DOUBLE) ELSE 0e0 END")}
+                       / sum(ne), 6) AS backoff_rate,
+                     round(${T.sqlXsum("-lns * ne")} / sum(ne), 6) AS avg_nll
+                   FROM scored GROUP BY source),
+                 nd AS (SELECT source, count(*) AS n_docs FROM half WHERE grp = 1 GROUP BY source)
+               SELECT source, n_docs, n_bigrams, backoff_rate, avg_nll
+               FROM agg JOIN nd USING (source) ORDER BY source"""))
   )
 }

@@ -2532,4 +2532,82 @@ class MicroSpec extends SparkSpec {
     // exceed the corpus
     assert(n.sum <= Tables.documents(spark, sf).count())
   }
+
+  test("text_quality_funnel: first-fail attribution on a one-doc-per-rule fixture (r11)") {
+    // Six constructed docs, each engineered to PASS every rule before the
+    // one it targets: A fails the token floor, B the mean-token-length
+    // band, C the symbol cap, D stopword presence, E the repetition cap,
+    // F survives. Expected funnel: one rejection per stage, survival
+    // 5,4,3,2,1.
+    val dir = java.nio.file.Files.createTempDirectory("graft_funnel").toString
+    val a = "aaa bbb ccc ddd eee"
+    val b = (1 to 16).map(i => f"longword$i%02d").mkString(" ")       // atl ~ 10
+    val c = (1 to 16).map(_ => "ab%%").mkString(" ")                  // symr ~ 0.4
+    val d = (1 to 16).map(i => f"tok$i%02d").mkString(" ")            // no stopword
+    val e = ("the" +: (1 to 11).map(i => f"tok$i%02d") ++: Seq("zzzz", "zzzz", "zzzz", "zzzz")).mkString(" ")
+    val f = ("the" +: (1 to 15).map(i => f"tok$i%02d")).mkString(" ")
+    import spark.implicits._
+    Seq(a, b, c, d, e, f).zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "src1", t.length.toLong) }
+      .toDF("doc_id", "text", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("text_quality_funnel")(spark, dir)
+      .collect().map(r => (r.getAs[Int]("stage"), r.getAs[String]("rule"),
+        r.getAs[Long]("n_rejected"), r.getAs[Long]("n_surviving")))
+    assert(got.toSeq == Seq(
+      (1, "min_tokens", 1L, 5L), (2, "avg_tok_len", 1L, 4L),
+      (3, "symbol_ratio", 1L, 3L), (4, "stopword_hit", 1L, 2L),
+      (5, "repetition", 1L, 1L)),
+      s"funnel attribution mismatch: ${got.toSeq}")
+  }
+
+  test("text_bigram_backoff: exact backoff rate and NLL on a two-doc corpus (r11)") {
+    // Train (src10, even parity) "a b a c": bigrams (a,b) (b,a) (a,c),
+    // c(a·)=2, N=4, V=3. Eval (src11) "a b x": (a,b) seen -> S=1/2;
+    // (b,x) unseen, x OOV -> S=0.4*(0+1)/(4+3). backoff_rate=1/2 and the
+    // NLL is the mean of the two -ln S, replayed here driver-side.
+    val dir = java.nio.file.Files.createTempDirectory("graft_bigram").toString
+    import spark.implicits._
+    Seq((0L, "a b a c", "src10", 7L), (1L, "a b x", "src11", 5L))
+      .toDF("doc_id", "text", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("text_bigram_backoff")(spark, dir).collect()
+    assert(rows.length == 1, s"expected one eval source row, got ${rows.toSeq}")
+    val r = rows(0)
+    assert(r.getAs[String]("source") == "src11" && r.getAs[Long]("n_docs") == 1L
+      && r.getAs[Long]("n_bigrams") == 2L)
+    assert(r.getAs[Double]("backoff_rate") == 0.5)
+    val want = -(math.log(0.5) + math.log(0.4 / 7.0)) / 2.0
+    assert(math.abs(r.getAs[Double]("avg_nll") - want) < 1e-5,
+      s"avg_nll ${r.getAs[Double]("avg_nll")} != $want")
+  }
+
+  test("dedup_bloom_prefilter: duplicates always pass, accounting is consistent (r11)") {
+    // Constructed corpus with a KNOWN cross-parity duplicate: probe doc 1
+    // repeats build doc 0's text. The Bloom contract: every true
+    // duplicate is a candidate (no false negatives, structurally), and
+    // the counters tie out (candidates = true dups flagged + false
+    // positives, both bounded by the probe count).
+    val dir = java.nio.file.Files.createTempDirectory("graft_bloom").toString
+    import spark.implicits._
+    val texts = (0 to 9).map {
+      case 1 => "shared duplicate text zero"
+      case 0 => "shared duplicate text zero"
+      case i => s"unique text number $i " + ("w" + i) * 3
+    }
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t, s"src${i % 3}", t.length.toLong) }
+      .toDF("doc_id", "text", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("dedup_bloom_prefilter")(spark, dir).collect()
+    val tot = (rows.map(_.getAs[Long]("n_probe")).sum,
+      rows.map(_.getAs[Long]("n_candidate")).sum,
+      rows.map(_.getAs[Long]("n_true_dup")).sum,
+      rows.map(_.getAs[Long]("n_false_pos")).sum)
+    assert(tot._1 == 5L, s"probe side must be the 5 odd docs: $tot")
+    assert(tot._3 == 1L, s"exactly one constructed true duplicate: $tot")
+    assert(rows.forall(_.getAs[Boolean]("no_false_negatives")),
+      "a Bloom filter can never reject a true duplicate")
+    assert(tot._2 == tot._3 + tot._4 && tot._2 <= tot._1,
+      s"candidates must tie out to dups + false positives: $tot")
+  }
 }

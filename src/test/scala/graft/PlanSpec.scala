@@ -246,6 +246,46 @@ class PlanSpec extends SparkSpec {
       "the vocab scoring join must be an equi-join:\n" + p)
   }
 
+  test("text_quality_funnel: map-only rules, the only BNLJ is the 5-row rule grid (r11)") {
+    val p = plan("text_quality_funnel")
+    assert(!p.contains("CartesianProduct"), p)
+    // one BNLJ allowed: the broadcast crossJoin with the literal rule
+    // dimension (5 rows); the repetition join and the funnel join must be
+    // equi-joins, and the survival window must partition by source
+    assert("\\(\\d+\\) BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1,
+      "more than the rule-grid crossJoin plans as BNLJ:\n" + p)
+    assert("windowspecdefinition\\(source".r.findFirstIn(p).isDefined,
+      "funnel window not partitioned by source:\n" + p)
+  }
+
+  test("text_bigram_backoff: LM joins are vocab-keyed equi-joins, only totals cross (r11)") {
+    val p = plan("text_bigram_backoff")
+    assert(!p.contains("CartesianProduct"), p)
+    // the (N, V) one-row totals frame is the single allowed BNLJ; the
+    // bigram/unigram/prefix-count joins must stay shuffled-or-broadcast
+    // EQUI-joins (Heaps' law: at 100 TB these are SMJ, never a broadcast
+    // of the bigram table)
+    assert("\\(\\d+\\) BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1,
+      "more than the totals crossJoin plans as BNLJ:\n" + p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      "LM scoring joins must be equi-joins:\n" + p)
+  }
+
+  test("dedup_bloom_prefilter: bit membership is an equi-join, m broadcasts as one row (r11)") {
+    val p = plan("dedup_bloom_prefilter")
+    assert(!p.contains("CartesianProduct"), p)
+    // two one-row crossJoins carry m (set-bit build + probe); the probe
+    // subtree is referenced twice (bit explode + final accounting), so
+    // its crossJoin prints twice — 3 BNLJ detail headers, all one-row
+    // scalar broadcasts. The bit membership check and the exact-truth
+    // join must be equi-joins — the build corpus itself is never
+    // broadcast as a filter.
+    assert("\\(\\d+\\) BroadcastNestedLoopJoin".r.findAllIn(p).size <= 3,
+      "more than the m-scalar crossJoins plan as BNLJ:\n" + p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      "bit membership must be an equi-join:\n" + p)
+  }
+
   test("whole-stage codegen covers the hot path of filter_pred") {
     // pre-execution the AQE wrapper hides codegen spans — run the query,
     // then inspect the final adaptive plan

@@ -6,9 +6,9 @@ package graft
   */
 class RegistrySpec extends SparkSpec {
 
-  test("all twenty catalogs are registered (66 SURVEY keys + 338 extensions)") {
-    assert(SparkEntry.queries.size == 404,
-      s"expected 404 registered queries, got ${SparkEntry.queries.size}")
+  test("all twenty catalogs are registered (66 SURVEY keys + 341 extensions)") {
+    assert(SparkEntry.queries.size == 407,
+      s"expected 407 registered queries, got ${SparkEntry.queries.size}")
   }
 
   test("no oracle uses a constant generate_series bound (VERDICT r4 #2)") {
