@@ -882,6 +882,87 @@ object Aggregates {
                SELECT CAST(min(v) AS DOUBLE) AS weighted_median,
                  round(CAST(any_value(tot) AS DOUBLE), 2) AS total_weight,
                  CAST(any_value(nv) AS BIGINT) AS n_values
-               FROM cum WHERE cw * 2 >= tot"""))
+               FROM cum WHERE cw * 2 >= tot""")),
+
+    QueryDef(
+      "agg_kmv_distinct",
+      // KMV (k-minimum-values) distinct-count sketch, Bar-Yossef et al.
+      // 2002 — the MERGEABLE cardinality estimator whose values (unlike
+      // agg_approx_hll's engine-private HLL bytes) are pure arithmetic,
+      // so the oracle checks the SKETCH itself value-for-value. Estimate:
+      // with U_(k) the k-th smallest of the distinct keys' hashes mapped
+      // into [0, P), D ≈ (k−1)·P / U_(k). The 100 TB story is the MERGE:
+      // each group keeps only its k smallest hashes (k=64 rows — map-side
+      // combinable, constant memory), and the global sketch is the k
+      // smallest OF THE UNION OF SKETCHES (3·k rows, never the data) —
+      // exactly how a 1000-executor run combines per-partition sketches.
+      // The merged 'ALL' row here is computed from the three per-status
+      // sketches alone, next to each estimate's exact truth and relative
+      // error. Hash = the repo's affine family mod P (engine hash()
+      // builtins differ, arithmetic doesn't); distinct-before-rank makes
+      // the sketch a function of the key SET, so duplicates can't bias
+      // it. Groups smaller than k fall back to |sketch| = exact count
+      // (the KMV convention). Determinism: everything is integer until
+      // the one estimate division; rel_err is one more exact-input
+      // division, rounded on both engines. The multiplier must WRAP P on
+      // the key domain (1203248983 ≈ P/1.8): a small multiplier leaves
+      // dense integer keys clustered at the bottom of [0, P) and the
+      // order-statistic estimate off by orders of magnitude (measured:
+      // 48271 gave rel_err 28 at sf0.01; this one ≤ 0.007 at all SFs).
+      (s, dir) => {
+        val K = 64
+        val hashed = T.orders(s, dir)
+          .selectExpr("o_orderstatus AS grp",
+            s"(o_custkey * 1203248983 + 7) % ${T.HASH_P} AS h")
+          .distinct()
+        val wk = Window.partitionBy(col("grp")).orderBy(col("h"))
+        val sk = hashed.withColumn("rk", row_number().over(wk))
+          .where(col("rk") <= K)
+        val wm = Window.orderBy(col("h"))
+        val merged = sk.select(col("h")).distinct()
+          .withColumn("rk", row_number().over(wm)).where(col("rk") <= K)
+          .select(lit("ALL").as("grp"), col("h"))
+        val exact = T.orders(s, dir)
+          .selectExpr("o_orderstatus AS grp", "o_custkey").distinct()
+          .groupBy("grp").agg(count(lit(1)).as("exact_distinct"))
+          .unionAll(T.orders(s, dir).select(col("o_custkey")).distinct()
+            .agg(count(lit(1)).as("exact_distinct"))
+            .selectExpr("'ALL' AS grp", "exact_distinct"))
+        sk.select(col("grp"), col("h")).unionAll(merged)
+          .groupBy("grp").agg(count(lit(1)).as("k_used"), max(col("h")).as("uk"))
+          .join(exact, "grp")
+          .selectExpr("grp", "exact_distinct", "k_used",
+            s"""CASE WHEN k_used < $K THEN CAST(k_used AS DOUBLE)
+                  ELSE CAST((k_used - 1) * ${T.HASH_P}L AS DOUBLE) / uk
+                END AS kmv_est""")
+          .selectExpr("grp", "exact_distinct", "k_used",
+            "round(kmv_est, 4) AS kmv_est",
+            "round(abs(kmv_est - exact_distinct) / exact_distinct, 4) AS rel_err")
+          .orderBy("grp")
+      },
+      Some(s"""WITH hashed AS (SELECT DISTINCT o_orderstatus AS grp,
+                   (o_custkey * 1203248983 + 7) % ${T.HASH_P} AS h
+                 FROM orders),
+                 sk AS (SELECT grp, h FROM (
+                     SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rk
+                     FROM hashed) x WHERE rk <= 64),
+                 merged AS (SELECT 'ALL' AS grp, h FROM (
+                     SELECT h, row_number() OVER (ORDER BY h) AS rk
+                     FROM (SELECT DISTINCT h FROM sk) u) x WHERE rk <= 64),
+                 exact AS (SELECT o_orderstatus AS grp,
+                     count(DISTINCT o_custkey) AS exact_distinct FROM orders GROUP BY grp
+                   UNION ALL SELECT 'ALL', count(DISTINCT o_custkey) FROM orders),
+                 est AS (SELECT grp, count(*) AS k_used, max(h) AS uk
+                   FROM (SELECT grp, h FROM sk UNION ALL SELECT grp, h FROM merged) a
+                   GROUP BY grp),
+                 out0 AS (SELECT grp, exact_distinct, k_used,
+                     CASE WHEN k_used < 64 THEN CAST(k_used AS DOUBLE)
+                       ELSE CAST((k_used - 1) * ${T.HASH_P} AS DOUBLE) / uk
+                     END AS kmv_est
+                   FROM est JOIN exact USING (grp))
+               SELECT grp, exact_distinct, k_used,
+                 round(kmv_est, 4) AS kmv_est,
+                 round(abs(kmv_est - exact_distinct) / exact_distinct, 4) AS rel_err
+               FROM out0 ORDER BY grp"""))
   )
 }

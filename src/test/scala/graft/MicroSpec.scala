@@ -2582,6 +2582,24 @@ class MicroSpec extends SparkSpec {
       s"avg_nll ${r.getAs[Double]("avg_nll")} != $want")
   }
 
+  test("agg_kmv_distinct: merged sketch equals a driver-side KMV replay (r11)") {
+    // The merge is lossless by construction (k smallest of the union of
+    // per-group k-smallest sets = k smallest of the union) — so the 'ALL'
+    // row, computed in-engine FROM THE SKETCHES, must equal this replay
+    // over the raw distinct keys.
+    val rows = q("agg_kmv_distinct").collect()
+    val P = Tables.HASH_P
+    val hs = Tables.orders(spark, sf).select("o_custkey").distinct()
+      .collect().map(r => (r.getLong(0) * 1203248983L + 7L) % P).sorted
+    val est = 63.0 * P / hs(63)
+    val all = rows.find(_.getString(0) == "ALL").get
+    assert(all.getAs[Long]("k_used") == 64L)
+    assert(math.abs(all.getAs[Double]("kmv_est") - est) < 1e-3,
+      s"merged estimate ${all.getAs[Double]("kmv_est")} != replay $est")
+    assert(rows.forall(_.getAs[Double]("rel_err") < 0.1),
+      s"KMV estimates drifted: ${rows.toSeq}")
+  }
+
   test("dedup_bloom_prefilter: duplicates always pass, accounting is consistent (r11)") {
     // Constructed corpus with a KNOWN cross-parity duplicate: probe doc 1
     // repeats build doc 0's text. The Bloom contract: every true
