@@ -476,6 +476,44 @@ object Streaming {
                    FROM w)
                SELECT win_start_us, event_type, n, rk
                FROM r WHERE rk <= 3
-               ORDER BY win_start_us, rk"""))
+               ORDER BY win_start_us, rk""")),
+
+    QueryDef(
+      "sink_exactly_once",
+      // The registered end-to-end form of [[idempotentBatchSink]] (the
+      // StreamingMirrorSpec contract promoted to a first-class,
+      // oracle-checked row — the dedup_apply write+re-read discipline):
+      // split events into two deterministic micro-batches (event_id
+      // parity — what a deterministic epoch replay re-produces), deliver
+      // batch 0, deliver batch 1, then RE-DELIVER batch 0 (the lost-
+      // checkpoint-commit crash case foreachBatch must absorb), and
+      // audit the RE-READ sink. Because the retry is a dynamic-partition
+      // REPLACE of batch 0's own partition, the sink must equal the
+      // single-delivery aggregation — which is exactly what the DuckDB
+      // twin computes straight from events with no redelivery at all. A
+      // non-idempotent append sink would double batch 0's counts and
+      // fail the compare. The first delivery is a STATIC overwrite
+      // (truncates stale partitions from a previous run over a different
+      // fixture); the replay path uses the dynamic mode production uses.
+      (s, dir) => {
+        val path = s"/tmp/graft_io/sink_exactly_once_${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+        val e = ev(s, dir)
+        val b0 = e.where(col("event_id") % 2 === 0)
+        val b1 = e.where(col("event_id") % 2 === 1)
+        b0.withColumn("batch_id", lit(0L))
+          .write.mode("overwrite").partitionBy("batch_id").parquet(path)
+        idempotentBatchSink(path)(b1, 1L)
+        idempotentBatchSink(path)(b0, 0L) // simulated at-least-once retry
+        s.read.parquet(path)
+          .groupBy("batch_id", "event_type")
+          .agg(count(lit(1)).as("n"), T.dsum(col("value")).as("sum_value"))
+          .selectExpr("CAST(batch_id AS BIGINT) AS batch_id", "event_type",
+            "n", "sum_value")
+          .orderBy("batch_id", "event_type")
+      },
+      Some(s"""SELECT CAST(event_id % 2 AS BIGINT) AS batch_id, event_type,
+                 count(*) AS n, ${T.sqlDsum("value")} AS sum_value
+               FROM events
+               GROUP BY 1, 2 ORDER BY batch_id, event_type"""))
   )
 }

@@ -1545,7 +1545,115 @@ object Supervised {
                      CASE WHEN va >= vn AND va >= vr THEN 'A' WHEN vn >= vr THEN 'N' ELSE 'R' END AS pred
                    FROM v)
                SELECT rf, pred, count(*) AS n
-               FROM pr GROUP BY rf, pred ORDER BY rf, pred"""))
+               FROM pr GROUP BY rf, pred ORDER BY rf, pred""")),
+
+    QueryDef(
+      "ml_scaling_curve",
+      // Learning/scaling curve — training-set-size sweep (sklearn
+      // learning_curve; the loss-vs-data accounting behind scaling-law
+      // fits, Kaplan et al. 2020): OLS of extendedprice on quantity at
+      // NESTED 10/25/50/100% training subsets, each point's closed-form
+      // fit from conditional sufficient statistics, plus the log-log
+      // slope of mse against n fitted over the 4 curve points (the
+      // scaling exponent; ≈0 on this homoskedastic fixture — the
+      // machinery is the deliverable, like text_pii_redact's zeros).
+      // Subsets are a deterministic hash prefix (u = (okey·31+line) mod
+      // 1000 < thr), so each smaller set is contained in every larger
+      // one — a real learning curve, not 4 disjoint samples. Dataflow:
+      // the 4-row threshold dimension broadcasts, rows fan out ×4 into
+      // ONE map-side-combined moment pass (n, Σx, Σy, Σxx, Σxy in LONG
+      // space after the gram4Long 2-dp canonicalization; Σyy alone needs
+      // the decimal wire — y²·rows passes 2⁶³ at sf0.1); the fits and
+      // the exponent are scalar expressions over 4 post-aggregation rows
+      // (bounded global window, the domain_mix pattern). Determinism:
+      // integer/decimal sums exact, the double algebra is shared text,
+      // ln REAL-collapsed per row.
+      (s, dir) => {
+        val thr = s.sql("SELECT * FROM VALUES (100, CAST(0.10 AS DOUBLE)), " +
+          "(250, CAST(0.25 AS DOUBLE)), (500, CAST(0.50 AS DOUBLE)), " +
+          "(1000, CAST(1.00 AS DOUBLE)) AS t(thr, frac)")
+        val base = T.lineitem(s, dir).transform(T.fanOut(_))
+          .selectExpr(
+            "(l_orderkey * 31 + l_linenumber) % 1000 AS u",
+            "CAST(CAST(l_quantity AS DECIMAL(18,0)) AS BIGINT) AS q",
+            "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y2")
+        val m = base.crossJoin(broadcast(thr)).where(col("u") < col("thr"))
+          .groupBy("thr", "frac").agg(
+            count(lit(1)).as("n"),
+            sum(col("q")).as("sq"), sum(col("y2")).as("sy2"),
+            sum(col("q") * col("q")).as("sqq"),
+            sum(col("q") * col("y2")).as("sqy"),
+            sum((col("y2") * col("y2")).cast("decimal(30,0)")).as("syy2"))
+        val fit = m.selectExpr("thr", "frac", "n",
+            "CAST(n AS DOUBLE) AS nd",
+            "CAST(sq AS DOUBLE) AS sx", "CAST(sy2 AS DOUBLE) / 1e2 AS sy",
+            "CAST(sqq AS DOUBLE) AS sxx", "CAST(sqy AS DOUBLE) / 1e2 AS sxy",
+            "CAST(syy2 AS DOUBLE) / 1e4 AS syy")
+          .selectExpr("thr", "frac", "n", "nd", "sx", "sy", "sxx", "sxy", "syy",
+            "(nd * sxy - sx * sy) / (nd * sxx - sx * sx) AS b")
+          .selectExpr("thr", "frac", "n", "nd", "sy", "sxx", "sxy", "syy", "sx", "b",
+            "(sy - b * sx) / nd AS a")
+          .selectExpr("thr", "frac", "n", "nd",
+            "(syy - 2e0 * b * sxy - 2e0 * a * sy + b * b * sxx + 2e0 * a * b * sx + a * a * nd) / nd AS mse",
+            "1e0 - (syy - 2e0 * b * sxy - 2e0 * a * sy + b * b * sxx + 2e0 * a * b * sx + a * a * nd) / (syy - sy * sy / nd) AS r2",
+            "b")
+        val w = Window.partitionBy()
+        fit
+          .withColumn("lnn", expr("CAST(CAST(ln(nd) AS FLOAT) AS DOUBLE)"))
+          .withColumn("lnm", expr("CAST(CAST(ln(mse) AS FLOAT) AS DOUBLE)"))
+          .withColumn("k", count(lit(1)).over(w).cast("double"))
+          .withColumn("su", sum(col("lnn").cast("decimal(30,12)")).over(w).cast("double"))
+          .withColumn("sv", sum(col("lnm").cast("decimal(30,12)")).over(w).cast("double"))
+          .withColumn("suu", sum((col("lnn") * col("lnn")).cast("decimal(30,12)")).over(w).cast("double"))
+          .withColumn("suv", sum((col("lnn") * col("lnm")).cast("decimal(30,12)")).over(w).cast("double"))
+          .selectExpr("frac", "n AS n_rows",
+            "round(b, 6) AS slope_b", "round(mse, 4) AS mse",
+            "round(r2, 6) AS r2",
+            "round((k * suv - su * sv) / (k * suu - su * su), 6) AS scaling_exponent")
+          .orderBy("frac")
+      },
+      Some(s"""WITH thr AS (SELECT * FROM (VALUES (100, CAST(0.10 AS DOUBLE)),
+                   (250, CAST(0.25 AS DOUBLE)), (500, CAST(0.50 AS DOUBLE)),
+                   (1000, CAST(1.00 AS DOUBLE))) t(thr, frac)),
+                 base AS (SELECT (l_orderkey * 31 + l_linenumber) % 1000 AS u,
+                     CAST(CAST(l_quantity AS DECIMAL(18,0)) AS BIGINT) AS q,
+                     CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y2
+                   FROM lineitem),
+                 m AS (SELECT thr, frac, count(*) AS n,
+                     CAST(sum(q) AS BIGINT) AS sq, CAST(sum(y2) AS BIGINT) AS sy2,
+                     CAST(sum(q * q) AS BIGINT) AS sqq,
+                     CAST(sum(q * y2) AS BIGINT) AS sqy,
+                     sum(CAST(y2 * y2 AS DECIMAL(30,0))) AS syy2
+                   FROM base CROSS JOIN thr WHERE u < thr
+                   GROUP BY thr, frac),
+                 sc AS (SELECT thr, frac, n, CAST(n AS DOUBLE) AS nd,
+                     CAST(sq AS DOUBLE) AS sx, CAST(sy2 AS DOUBLE) / 1e2 AS sy,
+                     CAST(sqq AS DOUBLE) AS sxx, CAST(sqy AS DOUBLE) / 1e2 AS sxy,
+                     CAST(syy2 AS DOUBLE) / 1e4 AS syy
+                   FROM m),
+                 fb AS (SELECT *,
+                     (nd * sxy - sx * sy) / (nd * sxx - sx * sx) AS b FROM sc),
+                 fa AS (SELECT *, (sy - b * sx) / nd AS a FROM fb),
+                 ft AS (SELECT thr, frac, n, nd, b,
+                     (syy - 2e0 * b * sxy - 2e0 * a * sy + b * b * sxx + 2e0 * a * b * sx + a * a * nd) / nd AS mse,
+                     1e0 - (syy - 2e0 * b * sxy - 2e0 * a * sy + b * b * sxx + 2e0 * a * b * sx + a * a * nd) / (syy - sy * sy / nd) AS r2
+                   FROM fa),
+                 lg AS (SELECT *,
+                     CAST(CAST(ln(nd) AS REAL) AS DOUBLE) AS lnn,
+                     CAST(CAST(ln(mse) AS REAL) AS DOUBLE) AS lnm
+                   FROM ft),
+                 wn AS (SELECT *,
+                     CAST(count(*) OVER () AS DOUBLE) AS k,
+                     CAST(sum(CAST(lnn AS DECIMAL(30,12))) OVER () AS DOUBLE) AS su,
+                     CAST(sum(CAST(lnm AS DECIMAL(30,12))) OVER () AS DOUBLE) AS sv,
+                     CAST(sum(CAST(lnn * lnn AS DECIMAL(30,12))) OVER () AS DOUBLE) AS suu,
+                     CAST(sum(CAST(lnn * lnm AS DECIMAL(30,12))) OVER () AS DOUBLE) AS suv
+                   FROM lg)
+               SELECT frac, n AS n_rows,
+                 round(b, 6) AS slope_b, round(mse, 4) AS mse,
+                 round(r2, 6) AS r2,
+                 round((k * suv - su * sv) / (k * suu - su * su), 6) AS scaling_exponent
+               FROM wn ORDER BY frac"""))
   )
 
   /** Column-name-safe suffix for a split-candidate value (10.0 → 10_0,

@@ -2582,6 +2582,20 @@ class MicroSpec extends SparkSpec {
       s"avg_nll ${r.getAs[Double]("avg_nll")} != $want")
   }
 
+  test("ml_scaling_curve: nested subsets, full point covers the table, one exponent (r11)") {
+    val rows = q("ml_scaling_curve").collect()
+    assert(rows.length == 4)
+    val ns = rows.map(_.getAs[Long]("n_rows"))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a < b },
+      s"hash-prefix subsets must be strictly nested: ${ns.toSeq}")
+    assert(ns.last == Tables.lineitem(spark, sf).count(),
+      "the 100% point must cover the whole training table")
+    assert(rows.forall(_.getAs[Double]("mse") > 0))
+    // the log-log exponent is a property of the whole curve — identical
+    // on every row by construction
+    assert(rows.map(_.getAs[Double]("scaling_exponent")).distinct.length == 1)
+  }
+
   test("agg_kmv_distinct: merged sketch equals a driver-side KMV replay (r11)") {
     // The merge is lossless by construction (k smallest of the union of
     // per-group k-smallest sets = k smallest of the union) — so the 'ALL'

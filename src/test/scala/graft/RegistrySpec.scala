@@ -6,9 +6,9 @@ package graft
   */
 class RegistrySpec extends SparkSpec {
 
-  test("all twenty catalogs are registered (66 SURVEY keys + 342 extensions)") {
-    assert(SparkEntry.queries.size == 408,
-      s"expected 408 registered queries, got ${SparkEntry.queries.size}")
+  test("all twenty catalogs are registered (66 SURVEY keys + 344 extensions)") {
+    assert(SparkEntry.queries.size == 410,
+      s"expected 410 registered queries, got ${SparkEntry.queries.size}")
   }
 
   test("no oracle uses a constant generate_series bound (VERDICT r4 #2)") {
