@@ -31,7 +31,8 @@ object SparkEntry {
     ops.Forecast.entries ++
     ops.Boost.entries ++
     ops.Behavior.entries ++
-    ops.Curation.entries
+    ops.Curation.entries ++
+    ops.Diagnostics.entries
 
   /** Flagship query (TPC-H Q1 pricing summary, SURVEY.md §2.4) on
     * /root/testdata/sf0.001; driver smoke-checks rows>0. */
