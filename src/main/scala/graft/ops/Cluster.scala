@@ -2814,6 +2814,140 @@ object Cluster {
                ORDER BY jaccard DESC, a, b LIMIT 20""")),
 
     QueryDef(
+      "graph_adamic_adar",
+      // Adamic–Adar link prediction on the same eps neighborhood graph —
+      // the frequency-weighted refinement of graph_jaccard_link (Adamic &
+      // Adar 2003): AA(a,b) = Σ_{w ∈ N(a)∩N(b)} 1/ln(deg(w)), so a shared
+      // RARE neighbor counts more than a shared hub. Same Σdeg²-bounded
+      // wedge enumeration (never all-pairs), existing edges dropped by
+      // anti-join. Determinism: deg is an exact integer, ln is
+      // REAL-collapsed (the ml_bartlett discipline — engines' ln
+      // implementations differ in the last ulps), and the per-pair sum
+      // rides the exact decimal wire. Output: top-20 non-edges by score.
+      (s, dir) => {
+        val e = T.freeze(epsPairs(s, dir, HORIZON)) // (a < b)
+        val nbr = e.select(col("a").as("u"), col("b").as("v"))
+          .unionAll(e.select(col("b").as("u"), col("a").as("v")))
+        val deg = nbr.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+        // deg = 1 ⇒ ln(deg) = 0, but a degree-1 vertex has a single edge
+        // and can never close a wedge — drop it BEFORE the weight so the
+        // division is total (ANSI mode) and the wedge input shrinks.
+        val nbrW = nbr.join(deg, "u").where(col("deg") >= 2)
+          .selectExpr("u AS w", "v",
+            "1e0 / CAST(CAST(ln(CAST(deg AS DOUBLE)) AS FLOAT) AS DOUBLE) AS iw")
+        nbrW.select(col("w"), col("v").as("a"), col("iw"))
+          .join(nbrW.select(col("w"), col("v").as("b")), "w")
+          .where(col("a") < col("b"))
+          .groupBy("a", "b")
+          .agg(count(lit(1)).as("cn"), T.xsum(col("iw")).as("aa"))
+          .join(e, Seq("a", "b"), "left_anti")
+          .selectExpr("a", "b", "cn", "round(aa, 6) AS adamic_adar")
+          .orderBy(col("adamic_adar").desc, col("a"), col("b")).limit(20)
+      },
+      Some(s"""WITH pts AS (SELECT vec_id AS id,
+                   CAST(embedding[1] AS DOUBLE) AS x,
+                   CAST(embedding[2] AS DOUBLE) AS y FROM embeddings),
+                 ep AS (SELECT p.id AS a, q.id AS b FROM pts p JOIN pts q
+                   ON p.id < q.id
+                  AND (p.x - q.x) * (p.x - q.x) + (p.y - q.y) * (p.y - q.y)
+                      <= ${HORIZON * HORIZON}),
+                 nbr AS (SELECT a AS u, b AS v FROM ep
+                         UNION ALL SELECT b, a FROM ep),
+                 deg AS (SELECT u, count(*) AS deg FROM nbr GROUP BY u),
+                 nw AS (SELECT nbr.u AS w, nbr.v,
+                     1e0 / CAST(CAST(ln(CAST(deg AS DOUBLE)) AS REAL) AS DOUBLE) AS iw
+                   FROM nbr JOIN deg ON deg.u = nbr.u
+                   WHERE deg >= 2),
+                 cn AS (SELECT n1.v AS a, n2.v AS b, count(*) AS cn,
+                     ${T.sqlXsum("n1.iw")} AS aa
+                   FROM nw n1 JOIN nw n2 ON n1.w = n2.w
+                   WHERE n1.v < n2.v
+                   GROUP BY n1.v, n2.v),
+                 ne AS (SELECT cn.* FROM cn
+                   LEFT JOIN ep ON ep.a = cn.a AND ep.b = cn.b
+                   WHERE ep.a IS NULL)
+               SELECT a, b, cn, round(aa, 6) AS adamic_adar
+               FROM ne ORDER BY adamic_adar DESC, a, b LIMIT 20""")),
+
+    QueryDef(
+      "graph_hits",
+      // HITS hubs & authorities (Kleinberg 1999) on the user → event_type
+      // bipartite graph — "which users touch the influential event types,
+      // and which types do the influential users touch": 3 mutual-
+      // reinforcement rounds a(t) = Σ_{(u,t)} h(u), h(u) = Σ_{(u,t)} a(t),
+      // L1-normalized each half-round (sum-normalization keeps the update
+      // sqrt-free — positive scores, same fixpoint direction as the L2
+      // classic). The distributed shape: scores live as TABLES keyed by
+      // the vertex; one half-round = one equi-join + one map-side-combined
+      // groupBy on the edge list (the pagerank discipline), with the norm
+      // carried as a broadcast one-row frame — no driver collect in the
+      // loop. Edges are DISTINCT (user, type) pairs so multiplicity
+      // doesn't double-count endorsement. Sums ride the exact wire;
+      // normalization divisions are shared text. Output: every authority
+      // (the bounded type side) plus the top-10 hubs, 6-dp-rounded scores
+      // ordered (side, score desc, id).
+      (s, dir) => {
+        val edges = T.freeze(T.events(s, dir)
+          .select(col("user_id").as("u"), col("event_type").as("t"))
+          .distinct())
+        val users = edges.select(col("u")).distinct()
+        var hub = T.freeze(users
+          .crossJoin(broadcast(users.agg(count(lit(1)).as("nu"))))
+          .selectExpr("u", "1e0 / nu AS h"))
+        var auth: DataFrame = null
+        for (_ <- 1 to 3) {
+          val araw = edges.join(hub, "u")
+            .groupBy("t").agg(T.xsum(col("h")).as("a"))
+          auth = T.freeze(araw
+            .crossJoin(broadcast(araw.agg(T.xsum(col("a")).as("na"))))
+            .selectExpr("t", "a / na AS a"))
+          val hraw = edges.join(auth, "t")
+            .groupBy("u").agg(T.xsum(col("a")).as("h"))
+          hub = T.freeze(hraw
+            .crossJoin(broadcast(hraw.agg(T.xsum(col("h")).as("nh"))))
+            .selectExpr("u", "h / nh AS h"))
+        }
+        val authOut = auth.selectExpr("'auth' AS side", "t AS id",
+          "round(a, 6) AS score")
+        val hubOut = hub.selectExpr("'hub' AS side", "CAST(u AS STRING) AS id",
+          "round(h, 6) AS score")
+          .orderBy(col("score").desc, col("id")).limit(10)
+        authOut.unionAll(hubOut)
+          .orderBy(col("side"), col("score").desc, col("id"))
+      },
+      Some {
+        // One half-round: src score column `in` aggregated over the edges
+        // onto vertex `key`, then L1-normalized (the norm subquery re-reads
+        // the round CTE, which Oracles.materialize pins to one evaluation).
+        def half(src: String, out: String, key: String, other: String,
+                 in: String, sc: String): String =
+          s"""${out}r AS (SELECT e.$key AS $key, ${T.sqlXsum(s"p.$in")} AS $sc
+                FROM edges e JOIN $src p ON p.$other = e.$other
+                GROUP BY e.$key),
+              $out AS (SELECT $key,
+                  $sc / (SELECT ${T.sqlXsum(sc)} FROM ${out}r) AS $sc
+                FROM ${out}r)"""
+        val rounds = (1 to 3).map { k =>
+          val hPrev = if (k == 1) "h0" else s"h${k - 1}"
+          half(hPrev, s"a$k", "t", "u", "h", "a") + ",\n" +
+            half(s"a$k", s"h$k", "u", "t", "a", "h")
+        }.mkString(",\n")
+        s"""WITH edges AS (SELECT DISTINCT user_id AS u, event_type AS t
+                 FROM events),
+               h0 AS (SELECT u, 1e0 / (SELECT count(DISTINCT user_id)
+                   FROM events) AS h
+                 FROM (SELECT DISTINCT u FROM edges)),
+               $rounds,
+               hh AS (SELECT 'hub' AS side, CAST(u AS VARCHAR) AS id,
+                   round(h, 6) AS score
+                 FROM h3 ORDER BY score DESC, id LIMIT 10)
+             SELECT side, id, score FROM (
+               SELECT 'auth' AS side, t AS id, round(a, 6) AS score FROM a3
+               UNION ALL SELECT side, id, score FROM hh)
+             ORDER BY side, score DESC, id"""
+      }),
+
+    QueryDef(
       "graph_kcore",
       // 3-core decomposition of the eps neighborhood graph — the density
       // skeleton a graph-curation pass keeps (a vertex survives iff it has
