@@ -837,8 +837,187 @@ object Preprocess {
                  round(std, 6) AS std,
                  round((mn - mean) / std, 6) AS z_min,
                  round((mx - mean) / std, 6) AS z_max
-               FROM f ORDER BY dim"""))
+               FROM f ORDER BY dim""")),
+
+    QueryDef(
+      "ml_variance_threshold",
+      // sklearn/cuML VarianceThreshold over the 4 lineitem features — the
+      // zeroth feature-selection pass of every tabular pipeline: population
+      // variance per feature from ONE moment pass (Σx, Σx² on the exact
+      // wire), keep features with var > 1.0 (quantity and extendedprice
+      // survive; the 0–0.1-range discount/tax rates don't). Output: the
+      // full fitted state (feature, variance, selected flag) — what a
+      // transform would broadcast.
+      (s, dir) => {
+        T.lineitem(s, dir)
+          .select(col("l_quantity").cast("double").as("q"),
+            col("l_extendedprice").cast("double").as("p"),
+            col("l_discount").cast("double").as("dc"),
+            col("l_tax").cast("double").as("tx"))
+          .transform(T.fanOut(_))
+          .agg(count(lit(1)).cast("double").as("n"),
+            T.xsum(col("q")).as("sq"), T.xsum(col("q") * col("q")).as("sqq"),
+            T.xsum(col("p")).as("sp"), T.xsum(col("p") * col("p")).as("spp"),
+            T.xsum(col("dc")).as("sd"), T.xsum(col("dc") * col("dc")).as("sdd"),
+            T.xsum(col("tx")).as("st"), T.xsum(col("tx") * col("tx")).as("stt"))
+          .selectExpr("stack(4, " +
+            "'quantity', sqq / n - (sq / n) * (sq / n), " +
+            "'extendedprice', spp / n - (sp / n) * (sp / n), " +
+            "'discount', sdd / n - (sd / n) * (sd / n), " +
+            "'tax', stt / n - (st / n) * (st / n)) AS (feature, variance)")
+          .selectExpr("feature", "round(variance, 6) AS variance",
+            "CAST(CASE WHEN variance > 1e0 THEN 1 ELSE 0 END AS INT) AS selected")
+          .orderBy("feature")
+      },
+      Some(s"""WITH l AS (SELECT CAST(l_quantity AS DOUBLE) AS q,
+                   CAST(l_extendedprice AS DOUBLE) AS p,
+                   CAST(l_discount AS DOUBLE) AS dc,
+                   CAST(l_tax AS DOUBLE) AS tx
+                 FROM lineitem),
+               m AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                   ${T.sqlXsum("q")} AS sq, ${T.sqlXsum("q * q")} AS sqq,
+                   ${T.sqlXsum("p")} AS sp, ${T.sqlXsum("p * p")} AS spp,
+                   ${T.sqlXsum("dc")} AS sd, ${T.sqlXsum("dc * dc")} AS sdd,
+                   ${T.sqlXsum("tx")} AS st, ${T.sqlXsum("tx * tx")} AS stt
+                 FROM l),
+               v AS (SELECT 'quantity' AS feature,
+                     sqq / n - (sq / n) * (sq / n) AS variance FROM m
+                 UNION ALL SELECT 'extendedprice',
+                     spp / n - (sp / n) * (sp / n) FROM m
+                 UNION ALL SELECT 'discount',
+                     sdd / n - (sd / n) * (sd / n) FROM m
+                 UNION ALL SELECT 'tax',
+                     stt / n - (st / n) * (st / n) FROM m)
+               SELECT feature, round(variance, 6) AS variance,
+                 CAST(CASE WHEN variance > 1e0 THEN 1 ELSE 0 END AS INT) AS selected
+               FROM v ORDER BY feature""")),
+
+    QueryDef(
+      "ml_ledoit_wolf",
+      // Ledoit–Wolf shrinkage covariance (Ledoit & Wolf 2004 — sklearn
+      // covariance.ledoit_wolf) over the pre-scaled 4-feature lineitem
+      // matrix: Σ* = ρ·μI + (1−ρ)·S with ρ = min(b̄², d²)/d², the
+      // closed-form optimal blend toward the scaled identity. Everything
+      // reduces to TWO moment passes — means, then for each of the 10
+      // (j ≤ k) pairs Σ(x_j x_k) and Σ(x_j x_k)² over CENTERED features —
+      // because d² = ΣS² − d·μ² and b̄² = (Σ_jk R_jk/n − ΣS²)/n need no
+      // per-sample state beyond those sums. Features carry fixed
+      // power-of-ten pre-scales (quantity×0.1, price×1e-4; documented in
+      // the labels' units) so the 4th-order products stay inside the
+      // exact wire's 18 integer digits at any SF. Output: the long-form
+      // (f1, f2) covariance table with sample + shrunk entries and the
+      // fitted shrinkage.
+      (s, dir) => {
+        val means = T.lineitem(s, dir)
+          .select(lwScaled: _*).transform(T.fanOut(_))
+          .agg(count(lit(1)).cast("double").as("n"),
+            T.xsum(col("q")).as("zq"), T.xsum(col("p")).as("zp"),
+            T.xsum(col("dc")).as("zd"), T.xsum(col("tx")).as("zt"))
+          .selectExpr("n", "zq / n AS mq", "zp / n AS mp",
+            "zd / n AS md", "zt / n AS mt")
+        val aggs = count(lit(1)).cast("double").as("n") +: lwPairs.flatMap {
+          case (a, b) => Seq(
+            T.xsum(col(s"x$a") * col(s"x$b")).as(s"s_$a$b"),
+            T.xsum((col(s"x$a") * col(s"x$b")) * (col(s"x$a") * col(s"x$b")))
+              .as(s"r_$a$b"))
+        }
+        val carry = Seq("n") ++ lwPairs.map { case (a, b) => s"r_$a$b" }
+        val stackArgs = lwPairs.map { case (a, b) =>
+          s"'${lwLabel(a)}', '${lwLabel(b)}', c_$a$b, sh_$a$b" }.mkString(", ")
+        T.lineitem(s, dir).select(lwScaled: _*).transform(T.fanOut(_))
+          .crossJoin(broadcast(means))
+          .selectExpr("q - mq AS xq", "p - mp AS xp",
+            "dc - md AS xdc", "tx - mt AS xtx")
+          .agg(aggs.head, aggs.tail: _*)
+          .selectExpr(carry ++ lwPairs.map { case (a, b) =>
+            s"s_$a$b / n AS c_$a$b" }: _*)
+          .selectExpr("*", s"($lwTr) / 4e0 AS mu", s"$lwSumS2 AS sums2",
+            s"$lwRfull AS rfull")
+          .selectExpr("*", "sums2 - 4e0 * mu * mu AS d2",
+            "(rfull / n - sums2) / n AS bbar2")
+          .selectExpr("*", "least(bbar2, d2) / d2 AS shrink")
+          .selectExpr(("*" +: lwShrunk): _*)
+          .selectExpr("round(shrink, 6) AS shrinkage", "round(mu, 8) AS mu_target",
+            s"stack(${lwPairs.size}, $stackArgs) AS (f1, f2, sample_cov, shrunk_cov)")
+          .selectExpr("f1", "f2", "round(sample_cov, 8) AS sample_cov",
+            "round(shrunk_cov, 8) AS shrunk_cov", "shrinkage", "mu_target")
+          .orderBy("f1", "f2")
+      },
+      Some {
+        val sqlAggs = lwPairs.map { case (a, b) =>
+          s"${T.sqlXsum(s"x$a * x$b")} AS s_$a$b, " +
+            s"${T.sqlXsum(s"(x$a * x$b) * (x$a * x$b)")} AS r_$a$b"
+        }.mkString(",\n                   ")
+        val sqlC = lwPairs.map { case (a, b) => s"s_$a$b / n AS c_$a$b" }
+          .mkString(", ")
+        val sqlCarry = ("n" +: lwPairs.map { case (a, b) => s"r_$a$b" })
+          .mkString(", ")
+        val sqlSh = lwPairs.map { case (a, b) =>
+          val base = s"(1e0 - shrink) * c_$a$b"
+          s"${if (a == b) s"$base + shrink * mu" else base} AS sh_$a$b"
+        }.mkString(", ")
+        val arms = lwPairs.map { case (a, b) =>
+          s"SELECT '${lwLabel(a)}' AS f1, '${lwLabel(b)}' AS f2, c_$a$b AS sample_cov, sh_$a$b AS shrunk_cov, shrink, mu FROM sh"
+        }.mkString("\n                 UNION ALL ")
+        s"""WITH l AS (SELECT $lwSqlScaled FROM lineitem),
+               m AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                   ${T.sqlXsum("q")} AS zq, ${T.sqlXsum("p")} AS zp,
+                   ${T.sqlXsum("dc")} AS zd, ${T.sqlXsum("tx")} AS zt
+                 FROM l),
+               mm AS (SELECT n, zq / n AS mq, zp / n AS mp,
+                   zd / n AS md, zt / n AS mt FROM m),
+               x AS (SELECT q - mq AS xq, p - mp AS xp,
+                   dc - md AS xdc, tx - mt AS xtx
+                 FROM l CROSS JOIN mm),
+               p AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                   $sqlAggs
+                 FROM x),
+               c AS (SELECT $sqlCarry, $sqlC FROM p),
+               g AS (SELECT *, ($lwTr) / 4e0 AS mu, $lwSumS2 AS sums2,
+                   $lwRfull AS rfull FROM c),
+               dd AS (SELECT *, sums2 - 4e0 * mu * mu AS d2,
+                   (rfull / n - sums2) / n AS bbar2 FROM g),
+               sk AS (SELECT *, least(bbar2, d2) / d2 AS shrink FROM dd),
+               sh AS (SELECT *, $sqlSh FROM sk),
+               u AS ($arms)
+             SELECT f1, f2, round(sample_cov, 8) AS sample_cov,
+               round(shrunk_cov, 8) AS shrunk_cov,
+               round(shrink, 6) AS shrinkage, round(mu, 8) AS mu_target
+             FROM u ORDER BY f1, f2"""
+      })
   )
+
+  /** Ledoit–Wolf feature set: fixed power-of-ten pre-scales keep the
+    * 4th-order moment products inside DECIMAL(30,12)'s integer digits
+    * (price⁴ raw would be ~1e20/row). The scale factors are exact binary
+    * operations on both engines (×0.1/×1e-4 round identically). */
+  private def lwScaled = Seq(
+    (col("l_quantity").cast("double") * lit(0.1)).as("q"),
+    (col("l_extendedprice").cast("double") * lit(1.0e-4)).as("p"),
+    col("l_discount").cast("double").as("dc"),
+    col("l_tax").cast("double").as("tx"))
+  private lazy val lwSqlScaled =
+    """CAST(l_quantity AS DOUBLE) * 0.1 AS q,
+       CAST(l_extendedprice AS DOUBLE) * 0.0001 AS p,
+       CAST(l_discount AS DOUBLE) AS dc,
+       CAST(l_tax AS DOUBLE) AS tx"""
+  private lazy val lwFeats = Seq("q", "p", "dc", "tx")
+  private lazy val lwLabel = Map("q" -> "quantity_e-1", "p" -> "extendedprice_e-4",
+    "dc" -> "discount", "tx" -> "tax")
+  private lazy val lwPairs: Seq[(String, String)] =
+    for { i <- lwFeats.indices; j <- i until lwFeats.size }
+      yield (lwFeats(i), lwFeats(j))
+  private lazy val lwDiagK = lwFeats.map(f => s"$f$f")
+  private lazy val lwOffK = lwPairs.collect { case (a, b) if a != b => s"$a$b" }
+  private lazy val lwTr = lwDiagK.map(p => s"c_$p").mkString(" + ")
+  private lazy val lwSumS2 = lwDiagK.map(p => s"c_$p * c_$p").mkString(" + ") +
+    " + 2e0 * (" + lwOffK.map(p => s"c_$p * c_$p").mkString(" + ") + ")"
+  private lazy val lwRfull = lwDiagK.map(p => s"r_$p").mkString(" + ") +
+    " + 2e0 * (" + lwOffK.map(p => s"r_$p").mkString(" + ") + ")"
+  private lazy val lwShrunk: Seq[String] = lwPairs.map { case (a, b) =>
+    val base = s"(1e0 - shrink) * c_$a$b"
+    s"${if (a == b) s"$base + shrink * mu" else base} AS sh_$a$b"
+  }
 
   /** Chan's pairwise merge of (n, mean, M2), folded shard 0→3 in fixed
     * order — shared verbatim by the Spark selectExpr chain and the oracle
