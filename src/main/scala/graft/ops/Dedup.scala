@@ -98,6 +98,13 @@ object Dedup {
     * loudly in-plan, the SES_SPAN_CAP discipline. */
   private[graft] val OFFSET_CAP = 1L << 20
 
+  /** dedup_cdc_chunk positional-hash family: prime multiplier/offset for
+    * the within-chunk affine weight, mod the shared 2³¹−1 Mersenne prime.
+    * tid·weight < 2⁶² keeps every term inside BIGINT on both engines. */
+  private val CDC_P = 2147483647L
+  private val CDC_A = 1299721L
+  private val CDC_B = 104729L
+
   /** dedup_ngram_jaccard body with the cap as a parameter (MicroSpec runs
     * the uncapped twin to prove fixture equality). */
   private[graft] def ngramJaccard(s: SparkSession, dir: String, dfCap: Int): DataFrame = {
@@ -1062,6 +1069,109 @@ object Dedup {
                  round(CAST(sum(coalesce(removed, 0)) AS DOUBLE) / sum(len), 6) AS removal_frac
                FROM dl LEFT JOIN rm USING (doc_id)
                GROUP BY source ORDER BY source""")),
+
+    QueryDef(
+      "dedup_cdc_chunk",
+      // Content-defined chunking dedup (the gear/rolling-hash boundary
+      // trick of LBFS/rsync, applied at TOKEN granularity): a token whose
+      // tid ≡ 0 (mod 16) opens a new chunk — boundaries depend only on
+      // LOCAL content, so an insertion early in a document shifts at most
+      // one chunk instead of re-keying every fixed-width window (the
+      // property fixed-size chunking lacks and the reason storage dedup
+      // uses CDC). Chunk fingerprint = the text_fingerprint positional
+      // affine hash RELATIVE to the chunk start (+ length fold), so equal
+      // chunks collide regardless of where they sit. Accounting mirrors
+      // dedup_span_removal: global canonical-first per fingerprint via the
+      // doc_id·2²⁰+start BIGINT key (same loud bound), duplicates =
+      // non-canonical occurrences, tokens saved = their summed lengths.
+      // Scale: per-doc windows for chunk assembly, ONE fingerprint-keyed
+      // shuffle of (fp, doc, start, len) tuples — payloads never move.
+      (s, dir) => {
+        val tok = T.documents(s, dir)
+          .transform(T.fanOut(_, col("doc_id")))
+          .select(col("doc_id"), col("source"),
+            expr("filter(split(text, ' '), t -> t <> '')").as("ts"))
+          .where(size(col("ts")) >= 1)
+          .withColumn("tids", expr(tidsExpr))
+          .select(col("doc_id"), col("source"), posexplode(col("tids")))
+          .selectExpr("doc_id", "source", "CAST(pos + 1 AS BIGINT) AS p",
+            "col AS tid")
+        val wDoc = Window.partitionBy("doc_id").orderBy("p")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val wChunk = Window.partitionBy("doc_id", "chunk")
+        val chunks = tok
+          .withColumn("flag",
+            when(col("p") >= 2 && col("tid") % 16 === 0, 1L).otherwise(0L))
+          .withColumn("chunk", sum(col("flag")).over(wDoc) + 1L)
+          .withColumn("start", min(col("p")).over(wChunk))
+          .groupBy("doc_id", "source", "chunk")
+          .agg(min(col("start")).as("start"), count(lit(1)).as("len"),
+            (sum((col("tid") * ((lit(CDC_A) * (col("p") - col("start"))
+              + lit(CDC_B)) % lit(CDC_P))) % lit(CDC_P)) % lit(CDC_P))
+              .as("fp0"))
+          .withColumn("fp", (col("fp0") * 31L + col("len")) % lit(CDC_P))
+          .withColumn("okey",
+            when(col("start") >= OFFSET_CAP, raise_error(concat(
+              lit("chunk start exceeds the 2^20 canonical-key bound: "),
+              col("start").cast("string"))))
+              .otherwise(col("doc_id") * OFFSET_CAP + col("start")))
+        val canon = chunks.groupBy("fp")
+          .agg(min(col("okey")).as("cmin"), count(lit(1)).as("nocc"))
+        chunks.join(canon, "fp")
+          .withColumn("dup",
+            when(col("nocc") > 1 && col("okey") > col("cmin"), 1L)
+              .otherwise(0L))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(col("dup")).as("dup_chunks"),
+            sum(col("len")).as("total_tokens"),
+            sum(col("dup") * col("len")).as("tokens_saved"))
+          .selectExpr("source", "n_chunks", "dup_chunks", "total_tokens",
+            "tokens_saved",
+            "round(CAST(tokens_saved AS DOUBLE) / total_tokens, 6) AS saved_frac",
+            "round(CAST(total_tokens AS DOUBLE) / n_chunks, 4) AS avg_chunk_len")
+          .orderBy("source")
+      },
+      Some(s"""WITH tk AS (SELECT doc_id, source,
+                   list_filter(string_split(text, ' '), t -> t <> '') AS ts
+                 FROM documents),
+                 td AS (SELECT doc_id, source, $sqlTids AS tids
+                        FROM tk WHERE len(ts) >= 1),
+                 tok AS (SELECT doc_id, source,
+                     CAST(generate_subscripts(tids, 1) AS BIGINT) AS p,
+                     unnest(tids) AS tid
+                   FROM td),
+                 fl AS (SELECT doc_id, source, p, tid,
+                     CASE WHEN p >= 2 AND tid % 16 = 0 THEN 1 ELSE 0 END AS flag
+                   FROM tok),
+                 ch AS (SELECT doc_id, source, p, tid,
+                     sum(flag) OVER (PARTITION BY doc_id ORDER BY p
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 1 AS chunk
+                   FROM fl),
+                 st AS (SELECT doc_id, source, p, tid, chunk,
+                     min(p) OVER (PARTITION BY doc_id, chunk) AS start
+                   FROM ch),
+                 cf AS (SELECT doc_id, source, chunk,
+                     min(start) AS start, count(*) AS len,
+                     CAST(sum((tid * (($CDC_A * (p - start) + $CDC_B) % $CDC_P))
+                       % $CDC_P) % $CDC_P AS BIGINT) AS fp0
+                   FROM st GROUP BY doc_id, source, chunk),
+                 fp AS (SELECT doc_id, source, start, len,
+                     (fp0 * 31 + len) % $CDC_P AS fp,
+                     doc_id * $OFFSET_CAP + start AS okey
+                   FROM cf),
+                 canon AS (SELECT fp, min(okey) AS cmin, count(*) AS nocc
+                           FROM fp GROUP BY fp),
+                 dj AS (SELECT source, len,
+                     CASE WHEN nocc > 1 AND okey > cmin THEN 1 ELSE 0 END AS dup
+                   FROM fp JOIN canon USING (fp))
+               SELECT source, count(*) AS n_chunks,
+                 CAST(sum(dup) AS BIGINT) AS dup_chunks,
+                 CAST(sum(len) AS BIGINT) AS total_tokens,
+                 CAST(sum(dup * len) AS BIGINT) AS tokens_saved,
+                 round(CAST(sum(dup * len) AS DOUBLE) / sum(len), 6) AS saved_frac,
+                 round(CAST(sum(len) AS DOUBLE) / count(*), 4) AS avg_chunk_len
+               FROM dj GROUP BY source ORDER BY source""")),
 
     QueryDef(
       "dedup_bloom_prefilter",

@@ -273,6 +273,68 @@ object Pipeline {
                FROM d GROUP BY source ORDER BY source""")),
 
     QueryDef(
+      "text_readability",
+      // Flesch reading ease (Flesch 1948; the readability gate next to
+      // text_quality's shape heuristics): 206.835 − 1.015·(words/sentence)
+      // − 84.6·(syllables/word), with syllables estimated as maximal vowel
+      // runs per word (the standard dictionary-free approximation) and a
+      // floor of 1 for vowel-less tokens / period-less docs. Pure per-row
+      // expressions fused into the scan (map-only at any scale) + one
+      // bounded per-source aggregate on the decimal wire. Sentence count =
+      // '.!?' occurrences via translate (no regex needed); the only regex
+      // work is the per-word vowel-run collapse, where Spark's global
+      // regexp_replace pairs with DuckDB's 'g' flag (the piiSql
+      // discipline).
+      (s, dir) => {
+        T.documents(s, dir)
+          .select(col("source"),
+            expr("filter(split(text, ' '), t -> t <> '')").as("ts"),
+            greatest(lit(1),
+              length(col("text")) - length(translate(col("text"), ".!?", "")))
+              .cast("long").as("sents"))
+          .where(size(col("ts")) >= 1)
+          .selectExpr("source", "CAST(size(ts) AS BIGINT) AS w", "sents",
+            "aggregate(transform(ts, t -> CAST(greatest(1, length(" +
+              "regexp_replace(regexp_replace(lower(t), '[aeiouy]+', 'V'), '[^V]', '')" +
+              ")) AS BIGINT)), CAST(0 AS BIGINT), (a, x) -> a + x) AS syl")
+          .selectExpr("source",
+            "CAST(w AS DOUBLE) / sents AS wps",
+            "CAST(syl AS DOUBLE) / w AS spw")
+          .selectExpr("source", "wps", "spw",
+            "206.835 - 1.015 * wps - 84.6 * spw AS flesch")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            T.davg(col("wps")).as("avg_words_per_sentence"),
+            T.davg(col("spw")).as("avg_syllables_per_word"),
+            T.davg(col("flesch")).as("avg_flesch"))
+          .orderBy("source")
+      },
+      Some(s"""WITH d AS (SELECT source,
+                   list_filter(string_split(text, ' '), t -> t <> '') AS ts,
+                   CAST(greatest(1, length(text)
+                     - length(translate(text, '.!?', ''))) AS BIGINT) AS sents
+                 FROM documents),
+               c AS (SELECT source, CAST(len(ts) AS BIGINT) AS w, sents,
+                   list_reduce(list_prepend(CAST(0 AS BIGINT),
+                     list_transform(ts, t -> CAST(greatest(1, length(
+                       regexp_replace(regexp_replace(lower(t), '[aeiouy]+', 'V', 'g'),
+                         '[^V]', '', 'g'))) AS BIGINT))),
+                     (a, x) -> a + x) AS syl
+                 FROM d WHERE len(ts) >= 1),
+               r AS (SELECT source,
+                   CAST(w AS DOUBLE) / sents AS wps,
+                   CAST(syl AS DOUBLE) / w AS spw
+                 FROM c),
+               f AS (SELECT source, wps, spw,
+                   206.835 - 1.015 * wps - 84.6 * spw AS flesch
+                 FROM r)
+               SELECT source, count(*) AS n_docs,
+                 ${T.sqlDavg("wps")} AS avg_words_per_sentence,
+                 ${T.sqlDavg("spw")} AS avg_syllables_per_word,
+                 ${T.sqlDavg("flesch")} AS avg_flesch
+               FROM f GROUP BY source ORDER BY source""")),
+
+    QueryDef(
       "text_pii_redact",
       // PII redaction — the pretraining-curation pass every shipped corpus
       // runs (emails / IPv4 / phone numbers → typed placeholders) with its
