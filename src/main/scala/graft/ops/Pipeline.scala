@@ -915,6 +915,98 @@ object Pipeline {
                FROM documents GROUP BY 1, 2 ORDER BY split, lang""")),
 
     QueryDef(
+      "ml_group_kfold",
+      // sklearn GroupKFold, hash flavor — the CV splitter that keeps all
+      // rows of one GROUP (here: supplier) inside a single fold, the
+      // leakage guard when rows within a group are correlated (the same
+      // reason a dedup'd corpus splits by document, not by line). Fold =
+      // affine hash of l_suppkey (family 999983/101159 — disjoint from
+      // every other registered family), so group-disjointness holds BY
+      // CONSTRUCTION at any scale and the assignment survives
+      // repartitioning. One pass, bounded output: per fold the group
+      // count, row count, and the stratification profile a splitter audit
+      // checks (mean price — folds should look alike).
+      (s, dir) => T.lineitem(s, dir)
+        .select(((lit(999983L) * col("l_suppkey") + lit(101159L))
+          % lit(P) % 5).as("fold"),
+          col("l_suppkey"), col("l_extendedprice"))
+        .groupBy("fold")
+        .agg(countDistinct(col("l_suppkey")).as("n_groups"),
+          count(lit(1)).as("n_rows"),
+          T.davg(col("l_extendedprice")).as("avg_price"))
+        .orderBy("fold"),
+      Some(s"""SELECT (999983 * l_suppkey + 101159) % $P % 5 AS fold,
+                 count(DISTINCT l_suppkey) AS n_groups, count(*) AS n_rows,
+                 ${T.sqlDavg("l_extendedprice")} AS avg_price
+               FROM lineitem GROUP BY 1 ORDER BY fold""")),
+
+    QueryDef(
+      "ml_time_series_split",
+      // sklearn TimeSeriesSplit — expanding-window CV over the daily
+      // order series, the only split that respects temporal causality
+      // (random K-fold would train on the future): 5 day-quantile buckets,
+      // split k trains on buckets < k and tests on bucket k, scored with
+      // the train-mean naive forecast (the baseline every backtest
+      // reports). The corpus-scale work is ONE daily aggregate; per-bucket
+      // exact integer moments cumulate over a 5-row window (the
+      // ml_learning_curve discipline — K splits cost one pass), and only
+      // the bounded test-bucket day rows join back for the MAE.
+      (s, dir) => {
+        val daily = T.orders(s, dir)
+          .groupBy(col("o_orderdate").as("day"))
+          .agg(count(lit(1)).as("y"))
+          .withColumn("t", row_number().over(Window.orderBy("day")))
+          .withColumn("nn", count(lit(1)).over(Window.partitionBy()))
+          .withColumn("g", expr("((t - 1) * 5) div nn"))
+        val bm = daily.groupBy("g")
+          .agg(count(lit(1)).as("ng"), sum(col("y")).as("syg"))
+        val wCum = Window.orderBy("g")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val splits = bm
+          .withColumn("cn", sum(col("ng")).over(wCum))
+          .withColumn("cs", sum(col("syg")).over(wCum))
+          .where(col("g") >= 1)
+          .selectExpr("g", "ng AS test_days", "cn - ng AS train_days",
+            "CAST(cs - syg AS DOUBLE) / CAST(cn - ng AS DOUBLE) AS train_mean")
+        daily.join(splits, "g")
+          .groupBy("g")
+          .agg(first(col("train_days")).as("train_days"),
+            first(col("test_days")).as("test_days"),
+            first(col("train_mean")).as("train_mean"),
+            (T.xsum(abs(col("y") - col("train_mean")))
+              / count(lit(1))).as("mae"))
+          .selectExpr("CAST(g AS INT) AS split", "train_days", "test_days",
+            "round(train_mean, 6) AS train_mean", "round(mae, 6) AS test_mae")
+          .orderBy("split")
+      },
+      Some(s"""WITH daily AS (SELECT o_orderdate AS day, count(*) AS y
+                 FROM orders GROUP BY 1),
+               idx AS (SELECT y,
+                   row_number() OVER (ORDER BY day) AS t,
+                   count(*) OVER () AS nn
+                 FROM daily),
+               bk AS (SELECT y, ((t - 1) * 5) // nn AS g FROM idx),
+               bm AS (SELECT g, count(*) AS ng, sum(y) AS syg
+                 FROM bk GROUP BY g),
+               cum AS (SELECT g, ng, syg,
+                   sum(ng) OVER (ORDER BY g ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW) AS cn,
+                   sum(syg) OVER (ORDER BY g ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW) AS cs
+                 FROM bm),
+               sp AS (SELECT g, ng AS test_days, cn - ng AS train_days,
+                   CAST(cs - syg AS DOUBLE) / CAST(cn - ng AS DOUBLE) AS train_mean
+                 FROM cum WHERE g >= 1)
+               SELECT CAST(sp.g AS INT) AS split,
+                 CAST(train_days AS BIGINT) AS train_days,
+                 test_days,
+                 round(train_mean, 6) AS train_mean,
+                 round(${T.sqlXsum("abs(y - train_mean)")} / count(*), 6) AS test_mae
+               FROM bk JOIN sp ON bk.g = sp.g
+               GROUP BY sp.g, train_days, test_days, train_mean
+               ORDER BY split""")),
+
+    QueryDef(
       "ml_learning_curve",
       // sklearn/dask-ml learning_curve in the moment form a 100 TB
       // pipeline can afford: nested 25/50/75/100% training subsets via a

@@ -1653,8 +1653,90 @@ object Supervised {
                  round(b, 6) AS slope_b, round(mse, 4) AS mse,
                  round(r2, 6) AS r2,
                  round((k * suv - su * sv) / (k * suu - su * su), 6) AS scaling_exponent
-               FROM wn ORDER BY frac"""))
+               FROM wn ORDER BY frac""")),
+
+    QueryDef(
+      "ml_perceptron",
+      // Rosenblatt batch perceptron (1958) — the ancestral margin
+      // classifier under ml_svm_hinge: 3 full-batch rounds of
+      // w ← w + η·mean(y·x over misclassified), from w = 0, on the
+      // price>20k label with (1, quantity·0.1, discount·10) features
+      // (pre-scales keep the three gradient components commensurate).
+      // The batch form IS the distributed shape (per-sample order would
+      // be engine-divergent and sequential anyway): one conditional
+      // moment pass per round with the current w broadcast — the
+      // ml_gbm_fit loop discipline. y·(w·x) ≤ 0 counts as misclassified,
+      // so round 1 from the zero vector updates on every row. Emits the
+      // per-round PRE-UPDATE error rate and post-update weights — the
+      // descent trace a training log shows. Gradient sums ride the exact
+      // wire; margin and update texts are shared verbatim.
+      (s, dir) => {
+        val base = T.lineitem(s, dir).select(
+          expr("CASE WHEN l_extendedprice > 20000 THEN 1e0 ELSE -1e0 END").as("y"),
+          (col("l_quantity").cast("double") * lit(0.1)).as("q"),
+          (col("l_discount").cast("double") * lit(10.0)).as("dc"))
+          .transform(T.fanOut(_))
+        var w = s.sql("SELECT 0e0 AS wi, 0e0 AS wq, 0e0 AS wd")
+        val rounds = (1 to 3).map { k =>
+          val g = base.crossJoin(broadcast(w))
+            .selectExpr("y", "q", "dc",
+              s"CASE WHEN $pcMargin <= 0e0 THEN 1e0 ELSE 0e0 END AS mis")
+            .agg(count(lit(1)).cast("double").as("n"),
+              T.xsum(col("mis")).as("nmis"),
+              T.xsum(col("mis") * col("y")).as("gi"),
+              T.xsum(col("mis") * col("y") * col("q")).as("gq"),
+              T.xsum(col("mis") * col("y") * col("dc")).as("gd"))
+          w = g.crossJoin(broadcast(w)).selectExpr(
+            s"wi + $PC_ETA * (gi / n) AS wi",
+            s"wq + $PC_ETA * (gq / n) AS wq",
+            s"wd + $PC_ETA * (gd / n) AS wd")
+          g.crossJoin(w).selectExpr(s"$k AS step",
+            "round(nmis / n, 6) AS err_rate",
+            "round(wi, 6) AS w_intercept", "round(wq, 6) AS w_quantity",
+            "round(wd, 6) AS w_discount")
+        }
+        rounds.reduce(_ unionAll _).orderBy("step")
+      },
+      Some {
+        def round(k: Int): String = {
+          val prev = if (k == 1) "w0" else s"w${k - 1}"
+          s"""g$k AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                ${T.sqlXsum("mis")} AS nmis,
+                ${T.sqlXsum("mis * y")} AS gi,
+                ${T.sqlXsum("mis * y * q")} AS gq,
+                ${T.sqlXsum("mis * y * dc")} AS gd
+              FROM (SELECT y, q, dc,
+                      CASE WHEN $pcMargin <= 0e0 THEN 1e0 ELSE 0e0 END AS mis
+                    FROM base, $prev) z),
+              w$k AS (SELECT wi + $PC_ETA * (gi / n) AS wi,
+                  wq + $PC_ETA * (gq / n) AS wq,
+                  wd + $PC_ETA * (gd / n) AS wd
+                FROM g$k, $prev)"""
+        }
+        s"""WITH base AS (SELECT
+               CASE WHEN l_extendedprice > 20000 THEN 1e0 ELSE -1e0 END AS y,
+               CAST(l_quantity AS DOUBLE) * 0.1 AS q,
+               CAST(l_discount AS DOUBLE) * 10.0 AS dc
+             FROM lineitem),
+             w0 AS (SELECT 0e0 AS wi, 0e0 AS wq, 0e0 AS wd),
+             ${(1 to 3).map(round).mkString(",\n             ")}
+           SELECT 1 AS step, round(nmis / n, 6) AS err_rate,
+               round(wi, 6) AS w_intercept, round(wq, 6) AS w_quantity,
+               round(wd, 6) AS w_discount
+             FROM g1, w1
+           UNION ALL SELECT 2, round(nmis / n, 6), round(wi, 6),
+               round(wq, 6), round(wd, 6) FROM g2, w2
+           UNION ALL SELECT 3, round(nmis / n, 6), round(wi, 6),
+               round(wq, 6), round(wd, 6) FROM g3, w3
+           ORDER BY step"""
+      })
   )
+
+  /** Perceptron margin/update shared texts: the margin reads the PREVIOUS
+    * round's weights (wi/wq/wd columns in scope), η = 1 is scale-free on
+    * the mean-gradient update. */
+  private lazy val pcMargin = "y * (wi + wq * q + wd * dc)"
+  private lazy val PC_ETA = "1e0"
 
   /** Column-name-safe suffix for a split-candidate value (10.0 → 10_0,
     * 0.02 → 0_02) — shared by the Spark aggregate aliases and the oracle
