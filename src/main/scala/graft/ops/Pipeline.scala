@@ -21,6 +21,16 @@ object Pipeline {
   private val FA = 48271L
   private val FB = 16807L
 
+  /** text_pmi_collocations / ml_woe_iv shared ratio texts (exact-integer
+    * counts in, one double division chain + REAL-collapsed ln out —
+    * DuckDB's FLOAT is an alias of REAL, so the text is shared verbatim). */
+  private val pmiTxt =
+    "CAST(CAST(ln((CAST(c12 AS DOUBLE) / np) / " +
+      "((CAST(c1 AS DOUBLE) / n) * (CAST(c2 AS DOUBLE) / n))) AS FLOAT) AS DOUBLE)"
+  private val woeTxt =
+    "CAST(CAST(ln((CAST(n_good AS DOUBLE) / gt) / " +
+      "(CAST(n_bad AS DOUBLE) / bt)) AS FLOAT) AS DOUBLE)"
+
   /** PII patterns for text_pii_redact — deliberately LOOKAROUND-FREE so
     * Java regex (Spark) and RE2 (DuckDB) match identically; applied in a
     * fixed order (email → ipv4 → phone) so both engines see the same
@@ -939,6 +949,116 @@ object Pipeline {
                  count(DISTINCT l_suppkey) AS n_groups, count(*) AS n_rows,
                  ${T.sqlDavg("l_extendedprice")} AS avg_price
                FROM lineitem GROUP BY 1 ORDER BY fold""")),
+
+    QueryDef(
+      "text_pmi_collocations",
+      // PMI collocation mining (Church & Hanks 1990) — the word-
+      // association pass a corpus-analysis pipeline runs next to
+      // text_keywords/text_zipf: pointwise mutual information of ORDERED
+      // token pairs co-occurring within a ±2 window,
+      // PMI = ln(p(w1,w2)/(p(w1)p(w2))), reported for pairs seen ≥ 5
+      // times. Scale shape: the pair space is a per-doc positional
+      // self-join bounded to 2 pairs/token (the ml_acf lag-join
+      // discipline — never a doc-wide product), unigram and pair counts
+      // are map-side-combined integer aggregates, and the probability
+      // ratio is computed in doubles (no c12·N² integer blowup at corpus
+      // scale). ln is REAL-collapsed; counts are exact — the PMI text is
+      // shared verbatim. Output: top-30 collocations.
+      (s, dir) => {
+        val tok = T.documents(s, dir)
+          .transform(T.fanOut(_, col("doc_id")))
+          .select(col("doc_id"), posexplode(
+            expr("filter(split(text, ' '), t -> t <> '')")))
+          .toDF("doc_id", "p", "w")
+        val uni = tok.groupBy(col("w")).agg(count(lit(1)).as("c"))
+        val tot = uni.agg(sum(col("c")).cast("double").as("n"))
+        val pairs = tok.select(col("doc_id"), col("p").as("pa"), col("w").as("w1"))
+          .join(tok.select(col("doc_id"), col("p").as("pb"), col("w").as("w2")),
+            Seq("doc_id"))
+          .where(col("pb") - col("pa") >= 1 && col("pb") - col("pa") <= 2)
+          .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+        val np = pairs.agg(sum(col("c12")).cast("double").as("np"))
+        pairs.where(col("c12") >= 5)
+          .join(uni.select(col("w").as("w1"), col("c").as("c1")), "w1")
+          .join(uni.select(col("w").as("w2"), col("c").as("c2")), "w2")
+          .crossJoin(broadcast(tot)).crossJoin(broadcast(np))
+          .selectExpr("w1", "w2", "c12",
+            s"round($pmiTxt, 6) AS pmi")
+          .orderBy(col("pmi").desc, col("w1"), col("w2")).limit(30)
+      },
+      Some(s"""WITH tok AS (SELECT doc_id,
+                   generate_subscripts(list_filter(string_split(text, ' '),
+                     t -> t <> ''), 1) AS p,
+                   unnest(list_filter(string_split(text, ' '),
+                     t -> t <> '')) AS w
+                 FROM documents),
+               uni AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+               tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM uni),
+               pr AS (SELECT a.w AS w1, b.w AS w2, count(*) AS c12
+                 FROM tok a JOIN tok b ON a.doc_id = b.doc_id
+                   AND b.p - a.p BETWEEN 1 AND 2
+                 GROUP BY 1, 2),
+               np AS (SELECT CAST(sum(c12) AS DOUBLE) AS np FROM pr)
+               SELECT w1, w2, c12, round($pmiTxt, 6) AS pmi
+               FROM pr
+               JOIN uni u1 ON u1.w = pr.w1
+               JOIN uni u2 ON u2.w = pr.w2
+               CROSS JOIN tot CROSS JOIN np
+               WHERE c12 >= 5
+               ORDER BY pmi DESC, w1, w2 LIMIT 30"""
+        .replace("c1 AS DOUBLE", "u1.c AS DOUBLE")
+        .replace("c2 AS DOUBLE", "u2.c AS DOUBLE"))),
+
+    QueryDef(
+      "ml_woe_iv",
+      // Weight-of-evidence / information value (the credit-scoring
+      // feature-screening standard; Siddiqi 2006) for quantity binned
+      // 5-wide against the price>20k event label: WoE_i =
+      // ln((good_i/G)/(bad_i/B)), IV = Σ(good_i/G − bad_i/B)·WoE_i. One
+      // map-side-combined pass builds the bounded bin table; totals and
+      // the IV sum are 5-row windows. All counts exact integers, the
+      // ratio/ln algebra is shared text with REAL-collapsed ln — the
+      // uniform 1–50 quantity keeps every bin populated so no
+      // zero-count guard is needed (and the oracle would catch one).
+      (s, dir) => {
+        val b = T.lineitem(s, dir)
+          .selectExpr("least(4, CAST(floor(l_quantity / 10) AS INT)) AS bin",
+            "CASE WHEN l_extendedprice > 20000 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bad")
+          .groupBy("bin")
+          .agg(count(lit(1)).as("n"), sum(col("bad")).as("n_bad"))
+          .selectExpr("bin", "n", "n - n_bad AS n_good", "n_bad")
+        val w = Window.partitionBy()
+        b.withColumn("gt", sum(col("n_good")).over(w))
+          .withColumn("bt", sum(col("n_bad")).over(w))
+          .selectExpr("bin", "n_good", "n_bad",
+            s"$woeTxt AS woe",
+            s"(CAST(n_good AS DOUBLE) / gt - CAST(n_bad AS DOUBLE) / bt) * ($woeTxt) AS iv_term")
+          .withColumn("iv_total",
+            sum(col("iv_term").cast(T.exact)).over(Window.partitionBy())
+              .cast("double"))
+          .selectExpr("bin", "n_good", "n_bad", "round(woe, 6) AS woe",
+            "round(iv_term, 6) AS iv_term", "round(iv_total, 6) AS iv_total")
+          .orderBy("bin")
+      },
+      Some(s"""WITH r AS (SELECT
+                   least(4, CAST(floor(l_quantity / 10) AS INT)) AS bin,
+                   CASE WHEN l_extendedprice > 20000 THEN 1 ELSE 0 END AS bad
+                 FROM lineitem),
+               b AS (SELECT bin, count(*) AS n,
+                   CAST(sum(bad) AS BIGINT) AS n_bad
+                 FROM r GROUP BY bin),
+               g AS (SELECT bin, n - n_bad AS n_good, n_bad,
+                   sum(n - n_bad) OVER () AS gt, sum(n_bad) OVER () AS bt
+                 FROM b),
+               t AS (SELECT bin, n_good, n_bad, $woeTxt AS woe,
+                   (CAST(n_good AS DOUBLE) / gt - CAST(n_bad AS DOUBLE) / bt)
+                     * ($woeTxt) AS iv_term
+                 FROM g)
+               SELECT CAST(bin AS INT) AS bin,
+                 CAST(n_good AS BIGINT) AS n_good, n_bad,
+                 round(woe, 6) AS woe, round(iv_term, 6) AS iv_term,
+                 round(CAST(sum(CAST(iv_term AS DECIMAL(30,12))) OVER () AS DOUBLE), 6) AS iv_total
+               FROM t ORDER BY bin""")),
 
     QueryDef(
       "ml_time_series_split",
