@@ -142,6 +142,13 @@ object Metrics {
     s"5e-1 * sqrt(-2e0 * CAST(CAST(ln($u1) AS $f) AS DOUBLE)) * CAST(CAST(cos(6.283185307179586e0 * $u2) AS $f) AS DOUBLE)"
   }
 
+  /** ml_rbf_sampler phase offset b_j = 2π·u(j): a dedicated two-round LCG
+    * on the FEATURE index (family 92717/4051 — disjoint from the w
+    * streams' 48271/16807/69621 mixes), emitted as a literal constant in
+    * the shared expression text so both engines fold the same IEEE ops. */
+  private def rffB(j: Int): String =
+    s"6.283185307179586e0 * ((CAST((($j * 92717 + 4051) * CAST(48271 AS BIGINT) + 7) % 2147483647 AS DOUBLE) + 1e0) / 2147483648e0)"
+
   /** Gaussian twin of [[projZ]]. */
   private def projZGauss(s: SparkSession, dir: String): DataFrame = {
     val e = T.embeddings(s, dir).where(col("vec_id") < 15)
@@ -219,6 +226,65 @@ object Metrics {
                     z b JOIN s sb ON sb.vec_id = b.vec_id
                WHERE a.vec_id < b.vec_id
                ORDER BY id_a, id_b""")),
+
+    QueryDef(
+      "ml_rbf_sampler",
+      // sklearn/cuML RBFSampler — random Fourier features (Rahimi & Recht
+      // 2007): ẑ_j(x) = √(2/D)·cos(w_j·x + b_j) with w ~ N(0, 2γI) makes
+      // E[ẑ(x)ᵀẑ(y)] = exp(−γ‖x−y‖²), turning any linear learner into an
+      // approximate kernel machine. γ = 1/8 on purpose: √(2γ) = 1/2 is
+      // exactly the projZGauss entry scale, so the FITTED feature map IS
+      // the shared gaussian projection (w_j·x = z_j) — zero new
+      // distributed passes; b_j comes from the registered LCG family.
+      // Output: the kernel-approximation audit a user runs after fitting —
+      // per sample pair the exact RBF kernel, the D=4 RFF estimate, and
+      // the error (coarse at D=4 BY DESIGN; the row documents the
+      // variance, recall ml_jl_min_dim's honest-bounds discipline).
+      // Determinism: cos/exp REAL-collapsed, decimal projection wire,
+      // shared texts.
+      (s, dir) => {
+        val z = projZGauss(s, dir)
+        val e = T.embeddings(s, dir).where(col("vec_id") < 15)
+          .select(col("vec_id"), col("embedding"))
+        def phi(side: String) = (0 to 3).map(j =>
+          s"sqrt(5e-1) * CAST(CAST(cos(CAST(${side}z$j AS DOUBLE) + ${rffB(j)}) AS FLOAT) AS DOUBLE) AS ${side}p$j")
+        val za = z.join(e, "vec_id").select(
+          col("vec_id").as("id_a"), col("embedding").as("a_emb"),
+          col("z0").as("az0"), col("z1").as("az1"),
+          col("z2").as("az2"), col("z3").as("az3"))
+          .selectExpr(Seq("id_a", "a_emb") ++ phi("a"): _*)
+        val zb = z.join(e, "vec_id").select(
+          col("vec_id").as("id_b"), col("embedding").as("b_emb"),
+          col("z0").as("bz0"), col("z1").as("bz1"),
+          col("z2").as("bz2"), col("z3").as("bz3"))
+          .selectExpr(Seq("id_b", "b_emb") ++ phi("b"): _*)
+        za.crossJoin(broadcast(zb)).where(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"),
+            graft.functions.Vec.l2(s, "a_emb", "b_emb").as("dor"),
+            expr("ap0 * bp0 + ap1 * bp1 + ap2 * bp2 + ap3 * bp3").as("krff"))
+          .selectExpr("id_a", "id_b",
+            "round(CAST(CAST(exp(-0.125e0 * dor * dor) AS FLOAT) AS DOUBLE), 6) AS k_exact",
+            "round(krff, 6) AS k_rff",
+            "round(abs(CAST(CAST(exp(-0.125e0 * dor * dor) AS FLOAT) AS DOUBLE) - krff), 6) AS abs_err")
+          .orderBy("id_a", "id_b")
+      },
+      Some {
+        def phi(side: String) = (0 to 3).map(j =>
+          s"sqrt(5e-1) * CAST(CAST(cos(CAST(${side}.z$j AS DOUBLE) + ${rffB(j)}) AS REAL) AS DOUBLE)")
+        val krff = (0 to 3).map(j =>
+          s"(${phi("a")(j)}) * (${phi("b")(j)})").mkString(" + ")
+        s"""WITH $sqlProjCtesGauss
+             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(CAST(CAST(exp(-0.125e0 * list_distance(sa.emb, sb.emb)
+                 * list_distance(sa.emb, sb.emb)) AS REAL) AS DOUBLE), 6) AS k_exact,
+               round($krff, 6) AS k_rff,
+               round(abs(CAST(CAST(exp(-0.125e0 * list_distance(sa.emb, sb.emb)
+                 * list_distance(sa.emb, sb.emb)) AS REAL) AS DOUBLE) - ($krff)), 6) AS abs_err
+             FROM z a JOIN s sa ON sa.vec_id = a.vec_id,
+                  z b JOIN s sb ON sb.vec_id = b.vec_id
+             WHERE a.vec_id < b.vec_id
+             ORDER BY id_a, id_b"""
+      }),
 
     QueryDef(
       "ml_f1_score",

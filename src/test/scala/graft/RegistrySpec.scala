@@ -6,9 +6,9 @@ package graft
   */
 class RegistrySpec extends SparkSpec {
 
-  test("all twenty-one catalogs are registered (66 SURVEY keys + 358 extensions)") {
-    assert(SparkEntry.queries.size == 424,
-      s"expected 424 registered queries, got ${SparkEntry.queries.size}")
+  test("all twenty-one catalogs are registered (66 SURVEY keys + 359 extensions)") {
+    assert(SparkEntry.queries.size == 425,
+      s"expected 425 registered queries, got ${SparkEntry.queries.size}")
   }
 
   test("no oracle uses a constant generate_series bound (VERDICT r4 #2)") {
