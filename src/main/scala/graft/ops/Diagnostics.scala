@@ -230,6 +230,202 @@ object Diagnostics {
                  FROM p)
                SELECT CAST(n AS BIGINT) AS n, r2_aux,
                  round(n * r2_aux, 4) AS bp_lm
-               FROM r2"""))
+               FROM r2""")),
+
+    QueryDef(
+      "ml_anova_f",
+      // One-way ANOVA F (Fisher) across the returnflag groups on
+      // extendedprice — the omnibus mean-equality test the ml_ab_ttest
+      // pair generalizes to k groups, and the test ml_bartlett is the
+      // variance precondition FOR: SSB = Σn_g(ȳ_g − ȳ)², SSW = Σ(Σy² −
+      // (Σy)²/n)_g, F = (SSB/(k−1)) / (SSW/(N−k)). ONE map-side-combined
+      // per-group moment pass; everything after is a k-row reduction on
+      // the exact wire with shared closing text.
+      (s, dir) => {
+        T.lineitem(s, dir)
+          .select(col("l_returnflag").as("g"),
+            col("l_extendedprice").cast("double").as("y"))
+          .transform(T.fanOut(_))
+          .groupBy("g")
+          .agg(count(lit(1)).cast("double").as("ng"),
+            T.xsum(col("y")).as("sy"), T.xsum(col("y") * col("y")).as("syy"))
+          .agg(count(lit(1)).cast("double").as("k"),
+            T.xsum(col("ng")).as("nn"),
+            T.xsum(col("sy")).as("ty"),
+            T.xsum(expr("sy * sy / ng")).as("sbp"),
+            T.xsum(expr("syy - sy * sy / ng")).as("ssw"))
+          .selectExpr("k", "nn", "ssw", "sbp - ty * ty / nn AS ssb")
+          // mean squares, not raw SS: at ~5e13 the sums' 4-dp rounding sits
+          // INSIDE double ulp (the ml_sgd_linreg mse lesson); dividing by n
+          // restores ~6 safe digits of headroom at 2 dp
+          .selectExpr("CAST(k AS INT) AS k", "CAST(nn AS BIGINT) AS n",
+            "round(ssb / (k - 1e0), 2) AS ms_between",
+            "round(ssw / (nn - k), 2) AS ms_within",
+            "round((ssb / (k - 1e0)) / (ssw / (nn - k)), 6) AS f_stat")
+      },
+      Some(s"""WITH g AS (SELECT l_returnflag AS g,
+                   CAST(count(*) AS DOUBLE) AS ng,
+                   ${T.sqlXsum("CAST(l_extendedprice AS DOUBLE)")} AS sy,
+                   ${T.sqlXsum("CAST(l_extendedprice AS DOUBLE) * CAST(l_extendedprice AS DOUBLE)")} AS syy
+                 FROM lineitem GROUP BY 1),
+               a AS (SELECT CAST(count(*) AS DOUBLE) AS k,
+                   ${T.sqlXsum("ng")} AS nn, ${T.sqlXsum("sy")} AS ty,
+                   ${T.sqlXsum("sy * sy / ng")} AS sbp,
+                   ${T.sqlXsum("syy - sy * sy / ng")} AS ssw
+                 FROM g),
+               b AS (SELECT k, nn, ssw, sbp - ty * ty / nn AS ssb FROM a)
+               SELECT CAST(k AS INT) AS k, CAST(nn AS BIGINT) AS n,
+                 round(ssb / (k - 1e0), 2) AS ms_between,
+                 round(ssw / (nn - k), 2) AS ms_within,
+                 round((ssb / (k - 1e0)) / (ssw / (nn - k)), 6) AS f_stat
+               FROM b""")),
+
+    QueryDef(
+      "ml_levene_test",
+      // Levene's variance-homogeneity test (1960, mean-centered form) —
+      // the robust companion to ml_bartlett (which collapses under
+      // non-normality): z = |y − ȳ_g|, then the one-way ANOVA F on z.
+      // Two passes: per-group means (a k-row broadcast joined back), then
+      // per-group z moments; the W statistic closes over the k-row frame.
+      // Determinism: means from exact sums, |·| and the ANOVA algebra are
+      // shared text on the exact wire.
+      (s, dir) => {
+        val means = T.lineitem(s, dir)
+          .select(col("l_returnflag").as("g"),
+            col("l_extendedprice").cast("double").as("y"))
+          .groupBy("g")
+          .agg(count(lit(1)).cast("double").as("ng"), T.xsum(col("y")).as("sy"))
+          .selectExpr("g", "sy / ng AS mu")
+        T.lineitem(s, dir)
+          .select(col("l_returnflag").as("g"),
+            col("l_extendedprice").cast("double").as("y"))
+          .transform(T.fanOut(_))
+          .join(broadcast(means), "g")
+          .selectExpr("g", "abs(y - mu) AS z")
+          .groupBy("g")
+          .agg(count(lit(1)).cast("double").as("ng"),
+            T.xsum(col("z")).as("sz"), T.xsum(col("z") * col("z")).as("szz"))
+          .agg(count(lit(1)).cast("double").as("k"),
+            T.xsum(col("ng")).as("nn"),
+            T.xsum(col("sz")).as("tz"),
+            T.xsum(expr("sz * sz / ng")).as("sbp"),
+            T.xsum(expr("szz - sz * sz / ng")).as("ssw"))
+          .selectExpr("k", "nn", "ssw", "sbp - tz * tz / nn AS ssb")
+          .selectExpr("CAST(k AS INT) AS k", "CAST(nn AS BIGINT) AS n",
+            "round(((nn - k) / (k - 1e0)) * (ssb / ssw), 6) AS levene_w")
+      },
+      Some(s"""WITH l AS (SELECT l_returnflag AS g,
+                   CAST(l_extendedprice AS DOUBLE) AS y
+                 FROM lineitem),
+               m AS (SELECT g, CAST(count(*) AS DOUBLE) AS ng,
+                   ${T.sqlXsum("y")} AS sy
+                 FROM l GROUP BY g),
+               mu AS (SELECT g, sy / ng AS mu FROM m),
+               z AS (SELECT l.g, abs(y - mu) AS z FROM l JOIN mu ON l.g = mu.g),
+               gm AS (SELECT g, CAST(count(*) AS DOUBLE) AS ng,
+                   ${T.sqlXsum("z")} AS sz, ${T.sqlXsum("z * z")} AS szz
+                 FROM z GROUP BY g),
+               a AS (SELECT CAST(count(*) AS DOUBLE) AS k,
+                   ${T.sqlXsum("ng")} AS nn, ${T.sqlXsum("sz")} AS tz,
+                   ${T.sqlXsum("sz * sz / ng")} AS sbp,
+                   ${T.sqlXsum("szz - sz * sz / ng")} AS ssw
+                 FROM gm),
+               b AS (SELECT k, nn, ssw, sbp - tz * tz / nn AS ssb FROM a)
+               SELECT CAST(k AS INT) AS k, CAST(nn AS BIGINT) AS n,
+                 round(((nn - k) / (k - 1e0)) * (ssb / ssw), 6) AS levene_w
+               FROM b""")),
+
+    QueryDef(
+      "ml_chow_test",
+      // Chow structural-break test (1960) on the price~quantity fit at
+      // the corpus ship-date midpoint: F = ((SSR_pooled − SSR_1 − SSR_2)
+      // / p) / ((SSR_1 + SSR_2) / (n − 2p)), p = 2 parameters. Everything
+      // derives from ONE conditional moment pass (per-half n, Σx, Σy,
+      // Σx², Σxy, Σy² — the split date is a broadcast scalar from a
+      // bounded min/max pre-pass); each half's SSR uses the closed-form
+      // residual identity SSR = Syy − b·Sxy (centered), pooled from the
+      // summed halves. All algebra on the exact wire with shared text.
+      (s, dir) => {
+        val mid = T.lineitem(s, dir)
+          .agg(min(col("l_shipdate").cast("date")).as("d0"),
+            max(col("l_shipdate").cast("date")).as("d1"))
+          // floor before the INT cast: Spark's cast truncates but DuckDB's
+          // ROUNDS — floor makes the midpoint identical on odd day spans
+          .selectExpr("date_add(d0, CAST(floor(datediff(d1, d0) / 2) AS INT)) AS dm")
+        val m = T.lineitem(s, dir)
+          .select(col("l_shipdate").cast("date").as("sd"),
+            col("l_quantity").cast("double").as("x"),
+            col("l_extendedprice").cast("double").as("y"))
+          .transform(T.fanOut(_))
+          .crossJoin(broadcast(mid))
+          .selectExpr("CASE WHEN sd <= dm THEN 0 ELSE 1 END AS h",
+            "x", "y")
+          .groupBy("h")
+          .agg(count(lit(1)).cast("double").as("n"),
+            T.xsum(col("x")).as("sx"), T.xsum(col("y")).as("sy"),
+            T.xsum(col("x") * col("x")).as("sxx"),
+            T.xsum(col("x") * col("y")).as("sxy"),
+            T.xsum(col("y") * col("y")).as("syy"))
+        val w = Window.partitionBy()
+        m.withColumn("tn", sum(col("n")).over(w))
+          .withColumn("tsx", sum(col("sx").cast(T.exact)).over(w).cast("double"))
+          .withColumn("tsy", sum(col("sy").cast(T.exact)).over(w).cast("double"))
+          .withColumn("tsxx", sum(col("sxx").cast(T.exact)).over(w).cast("double"))
+          .withColumn("tsxy", sum(col("sxy").cast(T.exact)).over(w).cast("double"))
+          .withColumn("tsyy", sum(col("syy").cast(T.exact)).over(w).cast("double"))
+          .selectExpr("h", "n", "tn",
+            s"${ssrTxt("n", "sx", "sy", "sxx", "sxy", "syy")} AS ssr_h",
+            s"${ssrTxt("tn", "tsx", "tsy", "tsxx", "tsxy", "tsyy")} AS ssr_p")
+          .agg(sum(col("n").cast("long")).as("n"),
+            T.xsumD(col("ssr_h")).cast("double").as("ssr_halves"),
+            first(col("ssr_p")).as("ssr_pooled"))
+          // per-row mean SSRs: the raw 5e13-magnitude sums round inside
+          // double ulp at 2 dp (the ml_anova_f lesson this same catalog)
+          .selectExpr("n", "round(ssr_pooled / n, 2) AS mse_pooled",
+            "round(ssr_halves / n, 2) AS mse_halves",
+            "round(((ssr_pooled - ssr_halves) / 2e0) / (ssr_halves / (n - 4e0)), 6) AS chow_f")
+      },
+      Some(s"""WITH mid AS (SELECT min(CAST(l_shipdate AS DATE)) AS d0,
+                   max(CAST(l_shipdate AS DATE)) AS d1
+                 FROM lineitem),
+               dm AS (SELECT d0 + CAST(floor(CAST(d1 - d0 AS BIGINT) / 2) AS INT) AS dm
+                 FROM mid),
+               l AS (SELECT CASE WHEN CAST(l_shipdate AS DATE) <= dm THEN 0 ELSE 1 END AS h,
+                   CAST(l_quantity AS DOUBLE) AS x,
+                   CAST(l_extendedprice AS DOUBLE) AS y
+                 FROM lineitem CROSS JOIN dm),
+               g AS (SELECT h, CAST(count(*) AS DOUBLE) AS n,
+                   ${T.sqlXsum("x")} AS sx, ${T.sqlXsum("y")} AS sy,
+                   ${T.sqlXsum("x * x")} AS sxx, ${T.sqlXsum("x * y")} AS sxy,
+                   ${T.sqlXsum("y * y")} AS syy
+                 FROM l GROUP BY h),
+               t AS (SELECT h, n,
+                   CAST(sum(CAST(n AS DECIMAL(30,12))) OVER () AS DOUBLE) AS tn,
+                   CAST(sum(CAST(sx AS DECIMAL(30,12))) OVER () AS DOUBLE) AS tsx,
+                   CAST(sum(CAST(sy AS DECIMAL(30,12))) OVER () AS DOUBLE) AS tsy,
+                   CAST(sum(CAST(sxx AS DECIMAL(30,12))) OVER () AS DOUBLE) AS tsxx,
+                   CAST(sum(CAST(sxy AS DECIMAL(30,12))) OVER () AS DOUBLE) AS tsxy,
+                   CAST(sum(CAST(syy AS DECIMAL(30,12))) OVER () AS DOUBLE) AS tsyy,
+                   sx, sy, sxx, sxy, syy
+                 FROM g),
+               r AS (SELECT h, n, tn,
+                   ${ssrTxt("n", "sx", "sy", "sxx", "sxy", "syy")} AS ssr_h,
+                   ${ssrTxt("tn", "tsx", "tsy", "tsxx", "tsxy", "tsyy")} AS ssr_p
+                 FROM t),
+               f AS (SELECT CAST(sum(CAST(n AS BIGINT)) AS BIGINT) AS n,
+                   CAST(sum(CAST(ssr_h AS DECIMAL(30,12))) AS DOUBLE) AS ssr_halves,
+                   any_value(ssr_p) AS ssr_pooled
+                 FROM r)
+               SELECT n, round(ssr_pooled / n, 2) AS mse_pooled,
+                 round(ssr_halves / n, 2) AS mse_halves,
+                 round(((ssr_pooled - ssr_halves) / 2e0) / (ssr_halves / (n - 4e0)), 6) AS chow_f
+               FROM f"""))
   )
+
+  /** Centered-SSR closed form SSR = Syy_c − (Sxy_c)²/Sxx_c on raw moment
+    * column names — shared verbatim by the Spark selectExpr and the
+    * oracle CTE (the ml_kfold_cv residual-identity discipline). */
+  private def ssrTxt(n: String, sx: String, sy: String, sxx: String,
+      sxy: String, syy: String): String =
+    s"(($syy - $sy * $sy / $n) - ($sxy - $sx * $sy / $n) * ($sxy - $sx * $sy / $n) / ($sxx - $sx * $sx / $n))"
 }

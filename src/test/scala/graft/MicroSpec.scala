@@ -2642,4 +2642,51 @@ class MicroSpec extends SparkSpec {
     assert(tot._2 == tot._3 + tot._4 && tot._2 <= tot._1,
       s"candidates must tie out to dups + false positives: $tot")
   }
+
+  test("dedup_cdc_chunk: boundaries survive a prefix insertion (the CDC property)") {
+    // The whole point of content-defined chunking: inserting tokens at the
+    // FRONT of a document must leave the downstream chunk boundaries (and
+    // so the duplicate accounting) intact, where fixed-width windows would
+    // re-key everything. doc 1 = 64 shared tokens; doc 2 = 3 junk tokens +
+    // the same 64. Every doc-2 chunk from the first content-defined
+    // boundary onward realigns with doc 1 and is flagged duplicate.
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdc").toString
+    import spark.implicits._
+    val shared = (1 to 64).map(i => s"tok$i").mkString(" ")
+    Seq((1L, shared, "canon"), (2L, s"x1 x2 x3 $shared", "shift"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("dedup_cdc_chunk")(spark, dir).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("total_tokens"), r.getAs[Long]("tokens_saved"))).toMap
+    assert(rows("canon") == (64L, 0L),
+      s"lower doc_id must stay canonical (zero saved): $rows")
+    assert(rows("shift")._1 == 67L, s"3 junk + 64 shared tokens: $rows")
+    // at least the suffix chunks past the first re-synchronized boundary
+    // dedup; with ~16-token chunks that is >half the document
+    assert(rows("shift")._2 >= 32L,
+      s"CDC must re-synchronize after the insertion: $rows")
+  }
+
+  test("text_readability: Flesch on a constructed doc with hand-countable parts") {
+    // "aa bb. cc dd." -> 4 words, 2 sentences, syllables 1+1(floor)+1(floor)
+    // +1 = 4: wps = 2, spw = 1, flesch = 206.835 - 1.015*2 - 84.6 = 120.205.
+    val dir = java.nio.file.Files.createTempDirectory("graft_flesch").toString
+    import spark.implicits._
+    Seq((1L, "aa bb. cc dd.", "s"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = SparkEntry.queries("text_readability")(spark, dir).collect().head
+    assert(r.getAs[Double]("avg_words_per_sentence") == 2.0, r.toString)
+    assert(r.getAs[Double]("avg_syllables_per_word") == 1.0, r.toString)
+    assert(r.getAs[Double]("avg_flesch") == 120.205, r.toString)
+  }
+
+  test("ml_perceptron: the descent trace improves on the all-wrong start") {
+    val rows = SparkEntry.queries("ml_perceptron")(spark, sf)
+      .collect().sortBy(_.getAs[Int]("step"))
+    val errs = rows.map(_.getAs[Double]("err_rate"))
+    assert(errs.head == 1.0, s"round 1 from w=0 must update on every row: ${errs.toSeq}")
+    assert(errs.last < errs.head, s"training must beat the start: ${errs.toSeq}")
+  }
 }

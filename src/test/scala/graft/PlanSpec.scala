@@ -286,6 +286,35 @@ class PlanSpec extends SparkSpec {
       "bit membership must be an equi-join:\n" + p)
   }
 
+  test("r11 additions: bounded-join shapes (no CartesianProduct anywhere)") {
+    // dedup_cdc_chunk: duplicate accounting joins on the chunk fingerprint;
+    // text_pmi_collocations: the pair space is a doc-keyed equi-join with a
+    // bounded range conjunct; graph_hits: score tables join the edge list on
+    // vertex keys (the one-row norm frames ride broadcast BNLJs, which is
+    // the point — a CartesianProduct would mean a table-sized pair scan).
+    for (q <- Seq("dedup_cdc_chunk", "text_pmi_collocations", "graph_hits",
+        "graph_adamic_adar", "ml_jarque_bera", "ml_breusch_pagan",
+        "ml_ledoit_wolf", "ml_perceptron")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q pair-scans:\n$p")
+    }
+  }
+
+  test("text_pmi_collocations / graph_adamic_adar: top-k is heap-based") {
+    for (q <- Seq("text_pmi_collocations", "graph_adamic_adar"))
+      assert(plan(q).contains("TakeOrderedAndProject"),
+        s"$q top-k degraded to a global sort:\n${plan(q)}")
+  }
+
+  test("dedup_cdc_chunk: chunk-assembly windows are partitioned by doc_id") {
+    val p = plan("dedup_cdc_chunk")
+    val winLines = p.linesIterator
+      .filter(l => l.contains("windowspecdefinition")).toSeq
+    assert(winLines.nonEmpty, p)
+    assert(winLines.forall(_.contains("doc_id")),
+      s"unpartitioned corpus-scale window:\n${winLines.mkString("\n")}")
+  }
+
   test("whole-stage codegen covers the hot path of filter_pred") {
     // pre-execution the AQE wrapper hides codegen spans — run the query,
     // then inspect the final adaptive plan
