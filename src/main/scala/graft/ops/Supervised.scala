@@ -1678,14 +1678,18 @@ object Supervised {
           .transform(T.fanOut(_))
         var w = s.sql("SELECT 0e0 AS wi, 0e0 AS wq, 0e0 AS wd")
         val rounds = (1 to 3).map { k =>
-          val g = base.crossJoin(broadcast(w))
+          // pin the 1-row gradient: round k's aggregate is referenced by
+          // BOTH the weight update and the output arm, and round k+1's
+          // margin chains through it — without the pin the 3 union arms
+          // re-run 6 corpus scans instead of 3
+          val g = T.pin(base.crossJoin(broadcast(w))
             .selectExpr("y", "q", "dc",
               s"CASE WHEN $pcMargin <= 0e0 THEN 1e0 ELSE 0e0 END AS mis")
             .agg(count(lit(1)).cast("double").as("n"),
               T.xsum(col("mis")).as("nmis"),
               T.xsum(col("mis") * col("y")).as("gi"),
               T.xsum(col("mis") * col("y") * col("q")).as("gq"),
-              T.xsum(col("mis") * col("y") * col("dc")).as("gd"))
+              T.xsum(col("mis") * col("y") * col("dc")).as("gd")))
           w = g.crossJoin(broadcast(w)).selectExpr(
             s"wi + $PC_ETA * (gi / n) AS wi",
             s"wq + $PC_ETA * (gq / n) AS wq",
