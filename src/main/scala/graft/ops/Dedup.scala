@@ -90,6 +90,15 @@ object Dedup {
     """list_reduce(list_prepend(CAST(0 AS BIGINT), tids[i:i + 7]),
       |       (acc, t) -> (acc * 31 + t + 7) % 2147483647)""".stripMargin
 
+  /** 4-token variants of the span fold for text_ngram_novelty (same base-31
+    * composition, shorter window — a 4-gram is the standard overlap-report
+    * unit where the dedup family's 8 is the removal unit). */
+  private val gid4Expr =
+    "aggregate(slice(tids, i, 4), 0L, (acc, t) -> (acc * 31 + t + 7) % 2147483647)"
+  private val sqlGid4 =
+    """list_reduce(list_prepend(CAST(0 AS BIGINT), tids[i:i + 3]),
+      |       (acc, t) -> (acc * 31 + t + 7) % 2147483647)""".stripMargin
+
   /** dedup_span_removal canonical-occurrence key bound: the canonical
     * (keep-the-first) occurrence of a duplicated span is min(doc_id·2²⁰ +
     * offset) — one BIGINT both engines order identically. Offsets must
@@ -1172,6 +1181,60 @@ object Dedup {
                  round(CAST(sum(dup * len) AS DOUBLE) / sum(len), 6) AS saved_frac,
                  round(CAST(sum(len) AS DOUBLE) / count(*), 4) AS avg_chunk_len
                FROM dj GROUP BY source ORDER BY source""")),
+
+    QueryDef(
+      "text_ngram_novelty",
+      // Train/test n-gram novelty — the memorization-exposure report an
+      // eval pipeline runs next to dedup_contamination (Carlini et al.'s
+      // overlap analyses; RETRO's dedup-before-retrieval hygiene): what
+      // fraction of the held-out half's distinct 4-grams already appear
+      // verbatim in the training half? Split = doc parity (the
+      // dedup_bloom_prefilter convention). Dataflow: per-token tid arrays
+      // (the shared span wire), 4-tid window folds, DISTINCT per side,
+      // one gid-keyed left join (inverted-index cost — never pairwise),
+      // bounded per-source reduction. A novelty_rate near 0 flags a split
+      // whose "held-out" metric is really memorization.
+      (s, dir) => {
+        val toks = T.documents(s, dir)
+          .transform(T.fanOut(_, col("doc_id")))
+          .select(col("doc_id"), col("source"),
+            expr("filter(split(text, ' '), t -> t <> '')").as("ts"))
+          .where(size(col("ts")) >= 4)
+          .withColumn("tids", expr(tidsExpr))
+        def grams(df: org.apache.spark.sql.DataFrame) = df.selectExpr(
+          "doc_id", "source",
+          s"explode(array_distinct(transform(sequence(1, size(tids) - 3), i -> $gid4Expr))) AS gid")
+        val train = grams(toks.where(col("doc_id") % 2 === 0))
+          .select(col("gid")).distinct().withColumn("seen", lit(1))
+        val test = grams(toks.where(col("doc_id") % 2 === 1))
+          .select(col("source"), col("gid")).distinct()
+        test.join(train, Seq("gid"), "left")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_test_grams"),
+            sum(coalesce(col("seen"), lit(0))).as("n_seen"))
+          .selectExpr("source", "n_test_grams", "CAST(n_seen AS BIGINT) AS n_seen",
+            "round(1e0 - CAST(n_seen AS DOUBLE) / n_test_grams, 6) AS novelty_rate")
+          .orderBy("source")
+      },
+      Some(s"""WITH tk AS (SELECT doc_id, source,
+                   list_filter(string_split(text, ' '), t -> t <> '') AS ts
+                 FROM documents),
+                 td AS (SELECT doc_id, source, $sqlTids AS tids
+                        FROM tk WHERE len(ts) >= 4),
+                 tr AS (SELECT DISTINCT $sqlGid4 AS gid
+                   FROM (SELECT doc_id, tids,
+                           unnest(generate_series(1, len(tids) - 3)) AS i
+                         FROM td WHERE doc_id % 2 = 0) x),
+                 te AS (SELECT DISTINCT source, $sqlGid4 AS gid
+                   FROM (SELECT source, tids,
+                           unnest(generate_series(1, len(tids) - 3)) AS i
+                         FROM td WHERE doc_id % 2 = 1) x)
+               SELECT source, count(*) AS n_test_grams,
+                 CAST(sum(CASE WHEN tr.gid IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_seen,
+                 round(1e0 - CAST(sum(CASE WHEN tr.gid IS NULL THEN 0 ELSE 1 END) AS DOUBLE)
+                   / count(*), 6) AS novelty_rate
+               FROM te LEFT JOIN tr ON te.gid = tr.gid
+               GROUP BY source ORDER BY source""")),
 
     QueryDef(
       "dedup_bloom_prefilter",

@@ -984,7 +984,53 @@ object Preprocess {
                round(shrunk_cov, 8) AS shrunk_cov,
                round(shrink, 6) AS shrinkage, round(mu, 8) AS mu_target
              FROM u ORDER BY f1, f2"""
-      })
+      }),
+
+    QueryDef(
+      "ml_hash_encoder",
+      // sklearn/cuML FeatureHasher for a high-cardinality CATEGORICAL
+      // (l_partkey → 64 buckets via the 733007/100003 affine family —
+      // disjoint from every other registered family): the encoding that
+      // needs NO fitted vocabulary, the only categorical encoder whose
+      // state is O(1) at 100 TB (ml_onehot/ml_target_encode ship a
+      // category table; this ships a formula). The query is the audit a
+      // user runs before trusting it: per-bucket category and row loads
+      // plus the χ² uniformity statistic across buckets (the collision
+      // cost is bounded by the max bucket). One map-side-combined pass;
+      // the χ² is a 64-row window reduction on exact integers.
+      (s, dir) => {
+        val w = Window.partitionBy()
+        T.lineitem(s, dir)
+          .select(((lit(733007L) * col("l_partkey") + lit(100003L))
+            % lit(T.HASH_P) % 64).as("bucket"), col("l_partkey"))
+          .groupBy("bucket")
+          .agg(countDistinct(col("l_partkey")).as("n_categories"),
+            count(lit(1)).as("n_rows"))
+          .withColumn("tc", sum(col("n_categories")).over(w))
+          .selectExpr("bucket", "n_categories", "n_rows",
+            "CAST(n_categories AS DOUBLE) - CAST(tc AS DOUBLE) / 64e0 AS dev",
+            "CAST(tc AS DOUBLE) / 64e0 AS e")
+          .withColumn("chi2",
+            sum(expr("dev * dev / e").cast(T.exact)).over(w).cast("double"))
+          .selectExpr("bucket", "n_categories", "n_rows",
+            "round(chi2, 4) AS chi2_uniformity")
+          .orderBy("bucket")
+      },
+      Some(s"""WITH b AS (SELECT
+                   (733007 * l_partkey + 100003) % ${T.HASH_P} % 64 AS bucket,
+                   l_partkey
+                 FROM lineitem),
+               g AS (SELECT bucket, count(DISTINCT l_partkey) AS n_categories,
+                   count(*) AS n_rows
+                 FROM b GROUP BY bucket),
+               t AS (SELECT bucket, n_categories, n_rows,
+                   CAST(n_categories AS DOUBLE)
+                     - CAST(sum(n_categories) OVER () AS DOUBLE) / 64e0 AS dev,
+                   CAST(sum(n_categories) OVER () AS DOUBLE) / 64e0 AS e
+                 FROM g)
+               SELECT bucket, n_categories, n_rows,
+                 round(CAST(sum(CAST(dev * dev / e AS DECIMAL(30,12))) OVER () AS DOUBLE), 4) AS chi2_uniformity
+               FROM t ORDER BY bucket"""))
   )
 
   /** Ledoit–Wolf feature set: fixed power-of-ten pre-scales keep the
