@@ -420,7 +420,7 @@ object Diagnostics {
                  round(ssr_halves / n, 2) AS mse_halves,
                  round(((ssr_pooled - ssr_halves) / 2e0) / (ssr_halves / (n - 4e0)), 6) AS chow_f
                FROM f"""))
-  )
+  ) ++ extraEntries
 
   /** Centered-SSR closed form SSR = Syy_c − (Sxy_c)²/Sxx_c on raw moment
     * column names — shared verbatim by the Spark selectExpr and the
@@ -428,4 +428,141 @@ object Diagnostics {
   private def ssrTxt(n: String, sx: String, sy: String, sxx: String,
       sxy: String, syy: String): String =
     s"(($syy - $sy * $sy / $n) - ($sxy - $sx * $sy / $n) * ($sxy - $sx * $sy / $n) / ($sxx - $sx * $sx / $n))"
+
+  /** Pearson r from raw moment columns — the ml_corr_matrix closing text,
+    * parameterized on suffixes for the VIF triple. */
+  private def corrTxt(n: String, sx: String, sy: String, sxx: String,
+      syy: String, sxy: String): String =
+    s"(($n * $sxy - $sx * $sy) / sqrt(($n * $sxx - $sx * $sx) * ($n * $syy - $sy * $sy)))"
+
+  private lazy val extraEntries: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "ml_cohens_d",
+      // Cohen's d effect size for the O-vs-F linestatus split on
+      // extendedprice — the companion number ml_ab_ttest's p-value needs
+      // to MEAN anything (significance without magnitude is the classic
+      // A/B-test misread), plus Hedges' small-sample correction g. ONE
+      // conditional moment pass (per-group n/Σy/Σy² on the exact wire);
+      // the pooled-SD algebra is a 2-row reduction with shared text.
+      (s, dir) => {
+        T.lineitem(s, dir)
+          .select(col("l_linestatus").as("g"),
+            col("l_extendedprice").cast("double").as("y"))
+          .transform(T.fanOut(_))
+          .groupBy("g")
+          .agg(count(lit(1)).cast("double").as("ng"),
+            T.xsum(col("y")).as("sy"), T.xsum(col("y") * col("y")).as("syy"))
+          .selectExpr("g", "ng", "sy / ng AS m",
+            "(syy - sy * sy / ng) / (ng - 1e0) AS s2")
+          .agg(
+            max(when(col("g") === "O", col("ng"))).as("n1"),
+            max(when(col("g") === "F", col("ng"))).as("n2"),
+            max(when(col("g") === "O", col("m"))).as("m1"),
+            max(when(col("g") === "F", col("m"))).as("m2"),
+            max(when(col("g") === "O", col("s2"))).as("v1"),
+            max(when(col("g") === "F", col("s2"))).as("v2"))
+          .selectExpr("n1", "n2", "m1 - m2 AS md",
+            "sqrt(((n1 - 1e0) * v1 + (n2 - 1e0) * v2) / (n1 + n2 - 2e0)) AS sp")
+          .selectExpr("CAST(n1 AS BIGINT) AS n1", "CAST(n2 AS BIGINT) AS n2",
+            "round(md, 4) AS mean_diff", "round(sp, 4) AS pooled_sd",
+            "round(md / sp, 6) AS cohens_d",
+            "round((md / sp) * (1e0 - 3e0 / (4e0 * (n1 + n2) - 9e0)), 6) AS hedges_g")
+      },
+      Some(s"""WITH g AS (SELECT l_linestatus AS g,
+                   CAST(count(*) AS DOUBLE) AS ng,
+                   ${T.sqlXsum("CAST(l_extendedprice AS DOUBLE)")} AS sy,
+                   ${T.sqlXsum("CAST(l_extendedprice AS DOUBLE) * CAST(l_extendedprice AS DOUBLE)")} AS syy
+                 FROM lineitem GROUP BY 1),
+               m AS (SELECT g, ng, sy / ng AS m,
+                   (syy - sy * sy / ng) / (ng - 1e0) AS s2
+                 FROM g),
+               p AS (SELECT
+                   max(CASE WHEN g = 'O' THEN ng END) AS n1,
+                   max(CASE WHEN g = 'F' THEN ng END) AS n2,
+                   max(CASE WHEN g = 'O' THEN m END) AS m1,
+                   max(CASE WHEN g = 'F' THEN m END) AS m2,
+                   max(CASE WHEN g = 'O' THEN s2 END) AS v1,
+                   max(CASE WHEN g = 'F' THEN s2 END) AS v2
+                 FROM m),
+               d AS (SELECT n1, n2, m1 - m2 AS md,
+                   sqrt(((n1 - 1e0) * v1 + (n2 - 1e0) * v2) / (n1 + n2 - 2e0)) AS sp
+                 FROM p)
+               SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+                 round(md, 4) AS mean_diff, round(sp, 4) AS pooled_sd,
+                 round(md / sp, 6) AS cohens_d,
+                 round((md / sp) * (1e0 - 3e0 / (4e0 * (n1 + n2) - 9e0)), 6) AS hedges_g
+               FROM d""")),
+
+    QueryDef(
+      "ml_vif",
+      // Variance inflation factors for (quantity, discount, tax) — the
+      // multicollinearity gate before trusting ml_linreg_multi's
+      // coefficients: VIF_j = 1/(1 − R²_j) with R²_j from regressing
+      // feature j on the other two, closed over pairwise correlations
+      // (R²_{y·12} = (r_y1² + r_y2² − 2r_y1r_y2r_12)/(1 − r_12²)) — so
+      // the WHOLE diagnostic is one ml_corr_matrix-style moment pass and
+      // a 3-arm scalar stack, no per-feature refits. Near-1 VIFs on this
+      // independent fixture are the point (the text_pii_redact
+      // prove-the-zeros discipline).
+      (s, dir) => {
+        val rQD = corrTxt("n", "sq", "sd", "sqq", "sdd", "sqd")
+        val rQT = corrTxt("n", "sq", "st", "sqq", "stt", "sqt")
+        val rDT = corrTxt("n", "sd", "st", "sdd", "stt", "sdt")
+        T.lineitem(s, dir)
+          .select(col("l_quantity").cast("double").as("q"),
+            col("l_discount").cast("double").as("d"),
+            col("l_tax").cast("double").as("t"))
+          .transform(T.fanOut(_))
+          .agg(count(lit(1)).cast("double").as("n"),
+            T.xsum(col("q")).as("sq"), T.xsum(col("d")).as("sd"),
+            T.xsum(col("t")).as("st"),
+            T.xsum(col("q") * col("q")).as("sqq"),
+            T.xsum(col("d") * col("d")).as("sdd"),
+            T.xsum(col("t") * col("t")).as("stt"),
+            T.xsum(col("q") * col("d")).as("sqd"),
+            T.xsum(col("q") * col("t")).as("sqt"),
+            T.xsum(col("d") * col("t")).as("sdt"))
+          .selectExpr(s"$rQD AS rqd", s"$rQT AS rqt", s"$rDT AS rdt")
+          .selectExpr(
+            "stack(3, " +
+              s"'quantity', ${vifR2("rqd", "rqt", "rdt")}, " +
+              s"'discount', ${vifR2("rqd", "rdt", "rqt")}, " +
+              s"'tax', ${vifR2("rqt", "rdt", "rqd")}" +
+              ") AS (feature, r2_aux)")
+          .selectExpr("feature", "round(r2_aux, 6) AS r2_aux",
+            "round(1e0 / (1e0 - r2_aux), 6) AS vif")
+          .orderBy("feature")
+      },
+      Some {
+        val rQD = corrTxt("n", "sq", "sd", "sqq", "sdd", "sqd")
+        val rQT = corrTxt("n", "sq", "st", "sqq", "stt", "sqt")
+        val rDT = corrTxt("n", "sd", "st", "sdd", "stt", "sdt")
+        s"""WITH l AS (SELECT CAST(l_quantity AS DOUBLE) AS q,
+                 CAST(l_discount AS DOUBLE) AS d,
+                 CAST(l_tax AS DOUBLE) AS t
+               FROM lineitem),
+             m AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                 ${T.sqlXsum("q")} AS sq, ${T.sqlXsum("d")} AS sd,
+                 ${T.sqlXsum("t")} AS st,
+                 ${T.sqlXsum("q * q")} AS sqq, ${T.sqlXsum("d * d")} AS sdd,
+                 ${T.sqlXsum("t * t")} AS stt,
+                 ${T.sqlXsum("q * d")} AS sqd, ${T.sqlXsum("q * t")} AS sqt,
+                 ${T.sqlXsum("d * t")} AS sdt
+               FROM l),
+             r AS (SELECT $rQD AS rqd, $rQT AS rqt, $rDT AS rdt FROM m),
+             u AS (SELECT 'quantity' AS feature, ${vifR2("rqd", "rqt", "rdt")} AS r2_aux FROM r
+               UNION ALL SELECT 'discount', ${vifR2("rqd", "rdt", "rqt")} FROM r
+               UNION ALL SELECT 'tax', ${vifR2("rqt", "rdt", "rqd")} FROM r)
+             SELECT feature, round(r2_aux, 6) AS r2_aux,
+               round(1e0 / (1e0 - r2_aux), 6) AS vif
+             FROM u ORDER BY feature"""
+      })
+  )
+
+  /** R² of one feature on the other two from pairwise correlations:
+    * R² = (a² + b² − 2abc)/(1 − c²) where a, b are the target's
+    * correlations with the two regressors and c theirs with each other. */
+  private def vifR2(a: String, b: String, c: String): String =
+    s"(($a * $a + $b * $b - 2e0 * $a * $b * $c) / (1e0 - $c * $c))"
 }

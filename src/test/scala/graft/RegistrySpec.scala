@@ -6,9 +6,9 @@ package graft
   */
 class RegistrySpec extends SparkSpec {
 
-  test("all twenty-one catalogs are registered (66 SURVEY keys + 364 extensions)") {
-    assert(SparkEntry.queries.size == 430,
-      s"expected 430 registered queries, got ${SparkEntry.queries.size}")
+  test("all twenty-one catalogs are registered (66 SURVEY keys + 366 extensions)") {
+    assert(SparkEntry.queries.size == 432,
+      s"expected 432 registered queries, got ${SparkEntry.queries.size}")
   }
 
   test("no oracle uses a constant generate_series bound (VERDICT r4 #2)") {
