@@ -420,7 +420,7 @@ object Diagnostics {
                  round(ssr_halves / n, 2) AS mse_halves,
                  round(((ssr_pooled - ssr_halves) / 2e0) / (ssr_halves / (n - 4e0)), 6) AS chow_f
                FROM f"""))
-  ) ++ extraEntries
+  ) ++ extraEntries ++ testEntries2
 
   /** Centered-SSR closed form SSR = Syy_c − (Sxy_c)²/Sxx_c on raw moment
     * column names — shared verbatim by the Spark selectExpr and the
@@ -565,4 +565,120 @@ object Diagnostics {
     * correlations with the two regressors and c theirs with each other. */
   private def vifR2(a: String, b: String, c: String): String =
     s"(($a * $a + $b * $b - 2e0 * $a * $b * $c) / (1e0 - $c * $c))"
+
+  private lazy val testEntries2: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "ml_power_analysis",
+      // Two-sample power analysis — the experiment-design half of
+      // ml_cohens_d: n per arm ≈ 2·(z_{1−α/2} + z_{1−β})²/d² for α=0.05,
+      // power=0.8 (z constants are literals of the standard normal — the
+      // engines never evaluate an inverse CDF). Reuses the cohens_d
+      // conditional moment pass verbatim; the headline n is computed from
+      // the 6-dp-ROUNDED d so the ceil can never straddle an engine ulp.
+      // The answer a growth team actually asks of a historical metric:
+      // "how many rows would detecting this gap need?"
+      (s, dir) => {
+        T.lineitem(s, dir)
+          .select(col("l_linestatus").as("g"),
+            col("l_extendedprice").cast("double").as("y"))
+          .transform(T.fanOut(_))
+          .groupBy("g")
+          .agg(count(lit(1)).cast("double").as("ng"),
+            T.xsum(col("y")).as("sy"), T.xsum(col("y") * col("y")).as("syy"))
+          .selectExpr("g", "ng", "sy / ng AS m",
+            "(syy - sy * sy / ng) / (ng - 1e0) AS s2")
+          .agg(
+            max(when(col("g") === "O", col("ng"))).as("n1"),
+            max(when(col("g") === "F", col("ng"))).as("n2"),
+            max(when(col("g") === "O", col("m"))).as("m1"),
+            max(when(col("g") === "F", col("m"))).as("m2"),
+            max(when(col("g") === "O", col("s2"))).as("v1"),
+            max(when(col("g") === "F", col("s2"))).as("v2"))
+          .selectExpr(
+            s"round((m1 - m2) / sqrt(((n1 - 1e0) * v1 + (n2 - 1e0) * v2) / (n1 + n2 - 2e0)), 6) AS cohens_d")
+          .selectExpr("cohens_d",
+            "CAST(0.05 AS DOUBLE) AS alpha", "CAST(0.8 AS DOUBLE) AS power",
+            s"CAST(ceil(2e0 * ($PWR_Z * $PWR_Z) / (cohens_d * cohens_d)) AS BIGINT) AS n_per_arm")
+      },
+      Some(s"""WITH g AS (SELECT l_linestatus AS g,
+                   CAST(count(*) AS DOUBLE) AS ng,
+                   ${T.sqlXsum("CAST(l_extendedprice AS DOUBLE)")} AS sy,
+                   ${T.sqlXsum("CAST(l_extendedprice AS DOUBLE) * CAST(l_extendedprice AS DOUBLE)")} AS syy
+                 FROM lineitem GROUP BY 1),
+               m AS (SELECT g, ng, sy / ng AS m,
+                   (syy - sy * sy / ng) / (ng - 1e0) AS s2
+                 FROM g),
+               p AS (SELECT
+                   max(CASE WHEN g = 'O' THEN ng END) AS n1,
+                   max(CASE WHEN g = 'F' THEN ng END) AS n2,
+                   max(CASE WHEN g = 'O' THEN m END) AS m1,
+                   max(CASE WHEN g = 'F' THEN m END) AS m2,
+                   max(CASE WHEN g = 'O' THEN s2 END) AS v1,
+                   max(CASE WHEN g = 'F' THEN s2 END) AS v2
+                 FROM p0),
+               d AS (SELECT round((m1 - m2) / sqrt(((n1 - 1e0) * v1
+                   + (n2 - 1e0) * v2) / (n1 + n2 - 2e0)), 6) AS cohens_d
+                 FROM p)
+               SELECT cohens_d, CAST(0.05 AS DOUBLE) AS alpha,
+                 CAST(0.8 AS DOUBLE) AS power,
+                 CAST(ceil(2e0 * ($PWR_Z * $PWR_Z) / (cohens_d * cohens_d)) AS BIGINT) AS n_per_arm
+               FROM d""".replace("FROM p0", "FROM m"))),
+
+    QueryDef(
+      "ml_tukey_hsd",
+      // Tukey's honestly-significant-difference post-hoc — what a
+      // significant ml_anova_f licenses next: the studentized-range
+      // statistic q = |ȳᵢ − ȳⱼ| / √(MSW/2 · (1/nᵢ + 1/nⱼ)) for every
+      // returnflag pair, with MSW from the SAME single moment pass the
+      // ANOVA uses. The pair space is the k-row fitted frame joined to
+      // itself (k = 3 — model-side work, not data-side); everything rides
+      // the exact wire with shared texts.
+      (s, dir) => {
+        val g = T.lineitem(s, dir)
+          .select(col("l_returnflag").as("g"),
+            col("l_extendedprice").cast("double").as("y"))
+          .transform(T.fanOut(_))
+          .groupBy("g")
+          .agg(count(lit(1)).cast("double").as("ng"),
+            T.xsum(col("y")).as("sy"), T.xsum(col("y") * col("y")).as("syy"))
+          .selectExpr("g", "ng", "sy / ng AS m", "syy - sy * sy / ng AS ssw_g")
+        val msw = g.agg(count(lit(1)).cast("double").as("k"),
+            sum(col("ng").cast(T.exact)).cast("double").as("nn"),
+            sum(col("ssw_g").cast(T.exact)).cast("double").as("ssw"))
+          .selectExpr("ssw / (nn - k) AS msw")
+        g.select(col("g").as("g1"), col("ng").as("n1"), col("m").as("m1"))
+          .join(g.select(col("g").as("g2"), col("ng").as("n2"), col("m").as("m2")),
+            col("g1") < col("g2"))
+          .crossJoin(broadcast(msw))
+          .selectExpr("g1", "g2", "m1 - m2 AS md",
+            "sqrt(msw / 2e0 * (1e0 / n1 + 1e0 / n2)) AS se")
+          .selectExpr("g1", "g2", "round(md, 4) AS mean_diff",
+            "round(se, 4) AS se", "round(abs(md) / se, 6) AS q_stat")
+          .orderBy("g1", "g2")
+      },
+      Some(s"""WITH gr AS (SELECT l_returnflag AS g,
+                   CAST(count(*) AS DOUBLE) AS ng,
+                   ${T.sqlXsum("CAST(l_extendedprice AS DOUBLE)")} AS sy,
+                   ${T.sqlXsum("CAST(l_extendedprice AS DOUBLE) * CAST(l_extendedprice AS DOUBLE)")} AS syy
+                 FROM lineitem GROUP BY 1),
+               f AS (SELECT g, ng, sy / ng AS m, syy - sy * sy / ng AS ssw_g
+                 FROM gr),
+               w AS (SELECT CAST(sum(CAST(ssw_g AS DECIMAL(30,12))) AS DOUBLE)
+                     / (CAST(sum(CAST(ng AS DECIMAL(30,12))) AS DOUBLE) - count(*)) AS msw
+                 FROM f),
+               pr AS (SELECT a.g AS g1, b.g AS g2, a.ng AS n1, b.ng AS n2,
+                   a.m - b.m AS md
+                 FROM f a JOIN f b ON a.g < b.g),
+               se AS (SELECT g1, g2, md,
+                   sqrt(msw / 2e0 * (1e0 / n1 + 1e0 / n2)) AS se
+                 FROM pr CROSS JOIN w)
+               SELECT g1, g2, round(md, 4) AS mean_diff,
+                 round(se, 4) AS se, round(abs(md) / se, 6) AS q_stat
+               FROM se ORDER BY g1, g2"""))
+  )
+
+  /** z_{0.975} + z_{0.8} of the standard normal, as one literal constant
+    * text (1.959963984540054 + 0.8416212335729143). */
+  private lazy val PWR_Z = "(1.959963984540054e0 + 0.8416212335729143e0)"
 }

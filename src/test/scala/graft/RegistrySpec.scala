@@ -6,9 +6,9 @@ package graft
   */
 class RegistrySpec extends SparkSpec {
 
-  test("all twenty-one catalogs are registered (66 SURVEY keys + 366 extensions)") {
-    assert(SparkEntry.queries.size == 432,
-      s"expected 432 registered queries, got ${SparkEntry.queries.size}")
+  test("all twenty-one catalogs are registered (66 SURVEY keys + 368 extensions)") {
+    assert(SparkEntry.queries.size == 434,
+      s"expected 434 registered queries, got ${SparkEntry.queries.size}")
   }
 
   test("no oracle uses a constant generate_series bound (VERDICT r4 #2)") {
@@ -63,6 +63,19 @@ class RegistrySpec extends SparkSpec {
     assert(Oracles.materialize(recM) == recM, "recursive-clause rewrite not idempotent")
     val plain = "SELECT l_returnflag FROM lineitem"
     assert(Oracles.materialize(plain) == plain)
+  }
+
+  test("no oracle interpolates an uninitialized Scala val (lowercase 'null')") {
+    // Oracle texts are built EAGERLY at object init; a shared-text val
+    // declared after `entries` interpolates as the literal string "null"
+    // with no compile error (ml_power_analysis's PWR_Z shipped `(null *
+    // null)` and the driver would have recorded a silent NULL column).
+    // House SQL spells NULL uppercase, so any lowercase bare `null` is
+    // that bug.
+    val bare = "\\bnull\\b".r
+    for ((name, sql) <- SparkEntry.oracleSql)
+      assert(bare.findFirstIn(sql).isEmpty,
+        s"$name oracle contains a lowercase 'null' — uninitialized interpolation?")
   }
 
   test("every oracle key has a registered query") {
