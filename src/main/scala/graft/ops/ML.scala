@@ -3929,6 +3929,102 @@ object ML {
       }),
 
     QueryDef(
+      "ml_propensity_strata",
+      // Propensity-score subclassification (Rosenbaum & Rubin 1983/84 —
+      // the 5-strata workhorse next to ml_propensity_ipw's weighting and
+      // ml_doubly_robust's AIPW): rows stratify by fixed-width bands of
+      // the SHARED clipped propensity fit, within-stratum treated−control
+      // gaps are confound-adjusted by construction, and ATT is the
+      // treated-weighted average over strata holding BOTH arms. The
+      // whole estimator is the scoring pass + one bounded groupBy; ATT
+      // closes over the ≤5-row frame (bounded global window on the
+      // exact wire). Same σ REAL-collapse / clip texts as the IPW row.
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        val d = causalFrame(s, dir)
+        val (a, b) = propensityBeta(s, dir)
+        val ab = Seq((a, b)).toDF("ca", "cb")
+        val w = Window.partitionBy()
+        val scored = d.crossJoin(broadcast(ab))
+          .selectExpr("tr", "yv",
+            "greatest(1e-2, least(99e-2, CAST(CAST(1.0 / (1.0 + exp(-(ca + cb * x))) AS FLOAT) AS DOUBLE))) AS e")
+        // band edges from the fitted score's own range (one bounded
+        // min/max pass, broadcast): the fixture's e spans a narrow slice
+        // of [0,1], so fixed-width [0,1] bands would collapse to one
+        // stratum and the subclassification would degenerate to naive
+        val mm = scored.agg(min(col("e")).as("emin"), max(col("e")).as("emax"))
+        scored.crossJoin(broadcast(mm))
+          .selectExpr("tr", "yv",
+            "least(4, CAST(floor((e - emin) / ((emax - emin) / 5e0)) AS INT)) AS stratum")
+          .groupBy("stratum")
+          .agg(T.xsum(col("tr")).as("n1"),
+            T.xsum(expr("1e0 - tr")).as("n0"),
+            T.xsum(expr("tr * yv")).as("s1"),
+            T.xsum(expr("(1e0 - tr) * yv")).as("s0"))
+          .withColumn("attn", sum(expr(
+            "CASE WHEN n1 > 0e0 AND n0 > 0e0 THEN n1 * (s1 / n1 - s0 / n0) ELSE 0e0 END")
+            .cast(T.exact)).over(w).cast("double"))
+          .withColumn("attd", sum(expr(
+            "CASE WHEN n1 > 0e0 AND n0 > 0e0 THEN n1 ELSE 0e0 END")
+            .cast(T.exact)).over(w).cast("double"))
+          .selectExpr("stratum",
+            "CAST(n1 AS BIGINT) AS n_treated", "CAST(n0 AS BIGINT) AS n_control",
+            "round(CASE WHEN n1 > 0e0 AND n0 > 0e0 THEN s1 / n1 - s0 / n0 END, 6) AS diff",
+            "round(attn / attd, 6) AS att")
+          .orderBy("stratum")
+      },
+      Some {
+        def mStep(src: String) =
+          s"""SELECT ${T.sqlXsum("y - mu")} AS g0,
+                ${T.sqlXsum("(y - mu) * x")} AS g1,
+                ${T.sqlXsum("mu * (1.0 - mu)")} AS h00,
+                ${T.sqlXsum("mu * (1.0 - mu) * x")} AS h01,
+                ${T.sqlXsum("mu * (1.0 - mu) * x * x")} AS h11
+              FROM $src"""
+        def beta(m: String, prevA: String, prevB: String) =
+          s"""SELECT $prevA + (h11 * g0 - h01 * g1) / (h00 * h11 - h01 * h01) AS a,
+                $prevB + (h00 * g1 - h01 * g0) / (h00 * h11 - h01 * h01) AS b
+              FROM $m"""
+        s"""WITH d AS (SELECT CAST(l_quantity AS DOUBLE) AS x,
+                   CASE WHEN l_discount > 0.05 THEN 1.0 ELSE 0.0 END AS y,
+                   CAST(l_extendedprice AS DOUBLE) AS yv
+                 FROM lineitem),
+                 i1 AS (SELECT x, y, yv, CAST(CAST(1.0 / (1.0 + exp(-(0.0 + 0.0 * x))) AS REAL) AS DOUBLE) AS mu FROM d),
+                 m1 AS (${mStep("i1")}),
+                 b1 AS (${beta("m1", "0.0", "0.0")}),
+                 i2 AS (SELECT x, y, yv, CAST(CAST(1.0 / (1.0 + exp(-(a + b * x))) AS REAL) AS DOUBLE) AS mu FROM d, b1),
+                 m2 AS (${mStep("i2")}),
+                 b2 AS (${beta("m2, b1", "b1.a", "b1.b")}),
+                 sc0 AS (SELECT y AS tr, yv,
+                     greatest(1e-2, least(99e-2,
+                       CAST(CAST(1.0 / (1.0 + exp(-(a + b * x))) AS REAL) AS DOUBLE))) AS e
+                   FROM d, b2),
+                 mm AS (SELECT min(e) AS emin, max(e) AS emax FROM sc0),
+                 sc AS (SELECT tr, yv,
+                     least(4, CAST(floor((e - emin) / ((emax - emin) / 5e0)) AS INT)) AS stratum
+                   FROM sc0, mm),
+                 g AS (SELECT stratum,
+                     ${T.sqlXsum("tr")} AS n1, ${T.sqlXsum("1e0 - tr")} AS n0,
+                     ${T.sqlXsum("tr * yv")} AS s1,
+                     ${T.sqlXsum("(1e0 - tr) * yv")} AS s0
+                   FROM sc GROUP BY stratum),
+                 t AS (SELECT stratum, n1, n0, s1, s0,
+                     CAST(sum(CAST(CASE WHEN n1 > 0e0 AND n0 > 0e0
+                         THEN n1 * (s1 / n1 - s0 / n0) ELSE 0e0 END AS DECIMAL(30,12)))
+                       OVER () AS DOUBLE) AS attn,
+                     CAST(sum(CAST(CASE WHEN n1 > 0e0 AND n0 > 0e0
+                         THEN n1 ELSE 0e0 END AS DECIMAL(30,12)))
+                       OVER () AS DOUBLE) AS attd
+                   FROM g)
+               SELECT stratum,
+                 CAST(n1 AS BIGINT) AS n_treated, CAST(n0 AS BIGINT) AS n_control,
+                 round(CASE WHEN n1 > 0e0 AND n0 > 0e0 THEN s1 / n1 - s0 / n0 END, 6) AS diff,
+                 round(attn / attd, 6) AS att
+               FROM t ORDER BY stratum"""
+      }),
+
+    QueryDef(
       "ml_cohen_kappa",
       // Cohen's kappa between the engine's TWO multiclass meta-strategies
       // (ml_ovr_classifier vs ml_ovo_classifier predictions on the same
