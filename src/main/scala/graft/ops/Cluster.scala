@@ -3213,6 +3213,95 @@ object Cluster {
       }),
 
     QueryDef(
+      "graph_louvain_move",
+      // Louvain phase-1, first synchronous sweep from singletons (Blondel
+      // et al. 2008; cuGraph's louvain starts exactly here): with every
+      // community a singleton {j}, moving i next to neighbor j gains
+      // ΔQ = 1/m − k_i·k_j/(2m²) — maximized by i's LOWEST-DEGREE
+      // neighbor (shared text keeps the gain explicit; the argmax is the
+      // deterministic (k_v, v) window pick). All vertices move at once
+      // (the synchronous variant — Louvain's sequential scan order is
+      // engine-undefined, so it cannot be the cross-engine contract) iff
+      // their best gain is positive. Output: the sweep audit — moves
+      // made, communities after, modularity after vs the singleton
+      // baseline Q₀ = −Σ(k_i/2m)² (the gain a Louvain log prints for
+      // round 1). Shapes: O(E) vertex-keyed joins, per-vertex bounded
+      // window, community-bounded aggregates — the graph_modularity wire.
+      (s, dir) => {
+        val e = T.freeze(epsPairs(s, dir, HORIZON)) // (a < b)
+        val nbr = T.freeze(e.select(col("a").as("u"), col("b").as("v"))
+          .unionAll(e.select(col("b").as("u"), col("a").as("v"))))
+        val m = e.agg(count(lit(1)).as("m"))
+        val deg = nbr.groupBy("u").agg(count(lit(1)).as("deg"))
+        val win = Window.partitionBy("u").orderBy(col("kv").asc, col("v").asc)
+        val lbl = T.freeze(nbr
+          .join(deg.select(col("u").as("v"), col("deg").as("kv")), "v")
+          .withColumn("rn", row_number().over(win))
+          .where(col("rn") === 1)
+          .join(deg, "u").crossJoin(broadcast(m))
+          .selectExpr("u",
+            "CASE WHEN 1e0 / m - (CAST(deg AS DOUBLE) * kv) / (2e0 * m * m) > 0e0 THEN v ELSE u END AS lbl"))
+        val ec = e.join(lbl.select(col("u").as("a"), col("lbl").as("la")), "a")
+          .join(lbl.select(col("u").as("b"), col("lbl").as("lb")), "b")
+          .where(col("la") === col("lb"))
+          .groupBy(col("la").as("lbl")).agg(count(lit(1)).as("ec"))
+        val dc = deg.join(lbl, "u").groupBy("lbl").agg(sum(col("deg")).as("dc"))
+        val q = dc.join(ec, Seq("lbl"), "left").crossJoin(broadcast(m))
+          .selectExpr(
+            "CAST(coalesce(ec, 0) AS DOUBLE) / m - (CAST(dc AS DOUBLE) / (2 * m)) * (CAST(dc AS DOUBLE) / (2 * m)) AS t")
+          .agg(count(lit(1)).as("n_communities"), T.xsum(col("t")).as("q"))
+        val q0 = deg.crossJoin(broadcast(m))
+          .selectExpr("(CAST(deg AS DOUBLE) / (2 * m)) * (CAST(deg AS DOUBLE) / (2 * m)) AS t0")
+          .agg(T.xsum(expr("-t0")).as("q0"))
+        val moved = lbl.agg(
+          sum(when(col("lbl") =!= col("u"), 1L).otherwise(0L)).as("n_moved"))
+        moved.crossJoin(broadcast(q)).crossJoin(broadcast(q0))
+          .selectExpr("n_moved", "n_communities",
+            "round(q, 6) AS modularity", "round(q0, 6) AS q_singleton",
+            "round(q - q0, 6) AS gain")
+      },
+      Some(s"""WITH pts AS (SELECT vec_id AS id,
+                   CAST(embedding[1] AS DOUBLE) AS x,
+                   CAST(embedding[2] AS DOUBLE) AS y FROM embeddings),
+                 ep AS (SELECT p.id AS a, q.id AS b FROM pts p JOIN pts q
+                   ON p.id < q.id
+                  AND (p.x - q.x) * (p.x - q.x) + (p.y - q.y) * (p.y - q.y)
+                      <= ${HORIZON * HORIZON}),
+                 nbr AS (SELECT a AS u, b AS v FROM ep
+                         UNION ALL SELECT b, a FROM ep),
+                 m AS (SELECT count(*) AS m FROM ep),
+                 deg AS (SELECT u, count(*) AS deg FROM nbr GROUP BY u),
+                 pick AS (SELECT u, v, kv FROM (
+                     SELECT n.u, n.v, dv.deg AS kv,
+                       row_number() OVER (PARTITION BY n.u
+                         ORDER BY dv.deg ASC, n.v ASC) AS rn
+                     FROM nbr n JOIN deg dv ON dv.u = n.v) t
+                   WHERE rn = 1),
+                 lbl AS (SELECT p.u,
+                     CASE WHEN 1e0 / m - (CAST(du.deg AS DOUBLE) * p.kv)
+                         / (2e0 * m * m) > 0e0
+                       THEN p.v ELSE p.u END AS lbl
+                   FROM pick p JOIN deg du ON du.u = p.u CROSS JOIN m),
+                 ec AS (SELECT la.lbl AS lbl, count(*) AS ec
+                   FROM ep JOIN lbl la ON la.u = ep.a
+                   JOIN lbl lb ON lb.u = ep.b
+                   WHERE la.lbl = lb.lbl GROUP BY la.lbl),
+                 dc AS (SELECT l.lbl, CAST(sum(deg) AS BIGINT) AS dc
+                   FROM deg d JOIN lbl l ON l.u = d.u GROUP BY l.lbl),
+                 qq AS (SELECT count(*) AS n_communities,
+                     ${T.sqlXsum("CAST(coalesce(ec, 0) AS DOUBLE) / m - (CAST(dc AS DOUBLE) / (2 * m)) * (CAST(dc AS DOUBLE) / (2 * m))")} AS q
+                   FROM dc LEFT JOIN ec ON dc.lbl = ec.lbl CROSS JOIN m),
+                 q0 AS (SELECT ${T.sqlXsum("-((CAST(deg AS DOUBLE) / (2 * m)) * (CAST(deg AS DOUBLE) / (2 * m)))")} AS q0
+                   FROM deg CROSS JOIN m),
+                 mv AS (SELECT CAST(sum(CASE WHEN lbl <> u THEN 1 ELSE 0 END) AS BIGINT) AS n_moved
+                   FROM lbl)
+               SELECT n_moved, n_communities,
+                 round(q, 6) AS modularity, round(q0, 6) AS q_singleton,
+                 round(q - q0, 6) AS gain
+               FROM mv CROSS JOIN qq CROSS JOIN q0"""),
+      ),
+
+    QueryDef(
       "ml_hbos",
       // Histogram-Based Outlier Score (Goldstein & Dengel 2012) — the
       // O(n) density outlier detector next to ml_lof's O(n·k) one: each
