@@ -686,6 +686,55 @@ object Behavior {
                FROM ab JOIN s1 sa ON sa.event_type = ab.ante
                  JOIN s1 sb ON sb.event_type = ab.cons
                  CROSS JOIN nu
-               ORDER BY ante, cons"""))
+               ORDER BY ante, cons""")),
+
+    QueryDef(
+      "fn_interpolate_gaps",
+      // Linear gap interpolation with a built-in reconstruction audit —
+      // the time-series imputation sibling of fn_ffill: BLANK every 7th
+      // day of the daily order series (t ≡ 3 mod 7 — deterministic,
+      // isolated gaps, endpoints excluded), reconstruct each blank from
+      // its two surviving neighbors, and score the reconstruction
+      // against the held-back truth (the only honest way to registry-
+      // check an imputer). Corpus work = ONE daily aggregate; the
+      // lag/lead windows run on the bounded day-range frame. Counts are
+      // exact integers; the midpoint and errors are shared-text doubles.
+      (s, dir) => {
+        val daily = T.orders(s, dir)
+          .groupBy(col("o_orderdate").as("day"))
+          .agg(count(lit(1)).as("y"))
+          .withColumn("t", row_number().over(Window.orderBy("day")))
+          .withColumn("nn", count(lit(1)).over(Window.partitionBy()))
+        val w = Window.orderBy("t")
+        daily
+          .withColumn("yp", lag(col("y"), 1).over(w))
+          .withColumn("yn", lead(col("y"), 1).over(w))
+          .where(col("t") % 7 === 3 && col("t") > 1 && col("t") < col("nn"))
+          .selectExpr("y",
+            "(CAST(yp AS DOUBLE) + CAST(yn AS DOUBLE)) / 2e0 AS yhat")
+          .agg(count(lit(1)).as("n_blanked"),
+            (T.xsum(expr("abs(yhat - y)")) / count(lit(1))).as("mae"),
+            (T.xsum(expr("(yhat - y) * (yhat - y)")) / count(lit(1))).as("mse"))
+          .selectExpr("n_blanked", "round(mae, 4) AS interp_mae",
+            "round(sqrt(mse), 4) AS interp_rmse")
+      },
+      Some("""WITH daily AS (SELECT o_orderdate AS day, count(*) AS y
+                 FROM orders GROUP BY 1),
+               idx AS (SELECT y, row_number() OVER (ORDER BY day) AS t,
+                   count(*) OVER () AS nn
+                 FROM daily),
+               lagd AS (SELECT y, t, nn,
+                   lag(y, 1) OVER (ORDER BY t) AS yp,
+                   lead(y, 1) OVER (ORDER BY t) AS yn
+                 FROM idx),
+               bl AS (SELECT y,
+                   (CAST(yp AS DOUBLE) + CAST(yn AS DOUBLE)) / 2e0 AS yhat
+                 FROM lagd WHERE t % 7 = 3 AND t > 1 AND t < nn)
+               SELECT count(*) AS n_blanked,
+                 round(CAST(sum(CAST(abs(yhat - y) AS DECIMAL(30,12))) AS DOUBLE)
+                   / count(*), 4) AS interp_mae,
+                 round(sqrt(CAST(sum(CAST((yhat - y) * (yhat - y) AS DECIMAL(30,12))) AS DOUBLE)
+                   / count(*)), 4) AS interp_rmse
+               FROM bl"""))
   )
 }

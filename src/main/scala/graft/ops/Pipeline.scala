@@ -31,6 +31,11 @@ object Pipeline {
     "CAST(CAST(ln((CAST(n_good AS DOUBLE) / gt) / " +
       "(CAST(n_bad AS DOUBLE) / bt)) AS FLOAT) AS DOUBLE)"
 
+  /** p^0.3 as exp(0.3·ln p), both transcendentals REAL-collapsed — pow()
+    * has no cross-engine bit contract; this composition does. */
+  private val tempPowTxt =
+    "CAST(CAST(exp(0.3e0 * CAST(CAST(ln(p) AS FLOAT) AS DOUBLE)) AS FLOAT) AS DOUBLE)"
+
   /** PII patterns for text_pii_redact — deliberately LOOKAROUND-FREE so
     * Java regex (Spark) and RE2 (DuckDB) match identically; applied in a
     * fixed order (email → ipv4 → phone) so both engines see the same
@@ -949,6 +954,52 @@ object Pipeline {
                  count(DISTINCT l_suppkey) AS n_groups, count(*) AS n_rows,
                  ${T.sqlDavg("l_extendedprice")} AS avg_price
                FROM lineitem GROUP BY 1 ORDER BY fold""")),
+
+    QueryDef(
+      "text_sampling_temperature",
+      // Temperature-scaled language sampling (the mT5/XLM-R α-sampling
+      // rule, Conneau et al. 2020): w_l ∝ p_l^α with α = 0.3 upweights
+      // tail languages so a multilingual pretraining mix isn't swallowed
+      // by the head — THE knob next to text_domain_mix when the corpus
+      // spans languages. p_l from exact per-lang token counts (one
+      // map-side-combined pass); p^α computed as exp(α·ln p) with BOTH
+      // transcendentals REAL-collapsed (no pow() cross-engine contract
+      // needed); the normalizer is a bounded-window exact sum. Output
+      // per lang: share, temperature weight, and the upsample factor a
+      // sampler applies.
+      (s, dir) => {
+        val w = Window.partitionBy()
+        T.documents(s, dir)
+          .transform(T.fanOut(_, col("doc_id")))
+          .select(col("lang"),
+            expr("CAST(size(filter(split(text, ' '), t -> t <> '')) AS BIGINT)").as("nt"))
+          .groupBy("lang").agg(sum(col("nt")).as("n_tokens"))
+          .withColumn("nn", sum(col("n_tokens")).over(w))
+          .selectExpr("lang", "n_tokens",
+            "CAST(n_tokens AS DOUBLE) / nn AS p")
+          .selectExpr("lang", "n_tokens", "p", s"$tempPowTxt AS pw")
+          .withColumn("z", sum(col("pw").cast(T.exact)).over(w).cast("double"))
+          .selectExpr("lang", "n_tokens", "round(p, 6) AS share",
+            "round(pw / z, 6) AS weight",
+            "round((pw / z) / p, 4) AS upsample_factor")
+          .orderBy("lang")
+      },
+      Some(s"""WITH d AS (SELECT lang,
+                   CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS nt
+                 FROM documents),
+               g AS (SELECT lang, CAST(sum(nt) AS BIGINT) AS n_tokens
+                 FROM d GROUP BY lang),
+               p AS (SELECT lang, n_tokens,
+                   CAST(n_tokens AS DOUBLE) / (SELECT sum(n_tokens) FROM g) AS p
+                 FROM g),
+               t AS (SELECT lang, n_tokens, p, $tempPowTxt AS pw FROM p),
+               z AS (SELECT lang, n_tokens, p, pw,
+                   CAST(sum(CAST(pw AS DECIMAL(30,12))) OVER () AS DOUBLE) AS z
+                 FROM t)
+               SELECT lang, n_tokens, round(p, 6) AS share,
+                 round(pw / z, 6) AS weight,
+                 round((pw / z) / p, 4) AS upsample_factor
+               FROM z ORDER BY lang""")),
 
     QueryDef(
       "text_pmi_collocations",
