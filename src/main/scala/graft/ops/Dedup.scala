@@ -1237,6 +1237,111 @@ object Dedup {
                GROUP BY source ORDER BY source""")),
 
     QueryDef(
+      "dedup_cross_source",
+      // Cross-source duplication matrix — the provenance view a curation
+      // run reports after dedup_exact: for every UNORDERED source pair,
+      // how many exact-duplicate document pairs straddle it (mirror-site
+      // detection, licensing-leak triage, crawl-overlap accounting).
+      // Key = the 16-TOKEN PREFIX fingerprint (the crawl-triage
+      // granularity: a shared opener is how template/mirror families
+      // surface when full texts diverge in their tails — this fixture
+      // has 22 such groups and zero full-text dups, so the prefix is
+      // what makes the matrix non-trivial); docs under 16 tokens are out
+      // of scope. Pair generation ONLY within fingerprint groups
+      // (Σ group², never corpus²) via an fp-keyed self-join with the
+      // doc_id < tiebreak; the source pair is canonicalized with
+      // least/greatest so A→B and B→A land in one cell. Output: the
+      // upper-triangle matrix (self-pairs included — within-source dups
+      // are real too).
+      (s, dir) => {
+        val docs = T.documents(s, dir)
+          .transform(T.fanOut(_, col("doc_id")))
+          .select(col("doc_id"), col("source"),
+            expr("filter(split(text, ' '), t -> t <> '')").as("ts"))
+          .where(size(col("ts")) >= 16)
+          .selectExpr("doc_id", "source",
+            "array_join(slice(ts, 1, 16), ' ') AS pre")
+          .select(col("doc_id"), col("source"), T.polyTid("pre").as("fp"))
+        docs.select(col("fp"), col("doc_id").as("ia"), col("source").as("sa"))
+          .join(docs.select(col("fp"), col("doc_id").as("ib"),
+            col("source").as("sb")), "fp")
+          .where(col("ia") < col("ib"))
+          .selectExpr("least(sa, sb) AS source_a", "greatest(sa, sb) AS source_b")
+          .groupBy("source_a", "source_b")
+          .agg(count(lit(1)).as("n_dup_pairs"))
+          .orderBy("source_a", "source_b")
+      },
+      Some(s"""WITH tk AS (SELECT doc_id, source,
+                   list_filter(string_split(text, ' '), t -> t <> '') AS ts
+                 FROM documents),
+               d AS (SELECT doc_id, source,
+                   ${T.sqlPolyTid("array_to_string(ts[1:16], ' ')")} AS fp
+                 FROM tk WHERE len(ts) >= 16),
+               pr AS (SELECT least(a.source, b.source) AS source_a,
+                   greatest(a.source, b.source) AS source_b
+                 FROM d a JOIN d b ON a.fp = b.fp AND a.doc_id < b.doc_id)
+               SELECT source_a, source_b, count(*) AS n_dup_pairs
+               FROM pr GROUP BY 1, 2 ORDER BY source_a, source_b""")),
+
+    QueryDef(
+      "ml_jackknife_se",
+      // Delete-one-group jackknife standard error of the mean (Tukey
+      // 1958; the resampling SE next to ml_bootstrap_ci's Poisson
+      // bootstrap): 32 deterministic hash buckets (family 424243/181081),
+      // leave-one-bucket-out means from EXACT per-bucket decimal sums
+      // (the ml_kfold_cv subtract trick — 32 replicates, one pass), then
+      // SE = √((G−1)/G · Σ(θ̂ᵢ − θ̄)²) over the bounded 32-row frame. The
+      // at-scale story: replicates come from sufficient statistics, so
+      // the jackknife costs one aggregation regardless of G.
+      (s, dir) => {
+        val w = Window.partitionBy()
+        T.lineitem(s, dir)
+          .select(((lit(424243L) * (col("l_orderkey") * 8 + col("l_linenumber"))
+            + lit(181081L)) % lit(T.HASH_P) % 32).as("g"),
+            col("l_extendedprice").cast("double").as("y"))
+          .transform(T.fanOut(_))
+          .groupBy("g")
+          .agg(count(lit(1)).as("ng"), T.xsumD(col("y")).as("sg"))
+          .withColumn("nn", sum(col("ng")).over(w))
+          .withColumn("ss", sum(col("sg")).over(w))
+          .selectExpr("g",
+            "CAST(ss - sg AS DOUBLE) / CAST(nn - ng AS DOUBLE) AS loo",
+            "CAST(ss AS DOUBLE) / CAST(nn AS DOUBLE) AS mean_all", "nn")
+          .withColumn("gg", count(lit(1)).over(w).cast("double"))
+          .withColumn("loobar",
+            (sum(col("loo").cast(T.exact)).over(w).cast("double") / col("gg")))
+          .agg(first(col("nn")).as("n"),
+            first(col("gg")).cast("int").as("g_buckets"),
+            round(first(col("mean_all")), 6).as("mean"),
+            round(sqrt(T.xsum(expr("(loo - loobar) * (loo - loobar)"))
+              * (first(col("gg")) - 1d) / first(col("gg"))), 6).as("jackknife_se"))
+      },
+      Some(s"""WITH b AS (SELECT
+                   (424243 * (l_orderkey * 8 + l_linenumber) + 181081)
+                     % ${T.HASH_P} % 32 AS g,
+                   CAST(l_extendedprice AS DOUBLE) AS y
+                 FROM lineitem),
+               m AS (SELECT g, count(*) AS ng, ${T.sqlXsumD("y")} AS sg
+                 FROM b GROUP BY g),
+               t AS (SELECT g, ng, sg,
+                   sum(ng) OVER () AS nn, sum(sg) OVER () AS ss
+                 FROM m),
+               l AS (SELECT g,
+                   CAST(ss - sg AS DOUBLE) / CAST(nn - ng AS DOUBLE) AS loo,
+                   CAST(ss AS DOUBLE) / CAST(nn AS DOUBLE) AS mean_all, nn,
+                   CAST(count(*) OVER () AS DOUBLE) AS gg
+                 FROM t),
+               lb AS (SELECT *, CAST(sum(CAST(loo AS DECIMAL(30,12))) OVER ()
+                     AS DOUBLE) / gg AS loobar
+                 FROM l)
+               SELECT CAST(any_value(nn) AS BIGINT) AS n,
+                 CAST(any_value(gg) AS INT) AS g_buckets,
+                 round(any_value(mean_all), 6) AS mean,
+                 round(sqrt(${T.sqlXsum("(loo - loobar) * (loo - loobar)")}
+                   * (any_value(gg) - 1) / any_value(gg)), 6) AS jackknife_se
+               FROM lb""")),
+
+    QueryDef(
       "dedup_bloom_prefilter",
       // BLOOM-FILTER candidate pre-filter for exact dedup (Bloom 1970;
       // the standard trick before a corpus-wide dedup shuffle: a few
