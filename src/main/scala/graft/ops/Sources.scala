@@ -135,6 +135,76 @@ object Sources {
                GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
     QueryDef(
+      "sink_sorted_parquet",
+      // Range-clustered layout: sortWithinPartitions(o_orderdate) before
+      // the parquet write puts each row group's date min/max stats in a
+      // narrow band, so a later date-range scan prunes most row groups
+      // from the FOOTERS alone — the zone-map/Z-order-lite pattern that
+      // complements sink_partitioned_parquet's directory pruning (a
+      // 100 TB table can't afford a directory per day, but every row
+      // group carries stats for free). The re-read runs a range query;
+      // the oracle proves layout is result-invisible.
+      (s, dir) => {
+        val path = scratch("sorted", dir)
+        T.orders(s, dir)
+          // the fixture column is TIMESTAMP — write the clustered column
+          // as DATE so the range predicate below compares dates on both
+          // engines (the ml_chow_test shipdate lesson)
+          .select(col("o_orderkey"),
+            col("o_orderdate").cast("date").as("o_orderdate"),
+            col("o_totalprice"))
+          .sortWithinPartitions("o_orderdate")
+          .write.mode(SaveMode.Overwrite).parquet(path)
+        s.read.parquet(path)
+          .where(col("o_orderdate") >= lit("1995-01-01").cast("date") &&
+            col("o_orderdate") < lit("1995-04-01").cast("date"))
+          .agg(count(lit(1)).as("n"),
+            T.dsum(col("o_totalprice")).as("total_price"))
+          .selectExpr("n", "total_price")
+      },
+      Some(s"""SELECT count(*) AS n, ${T.sqlDsum("o_totalprice")} AS total_price
+               FROM orders
+               WHERE CAST(o_orderdate AS DATE) >= DATE '1995-01-01'
+                 AND CAST(o_orderdate AS DATE) < DATE '1995-04-01'""")),
+
+    QueryDef(
+      "scan_schema_evolution",
+      // Schema evolution across parquet generations — the data-lake fact
+      // of life at 100 TB (yesterday's files lack today's column): gen1
+      // is written WITHOUT o_totalprice, gen2 WITH it; a mergeSchema read
+      // unifies the generations, NULL-filling the missing column, and
+      // the aggregate proves exactly the gen2 slice carries prices. The
+      // oracle replays the union with an explicit NULL arm — evolution
+      // must be value-equivalent to the UNION a migration would write.
+      (s, dir) => {
+        val base = scratch("evolve", dir)
+        val o = T.orders(s, dir)
+        o.where(col("o_orderkey") % 2 === 0)
+          .select("o_orderkey", "o_orderstatus")
+          .write.mode(SaveMode.Overwrite).parquet(s"$base/gen=1")
+        o.where(col("o_orderkey") % 2 === 1)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+          .write.mode(SaveMode.Overwrite).parquet(s"$base/gen=2")
+        s.read.option("mergeSchema", "true").parquet(s"$base/gen=1", s"$base/gen=2")
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("o_totalprice").isNull, 1L).otherwise(0L)).as("n_legacy"),
+            T.dsum(coalesce(col("o_totalprice"), lit(0.0))).as("total_price"))
+          .orderBy("o_orderstatus")
+      },
+      Some(s"""WITH u AS (
+                 SELECT o_orderkey, o_orderstatus,
+                   CAST(NULL AS DOUBLE) AS o_totalprice
+                 FROM orders WHERE o_orderkey % 2 = 0
+                 UNION ALL
+                 SELECT o_orderkey, o_orderstatus, o_totalprice
+                 FROM orders WHERE o_orderkey % 2 = 1)
+               SELECT o_orderstatus, count(*) AS n,
+                 CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_legacy,
+                 ${T.sqlDsum("coalesce(o_totalprice, 0.0)")} AS total_price
+               FROM u GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    QueryDef(
       "sink_bucketed_join",
       // Bucketed layout = the shuffle you pay ONCE at write time instead
       // of on every join (r6 second half — the co-located-join tool the
