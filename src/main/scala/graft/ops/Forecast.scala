@@ -1299,6 +1299,151 @@ object Forecast {
                FROM cl ORDER BY duration_days""")),
 
     QueryDef(
+      "ml_survival_na",
+      // Nelson–Aalen cumulative hazard over the same activity spans —
+      // the estimator read NEXT to Kaplan–Meier (H(d) = Σ_{d'≤d} e/r is
+      // the additive view; −ln S approximates it, and their gap is the
+      // small-risk-set diagnostic): identical span/censor wire as
+      // ml_survival_km, but the accumulation is a pure RATIONAL sum on
+      // the exact decimal wire — no transcendentals at all, so the only
+      // rounding is the final 6 dp. Also emits the KM cross-check column
+      // exp(−H) a practitioner eyeballs against the KM curve.
+      (s, dir) => {
+        val ev = T.events(s, dir)
+          .select(col("user_id"), unix_micros(col("ts").cast("timestamp")).as("us"))
+        val spans = ev.groupBy("user_id")
+          .agg(min(col("us")).as("first_us"), max(col("us")).as("last_us"))
+        val gmax = ev.agg(max(col("us")).as("gmax"))
+        val dur = spans.crossJoin(broadcast(gmax))
+          .selectExpr("(last_us - first_us) div 86400000000 AS d",
+            "CASE WHEN last_us <= gmax - 604800000000 THEN 1 ELSE 0 END AS e")
+        val byd = dur.groupBy("d")
+          .agg(count(lit(1)).as("c"), sum(col("e")).as("ev"))
+        val tot = dur.agg(count(lit(1)).as("n_total"))
+        val wAsc = Window.orderBy(col("d"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wPrev = Window.orderBy(col("d"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        byd.crossJoin(broadcast(tot))
+          .withColumn("at_risk",
+            col("n_total") - coalesce(sum(col("c")).over(wPrev), lit(0L)))
+          .withColumn("h",
+            sum(expr("CAST(ev AS DOUBLE) / at_risk").cast(T.exact))
+              .over(wAsc).cast("double"))
+          .selectExpr("d AS duration_days", "ev AS n_events", "at_risk",
+            "round(h, 6) AS cum_hazard",
+            "round(CAST(CAST(exp(-h) AS FLOAT) AS DOUBLE), 6) AS surv_na")
+          .orderBy("duration_days")
+      },
+      Some("""WITH ev AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+                 spans AS (SELECT user_id, min(us) AS first_us, max(us) AS last_us
+                           FROM ev GROUP BY user_id),
+                 gm AS (SELECT max(us) AS gmax FROM ev),
+                 dur AS (SELECT CAST((last_us - first_us) // 86400000000 AS BIGINT) AS d,
+                     CASE WHEN last_us <= gmax - 604800000000 THEN 1 ELSE 0 END AS e
+                   FROM spans CROSS JOIN gm),
+                 byd AS (SELECT d, count(*) AS c, CAST(sum(e) AS BIGINT) AS ev
+                         FROM dur GROUP BY d),
+                 tot AS (SELECT count(*) AS n_total FROM dur),
+                 rk AS (SELECT *, n_total - coalesce(sum(c) OVER (ORDER BY d
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS at_risk
+                   FROM byd CROSS JOIN tot),
+                 hz AS (SELECT *,
+                     CAST(sum(CAST(CAST(ev AS DOUBLE) / at_risk AS DECIMAL(30,12)))
+                       OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS h
+                   FROM rk)
+               SELECT d AS duration_days, ev AS n_events, at_risk,
+                 round(h, 6) AS cum_hazard,
+                 round(CAST(CAST(exp(-h) AS REAL) AS DOUBLE), 6) AS surv_na
+               FROM hz ORDER BY duration_days""")),
+
+    QueryDef(
+      "ml_logrank_test",
+      // Log-rank (Mantel–Cox) two-cohort survival comparison — the
+      // hypothesis test that goes WITH the KM curves (do even- and
+      // odd-id users churn at the same rate?): at each event time,
+      // E₁ = d·n₁/n expected cohort-1 events under H₀ and hypergeometric
+      // variance v = d·(n₁/n)·(1−n₁/n)·(n−d)/(n−1); χ² = (O₁−E₁)²/ΣV.
+      // Cohort = user parity (deterministic, the split-by-entity rule —
+      // never by row). Same span wire; per-cohort at-risk counts come
+      // from two cumulative windows over the bounded duration table;
+      // every input to the ratio algebra is an exact integer.
+      (s, dir) => {
+        val ev = T.events(s, dir)
+          .select(col("user_id"), unix_micros(col("ts").cast("timestamp")).as("us"))
+        val spans = ev.groupBy("user_id")
+          .agg(min(col("us")).as("first_us"), max(col("us")).as("last_us"))
+        val gmax = ev.agg(max(col("us")).as("gmax"))
+        val dur = spans.crossJoin(broadcast(gmax))
+          .selectExpr("user_id % 2 AS grp",
+            "(last_us - first_us) div 86400000000 AS d",
+            "CASE WHEN last_us <= gmax - 604800000000 THEN 1 ELSE 0 END AS e")
+        val byd = dur.groupBy("d").agg(
+          sum(when(col("grp") === 1, 1L).otherwise(0L)).as("c1"),
+          sum(when(col("grp") === 0, 1L).otherwise(0L)).as("c0"),
+          sum(when(col("grp") === 1, col("e")).otherwise(0L)).as("ev1"),
+          sum(when(col("grp") === 0, col("e")).otherwise(0L)).as("ev0"))
+        val tot = dur.agg(
+          sum(when(col("grp") === 1, 1L).otherwise(0L)).as("t1"),
+          sum(when(col("grp") === 0, 1L).otherwise(0L)).as("t0"))
+        val wPrev = Window.orderBy(col("d"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        byd.crossJoin(broadcast(tot))
+          .withColumn("n1", col("t1") - coalesce(sum(col("c1")).over(wPrev), lit(0L)))
+          .withColumn("n0", col("t0") - coalesce(sum(col("c0")).over(wPrev), lit(0L)))
+          .selectExpr("ev1", "ev0", "n1", "n0",
+            "ev1 + ev0 AS dd", "n1 + n0 AS nn")
+          .where(col("dd") > 0 && col("nn") > 1)
+          .selectExpr("ev1",
+            "CAST(dd AS DOUBLE) * n1 / nn AS e1",
+            """CAST(dd AS DOUBLE) * (CAST(n1 AS DOUBLE) / nn)
+               * (1e0 - CAST(n1 AS DOUBLE) / nn)
+               * (CAST(nn - dd AS DOUBLE) / (nn - 1e0)) AS v""")
+          .agg(sum(col("ev1")).as("o1"),
+            T.xsum(col("e1")).as("e1"), T.xsum(col("v")).as("v"))
+          .selectExpr("CAST(o1 AS BIGINT) AS observed_1",
+            "round(e1, 6) AS expected_1", "round(v, 6) AS variance",
+            "round((o1 - e1) * (o1 - e1) / v, 6) AS logrank_chi2")
+      },
+      Some(s"""WITH ev AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+                 spans AS (SELECT user_id, min(us) AS first_us, max(us) AS last_us
+                           FROM ev GROUP BY user_id),
+                 gm AS (SELECT max(us) AS gmax FROM ev),
+                 dur AS (SELECT user_id % 2 AS grp,
+                     CAST((last_us - first_us) // 86400000000 AS BIGINT) AS d,
+                     CASE WHEN last_us <= gmax - 604800000000 THEN 1 ELSE 0 END AS e
+                   FROM spans CROSS JOIN gm),
+                 byd AS (SELECT d,
+                     CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+                     CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+                     CAST(sum(CASE WHEN grp = 1 THEN e ELSE 0 END) AS BIGINT) AS ev1,
+                     CAST(sum(CASE WHEN grp = 0 THEN e ELSE 0 END) AS BIGINT) AS ev0
+                   FROM dur GROUP BY d),
+                 tot AS (SELECT
+                     CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS t1,
+                     CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS t0
+                   FROM dur),
+                 rk AS (SELECT *,
+                     t1 - coalesce(sum(c1) OVER (ORDER BY d
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n1,
+                     t0 - coalesce(sum(c0) OVER (ORDER BY d
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n0
+                   FROM byd CROSS JOIN tot),
+                 tm AS (SELECT ev1,
+                     CAST(ev1 + ev0 AS DOUBLE) * n1 / (n1 + n0) AS e1,
+                     CAST(ev1 + ev0 AS DOUBLE) * (CAST(n1 AS DOUBLE) / (n1 + n0))
+                       * (1e0 - CAST(n1 AS DOUBLE) / (n1 + n0))
+                       * (CAST((n1 + n0) - (ev1 + ev0) AS DOUBLE) / ((n1 + n0) - 1e0)) AS v
+                   FROM rk WHERE ev1 + ev0 > 0 AND n1 + n0 > 1),
+                 ag AS (SELECT CAST(sum(ev1) AS BIGINT) AS o1,
+                     ${T.sqlXsum("e1")} AS e1, ${T.sqlXsum("v")} AS v
+                   FROM tm)
+               SELECT o1 AS observed_1, round(e1, 6) AS expected_1,
+                 round(v, 6) AS variance,
+                 round((o1 - e1) * (o1 - e1) / v, 6) AS logrank_chi2
+               FROM ag""")),
+
+    QueryDef(
       "ml_theta_forecast",
       // Theta-method forecast (Assimakopoulos & Nikolopoulos 2000 — the
       // M3 benchmark winner, the other classical forecaster next to
