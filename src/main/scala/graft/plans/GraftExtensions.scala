@@ -84,6 +84,19 @@ object FuseVecKernels extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  /** (acc, x) -> acc + x * x — the squared-norm fold (the sparkNorm
+    * spelling in graft.ops.Preprocess). */
+  private def isSumSquareMerge(f: Expression): Boolean = f match {
+    case LambdaFunction(Add(l, r, _),
+        Seq(acc: NamedLambdaVariable, x: NamedLambdaVariable), _) =>
+      def isSquare(e: Expression): Boolean = stripCast(e) match {
+        case Multiply(a, b, _) => isVar(a, x) && isVar(b, x)
+        case _ => false
+      }
+      (isVar(l, acc) && isSquare(r)) || (isVar(r, acc) && isSquare(l))
+    case _ => false
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
       case ArrayAggregate(ZipWith(l, r, mul), Literal(0.0, DoubleType),
@@ -92,6 +105,12 @@ object FuseVecKernels extends Rule[LogicalPlan] {
             isPairwiseMul(mul) && isSumMerge(merge) &&
             isIdentityFinish(finish) =>
         VecDot(l, r)
+      // Σx² over one array: same kernel with both operands the input —
+      // the fold order (acc += a[i]·a[i]) is identical, so bit-neutral
+      case ArrayAggregate(arg, Literal(0.0, DoubleType), merge, finish)
+          if denseDoubleArray(arg) && isSumSquareMerge(merge) &&
+            isIdentityFinish(finish) =>
+        VecDot(arg, arg)
     }
 }
 

@@ -53,6 +53,15 @@ class ExtensionsRuleSpec extends SparkSpec {
       val optDense = dense.queryExecution.optimizedPlan.toString
       assert(optDense.contains("vec_dot"), s"densified read did not fuse:\n$optDense")
       assert(dense.collect().head.getDouble(0) == 32.0)
+
+      // single-array squared norm (the Preprocess sparkNorm shape) fuses
+      // to VecDot(a, a)
+      val norm = s2.range(1)
+        .map(_ => Tuple1(Array(1.0, 2.0, 3.0))).toDF("a")
+        .selectExpr("aggregate(a, CAST(0 AS DOUBLE), (acc, x) -> acc + x * x) AS n2")
+      val optNorm = norm.queryExecution.optimizedPlan.toString
+      assert(optNorm.contains("vec_dot"), s"norm fold did not fuse:\n$optNorm")
+      assert(norm.collect().head.getDouble(0) == 14.0)
     } finally {
       SparkSession.setActiveSession(base)
       SparkSession.setDefaultSession(base)
