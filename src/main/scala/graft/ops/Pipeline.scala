@@ -583,6 +583,123 @@ object Pipeline {
               WHERE rn <= 5 ORDER BY q_id, rn""")),
 
     QueryDef(
+      "ml_ivf_nprobe_sweep",
+      // The IVF tuning curve — recall@5 AND scanned-fraction per nprobe ∈
+      // {1, 2, 3}: the table every ANN deployment produces before picking
+      // its operating point (faiss's nprobe sweep), here oracle-checked
+      // because the arithmetic is deterministic end-to-end. One cell
+      // assignment pass (frozen — three probe depths reuse it), one
+      // brute-force exact top-5 over the bounded query sample as ground
+      // truth, and the probe-depth dimension fans out as a 3-row
+      // broadcast, so the sweep costs ONE candidate join, not three.
+      // scan_frac is the cost axis (fraction of the corpus ranked);
+      // recall_at_5 is the quality axis — monotone in nprobe by
+      // construction, which the oracle would catch drifting.
+      (s, dir) => {
+        val e = T.embeddings(s, dir)
+        val n = e.agg(count(lit(1)).as("n_corpus"))
+        val cent = e.where(col("vec_id") < 10)
+          .select(col("vec_id").as("cid"), col("embedding").as("c_emb"))
+        val aw = Window.partitionBy(col("vec_id")).orderBy(col("d"), col("cid"))
+        val assigned = T.freeze(e.transform(T.fanOut(_, col("vec_id")))
+          .crossJoin(broadcast(cent))
+          .select(col("vec_id"), col("embedding"), col("cid"),
+            graft.functions.Vec.l2(s, "embedding", "c_emb").as("d"))
+          .withColumn("rn", row_number().over(aw)).where(col("rn") === 1)
+          .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"), col("cid")))
+        val queries = e.where(col("vec_id") < 20)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        val qw = Window.partitionBy(col("q_id")).orderBy(col("qd"), col("cid"))
+        val probed = queries.crossJoin(broadcast(cent))
+          .select(col("q_id"), col("q_emb"), col("cid"),
+            graft.functions.Vec.l2(s, "q_emb", "c_emb").as("qd"))
+          .withColumn("prb", row_number().over(qw)).where(col("prb") <= 3)
+        val nps = s.sql("SELECT * FROM VALUES (1), (2), (3) AS t(np)")
+        val cand = probed.crossJoin(broadcast(nps)).where(col("prb") <= col("np"))
+          .join(assigned, "cid").where(col("q_id") =!= col("n_id"))
+          .select(col("np"), col("q_id"),  col("n_id"),
+            graft.functions.Vec.l2(s, "q_emb", "n_emb").as("d"))
+        val kw = Window.partitionBy(col("np"), col("q_id"))
+          .orderBy(col("d"), col("n_id"))
+        val ivf5 = cand.withColumn("rn", row_number().over(kw))
+          .where(col("rn") <= 5).select("np", "q_id", "n_id")
+        val ew = Window.partitionBy(col("q_id")).orderBy(col("d"), col("n_id"))
+        val exact5 = queries
+          .crossJoin(e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+            .transform(T.fanOut(_)))
+          .where(col("q_id") =!= col("n_id"))
+          .select(col("q_id"), col("n_id"),
+            graft.functions.Vec.l2(s, "q_emb", "n_emb").as("d"))
+          .withColumn("rn", row_number().over(ew))
+          .where(col("rn") <= 5).select(col("q_id"), col("n_id"), lit(1).as("hit"))
+        val nq = queries.agg(count(lit(1)).as("nq"))
+        val scans = cand.groupBy("np", "q_id").agg(count(lit(1)).as("nc"))
+          .crossJoin(broadcast(n))
+          .groupBy("np")
+          .agg(T.davg(expr("CAST(nc AS DOUBLE) / n_corpus")).as("scan_frac"))
+        ivf5.join(exact5, Seq("q_id", "n_id"), "left")
+          .groupBy("np")
+          .agg(sum(coalesce(col("hit"), lit(0))).as("hits"))
+          .crossJoin(broadcast(nq))
+          .join(scans, "np")
+          .selectExpr("np AS nprobe", "CAST(nq AS BIGINT) AS n_queries",
+            "round(CAST(hits AS DOUBLE) / (5 * nq), 6) AS recall_at_5",
+            "scan_frac")
+          .orderBy("nprobe")
+      },
+      Some("""WITH n AS (SELECT count(*) AS n_corpus FROM embeddings),
+               cent AS (SELECT vec_id AS cid, embedding AS c_emb
+                        FROM embeddings WHERE vec_id < 10),
+               assigned AS (SELECT n_id, n_emb, cid FROM (
+                   SELECT e.vec_id AS n_id, e.embedding AS n_emb, c.cid,
+                     row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), CAST(c.c_emb AS DOUBLE[])), c.cid) AS rn
+                   FROM embeddings e CROSS JOIN cent c) t
+                 WHERE rn = 1),
+               q AS (SELECT vec_id AS q_id, embedding AS q_emb
+                     FROM embeddings WHERE vec_id < 20),
+               probed AS (SELECT q_id, q_emb, cid, prb FROM (
+                   SELECT q.q_id, q.q_emb, c.cid,
+                     row_number() OVER (PARTITION BY q.q_id
+                       ORDER BY list_distance(CAST(q.q_emb AS DOUBLE[]), CAST(c.c_emb AS DOUBLE[])), c.cid) AS prb
+                   FROM q CROSS JOIN cent c) t
+                 WHERE prb <= 3),
+               cand AS (SELECT np, p.q_id, a.n_id,
+                   list_distance(CAST(p.q_emb AS DOUBLE[]), CAST(a.n_emb AS DOUBLE[])) AS d
+                 FROM probed p
+                 CROSS JOIN (VALUES (1), (2), (3)) nps(np)
+                 JOIN assigned a USING (cid)
+                 WHERE p.prb <= np AND p.q_id <> a.n_id),
+               ivf5 AS (SELECT np, q_id, n_id FROM (
+                   SELECT np, q_id, n_id,
+                     row_number() OVER (PARTITION BY np, q_id
+                       ORDER BY d, n_id) AS rn
+                   FROM cand) t
+                 WHERE rn <= 5),
+               exact5 AS (SELECT q_id, n_id, 1 AS hit FROM (
+                   SELECT q.q_id, e.vec_id AS n_id,
+                     row_number() OVER (PARTITION BY q.q_id
+                       ORDER BY list_distance(CAST(q.q_emb AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), e.vec_id) AS rn
+                   FROM q CROSS JOIN embeddings e
+                   WHERE q.q_id <> e.vec_id) t
+                 WHERE rn <= 5),
+               nq AS (SELECT count(*) AS nq FROM q),
+               scans AS (SELECT np,
+                   round(CAST(sum(CAST((CAST(nc AS DOUBLE) / n_corpus) AS DECIMAL(18,4))) AS DOUBLE) / count(*), 6) AS scan_frac
+                 FROM (SELECT np, q_id, count(*) AS nc
+                       FROM cand GROUP BY np, q_id) c CROSS JOIN n
+                 GROUP BY np),
+               hits AS (SELECT np,
+                   CAST(sum(coalesce(hit, 0)) AS BIGINT) AS hits
+                 FROM ivf5 LEFT JOIN exact5 USING (q_id, n_id)
+                 GROUP BY np)
+               SELECT np AS nprobe, CAST(nq AS BIGINT) AS n_queries,
+                 round(CAST(hits AS DOUBLE) / (5 * nq), 6) AS recall_at_5,
+                 scan_frac
+               FROM hits CROSS JOIN nq JOIN scans USING (np)
+               ORDER BY nprobe""")),
+
+    QueryDef(
       "ml_knn_pq",
       // Product quantization — the OTHER half of the FAISS/cuML IVF-PQ
       // index family next to ml_knn_ivf's coarse cells and ml_knn_sq8's
