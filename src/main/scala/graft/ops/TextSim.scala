@@ -125,7 +125,116 @@ object TextSim {
            FROM bands a JOIN bands b USING (band, k1, k2, k3, k4)
            WHERE a.doc_id < b.doc_id)"""
 
+  /** Banded candidate pairs for an arbitrary (bands × rows) split of the
+    * 8-hash signature — the dedup_lsh_band_sweep generalization of
+    * [[minhashPairsOf]]'s fixed 2×4. */
+  private def bandedPairs(sig: DataFrame, bands: Int): DataFrame = {
+    val r = 8 / bands
+    val bandStructs = (0 until bands).map(b =>
+      struct((lit(b).as("band") +: (0 until r).map(j =>
+        col(s"h${b * r + j}").as(s"k$j"))): _*))
+    sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id") +: ("band" +: (0 until r).map(j => s"k$j"))
+        .map(n => col(s"bk.$n")): _*)
+      .groupBy(("band" +: (0 until r).map(j => s"k$j")).map(col): _*)
+      .agg(collect_list(col("doc_id")).as("docs"))
+      .where(size(col("docs")) > 1)
+      .select(explode(col("docs")).as("doc_a"), col("docs"))
+      .select(col("doc_a"), explode(col("docs")).as("doc_b"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
   val entries: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "dedup_lsh_band_sweep",
+      // The LSH banding tuning table (Leskovec/Rajaraman/Ullman §3.4 —
+      // the b×r S-curve every MinHash deployment tunes, the dedup twin
+      // of ml_ivf_nprobe_sweep): the SAME 8-hash signature split as
+      // 1×8 (strict AND — high precision), 2×4 (the production config
+      // dedup_minhash ships), and 4×2 (sensitive — more candidates).
+      // Ground truth = the POOLED candidate union scored with EXACT
+      // shingle Jaccard (the only affordable truth — exact J runs per
+      // candidate via the doc-keyed tid join, never all-pairs), and the
+      // J ≥ 0.5 verdict is the pure-INTEGER comparison 3·|∩| ≥ |A|+|B|,
+      // so no float threshold can disagree across engines. Per config:
+      // candidates generated, confirmed duplicates, and recall against
+      // the pooled confirmed set — n_candidates is the cost axis,
+      // recall the quality axis, both monotone in band count.
+      (s, dir) => {
+        val tids = T.pin(shingleTids(s, dir).distinct())
+        val sig = T.pin(sigTableOf(tids))
+        val tagged = Seq(1, 2, 4).map(bs =>
+          bandedPairs(sig, bs).withColumn("bands", lit(bs)))
+          .reduce(_ unionAll _)
+        val pooled = T.pin(tagged.select("doc_a", "doc_b").distinct())
+        val na = tids.groupBy(col("doc_id").as("doc_a")).agg(count(lit(1)).as("na"))
+        val nb = tids.groupBy(col("doc_id").as("doc_b")).agg(count(lit(1)).as("nb"))
+        val inter = pooled
+          .join(tids.toDF("doc_a", "tid"), "doc_a")
+          .join(tids.toDF("doc_b", "tid"), Seq("doc_b", "tid"))
+          .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("ix"))
+        val conf = T.freeze(pooled
+          .join(inter, Seq("doc_a", "doc_b"), "left")
+          .join(na, "doc_a").join(nb, "doc_b")
+          .where(expr("3 * coalesce(ix, 0) >= na + nb"))
+          .select(col("doc_a"), col("doc_b"), lit(1).as("dup")))
+        val nt = conf.agg(count(lit(1)).as("nt"))
+        tagged.join(conf, Seq("doc_a", "doc_b"), "left")
+          .groupBy("bands")
+          .agg(count(lit(1)).as("n_candidates"),
+            sum(coalesce(col("dup"), lit(0))).as("n_confirmed"))
+          .crossJoin(broadcast(nt))
+          .selectExpr("bands", "CAST(8 / bands AS INT) AS rows_per_band",
+            "n_candidates", "CAST(n_confirmed AS BIGINT) AS n_confirmed",
+            "round(CAST(n_confirmed AS DOUBLE) / greatest(nt, 1), 6) AS pooled_recall")
+          .orderBy("bands")
+      },
+      Some {
+        def sqlBands(bands: Int, out: String): String = {
+          val r = 8 / bands
+          val arms = (0 until bands).map(b =>
+            s"SELECT doc_id, $b AS band, ${(0 until r).map(j =>
+              s"h${b * r + j} AS k$j").mkString(", ")} FROM sig")
+            .mkString(" UNION ALL ")
+          val keys = ("band" +: (0 until r).map(j => s"k$j")).mkString(", ")
+          s"""${out}b AS ($arms),
+              $out AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM ${out}b a JOIN ${out}b b USING ($keys)
+                WHERE a.doc_id < b.doc_id)"""
+        }
+        s"""WITH $sqlMinhashCtes,
+               ${sqlBands(1, "p1")},
+               ${sqlBands(4, "p4")},
+               tag AS (SELECT 1 AS bands, doc_a, doc_b FROM p1
+                 UNION ALL SELECT 2, doc_a, doc_b FROM pairs
+                 UNION ALL SELECT 4, doc_a, doc_b FROM p4),
+               pooled AS (SELECT DISTINCT doc_a, doc_b FROM tag),
+               tids AS (SELECT DISTINCT doc_id, tid FROM dt),
+               cnt AS (SELECT doc_id, count(*) AS n FROM tids GROUP BY doc_id),
+               inter AS (SELECT p.doc_a, p.doc_b, count(*) AS ix
+                 FROM pooled p
+                 JOIN tids ta ON ta.doc_id = p.doc_a
+                 JOIN tids tb ON tb.doc_id = p.doc_b AND tb.tid = ta.tid
+                 GROUP BY p.doc_a, p.doc_b),
+               conf AS (SELECT p.doc_a, p.doc_b
+                 FROM pooled p
+                 LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+                 JOIN cnt ca ON ca.doc_id = p.doc_a
+                 JOIN cnt cb ON cb.doc_id = p.doc_b
+                 WHERE 3 * coalesce(i.ix, 0) >= ca.n + cb.n),
+               nt AS (SELECT count(*) AS nt FROM conf),
+               g AS (SELECT bands, count(*) AS n_candidates,
+                   CAST(sum(CASE WHEN c.doc_a IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_confirmed
+                 FROM tag t
+                 LEFT JOIN conf c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+                 GROUP BY bands)
+             SELECT bands, CAST(8 / bands AS INT) AS rows_per_band,
+               n_candidates, n_confirmed,
+               round(CAST(n_confirmed AS DOUBLE) / greatest(nt, 1), 6) AS pooled_recall
+             FROM g CROSS JOIN nt ORDER BY bands"""
+      }),
 
     QueryDef(
       "text_tokenize",
