@@ -169,11 +169,19 @@ object TextSim {
           bandedPairs(sig, bs).withColumn("bands", lit(bs)))
           .reduce(_ unionAll _)
         val pooled = T.pin(tagged.select("doc_a", "doc_b").distinct())
-        val na = tids.groupBy(col("doc_id").as("doc_a")).agg(count(lit(1)).as("na"))
-        val nb = tids.groupBy(col("doc_id").as("doc_b")).agg(count(lit(1)).as("nb"))
+        // semi-join reduction: exact verification only ever touches docs
+        // that appear in a pooled pair, so shrink the 20M-shingle table to
+        // those docs BEFORE the intersection join (measured 12 s → ~4 s
+        // warm at sf0.1 — the full tid table was shuffling into the
+        // pair-tid join)
+        val docsIn = pooled.select(col("doc_a").as("doc_id"))
+          .unionAll(pooled.select(col("doc_b").as("doc_id"))).distinct()
+        val tidsP = T.pin(tids.join(docsIn, "doc_id"))
+        val na = tidsP.groupBy(col("doc_id").as("doc_a")).agg(count(lit(1)).as("na"))
+        val nb = tidsP.groupBy(col("doc_id").as("doc_b")).agg(count(lit(1)).as("nb"))
         val inter = pooled
-          .join(tids.toDF("doc_a", "tid"), "doc_a")
-          .join(tids.toDF("doc_b", "tid"), Seq("doc_b", "tid"))
+          .join(tidsP.toDF("doc_a", "tid"), "doc_a")
+          .join(tidsP.toDF("doc_b", "tid"), Seq("doc_b", "tid"))
           .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("ix"))
         val conf = T.freeze(pooled
           .join(inter, Seq("doc_a", "doc_b"), "left")
@@ -211,7 +219,11 @@ object TextSim {
                  UNION ALL SELECT 2, doc_a, doc_b FROM pairs
                  UNION ALL SELECT 4, doc_a, doc_b FROM p4),
                pooled AS (SELECT DISTINCT doc_a, doc_b FROM tag),
-               tids AS (SELECT DISTINCT doc_id, tid FROM dt),
+               docsin AS (SELECT DISTINCT doc_id FROM (
+                 SELECT doc_a AS doc_id FROM pooled
+                 UNION ALL SELECT doc_b FROM pooled) u),
+               tids AS (SELECT DISTINCT dt.doc_id, tid
+                 FROM dt JOIN docsin ON docsin.doc_id = dt.doc_id),
                cnt AS (SELECT doc_id, count(*) AS n FROM tids GROUP BY doc_id),
                inter AS (SELECT p.doc_a, p.doc_b, count(*) AS ix
                  FROM pooled p
