@@ -689,6 +689,113 @@ object Behavior {
                ORDER BY ante, cons""")),
 
     QueryDef(
+      "ml_wilcoxon_signrank",
+      // Wilcoxon signed-rank test (1945) on the week-over-week change of
+      // the daily order series — the PAIRED nonparametric test completing
+      // the family next to ml_mannwhitney_u's unpaired one (pairs =
+      // (day, day−7), the natural seasonal pairing): rank |d| with
+      // midranks for ties, W⁺ = Σ ranks of positive changes, normal
+      // approximation with the exact tie correction Σ(t³−t)/48. Corpus
+      // work = ONE daily aggregate; ranking runs on the bounded day
+      // frame. Every input is an exact integer (counts, ranks, tie
+      // sizes), so midranks are exact dyadic rationals and the z closes
+      // over shared text.
+      (s, dir) => {
+        val daily = T.orders(s, dir)
+          .groupBy(col("o_orderdate").as("day"))
+          .agg(count(lit(1)).as("y"))
+          .withColumn("t", row_number().over(Window.orderBy("day")))
+        val d = daily.alias("a")
+          .join(daily.alias("b"), expr("a.t = b.t + 7"))
+          .selectExpr("a.y - b.y AS d")
+          .where(col("d") =!= 0)
+          .selectExpr("d", "abs(d) AS ad")
+        val wAbs = Window.orderBy("ad")
+        val ranked = d
+          .withColumn("rk", rank().over(wAbs))
+          .withColumn("nt", count(lit(1)).over(Window.partitionBy("ad")))
+          .selectExpr("d", "nt",
+            "CAST(rk AS DOUBLE) + (CAST(nt AS DOUBLE) - 1e0) / 2e0 AS mr")
+        ranked.agg(count(lit(1)).as("n"),
+            T.xsum(expr("CASE WHEN d > 0 THEN mr ELSE 0e0 END")).as("wp"),
+            T.xsum(expr("CASE WHEN d < 0 THEN mr ELSE 0e0 END")).as("wm"),
+            // Σ(t³−t) counts each tie GROUP once: every member row carries
+            // the group size nt, so divide the per-row sum by nt
+            T.xsum(expr("(CAST(nt AS DOUBLE) * nt * nt - nt) / nt")).as("tt"))
+          .selectExpr("n", "wp", "wm", "tt",
+            "CAST(n AS DOUBLE) * (n + 1e0) / 4e0 AS mu",
+            "CAST(n AS DOUBLE) * (n + 1e0) * (2e0 * n + 1e0) / 24e0 - tt / 48e0 AS v")
+          .selectExpr("CAST(n AS BIGINT) AS n_pairs",
+            "round(wp, 1) AS w_plus", "round(wm, 1) AS w_minus",
+            "round((wp - mu) / sqrt(v), 6) AS z")
+      },
+      Some(s"""WITH daily AS (SELECT o_orderdate AS day, count(*) AS y
+                 FROM orders GROUP BY 1),
+               idx AS (SELECT y, row_number() OVER (ORDER BY day) AS t
+                 FROM daily),
+               df AS (SELECT a.y - b.y AS d, abs(a.y - b.y) AS ad
+                 FROM idx a JOIN idx b ON a.t = b.t + 7
+                 WHERE a.y - b.y <> 0),
+               rk AS (SELECT d,
+                   rank() OVER (ORDER BY ad) AS rk,
+                   count(*) OVER (PARTITION BY ad) AS nt
+                 FROM df),
+               mr AS (SELECT d, nt,
+                   CAST(rk AS DOUBLE) + (CAST(nt AS DOUBLE) - 1e0) / 2e0 AS mr
+                 FROM rk),
+               ag AS (SELECT count(*) AS n,
+                   ${T.sqlXsum("CASE WHEN d > 0 THEN mr ELSE 0e0 END")} AS wp,
+                   ${T.sqlXsum("CASE WHEN d < 0 THEN mr ELSE 0e0 END")} AS wm,
+                   ${T.sqlXsum("(CAST(nt AS DOUBLE) * nt * nt - nt) / nt")} AS tt
+                 FROM mr),
+               st AS (SELECT n, wp, wm, tt,
+                   CAST(n AS DOUBLE) * (n + 1e0) / 4e0 AS mu,
+                   CAST(n AS DOUBLE) * (n + 1e0) * (2e0 * n + 1e0) / 24e0 - tt / 48e0 AS v
+                 FROM ag)
+               SELECT CAST(n AS BIGINT) AS n_pairs,
+                 round(wp, 1) AS w_plus, round(wm, 1) AS w_minus,
+                 round((wp - mu) / sqrt(v), 6) AS z
+               FROM st""")),
+
+    QueryDef(
+      "win_activity_streaks",
+      // Longest-activity-streak distribution — the DAY-granularity
+      // engagement metric next to win_sessionize's intra-day sessions
+      // (streaks are what a retention dashboard calls "N-day streaks"):
+      // per user, consecutive active days group by the classic
+      // gaps-and-islands key (epoch-day − row_number — constant within a
+      // run of consecutive days), the user's longest island is their
+      // streak, and the output is the #users-per-streak-length histogram.
+      // One distinct (user, day) pass; windows partitioned per user;
+      // integers end-to-end.
+      (s, dir) => {
+        val ud = T.events(s, dir)
+          .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+        val w = Window.partitionBy("user_id").orderBy("day")
+        ud.withColumn("isl",
+            datediff(col("day"), lit("1970-01-01").cast("date"))
+              - row_number().over(w))
+          .groupBy("user_id", "isl").agg(count(lit(1)).as("len"))
+          .groupBy("user_id").agg(max(col("len")).as("streak"))
+          .groupBy("streak").agg(count(lit(1)).as("n_users"))
+          .selectExpr("CAST(streak AS BIGINT) AS streak_days", "n_users")
+          .orderBy("streak_days")
+      },
+      Some("""WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+                 FROM events),
+               isl AS (SELECT user_id,
+                   (day - DATE '1970-01-01')
+                     - row_number() OVER (PARTITION BY user_id ORDER BY day) AS isl
+                 FROM ud),
+               runs AS (SELECT user_id, isl, count(*) AS len
+                 FROM isl GROUP BY user_id, isl),
+               mx AS (SELECT user_id, max(len) AS streak FROM runs
+                 GROUP BY user_id)
+               SELECT CAST(streak AS BIGINT) AS streak_days,
+                 count(*) AS n_users
+               FROM mx GROUP BY streak ORDER BY streak_days""")),
+
+    QueryDef(
       "fn_interpolate_gaps",
       // Linear gap interpolation with a built-in reconstruction audit —
       // the time-series imputation sibling of fn_ffill: BLANK every 7th
