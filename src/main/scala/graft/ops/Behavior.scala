@@ -758,6 +758,104 @@ object Behavior {
                FROM st""")),
 
     QueryDef(
+      "ml_sign_test",
+      // The sign test — the assumption-free floor under
+      // ml_wilcoxon_signrank (same (day, day−7) pairing, but only the
+      // SIGN of each change counts): under H₀ positives ~ Binomial(n, ½),
+      // z = (n⁺ − n/2)/√(n/4) with continuity correction toward the
+      // mean. Everything is exact integers until the one shared-text z.
+      (s, dir) => {
+        val daily = T.orders(s, dir)
+          .groupBy(col("o_orderdate").as("day"))
+          .agg(count(lit(1)).as("y"))
+          .withColumn("t", row_number().over(Window.orderBy("day")))
+        daily.alias("a")
+          .join(daily.alias("b"), expr("a.t = b.t + 7"))
+          .selectExpr("a.y - b.y AS d")
+          .where(col("d") =!= 0)
+          .agg(count(lit(1)).as("n"),
+            sum(expr("CASE WHEN d > 0 THEN 1 ELSE 0 END")).as("npos"))
+          .selectExpr("CAST(n AS BIGINT) AS n_pairs",
+            "CAST(npos AS BIGINT) AS n_positive",
+            """round((CAST(npos AS DOUBLE) - CAST(n AS DOUBLE) / 2e0
+               - CASE WHEN npos * 2 > n THEN 5e-1 WHEN npos * 2 < n THEN -5e-1 ELSE 0e0 END)
+               / sqrt(CAST(n AS DOUBLE) / 4e0), 6) AS z""")
+      },
+      Some("""WITH daily AS (SELECT o_orderdate AS day, count(*) AS y
+                 FROM orders GROUP BY 1),
+               idx AS (SELECT y, row_number() OVER (ORDER BY day) AS t
+                 FROM daily),
+               df AS (SELECT a.y - b.y AS d
+                 FROM idx a JOIN idx b ON a.t = b.t + 7
+                 WHERE a.y - b.y <> 0),
+               ag AS (SELECT count(*) AS n,
+                   CAST(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS npos
+                 FROM df)
+               SELECT CAST(n AS BIGINT) AS n_pairs, npos AS n_positive,
+                 round((CAST(npos AS DOUBLE) - CAST(n AS DOUBLE) / 2e0
+                   - CASE WHEN npos * 2 > n THEN 5e-1 WHEN npos * 2 < n THEN -5e-1 ELSE 0e0 END)
+                   / sqrt(CAST(n AS DOUBLE) / 4e0), 6) AS z
+               FROM ag""")),
+
+    QueryDef(
+      "ml_page_hinkley",
+      // Page–Hinkley drift detector (Page 1954; the streaming
+      // change-alarm next to ml_changepoint_cusum's offline argmax and
+      // ml_ewma_control's chart): PH_t = Σ_{i≤t}(y_i − ȳ − δ) with
+      // tolerance δ, alarm when PH_t − min_{i≤t} PH_i exceeds λ = 3σ̂.
+      // Both thresholds are DATA-DERIVED (ȳ, σ̂ from the series' own
+      // exact moments — no magic constants to disagree over); the
+      // detector state is two running windows over the bounded daily
+      // frame. Output: the alarm audit — days flagged, first alarm day,
+      // max excursion.
+      (s, dir) => {
+        val daily = T.events(s, dir)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("y"))
+        val m = daily.agg(count(lit(1)).cast("double").as("n"),
+          sum(col("y")).cast("double").as("sy"),
+          sum(col("y") * col("y")).cast("double").as("syy"))
+          .selectExpr("sy / n AS mu",
+            "sqrt((syy - sy * sy / n) / (n - 1e0)) AS sig")
+        val wCum = Window.orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        daily.crossJoin(broadcast(m))
+          .withColumn("ph", sum(expr("CAST(y AS DOUBLE) - mu - sig / 1e1")
+            .cast(T.exact)).over(wCum).cast("double"))
+          .withColumn("phmin", min(col("ph")).over(wCum))
+          .selectExpr("day", "ph - phmin AS exc", "3e0 * sig AS lambda")
+          .agg(count(lit(1)).as("n_days"),
+            sum(expr("CASE WHEN exc > lambda THEN 1 ELSE 0 END")).as("n_alarms"),
+            min(expr("CASE WHEN exc > lambda THEN day END")).as("first_alarm"),
+            round(max(col("exc")), 4).as("max_excursion"))
+          .selectExpr("n_days", "CAST(n_alarms AS BIGINT) AS n_alarms",
+            "first_alarm", "max_excursion")
+      },
+      Some(s"""WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS y
+                 FROM events GROUP BY 1),
+               m AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                   CAST(sum(y) AS DOUBLE) AS sy,
+                   CAST(sum(y * y) AS DOUBLE) AS syy
+                 FROM daily),
+               mm AS (SELECT sy / n AS mu,
+                   sqrt((syy - sy * sy / n) / (n - 1e0)) AS sig
+                 FROM m),
+               ph AS (SELECT day,
+                   CAST(sum(CAST(CAST(y AS DOUBLE) - mu - sig / 1e1 AS DECIMAL(30,12)))
+                     OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS ph,
+                   3e0 * sig AS lambda
+                 FROM daily CROSS JOIN mm),
+               ex AS (SELECT day, lambda,
+                   ph - min(ph) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+                     PRECEDING AND CURRENT ROW) AS exc
+                 FROM ph)
+               SELECT count(*) AS n_days,
+                 CAST(sum(CASE WHEN exc > lambda THEN 1 ELSE 0 END) AS BIGINT) AS n_alarms,
+                 min(CASE WHEN exc > lambda THEN day END) AS first_alarm,
+                 round(max(exc), 4) AS max_excursion
+               FROM ex""")),
+
+    QueryDef(
       "win_activity_streaks",
       // Longest-activity-streak distribution — the DAY-granularity
       // engagement metric next to win_sessionize's intra-day sessions
