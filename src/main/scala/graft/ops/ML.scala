@@ -1175,6 +1175,11 @@ object ML {
   /** The matching DuckDB CTE chain through `b3(a, b)` — shared by the fit
     * oracle and the predict oracle so both verify against the same
     * unrolled 3-step IRLS. */
+  /** ml_mcfadden_r2's collapsed base-rate logs (DuckDB's FLOAT is an
+    * alias of REAL, so one text serves both engines). */
+  private lazy val lnR_p0 = "CAST(CAST(ln(p0) AS FLOAT) AS DOUBLE)"
+  private lazy val lnR_1mp0 = "CAST(CAST(ln(1e0 - p0) AS FLOAT) AS DOUBLE)"
+
   private lazy val sqlIrlsChain: String = {
     def mStep(src: String) =
       s"""SELECT ${T.sqlXsum("y - mu")} AS g0,
@@ -4023,6 +4028,55 @@ object ML {
                  round(attn / attd, 6) AS att
                FROM t ORDER BY stratum"""
       }),
+
+    QueryDef(
+      "ml_mcfadden_r2",
+      // McFadden's pseudo-R² (1974) for the shared logreg fit — the
+      // goodness-of-fit number the ml_logreg_* family was missing
+      // (R² has no direct analog under Bernoulli likelihood; 1 − LL/LL₀
+      // is the standard substitute): LL from ONE scoring pass over the
+      // fitted σ(a+bx) (μ REAL-collapsed, per-row log-likelihood
+      // ln REAL-collapsed, summed on the exact wire), LL₀ in closed form
+      // from the base rate. Also emits the AIC = 2k − 2LL companion.
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        val (a, b) = irlsBeta(s, dir)
+        val ab = Seq((a, b)).toDF("ca", "cb")
+        val d = T.lineitem(s, dir).select(
+          col("l_quantity").cast("double").as("x"),
+          when(col("l_returnflag") === "R", 1.0).otherwise(0.0).as("y"))
+          .transform(T.fanOut(_))
+        d.crossJoin(broadcast(ab))
+          .selectExpr("y",
+            "CAST(CAST(1.0 / (1.0 + exp(-(ca + cb * x))) AS FLOAT) AS DOUBLE) AS mu")
+          .agg(count(lit(1)).cast("double").as("n"),
+            T.xsum(col("y")).as("n1"),
+            T.xsum(expr(
+              "y * CAST(CAST(ln(mu) AS FLOAT) AS DOUBLE) + (1e0 - y) * CAST(CAST(ln(1e0 - mu) AS FLOAT) AS DOUBLE)")).as("ll"))
+          .selectExpr("n", "ll", "n1 / n AS p0")
+          .selectExpr("CAST(n AS BIGINT) AS n", "round(ll, 4) AS log_lik",
+            s"n * (p0 * $lnR_p0 + (1e0 - p0) * $lnR_1mp0) AS ll0")
+          .selectExpr("n", "log_lik", "round(ll0, 4) AS log_lik_null",
+            "round(1e0 - log_lik / ll0, 6) AS mcfadden_r2",
+            "round(4e0 - 2e0 * log_lik, 4) AS aic")
+      },
+      Some(s"""WITH $sqlIrlsChain,
+               sc AS (SELECT y,
+                   CAST(CAST(1.0 / (1.0 + exp(-(a + b * x))) AS REAL) AS DOUBLE) AS mu
+                 FROM d, b3),
+               ag AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                   ${T.sqlXsum("y")} AS n1,
+                   ${T.sqlXsum("y * CAST(CAST(ln(mu) AS REAL) AS DOUBLE) + (1e0 - y) * CAST(CAST(ln(1e0 - mu) AS REAL) AS DOUBLE)")} AS ll
+                 FROM sc),
+               p AS (SELECT n, ll, n1 / n AS p0 FROM ag),
+               l0 AS (SELECT CAST(n AS BIGINT) AS n, round(ll, 4) AS log_lik,
+                   n * (p0 * $lnR_p0 + (1e0 - p0) * $lnR_1mp0) AS ll0
+                 FROM p)
+               SELECT n, log_lik, round(ll0, 4) AS log_lik_null,
+                 round(1e0 - log_lik / ll0, 6) AS mcfadden_r2,
+                 round(4e0 - 2e0 * log_lik, 4) AS aic
+               FROM l0""")),
 
     QueryDef(
       "ml_cohen_kappa",

@@ -1119,6 +1119,56 @@ object Pipeline {
                FROM z ORDER BY lang""")),
 
     QueryDef(
+      "text_entropy_rate",
+      // Bigram entropy rate H(w₂|w₁) = −Σ p(w₁,w₂)·ln p(w₂|w₁) — the
+      // information-theoretic summary of the corpus's bigram LM (Shannon
+      // 1951's printed-English estimate; the number text_bigram_backoff's
+      // per-source NLL generalizes corpus-wide), with its perplexity
+      // eᴴ — "effective branching factor per token". Bigrams come from
+      // one per-doc array pass (no self-join); c(w₁,·) predecessor
+      // totals from a second bounded aggregate joined back on w₁ (vocab
+      // shuffle — Heaps' law, no broadcast); counts exact, ln/exp
+      // REAL-collapsed, sum on the exact wire.
+      (s, dir) => {
+        val bg = T.documents(s, dir)
+          .transform(T.fanOut(_, col("doc_id")))
+          .select(expr("filter(split(text, ' '), t -> t <> '')").as("ts"))
+          .where(size(col("ts")) >= 2)
+          .selectExpr(
+            "explode(transform(sequence(1, size(ts) - 1), i -> struct(ts[i - 1] AS w1, ts[i] AS w2))) AS b")
+          .selectExpr("b.w1 AS w1", "b.w2 AS w2")
+          .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+        val pred = bg.groupBy("w1").agg(sum(col("c12")).as("c1"))
+        val tot = bg.agg(sum(col("c12")).as("nn"))
+        bg.join(pred, "w1").crossJoin(broadcast(tot))
+          .agg(first(col("nn")).as("n_bigrams"),
+            countDistinct(col("w1")).as("n_predecessors"),
+            T.xsum(expr(
+              "-(CAST(c12 AS DOUBLE) / nn) * CAST(CAST(ln(CAST(c12 AS DOUBLE) / c1) AS FLOAT) AS DOUBLE)")).as("h"))
+          .selectExpr("CAST(n_bigrams AS BIGINT) AS n_bigrams",
+            "n_predecessors", "round(h, 6) AS entropy_rate",
+            "round(CAST(CAST(exp(h) AS FLOAT) AS DOUBLE), 4) AS perplexity")
+      },
+      Some(s"""WITH tk AS (SELECT list_filter(string_split(text, ' '), t -> t <> '') AS ts
+                 FROM documents),
+               bg AS (SELECT b['w1'] AS w1, b['w2'] AS w2, count(*) AS c12
+                 FROM (SELECT unnest(list_transform(generate_series(1, len(ts) - 1),
+                     i -> {'w1': ts[i], 'w2': ts[i + 1]})) AS b
+                   FROM tk WHERE len(ts) >= 2) x
+                 GROUP BY 1, 2),
+               pred AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1
+                 FROM bg GROUP BY w1),
+               tot AS (SELECT CAST(sum(c12) AS BIGINT) AS nn FROM bg),
+               ag AS (SELECT any_value(nn) AS n_bigrams,
+                   count(DISTINCT bg.w1) AS n_predecessors,
+                   ${T.sqlXsum("-(CAST(c12 AS DOUBLE) / nn) * CAST(CAST(ln(CAST(c12 AS DOUBLE) / c1) AS FLOAT) AS DOUBLE)")} AS h
+                 FROM bg JOIN pred ON pred.w1 = bg.w1 CROSS JOIN tot)
+               SELECT CAST(n_bigrams AS BIGINT) AS n_bigrams,
+                 n_predecessors, round(h, 6) AS entropy_rate,
+                 round(CAST(CAST(exp(h) AS FLOAT) AS DOUBLE), 4) AS perplexity
+               FROM ag""")),
+
+    QueryDef(
       "text_pmi_collocations",
       // PMI collocation mining (Church & Hanks 1990) — the word-
       // association pass a corpus-analysis pipeline runs next to

@@ -6,9 +6,9 @@ package graft
   */
 class RegistrySpec extends SparkSpec {
 
-  test("all twenty-one catalogs are registered (66 SURVEY keys + 384 extensions)") {
-    assert(SparkEntry.queries.size == 450,
-      s"expected 450 registered queries, got ${SparkEntry.queries.size}")
+  test("all twenty-one catalogs are registered (66 SURVEY keys + 386 extensions)") {
+    assert(SparkEntry.queries.size == 452,
+      s"expected 452 registered queries, got ${SparkEntry.queries.size}")
   }
 
   test("no oracle uses a constant generate_series bound (VERDICT r4 #2)") {
