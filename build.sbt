@@ -36,5 +36,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g (was 8g): the pipelined bench runs several cache-heavy iterative
+  // queries concurrently; under 8g their persisted corpora evicted each
+  // other and re-computation inflated run CPU 2.6x (r11 bench post-mortem).
+  // The box has 128 GiB; 24g leaves ample headroom for the driver's tools.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

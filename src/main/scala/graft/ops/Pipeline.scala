@@ -2636,7 +2636,8 @@ object Pipeline {
                      coalesce(n_rejected, CAST(0 AS BIGINT)) AS n_rejected
                    FROM tot CROSS JOIN rules LEFT JOIN rej USING (source, stage))
                SELECT source, stage, rule, n_rejected,
-                 n_docs - sum(n_rejected) OVER (PARTITION BY source ORDER BY stage) AS n_surviving
+                 CAST(n_docs - sum(n_rejected) OVER (PARTITION BY source ORDER BY stage)
+                   AS BIGINT) AS n_surviving
                FROM grid ORDER BY source, stage""")),
 
     QueryDef(

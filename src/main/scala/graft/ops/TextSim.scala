@@ -80,6 +80,20 @@ object TextSim {
     tids.groupBy("doc_id").agg(hs.head, hs.tail: _*)
   }
 
+  /** Band-bucket size cap (VERDICT r11 #2 — the one scale gap in the dedup
+    * story): a band bucket holding more than BAND_CAP docs is DROPPED from
+    * candidate generation instead of `collect_list`-ing an unbounded doc
+    * array onto one task and exploding n_b² pairs out of it. A hot bucket at
+    * corpus scale is boilerplate (an empty-page template, a crawler error
+    * body) — its members are exact-dup-level similar to each other and
+    * carry no *near*-dup signal the 2×4 banding was tuned for; production
+    * MinHash deployments cap or pre-collapse exactly this way. Same
+    * discipline as Dedup.DF_CAP (posting-list cap): the oracle stays
+    * uncapped and MicroSpec pins capped == uncapped on the fixtures
+    * (measured max band-bucket size is far below 64 at sf0.01/sf0.1, so the
+    * cap drops NOTHING there — it only has teeth on adversarial corpora). */
+  private[graft] val BAND_CAP = 64
+
   /** MinHash banded candidate pairs (doc_a < doc_b, distinct, unordered) —
     * the body of dedup_minhash, shared with dedup_cluster (Dedup.scala),
     * which runs connected components over exactly this pair set. */
@@ -87,7 +101,7 @@ object TextSim {
     minhashPairsOf(sigTable(s, dir))
 
   /** [[minhashPairs]] over an already-computed signature table. */
-  private[ops] def minhashPairsOf(sig: DataFrame): DataFrame = {
+  private[ops] def minhashPairsOf(sig: DataFrame, cap: Int = BAND_CAP): DataFrame = {
     val bandStructs = (0 until 2).map(b =>
       struct(lit(b).as("band"),
         col(s"h${4 * b}").as("k1"), col(s"h${4 * b + 1}").as("k2"),
@@ -98,12 +112,20 @@ object TextSim {
         col("bk.k3"), col("bk.k4"))
     bands.groupBy("band", "k1", "k2", "k3", "k4")
       .agg(collect_list(col("doc_id")).as("docs"))
-      .where(size(col("docs")) > 1)
+      .where(size(col("docs")).between(2, cap))
       .select(explode(col("docs")).as("doc_a"), col("docs"))
       .select(col("doc_a"), explode(col("docs")).as("doc_b"))
       .where(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
   }
+
+  /** Test hooks (MicroSpec runs the cap sweep — the DF_CAP discipline):
+    * the pair set under an explicit band-bucket cap. */
+  private[graft] def minhashPairsForTest(s: SparkSession, dir: String, cap: Int): DataFrame =
+    minhashPairsOf(sigTable(s, dir), cap)
+  private[graft] def bandedPairsForTest(s: SparkSession, dir: String,
+      bands: Int, cap: Int): DataFrame =
+    bandedPairs(sigTable(s, dir), bands, cap)
 
   /** The oracle twin of [[minhashPairs]] as a CTE prefix ending in
     * `pairs(doc_a, doc_b)`. */
@@ -128,7 +150,8 @@ object TextSim {
   /** Banded candidate pairs for an arbitrary (bands × rows) split of the
     * 8-hash signature — the dedup_lsh_band_sweep generalization of
     * [[minhashPairsOf]]'s fixed 2×4. */
-  private def bandedPairs(sig: DataFrame, bands: Int): DataFrame = {
+  private[ops] def bandedPairs(sig: DataFrame, bands: Int,
+      cap: Int = BAND_CAP): DataFrame = {
     val r = 8 / bands
     val bandStructs = (0 until bands).map(b =>
       struct((lit(b).as("band") +: (0 until r).map(j =>
@@ -138,7 +161,8 @@ object TextSim {
         .map(n => col(s"bk.$n")): _*)
       .groupBy(("band" +: (0 until r).map(j => s"k$j")).map(col): _*)
       .agg(collect_list(col("doc_id")).as("docs"))
-      .where(size(col("docs")) > 1)
+      // see BAND_CAP — a hot bucket never lands on one task / explodes n²
+      .where(size(col("docs")).between(2, cap))
       .select(explode(col("docs")).as("doc_a"), col("docs"))
       .select(col("doc_a"), explode(col("docs")).as("doc_b"))
       .where(col("doc_a") < col("doc_b"))
@@ -162,6 +186,10 @@ object TextSim {
       // candidates generated, confirmed duplicates, and recall against
       // the pooled confirmed set — n_candidates is the cost axis,
       // recall the quality axis, both monotone in band count.
+      // Band buckets are BAND_CAP-capped on BOTH sides (VERDICT r11 #2):
+      // at 4×2 the fixture genuinely drops a >cap hot bucket (max 156
+      // docs at sf0.1), so the capped semantics are value-checked by the
+      // driver compare, not just pinned by a spec.
       (s, dir) => {
         val tids = T.pin(shingleTids(s, dir).distinct())
         val sig = T.pin(sigTableOf(tids))
@@ -200,6 +228,12 @@ object TextSim {
           .orderBy("bands")
       },
       Some {
+        // BAND_CAP is mirrored here because at 4×2 it has TEETH on the
+        // fixture (measured max bucket: 156 docs at sf0.1 — two hashes per
+        // key collide often), so the driver compare value-exercises the
+        // capped semantics; the 2×4 `pairs` arm reuses the shared
+        // sqlMinhashCtes CTE, where the fixture max bucket is 4 and the
+        // cap provably drops nothing (MicroSpec pins it).
         def sqlBands(bands: Int, out: String): String = {
           val r = 8 / bands
           val arms = (0 until bands).map(b =>
@@ -208,8 +242,11 @@ object TextSim {
             .mkString(" UNION ALL ")
           val keys = ("band" +: (0 until r).map(j => s"k$j")).mkString(", ")
           s"""${out}b AS ($arms),
+              ${out}z AS (SELECT $keys FROM ${out}b
+                GROUP BY $keys HAVING count(*) <= $BAND_CAP),
               $out AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
                 FROM ${out}b a JOIN ${out}b b USING ($keys)
+                JOIN ${out}z z USING ($keys)
                 WHERE a.doc_id < b.doc_id)"""
         }
         s"""WITH $sqlMinhashCtes,
@@ -375,6 +412,89 @@ object TextSim {
                  round(tf * ln(CAST(n_total AS DOUBLE) / df), 6) AS tfidf
                FROM tf JOIN df USING (term) CROSS JOIN n
                ORDER BY tfidf DESC, doc_id ASC, term ASC LIMIT 100""")),
+
+    QueryDef(
+      "text_sparse_search",
+      // Query-keyed sparse retrieval (VERDICT r11 missing #5 — the
+      // BM25/tf-idf SEARCH shape, vs ml_sparse_pairwise's global pair
+      // scan): 50 query docs (doc_id % 100 = 0, the deterministic sample
+      // rule) each retrieve their top-5 most-similar other docs by tf-idf
+      // cosine THROUGH THE INVERTED INDEX — candidates come only from the
+      // term-keyed equi-join, never a doc×doc scan. The indexed unit is
+      // the word TRIGRAM (the dedup_ngram_jaccard gram wire): the fixture
+      // vocabulary is 31 words, so every unigram is a stop word (df
+      // 250–3923 at sf0.1 — a df-capped unigram index would be EMPTY);
+      // trigrams have max df 25 and real retrieval signal. Grams with
+      // df > Dedup.DF_CAP are dropped from scoring entirely (numerator
+      // AND norms — principled stop-gram removal, and the same
+      // Σdf² ≤ |postings|·cap bound that makes the join affordable at
+      // 100 TB; the cap is part of the operator contract, mirrored in
+      // the oracle). Numeric discipline: ln is float-collapsed (the
+      // text_dsir_weight lesson), dot products and norms ride the exact
+      // DECIMAL(30,12) wire so ranking never depends on float sum order;
+      // rank ties break on doc_id.
+      (s, dir) => {
+        val dt = T.documents(s, dir)
+          .transform(T.fanOut(_, col("doc_id")))
+          .select(col("doc_id"),
+            filter(split(col("text"), " "), t => t =!= "").as("ts"))
+          .where(size(col("ts")) >= 3) // sequence(1, n<1) counts DOWN
+          .select(col("doc_id"), explode(expr(
+            """transform(sequence(1, size(ts) - 2),
+               i -> concat_ws(' ', element_at(ts, i), element_at(ts, i + 1), element_at(ts, i + 2)))"""))
+            .as("term"))
+        val tf = dt.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val dfT = dt.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+          .where(col("df") <= lit(Dedup.DF_CAP))
+        val n = T.documents(s, dir).agg(count(lit(1)).as("n_total"))
+        val w = T.pin(tf.join(dfT, "term").crossJoin(broadcast(n))
+          .selectExpr("doc_id", "term",
+            "tf * CAST(CAST(ln(CAST(n_total AS DOUBLE) / df) AS FLOAT) AS DOUBLE) AS w"))
+        val norms = w.groupBy("doc_id").agg(T.xsum(expr("w * w")).as("n2"))
+        val qw = w.where(col("doc_id") % 100 === 0)
+          .select(col("doc_id").as("q_id"), col("term"), col("w").as("wq"))
+        val num = qw.join(w.withColumnRenamed("w", "wd"), "term")
+          .where(col("doc_id") =!= col("q_id"))
+          .groupBy("q_id", "doc_id")
+          .agg(T.xsum(expr("wq * wd")).as("num"))
+        val scored = num
+          .join(norms.select(col("doc_id").as("q_id"), col("n2").as("nq")), "q_id")
+          .join(norms.select(col("doc_id"), col("n2").as("nd")), "doc_id")
+          .selectExpr("q_id", "doc_id", "num / sqrt(nq * nd) AS cos")
+        val wnd = Window.partitionBy(col("q_id"))
+          .orderBy(col("cos").desc, col("doc_id").asc)
+        scored.withColumn("rank", row_number().over(wnd))
+          .where(col("rank") <= 5)
+          .select(col("q_id"), col("rank"), col("doc_id"),
+            round(col("cos"), 6).as("cos"))
+          .orderBy("q_id", "rank")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+                   FROM documents),
+                 dt AS (SELECT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS term
+                   FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 2)) AS i
+                         FROM toks) x),
+                 tf AS (SELECT doc_id, term, count(*) AS tf FROM dt GROUP BY 1, 2),
+                 df AS (SELECT term, count(DISTINCT doc_id) AS df FROM dt
+                        GROUP BY 1 HAVING count(DISTINCT doc_id) <= ${Dedup.DF_CAP}),
+                 n AS (SELECT count(*) AS n_total FROM documents),
+                 w AS (SELECT doc_id, term,
+                     tf * CAST(CAST(ln(CAST(n_total AS DOUBLE) / df) AS REAL) AS DOUBLE) AS w
+                   FROM tf JOIN df USING (term) CROSS JOIN n),
+                 nrm AS (SELECT doc_id, CAST(sum(CAST(w * w AS DECIMAL(30,12))) AS DOUBLE) AS n2
+                   FROM w GROUP BY doc_id),
+                 nm AS (SELECT q.doc_id AS q_id, d.doc_id AS doc_id,
+                     CAST(sum(CAST(q.w * d.w AS DECIMAL(30,12))) AS DOUBLE) AS num
+                   FROM w q JOIN w d USING (term)
+                   WHERE q.doc_id % 100 = 0 AND d.doc_id <> q.doc_id
+                   GROUP BY 1, 2),
+                 sc AS (SELECT q_id, nm.doc_id, num / sqrt(a.n2 * b.n2) AS cos,
+                     row_number() OVER (PARTITION BY q_id
+                       ORDER BY num / sqrt(a.n2 * b.n2) DESC, nm.doc_id ASC) AS rank
+                   FROM nm JOIN nrm a ON a.doc_id = nm.q_id
+                   JOIN nrm b ON b.doc_id = nm.doc_id)
+               SELECT q_id, rank, doc_id, round(cos, 6) AS cos
+               FROM sc WHERE rank <= 5 ORDER BY q_id, rank""")),
 
     QueryDef(
       "dedup_minhash",

@@ -1,7 +1,8 @@
 package graft.plans
 
-import graft.functions.VecDot
+import graft.functions.{VecDot, VecL1Dist, VecL2Dist, VecLInfDist, VecNormSq}
 import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -27,7 +28,10 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType}
   *
   * Semantics preserved EXACTLY, not approximately: VecDot accumulates
   * left-to-right in double, the same fold order as ArrayAggregate, so
-  * the rewrite is bit-neutral. Guards keep it total:
+  * the rewrite is bit-neutral — including on UNEQUAL-length inputs
+  * (ADVICE r11): zip_with null-pads the shorter array so the HOF form
+  * yields null, and VecDot returns null on length mismatch too (it never
+  * loops past the shorter array). Guards keep it total:
   *  - both sides must be ARRAY<DOUBLE> with containsNull = false (a null
   *    ELEMENT makes the HOF yield null mid-fold; the kernel assumes
   *    dense arrays — so those plans are left alone). NOTE: parquet list
@@ -105,23 +109,41 @@ object FuseVecKernels extends Rule[LogicalPlan] {
             isPairwiseMul(mul) && isSumMerge(merge) &&
             isIdentityFinish(finish) =>
         VecDot(l, r)
-      // Σx² over one array: same kernel with both operands the input —
-      // the fold order (acc += a[i]·a[i]) is identical, so bit-neutral
+      // Σx² over one array: the UNARY kernel (ADVICE r11 — the old
+      // VecDot(arg, arg) duplicated the child, evaluating a
+      // non-deterministic arg twice and a deterministic densify recipe
+      // twice per row; VecNormSq evaluates it once). Fold order
+      // (acc += a[i]·a[i], left-to-right in double) is identical, so
+      // the rewrite stays bit-neutral.
       case ArrayAggregate(arg, Literal(0.0, DoubleType), merge, finish)
           if denseDoubleArray(arg) && isSumSquareMerge(merge) &&
             isIdentityFinish(finish) =>
-        VecDot(arg, arg)
+        VecNormSq(arg)
     }
 }
 
 /** `spark.sql.extensions` entry point: injects [[FuseVecKernels]] and
   * registers the vec kernel family as session functions (so a session
-  * built with the extension needs no imperative Vec.register call).
+  * built with the extension needs no imperative Vec.register call —
+  * `graft_vec_dot(a, b)` resolves in plain SQL; ADVICE r11 made this
+  * claim true instead of fixing the docstring).
   * Usage: `SparkSession.builder.withExtensions(new GraftExtensions)` or
   * `--conf spark.sql.extensions=graft.plans.GraftExtensions`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => FuseVecKernels)
+    def info(name: String, usage: String) =
+      new ExpressionInfo("graft.functions", name) // (className, name) form
+    ext.injectFunction((FunctionIdentifier("graft_vec_dot"),
+      info("graft_vec_dot", "dot"), args => VecDot(args.head, args(1))))
+    ext.injectFunction((FunctionIdentifier("graft_vec_l2"),
+      info("graft_vec_l2", "l2"), args => VecL2Dist(args.head, args(1))))
+    ext.injectFunction((FunctionIdentifier("graft_vec_l1"),
+      info("graft_vec_l1", "l1"), args => VecL1Dist(args.head, args(1))))
+    ext.injectFunction((FunctionIdentifier("graft_vec_linf"),
+      info("graft_vec_linf", "linf"), args => VecLInfDist(args.head, args(1))))
+    ext.injectFunction((FunctionIdentifier("graft_vec_normsq"),
+      info("graft_vec_normsq", "normsq"), args => VecNormSq(args.head)))
   }
 }

@@ -55,13 +55,33 @@ class ExtensionsRuleSpec extends SparkSpec {
       assert(dense.collect().head.getDouble(0) == 32.0)
 
       // single-array squared norm (the Preprocess sparkNorm shape) fuses
-      // to VecDot(a, a)
+      // to the UNARY VecNormSq (ADVICE r11: the old VecDot(a, a) rewrite
+      // duplicated the child expression — evaluated twice per row)
       val norm = s2.range(1)
         .map(_ => Tuple1(Array(1.0, 2.0, 3.0))).toDF("a")
         .selectExpr("aggregate(a, CAST(0 AS DOUBLE), (acc, x) -> acc + x * x) AS n2")
       val optNorm = norm.queryExecution.optimizedPlan.toString
-      assert(optNorm.contains("vec_dot"), s"norm fold did not fuse:\n$optNorm")
+      assert(optNorm.contains("vec_normsq"), s"norm fold did not fuse:\n$optNorm")
       assert(norm.collect().head.getDouble(0) == 14.0)
+
+      // length MISMATCH (ADVICE r11): zip_with null-pads the shorter
+      // array so the HOF yields null — the fused kernel must yield null
+      // too, not loop past the shorter array. Fused and unfused agree.
+      val mism = s2.range(1)
+        .map(_ => (Array(1.0, 2.0, 3.0), Array(4.0, 5.0)))
+        .toDF("a", "b").selectExpr(hofDot)
+      assert(mism.queryExecution.optimizedPlan.toString.contains("vec_dot"),
+        "mismatched-length (but dense) arrays still fuse — null semantics are the kernel's")
+      assert(mism.collect().head.isNullAt(0),
+        "fused dot over unequal lengths must be null (the zip_with pad contract)")
+
+      // the extension session resolves the kernel family in PLAIN SQL —
+      // no imperative Vec.register call (ADVICE r11 docstring fix)
+      val sqlDot = s2.sql(
+        "SELECT graft_vec_dot(array(1d, 2d), array(3d, 4d)) AS d," +
+          " graft_vec_normsq(array(3d, 4d)) AS n2")
+        .collect().head
+      assert(sqlDot.getDouble(0) == 11.0 && sqlDot.getDouble(1) == 25.0)
     } finally {
       SparkSession.setActiveSession(base)
       SparkSession.setDefaultSession(base)

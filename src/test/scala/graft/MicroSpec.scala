@@ -568,6 +568,42 @@ class MicroSpec extends SparkSpec {
     assert(r.getDouble(2) == v.toDouble)
   }
 
+  test("minhash BAND_CAP: 2×4 cap drops nothing on the fixture; 4×2 capped ⊆ uncapped (VERDICT r11 #2)") {
+    // production config (2×4 bands): fixture max band-bucket is 3 (sf0.01)
+    // / 4 (sf0.1), far under BAND_CAP = 64 — the capped pair set must be
+    // IDENTICAL, so every minhashPairs consumer (dedup_minhash/_cluster/
+    // _pipeline/_contamination, graph_*) keeps its uncapped oracle. The
+    // cap only has teeth on hot boilerplate buckets at corpus scale —
+    // and on the sweep's sensitive 4×2 split, where sf0.1's max bucket
+    // is 156: there the capped set must be a strict subset (the dropped
+    // bucket's pairs and nothing else), which dedup_lsh_band_sweep's
+    // oracle mirrors with the same HAVING count(*) <= cap.
+    def pairs(cap: Int) = ops.TextSim.minhashPairsForTest(spark, sf, cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs(ops.TextSim.BAND_CAP) == pairs(Int.MaxValue))
+    def banded(cap: Int) = ops.TextSim.bandedPairsForTest(spark, sf, 4, cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (capped, uncapped) = (banded(ops.TextSim.BAND_CAP), banded(Int.MaxValue))
+    assert(capped.subsetOf(uncapped),
+      "capped 4×2 pair set must never invent pairs")
+  }
+
+  test("ml_model_save_load: reloaded coefficients are bit-identical to the in-session fit") {
+    // the deploy boundary (VERDICT r11 missing #4): parquet doubles are
+    // lossless, so dump → load must reproduce the gauss-solved x0..x3
+    // exactly — no tolerance
+    SparkEntry.queries("ml_model_save_load")(spark, sf).collect() // writes the artifact
+    val path = s"/tmp/graft_io/model_${sf.replaceAll("[^A-Za-z0-9.]", "_")}"
+    val re = spark.read.parquet(path)
+      .select("x0", "x1", "x2", "x3").collect().head
+    val fit = ops.ML.gaussSolved(spark, sf)
+      .select("x0", "x1", "x2", "x3").collect().head
+    for (i <- 0 until 4)
+      assert(java.lang.Double.doubleToRawLongBits(re.getDouble(i)) ==
+        java.lang.Double.doubleToRawLongBits(fit.getDouble(i)),
+        s"x$i changed across the parquet roundtrip")
+  }
+
   test("dedup_ngram_jaccard: df cap drops nothing on the fixture (VERDICT r5 #9)") {
     // measured max gram df is 7 (sf0.01) / 25 (sf0.1), both < DF_CAP = 64,
     // so the capped index must produce the identical pair set; the cap

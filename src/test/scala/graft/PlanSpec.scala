@@ -315,6 +315,25 @@ class PlanSpec extends SparkSpec {
       s"unpartitioned corpus-scale window:\n${winLines.mkString("\n")}")
   }
 
+  test("scan_partition_pruned_join: fact scan carries a DynamicPruningExpression (r12)") {
+    // the 100 TB scan optimization: the qualifying years are only known
+    // after filtering the dim, so the fact directories must be pruned at
+    // RUNTIME via the dim's broadcast — statically the filter is invisible
+    val p = ops.Sources.dppJoin(spark, sf).queryExecution
+      .explainString(ExplainMode.fromString("formatted")).toLowerCase
+    assert(p.contains("dynamicpruningexpression"),
+      s"no dynamic partition pruning on the fact scan:\n$p")
+  }
+
+  test("text_sparse_search: retrieval is inverted-index joins, never a doc×doc scan (r12)") {
+    val p = plan("text_sparse_search")
+    assert(!p.contains("CartesianProduct"), p)
+    // the only nested-loop join allowed is the 1-row corpus-count
+    // broadcast (crossJoin(broadcast(n)) — same shape as text_tfidf)
+    val bnlj = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj <= 1, s"doc-pair scan leaked into the retrieval plan:\n$p")
+  }
+
   test("whole-stage codegen covers the hot path of filter_pred") {
     // pre-execution the AQE wrapper hides codegen spans — run the query,
     // then inspect the final adaptive plan

@@ -15,6 +15,7 @@ driver-side deps, not part of the Scala library).
 import json, math, os, sys, time
 
 import duckdb
+import pyarrow.types as pat
 
 # Driver-budget early warning (VERDICT r10 #1/#3): round 10's correctness
 # artifact came back EMPTY because 15 oracles hit DuckDB 1.0's exponential
@@ -48,6 +49,58 @@ def norm(v):
     return v
 
 
+def type_key(t):
+    """Normalize an arrow type for cross-engine schema compare.
+
+    VERDICT r11 root-caused 3 driver-red rows to an output-TYPE defect this
+    script couldn't see: DuckDB types sum(BIGINT) as HUGEINT, so the oracle
+    emitted decimal128(38,0) where Spark wrote int64 — to_pylist() erased
+    the difference while the driver's type-sensitive hash did not. Compare
+    arrow schemas with a small widening map: all plain integer widths are
+    wire-equal (int32 vs int64 never tripped the driver), but decimal stays
+    decimal — the HUGEINT fingerprint must fail loudly here.
+    """
+    if pat.is_null(t):
+        return "*"  # all-NULL column: engine-dependent inference, wildcard
+    if pat.is_integer(t):
+        return "int"
+    if pat.is_decimal(t):
+        return f"decimal({t.precision},{t.scale})"
+    if pat.is_float32(t):
+        return "float32"
+    if pat.is_floating(t):
+        return "float64"
+    if pat.is_string(t) or pat.is_large_string(t):
+        return "string"
+    if pat.is_binary(t) or pat.is_large_binary(t):
+        return "binary"
+    if pat.is_timestamp(t):
+        return "timestamp"
+    if pat.is_date(t):
+        return "date"
+    if pat.is_boolean(t):
+        return "bool"
+    if pat.is_list(t) or pat.is_large_list(t):
+        return f"list<{type_key(t.value_type)}>"
+    if pat.is_struct(t):
+        inner = ",".join(f"{f.name}:{type_key(f.type)}" for f in t)
+        return f"struct<{inner}>"
+    if pat.is_map(t):
+        return f"map<{type_key(t.key_type)},{type_key(t.item_type)}>"
+    return str(t)
+
+
+def schema_mismatches(oracle_tbl, spark_tbl):
+    """Column-name → (oracle_type, spark_type) for every typed mismatch."""
+    ot = {f.name: type_key(f.type) for f in oracle_tbl.schema}
+    st = {f.name: type_key(f.type) for f in spark_tbl.schema}
+    bad = {}
+    for c in ot:
+        if c in st and ot[c] != st[c] and "*" not in (ot[c], st[c]):
+            bad[c] = (ot[c], st[c])
+    return bad
+
+
 def main(sf_dir, out_dir):
     # --json <path>: also write a structured result artifact
     # {"n_pass", "n_fail", "n_total", "fail": [...], "slow": {name: sec}}
@@ -77,17 +130,29 @@ def main(sf_dir, out_dir):
             continue
         try:
             t0 = time.time()
-            oracle = con.execute(oracles[name]).fetch_arrow_table().to_pylist()
+            oracle_tbl = con.execute(oracles[name]).fetch_arrow_table()
             dt = time.time() - t0
             if dt > SLOW_ORACLE_SEC:
                 slow[name] = round(dt, 1)
                 print(f"SLOW {name}: oracle took {dt:.1f}s (> {SLOW_ORACLE_SEC}s "
                       f"driver-budget hazard — see Oracles.materialize)")
-            spark = con.execute(
+            spark_tbl = con.execute(
                 f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')"
-            ).fetch_arrow_table().to_pylist()
+            ).fetch_arrow_table()
+            oracle = oracle_tbl.to_pylist()
+            spark = spark_tbl.to_pylist()
         except Exception as e:
             print(f"FAIL {name}: exec error: {e}")
+            failed.append(name)
+            n_fail += 1
+            continue
+        # Output-TYPE gate (VERDICT r11 #1): values can be equal while the
+        # driver's type-sensitive hash still mismatches (HUGEINT class).
+        tbad = schema_mismatches(oracle_tbl, spark_tbl)
+        if tbad:
+            print(f"FAIL {name}: output type mismatch "
+                  + ", ".join(f"{c}: oracle={o} spark={s}"
+                              for c, (o, s) in sorted(tbad.items())))
             failed.append(name)
             n_fail += 1
             continue
