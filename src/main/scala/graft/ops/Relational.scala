@@ -337,6 +337,49 @@ object Relational {
               WHERE rn = 1 ORDER BY user_id, err_id""")),
 
     QueryDef(
+      "join_asof_tolerance",
+      // merge_asof(tolerance=...) — the third pandas/cudf as-of knob next
+      // to direction: a backward match only counts within a 10-minute
+      // window (stale matches are WORSE than no match in feature
+      // engineering, the tolerance's whole point). LEFT join keeps
+      // unmatched errors with a NULL click — the pandas contract — so the
+      // output row count equals the error count regardless of tolerance.
+      // Same partition-local equi-join shape as join_asof.
+      (s, dir) => {
+        val TOL = 600L * 1000000L // 10 min in micros
+        val e = T.events(s, dir).select(
+          col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts").cast("timestamp")).as("us"))
+        val err = e.where(col("event_type") === "error")
+          .select(col("user_id"), col("event_id").as("err_id"), col("us").as("err_us"))
+        val clk = e.where(col("event_type") === "click")
+          .select(col("user_id").as("user_c"), col("event_id").as("click_id"), col("us").as("click_us"))
+        val w = Window.partitionBy(col("err_id"))
+          .orderBy(col("click_us").desc, col("click_id").desc)
+        err.join(clk,
+            col("user_id") === col("user_c") &&
+              col("click_us") <= col("err_us") &&
+              col("click_us") >= col("err_us") - lit(TOL), "left")
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .select(col("user_id"), col("err_id"), col("err_us"),
+            col("click_id"), (col("err_us") - col("click_us")).as("lag_us"))
+          .orderBy("user_id", "err_id")
+      },
+      Some("""SELECT user_id, err_id, err_us, click_id, lag_us FROM (
+                SELECT e.user_id, e.event_id AS err_id, e.us AS err_us,
+                  c.event_id AS click_id, e.us - c.us AS lag_us,
+                  row_number() OVER (PARTITION BY e.event_id
+                                     ORDER BY c.us DESC, c.event_id DESC) AS rn
+                FROM (SELECT * FROM (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events) x
+                      WHERE event_type = 'error') e
+                LEFT JOIN (SELECT * FROM (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events) y
+                      WHERE event_type = 'click') c
+                  ON e.user_id = c.user_id AND c.us <= e.us
+                     AND c.us >= e.us - 600000000) t
+              WHERE rn = 1 ORDER BY user_id, err_id""")),
+
+    QueryDef(
       "join_asof_forward",
       // merge_asof(direction='forward') — completes the pandas/cudf
       // direction trio (backward = join_asof, nearest = join_asof_nearest,

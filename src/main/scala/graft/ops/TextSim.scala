@@ -497,6 +497,85 @@ object TextSim {
                FROM sc WHERE rank <= 5 ORDER BY q_id, rank""")),
 
     QueryDef(
+      "text_bm25_rank",
+      // BM25 retrieval (Robertson–Spärck Jones; the Okapi/Lucene scoring
+      // that replaces raw tf-idf in every production search stack) over
+      // the same trigram inverted index as text_sparse_search: the tf
+      // saturation tf·(k1+1)/(tf + k1·(1−b+b·len/avglen)) with k1 = 1.2,
+      // b = 0.75, and the always-positive Lucene idf
+      // ln((N−df+0.5)/(df+0.5) + 1). Query terms are the query doc's
+      // DISTINCT trigrams (presence, not weights — the BM25 contract);
+      // doc length is the UNCAPPED trigram count (an honest length — the
+      // df cap bounds the index, not the normalizer). Per-term addends
+      // are shared-text doubles from exact integers (tf/df/len/avglen);
+      // the per-pair sum rides the DECIMAL(30,12) wire so ranking never
+      // depends on float sum order. Top-5 per query, ties on doc_id.
+      (s, dir) => {
+        val grams = T.pin(T.documents(s, dir)
+          .transform(T.fanOut(_, col("doc_id")))
+          .select(col("doc_id"),
+            filter(split(col("text"), " "), t => t =!= "").as("ts"))
+          .where(size(col("ts")) >= 3)
+          .select(col("doc_id"), explode(expr(
+            """transform(sequence(1, size(ts) - 2),
+               i -> concat_ws(' ', element_at(ts, i), element_at(ts, i + 1), element_at(ts, i + 2)))"""))
+            .as("term")))
+        val len = grams.groupBy("doc_id").agg(count(lit(1)).as("len"))
+        val avl = len.agg(sum(col("len")).as("sl"), count(lit(1)).as("nd"))
+        val tf = grams.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val dfT = grams.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+          .where(col("df") <= lit(Dedup.DF_CAP))
+        val n = T.documents(s, dir).agg(count(lit(1)).as("n_total"))
+        val post = T.pin(tf.join(dfT, "term").join(len, "doc_id")
+          .crossJoin(broadcast(n)).crossJoin(broadcast(avl))
+          .selectExpr("doc_id", "term",
+            """CAST(CAST(ln((n_total - df + 5e-1) / (df + 5e-1) + 1e0) AS FLOAT) AS DOUBLE)
+               * (tf * 2.2e0)
+               / (tf + 1.2e0 * (2.5e-1 + 7.5e-1 * (CAST(len AS DOUBLE) / (CAST(sl AS DOUBLE) / nd)))) AS addend"""))
+        val qt = grams.where(col("doc_id") % 100 === 0)
+          .select(col("doc_id").as("q_id"), col("term")).distinct()
+        val scored = qt.join(post, "term")
+          .where(col("doc_id") =!= col("q_id"))
+          .groupBy("q_id", "doc_id")
+          .agg(T.xsum(col("addend")).as("score"))
+        val wnd = Window.partitionBy(col("q_id"))
+          .orderBy(col("score").desc, col("doc_id").asc)
+        scored.withColumn("rank", row_number().over(wnd))
+          .where(col("rank") <= 5)
+          .select(col("q_id"), col("rank"), col("doc_id"),
+            round(col("score"), 6).as("score"))
+          .orderBy("q_id", "rank")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+                   FROM documents),
+                 grams AS (SELECT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS term
+                   FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 2)) AS i
+                         FROM toks) x),
+                 ln_ AS (SELECT doc_id, count(*) AS len FROM grams GROUP BY doc_id),
+                 avl AS (SELECT CAST(sum(len) AS BIGINT) AS sl, count(*) AS nd FROM ln_),
+                 tf AS (SELECT doc_id, term, count(*) AS tf FROM grams GROUP BY 1, 2),
+                 df AS (SELECT term, count(DISTINCT doc_id) AS df FROM grams
+                        GROUP BY 1 HAVING count(DISTINCT doc_id) <= ${Dedup.DF_CAP}),
+                 n AS (SELECT count(*) AS n_total FROM documents),
+                 post AS (SELECT doc_id, term,
+                     CAST(CAST(ln((n_total - df + 5e-1) / (df + 5e-1) + 1e0) AS REAL) AS DOUBLE)
+                     * (tf * 2.2e0)
+                     / (tf + 1.2e0 * (2.5e-1 + 7.5e-1 * (CAST(len AS DOUBLE) / (CAST(sl AS DOUBLE) / nd)))) AS addend
+                   FROM tf JOIN df USING (term) JOIN ln_ USING (doc_id)
+                   CROSS JOIN n CROSS JOIN avl),
+                 qt AS (SELECT DISTINCT doc_id AS q_id, term FROM grams WHERE doc_id % 100 = 0),
+                 sc AS (SELECT q_id, p.doc_id,
+                     CAST(sum(CAST(addend AS DECIMAL(30,12))) AS DOUBLE) AS score
+                   FROM qt JOIN post p USING (term)
+                   WHERE p.doc_id <> q_id GROUP BY 1, 2),
+                 rk AS (SELECT q_id, doc_id, score,
+                     row_number() OVER (PARTITION BY q_id
+                       ORDER BY score DESC, doc_id ASC) AS rank
+                   FROM sc)
+               SELECT q_id, rank, doc_id, round(score, 6) AS score
+               FROM rk WHERE rank <= 5 ORDER BY q_id, rank""")),
+
+    QueryDef(
       "dedup_minhash",
       // Near-dup candidates via MinHash + banded LSH — the 100 TB dedup
       // shape: O(n) signature build, candidate pairs only within equal
