@@ -36,9 +36,15 @@ object Bench {
     // driver-loop steps contend); the suite is bounded below by total
     // JVM CPU (~3.2 ks / 32 cores ≈ 100 s), so width stopped paying.
     val threads = sys.env.getOrElse("SPARK_GRAFT_BENCH_THREADS", "8").toInt
+    // Shuffle width is its own knob (r12): with AQE off (below) nothing
+    // coalesces post-shuffle, so at sf0.1 every reduce stage runs this
+    // many near-empty tasks — the per-task fixed cost dominates tiny
+    // stages. Kept at the core count by default; the env knob exists for
+    // measurement.
+    val shufParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufParts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // FAIR across per-query pools (r7): under FIFO, an iterative query's

@@ -82,6 +82,75 @@ object ML {
   /** Test hook for the overflow guard (MicroSpec). */
   private[graft] def e4ForTest(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = e4(c)
 
+  // ---- k-means‖ internals (shared by ml_kmeans_scalable_init and
+  // ml_kmeans_parallel_recluster — see their docstrings) ------------------
+
+  /** Bahmani candidate generation: R = 3 derandomized oversampling passes
+    * (ℓ = 20). Returns (per-pass stats (pass, |C|, φ), final candidates).
+    * The driver holds only the candidate set; each pass is ONE
+    * broadcast(candidates) × streamed-points aggregation; φ rides the
+    * exact DECIMAL(30,12) wire so the next pass's threshold is
+    * bit-identical cross-engine. */
+  private def bahmaniRun(s: SparkSession, dir: String)
+      : (Seq[(Int, Long, Double)], Seq[(Long, Seq[Float])]) = {
+    val spark = s
+    import spark.implicits._
+    val L = 20.0 // ℓ = 2k oversampling, k = 10
+    val e = T.pin(T.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"))
+      .transform(T.fanOut(_, col("vec_id"))))
+    val h = (lit(387143L) * col("vec_id") + lit(31337L)) % lit(2147483647L)
+    val first = e.orderBy(h, col("vec_id")).limit(1).collect()(0)
+    var cand = Seq[(Long, Seq[Float])]((first.getLong(0), first.getSeq[Float](1)))
+    val out = scala.collection.mutable.ArrayBuffer[(Int, Long, Double)]()
+    for (pass <- 0 to 3) {
+      val cd = cand.toDF("cid", "c_emb")
+      val d2 = T.pin(e.crossJoin(broadcast(cd))
+        .select(col("vec_id"), col("embedding"),
+          graft.functions.Vec.l2(s, "embedding", "c_emb").as("d"))
+        .groupBy("vec_id", "embedding").agg(min(col("d")).as("dm"))
+        .select(col("vec_id"), col("embedding"),
+          (col("dm") * col("dm")).as("dd")))
+      val phi = d2.agg(T.xsum(col("dd"))).collect()(0).getDouble(0)
+      out += ((pass, cand.size.toLong, phi))
+      if (pass < 3) {
+        // coin = affine hash of (vec_id, pass), exact integer mod then
+        // one division — bit-identical in both engines; members of C
+        // have d² = 0 exactly (Vec.l2(x,x) = 0), so p = 0 and they are
+        // never re-drawn — no dedup step needed on either side
+        val frac = ((lit(387143L) * (col("vec_id") + lit(7919L * (pass + 1)))
+          + lit(31337L)) % lit(2147483647L)).cast("double") / lit(2147483647e0)
+        val picked = d2
+          .where(frac < least(lit(1e0), lit(L) * col("dd") / lit(phi)))
+          .select("vec_id", "embedding").collect()
+        require(picked.length <= 512,
+          s"kmeans|| pass ${pass + 1} sampled ${picked.length} > 512 — oversampling blew up")
+        cand = cand ++ picked.toSeq.sortBy(_.getLong(0))
+          .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      }
+    }
+    (out.toSeq, cand)
+  }
+
+  /** Oracle twin of [[bahmaniRun]] as a CTE prefix: e, k0..k3 (candidate
+    * sets per pass), d0..d3 (per-point min distances), p0..p3 (φ). */
+  private lazy val sqlBahmaniCtes: String = {
+    def passCtes(p: Int): String =
+      s"""d$p AS (SELECT e.vec_id, e.emb, min(list_distance(e.emb, c.emb)) AS dm
+            FROM e CROSS JOIN k$p c GROUP BY e.vec_id, e.emb),
+          p$p AS (SELECT CAST(sum(CAST(dm * dm AS DECIMAL(30,12))) AS DOUBLE) AS phi FROM d$p)""" +
+        (if (p == 3) ""
+         else s""",
+          s${p + 1} AS (SELECT vec_id, emb FROM d$p, p$p
+            WHERE CAST((387143 * (vec_id + ${7919L * (p + 1)}) + 31337) % 2147483647 AS DOUBLE) / 2147483647e0
+                  < least(1e0, 20e0 * (dm * dm) / phi)),
+          k${p + 1} AS (SELECT vec_id, emb FROM k$p UNION ALL SELECT vec_id, emb FROM s${p + 1})""")
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+          k0 AS (SELECT vec_id, emb FROM e
+                 ORDER BY (387143 * vec_id + 31337) % 2147483647, vec_id LIMIT 1),
+          ${(0 to 3).map(passCtes).mkString(",\n          ")}"""
+  }
+
   // ---- PCA internals (shared by ml_pca_power / ml_pca_deflate) -----------
 
   /** Distributed 64×64 Gram via PER-PARTITION ACCUMULATION (VERDICT r3 fix
@@ -4775,64 +4844,105 @@ object ML {
       (s, dir) => {
         val spark = s
         import spark.implicits._
-        val L = 20.0 // ℓ = 2k oversampling, k = 10
-        val e = T.pin(T.embeddings(s, dir)
-          .select(col("vec_id"), col("embedding"))
-          .transform(T.fanOut(_, col("vec_id"))))
-        val h = (lit(387143L) * col("vec_id") + lit(31337L)) % lit(2147483647L)
-        val first = e.orderBy(h, col("vec_id")).limit(1).collect()(0)
-        var cand = Seq[(Long, Seq[Float])]((first.getLong(0), first.getSeq[Float](1)))
-        val out = scala.collection.mutable.ArrayBuffer[(Int, Long, Double)]()
-        for (pass <- 0 to 3) {
-          val cd = cand.toDF("cid", "c_emb")
-          val d2 = T.pin(e.crossJoin(broadcast(cd))
-            .select(col("vec_id"), col("embedding"),
-              graft.functions.Vec.l2(s, "embedding", "c_emb").as("d"))
-            .groupBy("vec_id", "embedding").agg(min(col("d")).as("dm"))
-            .select(col("vec_id"), col("embedding"),
-              (col("dm") * col("dm")).as("dd")))
-          val phi = d2.agg(T.xsum(col("dd"))).collect()(0).getDouble(0)
-          out += ((pass, cand.size.toLong, phi))
-          if (pass < 3) {
-            // coin = affine hash of (vec_id, pass), exact integer mod then
-            // one division — bit-identical in both engines; members of C
-            // have d² = 0 exactly (Vec.l2(x,x) = 0), so p = 0 and they are
-            // never re-drawn — no dedup step needed on either side
-            val frac = ((lit(387143L) * (col("vec_id") + lit(7919L * (pass + 1)))
-              + lit(31337L)) % lit(2147483647L)).cast("double") / lit(2147483647e0)
-            val picked = d2
-              .where(frac < least(lit(1e0), lit(L) * col("dd") / lit(phi)))
-              .select("vec_id", "embedding").collect()
-            require(picked.length <= 512,
-              s"kmeans|| pass ${pass + 1} sampled ${picked.length} > 512 — oversampling blew up")
-            cand = cand ++ picked.toSeq.sortBy(_.getLong(0))
-              .map(r => (r.getLong(0), r.getSeq[Float](1)))
-          }
-        }
-        out.toSeq.toDF("pass", "n_candidates", "phi")
+        bahmaniRun(s, dir)._1.toDF("pass", "n_candidates", "phi")
           .select(col("pass"), col("n_candidates"), round(col("phi"), 6).as("phi"))
           .orderBy("pass")
       },
       Some {
-        def passCtes(p: Int): String =
-          s"""d$p AS (SELECT e.vec_id, e.emb, min(list_distance(e.emb, c.emb)) AS dm
-                FROM e CROSS JOIN k$p c GROUP BY e.vec_id, e.emb),
-              p$p AS (SELECT CAST(sum(CAST(dm * dm AS DECIMAL(30,12))) AS DOUBLE) AS phi FROM d$p)""" +
-            (if (p == 3) ""
-             else s""",
-              s${p + 1} AS (SELECT vec_id, emb FROM d$p, p$p
-                WHERE CAST((387143 * (vec_id + ${7919L * (p + 1)}) + 31337) % 2147483647 AS DOUBLE) / 2147483647e0
-                      < least(1e0, 20e0 * (dm * dm) / phi)),
-              k${p + 1} AS (SELECT vec_id, emb FROM k$p UNION ALL SELECT vec_id, emb FROM s${p + 1})""")
-        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-              k0 AS (SELECT vec_id, emb FROM e
-                     ORDER BY (387143 * vec_id + 31337) % 2147483647, vec_id LIMIT 1),
-              ${(0 to 3).map(passCtes).mkString(",\n              ")}
+        s"""WITH $sqlBahmaniCtes
             SELECT pass, n_candidates, phi FROM (
               ${(0 to 3).map(p =>
                 s"""SELECT $p AS pass, (SELECT count(*) FROM k$p) AS n_candidates,
                     (SELECT round(phi, 6) FROM p$p) AS phi""").mkString(" UNION ALL ")}) u
             ORDER BY pass"""
+      }),
+
+    QueryDef(
+      "ml_kmeans_parallel_recluster",
+      // k-means‖ FINISH (Bahmani 2012 §3.3, steps 7–8): the oversampled
+      // candidate set is weighted by how many corpus points each candidate
+      // is nearest to (ONE broadcast(candidates) × points pass —
+      // nearest-pick deterministic via (distance, cid) ordering), then the
+      // weighted candidates — a driver-held table of ≤ ~70 rows — are
+      // reclustered to k = 10 by weighted farthest-point: seed = argmax
+      // weight, then argmax of w(c)·d²(c, chosen) per step (the
+      // deterministic twin of weighted k-means++ over candidates, the
+      // powerEig64 driver-math discipline — the oracle unrolls the same 9
+      // picks as CTEs). Output: the 10 selected centers with their weight
+      // and pick score. This is the complete 100 TB init: O(R) corpus
+      // passes + one weighting pass + local recluster over ℓ·R rows.
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        val cand = bahmaniRun(s, dir)._2
+        val cd = cand.toDF("cid", "c_emb")
+        val e = T.embeddings(s, dir)
+          .select(col("vec_id"), col("embedding"))
+          .transform(T.fanOut(_, col("vec_id")))
+        val wNear = Window.partitionBy(col("vec_id"))
+          .orderBy(col("d").asc, col("cid").asc)
+        val weights = e.crossJoin(broadcast(cd))
+          .select(col("vec_id"), col("cid"),
+            graft.functions.Vec.l2(s, "embedding", "c_emb").as("d"))
+          .withColumn("rn", row_number().over(wNear))
+          .where(col("rn") === 1)
+          .groupBy("cid").agg(count(lit(1)).as("w"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        // driver-held weighted candidates. A candidate whose embedding
+        // exactly duplicates a lower-cid candidate loses every nearest
+        // tie (ordering is (d, cid)) and gets NO points — it carries zero
+        // mass and is dropped, mirroring the oracle's inner join on wts.
+        val cw = cand.flatMap { case (cid, emb) =>
+          weights.get(cid).map(w => (cid, emb.map(_.toDouble).toArray, w))
+        }
+        def l2(a: Array[Double], b: Array[Double]): Double = {
+          var acc = 0.0; var i = 0
+          while (i < a.length) { val d = a(i) - b(i); acc += d * d; i += 1 }
+          math.sqrt(acc)
+        }
+        val first = cw.maxBy { case (cid, _, w) => (w, -cid) }
+        var chosen = Seq(first)
+        val out = scala.collection.mutable.ArrayBuffer[(Int, Long, Long, Double)](
+          (1, first._1, first._3, 0.0))
+        for (step <- 2 to 10) {
+          val pick = cw
+            .map { case (cid, emb, w) =>
+              val dm = chosen.map(c => l2(emb, c._2)).min
+              (cid, emb, w, w * (dm * dm))
+            }
+            .maxBy { case (cid, _, _, score) => (score, -cid) }
+          chosen = chosen :+ ((pick._1, pick._2, pick._3))
+          out += ((step, pick._1, pick._3, pick._4))
+        }
+        out.toSeq.toDF("step", "cid", "weight", "score")
+          .select(col("step"), col("cid"), col("weight"),
+            round(col("score"), 6).as("score"))
+          .orderBy("step")
+      },
+      Some {
+        val steps = (2 to 10).map { j =>
+          s"""g$j AS (SELECT c.cid, c.emb, c.w,
+                  min(list_distance(c.emb, ch.emb)) AS dm
+                FROM cw c CROSS JOIN ch${j - 1} ch GROUP BY c.cid, c.emb, c.w),
+              r$j AS (SELECT cid, emb, w, w * (dm * dm) AS score, $j AS step
+                FROM g$j ORDER BY w * (dm * dm) DESC, cid LIMIT 1),
+              ch$j AS (SELECT cid, emb FROM ch${j - 1} UNION ALL SELECT cid, emb FROM r$j)"""
+        }.mkString(",\n              ")
+        s"""WITH $sqlBahmaniCtes,
+              near AS (SELECT e.vec_id, c.vec_id AS cid,
+                  row_number() OVER (PARTITION BY e.vec_id
+                    ORDER BY list_distance(e.emb, c.emb), c.vec_id) AS rn
+                FROM e CROSS JOIN k3 c),
+              wts AS (SELECT cid, count(*) AS w FROM near WHERE rn = 1 GROUP BY cid),
+              cw AS (SELECT k3.vec_id AS cid, k3.emb, wts.w
+                FROM k3 JOIN wts ON wts.cid = k3.vec_id),
+              r1 AS (SELECT cid, emb, w, CAST(0 AS DOUBLE) AS score, 1 AS step
+                FROM cw ORDER BY w DESC, cid LIMIT 1),
+              ch1 AS (SELECT cid, emb FROM r1),
+              $steps
+            SELECT step, cid, w AS weight, round(score, 6) AS score
+            FROM (${(1 to 10).map(j => s"SELECT step, cid, w, score FROM r$j").mkString(" UNION ALL ")}) u
+            ORDER BY step"""
       }),
 
     QueryDef(

@@ -33,6 +33,68 @@ object TextSim {
     """SELECT doc_id, unnest(string_split(text, ' ')) AS term
        FROM documents"""
 
+  /** BM25-scored (q_id, doc_id, score) pairs over the trigram inverted
+    * index — shared by text_bm25_rank (pure lexical ranking) and
+    * text_rrf_fusion (the hybrid's lexical arm). Queries are doc_id % 100
+    * = 0; per-term addends are shared-text doubles from exact integers and
+    * the per-pair sum rides the DECIMAL(30,12) wire (see text_bm25_rank's
+    * docstring for the scoring contract). */
+  private[ops] def bm25Scored(s: SparkSession, dir: String): DataFrame = {
+    val grams = T.pin(T.documents(s, dir)
+      .transform(T.fanOut(_, col("doc_id")))
+      .select(col("doc_id"),
+        filter(split(col("text"), " "), t => t =!= "").as("ts"))
+      .where(size(col("ts")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(ts) - 2),
+           i -> concat_ws(' ', element_at(ts, i), element_at(ts, i + 1), element_at(ts, i + 2)))"""))
+        .as("term")))
+    val len = grams.groupBy("doc_id").agg(count(lit(1)).as("len"))
+    val avl = len.agg(sum(col("len")).as("sl"), count(lit(1)).as("nd"))
+    val tf = grams.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfT = grams.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+      .where(col("df") <= lit(Dedup.DF_CAP))
+    val n = T.documents(s, dir).agg(count(lit(1)).as("n_total"))
+    val post = T.pin(tf.join(dfT, "term").join(len, "doc_id")
+      .crossJoin(broadcast(n)).crossJoin(broadcast(avl))
+      .selectExpr("doc_id", "term",
+        """CAST(CAST(ln((n_total - df + 5e-1) / (df + 5e-1) + 1e0) AS FLOAT) AS DOUBLE)
+           * (tf * 2.2e0)
+           / (tf + 1.2e0 * (2.5e-1 + 7.5e-1 * (CAST(len AS DOUBLE) / (CAST(sl AS DOUBLE) / nd)))) AS addend"""))
+    val qt = grams.where(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("q_id"), col("term")).distinct()
+    qt.join(post, "term")
+      .where(col("doc_id") =!= col("q_id"))
+      .groupBy("q_id", "doc_id")
+      .agg(T.xsum(col("addend")).as("score"))
+  }
+
+  /** Oracle twin of [[bm25Scored]] as a CTE prefix ending in
+    * `bm25sc(q_id, doc_id, score)`. */
+  private[ops] lazy val sqlBm25Ctes: String =
+    s"""toks AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+           FROM documents),
+         grams AS (SELECT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS term
+           FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 2)) AS i
+                 FROM toks) x),
+         ln_ AS (SELECT doc_id, count(*) AS len FROM grams GROUP BY doc_id),
+         avl AS (SELECT CAST(sum(len) AS BIGINT) AS sl, count(*) AS nd FROM ln_),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM grams GROUP BY 1, 2),
+         df AS (SELECT term, count(DISTINCT doc_id) AS df FROM grams
+                GROUP BY 1 HAVING count(DISTINCT doc_id) <= ${Dedup.DF_CAP}),
+         n AS (SELECT count(*) AS n_total FROM documents),
+         post AS (SELECT doc_id, term,
+             CAST(CAST(ln((n_total - df + 5e-1) / (df + 5e-1) + 1e0) AS REAL) AS DOUBLE)
+             * (tf * 2.2e0)
+             / (tf + 1.2e0 * (2.5e-1 + 7.5e-1 * (CAST(len AS DOUBLE) / (CAST(sl AS DOUBLE) / nd)))) AS addend
+           FROM tf JOIN df USING (term) JOIN ln_ USING (doc_id)
+           CROSS JOIN n CROSS JOIN avl),
+         qt AS (SELECT DISTINCT doc_id AS q_id, term FROM grams WHERE doc_id % 100 = 0),
+         bm25sc AS (SELECT q_id, p.doc_id,
+             CAST(sum(CAST(addend AS DECIMAL(30,12))) AS DOUBLE) AS score
+           FROM qt JOIN post p USING (term)
+           WHERE p.doc_id <> q_id GROUP BY 1, 2)"""
+
   // MinHash family: h_i(t) = (a_i·tid + b_i) mod p — deterministic affine
   // hashes over dense term-ids (SURVEY §2.12: engine hash() functions
   // differ, so the family must be arithmetic both engines share).
@@ -511,68 +573,95 @@ object TextSim {
       // the per-pair sum rides the DECIMAL(30,12) wire so ranking never
       // depends on float sum order. Top-5 per query, ties on doc_id.
       (s, dir) => {
-        val grams = T.pin(T.documents(s, dir)
-          .transform(T.fanOut(_, col("doc_id")))
-          .select(col("doc_id"),
-            filter(split(col("text"), " "), t => t =!= "").as("ts"))
-          .where(size(col("ts")) >= 3)
-          .select(col("doc_id"), explode(expr(
-            """transform(sequence(1, size(ts) - 2),
-               i -> concat_ws(' ', element_at(ts, i), element_at(ts, i + 1), element_at(ts, i + 2)))"""))
-            .as("term")))
-        val len = grams.groupBy("doc_id").agg(count(lit(1)).as("len"))
-        val avl = len.agg(sum(col("len")).as("sl"), count(lit(1)).as("nd"))
-        val tf = grams.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-        val dfT = grams.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
-          .where(col("df") <= lit(Dedup.DF_CAP))
-        val n = T.documents(s, dir).agg(count(lit(1)).as("n_total"))
-        val post = T.pin(tf.join(dfT, "term").join(len, "doc_id")
-          .crossJoin(broadcast(n)).crossJoin(broadcast(avl))
-          .selectExpr("doc_id", "term",
-            """CAST(CAST(ln((n_total - df + 5e-1) / (df + 5e-1) + 1e0) AS FLOAT) AS DOUBLE)
-               * (tf * 2.2e0)
-               / (tf + 1.2e0 * (2.5e-1 + 7.5e-1 * (CAST(len AS DOUBLE) / (CAST(sl AS DOUBLE) / nd)))) AS addend"""))
-        val qt = grams.where(col("doc_id") % 100 === 0)
-          .select(col("doc_id").as("q_id"), col("term")).distinct()
-        val scored = qt.join(post, "term")
-          .where(col("doc_id") =!= col("q_id"))
-          .groupBy("q_id", "doc_id")
-          .agg(T.xsum(col("addend")).as("score"))
         val wnd = Window.partitionBy(col("q_id"))
           .orderBy(col("score").desc, col("doc_id").asc)
-        scored.withColumn("rank", row_number().over(wnd))
+        bm25Scored(s, dir).withColumn("rank", row_number().over(wnd))
           .where(col("rank") <= 5)
           .select(col("q_id"), col("rank"), col("doc_id"),
             round(col("score"), 6).as("score"))
           .orderBy("q_id", "rank")
       },
-      Some(s"""WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
-                   FROM documents),
-                 grams AS (SELECT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS term
-                   FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 2)) AS i
-                         FROM toks) x),
-                 ln_ AS (SELECT doc_id, count(*) AS len FROM grams GROUP BY doc_id),
-                 avl AS (SELECT CAST(sum(len) AS BIGINT) AS sl, count(*) AS nd FROM ln_),
-                 tf AS (SELECT doc_id, term, count(*) AS tf FROM grams GROUP BY 1, 2),
-                 df AS (SELECT term, count(DISTINCT doc_id) AS df FROM grams
-                        GROUP BY 1 HAVING count(DISTINCT doc_id) <= ${Dedup.DF_CAP}),
-                 n AS (SELECT count(*) AS n_total FROM documents),
-                 post AS (SELECT doc_id, term,
-                     CAST(CAST(ln((n_total - df + 5e-1) / (df + 5e-1) + 1e0) AS REAL) AS DOUBLE)
-                     * (tf * 2.2e0)
-                     / (tf + 1.2e0 * (2.5e-1 + 7.5e-1 * (CAST(len AS DOUBLE) / (CAST(sl AS DOUBLE) / nd)))) AS addend
-                   FROM tf JOIN df USING (term) JOIN ln_ USING (doc_id)
-                   CROSS JOIN n CROSS JOIN avl),
-                 qt AS (SELECT DISTINCT doc_id AS q_id, term FROM grams WHERE doc_id % 100 = 0),
-                 sc AS (SELECT q_id, p.doc_id,
-                     CAST(sum(CAST(addend AS DECIMAL(30,12))) AS DOUBLE) AS score
-                   FROM qt JOIN post p USING (term)
-                   WHERE p.doc_id <> q_id GROUP BY 1, 2),
+      Some(s"""WITH $sqlBm25Ctes,
                  rk AS (SELECT q_id, doc_id, score,
                      row_number() OVER (PARTITION BY q_id
                        ORDER BY score DESC, doc_id ASC) AS rank
-                   FROM sc)
+                   FROM bm25sc)
                SELECT q_id, rank, doc_id, round(score, 6) AS score
+               FROM rk WHERE rank <= 5 ORDER BY q_id, rank""")),
+
+    QueryDef(
+      "text_rrf_fusion",
+      // Hybrid retrieval with Reciprocal Rank Fusion (Cormack/Clarke/
+      // Buettcher 2009 — the standard way RAG stacks combine a lexical and
+      // a dense ranker without score calibration): the BM25 trigram
+      // ranking and the dense embedding-cosine ranking each produce a
+      // per-query top-20, fused by RRF(d) = Σ_r 1/(60 + rank_r(d)) over
+      // the lists that retrieved d (full outer join on (q_id, doc_id);
+      // a doc missing from one list simply contributes nothing). Queries
+      // are the sparse-search sample (doc_id % 100 = 0) restricted to
+      // docs that HAVE an embedding (vec_id = doc_id). Ranks are exact
+      // integers, so the fused score is two shared-text double terms —
+      // no float-sum-order hazard. Top-5 per query, ties on doc_id.
+      // Scale: the dense arm here is the brute-force recall reference
+      // (50 queries × corpus); the production swap is ml_knn_ivf /
+      // sim_topk_pairs_lsh, exactly as documented on those rows.
+      (s, dir) => {
+        val wnd = Window.partitionBy(col("q_id"))
+          .orderBy(col("score").desc, col("doc_id").asc)
+        val bm = bm25Scored(s, dir)
+          .withColumn("rank", row_number().over(wnd))
+          .where(col("rank") <= 20).select("q_id", "doc_id", "rank")
+        val e = T.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+        val qe = e.where(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        val cos = qe.join(e.withColumnRenamed("vec_id", "doc_id"), col("doc_id") =!= col("q_id"))
+          .select(col("q_id"), col("doc_id"),
+            (graft.functions.Vec.dot(s, "q_emb", "embedding") /
+              (sqrt(graft.functions.Vec.normSq(s, "q_emb")) *
+               sqrt(graft.functions.Vec.normSq(s, "embedding")))).as("score"))
+        val dn = cos.withColumn("rank", row_number().over(wnd))
+          .where(col("rank") <= 20).select("q_id", "doc_id", "rank")
+        bm.withColumnRenamed("rank", "r_bm25")
+          .join(dn.withColumnRenamed("rank", "r_dense"), Seq("q_id", "doc_id"), "full_outer")
+          .selectExpr("q_id", "doc_id",
+            """coalesce(1e0 / (60 + r_bm25), 0e0)
+               + coalesce(1e0 / (60 + r_dense), 0e0) AS rrf""",
+            "r_bm25", "r_dense")
+          .withColumn("rank", row_number().over(Window.partitionBy(col("q_id"))
+            .orderBy(col("rrf").desc, col("doc_id").asc)))
+          .where(col("rank") <= 5)
+          .select(col("q_id"), col("rank"), col("doc_id"),
+            round(col("rrf"), 6).as("rrf"), col("r_bm25"), col("r_dense"))
+          .orderBy("q_id", "rank")
+      },
+      Some(s"""WITH $sqlBm25Ctes,
+                 bm AS (SELECT q_id, doc_id, rank FROM (
+                     SELECT q_id, doc_id,
+                       row_number() OVER (PARTITION BY q_id
+                         ORDER BY score DESC, doc_id ASC) AS rank
+                     FROM bm25sc) b WHERE rank <= 20),
+                 e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+                 cosr AS (SELECT q.vec_id AS q_id, d.vec_id AS doc_id,
+                     list_cosine_similarity(q.emb, d.emb) AS score
+                   FROM e q JOIN e d ON d.vec_id <> q.vec_id
+                   WHERE q.vec_id % 100 = 0),
+                 dn AS (SELECT q_id, doc_id, rank FROM (
+                     SELECT q_id, doc_id,
+                       row_number() OVER (PARTITION BY q_id
+                         ORDER BY score DESC, doc_id ASC) AS rank
+                     FROM cosr) c WHERE rank <= 20),
+                 fused AS (SELECT coalesce(bm.q_id, dn.q_id) AS q_id,
+                     coalesce(bm.doc_id, dn.doc_id) AS doc_id,
+                     coalesce(1e0 / (60 + bm.rank), 0e0)
+                       + coalesce(1e0 / (60 + dn.rank), 0e0) AS rrf,
+                     bm.rank AS r_bm25, dn.rank AS r_dense
+                   FROM bm FULL OUTER JOIN dn
+                     ON bm.q_id = dn.q_id AND bm.doc_id = dn.doc_id),
+                 rk AS (SELECT q_id, doc_id, rrf, r_bm25, r_dense,
+                     row_number() OVER (PARTITION BY q_id
+                       ORDER BY rrf DESC, doc_id ASC) AS rank
+                   FROM fused)
+               SELECT q_id, rank, doc_id, round(rrf, 6) AS rrf, r_bm25, r_dense
                FROM rk WHERE rank <= 5 ORDER BY q_id, rank""")),
 
     QueryDef(

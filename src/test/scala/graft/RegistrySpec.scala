@@ -6,9 +6,9 @@ package graft
   */
 class RegistrySpec extends SparkSpec {
 
-  test("all twenty-one catalogs are registered (66 SURVEY keys + 393 extensions)") {
-    assert(SparkEntry.queries.size == 459,
-      s"expected 459 registered queries, got ${SparkEntry.queries.size}")
+  test("all twenty-one catalogs are registered (66 SURVEY keys + 395 extensions)") {
+    assert(SparkEntry.queries.size == 461,
+      s"expected 461 registered queries, got ${SparkEntry.queries.size}")
   }
 
   test("no oracle uses a constant generate_series bound (VERDICT r4 #2)") {
