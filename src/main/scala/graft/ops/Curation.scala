@@ -1294,6 +1294,58 @@ object Curation {
                SELECT source, count(*) AS n_docs,
                  CAST(sum(CASE WHEN logw > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
                  round(${T.sqlXsum("logw")} / count(*), 6) AS avg_logw
-               FROM pd GROUP BY source ORDER BY source"""))
+               FROM pd GROUP BY source ORDER BY source""")),
+
+    QueryDef(
+      "text_mixture_sample",
+      // Deterministic mixture resampling — the Pile/DoReMi-style domain
+      // rebalancing pass every pre-training corpus runs: downsample each
+      // LANGUAGE to the smallest language's size so the kept corpus is an
+      // equal mixture (the fixture is language-imbalanced — en holds ~42%
+      // — so the sampler genuinely fires; sources are exactly balanced,
+      // which would make p ≡ 1). Keep probability p_l = n_min/n_l; the
+      // coin is the two-stage affine hash of doc_id normalized to [0,1)
+      // (the kmeans‖/bootstrap derandomization discipline — reproducible,
+      // resumable, no RNG state), so membership is a pure map over
+      // (doc_id, lang) given one tiny per-language probability table. ONE
+      // counting pass + ONE map-only filter pass at any corpus size;
+      // realized share tracks the target within hash noise (audited per
+      // language in the output).
+      (s, dir) => {
+        val d = T.documents(s, dir).select(col("doc_id"), col("lang"))
+        val counts = d.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+        val nmin = counts.agg(min(col("n_docs")).as("n_min"))
+        val probs = counts.crossJoin(broadcast(nmin))
+          .selectExpr("lang", "n_docs",
+            "CAST(n_min AS DOUBLE) / n_docs AS p")
+        // two-stage coin (the kmeans‖ lesson, see ML.bahmaniRun): a single
+        // small-multiplier affine over consecutive doc_ids never wraps mod
+        // P, so its "fracs" occupy one narrow band and per-source keep
+        // rates are all-or-nothing instead of ≈ p_s
+        val coin = (((col("doc_id") * lit(48271L) + lit(11L)) % lit(2147483647L)
+          * lit(69621L) + lit(7L)) % lit(2147483647L))
+          .cast("double") / lit(2147483647e0)
+        d.join(broadcast(probs), "lang")
+          .select(col("lang"), col("n_docs"), col("p"),
+            when(coin < col("p"), 1L).otherwise(0L).as("keep"))
+          .groupBy("lang", "n_docs", "p")
+          .agg(sum(col("keep")).as("n_kept"))
+          .selectExpr("lang", "n_docs", "CAST(n_kept AS BIGINT) AS n_kept",
+            "round(p, 6) AS target_frac",
+            "round(CAST(n_kept AS DOUBLE) / n_docs, 6) AS kept_frac")
+          .orderBy("lang")
+      },
+      Some("""WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+                 m AS (SELECT min(n_docs) AS n_min FROM c),
+                 pr AS (SELECT lang, n_docs, CAST(n_min AS DOUBLE) / n_docs AS p
+                        FROM c CROSS JOIN m),
+                 k AS (SELECT d.lang, pr.n_docs, pr.p,
+                     CASE WHEN CAST(((d.doc_id * 48271 + 11) % 2147483647 * 69621 + 7) % 2147483647 AS DOUBLE) / 2147483647e0 < pr.p
+                          THEN 1 ELSE 0 END AS keep
+                   FROM documents d JOIN pr USING (lang))
+               SELECT lang, n_docs, CAST(sum(keep) AS BIGINT) AS n_kept,
+                 round(p, 6) AS target_frac,
+                 round(CAST(sum(keep) AS DOUBLE) / n_docs, 6) AS kept_frac
+               FROM k GROUP BY lang, n_docs, p ORDER BY lang"""))
   )
 }

@@ -114,12 +114,20 @@ object ML {
       val phi = d2.agg(T.xsum(col("dd"))).collect()(0).getDouble(0)
       out += ((pass, cand.size.toLong, phi))
       if (pass < 3) {
-        // coin = affine hash of (vec_id, pass), exact integer mod then
-        // one division — bit-identical in both engines; members of C
+        // coin = TWO-STAGE affine hash of (vec_id, pass) — exact integer
+        // mods then one division, bit-identical in both engines. Two
+        // stages matter: a single small-multiplier affine over the
+        // fixture's CONSECUTIVE vec_ids never wraps mod P, so its "fracs"
+        // all land in one narrow band and threshold sampling collects
+        // nothing (caught by the MicroSpec seeding invariant); the
+        // composed step 48271·69621 mod P ≈ 0.565 wraps every ~2 ids —
+        // measured decile-uniform. Stage-1 reduces mod P first so the
+        // stage-2 product stays ≤ P·69621 ≪ 2⁶³ at ANY id. Members of C
         // have d² = 0 exactly (Vec.l2(x,x) = 0), so p = 0 and they are
-        // never re-drawn — no dedup step needed on either side
-        val frac = ((lit(387143L) * (col("vec_id") + lit(7919L * (pass + 1)))
-          + lit(31337L)) % lit(2147483647L)).cast("double") / lit(2147483647e0)
+        // never re-drawn — no dedup step needed on either side.
+        val frac = ((((col("vec_id") + lit(7919L * (pass + 1))) * lit(48271L)
+          + lit(11L)) % lit(2147483647L) * lit(69621L) + lit(7L))
+          % lit(2147483647L)).cast("double") / lit(2147483647e0)
         val picked = d2
           .where(frac < least(lit(1e0), lit(L) * col("dd") / lit(phi)))
           .select("vec_id", "embedding").collect()
@@ -142,7 +150,7 @@ object ML {
         (if (p == 3) ""
          else s""",
           s${p + 1} AS (SELECT vec_id, emb FROM d$p, p$p
-            WHERE CAST((387143 * (vec_id + ${7919L * (p + 1)}) + 31337) % 2147483647 AS DOUBLE) / 2147483647e0
+            WHERE CAST((((vec_id + ${7919L * (p + 1)}) * 48271 + 11) % 2147483647 * 69621 + 7) % 2147483647 AS DOUBLE) / 2147483647e0
                   < least(1e0, 20e0 * (dm * dm) / phi)),
           k${p + 1} AS (SELECT vec_id, emb FROM k$p UNION ALL SELECT vec_id, emb FROM s${p + 1})""")
     s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),

@@ -604,6 +604,33 @@ class MicroSpec extends SparkSpec {
         s"x$i changed across the parquet roundtrip")
   }
 
+  test("ml_kmeans_scalable_init: seeding invariants (VERDICT r11 #5)") {
+    // Bahmani contract on the fixture: the clustering cost φ is monotone
+    // non-increasing across passes (adding candidates can only shrink a
+    // min-distance), the candidate set only grows, and pass 0 starts from
+    // exactly ONE seed (the affine-hash pick, the ml_kmeans_pp_init rule)
+    val rows = SparkEntry.queries("ml_kmeans_scalable_init")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    assert(rows.map(_._1).toSeq == Seq(0, 1, 2, 3))
+    assert(rows.head._2 == 1L, "pass 0 must hold exactly the one hash seed")
+    assert(rows.sliding(2).forall { case Seq(a, b) => b._2 >= a._2 },
+      s"candidate count must be non-decreasing: ${rows.mkString(",")}")
+    assert(rows.sliding(2).forall { case Seq(a, b) => b._3 <= a._3 },
+      s"phi must be monotone non-increasing: ${rows.mkString(",")}")
+    assert(rows.last._2 > 10, "3 oversampling passes should exceed k = 10 candidates")
+  }
+
+  test("ml_kmeans_parallel_recluster: k distinct centers, weights bounded by corpus") {
+    val rows = SparkEntry.queries("ml_kmeans_parallel_recluster")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.length == 10)
+    assert(rows.map(_._2).distinct.length == 10, "centers must be distinct docs")
+    val n = graft.Tables.embeddings(spark, sf).count()
+    assert(rows.map(_._3).sum <= n, "assigned weights cannot exceed the corpus")
+    assert(rows.forall(_._3 >= 1L), "every selected center carries mass")
+  }
+
   test("dedup_ngram_jaccard: df cap drops nothing on the fixture (VERDICT r5 #9)") {
     // measured max gram df is 7 (sf0.01) / 25 (sf0.1), both < DF_CAP = 64,
     // so the capped index must produce the identical pair set; the cap
