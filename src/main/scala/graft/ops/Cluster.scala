@@ -582,6 +582,47 @@ object Cluster {
        core AS (SELECT p.id FROM pts p LEFT JOIN deg ON deg.u = p.id
                 WHERE coalesce(deg.c, 0) + 1 >= $MIN_PTS)"""
 
+  /** PIC pseudo-eigenvector (Lin & Cohen, ICML 2010) over the eps
+    * neighborhood graph — the 5-round power loop shared by
+    * ml_spectral_embed and ml_spectral_cluster. Returns the final (u, x)
+    * frame (a cheap map over the last round's pinned product).
+    *
+    * r12: the per-round mean/norm scalars are COLLECTED as driver-held
+    * literals instead of carried as in-plan broadcast one-row frames.
+    * Re-literalization is bit-neutral (the same exact-wire aggregate
+    * value feeds the same `x - mu` / `xc / nrm` double ops, the kmeans‖
+    * φ discipline), and it removes a real cost: with AQE off (the r12
+    * harness), each BroadcastExchange re-executes its whole subtree —
+    * round k's mean broadcast re-ran rounds 1..k, an O(R²) recompute the
+    * AQE stage cache used to hide. Per-round state is pinned
+    * (localCheckpoint) so the next round starts from a flat leaf; the
+    * (u, x) frame is one row per vertex — tiny at any corpus scale
+    * relative to the edge table the round actually processes. */
+  private def picEmbed(s: SparkSession, dir: String): DataFrame = {
+    val e = T.freeze(epsPairs(s, dir, HORIZON))
+    // pin, not freeze: every power round joins nbr again (5 refs + the
+    // degree pass) — bare freeze re-runs the eps grid join per reference;
+    // localCheckpoint computes it once (the graph_pagerank_personalized
+    // lesson).
+    val nbr = T.pin(e.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(e.select(col("b").as("u"), col("a").as("v"))))
+    val deg = T.pin(nbr.groupBy("u").agg(count(lit(1)).as("deg")))
+    var x = deg.selectExpr("u",
+      s"CAST((u * 48271 + 16807) % ${T.HASH_P} % 1000 AS DOUBLE) / 1e3 AS x")
+    for (_ <- 1 to 5) {
+      val px = T.pin(nbr.join(x.selectExpr("u AS v", "x"), "v")
+        .groupBy("u").agg(T.xsum(col("x")).as("sx"))
+        .join(deg, "u").selectExpr("u", "sx / deg AS x"))
+      val mu = px.agg((T.xsum(col("x")) / count(lit(1))).as("mu"))
+        .collect()(0).getDouble(0)
+      val cx = px.select(col("u"), (col("x") - lit(mu)).as("xc"))
+      val nrm = cx.agg(sqrt(T.xsum(col("xc") * col("xc"))).as("nrm"))
+        .collect()(0).getDouble(0)
+      x = cx.select(col("u"), (col("xc") / lit(nrm)).as("x"))
+    }
+    x
+  }
+
   val entries: Seq[QueryDef] = Seq(
 
     QueryDef(
@@ -3534,36 +3575,16 @@ object Cluster {
       // and L2 normalization — the PIC pseudo-eigenvector. Seed =
       // affine hash of the id (deterministic, non-constant). Graph = the
       // eps neighborhood graph; per round ONE edge-keyed join + degree
-      // division + two exact-wire scalars (mean, norm) carried IN-PLAN
-      // as broadcast one-row frames (the pagerank discipline — no
-      // driver collect in the loop; rounds are frozen flat). Output:
-      // the embedding coordinate for ids < 20 (the model-sample
-      // convention the knn rows use), deterministic to the last bit.
-      (s, dir) => {
-        val e = T.freeze(epsPairs(s, dir, HORIZON))
-        // pin, not freeze: every power round joins nbr again (5 refs +
-        // the degree pass) — bare freeze re-runs the eps grid join per
-        // reference; localCheckpoint computes it once (the
-        // graph_pagerank_personalized lesson).
-        val nbr = T.pin(e.select(col("a").as("u"), col("b").as("v"))
-          .unionAll(e.select(col("b").as("u"), col("a").as("v"))))
-        val deg = T.pin(nbr.groupBy("u").agg(count(lit(1)).as("deg")))
-        var x = T.freeze(deg.selectExpr("u",
-          s"CAST((u * 48271 + 16807) % ${T.HASH_P} % 1000 AS DOUBLE) / 1e3 AS x"))
-        for (_ <- 1 to 5) {
-          val px = nbr.join(x.selectExpr("u AS v", "x"), "v")
-            .groupBy("u").agg(T.xsum(col("x")).as("sx"))
-            .join(deg, "u").selectExpr("u", "sx / deg AS x")
-          val mu = px.agg((T.xsum(col("x")) / count(lit(1))).as("mu"))
-          val cx = px.crossJoin(broadcast(mu)).selectExpr("u", "x - mu AS xc")
-          val nrm = cx.agg(sqrt(T.xsum(col("xc") * col("xc"))).as("nrm"))
-          x = T.freeze(cx.crossJoin(broadcast(nrm))
-            .selectExpr("u", "xc / nrm AS x"))
-        }
-        x.where(col("u") < 20)
-          .selectExpr("u AS id", "round(x, 6) AS embed")
-          .orderBy("id")
-      },
+      // division + two exact-wire scalars (mean, norm) collected as
+      // driver-held literals (see [[picEmbed]] — bit-neutral, and with
+      // AQE off in-plan broadcast carries re-executed their subtrees
+      // O(R²)). Output: the embedding coordinate for ids < 20 (the
+      // model-sample convention the knn rows use), deterministic to the
+      // last bit.
+      (s, dir) => picEmbed(s, dir)
+        .where(col("u") < 20)
+        .selectExpr("u AS id", "round(x, 6) AS embed")
+        .orderBy("id"),
       Some {
         def round(k: Int): String = {
           val prev = if (k == 1) "x0" else s"x${k - 1}"
@@ -3612,26 +3633,7 @@ object Cluster {
       // iteration. Output: per-cluster size + centroid on the spectral
       // axis.
       (s, dir) => {
-        val e = T.freeze(epsPairs(s, dir, HORIZON))
-        // pin, not freeze: every power round joins nbr again (5 refs +
-        // the degree pass) — bare freeze re-runs the eps grid join per
-        // reference; localCheckpoint computes it once (the
-        // graph_pagerank_personalized lesson).
-        val nbr = T.pin(e.select(col("a").as("u"), col("b").as("v"))
-          .unionAll(e.select(col("b").as("u"), col("a").as("v"))))
-        val deg = T.pin(nbr.groupBy("u").agg(count(lit(1)).as("deg")))
-        var x = T.freeze(deg.selectExpr("u",
-          s"CAST((u * 48271 + 16807) % ${T.HASH_P} % 1000 AS DOUBLE) / 1e3 AS x"))
-        for (_ <- 1 to 5) {
-          val px = nbr.join(x.selectExpr("u AS v", "x"), "v")
-            .groupBy("u").agg(T.xsum(col("x")).as("sx"))
-            .join(deg, "u").selectExpr("u", "sx / deg AS x")
-          val mu = px.agg((T.xsum(col("x")) / count(lit(1))).as("mu"))
-          val cx = px.crossJoin(broadcast(mu)).selectExpr("u", "x - mu AS xc")
-          val nrm = cx.agg(sqrt(T.xsum(col("xc") * col("xc"))).as("nrm"))
-          x = T.freeze(cx.crossJoin(broadcast(nrm))
-            .selectExpr("u", "xc / nrm AS x"))
-        }
+        val x = T.pin(picEmbed(s, dir)) // the tail references it 3×
         val asgText = "CASE WHEN abs(x - c1) <= abs(x - c2) THEN 0 ELSE 1 END AS cl"
         val cs0 = x.agg(min(col("x")).as("c1"), max(col("x")).as("c2"))
         val a1 = x.crossJoin(broadcast(cs0)).selectExpr("u", "x", asgText)
