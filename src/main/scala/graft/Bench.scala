@@ -197,19 +197,67 @@ object Bench {
       }
     val heavyFuts = submit(heavyPool, heavyQ)
     val cheapFuts = submit(cheapPool, cheapQ)
+    // Width control is centralized (r13): each pool has a TARGET width
+    // (donation moves it) and a shared THROTTLE scale (the mid-run load
+    // watcher moves it); the effective pool size is target × scale,
+    // floor 1. Donation and throttling compose instead of overwriting
+    // each other's setMaximumPoolSize calls.
+    val heavyTarget = new java.util.concurrent.atomic.AtomicInteger(heavyWidth)
+    val cheapTarget = new java.util.concurrent.atomic.AtomicInteger(cheapWidth)
+    @volatile var scale = 1.0
+    def applyWidths(): Unit = Seq(heavyPool -> heavyTarget, cheapPool -> cheapTarget)
+      .foreach { case (p, t) =>
+        val w = math.max(1, math.round(t.get() * scale).toInt)
+        // shrink max first when narrowing, core first when widening —
+        // setCorePoolSize > max (transiently) throws IllegalArgument
+        if (w <= p.getMaximumPoolSize) { p.setCorePoolSize(w); p.setMaximumPoolSize(w) }
+        else { p.setMaximumPoolSize(w); p.setCorePoolSize(w) }
+      }
     // Width donation: a watcher thread per band hands its width to the
     // other band the moment its own futures all complete, so the run's
     // tail (whichever band it is) uses the full worker budget.
-    def donate(own: Seq[java.util.concurrent.Future[_]], other: ThreadPoolExecutor): Thread = {
+    def donate(own: Seq[java.util.concurrent.Future[_]], otherT: java.util.concurrent.atomic.AtomicInteger): Thread = {
       val t = new Thread(() => {
         own.foreach(f => try f.get() catch { case _: Throwable => () })
-        val w = heavyWidth + cheapWidth
-        other.setMaximumPoolSize(w); other.setCorePoolSize(w)
+        otherT.set(heavyWidth + cheapWidth)
+        applyWidths()
       })
       t.setDaemon(true); t.start(); t
     }
-    donate(heavyFuts, cheapPool)
-    donate(cheapFuts, heavyPool)
+    donate(heavyFuts, cheapTarget)
+    donate(cheapFuts, heavyTarget)
+    // Mid-run load adaptation (VERDICT r12 #1b: the r12 run started at
+    // load 5 and the external load arrived mid-run — the start-only check
+    // never fired). A watcher re-samples every 5 s. Raw loadavg mid-run
+    // counts OUR OWN ~20 runnable threads, so the external share is
+    // estimated as loadavg − own-CPU-rate (ΔprocCpu/Δwall ≈ our runnable
+    // thread count; stall-free approximation errs toward NOT throttling).
+    // External > cores/2 → halve widths (running tasks finish, pool just
+    // stops refilling — graceful); receded below cores/4 → restore.
+    val shrinks = new java.util.concurrent.atomic.AtomicInteger(0)
+    val loadWatcher = new Thread(() => {
+      var lastCpu = procCpu(); var lastNs = System.nanoTime()
+      while (true) {
+        Thread.sleep(5000)
+        val nowCpu = procCpu(); val nowNs = System.nanoTime()
+        val own = if (nowCpu < 0) 0.0
+          else (nowCpu - lastCpu) / math.max((nowNs - lastNs) / 1e9, 1e-3)
+        lastCpu = nowCpu; lastNs = nowNs
+        val ext = loadavg1() - own
+        val want = if (ext > cpus.toInt / 2.0) 0.5
+          else if (ext < cpus.toInt / 4.0) 1.0 else scale
+        if (want != scale) {
+          scale = want
+          if (want < 1.0) {
+            shrinks.incrementAndGet()
+            System.err.println(f"[bench] external load ~$ext%.0f mid-run — widths halved")
+          } else System.err.println("[bench] external load receded — widths restored")
+          applyWidths()
+        }
+      }
+    })
+    loadWatcher.setDaemon(true)
+    if (banded) loadWatcher.start() // threads ≤ 2: nothing to throttle
     val results = (heavyFuts ++ cheapFuts).map(_.get())
     heavyPool.shutdown(); cheapPool.shutdown()
     val wall = (System.nanoTime() - t0all) / 1e9
@@ -276,7 +324,7 @@ object Bench {
     val qcpu = results.map { case (k, _, _, c) => "\"" + k + "\":" + fmt(c, 2) }
       .mkString("{", ",", "}")
     val diagPart =
-      s""","proc_cpu_sec":${fmt(cpuAll, 1)},"cpu_wall_ratio":${fmt(cpuAll / math.max(wall, 1e-9), 2)},"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","heavy_width":$heavyWidth,"cheap_width":$cheapWidth,"heavy_n":${heavyQ.size},"queries_cpu":$qcpu"""
+      s""","proc_cpu_sec":${fmt(cpuAll, 1)},"cpu_wall_ratio":${fmt(cpuAll / math.max(wall, 1e-9), 2)},"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","heavy_width":$heavyWidth,"cheap_width":$cheapWidth,"heavy_n":${heavyQ.size},"throttle_shrinks":${shrinks.get()},"queries_cpu":$qcpu"""
     // "threads" records the pool width (VERDICT r4 #10): with threads=1 the
     // per-query timings are uncontended sequential truth and sum ≈ value;
     // with threads>1 they are pipelined and contention-inflated — consumers

@@ -125,14 +125,21 @@ object ML {
         // stage-2 product stays ≤ P·69621 ≪ 2⁶³ at ANY id. Members of C
         // have d² = 0 exactly (Vec.l2(x,x) = 0), so p = 0 and they are
         // never re-drawn — no dedup step needed on either side.
-        val frac = ((((col("vec_id") + lit(7919L * (pass + 1))) * lit(48271L)
-          + lit(11L)) % lit(2147483647L) * lit(69621L) + lit(7L))
-          % lit(2147483647L)).cast("double") / lit(2147483647e0)
+        val hv = (((col("vec_id") + lit(7919L * (pass + 1))) * lit(48271L)
+          + lit(11L)) % lit(2147483647L) * lit(69621L) + lit(7L)) % lit(2147483647L)
+        val frac = hv.cast("double") / lit(2147483647e0)
+        // Driver-held candidate bound (ADVICE r12 #4 — was a hard
+        // require): a pass that over-draws keeps only the 512
+        // LOWEST-COIN picks (the hash that admitted them, ties by
+        // vec_id) — deterministic, mirrored in the oracle's ORDER BY/
+        // LIMIT, and a graceful degrade instead of an abort. Expected
+        // draw is ℓ = 20 per pass, so the cap drops nothing except on
+        // an adversarial corpus; recluster re-weights whatever survives.
         val picked = d2
           .where(frac < least(lit(1e0), lit(L) * col("dd") / lit(phi)))
-          .select("vec_id", "embedding").collect()
-        require(picked.length <= 512,
-          s"kmeans|| pass ${pass + 1} sampled ${picked.length} > 512 — oversampling blew up")
+          .select(col("vec_id"), col("embedding"), hv.as("hv"))
+          .orderBy(col("hv"), col("vec_id")).limit(512)
+          .collect()
         cand = cand ++ picked.toSeq.sortBy(_.getLong(0))
           .map(r => (r.getLong(0), r.getSeq[Float](1)))
       }
@@ -151,7 +158,9 @@ object ML {
          else s""",
           s${p + 1} AS (SELECT vec_id, emb FROM d$p, p$p
             WHERE CAST((((vec_id + ${7919L * (p + 1)}) * 48271 + 11) % 2147483647 * 69621 + 7) % 2147483647 AS DOUBLE) / 2147483647e0
-                  < least(1e0, 20e0 * (dm * dm) / phi)),
+                  < least(1e0, 20e0 * (dm * dm) / phi)
+            ORDER BY (((vec_id + ${7919L * (p + 1)}) * 48271 + 11) % 2147483647 * 69621 + 7) % 2147483647, vec_id
+            LIMIT 512),
           k${p + 1} AS (SELECT vec_id, emb FROM k$p UNION ALL SELECT vec_id, emb FROM s${p + 1})""")
     s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
           k0 AS (SELECT vec_id, emb FROM e
@@ -4913,7 +4922,16 @@ object ML {
         val out = scala.collection.mutable.ArrayBuffer[(Int, Long, Long, Double)](
           (1, first._1, first._3, 0.0))
         for (step <- 2 to 10) {
+          // already-chosen cids leave the pick pool (ADVICE r12 #1): a
+          // chosen candidate scores w·0² = 0, and on a degenerate corpus
+          // where every REMAINING candidate also scores 0 (exact
+          // duplicates of chosen centers) the (score, -cid) maxBy would
+          // re-pick a chosen cid — duplicate centers, silently green
+          // because the oracle mirrored the flaw. Exclusion (mirrored as
+          // NOT IN in the oracle CTEs) keeps the k-distinct contract.
+          val chosenIds = chosen.map(_._1).toSet
           val pick = cw
+            .filter { case (cid, _, _) => !chosenIds(cid) }
             .map { case (cid, emb, w) =>
               val dm = chosen.map(c => l2(emb, c._2)).min
               (cid, emb, w, w * (dm * dm))
@@ -4931,7 +4949,9 @@ object ML {
         val steps = (2 to 10).map { j =>
           s"""g$j AS (SELECT c.cid, c.emb, c.w,
                   min(list_distance(c.emb, ch.emb)) AS dm
-                FROM cw c CROSS JOIN ch${j - 1} ch GROUP BY c.cid, c.emb, c.w),
+                FROM cw c CROSS JOIN ch${j - 1} ch
+                WHERE c.cid NOT IN (SELECT cid FROM ch${j - 1})
+                GROUP BY c.cid, c.emb, c.w),
               r$j AS (SELECT cid, emb, w, w * (dm * dm) AS score, $j AS step
                 FROM g$j ORDER BY w * (dm * dm) DESC, cid LIMIT 1),
               ch$j AS (SELECT cid, emb FROM ch${j - 1} UNION ALL SELECT cid, emb FROM r$j)"""

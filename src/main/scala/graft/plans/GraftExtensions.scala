@@ -133,17 +133,25 @@ object FuseVecKernels extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => FuseVecKernels)
+    // the usage string rides the (className, db, name, usage, extended)
+    // overload so DESCRIBE FUNCTION shows it (ADVICE r12 #3: the two-arg
+    // constructor silently dropped the parameter)
     def info(name: String, usage: String) =
-      new ExpressionInfo("graft.functions", name) // (className, name) form
+      new ExpressionInfo("graft.functions", null, name, usage, "")
     ext.injectFunction((FunctionIdentifier("graft_vec_dot"),
-      info("graft_vec_dot", "dot"), args => VecDot(args.head, args(1))))
+      info("graft_vec_dot", "graft_vec_dot(a, b) - codegen'd dot product over two equal-length float[]/double[] arrays; null on length mismatch"),
+      args => VecDot(args.head, args(1))))
     ext.injectFunction((FunctionIdentifier("graft_vec_l2"),
-      info("graft_vec_l2", "l2"), args => VecL2Dist(args.head, args(1))))
+      info("graft_vec_l2", "graft_vec_l2(a, b) - codegen'd Euclidean distance over two equal-length float[]/double[] arrays; null on length mismatch"),
+      args => VecL2Dist(args.head, args(1))))
     ext.injectFunction((FunctionIdentifier("graft_vec_l1"),
-      info("graft_vec_l1", "l1"), args => VecL1Dist(args.head, args(1))))
+      info("graft_vec_l1", "graft_vec_l1(a, b) - codegen'd Manhattan distance over two equal-length float[]/double[] arrays; null on length mismatch"),
+      args => VecL1Dist(args.head, args(1))))
     ext.injectFunction((FunctionIdentifier("graft_vec_linf"),
-      info("graft_vec_linf", "linf"), args => VecLInfDist(args.head, args(1))))
+      info("graft_vec_linf", "graft_vec_linf(a, b) - codegen'd Chebyshev distance over two equal-length float[]/double[] arrays; null on length mismatch"),
+      args => VecLInfDist(args.head, args(1))))
     ext.injectFunction((FunctionIdentifier("graft_vec_normsq"),
-      info("graft_vec_normsq", "normsq"), args => VecNormSq(args.head)))
+      info("graft_vec_normsq", "graft_vec_normsq(a) - codegen'd squared L2 norm of one float[]/double[] array"),
+      args => VecNormSq(args.head)))
   }
 }

@@ -12,9 +12,10 @@ round-trip noise only — real mismatches show up far above that).
 This is a builder-side diagnostic tool only (python/duckdb are
 driver-side deps, not part of the Scala library).
 """
-import json, math, os, sys, time
+import glob, json, math, os, sys, time
 
 import duckdb
+import pyarrow.parquet as papq
 import pyarrow.types as pat
 
 # Driver-budget early warning (VERDICT r10 #1/#3): round 10's correctness
@@ -90,14 +91,22 @@ def type_key(t):
     return str(t)
 
 
-def schema_mismatches(oracle_tbl, spark_tbl):
-    """Column-name → (oracle_type, spark_type) for every typed mismatch."""
-    ot = {f.name: type_key(f.type) for f in oracle_tbl.schema}
-    st = {f.name: type_key(f.type) for f in spark_tbl.schema}
+def schema_mismatches(oracle_schema, spark_schema):
+    """Column-name → (oracle_type, spark_type) for every typed mismatch,
+    plus explicit entries for columns present on only one side (ADVICE
+    r12 #2: the old name-intersection loop silently skipped them, leaving
+    the late value compare to notice — or not, on an empty result)."""
+    ot = {f.name: type_key(f.type) for f in oracle_schema}
+    st = {f.name: type_key(f.type) for f in spark_schema}
     bad = {}
     for c in ot:
-        if c in st and ot[c] != st[c] and "*" not in (ot[c], st[c]):
+        if c not in st:
+            bad[c] = (ot[c], "<missing>")
+        elif ot[c] != st[c] and "*" not in (ot[c], st[c]):
             bad[c] = (ot[c], st[c])
+    for c in st:
+        if c not in ot:
+            bad[c] = ("<missing>", st[c])
     return bad
 
 
@@ -148,7 +157,18 @@ def main(sf_dir, out_dir):
             continue
         # Output-TYPE gate (VERDICT r11 #1): values can be equal while the
         # driver's type-sensitive hash still mismatches (HUGEINT class).
-        tbad = schema_mismatches(oracle_tbl, spark_tbl)
+        # The Spark side's schema is read from the parquet FILES with
+        # pyarrow directly (ADVICE r12 #2) — routing it through DuckDB's
+        # reader first let any type DuckDB normalizes on read (unsigned
+        # ints, timestamp unit/tz) pass the gate while the driver's
+        # direct type-sensitive hash still differed.
+        try:
+            spark_files = sorted(glob.glob(os.path.join(spark_dir, "*.parquet")))
+            spark_schema = papq.read_schema(spark_files[0]) if spark_files \
+                else spark_tbl.schema
+        except Exception:
+            spark_schema = spark_tbl.schema
+        tbad = schema_mismatches(oracle_tbl.schema, spark_schema)
         if tbad:
             print(f"FAIL {name}: output type mismatch "
                   + ", ".join(f"{c}: oracle={o} spark={s}"
