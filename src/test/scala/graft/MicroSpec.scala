@@ -384,6 +384,40 @@ class MicroSpec extends SparkSpec {
     for (i <- ids; j <- ids if i < j) yield ((i, j), cosine(localEmb(i), localEmb(j)))
   }
 
+  test("ml_knn_nndescent: one NN-descent round never loses recall@3 vs the IVF seed") {
+    // The Dong 2011 convergence direction, pinned on the fixture: the
+    // neighbor-of-neighbor candidate set always CONTAINS the current
+    // graph (cand ∪= seed edges), so keep-best-k recall vs the exact
+    // top-3 is monotone non-decreasing per round by construction —
+    // a refactor that breaks the union or the (d, id) keep order shows
+    // up here as a recall drop.
+    def l2(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); acc += d * d; i += 1 }
+      math.sqrt(acc)
+    }
+    val exact: Map[Long, Set[Long]] = localEmb.map { case (u, eu) =>
+      u -> localEmb.toSeq.filter(_._1 != u)
+        .map { case (w, ew) => (w, l2(eu, ew)) }
+        .sortBy { case (w, d) => (d, w) }.take(3).map(_._1).toSet
+    }
+    def recallOf(name: String): Double = {
+      val got = q(name).select("vec_id", "n_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val hits = exact.toSeq.map { case (u, ex) =>
+        (got.getOrElse(u, Set.empty) & ex).size
+      }.sum
+      hits.toDouble / exact.valuesIterator.map(_.size).sum
+    }
+    val seedR = recallOf("ml_knn_graph")
+    val refinedR = recallOf("ml_knn_nndescent")
+    info(f"recall@3 vs exact: IVF seed $seedR%.3f -> NN-descent $refinedR%.3f")
+    assert(refinedR >= seedR,
+      f"NN-descent round lost recall: $refinedR%.3f < seed $seedR%.3f")
+    assert(refinedR > 0.5, f"refined recall implausibly low: $refinedR%.3f")
+  }
+
   test("sim_threshold_lsh: every brute-force pair above 0.9 is recalled (VERDICT r5 #2)") {
     // containment on the REGISTERED semantics: recall(lsh vs brute force)
     // at the 0.9 threshold must be 1.0 on this fixture — the design point

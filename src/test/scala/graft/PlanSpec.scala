@@ -246,6 +246,21 @@ class PlanSpec extends SparkSpec {
       "the vocab scoring join must be an equi-join:\n" + p)
   }
 
+  test("ml_knn_nndescent: bounded candidates — every graph step is an id equi-join") {
+    // The NN-descent scale contract: the ONLY nested-loop is the K=10
+    // centroid fan-out the IVF seed shares with ml_knn_graph; the
+    // neighbor-of-neighbor candidate join and both embedding rescoring
+    // joins must be id-keyed equi-joins (O(n·k²) candidates), never a
+    // pair scan.
+    val p = plan("ml_knn_nndescent")
+    assert(!p.contains("CartesianProduct"), p)
+    assert("\\(\\d+\\) BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1,
+      "more than the centroid fan-out plans as BNLJ:\n" + p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"),
+      "candidate/rescore joins must be equi-joins:\n" + p)
+  }
+
   test("text_quality_funnel: map-only rules, the only BNLJ is the 5-row rule grid (r11)") {
     val p = plan("text_quality_funnel")
     assert(!p.contains("CartesianProduct"), p)
