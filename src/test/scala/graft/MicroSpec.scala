@@ -384,6 +384,23 @@ class MicroSpec extends SparkSpec {
     for (i <- ids; j <- ids if i < j) yield ((i, j), cosine(localEmb(i), localEmb(j)))
   }
 
+  test("ml_index_save_load: reloaded index reproduces the in-session search bit-for-bit") {
+    // The deploy-boundary contract: parquet round-trips the centroid
+    // floats, codebook doubles, and int64 codes losslessly, so the search
+    // through the RELOADED artifacts must equal the search through the
+    // in-session frames on every row (same ids, same rounded d² bits).
+    val (cent, cb, codes) = ops.Pipeline.ivfSq8IndexFrames(spark, sf)
+    val inSession = ops.Pipeline.ivfSq8Search(spark, sf, cent, cb, codes)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        java.lang.Double.doubleToLongBits(r.getDouble(3)))).toSeq
+    val reloaded = q("ml_index_save_load")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        java.lang.Double.doubleToLongBits(r.getDouble(3)))).toSeq
+    assert(reloaded.nonEmpty)
+    assert(reloaded == inSession,
+      s"reloaded-index search diverged from in-session: ${reloaded.diff(inSession).take(3)}")
+  }
+
   test("ml_knn_nndescent: one NN-descent round never loses recall@3 vs the IVF seed") {
     // The Dong 2011 convergence direction, pinned on the fixture: the
     // neighbor-of-neighbor candidate set always CONTAINS the current
