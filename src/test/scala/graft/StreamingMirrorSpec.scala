@@ -390,4 +390,49 @@ class StreamingMirrorSpec extends SparkSpec {
       .sortBy(x => (x._1, x._2)).toSeq
     assert(once == expected, s"sink $once vs batch $expected")
   }
+
+  test("content-dedup mirror: dropDuplicatesWithinWatermark on the digest drops late duplicates") {
+    // The streaming half of dedup_stream_content: state is keyed by the
+    // normText digest only, bounded by the 10-minute watermark window.
+    // Batch 1: A, a within-window duplicate of A (different raw spacing,
+    // same normText), and B an hour later (advancing the watermark past
+    // A's window). Batch 2: a LATE duplicate of A behind the watermark —
+    // dropped without any state for A still being held. Output must be
+    // exactly {first A, B}.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, String)]
+    val streamed = mem.toDF().toDF("us", "text")
+      .withColumn("ts", timestamp_micros(col("us")))
+      .withColumn("digest", sha2(Tables.normText(col("text")), 256))
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("digest")
+    val query = streamed.writeStream
+      .format("memory").queryName("content_dedup_mirror")
+      .outputMode("append")
+      .start()
+    val h = 3600L * 1000000L
+    val base = 24L * h // clear of the initial epoch-0 watermark, which
+                       // drops a row AT exactly ts = 0 as late (measured)
+    // one micro-batch per arrival: dropDuplicatesWithinWatermark keeps the
+    // first ARRIVAL (within a single batch the processing order is not
+    // event-time order — measured: a same-batch duplicate can win), so an
+    // in-order stream is modeled as in-order micro-batches; the batch
+    // twin's (us, doc_id) event-time ordering assumes exactly this
+    // in-order arrival
+    mem.addData((base, "Hello, World!"))
+    query.processAllAvailable()
+    mem.addData(
+      (base + 60L * 1000000L, "hello   world"), // same digest, in-window
+      (base + h, "something else entirely"))    // watermark past A's window
+    query.processAllAvailable()
+    mem.addData((base + 120L * 1000000L, "HELLO world")) // late dup of A
+    query.processAllAvailable()
+    query.stop()
+    val got = spark.table("content_dedup_mirror")
+      .select("us", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((base, "Hello, World!"), (base + h, "something else entirely")),
+      s"content-dedup emitted $got")
+  }
 }
