@@ -247,6 +247,8 @@ object Vec {
         "graft_vec_linf", args => VecLInfDist(args.head, args(1)), "built-in")
       reg.createOrReplaceTempFunction(
         "graft_vec_normsq", args => VecNormSq(args.head), "built-in")
+      reg.createOrReplaceTempFunction(
+        "graft_trigrams", args => TrigramGenerator(args.head), "built-in")
     }
   }
 

@@ -153,5 +153,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_vec_normsq"),
       info("graft_vec_normsq", "graft_vec_normsq(a) - codegen'd squared L2 norm of one float[]/double[] array"),
       args => VecNormSq(args.head)))
+    ext.injectFunction((FunctionIdentifier("graft_trigrams"),
+      info("graft_trigrams", "graft_trigrams(s) - table generator: one row per character trigram of s (empty for null or strings shorter than 3)"),
+      args => graft.functions.TrigramGenerator(args.head)))
   }
 }

@@ -82,6 +82,14 @@ class ExtensionsRuleSpec extends SparkSpec {
           " graft_vec_normsq(array(3d, 4d)) AS n2")
         .collect().head
       assert(sqlDot.getDouble(0) == 11.0 && sqlDot.getDouble(1) == 25.0)
+
+      // the custom GENERATOR resolves in plain SQL on the extension
+      // session too (r13: the real Generate-node UDTF, VERDICT r12 #5) —
+      // including the lateral view form and the zero-row guards
+      val tris = s2.sql("SELECT tri FROM VALUES ('abcd'), ('xy'), (NULL) t(s)" +
+          " LATERAL VIEW graft_trigrams(s) g AS tri")
+        .collect().map(_.getString(0)).toSeq
+      assert(tris == Seq("abc", "bcd"), s"generator emitted $tris")
     } finally {
       SparkSession.setActiveSession(base)
       SparkSession.setDefaultSession(base)

@@ -246,6 +246,13 @@ class PlanSpec extends SparkSpec {
       "the vocab scoring join must be an equi-join:\n" + p)
   }
 
+  test("udtf_trigram_gen: plans a Generate node over the custom Generator (VERDICT r12 #5)") {
+    val p = plan("udtf_trigram_gen")
+    assert(p.contains("Generate"), s"no Generate node:\n$p")
+    assert(p.toLowerCase.contains("graft_trigrams"),
+      s"Generate is not the custom generator:\n$p")
+  }
+
   test("ml_knn_nndescent: bounded candidates — every graph step is an id equi-join") {
     // The NN-descent scale contract: the ONLY nested-loop is the K=10
     // centroid fan-out the IVF seed shares with ml_knn_graph; the
