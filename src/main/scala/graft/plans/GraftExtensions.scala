@@ -133,6 +133,10 @@ object FuseVecKernels extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => FuseVecKernels)
+    // the columnar multimodal operator's planner strategy (rung (c) —
+    // custom LogicalPlan → columnar SparkPlan); the vanilla driver
+    // session attaches the same strategy via GraftBridge.addStrategy
+    ext.injectPlannerStrategy(_ => ColumnarResizeStrategy)
     // the usage string rides the (className, db, name, usage, extended)
     // overload so DESCRIBE FUNCTION shows it (ADVICE r12 #3: the two-arg
     // constructor silently dropped the parameter)

@@ -384,6 +384,24 @@ class MicroSpec extends SparkSpec {
     for (i <- ids; j <- ids if i < j) yield ((i, j), cosine(localEmb(i), localEmb(j)))
   }
 
+  test("multimodal_resize_columnar: real columnar execution, bit-equal to the row twin") {
+    // (1) value contract: the columnar operator computes the identical
+    // summary as the mapPartitions twin — same oracle, same rows
+    val rowTwin = q("multimodal_resize").collect().map(_.toSeq).toSeq
+    val colDf = q("multimodal_resize_columnar")
+    val colTwin = colDf.collect().map(_.toSeq).toSeq
+    assert(colTwin.nonEmpty && colTwin == rowTwin,
+      s"columnar twin diverged from row twin: ${colTwin.diff(rowTwin).take(3)}")
+    // (2) boundary contract: the EXECUTED plan really ran the custom
+    // columnar exec between planner-inserted transitions (RowToColumnar
+    // below — the child is a row-producing projection — and ColumnarToRow
+    // above), i.e. batches actually flowed, this wasn't planned away
+    val executed = colDf.queryExecution.executedPlan.toString
+    assert(executed.contains("ColumnarResize"), s"custom exec missing:\n$executed")
+    assert(executed.contains("RowToColumnar"), s"no row→columnar transition:\n$executed")
+    assert(executed.contains("ColumnarToRow"), s"no columnar→row transition:\n$executed")
+  }
+
   test("ml_index_save_load: reloaded index reproduces the in-session search bit-for-bit") {
     // The deploy-boundary contract: parquet round-trips the centroid
     // floats, codebook doubles, and int64 codes losslessly, so the search

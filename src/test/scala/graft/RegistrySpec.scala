@@ -7,8 +7,8 @@ package graft
 class RegistrySpec extends SparkSpec {
 
   test("all twenty-one catalogs are registered (66 SURVEY keys + 396 extensions)") {
-    assert(SparkEntry.queries.size == 466,
-      s"expected 466 registered queries, got ${SparkEntry.queries.size}")
+    assert(SparkEntry.queries.size == 467,
+      s"expected 467 registered queries, got ${SparkEntry.queries.size}")
   }
 
   test("no oracle uses a constant generate_series bound (VERDICT r4 #2)") {
