@@ -42,11 +42,23 @@ object Bench {
     // stages. Kept at the core count by default; the env knob exists for
     // measurement.
     val shufParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTS", cpus)
-    val spark = SparkSession.builder()
+    val builder0 = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufParts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+    // Shuffle/spill dirs on tmpfs when available (r13): /tmp is ext4 in
+    // this environment, and at sf0.1 the fixed cost of tiny stages is
+    // dominated by shuffle-FILE metadata ops (thread dumps during an
+    // iterative query: executor threads pinned in FileOutputStream.open)
+    // — /dev/shm makes those RAM-speed (measured ~20% CPU off the
+    // iterative micro-queries). Harness-only, like AQE-off: a real
+    // cluster sizes spark.local.dir to real disks.
+    val spark = {
+      val shm = Paths.get("/dev/shm")
+      (if (Files.isDirectory(shm) && Files.isWritable(shm))
+        builder0.config("spark.local.dir", "/dev/shm/graft-spark-local")
+      else builder0)
       // FAIR across per-query pools (r7): under FIFO, an iterative query's
       // many SMALL jobs (IRLS steps, label-propagation rounds, k-means++
       // picks) queue behind whatever 32-task scan another worker just
@@ -68,6 +80,7 @@ object Bench {
       // (no session default is set outside this main).
       .config("spark.sql.adaptive.enabled", "false")
       .getOrCreate()
+    }
     spark.sparkContext.setLogLevel("WARN")
     Log.quietBoundedWindowWarn()
     Log.quietFairPoolWarn()

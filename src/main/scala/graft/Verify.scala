@@ -13,11 +13,20 @@ object Verify {
       if (args.length > 2) Some(args(2).split(",").toSet) else None
     def keep(name: String): Boolean = only.forall(_.contains(name))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder0 = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+    // tmpfs local dirs when available — the Bench r13 rationale (shuffle
+    // FILE metadata ops dominate tiny stages; /tmp is ext4 here)
+    val builder = {
+      val shm = Paths.get("/dev/shm")
+      if (Files.isDirectory(shm) && Files.isWritable(shm))
+        builder0.config("spark.local.dir", "/dev/shm/graft-spark-local")
+      else builder0
+    }
+    val spark = builder
       // FAIR across per-query pools — the Bench r7 lesson applies here
       // too: an iterative query's many 1-task jobs would otherwise queue
       // behind another worker's wide scan.

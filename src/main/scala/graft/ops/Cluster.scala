@@ -603,9 +603,15 @@ object Cluster {
     // pin, not freeze: every power round joins nbr again (5 refs + the
     // degree pass) — bare freeze re-runs the eps grid join per reference;
     // localCheckpoint computes it once (the graph_pagerank_personalized
-    // lesson).
+    // lesson). r13: pinned PRE-PARTITIONED on v, the key every round's
+    // edge×vector join uses — localCheckpoint preserves the output
+    // partitioning, so each round shuffles only the per-vertex x frame
+    // (|V| rows) into the join while the edge table (|E| rows, the bulk)
+    // never moves again. The partitioning-reuse play holds at any scale:
+    // the big side is laid out once, R rounds ride it.
     val nbr = T.pin(e.select(col("a").as("u"), col("b").as("v"))
-      .unionAll(e.select(col("b").as("u"), col("a").as("v"))))
+      .unionAll(e.select(col("b").as("u"), col("a").as("v")))
+      .repartition(col("v")))
     val deg = T.pin(nbr.groupBy("u").agg(count(lit(1)).as("deg")))
     var x = deg.selectExpr("u",
       s"CAST((u * 48271 + 16807) % ${T.HASH_P} % 1000 AS DOUBLE) / 1e3 AS x")
@@ -3027,25 +3033,34 @@ object Cluster {
       // (the bounded type side) plus the top-10 hubs, 6-dp-rounded scores
       // ordered (side, score desc, id).
       (s, dir) => {
-        val edges = T.freeze(T.events(s, dir)
+        // pin, not freeze (r13 — the graph_pagerank_personalized lesson
+        // applied): the STATIC edge table is referenced 7× (the user
+        // census + two joins per round); freeze re-derives the
+        // events-scan+distinct per reference, pin computes it once
+        val edges = T.pin(T.events(s, dir)
           .select(col("user_id").as("u"), col("event_type").as("t"))
           .distinct())
         val users = edges.select(col("u")).distinct()
-        var hub = T.freeze(users
+        // per-half-round L1 norms are COLLECTED as driver literals (r13 —
+        // the r12 picEmbed discipline): carried as in-plan broadcast
+        // one-row frames, each norm's BroadcastExchange re-executed the
+        // half-round's join+aggregate subtree under the AQE-off harness;
+        // the collect is bit-neutral (the same exact-wire aggregate value
+        // feeds the same division) and each half-round is pinned so the
+        // next starts from a flat leaf
+        var hub = T.pin(users
           .crossJoin(broadcast(users.agg(count(lit(1)).as("nu"))))
           .selectExpr("u", "1e0 / nu AS h"))
         var auth: DataFrame = null
         for (_ <- 1 to 3) {
-          val araw = edges.join(hub, "u")
-            .groupBy("t").agg(T.xsum(col("h")).as("a"))
-          auth = T.freeze(araw
-            .crossJoin(broadcast(araw.agg(T.xsum(col("a")).as("na"))))
-            .selectExpr("t", "a / na AS a"))
-          val hraw = edges.join(auth, "t")
-            .groupBy("u").agg(T.xsum(col("a")).as("h"))
-          hub = T.freeze(hraw
-            .crossJoin(broadcast(hraw.agg(T.xsum(col("h")).as("nh"))))
-            .selectExpr("u", "h / nh AS h"))
+          val araw = T.pin(edges.join(hub, "u")
+            .groupBy("t").agg(T.xsum(col("h")).as("a")))
+          val na = araw.agg(T.xsum(col("a"))).collect()(0).getDouble(0)
+          auth = araw.select(col("t"), (col("a") / lit(na)).as("a"))
+          val hraw = T.pin(edges.join(auth, "t")
+            .groupBy("u").agg(T.xsum(col("a")).as("h")))
+          val nh = hraw.agg(T.xsum(col("h"))).collect()(0).getDouble(0)
+          hub = hraw.select(col("u"), (col("h") / lit(nh)).as("h"))
         }
         val authOut = auth.selectExpr("'auth' AS side", "t AS id",
           "round(a, 6) AS score")
