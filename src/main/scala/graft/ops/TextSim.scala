@@ -158,9 +158,20 @@ object TextSim {
 
   /** MinHash banded candidate pairs (doc_a < doc_b, distinct, unordered) —
     * the body of dedup_minhash, shared with dedup_cluster (Dedup.scala),
-    * which runs connected components over exactly this pair set. */
+    * which runs connected components over exactly this pair set.
+    *
+    * r13: memoized PINNED through the fit cache (the minhashLabels
+    * precedent — a deterministic function of dir, so a pure session
+    * cache): ~14 registered rows (the whole dedup-graph diagnostics
+    * family) consume this pair set, and each was re-deriving the
+    * 20M-shingle explode → signature → banding chain from scratch. The
+    * pair table itself is tiny (thousands of 16-byte id pairs at sf0.1);
+    * the chain is the cost. localCheckpoint blocks hold it for the
+    * session. */
   private[ops] def minhashPairs(s: SparkSession, dir: String): DataFrame =
-    minhashPairsOf(sigTable(s, dir))
+    T.fitCache("minhashPairsPinned", dir) {
+      T.pin(minhashPairsOf(sigTable(s, dir)))
+    }
 
   /** [[minhashPairs]] over an already-computed signature table. */
   private[ops] def minhashPairsOf(sig: DataFrame, cap: Int = BAND_CAP): DataFrame = {

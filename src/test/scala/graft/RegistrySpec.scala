@@ -6,7 +6,7 @@ package graft
   */
 class RegistrySpec extends SparkSpec {
 
-  test("all twenty-one catalogs are registered (66 SURVEY keys + 396 extensions)") {
+  test("all twenty-one catalogs are registered (66 SURVEY keys + 401 extensions)") {
     assert(SparkEntry.queries.size == 467,
       s"expected 467 registered queries, got ${SparkEntry.queries.size}")
   }
