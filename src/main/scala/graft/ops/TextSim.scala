@@ -132,6 +132,24 @@ object TextSim {
   private[ops] def sigTable(s: SparkSession, dir: String): DataFrame =
     sigTableOf(shingleTids(s, dir))
 
+  /** Session-memoized PINNED distinct shingle table (r13): the 20M-row
+    * explode + distinct is the single most expensive shared pass in the
+    * dedup family — dedup_lsh_band_sweep, dedup_minhash_accuracy, and
+    * (via [[minhashPairs]]) every dedup-graph row were each paying it.
+    * One localCheckpoint per (session, dir); min-per-hash is multiset-
+    * invariant, so signatures from the distinct table are bit-identical
+    * to signatures from the raw stream. */
+  private[ops] def tidsDistinctPinned(s: SparkSession, dir: String): DataFrame =
+    T.fitCache("tidsDistinctPinned", dir) {
+      T.pin(shingleTids(s, dir).distinct())
+    }
+
+  /** Session-memoized pinned signature table over [[tidsDistinctPinned]]. */
+  private[ops] def sigTablePinned(s: SparkSession, dir: String): DataFrame =
+    T.fitCache("sigTablePinned", dir) {
+      T.pin(sigTableOf(tidsDistinctPinned(s, dir)))
+    }
+
   /** [[sigTable]] over an already-computed shingle table — lets a caller
     * that needs BOTH the shingles and the signatures (the accuracy audit)
     * pay the explode pass once. min per hash is multiset-invariant, so a
@@ -170,7 +188,7 @@ object TextSim {
     * session. */
   private[ops] def minhashPairs(s: SparkSession, dir: String): DataFrame =
     T.fitCache("minhashPairsPinned", dir) {
-      T.pin(minhashPairsOf(sigTable(s, dir)))
+      T.pin(minhashPairsOf(sigTablePinned(s, dir)))
     }
 
   /** [[minhashPairs]] over an already-computed signature table. */
@@ -266,8 +284,8 @@ object TextSim {
       // docs at sf0.1), so the capped semantics are value-checked by the
       // driver compare, not just pinned by a spec.
       (s, dir) => {
-        val tids = T.pin(shingleTids(s, dir).distinct())
-        val sig = T.pin(sigTableOf(tids))
+        val tids = tidsDistinctPinned(s, dir)
+        val sig = sigTablePinned(s, dir)
         val tagged = Seq(1, 2, 4).map(bs =>
           bandedPairs(sig, bs).withColumn("bands", lit(bs)))
           .reduce(_ unionAll _)
@@ -1109,8 +1127,8 @@ object TextSim {
       // registry's slowest sequential row at 10 s; min-per-hash is
       // multiset-invariant so the distinct is signature-neutral).
       (s, dir) => {
-        val tids = T.pin(shingleTids(s, dir).distinct())
-        val sig = T.pin(sigTableOf(tids))
+        val tids = tidsDistinctPinned(s, dir)
+        val sig = sigTablePinned(s, dir)
         val pairs = T.freeze(minhashPairsOf(sig))
         val sa = sig.toDF("doc_a" +: (0 until 8).map(i => s"a$i"): _*)
         val sb = sig.toDF("doc_b" +: (0 until 8).map(i => s"b$i"): _*)
