@@ -39,16 +39,28 @@ object TextSim {
     * = 0; per-term addends are shared-text doubles from exact integers and
     * the per-pair sum rides the DECIMAL(30,12) wire (see text_bm25_rank's
     * docstring for the scoring contract). */
-  private[ops] def bm25Scored(s: SparkSession, dir: String): DataFrame = {
-    val grams = T.pin(T.documents(s, dir)
-      .transform(T.fanOut(_, col("doc_id")))
-      .select(col("doc_id"),
-        filter(split(col("text"), " "), t => t =!= "").as("ts"))
-      .where(size(col("ts")) >= 3)
-      .select(col("doc_id"), explode(expr(
-        """transform(sequence(1, size(ts) - 2),
-           i -> concat_ws(' ', element_at(ts, i), element_at(ts, i + 1), element_at(ts, i + 2)))"""))
-        .as("term")))
+  /** Session-memoized pinned word-trigram stream (doc_id, term) — the
+    * shared index base of the retrieval trio (text_sparse_search /
+    * text_bm25_rank / text_rrf_fusion); each was re-exploding the corpus
+    * per run (r13, the tidsDistinctPinned discipline). */
+  private[ops] def wordTrigramsPinned(s: SparkSession, dir: String): DataFrame =
+    T.fitCache("wordTrigramsPinned", dir) {
+      T.pin(T.documents(s, dir)
+        .transform(T.fanOut(_, col("doc_id")))
+        .select(col("doc_id"),
+          filter(split(col("text"), " "), t => t =!= "").as("ts"))
+        .where(size(col("ts")) >= 3)
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(1, size(ts) - 2),
+             i -> concat_ws(' ', element_at(ts, i), element_at(ts, i + 1), element_at(ts, i + 2)))"""))
+          .as("term")))
+    }
+
+  private[ops] def bm25Scored(s: SparkSession, dir: String): DataFrame =
+    T.fitCache("bm25ScoredPinned", dir) { T.pin(bm25ScoredCompute(s, dir)) }
+
+  private def bm25ScoredCompute(s: SparkSession, dir: String): DataFrame = {
+    val grams = wordTrigramsPinned(s, dir)
     val len = grams.groupBy("doc_id").agg(count(lit(1)).as("len"))
     val avl = len.agg(sum(col("len")).as("sl"), count(lit(1)).as("nd"))
     val tf = grams.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
@@ -545,15 +557,7 @@ object TextSim {
       // DECIMAL(30,12) wire so ranking never depends on float sum order;
       // rank ties break on doc_id.
       (s, dir) => {
-        val dt = T.documents(s, dir)
-          .transform(T.fanOut(_, col("doc_id")))
-          .select(col("doc_id"),
-            filter(split(col("text"), " "), t => t =!= "").as("ts"))
-          .where(size(col("ts")) >= 3) // sequence(1, n<1) counts DOWN
-          .select(col("doc_id"), explode(expr(
-            """transform(sequence(1, size(ts) - 2),
-               i -> concat_ws(' ', element_at(ts, i), element_at(ts, i + 1), element_at(ts, i + 2)))"""))
-            .as("term"))
+        val dt = wordTrigramsPinned(s, dir) // r13: shared retrieval-trio base
         val tf = dt.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
         val dfT = dt.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
           .where(col("df") <= lit(Dedup.DF_CAP))
