@@ -250,6 +250,10 @@ object Bench {
     val shrinks = new java.util.concurrent.atomic.AtomicInteger(0)
     val loadWatcher = new Thread(() => {
       var lastCpu = procCpu(); var lastNs = System.nanoTime()
+      var hot = 0 // debounce: the 1-min loadavg LAGS our own 5-s CPU-rate
+                  // window, so a single sample can transiently read our
+                  // own ramp as "external" (measured: one false shrink on
+                  // an idle box) — require 2 consecutive hot samples
       while (true) {
         Thread.sleep(5000)
         val nowCpu = procCpu(); val nowNs = System.nanoTime()
@@ -257,7 +261,8 @@ object Bench {
           else (nowCpu - lastCpu) / math.max((nowNs - lastNs) / 1e9, 1e-3)
         lastCpu = nowCpu; lastNs = nowNs
         val ext = loadavg1() - own
-        val want = if (ext > cpus.toInt / 2.0) 0.5
+        hot = if (ext > cpus.toInt / 2.0) hot + 1 else 0
+        val want = if (hot >= 2) 0.5
           else if (ext < cpus.toInt / 4.0) 1.0 else scale
         if (want != scale) {
           scale = want
