@@ -203,9 +203,11 @@ object Pipeline {
     val e = T.embeddings(s, dir)
     val cent = e.where(col("vec_id") < 10)
       .select(col("vec_id").as("cid"), col("embedding").as("c_emb"))
-    val ex = e.transform(T.fanOut(_, col("vec_id")))
+    // pinned: the exploded per-dim frame feeds the codebook aggregate AND
+    // the code table (r13 — one explode, two consumers)
+    val ex = T.pin(e.transform(T.fanOut(_, col("vec_id")))
       .select(col("vec_id"), posexplode(col("embedding")))
-      .selectExpr("vec_id", "pos + 1 AS i", "CAST(col AS DOUBLE) AS x")
+      .selectExpr("vec_id", "pos + 1 AS i", "CAST(col AS DOUBLE) AS x"))
     val codebook = ex.groupBy("i").agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
     val aw = Window.partitionBy(col("vec_id")).orderBy(col("d"), col("cid"))
     val cells = e.transform(T.fanOut(_, col("vec_id")))
@@ -982,9 +984,13 @@ object Pipeline {
       (s, dir) => {
         val base = s"/tmp/graft_io/vecindex_${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
         val (cent, codebook, codes) = ivfSq8IndexFrames(s, dir)
-        cent.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$base/centroids")
-        codebook.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$base/codebook")
-        codes.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$base/codes")
+        // narrow artifact writes: centroids/codebook are K- and dim-sized,
+        // codes ~n·64 rows — 32-way writes paid more in task/file fixed
+        // cost than the data is worth; a real deploy partitions codes by
+        // cell id instead
+        cent.coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$base/centroids")
+        codebook.coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$base/codebook")
+        codes.coalesce(4).write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$base/codes")
         ivfSq8Search(s, dir,
           s.read.parquet(s"$base/centroids"),
           s.read.parquet(s"$base/codebook"),
