@@ -192,6 +192,108 @@ object Pipeline {
               FROM d LEFT JOIN agg a USING (doc_id)
               ORDER BY d.doc_id"""
 
+  /** The per-dim PQ frame + one-Lloyd-round trained codebook and code
+    * table of ml_knn_pq (M = 2 subspaces × 16 codes), factored out (r13)
+    * so ml_index_pq_save_load can roundtrip the SAME artifacts through
+    * parquet. cb1: (m, code, j, c); codes: (n_id, m, code). */
+  private[graft] def pqTrain(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val vd = T.freeze(T.embeddings(s, dir)
+      .transform(T.fanOut(_, col("vec_id")))
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .toDF("vec_id", "p", "xf")
+      .selectExpr("vec_id", "CAST(p div 32 AS INT) AS m",
+        "CAST(p % 32 AS INT) AS j", "CAST(xf AS DOUBLE) AS x"))
+    val cb0 = vd.where(col("vec_id") < 16)
+      .selectExpr("CAST(vec_id AS INT) AS code", "m", "j", "x AS c")
+    def encode(cb: DataFrame): DataFrame = {
+      val aw = Window.partitionBy(col("vec_id"), col("m"))
+        .orderBy(col("d2"), col("code"))
+      vd.join(broadcast(cb), Seq("m", "j"))
+        .groupBy("vec_id", "m", "code")
+        .agg(T.xsum((col("x") - col("c")) * (col("x") - col("c"))).as("d2"))
+        .withColumn("rn", row_number().over(aw)).where(col("rn") === 1)
+        .select(col("vec_id"), col("m"), col("code"))
+    }
+    val cb1 = T.freeze(vd.join(encode(cb0), Seq("vec_id", "m"))
+      .groupBy("m", "code", "j")
+      .agg((T.xsum(col("x")) / count(lit(1))).as("c")))
+    (cb1, encode(cb1).withColumnRenamed("vec_id", "n_id"))
+  }
+
+  /** ADC top-5 through a PQ codebook + code table (reloaded or
+    * in-session): the query LUT is the only pass touching raw floats. */
+  private[graft] def pqAdcSearch(s: SparkSession, dir: String,
+      cb1: DataFrame, codes: DataFrame): DataFrame = {
+    val vd = T.embeddings(s, dir)
+      .transform(T.fanOut(_, col("vec_id")))
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .toDF("vec_id", "p", "xf")
+      .selectExpr("vec_id", "CAST(p div 32 AS INT) AS m",
+        "CAST(p % 32 AS INT) AS j", "CAST(xf AS DOUBLE) AS x")
+    val lut = vd.where(col("vec_id") < 10)
+      .selectExpr("vec_id AS q_id", "m", "j", "x")
+      .join(broadcast(cb1), Seq("m", "j"))
+      .groupBy("q_id", "m", "code")
+      .agg(T.xsum((col("x") - col("c")) * (col("x") - col("c"))).as("d2m"))
+    val kw = Window.partitionBy(col("q_id")).orderBy(col("dhat"), col("n_id"))
+    codes.join(broadcast(lut), Seq("m", "code"))
+      .where(col("q_id") =!= col("n_id"))
+      .groupBy("q_id", "n_id")
+      .agg(max(when(col("m") === 0, col("d2m"))).as("d20"),
+        max(when(col("m") === 1, col("d2m"))).as("d21"))
+      .selectExpr("q_id", "n_id", "sqrt(d20 + d21) AS dhat")
+      .withColumn("rn", row_number().over(kw)).where(col("rn") <= 5)
+      .select(col("q_id"), col("rn"), col("n_id"),
+        round(col("dhat"), 6).as("dist_adc"))
+      .orderBy("q_id", "rn")
+  }
+
+  /** Oracle of the PQ train + ADC top-5 chain — shared verbatim by
+    * ml_knn_pq and ml_index_pq_save_load (one semantics, with and
+    * without the parquet artifact boundary). */
+  private[ops] lazy val sqlPqAdcOracle: String = {
+    def distCte(name: String, cb: String, filter: String): String =
+      s"""$name AS (SELECT v.vec_id, v.m, c.code,
+              ${T.sqlXsum("(v.x - c.c) * (v.x - c.c)")} AS d2
+            FROM vd v JOIN $cb c ON c.m = v.m AND c.j = v.j$filter
+            GROUP BY v.vec_id, v.m, c.code)"""
+    def encCte(name: String, dist: String): String =
+      s"""$name AS (SELECT vec_id, m, code FROM (
+              SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                ORDER BY d2, code) AS rn FROM $dist) t
+            WHERE rn = 1)"""
+    s"""WITH vd AS (SELECT vec_id,
+               CAST((p1 - 1) // 32 AS INT) AS m,
+               CAST((p1 - 1) % 32 AS INT) AS j,
+               CAST(xf AS DOUBLE) AS x
+             FROM (SELECT vec_id, generate_subscripts(embedding, 1) AS p1,
+                     unnest(embedding) AS xf FROM embeddings) t),
+             cb0 AS (SELECT CAST(vec_id AS INT) AS code, m, j, x AS c
+                     FROM vd WHERE vec_id < 16),
+             ${distCte("dd0", "cb0", "")},
+             ${encCte("enc0", "dd0")},
+             cb1 AS (SELECT a.m, a.code, v.j,
+                 ${T.sqlXsum("v.x")} / count(*) AS c
+               FROM vd v JOIN enc0 a ON a.vec_id = v.vec_id AND a.m = v.m
+               GROUP BY a.m, a.code, v.j),
+             ${distCte("dd1", "cb1", "")},
+             ${encCte("codes", "dd1")},
+             ${distCte("lutd", "cb1", " WHERE v.vec_id < 10")},
+             adc AS (SELECT l.vec_id AS q_id, cd.vec_id AS n_id,
+                 max(CASE WHEN l.m = 0 THEN l.d2 END) AS d20,
+                 max(CASE WHEN l.m = 1 THEN l.d2 END) AS d21
+               FROM codes cd JOIN lutd l
+                 ON l.m = cd.m AND l.code = cd.code
+               WHERE l.vec_id <> cd.vec_id
+               GROUP BY l.vec_id, cd.vec_id)
+           SELECT q_id, rn, n_id, round(dhat, 6) AS dist_adc FROM (
+             SELECT q_id, n_id, sqrt(d20 + d21) AS dhat,
+               row_number() OVER (PARTITION BY q_id
+                 ORDER BY sqrt(d20 + d21), n_id) AS rn
+             FROM adc) r
+           WHERE rn <= 5 ORDER BY q_id, rn"""
+  }
+
   /** The three persistable artifacts of the IVF+SQ8 vector index —
     * centroids (cid, c_emb), codebook (i, mn, mx), codes (vec_id, cid,
     * i, code) — shared by ml_index_save_load's build side and its
@@ -793,6 +895,9 @@ object Pipeline {
 
     QueryDef(
       "ml_knn_pq",
+      // (body shared with ml_index_pq_save_load through pqTrain /
+      // pqAdcSearch — one semantics, with and without the parquet
+      // artifact boundary)
       // Product quantization — the OTHER half of the FAISS/cuML IVF-PQ
       // index family next to ml_knn_ivf's coarse cells and ml_knn_sq8's
       // scalar codes: the 64-dim space splits into M = 2 subspaces of 32
@@ -814,86 +919,38 @@ object Pipeline {
       // At 100 TB the train runs on a bounded sample (cuML's fit [R]
       // does exactly that) and the encode/ADC passes stay map-shaped.
       (s, dir) => {
-        val vd = T.freeze(T.embeddings(s, dir)
-          .transform(T.fanOut(_, col("vec_id")))
-          .select(col("vec_id"), posexplode(col("embedding")))
-          .toDF("vec_id", "p", "xf")
-          .selectExpr("vec_id", "CAST(p div 32 AS INT) AS m",
-            "CAST(p % 32 AS INT) AS j", "CAST(xf AS DOUBLE) AS x"))
-        val cb0 = vd.where(col("vec_id") < 16)
-          .selectExpr("CAST(vec_id AS INT) AS code", "m", "j", "x AS c")
-        def encode(cb: DataFrame): DataFrame = {
-          val aw = Window.partitionBy(col("vec_id"), col("m"))
-            .orderBy(col("d2"), col("code"))
-          vd.join(broadcast(cb), Seq("m", "j"))
-            .groupBy("vec_id", "m", "code")
-            .agg(T.xsum((col("x") - col("c")) * (col("x") - col("c"))).as("d2"))
-            .withColumn("rn", row_number().over(aw)).where(col("rn") === 1)
-            .select(col("vec_id"), col("m"), col("code"))
-        }
-        val cb1 = T.freeze(vd.join(encode(cb0), Seq("vec_id", "m"))
-          .groupBy("m", "code", "j")
-          .agg((T.xsum(col("x")) / count(lit(1))).as("c")))
-        val codes = encode(cb1).withColumnRenamed("vec_id", "n_id")
-        val lut = vd.where(col("vec_id") < 10)
-          .selectExpr("vec_id AS q_id", "m", "j", "x")
-          .join(broadcast(cb1), Seq("m", "j"))
-          .groupBy("q_id", "m", "code")
-          .agg(T.xsum((col("x") - col("c")) * (col("x") - col("c"))).as("d2m"))
-        val kw = Window.partitionBy(col("q_id")).orderBy(col("dhat"), col("n_id"))
-        codes.join(broadcast(lut), Seq("m", "code"))
-          .where(col("q_id") =!= col("n_id"))
-          .groupBy("q_id", "n_id")
-          .agg(max(when(col("m") === 0, col("d2m"))).as("d20"),
-            max(when(col("m") === 1, col("d2m"))).as("d21"))
-          .selectExpr("q_id", "n_id", "sqrt(d20 + d21) AS dhat")
-          .withColumn("rn", row_number().over(kw)).where(col("rn") <= 5)
-          .select(col("q_id"), col("rn"), col("n_id"),
-            round(col("dhat"), 6).as("dist_adc"))
-          .orderBy("q_id", "rn")
+        val (cb1, codes) = pqTrain(s, dir)
+        pqAdcSearch(s, dir, cb1, codes)
       },
-      Some {
-        def distCte(name: String, cb: String, filter: String): String =
-          s"""$name AS (SELECT v.vec_id, v.m, c.code,
-                  ${T.sqlXsum("(v.x - c.c) * (v.x - c.c)")} AS d2
-                FROM vd v JOIN $cb c ON c.m = v.m AND c.j = v.j$filter
-                GROUP BY v.vec_id, v.m, c.code)"""
-        def encCte(name: String, dist: String): String =
-          s"""$name AS (SELECT vec_id, m, code FROM (
-                  SELECT *, row_number() OVER (PARTITION BY vec_id, m
-                    ORDER BY d2, code) AS rn FROM $dist) t
-                WHERE rn = 1)"""
-        s"""WITH vd AS (SELECT vec_id,
-                   CAST((p1 - 1) // 32 AS INT) AS m,
-                   CAST((p1 - 1) % 32 AS INT) AS j,
-                   CAST(xf AS DOUBLE) AS x
-                 FROM (SELECT vec_id, generate_subscripts(embedding, 1) AS p1,
-                         unnest(embedding) AS xf FROM embeddings) t),
-                 cb0 AS (SELECT CAST(vec_id AS INT) AS code, m, j, x AS c
-                         FROM vd WHERE vec_id < 16),
-                 ${distCte("dd0", "cb0", "")},
-                 ${encCte("enc0", "dd0")},
-                 cb1 AS (SELECT a.m, a.code, v.j,
-                     ${T.sqlXsum("v.x")} / count(*) AS c
-                   FROM vd v JOIN enc0 a ON a.vec_id = v.vec_id AND a.m = v.m
-                   GROUP BY a.m, a.code, v.j),
-                 ${distCte("dd1", "cb1", "")},
-                 ${encCte("codes", "dd1")},
-                 ${distCte("lutd", "cb1", " WHERE v.vec_id < 10")},
-                 adc AS (SELECT l.vec_id AS q_id, cd.vec_id AS n_id,
-                     max(CASE WHEN l.m = 0 THEN l.d2 END) AS d20,
-                     max(CASE WHEN l.m = 1 THEN l.d2 END) AS d21
-                   FROM codes cd JOIN lutd l
-                     ON l.m = cd.m AND l.code = cd.code
-                   WHERE l.vec_id <> cd.vec_id
-                   GROUP BY l.vec_id, cd.vec_id)
-               SELECT q_id, rn, n_id, round(dhat, 6) AS dist_adc FROM (
-                 SELECT q_id, n_id, sqrt(d20 + d21) AS dhat,
-                   row_number() OVER (PARTITION BY q_id
-                     ORDER BY sqrt(d20 + d21), n_id) AS rn
-                 FROM adc) r
-               WHERE rn <= 5 ORDER BY q_id, rn"""
-      }),
+      Some(sqlPqAdcOracle)),
+
+    QueryDef(
+      "ml_index_pq_save_load",
+      // PQ-codebook persistence (the second half of the vector-index
+      // deploy boundary next to ml_index_save_load's IVF+SQ8 artifacts —
+      // faiss serializes exactly these two): the trained subspace
+      // codebooks (m, code, j, c) and the 2-byte-per-vector code table
+      // (n_id, m, code) are EXPORTED as parquet, re-READ in fresh scans,
+      // and the ADC search runs THROUGH the reloaded artifacts — only
+      // the query LUT ever touches raw floats, which is what makes the
+      // reloaded index self-sufficient. Codebook doubles are exact
+      // ratios of exact sums and codes are ints, so parquet round-trips
+      // losslessly and the reloaded search is bit-identical to
+      // ml_knn_pq's in-session one — MicroSpec pins that equality; the
+      // oracle re-derives the same index from raw data (shared text
+      // with ml_knn_pq: one semantics, with and without the boundary).
+      (s, dir) => {
+        val base = s"/tmp/graft_io/pqindex_${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+        val (cb1, codes) = pqTrain(s, dir)
+        cb1.coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$base/codebooks")
+        codes.coalesce(4).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$base/codes")
+        pqAdcSearch(s, dir,
+          s.read.parquet(s"$base/codebooks"),
+          s.read.parquet(s"$base/codes"))
+      },
+      Some(sqlPqAdcOracle)),
 
     QueryDef(
       "ml_knn_sq8",

@@ -419,6 +419,19 @@ class MicroSpec extends SparkSpec {
       s"reloaded-index search diverged from in-session: ${reloaded.diff(inSession).take(3)}")
   }
 
+  test("ml_index_pq_save_load: reloaded PQ index reproduces ml_knn_pq bit-for-bit") {
+    // the PQ deploy contract: codebook doubles (exact ratios of exact
+    // sums) and int codes round-trip parquet losslessly, so ADC through
+    // the reloaded artifacts equals the in-session ml_knn_pq on every row
+    def rows(name: String) = q(name).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        java.lang.Double.doubleToLongBits(r.getDouble(3)))).toSeq
+    val reloaded = rows("ml_index_pq_save_load")
+    val inSession = rows("ml_knn_pq")
+    assert(reloaded.nonEmpty && reloaded == inSession,
+      s"reloaded PQ search diverged: ${reloaded.diff(inSession).take(3)}")
+  }
+
   test("ml_knn_nndescent: one NN-descent round never loses recall@3 vs the IVF seed") {
     // The Dong 2011 convergence direction, pinned on the fixture: the
     // neighbor-of-neighbor candidate set always CONTAINS the current
