@@ -629,6 +629,56 @@ object Cluster {
     x
   }
 
+  /** IVF-seeded k=3 directed kNN edges (u, v) — the ml_knn_graph shape,
+    * shared by the NN-descent rows (r13 factor-out). Pinned: the round
+    * body references the graph 3×. */
+  private def nnSeedEdges(s: SparkSession, dir: String): DataFrame = {
+    val e = T.embeddings(s, dir)
+    val cent = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("cid"), col("embedding").as("c_emb"))
+    val aw = Window.partitionBy(col("vec_id")).orderBy(col("d"), col("cid"))
+    val assigned = e.transform(T.fanOut(_, col("vec_id")))
+      .crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("embedding"), col("cid"),
+        graft.functions.Vec.l2(s, "embedding", "c_emb").as("d"))
+      .withColumn("rn", row_number().over(aw))
+    val homes = assigned.where(col("rn") === 1)
+      .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"), col("cid"))
+    val probes = assigned.where(col("rn") <= 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("cid"))
+    val kw = Window.partitionBy(col("q_id")).orderBy(col("d"), col("n_id"))
+    T.pin(probes.join(homes, "cid")
+      .where(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        graft.functions.Vec.l2(s, "q_emb", "n_emb").as("d"))
+      .withColumn("rn", row_number().over(kw)).where(col("rn") <= 3)
+      .select(col("q_id").as("u"), col("n_id").as("v")))
+  }
+
+  /** One deterministic NN-descent round (Dong 2011) over a (u, v) k=3
+    * graph: neighbor-of-neighbor candidates over the undirected graph ∪
+    * the current edges, exact rescore, keep best-3 by (d, id). Returns
+    * the ranked (u, rn, w, d) frame. */
+  private def nnDescentRound(s: SparkSession, dir: String, g: DataFrame): DataFrame = {
+    val und = T.pin(g
+      .unionAll(g.select(col("v").as("u"), col("u").as("v")))
+      .distinct())
+    val cand = und
+      .join(und.select(col("u").as("v"), col("v").as("w")), "v")
+      .where(col("u") =!= col("w"))
+      .select("u", "w")
+      .unionAll(g.select(col("u"), col("v").as("w")))
+      .distinct()
+    val ev = T.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val rw = Window.partitionBy(col("u")).orderBy(col("d"), col("w"))
+    cand
+      .join(ev.select(col("vec_id").as("u"), col("embedding").as("u_emb")), "u")
+      .join(ev.select(col("vec_id").as("w"), col("embedding").as("w_emb")), "w")
+      .select(col("u"), col("w"),
+        graft.functions.Vec.l2(s, "u_emb", "w_emb").as("d"))
+      .withColumn("rn", row_number().over(rw)).where(col("rn") <= 3)
+  }
+
   val entries: Seq[QueryDef] = Seq(
 
     QueryDef(
@@ -878,48 +928,10 @@ object Cluster {
       // Recall@3 vs exact is pinned ≥ the IVF seed's in MicroSpec; the
       // refinement itself is oracle-checked because both engines run the
       // identical deterministic arithmetic.
-      (s, dir) => {
-        val e = T.embeddings(s, dir)
-        val cent = e.where(col("vec_id") < 10)
-          .select(col("vec_id").as("cid"), col("embedding").as("c_emb"))
-        val aw = Window.partitionBy(col("vec_id")).orderBy(col("d"), col("cid"))
-        val assigned = e.transform(T.fanOut(_, col("vec_id")))
-          .crossJoin(broadcast(cent))
-          .select(col("vec_id"), col("embedding"), col("cid"),
-            graft.functions.Vec.l2(s, "embedding", "c_emb").as("d"))
-          .withColumn("rn", row_number().over(aw))
-        val homes = assigned.where(col("rn") === 1)
-          .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"), col("cid"))
-        val probes = assigned.where(col("rn") <= 3)
-          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("cid"))
-        val kw = Window.partitionBy(col("q_id")).orderBy(col("d"), col("n_id"))
-        val seed = T.pin(probes.join(homes, "cid")
-          .where(col("q_id") =!= col("n_id"))
-          .select(col("q_id"), col("n_id"),
-            graft.functions.Vec.l2(s, "q_emb", "n_emb").as("d"))
-          .withColumn("rn", row_number().over(kw)).where(col("rn") <= 3)
-          .select(col("q_id").as("u"), col("n_id").as("v")))
-        val und = T.pin(seed
-          .unionAll(seed.select(col("v").as("u"), col("u").as("v")))
-          .distinct())
-        val cand = und
-          .join(und.select(col("u").as("v"), col("v").as("w")), "v")
-          .where(col("u") =!= col("w"))
-          .select("u", "w")
-          .unionAll(seed.select(col("u"), col("v").as("w")))
-          .distinct()
-        val ev = e.select(col("vec_id"), col("embedding"))
-        val rw = Window.partitionBy(col("u")).orderBy(col("d"), col("w"))
-        cand
-          .join(ev.select(col("vec_id").as("u"), col("embedding").as("u_emb")), "u")
-          .join(ev.select(col("vec_id").as("w"), col("embedding").as("w_emb")), "w")
-          .select(col("u"), col("w"),
-            graft.functions.Vec.l2(s, "u_emb", "w_emb").as("d"))
-          .withColumn("rn", row_number().over(rw)).where(col("rn") <= 3)
-          .select(col("u").as("vec_id"), col("rn"), col("w").as("n_id"),
-            round(col("d"), 6).as("dist"))
-          .orderBy("vec_id", "rn")
-      },
+      (s, dir) => nnDescentRound(s, dir, nnSeedEdges(s, dir))
+        .select(col("u").as("vec_id"), col("rn"), col("w").as("n_id"),
+          round(col("d"), 6).as("dist"))
+        .orderBy("vec_id", "rn"),
       Some("""WITH cent AS (SELECT vec_id AS cid, embedding AS c_emb
                             FROM embeddings WHERE vec_id < 10),
                ranked AS (
@@ -957,6 +969,111 @@ object Cluster {
                 JOIN ed eu ON eu.vec_id = c.u
                 JOIN ed ew ON ew.vec_id = c.w) t
               WHERE rn <= 3 ORDER BY vec_id, rn""")),
+
+    QueryDef(
+      "ml_nndescent_converge",
+      // The NN-descent CONVERGENCE CURVE (the Dong 2011 "1–2 rounds is
+      // enough" claim as a registered tuning table, the graph-ANN twin of
+      // ml_ivf_nprobe_sweep): recall@3 vs the exact top-3 after round 0
+      // (the IVF seed), round 1, and round 2, measured on the
+      // deterministic query sample vec_id % 40 = 0 so the exact side
+      // stays |sample| × corpus, never all-pairs. Monotone non-decreasing
+      // by construction (each round's candidate set contains the current
+      // graph), which the oracle would catch drifting. Rounds run over
+      // the FULL graph — a query's round-2 neighbors come through other
+      // vertices' round-1 improvements, so the sample can't shortcut the
+      // graph work (the honest cost of the curve).
+      (s, dir) => {
+        val g0 = nnSeedEdges(s, dir)
+        val g1 = T.pin(nnDescentRound(s, dir, g0)
+          .select(col("u"), col("w").as("v")))
+        val g2 = nnDescentRound(s, dir, g1)
+          .select(col("u"), col("w").as("v"))
+        val e = T.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+        val qs = e.where(col("vec_id") % 40 === 0)
+          .select(col("vec_id").as("u"), col("embedding").as("q_emb"))
+        val xw = Window.partitionBy(col("u")).orderBy(col("d"), col("v"))
+        val exact = T.pin(e
+          .select(col("vec_id").as("v"), col("embedding").as("n_emb"))
+          .transform(T.fanOut(_, col("v")))
+          .crossJoin(broadcast(qs))
+          .where(col("u") =!= col("v"))
+          .select(col("u"), col("v"),
+            graft.functions.Vec.l2(s, "q_emb", "n_emb").as("d"))
+          .withColumn("rn", row_number().over(xw)).where(col("rn") <= 3)
+          .select(col("u"), col("v")))
+        val nq = qs.count()
+        def recallRow(g: DataFrame, r: Int): DataFrame =
+          g.join(exact, Seq("u", "v"))
+            .agg(count(lit(1)).as("hits"))
+            .selectExpr(s"$r AS round", s"CAST($nq AS BIGINT) AS n_queries",
+              s"round(CAST(hits AS DOUBLE) / (3 * $nq), 6) AS recall_at_3")
+        recallRow(g0, 0)
+          .unionAll(recallRow(g1, 1))
+          .unionAll(recallRow(g2, 2))
+          .orderBy("round")
+      },
+      Some {
+        // one NN-descent round as CTEs: und/cand from `gin`, ranked top-3
+        // into `gout`
+        def roundCtes(gin: String, n: Int): String =
+          s"""und$n AS (SELECT DISTINCT u, v FROM (
+                SELECT u, v FROM $gin UNION ALL SELECT v, u FROM $gin) x),
+              cand$n AS (SELECT DISTINCT u, w FROM (
+                SELECT a.u, b.v AS w FROM und$n a JOIN und$n b ON a.v = b.u
+                WHERE a.u <> b.v
+                UNION ALL SELECT u, v FROM $gin) x),
+              g$n AS (SELECT u, w AS v FROM (
+                SELECT c.u, c.w,
+                  row_number() OVER (PARTITION BY c.u
+                    ORDER BY list_distance(eu.emb, ew.emb), c.w) AS rn
+                FROM cand$n c
+                JOIN ed eu ON eu.vec_id = c.u
+                JOIN ed ew ON ew.vec_id = c.w) t
+              WHERE rn <= 3)"""
+        s"""WITH cent AS (SELECT vec_id AS cid, embedding AS c_emb
+                          FROM embeddings WHERE vec_id < 10),
+               ranked AS (
+                 SELECT e.vec_id, e.embedding, c.cid,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]),
+                                            CAST(c.c_emb AS DOUBLE[])), c.cid) AS rn
+                 FROM embeddings e CROSS JOIN cent c),
+               homes AS (SELECT vec_id AS n_id, embedding AS n_emb, cid
+                         FROM ranked WHERE rn = 1),
+               probes AS (SELECT vec_id AS q_id, embedding AS q_emb, cid
+                          FROM ranked WHERE rn <= 3),
+               g0 AS (SELECT q_id AS u, n_id AS v FROM (
+                   SELECT p.q_id, h.n_id,
+                     row_number() OVER (PARTITION BY p.q_id
+                       ORDER BY list_distance(CAST(p.q_emb AS DOUBLE[]),
+                                              CAST(h.n_emb AS DOUBLE[])), h.n_id) AS rn
+                   FROM probes p JOIN homes h ON p.cid = h.cid
+                   WHERE p.q_id <> h.n_id) t
+                 WHERE rn <= 3),
+               ed AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                      FROM embeddings),
+               ${roundCtes("g0", 1)},
+               ${roundCtes("g1", 2)},
+               qs AS (SELECT vec_id AS u, CAST(embedding AS DOUBLE[]) AS emb
+                      FROM embeddings WHERE vec_id % 40 = 0),
+               nqs AS (SELECT count(*) AS nq FROM qs),
+               exact AS (SELECT u, v FROM (
+                   SELECT q.u, e.vec_id AS v,
+                     row_number() OVER (PARTITION BY q.u
+                       ORDER BY list_distance(q.emb, e.emb), e.vec_id) AS rn
+                   FROM qs q CROSS JOIN ed e WHERE e.vec_id <> q.u) t
+                 WHERE rn <= 3)
+              SELECT rnd AS round, CAST(nq AS BIGINT) AS n_queries,
+                round(CAST(hits AS DOUBLE) / (3 * nq), 6) AS recall_at_3
+              FROM (
+                SELECT 0 AS rnd, count(*) AS hits FROM g0 JOIN exact USING (u, v)
+                UNION ALL
+                SELECT 1, count(*) FROM g1 JOIN exact USING (u, v)
+                UNION ALL
+                SELECT 2, count(*) FROM g2 JOIN exact USING (u, v)) h
+              CROSS JOIN nqs ORDER BY rnd"""
+      }),
 
     QueryDef(
       "ml_agglo_single",
