@@ -196,7 +196,15 @@ object Pipeline {
     * table of ml_knn_pq (M = 2 subspaces × 16 codes), factored out (r13)
     * so ml_index_pq_save_load can roundtrip the SAME artifacts through
     * parquet. cb1: (m, code, j, c); codes: (n_id, m, code). */
-  private[graft] def pqTrain(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  private[graft] def pqTrain(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    // session-memoized pinned (the r13 shared-frame discipline): both PQ
+    // rows train the same codebooks; the second consumer pays nothing
+    T.fitCache("pqTrainPinned", dir) {
+      val (cb, cd) = pqTrainCompute(s, dir)
+      (T.pin(cb), T.pin(cd))
+    }
+
+  private def pqTrainCompute(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val vd = T.freeze(T.embeddings(s, dir)
       .transform(T.fanOut(_, col("vec_id")))
       .select(col("vec_id"), posexplode(col("embedding")))
