@@ -1677,6 +1677,7 @@ object Supervised {
           (col("l_discount").cast("double") * lit(10.0)).as("dc"))
           .transform(T.fanOut(_))
         var w = s.sql("SELECT 0e0 AS wi, 0e0 AS wq, 0e0 AS wd")
+        def d2s(x: Double) = java.lang.Double.toString(x)
         val rounds = (1 to 3).map { k =>
           // pin the 1-row gradient: round k's aggregate is referenced by
           // BOTH the weight update and the output arm, and round k+1's
@@ -1690,10 +1691,20 @@ object Supervised {
               T.xsum(col("mis") * col("y")).as("gi"),
               T.xsum(col("mis") * col("y") * col("q")).as("gq"),
               T.xsum(col("mis") * col("y") * col("dc")).as("gd")))
-          w = g.crossJoin(broadcast(w)).selectExpr(
+          // the updated weights are RE-LITERALIZED as a driver-held local
+          // relation (r13 — the picEmbed discipline): the old chained
+          // g.crossJoin(broadcast(w_prev)) carried every prior round in
+          // the broadcast subtree, which re-executes under the AQE-off
+          // harness. Bit-neutral: the update runs in the SAME Spark
+          // double ops over the pinned aggregate, and Double.toString →
+          // CAST(... AS DOUBLE) round-trips the IEEE value exactly.
+          val wrow = g.crossJoin(w).selectExpr(
             s"wi + $PC_ETA * (gi / n) AS wi",
             s"wq + $PC_ETA * (gq / n) AS wq",
-            s"wd + $PC_ETA * (gd / n) AS wd")
+            s"wd + $PC_ETA * (gd / n) AS wd").collect()(0)
+          w = s.sql(s"SELECT CAST('${d2s(wrow.getDouble(0))}' AS DOUBLE) AS wi, " +
+            s"CAST('${d2s(wrow.getDouble(1))}' AS DOUBLE) AS wq, " +
+            s"CAST('${d2s(wrow.getDouble(2))}' AS DOUBLE) AS wd")
           g.crossJoin(w).selectExpr(s"$k AS step",
             "round(nmis / n, 6) AS err_rate",
             "round(wi, 6) AS w_intercept", "round(wq, 6) AS w_quantity",
