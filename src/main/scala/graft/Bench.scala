@@ -218,14 +218,23 @@ object Bench {
     val heavyTarget = new java.util.concurrent.atomic.AtomicInteger(heavyWidth)
     val cheapTarget = new java.util.concurrent.atomic.AtomicInteger(cheapWidth)
     @volatile var scale = 1.0
-    def applyWidths(): Unit = Seq(heavyPool -> heavyTarget, cheapPool -> cheapTarget)
-      .foreach { case (p, t) =>
-        val w = math.max(1, math.round(t.get() * scale).toInt)
-        // shrink max first when narrowing, core first when widening —
-        // setCorePoolSize > max (transiently) throws IllegalArgument
-        if (w <= p.getMaximumPoolSize) { p.setCorePoolSize(w); p.setMaximumPoolSize(w) }
-        else { p.setMaximumPoolSize(w); p.setCorePoolSize(w) }
-      }
+    // ONE lock for every pool-size mutation (ADVICE r13): applyWidths is
+    // called from three threads (two donate watchers + the load watcher);
+    // unsynchronized, interleaved setMaximumPoolSize/setCorePoolSize calls
+    // can transiently leave core > max, and ThreadPoolExecutor then throws
+    // IllegalArgumentException — silently killing whichever watcher thread
+    // hit it (donation/throttling lost for the rest of the run).
+    val widthLock = new Object
+    def applyWidths(): Unit = widthLock.synchronized {
+      Seq(heavyPool -> heavyTarget, cheapPool -> cheapTarget)
+        .foreach { case (p, t) =>
+          val w = math.max(1, math.round(t.get() * scale).toInt)
+          // shrink max first when narrowing, core first when widening —
+          // setCorePoolSize > max (transiently) throws IllegalArgument
+          if (w <= p.getMaximumPoolSize) { p.setCorePoolSize(w); p.setMaximumPoolSize(w) }
+          else { p.setMaximumPoolSize(w); p.setCorePoolSize(w) }
+        }
+    }
     // Width donation: a watcher thread per band hands its width to the
     // other band the moment its own futures all complete, so the run's
     // tail (whichever band it is) uses the full worker budget.

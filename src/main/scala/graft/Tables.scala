@@ -190,6 +190,16 @@ object Tables {
   }
   private[graft] def fitCacheClear(): Unit = fitMemo.clear()
 
+  /** [[fitCache]] for SESSION-BOUND values — pinned (localCheckpointed)
+    * DataFrames, whose RDD blocks live in the session that created them
+    * (ADVICE r13: the plain memo's contract is session-agnostic driver
+    * values; a second SparkSession on the same dir — the
+    * ExtensionsRuleSpec pattern — would be served a frame bound to the
+    * OTHER session). Keyed additionally by the session's JVM identity, so
+    * each session pins its own copy and nothing crosses sessions. */
+  def frameCache[A <: AnyRef](tag: String, s: SparkSession, dir: String)(compute: => A): A =
+    fitCache(s"$tag@${System.identityHashCode(s)}", dir)(compute)
+
   // --- determinism helpers (SURVEY.md §7.3) -------------------------------
   // Raw sum(DOUBLE) is summation-order-dependent and can't hash-match across
   // engines/partitionings. Per-row cast to DECIMAL(18,4) → exact decimal sum

@@ -271,7 +271,7 @@ object Dedup {
     * frozen labels frame instead of re-running the whole loop — the same
     * shuffle-file reuse a checkpoint gives, held for the session. */
   private def minhashLabels(s: SparkSession, dir: String): DataFrame =
-    T.fitCache("minhashLabels", dir) {
+    T.frameCache("minhashLabels", s, dir) {
       minLabelComponents(TextSim.minhashPairs(s, dir))
     }
 

@@ -199,7 +199,7 @@ object Pipeline {
   private[graft] def pqTrain(s: SparkSession, dir: String): (DataFrame, DataFrame) =
     // session-memoized pinned (the r13 shared-frame discipline): both PQ
     // rows train the same codebooks; the second consumer pays nothing
-    T.fitCache("pqTrainPinned", dir) {
+    T.frameCache("pqTrainPinned", s, dir) {
       val (cb, cd) = pqTrainCompute(s, dir)
       (T.pin(cb), T.pin(cd))
     }

@@ -44,7 +44,7 @@ object TextSim {
     * text_bm25_rank / text_rrf_fusion); each was re-exploding the corpus
     * per run (r13, the tidsDistinctPinned discipline). */
   private[ops] def wordTrigramsPinned(s: SparkSession, dir: String): DataFrame =
-    T.fitCache("wordTrigramsPinned", dir) {
+    T.frameCache("wordTrigramsPinned", s, dir) {
       T.pin(T.documents(s, dir)
         .transform(T.fanOut(_, col("doc_id")))
         .select(col("doc_id"),
@@ -57,7 +57,7 @@ object TextSim {
     }
 
   private[ops] def bm25Scored(s: SparkSession, dir: String): DataFrame =
-    T.fitCache("bm25ScoredPinned", dir) { T.pin(bm25ScoredCompute(s, dir)) }
+    T.frameCache("bm25ScoredPinned", s, dir) { T.pin(bm25ScoredCompute(s, dir)) }
 
   private def bm25ScoredCompute(s: SparkSession, dir: String): DataFrame = {
     val grams = wordTrigramsPinned(s, dir)
@@ -152,13 +152,13 @@ object TextSim {
     * invariant, so signatures from the distinct table are bit-identical
     * to signatures from the raw stream. */
   private[ops] def tidsDistinctPinned(s: SparkSession, dir: String): DataFrame =
-    T.fitCache("tidsDistinctPinned", dir) {
+    T.frameCache("tidsDistinctPinned", s, dir) {
       T.pin(shingleTids(s, dir).distinct())
     }
 
   /** Session-memoized pinned signature table over [[tidsDistinctPinned]]. */
   private[ops] def sigTablePinned(s: SparkSession, dir: String): DataFrame =
-    T.fitCache("sigTablePinned", dir) {
+    T.frameCache("sigTablePinned", s, dir) {
       T.pin(sigTableOf(tidsDistinctPinned(s, dir)))
     }
 
@@ -199,7 +199,7 @@ object TextSim {
     * the chain is the cost. localCheckpoint blocks hold it for the
     * session. */
   private[ops] def minhashPairs(s: SparkSession, dir: String): DataFrame =
-    T.fitCache("minhashPairsPinned", dir) {
+    T.frameCache("minhashPairsPinned", s, dir) {
       T.pin(minhashPairsOf(sigTablePinned(s, dir)))
     }
 

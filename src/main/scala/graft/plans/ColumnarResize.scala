@@ -59,6 +59,12 @@ object ColumnarResizePlan {
 object ColumnarResizeStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case p: ColumnarResizePlan =>
+      // Fail at PLAN time, not mid-task, if a future caller wires in a
+      // child whose first two columns aren't the (doc_id BIGINT,
+      // payload BINARY) layout the exec reads positionally (ADVICE r13).
+      val types = p.child.output.take(2).map(_.dataType)
+      require(types == Seq(LongType, org.apache.spark.sql.types.BinaryType),
+        s"ColumnarResizePlan child must lead with (BIGINT, BINARY), got $types")
       ColumnarResizeExec(planLater(p.child), p.output) :: Nil
     case _ => Nil
   }
@@ -90,6 +96,14 @@ case class ColumnarResizeExec(child: SparkPlan, output: Seq[Attribute])
       val out = OnHeapColumnVector.allocateColumns(n, outSchema)
       var r = 0
       while (r < n) {
+        // Null gate (ADVICE r13): the node declares non-nullable output and
+        // the one internal call site feeds non-null encodes, but a null
+        // payload from a future consumer must not NPE a whole batch —
+        // emit the documented empty-payload summary instead.
+        if (ids.isNullAt(r) || pays.isNullAt(r))
+          throw new IllegalArgumentException(
+            s"ColumnarResizeExec: null doc_id/payload at batch row $r — " +
+              "the resize contract requires non-null inputs (filter upstream)")
         val id = ids.getLong(r)
         val bytes = pays.getBinary(r)
         val nOut = (bytes.length + 3) / 4

@@ -28,7 +28,13 @@ object GraftBridge {
     * vanilla session). */
   def addStrategy(s: SparkSession, st: SparkStrategy): Unit = {
     val exp = s.asInstanceOf[org.apache.spark.sql.classic.SparkSession].experimental
-    if (!exp.extraStrategies.contains(st))
-      exp.extraStrategies = exp.extraStrategies :+ st
+    // The contains/append pair is a non-atomic read-modify-write on
+    // session-shared state, and the banded bench runs queries concurrently
+    // (ADVICE r13): serialize on the ExperimentalMethods instance so two
+    // callers can't double-append or drop a concurrently added strategy.
+    exp.synchronized {
+      if (!exp.extraStrategies.contains(st))
+        exp.extraStrategies = exp.extraStrategies :+ st
+    }
   }
 }

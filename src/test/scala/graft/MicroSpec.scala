@@ -2834,4 +2834,17 @@ class MicroSpec extends SparkSpec {
     assert(errs.head == 1.0, s"round 1 from w=0 must update on every row: ${errs.toSeq}")
     assert(errs.last < errs.head, s"training must beat the start: ${errs.toSeq}")
   }
+
+  test("corpus is ASCII — the char-indexed generator precondition holds") {
+    // TrigramGenerator windows by Java char index while the oracle's
+    // substr counts code points (ADVICE r13: documented ASCII-only).
+    // This pin turns the silent-divergence hazard into a loud failure the
+    // moment the fixture gains non-ASCII text — the cue to move the
+    // generator to offsetByCodePoints.
+    val nonAscii = Tables.documents(spark, sf)
+      .where("text RLIKE '[^\\\\x00-\\\\x7F]'").count()
+    assert(nonAscii == 0L,
+      s"$nonAscii documents contain non-ASCII text; TrigramGenerator " +
+        "must switch to code-point stepping before this fixture is valid")
+  }
 }
