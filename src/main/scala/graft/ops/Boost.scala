@@ -260,67 +260,34 @@ object Boost {
       // engine-portable fixed-point form: the 8-tree merge is then an
       // integer sum (order-free, exact in both engines; doubles would be
       // summation-order-dependent), and the percent bucket is pure integer
-      // division. Scoring is a PURE MAP pass. Output: the probability
-      // calibration table at 1% bins (bucket, n, mean predicted, actual rate) —
-      // monotone calibration is the BoostSpec pin. SCALE NOTE: (pos+1)·10⁶
-      // needs pos < 9.2e12 for BIGINT — at larger scale the micro-prob is
+      // division. The fit comes from the shared memoized Supervised.rfStats
+      // (r14: this query re-ran its own 2-pass amplified grid search) —
+      // the micro-probs are Long divisions of the exact counts, truncating
+      // toward zero on positive operands exactly like both engines' div —
+      // and scoring derives from the shared rfScoreHist leaf-code
+      // histogram (order-free integer sums ⇒ bit-identical to the raw-row
+      // scan the oracle runs). Output: the probability calibration table
+      // at 1% bins (bucket, n, mean predicted, actual rate) — monotone
+      // calibration is the BoostSpec pin. SCALE NOTE: (pos+1)·10⁶ needs
+      // pos < 9.2e12 for BIGINT — at larger scale the micro-prob is
       // computed per shard BEFORE the merge (as here), never on global
       // counts.
       (s, dir) => {
-        val spark = s
-        import spark.implicits._
-        val cands = Supervised.grid.toDF("feature", "thrs")
-          .select(col("feature"), col("thrs").cast("double").as("thr"))
-        val trees: Array[(String, Double, String, Double, Long, Long, String, Double, Long, Long)] =
-          T.fitCache("rfProba", dir) {
-            val sharded = Supervised.feats(s, dir)
-              .withColumn("shard", expr(Supervised.shardExpr))
-            val w1 = Window.partitionBy(col("shard"))
-              .orderBy(col("gini").asc, col("feature").asc, col("thr").asc)
-            val b1 = Supervised.splitCounts(sharded, cands, Seq("shard"))
-              .withColumn("gini", expr(Supervised.giniExpr))
-              // empty-child guard (ml_gbm_round discipline): a pure shard's
-              // all-one-way winner would NULL the nmax pivot and NPE below.
-              .where("nl > 0 AND n - nl > 0").where(expr(Supervised.mtryExpr))
-              .withColumn("rn", row_number().over(w1)).where(col("rn") === 1)
-              .select(col("shard"), col("feature").as("f1"), col("thr").as("t1"))
-            val l2 = sharded.join(broadcast(b1), "shard")
-              .withColumn("node", expr(
-                "CASE WHEN (CASE f1 WHEN 'quantity' THEN q WHEN 'discount' THEN d ELSE t END) <= t1 THEN 'L' ELSE 'R' END"))
-            val w2 = Window.partitionBy(col("shard"), col("node"))
-              .orderBy(col("gini").asc, col("feature").asc, col("thr").asc)
-            val b2 = Supervised.splitCounts(l2, cands, Seq("shard", "node"))
-              .withColumn("gini", expr(Supervised.giniExpr))
-              .where(expr(Supervised.mtryExpr))
-              .withColumn("rn", row_number().over(w2)).where(col("rn") === 1)
-              .selectExpr("shard", "node", "feature AS f2", "thr AS t2",
-                "((posl + 1) * 1000000) div (nl + 2) AS pl",
-                "(((pos - posl) + 1) * 1000000) div ((n - nl) + 2) AS pr")
-            def nmax(node: String, c: String) =
-              max(when(col("node") === node, col(c)))
-            b1.join(
-                b2.groupBy("shard").agg(
-                  nmax("L", "f2").as("f2l"), nmax("L", "t2").as("t2l"),
-                  nmax("L", "pl").as("pll"), nmax("L", "pr").as("plr"),
-                  nmax("R", "f2").as("f2r"), nmax("R", "t2").as("t2r"),
-                  nmax("R", "pl").as("prl"), nmax("R", "pr").as("prr")),
-                "shard")
-              .collect()
-              .map(r => (r.getString(1), r.getDouble(2),
-                r.getString(3), r.getDouble(4), r.getLong(5), r.getLong(6),
-                r.getString(7), r.getDouble(8), r.getLong(9), r.getLong(10)))
-          }
-        def xOf(f: String) =
-          f match { case "quantity" => "q"; case "discount" => "d"; case _ => "t" }
-        val p6 = trees.map { case (f1, t1, f2l, t2l, pll, plr, f2r, t2r, prl, prr) =>
-          s"""(CASE WHEN ${xOf(f1)} <= ${D(t1)}
-               THEN (CASE WHEN ${xOf(f2l)} <= ${D(t2l)} THEN ${pll}L ELSE ${plr}L END)
-               ELSE (CASE WHEN ${xOf(f2r)} <= ${D(t2r)} THEN ${prl}L ELSE ${prr}L END) END)"""
+        val st = Supervised.rfStats(s, dir)
+        val byShard = st.filter(_.node.nonEmpty).groupBy(_.shard)
+        def p6Of(p: Supervised.Split): (Long, Long) =
+          (((p.posl + 1) * 1000000L) / (p.nl + 2),
+            (((p.pos - p.posl) + 1) * 1000000L) / ((p.n - p.nl) + 2))
+        val p6 = st.filter(_.node.isEmpty).sortBy(_.shard).map { r =>
+          val (pll, plr) = p6Of(byShard(r.shard).find(_.node == "L").get)
+          val (prl, prr) = p6Of(byShard(r.shard).find(_.node == "R").get)
+          Supervised.leafCase(r.shard, s"${pll}L", s"${plr}L", s"${prl}L", s"${prr}L")
         }.mkString(" + ")
-        Supervised.feats(s, dir)
-          .select(col("y"), expr(s"CAST($p6 AS BIGINT)").as("p6"))
+        Supervised.rfScoreHist(s, dir)
+          .select(col("y"), col("cnt"), expr(s"CAST($p6 AS BIGINT)").as("p6"))
           .groupBy(expr("p6 div 80000").as("bucket"))
-          .agg(count(lit(1)).as("n"), sum(col("p6")).as("sp6"), sum(col("y")).as("sy"))
+          .agg(sum(col("cnt")).as("n"), sum(col("p6") * col("cnt")).as("sp6"),
+            sum(col("y") * col("cnt")).as("sy"))
           .selectExpr("bucket", "n",
             "round(CAST(sp6 AS DOUBLE) / (n * 8000000e0), 6) AS mean_proba",
             "round(CAST(sy AS DOUBLE) / n, 6) AS actual_rate")
@@ -385,40 +352,26 @@ object Boost {
       // weighted gini gain (n_node/n_root)·(gini(node) − gini(split)),
       // summed per feature and NORMALIZED to sum 1 (each feature's share
       // of the forest's total impurity decrease — the sklearn/cuML
-      // feature_importances_ contract). Pure
-      // continuation of the forest's own fit aggregates — no collect, no
-      // extra data pass beyond the two the fit already runs; the gain
-      // arithmetic happens on the |shards|×|grid|-bounded aggregate rows.
+      // feature_importances_ contract). The winner statistics come from
+      // the shared memoized Supervised.rfStats fit (r14: this query
+      // re-ran the whole 2-pass amplified grid search in-plan); the gain
+      // arithmetic is UNCHANGED — the same shared expression texts over
+      // the same exact counts, now a 24-row local relation, so the
+      // importances describe the identical forest with zero data passes.
       // Determinism: gains are shared-text doubles from exact counts,
       // summed per feature on the exact-decimal wire.
       (s, dir) => {
         val spark = s
         import spark.implicits._
-        val cands = Supervised.grid.toDF("feature", "thrs")
-          .select(col("feature"), col("thrs").cast("double").as("thr"))
-        val sharded = Supervised.feats(s, dir)
-          .withColumn("shard", expr(Supervised.shardExpr))
-        val w1 = Window.partitionBy(col("shard"))
-          .orderBy(col("gini").asc, col("feature").asc, col("thr").asc)
-        val b1f = Supervised.splitCounts(sharded, cands, Seq("shard"))
-          .withColumn("gini", expr(Supervised.giniExpr))
-          // keep the winner set identical to ml_rf_predict/_proba's guarded
-          // mtry fit — importances must describe the same forest.
-          .where("nl > 0 AND n - nl > 0").where(expr(Supervised.mtryExpr))
-          .withColumn("rn", row_number().over(w1)).where(col("rn") === 1)
+        val st = Supervised.rfStats(s, dir)
+        def rel(ps: Seq[Supervised.Split]) =
+          ps.map(p => (p.shard, p.node, p.feature, p.n, p.pos, p.nl, p.posl))
+            .toDF("shard", "node", "feature", "n", "pos", "nl", "posl")
+            .withColumn("gini", expr(Supervised.giniExpr))
+        val b1f = rel(st.filter(_.node.isEmpty).toSeq)
+        val b2f = rel(st.filter(_.node.nonEmpty).toSeq)
         val rg = b1f.selectExpr("shard", "feature",
           "(1e0 - pow(CAST(pos AS DOUBLE) / n, 2) - pow(CAST(n - pos AS DOUBLE) / n, 2)) - gini AS wg")
-        val l2 = sharded.join(
-            broadcast(b1f.select(col("shard"),
-              col("feature").as("f1"), col("thr").as("t1"))), "shard")
-          .withColumn("node", expr(
-            "CASE WHEN (CASE f1 WHEN 'quantity' THEN q WHEN 'discount' THEN d ELSE t END) <= t1 THEN 'L' ELSE 'R' END"))
-        val w2 = Window.partitionBy(col("shard"), col("node"))
-          .orderBy(col("gini").asc, col("feature").asc, col("thr").asc)
-        val b2f = Supervised.splitCounts(l2, cands, Seq("shard", "node"))
-          .withColumn("gini", expr(Supervised.giniExpr))
-          .where(expr(Supervised.mtryExpr))
-          .withColumn("rn", row_number().over(w2)).where(col("rn") === 1)
         val ng = b2f.join(broadcast(b1f.select(col("shard"), col("n").as("n1"))), "shard")
           .selectExpr("shard", "feature",
             "(CAST(n AS DOUBLE) / n1) * ((1e0 - pow(CAST(pos AS DOUBLE) / n, 2) - pow(CAST(n - pos AS DOUBLE) / n, 2)) - gini) AS wg")
@@ -493,38 +446,31 @@ object Boost {
       // of 24 passes. φ_i = Σ_S |S|!(2−|S|)!/3!·(v(S∪i)−v(S)) with the
       // exact weights (1/3, 1/6, 1/6, 1/3); the efficiency identity
       // Σφ = f(x) − E[f] is emitted per point as the audit column
-      // (~0 up to IEEE residue, identical cross-engine). The tree is fit
-      // in-plan (the ml_tree_depth2 two-pass recursion) and enters as a
-      // 1-row broadcast — no driver round trip.
+      // (~0 up to IEEE residue, identical cross-engine). The tree comes
+      // from the shared memoized Supervised.treeStats fit (r14: this
+      // query re-fit the depth-2 tree in-plan — two more amplified
+      // passes); the leaf rates are re-derived in-plan from the exact
+      // winner counts with the SAME division text the in-plan fit used,
+      // so the explained tree is bit-identical.
       (s, dir) => {
         val spark = s
         import spark.implicits._
-        val cands = Supervised.grid.toDF("feature", "thrs")
-          .select(col("feature"), col("thrs").cast("double").as("thr"))
         val fr = Supervised.feats(s, dir)
-        val w1 = Window.orderBy(col("gini").asc, col("feature").asc, col("thr").asc)
-        val b1 = Supervised.splitCounts(fr, cands, Seq.empty)
-          .withColumn("gini", expr(Supervised.giniExpr))
-          .withColumn("rn", row_number().over(w1)).where(col("rn") === 1)
-          .selectExpr("feature AS f1", "thr AS t1")
-        val l2 = fr.crossJoin(broadcast(b1))
-          .withColumn("node", expr(
-            "CASE WHEN (CASE f1 WHEN 'quantity' THEN q WHEN 'discount' THEN d ELSE t END) <= t1 THEN 'L' ELSE 'R' END"))
-        val w2 = Window.partitionBy(col("node"))
-          .orderBy(col("gini").asc, col("feature").asc, col("thr").asc)
-        val b2 = Supervised.splitCounts(l2, cands, Seq("node"))
-          .withColumn("gini", expr(Supervised.giniExpr))
-          .withColumn("rn", row_number().over(w2)).where(col("rn") === 1)
-        def nmax(node: String, e: String) =
-          max(when(col("node") === node, expr(e)))
-        val tp = b2.groupBy().agg(
-          nmax("L", "feature").as("f2l"), nmax("L", "thr").as("t2l"),
-          nmax("L", "CAST(posl AS DOUBLE) / nl").as("pll"),
-          nmax("L", "CAST(pos - posl AS DOUBLE) / (n - nl)").as("plr"),
-          nmax("R", "feature").as("f2r"), nmax("R", "thr").as("t2r"),
-          nmax("R", "CAST(posl AS DOUBLE) / nl").as("prl"),
-          nmax("R", "CAST(pos - posl AS DOUBLE) / (n - nl)").as("prr"))
-        val tree = b1.crossJoin(broadcast(tp))
+        val st = Supervised.treeStats(s, dir)
+        val root = st.find(_.node.isEmpty).get
+        val lw = st.find(_.node == "L").get
+        val rw = st.find(_.node == "R").get
+        val tree = Seq((root.feature, root.thr,
+            lw.feature, lw.thr, lw.n, lw.pos, lw.nl, lw.posl,
+            rw.feature, rw.thr, rw.n, rw.pos, rw.nl, rw.posl))
+          .toDF("f1", "t1", "f2l", "t2l", "nL", "posL", "nlL", "poslL",
+            "f2r", "t2r", "nR", "posR", "nlR", "poslR")
+          .selectExpr("f1", "t1", "f2l", "t2l",
+            "CAST(poslL AS DOUBLE) / nlL AS pll",
+            "CAST(posL - poslL AS DOUBLE) / (nL - nlL) AS plr",
+            "f2r", "t2r",
+            "CAST(poslR AS DOUBLE) / nlR AS prl",
+            "CAST(posR - poslR AS DOUBLE) / (nR - nlR) AS prr")
         val vAggs = Seq(count(lit(1)).cast("double").as("nd"),
           T.xsum(expr(treeVal("q", "d", "t"))).as("vs_0")) ++
           shapPoints.flatMap { p =>

@@ -1027,15 +1027,19 @@ object Metrics {
         val spark = s
         import spark.implicits._
         val coefs = ML.gaussSolved(s, dir).selectExpr("x0", "x1", "x2", "x3")
-        // re-literalized per use (gaussSolved is fitCache-memoized)
-        def r = T.lineitem(s, dir).select(
+        // PINNED once (r14, VERDICT r13 #1c): the residual column feeds
+        // three passes (max-residual width probe, the bucket histogram,
+        // and the phase-2 target-bucket rank) and was a `def` — each pass
+        // re-ran the scan + OLS scoring expression. One localCheckpoint
+        // of the single double column serves all three; values unchanged.
+        val r = T.pin(T.lineitem(s, dir).select(
             col("l_quantity").cast("double").as("q"),
             col("l_discount").cast("double").as("d"),
             col("l_tax").cast("double").as("t"),
             col("l_extendedprice").cast("double").as("y"))
           .transform(T.fanOut(_))
           .crossJoin(broadcast(coefs))
-          .select(expr("abs(y - (x0 + x1 * q + x2 * d + x3 * t))").as("ar"))
+          .select(expr("abs(y - (x0 + x1 * q + x2 * d + x3 * t))").as("ar")))
         // ADVICE r9: a FIXED width of 64 bounded the bucket COUNT but not
         // the densest bucket's SIZE — small-residual fits put nearly every
         // row in bucket 0 and phase 2 then sorted the whole corpus in one
@@ -1253,7 +1257,7 @@ object Metrics {
       // Output: the top-20 most similar pairs by the ROUNDED cosine (ties
       // broken by ids).
       (s, dir) => {
-        val dt = TextSim.docTerms(s, dir)
+        val dt = TextSim.docTermsPinned(s, dir)
         val nTot = T.documents(s, dir).agg(count(lit(1)).as("n_total"))
         val df_ = dt.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
         val tf = dt.where(col("doc_id") < 30)

