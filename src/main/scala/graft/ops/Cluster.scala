@@ -632,7 +632,13 @@ object Cluster {
   /** IVF-seeded k=3 directed kNN edges (u, v) — the ml_knn_graph shape,
     * shared by the NN-descent rows (r13 factor-out). Pinned: the round
     * body references the graph 3×. */
-  private def nnSeedEdges(s: SparkSession, dir: String): DataFrame = {
+  private def nnSeedEdges(s: SparkSession, dir: String): DataFrame =
+    // session-memoized (r14): ml_knn_nndescent, ml_nndescent_converge and
+    // the graph-search/persistence rows all start from this seed — each
+    // was re-pinning its own copy
+    T.frameCache("nnSeedPinned", s, dir) { nnSeedEdgesCompute(s, dir) }
+
+  private def nnSeedEdgesCompute(s: SparkSession, dir: String): DataFrame = {
     val e = T.embeddings(s, dir)
     val cent = e.where(col("vec_id") < 10)
       .select(col("vec_id").as("cid"), col("embedding").as("c_emb"))
@@ -677,6 +683,164 @@ object Cluster {
       .select(col("u"), col("w"),
         graft.functions.Vec.l2(s, "u_emb", "w_emb").as("d"))
       .withColumn("rn", row_number().over(rw)).where(col("rn") <= 3)
+  }
+
+  /** Session-memoized pinned round-1 NN-descent graph as the ranked
+    * (u, rn, w, d) frame — THE graph artifact of the family (r14):
+    * ml_knn_nndescent emits it, ml_nndescent_converge's round-2 starts
+    * from it, ml_knn_graph_search traverses it and
+    * ml_index_graph_save_load persists it; each previously re-derived
+    * the seed + round chain. */
+  private def nnG1Pinned(s: SparkSession, dir: String): DataFrame =
+    T.frameCache("nnG1Pinned", s, dir) {
+      T.pin(nnDescentRound(s, dir, nnSeedEdges(s, dir)))
+    }
+
+  /** Deterministic greedy beam search over a k-NN graph — the QUERY-TIME
+    * half of graph ANN (VERDICT r13 next #2: the quantized indexes have
+    * their search halves, the graph didn't; HNSW/NSG-style deployments
+    * answer queries exactly this way — coarse entry point, then
+    * best-first descent through the neighbor graph). Entry = the query's
+    * nearest of the 10 coarse "centroid" vectors (the IVF coarse step,
+    * one 10-row broadcast); each of the HOPS rounds expands the current
+    * BEAM's graph neighbors (id equi-join on the edge table), anti-joins
+    * the visited set, rescores candidates exactly (id equi-join against
+    * embeddings — never a scan), and keeps the best BEAM new vertices by
+    * (d, id); the answer is the top-5 of everything scored. HOPS and
+    * BEAM are O(1) driver constants, so at 100 TB the per-query work is
+    * O(HOPS·BEAM·degree) id lookups — the property that makes graph ANN
+    * the deployed form. Lineage: the visited set is DOUBLE-referenced
+    * per hop (anti-join + union), so left lazy it grows Fibonacci copies
+    * of the entry subtree (measured: 144 nested-loop nodes in a
+    * 4,476-node plan at HOPS=5) — visited is therefore pinned per hop
+    * (the fixpoint-loop discipline), while the frontier CHAIN stays
+    * declarative: each hop adds one linear layer of equi-joins, and the
+    * final plan carries the full hop-shape for PlanSpec to pin.
+    * Determinism: the Vec.l2 ↔ list_distance proven pairing ranks with
+    * (d, id) tie-breaks, identical in the unrolled oracle. */
+  private def graphSearch(s: SparkSession, dir: String, edges: DataFrame): DataFrame = {
+    val HOPS = 5
+    val BEAM = 4
+    val e = T.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val ev = e.transform(T.fanOut(_, col("vec_id")))
+      .select(col("vec_id").as("v"), col("embedding").as("n_emb"))
+    val qs = e.where(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val und = T.pin(edges.select("u", "v")
+      .unionAll(edges.select(col("v").as("u"), col("u").as("v")))
+      .distinct())
+    val ew = Window.partitionBy(col("q_id")).orderBy(col("d"), col("v"))
+    // ALL 10 coarse vectors enter the visited set (a k=3 undirected kNN
+    // graph is typically MULTI-COMPONENT — one entry point strands every
+    // query whose true neighbors live in another component; seeding from
+    // the full coarse set is exactly HNSW's upper-layer role); the first
+    // beam is the best BEAM of them per query.
+    val entry = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("v"), col("embedding").as("n_emb"))
+      .crossJoin(broadcast(qs))
+      .select(col("q_id"), col("v"),
+        graft.functions.Vec.l2(s, "q_emb", "n_emb").as("d"))
+    var visited = T.pin(entry) // everything SCORED so far
+    var frontier = visited.withColumn("rn", row_number().over(ew))
+      .where(col("rn") <= BEAM).select("q_id", "v", "d")
+    for (h <- 1 to HOPS) {
+      val cand = frontier.select(col("q_id"), col("v").as("u"))
+        .join(und, "u").select(col("q_id"), col("v")).distinct()
+        .join(visited.select("q_id", "v"), Seq("q_id", "v"), "left_anti")
+      val scored = cand
+        .join(broadcast(qs), "q_id")
+        .join(ev, "v")
+        .select(col("q_id"), col("v"),
+          graft.functions.Vec.l2(s, "q_emb", "n_emb").as("d"))
+      frontier = scored.withColumn("rn", row_number().over(ew))
+        .where(col("rn") <= BEAM).select("q_id", "v", "d")
+      visited = visited.unionAll(scored)
+      // the last hop stays declarative so the executed plan shows the
+      // hop shape; earlier hops truncate the double reference
+      if (h < HOPS) visited = T.pin(visited)
+    }
+    visited.where(col("q_id") =!= col("v"))
+      .withColumn("rn", row_number().over(ew)).where(col("rn") <= 5)
+      .select(col("q_id"), col("rn"), col("v").as("n_id"),
+        round(col("d"), 6).as("dist"))
+      .orderBy("q_id", "rn")
+  }
+
+  /** Shared oracle of ml_knn_graph_search and ml_index_graph_save_load
+    * (the ml_knn_pq / ml_index_pq_save_load pattern — one semantics,
+    * with and without the parquet artifact boundary): rebuilds the g1
+    * NN-descent graph from raw data and unrolls the 4-hop beam search. */
+  private lazy val sqlGraphSearchOracle: String = {
+    def hop(h: Int): String = {
+      val (pv, pf) = (s"vis${h - 1}", s"fr${h - 1}")
+      s"""nw$h AS (SELECT c.q_id, c.v, list_distance(q.q_emb, ed.emb) AS d
+            FROM (SELECT DISTINCT f.q_id, u2.v FROM $pf f
+                JOIN und u2 ON u2.u = f.v
+                WHERE NOT EXISTS (SELECT 1 FROM $pv vv
+                  WHERE vv.q_id = f.q_id AND vv.v = u2.v)) c
+            JOIN qs q ON q.q_id = c.q_id
+            JOIN ed ON ed.vec_id = c.v),
+          vis$h AS (SELECT * FROM $pv UNION ALL SELECT * FROM nw$h),
+          fr$h AS (SELECT q_id, v, d FROM (
+              SELECT *, row_number() OVER (PARTITION BY q_id
+                ORDER BY d, v) AS rn FROM nw$h) t
+            WHERE rn <= 4)"""
+    }
+    s"""WITH cent AS (SELECT vec_id AS cid, embedding AS c_emb
+                      FROM embeddings WHERE vec_id < 10),
+         ranked AS (
+           SELECT e.vec_id, e.embedding, c.cid,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(c.c_emb AS DOUBLE[])), c.cid) AS rn
+           FROM embeddings e CROSS JOIN cent c),
+         homes AS (SELECT vec_id AS n_id, embedding AS n_emb, cid
+                   FROM ranked WHERE rn = 1),
+         probes AS (SELECT vec_id AS q_id, embedding AS q_emb, cid
+                    FROM ranked WHERE rn <= 3),
+         g0 AS (SELECT q_id AS u, n_id AS v FROM (
+             SELECT p.q_id, h.n_id,
+               row_number() OVER (PARTITION BY p.q_id
+                 ORDER BY list_distance(CAST(p.q_emb AS DOUBLE[]),
+                                        CAST(h.n_emb AS DOUBLE[])), h.n_id) AS rn
+             FROM probes p JOIN homes h ON p.cid = h.cid
+             WHERE p.q_id <> h.n_id) t
+           WHERE rn <= 3),
+         ed AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                FROM embeddings),
+         und0 AS (SELECT DISTINCT u, v FROM (
+             SELECT u, v FROM g0 UNION ALL SELECT v, u FROM g0) x),
+         cand0 AS (SELECT DISTINCT u, w FROM (
+             SELECT a.u, b.v AS w FROM und0 a JOIN und0 b ON a.v = b.u
+             WHERE a.u <> b.v
+             UNION ALL SELECT u, v FROM g0) x),
+         g1 AS (SELECT u, w AS v FROM (
+             SELECT c.u, c.w,
+               row_number() OVER (PARTITION BY c.u
+                 ORDER BY list_distance(eu.emb, ew.emb), c.w) AS rn
+             FROM cand0 c
+             JOIN ed eu ON eu.vec_id = c.u
+             JOIN ed ew ON ew.vec_id = c.w) t
+           WHERE rn <= 3),
+         und AS (SELECT DISTINCT u, v FROM (
+             SELECT u, v FROM g1 UNION ALL SELECT v, u FROM g1) x),
+         qs AS (SELECT vec_id AS q_id, emb AS q_emb FROM ed WHERE vec_id < 20),
+         vis0 AS (SELECT q.q_id, c.vec_id AS v, list_distance(q.q_emb, c.emb) AS d
+           FROM qs q CROSS JOIN ed c WHERE c.vec_id < 10),
+         fr0 AS (SELECT q_id, v, d FROM (
+             SELECT *, row_number() OVER (PARTITION BY q_id
+               ORDER BY d, v) AS rn FROM vis0) t
+           WHERE rn <= 4),
+         ${hop(1)},
+         ${hop(2)},
+         ${hop(3)},
+         ${hop(4)},
+         ${hop(5)}
+       SELECT q_id, rn, n_id, dist FROM (
+         SELECT q_id, v AS n_id, round(d, 6) AS dist,
+           row_number() OVER (PARTITION BY q_id ORDER BY d, v) AS rn
+         FROM vis5 WHERE q_id <> v) t
+       WHERE rn <= 5 ORDER BY q_id, rn"""
   }
 
   val entries: Seq[QueryDef] = Seq(
@@ -928,7 +1092,7 @@ object Cluster {
       // Recall@3 vs exact is pinned ≥ the IVF seed's in MicroSpec; the
       // refinement itself is oracle-checked because both engines run the
       // identical deterministic arithmetic.
-      (s, dir) => nnDescentRound(s, dir, nnSeedEdges(s, dir))
+      (s, dir) => nnG1Pinned(s, dir)
         .select(col("u").as("vec_id"), col("rn"), col("w").as("n_id"),
           round(col("d"), 6).as("dist"))
         .orderBy("vec_id", "rn"),
@@ -985,8 +1149,7 @@ object Cluster {
       // graph work (the honest cost of the curve).
       (s, dir) => {
         val g0 = nnSeedEdges(s, dir)
-        val g1 = T.pin(nnDescentRound(s, dir, g0)
-          .select(col("u"), col("w").as("v")))
+        val g1 = nnG1Pinned(s, dir).select(col("u"), col("w").as("v"))
         val g2 = nnDescentRound(s, dir, g1)
           .select(col("u"), col("w").as("v"))
         val e = T.embeddings(s, dir).select(col("vec_id"), col("embedding"))
@@ -1074,6 +1237,46 @@ object Cluster {
                 SELECT 2, count(*) FROM g2 JOIN exact USING (u, v)) h
               CROSS JOIN nqs ORDER BY rnd"""
       }),
+
+    QueryDef(
+      "ml_knn_graph_search",
+      // QUERY-TIME graph-ANN search (VERDICT r13 next #2): the greedy
+      // bounded-hop beam traversal of [[graphSearch]] over the round-1
+      // NN-descent graph — the operation a deployed HNSW/NSG-style index
+      // actually runs per query, completing the graph story the way ADC
+      // completed PQ. Queries vec_id < 20 (the ml_knn_ivf sample, so the
+      // MicroSpec recall pin compares like with like); k = 5. Every hop
+      // is an id equi-join on the edge table + an id equi-join rescore —
+      // PlanSpec pins no corpus scan per hop (≤1 BNLJ = the entry-point
+      // centroid fan-out). Output: (q_id, rn, n_id, dist).
+      (s, dir) => graphSearch(s, dir,
+        nnG1Pinned(s, dir).select(col("u"), col("w").as("v"))),
+      Some(sqlGraphSearchOracle)),
+
+    QueryDef(
+      "ml_index_graph_save_load",
+      // Graph-index persistence (VERDICT r13 next #3 — the third and
+      // last ANN deploy boundary next to ml_index_save_load's IVF+SQ8
+      // and ml_index_pq_save_load's PQ artifacts): the ranked NN-descent
+      // edge table (u, v, d) — the artifact a graph-ANN deploy ships —
+      // is EXPORTED as parquet, re-READ in a fresh scan, and the SAME
+      // beam search answers queries THROUGH the reloaded edges only.
+      // Edge ids and exact distances round-trip losslessly, so the
+      // reloaded search is bit-identical to ml_knn_graph_search's
+      // in-session one (MicroSpec pins the equality); the oracle
+      // re-derives the same graph from raw data — one semantics, with
+      // and without the boundary (the PQ-pair pattern). At scale the
+      // edge table partitions by u, exactly how the probe join prunes.
+      (s, dir) => {
+        val base = s"/tmp/graft_io/nngraph_${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+        nnG1Pinned(s, dir)
+          .select(col("u"), col("w").as("v"), col("d"))
+          .coalesce(4)
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$base/edges")
+        graphSearch(s, dir, s.read.parquet(s"$base/edges").select("u", "v"))
+      },
+      Some(sqlGraphSearchOracle)),
 
     QueryDef(
       "ml_agglo_single",

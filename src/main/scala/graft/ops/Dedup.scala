@@ -1474,6 +1474,76 @@ object Dedup {
               SELECT tot.lang, n_total,
                 coalesce(n_kept, 0) AS n_kept,
                 n_total - coalesce(n_kept, 0) AS n_dropped
-              FROM tot LEFT JOIN kp USING (lang) ORDER BY tot.lang"""))
+              FROM tot LEFT JOIN kp USING (lang) ORDER BY tot.lang""")),
+
+    QueryDef(
+      "dedup_incremental",
+      // Incremental dedup against a PERSISTED signature store (VERDICT
+      // r13 next #4 — the batch-to-batch shape a 100 TB crawl refresh
+      // actually runs, and the dedup twin of ml_index_save_load): the
+      // MinHash signature table of the EXISTING corpus (doc_id % 10 <> 7)
+      // is written once as parquet — the dedup index artifact — and a
+      // NEW batch (doc_id % 10 = 7) is deduped against it by (1)
+      // shingling + signing ONLY the batch slice, (2) banding both sides
+      // (the dedup_minhash 2 × 4 split), and (3) a LEFT SEMI band-key
+      // join against the RELOADED store — the same candidate criterion,
+      // with no pair materialization (the semi join short-circuits on
+      // first match; no collect_list, so no bucket cap is needed on the
+      // probe). Old signatures are NEVER recomputed: the probe path
+      // touches only the batch slice and the artifact. Per-doc
+      // signatures are independent (min per hash over the doc's own
+      // shingles), so batch-computed signatures are bit-identical to
+      // store-resident ones — MicroSpec pins the batch-vs-store verdicts
+      // ≡ the full-corpus banded pair set's on the overlap. At scale the
+      // store partitions by band key, exactly how the probe join prunes.
+      // Output: the per-source ingest ledger (batch size, duplicates vs
+      // store, new uniques). The oracle recomputes both sides from raw
+      // data with the same split — one semantics, with and without the
+      // artifact boundary.
+      (s, dir) => {
+        val base = s"/tmp/graft_io/sigstore_${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+        TextSim.sigTablePinned(s, dir).where(col("doc_id") % 10 =!= 7)
+          .coalesce(4)
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$base/signatures")
+        val newSigs = TextSim.sigTableOf(TextSim.shingleTidsOf(
+          T.documents(s, dir).where(col("doc_id") % 10 === 7)))
+        def bands(sig: DataFrame): DataFrame =
+          (0 until 2).map(b => sig.selectExpr("doc_id", s"$b AS band",
+            s"h${4 * b} AS k1", s"h${4 * b + 1} AS k2",
+            s"h${4 * b + 2} AS k3", s"h${4 * b + 3} AS k4"))
+            .reduce(_ unionAll _)
+        val dup = bands(newSigs)
+          .join(bands(s.read.parquet(s"$base/signatures")),
+            Seq("band", "k1", "k2", "k3", "k4"), "left_semi")
+          .select("doc_id").distinct()
+          .withColumn("is_dup", lit(1L))
+        T.documents(s, dir).where(col("doc_id") % 10 === 7)
+          .select("doc_id", "source")
+          .join(dup, Seq("doc_id"), "left")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_batch"),
+            sum(coalesce(col("is_dup"), lit(0L))).as("n_dup_vs_store"),
+            sum(when(col("is_dup").isNull, 1L).otherwise(0L)).as("n_new_unique"))
+          .orderBy("source")
+      },
+      Some(s"""WITH ${TextSim.sqlSigCtes},
+                 nb AS (SELECT * FROM sig WHERE doc_id % 10 = 7),
+                 ob AS (SELECT * FROM sig WHERE doc_id % 10 <> 7),
+                 nbd AS (${(0 until 2).map(b =>
+                   s"SELECT doc_id, $b AS band, h${4 * b} AS k1, h${4 * b + 1} AS k2, h${4 * b + 2} AS k3, h${4 * b + 3} AS k4 FROM nb")
+                   .mkString(" UNION ALL ")}),
+                 obd AS (${(0 until 2).map(b =>
+                   s"SELECT doc_id, $b AS band, h${4 * b} AS k1, h${4 * b + 1} AS k2, h${4 * b + 2} AS k3, h${4 * b + 3} AS k4 FROM ob")
+                   .mkString(" UNION ALL ")}),
+                 dup AS (SELECT DISTINCT n.doc_id FROM nbd n
+                         JOIN obd o USING (band, k1, k2, k3, k4)),
+                 batch AS (SELECT doc_id, source FROM documents
+                           WHERE doc_id % 10 = 7)
+               SELECT source, count(*) AS n_batch,
+                 CAST(sum(CASE WHEN dup.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_vs_store,
+                 CAST(sum(CASE WHEN dup.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new_unique
+               FROM batch LEFT JOIN dup ON dup.doc_id = batch.doc_id
+               GROUP BY source ORDER BY source"""))
   )
 }

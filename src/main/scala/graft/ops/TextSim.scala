@@ -142,11 +142,16 @@ object TextSim {
   /** The (doc_id, tid) 7-char shingle stream under the stateless
     * polynomial id — the input of both the signature aggregate and the
     * exact-Jaccard side of dedup_minhash_accuracy (r11 factor-out). */
-  private[ops] def shingleTids(s: SparkSession, dir: String): DataFrame = {
+  private[ops] def shingleTids(s: SparkSession, dir: String): DataFrame =
+    shingleTidsOf(T.documents(s, dir))
+
+  /** [[shingleTids]] over an arbitrary documents frame — the incremental
+    * dedup path (r14) shingles ONLY the new batch's slice through this. */
+  private[ops] def shingleTidsOf(docs: DataFrame): DataFrame = {
     val tid = (0 until 7).map(k =>
       ascii(substring(col("term"), k + 1, 1)).cast("long") * lit(POW31(k)))
       .reduce(_ + _) % lit(P)
-    T.documents(s, dir)
+    docs
       .transform(T.fanOut(_, col("doc_id")))
       .where(length(col("text")) >= 7) // sequence(1, n<1) counts DOWN
       .select(col("doc_id"),
@@ -247,7 +252,9 @@ object TextSim {
 
   /** The oracle twin of [[minhashPairs]] as a CTE prefix ending in
     * `pairs(doc_a, doc_b)`. */
-  private[ops] lazy val sqlMinhashCtes: String =
+  /** The dt + sig CTE prefix of [[sqlMinhashCtes]], shared with
+    * dedup_incremental's oracle (r14). */
+  private[ops] lazy val sqlSigCtes: String =
     s"""dt AS (SELECT doc_id,
            (${(0 until 7).map(k =>
              s"CAST(unicode(substr(text, CAST(pos AS INT) + $k, 1)) AS BIGINT) * ${POW31(k)}")
@@ -257,7 +264,10 @@ object TextSim {
                FROM documents WHERE length(text) >= 7) x),
          sig AS (SELECT doc_id,
            ${(0 until 8).map(i => s"min((${A(i)} * tid + ${B(i)}) % $P) AS h$i").mkString(", ")}
-         FROM dt GROUP BY doc_id),
+         FROM dt GROUP BY doc_id)"""
+
+  private[ops] lazy val sqlMinhashCtes: String =
+    s"""$sqlSigCtes,
          bands AS (${(0 until 2).map(b =>
            s"SELECT doc_id, $b AS band, h${4 * b} AS k1, h${4 * b + 1} AS k2, h${4 * b + 2} AS k3, h${4 * b + 3} AS k4 FROM sig")
            .mkString(" UNION ALL ")}),

@@ -2835,6 +2835,68 @@ class MicroSpec extends SparkSpec {
     assert(errs.last < errs.head, s"training must beat the start: ${errs.toSeq}")
   }
 
+  test("ml_knn_graph_search: recall@5 vs exact is >= the IVF probe row's") {
+    // The graph-ANN deploy claim (VERDICT r13 next #2): greedy descent
+    // through the NN-descent graph must answer at least as well as the
+    // IVF probe on the SAME query sample (vec_id < 20), both measured
+    // against a local exact top-5.
+    def exactTop5(q: Long): Seq[Long] = {
+      def l2(a: Array[Double], b: Array[Double]): Double =
+        math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+      localEmb.toSeq.filter(_._1 != q)
+        .map { case (id, v) => (id, l2(localEmb(q), v)) }
+        .sortBy { case (id, d) => (d, id) }.take(5).map(_._1)
+    }
+    def recall(rows: Array[Row]): Double = {
+      val byQ = rows.groupBy(_.getLong(0))
+      val qs = byQ.keys.toSeq.sorted
+      qs.map { q =>
+        val got = byQ(q).map(_.getLong(2)).toSet
+        val ex = exactTop5(q)
+        got.intersect(ex.toSet).size.toDouble / ex.size
+      }.sum / qs.size
+    }
+    val graph = recall(q("ml_knn_graph_search")
+      .select("q_id", "rn", "n_id").collect())
+    val ivf = recall(q("ml_knn_ivf").select("q_id", "rn", "n_id").collect())
+    assert(graph >= ivf,
+      s"graph-search recall@5 $graph must be >= IVF probe recall@5 $ivf")
+  }
+
+  test("ml_index_graph_save_load: the reloaded graph answers bit-identically") {
+    // The deploy-boundary pin (the ml_index_save_load discipline): edge
+    // ids and exact distances round-trip parquet losslessly, so searching
+    // THROUGH the persisted artifact must equal the in-session search.
+    val inSession = q("ml_knn_graph_search").collect().map(_.toString).sorted
+    val reloaded = q("ml_index_graph_save_load").collect().map(_.toString).sorted
+    assert(inSession.sameElements(reloaded),
+      s"reloaded graph search diverged: ${inSession.length} vs ${reloaded.length} rows")
+  }
+
+  test("dedup_incremental: batch-vs-store verdicts match the full-corpus pair set") {
+    // A new-batch doc (doc_id % 10 = 7) is a duplicate-vs-store exactly
+    // when the full-corpus banded pair set (dedup_minhash) links it to a
+    // doc on the OTHER side of the split — the incremental path must not
+    // invent or lose verdicts relative to the monolithic one.
+    val pairs = q("dedup_minhash").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val dupNew = pairs.flatMap { case (a, b) =>
+      Seq(a, b).filter(d => d % 10 == 7 &&
+        (if (d == a) b else a) % 10 != 7)
+    }.toSet
+    val batch = Tables.documents(spark, sf)
+      .where(col("doc_id") % 10 === 7)
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = batch.groupBy(_._2).map { case (src, ds) =>
+      val nd = ds.count(d => dupNew.contains(d._1))
+      (src, (ds.length.toLong, nd.toLong, (ds.length - nd).toLong))
+    }
+    val got = q("dedup_incremental").collect().map(r =>
+      (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expected, s"got $got expected $expected")
+  }
+
   test("corpus is ASCII — the char-indexed generator precondition holds") {
     // TrigramGenerator windows by Java char index while the oracle's
     // substr counts code points (ADVICE r13: documented ASCII-only).

@@ -268,6 +268,21 @@ class PlanSpec extends SparkSpec {
       "candidate/rescore joins must be equi-joins:\n" + p)
   }
 
+  test("ml_knn_graph_search: per-hop id equi-joins, no corpus scan per hop") {
+    // The graph-ANN query contract (r14): the ONLY nested-loop is the
+    // 10-vector entry-point fan-out (the IVF coarse step); every hop's
+    // neighbor expansion, visited anti-join and embedding rescore must be
+    // id-keyed equi-joins — a corpus scan per hop would defeat the whole
+    // point of searching through the graph.
+    val p = plan("ml_knn_graph_search")
+    assert(!p.contains("CartesianProduct"), p)
+    assert("\\(\\d+\\) BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1,
+      "more than the entry-point fan-out plans as BNLJ:\n" + p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"),
+      "hop/rescore joins must be equi-joins:\n" + p)
+  }
+
   test("text_quality_funnel: map-only rules, the only BNLJ is the 5-row rule grid (r11)") {
     val p = plan("text_quality_funnel")
     assert(!p.contains("CartesianProduct"), p)
