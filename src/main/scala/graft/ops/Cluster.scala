@@ -664,7 +664,18 @@ object Cluster {
   /** One deterministic NN-descent round (Dong 2011) over a (u, v) k=3
     * graph: neighbor-of-neighbor candidates over the undirected graph ∪
     * the current edges, exact rescore, keep best-3 by (d, id). Returns
-    * the ranked (u, rn, w, d) frame. */
+    * the ranked (u, rn, w, d) frame.
+    *
+    * k≫3 knob (VERDICT r13 #7, documented rather than registered): this
+    * is the FULL local join — O(n·k²) candidates per round, fine at
+    * k=3. Dong 2011 §2.3's production form samples ρ·k of each vertex's
+    * neighbors per side (ρ ≈ 0.5–1) and joins only new-flagged pairs
+    * (edges that changed last round), cutting a round to O(n·(ρk)²) and
+    * enabling the "terminate when updates < δ·n·k" early exit. In this
+    * dataflow that is a deterministic-hash sample on the und frame
+    * (`pmod(hash(u, v), …)` — the engine's affine-hash discipline, not
+    * an RNG) plus a `new` flag column carried between rounds; the join
+    * shapes are unchanged, so it composes with the same PlanSpec pins. */
   private def nnDescentRound(s: SparkSession, dir: String, g: DataFrame): DataFrame = {
     val und = T.pin(g
       .unionAll(g.select(col("v").as("u"), col("u").as("v")))
@@ -695,6 +706,13 @@ object Cluster {
     T.frameCache("nnG1Pinned", s, dir) {
       T.pin(nnDescentRound(s, dir, nnSeedEdges(s, dir)))
     }
+
+  /** PlanSpec probe (r14): the registered ml_knn_nndescent row serves
+    * from the pinned [[nnG1Pinned]] memo, whose executed plan is a leaf
+    * scan — this exposes the round's OWN dataflow (over the memoized
+    * seed) so the id-equi-join contract stays pinned on the real shape. */
+  private[graft] def nnDescentRoundPlanProbe(s: SparkSession, dir: String): DataFrame =
+    nnDescentRound(s, dir, nnSeedEdges(s, dir))
 
   /** Deterministic greedy beam search over a k-NN graph — the QUERY-TIME
     * half of graph ANN (VERDICT r13 next #2: the quantized indexes have

@@ -258,8 +258,11 @@ class PlanSpec extends SparkSpec {
     // centroid fan-out the IVF seed shares with ml_knn_graph; the
     // neighbor-of-neighbor candidate join and both embedding rescoring
     // joins must be id-keyed equi-joins (O(n·k²) candidates), never a
-    // pair scan.
-    val p = plan("ml_knn_nndescent")
+    // pair scan. The registered row serves from the pinned session memo
+    // (r14) whose executed plan is a leaf scan, so the contract is
+    // pinned on the round's own dataflow via the plan probe.
+    val p = ops.Cluster.nnDescentRoundPlanProbe(spark, sf).queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
     assert(!p.contains("CartesianProduct"), p)
     assert("\\(\\d+\\) BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1,
       "more than the centroid fan-out plans as BNLJ:\n" + p)
