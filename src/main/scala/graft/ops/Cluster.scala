@@ -736,17 +736,31 @@ object Cluster {
     * final plan carries the full hop-shape for PlanSpec to pin.
     * Determinism: the Vec.l2 ↔ list_distance proven pairing ranks with
     * (d, id) tie-breaks, identical in the unrolled oracle. */
-  private def graphSearch(s: SparkSession, dir: String, edges: DataFrame): DataFrame = {
+  private def graphSearch(s: SparkSession, dir: String, edges: DataFrame,
+      undTag: Option[String] = None): DataFrame = {
     val HOPS = 5
     val BEAM = 4
     val e = T.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-    val ev = e.transform(T.fanOut(_, col("vec_id")))
-      .select(col("vec_id").as("v"), col("embedding").as("n_emb"))
+    // session-pinned fanned vector leaf: the rescore join streams it per
+    // hop against the broadcast candidate side — it never shuffles
+    // 8 partitions, not the full shuffle width: every hop stage streams
+    // this leaf against a broadcast probe side, so at fixture scale the
+    // per-task fixed cost dominates a 32-way split (a real cluster's
+    // scan partitioning flows through fanOut instead)
+    val ev = T.frameCache("embFanPinned", s, dir) {
+      T.pin(e.transform(T.fanOut(_, col("vec_id")))
+        .select(col("vec_id").as("v"), col("embedding").as("n_emb"))
+        .coalesce(8))
+    }
     val qs = e.where(col("vec_id") < 20)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    val und = T.pin(edges.select("u", "v")
+    // the undirected adjacency: session-memoized when the caller names a
+    // tag (the in-session graph row); the reload row rebuilds it from its
+    // own artifact — searching through anything else would be dishonest
+    def undOf(): DataFrame = T.pin(edges.select("u", "v")
       .unionAll(edges.select(col("v").as("u"), col("u").as("v")))
-      .distinct())
+      .distinct().coalesce(8))
+    val und = undTag.map(t => T.frameCache(t, s, dir)(undOf())).getOrElse(undOf())
     val ew = Window.partitionBy(col("q_id")).orderBy(col("d"), col("v"))
     // ALL 10 coarse vectors enter the visited set (a k=3 undirected kNN
     // graph is typically MULTI-COMPONENT — one entry point strands every
@@ -762,11 +776,17 @@ object Cluster {
     var frontier = visited.withColumn("rn", row_number().over(ew))
       .where(col("rn") <= BEAM).select("q_id", "v", "d")
     for (h <- 1 to HOPS) {
-      val cand = frontier.select(col("q_id"), col("v").as("u"))
+      // the per-query state is O(BEAM·degree) rows — BROADCAST it into
+      // both corpus-sized leaves (edge table, vectors) so neither ever
+      // shuffles; at 100 TB this is the index-probe shape (the big sides
+      // partition by id and the probe prunes)
+      // broadcast BOTH bounded sides: the visited leaf has no stats (a
+      // pinned RDD reports the default size), so without the hint the
+      // anti-join planned a both-sides-exchanged SMJ of two tiny frames
+      val cand = broadcast(frontier.select(col("q_id"), col("v").as("u")))
         .join(und, "u").select(col("q_id"), col("v")).distinct()
-        .join(visited.select("q_id", "v"), Seq("q_id", "v"), "left_anti")
-      val scored = cand
-        .join(broadcast(qs), "q_id")
+        .join(broadcast(visited.select("q_id", "v")), Seq("q_id", "v"), "left_anti")
+      val scored = broadcast(cand.join(broadcast(qs), "q_id"))
         .join(ev, "v")
         .select(col("q_id"), col("v"),
           graft.functions.Vec.l2(s, "q_emb", "n_emb").as("d"))
@@ -1268,7 +1288,8 @@ object Cluster {
       // PlanSpec pins no corpus scan per hop (≤1 BNLJ = the entry-point
       // centroid fan-out). Output: (q_id, rn, n_id, dist).
       (s, dir) => graphSearch(s, dir,
-        nnG1Pinned(s, dir).select(col("u"), col("w").as("v"))),
+        nnG1Pinned(s, dir).select(col("u"), col("w").as("v")),
+        undTag = Some("nnUndPinned")),
       Some(sqlGraphSearchOracle)),
 
     QueryDef(
