@@ -471,18 +471,23 @@ object Boost {
             "f2r", "t2r",
             "CAST(poslR AS DOUBLE) / nlR AS prl",
             "CAST(posR - poslR AS DOUBLE) / (nR - nlR) AS prr")
+        // r14 wire swap (the PQ-train precedent): the 22 coalition sums
+        // add leaf PROBABILITIES ∈ [0,1] over corpus-sized groups — far
+        // inside sumE12L's |addend| < 9e3 / 9e10-rows bounds — and the
+        // per-row DECIMAL(30,12) cast × 22 columns was most of this
+        // scan's cost. Both engines swap to the identical long-lane text.
         val vAggs = Seq(count(lit(1)).cast("double").as("nd"),
-          T.xsum(expr(treeVal("q", "d", "t"))).as("vs_0")) ++
+          T.sumE12L(expr(treeVal("q", "d", "t"))).as("vs_0")) ++
           shapPoints.flatMap { p =>
             (1 to 7).map { m =>
               val (qa, da, ta) = shapArgs(p, m)
-              T.xsum(expr(treeVal(qa, da, ta))).as(s"vs_${p._1}_$m")
+              T.sumE12L(expr(treeVal(qa, da, ta))).as(s"vs_${p._1}_$m")
             }
           }
         val mom = fr.crossJoin(broadcast(tree)).agg(vAggs.head, vAggs.tail: _*)
-        val vCols = "vs_0 / nd AS v0" +:
+        val vCols = s"${T.bitsE12("vs_0")} / nd AS v0" +:
           shapPoints.flatMap(p => (1 to 7).map(m =>
-            s"vs_${p._1}_$m / nd AS v${p._1}_$m"))
+            s"${T.bitsE12(s"vs_${p._1}_$m")} / nd AS v${p._1}_$m"))
         val phis = shapPoints.flatMap(p => phiExprs(p._1))
         val gaps = shapPoints.map(p =>
           s"(v${p._1}_7 - v0) - (phq${p._1} + phd${p._1} + pht${p._1}) AS gap${p._1}")
@@ -502,17 +507,17 @@ object Boost {
       Some {
         val vCtes =
           s"""mom AS (SELECT CAST(count(*) AS DOUBLE) AS nd,
-               ${T.sqlXsum(treeVal("q", "d", "t"))} AS vs_0,
+               ${T.sqlSumE12L(treeVal("q", "d", "t"))} AS vs_0,
                ${shapPoints.flatMap { p =>
                  (1 to 7).map { m =>
                    val (qa, da, ta) = shapArgs(p, m)
-                   s"${T.sqlXsum(treeVal(qa, da, ta))} AS vs_${p._1}_$m"
+                   s"${T.sqlSumE12L(treeVal(qa, da, ta))} AS vs_${p._1}_$m"
                  }
                }.mkString(",\n               ")}
              FROM l CROSS JOIN tree)"""
-        val vSel = "vs_0 / nd AS v0" +:
+        val vSel = s"${T.sqlBitsE12("vs_0")} / nd AS v0" +:
           shapPoints.flatMap(p => (1 to 7).map(m =>
-            s"vs_${p._1}_$m / nd AS v${p._1}_$m"))
+            s"${T.sqlBitsE12(s"vs_${p._1}_$m")} / nd AS v${p._1}_$m"))
         val phis = shapPoints.flatMap(p => phiExprs(p._1)).mkString(",\n               ")
         val gaps = shapPoints.map(p =>
           s"(v${p._1}_7 - v0) - (phq${p._1} + phd${p._1} + pht${p._1}) AS gap${p._1}")
