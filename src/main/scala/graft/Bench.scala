@@ -139,7 +139,14 @@ object Bench {
     // drains first donates its width to the other (core-size bump), so no
     // worker ever idles while work remains. Unknown queries (no seq history)
     // band as heavy — assuming new work is expensive stays the safe side.
-    val heavySec = sys.env.getOrElse("SPARK_GRAFT_BENCH_HEAVY_SEC", "3.0").toDouble
+    // 2.5 s (r14, was 3.0): as the engine got faster the 3.0 cut moved a
+    // dozen genuinely-parallel mid-cost rows (seq 2.5–3 s, 10+-core
+    // stages) into the width-6 cheap band, where six of them at once
+    // oversubscribed the cores — measured at the same head on an idle
+    // box: heavySec 3.0 → 191 s wall / 3010 CPU-s, 2.5 → 131 s / 2966,
+    // 2.0 → 132 s / 3047. The threshold tracks the engine, not the
+    // hardware: re-measure it when the cost distribution shifts again.
+    val heavySec = sys.env.getOrElse("SPARK_GRAFT_BENCH_HEAVY_SEC", "2.5").toDouble
     val heavyWidth0 = sys.env.getOrElse("SPARK_GRAFT_BENCH_HEAVY_THREADS", "2").toInt
     // Load-adaptive width (VERDICT r11 1b): the diagnosis fields exist —
     // use them. If the box already carries more runnable load than half its
