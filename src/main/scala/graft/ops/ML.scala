@@ -4182,7 +4182,11 @@ object ML {
       // on k is exact.
       (s, dir) => {
         val preds = Supervised.ovrOvoPreds(s, dir)
-        val ct = preds.groupBy("p_ovr", "p_ovo").agg(count(lit(1)).as("n"))
+        // PINNED (r14): the ≤9-row contingency is referenced by FOUR
+        // downstream aggregates (tot/rm/cm/po) — left lazy, each re-ran
+        // the whole scoring chain including both broadcast moment passes
+        // (~12 corpus passes for a 3×3 table)
+        val ct = T.pin(preds.groupBy("p_ovr", "p_ovo").agg(count(lit(1)).as("n")))
         val tot = ct.agg(sum(col("n")).cast("double").as("tot"))
         val rm = ct.groupBy(col("p_ovr").as("k")).agg(sum(col("n")).as("nr"))
         val cm = ct.groupBy(col("p_ovo").as("k")).agg(sum(col("n")).as("nc"))
