@@ -736,9 +736,15 @@ object Cluster {
     * final plan carries the full hop-shape for PlanSpec to pin.
     * Determinism: the Vec.l2 ↔ list_distance proven pairing ranks with
     * (d, id) tie-breaks, identical in the unrolled oracle. */
-  private def graphSearch(s: SparkSession, dir: String, edges: DataFrame,
-      undTag: Option[String] = None): DataFrame = {
-    val HOPS = 5
+  /** Per-hop visited trail of [[graphSearch]]: element h is everything
+    * scored through hop h (element 0 = the coarse entry set). Exposed so
+    * the hops-vs-recall sweep reads the SAME search the top-k row
+    * answers from. `hops`/`pinHop` exist for the PlanSpec probe (a
+    * 1-hop, unpinned build whose executed plan shows the hop shape). */
+  private def graphSearchTrail(s: SparkSession, dir: String, edges: DataFrame,
+      undTag: Option[String] = None, hops: Int = 5,
+      pinHop: DataFrame => DataFrame = T.pin): IndexedSeq[DataFrame] = {
+    val HOPS = hops
     val BEAM = 4
     val e = T.embeddings(s, dir).select(col("vec_id"), col("embedding"))
     // session-pinned fanned vector leaf: the rescore join streams it per
@@ -773,6 +779,7 @@ object Cluster {
       .select(col("q_id"), col("v"),
         graft.functions.Vec.l2(s, "q_emb", "n_emb").as("d"))
     var visited = T.pin(entry) // everything SCORED so far
+    val trail = scala.collection.mutable.ArrayBuffer(visited)
     var frontier = visited.withColumn("rn", row_number().over(ew))
       .where(col("rn") <= BEAM).select("q_id", "v", "d")
     for (h <- 1 to HOPS) {
@@ -792,11 +799,17 @@ object Cluster {
           graft.functions.Vec.l2(s, "q_emb", "n_emb").as("d"))
       frontier = scored.withColumn("rn", row_number().over(ew))
         .where(col("rn") <= BEAM).select("q_id", "v", "d")
-      visited = visited.unionAll(scored)
-      // the last hop stays declarative so the executed plan shows the
-      // hop shape; earlier hops truncate the double reference
-      if (h < HOPS) visited = T.pin(visited)
+      // pinHop truncates the visited set's double reference (anti-join +
+      // union — the Fibonacci blow-up documented above)
+      visited = pinHop(visited.unionAll(scored))
+      trail += visited
     }
+    trail.toIndexedSeq
+  }
+
+  /** Top-5 answers (q_id, rn, n_id, dist) from a visited set. */
+  private def searchTopK(visited: DataFrame): DataFrame = {
+    val ew = Window.partitionBy(col("q_id")).orderBy(col("d"), col("v"))
     visited.where(col("q_id") =!= col("v"))
       .withColumn("rn", row_number().over(ew)).where(col("rn") <= 5)
       .select(col("q_id"), col("rn"), col("v").as("n_id"),
@@ -804,11 +817,43 @@ object Cluster {
       .orderBy("q_id", "rn")
   }
 
+  private def graphSearch(s: SparkSession, dir: String, edges: DataFrame,
+      undTag: Option[String] = None): DataFrame =
+    searchTopK(graphSearchTrail(s, dir, edges, undTag).last)
+
+  /** Session-memoized search trail over the IN-SESSION graph — one
+    * search shared by ml_knn_graph_search (answers from the final hop)
+    * and ml_graph_search_hops_sweep (reads the whole trail). */
+  private def nnSearchTrail(s: SparkSession, dir: String): IndexedSeq[DataFrame] =
+    T.frameCache("nnSearchTrail", s, dir) {
+      graphSearchTrail(s, dir,
+        nnG1Pinned(s, dir).select(col("u"), col("w").as("v")),
+        undTag = Some("nnUndPinned"))
+    }
+
+  /** PlanSpec probe: ONE declarative hop (entry pinned, hop unpinned) —
+    * the executed plans of the registered rows read pinned trail leaves,
+    * so the per-hop join contract is pinned on this real hop shape. */
+  private[graft] def graphSearchPlanProbe(s: SparkSession, dir: String): DataFrame =
+    searchTopK(graphSearchTrail(s, dir,
+      nnG1Pinned(s, dir).select(col("u"), col("w").as("v")),
+      undTag = Some("nnUndPinned"), hops = 1, pinHop = identity).last)
+
   /** Shared oracle of ml_knn_graph_search and ml_index_graph_save_load
     * (the ml_knn_pq / ml_index_pq_save_load pattern — one semantics,
     * with and without the parquet artifact boundary): rebuilds the g1
-    * NN-descent graph from raw data and unrolls the 4-hop beam search. */
-  private lazy val sqlGraphSearchOracle: String = {
+    * NN-descent graph from raw data and unrolls the 5-hop beam search.
+    * [[sqlGraphSearchCtes]] is the CTE prefix through vis0..vis5, also
+    * consumed by the hops-sweep oracle. */
+  private lazy val sqlGraphSearchOracle: String =
+    s"""WITH $sqlGraphSearchCtes
+       SELECT q_id, rn, n_id, dist FROM (
+         SELECT q_id, v AS n_id, round(d, 6) AS dist,
+           row_number() OVER (PARTITION BY q_id ORDER BY d, v) AS rn
+         FROM vis5 WHERE q_id <> v) t
+       WHERE rn <= 5 ORDER BY q_id, rn"""
+
+  private lazy val sqlGraphSearchCtes: String = {
     def hop(h: Int): String = {
       val (pv, pf) = (s"vis${h - 1}", s"fr${h - 1}")
       s"""nw$h AS (SELECT c.q_id, c.v, list_distance(q.q_emb, ed.emb) AS d
@@ -824,7 +869,7 @@ object Cluster {
                 ORDER BY d, v) AS rn FROM nw$h) t
             WHERE rn <= 4)"""
     }
-    s"""WITH cent AS (SELECT vec_id AS cid, embedding AS c_emb
+    s"""cent AS (SELECT vec_id AS cid, embedding AS c_emb
                       FROM embeddings WHERE vec_id < 10),
          ranked AS (
            SELECT e.vec_id, e.embedding, c.cid,
@@ -873,12 +918,7 @@ object Cluster {
          ${hop(2)},
          ${hop(3)},
          ${hop(4)},
-         ${hop(5)}
-       SELECT q_id, rn, n_id, dist FROM (
-         SELECT q_id, v AS n_id, round(d, 6) AS dist,
-           row_number() OVER (PARTITION BY q_id ORDER BY d, v) AS rn
-         FROM vis5 WHERE q_id <> v) t
-       WHERE rn <= 5 ORDER BY q_id, rn"""
+         ${hop(5)}"""
   }
 
   val entries: Seq[QueryDef] = Seq(
@@ -1287,9 +1327,7 @@ object Cluster {
       // is an id equi-join on the edge table + an id equi-join rescore —
       // PlanSpec pins no corpus scan per hop (≤1 BNLJ = the entry-point
       // centroid fan-out). Output: (q_id, rn, n_id, dist).
-      (s, dir) => graphSearch(s, dir,
-        nnG1Pinned(s, dir).select(col("u"), col("w").as("v")),
-        undTag = Some("nnUndPinned")),
+      (s, dir) => searchTopK(nnSearchTrail(s, dir).last),
       Some(sqlGraphSearchOracle)),
 
     QueryDef(
@@ -1316,6 +1354,74 @@ object Cluster {
         graphSearch(s, dir, s.read.parquet(s"$base/edges").select("u", "v"))
       },
       Some(sqlGraphSearchOracle)),
+
+    QueryDef(
+      "ml_graph_search_hops_sweep",
+      // The hops-vs-recall tuning curve of the graph search (r14 — the
+      // graph twin of ml_ivf_nprobe_sweep and ml_nndescent_converge:
+      // every tunable index got its cost/recall table): recall@5 vs the
+      // exact top-5 after hop 0 (the coarse entry set alone) through hop
+      // 5, on the same vec_id < 20 query sample. Reads the SAME memoized
+      // search trail ml_knn_graph_search answers from — the sweep costs
+      // one exact-reference pass plus six KB-sized joins, not six
+      // searches. Monotone non-decreasing by construction (the visited
+      // set only grows), which the oracle would catch drifting. The
+      // exact side is |queries| × corpus (one broadcast fan-out), never
+      // all-pairs.
+      (s, dir) => {
+        val trail = nnSearchTrail(s, dir)
+        val e = T.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+        val xw = Window.partitionBy(col("q_id")).orderBy(col("d"), col("v"))
+        val exact = T.pin(e
+          .select(col("vec_id").as("v"), col("embedding").as("n_emb"))
+          .transform(T.fanOut(_, col("v")))
+          .crossJoin(broadcast(e.where(col("vec_id") < 20)
+            .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))))
+          .where(col("q_id") =!= col("v"))
+          .select(col("q_id"), col("v"),
+            graft.functions.Vec.l2(s, "q_emb", "n_emb").as("d"))
+          .withColumn("rn", row_number().over(xw)).where(col("rn") <= 5)
+          .select(col("q_id"), col("v")))
+        val nq = exact.select("q_id").distinct().count()
+        def row(h: Int): DataFrame =
+          trail(h).where(col("q_id") =!= col("v"))
+            .withColumn("rn", row_number().over(xw)).where(col("rn") <= 5)
+            .select(col("q_id"), col("v"))
+            .join(exact, Seq("q_id", "v"))
+            .agg(count(lit(1)).as("hits"))
+            .selectExpr(s"$h AS hops", s"CAST($nq AS BIGINT) AS n_queries",
+              s"round(CAST(hits AS DOUBLE) / (5 * $nq), 6) AS recall_at_5")
+        (0 to 5).map(row).reduce(_ unionAll _).orderBy("hops")
+      },
+      Some {
+        // CTE names avoid short t0/t1-style identifiers: DuckDB's Python
+        // replacement scan resolves an unknown relation name against the
+        // CALLER's local variables, and the compare harness has a `t0`
+        // timing local — the oracle would silently read it (measured:
+        // "Python Object t0 of type float" exec error).
+        val tops = (0 to 5).map(h =>
+          s"""hstop$h AS (SELECT q_id, v FROM (
+               SELECT q_id, v, row_number() OVER (PARTITION BY q_id
+                 ORDER BY d, v) AS rn
+               FROM vis$h WHERE q_id <> v) t WHERE rn <= 5)""")
+          .mkString(",\n         ")
+        val rows = (0 to 5).map(h =>
+          s"SELECT $h AS hops, count(*) AS hits FROM hstop$h JOIN exact USING (q_id, v)")
+          .mkString("\n           UNION ALL ")
+        s"""WITH $sqlGraphSearchCtes,
+           exact AS (SELECT q_id, v FROM (
+               SELECT q.q_id, e.vec_id AS v,
+                 row_number() OVER (PARTITION BY q.q_id
+                   ORDER BY list_distance(q.q_emb, e.emb), e.vec_id) AS rn
+               FROM qs q JOIN ed e ON e.vec_id <> q.q_id) t
+             WHERE rn <= 5),
+           nqs AS (SELECT count(*) AS nq FROM qs),
+           $tops,
+           hh AS ($rows)
+         SELECT hops, CAST(nq AS BIGINT) AS n_queries,
+           round(CAST(hits AS DOUBLE) / (5 * nq), 6) AS recall_at_5
+         FROM hh CROSS JOIN nqs ORDER BY hops"""
+      }),
 
     QueryDef(
       "ml_agglo_single",

@@ -2863,6 +2863,32 @@ class MicroSpec extends SparkSpec {
       s"graph-search recall@5 $graph must be >= IVF probe recall@5 $ivf")
   }
 
+  test("ml_graph_search_hops_sweep: monotone, and hop 5 equals the search row") {
+    // The visited set only grows per hop, so recall@5 must be
+    // non-decreasing; and the final point of the curve must equal the
+    // recall of ml_knn_graph_search's own answers (both read the same
+    // memoized trail — a drift means the sweep measures something else).
+    val curve = q("ml_graph_search_hops_sweep").collect()
+      .map(r => (r.getAs[Int]("hops"), r.getAs[Double]("recall_at_5")))
+      .sortBy(_._1)
+    assert(curve.map(_._1).sameElements(0 to 5), curve.mkString(","))
+    curve.sliding(2).foreach { case Array((_, a), (h, b)) =>
+      assert(b >= a, s"recall fell at hop $h: ${curve.mkString(",")}")
+    }
+    def l2(a: Array[Double], b: Array[Double]): Double =
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    def exactTop5(qq: Long): Set[Long] = localEmb.toSeq.filter(_._1 != qq)
+      .map { case (id, v) => (id, l2(localEmb(qq), v)) }
+      .sortBy { case (id, d) => (d, id) }.take(5).map(_._1).toSet
+    val byQ = q("ml_knn_graph_search").select("q_id", "n_id").collect()
+      .groupBy(_.getLong(0))
+    val searchRecall = byQ.map { case (qq, rows) =>
+      rows.map(_.getLong(1)).toSet.intersect(exactTop5(qq)).size
+    }.sum.toDouble / (5.0 * byQ.size)
+    assert(math.abs(curve.last._2 - searchRecall) < 1e-6,
+      s"sweep hop-5 ${curve.last._2} != search row's recall $searchRecall")
+  }
+
   test("ml_index_graph_save_load: the reloaded graph answers bit-identically") {
     // The deploy-boundary pin (the ml_index_save_load discipline): edge
     // ids and exact distances round-trip parquet losslessly, so searching

@@ -276,8 +276,11 @@ class PlanSpec extends SparkSpec {
     // 10-vector entry-point fan-out (the IVF coarse step); every hop's
     // neighbor expansion, visited anti-join and embedding rescore must be
     // id-keyed equi-joins — a corpus scan per hop would defeat the whole
-    // point of searching through the graph.
-    val p = plan("ml_knn_graph_search")
+    // point of searching through the graph. The registered row answers
+    // from the pinned session trail (a leaf scan), so the contract is
+    // pinned on the hop's own dataflow via the plan probe.
+    val p = ops.Cluster.graphSearchPlanProbe(spark, sf).queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
     assert(!p.contains("CartesianProduct"), p)
     assert("\\(\\d+\\) BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1,
       "more than the entry-point fan-out plans as BNLJ:\n" + p)
