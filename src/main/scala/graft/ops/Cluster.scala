@@ -778,33 +778,36 @@ object Cluster {
       .crossJoin(broadcast(qs))
       .select(col("q_id"), col("v"),
         graft.functions.Vec.l2(s, "q_emb", "n_emb").as("d"))
-    var visited = T.pin(entry) // everything SCORED so far
-    val trail = scala.collection.mutable.ArrayBuffer(visited)
-    var frontier = visited.withColumn("rn", row_number().over(ew))
+    // the per-hop NEW rows are pinned; the visited set is only ever a
+    // lazy union of those pinned leaves — pinning the GROWING union each
+    // hop (the first r14 form) re-copied every prior hop's rows per hop.
+    // The entry set is pinned unconditionally (it is referenced by every
+    // later hop's anti-join through the union, and its fan-out is the
+    // plan's one permitted nested loop).
+    var pieces = Vector(T.pin(entry))
+    def visitedOf(ps: Seq[DataFrame]): DataFrame = ps.reduce(_ unionAll _)
+    var frontier = pieces.head.withColumn("rn", row_number().over(ew))
       .where(col("rn") <= BEAM).select("q_id", "v", "d")
-    for (h <- 1 to HOPS) {
+    for (_ <- 1 to HOPS) {
       // the per-query state is O(BEAM·degree) rows — BROADCAST it into
       // both corpus-sized leaves (edge table, vectors) so neither ever
       // shuffles; at 100 TB this is the index-probe shape (the big sides
-      // partition by id and the probe prunes)
-      // broadcast BOTH bounded sides: the visited leaf has no stats (a
-      // pinned RDD reports the default size), so without the hint the
-      // anti-join planned a both-sides-exchanged SMJ of two tiny frames
+      // partition by id and the probe prunes). Both bounded sides carry
+      // explicit hints: a pinned leaf has no stats, so the anti-join
+      // otherwise planned a both-sides-exchanged SMJ of two tiny frames.
       val cand = broadcast(frontier.select(col("q_id"), col("v").as("u")))
         .join(und, "u").select(col("q_id"), col("v")).distinct()
-        .join(broadcast(visited.select("q_id", "v")), Seq("q_id", "v"), "left_anti")
-      val scored = broadcast(cand.join(broadcast(qs), "q_id"))
+        .join(broadcast(visitedOf(pieces).select("q_id", "v")),
+          Seq("q_id", "v"), "left_anti")
+      val scored = pinHop(broadcast(cand.join(broadcast(qs), "q_id"))
         .join(ev, "v")
         .select(col("q_id"), col("v"),
-          graft.functions.Vec.l2(s, "q_emb", "n_emb").as("d"))
+          graft.functions.Vec.l2(s, "q_emb", "n_emb").as("d")))
       frontier = scored.withColumn("rn", row_number().over(ew))
         .where(col("rn") <= BEAM).select("q_id", "v", "d")
-      // pinHop truncates the visited set's double reference (anti-join +
-      // union — the Fibonacci blow-up documented above)
-      visited = pinHop(visited.unionAll(scored))
-      trail += visited
+      pieces :+= scored
     }
-    trail.toIndexedSeq
+    (0 to HOPS).map(h => visitedOf(pieces.take(h + 1))).toIndexedSeq
   }
 
   /** Top-5 answers (q_id, rn, n_id, dist) from a visited set. */
@@ -1383,11 +1386,14 @@ object Cluster {
           .withColumn("rn", row_number().over(xw)).where(col("rn") <= 5)
           .select(col("q_id"), col("v")))
         val nq = exact.select("q_id").distinct().count()
+        // broadcast the ≤100-row reference side: the pinned leaves carry
+        // no stats, so without the hint each of the six recall joins
+        // planned a both-sides-exchanged SMJ of two tiny frames
         def row(h: Int): DataFrame =
           trail(h).where(col("q_id") =!= col("v"))
             .withColumn("rn", row_number().over(xw)).where(col("rn") <= 5)
             .select(col("q_id"), col("v"))
-            .join(exact, Seq("q_id", "v"))
+            .join(broadcast(exact), Seq("q_id", "v"))
             .agg(count(lit(1)).as("hits"))
             .selectExpr(s"$h AS hops", s"CAST($nq AS BIGINT) AS n_queries",
               s"round(CAST(hits AS DOUBLE) / (5 * $nq), 6) AS recall_at_5")
