@@ -195,10 +195,40 @@ object Tables {
     * (ADVICE r13: the plain memo's contract is session-agnostic driver
     * values; a second SparkSession on the same dir — the
     * ExtensionsRuleSpec pattern — would be served a frame bound to the
-    * OTHER session). Keyed additionally by the session's JVM identity, so
-    * each session pins its own copy and nothing crosses sessions. */
-  def frameCache[A <: AnyRef](tag: String, s: SparkSession, dir: String)(compute: => A): A =
-    fitCache(s"$tag@${System.identityHashCode(s)}", dir)(compute)
+    * OTHER session). Keyed by a UUID minted once per session object
+    * (ADVICE r14: the previous identityHashCode key is not unique — a
+    * collision, including a GC'd session whose hash value recurs, would
+    * serve a checkpointed frame whose RDD blocks belong to another or
+    * dead session). The id lives in a WeakHashMap so the keying itself
+    * retains nothing, and every call opportunistically purges entries
+    * belonging to STOPPED sessions — without that, memoized frames (which
+    * reference their session) would pin dead sessions for the JVM
+    * lifetime. */
+  private val sessionIds = new java.util.WeakHashMap[SparkSession, String]()
+  private val sessionRefs = new java.util.concurrent.ConcurrentHashMap[
+    String, java.lang.ref.WeakReference[SparkSession]]()
+  def frameCache[A <: AnyRef](tag: String, s: SparkSession, dir: String)(compute: => A): A = {
+    val sid = sessionIds.synchronized {
+      var id = sessionIds.get(s)
+      if (id == null) {
+        id = java.util.UUID.randomUUID().toString
+        sessionIds.put(s, id)
+        sessionRefs.put(id, new java.lang.ref.WeakReference(s))
+      }
+      id
+    }
+    val it = sessionRefs.entrySet().iterator()
+    while (it.hasNext) {
+      val en = it.next()
+      val ref = en.getValue.get()
+      if (ref == null || ref.sparkContext.isStopped) {
+        val dead = en.getKey
+        fitMemo.keySet().removeIf(k => k._1.endsWith("@" + dead))
+        it.remove()
+      }
+    }
+    fitCache(s"$tag@$sid", dir)(compute)
+  }
 
   // --- determinism helpers (SURVEY.md §7.3) -------------------------------
   // Raw sum(DOUBLE) is summation-order-dependent and can't hash-match across

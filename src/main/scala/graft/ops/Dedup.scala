@@ -1488,8 +1488,16 @@ object Dedup {
       // (the dedup_minhash 2 × 4 split), and (3) a LEFT SEMI band-key
       // join against the RELOADED store — the same candidate criterion,
       // with no pair materialization (the semi join short-circuits on
-      // first match; no collect_list, so no bucket cap is needed on the
-      // probe). Old signatures are NEVER recomputed: the probe path
+      // first match, so a hot bucket can never explode n²). The
+      // monolithic dedup_minhash additionally DROPS band buckets holding
+      // more than BAND_CAP docs of the full corpus; that cap is mirrored
+      // here EXACTLY (ADVICE r14 — without it the incremental verdicts
+      // would diverge from the monolithic ones on any over-cap bucket):
+      // both sides' band keys are pre-aggregated to counts (aggregate
+      // only — still no pairs, and the store aggregate reads the
+      // artifact, it never re-signs anything), and keys whose combined
+      // store+batch population exceeds the cap are excluded from the
+      // probe. Old signatures are NEVER recomputed: the probe path
       // touches only the batch slice and the artifact. Per-doc
       // signatures are independent (min per hash over the doc's own
       // shingles), so batch-computed signatures are bit-identical to
@@ -1513,9 +1521,20 @@ object Dedup {
             s"h${4 * b} AS k1", s"h${4 * b + 1} AS k2",
             s"h${4 * b + 2} AS k3", s"h${4 * b + 3} AS k4"))
             .reduce(_ unionAll _)
-        val dup = bands(newSigs)
-          .join(bands(s.read.parquet(s"$base/signatures")),
-            Seq("band", "k1", "k2", "k3", "k4"), "left_semi")
+        val bandKeys = Seq("band", "k1", "k2", "k3", "k4")
+        val batchB = bands(newSigs)
+        val storeB = bands(s.read.parquet(s"$base/signatures"))
+        // candidate keys = band keys live on BOTH sides (the inner join),
+        // minus keys whose full-corpus bucket (store + batch counts)
+        // exceeds BAND_CAP — the monolithic criterion, aggregate-only
+        val okKeys = storeB.groupBy(bandKeys.map(col): _*)
+          .agg(count(lit(1)).as("ns"))
+          .join(batchB.groupBy(bandKeys.map(col): _*)
+            .agg(count(lit(1)).as("nb")), bandKeys)
+          .where(col("ns") + col("nb") <= TextSim.BAND_CAP)
+          .select(bandKeys.map(col): _*)
+        val dup = batchB
+          .join(okKeys, bandKeys, "left_semi")
           .select("doc_id").distinct()
           .withColumn("is_dup", lit(1L))
         T.documents(s, dir).where(col("doc_id") % 10 === 7)
@@ -1536,8 +1555,15 @@ object Dedup {
                  obd AS (${(0 until 2).map(b =>
                    s"SELECT doc_id, $b AS band, h${4 * b} AS k1, h${4 * b + 1} AS k2, h${4 * b + 2} AS k3, h${4 * b + 3} AS k4 FROM ob")
                    .mkString(" UNION ALL ")}),
+                 okk AS (SELECT band, k1, k2, k3, k4
+                         FROM (SELECT band, k1, k2, k3, k4, count(*) AS ns
+                               FROM obd GROUP BY band, k1, k2, k3, k4) so
+                         JOIN (SELECT band, k1, k2, k3, k4, count(*) AS nb
+                               FROM nbd GROUP BY band, k1, k2, k3, k4) nbq
+                           USING (band, k1, k2, k3, k4)
+                         WHERE ns + nb <= ${TextSim.BAND_CAP}),
                  dup AS (SELECT DISTINCT n.doc_id FROM nbd n
-                         JOIN obd o USING (band, k1, k2, k3, k4)),
+                         JOIN okk USING (band, k1, k2, k3, k4)),
                  batch AS (SELECT doc_id, source FROM documents
                            WHERE doc_id % 10 = 7)
                SELECT source, count(*) AS n_batch,

@@ -215,15 +215,56 @@ object Supervised {
         r.getLong(nxt), r.getLong(nxt), r.getLong(nxt), r.getLong(nxt))
     }
 
-  /** ONE memoized fit of the sharded depth-2 gini forest — TWO
-    * grid-amplified aggregation passes for the whole family (r14, VERDICT
-    * r13 #1a: ml_rf_proba re-ran its own 2-pass fit and ml_rf_importance
-    * re-ran another in-plan; the forest family totalled 578 cpu-s, most
-    * of it repeated fitting). [[rfTrees]] (hard votes), the proba leaf
-    * micro-probabilities and the importance gain arithmetic all derive
-    * from these 24 exact-count rows. The level-1 winners re-enter the
-    * level-2 pass as exact literals (the collect feeds the memo anyway),
-    * so neither pass executes twice. */
+  /** ONE shared grid-amplified LEVEL-1 moments pass for BOTH forest
+    * families (r15, VERDICT r14 #3 — ml_rf_regress was the last forest
+    * row fitting alone): per (shard, feature, thr), the gini family's
+    * four exact counts (n, pos, nl, posl) AND the regression family's
+    * exact integer-cents sums (syc, sylc) from a single pass over the
+    * combined projection — the two families' level-1 searches differ
+    * only in which of these exact columns their score reads, so
+    * computing all six in one ×|grid| amplified aggregate replaces two
+    * corpus passes with one. ~|grid|·8 ≈ 600 exact rows, pinned
+    * (KB-sized at any scale); winner arithmetic downstream uses the
+    * SAME expression texts as before, so every derived double — and
+    * every oracle value — is bit-unchanged. Level-2 passes stay
+    * per-family (their node tagging depends on each family's own
+    * level-1 winners). */
+  private def rfL1Moments(s: SparkSession, dir: String): DataFrame =
+    T.frameCache("rfL1Moments", s, dir) {
+      val spark = s
+      import spark.implicits._
+      val cands = grid.toDF("feature", "thrs")
+        .select(col("feature"), col("thrs").cast("double").as("thr"))
+      val both = T.lineitem(s, dir).select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("double").as("q"),
+        col("l_discount").cast("double").as("d"),
+        col("l_tax").cast("double").as("t"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"),
+        (col("l_extendedprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * lit(100))
+          .cast("long").as("yc"))
+        .transform(T.fanOut(_))
+        .withColumn("shard", expr(shardExpr))
+      T.pin(both.crossJoin(broadcast(cands))
+        .withColumn("x", expr(
+          "CASE feature WHEN 'quantity' THEN q WHEN 'discount' THEN d ELSE t END"))
+        .groupBy(col("shard"), col("feature"), col("thr"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"),
+          sum(when(col("x") <= col("thr"), 1L).otherwise(0L)).as("nl"),
+          sum(when(col("x") <= col("thr"), col("y")).otherwise(0L)).as("posl"),
+          sum(col("yc")).as("syc"),
+          sum(when(col("x") <= col("thr"), col("yc"))).as("sylc")))
+    }
+
+  /** ONE memoized fit of the sharded depth-2 gini forest — the shared
+    * level-1 moments plus one grid-amplified level-2 pass for the whole
+    * family (r14, VERDICT r13 #1a: ml_rf_proba re-ran its own 2-pass fit
+    * and ml_rf_importance re-ran another in-plan; the forest family
+    * totalled 578 cpu-s, most of it repeated fitting). [[rfTrees]] (hard
+    * votes), the proba leaf micro-probabilities and the importance gain
+    * arithmetic all derive from these 24 exact-count rows. The level-1
+    * winners re-enter the level-2 pass as exact literals (the collect
+    * feeds the memo anyway), so neither pass executes twice. */
   private[ops] def rfStats(s: SparkSession, dir: String): Array[Split] =
     T.fitCache("rfStats", dir) {
       val spark = s
@@ -233,7 +274,9 @@ object Supervised {
       val sharded = feats(s, dir).withColumn("shard", expr(shardExpr))
       val w1 = Window.partitionBy(col("shard"))
         .orderBy(col("gini").asc, col("feature").asc, col("thr").asc)
-      val b1 = splitCounts(sharded, cands, Seq("shard"))
+      val b1 = rfL1Moments(s, dir)
+        .select(col("shard"), col("feature"), col("thr"),
+          col("n"), col("pos"), col("nl"), col("posl"))
         .withColumn("gini", expr(giniExpr))
         // A pure/constant shard can gini-tie-break into a split that
         // routes ALL rows one way; the absent child node group would
@@ -1065,7 +1108,15 @@ object Supervised {
                 .withColumn("score", expr(scoreTextR))
             val w1 = Window.partitionBy(col("shard"))
               .orderBy(col("score").desc, col("feature").asc, col("thr").asc)
-            val b1 = regCounts(sharded, Seq("shard"))
+            // level 1 reads the SHARED moments pass (r15 — see
+            // rfL1Moments): the cents sums convert to sy/syl through the
+            // identical CAST/1e2 text regCounts used, so the score — and
+            // the winner — is bit-unchanged.
+            val b1 = rfL1Moments(s, dir)
+              .selectExpr("shard", "feature", "thr", "n", "nl",
+                "CAST(syc AS DOUBLE) / 1e2 AS sy",
+                "CAST(sylc AS DOUBLE) / 1e2 AS syl")
+              .withColumn("score", expr(scoreTextR))
               // same empty-child guard as the gini forest (ml_gbm_round
               // discipline): an all-one-way winner would NPE the pivot.
               .where("nl > 0 AND n - nl > 0").where(expr(mtryExpr))

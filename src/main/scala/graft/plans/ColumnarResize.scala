@@ -96,10 +96,14 @@ case class ColumnarResizeExec(child: SparkPlan, output: Seq[Attribute])
       val out = OnHeapColumnVector.allocateColumns(n, outSchema)
       var r = 0
       while (r < n) {
-        // Null gate (ADVICE r13): the node declares non-nullable output and
-        // the one internal call site feeds non-null encodes, but a null
-        // payload from a future consumer must not NPE a whole batch —
-        // emit the documented empty-payload summary instead.
+        // Null gate (ADVICE r13/r14): the node declares non-nullable output
+        // and the one internal call site feeds non-null encodes; a null
+        // doc_id/payload from a future consumer FAILS FAST with a named
+        // error pointing at this row, instead of an unattributed NPE from
+        // deep inside the batch loop. (Deliberately not a silent
+        // empty-payload summary: a null here means the upstream contract
+        // was broken, and masking it would corrupt dedup/quality stats
+        // downstream.)
         if (ids.isNullAt(r) || pays.isNullAt(r))
           throw new IllegalArgumentException(
             s"ColumnarResizeExec: null doc_id/payload at batch row $r — " +

@@ -32,6 +32,11 @@ object GraftBridge {
     // session-shared state, and the banded bench runs queries concurrently
     // (ADVICE r13): serialize on the ExperimentalMethods instance so two
     // callers can't double-append or drop a concurrently added strategy.
+    // Planner threads read exp.extraStrategies OUTSIDE this lock — that is
+    // safe because the underlying field is declared @volatile in Spark
+    // (verified against the 4.1.2 bytecode: `private volatile Seq<...>
+    // extraStrategies`, ADVICE r14), so a completed append is immediately
+    // visible to every subsequent planner read.
     exp.synchronized {
       if (!exp.extraStrategies.contains(st))
         exp.extraStrategies = exp.extraStrategies :+ st

@@ -432,6 +432,35 @@ class MicroSpec extends SparkSpec {
       s"reloaded PQ search diverged: ${reloaded.diff(inSession).take(3)}")
   }
 
+  test("ml_index_incremental: add() through the artifacts equals the in-session merge bit-for-bit") {
+    // The faiss add() contract, pinned the dedup_incremental way: the new
+    // batch encoded against the RELOADED frozen quantizer and searched
+    // through the merged parquet segments must equal the same merge done
+    // fully in-session (base frames + ivfSq8Encode of the batch) — the
+    // parquet boundary and the segment split are both invisible. (The
+    // DuckDB oracle separately pins add() ≡ encode-all-in-one-shot.)
+    val e = Tables.embeddings(spark, sf)
+    val (cent, cb, baseCodes) =
+      ops.Pipeline.ivfSq8IndexFramesOn(spark, e.where(col("vec_id") % 10 =!= 7))
+    val batchCodes = ops.Pipeline.ivfSq8Encode(
+      spark, e.where(col("vec_id") % 10 === 7), cent, cb)
+    val inSession = ops.Pipeline.ivfSq8Search(
+        spark, sf, cent, cb, baseCodes.unionByName(batchCodes))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        java.lang.Double.doubleToLongBits(r.getDouble(3)))).toSeq
+    val viaArtifacts = q("ml_index_incremental").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        java.lang.Double.doubleToLongBits(r.getDouble(3)), r.getInt(4))).toSeq
+    assert(viaArtifacts.nonEmpty)
+    assert(viaArtifacts.map(t => (t._1, t._2, t._3, t._4)) == inSession,
+      s"artifact-merged search diverged from in-session merge")
+    // the ingested batch is actually reachable: is_new flags agree with the
+    // id partition, and at least one ingested vector serves as a neighbor
+    assert(viaArtifacts.forall(t => (t._5 == 1) == (t._3 % 10 == 7)))
+    assert(viaArtifacts.exists(_._5 == 1),
+      "no ingested vector reachable in any top-5 — ingest path dead")
+  }
+
   test("ml_knn_nndescent: one NN-descent round never loses recall@3 vs the IVF seed") {
     // The Dong 2011 convergence direction, pinned on the fixture: the
     // neighbor-of-neighbor candidate set always CONTAINS the current
@@ -2903,7 +2932,11 @@ class MicroSpec extends SparkSpec {
     // A new-batch doc (doc_id % 10 = 7) is a duplicate-vs-store exactly
     // when the full-corpus banded pair set (dedup_minhash) links it to a
     // doc on the OTHER side of the split — the incremental path must not
-    // invent or lose verdicts relative to the monolithic one.
+    // invent or lose verdicts relative to the monolithic one. The
+    // equivalence includes BAND_CAP (ADVICE r14): the probe now mirrors
+    // the monolithic bucket cap via store+batch key counts, so this pin
+    // holds on hot-bucket corpora too, not only when every bucket
+    // happens to stay under cap (as this fixture's do).
     val pairs = q("dedup_minhash").collect()
       .map(r => (r.getLong(0), r.getLong(1)))
     val dupNew = pairs.flatMap { case (a, b) =>
