@@ -676,10 +676,17 @@ object Cluster {
     * (`pmod(hash(u, v), …)` — the engine's affine-hash discipline, not
     * an RNG) plus a `new` flag column carried between rounds; the join
     * shapes are unchanged, so it composes with the same PlanSpec pins. */
-  private def nnDescentRound(s: SparkSession, dir: String, g: DataFrame): DataFrame = {
-    val und = T.pin(g
+  private def nnDescentRound(s: SparkSession, dir: String, g: DataFrame,
+      undTag: Option[String] = None): DataFrame = {
+    // the undirected graph is session-memoized when the caller names a
+    // tag (r15): the round over the SEED is built by both nnG1Pinned and
+    // the PlanSpec probe, and the round over G1 pins the same undirected
+    // frame the search trail memoizes as nnUndPinned — each previously
+    // paid its own eager pin of identical content
+    def undOfG(): DataFrame = T.pin(g
       .unionAll(g.select(col("v").as("u"), col("u").as("v")))
-      .distinct())
+      .distinct().coalesce(8))
+    val und = undTag.map(t => T.frameCache(t, s, dir)(undOfG())).getOrElse(undOfG())
     val cand = und
       .join(und.select(col("u").as("v"), col("v").as("w")), "v")
       .where(col("u") =!= col("w"))
@@ -704,7 +711,8 @@ object Cluster {
     * the seed + round chain. */
   private def nnG1Pinned(s: SparkSession, dir: String): DataFrame =
     T.frameCache("nnG1Pinned", s, dir) {
-      T.pin(nnDescentRound(s, dir, nnSeedEdges(s, dir)))
+      T.pin(nnDescentRound(s, dir, nnSeedEdges(s, dir),
+        undTag = Some("nnSeedUndPinned")))
     }
 
   /** PlanSpec probe (r14): the registered ml_knn_nndescent row serves
@@ -712,7 +720,8 @@ object Cluster {
     * scan — this exposes the round's OWN dataflow (over the memoized
     * seed) so the id-equi-join contract stays pinned on the real shape. */
   private[graft] def nnDescentRoundPlanProbe(s: SparkSession, dir: String): DataFrame =
-    nnDescentRound(s, dir, nnSeedEdges(s, dir))
+    nnDescentRound(s, dir, nnSeedEdges(s, dir),
+      undTag = Some("nnSeedUndPinned"))
 
   /** Deterministic greedy beam search over a k-NN graph — the QUERY-TIME
     * half of graph ANN (VERDICT r13 next #2: the quantized indexes have
@@ -736,11 +745,16 @@ object Cluster {
     * final plan carries the full hop-shape for PlanSpec to pin.
     * Determinism: the Vec.l2 ↔ list_distance proven pairing ranks with
     * (d, id) tie-breaks, identical in the unrolled oracle. */
-  /** Per-hop visited trail of [[graphSearch]]: element h is everything
-    * scored through hop h (element 0 = the coarse entry set). Exposed so
-    * the hops-vs-recall sweep reads the SAME search the top-k row
-    * answers from. `hops`/`pinHop` exist for the PlanSpec probe (a
-    * 1-hop, unpinned build whose executed plan shows the hop shape). */
+  /** Per-hop search PIECES of [[graphSearch]]: element h holds the rows
+    * first scored AT hop h (element 0 = the coarse entry set) — disjoint
+    * by construction (each hop anti-joins everything already scored), so
+    * "visited through hop h" is the union of elements 0..h. Exposed as
+    * pieces rather than cumulative unions (r15) so the hops-vs-recall
+    * sweep can rank all six depths in ONE pass (tag each row with its
+    * first-scored hop, explode the hop axis, one window) instead of six
+    * window+join+agg chains over growing unions. `hops`/`pinHop` exist
+    * for the PlanSpec probe (a 1-hop, unpinned build whose executed plan
+    * shows the hop shape). */
   private def graphSearchTrail(s: SparkSession, dir: String, edges: DataFrame,
       undTag: Option[String] = None, hops: Int = 5,
       pinHop: DataFrame => DataFrame = T.pin): IndexedSeq[DataFrame] = {
@@ -807,7 +821,7 @@ object Cluster {
         .where(col("rn") <= BEAM).select("q_id", "v", "d")
       pieces :+= scored
     }
-    (0 to HOPS).map(h => visitedOf(pieces.take(h + 1))).toIndexedSeq
+    pieces
   }
 
   /** Top-5 answers (q_id, rn, n_id, dist) from a visited set. */
@@ -822,11 +836,11 @@ object Cluster {
 
   private def graphSearch(s: SparkSession, dir: String, edges: DataFrame,
       undTag: Option[String] = None): DataFrame =
-    searchTopK(graphSearchTrail(s, dir, edges, undTag).last)
+    searchTopK(graphSearchTrail(s, dir, edges, undTag).reduce(_ unionAll _))
 
   /** Session-memoized search trail over the IN-SESSION graph — one
-    * search shared by ml_knn_graph_search (answers from the final hop)
-    * and ml_graph_search_hops_sweep (reads the whole trail). */
+    * search shared by ml_knn_graph_search (answers from the full visited
+    * union) and ml_graph_search_hops_sweep (reads the per-hop pieces). */
   private def nnSearchTrail(s: SparkSession, dir: String): IndexedSeq[DataFrame] =
     T.frameCache("nnSearchTrail", s, dir) {
       graphSearchTrail(s, dir,
@@ -840,7 +854,8 @@ object Cluster {
   private[graft] def graphSearchPlanProbe(s: SparkSession, dir: String): DataFrame =
     searchTopK(graphSearchTrail(s, dir,
       nnG1Pinned(s, dir).select(col("u"), col("w").as("v")),
-      undTag = Some("nnUndPinned"), hops = 1, pinHop = identity).last)
+      undTag = Some("nnUndPinned"), hops = 1, pinHop = identity)
+      .reduce(_ unionAll _))
 
   /** Shared oracle of ml_knn_graph_search and ml_index_graph_save_load
     * (the ml_knn_pq / ml_index_pq_save_load pattern — one semantics,
@@ -1231,7 +1246,7 @@ object Cluster {
       (s, dir) => {
         val g0 = nnSeedEdges(s, dir)
         val g1 = nnG1Pinned(s, dir).select(col("u"), col("w").as("v"))
-        val g2 = nnDescentRound(s, dir, g1)
+        val g2 = nnDescentRound(s, dir, g1, undTag = Some("nnUndPinned"))
           .select(col("u"), col("w").as("v"))
         val e = T.embeddings(s, dir).select(col("vec_id"), col("embedding"))
         val qs = e.where(col("vec_id") % 40 === 0)
@@ -1330,7 +1345,7 @@ object Cluster {
       // is an id equi-join on the edge table + an id equi-join rescore —
       // PlanSpec pins no corpus scan per hop (≤1 BNLJ = the entry-point
       // centroid fan-out). Output: (q_id, rn, n_id, dist).
-      (s, dir) => searchTopK(nnSearchTrail(s, dir).last),
+      (s, dir) => searchTopK(nnSearchTrail(s, dir).reduce(_ unionAll _)),
       Some(sqlGraphSearchOracle)),
 
     QueryDef(
@@ -1372,7 +1387,7 @@ object Cluster {
       // exact side is |queries| × corpus (one broadcast fan-out), never
       // all-pairs.
       (s, dir) => {
-        val trail = nnSearchTrail(s, dir)
+        val pieces = nnSearchTrail(s, dir)
         val e = T.embeddings(s, dir).select(col("vec_id"), col("embedding"))
         val xw = Window.partitionBy(col("q_id")).orderBy(col("d"), col("v"))
         val exact = T.pin(e
@@ -1386,18 +1401,33 @@ object Cluster {
           .withColumn("rn", row_number().over(xw)).where(col("rn") <= 5)
           .select(col("q_id"), col("v")))
         val nq = exact.select("q_id").distinct().count()
-        // broadcast the ≤100-row reference side: the pinned leaves carry
-        // no stats, so without the hint each of the six recall joins
-        // planned a both-sides-exchanged SMJ of two tiny frames
-        def row(h: Int): DataFrame =
-          trail(h).where(col("q_id") =!= col("v"))
-            .withColumn("rn", row_number().over(xw)).where(col("rn") <= 5)
-            .select(col("q_id"), col("v"))
-            .join(broadcast(exact), Seq("q_id", "v"))
-            .agg(count(lit(1)).as("hits"))
-            .selectExpr(s"$h AS hops", s"CAST($nq AS BIGINT) AS n_queries",
-              s"round(CAST(hits AS DOUBLE) / (5 * $nq), 6) AS recall_at_5")
-        (0 to 5).map(row).reduce(_ unionAll _).orderBy("hops")
+        // ONE ranking pass for all six depths (r15 — was six
+        // window+join+agg chains over growing visited unions): the trail
+        // pieces are disjoint, so each scored row carries the hop it
+        // first appeared at; exploding sequence(minh, 5) replicates it
+        // into every depth that can see it (≤ 6 × |visited| KB-sized
+        // rows, pure codegen — no join), one window ranks every (depth,
+        // query) group, and one broadcast join against the ≤100-row
+        // exact reference (pinned leaves carry no stats — unhinted this
+        // planned a both-sides-exchanged SMJ) counts the hits. The
+        // depth-axis left join restores empty depths (hop 0 can score
+        // zero hits — a groupBy alone would drop its row).
+        val tagged = pieces.zipWithIndex.map { case (p, h) =>
+          p.select(col("q_id"), col("v"), col("d"), lit(h).as("minh"))
+        }.reduce(_ unionAll _)
+        val hw = Window.partitionBy(col("h"), col("q_id"))
+          .orderBy(col("d"), col("v"))
+        val hits = tagged.where(col("q_id") =!= col("v"))
+          .withColumn("h", explode(expr("sequence(minh, 5)")))
+          .withColumn("rn", row_number().over(hw)).where(col("rn") <= 5)
+          .select(col("q_id"), col("v"), col("h"))
+          .join(broadcast(exact), Seq("q_id", "v"))
+          .groupBy("h").agg(count(lit(1)).as("hits"))
+        s.range(0, 6).selectExpr("CAST(id AS INT) AS h")
+          .join(hits, Seq("h"), "left")
+          .selectExpr("h AS hops", s"CAST($nq AS BIGINT) AS n_queries",
+            s"round(CAST(coalesce(hits, 0L) AS DOUBLE) / (5 * $nq), 6) AS recall_at_5")
+          .orderBy("hops")
       },
       Some {
         // CTE names avoid short t0/t1-style identifiers: DuckDB's Python

@@ -2680,6 +2680,125 @@ object Pipeline {
       }),
 
     QueryDef(
+      "text_unigram_train",
+      // SentencePiece-style UNIGRAM-LM tokenizer training (Kudo 2018,
+      // "Subword regularization" §3 — the other trainer family next to
+      // BPE; VERDICT r14 #7): seed piece scores from freq-weighted
+      // substring counts (the paper's seed vocabulary step), ONE hard-EM
+      // round — every vocab word is re-segmented to its MAXIMUM-
+      // LIKELIHOOD piece sequence, then piece probabilities re-estimate
+      // from the winning segmentations — and the learned top-20 pieces
+      // emit with their refit probabilities. Like the BPE trainer this
+      // runs on the (word, freq) VOCAB, never the corpus (Heaps' law —
+      // the one corpus pass is the word count), which is the 100 TB
+      // shape. The Viterbi step is DECLARATIVE: a word of length n has
+      // 2^(n-1) cut masks; each mask's boundary list / gap list / piece
+      // list derive by pure array expressions, masks with any piece
+      // longer than 4 chars are dropped (list_max of the gaps), and the
+      // per-mask likelihood is an ORDER-FREE exact sum — each piece's
+      // −ln(p) is REAL-collapsed once, cast to DECIMAL(30,12) (the xsum
+      // wire), and summed exactly, so the (score, mask) argmin is
+      // bit-portable with no float-accumulation-order hazard. Words are
+      // capped at 12 chars (mask space 2^11; longer words would need the
+      // paper's lattice DP — loud cap, like BAND_CAP) and at ≥ 2 chars
+      // (the BPE trainer's vocab convention). Output ranks are integer
+      // arithmetic (count DESC, piece ASC), so the emitted probabilities
+      // are exact ratios round-tripped at 6 dp.
+      (s, dir) => {
+        val words = T.documents(s, dir)
+          .transform(T.fanOut(_, col("doc_id")))
+          .select(explode(expr("filter(split(text, ' '), t -> t <> '')")).as("wd"))
+          .where(length(col("wd")).between(2, 12))
+          .groupBy("wd").agg(count(lit(1)).as("freq"))
+        // seed piece counts: every substring of length 1..4, each
+        // occurrence counted, freq-weighted
+        val pc = words
+          .withColumn("st", explode(expr("sequence(1, length(wd))")))
+          .withColumn("ln", explode(expr("sequence(1, least(4, length(wd) - st + 1))")))
+          .select(expr("substring(wd, st, ln)").as("piece"), col("freq"))
+          .groupBy("piece").agg(sum(col("freq")).as("cnt"))
+        val tot = pc.agg(sum(col("cnt")).as("total"))
+        val pw = pc.crossJoin(broadcast(tot))
+          .selectExpr("piece",
+            "CAST(-CAST(CAST(ln(CAST(cnt AS DOUBLE) / total) AS FLOAT) AS DOUBLE) AS DECIMAL(30,12)) AS w")
+        // all valid segmentations: mask bit j-1 = cut after char j
+        val sr = words
+          .withColumn("mask", explode(expr(
+            "sequence(CAST(0 AS BIGINT), CAST(pow(2, length(wd) - 1) AS BIGINT) - 1)")))
+          .withColumn("bnd", expr(
+            "concat(array(0), filter(sequence(1, length(wd) - 1), " +
+              "j -> CAST(floor(mask / pow(2, j - 1)) AS BIGINT) % 2 = 1), array(length(wd)))"))
+          .withColumn("gaps", expr(
+            "transform(sequence(1, size(bnd) - 1), k -> element_at(bnd, k + 1) - element_at(bnd, k))"))
+          .where(expr("array_max(gaps) <= 4"))
+          .withColumn("k", explode(expr("sequence(1, size(gaps))")))
+          .selectExpr("wd", "freq", "mask",
+            "substring(wd, element_at(bnd, k) + 1, element_at(gaps, k)) AS piece")
+        val best = sr.join(pw, "piece")
+          .groupBy("wd", "mask").agg(sum(col("w")).as("score"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("wd")).orderBy(col("score").asc, col("mask").asc)))
+          .where(col("rn") === 1).select("wd", "mask")
+        val mc = sr.join(best, Seq("wd", "mask"))
+          .groupBy("piece").agg(sum(col("freq")).as("n"))
+        val t2 = mc.agg(sum(col("n")).as("total2"))
+        mc.withColumn("rank", row_number().over(
+            Window.orderBy(col("n").desc, col("piece").asc)))
+          .where(col("rank") <= 20)
+          .crossJoin(broadcast(t2))
+          .selectExpr("rank", "piece", "n",
+            "round(CAST(n AS DOUBLE) / total2, 6) AS prob")
+          .orderBy("rank")
+      },
+      Some("""WITH wv AS (SELECT wd, count(*) AS freq FROM (
+                   SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS wd
+                   FROM documents) x
+                 WHERE length(wd) BETWEEN 2 AND 12 GROUP BY wd),
+               pc AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+                   SELECT substr(wd, CAST(st AS INT), CAST(ln AS INT)) AS piece, freq
+                   FROM (SELECT wd, freq, st,
+                           unnest(generate_series(1, least(4, length(wd) - st + 1))) AS ln
+                         FROM (SELECT wd, freq,
+                                 unnest(generate_series(1, length(wd))) AS st
+                               FROM wv) a) b) c
+                 GROUP BY piece),
+               tot AS (SELECT sum(cnt) AS total FROM pc),
+               pw AS (SELECT piece,
+                   CAST(-CAST(CAST(ln(CAST(cnt AS DOUBLE) / total) AS FLOAT) AS DOUBLE) AS DECIMAL(30,12)) AS w
+                 FROM pc CROSS JOIN tot),
+               mk AS (SELECT wd, freq,
+                   unnest(generate_series(CAST(0 AS BIGINT), CAST(pow(2, length(wd) - 1) AS BIGINT) - 1)) AS mask
+                 FROM wv),
+               sg AS (SELECT wd, freq, mask, bnd,
+                   list_transform(generate_series(1, len(bnd) - 1),
+                     k -> bnd[CAST(k AS INT) + 1] - bnd[CAST(k AS INT)]) AS gaps
+                 FROM (SELECT wd, freq, mask,
+                         list_concat(list_concat([CAST(0 AS BIGINT)],
+                           list_filter(generate_series(CAST(1 AS BIGINT), CAST(length(wd) AS BIGINT) - 1),
+                             j -> CAST(floor(mask / pow(2, j - 1)) AS BIGINT) % 2 = 1)),
+                           [CAST(length(wd) AS BIGINT)]) AS bnd
+                       FROM mk) s0),
+               sr AS (SELECT wd, freq, mask,
+                   substr(wd, CAST(bnd[CAST(k AS INT)] AS INT) + 1, CAST(gaps[CAST(k AS INT)] AS INT)) AS piece
+                 FROM (SELECT wd, freq, mask, bnd, gaps,
+                         unnest(generate_series(1, len(gaps))) AS k
+                       FROM sg WHERE list_max(gaps) <= 4) x),
+               sc AS (SELECT wd, mask, sum(w) AS score
+                 FROM sr JOIN pw USING (piece) GROUP BY wd, mask),
+               bst AS (SELECT wd, mask FROM (
+                   SELECT wd, mask, row_number() OVER (PARTITION BY wd
+                     ORDER BY score ASC, mask ASC) AS rn FROM sc) t
+                 WHERE rn = 1),
+               mc AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS n
+                 FROM sr JOIN bst USING (wd, mask) GROUP BY piece),
+               t2 AS (SELECT sum(n) AS total2 FROM mc)
+              SELECT rank, piece, n,
+                round(CAST(n AS DOUBLE) / total2, 6) AS prob
+              FROM (SELECT piece, n, row_number() OVER (ORDER BY n DESC, piece ASC) AS rank
+                    FROM mc) r CROSS JOIN t2
+              WHERE rank <= 20 ORDER BY rank""")),
+
+    QueryDef(
       "text_bpe_apply",
       // BPE APPLY/ENCODE (r11 — VERDICT r10 #5: the trainer's missing
       // twin): re-segment the corpus with text_bpe_merge's LEARNED merge

@@ -2956,6 +2956,55 @@ class MicroSpec extends SparkSpec {
     assert(got == expected, s"got $got expected $expected")
   }
 
+  test("text_unigram_train: learned pieces match a local brute-force EM round") {
+    // Independent driver-side replication of the whole trainer: seed
+    // substring counts, REAL-collapsed −ln weights on the decimal wire
+    // (JBD.valueOf mirrors Spark's double→decimal path through the
+    // shortest decimal representation), exhaustive mask enumeration with
+    // the ≤4-char piece constraint, (score, mask) argmin, hard-EM
+    // re-estimation, (n DESC, piece ASC) ranking.
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val words: Map[String, Long] = Tables.documents(spark, sf).select("text")
+      .collect().flatMap(_.getString(0).split(" ").filter(_.nonEmpty))
+      .filter(w => w.length >= 2 && w.length <= 12)
+      .groupBy(identity).map { case (w, o) => w -> o.length.toLong }
+    val cnt = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    for ((w, f) <- words; st <- 0 until w.length; ln <- 1 to math.min(4, w.length - st))
+      cnt(w.substring(st, st + ln)) += f
+    val total = cnt.values.sum.toDouble
+    def wgt(p: String): JBD =
+      JBD.valueOf(-math.log(cnt(p) / total).toFloat.toDouble)
+        .setScale(12, RoundingMode.HALF_UP)
+    val mcnt = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    for ((w, f) <- words) {
+      val n = w.length
+      var bestScore: JBD = null
+      var bestPieces: Seq[String] = Nil
+      for (mask <- 0L until (1L << (n - 1))) {
+        val cuts = (1 until n).filter(j => ((mask >> (j - 1)) & 1L) == 1L)
+        val bnd = 0 +: cuts :+ n
+        val gaps = bnd.sliding(2).map(p => p(1) - p(0)).toSeq
+        if (gaps.max <= 4) {
+          val pieces = bnd.sliding(2).map(p => w.substring(p(0), p(1))).toSeq
+          val score = pieces.map(wgt).reduce(_ add _)
+          // ascending mask order: strict < keeps the lowest-mask tie winner
+          if (bestScore == null || score.compareTo(bestScore) < 0) {
+            bestScore = score; bestPieces = pieces
+          }
+        }
+      }
+      bestPieces.foreach(p => mcnt(p) += f)
+    }
+    val total2 = mcnt.values.sum.toDouble
+    val expected = mcnt.toSeq.sortBy { case (p, c) => (-c, p) }.take(20).zipWithIndex
+      .map { case ((p, c), i) =>
+        (i + 1, p, c, JBD.valueOf(c / total2).setScale(6, RoundingMode.HALF_UP).doubleValue) }
+    val got = q("text_unigram_train").collect().map(r =>
+      (r.getInt(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == expected,
+      s"trainer diverged from local brute force: ${got.diff(expected).take(3)} vs ${expected.diff(got).take(3)}")
+  }
+
   test("corpus is ASCII — the char-indexed generator precondition holds") {
     // TrigramGenerator windows by Java char index while the oracle's
     // substr counts code points (ADVICE r13: documented ASCII-only).
