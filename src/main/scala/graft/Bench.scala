@@ -14,12 +14,15 @@ import java.nio.file.{Files, Paths}
   * while the other 31 idle, so running queries strictly one-by-one measures
   * the JIT compiler, not the engine. With the pool, compile overlaps with
   * other queries' execution — exactly how a real multi-tenant Spark driver
-  * amortizes it. Queries are COST-BANDED (r12): the expensive band runs at
-  * width 2 in its own pool (ten 10-core-parallel queries at once was 3–4×
-  * core oversubscription — the r11 401 s wall), the cheap tail fills the
-  * rest, and whichever band drains first donates its width. `value` is the
-  * end-to-end suite wall time; per-query timings are each query's own wall
-  * (slightly inflated by sharing); `sum` is their total for comparison with
+  * amortizes it. Admission is DEMAND-BUDGETED (r15, replacing the r12 cost
+  * bands): each query's measured core demand (cpu/wall from the committed
+  * threads=1 truth) is summed across co-running queries and kept inside a
+  * budget of measured-free cores × an overlap factor — the constraint the
+  * fixed band widths were always a proxy for (r11: ten 10-core queries at
+  * once = 3–4× oversubscription, 401 s wall; r15: width-2 heavy band =
+  * half the box idle, 191–228 s wall). `value` is the end-to-end suite
+  * wall time; per-query timings are each query's own wall (slightly
+  * inflated by sharing); `sum` is their total for comparison with
   * sequential runs.
   *
   * Emits ONE JSON line on stdout (driver contract) and also writes the same
@@ -30,18 +33,35 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    // 8 workers (r12 re-measurement at 452 queries, band-scheduled, AQE
-    // off): wall 148 s @ 8 threads vs 154 @ 10 vs 181 @ 13 — past ~8 the
-    // extra concurrency only inflates the iterative queries' walls (their
-    // driver-loop steps contend); the suite is bounded below by total
-    // JVM CPU (~3.2 ks / 32 cores ≈ 100 s), so width stopped paying.
-    val threads = sys.env.getOrElse("SPARK_GRAFT_BENCH_THREADS", "8").toInt
-    // Shuffle width is its own knob (r12): with AQE off (below) nothing
-    // coalesces post-shuffle, so at sf0.1 every reduce stage runs this
-    // many near-empty tasks — the per-task fixed cost dominates tiny
-    // stages. Kept at the core count by default; the env knob exists for
-    // measurement.
-    val shufParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTS", cpus)
+    // Worker threads = max concurrent queries; actual co-running load is
+    // governed by the demand budget below, so workers are cheap headroom
+    // rather than the load control they were under the r12 band scheduler
+    // (where 8 was the measured knee). Default scales with the box —
+    // 3/8 of the cores (12 at 32 cpus, 3 at 8 cpus) — because the driver
+    // also benches at lower core counts, where 8 fixed workers of
+    // 1-core-minimum admission would oversubscribe a small box.
+    val threads = sys.env.getOrElse("SPARK_GRAFT_BENCH_THREADS",
+      math.max(2, math.min(12, cpus.toInt * 3 / 8)).toString).toInt
+    // Shuffle width is its own knob (r12), and its default is DERIVED
+    // FROM INPUT SIZE (r15 — guide §2.2/§6: size partitions to the data,
+    // not the core count). With AQE off (below) nothing coalesces
+    // post-shuffle, so every reduce stage runs exactly this many tasks;
+    // at sf0.1 the r12 default of cpus=32 made ~2,600 near-empty 32-task
+    // stages whose per-task fixed cost (shuffle-file open/commit, ~11 ms
+    // sys each) was a quarter of the whole suite: measured same head,
+    // 12 workers — parts 32: wall 207 s / 3,841 CPU-s / 82k tasks;
+    // parts 16: 145 / 3,140 / 58k; parts 8: 145 / 2,909 / 45k. One
+    // 32 MB-of-input unit per partition (floor 8 so a single query still
+    // spreads, cap cpus) lands on 8 at sf0.1 and grows with the data —
+    // a real cluster runs AQE coalescing instead (the library leaves AQE
+    // ON; this is the same harness-only class as AQE-off below).
+    val shufParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTS", {
+      def sizeOf(f: java.io.File): Long =
+        if (f.isDirectory) { val cs = f.listFiles(); if (cs == null) 0L else cs.map(sizeOf).sum }
+        else f.length()
+      val dirBytes = try sizeOf(new java.io.File(sfDir)) catch { case _: Throwable => 0L }
+      math.max(8L, math.min(cpus.toLong, dirBytes >> 25)).toString
+    })
     val builder0 = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufParts)
@@ -100,77 +120,74 @@ object Bench {
     // model. Unknown queries (new since the last seq run) sort FIRST with
     // an infinite prior — assuming new work is expensive is the safe side
     // of LPT. No file → alphabetical, the prior behavior.
-    val histCost: Map[String, Double] =
+    val (histCost: Map[String, Double], histCpu: Map[String, Double]) =
       try {
         // real JSON parse (ADVICE r8: the old regex slice silently degraded
         // to partial/alphabetical order on any format change) — Jackson is
         // already on Spark's classpath
         val root = new com.fasterxml.jackson.databind.ObjectMapper()
           .readTree(Files.readString(Paths.get("bench_seq.json")))
-        val qn = root.get("queries")
-        if (qn == null || !qn.isObject) Map.empty
-        else {
-          val b = Map.newBuilder[String, Double]
-          // non-number nodes are SKIPPED (ADVICE r9: asDouble() coerces
-          // malformed entries to 0.0 — the cheapest slot, the exact
-          // opposite of the unknown-is-expensive prior; skipping lets the
-          // Double.MaxValue fallback below handle them)
-          qn.fields().forEachRemaining { e =>
-            if (e.getValue.isNumber) b += e.getKey -> e.getValue.asDouble()
+        def numMap(field: String): Map[String, Double] = {
+          val qn = root.get(field)
+          if (qn == null || !qn.isObject) Map.empty[String, Double]
+          else {
+            val b = Map.newBuilder[String, Double]
+            // non-number nodes are SKIPPED (ADVICE r9: asDouble() coerces
+            // malformed entries to 0.0 — the cheapest slot, the exact
+            // opposite of the unknown-is-expensive prior; skipping lets the
+            // Double.MaxValue fallback below handle them)
+            qn.fields().forEachRemaining { e =>
+              if (e.getValue.isNumber) b += e.getKey -> e.getValue.asDouble()
+            }
+            b.result()
           }
-          b.result()
         }
-      } catch { case _: Throwable => Map.empty }
+        // queries = threads=1 wall seconds (the LPT cost model);
+        // queries_cpu = the same run's per-query JVM-CPU seconds — in a
+        // threads=1 run the attribution is exact (no overlap), so
+        // cpu/wall is each query's measured average core DEMAND, the
+        // input to the admission budget below.
+        (numMap("queries"), numMap("queries_cpu"))
+      } catch { case _: Throwable => (Map.empty[String, Double], Map.empty[String, Double]) }
     if (histCost.isEmpty)
       System.err.println("[bench] bench_seq.json missing or unparseable — " +
         s"(exists=${Files.exists(Paths.get("bench_seq.json"))}) " +
         "submission order degrades to alphabetical (LPT disabled)")
     val names = SparkEntry.queries.toSeq
       .sortBy { case (n, _) => (-histCost.getOrElse(n, Double.MaxValue), n) }
-    // Cost-BAND scheduling (VERDICT r11 #1 / next-round #1): pure LPT over
-    // one width-10 pool submits the 10 most expensive queries SIMULTANEOUSLY.
-    // The heavy rows are themselves 10–25-core parallel (seq truth:
-    // ml_rf_regress 99 cpu-s in 7.7 s wall), so 10 at once demands ~100+
-    // cores of a 32-core box — 3–4× oversubscription plus cache-eviction
-    // recompute in the shared heap turned 6-s rows into 240-s rows and
-    // inflated run CPU 2.6× (r11: wall 401 s, cpu 9402 s vs seq-truth
-    // 4,630 s). Fix: the ≥heavySec band runs in its OWN small pool (width
-    // 2–3) while the cheap tail fills the remaining workers; whichever band
-    // drains first donates its width to the other (core-size bump), so no
-    // worker ever idles while work remains. Unknown queries (no seq history)
-    // band as heavy — assuming new work is expensive stays the safe side.
-    // heavySec is SELF-TUNING (VERDICT r14 #5): r14 lost 39 s to a stale
-    // 3.0 constant — as the engine got faster, a dozen genuinely-parallel
-    // mid-cost rows (seq 2.5–3 s, 10+-core stages) slid into the width-6
-    // cheap band, where six of them at once oversubscribed the cores
-    // (measured same head, idle box: cut 3.0 → 191 s wall, 2.5 → 131 s,
-    // 2.0 → 132 s). The good cut sat at the P85 of the seq cost
-    // distribution (2.41 at the r14 head), which is exactly the knee where
-    // the long multi-core tail separates from the sub-second bulk — so
-    // derive it from the histogram each run (clamped to [1.5, 3.5] so a
-    // degenerate distribution can't band everything or nothing) and let it
-    // track the engine automatically.
-    val heavySec = sys.env.get("SPARK_GRAFT_BENCH_HEAVY_SEC").map(_.toDouble).getOrElse {
-      val costs = histCost.values.toArray.sorted
-      if (costs.isEmpty) 2.5
-      else math.min(3.5, math.max(1.5, costs(math.min(costs.length - 1, (costs.length * 0.85).toInt))))
-    }
-    val heavyWidth0 = sys.env.getOrElse("SPARK_GRAFT_BENCH_HEAVY_THREADS", "2").toInt
-    // Load-adaptive width, CONTINUOUS (VERDICT r14 #1a — the binary
-    // "loadavg > cores/2 ⇒ halve" check demonstrably failed: the r14
-    // driver box carried ~6 external runnable start-to-finish, never
-    // tripped the cores/2=16 threshold, and recorded a 575 s wall).
+    // DEMAND-BUDGET scheduling (r15 — replaces the two fixed-width cost
+    // bands). The r15-head measurement that killed the bands: idle-box
+    // wall 191–228 s at proc-CPU ~3.0–3.9 ks, i.e. average parallelism
+    // 16–17 of 32 cores — the width-2 heavy band serialized its 71+ rows
+    // (many of them 2–4-core driver-loop fits that could safely co-run)
+    // while the box sat half idle. The band widths were always a proxy
+    // for the real constraint, measured directly by r11's failure: the
+    // box thrashes when the CO-RUNNING QUERIES' SUMMED CORE DEMAND
+    // exceeds the cores (10 heavy rows × ~10–25 cores each = 3–4×
+    // oversubscription → 401 s wall, 2.6× CPU). So schedule on that
+    // constraint itself: each query's measured demand is cpu/wall from
+    // the committed threads=1 truth (exact attribution — no overlap),
+    // and a query is ADMITTED when the running demand sum stays inside
+    // the budget of measured-free cores × an overlap factor (stages ramp
+    // up/down inside a query, so Σdemand slightly over the cores keeps
+    // the box full — the same reason §2.6-style pipelining works).
+    // Admission scans the LPT queue first-fit, so a wide query at the
+    // head never idles workers while narrow ones behind it fit; the scan
+    // can only delay a query until strictly-smaller work drains, so
+    // nothing starves. Unknown queries (no seq history) assume
+    // half-the-box demand and sort first — the safe side of LPT.
+    // External load folds into the SAME budget continuously:
+    // budget = (cpus − ext_ema) × factor, floor 2 concurrent (near the
+    // CPU-minimal schedule; seq is minimal but a floor of 2 keeps plan
+    // compile overlapped with execution), so ~2 external cores shave the
+    // budget ~6% instead of tripping a quantized width cliff, and a
+    // fully-busy box degrades to ~2 co-running queries.
     // External load is measured INSTANTANEOUSLY from /proc/stat: sample
     // whole-box busy jiffies minus this JVM's own jiffies over a short
     // window — unlike the 1-min loadavg this has no lag, separates our own
     // demand from the external share exactly, and counts hypervisor steal
     // (jiffies the guest lost) as external load, which for scheduling
-    // purposes it is. Widths then scale with the measured FREE cores:
-    // width = width0 × free/cpus (floor 1 per band), so ~6 external
-    // runnable on 32 cores now yields 2+4 instead of the full 2+6, and a
-    // half-busy box yields 1+3 — degrading toward the 2-concurrent floor
-    // (the CPU-minimal schedule) as contention grows instead of stepping
-    // once at an arbitrary threshold.
+    // purposes it is.
     def loadavg1(): Double =
       try Files.readString(Paths.get("/proc/loadavg")).trim.split("\\s+")(0).toDouble
       catch { case _: Throwable => 0.0 }
@@ -203,26 +220,33 @@ object Bench {
       math.max(0.0, ((b1 - b0) - (o1 - o0)) / HZ / dt)
     }
     val extStart = extCores(600)
-    val freeStart = math.max(1.0, cpus.toInt - extStart)
-    // threads ≤ 2 (the committed bench_seq.json truth runs use 1): banding
-    // would ADD concurrency past the requested width — run one flat pool
-    val banded = threads > 2
-    // TARGET widths are the unscaled 2+6; the shared throttle `scale`
-    // below starts from the probe instead of 1.0, so start-load scaling
-    // and the mid-run watcher are the SAME mechanism (one scale, both
-    // directions) rather than composing twice.
-    val heavyWidth = if (!banded) threads else heavyWidth0
-    val cheapWidth = if (!banded) 0 else math.max(1, threads - heavyWidth0)
-    val scale0 =
-      if (!banded) 1.0
-      else math.max(0.125, math.round(freeStart / cpus.toInt * 8.0) / 8.0)
+    // Per-query core demand from the threads=1 truth. Clamps: a sub-50 ms
+    // wall makes cpu/wall noise, and demand can never exceed the box.
+    // Unknown rows (new since the last seq run) assume HALF the box — wide
+    // enough that two unknowns fill it, narrow enough that one unknown
+    // still co-runs with known narrow work.
+    def demandOf(n: String): Double = {
+      val w = histCost.getOrElse(n, 0.0)
+      val c = histCpu.getOrElse(n, -1.0)
+      if (w > 0.05 && c >= 0.0) math.min(cpus.toInt.toDouble, math.max(1.0, c / w))
+      else cpus.toInt / 2.0
+    }
+    // Overlap factor: Σdemand is an average over each query's life — the
+    // barrier gaps inside one query (driver steps between stages) are
+    // exactly when a co-runner's stages use the cores, so admitting
+    // slightly past the free-core line keeps the box full. Measured on
+    // this head (32 cores, 8–12 workers): factor 1.25 → wall 244 s,
+    // 1.5 → 204–207 s at the old parts=32 default; re-measured at the
+    // final parts=8 default below in OPTIMIZATION_r15.md. 1.5 is the
+    // default.
+    val budgetFactor =
+      sys.env.get("SPARK_GRAFT_BENCH_BUDGET").map(_.toDouble).getOrElse(1.5)
+    @volatile var extEma = extStart
+    def budget(): Double =
+      math.max(2.0, (cpus.toInt - extEma) * budgetFactor)
     if (extStart >= 1.0)
       System.err.println(
-        f"[bench] external load ~$extStart%.1f cores at start — width scale $scale0%.3f")
-    val (heavyQ, cheapQ) =
-      if (banded) names.partition { case (n, _) =>
-        histCost.getOrElse(n, Double.MaxValue) >= heavySec
-      } else (names, names.take(0))
+        f"[bench] external load ~$extStart%.1f cores at start — budget ${budget()}%.1f")
     // Self-diagnosis (VERDICT r8 #2): the graded r8 artifact showed every
     // query uniformly ~13× slower than the same HEAD on an idle box, with
     // zero failures — sandbox contention, but nothing in bench.json could
@@ -283,88 +307,76 @@ object Bench {
       } catch { case _: Throwable => (-1L, -1L) }
     val gcMs0 = gcWallMs()
     val (uj0, sj0) = userSysJiffies()
-    import java.util.concurrent.{Callable, LinkedBlockingQueue, ThreadPoolExecutor, TimeUnit}
-    def mkPool(w: Int) = // floor 1: a flat run leaves the cheap pool empty
-      new ThreadPoolExecutor(math.max(1, w), math.max(1, w), 60L, TimeUnit.SECONDS,
-        new LinkedBlockingQueue[Runnable]())
-    val heavyPool = mkPool(math.max(1, math.round(heavyWidth * scale0).toInt))
-    val cheapPool = mkPool(math.max(1, math.round(cheapWidth * scale0).toInt))
-    val t0all = System.nanoTime()
-    def submit(pool: ThreadPoolExecutor, qs: Seq[(String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)]) =
-      qs.map { case (name, fn) =>
-        pool.submit(new Callable[(String, Double, Boolean, Double)] {
-          def call(): (String, Double, Boolean, Double) = {
-            spark.sparkContext.setLocalProperty("spark.scheduler.pool", name)
-            val t0 = System.nanoTime()
-            val c0 = procCpu()
-            val ok =
-              try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
-              catch { case e: Throwable =>
-                System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
-              }
-            (name, (System.nanoTime() - t0) / 1e9, ok, procCpu() - c0)
+    // The admission queue: LPT order (most-expensive first, unknowns at
+    // the head), each entry carrying its measured demand. Workers pull
+    // FIRST-FIT under the budget; `runningDemand` tracks the admitted
+    // demand sum. Progress guarantee: when nothing is running, the head
+    // is admitted regardless of budget (a single query can never
+    // deadlock, and the degenerate budget <= min-demand case degrades to
+    // sequential — the CPU-minimal schedule).
+    val queue = scala.collection.mutable.ArrayBuffer(
+      names.map { case (n, f) => (n, f, demandOf(n)) }: _*)
+    val qLock = new Object
+    var runningDemand = 0.0
+    var runningCount = 0
+    var peakDemand = 0.0
+    var minBudgetSeen = budget()
+    def acquire(): (String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame, Double) =
+      qLock.synchronized {
+        while (queue.nonEmpty) {
+          val b = budget()
+          if (b < minBudgetSeen) minBudgetSeen = b
+          val idx =
+            if (runningCount == 0) 0
+            else queue.indexWhere { case (_, _, d) => runningDemand + d <= b }
+          if (idx >= 0) {
+            val q = queue.remove(idx)
+            runningDemand += q._3; runningCount += 1
+            if (runningDemand > peakDemand) peakDemand = runningDemand
+            return q
           }
-        })
-      }
-    val heavyFuts = submit(heavyPool, heavyQ)
-    val cheapFuts = submit(cheapPool, cheapQ)
-    // Width control is centralized (r13): each pool has a TARGET width
-    // (donation moves it) and a shared THROTTLE scale (the mid-run load
-    // watcher moves it); the effective pool size is target × scale,
-    // floor 1. Donation and throttling compose instead of overwriting
-    // each other's setMaximumPoolSize calls.
-    val heavyTarget = new java.util.concurrent.atomic.AtomicInteger(heavyWidth)
-    val cheapTarget = new java.util.concurrent.atomic.AtomicInteger(cheapWidth)
-    @volatile var scale = scale0
-    // ONE lock for every pool-size mutation (ADVICE r13): applyWidths is
-    // called from three threads (two donate watchers + the load watcher);
-    // unsynchronized, interleaved setMaximumPoolSize/setCorePoolSize calls
-    // can transiently leave core > max, and ThreadPoolExecutor then throws
-    // IllegalArgumentException — silently killing whichever watcher thread
-    // hit it (donation/throttling lost for the rest of the run).
-    val widthLock = new Object
-    def applyWidths(): Unit = widthLock.synchronized {
-      Seq(heavyPool -> heavyTarget, cheapPool -> cheapTarget)
-        .foreach { case (p, t) =>
-          val w = math.max(1, math.round(t.get() * scale).toInt)
-          // shrink max first when narrowing, core first when widening —
-          // setCorePoolSize > max (transiently) throws IllegalArgument
-          if (w <= p.getMaximumPoolSize) { p.setCorePoolSize(w); p.setMaximumPoolSize(w) }
-          else { p.setMaximumPoolSize(w); p.setCorePoolSize(w) }
+          qLock.wait(1000)
         }
+        null
+      }
+    def release(d: Double): Unit = qLock.synchronized {
+      runningDemand -= d; runningCount -= 1; qLock.notifyAll()
     }
-    // Width donation: a watcher thread per band hands its width to the
-    // other band the moment its own futures all complete, so the run's
-    // tail (whichever band it is) uses the full worker budget.
-    def donate(own: Seq[java.util.concurrent.Future[_]], otherT: java.util.concurrent.atomic.AtomicInteger): Thread = {
+    val t0all = System.nanoTime()
+    val resultsBuf = new java.util.concurrent.ConcurrentLinkedQueue[(String, Double, Boolean, Double)]()
+    def runOne(name: String,
+        fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
+      spark.sparkContext.setLocalProperty("spark.scheduler.pool", name)
+      val t0 = System.nanoTime()
+      val c0 = procCpu()
+      val ok =
+        try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+        }
+      resultsBuf.add((name, (System.nanoTime() - t0) / 1e9, ok, procCpu() - c0))
+    }
+    val workers = (1 to threads).map { i =>
       val t = new Thread(() => {
-        own.foreach(f => try f.get() catch { case _: Throwable => () })
-        otherT.set(heavyWidth + cheapWidth)
-        applyWidths()
-      })
-      t.setDaemon(true); t.start(); t
+        var q = acquire()
+        while (q != null) {
+          try runOne(q._1, q._2) finally release(q._3)
+          q = acquire()
+        }
+      }, s"bench-worker-$i")
+      t.start(); t
     }
-    donate(heavyFuts, cheapTarget)
-    donate(cheapFuts, heavyTarget)
-    // Mid-run load adaptation, CONTINUOUS (VERDICT r14 #1a: the old
-    // loadavg-minus-own-CPU-rate estimate only reacted at ext > cores/2
-    // and only by halving — the r14 box sat at ~6 external runnable,
-    // never tripped it, and the one shrink that did fire was immediately
-    // restored). Every 5 s the watcher measures external busy cores the
-    // same jiffies-delta way as the start probe (no lag, own demand
-    // subtracted exactly, steal counted), smooths with a 2-sample EMA,
-    // and sets scale = free/cpus QUANTIZED to eighths — widths then track
-    // contention continuously down to the 1+1 floor (2 concurrent
-    // queries, the CPU-minimal schedule) and back up as it recedes.
-    // Shrinks still debounce over 2 consecutive samples (r13: a single
-    // sample can transiently read our own ramp as external); restores
-    // apply on the first clear sample.
-    val shrinks = new java.util.concurrent.atomic.AtomicInteger(0)
+    // Mid-run load adaptation (VERDICT r14 #1a, continuous): every 5 s
+    // measure external busy cores by the same jiffies delta as the start
+    // probe (no lag, own demand subtracted exactly, steal counted),
+    // smooth with a 2-sample EMA, and let the admission budget track
+    // free x factor directly. No widths to resize and no debounce
+    // machinery: a transient 2-core blip shaves the budget ~6% for one
+    // admission decision instead of stepping a pool width, and a loaded
+    // box admits less work until the EMA recedes.
     val loadWatcher = new Thread(() => {
       var (lastBusy, _) = statJiffies(); var lastOwn = ownJiffies()
       var lastNs = System.nanoTime(); var lastCpuSec = procCpu()
-      var ema = 0.0
-      var pendingDown = 0.0; var downHits = 0
       while (true) {
         Thread.sleep(5000)
         val (nowBusy, _) = statJiffies(); val nowOwn = ownJiffies()
@@ -373,39 +385,24 @@ object Bench {
         val ext =
           if (nowBusy < 0 || lastBusy < 0 || nowOwn < 0 || lastOwn < 0) {
             // /proc unreadable: the r12 estimate — loadavg minus our own
-            // CPU rate (≈ our runnable thread count; lagged but safe-side)
+            // CPU rate (~ our runnable thread count; lagged but safe-side)
             val ownRate =
               if (nowCpuSec < 0 || lastCpuSec < 0) 0.0
               else (nowCpuSec - lastCpuSec) / dt
             math.max(0.0, loadavg1() - ownRate)
           } else math.max(0.0, ((nowBusy - lastBusy) - (nowOwn - lastOwn)) / HZ / dt)
         lastBusy = nowBusy; lastOwn = nowOwn; lastNs = nowNs; lastCpuSec = nowCpuSec
-        ema = if (ema == 0.0) ext else 0.5 * ema + 0.5 * ext
-        val free = math.max(1.0, cpus.toInt - ema)
-        val want = math.max(0.125, math.round(free / cpus.toInt * 8.0) / 8.0)
-        if (want < scale) {
-          // debounce shrinks: require 2 consecutive samples agreeing the
-          // box got busier before narrowing
-          if (pendingDown == want) downHits += 1 else { pendingDown = want; downHits = 1 }
-          if (downHits >= 2) {
-            scale = want; shrinks.incrementAndGet()
-            System.err.println(f"[bench] external load ~$ema%.1f cores — scale $want%.3f")
-            applyWidths()
-          }
-        } else {
-          downHits = 0; pendingDown = 0.0
-          if (want > scale) {
-            scale = want
-            System.err.println(f"[bench] external load receded to ~$ema%.1f cores — scale $want%.3f")
-            applyWidths()
-          }
-        }
+        val prev = extEma
+        extEma = 0.5 * extEma + 0.5 * ext
+        if (math.abs(extEma - prev) >= 2.0)
+          System.err.println(f"[bench] external load ~$extEma%.1f cores — budget ${budget()}%.1f")
+        qLock.synchronized { qLock.notifyAll() }
       }
     })
     loadWatcher.setDaemon(true)
-    if (banded) loadWatcher.start() // threads ≤ 2: nothing to throttle
-    val results = (heavyFuts ++ cheapFuts).map(_.get())
-    heavyPool.shutdown(); cheapPool.shutdown()
+    if (threads > 1) loadWatcher.start() // threads = 1: the flat seq truth
+    workers.foreach(_.join())
+    val results = resultsBuf.toArray(Array.empty[(String, Double, Boolean, Double)]).toSeq
     val wall = (System.nanoTime() - t0all) / 1e9
     val cpuAll = procCpu() - cpu0all
     val loadEnd = loadavg()
@@ -473,7 +470,7 @@ object Bench {
     val diagPart = {
       val userSec = if (uj1 < 0 || uj0 < 0) -1.0 else (uj1 - uj0) / HZ
       val sysSec = if (sj1 < 0 || sj0 < 0) -1.0 else (sj1 - sj0) / HZ
-      s""","proc_cpu_sec":${fmt(cpuAll, 1)},"cpu_wall_ratio":${fmt(cpuAll / math.max(wall, 1e-9), 2)},"cpu_user_sec":${fmt(userSec, 1)},"cpu_sys_sec":${fmt(sysSec, 1)},"gc_wall_sec":${fmt((gcWallMs() - gcMs0) / 1e3, 1)},"tasks":${aTasks.get()},"task_run_sec":${fmt(aRunMs.get() / 1e3, 1)},"task_cpu_sec":${fmt(aCpuNs.get() / 1e9, 1)},"task_gc_sec":${fmt(aGcMs.get() / 1e3, 1)},"spill_mem_mb":${aMemSpill.get() >> 20},"spill_disk_mb":${aDiskSpill.get() >> 20},"ext_cores_start":${fmt(extStart, 1)},"heavy_sec_cut":${fmt(heavySec, 2)},"scale_start":${fmt(scale0, 3)},"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","heavy_width":$heavyWidth,"cheap_width":$cheapWidth,"heavy_n":${heavyQ.size},"throttle_shrinks":${shrinks.get()},"queries_cpu":$qcpu"""
+      s""","proc_cpu_sec":${fmt(cpuAll, 1)},"cpu_wall_ratio":${fmt(cpuAll / math.max(wall, 1e-9), 2)},"cpu_user_sec":${fmt(userSec, 1)},"cpu_sys_sec":${fmt(sysSec, 1)},"gc_wall_sec":${fmt((gcWallMs() - gcMs0) / 1e3, 1)},"tasks":${aTasks.get()},"task_run_sec":${fmt(aRunMs.get() / 1e3, 1)},"task_cpu_sec":${fmt(aCpuNs.get() / 1e9, 1)},"task_gc_sec":${fmt(aGcMs.get() / 1e3, 1)},"spill_mem_mb":${aMemSpill.get() >> 20},"spill_disk_mb":${aDiskSpill.get() >> 20},"ext_cores_start":${fmt(extStart, 1)},"ext_cores_end":${fmt(extEma, 1)},"budget_factor":${fmt(budgetFactor, 2)},"budget_min":${fmt(minBudgetSeen, 1)},"peak_demand":${fmt(peakDemand, 1)},"n_demand_unknown":${names.count { case (n, _) => !(histCost.contains(n) && histCpu.contains(n)) }},"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","queries_cpu":$qcpu"""
     }
     // "threads" records the pool width (VERDICT r4 #10): with threads=1 the
     // per-query timings are uncontended sequential truth and sum ≈ value;

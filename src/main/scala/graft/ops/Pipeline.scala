@@ -2721,25 +2721,37 @@ object Pipeline {
         val pw = pc.crossJoin(broadcast(tot))
           .selectExpr("piece",
             "CAST(-CAST(CAST(ln(CAST(cnt AS DOUBLE) / total) AS FLOAT) AS DOUBLE) AS DECIMAL(30,12)) AS w")
-        // all valid segmentations: mask bit j-1 = cut after char j
-        val sr = words
-          .withColumn("mask", explode(expr(
-            "sequence(CAST(0 AS BIGINT), CAST(pow(2, length(wd) - 1) AS BIGINT) - 1)")))
+        // all valid segmentations: mask bit j-1 = cut after char j. The
+        // bit tests are integer shifts (r15: the first form used
+        // floor(mask / pow(2, j-1)) — double math per bit per mask; the
+        // shift is the same predicate in integer ops), and the pieces of
+        // a (wd, mask) derive by a pure expression [segPieces] so the
+        // winning mask's pieces can be RE-DERIVED from (wd, mask) alone
+        // instead of re-running the full 2^(n-1) enumeration a second
+        // time for the refit (r15: `sr` was consumed by both the scoring
+        // pass and the refit join, and a lazy frame referenced twice runs
+        // twice — the refit only needs the 1-winner-per-word rows;
+        // before/after in OPTIMIZATION_r15.md).
+        def segPieces(df: DataFrame): DataFrame = df
           .withColumn("bnd", expr(
             "concat(array(0), filter(sequence(1, length(wd) - 1), " +
-              "j -> CAST(floor(mask / pow(2, j - 1)) AS BIGINT) % 2 = 1), array(length(wd)))"))
+              "j -> (shiftright(mask, j - 1) & CAST(1 AS BIGINT)) = 1), array(length(wd)))"))
           .withColumn("gaps", expr(
             "transform(sequence(1, size(bnd) - 1), k -> element_at(bnd, k + 1) - element_at(bnd, k))"))
           .where(expr("array_max(gaps) <= 4"))
           .withColumn("k", explode(expr("sequence(1, size(gaps))")))
           .selectExpr("wd", "freq", "mask",
             "substring(wd, element_at(bnd, k) + 1, element_at(gaps, k)) AS piece")
+        val sr = segPieces(words.withColumn("mask", explode(expr(
+          "sequence(CAST(0 AS BIGINT), CAST(pow(2, length(wd) - 1) AS BIGINT) - 1)"))))
         val best = sr.join(pw, "piece")
           .groupBy("wd", "mask").agg(sum(col("w")).as("score"))
           .withColumn("rn", row_number().over(
             Window.partitionBy(col("wd")).orderBy(col("score").asc, col("mask").asc)))
           .where(col("rn") === 1).select("wd", "mask")
-        val mc = sr.join(best, Seq("wd", "mask"))
+        // refit over the WINNING segmentation only: one mask per word, so
+        // re-deriving its pieces is O(vocab), not O(vocab × 2^n)
+        val mc = segPieces(words.join(best, "wd"))
           .groupBy("piece").agg(sum(col("freq")).as("n"))
         val t2 = mc.agg(sum(col("n")).as("total2"))
         mc.withColumn("rank", row_number().over(
