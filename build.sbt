@@ -41,4 +41,4 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // other and re-computation inflated run CPU 2.6x (r11 bench post-mortem).
   // The box has 128 GiB; 24g leaves ample headroom for the driver's tools.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
-)
+) ++ sys.env.get("GRAFT_JVM_EXTRA").map(_.split("\\s+").toSeq).getOrElse(Seq.empty)

@@ -67,6 +67,15 @@ object Bench {
       .config("spark.sql.shuffle.partitions", shufParts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Generated-class cache sized to the suite (r15): the default 100
+      // entries thrash across 475 queries' plan shapes, and every evicted
+      // re-generation pays Janino + fresh HotSpot JIT of the same source
+      // (profiled: the suite's process CPU ran ~1,000 s above its task
+      // CPU, and CompilationMXBean attributed it to the JIT compiling
+      // one-shot generated classes; a single cold query showed 61 s of
+      // JIT against 43 s of task CPU). A static conf, so set before the
+      // session exists.
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
     // Shuffle/spill dirs on tmpfs when available (r13): /tmp is ext4 in
     // this environment, and at sf0.1 the fixed cost of tiny stages is
     // dominated by shuffle-FILE metadata ops (thread dumps during an
