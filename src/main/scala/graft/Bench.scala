@@ -240,16 +240,21 @@ object Bench {
       if (w > 0.05 && c >= 0.0) math.min(cpus.toInt.toDouble, math.max(1.0, c / w))
       else cpus.toInt / 2.0
     }
-    // Overlap factor: Σdemand is an average over each query's life — the
-    // barrier gaps inside one query (driver steps between stages) are
-    // exactly when a co-runner's stages use the cores, so admitting
-    // slightly past the free-core line keeps the box full. Measured on
-    // this head (32 cores, 8–12 workers): factor 1.25 → wall 244 s,
-    // 1.5 → 204–207 s at the old parts=32 default; re-measured at the
-    // final parts=8 default below in OPTIMIZATION_r15.md. 1.5 is the
-    // default.
+    // Overlap factor: the seq-measured demands OVERESTIMATE concurrent
+    // usage ~2.5× (a query's wall stretches under sharing while its CPU
+    // stays fixed, so instantaneous cores-used sits far below cpu/wall
+    // measured alone — the factor-1.5 run held Σdemand at its budget of
+    // 48 yet kept only 19 of 32 cores busy). Measured on this head
+    // (32 cores, 12 workers, parts 8, idle): factor 1.25 → 244 s,
+    // 1.5 → 153–155 s, 2.0 → 111 s, 2.5 → 145 s (one run, sys-CPU
+    // anomaly), 3.0 → 97–146 s across 3 runs (ambient variance) with the
+    // LOWEST CPU of the sweep (2,433–2,793 s). At 3.0 the budget stops
+    // binding on an idle box (12 workers × avg demand ≈ 32 × 3) and acts
+    // purely as the CONTENTION governor: 8 external cores → budget 72,
+    // 24 → 24, 30 → 6 — measured under 8 synthetic busy cores: 132 s
+    // wall / 2,610 CPU-s (1.06× idle CPU), vs 217 s at factor 1.5.
     val budgetFactor =
-      sys.env.get("SPARK_GRAFT_BENCH_BUDGET").map(_.toDouble).getOrElse(1.5)
+      sys.env.get("SPARK_GRAFT_BENCH_BUDGET").map(_.toDouble).getOrElse(3.0)
     @volatile var extEma = extStart
     def budget(): Double =
       math.max(2.0, (cpus.toInt - extEma) * budgetFactor)
