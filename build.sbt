@@ -41,4 +41,18 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // other and re-computation inflated run CPU 2.6x (r11 bench post-mortem).
   // The box has 128 GiB; 24g leaves ample headroom for the driver's tools.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // C1-only JIT (r15): the suite is 475 ONE-SHOT queries at sf0.1 — every
+  // generated class runs once, so C2's expensive optimizing compilation
+  // never amortizes; profiled on this head, the default tiered JIT spent
+  // more suite CPU compiling/warming than the queries' steady-state work
+  // (a single cold distinct: 465 CPU-s first run, 6.6 warm; full-suite
+  // A/B under matched hypervisor steal: 349 s wall / 8,357 CPU-s tiered
+  // vs 199 s / 4,122 C1-only). Harness-launcher config, same class as
+  // the bench's AQE-off: a real long-running cluster job keeps tiered C2
+  // (minutes-long stages amortize it) — nothing in the library sets this.
+  // C1-only compiles ~every method, so the default 240 MB code cache
+  // overflows on 475 plan shapes (measured: "compilation disabled",
+  // then MethodHandle linkage failures) — 1g holds the whole suite.
+  "-XX:TieredStopAtLevel=1",
+  "-XX:ReservedCodeCacheSize=1g",
 ) ++ sys.env.get("GRAFT_JVM_EXTRA").map(_.split("\\s+").toSeq).getOrElse(Seq.empty)

@@ -321,6 +321,20 @@ object Bench {
       } catch { case _: Throwable => (-1L, -1L) }
     val gcMs0 = gcWallMs()
     val (uj0, sj0) = userSysJiffies()
+    // Whole-box steal jiffies across the run (r15): this environment's
+    // hypervisor co-tenants produce MINUTES-long steal storms (measured:
+    // identical back-to-back suite runs at 107 s / 2,769 proc-CPU-s in a
+    // quiet window vs 349 s / 8,357 under ~720 s of steal — charged CPU
+    // inflates with steal under tick accounting, so even "JVM's own CPU"
+    // is not contention-proof). Recording the run's steal makes a slow
+    // artifact self-attributing: high steal_sec = the box, not the engine.
+    def stealJiffies(): Long =
+      try {
+        val f = Files.readAllLines(Paths.get("/proc/stat")).get(0)
+          .trim.split("\\s+").drop(1).map(_.toLong)
+        if (f.length > 7) f(7) else 0L
+      } catch { case _: Throwable => -1L }
+    val steal0 = stealJiffies()
     // The admission queue: LPT order (most-expensive first, unknowns at
     // the head), each entry carrying its measured demand. Workers pull
     // FIRST-FIT under the budget; `runningDemand` tracks the admitted
@@ -484,7 +498,9 @@ object Bench {
     val diagPart = {
       val userSec = if (uj1 < 0 || uj0 < 0) -1.0 else (uj1 - uj0) / HZ
       val sysSec = if (sj1 < 0 || sj0 < 0) -1.0 else (sj1 - sj0) / HZ
-      s""","proc_cpu_sec":${fmt(cpuAll, 1)},"cpu_wall_ratio":${fmt(cpuAll / math.max(wall, 1e-9), 2)},"cpu_user_sec":${fmt(userSec, 1)},"cpu_sys_sec":${fmt(sysSec, 1)},"gc_wall_sec":${fmt((gcWallMs() - gcMs0) / 1e3, 1)},"tasks":${aTasks.get()},"task_run_sec":${fmt(aRunMs.get() / 1e3, 1)},"task_cpu_sec":${fmt(aCpuNs.get() / 1e9, 1)},"task_gc_sec":${fmt(aGcMs.get() / 1e3, 1)},"spill_mem_mb":${aMemSpill.get() >> 20},"spill_disk_mb":${aDiskSpill.get() >> 20},"ext_cores_start":${fmt(extStart, 1)},"ext_cores_end":${fmt(extEma, 1)},"budget_factor":${fmt(budgetFactor, 2)},"budget_min":${fmt(minBudgetSeen, 1)},"peak_demand":${fmt(peakDemand, 1)},"n_demand_unknown":${names.count { case (n, _) => !(histCost.contains(n) && histCpu.contains(n)) }},"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","queries_cpu":$qcpu"""
+      val steal1 = stealJiffies()
+      val stealSec = if (steal1 < 0 || steal0 < 0) -1.0 else (steal1 - steal0) / HZ
+      s""","steal_sec":${fmt(stealSec, 1)},"proc_cpu_sec":${fmt(cpuAll, 1)},"cpu_wall_ratio":${fmt(cpuAll / math.max(wall, 1e-9), 2)},"cpu_user_sec":${fmt(userSec, 1)},"cpu_sys_sec":${fmt(sysSec, 1)},"gc_wall_sec":${fmt((gcWallMs() - gcMs0) / 1e3, 1)},"tasks":${aTasks.get()},"task_run_sec":${fmt(aRunMs.get() / 1e3, 1)},"task_cpu_sec":${fmt(aCpuNs.get() / 1e9, 1)},"task_gc_sec":${fmt(aGcMs.get() / 1e3, 1)},"spill_mem_mb":${aMemSpill.get() >> 20},"spill_disk_mb":${aDiskSpill.get() >> 20},"ext_cores_start":${fmt(extStart, 1)},"ext_cores_end":${fmt(extEma, 1)},"budget_factor":${fmt(budgetFactor, 2)},"budget_min":${fmt(minBudgetSeen, 1)},"peak_demand":${fmt(peakDemand, 1)},"n_demand_unknown":${names.count { case (n, _) => !(histCost.contains(n) && histCpu.contains(n)) }},"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","queries_cpu":$qcpu"""
     }
     // "threads" records the pool width (VERDICT r4 #10): with threads=1 the
     // per-query timings are uncontended sequential truth and sum ≈ value;
