@@ -106,7 +106,18 @@ object Tables {
     * no-op and the scan's own partitioning flows through. With keys the
     * fan-out hash-partitions on them, so a downstream join/groupBy on the
     * same keys reuses the exchange.
-    */
+    *
+    * Fan WIDTH (r15 — guide §2.2 "fewer, larger partitions"): the r5 width
+    * of a flat `defaultParallelism` blew every sub-128MB table out to 32
+    * near-empty partitions, and the suite's per-TASK fixed cost (task
+    * closure deserialization + generated-class setup, ~100–200 ms on
+    * wide-agg plans) dwarfed the per-row work: the 10-iteration kmeans
+    * loop measured 62–70 CPU-s at width 32 vs 9.5 at width 1 for the SAME
+    * wall. Width now follows the session's shuffle width (already
+    * input-sized by the Bench harness, AQE-coalesced on a real cluster)
+    * unless the DATA justifies more — so a 1 GB table still fans to its
+    * ~9 scan-sized tasks, a 0.5 MB one stops making 32, and at 100 TB the
+    * whole helper remains the same no-op as before. */
   def fanOut(df: DataFrame, keys: Column*): DataFrame = {
     val s = df.sparkSession
     val par = s.sparkContext.defaultParallelism
@@ -114,8 +125,13 @@ object Tables {
       s.conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
     val estTasks = df.queryExecution.optimizedPlan.stats.sizeInBytes / maxPart + 1
     if (estTasks >= par) df
-    else if (keys.isEmpty) df.repartition(par)
-    else df.repartition(par, keys: _*)
+    else {
+      val shufW = s.sessionState.conf.numShufflePartitions
+      val width = math.max(math.min(par.toLong, shufW.toLong),
+        math.min(par.toLong, estTasks.toLong)).toInt
+      if (keys.isEmpty) df.repartition(width)
+      else df.repartition(width, keys: _*)
+    }
   }
 
   /** Lineage truncation for ITERATIVE dataflows (r6: ml_dbscan /

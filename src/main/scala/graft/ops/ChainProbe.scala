@@ -24,7 +24,7 @@ object ChainProbe {
       override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
         val m = e.taskMetrics
         if (m != null) stageCpu.merge(e.stageId,
-          (m.executorCpuTime / 1000000, m.executorRunTime, 1L),
+          (m.executorCpuTime / 1000000, m.executorRunTime + m.executorDeserializeTime, 1L),
           (a, b) => (a._1 + b._1, a._2 + b._2, a._3 + b._3))
       }
     })
@@ -38,8 +38,42 @@ object ChainProbe {
       stageCpu.forEach((sid, v) =>
         println(f"[chain]    stage $sid%4d cpuMs=${v._1}%9d runMs=${v._2}%9d tasks=${v._3}%4d"))
     }
-    for (r <- 1 to 5)
-      noop(s"distinct r$r")(TextSim.shingleTids(spark, sfDir).distinct())
+    import org.apache.spark.sql.functions._
+    def kmeansLoop(tag: String, persist: Boolean, fan: Boolean): Unit = {
+      stageCpu.clear()
+      val t0 = System.nanoTime(); val c0 = cpu(); val j0 = jitBean.getTotalCompilationTime
+      var e = graft.Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding"))
+      if (fan) e = e.transform(T.fanOut(_, col("vec_id")))
+      if (persist) e = e.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      var cent: Seq[(Long, Array[Float])] = e.where(col("vec_id") < 10)
+        .select(col("vec_id"), col("embedding"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq.sortBy(_._1)
+      for (_ <- 1 to 10) {
+        val best = least(cent.map { case (cid, emb) =>
+          struct(
+            graft.functions.Vec.l2Cols(spark, col("embedding"), typedLit(emb)).as("d"),
+            lit(cid).as("cid"))
+        }: _*)
+        val next = e
+          .select(col("embedding"), best.getField("cid").as("cid"))
+          .groupBy("cid")
+          .agg(array((1 to 64).map(i =>
+            avg(element_at(col("embedding"), i).cast("double")).cast("float")): _*).as("c_emb"))
+        cent = next.collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq.sortBy(_._1)
+      }
+      if (persist) e.unpersist(blocking = false)
+      println(f"[chain] $tag%-30s wall=${(System.nanoTime() - t0) / 1e9}%7.2f cpu=${cpu() - c0}%7.1f jitMs=${jitBean.getTotalCompilationTime - j0}%8d")
+      var tot = 0L; var totR = 0L; var totN = 0L
+      stageCpu.forEach((_, v) => { tot += v._1; totR += v._2; totN += v._3 })
+      println(f"[chain]    total stage cpuMs=$tot%9d runPlusDeserMs=$totR%9d tasks=$totN%5d")
+    }
+    kmeansLoop("kmeans persist+fan r1", persist = true, fan = true)
+    kmeansLoop("kmeans persist+fan r2", persist = true, fan = true)
+    kmeansLoop("kmeans nopersist+fan", persist = false, fan = true)
+    kmeansLoop("kmeans nopersist+nofan", persist = false, fan = false)
+    kmeansLoop("kmeans persist+nofan", persist = true, fan = false)
     spark.stop()
   }
 }
