@@ -246,6 +246,28 @@ object Tables {
     fitCache(s"$tag@$sid", dir)(compute)
   }
 
+  /** Session-pinned narrow fit columns of lineitem (r15). The estimator
+    * families (IRLS/GLM fits, the perceptron, the forest feature frames)
+    * each re-scan lineitem and re-fan the same handful of narrow columns
+    * once per fit ROUND — 3–5 scan+exchange passes per query across ~30
+    * queries, ~1.3 CPU-s each at sf0.1 (measured: a 5-xsum moment pass
+    * costs ~2.5 CPU-s of which ~half is the scan+repartition). One
+    * localCheckpoint of the 7 narrow columns serves every pass from
+    * executor-local blocks instead. Consumers project their own (x, y)
+    * expressions from this base, so values are bit-identical; their
+    * downstream aggregation all rides the exact decimal/long wires,
+    * which are summation-order-proof by design, so the changed
+    * partitioning provably cannot move results. At 100 TB this is the
+    * MLlib iterative-fit persist discipline (cache the training frame,
+    * not the table). */
+  def lineitemFit(s: SparkSession, dir: String): DataFrame =
+    frameCache("lineitemFitPinned", s, dir) {
+      pin(fanOut(t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"), col("l_tax"),
+        col("l_returnflag"))))
+    }
+
   // --- determinism helpers (SURVEY.md §7.3) -------------------------------
   // Raw sum(DOUBLE) is summation-order-dependent and can't hash-match across
   // engines/partitionings. Per-row cast to DECIMAL(18,4) → exact decimal sum

@@ -69,11 +69,22 @@ object ChainProbe {
       stageCpu.forEach((_, v) => { tot += v._1; totR += v._2; totN += v._3 })
       println(f"[chain]    total stage cpuMs=$tot%9d runPlusDeserMs=$totR%9d tasks=$totN%5d")
     }
-    kmeansLoop("kmeans persist+fan r1", persist = true, fan = true)
-    kmeansLoop("kmeans persist+fan r2", persist = true, fan = true)
-    kmeansLoop("kmeans nopersist+fan", persist = false, fan = true)
-    kmeansLoop("kmeans nopersist+nofan", persist = false, fan = false)
-    kmeansLoop("kmeans persist+nofan", persist = true, fan = false)
+    // per-task fixed-cost probes
+    val base = spark.range(0, 3200000, 1, 32)
+    for (r <- 1 to 3)
+      noop(s"32 tasks sum r$r")(base.selectExpr("sum(id) AS s"))
+    val wide = spark.range(0, 3200000, 1, 320)
+    for (r <- 1 to 3)
+      noop(s"320 tasks sum r$r")(wide.selectExpr("sum(id) AS s"))
+    val d = T.lineitem(spark, sfDir)
+      .select(col("l_quantity").cast("double").as("x"),
+        col("l_extendedprice").cast("double").as("y"))
+      .transform(T.fanOut(_))
+    for (r <- 1 to 3)
+      noop(s"5 xsum moments r$r")(d.agg(T.xsum(col("x")).as("sx"), T.xsum(col("y")).as("sy"),
+        T.xsum(col("x") * col("x")).as("sxx"),
+        T.xsum(col("x") * col("y")).as("sxy"),
+        T.xsum(col("y") * col("y")).as("syy")))
     spark.stop()
   }
 }

@@ -574,10 +574,9 @@ object Curation {
       (s, dir) => {
         val spark = s
         import spark.implicits._
-        val d = T.lineitem(s, dir).select(
+        val d = T.lineitemFit(s, dir).select(
           col("l_discount").cast("double").as("x"),
           col("l_quantity").cast("double").as("y"))
-          .transform(T.fanOut(_))
         var a = 0.0
         var b = 0.0
         for (_ <- 1 to 3) {

@@ -3223,10 +3223,9 @@ object ML {
       (s, dir) => {
         val spark = s
         import spark.implicits._
-        val d = T.lineitem(s, dir).select(
+        val d = T.lineitemFit(s, dir).select(
           col("l_discount").cast("double").as("x"),
           col("l_quantity").cast("double").as("y"))
-          .transform(T.fanOut(_))
         var a = 0.0
         var b = 0.0
         for (_ <- 1 to 3) {
@@ -6153,10 +6152,9 @@ object ML {
       // sums. Output: the 3-row coefficient trail (round 0 = OLS) — a
       // fat-tailed target shows the slope walking away from OLS.
       (s, dir) => {
-        val d = T.lineitem(s, dir)
+        val d = T.lineitemFit(s, dir)
           .select(col("l_quantity").cast("double").as("x"),
             col("l_extendedprice").cast("double").as("y"))
-          .transform(T.fanOut(_))
         val m0 = d.agg(count(lit(1)).cast("double").as("n"),
           T.xsum(col("x")).as("sx"), T.xsum(col("y")).as("sy"),
           T.xsum(col("x") * col("x")).as("sxx"),
@@ -6244,10 +6242,9 @@ object ML {
       // out. The q = 0.9 fit climbs ABOVE the OLS line — the intercept
       // trail is strictly increasing (MicroSpec pin).
       (s, dir) => {
-        val d = T.lineitem(s, dir)
+        val d = T.lineitemFit(s, dir)
           .select(col("l_quantity").cast("double").as("x"),
             col("l_extendedprice").cast("double").as("y"))
-          .transform(T.fanOut(_))
         val m0 = d.agg(count(lit(1)).cast("double").as("n"),
           T.xsum(col("x")).as("sx"), T.xsum(col("y")).as("sy"),
           T.xsum(col("x") * col("x")).as("sxx"),
@@ -6337,10 +6334,9 @@ object ML {
       // op, the ml_poisson_glm discipline). Output: the 3-row (a, b)
       // trail, round 0 = the null model.
       (s, dir) => {
-        val d = T.lineitem(s, dir)
+        val d = T.lineitemFit(s, dir)
           .select(col("l_quantity").cast("double").as("x"),
             (col("l_extendedprice").cast("double") / 1000).as("y"))
-          .transform(T.fanOut(_))
         var c = d.agg(count(lit(1)).cast("double").as("n"), T.xsum(col("y")).as("sy"))
           .selectExpr(
             "CAST(CAST(ln(sy / n) AS FLOAT) AS DOUBLE) AS a", "0e0 AS b")

@@ -86,13 +86,15 @@ object Supervised {
   /** Feature/label projection shared by the tree and forest rows: the
     * binary target is returnflag = 'R' (the ml_logreg fixture). */
   private[ops] def feats(s: SparkSession, dir: String): DataFrame =
-    T.lineitem(s, dir).select(
+    // projected off the session-pinned narrow base (r15): the forest fits
+    // are memoized but every family row's in-plan scans (shap moments, rf
+    // predictions, oob votes) re-paid the parquet scan + repartition
+    T.lineitemFit(s, dir).select(
       col("l_orderkey"), col("l_linenumber"),
       col("l_quantity").cast("double").as("q"),
       col("l_discount").cast("double").as("d"),
       col("l_tax").cast("double").as("t"),
       when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"))
-      .transform(T.fanOut(_))
 
   private[ops] val sqlFeats =
     """l AS (SELECT l_orderkey, l_linenumber,
@@ -110,7 +112,7 @@ object Supervised {
     * to ~9e16 cents per aggregation group — ample headroom; the sumE12
     * decimal wire remains the fallback past that. */
   private def featsR(s: SparkSession, dir: String): DataFrame =
-    T.lineitem(s, dir).select(
+    T.lineitemFit(s, dir).select(
       col("l_orderkey"), col("l_linenumber"),
       col("l_quantity").cast("double").as("q"),
       col("l_discount").cast("double").as("d"),
@@ -118,7 +120,6 @@ object Supervised {
       col("l_extendedprice").cast("double").as("yr"),
       (col("l_extendedprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * lit(100))
         .cast("long").as("yc"))
-      .transform(T.fanOut(_))
 
   private val sqlFeatsR =
     """lr AS (SELECT l_orderkey, l_linenumber,
@@ -1808,11 +1809,10 @@ object Supervised {
       // descent trace a training log shows. Gradient sums ride the exact
       // wire; margin and update texts are shared verbatim.
       (s, dir) => {
-        val base = T.lineitem(s, dir).select(
+        val base = T.lineitemFit(s, dir).select(
           expr("CASE WHEN l_extendedprice > 20000 THEN 1e0 ELSE -1e0 END").as("y"),
           (col("l_quantity").cast("double") * lit(0.1)).as("q"),
           (col("l_discount").cast("double") * lit(10.0)).as("dc"))
-          .transform(T.fanOut(_))
         var w = s.sql("SELECT 0e0 AS wi, 0e0 AS wq, 0e0 AS wd")
         def d2s(x: Double) = java.lang.Double.toString(x)
         val rounds = (1 to 3).map { k =>
