@@ -908,8 +908,8 @@ object Preprocess {
       // (f1, f2) covariance table with sample + shrunk entries and the
       // fitted shrinkage.
       (s, dir) => {
-        val means = T.lineitem(s, dir)
-          .select(lwScaled: _*).transform(T.fanOut(_))
+        val means = T.lineitemFit(s, dir)
+          .select(lwScaled: _*)
           .agg(count(lit(1)).cast("double").as("n"),
             T.xsum(col("q")).as("zq"), T.xsum(col("p")).as("zp"),
             T.xsum(col("dc")).as("zd"), T.xsum(col("tx")).as("zt"))
@@ -924,7 +924,7 @@ object Preprocess {
         val carry = Seq("n") ++ lwPairs.map { case (a, b) => s"r_$a$b" }
         val stackArgs = lwPairs.map { case (a, b) =>
           s"'${lwLabel(a)}', '${lwLabel(b)}', c_$a$b, sh_$a$b" }.mkString(", ")
-        T.lineitem(s, dir).select(lwScaled: _*).transform(T.fanOut(_))
+        T.lineitemFit(s, dir).select(lwScaled: _*)
           .crossJoin(broadcast(means))
           .selectExpr("q - mq AS xq", "p - mp AS xp",
             "dc - md AS xdc", "tx - mt AS xtx")
